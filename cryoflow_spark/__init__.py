@@ -1,0 +1,39 @@
+"""cryoflow_spark — a PySpark-native, plugin-driven columnar data pipeline engine.
+
+Re-implements the framework semantics of the reference project
+``yasunori0418/cryoflow`` (a Polars-LazyFrame pipeline CLI) with
+``pyspark.sql.DataFrame`` as the lazy frame abstraction and Catalyst as the
+optimizer. See SURVEY.md for the full blueprint and reference citations.
+
+Architecture (Spark-first, not a port):
+
+- ``core``     — plugin contract, Result-chained pipeline, config, loader, CLI
+- ``plugins``  — built-in input / transform / output plugin collection
+- ``functions``— large-scale data-pipeline operators (dedup, similarity,
+                 text analysis, multimodal) expressed as DataFrame builders
+- ``streaming``— Structured Streaming extensions
+"""
+
+from cryoflow_spark.core.plugin import (
+    BasePlugin,
+    FrameData,
+    InputPlugin,
+    OutputPlugin,
+    TransformPlugin,
+)
+from cryoflow_spark.core.result import Failure, Result, Success, safe
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BasePlugin",
+    "FrameData",
+    "InputPlugin",
+    "OutputPlugin",
+    "TransformPlugin",
+    "Result",
+    "Success",
+    "Failure",
+    "safe",
+    "__version__",
+]

@@ -1,0 +1,1 @@
+"""Core framework: plugin contract, pipeline, config, loader, session, CLI."""

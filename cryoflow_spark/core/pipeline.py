@@ -1,0 +1,327 @@
+"""Pipeline orchestration: labeled streams, Result chains, dry runs.
+
+Parity with reference ``cryoflow_core/pipeline.py``:
+
+- ``LabeledDataMap`` / ``LabeledSchemaMap`` (pipeline.py:13-14)
+- ``extract_schema`` — non-materializing schema extraction (pipeline.py:17-30)
+- ``execute_transform_chain`` — fold transforms with ``bind``, halt on first
+  Failure (pipeline.py:33-58)
+- ``execute_dry_run_chain`` — same fold over schemas (pipeline.py:61-94)
+- ``execute_output`` / ``execute_output_dry_run`` — fan-out, stop on first
+  Failure (pipeline.py:97-140)
+- label routing with ``Failure(KeyError)`` for unknown labels
+  (pipeline.py:143-185)
+- ``run_pipeline`` / ``run_dry_run_pipeline`` (pipeline.py:188-238)
+
+Spark adaptations:
+
+- One ``SparkSession`` is attached to every plugin up front.
+- Fan-out persist: when one label feeds multiple outputs, the frame is
+  ``persist()``-ed so Spark doesn't recompute the lineage per write action
+  (SURVEY.md §4.3 — in Polars the re-execution was implicit and acceptable;
+  in Spark we make the better choice explicitly).
+- The reference's dry-run limitation of validating only the ``'default'``
+  label (pipeline.py:236-238, docs/spec.md:416-418) is lifted: we dry-run
+  every label. This is a documented improvement, not a divergence in
+  observable success cases.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import StructType
+
+from cryoflow_spark.core.plugin import (
+    FrameData,
+    InputPlugin,
+    OutputPlugin,
+    SchemaData,
+    TransformPlugin,
+)
+from cryoflow_spark.core.result import Failure, Result, Success, safe
+
+logger = logging.getLogger(__name__)
+
+#: label → frame-result. Reference pipeline.py:13.
+LabeledDataMap = dict[str, Result[FrameData]]
+#: label → schema-result. Reference pipeline.py:14.
+LabeledSchemaMap = dict[str, Result[SchemaData]]
+
+
+@safe
+def extract_schema(data: FrameData) -> SchemaData:
+    """Non-materializing schema extraction (reference pipeline.py:17-30).
+
+    ``DataFrame.schema`` only consults the analyzer — no Spark job runs,
+    exactly like Polars ``collect_schema()``.
+    """
+    return data.schema
+
+
+def execute_transform_chain(
+    data: Result[FrameData],
+    transforms: list[TransformPlugin],
+) -> Result[FrameData]:
+    """Fold transforms over a frame; halt on first Failure.
+
+    Reference pipeline.py:33-58.
+    """
+    result = data
+    for plugin in transforms:
+        if not result.is_success:
+            break
+        logger.debug("transform: %s", plugin.name)
+        result = result.bind(safe_execute_transform(plugin))
+    return result
+
+
+def safe_execute_transform(plugin: TransformPlugin):
+    """Wrap a transform execute so raised exceptions become Failures."""
+
+    def _run(df: FrameData) -> Result[FrameData]:
+        try:
+            return plugin.execute(df)
+        except Exception as exc:  # noqa: BLE001 — railway boundary
+            return Failure(exc)
+
+    return _run
+
+
+def execute_dry_run_chain(
+    schema: Result[SchemaData],
+    transforms: list[TransformPlugin],
+) -> Result[SchemaData]:
+    """Fold ``dry_run`` over a schema (reference pipeline.py:61-94)."""
+    result = schema
+    for plugin in transforms:
+        if not result.is_success:
+            break
+        logger.debug("dry-run transform: %s", plugin.name)
+        try:
+            result = result.bind(plugin.dry_run)
+        except Exception as exc:  # noqa: BLE001
+            result = Failure(exc)
+    return result
+
+
+def execute_output(
+    data: Result[FrameData],
+    outputs: list[OutputPlugin],
+) -> Result[None]:
+    """Fan the same frame out to every output; stop on first Failure.
+
+    Reference pipeline.py:97-140. Spark adaptation: persist when fanning
+    out to >1 sink so the lineage isn't recomputed per action (§4.3).
+    """
+    if not data.is_success:
+        return Failure(data.failure())
+    frame = data.unwrap()
+    persisted = False
+    if len(outputs) > 1:
+        try:
+            frame = frame.persist()
+            persisted = True
+        except Exception:  # noqa: BLE001 — persist is best-effort
+            pass
+    try:
+        for plugin in outputs:
+            logger.debug("output: %s", plugin.name)
+            try:
+                result = plugin.execute(frame)
+            except Exception as exc:  # noqa: BLE001
+                return Failure(exc)
+            if not result.is_success:
+                return result
+        return Success(None)
+    finally:
+        if persisted:
+            try:
+                frame.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+
+
+def execute_output_dry_run(
+    schema: Result[SchemaData],
+    outputs: list[OutputPlugin],
+) -> Result[None]:
+    """Dry-run every output against the final schema (pipeline.py:97-117)."""
+    if not schema.is_success:
+        return Failure(schema.failure())
+    final = schema.unwrap()
+    for plugin in outputs:
+        try:
+            result = plugin.dry_run(final)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+        if not result.is_success:
+            return result
+    return Success(None)
+
+
+def _group_by_label(plugins):
+    grouped: dict[str, list] = {}
+    for p in plugins:
+        grouped.setdefault(p.label, []).append(p)
+    return grouped
+
+
+def _execute_labeled_transform_chain(
+    data_map: LabeledDataMap,
+    transforms: list[TransformPlugin],
+) -> LabeledDataMap:
+    """Route each transform to its label's stream (pipeline.py:143-162).
+
+    Unknown label → that label's entry becomes ``Failure(KeyError)``.
+    Transforms wanting sibling streams get the current map first.
+    """
+    result_map = dict(data_map)
+    for plugin in transforms:
+        if plugin.label not in result_map:
+            result_map[plugin.label] = Failure(
+                KeyError(
+                    f"no input stream with label '{plugin.label}' "
+                    f"for transform '{plugin.name}'"
+                )
+            )
+            continue
+        if plugin.wants_siblings:
+            plugin.set_siblings({k: v for k, v in result_map.items()})
+        result_map[plugin.label] = result_map[plugin.label].bind(
+            safe_execute_transform(plugin)
+        )
+    return result_map
+
+
+def _execute_labeled_output(
+    data_map: LabeledDataMap,
+    outputs: list[OutputPlugin],
+) -> Result[None]:
+    """Route outputs by label; missing label fails the run (pipeline.py:165-185)."""
+    for label, plugins in _group_by_label(outputs).items():
+        if label not in data_map:
+            return Failure(
+                KeyError(
+                    f"no data stream with label '{label}' for output "
+                    f"'{plugins[0].name}'"
+                )
+            )
+        result = execute_output(data_map[label], plugins)
+        if not result.is_success:
+            return result
+    return Success(None)
+
+
+def _attach(spark: SparkSession, *plugin_lists) -> None:
+    for plugins in plugin_lists:
+        for p in plugins:
+            p.attach_session(spark)
+
+
+def run_pipeline(
+    inputs: list[InputPlugin],
+    transforms: list[TransformPlugin],
+    outputs: list[OutputPlugin],
+    spark: Optional[SparkSession] = None,
+) -> Result[None]:
+    """inputs → labeled map → labeled transforms → labeled outputs.
+
+    Reference pipeline.py:188-212. The only Spark addition is session
+    attachment; orchestration is identical.
+    """
+    if spark is None:
+        from cryoflow_spark.core.session import get_session
+
+        spark = get_session()
+    _attach(spark, inputs, transforms, outputs)
+
+    if not inputs:
+        return Failure(ValueError("no input plugins configured"))
+
+    data_map: LabeledDataMap = {}
+    for plugin in inputs:
+        logger.debug("input: %s (label=%s)", plugin.name, plugin.label)
+        try:
+            data_map[plugin.label] = plugin.execute()
+        except Exception as exc:  # noqa: BLE001
+            data_map[plugin.label] = Failure(exc)
+
+    data_map = _execute_labeled_transform_chain(data_map, transforms)
+    return _execute_labeled_output(data_map, outputs)
+
+
+def run_dry_run_pipeline(
+    inputs: list[InputPlugin],
+    transforms: list[TransformPlugin],
+    outputs: list[OutputPlugin],
+    spark: Optional[SparkSession] = None,
+) -> Result[LabeledSchemaMap]:
+    """Schema-only pipeline validation — no data I/O.
+
+    Reference pipeline.py:215-238 + check command. Returns the final
+    labeled schema map so callers (the ``check`` command) can print the
+    predicted output schema (check.py:58-63).
+
+    Improvement over reference: every label is validated, not just
+    ``'default'`` (reference limitation pipeline.py:236-238,
+    docs/spec.md:416-418).
+    """
+    if spark is None:
+        from cryoflow_spark.core.session import get_session
+
+        spark = get_session()
+    _attach(spark, inputs, transforms, outputs)
+
+    if not inputs:
+        return Failure(ValueError("no input plugins configured"))
+
+    schema_map: LabeledSchemaMap = {}
+    for plugin in inputs:
+        try:
+            schema_map[plugin.label] = plugin.dry_run()
+        except Exception as exc:  # noqa: BLE001
+            schema_map[plugin.label] = Failure(exc)
+
+    for plugin in transforms:
+        if plugin.label not in schema_map:
+            schema_map[plugin.label] = Failure(
+                KeyError(
+                    f"no input stream with label '{plugin.label}' "
+                    f"for transform '{plugin.name}'"
+                )
+            )
+            continue
+        if plugin.wants_siblings:
+            plugin.set_sibling_schemas({k: v for k, v in schema_map.items()})
+        try:
+            schema_map[plugin.label] = schema_map[plugin.label].bind(plugin.dry_run)
+        except Exception as exc:  # noqa: BLE001
+            schema_map[plugin.label] = Failure(exc)
+
+    for label, plugins in _group_by_label(outputs).items():
+        if label not in schema_map:
+            return Failure(
+                KeyError(
+                    f"no data stream with label '{label}' for output "
+                    f"'{plugins[0].name}'"
+                )
+            )
+        result = execute_output_dry_run(schema_map[label], plugins)
+        if not result.is_success:
+            return Failure(result.failure())
+
+    # Any stream that ended in Failure and was consumed nowhere still fails
+    # the check (schema errors must not pass silently).
+    for label, res in schema_map.items():
+        if not res.is_success:
+            return Failure(res.failure())
+
+    return Success(schema_map)
+
+
+def schema_to_text(schema: StructType) -> str:
+    """'col: dtype' lines, reference check-command printout (check.py:58-63)."""
+    return "\n".join(f"{f.name}: {f.dataType.simpleString()}" for f in schema.fields)

@@ -1,0 +1,196 @@
+"""Plugin contract: the 3-role ABC hierarchy over Spark DataFrames.
+
+Parity with reference ``cryoflow_core/plugin.py:15-91``:
+
+- ``BasePlugin`` holds ``options`` / ``config_dir`` / ``label`` and offers
+  ``resolve_path`` (reference plugin.py:15-54).
+- ``InputPlugin.execute() -> Result[FrameData]`` (source → frame),
+  ``TransformPlugin.execute(df) -> Result[FrameData]`` (frame → frame),
+  ``OutputPlugin.execute(df) -> Result[None]`` (frame → side effect)
+  (reference plugin.py:57-91).
+- Every plugin also implements ``dry_run`` — a schema-only simulation of
+  ``execute`` that touches no data (reference plugin.py:65-90,
+  docs/spec.md:433-449).
+
+Spark adaptations (SURVEY.md §1.5):
+
+- ``FrameData = pyspark.sql.DataFrame`` — Spark DataFrames are already lazy,
+  so the reference's ``LazyFrame | DataFrame`` union collapses to one type
+  (reference plugin.py:10).
+- Schema currency is ``StructType`` instead of ``dict[str, pl.DataType]``;
+  ``schema_dict`` offers the dict-shaped view for plugin ergonomics.
+- Plugins that need the ``SparkSession`` (sources) get it via
+  ``attach_session`` before ``execute`` — keeps ``execute()`` signatures
+  reference-identical while Spark-session plumbing stays framework-level.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from pathlib import Path
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import DataType, StructType
+
+from cryoflow_spark.core.result import Result
+
+#: The inter-plugin data currency. In the reference this is
+#: ``pl.LazyFrame | pl.DataFrame`` (plugin.py:10); Spark's DataFrame is lazy
+#: until an action, so one type plays both roles.
+FrameData = DataFrame
+
+#: Schema currency for dry runs (reference: ``dict[str, pl.DataType]``).
+SchemaData = StructType
+
+DEFAULT_LABEL = "default"
+
+
+class PluginOptionError(ValueError):
+    """A required plugin option is missing or invalid.
+
+    Message style matches the reference's missing-option failures, which
+    tests assert contain the word "required"
+    (docs/plugin_development.md:934-941).
+    """
+
+
+def schema_dict(schema: StructType) -> dict[str, DataType]:
+    """Dict-shaped view of a StructType (reference schema currency shape)."""
+    return {f.name: f.dataType for f in schema.fields}
+
+
+class BasePlugin(ABC):
+    """Common plugin base: options, config-relative paths, label, session.
+
+    Reference: ``cryoflow_core/plugin.py:15-54``.
+    """
+
+    def __init__(
+        self,
+        options: Optional[dict[str, Any]] = None,
+        config_dir: Optional[Path] = None,
+        label: str = DEFAULT_LABEL,
+    ) -> None:
+        self.options: dict[str, Any] = dict(options or {})
+        self.config_dir: Optional[Path] = Path(config_dir) if config_dir else None
+        self.label: str = label or DEFAULT_LABEL
+        self.spark: Optional[SparkSession] = None
+
+    @property
+    def name(self) -> str:
+        """Plugin display name; defaults to the class name."""
+        return type(self).__name__
+
+    def attach_session(self, spark: SparkSession) -> None:
+        """Framework hook: give the plugin a live SparkSession."""
+        self.spark = spark
+
+    def resolve_path(self, path: str | Path) -> Path:
+        """Resolve ``path`` against the config file's directory when relative.
+
+        Reference semantics (plugin.py:36-54, e2e relative-path test
+        test_e2e_integration.py:130-206): absolute paths pass through;
+        relative paths are joined to ``config_dir`` when set, else CWD.
+        """
+        p = Path(path)
+        if p.is_absolute():
+            return p
+        if self.config_dir is not None:
+            return (self.config_dir / p).resolve()
+        return p.resolve()
+
+    def require_option(self, key: str) -> Any:
+        """Fetch a required option or raise PluginOptionError."""
+        if key not in self.options:
+            raise PluginOptionError(
+                f"'{key}' option is required for {self.name}"
+            )
+        return self.options[key]
+
+    def _require_session(self) -> SparkSession:
+        if self.spark is None:
+            # Fall back to an active session so plugins remain usable
+            # programmatically without the pipeline runner.
+            active = SparkSession.getActiveSession()
+            if active is None:
+                raise RuntimeError(
+                    f"{self.name}: no SparkSession attached; call "
+                    "attach_session(spark) or run inside a pipeline"
+                )
+            self.spark = active
+        return self.spark
+
+
+class InputPlugin(BasePlugin):
+    """Source → frame. Reference ``cryoflow_core/plugin.py:57-68``."""
+
+    @abstractmethod
+    def execute(self) -> Result[FrameData]:
+        """Produce a lazy DataFrame (no data materialization)."""
+
+    @abstractmethod
+    def dry_run(self) -> Result[SchemaData]:
+        """Predict the output schema without reading data."""
+
+
+class TransformPlugin(BasePlugin):
+    """Frame → frame. Reference ``cryoflow_core/plugin.py:71-79``.
+
+    Transforms must only *extend the lazy plan* — no actions
+    (docs/plugin_development.md:536-555). Plugins that need sibling
+    streams (e.g. a join across labels) may override
+    ``wants_siblings = True`` and receive the labeled map via
+    ``set_siblings`` before ``execute`` (SURVEY.md §7 design note — the
+    reference documents multi-stream configs but ships no joining plugin,
+    docs/plugin_development.md:1249-1295).
+    """
+
+    #: Set True to receive the labeled data map before execute().
+    wants_siblings: bool = False
+
+    def set_siblings(self, siblings: dict[str, Result[FrameData]]) -> None:
+        self._siblings = siblings
+
+    def set_sibling_schemas(self, siblings: dict[str, Result[SchemaData]]) -> None:
+        self._sibling_schemas = siblings
+
+    def sibling(self, label: str) -> Result[FrameData]:
+        sib = getattr(self, "_siblings", {})
+        if label not in sib:
+            from cryoflow_spark.core.result import Failure
+
+            return Failure(KeyError(f"no input stream with label '{label}'"))
+        return sib[label]
+
+    def sibling_schema(self, label: str) -> Result[SchemaData]:
+        sib = getattr(self, "_sibling_schemas", {})
+        if label not in sib:
+            from cryoflow_spark.core.result import Failure
+
+            return Failure(KeyError(f"no input stream with label '{label}'"))
+        return sib[label]
+
+    @abstractmethod
+    def execute(self, data: FrameData) -> Result[FrameData]:
+        """Extend the lazy plan; return the transformed DataFrame."""
+
+    @abstractmethod
+    def dry_run(self, schema: SchemaData) -> Result[SchemaData]:
+        """Validate against and transform the schema, without data."""
+
+
+class OutputPlugin(BasePlugin):
+    """Frame → side effect. Reference ``cryoflow_core/plugin.py:82-91``.
+
+    The output stage is the only place materialization (a Spark action)
+    may happen (docs/spec.md:30-32).
+    """
+
+    @abstractmethod
+    def execute(self, data: FrameData) -> Result[None]:
+        """Materialize: write/collect/show."""
+
+    @abstractmethod
+    def dry_run(self, schema: SchemaData) -> Result[None]:
+        """Validate writability/config without executing."""

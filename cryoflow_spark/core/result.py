@@ -1,0 +1,170 @@
+"""Railway-oriented Result type.
+
+The reference uses the ``returns`` library's ``Result[T, Exception]`` to
+short-circuit pipelines on the first failure (reference
+``cryoflow_core/result.py:12-41`` ``bind_safe``;
+``cryoflow_core/pipeline.py:50-57`` Result-chained transform folding).
+``returns`` is not available here, so this module provides a minimal,
+API-compatible subset: ``Success`` / ``Failure`` containers with
+``bind`` / ``map`` / ``lash``, the ``@safe`` decorator, ``bind_safe``,
+and ``is_successful``.
+
+Semantics preserved from the reference:
+
+- ``Success(v).bind(f)`` applies ``f`` (which must itself return a Result).
+- ``Failure(e).bind(f)`` propagates unchanged (short-circuit).
+- ``safe(f)`` wraps exceptions raised by ``f`` into ``Failure(exc)``.
+- ``bind_safe(result, f)`` = ``result.bind(safe(f))`` — chain a *plain*
+  function, capturing its exceptions (reference result.py:12-41).
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Callable
+from typing import Generic, TypeVar, Union
+
+_T = TypeVar("_T")
+_U = TypeVar("_U")
+
+
+class Result(Generic[_T]):
+    """Abstract base for Success/Failure. Instantiate the subclasses."""
+
+    __slots__ = ()
+
+    def bind(self, fn: Callable[[_T], "Result[_U]"]) -> "Result[_U]":
+        raise NotImplementedError
+
+    def map(self, fn: Callable[[_T], _U]) -> "Result[_U]":
+        raise NotImplementedError
+
+    def lash(self, fn: Callable[[Exception], "Result[_T]"]) -> "Result[_T]":
+        """Apply ``fn`` to a Failure's error; pass Success through."""
+        raise NotImplementedError
+
+    def unwrap(self) -> _T:
+        raise NotImplementedError
+
+    def failure(self) -> Exception:
+        raise NotImplementedError
+
+    def value_or(self, default: _U) -> Union[_T, _U]:
+        raise NotImplementedError
+
+    @property
+    def is_success(self) -> bool:
+        raise NotImplementedError
+
+
+class Success(Result[_T]):
+    __slots__ = ("_value",)
+
+    def __init__(self, value: _T) -> None:
+        self._value = value
+
+    def bind(self, fn: Callable[[_T], Result[_U]]) -> Result[_U]:
+        return fn(self._value)
+
+    def map(self, fn: Callable[[_T], _U]) -> Result[_U]:
+        return Success(fn(self._value))
+
+    def lash(self, fn: Callable[[Exception], Result[_T]]) -> Result[_T]:
+        return self
+
+    def unwrap(self) -> _T:
+        return self._value
+
+    def failure(self) -> Exception:
+        raise UnwrapFailedError("Called .failure() on a Success")
+
+    def value_or(self, default: _U) -> _T:
+        return self._value
+
+    @property
+    def is_success(self) -> bool:
+        return True
+
+    def __repr__(self) -> str:
+        return f"<Success: {self._value!r}>"
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, Success) and other._value == self._value
+
+    def __hash__(self) -> int:
+        return hash(("Success", id(self._value)))
+
+
+class Failure(Result[_T]):
+    __slots__ = ("_error",)
+
+    def __init__(self, error: Exception) -> None:
+        self._error = error
+
+    def bind(self, fn: Callable[[_T], Result[_U]]) -> Result[_U]:
+        return self  # type: ignore[return-value]
+
+    def map(self, fn: Callable[[_T], _U]) -> Result[_U]:
+        return self  # type: ignore[return-value]
+
+    def lash(self, fn: Callable[[Exception], Result[_T]]) -> Result[_T]:
+        return fn(self._error)
+
+    def unwrap(self) -> _T:
+        raise UnwrapFailedError(f"Called .unwrap() on a Failure: {self._error!r}")
+
+    def failure(self) -> Exception:
+        return self._error
+
+    def value_or(self, default: _U) -> _U:
+        return default
+
+    @property
+    def is_success(self) -> bool:
+        return False
+
+    def __repr__(self) -> str:
+        return f"<Failure: {self._error!r}>"
+
+    def __eq__(self, other: object) -> bool:
+        return (
+            isinstance(other, Failure)
+            and type(other._error) is type(self._error)
+            and str(other._error) == str(self._error)
+        )
+
+    def __hash__(self) -> int:
+        return hash(("Failure", type(self._error), str(self._error)))
+
+
+class UnwrapFailedError(Exception):
+    """Raised when unwrapping the wrong Result variant."""
+
+
+def is_successful(result: Result[_T]) -> bool:
+    return result.is_success
+
+
+def safe(fn: Callable[..., _T]) -> Callable[..., Result[_T]]:
+    """Decorator: lift a raising function into one returning Result.
+
+    Mirrors ``returns.result.safe`` as used throughout the reference
+    (e.g. ``cryoflow_core/pipeline.py:17-30`` ``extract_schema``).
+    """
+
+    @functools.wraps(fn)
+    def wrapper(*args: object, **kwargs: object) -> Result[_T]:
+        try:
+            return Success(fn(*args, **kwargs))
+        except Exception as exc:  # noqa: BLE001 — railway boundary
+            return Failure(exc)
+
+    return wrapper
+
+
+def bind_safe(result: Result[_T], fn: Callable[[_T], _U]) -> Result[_U]:
+    """Chain a plain (possibly raising) function onto a Result.
+
+    Parity with reference ``cryoflow_core/result.py:12-41``.
+    """
+    return result.bind(safe(fn))

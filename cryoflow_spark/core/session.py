@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-aware defaults.
+
+New component (no reference counterpart — the reference's runtime was
+in-process Polars; SURVEY.md §7 adds ``session.py``). Centralizes the
+settings every entry point (CLI, tests, bench, driver) should share:
+
+- AQE on (runtime re-planning, skew-join handling at scale)
+- Arrow-based pandas exchange on (fast Pandas-UDF boundary)
+- UTC session timezone (deterministic timestamp semantics vs the oracle)
+- shuffle partitions sized to local parallelism for tests; on a real
+  cluster this should be overridden (or left to AQE coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Benchmarks and the driver run repeated short actions; keep the UI off.
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def get_session(
+    app_name: str = "cryoflow-spark",
+    master: Optional[str] = None,
+    conf: Optional[dict[str, str]] = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env-overridable,
+    falls back to ``local[*]``). Explicit ``conf`` entries win over
+    defaults.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = builder.master(master)
+
+    merged = dict(DEFAULT_CONFS)
+    if "spark.sql.shuffle.partitions" not in (conf or {}):
+        # Local mode: one shuffle partition per core is the right size for
+        # the test scale factors; a real cluster overrides via conf.
+        cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
+        merged["spark.sql.shuffle.partitions"] = cpus
+    merged.update(conf or {})
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

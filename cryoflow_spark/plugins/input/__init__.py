@@ -1,0 +1,5 @@
+"""Input (source) plugins."""
+
+from cryoflow_spark.plugins.input.parquet_scan import ParquetScanPlugin
+
+__all__ = ["ParquetScanPlugin"]

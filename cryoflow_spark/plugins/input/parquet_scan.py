@@ -1,0 +1,43 @@
+"""Parquet source plugin.
+
+Parity with reference ``cryoflow_plugin_collections/input/parquet_scan.py:20-52``:
+lazily scan Parquet (``pl.scan_parquet`` → ``spark.read.parquet``); the
+``dry_run`` returns the footer schema without reading data. Options:
+
+- ``input_path`` (required) — file, directory, or glob; resolved against the
+  config dir when relative. Spark reads a *path spec*, so directories of
+  part-files and partitioned datasets work natively (a scale upgrade over
+  the reference's single-file scan).
+
+At scale: ``spark.read.parquet`` is a DataSource V2 scan — predicate
+pushdown, column pruning and partition pruning all reach the reader once
+downstream transforms declare them (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData, InputPlugin, SchemaData
+from cryoflow_spark.core.result import Failure, Result, Success
+
+
+class ParquetScanPlugin(InputPlugin):
+    @property
+    def name(self) -> str:
+        return "parquet_scan"
+
+    def execute(self) -> Result[FrameData]:
+        try:
+            path = str(self.resolve_path(self.require_option("input_path")))
+            spark = self._require_session()
+            return Success(spark.read.parquet(path))
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+    def dry_run(self) -> Result[SchemaData]:
+        """Footer-metadata schema read — no data I/O (reference :37-52)."""
+        try:
+            path = str(self.resolve_path(self.require_option("input_path")))
+            spark = self._require_session()
+            return Success(spark.read.parquet(path).schema)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)

@@ -1,0 +1,5 @@
+"""Output (sink) plugins."""
+
+from cryoflow_spark.plugins.output.parquet_writer import ParquetWriterPlugin
+
+__all__ = ["ParquetWriterPlugin"]

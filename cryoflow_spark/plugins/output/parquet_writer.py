@@ -1,0 +1,84 @@
+"""Parquet sink plugin.
+
+Parity with reference
+``cryoflow_plugin_collections/output/parquet_writer.py:22-75``: write the
+frame to Parquet, creating parent directories; ``dry_run`` checks the
+target directory is creatable/writable without writing data. Options:
+
+- ``output_path`` (required)
+- ``mode`` (default ``overwrite``) — Spark save mode
+- ``single_file`` (default False) — when True, coalesce(1) and rename the
+  part file so the target is a single ``.parquet`` file like the
+  reference's ``sink_parquet`` output (SURVEY.md §4.3); at scale leave
+  False and let Spark write a directory of part files in parallel.
+- ``partition_by`` (optional list) — hive-style partitioned layout, the
+  scale path the reference lacks.
+- ``compression`` (default snappy)
+
+Spark's ``df.write.parquet`` is pipelined per partition (executors stream
+their partitions to files) — the same out-of-core property as the
+reference's streaming ``sink_parquet`` (parquet_writer.py:42-43).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from pathlib import Path
+
+from cryoflow_spark.core.plugin import FrameData, OutputPlugin, SchemaData
+from cryoflow_spark.core.result import Failure, Result, Success
+
+
+class ParquetWriterPlugin(OutputPlugin):
+    @property
+    def name(self) -> str:
+        return "parquet_writer"
+
+    def execute(self, data: FrameData) -> Result[None]:
+        try:
+            path = self.resolve_path(self.require_option("output_path"))
+            mode = self.options.get("mode", "overwrite")
+            compression = self.options.get("compression", "snappy")
+            single_file = bool(self.options.get("single_file", False))
+            partition_by = self.options.get("partition_by")
+
+            path.parent.mkdir(parents=True, exist_ok=True)
+
+            if single_file:
+                # Write a directory next to the target, then promote the
+                # single part file to the exact requested path (reference
+                # writes one file: parquet_writer.py:43).
+                with tempfile.TemporaryDirectory(dir=str(path.parent)) as tmp:
+                    out_dir = Path(tmp) / "out"
+                    data.coalesce(1).write.mode("overwrite").parquet(
+                        str(out_dir), compression=compression
+                    )
+                    part = next(out_dir.glob("part-*.parquet"))
+                    if path.exists():
+                        if path.is_dir():
+                            shutil.rmtree(path)
+                        else:
+                            os.remove(path)
+                    shutil.move(str(part), str(path))
+                return Success(None)
+
+            writer = data.write.mode(mode)
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(str(path), compression=compression)
+            return Success(None)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+    def dry_run(self, schema: SchemaData) -> Result[None]:
+        """Writability check via mkdir (reference parquet_writer.py:51-75)."""
+        try:
+            path = self.resolve_path(self.require_option("output_path"))
+            path.parent.mkdir(parents=True, exist_ok=True)
+            if not os.access(path.parent, os.W_OK):
+                raise PermissionError(f"output directory not writable: {path.parent}")
+            return Success(None)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)

@@ -1,0 +1,5 @@
+"""Transform plugins."""
+
+from cryoflow_spark.plugins.transform.multiplier import ColumnMultiplierPlugin
+
+__all__ = ["ColumnMultiplierPlugin"]

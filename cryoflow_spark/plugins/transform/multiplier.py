@@ -1,0 +1,82 @@
+"""Column multiplier transform.
+
+Parity with reference
+``cryoflow_plugin_collections/transform/multiplier.py:21-85``: multiply a
+numeric column by a scalar in place; ``dry_run`` validates the column
+exists and is numeric and returns the unchanged schema. Options:
+
+- ``column_name`` (required)
+- ``multiplier`` (required, numeric)
+
+Spark expression: ``df.withColumn(c, F.col(c) * F.lit(m))`` — stays inside
+whole-stage codegen; schema is preserved exactly when the column is already
+a wide numeric type (Long/Double); for narrow ints we cast back to the
+original type to match the reference's in-place semantics
+(Polars ``col * lit`` keeps the dtype).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+from cryoflow_spark.core.plugin import (
+    FrameData,
+    PluginOptionError,
+    SchemaData,
+    TransformPlugin,
+    schema_dict,
+)
+from cryoflow_spark.core.result import Failure, Result, Success
+
+
+class ColumnMultiplierPlugin(TransformPlugin):
+    @property
+    def name(self) -> str:
+        return "column_multiplier"
+
+    def _options(self) -> tuple[str, float]:
+        column = self.require_option("column_name")
+        multiplier = self.require_option("multiplier")
+        if not isinstance(multiplier, (int, float)) or isinstance(multiplier, bool):
+            raise PluginOptionError(
+                f"'multiplier' option is required to be numeric, got "
+                f"{type(multiplier).__name__}"
+            )
+        return column, multiplier
+
+    def execute(self, data: FrameData) -> Result[FrameData]:
+        try:
+            column, multiplier = self._options()
+            dtype = schema_dict(data.schema).get(column)
+            if dtype is None:
+                raise KeyError(f"column '{column}' not found in input frame")
+            if not isinstance(dtype, NumericType):
+                raise TypeError(
+                    f"column '{column}' must be numeric, got {dtype.simpleString()}"
+                )
+            expr = F.col(column) * F.lit(multiplier)
+            # Keep the original dtype (reference semantics: in-place multiply
+            # preserves the column type — multiplier.py:39).
+            if isinstance(multiplier, int):
+                expr = expr.cast(dtype)
+            return Success(data.withColumn(column, expr))
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+    def dry_run(self, schema: SchemaData) -> Result[SchemaData]:
+        """Validate column presence + numeric type; schema unchanged
+        (reference multiplier.py:44-85)."""
+        try:
+            column, multiplier = self._options()
+            fields = schema_dict(schema)
+            if column not in fields:
+                raise KeyError(f"column '{column}' not found in input schema")
+            if not isinstance(fields[column], NumericType):
+                raise TypeError(
+                    f"column '{column}' must be numeric, got "
+                    f"{fields[column].simpleString()}"
+                )
+            return Success(schema)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)

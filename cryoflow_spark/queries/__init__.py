@@ -1,0 +1,82 @@
+"""Query registry: every implemented operator exposed as a named query.
+
+Each entry pairs a Spark DataFrame builder ``fn(spark, sf_dir) ->
+DataFrame`` with an equivalent ANSI-SQL oracle string for DuckDB (or
+``None`` for genuinely non-SQL-expressible operators — the driver then
+records a weaker rows-only check).
+
+Determinism rules used throughout (so the driver's order-insensitive
+value-hash matches bit-for-bit between Spark and DuckDB):
+
+- Multi-row float aggregation is order-dependent in IEEE doubles, so every
+  ``SUM``/``AVG`` over doubles goes through an exact decimal accumulator:
+  ``SUM(CAST(x AS DECIMAL(38,10)))`` then cast back to double. Decimal sums
+  are exact and order-independent; the final decimal→double cast is
+  deterministic and identical in both engines.
+- Per-row double arithmetic (e.g. ``price * (1 - discount)``) is identical
+  IEEE in both engines — safe without tricks.
+- ``count``/``min``/``max`` are order-independent — safe as-is (sums of
+  integers are cast to BIGINT on the DuckDB side, where SUM(int) widens to
+  HUGEINT).
+- Window/top-k queries always order by a unique tiebreaker so the result
+  *set* is deterministic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    description: str = ""
+
+
+#: name -> QuerySpec; modules register into this at import time.
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str], description: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, description=description)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table, normalizing its nanosecond timestamps.
+
+    The driver's ``events.parquet`` stores ``ts`` as parquet
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects. We read it
+    as a long (``spark.sql.legacy.parquet.nanosAsLong`` — a runtime SQL
+    conf) and truncate to microseconds, which is exactly what DuckDB's
+    reader does, so both engines see identical timestamp values.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    # Import side-effect registration.
+    from cryoflow_spark.queries import relational  # noqa: F401
+
+    try:
+        from cryoflow_spark.queries import extensions  # noqa: F401
+    except ImportError:
+        pass
+    return dict(REGISTRY)

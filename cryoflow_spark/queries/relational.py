@@ -1,0 +1,749 @@
+"""Relational operator coverage queries (SURVEY.md §2B vocabulary).
+
+Each query exercises one operator family from the reference's documented
+capability surface (docs/plugin_development.md §12.3 — select/filter/
+with_columns/group_by/join/sort/str/dt/when-then/concat/unique...) expressed
+Spark-first, with a DuckDB oracle. Scale notes are inline: broadcasts for
+dimension tables, decimal accumulators for float determinism (see package
+docstring), unique tiebreakers for top-k determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cryoflow_spark.queries import load, load_events, register
+
+# --- determinism helpers -------------------------------------------------
+#
+# Scale choice matters for bit-equality: we pick the smallest decimal scale
+# that exactly represents the data (money columns have 2 decimals; products
+# with discount 4; with tax 6). Keeping ``sum * 10^scale`` under 2^53 makes
+# the final decimal→double cast a single exact-int conversion + one
+# rounding in BOTH engines, avoiding DuckDB's double-rounding at high
+# scales (observed: scale-10 sums differ from Spark by 1 ulp).
+
+
+def dsum(expr, alias: str, scale: int = 2):
+    """Order-independent SUM over doubles: exact decimal accumulator."""
+    return F.sum(expr.cast(f"decimal(38,{scale})")).cast("double").alias(alias)
+
+
+def davg(expr, alias: str, scale: int = 2):
+    """Order-independent AVG: exact decimal sum, then one double division."""
+    return (
+        F.sum(expr.cast(f"decimal(38,{scale})")).cast("double") / F.count(expr)
+    ).alias(alias)
+
+
+def SQL_DSUM(sql_expr: str, alias: str, scale: int = 2) -> str:
+    return (
+        f"CAST(SUM(CAST({sql_expr} AS DECIMAL(38,{scale}))) AS DOUBLE) AS {alias}"
+    )
+
+
+def SQL_DAVG(sql_expr: str, alias: str, scale: int = 2) -> str:
+    return (
+        f"CAST(SUM(CAST({sql_expr} AS DECIMAL(38,{scale}))) AS DOUBLE)"
+        f" / COUNT({sql_expr}) AS {alias}"
+    )
+
+
+# --- q01: filter + groupBy multi-agg + sort (TPC-H Q1 shape) -------------
+
+
+@register(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {SQL_DSUM('l_quantity', 'sum_qty')},
+           {SQL_DSUM('l_extendedprice', 'sum_base_price')},
+           {SQL_DSUM('l_extendedprice * (1 - l_discount)', 'sum_disc_price', 4)},
+           {SQL_DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge', 6)},
+           {SQL_DAVG('l_quantity', 'avg_qty')},
+           {SQL_DAVG('l_extendedprice', 'avg_price')},
+           {SQL_DAVG('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "Pricing summary report: scan→filter→hash-agg (map-side partial) over 2 keys",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP '2000-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price", 4),
+            dsum(charge, "sum_charge", 6),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- q02: filter + projection with computed column -----------------------
+
+
+@register(
+    "q02_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_quantity
+    FROM lineitem
+    WHERE l_quantity < 5 AND l_discount >= 0.05
+    """,
+    "Selective filter + per-row computed projection (pushdown-friendly)",
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter((F.col("l_quantity") < 5) & (F.col("l_discount") >= 0.05))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            "l_quantity",
+        )
+    )
+
+
+# --- q03: 3-way join + agg + top-k (TPC-H Q3 shape) ----------------------
+
+
+@register(
+    "q03_top_orders",
+    f"""
+    SELECT l.l_orderkey,
+           {SQL_DSUM('l.l_extendedprice * (1 - l.l_discount)', 'revenue', 4)},
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "customer⋈orders⋈lineitem, agg, deterministic top-10 (shuffle on join keys; AQE picks broadcast for the filtered customer side)",
+)
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("TIMESTAMP '1998-03-15 00:00:00'")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("TIMESTAMP '1998-03-15 00:00:00'")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --- q04: semi-join (EXISTS) ---------------------------------------------
+
+
+@register(
+    "q04_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+    "left-semi join (EXISTS) + agg",
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    shipped_late = l.join(
+        o.select("o_orderkey", "o_orderdate"),
+        l.l_orderkey == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate")).select("l_orderkey").distinct()
+    return (
+        o.join(shipped_late, o.o_orderkey == shipped_late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --- q05: 6-way join with broadcast dims (TPC-H Q5 shape) ----------------
+
+
+@register(
+    "q05_local_supplier_volume",
+    f"""
+    SELECT n.n_name,
+           {SQL_DSUM('l.l_extendedprice * (1 - l.l_discount)', 'revenue', 4)}
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    "6-way join: explicit broadcast(region,nation), fact-to-fact shuffle join on keys",
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    # region/nation are tiny at every scale factor → broadcast explicitly;
+    # orders⋈lineitem is the big shuffle, co-partitioned on orderkey.
+    return (
+        F.broadcast(r)
+        .join(F.broadcast(n), n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4))
+    )
+
+
+# --- q06: selective scan agg (TPC-H Q6 shape) ----------------------------
+
+
+@register(
+    "q06_forecast_revenue",
+    f"""
+    SELECT {SQL_DSUM('l_extendedprice * l_discount', 'revenue', 4)},
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    "Pure scan-filter-agg: all predicates pushed to the parquet reader",
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue", 4),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- q07: conditional expression (when/then/otherwise) -------------------
+
+
+@register(
+    "q07_price_buckets",
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY bucket
+    """,
+    "when/then/otherwise bucketing + min/max agg",
+)
+def q07_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+# --- q08: deterministic top-k sort ---------------------------------------
+
+
+@register(
+    "q08_topk_lineitems",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+    "Top-k: Spark plans TakeOrderedAndProject (per-partition heap + driver merge), no full sort",
+)
+def q08_topk_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+# --- q09: distinct -------------------------------------------------------
+
+
+@register(
+    "q09_distinct_segments",
+    """
+    SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    """,
+    "distinct (shuffle dedup on composite key)",
+)
+def q09_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# --- q10: union ----------------------------------------------------------
+
+
+@register(
+    "q10_union_order_classes",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(src) AS BIGINT) AS n_urgent
+    FROM (
+      SELECT o_orderstatus, 0 AS src FROM orders WHERE o_totalprice > 300000
+      UNION ALL
+      SELECT o_orderstatus, 1 AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY o_orderstatus
+    """,
+    "unionByName of two filtered branches + agg",
+)
+def q10_union_order_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 300000).select(
+        "o_orderstatus", F.lit(0).alias("src")
+    )
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderstatus", F.lit(1).alias("src")
+    )
+    return (
+        a.unionByName(b)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("src").cast("bigint").alias("n_urgent"),
+        )
+    )
+
+
+# --- q11: intersect ------------------------------------------------------
+
+
+@register(
+    "q11_intersect_customers",
+    """
+    SELECT c_custkey FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT c_custkey FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+    """,
+    "INTERSECT set op",
+)
+def q11_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    open_cust = o.filter(F.col("o_orderstatus") == "O").join(
+        c, o.o_custkey == c.c_custkey
+    ).select("c_custkey")
+    done_cust = o.filter(F.col("o_orderstatus") == "F").join(
+        c, o.o_custkey == c.c_custkey
+    ).select("c_custkey")
+    return open_cust.intersect(done_cust)
+
+
+# --- q12: except / anti --------------------------------------------------
+
+
+@register(
+    "q12_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "left-anti join (NOT IN)",
+)
+def q12_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- q13: window rank ----------------------------------------------------
+
+
+@register(
+    "q13_top_orders_per_customer",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(RANK() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+    "Window rank per key: single shuffle on partition key, sort within partition",
+)
+def q13_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# --- q14: window lag/lead over event stream ------------------------------
+
+
+@register(
+    "q14_event_deltas",
+    """
+    SELECT event_id, user_id, value,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS delta,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_type
+    FROM events
+    """,
+    "lag/lead windows with unique tiebreaker (ts, event_id)",
+)
+def q14_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+# --- q15: string functions -----------------------------------------------
+
+
+@register(
+    "q15_string_ops",
+    """
+    SELECT UPPER(p_brand) AS brand_upper,
+           SUBSTR(p_name, 1, 8) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           COUNT(*) AS n
+    FROM part
+    WHERE p_type LIKE '%ECONOMY%' OR CONTAINS(p_name, 'a')
+    GROUP BY brand_upper, name_prefix, name_len
+    """,
+    "upper/substr/length/like/contains string vocabulary",
+)
+def q15_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").like("%ECONOMY%") | F.col("p_name").contains("a"))
+        .select(
+            F.upper("p_brand").alias("brand_upper"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.length("p_name").alias("name_len"),
+        )
+        .groupBy("brand_upper", "name_prefix", "name_len")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- q16: date functions -------------------------------------------------
+
+
+@register(
+    "q16_orders_by_month",
+    """
+    SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
+           DATE_TRUNC('month', o_orderdate) AS month_start,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY yr, mo, month_start
+    """,
+    "year/month/date_trunc temporal vocabulary + agg",
+)
+def q16_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            "o_totalprice",
+        )
+        .groupBy("yr", "mo", "month_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total"),
+        )
+    )
+
+
+# --- q17: cast -----------------------------------------------------------
+
+
+@register(
+    "q17_cast_quantity_histogram",
+    """
+    SELECT CAST(l_quantity AS INTEGER) AS qty, COUNT(*) AS n
+    FROM lineitem GROUP BY qty
+    """,
+    "cast double→int + histogram",
+)
+def q17_cast_quantity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.select(F.col("l_quantity").cast("int").alias("qty"))
+        .groupBy("qty")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- q18: left join + coalesce null handling -----------------------------
+
+
+@register(
+    "q18_customer_order_stats",
+    """
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 0.0)
+             AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    "left outer join + count-nonnull + coalesce",
+)
+def q18_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(38,2)")).cast("double"),
+                F.lit(0.0),
+            ).alias("total_spent"),
+        )
+    )
+
+
+# --- q19: right join -----------------------------------------------------
+
+
+@register(
+    "q19_right_join_nations",
+    """
+    SELECT n.n_name, COUNT(c.c_custkey) AS n_customers
+    FROM customer c RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    "right outer join keeps empty nations",
+)
+def q19_right_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+# --- q20: cross join -----------------------------------------------------
+
+
+@register(
+    "q20_region_nation_matrix",
+    """
+    SELECT r.r_name, n.n_name,
+           CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS is_home
+    FROM region r CROSS JOIN nation n
+    """,
+    "cross join of two broadcast-size dims",
+)
+def q20_region_nation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1)
+        .otherwise(0)
+        .alias("is_home"),
+    )
+
+
+# --- q21: stats agg (min/max/count distinct/stddev via exact sums) -------
+
+
+@register(
+    "q21_quantity_stats",
+    """
+    SELECT l_returnflag,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           SQRT(
+             (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                * CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1)
+           ) AS std_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "min/max/count-distinct/stddev — stddev via exact decimal moments so it is order-independent",
+)
+def q21_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    q6 = F.col("l_quantity").cast("decimal(18,6)")
+    sum_sq = F.sum(q6 * q6).cast("double")
+    sum_q = F.sum(q6).cast("double")
+    n = F.count(F.lit(1))
+    return l.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.sqrt((sum_sq - sum_q * sum_q / n) / (n - 1)).alias("std_qty"),
+    )
+
+
+# --- q22: rollup (extension beyond reference — SURVEY §2B 'absent') ------
+
+
+@register(
+    "q22_rollup_counts",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "ROLLUP hierarchical totals (engine extension; reference has none)",
+)
+def q22_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --- q23: JSON extraction from event props -------------------------------
+
+
+@register(
+    "q23_event_props_json",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(REGEXP_EXTRACT(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+    "regexp/JSON field extraction from string payloads",
+)
+def q23_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+# --- q24: date arithmetic ------------------------------------------------
+
+
+@register(
+    "q24_ship_delay",
+    """
+    SELECT o.o_orderpriority,
+           CAST(SUM(CAST(DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+                                   CAST(l.l_shipdate AS DATE)) AS BIGINT)) AS BIGINT)
+             AS total_delay_days,
+           COUNT(*) AS n
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    "datediff day arithmetic across a join",
+)
+def q24_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("bigint")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select("o_orderpriority", delay.alias("delay"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("delay").alias("total_delay_days"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -1,0 +1,111 @@
+"""Shared fixtures.
+
+Mirrors the reference's fixture strategy
+(cryoflow-core/tests/conftest.py:24-89, :201-210): dummy/failing plugin
+doubles and a canonical tiny frame {'a':[1,2,3], 'b':['x','y','z']}.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from cryoflow_spark.core.plugin import (  # noqa: E402
+    FrameData,
+    InputPlugin,
+    OutputPlugin,
+    SchemaData,
+    TransformPlugin,
+)
+from cryoflow_spark.core.result import Failure, Result, Success  # noqa: E402
+
+TESTDATA = Path("/root/testdata")
+SF_SMALL = TESTDATA / "sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark() -> SparkSession:
+    from cryoflow_spark.core.session import get_session
+
+    session = get_session(
+        app_name="cryoflow-spark-tests",
+        master="local[4]",
+        conf={"spark.sql.shuffle.partitions": "4"},
+    )
+    yield session
+
+
+@pytest.fixture()
+def tiny_df(spark):
+    """Canonical tiny frame (reference conftest.py:201-210)."""
+    return spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "a long, b string")
+
+
+class DummyInputPlugin(InputPlugin):
+    """Returns the canonical tiny frame (reference conftest.py:30-34)."""
+
+    def execute(self) -> Result[FrameData]:
+        spark = self._require_session()
+        return Success(
+            spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "a long, b string")
+        )
+
+    def dry_run(self) -> Result[SchemaData]:
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        return Success(
+            StructType([StructField("a", LongType()), StructField("b", StringType())])
+        )
+
+
+class PassthroughTransformPlugin(TransformPlugin):
+    def execute(self, data: FrameData) -> Result[FrameData]:
+        return Success(data)
+
+    def dry_run(self, schema: SchemaData) -> Result[SchemaData]:
+        return Success(schema)
+
+
+class FailingTransformPlugin(TransformPlugin):
+    """Always fails (reference conftest.py failing double)."""
+
+    def execute(self, data: FrameData) -> Result[FrameData]:
+        return Failure(RuntimeError("transform failed on purpose"))
+
+    def dry_run(self, schema: SchemaData) -> Result[SchemaData]:
+        return Failure(RuntimeError("dry_run failed on purpose"))
+
+
+class CollectOutputPlugin(OutputPlugin):
+    """Materializes rows into ``self.rows`` for assertions."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.rows = None
+        self.seen_schema = None
+
+    def execute(self, data: FrameData) -> Result[None]:
+        self.rows = [tuple(r) for r in data.collect()]
+        return Success(None)
+
+    def dry_run(self, schema: SchemaData) -> Result[None]:
+        self.seen_schema = schema
+        return Success(None)
+
+
+@pytest.fixture()
+def dummy_input():
+    return DummyInputPlugin()
+
+
+@pytest.fixture()
+def collect_output():
+    return CollectOutputPlugin()

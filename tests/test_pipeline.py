@@ -1,0 +1,142 @@
+"""Pipeline orchestration tests.
+
+Mirrors reference tests: transform chaining / halt-on-failure
+(test_execute_transform_chain.py), label routing incl. missing-label
+Failure (test_label_routing.py:23-44), dry-run pipeline
+(test_run_dry_run_pipeline.py), schema extraction (test_extract_schema.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import LongType
+
+from cryoflow_spark.core.pipeline import (
+    execute_dry_run_chain,
+    execute_transform_chain,
+    extract_schema,
+    run_dry_run_pipeline,
+    run_pipeline,
+)
+from cryoflow_spark.core.result import Success, is_successful
+from cryoflow_spark.plugins.transform.multiplier import ColumnMultiplierPlugin
+
+from tests.conftest import (
+    CollectOutputPlugin,
+    DummyInputPlugin,
+    FailingTransformPlugin,
+    PassthroughTransformPlugin,
+)
+
+
+def test_extract_schema_no_job(tiny_df):
+    result = extract_schema(tiny_df)
+    assert is_successful(result)
+    assert isinstance(result.unwrap()["a"].dataType, LongType)
+
+
+def test_transform_chain_composes(spark, tiny_df):
+    t1 = ColumnMultiplierPlugin({"column_name": "a", "multiplier": 2})
+    t2 = ColumnMultiplierPlugin({"column_name": "a", "multiplier": 3})
+    result = execute_transform_chain(Success(tiny_df), [t1, t2])
+    assert is_successful(result)
+    # e2e compose semantics: 10*2*3 (reference test_e2e_integration.py:98-104)
+    values = sorted(r["a"] for r in result.unwrap().collect())
+    assert values == [6, 12, 18]
+
+
+def test_transform_chain_halts_on_failure(tiny_df):
+    failing = FailingTransformPlugin()
+    after = ColumnMultiplierPlugin({"column_name": "a", "multiplier": 2})
+    result = execute_transform_chain(Success(tiny_df), [failing, after])
+    assert not is_successful(result)
+    assert "on purpose" in str(result.failure())
+
+
+def test_run_pipeline_end_to_end(spark):
+    inp = DummyInputPlugin()
+    mult = ColumnMultiplierPlugin({"column_name": "a", "multiplier": 2})
+    out = CollectOutputPlugin()
+    result = run_pipeline([inp], [mult], [out], spark=spark)
+    assert is_successful(result)
+    assert sorted(out.rows) == [(2, "x"), (4, "y"), (6, "z")]
+
+
+def test_label_routing_missing_label(spark):
+    """Unknown transform label → Failure(KeyError) (test_label_routing.py:23-44)."""
+    inp = DummyInputPlugin()  # label 'default'
+    mult = ColumnMultiplierPlugin(
+        {"column_name": "a", "multiplier": 2}, label="nonexistent"
+    )
+    out = CollectOutputPlugin(label="nonexistent")
+    result = run_pipeline([inp], [mult], [out], spark=spark)
+    assert not is_successful(result)
+    assert isinstance(result.failure(), KeyError)
+    assert "nonexistent" in str(result.failure())
+
+
+def test_label_routing_independent_streams(spark):
+    a = DummyInputPlugin(label="left")
+    b = DummyInputPlugin(label="right")
+    mult = ColumnMultiplierPlugin({"column_name": "a", "multiplier": 10}, label="left")
+    out_left = CollectOutputPlugin(label="left")
+    out_right = CollectOutputPlugin(label="right")
+    result = run_pipeline([a, b], [mult], [out_left, out_right], spark=spark)
+    assert is_successful(result)
+    assert sorted(out_left.rows) == [(10, "x"), (20, "y"), (30, "z")]
+    assert sorted(out_right.rows) == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_output_fanout_same_frame(spark):
+    inp = DummyInputPlugin()
+    outs = [CollectOutputPlugin(), CollectOutputPlugin(), CollectOutputPlugin()]
+    result = run_pipeline([inp], [], outs, spark=spark)
+    assert is_successful(result)
+    for o in outs:
+        assert sorted(o.rows) == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_dry_run_chain_validates_types(spark):
+    inp = DummyInputPlugin()
+    schema = inp.dry_run()
+    ok = ColumnMultiplierPlugin({"column_name": "a", "multiplier": 2})
+    bad_col = ColumnMultiplierPlugin({"column_name": "zzz", "multiplier": 2})
+    bad_type = ColumnMultiplierPlugin({"column_name": "b", "multiplier": 2})
+
+    assert is_successful(execute_dry_run_chain(schema, [ok]))
+    res = execute_dry_run_chain(schema, [bad_col])
+    assert not is_successful(res) and "zzz" in str(res.failure())
+    res = execute_dry_run_chain(schema, [bad_type])
+    assert not is_successful(res) and "numeric" in str(res.failure())
+
+
+def test_run_dry_run_pipeline(spark):
+    inp = DummyInputPlugin()
+    mult = ColumnMultiplierPlugin({"column_name": "a", "multiplier": 2})
+    out = CollectOutputPlugin()
+    result = run_dry_run_pipeline([inp], [mult], [out], spark=spark)
+    assert is_successful(result)
+    schema_map = result.unwrap()
+    assert set(schema_map) == {"default"}
+    assert [f.name for f in schema_map["default"].unwrap().fields] == ["a", "b"]
+    assert out.seen_schema is not None  # output dry_run saw the final schema
+    assert out.rows is None  # no data materialized
+
+
+def test_dry_run_validates_all_labels(spark):
+    """Improvement over reference: non-default labels are validated too."""
+    inp = DummyInputPlugin(label="side")
+    bad = ColumnMultiplierPlugin({"column_name": "zzz", "multiplier": 2}, label="side")
+    result = run_dry_run_pipeline([inp], [bad], [], spark=spark)
+    assert not is_successful(result)
+
+
+def test_missing_option_failure_mentions_required(tiny_df):
+    plugin = ColumnMultiplierPlugin({})
+    result = plugin.execute(tiny_df)
+    assert not is_successful(result)
+    assert "required" in str(result.failure())
+
+
+def test_passthrough(spark, tiny_df):
+    result = execute_transform_chain(Success(tiny_df), [PassthroughTransformPlugin()])
+    assert is_successful(result)

@@ -1,0 +1,80 @@
+"""E2E slice over real testdata: scan → multiply → write → verify.
+
+Mirrors reference e2e test_e2e_integration.py:15-46 (Parquet → ×k →
+Parquet with golden compare), using the driver's sf0.001 lineitem table
+and a DuckDB cross-check.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import duckdb
+import pytest
+
+from cryoflow_spark.core.pipeline import run_pipeline
+from cryoflow_spark.core.result import is_successful
+from cryoflow_spark.plugins.input.parquet_scan import ParquetScanPlugin
+from cryoflow_spark.plugins.output.parquet_writer import ParquetWriterPlugin
+from cryoflow_spark.plugins.transform.multiplier import ColumnMultiplierPlugin
+
+SF_DIR = Path("/root/testdata/sf0.001")
+
+
+@pytest.mark.skipif(not SF_DIR.exists(), reason="driver testdata not present")
+def test_parquet_scan_multiply_write_roundtrip(spark, tmp_path):
+    out = tmp_path / "lineitem_x2"
+    result = run_pipeline(
+        [ParquetScanPlugin({"input_path": str(SF_DIR / "lineitem.parquet")})],
+        [ColumnMultiplierPlugin({"column_name": "l_quantity", "multiplier": 2})],
+        [ParquetWriterPlugin({"output_path": str(out)})],
+        spark=spark,
+    )
+    assert is_successful(result)
+
+    got = duckdb.sql(
+        f"SELECT sum(l_quantity) FROM parquet_scan('{out}/*.parquet')"
+    ).fetchone()[0]
+    want = duckdb.sql(
+        f"SELECT sum(l_quantity) * 2 FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert got == pytest.approx(want)
+
+
+@pytest.mark.skipif(not SF_DIR.exists(), reason="driver testdata not present")
+def test_single_file_output(spark, tmp_path):
+    out = tmp_path / "region.parquet"
+    result = run_pipeline(
+        [ParquetScanPlugin({"input_path": str(SF_DIR / "region.parquet")})],
+        [],
+        [ParquetWriterPlugin({"output_path": str(out), "single_file": True})],
+        spark=spark,
+    )
+    assert is_successful(result)
+    assert out.is_file()
+    assert duckdb.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0] == 5
+
+
+def test_parquet_scan_dry_run_schema(spark):
+    plugin = ParquetScanPlugin({"input_path": str(SF_DIR / "lineitem.parquet")})
+    plugin.attach_session(spark)
+    result = plugin.dry_run()
+    assert is_successful(result)
+    names = [f.name for f in result.unwrap().fields]
+    assert "l_quantity" in names and "l_returnflag" in names
+
+
+def test_parquet_scan_missing_option(spark):
+    plugin = ParquetScanPlugin({})
+    plugin.attach_session(spark)
+    result = plugin.execute()
+    assert not is_successful(result)
+    assert "required" in str(result.failure())
+
+
+def test_writer_dry_run_checks_writability(spark, tmp_path):
+    plugin = ParquetWriterPlugin({"output_path": str(tmp_path / "nested" / "o.parquet")})
+    from pyspark.sql.types import StructType
+
+    assert is_successful(plugin.dry_run(StructType([])))
+    assert (tmp_path / "nested").is_dir()

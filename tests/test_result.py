@@ -1,0 +1,72 @@
+"""Result monad unit tests (reference result.py:12-41 contract)."""
+
+from cryoflow_spark.core.result import (
+    Failure,
+    Success,
+    UnwrapFailedError,
+    bind_safe,
+    is_successful,
+    safe,
+)
+
+import pytest
+
+
+def test_success_bind_applies():
+    assert Success(2).bind(lambda x: Success(x * 3)).unwrap() == 6
+
+
+def test_failure_bind_short_circuits():
+    err = ValueError("boom")
+    result = Failure(err).bind(lambda x: Success(x * 3))
+    assert not is_successful(result)
+    assert result.failure() is err
+
+
+def test_map_on_success_and_failure():
+    assert Success(2).map(lambda x: x + 1).unwrap() == 3
+    err = ValueError("nope")
+    assert Failure(err).map(lambda x: x + 1).failure() is err
+
+
+def test_safe_catches():
+    @safe
+    def boom():
+        raise RuntimeError("kapow")
+
+    result = boom()
+    assert not is_successful(result)
+    assert "kapow" in str(result.failure())
+
+
+def test_safe_success():
+    @safe
+    def ok(x):
+        return x + 1
+
+    assert ok(1).unwrap() == 2
+
+
+def test_bind_safe_chains_plain_function():
+    assert bind_safe(Success(10), lambda x: x * 2).unwrap() == 20
+    result = bind_safe(Success(10), lambda x: x / 0)
+    assert not is_successful(result)
+    assert isinstance(result.failure(), ZeroDivisionError)
+
+
+def test_unwrap_failure_raises():
+    with pytest.raises(UnwrapFailedError):
+        Failure(ValueError("x")).unwrap()
+    with pytest.raises(UnwrapFailedError):
+        Success(1).failure()
+
+
+def test_value_or():
+    assert Success(5).value_or(0) == 5
+    assert Failure(ValueError()).value_or(0) == 0
+
+
+def test_lash():
+    recovered = Failure(ValueError("v")).lash(lambda e: Success("recovered"))
+    assert recovered.unwrap() == "recovered"
+    assert Success(1).lash(lambda e: Success(2)).unwrap() == 1

@@ -1,0 +1,131 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark and its DuckDB oracle at sf0.01,
+compares row count, column names, and exact values (columns sorted by
+name, rows sorted by all columns) — i.e. at least as strict as an
+order-insensitive value hash. Exits nonzero on any mismatch.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+    sortable = [c for c in df.columns if df[c].map(lambda v: isinstance(v, tuple)).sum() == 0]
+    df = df.sort_values(by=list(df.columns) if len(sortable) == len(df.columns) else sortable, kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_df) != len(duck_df):
+        problems.append(f"row count {len(spark_df)} vs {len(duck_df)}")
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        problems.append(
+            f"columns {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}"
+        )
+        return problems
+    if problems:
+        return problems
+    a, b = normalize(spark_df), normalize(duck_df)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            af = pd.to_numeric(a[c], errors="coerce").to_numpy(dtype=float)
+            bf = pd.to_numeric(b[c], errors="coerce").to_numpy(dtype=float)
+            exact = np.array_equal(af, bf, equal_nan=True)
+            if not exact:
+                close = np.allclose(af, bf, rtol=1e-12, atol=1e-12, equal_nan=True)
+                worst = np.nanmax(np.abs(af - bf)) if len(af) == len(bf) else float("inf")
+                problems.append(
+                    f"col {c}: float not bit-equal (close={close}, worst={worst:.3e})"
+                )
+        else:
+            if not a[c].equals(b[c]):
+                diff_idx = (a[c] != b[c]) & ~(a[c].isna() & b[c].isna())
+                n_bad = int(diff_idx.sum())
+                if n_bad:
+                    i = diff_idx.idxmax()
+                    problems.append(
+                        f"col {c}: {n_bad} mismatched values, first at row {i}: "
+                        f"{a[c][i]!r} vs {b[c][i]!r}"
+                    )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from cryoflow_spark.core.session import get_session
+    from cryoflow_spark.queries import all_queries
+
+    spark = get_session(app_name="correctness-check")
+    con = duck_connection(sf_dir)
+    registry = all_queries()
+
+    failed, skipped = [], []
+    for name, spec in sorted(registry.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL  {name}: spark raised {type(exc).__name__}: {exc}")
+            continue
+        if spec.oracle is None:
+            skipped.append(name)
+            print(f"rows  {name}: {len(sdf)} rows (no oracle — rows-only check)")
+            continue
+        try:
+            ddf = con.execute(spec.oracle).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL  {name}: duckdb raised {type(exc).__name__}: {exc}")
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            failed.append(name)
+            print(f"FAIL  {name}: " + "; ".join(problems))
+        else:
+            print(f"ok    {name}: {len(sdf)} rows bit-identical")
+
+    print(
+        f"\n{len(registry) - len(failed) - len(skipped)} ok, "
+        f"{len(skipped)} rows-only, {len(failed)} failed"
+    )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
