@@ -1,0 +1,182 @@
+"""CLI: ``cryoflow run`` / ``cryoflow check``.
+
+Parity with reference ``cryoflow_core/cli.py`` + ``commands/{run,check,utils}.py``
+(typer there, click here — same commands, options, messages, exit codes):
+
+- ``run -c/--config PATH -V/--verbose`` — load config, load plugins, run
+  the pipeline; ``[SUCCESS] Pipeline completed successfully`` or
+  ``[ERROR] Pipeline failed: ...`` + exit 1 (commands/run.py:14-67)
+- ``check`` — dry-run validation, prints the predicted output schema as
+  ``col: dtype`` lines (commands/check.py:14-63)
+- ``-v/--version`` prints the version (commands/utils.py:22-38)
+
+Spark addition: ``run`` builds the SparkSession from the config's
+``[spark]`` section before executing; ``check`` also needs one (schema
+probing uses Spark's analyzer) but never runs a job.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from pathlib import Path
+from typing import Optional
+
+import click
+
+from cryoflow_spark import __version__
+
+
+def setup_logging(verbose: bool = False) -> None:
+    level = logging.DEBUG if verbose else logging.INFO
+    logging.basicConfig(format="%(levelname)s: %(message)s", level=level)
+
+
+@click.group(invoke_without_command=True)
+@click.option("-v", "--version", "show_version", is_flag=True, help="Show version and exit.")
+@click.pass_context
+def main(ctx: click.Context, show_version: bool) -> None:
+    """cryoflow: Plugin-driven columnar data processing CLI (PySpark engine)."""
+    if show_version:
+        click.echo(f"cryoflow-spark version {__version__}")
+        ctx.exit(0)
+    if ctx.invoked_subcommand is None:
+        click.echo(ctx.get_help())
+        ctx.exit(0)
+
+
+def _load(config: Optional[Path]):
+    """Shared config+plugin loading; exits 1 on failure like the reference."""
+    from cryoflow_spark.core.config import get_config_path, load_config
+    from cryoflow_spark.core.loader import PluginLoadError, load_plugins
+
+    config_path = get_config_path(config)
+    config_result = load_config(config_path)
+    if not config_result.is_success:
+        click.echo(str(config_result.failure()), err=True)
+        sys.exit(1)
+    cfg = config_result.unwrap()
+
+    try:
+        pm = load_plugins(cfg, config_path)
+    except PluginLoadError as exc:
+        click.echo(str(exc), err=True)
+        sys.exit(1)
+    return cfg, config_path, pm
+
+
+def _typed_plugins(pm):
+    from cryoflow_spark.core.loader import get_plugins
+    from cryoflow_spark.core.plugin import InputPlugin, OutputPlugin, TransformPlugin
+
+    inputs = get_plugins(pm, InputPlugin)
+    transforms = get_plugins(pm, TransformPlugin)
+    outputs = get_plugins(pm, OutputPlugin)
+    if len(inputs) == 0:
+        click.echo("[ERROR] No input plugin configured", err=True)
+        sys.exit(1)
+    if len(outputs) == 0:
+        click.echo("[ERROR] No output plugin configured", err=True)
+        sys.exit(1)
+    return inputs, transforms, outputs
+
+
+def _build_session(cfg):
+    from cryoflow_spark.core.session import get_session
+
+    return get_session(
+        app_name=cfg.spark.app_name, master=cfg.spark.master, conf=cfg.spark.conf
+    )
+
+
+@main.command()
+@click.option(
+    "-c",
+    "--config",
+    type=click.Path(exists=True, dir_okay=False, path_type=Path, resolve_path=True),
+    default=None,
+    help="Path to config file.",
+)
+@click.option("-V", "--verbose", is_flag=True, help="Enable verbose output.")
+def run(config: Optional[Path], verbose: bool) -> None:
+    """Run the data processing pipeline."""
+    setup_logging(verbose)
+    cfg, config_path, pm = _load(config)
+
+    click.echo(f"Config loaded: {config_path}")
+    for title, plugins in (
+        ("input_plugins", cfg.input_plugins),
+        ("transform_plugins", cfg.transform_plugins),
+        ("output_plugins", cfg.output_plugins),
+    ):
+        click.echo(f"  {title}: {len(plugins)} plugin(s)")
+        for p in plugins:
+            status = "enabled" if p.enabled else "disabled"
+            click.echo(f"    - {p.name} [{p.label}] ({p.module}) [{status}]")
+
+    enabled = sum(
+        1
+        for p in cfg.input_plugins + cfg.transform_plugins + cfg.output_plugins
+        if p.enabled
+    )
+    click.echo(f"Loaded {enabled} plugin(s) successfully.")
+
+    inputs, transforms, outputs = _typed_plugins(pm)
+
+    from cryoflow_spark.core.pipeline import run_pipeline
+
+    click.echo("\nExecuting pipeline...")
+    spark = _build_session(cfg)
+    result = run_pipeline(inputs, transforms, outputs, spark=spark)
+
+    if not result.is_success:
+        click.echo(f"[ERROR] Pipeline failed: {result.failure()}", err=True)
+        sys.exit(1)
+    click.echo("[SUCCESS] Pipeline completed successfully")
+
+
+@main.command()
+@click.option(
+    "-c",
+    "--config",
+    type=click.Path(exists=True, dir_okay=False, path_type=Path, resolve_path=True),
+    default=None,
+    help="Path to config file.",
+)
+@click.option("-V", "--verbose", is_flag=True, help="Enable verbose output.")
+def check(config: Optional[Path], verbose: bool) -> None:
+    """Validate pipeline configuration and schema without processing data."""
+    setup_logging(verbose)
+    cfg, config_path, pm = _load(config)
+
+    click.echo(f"[CHECK] Config loaded: {config_path}")
+    enabled = sum(
+        1
+        for p in cfg.input_plugins + cfg.transform_plugins + cfg.output_plugins
+        if p.enabled
+    )
+    click.echo(f"[CHECK] Loaded {enabled} plugin(s) successfully.")
+
+    inputs, transforms, outputs = _typed_plugins(pm)
+
+    from cryoflow_spark.core.pipeline import run_dry_run_pipeline
+
+    click.echo("\n[CHECK] Running dry-run validation...")
+    spark = _build_session(cfg)
+    result = run_dry_run_pipeline(inputs, transforms, outputs, spark=spark)
+
+    if not result.is_success:
+        click.echo(f"[ERROR] Validation failed: {result.failure()}", err=True)
+        sys.exit(1)
+
+    schema_map = result.unwrap()
+    click.echo("\n[SUCCESS] Validation completed successfully")
+    for label, schema_result in sorted(schema_map.items()):
+        schema = schema_result.unwrap()
+        click.echo(f"\nOutput schema [{label}]:")
+        for field in schema.fields:
+            click.echo(f"  {field.name}: {field.dataType.simpleString()}")
+
+
+if __name__ == "__main__":
+    main()

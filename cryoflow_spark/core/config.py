@@ -1,0 +1,96 @@
+"""Configuration models and TOML loader.
+
+Parity with reference ``cryoflow_core/config.py``:
+
+- ``PluginConfig {name, module, enabled=True, label='default', options={}}``
+  (config.py:14-22)
+- ``CryoflowConfig {input_plugins, transform_plugins, output_plugins}``
+  (config.py:24-29)
+- XDG default config path (config.py:46-54)
+- Result-chained load: exists-check → read bytes → TOML parse → Pydantic
+  validation, each failure mapped to ``ConfigLoadError`` with the
+  reference's message prefixes (config.py:102-126)
+
+Extension: an optional ``[spark]`` section configures the SparkSession
+(master, app_name, arbitrary ``conf`` keys) — the reference had no runtime
+to configure; we do.
+"""
+
+from __future__ import annotations
+
+import os
+import tomllib
+from pathlib import Path
+from typing import Any, Optional
+
+from pydantic import BaseModel, Field
+
+from cryoflow_spark.core.result import Failure, Result, Success
+
+
+class PluginConfig(BaseModel):
+    """Configuration for a single plugin."""
+
+    name: str
+    module: str
+    enabled: bool = True
+    label: str = "default"
+    options: dict[str, Any] = Field(default_factory=dict)
+
+
+class SparkConfig(BaseModel):
+    """Spark runtime configuration (engine extension)."""
+
+    master: Optional[str] = None
+    app_name: str = "cryoflow-spark"
+    conf: dict[str, str] = Field(default_factory=dict)
+
+
+class CryoflowConfig(BaseModel):
+    """Top-level configuration."""
+
+    input_plugins: list[PluginConfig]
+    transform_plugins: list[PluginConfig]
+    output_plugins: list[PluginConfig]
+    spark: SparkConfig = Field(default_factory=SparkConfig)
+
+
+class ConfigLoadError(Exception):
+    """Raised when configuration loading fails."""
+
+
+def get_config_path(path: Optional[Path]) -> Path:
+    """Explicit path, or ``$XDG_CONFIG_HOME/cryoflow/config.toml``.
+
+    Reference config.py:46-54. XDG default: ``~/.config`` when the env
+    var is unset (per the XDG basedir spec).
+    """
+    if path is not None:
+        return Path(path)
+    xdg = os.environ.get("XDG_CONFIG_HOME")
+    base = Path(xdg) if xdg else Path.home() / ".config"
+    return base / "cryoflow" / "config.toml"
+
+
+def load_config(config_path: Path) -> Result[CryoflowConfig]:
+    """Load and validate a TOML configuration file.
+
+    Every failure mode maps to ``ConfigLoadError`` with the reference's
+    message prefixes (config.py:102-126): not-found / read / parse /
+    validation.
+    """
+    config_path = Path(config_path)
+    if not config_path.exists():
+        return Failure(ConfigLoadError(f"Config file not found: {config_path}"))
+    try:
+        raw = config_path.read_bytes()
+    except OSError as exc:
+        return Failure(ConfigLoadError(f"Failed to read config file: {exc}"))
+    try:
+        data = tomllib.loads(raw.decode())
+    except (tomllib.TOMLDecodeError, UnicodeDecodeError) as exc:
+        return Failure(ConfigLoadError(f"Failed to parse TOML config: {exc}"))
+    try:
+        return Success(CryoflowConfig(**data))
+    except Exception as exc:  # noqa: BLE001 — pydantic raises ValidationError
+        return Failure(ConfigLoadError(f"Config validation failed: {exc}"))

@@ -1,0 +1,28 @@
+"""Pluggy hook specifications (reference ``cryoflow_core/hookspecs.py:11-25``)."""
+
+from __future__ import annotations
+
+import pluggy
+
+from cryoflow_spark.core.plugin import InputPlugin, OutputPlugin, TransformPlugin
+
+PROJECT = "cryoflow_spark"
+
+hookspec = pluggy.HookspecMarker(PROJECT)
+hookimpl = pluggy.HookimplMarker(PROJECT)
+
+
+class CryoflowSpecs:
+    """Hook specifications for the plugin system."""
+
+    @hookspec
+    def register_input_plugins(self) -> list[InputPlugin]:  # type: ignore[empty-body]
+        """Return a list of input plugin instances."""
+
+    @hookspec
+    def register_transform_plugins(self) -> list[TransformPlugin]:  # type: ignore[empty-body]
+        """Return a list of transform plugin instances."""
+
+    @hookspec
+    def register_output_plugins(self) -> list[OutputPlugin]:  # type: ignore[empty-body]
+        """Return a list of output plugin instances."""

@@ -1,0 +1,254 @@
+"""Plugin loader: importlib + pluggy discovery and registration.
+
+Parity with reference ``cryoflow_core/loader.py``:
+
+- filesystem-path vs dotted-module detection: a module string containing
+  ``/`` or ``\\``, ending in ``.py``, or starting with ``.`` is a path
+  (loader.py:21-23)
+- path resolution against the config dir, must exist (loader.py:26-41)
+- module loading from path (spec_from_file_location under a
+  ``cryoflow_plugin_<name>`` module name) or dotted import
+  (loader.py:44-73)
+- BasePlugin-subclass discovery via ``vars(module)``, skipping the ABCs
+  and abstract classes; empty discovery is an error (loader.py:76-93)
+- instantiation with ``(options, config_dir, label)`` (loader.py:96-121)
+- pluggy relay registration + typed retrieval (loader.py:124-270)
+
+Extension: built-in plugins can be referenced by short name (e.g.
+``module = "parquet_scan"``) — resolved through ``BUILTIN_MODULES``
+before dotted-import, so configs don't need full package paths.
+"""
+
+from __future__ import annotations
+
+import importlib
+import importlib.util
+import inspect
+import sys
+from pathlib import Path
+from typing import Any, Optional, TypeVar
+
+import pluggy
+
+from cryoflow_spark.core.config import CryoflowConfig, PluginConfig
+from cryoflow_spark.core.hookspecs import PROJECT, CryoflowSpecs, hookimpl
+from cryoflow_spark.core.plugin import (
+    BasePlugin,
+    InputPlugin,
+    OutputPlugin,
+    TransformPlugin,
+)
+
+
+class PluginLoadError(Exception):
+    """Raised when plugin loading fails."""
+
+
+#: Short names for the built-in plugin collection (engine extension).
+BUILTIN_MODULES: dict[str, str] = {
+    # input
+    "parquet_scan": "cryoflow_spark.plugins.input.parquet_scan",
+    "csv_scan": "cryoflow_spark.plugins.input.csv_scan",
+    "ipc_scan": "cryoflow_spark.plugins.input.ipc_scan",
+    "json_scan": "cryoflow_spark.plugins.input.json_scan",
+    "table_scan": "cryoflow_spark.plugins.input.table_scan",
+    "rate_stream": "cryoflow_spark.streaming.rate_stream",
+    "file_stream": "cryoflow_spark.streaming.file_stream",
+    # transform
+    "column_multiplier": "cryoflow_spark.plugins.transform.multiplier",
+    "filter": "cryoflow_spark.plugins.transform.filter",
+    "select": "cryoflow_spark.plugins.transform.select",
+    "with_column": "cryoflow_spark.plugins.transform.with_column",
+    "cast": "cryoflow_spark.plugins.transform.cast",
+    "group_agg": "cryoflow_spark.plugins.transform.group_agg",
+    "join": "cryoflow_spark.plugins.transform.join",
+    "sort": "cryoflow_spark.plugins.transform.sort",
+    "limit": "cryoflow_spark.plugins.transform.limit",
+    "distinct": "cryoflow_spark.plugins.transform.distinct",
+    "set_op": "cryoflow_spark.plugins.transform.set_op",
+    "window": "cryoflow_spark.plugins.transform.window",
+    "sql": "cryoflow_spark.plugins.transform.sql",
+    "dedup": "cryoflow_spark.plugins.transform.dedup",
+    "repartition": "cryoflow_spark.plugins.transform.repartition",
+    # output
+    "parquet_writer": "cryoflow_spark.plugins.output.parquet_writer",
+    "csv_writer": "cryoflow_spark.plugins.output.csv_writer",
+    "json_writer": "cryoflow_spark.plugins.output.json_writer",
+    "ipc_writer": "cryoflow_spark.plugins.output.ipc_writer",
+    "console": "cryoflow_spark.plugins.output.console",
+    "stream_writer": "cryoflow_spark.streaming.stream_writer",
+}
+
+
+def _is_filesystem_path(module_str: str) -> bool:
+    """Path-vs-dotted-module detection (reference loader.py:21-23)."""
+    return (
+        "/" in module_str
+        or "\\" in module_str
+        or module_str.endswith(".py")
+        or module_str.startswith(".")
+    )
+
+
+def _resolve_module_path(module_str: str, config_dir: Path) -> Path:
+    path = Path(module_str)
+    if not path.is_absolute():
+        path = config_dir / path
+    resolved = path.resolve()
+    if not resolved.exists():
+        raise PluginLoadError(f"Plugin file does not exist: {resolved}")
+    return resolved
+
+
+def _load_module_from_path(name: str, path: Path) -> Any:
+    module_name = f"cryoflow_plugin_{name}"
+    spec = importlib.util.spec_from_file_location(module_name, path)
+    if spec is None or spec.loader is None:
+        raise PluginLoadError(
+            f"Plugin '{name}': failed to create module spec from {path}"
+        )
+    module = importlib.util.module_from_spec(spec)
+    sys.modules[module_name] = module
+    try:
+        spec.loader.exec_module(module)
+    except Exception as exc:  # noqa: BLE001
+        del sys.modules[module_name]
+        raise PluginLoadError(
+            f"Plugin '{name}': failed to execute module: {exc}"
+        ) from exc
+    return module
+
+
+def _load_module_from_dotpath(name: str, module_path: str) -> Any:
+    dotted = BUILTIN_MODULES.get(module_path, module_path)
+    try:
+        return importlib.import_module(dotted)
+    except ImportError as exc:
+        raise PluginLoadError(
+            f"Plugin '{name}': module '{module_path}' not found"
+        ) from exc
+
+
+def _discover_plugin_classes(name: str, module: Any) -> list[type[BasePlugin]]:
+    abcs = (BasePlugin, InputPlugin, TransformPlugin, OutputPlugin)
+    classes = [
+        obj
+        for obj in vars(module).values()
+        if inspect.isclass(obj)
+        and issubclass(obj, BasePlugin)
+        and obj not in abcs
+        and not inspect.isabstract(obj)
+    ]
+    if not classes:
+        raise PluginLoadError(
+            f"Plugin '{name}': no BasePlugin subclasses found in module"
+        )
+    return classes
+
+
+def _instantiate_plugins(
+    name: str,
+    classes: list[type[BasePlugin]],
+    options: dict[str, Any],
+    config_dir: Path,
+    label: str = "default",
+) -> list[BasePlugin]:
+    instances: list[BasePlugin] = []
+    for cls in classes:
+        try:
+            instances.append(cls(options, config_dir, label))
+        except Exception as exc:  # noqa: BLE001
+            raise PluginLoadError(
+                f"Plugin '{name}': failed to instantiate {cls.__name__}: {exc}"
+            ) from exc
+    return instances
+
+
+class _PluginHookRelay:
+    """Exposes loaded plugin instances through pluggy hooks."""
+
+    def __init__(self, inputs, transforms, outputs) -> None:
+        self._inputs = inputs
+        self._transforms = transforms
+        self._outputs = outputs
+
+    @hookimpl
+    def register_input_plugins(self) -> list[InputPlugin]:
+        return self._inputs
+
+    @hookimpl
+    def register_transform_plugins(self) -> list[TransformPlugin]:
+        return self._transforms
+
+    @hookimpl
+    def register_output_plugins(self) -> list[OutputPlugin]:
+        return self._outputs
+
+
+def _load_single_plugin(cfg: PluginConfig, config_dir: Path) -> list[BasePlugin]:
+    if _is_filesystem_path(cfg.module):
+        module = _load_module_from_path(
+            cfg.name, _resolve_module_path(cfg.module, config_dir)
+        )
+    else:
+        module = _load_module_from_dotpath(cfg.name, cfg.module)
+    classes = _discover_plugin_classes(cfg.name, module)
+    return _instantiate_plugins(cfg.name, classes, cfg.options, config_dir, cfg.label)
+
+
+def load_plugins(
+    config: CryoflowConfig,
+    config_path: Path,
+    pm: Optional[pluggy.PluginManager] = None,
+) -> pluggy.PluginManager:
+    """Load all enabled plugins and register them with pluggy.
+
+    Reference loader.py:173-231: per enabled entry, load module →
+    discover classes → instantiate → register a relay exposing the typed
+    lists.
+    """
+    if pm is None:
+        pm = pluggy.PluginManager(PROJECT)
+        pm.add_hookspecs(CryoflowSpecs)
+
+    config_dir = Path(config_path).parent.resolve()
+
+    buckets: dict[type, list] = {InputPlugin: [], TransformPlugin: [], OutputPlugin: []}
+    for entries, wanted in (
+        (config.input_plugins, InputPlugin),
+        (config.transform_plugins, TransformPlugin),
+        (config.output_plugins, OutputPlugin),
+    ):
+        for cfg in entries:
+            if not cfg.enabled:
+                continue
+            for inst in _load_single_plugin(cfg, config_dir):
+                if isinstance(inst, wanted):
+                    buckets[wanted].append(inst)
+
+    relay = _PluginHookRelay(
+        buckets[InputPlugin], buckets[TransformPlugin], buckets[OutputPlugin]
+    )
+    pm.register(relay, name="cryoflow_plugin_relay")
+    return pm
+
+
+T = TypeVar("T", bound=BasePlugin)
+
+_PLUGIN_TYPE_HOOKS: dict[type[BasePlugin], str] = {
+    InputPlugin: "register_input_plugins",
+    TransformPlugin: "register_transform_plugins",
+    OutputPlugin: "register_output_plugins",
+}
+
+
+def get_plugins(pm: pluggy.PluginManager, plugin_type: type[T]) -> list[T]:
+    """Retrieve registered plugin instances of a given role
+    (reference loader.py:244-270)."""
+    hook_name = _PLUGIN_TYPE_HOOKS.get(plugin_type)
+    if hook_name is None:
+        raise ValueError(f"Unsupported plugin type: {plugin_type}")
+    results: list[T] = []
+    for plugin_list in getattr(pm.hook, hook_name)():
+        results.extend(plugin_list)
+    return results

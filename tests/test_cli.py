@@ -1,0 +1,157 @@
+"""CLI tests (reference tests/cli/ contract: exit codes + messages)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from click.testing import CliRunner
+
+from cryoflow_spark.core.cli import main
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def runner():
+    return CliRunner()
+
+
+def _write_config(tmp_path, out_name="out", extra=""):
+    cfg = tmp_path / "config.toml"
+    cfg.write_text(
+        f"""
+[[input_plugins]]
+name = "scan"
+module = "parquet_scan"
+options = {{ input_path = "{SF}/region.parquet" }}
+
+[[transform_plugins]]
+name = "mult"
+module = "column_multiplier"
+options = {{ column_name = "r_regionkey", multiplier = 10 }}
+
+[[output_plugins]]
+name = "write"
+module = "parquet_writer"
+options = {{ output_path = "{out_name}" }}
+{extra}
+
+[spark]
+master = "local[2]"
+conf = {{ "spark.sql.shuffle.partitions" = "2" }}
+"""
+    )
+    return cfg
+
+
+def test_version(runner):
+    result = runner.invoke(main, ["--version"])
+    assert result.exit_code == 0
+    assert "version" in result.output
+
+
+def test_help_when_no_subcommand(runner):
+    result = runner.invoke(main, [])
+    assert result.exit_code == 0
+    assert "run" in result.output and "check" in result.output
+
+
+def test_run_end_to_end(runner, tmp_path, spark):
+    cfg = _write_config(tmp_path)
+    result = runner.invoke(main, ["run", "-c", str(cfg)])
+    assert result.exit_code == 0, result.output
+    assert "[SUCCESS] Pipeline completed successfully" in result.output
+    got = duckdb.sql(
+        f"SELECT sum(r_regionkey) FROM '{tmp_path}/out/*.parquet'"
+    ).fetchone()[0]
+    assert got == 100  # (0+1+2+3+4)*10
+
+
+def test_run_missing_config(runner):
+    result = runner.invoke(main, ["run", "-c", "/nope/absent.toml"])
+    assert result.exit_code != 0
+
+
+def test_check_prints_schema(runner, tmp_path, spark):
+    cfg = _write_config(tmp_path)
+    result = runner.invoke(main, ["check", "-c", str(cfg)])
+    assert result.exit_code == 0, result.output
+    assert "[SUCCESS] Validation completed successfully" in result.output
+    assert "r_regionkey: int" in result.output
+    # dry run must not write data
+    assert not (tmp_path / "out").exists()
+
+
+def test_check_catches_bad_column(runner, tmp_path, spark):
+    cfg = tmp_path / "config.toml"
+    cfg.write_text(
+        f"""
+[[input_plugins]]
+name = "scan"
+module = "parquet_scan"
+options = {{ input_path = "{SF}/region.parquet" }}
+
+[[transform_plugins]]
+name = "mult"
+module = "column_multiplier"
+options = {{ column_name = "no_such_col", multiplier = 10 }}
+
+[[output_plugins]]
+name = "write"
+module = "parquet_writer"
+options = {{ output_path = "out" }}
+
+[spark]
+master = "local[2]"
+"""
+    )
+    result = runner.invoke(main, ["check", "-c", str(cfg)])
+    assert result.exit_code == 1
+    assert "Validation failed" in result.output or "no_such_col" in result.output
+
+
+def test_run_no_input_plugins(runner, tmp_path):
+    cfg = tmp_path / "config.toml"
+    cfg.write_text(
+        """
+input_plugins = []
+transform_plugins = []
+
+[[output_plugins]]
+name = "write"
+module = "parquet_writer"
+options = { output_path = "out" }
+"""
+    )
+    result = runner.invoke(main, ["run", "-c", str(cfg)])
+    assert result.exit_code == 1
+    assert "No input plugin configured" in result.output
+
+
+def test_run_relative_paths_resolve_against_config_dir(runner, tmp_path, spark):
+    """Reference e2e relative-path contract (test_e2e_integration.py:130-206)."""
+    import shutil
+
+    shutil.copy(f"{SF}/region.parquet", tmp_path / "region.parquet")
+    cfg = tmp_path / "config.toml"
+    cfg.write_text(
+        """
+transform_plugins = []
+
+[[input_plugins]]
+name = "scan"
+module = "parquet_scan"
+options = { input_path = "region.parquet" }
+
+[[output_plugins]]
+name = "write"
+module = "parquet_writer"
+options = { output_path = "nested/dir/out" }
+
+[spark]
+master = "local[2]"
+"""
+    )
+    result = runner.invoke(main, ["run", "-c", str(cfg)])
+    assert result.exit_code == 0, result.output
+    assert (tmp_path / "nested" / "dir" / "out").exists()

@@ -1,0 +1,90 @@
+"""Config loading tests (reference tests/config/ contract)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from cryoflow_spark.core.config import (
+    ConfigLoadError,
+    get_config_path,
+    load_config,
+)
+from cryoflow_spark.core.result import is_successful
+
+VALID_TOML = """
+[[input_plugins]]
+name = "scan"
+module = "parquet_scan"
+options = { input_path = "in.parquet" }
+
+[[transform_plugins]]
+name = "mult"
+module = "column_multiplier"
+options = { column_name = "a", multiplier = 2 }
+
+[[output_plugins]]
+name = "write"
+module = "parquet_writer"
+label = "default"
+options = { output_path = "out.parquet" }
+"""
+
+
+def test_load_valid_config(tmp_path):
+    p = tmp_path / "config.toml"
+    p.write_text(VALID_TOML)
+    result = load_config(p)
+    assert is_successful(result)
+    cfg = result.unwrap()
+    assert cfg.input_plugins[0].name == "scan"
+    assert cfg.input_plugins[0].enabled is True
+    assert cfg.input_plugins[0].label == "default"
+    assert cfg.transform_plugins[0].options["multiplier"] == 2
+
+
+def test_missing_file():
+    result = load_config(Path("/nope/absent.toml"))
+    assert not is_successful(result)
+    assert isinstance(result.failure(), ConfigLoadError)
+    assert "not found" in str(result.failure())
+
+
+def test_invalid_toml(tmp_path):
+    p = tmp_path / "bad.toml"
+    p.write_text("[[input_plugins]\nname=")
+    result = load_config(p)
+    assert not is_successful(result)
+    assert "Failed to parse TOML" in str(result.failure())
+
+
+def test_validation_failure(tmp_path):
+    p = tmp_path / "incomplete.toml"
+    p.write_text("[[input_plugins]]\nname='x'\n")  # module missing + no other lists
+    result = load_config(p)
+    assert not is_successful(result)
+    assert "Config validation failed" in str(result.failure())
+
+
+def test_get_config_path_explicit(tmp_path):
+    assert get_config_path(tmp_path / "c.toml") == tmp_path / "c.toml"
+
+
+def test_get_config_path_xdg_default(monkeypatch, tmp_path):
+    monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path))
+    assert get_config_path(None) == tmp_path / "cryoflow" / "config.toml"
+
+
+def test_spark_section(tmp_path):
+    p = tmp_path / "config.toml"
+    p.write_text(
+        VALID_TOML
+        + """
+[spark]
+master = "local[2]"
+app_name = "my-pipeline"
+conf = { "spark.sql.shuffle.partitions" = "8" }
+"""
+    )
+    cfg = load_config(p).unwrap()
+    assert cfg.spark.master == "local[2]"
+    assert cfg.spark.conf["spark.sql.shuffle.partitions"] == "8"

@@ -1,0 +1,144 @@
+"""Plugin loader tests (reference tests/loader/ contract)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cryoflow_spark.core.config import CryoflowConfig, PluginConfig
+from cryoflow_spark.core.loader import (
+    PluginLoadError,
+    _discover_plugin_classes,
+    _is_filesystem_path,
+    _load_module_from_dotpath,
+    get_plugins,
+    load_plugins,
+)
+from cryoflow_spark.core.plugin import InputPlugin, OutputPlugin, TransformPlugin
+
+CUSTOM_PLUGIN_SRC = '''
+from cryoflow_spark.core.plugin import TransformPlugin
+from cryoflow_spark.core.result import Success
+
+class AddOnePlugin(TransformPlugin):
+    def execute(self, data):
+        from pyspark.sql import functions as F
+        return Success(data.withColumn("a", F.col("a") + 1))
+
+    def dry_run(self, schema):
+        return Success(schema)
+'''
+
+BROKEN_INIT_SRC = '''
+from cryoflow_spark.core.plugin import TransformPlugin
+
+class BrokenInitPlugin(TransformPlugin):
+    def __init__(self, *args, **kwargs):
+        raise RuntimeError("cannot init")
+
+    def execute(self, data): ...
+    def dry_run(self, schema): ...
+'''
+
+
+@pytest.mark.parametrize(
+    ("module", "is_path"),
+    [
+        ("plugins/custom.py", True),
+        ("C:\\plugins\\x", True),
+        ("custom.py", True),
+        ("./rel", True),
+        ("cryoflow_spark.plugins.input.parquet_scan", False),
+        ("parquet_scan", False),
+    ],
+)
+def test_is_filesystem_path(module, is_path):
+    assert _is_filesystem_path(module) is is_path
+
+
+def _config(module: str, role: str = "transform") -> CryoflowConfig:
+    entry = PluginConfig(name="x", module=module)
+    base = dict(input_plugins=[], transform_plugins=[], output_plugins=[])
+    base[f"{role}_plugins"] = [entry]
+    return CryoflowConfig(**base)
+
+
+def test_load_plugin_from_file_path(tmp_path):
+    (tmp_path / "custom.py").write_text(CUSTOM_PLUGIN_SRC)
+    pm = load_plugins(_config("custom.py"), tmp_path / "config.toml")
+    plugins = get_plugins(pm, TransformPlugin)
+    assert len(plugins) == 1
+    assert plugins[0].name == "AddOnePlugin"
+    assert plugins[0].config_dir == tmp_path
+
+
+def test_load_plugin_from_builtin_short_name(tmp_path):
+    cfg = _config("column_multiplier")
+    cfg.transform_plugins[0].options = {"column_name": "a", "multiplier": 2}
+    pm = load_plugins(cfg, tmp_path / "config.toml")
+    assert get_plugins(pm, TransformPlugin)[0].name == "column_multiplier"
+
+
+def test_load_plugin_from_dotted_path(tmp_path):
+    cfg = _config("cryoflow_spark.plugins.input.parquet_scan", role="input")
+    pm = load_plugins(cfg, tmp_path / "config.toml")
+    assert get_plugins(pm, InputPlugin)[0].name == "parquet_scan"
+
+
+def test_missing_module_raises():
+    with pytest.raises(PluginLoadError, match="not found"):
+        _load_module_from_dotpath("x", "no.such.module")
+
+
+def test_missing_file_raises(tmp_path):
+    with pytest.raises(PluginLoadError, match="does not exist"):
+        load_plugins(_config("absent.py"), tmp_path / "config.toml")
+
+
+def test_no_plugin_classes_raises(tmp_path):
+    (tmp_path / "empty.py").write_text("x = 1\n")
+    with pytest.raises(PluginLoadError, match="no BasePlugin subclasses"):
+        load_plugins(_config("empty.py"), tmp_path / "config.toml")
+
+
+def test_broken_init_raises(tmp_path):
+    (tmp_path / "broken.py").write_text(BROKEN_INIT_SRC)
+    with pytest.raises(PluginLoadError, match="failed to instantiate"):
+        load_plugins(_config("broken.py"), tmp_path / "config.toml")
+
+
+def test_disabled_plugin_skipped(tmp_path):
+    cfg = _config("column_multiplier")
+    cfg.transform_plugins[0].enabled = False
+    pm = load_plugins(cfg, tmp_path / "config.toml")
+    assert get_plugins(pm, TransformPlugin) == []
+
+
+def test_label_and_options_reach_instance(tmp_path):
+    cfg = _config("column_multiplier")
+    cfg.transform_plugins[0].label = "side"
+    cfg.transform_plugins[0].options = {"column_name": "a", "multiplier": 3}
+    pm = load_plugins(cfg, tmp_path / "config.toml")
+    plugin = get_plugins(pm, TransformPlugin)[0]
+    assert plugin.label == "side"
+    assert plugin.options["multiplier"] == 3
+
+
+def test_role_mismatch_filtered(tmp_path):
+    """An InputPlugin listed under transform_plugins is not registered."""
+    cfg = _config("parquet_scan", role="transform")
+    pm = load_plugins(cfg, tmp_path / "config.toml")
+    assert get_plugins(pm, TransformPlugin) == []
+    assert get_plugins(pm, InputPlugin) == []
+
+
+def test_discover_skips_abstract(tmp_path):
+    import cryoflow_spark.core.plugin as plugin_mod
+
+    with pytest.raises(PluginLoadError, match="no BasePlugin subclasses"):
+        _discover_plugin_classes("x", plugin_mod)
+
+
+def test_get_plugins_unsupported_type(tmp_path):
+    pm = load_plugins(_config("column_multiplier"), tmp_path / "c.toml")
+    with pytest.raises(ValueError, match="Unsupported plugin type"):
+        get_plugins(pm, object)  # type: ignore[arg-type]
