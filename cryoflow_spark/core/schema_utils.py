@@ -1,0 +1,66 @@
+"""Schema prediction via Spark's analyzer — dry-run without data.
+
+The reference hand-writes per-plugin schema simulation (e.g.
+multiplier.py:44-85). Spark gives us a better primitive (SURVEY.md §3):
+build the *real* transformation over an empty DataFrame of the input
+schema and read ``.schema`` off the plan — the analyzer resolves and
+type-checks everything without running a job. Plugins use
+``predict_schema`` so their dry_run is guaranteed to agree with execute.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def empty_frame(spark: SparkSession, schema: StructType) -> DataFrame:
+    """An empty DataFrame carrying ``schema`` (analyzer-only, no job)."""
+    return spark.createDataFrame([], schema)
+
+
+def order_exprs(specs: list[str]):
+    """Parse ``["col DESC", "expr ASC NULLS LAST", ...]`` into sort Columns.
+
+    ``F.expr`` cannot express sort direction (it parses ``"v DESC"`` as
+    just ``v``), so direction/null-order suffixes are handled here.
+    """
+    from pyspark.sql import functions as F
+
+    out = []
+    for spec in specs:
+        s = spec.strip()
+        upper = s.upper()
+        nulls = None
+        if upper.endswith(" NULLS LAST"):
+            nulls, s = "last", s[: -len(" NULLS LAST")].strip()
+        elif upper.endswith(" NULLS FIRST"):
+            nulls, s = "first", s[: -len(" NULLS FIRST")].strip()
+        upper = s.upper()
+        desc = False
+        if upper.endswith(" DESC"):
+            desc, s = True, s[: -len(" DESC")].strip()
+        elif upper.endswith(" ASC"):
+            s = s[: -len(" ASC")].strip()
+        col = F.expr(s)
+        if desc:
+            col = col.desc_nulls_last() if nulls == "last" else col.desc_nulls_first() if nulls == "first" else col.desc()
+        else:
+            col = col.asc_nulls_last() if nulls == "last" else col.asc_nulls_first() if nulls == "first" else col.asc()
+        out.append(col)
+    return out
+
+
+def predict_schema(
+    spark: SparkSession,
+    schema: StructType,
+    transform: Callable[[DataFrame], DataFrame],
+) -> StructType:
+    """Apply ``transform`` to an empty frame and return the output schema.
+
+    Raises whatever the analyzer raises (missing column, bad type, bad
+    expression) — callers wrap in Result.
+    """
+    return transform(empty_frame(spark, schema)).schema

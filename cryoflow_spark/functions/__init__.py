@@ -1,0 +1,10 @@
+"""Large-scale data-pipeline operators (engine extensions).
+
+These are the operators a 100 TB training-data pipeline needs beyond the
+reference's surface (BASELINE.json ``north_star``): deduplication
+(exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding cosine),
+similarity search, text analysis, and multimodal column plumbing.
+
+All are pure DataFrame → DataFrame (or Column) builders usable directly,
+from plugins (e.g. ``transform/dedup.py``), or from the query registry.
+"""

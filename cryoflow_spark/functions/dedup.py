@@ -1,0 +1,324 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB (BASELINE.json north_star; MinHash/LSH per the
+classic Broder scheme, banding per Leskovec et al., *Mining of Massive
+Datasets* ch. 3 — public algorithms):
+
+- Everything stays JVM-side (``F.transform``/``F.aggregate``/``xxhash64``)
+  except SimHash bit-voting, which uses a vectorized Arrow pandas_udf.
+- Candidate generation is always *blocked* (LSH bands / pigeonhole
+  chunks), never all-pairs: the only shuffles are on band/bucket keys.
+- Survivor rule is "keep the smallest id in each near-dup pair" —
+  one-pass, deterministic, no iterative connected components (documented
+  approximation: transitive clusters keep their local minima).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Large prime < 2^31 for affine rehashing (public constant choice).
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def shingle_set(text_col: str, k: int = 3):
+    """Column: distinct character k-shingles of ``text_col`` (JVM-side).
+
+    ``transform(sequence(1, len-k+1), i -> substring(text, i, k))`` then
+    ``array_distinct`` — no Python in the loop.
+    """
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+            f" i -> substring({text_col}, i, {k}))"
+        )
+    )
+
+
+def token_set(text_col: str):
+    """Column: distinct whitespace tokens."""
+    return F.array_distinct(
+        F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    )
+
+
+def minhash_signature(
+    shingles_col,
+    num_hashes: int = 64,
+    seed: int = 42,
+):
+    """Column: array<long> MinHash signature of an array-of-string column.
+
+    Base hash is ``xxhash64`` (JVM, vectorized); the i-th permutation is
+    the affine rehash ``(a_i * h + b_i) mod p`` with fixed seeded
+    constants, so signatures are deterministic across runs and clusters.
+    """
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+        for _ in range(num_hashes)
+    ]
+    # Reduce the 64-bit base hash mod p first so a*h+b stays < 2^62 —
+    # no overflow under ANSI arithmetic (a, h < 2^31).
+    base = F.transform(
+        shingles_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31))
+    )
+    mins = [
+        F.array_min(
+            F.transform(base, lambda h: F.pmod(a * h + b, F.lit(_MERSENNE_31)))
+        )
+        for a, b in coeffs
+    ]
+    return F.array(*mins)
+
+
+def _lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs sharing at least one LSH band.
+
+    Scale: explode to (band_idx, band_hash) keys → self-join on the band
+    key. Bucket skew (a degenerate band shared by many docs) is the
+    classic hazard; AQE skew-join handles moderate skew, and callers
+    should raise ``bands``/``num_hashes`` if buckets degenerate.
+    """
+    rows_per_band = num_hashes // bands
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.slice(F.col(sig_col), i * rows_per_band + 1, rows_per_band)
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Remove near-duplicate rows via MinHash-LSH + exact Jaccard verify.
+
+    Pipeline: shingle → signature → banded candidates → verify true
+    Jaccard on shingle sets → drop the larger id of each verified pair.
+    """
+    with_sets = df.withColumn("__shingles", shingle_set(text_col, shingle_size))
+    with_sig = with_sets.withColumn(
+        "__sig", minhash_signature(F.col("__shingles"), num_hashes)
+    )
+    candidates = _lsh_candidate_pairs(with_sig, id_col, "__sig", num_hashes, bands)
+
+    sets = with_sets.select(F.col(id_col), F.col("__shingles"))
+    verified = (
+        candidates.join(
+            sets.withColumnsRenamed({id_col: "id_a", "__shingles": "__set_a"}), "id_a"
+        )
+        .join(
+            sets.withColumnsRenamed({id_col: "id_b", "__shingles": "__set_b"}), "id_b"
+        )
+        .withColumn(
+            "__jaccard",
+            F.size(F.array_intersect("__set_a", "__set_b"))
+            / F.size(F.array_union("__set_a", "__set_b")),
+        )
+        .filter(F.col("__jaccard") >= threshold)
+    )
+    to_remove = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(to_remove, on=id_col, how="left_anti")
+
+
+def simhash_column(text_col: str):
+    """Column: 64-bit SimHash of whitespace tokens (vectorized pandas_udf).
+
+    Bit-voting over per-token xxhash64 values is done in numpy (Arrow
+    batches): unpack 64 bits, sum ±1 votes per bit, majority → bit set.
+    The token hashes themselves are computed JVM-side first.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(hash_arrays: pd.Series) -> pd.Series:
+        out = np.zeros(len(hash_arrays), dtype=np.int64)
+        for i, hashes in enumerate(hash_arrays):
+            if hashes is None or len(hashes) == 0:
+                continue
+            h = np.asarray(hashes, dtype=np.uint64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int64
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for j in np.nonzero(votes >= 0)[0]:
+                sig |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    token_hashes = F.transform(token_set(text_col), lambda t: F.xxhash64(t))
+    return _simhash(token_hashes)
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hamming_threshold: int = 3,
+) -> DataFrame:
+    """Remove near-duplicates whose SimHashes are within ``hamming_threshold``.
+
+    Candidates by pigeonhole: split the 64-bit signature into
+    ``hamming_threshold + 1`` chunks — any pair within the threshold
+    shares at least one exact chunk, so the join key is (chunk_idx,
+    chunk_value), never all-pairs. Verify with ``bit_count(xor)``.
+    """
+    n_chunks = hamming_threshold + 1
+    chunk_bits = 64 // n_chunks
+
+    sigs = df.select(F.col(id_col), simhash_column(text_col).alias("__sim"))
+    chunks = sigs.select(
+        id_col,
+        "__sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("__sim"), i * chunk_bits).bitwiseAND(
+                        F.lit((1 << chunk_bits) - 1)
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))
+            ).alias("__hamming"),
+        )
+        .filter(F.col("__hamming") <= hamming_threshold)
+    )
+    to_remove = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(to_remove, on=id_col, how="left_anti")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.8,
+    block_by: str | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) pairs with word-n-gram Jaccard ≥ threshold.
+
+    Exact pairwise Jaccard *within blocks* (default block: none → a
+    single block; always pass ``block_by`` at scale, e.g. a language or
+    length-bucket column). Shingle sets and set algebra are JVM-side
+    (``array_intersect`` / ``array_union``).
+    """
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(split({text_col}, '\\\\s+')) - {ngram - 1}, 1)),"
+            f" i -> array_join(slice(split({text_col}, '\\\\s+'), i, {ngram}), ' '))"
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        grams.alias("__grams"),
+        *( [F.col(block_by).alias("__block")] if block_by else [F.lit(1).alias("__block")] ),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__block") == F.col("b.__block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.__grams", "b.__grams"))
+                / F.size(F.array_union("a.__grams", "b.__grams"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.8,
+    block_by: str | None = None,
+) -> DataFrame:
+    """Remove the larger id of every n-gram-Jaccard near-dup pair."""
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, ngram, threshold, block_by)
+    to_remove = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(to_remove, on=id_col, how="left_anti")
+
+
+def exact_dedup(
+    df: DataFrame,
+    subset: list[str] | None = None,
+    keep_order_by: list[str] | None = None,
+) -> DataFrame:
+    """Exact dedup: full-row distinct, or deterministic survivor per key."""
+    if not subset:
+        return df.distinct()
+    if not keep_order_by:
+        return df.dropDuplicates(list(subset))
+    from cryoflow_spark.core.schema_utils import order_exprs
+
+    w = Window.partitionBy(*subset).orderBy(*order_exprs(keep_order_by))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,163 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+BASELINE.json north_star: treat image/audio/video as ``binary`` columns
+with typed metadata, with decode / feature-extract / resize / frame-sample
+as Arrow-batched functions over ``mapInPandas``.
+
+The heavy codec libraries (Pillow, ffmpeg, torchaudio, …) are NOT in this
+container, so the decode kernels are STUBBED: ``decode_stub=True``
+produces deterministic fake features (derived from payload bytes), and
+``decode_stub=False`` raises ``NotImplementedError`` at the exact point a
+real decoder would plug in. Everything Spark-side — schemas, batch
+iteration, partitioning, column pruning — is real and tested.
+
+Scale notes:
+
+- binary payloads ride in ordinary parquet binary columns (or
+  ``spark.read.format("binaryFile")`` for raw object-store files);
+- ``mapInPandas`` streams Arrow batches — bounded memory per task
+  regardless of corpus size; repartition upstream so one task holds
+  ~64-256 MB of payloads;
+- metadata-only transformations (filtering by size/kind) never touch the
+  payload column thanks to parquet column pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+#: Schema fragment for a multimodal asset column family.
+ASSET_FIELDS = (
+    "asset_id BIGINT, kind STRING, media_type STRING, payload BINARY, "
+    "byte_size BIGINT"
+)
+
+FEATURE_SCHEMA = (
+    "asset_id BIGINT, kind STRING, byte_size BIGINT, "
+    "feature_dim INT, features ARRAY<FLOAT>, decode_ok BOOLEAN"
+)
+
+
+def attach_binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Add byte_size + a cheap content checksum without decoding."""
+    return df.withColumn(
+        "byte_size", F.length(F.col(payload_col)).cast("bigint")
+    ).withColumn("payload_crc", F.crc32(F.col(payload_col)))
+
+
+def _fake_features(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in feature vector derived from payload bytes."""
+    if not payload:
+        return [0.0] * dim
+    out = []
+    acc = 2166136261  # FNV-1a offset basis (public constant)
+    i = 0
+    step = max(1, len(payload) // dim)
+    for j in range(dim):
+        chunk = payload[j * step : (j + 1) * step] or payload[-1:]
+        for b in chunk:
+            acc = ((acc ^ b) * 16777619) & 0xFFFFFFFF
+        out.append(((acc % 2000001) / 1000000.0) - 1.0)
+        i += 1
+    return out
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    kind_col: str = "kind",
+    dim: int = 16,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Decode + featurize binary assets via ``mapInPandas`` Arrow batches.
+
+    With ``decode_stub=True`` (default in this container) features are
+    deterministic byte-derived fakes; a real deployment replaces
+    ``_decode_real`` with Pillow/ffmpeg kernels — the Spark plumbing
+    (batch iterator, schema, pruning) is identical.
+    """
+
+    def _decode_real(payload: bytes, kind: str) -> list[float]:
+        raise NotImplementedError(
+            "real media decoding requires codec libraries (Pillow/ffmpeg) "
+            "not present in this environment; run with decode_stub=True"
+        )
+
+    def featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            payloads = batch[payload_col]
+            feats, ok = [], []
+            for p in payloads:
+                raw = bytes(p) if p is not None else b""
+                if decode_stub:
+                    feats.append(_fake_features(raw, dim))
+                    ok.append(True)
+                else:
+                    feats.append(_decode_real(raw, ""))
+                    ok.append(True)
+            yield pd.DataFrame(
+                {
+                    "asset_id": batch[id_col],
+                    "kind": batch[kind_col],
+                    "byte_size": payloads.map(lambda p: len(p) if p is not None else 0),
+                    "feature_dim": dim,
+                    "features": feats,
+                    "decode_ok": ok,
+                }
+            )
+
+    return df.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+) -> DataFrame:
+    """'Frame sampling' plumbing: one output row per sampled frame.
+
+    For video this would be timestamped frame decode; the stub slices the
+    payload every ``every_n_bytes``. Demonstrates the explode-shaped
+    (1 asset → N frames) mapInPandas pattern with bounded output.
+    """
+    schema = f"{id_col} BIGINT, frame_idx INT, frame_bytes BINARY"
+
+    def sampler(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            ids, idxs, frames = [], [], []
+            for asset_id, p in zip(batch[id_col], batch[payload_col]):
+                raw = bytes(p) if p is not None else b""
+                for i in range(min(max_frames, max(1, len(raw) // every_n_bytes))):
+                    ids.append(asset_id)
+                    idxs.append(i)
+                    frames.append(raw[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame_bytes": frames}
+            )
+
+    return df.mapInPandas(sampler, schema=schema)
+
+
+def documents_as_assets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Adapter: materialize a binary asset table from the documents table
+    (UTF-8 payloads) so multimodal plumbing is testable in this container."""
+    return df.select(
+        F.col(id_col).alias("asset_id"),
+        F.lit("text").alias("kind"),
+        F.lit("text/plain; charset=utf-8").alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    ).withColumn("byte_size", F.length(F.col("payload")).cast("bigint"))

@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths (BASELINE.json north_star):
+
+- ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus; dot products via JVM ``zip_with``/``aggregate``
+  (no Python per row); per-query top-k via a rank window. Correctness
+  baseline and perfectly adequate when |queries| is small.
+- ``lsh_cosine_topk`` — the scale path: random-hyperplane (sign) LSH
+  signatures bucket the corpus; only same-bucket candidates get exact
+  cosine. Recall < 1.0 by design (tunable via bits/tables).
+
+Public algorithm: Charikar's SimHash/random-hyperplane LSH (STOC 2002).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a, b):
+    """Column: dot product of two array<numeric> columns (JVM-side).
+
+    Elements are cast to double before multiplying so the sequential
+    left fold is bit-identical to an equivalent double-precision fold in
+    any engine (and more accurate than float accumulation at scale).
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a):
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query row.
+
+    Output: (query_id, neighbor_id, cosine, rank). Self-matches (same id)
+    are excluded when query and corpus share the id column. Ties broken
+    by neighbor id for determinism.
+    """
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("__qvec"), F.col("__cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signature(
+    vec_col: str,
+    dim: int,
+    bits: int = 16,
+    seed: int = 42,
+):
+    """Column: integer sign-LSH signature from ``bits`` random hyperplanes.
+
+    Hyperplane components are seeded pseudo-random constants baked into
+    the plan (same signature on every executor/run). Sign pattern of
+    ``v·h_j`` forms the bucket id.
+    """
+    import random
+
+    rng = random.Random(seed)
+    planes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)
+    ]
+    bit_cols = []
+    for j, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(x) for x in plane]),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit_cols.append(F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return sig.cast("int")
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    bits: int = 12,
+    dim: int = 64,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k: exact cosine only within matching LSH buckets.
+
+    Scale: corpus is bucketed once (one narrow column added), the join is
+    an equi-join on the bucket id — shuffle on bucket, never cross-join.
+    Recall improves with fewer bits (bigger buckets) or multiple tables
+    (union of several seeds); this single-table variant is the building
+    block.
+    """
+    qid = query_id_col or id_col
+    sig = lambda df: df.withColumn(  # noqa: E731
+        "__bucket", hyperplane_signature(vec_col, dim=dim, bits=bits)
+    )
+    q = sig(queries).select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        "__bucket",
+    )
+    c = sig(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        "__bucket",
+    )
+    scored = (
+        q.join(c, "__bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("__qvec"), F.col("__cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    bits: int = 10,
+    dim: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine ≥ threshold, LSH-blocked."""
+    sigs = df.withColumn(
+        "__bucket", hyperplane_signature(vec_col, dim=dim, bits=bits)
+    ).select(F.col(id_col), F.col(vec_col), "__bucket")
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

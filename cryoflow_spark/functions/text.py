@@ -1,0 +1,101 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting (BASELINE.json north_star).
+
+All JVM-side Column builders — regex/array/aggregate expressions, no
+Python UDFs — so they vectorize inside whole-stage codegen and the same
+logic is expressible in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# Tiny seeded stopword lists per language — a deterministic n-gram/stopword
+# heuristic (public technique; real pipelines plug fastText etc. here).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "de", "los"],
+}
+
+
+def token_count(text_col: str):
+    """Column: whitespace token count (bigint)."""
+    return F.size(
+        F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    ).cast("bigint")
+
+
+def char_count(text_col: str):
+    return F.length(F.col(text_col)).cast("bigint")
+
+
+def _marker_hits(text_col: str, words: list[str]):
+    """Column: how many of ``words`` appear as whole tokens (0..len)."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    hits = [
+        F.when(padded.contains(f" {w} "), 1).otherwise(0) for w in words
+    ]
+    total = hits[0]
+    for h in hits[1:]:
+        total = total + h
+    return total
+
+
+def lang_id(text_col: str):
+    """Column: predicted language code by stopword-marker voting.
+
+    Deterministic tie-break: higher score wins, then alphabetical code;
+    no markers hit → 'und' (undetermined).
+    """
+    scores = {code: _marker_hits(text_col, ws) for code, ws in LANG_MARKERS.items()}
+    # greatest(...) then pick first code (alphabetical) achieving it.
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    for code in sorted(LANG_MARKERS, reverse=True):
+        result = F.when(
+            (scores[code] > 0) & (scores[code] == best), F.lit(code)
+        ).otherwise(result)
+    return result
+
+
+def quality_score(text_col: str):
+    """Column: [0,1] quality heuristic from length / punctuation / word shape.
+
+    score = 0.4 * clamp(tokens/100) + 0.3 * (1 - punct_ratio)
+          + 0.3 * clamp(mean_word_len/8), rounded to 6 decimals —
+    deterministic per row in both engines (pure double arithmetic).
+    """
+    tokens = token_count(text_col).cast("double")
+    chars = char_count(text_col).cast("double")
+    punct = F.length(
+        F.regexp_replace(F.col(text_col), r"[^\.,;:!\?]", "")
+    ).cast("double")
+    mean_word = F.when(tokens > 0, (chars - (tokens - 1)) / tokens).otherwise(
+        F.lit(0.0)
+    )
+    score = (
+        F.least(tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.when(chars > 0, punct / chars).otherwise(0.0)) * 0.3
+        + F.least(mean_word / F.lit(8.0), F.lit(1.0)) * 0.3
+    )
+    return F.round(score, 6)
+
+
+def fingerprint(text_col: str):
+    """Column: polynomial rolling hash of the normalized text.
+
+    ``acc = (acc * 31 + code(c)) mod 1e9+7`` over the lowercased,
+    whitespace-collapsed text — a classic Rabin-Karp fingerprint
+    expressible in both Spark and DuckDB SQL (aggregate / list_reduce),
+    unlike engine-specific hash builtins. The modulus keeps every
+    intermediate < 2^35, safe under ANSI overflow checking.
+    """
+    return F.expr(
+        "aggregate("
+        f"filter(split(lower(regexp_replace({text_col}, '\\\\s+', ' ')), ''), c -> c != ''),"
+        " cast(0 as bigint),"
+        " (acc, c) -> pmod(acc * 31 + ascii(c), 1000000007)"
+        ")"
+    )

@@ -1,5 +1,15 @@
 """Input (source) plugins."""
 
+from cryoflow_spark.plugins.input.csv_scan import CsvScanPlugin
+from cryoflow_spark.plugins.input.ipc_scan import IpcScanPlugin
+from cryoflow_spark.plugins.input.json_scan import JsonScanPlugin
 from cryoflow_spark.plugins.input.parquet_scan import ParquetScanPlugin
+from cryoflow_spark.plugins.input.table_scan import TableScanPlugin
 
-__all__ = ["ParquetScanPlugin"]
+__all__ = [
+    "CsvScanPlugin",
+    "IpcScanPlugin",
+    "JsonScanPlugin",
+    "ParquetScanPlugin",
+    "TableScanPlugin",
+]

@@ -1,0 +1,56 @@
+"""CSV source plugin.
+
+Parity with reference ``cryoflow_plugin_collections/input/csv_scan.py:20-52``
+plus the optioned variant documented in docs/plugin_development.md:311-377
+(``separator``, ``has_header``). Options:
+
+- ``input_path`` (required)
+- ``separator`` (default ``,``)
+- ``has_header`` (default True)
+- ``schema`` (optional DDL string, e.g. ``"a INT, b STRING"``) — when given,
+  inference is skipped entirely (the scale path: schema inference reads
+  data; at 100 TB always pass a schema)
+- ``infer_schema`` (default True when no schema given)
+
+Dry-run note (SURVEY.md §7 "What's hard"): CSV has no footer metadata, so
+a schema-accurate dry run either uses the ``schema`` option (zero I/O) or
+performs a bounded inference read — a documented deviation from the
+"touches no data" ideal that the Polars reference shares (``scan_csv``
+also peeks at the file to infer).
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData, InputPlugin, SchemaData
+from cryoflow_spark.core.result import Failure, Result, Success
+
+
+class CsvScanPlugin(InputPlugin):
+    @property
+    def name(self) -> str:
+        return "csv_scan"
+
+    def _reader(self):
+        spark = self._require_session()
+        reader = spark.read.option("sep", self.options.get("separator", ","))
+        reader = reader.option("header", bool(self.options.get("has_header", True)))
+        schema = self.options.get("schema")
+        if schema:
+            reader = reader.schema(schema)
+        elif self.options.get("infer_schema", True):
+            reader = reader.option("inferSchema", True)
+        return reader
+
+    def execute(self) -> Result[FrameData]:
+        try:
+            path = str(self.resolve_path(self.require_option("input_path")))
+            return Success(self._reader().csv(path))
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+    def dry_run(self) -> Result[SchemaData]:
+        try:
+            path = str(self.resolve_path(self.require_option("input_path")))
+            return Success(self._reader().csv(path).schema)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)

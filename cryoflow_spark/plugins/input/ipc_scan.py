@@ -1,0 +1,55 @@
+"""Arrow IPC (Feather) source plugin.
+
+Parity with reference
+``cryoflow_plugin_collections/input/ipc_scan.py:20-52`` (``pl.scan_ipc``).
+Spark has no native IPC reader (SURVEY.md §7 "What's hard"), so:
+
+- small/medium files: ``pyarrow.ipc`` open → ``spark.createDataFrame``
+  directly from the Arrow table (zero-copy into Spark 4's Arrow path)
+- ``dry_run`` reads only the IPC schema header — no data I/O
+
+Scale path: for large IPC datasets prefer converting to Parquet at ingest
+(IPC is not splittable in Spark); this plugin intentionally mirrors the
+reference's single-file scan semantics.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.ipc
+
+from cryoflow_spark.core.plugin import FrameData, InputPlugin, SchemaData
+from cryoflow_spark.core.result import Failure, Result, Success
+from pyspark.sql.pandas.types import from_arrow_schema
+
+
+def _open_ipc(path: str) -> pa.ipc.RecordBatchFileReader | pa.ipc.RecordBatchStreamReader:
+    """Open either IPC file (Feather) or stream format."""
+    try:
+        return pa.ipc.open_file(path)
+    except pa.ArrowInvalid:
+        return pa.ipc.open_stream(path)
+
+
+class IpcScanPlugin(InputPlugin):
+    @property
+    def name(self) -> str:
+        return "ipc_scan"
+
+    def execute(self) -> Result[FrameData]:
+        try:
+            path = str(self.resolve_path(self.require_option("input_path")))
+            spark = self._require_session()
+            table = _open_ipc(path).read_all()
+            return Success(spark.createDataFrame(table))
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+    def dry_run(self) -> Result[SchemaData]:
+        """Schema from the IPC header only — no record batches read."""
+        try:
+            path = str(self.resolve_path(self.require_option("input_path")))
+            reader = _open_ipc(path)
+            return Success(from_arrow_schema(reader.schema))
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)

@@ -1,0 +1,42 @@
+"""JSON (lines or multiline) source plugin.
+
+Engine extension beyond the reference's three sources (SURVEY.md §7 step 5
+adds json). Options: ``input_path`` (required), ``multiline`` (default
+False → JSONL, the scale-friendly layout), ``schema`` (optional DDL —
+skip inference at scale).
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData, InputPlugin, SchemaData
+from cryoflow_spark.core.result import Failure, Result, Success
+
+
+class JsonScanPlugin(InputPlugin):
+    @property
+    def name(self) -> str:
+        return "json_scan"
+
+    def _reader(self):
+        spark = self._require_session()
+        reader = spark.read.option(
+            "multiLine", bool(self.options.get("multiline", False))
+        )
+        schema = self.options.get("schema")
+        if schema:
+            reader = reader.schema(schema)
+        return reader
+
+    def execute(self) -> Result[FrameData]:
+        try:
+            path = str(self.resolve_path(self.require_option("input_path")))
+            return Success(self._reader().json(path))
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+    def dry_run(self) -> Result[SchemaData]:
+        try:
+            path = str(self.resolve_path(self.require_option("input_path")))
+            return Success(self._reader().json(path).schema)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)

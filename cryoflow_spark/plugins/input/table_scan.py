@@ -1,0 +1,30 @@
+"""Catalog table source plugin (engine extension).
+
+Reads a table registered in the Spark catalog (temp view, Hive metastore,
+or lakehouse catalog on a real cluster). Options: ``table`` (required).
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData, InputPlugin, SchemaData
+from cryoflow_spark.core.result import Failure, Result, Success
+
+
+class TableScanPlugin(InputPlugin):
+    @property
+    def name(self) -> str:
+        return "table_scan"
+
+    def execute(self) -> Result[FrameData]:
+        try:
+            spark = self._require_session()
+            return Success(spark.table(self.require_option("table")))
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+    def dry_run(self) -> Result[SchemaData]:
+        try:
+            spark = self._require_session()
+            return Success(spark.table(self.require_option("table")).schema)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)

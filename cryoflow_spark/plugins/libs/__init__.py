@@ -1,0 +1,52 @@
+"""Re-exports for plugin authors.
+
+Parity with the reference's ``libs`` package, which wildcard re-exports
+the entire Polars API plus Result types for plugin authors
+(``cryoflow_plugin_collections/libs/polars.py:22-26``,
+``libs/returns/result.py:1-15``, ``libs/core.py:20-32``). Here the
+"engine API" is PySpark: functions, Window, types, DataFrame — plus our
+Result types and plugin ABCs, so a plugin file needs exactly one import.
+"""
+
+from pyspark.sql import Column, DataFrame, Row, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cryoflow_spark.core.plugin import (
+    BasePlugin,
+    FrameData,
+    InputPlugin,
+    OutputPlugin,
+    SchemaData,
+    TransformPlugin,
+)
+from cryoflow_spark.core.result import (
+    Failure,
+    Result,
+    Success,
+    bind_safe,
+    is_successful,
+    safe,
+)
+
+__all__ = [
+    "Column",
+    "DataFrame",
+    "Row",
+    "SparkSession",
+    "Window",
+    "F",
+    "T",
+    "BasePlugin",
+    "FrameData",
+    "InputPlugin",
+    "OutputPlugin",
+    "SchemaData",
+    "TransformPlugin",
+    "Failure",
+    "Result",
+    "Success",
+    "bind_safe",
+    "is_successful",
+    "safe",
+]

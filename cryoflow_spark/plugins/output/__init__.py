@@ -1,5 +1,15 @@
 """Output (sink) plugins."""
 
+from cryoflow_spark.plugins.output.console import ConsolePlugin
+from cryoflow_spark.plugins.output.csv_writer import CsvWriterPlugin
+from cryoflow_spark.plugins.output.ipc_writer import IpcWriterPlugin
+from cryoflow_spark.plugins.output.json_writer import JsonWriterPlugin
 from cryoflow_spark.plugins.output.parquet_writer import ParquetWriterPlugin
 
-__all__ = ["ParquetWriterPlugin"]
+__all__ = [
+    "ConsolePlugin",
+    "CsvWriterPlugin",
+    "IpcWriterPlugin",
+    "JsonWriterPlugin",
+    "ParquetWriterPlugin",
+]

@@ -1,0 +1,33 @@
+"""Console sink plugin: show rows on stdout (debug/inspection).
+
+Reference vocabulary ``collect()`` for final materialization
+(docs/plugin_development.md:1530-1532) — here bounded by ``n`` so a
+misconfigured pipeline can't pull 100 TB to the driver.
+
+Options: ``n`` (default 20), ``truncate`` (default True), ``vertical``.
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData, OutputPlugin, SchemaData
+from cryoflow_spark.core.result import Failure, Result, Success
+
+
+class ConsolePlugin(OutputPlugin):
+    @property
+    def name(self) -> str:
+        return "console"
+
+    def execute(self, data: FrameData) -> Result[None]:
+        try:
+            data.show(
+                n=int(self.options.get("n", 20)),
+                truncate=self.options.get("truncate", True),
+                vertical=bool(self.options.get("vertical", False)),
+            )
+            return Success(None)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+    def dry_run(self, schema: SchemaData) -> Result[None]:
+        return Success(None)

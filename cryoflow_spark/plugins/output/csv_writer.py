@@ -1,0 +1,55 @@
+"""CSV sink plugin (reference vocabulary ``write_csv``,
+docs/plugin_development.md:1542-1545). Options: ``output_path``
+(required), ``header`` (default True), ``separator``, ``mode``
+(default overwrite), ``single_file`` (coalesce+rename like
+parquet_writer).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from pathlib import Path
+
+from cryoflow_spark.core.plugin import FrameData, OutputPlugin, SchemaData
+from cryoflow_spark.core.result import Failure, Result, Success
+
+
+class CsvWriterPlugin(OutputPlugin):
+    @property
+    def name(self) -> str:
+        return "csv_writer"
+
+    def execute(self, data: FrameData) -> Result[None]:
+        try:
+            path = self.resolve_path(self.require_option("output_path"))
+            header = bool(self.options.get("header", True))
+            sep = self.options.get("separator", ",")
+            mode = self.options.get("mode", "overwrite")
+            path.parent.mkdir(parents=True, exist_ok=True)
+            if self.options.get("single_file", False):
+                with tempfile.TemporaryDirectory(dir=str(path.parent)) as tmp:
+                    out_dir = Path(tmp) / "out"
+                    data.coalesce(1).write.mode("overwrite").csv(
+                        str(out_dir), header=header, sep=sep
+                    )
+                    part = next(out_dir.glob("part-*.csv"))
+                    if path.exists():
+                        shutil.rmtree(path) if path.is_dir() else os.remove(path)
+                    shutil.move(str(part), str(path))
+                return Success(None)
+            data.write.mode(mode).csv(str(path), header=header, sep=sep)
+            return Success(None)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+    def dry_run(self, schema: SchemaData) -> Result[None]:
+        try:
+            path = self.resolve_path(self.require_option("output_path"))
+            path.parent.mkdir(parents=True, exist_ok=True)
+            if not os.access(path.parent, os.W_OK):
+                raise PermissionError(f"output directory not writable: {path.parent}")
+            return Success(None)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)

@@ -1,0 +1,55 @@
+"""Arrow IPC (Feather) sink plugin.
+
+Reference vocabulary ``write_ipc`` (docs/plugin_development.md:1542-1545).
+Spark has no IPC writer; we use Spark 4's ``DataFrame.toArrow()`` to pull
+the result as an Arrow table on the driver and write one IPC file. This
+is a driver-side materialization — appropriate for result export, not
+for 100 TB sinks (use parquet_writer for those; documented trade-off).
+
+Options: ``output_path`` (required), ``stream_format`` (default False →
+file/Feather format), ``compression`` (default ``zstd``; ``none``/``lz4``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.ipc
+
+from cryoflow_spark.core.plugin import FrameData, OutputPlugin, SchemaData
+from cryoflow_spark.core.result import Failure, Result, Success
+
+
+class IpcWriterPlugin(OutputPlugin):
+    @property
+    def name(self) -> str:
+        return "ipc_writer"
+
+    def execute(self, data: FrameData) -> Result[None]:
+        try:
+            path = self.resolve_path(self.require_option("output_path"))
+            path.parent.mkdir(parents=True, exist_ok=True)
+            table = data.toArrow()
+            compression = self.options.get("compression", "zstd")
+            codec = None if compression in (None, "none") else compression
+            opts = pa.ipc.IpcWriteOptions(compression=codec)
+            if self.options.get("stream_format", False):
+                with pa.ipc.new_stream(str(path), table.schema, options=opts) as w:
+                    w.write_table(table)
+            else:
+                with pa.ipc.new_file(str(path), table.schema, options=opts) as w:
+                    w.write_table(table)
+            return Success(None)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+    def dry_run(self, schema: SchemaData) -> Result[None]:
+        try:
+            path = self.resolve_path(self.require_option("output_path"))
+            path.parent.mkdir(parents=True, exist_ok=True)
+            if not os.access(path.parent, os.W_OK):
+                raise PermissionError(f"output directory not writable: {path.parent}")
+            return Success(None)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)

@@ -1,0 +1,48 @@
+"""JSON-lines sink plugin (engine extension). Options: ``output_path``
+(required), ``mode`` (default overwrite), ``single_file``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from pathlib import Path
+
+from cryoflow_spark.core.plugin import FrameData, OutputPlugin, SchemaData
+from cryoflow_spark.core.result import Failure, Result, Success
+
+
+class JsonWriterPlugin(OutputPlugin):
+    @property
+    def name(self) -> str:
+        return "json_writer"
+
+    def execute(self, data: FrameData) -> Result[None]:
+        try:
+            path = self.resolve_path(self.require_option("output_path"))
+            mode = self.options.get("mode", "overwrite")
+            path.parent.mkdir(parents=True, exist_ok=True)
+            if self.options.get("single_file", False):
+                with tempfile.TemporaryDirectory(dir=str(path.parent)) as tmp:
+                    out_dir = Path(tmp) / "out"
+                    data.coalesce(1).write.mode("overwrite").json(str(out_dir))
+                    part = next(out_dir.glob("part-*.json"))
+                    if path.exists():
+                        shutil.rmtree(path) if path.is_dir() else os.remove(path)
+                    shutil.move(str(part), str(path))
+                return Success(None)
+            data.write.mode(mode).json(str(path))
+            return Success(None)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+    def dry_run(self, schema: SchemaData) -> Result[None]:
+        try:
+            path = self.resolve_path(self.require_option("output_path"))
+            path.parent.mkdir(parents=True, exist_ok=True)
+            if not os.access(path.parent, os.W_OK):
+                raise PermissionError(f"output directory not writable: {path.parent}")
+            return Success(None)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)

@@ -1,5 +1,35 @@
 """Transform plugins."""
 
+from cryoflow_spark.plugins.transform.cast import CastPlugin
+from cryoflow_spark.plugins.transform.dedup import DedupPlugin
+from cryoflow_spark.plugins.transform.distinct import DistinctPlugin
+from cryoflow_spark.plugins.transform.filter import FilterPlugin
+from cryoflow_spark.plugins.transform.group_agg import GroupAggPlugin
+from cryoflow_spark.plugins.transform.join import JoinPlugin
+from cryoflow_spark.plugins.transform.limit import LimitPlugin
 from cryoflow_spark.plugins.transform.multiplier import ColumnMultiplierPlugin
+from cryoflow_spark.plugins.transform.repartition import RepartitionPlugin
+from cryoflow_spark.plugins.transform.select import SelectPlugin
+from cryoflow_spark.plugins.transform.set_op import SetOpPlugin
+from cryoflow_spark.plugins.transform.sort import SortPlugin
+from cryoflow_spark.plugins.transform.sql import SqlPlugin
+from cryoflow_spark.plugins.transform.window import WindowPlugin
+from cryoflow_spark.plugins.transform.with_column import WithColumnPlugin
 
-__all__ = ["ColumnMultiplierPlugin"]
+__all__ = [
+    "CastPlugin",
+    "ColumnMultiplierPlugin",
+    "DedupPlugin",
+    "DistinctPlugin",
+    "FilterPlugin",
+    "GroupAggPlugin",
+    "JoinPlugin",
+    "LimitPlugin",
+    "RepartitionPlugin",
+    "SelectPlugin",
+    "SetOpPlugin",
+    "SortPlugin",
+    "SqlPlugin",
+    "WindowPlugin",
+    "WithColumnPlugin",
+]

@@ -1,0 +1,68 @@
+"""Shared transform-plugin base with analyzer-backed dry runs.
+
+Reference plugins hand-write schema simulation (multiplier.py:44-85); our
+built-ins instead run the *identical* transformation over an empty frame
+and let Spark's analyzer produce/validate the schema (core/schema_utils).
+This guarantees dry_run and execute can never disagree — a strictly
+stronger contract than the reference's, at zero I/O cost.
+"""
+
+from __future__ import annotations
+
+from abc import abstractmethod
+
+from cryoflow_spark.core.plugin import FrameData, SchemaData, TransformPlugin
+from cryoflow_spark.core.result import Failure, Result, Success
+from cryoflow_spark.core.schema_utils import empty_frame
+
+
+class AnalyzedTransformPlugin(TransformPlugin):
+    """Transform whose dry_run replays ``_transform`` on an empty frame."""
+
+    @abstractmethod
+    def _transform(self, data: FrameData) -> FrameData:
+        """The lazy-plan transformation (may raise; wrapped by execute)."""
+
+    def execute(self, data: FrameData) -> Result[FrameData]:
+        try:
+            return Success(self._transform(data))
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+    def dry_run(self, schema: SchemaData) -> Result[SchemaData]:
+        try:
+            spark = self._require_session()
+            return Success(self._transform(empty_frame(spark, schema)).schema)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+
+class SiblingAwareTransformPlugin(AnalyzedTransformPlugin):
+    """Analyzer-backed transform that reads sibling labeled streams.
+
+    During ``dry_run`` sibling *frames* are synthesized as empty frames
+    from the sibling *schemas* the pipeline provides, so the same
+    ``_transform`` body serves both paths.
+    """
+
+    wants_siblings = True
+
+    def sibling_frame(self, label: str) -> FrameData:
+        """Resolve a sibling stream to a DataFrame (execute or dry-run)."""
+        sib = getattr(self, "_siblings", None)
+        if sib is not None and label in sib:
+            res = sib[label]
+            if not res.is_success:
+                raise res.failure()
+            return res.unwrap()
+        schemas = getattr(self, "_sibling_schemas", None)
+        if schemas is not None and label in schemas:
+            res = schemas[label]
+            if not res.is_success:
+                raise res.failure()
+            return empty_frame(self._require_session(), res.unwrap())
+        raise KeyError(f"no input stream with label '{label}'")
+
+    def dry_run(self, schema: SchemaData) -> Result[SchemaData]:
+        # Same as parent; sibling_frame() transparently uses schemas.
+        return super().dry_run(schema)

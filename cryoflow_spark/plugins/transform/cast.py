@@ -1,0 +1,35 @@
+"""Cast columns to new types.
+
+Covers the reference's ``df.cast({...})`` vocabulary
+(examples/generate_sample_data.py:82-91; SURVEY.md §2B). Options:
+
+- ``casts`` (required): mapping column → Spark type name
+  (``{"l_quantity" = "int", "l_shipdate" = "date"}``)
+- ``strict`` (default True): unknown column is an error (False skips)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+
+
+class CastPlugin(AnalyzedTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "cast"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        casts = self.require_option("casts")
+        strict = self.options.get("strict", True)
+        existing = set(data.columns)
+        out = {}
+        for col, dtype in casts.items():
+            if col not in existing:
+                if strict:
+                    raise KeyError(f"column '{col}' not found in input frame")
+                continue
+            out[col] = F.col(col).cast(dtype)
+        return data.withColumns(out) if out else data

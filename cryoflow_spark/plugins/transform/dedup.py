@@ -1,0 +1,81 @@
+"""Deduplication transform — exact and near-duplicate modes.
+
+Engine extension for large-scale training-data pipelines (BASELINE.json
+``north_star``). Modes (option ``method``):
+
+- ``exact`` (default): hash-groupBy on ``subset`` (or all columns);
+  deterministic survivor via ``keep_order_by`` like the distinct plugin.
+- ``minhash``: MinHash-LSH near-dup over a text column — delegates to
+  ``cryoflow_spark.functions.dedup.minhash_dedup``; options ``column``,
+  ``num_hashes``, ``bands``, ``shingle_size``, ``threshold``.
+- ``simhash``: SimHash near-dup; options ``column``, ``bits``,
+  ``hamming_threshold``.
+- ``ngram_jaccard``: pairwise n-gram Jaccard within blocks; options
+  ``column``, ``ngram``, ``threshold``, ``block_by``.
+
+All near-dup modes return the frame with duplicates removed (keeping the
+lowest ``id_column`` per duplicate cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+
+
+class DedupPlugin(AnalyzedTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "dedup"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        method = self.options.get("method", "exact")
+        if method == "exact":
+            subset = self.options.get("subset")
+            keep = self.options.get("keep_order_by")
+            if not subset:
+                return data.distinct()
+            if not keep:
+                return data.dropDuplicates(list(subset))
+            from cryoflow_spark.core.schema_utils import order_exprs
+
+            w = Window.partitionBy(*subset).orderBy(*order_exprs(keep))
+            return (
+                data.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+
+        from cryoflow_spark.functions import dedup as D
+
+        column = self.require_option("column")
+        id_column = self.options.get("id_column", "doc_id")
+        if method == "minhash":
+            return D.minhash_dedup(
+                data,
+                text_col=column,
+                id_col=id_column,
+                num_hashes=int(self.options.get("num_hashes", 64)),
+                bands=int(self.options.get("bands", 16)),
+                shingle_size=int(self.options.get("shingle_size", 3)),
+                threshold=float(self.options.get("threshold", 0.8)),
+            )
+        if method == "simhash":
+            return D.simhash_dedup(
+                data,
+                text_col=column,
+                id_col=id_column,
+                hamming_threshold=int(self.options.get("hamming_threshold", 3)),
+            )
+        if method == "ngram_jaccard":
+            return D.ngram_jaccard_dedup(
+                data,
+                text_col=column,
+                id_col=id_column,
+                ngram=int(self.options.get("ngram", 3)),
+                threshold=float(self.options.get("threshold", 0.8)),
+            )
+        raise ValueError(f"invalid dedup method '{method}'")

@@ -1,0 +1,43 @@
+"""Distinct / drop-duplicates transform (``unique`` in the reference's
+re-exported vocabulary, SURVEY §2B set ops).
+
+Options:
+
+- ``subset`` (optional): columns defining duplicate identity; without it,
+  full-row distinct.
+- ``keep_order_by`` (optional): when ``subset`` is given, a list of SQL
+  order expressions choosing WHICH row survives per duplicate group
+  (e.g. ``["updated_at DESC"]``) — implemented as a row_number window,
+  making survivor choice deterministic (plain ``dropDuplicates`` keeps
+  an arbitrary row, which is not reproducible across runs at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+
+
+class DistinctPlugin(AnalyzedTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "distinct"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        subset = self.options.get("subset")
+        if not subset:
+            return data.distinct()
+        keep = self.options.get("keep_order_by")
+        if not keep:
+            return data.dropDuplicates(list(subset))
+        from cryoflow_spark.core.schema_utils import order_exprs
+
+        w = Window.partitionBy(*subset).orderBy(*order_exprs(keep))
+        return (
+            data.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )

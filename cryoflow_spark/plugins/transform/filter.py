@@ -1,0 +1,28 @@
+"""Filter transform: SQL predicate over the stream.
+
+Covers the reference's documented ``df.filter(expr)`` vocabulary incl.
+compound ``&``/``|`` predicates (docs/plugin_development.md:545-546,
+:1511-1512) — expressed as one SQL predicate string so configs stay
+declarative. Options:
+
+- ``predicate`` (required) — e.g. ``"l_quantity < 5 AND l_discount >= 0.05"``
+
+Scale: a declarative predicate lets Catalyst push it into the scan
+(PushedFilters) — never filter in Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+
+
+class FilterPlugin(AnalyzedTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "filter"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        return data.filter(F.expr(self.require_option("predicate")))

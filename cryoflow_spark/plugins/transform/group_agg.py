@@ -1,0 +1,41 @@
+"""Group-by aggregation transform.
+
+Covers the reference's ``df.group_by(k).agg(...)`` vocabulary and the
+multi-key/multi-agg config example (docs/plugin_development.md:1221-1227,
+:1522-1523, :1565-1568). Options:
+
+- ``group_by``: list of key columns (empty → global aggregation)
+- ``aggs`` (required): mapping alias → SQL aggregate expression, e.g.
+  ``{total = "sum(amount)", avg_qty = "avg(quantity)"}``
+- ``cube`` / ``rollup`` (default False): hierarchical grouping-set modes
+  (engine extension; absent from the reference per SURVEY §2B)
+
+Scale: Spark plans partial (map-side) aggregation automatically; prefer
+``approx_count_distinct`` over ``count(distinct ...)`` in the agg exprs
+for high-cardinality keys at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+
+
+class GroupAggPlugin(AnalyzedTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "group_agg"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        keys = self.options.get("group_by", [])
+        aggs = self.require_option("aggs")
+        agg_cols = [F.expr(sql).alias(alias) for alias, sql in aggs.items()]
+        if self.options.get("cube"):
+            grouped = data.cube(*keys)
+        elif self.options.get("rollup"):
+            grouped = data.rollup(*keys)
+        else:
+            grouped = data.groupBy(*keys)
+        return grouped.agg(*agg_cols)

@@ -1,0 +1,91 @@
+"""Multi-stream join transform.
+
+The reference documents multi-stream configs feeding a join
+(docs/plugin_development.md:1249-1295, docs/spec.md:488-507) but ships no
+joining plugin; this built-in closes that gap (SURVEY.md §7 design note).
+The plugin's label selects the LEFT stream; ``right_label`` names the
+sibling stream to join. Options:
+
+- ``right_label`` (required): label of the right-hand stream
+- ``on``: join key column name(s) shared by both sides, OR
+- ``condition``: SQL join condition referencing ``left.*`` / ``right.*``
+- ``how`` (default ``inner``): inner/left/right/full/left_semi/left_anti/cross
+- ``broadcast`` (default False): hint the right side as broadcast —
+  set for dimension tables so no shuffle happens at any scale
+- ``suffix`` (default ``_right``): suffix applied to right-side columns
+  that collide with left-side names (Polars join parity)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import SiblingAwareTransformPlugin
+
+_VALID_HOW = {
+    "inner", "left", "right", "full", "outer", "left_semi", "semi",
+    "left_anti", "anti", "cross",
+}
+
+
+class JoinPlugin(SiblingAwareTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "join"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        right_label = self.require_option("right_label")
+        how = self.options.get("how", "inner")
+        if how not in _VALID_HOW:
+            raise ValueError(f"invalid join type '{how}'")
+        right = self.sibling_frame(right_label)
+        if self.options.get("broadcast", False):
+            right = F.broadcast(right)
+
+        on = self.options.get("on")
+        condition = self.options.get("condition")
+        if on is None and condition is None and how != "cross":
+            raise ValueError("join requires 'on' or 'condition' option")
+
+        left_cols = list(data.columns)
+        right_cols = list(right.columns)
+        left = data.alias("left")
+        right = right.alias("right")
+
+        keys: list[str] = []
+        if how == "cross":
+            joined = left.crossJoin(right)
+        elif on is not None:
+            keys = [on] if isinstance(on, str) else list(on)
+            cond = None
+            for k in keys:
+                eq = F.col(f"left.{k}") == F.col(f"right.{k}")
+                cond = eq if cond is None else cond & eq
+            joined = left.join(right, on=cond, how=how)
+        else:
+            joined = left.join(right, on=F.expr(condition), how=how)
+
+        # Semi/anti keep only left columns — nothing to disambiguate.
+        if how in ("left_semi", "semi", "left_anti", "anti"):
+            return joined
+
+        # Project to Polars-style output: left columns as-is; right key
+        # columns dropped for `on` joins (they equal the left keys);
+        # remaining right-side name collisions get a suffix.
+        suffix = self.options.get("suffix", "_right")
+        out = []
+        for c in left_cols:
+            if c in keys and how in ("right", "full", "outer"):
+                # Unmatched right rows carry the key only on the right side.
+                out.append(
+                    F.coalesce(F.col(f"left.{c}"), F.col(f"right.{c}")).alias(c)
+                )
+            else:
+                out.append(F.col(f"left.{c}").alias(c))
+        for c in right_cols:
+            if c in keys:
+                continue
+            name = c + suffix if c in left_cols else c
+            out.append(F.col(f"right.{c}").alias(name))
+        return joined.select(*out)

@@ -1,0 +1,20 @@
+"""Limit / head transform (docs/plugin_development.md ``head``/``limit``).
+
+Options: ``n`` (required). Combined with a preceding sort, Spark plans
+``TakeOrderedAndProject`` (per-partition top-k heap + driver merge) —
+no full global sort even at 100 TB.
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+
+
+class LimitPlugin(AnalyzedTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "limit"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        return data.limit(int(self.require_option("n")))

@@ -1,0 +1,47 @@
+"""Partitioning control transform (engine extension — scale knob).
+
+Options:
+
+- ``num_partitions``: target partition count
+- ``by``: columns for hash partitioning (co-locates later joins/aggs)
+- ``range_by``: columns for range partitioning (sorted layouts)
+- ``coalesce`` (default False): shrink without shuffle
+
+At 100 TB this is the operator that aligns data layout with downstream
+shuffles — repartition by join key once, reuse across stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+
+
+class RepartitionPlugin(AnalyzedTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "repartition"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        n = self.options.get("num_partitions")
+        by = self.options.get("by")
+        range_by = self.options.get("range_by")
+        if self.options.get("coalesce", False):
+            if n is None:
+                raise ValueError("coalesce requires 'num_partitions'")
+            return data.coalesce(int(n))
+        if range_by:
+            cols = [F.col(c) for c in range_by]
+            return (
+                data.repartitionByRange(int(n), *cols)
+                if n
+                else data.repartitionByRange(*cols)
+            )
+        if by:
+            cols = [F.col(c) for c in by]
+            return data.repartition(int(n), *cols) if n else data.repartition(*cols)
+        if n is None:
+            raise ValueError("repartition requires 'num_partitions' or 'by'")
+        return data.repartition(int(n))

@@ -1,0 +1,38 @@
+"""Projection transform: select / computed exprs / drop / rename.
+
+Covers the reference's documented projection vocabulary
+(docs/plugin_development.md:1507-1519, :1570-1571): ``select``,
+``with_columns``-style exprs, ``drop``, ``alias``/rename. Options (any
+combination, applied in this order):
+
+- ``columns``: list of column names to keep
+- ``exprs``: list of SQL expressions (``"a + b AS total"``)
+- ``drop``: list of column names to remove
+- ``rename``: mapping old → new
+
+Scale: explicit projection enables column pruning down to the scan.
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+
+
+class SelectPlugin(AnalyzedTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "select"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        columns = self.options.get("columns")
+        exprs = self.options.get("exprs")
+        if columns or exprs:
+            data = data.selectExpr(*(columns or []), *(exprs or []))
+        drop = self.options.get("drop")
+        if drop:
+            data = data.drop(*drop)
+        rename = self.options.get("rename")
+        if rename:
+            data = data.withColumnsRenamed(dict(rename))
+        return data

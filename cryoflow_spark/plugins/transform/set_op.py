@@ -1,0 +1,48 @@
+"""Set operations across labeled streams: union / intersect / except.
+
+Covers ``pl.concat`` + set vocabulary (SURVEY §2B). The plugin's label is
+the left stream; ``right_label`` the sibling. Options:
+
+- ``right_label`` (required)
+- ``op`` (required): ``union_all`` | ``union`` (distinct) | ``intersect``
+  | ``except``
+- ``by_name`` (default True): union matches columns by name
+  (``unionByName``); False = positional
+- ``allow_missing_columns`` (default False): unionByName fills missing
+  columns with null
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import SiblingAwareTransformPlugin
+
+
+class SetOpPlugin(SiblingAwareTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "set_op"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        right = self.sibling_frame(self.require_option("right_label"))
+        op = self.require_option("op")
+        if op in ("union_all", "union"):
+            if self.options.get("by_name", True):
+                out = data.unionByName(
+                    right,
+                    allowMissingColumns=self.options.get(
+                        "allow_missing_columns", False
+                    ),
+                )
+            else:
+                out = data.union(right)
+            return out.distinct() if op == "union" else out
+        if op == "intersect":
+            return data.intersect(right)
+        if op == "intersect_all":
+            return data.intersectAll(right)
+        if op == "except":
+            return data.subtract(right)
+        if op == "except_all":
+            return data.exceptAll(right)
+        raise ValueError(f"invalid set op '{op}'")

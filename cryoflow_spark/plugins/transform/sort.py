@@ -1,0 +1,45 @@
+"""Sort transform.
+
+Covers ``df.sort(col, descending=True)``
+(docs/plugin_development.md:1528-1529). Options:
+
+- ``by`` (required): column name or list
+- ``descending`` (default False): bool or per-column list
+- ``nulls_last`` (default False — Polars parity: nulls first on asc)
+
+Scale: a global sort is a range-partitioned shuffle; prefer
+``sortWithinPartitions`` semantics (option ``within_partitions=true``)
+when only per-partition order matters (e.g. pre-write clustering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+
+
+class SortPlugin(AnalyzedTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "sort"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        by = self.require_option("by")
+        cols = [by] if isinstance(by, str) else list(by)
+        descending = self.options.get("descending", False)
+        if isinstance(descending, bool):
+            descending = [descending] * len(cols)
+        nulls_last = self.options.get("nulls_last", False)
+
+        order = []
+        for col, desc in zip(cols, descending):
+            c = F.col(col)
+            if desc:
+                order.append(c.desc_nulls_last() if nulls_last else c.desc_nulls_first())
+            else:
+                order.append(c.asc_nulls_last() if nulls_last else c.asc_nulls_first())
+        if self.options.get("within_partitions", False):
+            return data.sortWithinPartitions(*order)
+        return data.orderBy(*order)

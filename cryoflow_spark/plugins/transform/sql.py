@@ -1,0 +1,70 @@
+"""SQL transform: run a full Spark SQL statement over the streams.
+
+Engine extension (the reference has no SQL surface — SURVEY §2B
+"explicitly absent"); gives config authors the entire Spark SQL dialect.
+The plugin's own stream is registered as view ``self`` (configurable via
+``view``); every sibling label is registered under its label name.
+
+Options:
+
+- ``query`` (required): e.g. ``"SELECT k, sum(v) AS total FROM self
+  JOIN dims ON ... GROUP BY k"``
+- ``view`` (default ``"self"``): view name for this plugin's stream
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import SiblingAwareTransformPlugin
+
+
+class SqlPlugin(SiblingAwareTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "sql"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        spark = self._require_session()
+        query = self.require_option("query")
+        main_view = self.options.get("view", "self")
+
+        # Unique suffix avoids collisions between concurrent pipelines on
+        # one session; views are swapped in under stable names via aliases.
+        run_id = uuid.uuid4().hex[:8]
+        registered: list[str] = []
+
+        def reg(name: str, df: FrameData) -> None:
+            tmp = f"cryoflow_{name}_{run_id}"
+            df.createOrReplaceTempView(tmp)
+            registered.append(tmp)
+
+        reg(main_view, data)
+        siblings = getattr(self, "_siblings", None) or {}
+        schemas = getattr(self, "_sibling_schemas", None) or {}
+        for label in set(list(siblings) + list(schemas)):
+            if label == self.label:
+                continue
+            try:
+                reg(label, self.sibling_frame(label))
+            except Exception:  # noqa: BLE001 — failed sibling: skip view
+                continue
+
+        try:
+            rewritten = query
+            for tmp in registered:
+                # tmp = cryoflow_<name>_<run_id>
+                public = tmp[len("cryoflow_"):-(len(run_id) + 1)]
+                rewritten = _replace_ident(rewritten, public, tmp)
+            return spark.sql(rewritten)
+        finally:
+            for tmp in registered:
+                spark.catalog.dropTempView(tmp)
+
+
+def _replace_ident(query: str, ident: str, replacement: str) -> str:
+    """Replace whole-word occurrences of ``ident`` in ``query``."""
+    import re
+
+    return re.sub(rf"\b{re.escape(ident)}\b", replacement, query)

@@ -1,0 +1,30 @@
+"""Window-function transform (engine extension — window functions are
+"explicitly absent" from the reference, SURVEY §2B; they come free with
+``pyspark.sql.Window``).
+
+Options:
+
+- ``columns`` (required): mapping alias → SQL window expression, e.g.
+  ``{rnk = "rank() OVER (PARTITION BY k ORDER BY v DESC)"}``
+
+Scale: one window spec = one shuffle on its partition keys; group
+same-spec expressions into one plugin instance so Spark reuses the sort.
+Always include a unique tiebreaker in ORDER BY for deterministic results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+
+
+class WindowPlugin(AnalyzedTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "window"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        columns = self.require_option("columns")
+        return data.withColumns({name: F.expr(sql) for name, sql in columns.items()})

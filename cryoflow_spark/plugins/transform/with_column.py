@@ -1,0 +1,27 @@
+"""Add/replace columns from SQL expressions.
+
+Covers the reference's ``df.with_columns(expr.alias(...))`` vocabulary
+(docs/plugin_development.md:1515-1516) incl. arithmetic, conditional
+``when/then/otherwise``, literals, string and date functions — anything
+Spark SQL can express. Options:
+
+- ``columns`` (required): mapping name → SQL expression, e.g.
+  ``{revenue = "l_extendedprice * (1 - l_discount)"}``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+
+
+class WithColumnPlugin(AnalyzedTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "with_column"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        columns = self.require_option("columns")
+        return data.withColumns({name: F.expr(sql) for name, sql in columns.items()})

@@ -1,0 +1,459 @@
+"""Extension-operator queries: dedup, similarity, text, multimodal, events.
+
+These cover the north-star operators (BASELINE.json): each is registered
+with a DuckDB oracle wherever the semantics are engine-portable. The
+float-determinism rules: every cosine is computed as an explicit
+left-fold dot product over double-cast elements — Spark's
+``zip_with``+``aggregate`` and DuckDB's ``list_reduce`` both fold
+sequentially left-to-right, so results are bit-identical. Hash-based
+candidate generation (MinHash/SimHash/LSH — xxhash64 is Spark-specific)
+is registered rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cryoflow_spark.functions import dedup as D
+from cryoflow_spark.functions import multimodal as M
+from cryoflow_spark.functions import similarity as S
+from cryoflow_spark.functions import text as X
+from cryoflow_spark.queries import load, load_events, register
+
+# --- x01: exact dedup ----------------------------------------------------
+
+
+@register(
+    "x01_dedup_exact",
+    """
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT * FROM documents UNION ALL SELECT * FROM documents
+    )
+    GROUP BY doc_id, lang, n_chars
+    """,
+    "Exact dedup: duplicated input collapses back to distinct rows (hash-groupBy)",
+)
+def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    doubled = d.unionByName(d)
+    return D.exact_dedup(doubled).select("doc_id", "lang", "n_chars")
+
+
+# --- x02: normalized-key dedup ------------------------------------------
+
+
+@register(
+    "x02_dedup_normalized",
+    """
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+    FROM (
+      SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm_key
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm_key
+      FROM documents
+    )
+    GROUP BY norm_key
+    """,
+    "Normalization dedup: lower+whitespace-collapse key, deterministic min-id survivor",
+)
+def x02_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    shifted = d.withColumn("doc_id", F.col("doc_id") + 1000000)
+    both = d.unionByName(shifted)
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return (
+        both.withColumn("norm_key", norm)
+        .groupBy("norm_key")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("doc_id", "n_dups")
+    )
+
+
+# --- x03/x04: n-gram Jaccard pairs + dedup (exact, oracle-able) ----------
+
+_JACCARD_SQL = """
+    WITH grams AS (
+      SELECT doc_id, lang,
+             list_distinct([
+               array_to_string(toks[i:i+2], ' ')
+               for i in generate_series(1, greatest(len(toks) - 2, 1))
+             ]) AS g
+      FROM (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
+        FROM documents
+      )
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.g, b.g))::DOUBLE
+             / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE AS jaccard
+    FROM grams a JOIN grams b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.g, b.g))::DOUBLE
+            / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE >= {thr}
+"""
+
+
+@register(
+    "x03_jaccard_pairs",
+    _JACCARD_SQL.format(thr=0.05),
+    "Word-3-gram Jaccard near-dup pairs, blocked by language (JVM array set algebra)",
+)
+def x03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", ngram=3, threshold=0.05, block_by="lang"
+    ).select("id_a", "id_b", "jaccard")
+
+
+@register(
+    "x04_jaccard_dedup",
+    f"""
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id_b FROM ({_JACCARD_SQL.format(thr=0.05)}))
+    """,
+    "N-gram Jaccard dedup: drop the larger id of each near-dup pair",
+)
+def x04_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_dedup(
+        d, text_col="text", id_col="doc_id", ngram=3, threshold=0.05, block_by="lang"
+    ).select("doc_id", "lang")
+
+
+# --- x05: brute-force cosine top-k ---------------------------------------
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """DuckDB sequential left-fold dot product (bit-identical to Spark's
+    zip_with+aggregate over double-cast elements)."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"[{a}[i]::DOUBLE * {b}[i]::DOUBLE for i in generate_series(1, len({a}))]"
+        f"), (acc, x) -> acc + x)"
+    )
+
+
+_COSINE_SQL = (
+    f"{_sql_dot('a.embedding', 'b.embedding')}"
+    f" / (sqrt({_sql_dot('a.embedding', 'a.embedding')})"
+    f" * sqrt({_sql_dot('b.embedding', 'b.embedding')}))"
+)
+
+
+@register(
+    "x05_cosine_topk",
+    f"""
+    SELECT * FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_COSINE_SQL} AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_COSINE_SQL} DESC, b.vec_id
+             ) AS INTEGER) AS rank
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+    "Exact ANN baseline: brute-force cosine top-5 for 10 query vectors (broadcast queries, JVM fold dot products)",
+)
+def x05_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    out = S.cosine_topk(e, queries, vec_col="embedding", id_col="vec_id", k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --- x06: embedding near-dup pairs (label-blocked, exact) ----------------
+
+
+@register(
+    "x06_embedding_neardup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_SQL} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COSINE_SQL} >= 0.4
+    """,
+    "Embedding-cosine near-dup pairs within label blocks (exact, deterministic)",
+)
+def x06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = S.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+# --- x07: LSH-bucketed ANN (scale path; rows-only) -----------------------
+
+
+@register(
+    "x07_lsh_cosine_topk",
+    None,
+    "Approximate ANN: random-hyperplane LSH buckets, exact cosine within buckets (rows-only: LSH recall is probabilistic by design)",
+)
+def x07_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return S.lsh_cosine_topk(
+        e, queries, vec_col="embedding", id_col="vec_id", k=5, bits=6, dim=64
+    )
+
+
+# --- x08: token/char counts ----------------------------------------------
+
+
+@register(
+    "x08_text_stats",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))::BIGINT
+             AS n_tokens,
+           length(text)::BIGINT AS n_chars_computed,
+           n_chars
+    FROM documents
+    """,
+    "Token counting (whitespace tokenizer) + char counts, all JVM-side",
+)
+def x08_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.char_count("text").alias("n_chars_computed"),
+        "n_chars",
+    )
+
+
+# --- x09: language identification ----------------------------------------
+
+
+def _lang_id_sql() -> str:
+    score_exprs = []
+    for code, words in X.LANG_MARKERS.items():
+        hits = " + ".join(
+            f"(CASE WHEN contains(' ' || text || ' ', ' {w} ') THEN 1 ELSE 0 END)"
+            for w in words
+        )
+        score_exprs.append(f"({hits}) AS s_{code}")
+    scores = ", ".join(score_exprs)
+    best = "greatest(" + ", ".join(f"s_{c}" for c in X.LANG_MARKERS) + ")"
+    cases = " ".join(
+        f"WHEN s_{c} > 0 AND s_{c} = {best} THEN '{c}'"
+        for c in sorted(X.LANG_MARKERS)
+    )
+    return f"""
+    SELECT lang, predicted, COUNT(*) AS n FROM (
+      SELECT lang, CASE {cases} ELSE 'und' END AS predicted
+      FROM (SELECT lang, text, {scores} FROM documents)
+    )
+    GROUP BY lang, predicted
+    """
+
+
+@register(
+    "x09_lang_id",
+    _lang_id_sql(),
+    "Language-ID heuristic (stopword-marker voting) vs labeled lang",
+)
+def x09_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", X.lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- x10: quality scoring ------------------------------------------------
+
+
+@register(
+    "x10_quality_score",
+    """
+    SELECT doc_id,
+           round(
+             least(tokens / 100.0, 1.0) * 0.4
+             + (1.0 - CASE WHEN chars > 0 THEN punct / chars ELSE 0.0 END) * 0.3
+             + least((CASE WHEN tokens > 0 THEN (chars - (tokens - 1.0)) / tokens
+                           ELSE 0.0 END) / 8.0, 1.0) * 0.3,
+             6
+           ) AS quality
+    FROM (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))::DOUBLE
+               AS tokens,
+             length(text)::DOUBLE AS chars,
+             length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))::DOUBLE AS punct
+      FROM documents
+    )
+    """,
+    "Quality heuristic from length/punctuation/word-shape ratios",
+)
+def x10_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", X.quality_score("text").alias("quality"))
+
+
+# --- x11: document fingerprinting ----------------------------------------
+
+
+@register(
+    "x11_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(
+               0::BIGINT,
+               [ascii(c)::BIGINT for c in
+                 list_filter(
+                   string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ''),
+                   c -> c != '')]
+             ),
+             (acc, c) -> (acc * 31 + c) % 1000000007
+           ) AS fp
+    FROM documents
+    """,
+    "Rabin-Karp rolling-hash fingerprint of normalized text (portable fold)",
+)
+def x11_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+# --- x12: multimodal metadata --------------------------------------------
+
+
+@register(
+    "x12_multimodal_meta",
+    """
+    SELECT doc_id AS asset_id, 'text' AS kind,
+           'text/plain; charset=utf-8' AS media_type,
+           octet_length(encode(text))::BIGINT AS byte_size
+    FROM documents
+    """,
+    "Multimodal column plumbing: binary payloads + typed metadata (no decode)",
+)
+def x12_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return M.documents_as_assets(d).select(
+        "asset_id", "kind", "media_type", "byte_size"
+    )
+
+
+# --- x13/x14: multimodal feature extraction + frame sampling (stub) ------
+
+
+@register(
+    "x13_multimodal_features",
+    None,
+    "mapInPandas Arrow-batched feature extraction over binary payloads (decode stubbed — deterministic fake features; rows-only)",
+)
+def x13_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    assets = M.documents_as_assets(d)
+    return M.extract_features(assets, dim=8)
+
+
+@register(
+    "x14_frame_sample",
+    None,
+    "1→N frame-sampling plumbing over binary payloads (rows-only)",
+)
+def x14_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    assets = M.documents_as_assets(d)
+    return M.sample_frames(assets, every_n_bytes=128, max_frames=4)
+
+
+# --- x15/x16: MinHash + SimHash near-dup (rows-only: engine hash) --------
+
+
+@register(
+    "x15_minhash_dedup",
+    None,
+    "MinHash-LSH near-dedup: shingle→signature→band→bucket-join→verify (rows-only: xxhash64 is engine-specific)",
+)
+def x15_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.minhash_dedup(
+        d, text_col="text", id_col="doc_id", num_hashes=64, bands=16,
+        shingle_size=4, threshold=0.5,
+    ).select("doc_id", "lang")
+
+
+@register(
+    "x16_simhash_pairs",
+    None,
+    "SimHash near-dup: vectorized bit-voting (Arrow pandas_udf) + pigeonhole chunk blocking (rows-only)",
+)
+def x16_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.simhash_dedup(
+        d, text_col="text", id_col="doc_id", hamming_threshold=8
+    ).select("doc_id", "lang")
+
+
+# --- x17: event sessionization -------------------------------------------
+
+
+@register(
+    "x17_sessionize",
+    """
+    SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events
+    FROM (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                           THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT)
+               AS session_id
+      FROM (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_us
+        FROM events
+      )
+    )
+    GROUP BY user_id
+    """,
+    "Sessionization: 30-min-gap session ids via window cumulative sum",
+)
+def x17_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.lag(F.unix_micros(F.col("ts"))).over(w).alias("prev_us"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    new_session = F.when(
+        F.col("prev_us").isNull()
+        | ((F.col("ts_us") - F.col("prev_us")) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    sessions = with_gap.withColumn(
+        "session_id", F.sum(new_session).over(w2).cast("bigint")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

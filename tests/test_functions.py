@@ -1,0 +1,161 @@
+"""Extension-operator function tests: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cryoflow_spark.functions import dedup as D
+from cryoflow_spark.functions import multimodal as M
+from cryoflow_spark.functions import similarity as S
+from cryoflow_spark.functions import text as X
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (5, "der hund läuft schnell und die katze ist nicht da"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = D.exact_dedup(docs, subset=["text"], keep_order_by=["doc_id ASC"])
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 2, 3, 5]  # doc 4 (exact dup, larger id) removed
+
+
+def test_minhash_dedup_removes_near_dups(docs):
+    out = D.minhash_dedup(
+        docs, text_col="text", id_col="doc_id",
+        num_hashes=64, bands=32, shingle_size=3, threshold=0.5,
+    )
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 1 in ids and 3 in ids and 5 in ids
+    assert 4 not in ids  # exact dup always removed
+    assert 2 not in ids  # near-dup (1 word of 9 differs) removed
+
+
+def test_minhash_signature_deterministic(docs):
+    sig = docs.select(
+        D.minhash_signature(D.shingle_set("text", 3), num_hashes=8).alias("s")
+    )
+    a = [r["s"] for r in sig.collect()]
+    b = [r["s"] for r in sig.collect()]
+    assert a == b
+    assert all(len(s) == 8 for s in a)
+
+
+def test_simhash_near_dup(docs):
+    out = D.simhash_dedup(docs, text_col="text", id_col="doc_id", hamming_threshold=6)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 4 not in ids  # exact dup: hamming 0
+    assert 1 in ids and 3 in ids
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = D.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", ngram=2, threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 4) in got  # exact dup → jaccard 1.0
+    assert (1, 2) in got  # near dup
+    assert all(r["jaccard"] <= 1.0 for r in pairs)
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0], 0),   # close to 1
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.0, 1.0], 2),
+        (5, [1.0, 0.01, 0.0], 0),  # very close to 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk(vectors):
+    queries = vectors.filter(F.col("vec_id") == 1)
+    out = S.cosine_topk(vectors, queries, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [5, 2]
+    assert out[0]["cosine"] > 0.99
+
+
+def test_cosine_matches_math(vectors, spark):
+    row = (
+        vectors.filter(F.col("vec_id") == 1).alias("a")
+        .crossJoin(vectors.filter(F.col("vec_id") == 3).alias("b"))
+        .select(S.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("c"))
+        .collect()[0]
+    )
+    assert row["c"] == pytest.approx(0.0)
+
+
+def test_lsh_cosine_topk_finds_close_neighbor(vectors):
+    queries = vectors.filter(F.col("vec_id") == 1)
+    out = S.lsh_cosine_topk(vectors, queries, k=2, bits=2, dim=3).collect()
+    # bits=2 → big buckets → the near-identical vector 5 must be found
+    assert any(r["neighbor_id"] == 5 for r in out)
+
+
+def test_embedding_neardup_pairs(vectors):
+    pairs = S.embedding_neardup_pairs(vectors, threshold=0.99, bits=1, dim=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(1, 5)}
+
+
+def test_token_count_and_lang_id(docs):
+    out = docs.select(
+        "doc_id",
+        X.token_count("text").alias("n"),
+        X.lang_id("text").alias("lang"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n"] == 9
+    assert by_id[1]["lang"] == "en"
+    assert by_id[5]["lang"] == "de"
+
+
+def test_quality_score_bounds(docs):
+    scores = [r["q"] for r in docs.select(X.quality_score("text").alias("q")).collect()]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        "id long, text string",
+    )
+    fps = {r["id"]: r["f"] for r in df.select("id", X.fingerprint("text").alias("f")).collect()}
+    assert fps[1] == fps[2]  # case + whitespace normalized
+    assert fps[1] != fps[3]
+
+
+def test_multimodal_features_deterministic(docs):
+    assets = M.documents_as_assets(docs, text_col="text", id_col="doc_id")
+    feats = M.extract_features(assets, dim=4).collect()
+    assert len(feats) == 5
+    assert all(len(r["features"]) == 4 for r in feats)
+    assert all(r["decode_ok"] for r in feats)
+    again = {r["asset_id"]: r["features"] for r in M.extract_features(assets, dim=4).collect()}
+    first = {r["asset_id"]: r["features"] for r in feats}
+    assert again == first
+
+
+def test_multimodal_decode_stub_raises(docs, spark):
+    assets = M.documents_as_assets(docs)
+    with pytest.raises(Exception):
+        M.extract_features(assets, dim=4, decode_stub=False).collect()
+
+
+def test_frame_sampling_shapes(docs):
+    assets = M.documents_as_assets(docs)
+    frames = M.sample_frames(assets, every_n_bytes=10, max_frames=3).collect()
+    assert all(r["frame_idx"] < 3 for r in frames)
+    assert len(frames) >= 5

@@ -1,0 +1,122 @@
+"""Source/sink plugin round-trip tests (csv, json, ipc, console)."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.ipc
+import pytest
+
+from cryoflow_spark.core.pipeline import run_pipeline
+from cryoflow_spark.core.result import is_successful
+from cryoflow_spark.plugins.input import (
+    CsvScanPlugin,
+    IpcScanPlugin,
+    JsonScanPlugin,
+    TableScanPlugin,
+)
+from cryoflow_spark.plugins.output import (
+    ConsolePlugin,
+    CsvWriterPlugin,
+    IpcWriterPlugin,
+    JsonWriterPlugin,
+)
+
+from tests.conftest import CollectOutputPlugin, DummyInputPlugin
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text("value,name\n10,a\n20,b\n30,c\n")
+    scan = CsvScanPlugin({"input_path": str(src)})
+    out = CollectOutputPlugin()
+    result = run_pipeline([scan], [], [out], spark=spark)
+    assert is_successful(result)
+    assert sorted(out.rows) == [(10, "a"), (20, "b"), (30, "c")]
+
+
+def test_csv_explicit_schema_and_separator(spark, tmp_path):
+    src = tmp_path / "in.tsv"
+    src.write_text("v;n\n1;x\n")
+    scan = CsvScanPlugin(
+        {"input_path": str(src), "separator": ";", "schema": "v INT, n STRING"}
+    )
+    scan.attach_session(spark)
+    schema = scan.dry_run().unwrap()
+    assert [f.name for f in schema.fields] == ["v", "n"]
+    df = scan.execute().unwrap()
+    assert df.collect()[0].asDict() == {"v": 1, "n": "x"}
+
+
+def test_csv_writer(spark, tmp_path):
+    inp = DummyInputPlugin()
+    writer = CsvWriterPlugin(
+        {"output_path": str(tmp_path / "out.csv"), "single_file": True}
+    )
+    result = run_pipeline([inp], [], [writer], spark=spark)
+    assert is_successful(result)
+    lines = (tmp_path / "out.csv").read_text().strip().splitlines()
+    assert lines[0] == "a,b"
+    assert len(lines) == 4
+
+
+def test_json_roundtrip(spark, tmp_path):
+    src = tmp_path / "in.jsonl"
+    src.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    scan = JsonScanPlugin({"input_path": str(src), "schema": "a BIGINT, b STRING"})
+    out = CollectOutputPlugin()
+    assert is_successful(run_pipeline([scan], [], [out], spark=spark))
+    assert sorted(out.rows) == [(1, "x"), (2, "y")]
+
+    writer = JsonWriterPlugin(
+        {"output_path": str(tmp_path / "out.jsonl"), "single_file": True}
+    )
+    inp = DummyInputPlugin()
+    assert is_successful(run_pipeline([inp], [], [writer], spark=spark))
+    got = duckdb.sql(
+        f"SELECT a, b FROM read_json_auto('{tmp_path}/out.jsonl') ORDER BY a"
+    ).fetchall()
+    assert got == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_ipc_roundtrip(spark, tmp_path):
+    table = pa.table({"value": [1, 2, 3], "name": ["x", "y", "z"]})
+    src = tmp_path / "in.arrow"
+    with pa.ipc.new_file(str(src), table.schema) as w:
+        w.write_table(table)
+
+    scan = IpcScanPlugin({"input_path": str(src)})
+    scan.attach_session(spark)
+    assert [f.name for f in scan.dry_run().unwrap().fields] == ["value", "name"]
+    out = CollectOutputPlugin()
+    assert is_successful(run_pipeline([scan], [], [out], spark=spark))
+    assert sorted(out.rows) == [(1, "x"), (2, "y"), (3, "z")]
+
+    writer = IpcWriterPlugin({"output_path": str(tmp_path / "out.arrow")})
+    inp = DummyInputPlugin()
+    assert is_successful(run_pipeline([inp], [], [writer], spark=spark))
+    back = pa.ipc.open_file(str(tmp_path / "out.arrow")).read_all()
+    assert back.num_rows == 3
+    assert back.column_names == ["a", "b"]
+
+
+def test_table_scan(spark):
+    spark.createDataFrame([(1,)], "x long").createOrReplaceTempView("reg_table")
+    scan = TableScanPlugin({"table": "reg_table"})
+    out = CollectOutputPlugin()
+    assert is_successful(run_pipeline([scan], [], [out], spark=spark))
+    assert out.rows == [(1,)]
+
+
+def test_console_output(spark, capsys):
+    inp = DummyInputPlugin()
+    console = ConsolePlugin({"n": 2})
+    assert is_successful(run_pipeline([inp], [], [console], spark=spark))
+    captured = capsys.readouterr()
+    assert "a" in captured.out and "b" in captured.out
+
+
+def test_ipc_scan_missing_file(spark):
+    scan = IpcScanPlugin({"input_path": "/nope/absent.arrow"})
+    scan.attach_session(spark)
+    assert not is_successful(scan.execute())

