@@ -1,0 +1,89 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q01_...": sec, ...}, "sf": 0.1}``
+
+Each query is forced end-to-end with a ``noop``-format write (full
+computation, no driver collect). Timings are per-query wall clock after a
+shared session warm-up.
+
+Usage: ``python bench.py [--sf-dir DIR] [--repeat N] [query ...]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+
+def consume(df) -> None:
+    """Force full computation without materializing on the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    parser.add_argument("--repeat", type=int, default=1)
+    parser.add_argument("queries", nargs="*")
+    args = parser.parse_args()
+
+    from cryoflow_spark.core.session import get_session
+    from cryoflow_spark.queries import all_queries
+
+    spark = get_session(app_name="cryoflow-bench")
+    registry = all_queries()
+    selected = (
+        {k: v for k, v in registry.items() if k in set(args.queries)}
+        if args.queries
+        else registry
+    )
+
+    # Warm up the JVM + parquet footers with one tiny action.
+    spark.read.parquet(f"{args.sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(selected):
+        spec = selected[name]
+        best = None
+        for _ in range(max(1, args.repeat)):
+            start = time.perf_counter()
+            consume(spec.fn(spark, args.sf_dir))
+            elapsed = time.perf_counter() - start
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 4)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    sf_name = Path(args.sf_dir).name
+    try:
+        sf = float(sf_name.replace("sf", ""))
+    except ValueError:
+        sf = sf_name
+
+    print(
+        json.dumps(
+            {
+                "metric": f"total_sec_{len(timings)}_queries",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

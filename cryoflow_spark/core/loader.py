@@ -70,6 +70,7 @@ BUILTIN_MODULES: dict[str, str] = {
     "sql": "cryoflow_spark.plugins.transform.sql",
     "dedup": "cryoflow_spark.plugins.transform.dedup",
     "repartition": "cryoflow_spark.plugins.transform.repartition",
+    "watermark": "cryoflow_spark.streaming.watermark",
     # output
     "parquet_writer": "cryoflow_spark.plugins.output.parquet_writer",
     "csv_writer": "cryoflow_spark.plugins.output.csv_writer",

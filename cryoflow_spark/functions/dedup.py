@@ -45,6 +45,34 @@ def token_set(text_col: str):
     )
 
 
+def _minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature_from_hashes(hashes_col, num_hashes: int = 64, seed: int = 42):
+    """Column: MinHash signature from a pre-reduced array<long> of base
+    hashes (each already ``pmod(xxhash64(s), p)``).
+
+    The i-th permutation is the affine rehash ``(a_i*h + b_i) mod p``;
+    with h, a < 2^31 every intermediate stays < 2^62 — safe under ANSI
+    arithmetic. Seeded constants make signatures deterministic across
+    runs and executors.
+    """
+    mins = [
+        F.array_min(
+            F.transform(hashes_col, lambda h: F.pmod(a * h + b, F.lit(_MERSENNE_31)))
+        )
+        for a, b in _minhash_coeffs(num_hashes, seed)
+    ]
+    return F.array(*mins)
+
+
 def minhash_signature(
     shingles_col,
     num_hashes: int = 64,
@@ -52,29 +80,48 @@ def minhash_signature(
 ):
     """Column: array<long> MinHash signature of an array-of-string column.
 
-    Base hash is ``xxhash64`` (JVM, vectorized); the i-th permutation is
-    the affine rehash ``(a_i * h + b_i) mod p`` with fixed seeded
-    constants, so signatures are deterministic across runs and clusters.
+    Convenience wrapper: reduces ``xxhash64`` base hashes then applies
+    the affine family. When computing many signatures, materialize the
+    base-hash array once (see ``minhash_dedup``) instead.
     """
-    import random
-
-    rng = random.Random(seed)
-    coeffs = [
-        (rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
-        for _ in range(num_hashes)
-    ]
-    # Reduce the 64-bit base hash mod p first so a*h+b stays < 2^62 —
-    # no overflow under ANSI arithmetic (a, h < 2^31).
     base = F.transform(
         shingles_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31))
     )
-    mins = [
-        F.array_min(
-            F.transform(base, lambda h: F.pmod(a * h + b, F.lit(_MERSENNE_31)))
-        )
-        for a, b in coeffs
-    ]
-    return F.array(*mins)
+    return minhash_signature_from_hashes(base, num_hashes, seed)
+
+
+def minhash_signature_vectorized(hashes_col, num_hashes: int = 64, seed: int = 42):
+    """Column: MinHash signature via a numpy-vectorized Arrow pandas_udf.
+
+    Produces the IDENTICAL signature as ``minhash_signature_from_hashes``
+    (same affine family over the same base hashes) but computes all
+    ``num_hashes`` minima in one numpy broadcast per document —
+    Spark's higher-order-function lambdas are interpreted per element,
+    which at 64 hashes × thousands of shingles per doc dominates the
+    runtime; numpy does the same arithmetic two orders of magnitude
+    faster. All int64 ops stay exact (values < 2^62).
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _sig(hash_arrays: pd.Series) -> pd.Series:
+        out = []
+        empty = ((a_vec * 0 + b_vec) % _MERSENNE_31).tolist()
+        for hashes in hash_arrays:
+            if hashes is None or len(hashes) == 0:
+                out.append(empty)
+                continue
+            h = np.asarray(hashes, dtype=np.int64)
+            # (n_shingles, num_hashes) affine rehash, min over shingles.
+            sig = (h[:, None] * a_vec[None, :] + b_vec[None, :]) % _MERSENNE_31
+            out.append(sig.min(axis=0).tolist())
+        return pd.Series(out)
+
+    return _sig(hashes_col)
 
 
 def _lsh_candidate_pairs(
@@ -130,33 +177,80 @@ def minhash_dedup(
     bands: int = 16,
     shingle_size: int = 3,
     threshold: float = 0.8,
+    verify: str = "estimate",
 ) -> DataFrame:
-    """Remove near-duplicate rows via MinHash-LSH + exact Jaccard verify.
+    """Remove near-duplicate rows via MinHash-LSH.
 
-    Pipeline: shingle → signature → banded candidates → verify true
-    Jaccard on shingle sets → drop the larger id of each verified pair.
+    Pipeline: shingle → signature → banded candidates → verify → drop the
+    larger id of each verified pair.
+
+    ``verify``:
+
+    - ``"estimate"`` (default, the 100 TB path): the candidate's Jaccard
+      is estimated as the fraction of agreeing signature components —
+      O(num_hashes) per pair on the already-computed signatures, std-err
+      ≈ sqrt(t(1-t)/num_hashes) (≈0.06 at 64 hashes).
+    - ``"exact"``: true Jaccard on the full shingle sets — exact but
+      costs O(|shingles|) per candidate pair; use when candidate volume
+      is small or precision is critical.
     """
     with_sets = df.withColumn("__shingles", shingle_set(text_col, shingle_size))
-    with_sig = with_sets.withColumn(
-        "__sig", minhash_signature(F.col("__shingles"), num_hashes)
+    # Materialize the reduced base hashes ONCE; the affine rehashes then
+    # scan a ready long array instead of re-hashing every shingle 64×.
+    with_base = with_sets.withColumn(
+        "__h",
+        F.transform(
+            F.col("__shingles"),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)),
+        ),
     )
-    candidates = _lsh_candidate_pairs(with_sig, id_col, "__sig", num_hashes, bands)
+    with_sig = with_base.withColumn(
+        "__sig", minhash_signature_vectorized(F.col("__h"), num_hashes)
+    ).drop("__h")
 
-    sets = with_sets.select(F.col(id_col), F.col("__shingles"))
-    verified = (
-        candidates.join(
-            sets.withColumnsRenamed({id_col: "id_a", "__shingles": "__set_a"}), "id_a"
+    if verify == "estimate":
+        # Signatures are tiny (num_hashes longs) — keep only (id, sig)
+        # and let the candidate join carry both sides' signatures.
+        sigs = with_sig.select(F.col(id_col), F.col("__sig"))
+        candidates = _lsh_candidate_pairs(sigs, id_col, "__sig", num_hashes, bands)
+        sig_a = sigs.withColumnsRenamed({id_col: "id_a", "__sig": "__sig_a"})
+        sig_b = sigs.withColumnsRenamed({id_col: "id_b", "__sig": "__sig_b"})
+        agree = F.size(
+            F.filter(
+                F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
         )
-        .join(
-            sets.withColumnsRenamed({id_col: "id_b", "__shingles": "__set_b"}), "id_b"
+        verified = (
+            candidates.join(sig_a, "id_a")
+            .join(sig_b, "id_b")
+            .withColumn("__jaccard_est", agree / F.lit(num_hashes))
+            .filter(F.col("__jaccard_est") >= threshold)
         )
-        .withColumn(
-            "__jaccard",
-            F.size(F.array_intersect("__set_a", "__set_b"))
-            / F.size(F.array_union("__set_a", "__set_b")),
+    elif verify == "exact":
+        candidates = _lsh_candidate_pairs(
+            with_sig, id_col, "__sig", num_hashes, bands
         )
-        .filter(F.col("__jaccard") >= threshold)
-    )
+        sets = with_sets.select(F.col(id_col), F.col("__shingles"))
+        verified = (
+            candidates.join(
+                sets.withColumnsRenamed({id_col: "id_a", "__shingles": "__set_a"}),
+                "id_a",
+            )
+            .join(
+                sets.withColumnsRenamed({id_col: "id_b", "__shingles": "__set_b"}),
+                "id_b",
+            )
+            .withColumn(
+                "__jaccard",
+                F.size(F.array_intersect("__set_a", "__set_b"))
+                / F.size(F.array_union("__set_a", "__set_b")),
+            )
+            .filter(F.col("__jaccard") >= threshold)
+        )
+    else:
+        raise ValueError(f"invalid verify mode '{verify}'")
+
     to_remove = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(to_remove, on=id_col, how="left_anti")
 
@@ -268,25 +362,46 @@ def ngram_jaccard_pairs(
     base = df.select(
         F.col(id_col),
         grams.alias("__grams"),
-        *( [F.col(block_by).alias("__block")] if block_by else [F.lit(1).alias("__block")] ),
+        *(
+            [F.col(block_by).alias("__block")]
+            if block_by
+            else [F.lit(1).alias("__block")]
+        ),
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    return (
+    # Set-similarity join via inverted index (scale path): explode grams to
+    # an index, count shared grams per candidate pair with a hash
+    # aggregation, then jaccard = shared / (|A| + |B| - shared). This
+    # replaces per-pair O(|grams|) array intersections with a sparse
+    # equi-join on the gram — the standard formulation that survives
+    # block sizes the all-pairs array version cannot.
+    sized = base.withColumn("__n", F.size("__grams"))
+    index = sized.select(
+        F.col(id_col), "__block", "__n", F.explode("__grams").alias("__gram")
+    )
+    a = index.alias("a")
+    b = index.alias("b")
+    shared = (
         a.join(
             b,
-            (F.col("a.__block") == F.col("b.__block"))
+            (F.col("a.__gram") == F.col("b.__gram"))
+            & (F.col("a.__block") == F.col("b.__block"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            (
-                F.size(F.array_intersect("a.__grams", "b.__grams"))
-                / F.size(F.array_union("a.__grams", "b.__grams"))
-            ).alias("jaccard"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    return (
+        shared.withColumn(
+            "jaccard",
+            F.col("__shared") / (F.col("__na") + F.col("__nb") - F.col("__shared")),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -56,17 +56,27 @@ def cosine_topk(
     by neighbor id for determinism.
     """
     qid = query_id_col or id_col
+    # Norms are per-row — compute once before the join instead of three
+    # fold traversals per candidate pair.
     q = queries.select(
-        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qnorm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cnorm"),
     )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("__qvec"), F.col("__cvec")))
+        .withColumn(
+            "cosine",
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qnorm") * F.col("__cnorm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -139,17 +149,23 @@ def lsh_cosine_topk(
     q = sig(queries).select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qnorm"),
         "__bucket",
     )
     c = sig(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cnorm"),
         "__bucket",
     )
     scored = (
         q.join(c, "__bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("__qvec"), F.col("__cvec")))
+        .withColumn(
+            "cosine",
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qnorm") * F.col("__cnorm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -172,7 +188,12 @@ def embedding_neardup_pairs(
     """(id_a, id_b, cosine) pairs with cosine ≥ threshold, LSH-blocked."""
     sigs = df.withColumn(
         "__bucket", hyperplane_signature(vec_col, dim=dim, bits=bits)
-    ).select(F.col(id_col), F.col(vec_col), "__bucket")
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("__norm"),
+        "__bucket",
+    )
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
@@ -184,7 +205,10 @@ def embedding_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+            (
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a.__norm") * F.col("b.__norm"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -29,7 +29,9 @@ class GroupAggPlugin(AnalyzedTransformPlugin):
         return "group_agg"
 
     def _transform(self, data: FrameData) -> FrameData:
-        keys = self.options.get("group_by", [])
+        # Keys may be plain column names OR expressions (e.g. a streaming
+        # time window "window(ts, '5 minutes')") — parse all via expr.
+        keys = [F.expr(k) for k in self.options.get("group_by", [])]
         aggs = self.require_option("aggs")
         agg_cols = [F.expr(sql).alias(alias) for alias, sql in aggs.items()]
         if self.options.get("cube"):

@@ -181,10 +181,17 @@ def x05_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Embedding-cosine near-dup pairs within label blocks (exact, deterministic)",
 )
 def x06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        S.norm(F.col("embedding")).alias("__norm"),
+    )
     a = e.alias("a")
     b = e.alias("b")
-    cos = S.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cos = S.dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.__norm") * F.col("b.__norm")
+    )
     return (
         a.join(
             b,

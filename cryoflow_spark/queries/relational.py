@@ -28,25 +28,25 @@ from cryoflow_spark.queries import load, load_events, register
 
 def dsum(expr, alias: str, scale: int = 2):
     """Order-independent SUM over doubles: exact decimal accumulator."""
-    return F.sum(expr.cast(f"decimal(38,{scale})")).cast("double").alias(alias)
+    return F.sum(expr.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
 
 
 def davg(expr, alias: str, scale: int = 2):
     """Order-independent AVG: exact decimal sum, then one double division."""
     return (
-        F.sum(expr.cast(f"decimal(38,{scale})")).cast("double") / F.count(expr)
+        F.sum(expr.cast(f"decimal(18,{scale})")).cast("double") / F.count(expr)
     ).alias(alias)
 
 
 def SQL_DSUM(sql_expr: str, alias: str, scale: int = 2) -> str:
     return (
-        f"CAST(SUM(CAST({sql_expr} AS DECIMAL(38,{scale}))) AS DOUBLE) AS {alias}"
+        f"CAST(SUM(CAST({sql_expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
     )
 
 
 def SQL_DAVG(sql_expr: str, alias: str, scale: int = 2) -> str:
     return (
-        f"CAST(SUM(CAST({sql_expr} AS DECIMAL(38,{scale}))) AS DOUBLE)"
+        f"CAST(SUM(CAST({sql_expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
         f" / COUNT({sql_expr}) AS {alias}"
     )
 
@@ -514,7 +514,7 @@ def q15_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
            DATE_TRUNC('month', o_orderdate) AS month_start,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY yr, mo, month_start
     """,
@@ -565,7 +565,7 @@ def q17_cast_quantity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_custkey,
            COUNT(o.o_orderkey) AS n_orders,
-           COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 0.0)
+           COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0)
              AS total_spent
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey
@@ -581,7 +581,7 @@ def q18_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("o_orderkey").alias("n_orders"),
             F.coalesce(
-                F.sum(F.col("o_totalprice").cast("decimal(38,2)")).cast("double"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
                 F.lit(0.0),
             ).alias("total_spent"),
         )

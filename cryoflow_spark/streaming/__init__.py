@@ -1,0 +1,19 @@
+"""Structured Streaming extensions.
+
+The reference's "Streaming Support" is streaming *file writes*
+(``sink_parquet``), not stream processing (SURVEY.md §2B "explicitly
+absent"). This package is a pure engine extension: streaming sources and
+sinks that plug into the SAME pipeline/plugin contract — a transform
+chain built from the existing plugins works unchanged on a streaming
+DataFrame because both are lazy logical plans.
+
+Components:
+
+- ``rate_stream`` / ``file_stream`` — InputPlugins producing streaming
+  DataFrames (``spark.readStream``)
+- ``watermark`` — TransformPlugin adding an event-time watermark for
+  late-data handling in windowed aggregations
+- ``stream_writer`` — OutputPlugin running ``writeStream`` with
+  checkpointing, triggers (incl. ``available_now`` for bounded runs),
+  and console/memory/parquet/json/csv sinks
+"""

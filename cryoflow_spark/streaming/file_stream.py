@@ -1,0 +1,72 @@
+"""File-source streaming input: watch a directory for new files.
+
+Options:
+
+- ``input_path`` (required) — directory to watch
+- ``format`` (default ``parquet``) — parquet/csv/json
+- ``schema`` — DDL string; REQUIRED for csv/json (streaming readers
+  cannot infer), optional for parquet (footer metadata)
+- ``max_files_per_trigger`` (optional) — micro-batch size control;
+  the knob that bounds per-batch work when backfilling a large
+  directory at scale
+
+The returned DataFrame is a streaming plan; downstream transform plugins
+compose on it exactly as in batch mode.
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData, InputPlugin, SchemaData
+from cryoflow_spark.core.result import Failure, Result, Success
+
+
+class FileStreamPlugin(InputPlugin):
+    @property
+    def name(self) -> str:
+        return "file_stream"
+
+    def _reader(self, path: str):
+        spark = self._require_session()
+        fmt = self.options.get("format", "parquet")
+        reader = spark.readStream.format(fmt)
+        schema = self.options.get("schema")
+        if schema:
+            reader = reader.schema(schema)
+        elif fmt == "parquet":
+            # Streaming sources need a declared schema; for parquet we can
+            # take it from existing file footers (metadata-only read).
+            reader = reader.schema(spark.read.parquet(path).schema)
+        else:
+            raise ValueError(
+                f"'schema' option is required for streaming {fmt} sources"
+            )
+        if "max_files_per_trigger" in self.options:
+            reader = reader.option(
+                "maxFilesPerTrigger", int(self.options["max_files_per_trigger"])
+            )
+        if fmt == "csv":
+            reader = reader.option(
+                "header", bool(self.options.get("has_header", True))
+            )
+        return reader
+
+    def execute(self) -> Result[FrameData]:
+        try:
+            path = str(self.resolve_path(self.require_option("input_path")))
+            return Success(self._reader(path).load(path))
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+    def dry_run(self) -> Result[SchemaData]:
+        try:
+            schema = self.options.get("schema")
+            if schema:
+                from pyspark.sql.types import StructType
+
+                return Success(StructType.fromDDL(schema))
+            path = str(self.resolve_path(self.require_option("input_path")))
+            spark = self._require_session()
+            # Parquet: schema from footers, metadata-only.
+            return Success(spark.read.parquet(path).schema)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)

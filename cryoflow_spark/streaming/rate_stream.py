@@ -1,0 +1,42 @@
+"""Rate-source streaming input (testing/demo source).
+
+Options: ``rows_per_second`` (default 10), ``num_partitions`` (optional).
+Schema is fixed by Spark: ``timestamp TIMESTAMP, value BIGINT``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+from cryoflow_spark.core.plugin import FrameData, InputPlugin, SchemaData
+from cryoflow_spark.core.result import Failure, Result, Success
+
+
+class RateStreamPlugin(InputPlugin):
+    @property
+    def name(self) -> str:
+        return "rate_stream"
+
+    def execute(self) -> Result[FrameData]:
+        try:
+            spark = self._require_session()
+            reader = spark.readStream.format("rate").option(
+                "rowsPerSecond", int(self.options.get("rows_per_second", 10))
+            )
+            if "num_partitions" in self.options:
+                reader = reader.option(
+                    "numPartitions", int(self.options["num_partitions"])
+                )
+            return Success(reader.load())
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+    def dry_run(self) -> Result[SchemaData]:
+        return Success(
+            StructType(
+                [
+                    StructField("timestamp", TimestampType()),
+                    StructField("value", LongType()),
+                ]
+            )
+        )

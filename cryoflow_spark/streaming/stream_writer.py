@@ -1,0 +1,85 @@
+"""Streaming sink: ``writeStream`` with checkpointing and triggers.
+
+Options:
+
+- ``format`` (default ``parquet``): parquet/json/csv/console/memory
+- ``output_path`` — required for file formats
+- ``checkpoint`` — checkpoint dir (default: ``<output_path>/_checkpoint``
+  for file sinks; required for exactly-once recovery at scale)
+- ``output_mode`` (default ``append``)
+- ``trigger`` (default ``available_now``): ``available_now`` processes
+  everything currently available then stops (bounded run — the mode the
+  pipeline runner uses so ``cryoflow run`` terminates);
+  ``once``; or a processing-time interval string like ``"10 seconds"``
+- ``query_name`` — for the memory sink table name
+- ``timeout_sec`` (default none) — max seconds to await termination for
+  interval triggers; ``available_now``/``once`` always run to completion
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData, OutputPlugin, SchemaData
+from cryoflow_spark.core.result import Failure, Result, Success
+
+
+class StreamWriterPlugin(OutputPlugin):
+    @property
+    def name(self) -> str:
+        return "stream_writer"
+
+    def execute(self, data: FrameData) -> Result[None]:
+        try:
+            if not data.isStreaming:
+                raise ValueError(
+                    "stream_writer requires a streaming DataFrame input "
+                    "(use parquet_writer for batch frames)"
+                )
+            fmt = self.options.get("format", "parquet")
+            writer = data.writeStream.format(fmt).outputMode(
+                self.options.get("output_mode", "append")
+            )
+
+            if fmt in ("parquet", "json", "csv"):
+                path = self.resolve_path(self.require_option("output_path"))
+                path.parent.mkdir(parents=True, exist_ok=True)
+                checkpoint = self.options.get(
+                    "checkpoint", str(path / "_checkpoint")
+                )
+                writer = writer.option("path", str(path))
+                writer = writer.option("checkpointLocation", str(checkpoint))
+            elif "checkpoint" in self.options:
+                writer = writer.option(
+                    "checkpointLocation", str(self.options["checkpoint"])
+                )
+            if self.options.get("query_name"):
+                writer = writer.queryName(self.options["query_name"])
+
+            trigger = self.options.get("trigger", "available_now")
+            if trigger == "available_now":
+                writer = writer.trigger(availableNow=True)
+            elif trigger == "once":
+                writer = writer.trigger(once=True)
+            else:
+                writer = writer.trigger(processingTime=trigger)
+
+            query = writer.start()
+            if trigger in ("available_now", "once"):
+                query.awaitTermination()
+            else:
+                timeout = self.options.get("timeout_sec")
+                if timeout is not None:
+                    query.awaitTermination(float(timeout))
+                    query.stop()
+            return Success(None)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+    def dry_run(self, schema: SchemaData) -> Result[None]:
+        try:
+            fmt = self.options.get("format", "parquet")
+            if fmt in ("parquet", "json", "csv"):
+                path = self.resolve_path(self.require_option("output_path"))
+                path.parent.mkdir(parents=True, exist_ok=True)
+            return Success(None)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)

@@ -1,0 +1,26 @@
+"""Event-time watermark transform for streaming aggregations.
+
+Options: ``column`` (required, event-time timestamp column),
+``delay`` (required, e.g. ``"10 minutes"``).
+
+Combine with the ``group_agg`` plugin using a window expression, e.g.
+``group_by = ["window(ts, '5 minutes')"]`` — late rows beyond the
+watermark are dropped and completed windows are emitted/pruned from
+state, which is what bounds state size on an unbounded stream.
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+
+
+class WatermarkPlugin(AnalyzedTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "watermark"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        return data.withWatermark(
+            self.require_option("column"), self.require_option("delay")
+        )

@@ -1,0 +1,130 @@
+"""Structured Streaming plugin tests (bounded via available_now trigger)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cryoflow_spark.core.pipeline import run_dry_run_pipeline, run_pipeline
+from cryoflow_spark.core.result import is_successful
+from cryoflow_spark.plugins.transform.filter import FilterPlugin
+from cryoflow_spark.plugins.transform.group_agg import GroupAggPlugin
+from cryoflow_spark.streaming.file_stream import FileStreamPlugin
+from cryoflow_spark.streaming.stream_writer import StreamWriterPlugin
+from cryoflow_spark.streaming.watermark import WatermarkPlugin
+
+
+@pytest.fixture()
+def stream_src(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [(i, f"u{i % 3}", float(i)) for i in range(100)],
+        "event_id long, user string, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    return src
+
+
+def test_file_stream_filter_to_parquet(spark, tmp_path, stream_src):
+    out = tmp_path / "out"
+    result = run_pipeline(
+        [FileStreamPlugin({"input_path": str(stream_src)})],
+        [FilterPlugin({"predicate": "value >= 50"})],
+        [StreamWriterPlugin({"output_path": str(out), "trigger": "available_now"})],
+        spark=spark,
+    )
+    assert is_successful(result), result
+    n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
+    assert n == 50
+    assert (out / "_checkpoint").exists()
+
+
+def test_streaming_agg_with_memory_sink(spark, stream_src):
+    result = run_pipeline(
+        [FileStreamPlugin({"input_path": str(stream_src)})],
+        [
+            GroupAggPlugin(
+                {"group_by": ["user"], "aggs": {"total": "sum(value)"}}
+            )
+        ],
+        [
+            StreamWriterPlugin(
+                {
+                    "format": "memory",
+                    "output_mode": "complete",
+                    "query_name": "agg_result",
+                    "trigger": "available_now",
+                }
+            )
+        ],
+        spark=spark,
+    )
+    assert is_successful(result), result
+    rows = {r["user"]: r["total"] for r in spark.table("agg_result").collect()}
+    assert rows["u0"] == sum(float(i) for i in range(100) if i % 3 == 0)
+
+
+def test_stream_writer_rejects_batch_frame(spark, tiny_df, tmp_path):
+    writer = StreamWriterPlugin({"output_path": str(tmp_path / "x")})
+    result = writer.execute(tiny_df)
+    assert not is_successful(result)
+    assert "streaming" in str(result.failure())
+
+
+def test_watermark_plugin(spark, tmp_path, stream_src):
+    """Watermark + windowed agg over a timestamped stream."""
+    src = tmp_path / "ts_incoming"
+    src.mkdir()
+    spark.sql(
+        "SELECT timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*30) AS ts, "
+        "id AS v FROM range(20)"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    result = run_pipeline(
+        [FileStreamPlugin({"input_path": str(src)})],
+        [
+            WatermarkPlugin({"column": "ts", "delay": "1 minute"}),
+            GroupAggPlugin(
+                {
+                    "group_by": ["window(ts, '5 minutes')"],
+                    "aggs": {"n": "count(*)", "sum_v": "sum(v)"},
+                }
+            ),
+        ],
+        [
+            StreamWriterPlugin(
+                {
+                    "format": "memory",
+                    "output_mode": "complete",
+                    "query_name": "windowed",
+                    "trigger": "available_now",
+                }
+            )
+        ],
+        spark=spark,
+    )
+    assert is_successful(result), result
+    rows = spark.table("windowed").collect()
+    assert sum(r["n"] for r in rows) == 20
+    assert len(rows) == 2  # 20 rows * 30s = 10 min → two 5-min windows
+
+
+def test_file_stream_dry_run(spark, stream_src):
+    plugin = FileStreamPlugin({"input_path": str(stream_src)})
+    plugin.attach_session(spark)
+    schema = plugin.dry_run().unwrap()
+    assert [f.name for f in schema.fields] == ["event_id", "user", "value"]
+
+    csv_no_schema = FileStreamPlugin({"input_path": str(stream_src), "format": "csv"})
+    csv_no_schema.attach_session(spark)
+    assert not is_successful(csv_no_schema.execute())
+
+
+def test_dry_run_pipeline_with_stream(spark, stream_src, tmp_path):
+    result = run_dry_run_pipeline(
+        [FileStreamPlugin({"input_path": str(stream_src)})],
+        [FilterPlugin({"predicate": "value > 1"})],
+        [StreamWriterPlugin({"output_path": str(tmp_path / "o")})],
+        spark=spark,
+    )
+    assert is_successful(result), result
