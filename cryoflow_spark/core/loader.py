@@ -62,6 +62,7 @@ BUILTIN_MODULES: dict[str, str] = {
     "cast": "cryoflow_spark.plugins.transform.cast",
     "group_agg": "cryoflow_spark.plugins.transform.group_agg",
     "join": "cryoflow_spark.plugins.transform.join",
+    "asof_join": "cryoflow_spark.plugins.transform.asof_join",
     "sort": "cryoflow_spark.plugins.transform.sort",
     "limit": "cryoflow_spark.plugins.transform.limit",
     "distinct": "cryoflow_spark.plugins.transform.distinct",

@@ -1,0 +1,109 @@
+"""As-of (temporal) join — an operator Spark lacks natively.
+
+``asof_join(left, right, ...)``: for every left row, attach the most
+recent right row (per key) whose time is <= the left row's time
+(``direction="backward"``; ``"forward"`` = earliest right >= left).
+
+Spark-first implementation (SURVEY.md §2B "as-of join = union-and-window
+pattern"): tag and union both sides, then one window pass per key ordered
+by time — ``last(right_col, ignorenulls=True)`` over an unbounded-
+preceding frame carries the latest right values onto each left row.
+
+Scale properties: exactly ONE shuffle (on the key), no range-explosion
+join, state bounded by the window frame — this is the formulation that
+survives 100 TB where a theta-join ``r.ts <= l.ts`` blows up
+quadratically. Ties (equal timestamps) match the right row, same as
+DuckDB/pandas ``merge_asof`` semantics. Right rows should be unique per
+(key, time); pre-aggregate otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: Optional[str] = None,
+    direction: str = "backward",
+    tolerance_seconds: Optional[float] = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join. Output: all left columns + right's non-key columns
+    (suffixed on collision) + ``__matched_time`` (the matched right time,
+    null when no match)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    rt = right_time or left_time
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"invalid direction '{direction}'")
+
+    right_payload = [c for c in right.columns if c not in keys]
+    l_tagged = left.withColumn("__is_left", F.lit(1)).withColumn(
+        "__t", F.col(left_time)
+    )
+    # Align the union schema: left gains null right-payload columns.
+    for c in right_payload:
+        l_tagged = l_tagged.withColumn(
+            f"__r_{c}", F.lit(None).cast(dict(right.dtypes)[c])
+        )
+    r_tagged = right.withColumn("__is_left", F.lit(0)).withColumn(
+        "__t", F.col(rt)
+    )
+    # Capture right payload under __r_ names BEFORE nulling out any
+    # same-named left columns.
+    for c in right_payload:
+        r_tagged = r_tagged.withColumn(f"__r_{c}", F.col(c))
+    for c in left.columns:
+        if c not in keys:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    cols = keys + [c for c in left.columns if c not in keys] + [
+        f"__r_{c}" for c in right_payload
+    ] + ["__is_left", "__t"]
+    unioned = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
+
+    if direction == "backward":
+        # Right rows (is_left=0) sort BEFORE left rows at equal time →
+        # equal-time right rows are visible to the left row (ties match).
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+
+    carried = unioned.withColumn("__matched_time", carry(F.when(F.col("__is_left") == 0, F.col("__t"))))
+    for c in right_payload:
+        carried = carried.withColumn(f"__rc_{c}", carry(f"__r_{c}"))
+
+    out = carried.filter(F.col("__is_left") == 1)
+    if tolerance_seconds is not None:
+        delta = F.abs(
+            F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__matched_time"))
+        ) / 1e6
+        within = F.col("__matched_time").isNotNull() & (delta <= tolerance_seconds)
+        out = out.withColumn(
+            "__matched_time", F.when(within, F.col("__matched_time"))
+        )
+        for c in right_payload:
+            out = out.withColumn(f"__rc_{c}", F.when(within, F.col(f"__rc_{c}")))
+
+    left_out = [F.col(c) for c in left.columns]
+    right_out = [
+        F.col(f"__rc_{c}").alias(c + suffix if c in left.columns else c)
+        for c in right_payload
+    ]
+    return out.select(*left_out, *right_out, F.col("__matched_time"))

@@ -1,0 +1,36 @@
+"""As-of join transform plugin (multi-stream, sibling-labeled).
+
+Wraps ``cryoflow_spark.functions.asof.asof_join``. Options:
+
+- ``right_label`` (required) — sibling stream with the right side
+- ``on`` (required) — key column(s)
+- ``left_time`` (required) / ``right_time`` (default = left_time)
+- ``direction`` (default ``backward``), ``tolerance_seconds``,
+  ``suffix`` (default ``_right``)
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import SiblingAwareTransformPlugin
+
+
+class AsofJoinPlugin(SiblingAwareTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "asof_join"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        from cryoflow_spark.functions.asof import asof_join
+
+        right = self.sibling_frame(self.require_option("right_label"))
+        return asof_join(
+            data,
+            right,
+            on=self.require_option("on"),
+            left_time=self.require_option("left_time"),
+            right_time=self.options.get("right_time"),
+            direction=self.options.get("direction", "backward"),
+            tolerance_seconds=self.options.get("tolerance_seconds"),
+            suffix=self.options.get("suffix", "_right"),
+        )

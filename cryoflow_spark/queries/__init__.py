@@ -73,10 +73,8 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect registration.
+    from cryoflow_spark.queries import extensions  # noqa: F401
     from cryoflow_spark.queries import relational  # noqa: F401
+    from cryoflow_spark.queries import relational2  # noqa: F401
 
-    try:
-        from cryoflow_spark.queries import extensions  # noqa: F401
-    except ImportError:
-        pass
     return dict(REGISTRY)

@@ -1,0 +1,452 @@
+"""Relational coverage, batch 2: as-of/range joins, quantiles, pivots,
+explode, window frames, conditional/approx aggregates, date vocabulary.
+
+Same determinism discipline as batch 1 (see package docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cryoflow_spark.queries import load, load_events, register
+from cryoflow_spark.queries.relational import SQL_DSUM, dsum
+
+# --- q25: as-of join -----------------------------------------------------
+
+
+@register(
+    "q25_asof_join",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT user_id, ts, MAX(event_id) AS view_id
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, v.view_id, v.ts AS matched_time
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    "As-of join: latest view at/before each purchase — union+window, ONE shuffle (no range-explosion theta join)",
+)
+def q25_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.asof import asof_join
+
+    e = load_events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    out = asof_join(
+        purchases, views, on="user_id", left_time="ts", right_time="ts"
+    )
+    return out.select("event_id", "user_id", "view_id", "__matched_time").withColumnRenamed(
+        "__matched_time", "matched_time"
+    )
+
+
+# --- q26: exact quantiles ------------------------------------------------
+
+
+@register(
+    "q26_price_quantiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS median_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "Exact interpolated quantiles (median/p90) per group",
+)
+def q26_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+    )
+
+
+# --- q27: manual pivot ---------------------------------------------------
+
+
+@register(
+    "q27_pivot_returnflag",
+    f"""
+    SELECT l_linestatus,
+           {SQL_DSUM("CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END", 'qty_A')},
+           {SQL_DSUM("CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0 END", 'qty_N')},
+           {SQL_DSUM("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END", 'qty_R')}
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    "Pivot (wide conditional aggregation): one row per linestatus, one column per returnflag",
+)
+def q27_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    qty_for = lambda flag: F.when(  # noqa: E731
+        F.col("l_returnflag") == flag, F.col("l_quantity")
+    ).otherwise(F.lit(0))
+    return l.groupBy("l_linestatus").agg(
+        dsum(qty_for("A"), "qty_A"),
+        dsum(qty_for("N"), "qty_N"),
+        dsum(qty_for("R"), "qty_R"),
+    )
+
+
+# --- q28: explode / unnest -----------------------------------------------
+
+
+@register(
+    "q28_word_frequencies",
+    """
+    SELECT word, COUNT(*) AS n
+    FROM (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))
+               AS word
+      FROM documents WHERE lang = 'en'
+    )
+    GROUP BY word
+    HAVING COUNT(*) >= 50
+    """,
+    "explode/unnest a tokenized column + frequency filter",
+)
+def q28_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = d.filter(F.col("lang") == "en").select(
+        F.explode(
+            F.array_remove(F.split(F.col("text"), r"\s+"), "")
+        ).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 50)
+    )
+
+
+# --- q29: arg-max per group (deterministic) ------------------------------
+
+
+@register(
+    "q29_priciest_lineitem_per_flag",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+    "arg-max per group with full deterministic tiebreak",
+)
+def q29_priciest_lineitem_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        l.select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# --- q30: string cleanup vocabulary --------------------------------------
+
+
+@register(
+    "q30_string_cleanup",
+    """
+    SELECT trim(lower(regexp_replace(p_name, '[aeiou]', '', 'g'))) AS cleaned,
+           replace(p_brand, 'Brand#', 'B') AS brand_short,
+           translate(p_type, 'AEIOU', 'aeiou') AS type_lowered_vowels,
+           lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
+           COUNT(*) AS n
+    FROM part
+    GROUP BY cleaned, brand_short, type_lowered_vowels, size_padded
+    """,
+    "trim/lower/regexp_replace/replace/translate/lpad string vocabulary",
+)
+def q30_string_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.trim(
+                F.lower(F.regexp_replace("p_name", "[aeiou]", ""))
+            ).alias("cleaned"),
+            F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias(
+                "brand_short"
+            ),
+            F.translate("p_type", "AEIOU", "aeiou").alias("type_lowered_vowels"),
+            F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+        )
+        .groupBy("cleaned", "brand_short", "type_lowered_vowels", "size_padded")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- q31: window frames (running / moving aggregates) --------------------
+
+
+@register(
+    "q31_running_totals",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / LEAST(CAST(ROW_NUMBER() OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS DOUBLE), 3.0)
+             AS moving_avg3
+    FROM orders
+    """,
+    "Running sum + 3-row moving average via window frames (decimal-exact)",
+)
+def q31_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    order_spec = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order_spec)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_mov = (
+        Window.partitionBy("o_custkey").orderBy(*order_spec).rowsBetween(-2, 0)
+    )
+    w_rn = Window.partitionBy("o_custkey").orderBy(*order_spec)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec).over(w_run).cast("double").alias("running_total"),
+        (
+            F.sum(dec).over(w_mov).cast("double")
+            / F.least(F.row_number().over(w_rn).cast("double"), F.lit(3.0))
+        ).alias("moving_avg3"),
+    )
+
+
+# --- q32: rank-family windows --------------------------------------------
+
+
+@register(
+    "q32_rank_family",
+    """
+    SELECT o_orderkey,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           CAST(DENSE_RANK() OVER (ORDER BY o_orderstatus) AS INTEGER)
+             AS status_rank
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+    "ntile/percent_rank/cume_dist/dense_rank window family",
+)
+def q32_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    w2 = Window.orderBy("o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.dense_rank().over(w2).cast("int").alias("status_rank"),
+    )
+
+
+# --- q33: conditional aggregation ----------------------------------------
+
+
+@register(
+    "q33_conditional_aggs",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_large,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_finished,
+           CAST(SUM(CASE WHEN o_totalprice > 200000
+                         THEN CAST(o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS large_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "Filtered/conditional aggregation (count_if / sum-case patterns)",
+)
+def q33_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 200000
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(big, 1).otherwise(0)).cast("bigint").alias("n_large"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_finished"),
+        F.sum(
+            F.when(big, F.col("o_totalprice").cast("decimal(18,2)")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        )
+        .cast("double")
+        .alias("large_total"),
+    )
+
+
+# --- q34: date vocabulary ------------------------------------------------
+
+
+@register(
+    "q34_date_vocabulary",
+    """
+    SELECT CAST(o_orderdate AS DATE) + 30 AS due_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(isodow(o_orderdate) AS INTEGER) AS iso_weekday,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY due_date, month_end, iso_weekday, qtr
+    """,
+    "date_add/last_day/weekday/quarter temporal vocabulary",
+)
+def q34_date_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.select(
+            F.date_add(d, 30).alias("due_date"),
+            F.last_day(d).alias("month_end"),
+            (F.weekday(d) + 1).cast("int").alias("iso_weekday"),
+            F.quarter(d).cast("int").alias("qtr"),
+        )
+        .groupBy("due_date", "month_end", "iso_weekday", "qtr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- q35: approximate aggregates (rows-only: HLL sketches differ) --------
+
+
+@register(
+    "q35_approx_distinct",
+    None,
+    "approx_count_distinct (HyperLogLog++) per event_type — sketch values are engine-specific (rows-only)",
+)
+def q35_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+# --- q36: range join (binned, scale-safe) --------------------------------
+
+
+@register(
+    "q36_range_join_pairs",
+    """
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts >= a.ts
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 21600000000
+     AND (b.ts > a.ts OR a.event_id < b.event_id)
+    """,
+    "Range join (pairs within 6h per user): Spark side uses time-bucket binning so the join is an equi-join — the formulation that survives 100 TB",
+)
+def q36_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    bucket_us = 21_600_000_000  # 6h in microseconds
+    with_bucket = e.withColumn("ts_us", F.unix_micros("ts")).withColumn(
+        "bucket", F.expr(f"ts_us div {bucket_us}")
+    )
+    # Each left row probes its own bucket and the next: any pair within 6h
+    # falls in the same or adjacent bucket → equi-join on (user, bucket).
+    probe = with_bucket.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("bucket"),
+    )
+    a = probe.alias("a")
+    b = with_bucket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("b.ts_us") >= F.col("a.ts_us"))
+            & ((F.col("b.ts_us") - F.col("a.ts_us")) <= bucket_us),
+        )
+        .select(
+            F.col("a.event_id").alias("id_a"),
+            F.col("b.event_id").alias("id_b"),
+            (F.col("b.ts_us") - F.col("a.ts_us")).alias("gap_us"),
+        )
+        .distinct()
+    )
+
+
+# --- q37: null-handling vocabulary ---------------------------------------
+
+
+@register(
+    "q37_null_handling",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN prev_value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_first,
+           CAST(COUNT(coalesce(prev_value, value)) AS BIGINT) AS n_coalesced,
+           CAST(COUNT(nullif(event_type, 'error')) AS BIGINT) AS n_non_error
+    FROM (
+      SELECT user_id, value, event_type,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_value
+      FROM events
+    )
+    GROUP BY user_id
+    """,
+    "coalesce/nullif/null-counting vocabulary over a windowed stream",
+)
+def q37_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.select(
+        "user_id",
+        "value",
+        "event_type",
+        F.lag("value").over(w).alias("prev_value"),
+    )
+    return base.groupBy("user_id").agg(
+        F.sum(F.when(F.col("prev_value").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_first"),
+        F.count(F.coalesce("prev_value", "value")).cast("bigint").alias(
+            "n_coalesced"
+        ),
+        F.count(F.nullif(F.col("event_type"), F.lit("error")))
+        .cast("bigint")
+        .alias("n_non_error"),
+    )

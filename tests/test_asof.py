@@ -1,0 +1,121 @@
+"""As-of join tests (functions.asof + plugin)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from cryoflow_spark.core.pipeline import run_pipeline
+from cryoflow_spark.core.result import is_successful
+from cryoflow_spark.functions.asof import asof_join
+
+
+def ts(minute: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, minute, 0)
+
+
+@pytest.fixture()
+def trades(spark):
+    return spark.createDataFrame(
+        [(1, "A", ts(5)), (2, "A", ts(10)), (3, "B", ts(7)), (4, "B", ts(1))],
+        "trade_id long, sym string, t timestamp",
+    )
+
+
+@pytest.fixture()
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", ts(4), 100.0),
+            ("A", ts(9), 110.0),
+            ("A", ts(10), 111.0),  # equal-time: should match trade 2
+            ("B", ts(6), 50.0),
+        ],
+        "sym string, t timestamp, px double",
+    )
+
+
+def test_asof_backward(trades, quotes):
+    out = asof_join(trades, quotes, on="sym", left_time="t").collect()
+    by_trade = {r["trade_id"]: r for r in out}
+    assert by_trade[1]["px"] == 100.0  # latest quote at/before 00:05 is 00:04
+    assert by_trade[2]["px"] == 111.0  # equal timestamp matches
+    assert by_trade[3]["px"] == 50.0
+    assert by_trade[4]["px"] is None  # no quote before 00:01
+    assert by_trade[4]["__matched_time"] is None
+    assert len(out) == 4  # exactly one output row per left row
+
+
+def test_asof_forward(trades, quotes):
+    out = asof_join(
+        trades, quotes, on="sym", left_time="t", direction="forward"
+    ).collect()
+    by_trade = {r["trade_id"]: r for r in out}
+    assert by_trade[4]["px"] == 50.0  # earliest quote at/after 00:01
+    assert by_trade[1]["px"] == 110.0  # next quote after 00:05 is 00:09
+    assert by_trade[2]["px"] == 111.0  # equal time still matches
+
+
+def test_asof_tolerance(trades, quotes):
+    out = asof_join(
+        trades, quotes, on="sym", left_time="t", tolerance_seconds=60
+    ).collect()
+    by_trade = {r["trade_id"]: r for r in out}
+    assert by_trade[1]["px"] == 100.0  # 00:05-00:04 = 60s: within tolerance
+    assert by_trade[3]["px"] == 50.0  # 00:07-00:06 = 60s: within tolerance
+    assert by_trade[4]["px"] is None  # no match at all
+
+    tight = asof_join(
+        trades, quotes, on="sym", left_time="t", tolerance_seconds=30
+    ).collect()
+    by_trade = {r["trade_id"]: r for r in tight}
+    assert by_trade[1]["px"] is None  # 60s gap exceeds 30s tolerance
+    assert by_trade[1]["__matched_time"] is None
+    assert by_trade[2]["px"] == 111.0  # exact-time match: 0s gap
+
+
+def test_asof_name_collision_suffix(spark):
+    left = spark.createDataFrame(
+        [(1, "A", ts(5), 1.0)], "id long, k string, t timestamp, v double"
+    )
+    right = spark.createDataFrame(
+        [("A", ts(4), 2.0)], "k string, t timestamp, v double"
+    )
+    out = asof_join(left, right, on="k", left_time="t")
+    assert "v_right" in out.columns and "t_right" in out.columns
+    row = out.collect()[0]
+    assert row["v"] == 1.0 and row["v_right"] == 2.0
+
+
+def test_asof_plugin_via_pipeline(spark, trades, quotes):
+    from cryoflow_spark.core.plugin import FrameData, InputPlugin, SchemaData
+    from cryoflow_spark.core.result import Result, Success
+    from cryoflow_spark.plugins.transform.asof_join import AsofJoinPlugin
+
+    from tests.conftest import CollectOutputPlugin
+
+    class TradesIn(InputPlugin):
+        def execute(self) -> Result[FrameData]:
+            return Success(trades)
+
+        def dry_run(self) -> Result[SchemaData]:
+            return Success(trades.schema)
+
+    class QuotesIn(InputPlugin):
+        def execute(self) -> Result[FrameData]:
+            return Success(quotes)
+
+        def dry_run(self) -> Result[SchemaData]:
+            return Success(quotes.schema)
+
+    plugin = AsofJoinPlugin(
+        {"right_label": "quotes", "on": "sym", "left_time": "t"}
+    )
+    out = CollectOutputPlugin()
+    result = run_pipeline(
+        [TradesIn(), QuotesIn(label="quotes")], [plugin], [out], spark=spark
+    )
+    assert is_successful(result), result
+    assert len(out.rows) == 4
