@@ -72,6 +72,8 @@ BUILTIN_MODULES: dict[str, str] = {
     "dedup": "cryoflow_spark.plugins.transform.dedup",
     "repartition": "cryoflow_spark.plugins.transform.repartition",
     "watermark": "cryoflow_spark.streaming.watermark",
+    "session_window": "cryoflow_spark.streaming.sessionize",
+    "stateful_sessionize": "cryoflow_spark.streaming.stateful_sessionize",
     # output
     "parquet_writer": "cryoflow_spark.plugins.output.parquet_writer",
     "csv_writer": "cryoflow_spark.plugins.output.csv_writer",

@@ -153,7 +153,8 @@ def _lsh_candidate_pairs(
         ).alias("band_idx", "band_hash"),
     )
     a = banded.alias("a")
-    b = banded.alias("b")
+    # shuffle_hash → ReusedExchange: the signature pipeline computes once.
+    b = banded.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,
@@ -194,6 +195,9 @@ def minhash_dedup(
       costs O(|shingles|) per candidate pair; use when candidate volume
       is small or precision is critical.
     """
+    from cryoflow_spark.core.session import tune_for_text_ops
+
+    tune_for_text_ops(df.sparkSession)
     with_sets = df.withColumn("__shingles", shingle_set(text_col, shingle_size))
     # Materialize the reduced base hashes ONCE; the affine rehashes then
     # scan a ready long array instead of re-hashing every shingle 64×.
@@ -211,6 +215,9 @@ def minhash_dedup(
     if verify == "estimate":
         # Signatures are tiny (num_hashes longs) — keep only (id, sig)
         # and let the candidate join carry both sides' signatures.
+        # (Measured: persisting this table costs more than the ≤2 extra
+        # signature evaluations it saves — the numpy signature UDF is
+        # ~1s/pass at sf0.1 while persist adds a blocking materialization.)
         sigs = with_sig.select(F.col(id_col), F.col("__sig"))
         candidates = _lsh_candidate_pairs(sigs, id_col, "__sig", num_hashes, bands)
         sig_a = sigs.withColumnsRenamed({id_col: "id_a", "__sig": "__sig_a"})
@@ -298,6 +305,9 @@ def simhash_dedup(
     shares at least one exact chunk, so the join key is (chunk_idx,
     chunk_value), never all-pairs. Verify with ``bit_count(xor)``.
     """
+    from cryoflow_spark.core.session import tune_for_text_ops
+
+    tune_for_text_ops(df.sparkSession)
     n_chunks = hamming_threshold + 1
     chunk_bits = 64 // n_chunks
 
@@ -317,7 +327,8 @@ def simhash_dedup(
         ).alias("chunk_idx", "chunk_val"),
     )
     a = chunks.alias("a")
-    b = chunks.alias("b")
+    # shuffle_hash → ReusedExchange: SimHash UDF + chunking compute once.
+    b = chunks.hint("shuffle_hash").alias("b")
     pairs = (
         a.join(
             b,
@@ -345,60 +356,170 @@ def ngram_jaccard_pairs(
     ngram: int = 3,
     threshold: float = 0.8,
     block_by: str | None = None,
+    method: str = "count",
 ) -> DataFrame:
     """(id_a, id_b, jaccard) pairs with word-n-gram Jaccard ≥ threshold.
 
-    Exact pairwise Jaccard *within blocks* (default block: none → a
-    single block; always pass ``block_by`` at scale, e.g. a language or
-    length-bucket column). Shingle sets and set algebra are JVM-side
-    (``array_intersect`` / ``array_union``).
+    Exact result either way; ``method`` picks the physical strategy:
+
+    - ``"count"`` (default): inverted-index self-join on every gram,
+      counting shared grams per pair in one shuffle+aggregate —
+      ``jaccard = shared / (|A|+|B|-shared)`` needs no second pass over
+      the gram arrays. One reused exchange; fastest when no gram is
+      pathologically frequent.
+    - ``"prefix"``: PPJoin/AllPairs prefix filtering (Bayardo et al.
+      WWW'07) — index only the ``n - ceil(t*n) + 1`` first grams under a
+      global hash order (lossless by pigeonhole), verify candidates with
+      one exact set intersection. Indexes ~(1-t) of the grams, so the
+      join side-steps quadratic blowup on high-frequency grams — prefer
+      this when gram frequencies are skewed.
+
+    ``block_by`` restricts comparisons to equal-block rows (e.g. a
+    language or length-bucket column) — always pass it at scale.
     """
-    grams = F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(size(split({text_col}, '\\\\s+')) - {ngram - 1}, 1)),"
-            f" i -> array_join(slice(split({text_col}, '\\\\s+'), i, {ngram}), ' '))"
-        )
-    )
-    base = df.select(
+    from cryoflow_spark.core.session import tune_for_text_ops
+
+    tune_for_text_ops(df.sparkSession)
+    # Tokenize ONCE into a column before building grams: referencing a
+    # split(...) expression inside the transform lambda would re-split the
+    # whole text for every sequence index (O(len²) string work per doc).
+    tokenized = df.select(
         F.col(id_col),
-        grams.alias("__grams"),
+        F.array_remove(F.split(F.col(text_col), r"\s+"), "").alias("__toks"),
         *(
             [F.col(block_by).alias("__block")]
             if block_by
             else [F.lit(1).alias("__block")]
         ),
     )
-    # Set-similarity join via inverted index (scale path): explode grams to
-    # an index, count shared grams per candidate pair with a hash
-    # aggregation, then jaccard = shared / (|A| + |B| - shared). This
-    # replaces per-pair O(|grams|) array intersections with a sparse
-    # equi-join on the gram — the standard formulation that survives
-    # block sizes the all-pairs array version cannot.
-    sized = base.withColumn("__n", F.size("__grams"))
-    index = sized.select(
-        F.col(id_col), "__block", "__n", F.explode("__grams").alias("__gram")
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(__toks) - {ngram - 1}, 1)),"
+            f" i -> array_join(slice(__toks, i, {ngram}), ' '))"
+        )
     )
+    base = tokenized.select(
+        F.col(id_col), grams.alias("__grams"), "__block"
+    )
+
+    if method == "count":
+        sized = base.withColumn("__n", F.size("__grams"))
+        index = sized.select(
+            F.col(id_col), "__block", "__n", F.explode("__grams").alias("__gram")
+        )
+        # shuffle_hash: both sides shuffle on the same key with identical
+        # subtrees, so the second Exchange becomes a ReusedExchange — the
+        # gram pipeline runs ONCE (broadcast would recompute per side and
+        # can't exist at 100 TB anyway).
+        a = index.alias("a")
+        b = index.hint("shuffle_hash").alias("b")
+        shared_counts = (
+            a.join(
+                b,
+                (F.col("a.__gram") == F.col("b.__gram"))
+                & (F.col("a.__block") == F.col("b.__block"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                # Jaccard >= t forces t*max(|A|,|B|) <= min(|A|,|B|).
+                & (
+                    F.lit(threshold)
+                    * F.greatest(F.col("a.__n"), F.col("b.__n"))
+                    <= F.least(F.col("a.__n"), F.col("b.__n"))
+                ),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.__n").alias("__na"),
+                F.col("b.__n").alias("__nb"),
+            )
+            .agg(F.count(F.lit(1)).alias("__shared"))
+        )
+        return (
+            shared_counts.withColumn(
+                "jaccard",
+                F.col("__shared")
+                / (F.col("__na") + F.col("__nb") - F.col("__shared")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    if method != "prefix":
+        raise ValueError(f"invalid method '{method}'")
+
+    # PREFIX FILTERING (AllPairs / PPJoin family, Bayardo et al. WWW'07;
+    # Xiao et al. — public algorithms): sort each gram set by a global
+    # total order (hash order ≈ random, so prefixes are selective), index
+    # only the first n - ceil(t*n) + 1 grams. Two sets with Jaccard >= t
+    # MUST share a prefix gram under a common ordering (pigeonhole), so
+    # candidate generation is lossless while the inverted-index self-join
+    # shrinks ~(1-t)^2 vs indexing every gram. Candidates then get one
+    # exact set-intersection verification.
+    sized = base.withColumn("__n", F.size("__grams")).withColumn(
+        "__sorted",
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    "__grams",
+                    lambda g: F.struct(F.xxhash64(g).alias("h"), g.alias("g")),
+                )
+            ),
+            lambda s: s["g"],
+        ),
+    )
+    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")).cast(
+        "int"
+    ) + F.lit(1)
+    # The exploded index stays NARROW (id, block, n, gram) — the gram
+    # arrays would otherwise be duplicated per exploded row and dominate
+    # the shuffle. Verification re-joins the compact per-id sets table.
+    index = sized.select(
+        F.col(id_col),
+        "__block",
+        "__n",
+        F.explode(F.slice("__sorted", F.lit(1), prefix_len)).alias("__gram"),
+    )
+    # shuffle_hash: both sides of the self-join then shuffle on the same
+    # key with identical subtrees, so the second Exchange becomes a
+    # ReusedExchange — the expensive gram pipeline runs ONCE (a broadcast
+    # join would recompute it per side, and can't exist at 100 TB anyway).
     a = index.alias("a")
-    b = index.alias("b")
-    shared = (
+    b = index.hint("shuffle_hash").alias("b")
+    candidates = (
         a.join(
             b,
             (F.col("a.__gram") == F.col("b.__gram"))
             & (F.col("a.__block") == F.col("b.__block"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # Size filter: Jaccard >= t forces t*max(|A|,|B|) <= min(|A|,|B|).
+            & (
+                F.lit(threshold)
+                * F.greatest(F.col("a.__n"), F.col("b.__n"))
+                <= F.least(F.col("a.__n"), F.col("b.__n"))
+            ),
         )
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.__n").alias("__na"),
-            F.col("b.__n").alias("__nb"),
         )
-        .agg(F.count(F.lit(1)).alias("__shared"))
+        .distinct()
     )
+    sets = sized.select(F.col(id_col), "__sorted", "__n")
+    verified = candidates.join(
+        sets.withColumnsRenamed(
+            {id_col: "id_a", "__sorted": "__set_a", "__n": "__na"}
+        ),
+        "id_a",
+    ).join(
+        sets.withColumnsRenamed(
+            {id_col: "id_b", "__sorted": "__set_b", "__n": "__nb"}
+        ),
+        "id_b",
+    )
+    shared = F.size(F.array_intersect("__set_a", "__set_b"))
     return (
-        shared.withColumn(
+        verified.withColumn(
             "jaccard",
-            F.col("__shared") / (F.col("__na") + F.col("__nb") - F.col("__shared")),
+            shared / (F.col("__na") + F.col("__nb") - shared),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -412,9 +533,12 @@ def ngram_jaccard_dedup(
     ngram: int = 3,
     threshold: float = 0.8,
     block_by: str | None = None,
+    method: str = "count",
 ) -> DataFrame:
     """Remove the larger id of every n-gram-Jaccard near-dup pair."""
-    pairs = ngram_jaccard_pairs(df, text_col, id_col, ngram, threshold, block_by)
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, ngram, threshold, block_by, method
+    )
     to_remove = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(to_remove, on=id_col, how="left_anti")
 

@@ -1,0 +1,100 @@
+"""Deterministic sampling for training-data pipelines.
+
+A 100 TB corpus is sampled *by content hash*, never by ``rand()``:
+
+- Reproducible across runs, engines, executor counts, and partitionings
+  (``rand()`` output depends on partition layout; a hash of a stable key
+  does not).
+- A narrow map — no shuffle, no state; the filter is pushed into the scan
+  stage and composes with column pruning.
+- Consistent: the same key always lands in the same bucket, so a 1%
+  sample is a strict subset of a 10% sample (nested samples for scaling
+  laws / held-out splits), and joins between two tables sampled on the
+  same key stay aligned.
+
+The bucket hash is the first 8 hex digits of ``md5(key)`` — chosen over
+``xxhash64`` because every engine (Spark, DuckDB, Trino, Flink) computes
+the identical value, making samples portable and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Modulus for hash buckets. 1e6 gives 0.0001% rate granularity.
+BUCKETS = 1_000_000
+
+
+def hash_bucket(key_col, buckets: int = BUCKETS):
+    """Column: deterministic bucket in [0, buckets) from a key column.
+
+    ``conv(substring(md5(cast(key as string)), 1, 8), 16, 10) % buckets``
+    — identical in any engine with md5 (DuckDB spelling:
+    ``CAST('0x' || substring(md5(k), 1, 8) AS BIGINT) % buckets``).
+    """
+    key = key_col if not isinstance(key_col, str) else F.col(key_col)
+    return F.pmod(
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+        F.lit(buckets),
+    )
+
+
+def sql_hash_bucket(key_expr: str, buckets: int = BUCKETS) -> str:
+    """The DuckDB/ANSI spelling of :func:`hash_bucket` (for oracles)."""
+    return (
+        f"(CAST(('0x' || substring(md5(CAST({key_expr} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {buckets})"
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, buckets: int = BUCKETS
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash (reproducible).
+
+    Nested property: ``deterministic_sample(df, k, 0.01)`` ⊆
+    ``deterministic_sample(df, k, 0.10)``.
+    """
+    return df.filter(hash_bucket(key_col, buckets) < int(fraction * buckets))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy`` without rand()).
+
+    ``fractions`` maps stratum value → keep rate; unlisted strata get
+    ``default_fraction``. Used to rebalance source mixes (e.g. downsample
+    a dominant language) while staying reproducible.
+    """
+    threshold = F.lit(int(default_fraction * buckets))
+    for value, frac in fractions.items():
+        threshold = (
+            F.when(F.col(strata_col) == value, F.lit(int(frac * buckets)))
+            .otherwise(threshold)
+        )
+    return df.filter(hash_bucket(key_col, buckets) < threshold)
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    test_fraction: float = 0.1,
+    buckets: int = BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, reproducible (train, test) split by key hash.
+
+    Rows with the same key always land on the same side — safe against
+    leakage when the key identifies a document/user across tables.
+    """
+    cut = int(test_fraction * buckets)
+    bucket = hash_bucket(key_col, buckets)
+    return df.filter(bucket >= cut), df.filter(bucket < cut)

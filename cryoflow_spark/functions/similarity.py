@@ -15,6 +15,8 @@ Public algorithm: Charikar's SimHash/random-hyperplane LSH (STOC 2002).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -195,7 +197,8 @@ def embedding_neardup_pairs(
         "__bucket",
     )
     a = sigs.alias("a")
-    b = sigs.alias("b")
+    # shuffle_hash → ReusedExchange: signatures + norms compute once.
+    b = sigs.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,
@@ -211,4 +214,110 @@ def embedding_neardup_pairs(
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    train_fraction: float = 0.2,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    The standard two-level ANN layout (Faiss-style IVF — public design):
+
+    1. TRAIN: spherical k-means on a deterministic hash-sample of corpus
+       vectors. The training set is tiny by construction (centroids ×
+       ~1000 points suffice), so the driver-side numpy Lloyd iterations
+       are O(MB) — this is the one intentional collect, identical in role
+       to Faiss's ``train()``.
+    2. ASSIGN: every corpus vector goes to its nearest centroid (one
+       numpy matmul per Arrow batch — vectorized pandas_udf, no per-row
+       Python). This is a narrow map: no shuffle.
+    3. PROBE: each query explodes to its ``nprobe`` nearest cells; the
+       candidate join is an equi-join on cell id (shuffle on cell, never
+       cross-join), then exact cosine + per-query top-k window.
+
+    Determinism: hash-sampled training set, fixed seed/init/iteration
+    count → identical centroids on every run and executor. Recall is
+    tunable via ``nprobe``/``n_centroids``.
+    """
+    from cryoflow_spark.functions.sampling import hash_bucket
+
+    qid = query_id_col or id_col
+
+    # --- 1. TRAIN (driver-side on a small deterministic sample) ---------
+    sample = (
+        corpus.filter(
+            hash_bucket(F.col(id_col), 1_000_000) < int(train_fraction * 1_000_000)
+        )
+        .select(vec_col)
+        .collect()
+    )
+    train = np.asarray([r[0] for r in sample], dtype=np.float64)
+    train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
+    # Deterministic init: first n_centroids rows in hash order of the
+    # sample (already pseudo-random); fixed Lloyd iterations.
+    cents = train[:n_centroids].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(train @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = train[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    centroids = cents  # (n_centroids, dim), unit-norm
+
+    # --- 2. ASSIGN (vectorized, shuffle-free) ---------------------------
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _nearest_cells(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(x)
+            sims = (centroids @ x) / max(n, 1e-12)
+            top = np.argsort(-sims, kind="stable")[:nprobe]
+            out.append([int(c) for c in top])
+        return pd.Series(out)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cnorm"),
+        F.element_at(_nearest_cells(F.col(vec_col)), 1).alias("__cell"),
+    )
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qnorm"),
+        F.explode(_nearest_cells(F.col(vec_col))).alias("__cell"),
+    )
+
+    # --- 3. PROBE: equi-join on cell → exact cosine → top-k -------------
+    scored = (
+        q.join(c, "__cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qnorm") * F.col("__cnorm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )

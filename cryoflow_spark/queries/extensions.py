@@ -464,3 +464,19 @@ def x17_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("session_id").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --- x18: IVF coarse-quantizer ANN (scale path; rows-only) ---------------
+
+
+@register(
+    "x18_ivf_cosine_topk",
+    None,
+    "IVF ANN: k-means coarse quantizer (trained on a deterministic hash-sample) "
+    "→ nprobe cell probing → exact cosine top-k within cells. Approximate by "
+    "design (rows-only check)",
+)
+def x18_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return S.ivf_cosine_topk(e, queries, k=5, n_centroids=16, nprobe=4)

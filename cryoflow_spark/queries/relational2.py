@@ -450,3 +450,116 @@ def q37_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_non_error"),
     )
+
+
+# --- q38: cube / grouping sets -------------------------------------------
+
+
+@register(
+    "q38_cube_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "CUBE over two dims with GROUPING() markers (decimal-exact totals)",
+)
+def q38_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+# --- q39: deterministic hash sampling ------------------------------------
+
+
+def _q39_oracle() -> str:
+    from cryoflow_spark.functions.sampling import sql_hash_bucket
+
+    return f"""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE {sql_hash_bucket('o_orderkey')} < 50000
+    GROUP BY o_orderpriority
+    """
+
+
+@register(
+    "q39_hash_sample",
+    None,  # replaced below — oracle built from the shared bucket spelling
+    "Deterministic 5% hash-sample (md5-bucket): reproducible across engines/partitionings, no rand()",
+)
+def q39_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.sampling import deterministic_sample
+
+    o = load(spark, sf_dir, "orders")
+    sampled = deterministic_sample(o, "o_orderkey", 0.05)
+    return sampled.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+# --- q40: stratified deterministic sampling ------------------------------
+
+
+def _q40_oracle() -> str:
+    from cryoflow_spark.functions.sampling import sql_hash_bucket
+
+    bucket = sql_hash_bucket("c_custkey")
+    return f"""
+    SELECT c_mktsegment, COUNT(*) AS n
+    FROM customer
+    WHERE {bucket} < (CASE c_mktsegment
+                        WHEN 'BUILDING' THEN 100000
+                        WHEN 'MACHINERY' THEN 500000
+                        ELSE 0 END)
+    GROUP BY c_mktsegment
+    """
+
+
+@register(
+    "q40_stratified_sample",
+    None,  # replaced below
+    "Per-stratum deterministic sampling (sampleBy without rand()): 10% BUILDING, 50% MACHINERY, 0% rest",
+)
+def q40_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.sampling import stratified_sample
+
+    c = load(spark, sf_dir, "customer")
+    sampled = stratified_sample(
+        c,
+        "c_mktsegment",
+        {"BUILDING": 0.10, "MACHINERY": 0.50},
+        key_col="c_custkey",
+    )
+    return sampled.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+
+
+# Late-bind the sampling oracles (they reuse the canonical bucket SQL).
+from cryoflow_spark.queries import REGISTRY as _R  # noqa: E402
+from cryoflow_spark.queries import QuerySpec as _QS  # noqa: E402
+
+_R["q39_hash_sample"] = _QS(
+    fn=_R["q39_hash_sample"].fn,
+    oracle=_q39_oracle(),
+    description=_R["q39_hash_sample"].description,
+)
+_R["q40_stratified_sample"] = _QS(
+    fn=_R["q40_stratified_sample"].fn,
+    oracle=_q40_oracle(),
+    description=_R["q40_stratified_sample"].description,
+)

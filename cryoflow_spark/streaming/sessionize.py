@@ -1,0 +1,47 @@
+"""Sessionization via Spark's native ``session_window``.
+
+Groups events into per-key sessions that close after ``gap`` of
+inactivity. Works on batch AND streaming frames; streaming state is
+managed by the engine, bounded by the watermark — the Spark-first
+choice. For custom stateful logic see ``stateful_sessionize``.
+Engine extension (reference has no stream processing — SURVEY.md §2B
+"explicitly absent").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+
+
+class SessionWindowPlugin(AnalyzedTransformPlugin):
+    """Per-key session aggregation via native ``session_window``.
+
+    Options: ``key`` (required), ``time_column`` (required), ``gap``
+    (required, e.g. ``"30 minutes"``), ``aggs`` (optional map of output
+    name → SQL aggregate over the session, default event count).
+    """
+
+    @property
+    def name(self) -> str:
+        return "session_window"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        key = self.require_option("key")
+        time_col = self.require_option("time_column")
+        gap = self.require_option("gap")
+        aggs: dict[str, str] = self.options.get(
+            "aggs", {"n_events": "count(*)"}
+        )
+        agg_exprs = [F.expr(sql).alias(name) for name, sql in aggs.items()]
+        grouped = data.groupBy(
+            F.col(key), F.session_window(F.col(time_col), gap)
+        ).agg(*agg_exprs)
+        return grouped.select(
+            F.col(key),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *[F.col(name) for name in aggs],
+        )

@@ -1,0 +1,172 @@
+"""Custom stateful sessionizer via ``applyInPandasWithState``.
+
+The extension point for stateful logic ``session_window`` can't express
+(custom close conditions, running snapshots). Streaming-only; per-key
+Arrow-batched state with event-time timeouts bounded by the watermark.
+Engine extension (reference has no stream processing — SURVEY.md §2B
+"explicitly absent"). For batch frames use ``SessionWindowPlugin``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+
+
+def _sessionize_state_fn(gap_seconds: float):
+    """Build the applyInPandasWithState update function.
+
+    State per key: (session_start_us, last_seen_us, n_events). A batch
+    of rows for the key extends the open session or closes it and opens
+    a new one; closed sessions are emitted. On event-time timeout (no
+    rows past watermark + gap) the open session is flushed.
+    """
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        closed: list[tuple[Any, pd.Timestamp, pd.Timestamp, int]] = []
+
+        def emit(start_us: int, last_us: int, n: int) -> None:
+            closed.append(
+                (
+                    key[0],
+                    pd.Timestamp(start_us, unit="us"),
+                    pd.Timestamp(last_us, unit="us"),
+                    n,
+                )
+            )
+
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n = state.get
+                emit(start_us, last_us, n)
+                state.remove()
+        else:
+            if state.exists:
+                start_us, last_us, n = state.get
+            else:
+                start_us = last_us = -1
+                n = 0
+            # One sort per key-batch; timestamps to integer microseconds.
+            ts: list[int] = []
+            for pdf in batches:
+                ts.extend(
+                    int(t.value // 1000) for t in pdf["__ts"] if t is not None
+                )
+            ts.sort()
+            for t in ts:
+                if start_us < 0:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us > gap_us:
+                    emit(start_us, last_us, n)
+                    start_us, last_us, n = t, t, 1
+                else:
+                    last_us = max(last_us, t)
+                    n += 1
+            if start_us >= 0:
+                state.update((start_us, last_us, n))
+                # Close the open session once the watermark passes
+                # last_seen + gap: state stays bounded on unbounded input.
+                state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["key", "session_start", "session_end", "n_events"],
+            )
+
+    return fn
+
+
+class StatefulSessionizePlugin(AnalyzedTransformPlugin):
+    """Custom stateful sessionizer via ``applyInPandasWithState``.
+
+    Options: ``key`` (required), ``time_column`` (required),
+    ``gap_seconds`` (required). Emits one row per CLOSED session:
+    ``(key, session_start, session_end, n_events)``. Requires an
+    upstream watermark on ``time_column`` (event-time timeouts close
+    idle sessions). Streaming frames only — on a batch frame use
+    ``SessionWindowPlugin``, which Catalyst plans without Python state.
+    """
+
+    @property
+    def name(self) -> str:
+        return "stateful_sessionize"
+
+    def dry_run(self, schema):  # noqa: ANN001 - SchemaData
+        """Hand-written schema prediction (the empty-frame replay can't
+        produce a *streaming* frame, which ``_transform`` requires)."""
+        from cryoflow_spark.core.result import Failure, Success
+
+        try:
+            key = self.require_option("key")
+            self.require_option("time_column")
+            float(self.require_option("gap_seconds"))
+            names = [f.name for f in schema.fields]
+            if key not in names:
+                raise KeyError(f"column '{key}' not found in input schema")
+            key_field = schema[key]
+            return Success(
+                StructType(
+                    [
+                        StructField("key", key_field.dataType),
+                        StructField("session_start", TimestampType()),
+                        StructField("session_end", TimestampType()),
+                        StructField("n_events", LongType()),
+                    ]
+                )
+            )
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+    def _transform(self, data: FrameData) -> FrameData:
+        key = self.require_option("key")
+        time_col = self.require_option("time_column")
+        gap_seconds = float(self.require_option("gap_seconds"))
+        if not data.isStreaming:
+            raise ValueError(
+                "stateful_sessionize requires a streaming DataFrame; "
+                "use session_window for batch frames"
+            )
+        key_type = dict(data.dtypes)[key]
+        out_schema = StructType(
+            [
+                StructField("key", StringType() if key_type == "string" else LongType()),
+                StructField("session_start", TimestampType()),
+                StructField("session_end", TimestampType()),
+                StructField("n_events", LongType()),
+            ]
+        )
+        state_schema = StructType(
+            [
+                StructField("start_us", LongType()),
+                StructField("last_us", LongType()),
+                StructField("n", LongType()),
+            ]
+        )
+        projected = data.select(
+            F.col(key).alias("__key"), F.col(time_col).alias("__ts")
+        )
+        return projected.groupBy("__key").applyInPandasWithState(
+            _sessionize_state_fn(gap_seconds),
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )

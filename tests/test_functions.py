@@ -159,3 +159,72 @@ def test_frame_sampling_shapes(docs):
     frames = M.sample_frames(assets, every_n_bytes=10, max_frames=3).collect()
     assert all(r["frame_idx"] < 3 for r in frames)
     assert len(frames) >= 5
+
+
+def test_ivf_cosine_topk_matches_bruteforce(spark):
+    """IVF with nprobe=all cells must equal exact brute-force top-k."""
+    import numpy as np
+
+    from cryoflow_spark.functions.similarity import cosine_topk, ivf_cosine_topk
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(120)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter("vec_id < 5")
+
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(corpus, queries, k=3).collect()
+    }
+    # nprobe == n_centroids probes every cell → recall 1.0 by construction.
+    approx = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_cosine_topk(
+            corpus, queries, k=3, n_centroids=4, nprobe=4, train_fraction=0.5
+        ).collect()
+    }
+    assert approx == exact
+
+
+def test_ivf_partial_probe_subset(spark):
+    """With nprobe < n_centroids, results are a subset of legal neighbors
+    and ranks stay dense per query."""
+    import numpy as np
+
+    from cryoflow_spark.functions.similarity import ivf_cosine_topk
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(80)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter("vec_id = 0")
+    out = ivf_cosine_topk(
+        corpus, queries, k=5, n_centroids=8, nprobe=2, train_fraction=0.5
+    ).collect()
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == list(range(1, len(out) + 1))
+    assert all(r["neighbor_id"] != 0 for r in out)
+
+
+def test_jaccard_methods_agree(spark):
+    from cryoflow_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "the quick brown fox jumps over the lazy dog again tomorrow"),
+            (3, "completely different text with no overlap whatsoever here"),
+            (4, "the quick brown fox jumps over the lazy dog again today"),
+        ],
+        "doc_id long, text string",
+    )
+    count_pairs = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, method="count").collect()
+    }
+    prefix_pairs = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, method="prefix").collect()
+    }
+    assert count_pairs == prefix_pairs
+    assert (1, 4) in count_pairs and count_pairs[(1, 4)] == 1.0
+    assert (1, 2) in count_pairs

@@ -1,0 +1,73 @@
+"""Deterministic sampling tests (functions.sampling)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cryoflow_spark.functions.sampling import (
+    deterministic_sample,
+    hash_bucket,
+    sql_hash_bucket,
+    stratified_sample,
+    train_test_split,
+)
+
+
+@pytest.fixture()
+def keyed(spark):
+    return spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(1000)],
+        "id long, parity string",
+    )
+
+
+def test_bucket_matches_duckdb(spark):
+    """The Spark bucket expression and the SQL spelling agree per key."""
+    df = spark.range(0, 200).select(
+        F.col("id"), hash_bucket("id").alias("bucket")
+    )
+    got = {r["id"]: r["bucket"] for r in df.collect()}
+    want = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            "SELECT id, "
+            + sql_hash_bucket("id")
+            + " FROM range(200) t(id)"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_sample_reproducible_and_nested(keyed):
+    s5 = set(r["id"] for r in deterministic_sample(keyed, "id", 0.05).collect())
+    s5_again = set(
+        r["id"] for r in deterministic_sample(keyed, "id", 0.05).collect()
+    )
+    s20 = set(r["id"] for r in deterministic_sample(keyed, "id", 0.20).collect())
+    assert s5 == s5_again
+    assert s5 <= s20  # nested samples
+    assert 20 <= len(s5) <= 90  # ~50 expected
+    assert 140 <= len(s20) <= 260  # ~200 expected
+
+
+def test_stratified_rates(keyed):
+    out = stratified_sample(
+        keyed, "parity", {"even": 0.5, "odd": 0.02}, key_col="id"
+    )
+    counts = {
+        r["parity"]: r["n"]
+        for r in out.groupBy("parity").agg(F.count("*").alias("n")).collect()
+    }
+    assert 200 <= counts.get("even", 0) <= 300  # ~250 of 500
+    assert counts.get("odd", 0) <= 30  # ~10 of 500
+
+
+def test_train_test_split_disjoint_total(keyed):
+    train, test = train_test_split(keyed, "id", test_fraction=0.2)
+    train_ids = set(r["id"] for r in train.collect())
+    test_ids = set(r["id"] for r in test.collect())
+    assert train_ids.isdisjoint(test_ids)
+    assert len(train_ids) + len(test_ids) == 1000
+    assert 120 <= len(test_ids) <= 280

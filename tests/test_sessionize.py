@@ -1,0 +1,117 @@
+"""Sessionization tests: native session_window + stateful sessionizer."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from cryoflow_spark.core.result import is_successful
+from cryoflow_spark.streaming.sessionize import SessionWindowPlugin
+from cryoflow_spark.streaming.stateful_sessionize import StatefulSessionizePlugin
+
+
+def ts(minute: int, second: int = 0) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, minute, second)
+
+
+@pytest.fixture()
+def events(spark):
+    # u1: burst at 00:00-00:02, then 00:30 (new session after 10m gap)
+    # u2: single event
+    return spark.createDataFrame(
+        [
+            ("u1", ts(0)),
+            ("u1", ts(1)),
+            ("u1", ts(2)),
+            ("u1", ts(30)),
+            ("u2", ts(5)),
+        ],
+        "user string, event_ts timestamp",
+    )
+
+
+def test_session_window_batch(events):
+    plugin = SessionWindowPlugin(
+        {"key": "user", "time_column": "event_ts", "gap": "10 minutes"}
+    )
+    result = plugin.execute(events)
+    assert is_successful(result), result
+    rows = {
+        (r["user"], r["session_start"]): r["n_events"]
+        for r in result.unwrap().collect()
+    }
+    assert rows[("u1", ts(0))] == 3
+    assert rows[("u1", ts(30))] == 1
+    assert rows[("u2", ts(5))] == 1
+    assert len(rows) == 3
+
+
+def test_session_window_dry_run(events):
+    plugin = SessionWindowPlugin(
+        {"key": "user", "time_column": "event_ts", "gap": "10 minutes"}
+    )
+    plugin.attach_session(events.sparkSession)
+    result = plugin.dry_run(events.schema)
+    assert is_successful(result), result
+    names = [f.name for f in result.unwrap().fields]
+    assert names == ["user", "session_start", "session_end", "n_events"]
+
+
+def test_stateful_sessionize_stream(spark, tmp_path, events):
+    src = tmp_path / "src"
+    events.coalesce(1).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema("user string, event_ts timestamp")
+        .parquet(str(src))
+        .withWatermark("event_ts", "0 seconds")
+    )
+    plugin = StatefulSessionizePlugin(
+        {"key": "user", "time_column": "event_ts", "gap_seconds": 600}
+    )
+    result = plugin.execute(stream)
+    assert is_successful(result), result
+    out = result.unwrap()
+    query = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    # One bounded batch: watermark advances only between batches, so only
+    # sessions closed by a LATER event in the same key are emitted here —
+    # u1's first burst closes when the 00:30 event arrives.
+    by_key = {(r["key"], r["session_start"]): r for r in rows}
+    assert ("u1", ts(0)) in by_key
+    r = by_key[("u1", ts(0))]
+    assert r["n_events"] == 3 and r["session_end"] == ts(2)
+
+
+def test_stateful_sessionize_rejects_batch(events):
+    plugin = StatefulSessionizePlugin(
+        {"key": "user", "time_column": "event_ts", "gap_seconds": 600}
+    )
+    result = plugin.execute(events)
+    assert not is_successful(result)
+    assert "streaming" in str(result.failure())
+
+
+def test_stateful_sessionize_dry_run(spark, events):
+    plugin = StatefulSessionizePlugin(
+        {"key": "user", "time_column": "event_ts", "gap_seconds": 600}
+    )
+    plugin.attach_session(spark)
+    result = plugin.dry_run(events.schema)
+    assert is_successful(result), result
+    fields = {f.name: f.dataType.simpleString() for f in result.unwrap().fields}
+    assert fields["key"] == "string"
+    assert fields["n_events"] == "bigint"
+
+    missing = StatefulSessionizePlugin(
+        {"key": "nope", "time_column": "event_ts", "gap_seconds": 600}
+    )
+    missing.attach_session(spark)
+    assert not is_successful(missing.dry_run(events.schema))
