@@ -52,6 +52,7 @@ BUILTIN_MODULES: dict[str, str] = {
     "ipc_scan": "cryoflow_spark.plugins.input.ipc_scan",
     "json_scan": "cryoflow_spark.plugins.input.json_scan",
     "table_scan": "cryoflow_spark.plugins.input.table_scan",
+    "binary_scan": "cryoflow_spark.plugins.input.binary_scan",
     "rate_stream": "cryoflow_spark.streaming.rate_stream",
     "file_stream": "cryoflow_spark.streaming.file_stream",
     # transform

@@ -99,3 +99,38 @@ def fingerprint(text_col: str):
         " (acc, c) -> pmod(acc * 31 + ascii(c), 1000000007)"
         ")"
     )
+
+
+#: GPT-2-style pre-tokenizer regex, restricted to the lookahead-free
+#: subset shared by Java regex (Spark) and RE2 (DuckDB): contraction
+#: suffixes, letter runs, digit runs, punctuation runs (each with an
+#: optional leading space), then residual whitespace.
+BPE_TOKEN_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_tokens(text_col: str):
+    """Column: array of BPE-style pre-tokens (subword-split input units).
+
+    Group index 0 = the whole match (the pattern only has non-capturing
+    groups; Spark defaults to group 1, DuckDB to 0).
+    """
+    return F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_REGEX), F.lit(0))
+
+
+def bpe_token_count(text_col: str):
+    """Column: BPE-style pre-token count — the unit LLM data pipelines
+    budget by (≈ tokens before merges), cheaper than a real tokenizer and
+    engine-portable."""
+    non_ws = F.filter(
+        bpe_tokens(text_col), lambda t: F.trim(t) != F.lit("")
+    )
+    return F.size(non_ws).cast("bigint")
+
+
+def sql_bpe_token_count(text_expr: str) -> str:
+    """DuckDB spelling of :func:`bpe_token_count` (for oracles)."""
+    pattern = BPE_TOKEN_REGEX.replace("'", "''")
+    return (
+        f"CAST(len(list_filter(regexp_extract_all({text_expr}, "
+        f"'{pattern}'), t -> trim(t) != '')) AS BIGINT)"
+    )

@@ -1,0 +1,86 @@
+"""Binary-file source plugin (multimodal ingestion).
+
+Engine extension (no reference counterpart; SURVEY.md §7.6): reads a
+directory/glob of opaque files (images, audio, video, archives) as one
+row per file via Spark's built-in ``binaryFile`` format:
+
+``(path string, modificationTime timestamp, length bigint, content binary)``
+
+Options:
+
+- ``input_path`` (required) — directory or glob, resolved against the
+  config dir when relative.
+- ``path_glob_filter`` (optional) — e.g. ``"*.png"``; applied at file
+  listing time, before any read.
+- ``drop_content`` (optional bool, default false) — metadata-only frame
+  (path/size/mtime); listing + stat, no file bytes read.
+
+At scale: files are the parallelism unit (one task per file group);
+``maxPartitionBytes`` bounds task input. Downstream decode/feature
+extraction belongs in ``functions.multimodal`` (Arrow-batched
+``mapInPandas``), keeping bytes off the driver entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from cryoflow_spark.core.plugin import FrameData, InputPlugin, SchemaData
+from cryoflow_spark.core.result import Failure, Result, Success
+
+BINARY_FILE_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("modificationTime", TimestampType(), False),
+        StructField("length", LongType(), False),
+        StructField("content", BinaryType(), True),
+    ]
+)
+
+
+class BinaryScanPlugin(InputPlugin):
+    @property
+    def name(self) -> str:
+        return "binary_scan"
+
+    def _reader(self):
+        spark = self._require_session()
+        reader = spark.read.format("binaryFile")
+        glob = self.options.get("path_glob_filter")
+        if glob:
+            reader = reader.option("pathGlobFilter", glob)
+        return reader
+
+    def execute(self) -> Result[FrameData]:
+        try:
+            path = str(self.resolve_path(self.require_option("input_path")))
+            df = self._reader().load(path)
+            if self.options.get("drop_content"):
+                df = df.drop("content")
+            return Success(df)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+    def dry_run(self) -> Result[SchemaData]:
+        """binaryFile has a FIXED schema — validate the path exists (file
+        listing only, no bytes read) and return it."""
+        try:
+            path = self.resolve_path(self.require_option("input_path"))
+            self._require_session()
+            import glob as _glob
+
+            if not _glob.glob(str(path)) and not path.exists():
+                raise FileNotFoundError(f"input path does not exist: {path}")
+            fields = BINARY_FILE_SCHEMA.fields
+            if self.options.get("drop_content"):
+                fields = [f for f in fields if f.name != "content"]
+            return Success(StructType(fields))
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)

@@ -480,3 +480,43 @@ def x18_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 100 == 0)
     return S.ivf_cosine_topk(e, queries, k=5, n_centroids=16, nprobe=4)
+
+
+# --- x19: BPE-ish token counting -----------------------------------------
+
+
+def _x19_oracle() -> str:
+    from cryoflow_spark.functions.text import sql_bpe_token_count
+
+    return f"""
+    SELECT lang,
+           CAST(SUM({sql_bpe_token_count('text')}) AS BIGINT) AS total_tokens,
+           CAST(MAX({sql_bpe_token_count('text')}) AS BIGINT) AS max_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """
+
+
+@register(
+    "x19_bpe_token_budget",
+    None,  # late-bound below from the shared regex spelling
+    "BPE-style pre-token counting (GPT-2 pre-tokenizer regex, lookahead-free "
+    "portable subset) — the token-budget unit of LLM data pipelines",
+)
+def x19_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(X.bpe_token_count("text")).cast("bigint").alias("total_tokens"),
+        F.max(X.bpe_token_count("text")).cast("bigint").alias("max_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+from cryoflow_spark.queries import REGISTRY as _R2  # noqa: E402
+from cryoflow_spark.queries import QuerySpec as _QS2  # noqa: E402
+
+_R2["x19_bpe_token_budget"] = _QS2(
+    fn=_R2["x19_bpe_token_budget"].fn,
+    oracle=_x19_oracle(),
+    description=_R2["x19_bpe_token_budget"].description,
+)

@@ -563,3 +563,104 @@ _R["q40_stratified_sample"] = _QS(
     oracle=_q40_oracle(),
     description=_R["q40_stratified_sample"].description,
 )
+
+
+# --- q41: native pivot ---------------------------------------------------
+
+
+@register(
+    "q41_native_pivot",
+    f"""
+    SELECT l_linestatus,
+           {SQL_DSUM("CASE WHEN l_returnflag = 'A' THEN l_extendedprice END", 'A')},
+           {SQL_DSUM("CASE WHEN l_returnflag = 'N' THEN l_extendedprice END", 'N')},
+           {SQL_DSUM("CASE WHEN l_returnflag = 'R' THEN l_extendedprice END", 'R')}
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    "Native df.groupBy().pivot() with explicit pivot values (no extra "
+    "distinct-scan job; map-side combine per shuffle)",
+)
+def q41_native_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")  # noqa: E741
+    # Explicit pivot values: skips Spark's distinct-value discovery job —
+    # at 100 TB an unbounded pivot column is an anti-pattern anyway.
+    return (
+        l.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,10)")).cast(
+                "double"
+            )
+        )
+    )
+
+
+# --- q42: correlated EXISTS / NOT EXISTS subqueries (SQL surface) --------
+
+
+@register(
+    "q42_exists_subquery",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F'
+                        AND o.o_totalprice < 50000)
+    GROUP BY c_mktsegment
+    """,
+    "Correlated EXISTS/NOT EXISTS via spark.sql — planned as semi/anti joins",
+)
+def q42_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # Same ANSI text as the oracle: the engine's SQL entry point is part
+    # of the product surface (sql transform plugin / spark.sql).
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F'
+                            AND o.o_totalprice < 50000)
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+# --- q43: RANGE-interval window frame ------------------------------------
+
+
+@register(
+    "q43_range_interval_window",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS events_last_hour
+    FROM events
+    """,
+    "RANGE BETWEEN INTERVAL frame: per-row trailing 1h event count (value-"
+    "based frame, not row-based)",
+)
+def q43_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    e.createOrReplaceTempView("events_v")
+    return e.sparkSession.sql(
+        """
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS events_last_hour
+        FROM events_v
+        """
+    )

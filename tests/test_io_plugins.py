@@ -120,3 +120,57 @@ def test_ipc_scan_missing_file(spark):
     scan = IpcScanPlugin({"input_path": "/nope/absent.arrow"})
     scan.attach_session(spark)
     assert not is_successful(scan.execute())
+
+
+class TestBinaryScan:
+    def test_execute_reads_files(self, spark, tmp_path):
+        from cryoflow_spark.plugins.input.binary_scan import BinaryScanPlugin
+
+        (tmp_path / "a.bin").write_bytes(b"\x00\x01\x02")
+        (tmp_path / "b.bin").write_bytes(b"hello")
+        (tmp_path / "c.txt").write_bytes(b"skip me")
+        plugin = BinaryScanPlugin(
+            {"input_path": str(tmp_path), "path_glob_filter": "*.bin"}
+        )
+        plugin.attach_session(spark)
+        result = plugin.execute()
+        assert result.is_success, result
+        rows = {r["path"].split("/")[-1]: r for r in result.unwrap().collect()}
+        assert set(rows) == {"a.bin", "b.bin"}
+        assert bytes(rows["b.bin"]["content"]) == b"hello"
+        assert rows["a.bin"]["length"] == 3
+
+    def test_drop_content_metadata_only(self, spark, tmp_path):
+        from cryoflow_spark.plugins.input.binary_scan import BinaryScanPlugin
+
+        (tmp_path / "a.bin").write_bytes(b"xyz")
+        plugin = BinaryScanPlugin(
+            {"input_path": str(tmp_path), "drop_content": True}
+        )
+        plugin.attach_session(spark)
+        df = plugin.execute().unwrap()
+        assert "content" not in df.columns
+        assert df.count() == 1
+
+    def test_dry_run_schema_and_missing_path(self, spark, tmp_path):
+        from cryoflow_spark.plugins.input.binary_scan import BinaryScanPlugin
+
+        (tmp_path / "a.bin").write_bytes(b"x")
+        ok = BinaryScanPlugin({"input_path": str(tmp_path)})
+        ok.attach_session(spark)
+        schema = ok.dry_run().unwrap()
+        assert [f.name for f in schema.fields] == [
+            "path", "modificationTime", "length", "content",
+        ]
+        missing = BinaryScanPlugin({"input_path": str(tmp_path / "nope")})
+        missing.attach_session(spark)
+        assert not missing.dry_run().is_success
+
+    def test_missing_option(self, spark):
+        from cryoflow_spark.plugins.input.binary_scan import BinaryScanPlugin
+
+        plugin = BinaryScanPlugin({})
+        plugin.attach_session(spark)
+        result = plugin.execute()
+        assert not result.is_success
+        assert "required" in str(result.failure())
