@@ -1,0 +1,63 @@
+"""Skew mitigation: salted joins and explicit skew hints.
+
+AQE's skew-join handling (on by default in ``core.session``) splits
+oversized *sort-merge* partitions at runtime, which covers moderate
+skew. ``salted_join`` is the explicit pre-planned alternative for the
+pathological case AQE can't fix: one join key carrying an unbounded
+share of rows (a null-ish default id, a mega-user, an empty-text hash).
+
+Scheme (the classic salting pattern):
+
+- LEFT (large, skewed) rows get a deterministic salt in [0, buckets)
+  derived from a row-unique column — same row, same salt, every run.
+- RIGHT (the side whose rows must meet every salt) is replicated
+  ``buckets`` times via one narrow ``explode(sequence(...))``.
+- Join key becomes (key, salt): the hot key's rows now spread over
+  ``buckets`` reducers instead of one.
+
+Cost model: replicating the right side ×buckets is worth it when
+max-key-share × left_rows ≫ right_rows × buckets. Use for fact×dim
+joins where the dim is modest but too big (or too dynamic) to
+broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    salt_from: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the left side, replicate the right.
+
+    ``salt_from``: a left column that varies within the hot key (any
+    row-level id); the salt is ``pmod(xxhash64(salt_from), buckets)`` —
+    deterministic, so retries/speculative tasks agree.
+
+    Supported ``how``: inner / left / left_outer (right-side replication
+    makes right/full joins ambiguous — re-salt in the other direction
+    instead).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got '{how}' — "
+            "swap the sides and salt the other way for right joins"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+
+    salted_left = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(buckets)).cast("int")
+    )
+    replicated_right = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0).cast("int"), F.lit(buckets - 1).cast("int"))),
+    )
+    joined = salted_left.join(replicated_right, on=keys + ["__salt"], how=how)
+    return joined.drop("__salt")

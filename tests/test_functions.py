@@ -228,3 +228,51 @@ def test_jaccard_methods_agree(spark):
     assert count_pairs == prefix_pairs
     assert (1, 4) in count_pairs and count_pairs[(1, 4)] == 1.0
     assert (1, 2) in count_pairs
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from cryoflow_spark.functions.skew import salted_join
+
+    # Heavily skewed left: 900 rows on key 1, a few elsewhere.
+    left = spark.createDataFrame(
+        [(i, 1 if i < 900 else i % 5) for i in range(1000)],
+        "row_id long, k long",
+    )
+    right = spark.createDataFrame(
+        [(k, f"dim_{k}") for k in range(5)], "k long, label string"
+    )
+    plain = (
+        left.join(right, "k")
+        .select("row_id", "k", "label")
+        .collect()
+    )
+    salted = salted_join(left, right, on="k", salt_from="row_id").select(
+        "row_id", "k", "label"
+    ).collect()
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+    assert len(salted) == 1000
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    from cryoflow_spark.functions.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99)], "row_id long, k long"
+    )
+    right = spark.createDataFrame([(10, "x")], "k long, label string")
+    out = salted_join(left, right, on="k", salt_from="row_id", how="left").collect()
+    by_row = {r["row_id"]: r["label"] for r in out}
+    assert by_row == {1: "x", 2: "x", 3: None}
+    assert len(out) == 3
+
+
+def test_salted_join_rejects_right(spark):
+    import pytest as _pytest
+
+    from cryoflow_spark.functions.skew import salted_join
+
+    df = spark.createDataFrame([(1, 1)], "a long, k long")
+    with _pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(df, df, on="k", salt_from="a", how="right")

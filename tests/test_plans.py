@@ -1,0 +1,92 @@
+"""Physical-plan assertions: the scale properties the engine promises.
+
+Each test pins a property that matters at 100 TB and would silently
+regress otherwise: filters reaching the parquet scan, column pruning,
+broadcast of small dimensions, map-side partial aggregation, and
+exchange reuse in self-joins.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from cryoflow_spark.queries import all_queries
+
+    return all_queries()
+
+
+def test_filter_pushdown_and_pruning(spark, registry):
+    """q02: both predicates reach the scan; only 5 columns are read."""
+    plan = plan_of(registry["q02_filter_project"].fn(spark, SF))
+    assert "PushedFilters" in plan
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "l_quantity" in pushed and "l_discount" in pushed
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_orderkey", "l_linenumber", "l_extendedprice",
+                "l_quantity", "l_discount"):
+        assert col in read
+    assert "l_shipdate" not in read  # pruned
+    assert "l_comment" not in read
+
+
+def test_small_dim_join_broadcasts(spark, registry):
+    """q05 (5-way TPC-H-ish join): region/nation dims must broadcast,
+    never shuffle the big fact side for them."""
+    plan = plan_of(registry["q05_local_supplier_volume"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partial_aggregation(spark, registry):
+    """q01: hash aggregation happens map-side before the shuffle."""
+    plan = plan_of(registry["q01_pricing_summary"].fn(spark, SF), "simple")
+    # Two HashAggregate nodes (partial + final) around one Exchange.
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_selfjoin_exchange_reuse(spark, registry):
+    """x03 jaccard: the gram pipeline must compute once (ReusedExchange),
+    not once per join side. AQE finalizes reuse at runtime, so execute
+    first and assert on the final adaptive plan."""
+    df = registry["x03_jaccard_pairs"].fn(spark, SF)
+    df.collect()
+    plan = plan_of(df, "simple")
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+
+
+def test_whole_stage_codegen_hot_path(spark, registry):
+    """q01's agg pipeline stays inside whole-stage codegen (final plan)."""
+    df = registry["q01_pricing_summary"].fn(spark, SF)
+    df.collect()
+    plan = plan_of(df, "simple")
+    assert "*(" in plan  # codegen stage markers
+
+
+def test_no_cartesian_products(spark, registry):
+    """No registered query may plan a CartesianProduct. Broadcast
+    nested-loop joins are allowed only where a tiny broadcast side is the
+    intended design (x05 brute-force ANN baseline; q20's 5-row region ×
+    25-row nation matrix)."""
+    allowed_nested_loop = {"x05_cosine_topk", "q20_region_nation_matrix"}
+    for name, spec in registry.items():
+        df = spec.fn(spark, SF)
+        plan = plan_of(df, "simple")
+        assert "CartesianProduct" not in plan, name
+        if name not in allowed_nested_loop:
+            assert "BroadcastNestedLoopJoin" not in plan, name
