@@ -81,6 +81,7 @@ BUILTIN_MODULES: dict[str, str] = {
     "json_writer": "cryoflow_spark.plugins.output.json_writer",
     "ipc_writer": "cryoflow_spark.plugins.output.ipc_writer",
     "console": "cryoflow_spark.plugins.output.console",
+    "table_writer": "cryoflow_spark.plugins.output.table_writer",
     "stream_writer": "cryoflow_spark.streaming.stream_writer",
 }
 

@@ -1,0 +1,89 @@
+"""Catalog table sink plugin — with bucketed layout for co-located joins.
+
+Engine extension (no reference counterpart): ``saveAsTable`` into the
+Spark catalog, optionally **bucketed**. Bucketing is the 100 TB join
+strategy the plain file sinks can't express: two tables bucketed by the
+same key into the same bucket count join with ZERO exchange — each task
+reads matching bucket files directly. Use for fact tables that are
+joined repeatedly on the same key (the shuffle is paid once at write
+time, then amortized across every downstream join).
+
+Options:
+
+- ``table`` (required) — catalog table name.
+- ``mode`` (default ``overwrite``).
+- ``format`` (default ``parquet``).
+- ``location`` (optional) — external-table path (resolved against the
+  config dir); omitted → managed table in the warehouse dir.
+- ``bucket_by`` (optional) — ``{"columns": [...], "num_buckets": N}``.
+- ``sort_by`` (optional list) — within-bucket sort (enables sort-merge
+  without the sort step).
+- ``partition_by`` (optional list) — hive-style partitions; composes
+  with bucketing (partition dirs × bucket files).
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData, OutputPlugin, SchemaData
+from cryoflow_spark.core.result import Failure, Result, Success
+
+
+class TableWriterPlugin(OutputPlugin):
+    @property
+    def name(self) -> str:
+        return "table_writer"
+
+    def _writer(self, data: FrameData):
+        writer = data.write.mode(self.options.get("mode", "overwrite")).format(
+            self.options.get("format", "parquet")
+        )
+        location = self.options.get("location")
+        if location:
+            writer = writer.option("path", str(self.resolve_path(location)))
+        partition_by = self.options.get("partition_by")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        bucket_by = self.options.get("bucket_by")
+        if bucket_by:
+            cols = bucket_by["columns"]
+            writer = writer.bucketBy(int(bucket_by["num_buckets"]), *cols)
+            sort_by = self.options.get("sort_by")
+            if sort_by:
+                writer = writer.sortBy(*sort_by)
+        elif self.options.get("sort_by"):
+            raise ValueError(
+                "sort_by requires bucket_by (Spark sorts within buckets)"
+            )
+        return writer
+
+    def execute(self, data: FrameData) -> Result[None]:
+        try:
+            table = self.require_option("table")
+            self._writer(data).saveAsTable(table)
+            return Success(None)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+    def dry_run(self, schema: SchemaData) -> Result[None]:
+        """Validate options + that bucket/sort/partition columns exist."""
+        try:
+            self.require_option("table")
+            names = {f.name for f in schema.fields}
+            for opt in ("partition_by", "sort_by"):
+                for c in self.options.get(opt) or []:
+                    if c not in names:
+                        raise KeyError(f"{opt} column '{c}' not in schema")
+            bucket_by = self.options.get("bucket_by")
+            if bucket_by:
+                if int(bucket_by["num_buckets"]) <= 0:
+                    raise ValueError("num_buckets must be positive")
+                for c in bucket_by["columns"]:
+                    if c not in names:
+                        raise KeyError(f"bucket column '{c}' not in schema")
+            elif self.options.get("sort_by"):
+                raise ValueError(
+                    "sort_by requires bucket_by (Spark sorts within buckets)"
+                )
+            return Success(None)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)

@@ -664,3 +664,64 @@ def q43_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events_v
         """
     )
+
+
+# --- q44: time-bucket rollup (tumbling windows, hypertable-style) --------
+
+
+@register(
+    "q44_time_bucket_rollup",
+    f"""
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket_start,
+           time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours'
+             AS bucket_end,
+           event_type,
+           COUNT(*) AS n,
+           {SQL_DSUM('value', 'total_value', 6)}
+    FROM events
+    GROUP BY bucket_start, bucket_end, event_type
+    """,
+    "Hypertable-style continuous-aggregate rollup: tumbling 6h windows via "
+    "native F.window (epoch-aligned in both engines for day-divisible widths)",
+)
+def q44_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value"), "total_value", 6),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            F.col("w.end").alias("bucket_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# --- q45: deterministic array aggregation --------------------------------
+
+
+@register(
+    "q45_collect_sorted_arrays",
+    """
+    SELECT o_orderpriority,
+           list(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses,
+           list(o_orderkey ORDER BY o_orderkey) [1:5] AS first_keys
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    "Array aggregation made deterministic: sort_array(collect_set/list) — "
+    "collection order is partitioning-dependent, sorting restores identity",
+)
+def q45_collect_sorted_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 5).alias(
+            "first_keys"
+        ),
+    )

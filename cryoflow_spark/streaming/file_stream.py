@@ -52,8 +52,15 @@ class FileStreamPlugin(InputPlugin):
 
     def execute(self) -> Result[FrameData]:
         try:
-            path = str(self.resolve_path(self.require_option("input_path")))
-            return Success(self._reader(path).load(path))
+            resolved = self.resolve_path(self.require_option("input_path"))
+            path = str(resolved)
+            reader = self._reader(path)
+            # Spark's file stream source only accepts directories; a
+            # single-file path streams its parent filtered to that name.
+            if resolved.is_file():
+                reader = reader.option("pathGlobFilter", resolved.name)
+                path = str(resolved.parent)
+            return Success(reader.load(path))
         except Exception as exc:  # noqa: BLE001
             return Failure(exc)
 

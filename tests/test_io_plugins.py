@@ -174,3 +174,66 @@ class TestBinaryScan:
         result = plugin.execute()
         assert not result.is_success
         assert "required" in str(result.failure())
+
+
+class TestTableWriter:
+    def test_bucketed_write_enables_shuffle_free_join(self, spark, tmp_path):
+        """The whole point of bucketing: join two same-bucketed tables and
+        assert the plan has NO shuffle exchange."""
+        import contextlib
+        import io
+
+        from cryoflow_spark.plugins.output.table_writer import TableWriterPlugin
+
+        facts = spark.createDataFrame(
+            [(i % 50, float(i)) for i in range(2000)], "k long, v double"
+        )
+        dims = spark.createDataFrame(
+            [(k, f"d{k}") for k in range(50)], "k long, label string"
+        )
+        for name, df in (("t_facts", facts), ("t_dims", dims)):
+            plugin = TableWriterPlugin(
+                {
+                    "table": name,
+                    "location": str(tmp_path / name),
+                    "bucket_by": {"columns": ["k"], "num_buckets": 8},
+                    "sort_by": ["k"],
+                }
+            )
+            result = plugin.execute(df)
+            assert result.is_success, result
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_facts").join(spark.table("t_dims"), "k")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("simple")
+            plan = buf.getvalue()
+            assert "Exchange" not in plan, plan  # bucket-aligned: no shuffle
+            assert joined.count() == 2000
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.sql("DROP TABLE IF EXISTS t_facts")
+            spark.sql("DROP TABLE IF EXISTS t_dims")
+
+    def test_dry_run_validates_columns(self, spark):
+        from cryoflow_spark.plugins.output.table_writer import TableWriterPlugin
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType([StructField("k", LongType())])
+        ok = TableWriterPlugin(
+            {"table": "t", "bucket_by": {"columns": ["k"], "num_buckets": 4}}
+        )
+        assert ok.dry_run(schema).is_success
+        bad_col = TableWriterPlugin(
+            {"table": "t", "bucket_by": {"columns": ["nope"], "num_buckets": 4}}
+        )
+        assert not bad_col.dry_run(schema).is_success
+        sort_without_bucket = TableWriterPlugin(
+            {"table": "t", "sort_by": ["k"]}
+        )
+        assert not sort_without_bucket.dry_run(schema).is_success
+        missing = TableWriterPlugin({})
+        assert not missing.dry_run(schema).is_success
+        assert "required" in str(missing.dry_run(schema).failure())
