@@ -561,3 +561,85 @@ def exact_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for the undirected graph given as an edge list.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round a node takes the minimum label in its closed neighborhood;
+    converged when no label changes. Converges in O(graph diameter)
+    rounds — near-dup clusters are shallow (stars/chains), so a handful
+    of rounds suffices; ``max_iter`` bounds the worst case.
+
+    This is the driver-side-loop iterative pattern (each round = one
+    shuffle join + aggregate, fully distributed; the driver only checks
+    the convergence count). ``localCheckpoint`` truncates lineage each
+    round so plans don't grow exponentially. Use downstream of
+    ``*_pairs`` operators to turn near-dup PAIRS into CLUSTERS (one
+    survivor per transitive group, not per pair).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                "component",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("new_component"),
+            )
+        )
+        changed = updated.filter(
+            F.col("new_component") != F.col("component")
+        ).count()
+        labels = updated.select(
+            "node", F.col("new_component").alias("component")
+        ).localCheckpoint()
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Keep ONE row (smallest id) per transitive near-dup cluster.
+
+    Fixes the per-pair survivor rule's blind spot: for a chain A~B~C the
+    pairwise rule keeps A and (if (A,C) wasn't a pair) also C; clustering
+    keeps only A.
+    """
+    comp = connected_components(pairs, max_iter=max_iter)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -520,3 +520,39 @@ _R2["x19_bpe_token_budget"] = _QS2(
     oracle=_x19_oracle(),
     description=_R2["x19_bpe_token_budget"].description,
 )
+
+
+# --- x20: transitive near-dup clusters (connected components) ------------
+
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_SQL.format(thr=0.05)}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, root) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root
+      FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node, MIN(root) AS component
+    FROM reach GROUP BY node
+"""
+
+
+@register(
+    "x20_dedup_clusters",
+    _CLUSTERS_SQL,
+    "Transitive near-dup clusters: iterative min-label propagation "
+    "(O(diameter) shuffle rounds, lineage-truncated) vs a recursive-CTE "
+    "oracle — fixes the per-pair survivor rule's chain blind spot",
+)
+def x20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", ngram=3, threshold=0.05,
+        block_by="lang",
+    )
+    return D.connected_components(pairs).select("node", "component")

@@ -276,3 +276,32 @@ def test_salted_join_rejects_right(spark):
     df = spark.createDataFrame([(1, 1)], "a long, k long")
     with _pytest.raises(ValueError, match="salted_join supports"):
         salted_join(df, df, on="k", salt_from="a", how="right")
+
+
+def test_connected_components_chain_and_islands(spark):
+    from cryoflow_spark.functions.dedup import connected_components
+
+    # Chain 1-2-3-4, pair 10-11, isolated nodes don't appear (no edges).
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cluster_dedup_beats_pairwise_rule(spark):
+    from cryoflow_spark.functions.dedup import cluster_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 9)], "doc_id long, text string"
+    )
+    # A~B and B~C but no (A,C) pair: the pairwise rule would keep 1 and
+    # wrongly... the chain means 3 transitively dups 1 via 2.
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"] for r in cluster_dedup(docs, pairs).collect()
+    )
+    assert kept == [1, 9]
