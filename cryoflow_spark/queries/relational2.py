@@ -725,3 +725,81 @@ def q45_collect_sorted_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_keys"
         ),
     )
+
+
+# --- q46: sliding (hopping) windows --------------------------------------
+
+
+@register(
+    "q46_sliding_windows",
+    f"""
+    SELECT bucket_start, event_type, COUNT(*) AS n,
+           {SQL_DSUM('value', 'total_value', 6)}
+    FROM (
+      SELECT e.*,
+             time_bucket(INTERVAL '3 hours', ts) - k.off * INTERVAL '3 hours'
+               AS bucket_start
+      FROM events e
+      CROSS JOIN (SELECT unnest([0, 1]) AS off) k
+    )
+    WHERE ts < bucket_start + INTERVAL '6 hours'
+      AND ts >= bucket_start
+    GROUP BY bucket_start, event_type
+    """,
+    "Sliding/hopping windows (6h window, 3h slide): each event lands in 2 "
+    "overlapping buckets — F.window(w, slide) vs an unnest-offset oracle",
+)
+def q46_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.window("ts", "6 hours", "3 hours").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value"), "total_value", 6),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# --- q47: regex group extraction -----------------------------------------
+
+
+@register(
+    "q47_regex_groups",
+    """
+    SELECT CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INTEGER)
+             AS brand_num,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM part
+    GROUP BY brand_num, type_head
+    """,
+    "Capture-group extraction (regexp_extract group 1) + numeric cast",
+)
+def q47_regex_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1)
+            .cast("int")
+            .alias("brand_num"),
+            F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_head"),
+            "p_retailprice",
+        )
+        .groupBy("brand_num", "type_head")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -128,3 +128,42 @@ def test_dry_run_pipeline_with_stream(spark, stream_src, tmp_path):
         spark=spark,
     )
     assert is_successful(result), result
+
+
+def test_sliding_window_stream(spark, tmp_path):
+    """Hopping windows on a stream: each event lands in window_len/slide
+    overlapping windows."""
+    src = tmp_path / "slide_incoming"
+    src.mkdir()
+    spark.sql(
+        "SELECT timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60) AS ts, "
+        "id AS v FROM range(10)"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    result = run_pipeline(
+        [FileStreamPlugin({"input_path": str(src)})],
+        [
+            WatermarkPlugin({"column": "ts", "delay": "1 minute"}),
+            GroupAggPlugin(
+                {
+                    "group_by": ["window(ts, '4 minutes', '2 minutes')"],
+                    "aggs": {"n": "count(*)"},
+                }
+            ),
+        ],
+        [
+            StreamWriterPlugin(
+                {
+                    "format": "memory",
+                    "output_mode": "complete",
+                    "query_name": "sliding",
+                    "trigger": "available_now",
+                }
+            )
+        ],
+        spark=spark,
+    )
+    assert is_successful(result), result
+    rows = spark.table("sliding").collect()
+    # 10 events x 2 windows each (4min window / 2min slide) = 20 assignments.
+    assert sum(r["n"] for r in rows) == 20
