@@ -52,23 +52,6 @@ def attach_binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataF
     ).withColumn("payload_crc", F.crc32(F.col(payload_col)))
 
 
-def _fake_features(payload: bytes, dim: int) -> list[float]:
-    """Deterministic stand-in feature vector derived from payload bytes."""
-    if not payload:
-        return [0.0] * dim
-    out = []
-    acc = 2166136261  # FNV-1a offset basis (public constant)
-    i = 0
-    step = max(1, len(payload) // dim)
-    for j in range(dim):
-        chunk = payload[j * step : (j + 1) * step] or payload[-1:]
-        for b in chunk:
-            acc = ((acc ^ b) * 16777619) & 0xFFFFFFFF
-        out.append(((acc % 2000001) / 1000000.0) - 1.0)
-        i += 1
-    return out
-
-
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -84,6 +67,24 @@ def extract_features(
     ``_decode_real`` with Pillow/ffmpeg kernels — the Spark plumbing
     (batch iterator, schema, pruning) is identical.
     """
+
+    # Executor-side helpers are NESTED so cloudpickle ships them by value:
+    # a module-level reference would require this package on the executor
+    # workers' sys.path, which a foreign driver (different cwd) won't have.
+
+    def _fake_features(payload: bytes, dim: int) -> list[float]:
+        """Deterministic stand-in feature vector derived from payload bytes."""
+        if not payload:
+            return [0.0] * dim
+        out = []
+        acc = 2166136261  # FNV-1a offset basis (public constant)
+        step = max(1, len(payload) // dim)
+        for j in range(dim):
+            chunk = payload[j * step : (j + 1) * step] or payload[-1:]
+            for b in chunk:
+                acc = ((acc ^ b) * 16777619) & 0xFFFFFFFF
+            out.append(((acc % 2000001) / 1000000.0) - 1.0)
+        return out
 
     def _decode_real(payload: bytes, kind: str) -> list[float]:
         raise NotImplementedError(

@@ -4,13 +4,17 @@ Parity with reference
 ``cryoflow_plugin_collections/input/ipc_scan.py:20-52`` (``pl.scan_ipc``).
 Spark has no native IPC reader (SURVEY.md §7 "What's hard"), so:
 
-- small/medium files: ``pyarrow.ipc`` open → ``spark.createDataFrame``
-  directly from the Arrow table (zero-copy into Spark 4's Arrow path)
+- single file (reference semantics): ``pyarrow.ipc`` open →
+  ``spark.createDataFrame`` directly from the Arrow table (zero-copy
+  into Spark 4's Arrow path)
+- directory of IPC files (the scale path): ``binaryFile`` scan →
+  ``mapInPandas`` deserializing each file's bytes executor-side — files
+  are the parallelism unit, bytes never touch the driver; only one
+  schema header is read driver-side
 - ``dry_run`` reads only the IPC schema header — no data I/O
 
-Scale path: for large IPC datasets prefer converting to Parquet at ingest
-(IPC is not splittable in Spark); this plugin intentionally mirrors the
-reference's single-file scan semantics.
+A single IPC file is not block-splittable; at 100 TB keep individual
+files at task size (or convert to Parquet at ingest).
 """
 
 from __future__ import annotations
@@ -31,6 +35,14 @@ def _open_ipc(path: str) -> pa.ipc.RecordBatchFileReader | pa.ipc.RecordBatchStr
         return pa.ipc.open_stream(path)
 
 
+def _open_ipc_bytes(data: bytes):
+    """Open in-memory IPC bytes (file, then stream format)."""
+    try:
+        return pa.ipc.open_file(pa.BufferReader(data))
+    except pa.ArrowInvalid:
+        return pa.ipc.open_stream(pa.BufferReader(data))
+
+
 class IpcScanPlugin(InputPlugin):
     @property
     def name(self) -> str:
@@ -38,18 +50,62 @@ class IpcScanPlugin(InputPlugin):
 
     def execute(self) -> Result[FrameData]:
         try:
-            path = str(self.resolve_path(self.require_option("input_path")))
+            resolved = self.resolve_path(self.require_option("input_path"))
             spark = self._require_session()
-            table = _open_ipc(path).read_all()
+            if resolved.is_dir():
+                return Success(self._scan_directory(spark, resolved))
+            table = _open_ipc(str(resolved)).read_all()
             return Success(spark.createDataFrame(table))
         except Exception as exc:  # noqa: BLE001
             return Failure(exc)
 
+    def _scan_directory(self, spark, resolved) -> FrameData:
+        """Distributed scan: one task group per file, deserialized
+        executor-side via Arrow-batched mapInPandas."""
+        glob = self.options.get("path_glob_filter", "*.arrow")
+        first = sorted(resolved.glob(glob))
+        if not first:
+            raise FileNotFoundError(
+                f"no files matching '{glob}' under {resolved}"
+            )
+        schema = from_arrow_schema(_open_ipc(str(first[0])).schema)
+
+        def deserialize(batches):
+            # Self-contained closure: references only globally-installed
+            # modules (pyarrow), never this package — executor Python
+            # workers may not have the engine on their sys.path.
+            import pyarrow as _pa
+            import pyarrow.ipc as _ipc  # noqa: F401
+
+            for pdf in batches:
+                for content in pdf["content"]:
+                    buf = _pa.BufferReader(bytes(content))
+                    try:
+                        reader = _pa.ipc.open_file(buf)
+                    except _pa.ArrowInvalid:
+                        reader = _pa.ipc.open_stream(_pa.BufferReader(bytes(content)))
+                    yield reader.read_all().to_pandas()
+
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", glob)
+            .load(str(resolved))
+        )
+        return files.select("content").mapInPandas(deserialize, schema=schema)
+
     def dry_run(self) -> Result[SchemaData]:
         """Schema from the IPC header only — no record batches read."""
         try:
-            path = str(self.resolve_path(self.require_option("input_path")))
-            reader = _open_ipc(path)
+            resolved = self.resolve_path(self.require_option("input_path"))
+            if resolved.is_dir():
+                glob = self.options.get("path_glob_filter", "*.arrow")
+                files = sorted(resolved.glob(glob))
+                if not files:
+                    raise FileNotFoundError(
+                        f"no files matching '{glob}' under {resolved}"
+                    )
+                return Success(from_arrow_schema(_open_ipc(str(files[0])).schema))
+            reader = _open_ipc(str(resolved))
             return Success(from_arrow_schema(reader.schema))
         except Exception as exc:  # noqa: BLE001
             return Failure(exc)

@@ -803,3 +803,110 @@ def q47_regex_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+# --- q48: bag-semantics set operations -----------------------------------
+
+
+@register(
+    "q48_bag_set_ops",
+    """
+    WITH heavy AS (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 30),
+         cheap AS (SELECT l_orderkey FROM lineitem WHERE l_extendedprice < 20000)
+    SELECT 'except_all' AS op, l_orderkey,
+           COUNT(*) AS n
+    FROM (SELECT * FROM heavy EXCEPT ALL SELECT * FROM cheap)
+    GROUP BY l_orderkey
+    HAVING COUNT(*) >= 3
+    UNION ALL
+    SELECT 'intersect_all' AS op, l_orderkey, COUNT(*) AS n
+    FROM (SELECT * FROM heavy INTERSECT ALL SELECT * FROM cheap)
+    GROUP BY l_orderkey
+    HAVING COUNT(*) >= 2
+    """,
+    "EXCEPT ALL / INTERSECT ALL (bag semantics: multiplicities subtract/min)",
+)
+def q48_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")  # noqa: E741
+    heavy = l.filter(F.col("l_quantity") >= 30).select("l_orderkey")
+    cheap = l.filter(F.col("l_extendedprice") < 20000).select("l_orderkey")
+    ex = (
+        heavy.exceptAll(cheap)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select(F.lit("except_all").alias("op"), "l_orderkey", "n")
+    )
+    inter = (
+        heavy.intersectAll(cheap)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(F.lit("intersect_all").alias("op"), "l_orderkey", "n")
+    )
+    return ex.unionByName(inter)
+
+
+# --- q49: null-safe equality join ----------------------------------------
+
+
+@register(
+    "q49_null_safe_join",
+    """
+    WITH a AS (SELECT nullif(l_returnflag, 'N') AS flag, COUNT(*) AS n_a
+               FROM lineitem GROUP BY flag),
+         b AS (SELECT nullif(l_returnflag, 'R') AS flag, COUNT(*) AS n_b
+               FROM lineitem GROUP BY flag)
+    SELECT a.flag AS flag_a, b.flag AS flag_b, a.n_a, b.n_b
+    FROM a JOIN b ON a.flag IS NOT DISTINCT FROM b.flag
+    """,
+    "Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match",
+)
+def q49_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")  # noqa: E741
+    a = (
+        l.groupBy(F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag"))
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        l.groupBy(F.nullif(F.col("l_returnflag"), F.lit("R")).alias("flag"))
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return a.join(b, a["flag"].eqNullSafe(b["flag"])).select(
+        a["flag"].alias("flag_a"),
+        b["flag"].alias("flag_b"),
+        "n_a",
+        "n_b",
+    )
+
+
+# --- q50: unpivot / melt --------------------------------------------------
+
+
+@register(
+    "q50_unpivot_measures",
+    f"""
+    SELECT measure, COUNT(*) AS n, {SQL_DSUM('val', 'total', 6)}
+    FROM (
+      SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY measure
+    """,
+    "Unpivot/melt wide measures into (measure, value) rows via df.unpivot",
+)
+def q50_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")  # noqa: E741
+    melted = l.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return melted.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("val"), "total", 6),
+    )

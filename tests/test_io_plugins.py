@@ -237,3 +237,53 @@ class TestTableWriter:
         missing = TableWriterPlugin({})
         assert not missing.dry_run(schema).is_success
         assert "required" in str(missing.dry_run(schema).failure())
+
+
+class TestIpcDirectoryScan:
+    def test_distributed_directory_read(self, spark, tmp_path):
+        """Directory of IPC files: executor-side deserialization path."""
+        import pyarrow as pa
+        import pyarrow.ipc
+
+        from cryoflow_spark.plugins.input.ipc_scan import IpcScanPlugin
+
+        src = tmp_path / "ipc_dir"
+        src.mkdir()
+        for part in range(3):
+            table = pa.table(
+                {
+                    "id": pa.array(range(part * 10, part * 10 + 10), pa.int64()),
+                    "name": pa.array([f"r{i}" for i in range(10)]),
+                }
+            )
+            with pa.ipc.new_file(str(src / f"part{part}.arrow"), table.schema) as w:
+                w.write_table(table)
+
+        plugin = IpcScanPlugin({"input_path": str(src)})
+        plugin.attach_session(spark)
+        result = plugin.execute()
+        assert result.is_success, result
+        df = result.unwrap()
+        # Physical plan must be the distributed mapInPandas path.
+        import contextlib
+        import io as _io
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("simple")
+        assert "MapInPandas" in buf.getvalue()
+        ids = sorted(r["id"] for r in df.collect())
+        assert ids == list(range(30))
+
+        schema = plugin.dry_run().unwrap()
+        assert [f.name for f in schema.fields] == ["id", "name"]
+
+    def test_empty_directory_fails(self, spark, tmp_path):
+        from cryoflow_spark.plugins.input.ipc_scan import IpcScanPlugin
+
+        empty = tmp_path / "none"
+        empty.mkdir()
+        plugin = IpcScanPlugin({"input_path": str(empty)})
+        plugin.attach_session(spark)
+        assert not plugin.execute().is_success
+        assert not plugin.dry_run().is_success
