@@ -134,3 +134,62 @@ def sql_bpe_token_count(text_expr: str) -> str:
         f"CAST(len(list_filter(regexp_extract_all({text_expr}, "
         f"'{pattern}'), t -> trim(t) != '')) AS BIGINT)"
     )
+
+
+def tfidf_top_terms(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_len: int = 3,
+    doc_filter=None,
+):
+    """Top-k TF-IDF terms per document (smooth idf, sklearn-style).
+
+    Scale design: the token explode + df aggregation run over ALL documents
+    (idf must see the full corpus), but term-frequency rows are computed only
+    for the documents selected by ``doc_filter`` — at 100 TB the candidate
+    set is usually a tiny slice, so the big side contributes only a
+    per-term count (map-side partial agg), never a doc×term blowup. The
+    per-term document-frequency table is small (vocabulary-sized) and is
+    broadcast into the tf join.
+
+    ``ln`` and the tf×idf product are rounded to 6 decimals so ranking is
+    reproducible across engines (libm ulp differences otherwise reorder
+    near-ties).
+    """
+    from pyspark.sql import DataFrame, Window
+
+    assert isinstance(df, DataFrame)
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"),
+    ).filter((F.col("term") != "") & (F.length("term") >= min_len))
+    df_per_term = tokens.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    selected = tokens if doc_filter is None else tokens.filter(doc_filter)
+    tf = selected.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.round(
+                    F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))), 6
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "rk", "term", "tf", "df", "tfidf")
+    )

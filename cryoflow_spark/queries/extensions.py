@@ -556,3 +556,52 @@ def x20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_by="lang",
     )
     return D.connected_components(pairs).select("node", "component")
+
+
+# --- x21: TF-IDF top terms per document ----------------------------------
+
+
+@register(
+    "x21_tfidf_top_terms",
+    """
+    WITH tokens AS (
+      SELECT doc_id, t AS term
+      FROM (
+        SELECT doc_id,
+               UNNEST(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+        FROM documents
+      )
+      WHERE t <> '' AND length(t) >= 3
+    ),
+    dfreq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY term
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tokens
+      WHERE doc_id % 25 = 0
+      GROUP BY doc_id, term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, d.df,
+             ROUND(tf.tf * ROUND(LN((1.0 + (SELECT COUNT(*) FROM documents))
+                                    / (1.0 + d.df)), 6), 6) AS tfidf
+      FROM tf JOIN dfreq d USING (term)
+    )
+    SELECT doc_id, rk, term, tf, df, tfidf
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    WHERE rk <= 3
+    """,
+    "TF-IDF top-3 terms per sampled document (smooth idf over the full "
+    "corpus; broadcast vocabulary join) — keyword extraction for training "
+    "pipelines",
+)
+def x21_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.tfidf_top_terms(
+        d, text_col="text", id_col="doc_id", k=3, min_len=3,
+        doc_filter=F.col("doc_id") % 25 == 0,
+    )

@@ -910,3 +910,168 @@ def q50_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum(F.col("val"), "total", 6),
     )
+
+
+# --- q51: date-spine gap fill (time-series densify + forward fill) -------
+
+
+@register(
+    "q51_gap_fill_spine",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+             1 AS present
+      FROM events WHERE user_id % 5 = 0
+      GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    bounds AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id,
+             CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    )
+    SELECT s.user_id, s.day,
+           last_value(d.total IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled,
+           d.present IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    "Time-series densify: per-user daily spine (sequence+explode) with "
+    "forward fill (last ignorenulls) — gap-filling for training pipelines",
+)
+def q51_gap_fill_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).filter(F.col("user_id") % 5 == 0)
+    daily = (
+        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            dsum(F.col("value"), "total", 4),
+            F.lit(1).alias("present"),
+        )
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    # sequence(d0, d1, interval 1 day) runs JVM-side; one row per spine day.
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("total", ignorenulls=True).over(w).alias("filled"),
+            F.col("present").isNull().alias("is_gap"),
+        )
+    )
+
+
+# --- q52: bivariate statistics via exact decimal moments -----------------
+
+
+@register(
+    "q52_bivariate_stats",
+    """
+    SELECT l_returnflag, n,
+           ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_qp,
+           ROUND((n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+             AS corr_qp,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND(sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx / n, 6)
+             AS intercept
+    FROM (
+      SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+    "Pearson correlation / sample covariance / OLS slope+intercept of "
+    "quantity vs price — exact decimal co-moments so the result is "
+    "order-independent (Spark also ships corr/covar_samp/regr_* natively; "
+    "the moment form is what survives a cross-engine bit-equality gate)",
+)
+def q52_bivariate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")  # noqa: E741
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    base = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return base.select(
+        "l_returnflag",
+        "n",
+        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_qp"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qp"),
+        F.round(slope, 6).alias("slope"),
+        F.round(sy / n - slope * sx / n, 6).alias("intercept"),
+    )
+
+
+# --- q53: fuzzy string matching (edit distance) --------------------------
+
+
+@register(
+    "q53_fuzzy_part_names",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE a.p_partkey % 20 = 0 AND b.p_partkey % 4 = 0
+      AND levenshtein(a.p_name, b.p_name) <= 6
+    """,
+    "Fuzzy matching: Levenshtein edit-distance pairs, blocked by brand so "
+    "the self-join never goes quadratic over the whole table",
+)
+def q53_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    a = p.filter(F.col("p_partkey") % 20 == 0).select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = p.filter(F.col("p_partkey") % 4 == 0).select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+    )
+    return (
+        a.join(b, ["brand"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 6)
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+    )

@@ -305,3 +305,44 @@ def test_cluster_dedup_beats_pairwise_rule(spark):
         r["doc_id"] for r in cluster_dedup(docs, pairs).collect()
     )
     assert kept == [1, 9]
+
+
+def test_tfidf_top_terms(spark):
+    """Corpus-wide idf, per-doc tf: a corpus-common word ranks below a
+    doc-distinctive word even when tf is equal."""
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common"),
+            (2, "cherry cherry durian common common"),
+            (3, "elder elder common common fig"),
+            (4, "grape common common hazel hazel"),
+        ],
+        "doc_id long, text string",
+    )
+    out = X.tfidf_top_terms(df, k=2).collect()
+    top = {}
+    for r in out:
+        top.setdefault(r["doc_id"], []).append((r["rk"], r["term"]))
+    # 'common' appears in all 4 docs -> idf ln(5/5)=0 -> never top-ranked
+    for doc_id, ranked in top.items():
+        assert all(term != "common" for _, term in ranked), (doc_id, ranked)
+    assert sorted(t for _, t in top[1]) == ["apple", "banana"]
+    # rank 1 is the highest-tf distinctive term
+    assert dict(top[2])[1] == "cherry"
+
+
+def test_tfidf_doc_filter_keeps_corpus_idf(spark):
+    """doc_filter restricts OUTPUT docs but idf still sees the corpus."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma"), (3, "alpha delta")],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    out = X.tfidf_top_terms(df, k=5, doc_filter=F.col("doc_id") == 1).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    by_term = {r["term"]: r for r in out}
+    # df('alpha') counts docs 2 and 3 even though they're filtered out
+    assert by_term["alpha"]["df"] == 3
+    assert by_term["beta"]["df"] == 1
+    assert by_term["beta"]["tfidf"] > by_term["alpha"]["tfidf"]
