@@ -1,15 +1,21 @@
 """Input (source) plugins."""
 
+from cryoflow_spark.plugins.input.binary_scan import BinaryScanPlugin
 from cryoflow_spark.plugins.input.csv_scan import CsvScanPlugin
 from cryoflow_spark.plugins.input.ipc_scan import IpcScanPlugin
 from cryoflow_spark.plugins.input.json_scan import JsonScanPlugin
+from cryoflow_spark.plugins.input.orc_scan import OrcScanPlugin
 from cryoflow_spark.plugins.input.parquet_scan import ParquetScanPlugin
 from cryoflow_spark.plugins.input.table_scan import TableScanPlugin
+from cryoflow_spark.plugins.input.text_scan import TextScanPlugin
 
 __all__ = [
+    "BinaryScanPlugin",
     "CsvScanPlugin",
     "IpcScanPlugin",
     "JsonScanPlugin",
+    "OrcScanPlugin",
     "ParquetScanPlugin",
     "TableScanPlugin",
+    "TextScanPlugin",
 ]

@@ -1,0 +1,41 @@
+"""ORC source plugin.
+
+Engine extension beyond the reference's three sources (parquet/csv/ipc —
+SURVEY.md §2A rows 1-3): Spark ships a native, splittable, predicate-
+pushdown-capable ORC reader, so ORC joins parquet as a first-class
+columnar lake format. Options: ``input_path`` (required),
+``merge_schema`` (default False).
+
+dry_run reads only file-footer metadata (same cost profile as parquet).
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData, InputPlugin, SchemaData
+from cryoflow_spark.core.result import Failure, Result, Success
+
+
+class OrcScanPlugin(InputPlugin):
+    @property
+    def name(self) -> str:
+        return "orc_scan"
+
+    def _reader(self):
+        spark = self._require_session()
+        return spark.read.option(
+            "mergeSchema", bool(self.options.get("merge_schema", False))
+        )
+
+    def execute(self) -> Result[FrameData]:
+        try:
+            path = str(self.resolve_path(self.require_option("input_path")))
+            return Success(self._reader().orc(path))
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+    def dry_run(self) -> Result[SchemaData]:
+        try:
+            path = str(self.resolve_path(self.require_option("input_path")))
+            return Success(self._reader().orc(path).schema)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)

@@ -1,0 +1,53 @@
+"""Raw-text source plugin: one row per line (default) or per file.
+
+Engine extension for training-data ingestion: raw corpora usually arrive
+as line-delimited text shards. Produces a single ``value: string`` column
+(Spark's ``text`` source); with ``whole_text`` each FILE becomes one row
+(use for small-doc corpora — a whole file must fit in one task). With
+``with_path`` the originating file path is attached via the
+``_metadata.file_path`` hidden column (constant-folded, no extra I/O).
+
+Options: ``input_path`` (required), ``whole_text`` (default False),
+``line_sep`` (optional custom delimiter), ``with_path`` (default False).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cryoflow_spark.core.plugin import FrameData, InputPlugin, SchemaData
+from cryoflow_spark.core.result import Failure, Result, Success
+
+
+class TextScanPlugin(InputPlugin):
+    @property
+    def name(self) -> str:
+        return "text_scan"
+
+    def _load(self) -> FrameData:
+        spark = self._require_session()
+        path = str(self.resolve_path(self.require_option("input_path")))
+        # NB: wholetext/lineSep must go through the .text() kwargs — options
+        # set via reader.option() are not picked up by the text source.
+        kwargs = {"wholetext": bool(self.options.get("whole_text", False))}
+        line_sep = self.options.get("line_sep")
+        if line_sep:
+            kwargs["lineSep"] = line_sep
+        df = spark.read.text(path, **kwargs)
+        if self.options.get("with_path", False):
+            df = df.select(
+                F.col("_metadata.file_path").alias("file_path"), "value"
+            )
+        return df
+
+    def execute(self) -> Result[FrameData]:
+        try:
+            return Success(self._load())
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+    def dry_run(self) -> Result[SchemaData]:
+        try:
+            return Success(self._load().schema)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)

@@ -4,12 +4,16 @@ from cryoflow_spark.plugins.output.console import ConsolePlugin
 from cryoflow_spark.plugins.output.csv_writer import CsvWriterPlugin
 from cryoflow_spark.plugins.output.ipc_writer import IpcWriterPlugin
 from cryoflow_spark.plugins.output.json_writer import JsonWriterPlugin
+from cryoflow_spark.plugins.output.orc_writer import OrcWriterPlugin
 from cryoflow_spark.plugins.output.parquet_writer import ParquetWriterPlugin
+from cryoflow_spark.plugins.output.table_writer import TableWriterPlugin
 
 __all__ = [
     "ConsolePlugin",
     "CsvWriterPlugin",
     "IpcWriterPlugin",
     "JsonWriterPlugin",
+    "OrcWriterPlugin",
     "ParquetWriterPlugin",
+    "TableWriterPlugin",
 ]

@@ -1,0 +1,51 @@
+"""ORC sink plugin. Options: ``output_path`` (required), ``mode``
+(default overwrite), ``partition_by`` (list — directory-partitioned
+layout for partition pruning at read time), ``compression``
+(default snappy).
+"""
+
+from __future__ import annotations
+
+import os
+
+from cryoflow_spark.core.plugin import FrameData, OutputPlugin, SchemaData
+from cryoflow_spark.core.result import Failure, Result, Success
+
+
+class OrcWriterPlugin(OutputPlugin):
+    @property
+    def name(self) -> str:
+        return "orc_writer"
+
+    def execute(self, data: FrameData) -> Result[None]:
+        try:
+            path = self.resolve_path(self.require_option("output_path"))
+            path.parent.mkdir(parents=True, exist_ok=True)
+            writer = data.write.mode(self.options.get("mode", "overwrite"))
+            writer = writer.option(
+                "compression", self.options.get("compression", "snappy")
+            )
+            partition_by = self.options.get("partition_by")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.orc(str(path))
+            return Success(None)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)
+
+    def dry_run(self, schema: SchemaData) -> Result[None]:
+        try:
+            path = self.resolve_path(self.require_option("output_path"))
+            partition_by = self.options.get("partition_by") or []
+            names = {f.name for f in schema.fields}
+            missing = [c for c in partition_by if c not in names]
+            if missing:
+                raise KeyError(f"partition_by columns not in schema: {missing}")
+            path.parent.mkdir(parents=True, exist_ok=True)
+            if not os.access(path.parent, os.W_OK):
+                raise PermissionError(
+                    f"output directory not writable: {path.parent}"
+                )
+            return Success(None)
+        except Exception as exc:  # noqa: BLE001
+            return Failure(exc)

@@ -1075,3 +1075,78 @@ def q53_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 6)
         .select("key_a", "key_b", "name_a", "name_b", "dist")
     )
+
+
+# --- q54: higher-order array functions -----------------------------------
+
+
+@register(
+    "q54_array_lambdas",
+    """
+    SELECT l_orderkey,
+           len(list_filter(qty, x -> x < 10)) AS n_small,
+           list_max(list_transform(qty, x -> x * 2)) AS doubled_max,
+           CAST(list_aggregate(qty, 'sum') AS BIGINT) AS qty_sum,
+           qty[1] AS smallest
+    FROM (
+      SELECT l_orderkey,
+             list_sort(list(CAST(FLOOR(l_quantity) AS INTEGER))) AS qty
+      FROM lineitem WHERE l_orderkey % 10 = 0
+      GROUP BY l_orderkey
+    )
+    """,
+    "Higher-order array lambdas (transform/filter/aggregate/array_max) over "
+    "deterministically-sorted per-order arrays — all JVM-side codegen'd "
+    "expressions, no Python",
+)
+def q54_array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")  # noqa: E741
+    qty = F.array_sort(
+        F.collect_list(F.floor("l_quantity").cast("int"))
+    ).alias("qty")
+    base = (
+        l.filter(F.col("l_orderkey") % 10 == 0)
+        .groupBy("l_orderkey")
+        .agg(qty)
+    )
+    return base.select(
+        "l_orderkey",
+        F.size(F.filter("qty", lambda x: x < 10)).alias("n_small"),
+        F.array_max(F.transform("qty", lambda x: x * 2)).alias("doubled_max"),
+        F.aggregate(
+            "qty", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("qty_sum"),
+        F.element_at("qty", 1).alias("smallest"),
+    )
+
+
+# --- q55: GROUPING SETS with grouping indicators -------------------------
+
+
+@register(
+    "q55_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+    """,
+    "GROUPING SETS beyond rollup/cube (q22/q38): explicit set list with "
+    "per-column GROUPING indicators to disambiguate aggregate NULLs from "
+    "data NULLs",
+)
+def q55_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")  # noqa: E741
+    return l.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"],
+         ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -13,6 +13,8 @@ Components:
   DataFrames (``spark.readStream``)
 - ``watermark`` — TransformPlugin adding an event-time watermark for
   late-data handling in windowed aggregations
+- ``stream_dedup`` — exact dedup with watermark-bounded state
+  (``dropDuplicatesWithinWatermark``) for at-least-once sources
 - ``stream_writer`` — OutputPlugin running ``writeStream`` with
   checkpointing, triggers (incl. ``available_now`` for bounded runs),
   and console/memory/parquet/json/csv sinks

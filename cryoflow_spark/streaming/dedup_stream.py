@@ -1,0 +1,32 @@
+"""Streaming exact dedup with watermark-bounded state.
+
+Engine extension (reference has no stream processing — SURVEY.md §2B
+"explicitly absent"). On an unbounded stream, plain
+``dropDuplicates(keys)`` keeps EVERY key ever seen in state — unbounded
+memory at 100 TB/day ingest. ``dropDuplicatesWithinWatermark`` instead
+expires a key's state once the event-time watermark passes it, which is
+the correct semantics for at-least-once sources (Kafka, file landing
+zones) whose duplicates arrive close together in event time.
+
+Options: ``keys`` (required list — the duplicate identity), and the
+stream must already carry a watermark (compose with the ``watermark``
+plugin upstream). Works on batch frames too, where it degrades to plain
+``dropDuplicates`` semantics (state is irrelevant in batch).
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+
+
+class StreamDedupPlugin(AnalyzedTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "stream_dedup"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        keys = list(self.require_option("keys"))
+        if data.isStreaming:
+            return data.dropDuplicatesWithinWatermark(keys)
+        return data.dropDuplicates(keys)

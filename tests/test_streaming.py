@@ -167,3 +167,86 @@ def test_sliding_window_stream(spark, tmp_path):
     rows = spark.table("sliding").collect()
     # 10 events x 2 windows each (4min window / 2min slide) = 20 assignments.
     assert sum(r["n"] for r in rows) == 20
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates collapse, state bounded."""
+    from cryoflow_spark.streaming.dedup_stream import StreamDedupPlugin
+
+    src = tmp_path / "dup_incoming"
+    src.mkdir()
+    # each event id appears twice, 10s apart (within the watermark delay)
+    spark.sql(
+        "SELECT CAST(id / 2 AS LONG) AS event_id, "
+        "timestamp'2024-01-01 00:00:00' "
+        "  + make_interval(0,0,0,0,0,0, CAST(id/2 AS INT)*30 + (id%2)*10) AS ts "
+        "FROM range(40)"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    out = tmp_path / "deduped"
+    result = run_pipeline(
+        [FileStreamPlugin({"input_path": str(src)})],
+        [
+            WatermarkPlugin({"column": "ts", "delay": "2 minutes"}),
+            StreamDedupPlugin({"keys": ["event_id"]}),
+        ],
+        [
+            StreamWriterPlugin(
+                {"output_path": str(out), "trigger": "available_now"}
+            )
+        ],
+        spark=spark,
+    )
+    assert is_successful(result), result
+    n = duckdb.sql(
+        f"SELECT count(DISTINCT event_id), count(*) FROM '{out}/*.parquet'"
+    ).fetchone()
+    assert n == (20, 20)
+
+
+def test_stream_dedup_batch_degrades(spark):
+    from cryoflow_spark.streaming.dedup_stream import StreamDedupPlugin
+
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k long, v string")
+    plugin = StreamDedupPlugin({"keys": ["k"]})
+    out = plugin.execute(df).unwrap()
+    assert out.count() == 2
+
+
+def test_stream_static_broadcast_join(spark, tmp_path, stream_src):
+    """Streaming fact joined to a static broadcast dimension — the standard
+    enrichment topology; only the stream side holds no join state."""
+    from cryoflow_spark.plugins.transform.join import JoinPlugin
+    from tests.conftest import DummyInputPlugin
+
+    dims = DummyInputPlugin(label="dims")  # a: 1,2,3; b: x,y,z
+    result = run_pipeline(
+        [
+            FileStreamPlugin({"input_path": str(stream_src)}),
+            dims,
+        ],
+        [
+            FilterPlugin({"predicate": "event_id < 6"}),
+            JoinPlugin(
+                {
+                    "right_label": "dims",
+                    "condition": "left.event_id = right.a",
+                    "how": "inner",
+                    "broadcast": True,
+                }
+            ),
+        ],
+        [
+            StreamWriterPlugin(
+                {
+                    "format": "memory",
+                    "query_name": "enriched",
+                    "trigger": "available_now",
+                }
+            )
+        ],
+        spark=spark,
+    )
+    assert is_successful(result), result
+    rows = sorted((r["event_id"], r["b"]) for r in spark.table("enriched").collect())
+    assert rows == [(1, "x"), (2, "y"), (3, "z")]
