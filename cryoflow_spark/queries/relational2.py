@@ -68,9 +68,21 @@ def q25_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q26_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+    # one percentile(col, array(...)) call → ONE shared value buffer per
+    # group instead of one per requested quantile (2× less agg state; the
+    # scale-path alternative is approx_percentile, shown in q35's family)
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.5D, 0.9D))"
+            ).alias("qs")
+        )
+        .select(
+            "l_returnflag",
+            F.col("qs")[0].alias("median_price"),
+            F.col("qs")[1].alias("p90_price"),
+        )
     )
 
 

@@ -155,3 +155,34 @@ master = "local[2]"
     result = runner.invoke(main, ["run", "-c", str(cfg)])
     assert result.exit_code == 0, result.output
     assert (tmp_path / "nested" / "dir" / "out").exists()
+
+
+class TestExamples:
+    """Every shipped example TOML must at least pass `check` (dry run);
+    the batch ones must also `run` end-to-end."""
+
+    @pytest.mark.parametrize(
+        "example",
+        [
+            "examples/pricing_rollup.toml",
+            "examples/multistream_join.toml",
+            "examples/corpus_curation.toml",
+            "examples/streaming_sessions.toml",
+        ],
+    )
+    def test_check(self, runner, example):
+        result = runner.invoke(main, ["check", "-c", f"/root/repo/{example}"])
+        assert result.exit_code == 0, result.output
+
+    @pytest.mark.parametrize(
+        "example,out_glob",
+        [
+            ("examples/pricing_rollup.toml", "/tmp/cryoflow_examples/pricing_rollup/*.parquet"),
+            ("examples/corpus_curation.toml", "/tmp/cryoflow_examples/curated_corpus/*/*.parquet"),
+        ],
+    )
+    def test_run(self, runner, example, out_glob):
+        result = runner.invoke(main, ["run", "-c", f"/root/repo/{example}"])
+        assert result.exit_code == 0, result.output
+        n = duckdb.sql(f"SELECT count(*) FROM '{out_glob}'").fetchone()[0]
+        assert n > 0
