@@ -1162,3 +1162,34 @@ def q55_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("l_linestatus").cast("bigint").alias("g_status"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- q56: latest-record-per-key compaction (CDC upsert semantics) --------
+
+
+@register(
+    "q56_latest_per_key",
+    """
+    SELECT user_id, event_id, ts, value
+    FROM (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    "CDC/changelog compaction: latest record per key (deterministic "
+    "tie-break on event_id) — the upsert-view primitive; one shuffle on "
+    "the key, no join",
+)
+def q56_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "value")
+    )

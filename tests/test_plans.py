@@ -82,8 +82,13 @@ def test_no_cartesian_products(spark, registry):
     """No registered query may plan a CartesianProduct. Broadcast
     nested-loop joins are allowed only where a tiny broadcast side is the
     intended design (x05 brute-force ANN baseline; q20's 5-row region ×
-    25-row nation matrix)."""
-    allowed_nested_loop = {"x05_cosine_topk", "q20_region_nation_matrix"}
+    25-row nation matrix; x21's 1-row corpus-size scalar joined into the
+    vocabulary table)."""
+    allowed_nested_loop = {
+        "x05_cosine_topk",
+        "q20_region_nation_matrix",
+        "x21_tfidf_top_terms",
+    }
     for name, spec in registry.items():
         df = spec.fn(spark, SF)
         plan = plan_of(df, "simple")
