@@ -50,8 +50,14 @@ def main() -> int:
         else registry
     )
 
-    # Warm up the JVM + parquet footers with one tiny action.
+    # Warm up the JVM + parquet footers with one tiny action, then run one
+    # representative agg+shuffle query untimed so whole-stage codegen, the
+    # noop sink, and the shuffle machinery are JIT-compiled before the
+    # first timed query (otherwise ~4s of one-time warm-up is billed to
+    # whichever query sorts first).
     spark.read.parquet(f"{args.sf_dir}/region.parquet").count()
+    first = sorted(selected)[0]
+    consume(selected[first].fn(spark, args.sf_dir))
 
     timings: dict[str, float] = {}
     for name in sorted(selected):

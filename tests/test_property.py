@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis): operator semantics against
+independent oracles on randomized inputs.
+
+Mirrors the reference's table-driven test strategy (SURVEY.md §5) but
+drives the input space with generators instead of fixed fixtures — the
+dimensions fixed tests always miss (duplicate keys, empty right sides,
+all-unmatched partitions, boundary fractions).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cryoflow_spark.functions.asof import asof_join
+from cryoflow_spark.functions.sampling import deterministic_sample
+
+KEYS = st.integers(min_value=0, max_value=3)
+TIMES = st.integers(min_value=0, max_value=50)
+
+
+@st.composite
+def asof_tables(draw):
+    left = draw(
+        st.lists(st.tuples(KEYS, TIMES), min_size=1, max_size=15)
+    )
+    # unique (key, time) on the right so the as-of match is unambiguous
+    right = draw(
+        st.lists(st.tuples(KEYS, TIMES), min_size=0, max_size=15, unique=True)
+    )
+    return left, right
+
+
+@given(asof_tables(), st.sampled_from(["backward", "forward"]))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_asof_join_matches_pandas_merge_asof(spark, tables, direction):
+    left_rows, right_rows = tables
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "row_id long, k long, t long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, k * 1000 + t) for k, t in right_rows] or [],
+        "k long, t long, payload long",
+    )
+    got = {
+        r["row_id"]: (None if r["payload"] is None else r["payload"])
+        for r in asof_join(
+            ldf, rdf, on="k", left_time="t", direction=direction
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        columns=["row_id", "k", "t"],
+    ).sort_values("t", kind="mergesort")
+    rpd = (
+        pd.DataFrame(right_rows or [], columns=["k", "t"])
+        .astype({"k": "int64", "t": "int64"})
+    )
+    rpd["payload"] = rpd["k"] * 1000 + rpd["t"]
+    rpd = rpd.sort_values("t", kind="mergesort")
+    merged = pd.merge_asof(lpd, rpd, on="t", by="k", direction=direction)
+    want = {
+        int(r.row_id): (None if pd.isna(r.payload) else int(r.payload))
+        for r in merged.itertuples()
+    }
+    assert got == want
+
+
+@given(
+    st.floats(min_value=0.0, max_value=0.5),
+    st.floats(min_value=0.5, max_value=1.0),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_deterministic_sample_nested_and_monotone(spark, f_small, f_big):
+    """Smaller fraction is a SUBSET of the bigger one (nested samples),
+    and repeated runs are identical (no rand())."""
+    df = spark.range(0, 300).withColumnRenamed("id", "key")
+    small = {r["key"] for r in deterministic_sample(df, "key", f_small).collect()}
+    big = {r["key"] for r in deterministic_sample(df, "key", f_big).collect()}
+    again = {r["key"] for r in deterministic_sample(df, "key", f_small).collect()}
+    assert small <= big
+    assert small == again
+
+
+def test_asof_join_tolerance_cuts_stale_matches(spark):
+    """tolerance_seconds needs real timestamps (unix_micros internally)."""
+    from datetime import datetime
+
+    ldf = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 1, 40))], "k long, t timestamp"
+    )
+    rdf = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 0, 10), 7)],
+        "k long, t timestamp, payload long",
+    )
+    loose = asof_join(
+        ldf, rdf, on="k", left_time="t", tolerance_seconds=1000
+    ).collect()
+    tight = asof_join(
+        ldf, rdf, on="k", left_time="t", tolerance_seconds=10
+    ).collect()
+    assert loose[0]["payload"] == 7
+    assert tight[0]["payload"] is None
