@@ -1193,3 +1193,45 @@ def q56_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "value")
     )
+
+
+# --- q57: correlated scalar subquery -------------------------------------
+
+
+@register(
+    "q57_above_nation_average",
+    """
+    SELECT c_custkey, c_nationkey,
+           CAST(c_acctbal AS DOUBLE) AS acctbal
+    FROM customer c
+    WHERE c_acctbal > (
+      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*)
+      FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+    "Correlated scalar subquery: customers above their own nation's "
+    "average balance — decorrelated to a single window pass (one shuffle "
+    "on the correlation key, no self-join)",
+)
+def q57_above_nation_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    # The Spark-first decorrelation: AVG over a partition window instead of
+    # re-scanning customer per row (Catalyst would rewrite the subquery to
+    # an aggregate + join; the window form expresses that directly).
+    w = Window.partitionBy("c_nationkey")
+    return (
+        c.withColumn(
+            "__nation_avg",
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).over(w)
+            .cast("double")
+            / F.count(F.lit(1)).over(w),
+        )
+        .filter(F.col("c_acctbal") > F.col("__nation_avg"))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+        )
+    )
