@@ -193,3 +193,42 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "rk", "term", "tf", "df", "tfidf")
     )
+
+
+def pack_token_shards(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 4096,
+    partition_col: str | None = None,
+):
+    """Assign documents to token-budget shards (LLM training sharding).
+
+    Sequential-fill packing: documents are ordered deterministically by
+    ``id_col``, token counts are cumulated with a window, and a document
+    belongs to shard ``floor(start_offset / budget)`` — so every shard
+    except the last holds >= ``budget`` tokens once its first straddling
+    document closes it. This is the standard approximate packing used for
+    corpus sharding (exact bin packing is NP-hard and order-destroying).
+
+    Scale design: with ``partition_col`` the cumsum window partitions by
+    that column (e.g. ``lang`` or a coarse hash bucket) so no single
+    reducer sees the whole corpus; shard identity is then
+    (partition value, local shard index). A global window (``None``) is
+    exact but single-reducer — use only for modest corpora.
+
+    Returns the frame + ``n_tokens``, ``shard_id`` columns.
+    """
+    from pyspark.sql import DataFrame, Window
+
+    assert isinstance(df, DataFrame)
+    with_tokens = df.withColumn("n_tokens", bpe_token_count(text_col))
+    w = (
+        Window.partitionBy(partition_col) if partition_col else Window
+    ).orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return with_tokens.withColumn(
+        "shard_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)
+        ).cast("bigint"),
+    )

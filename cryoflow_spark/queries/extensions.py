@@ -605,3 +605,53 @@ def x21_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, text_col="text", id_col="doc_id", k=3, min_len=3,
         doc_filter=F.col("doc_id") % 25 == 0,
     )
+
+
+# --- x22: token-budget shard packing -------------------------------------
+
+
+def _x22_oracle() -> str:
+    from cryoflow_spark.functions.text import sql_bpe_token_count
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST({sql_bpe_token_count('text')} AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens) / 2048.0) AS BIGINT) AS shard_id
+      FROM toks
+    )
+    SELECT lang, shard_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+    FROM packed GROUP BY lang, shard_id
+    """
+
+
+@register(
+    "x22_token_shards",
+    None,  # late-bound below from the shared tokenizer regex
+    "Token-budget shard packing (sequential fill, per-language windows) — "
+    "corpus sharding for LLM training; one window pass, no global reducer",
+)
+def x22_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    packed = X.pack_token_shards(
+        d, text_col="text", id_col="doc_id", budget=2048, partition_col="lang"
+    )
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+    )
+
+
+_R2["x22_token_shards"] = _QS2(
+    fn=_R2["x22_token_shards"].fn,
+    oracle=_x22_oracle(),
+    description=_R2["x22_token_shards"].description,
+)

@@ -346,3 +346,34 @@ def test_tfidf_doc_filter_keeps_corpus_idf(spark):
     assert by_term["alpha"]["df"] == 3
     assert by_term["beta"]["df"] == 1
     assert by_term["beta"]["tfidf"] > by_term["alpha"]["tfidf"]
+
+
+def test_pack_token_shards_budget_invariant(spark):
+    """Every shard except the last reaches the budget once its closing
+    (straddling) doc lands; docs stay in id order within shards."""
+    df = spark.createDataFrame(
+        [(i, "word " * (i % 7 + 1)) for i in range(1, 40)],
+        "doc_id long, text string",
+    )
+    out = X.pack_token_shards(df, budget=20).orderBy("doc_id").collect()
+    shards = {}
+    for r in out:
+        shards.setdefault(r["shard_id"], []).append(r)
+    shard_ids = sorted(shards)
+    assert shard_ids == list(range(len(shard_ids)))  # dense, zero-based
+    # bin-by-start-offset semantics: each doc's shard is its starting
+    # token offset div budget, so every non-final shard's cumulative END
+    # crosses its bin boundary (totals may dip under budget only by the
+    # tokens a straddling predecessor carried over)
+    cum = 0
+    for sid in shard_ids:
+        for r in shards[sid]:
+            assert cum // 20 == sid  # start offset determines the shard
+            cum += r["n_tokens"]
+        if sid != shard_ids[-1]:
+            assert cum >= (sid + 1) * 20
+    # a shard's docs are contiguous in id order
+    for sid in shard_ids:
+        ids = [r["doc_id"] for r in shards[sid]]
+        assert ids == sorted(ids)
+        assert ids[-1] - ids[0] == len(ids) - 1
