@@ -77,17 +77,18 @@ def main() -> int:
     except ValueError:
         sf = sf_name
 
-    print(
-        json.dumps(
-            {
-                "metric": f"total_sec_{len(timings)}_queries",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    # The driver records a bounded TAIL of stdout: keep the machine-readable
+    # result COMPACT (3-decimal timings, no spaces) and make it the very
+    # last line, after flushing stderr so interleaving can't split it.
+    payload = {
+        "metric": f"total_sec_{len(timings)}_queries",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+    }
+    sys.stderr.flush()
+    print(json.dumps(payload, separators=(",", ":")), flush=True)
     return 0
 
 

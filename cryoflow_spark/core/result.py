@@ -92,7 +92,10 @@ class Success(Result[_T]):
         return isinstance(other, Success) and other._value == self._value
 
     def __hash__(self) -> int:
-        return hash(("Success", id(self._value)))
+        # Hash the value itself so equal Successes hash equally (the
+        # hash/eq contract); a Success of an unhashable value is itself
+        # unhashable, same as a tuple containing one.
+        return hash(("Success", self._value))
 
 
 class Failure(Result[_T]):

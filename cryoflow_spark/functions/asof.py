@@ -6,8 +6,9 @@ recent right row (per key) whose time is <= the left row's time
 
 Spark-first implementation (SURVEY.md §2B "as-of join = union-and-window
 pattern"): tag and union both sides, then one window pass per key ordered
-by time — ``last(right_col, ignorenulls=True)`` over an unbounded-
-preceding frame carries the latest right values onto each left row.
+by time — ``last(struct(time, payload...), ignorenulls=True)`` over an
+unbounded-preceding frame carries the latest right ROW (atomically, as
+one struct) onto each left row.
 
 Scale properties: exactly ONE shuffle (on the key), no range-explosion
 join, state bounded by the window frame — this is the formulation that
@@ -76,18 +77,33 @@ def asof_join(
             .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
     else:
         w = (
             Window.partitionBy(*keys)
             .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
 
-    carried = unioned.withColumn("__matched_time", carry(F.when(F.col("__is_left") == 0, F.col("__t"))))
+    # Carry the matched right row as ONE struct so time and every payload
+    # value always come from the SAME right row — carrying each payload
+    # column independently with last(..., ignorenulls=True) would let a
+    # NULL payload cell fall back to an OLDER right row's value (a
+    # composite row that never existed, diverging from pandas/DuckDB
+    # merge_asof which attaches the whole matched row).
+    rstruct = F.when(
+        F.col("__is_left") == 0,
+        F.struct(
+            F.col("__t").alias("__mt"),
+            *[F.col(f"__r_{c}").alias(f"__r_{c}") for c in right_payload],
+        ),
+    )
+    carried = unioned.withColumn(
+        "__carry", F.last(rstruct, ignorenulls=True).over(w)
+    )
+    carried = carried.withColumn("__matched_time", F.col("__carry.__mt"))
     for c in right_payload:
-        carried = carried.withColumn(f"__rc_{c}", carry(f"__r_{c}"))
+        carried = carried.withColumn(f"__rc_{c}", F.col(f"__carry.__r_{c}"))
+    carried = carried.drop("__carry")
 
     out = carried.filter(F.col("__is_left") == 1)
     if tolerance_seconds is not None:

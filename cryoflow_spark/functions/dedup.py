@@ -45,6 +45,33 @@ def token_set(text_col: str):
     )
 
 
+def portable_base_hash(col):
+    """Column: engine-portable 31-bit base hash (md5-derived).
+
+    ``pmod(conv(substring(md5(s), 1, 8), 16, 10), 2^31-1)`` — every engine
+    with md5 computes the identical value (DuckDB spelling:
+    ``CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) % 2147483647``),
+    making MinHash signatures reproducible outside Spark and therefore
+    oracle-checkable. ``xxhash64`` (the default) is ~3× faster JVM-side;
+    use portable mode for cross-engine repro, audits, and oracles.
+    """
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint"),
+        F.lit(_MERSENNE_31),
+    )
+
+
+def portable_hash60(col):
+    """Column: engine-portable 60-bit hash (top 15 md5 hex digits).
+
+    60 bits keeps the value strictly positive in a signed 64-bit integer
+    in every engine (no unsigned-wraparound mismatches); used by portable
+    SimHash. DuckDB spelling:
+    ``CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def _minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     import random
 
@@ -110,10 +137,13 @@ def minhash_signature_vectorized(hashes_col, num_hashes: int = 64, seed: int = 4
     @pandas_udf("array<long>")
     def _sig(hash_arrays: pd.Series) -> pd.Series:
         out = []
-        empty = ((a_vec * 0 + b_vec) % _MERSENNE_31).tolist()
         for hashes in hash_arrays:
             if hashes is None or len(hashes) == 0:
-                out.append(empty)
+                # Match the JVM path (array_min over null/empty → null):
+                # null-text documents get NO signature instead of all
+                # sharing one constant signature (which would flag every
+                # pair of empty docs as near-duplicates).
+                out.append(None)
                 continue
             h = np.asarray(hashes, dtype=np.int64)
             # (n_shingles, num_hashes) affine rehash, min over shingles.
@@ -130,6 +160,7 @@ def _lsh_candidate_pairs(
     sig_col: str,
     num_hashes: int,
     bands: int,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs sharing at least one LSH band.
 
@@ -137,14 +168,21 @@ def _lsh_candidate_pairs(
     key. Bucket skew (a degenerate band shared by many docs) is the
     classic hazard; AQE skew-join handles moderate skew, and callers
     should raise ``bands``/``num_hashes`` if buckets degenerate.
+
+    ``portable=True`` joins on the raw signature slice (array<long>)
+    instead of its ``xxhash64`` — a few extra bytes per band key, but the
+    candidate set is then reproducible in any engine (list equality).
     """
     rows_per_band = num_hashes // bands
+    band_key = (
+        (lambda s: s) if portable else (lambda s: F.xxhash64(s))
+    )
     banded = df.select(
         F.col(id_col),
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
+                    band_key(
                         F.slice(F.col(sig_col), i * rows_per_band + 1, rows_per_band)
                     )
                     for i in range(bands)
@@ -179,6 +217,7 @@ def minhash_dedup(
     shingle_size: int = 3,
     threshold: float = 0.8,
     verify: str = "estimate",
+    hash_mode: str = "engine",
 ) -> DataFrame:
     """Remove near-duplicate rows via MinHash-LSH.
 
@@ -194,23 +233,41 @@ def minhash_dedup(
     - ``"exact"``: true Jaccard on the full shingle sets — exact but
       costs O(|shingles|) per candidate pair; use when candidate volume
       is small or precision is critical.
+
+    ``hash_mode``:
+
+    - ``"engine"`` (default): ``xxhash64`` base hashes + hashed band
+      keys — fastest JVM path.
+    - ``"portable"``: md5-derived base hashes + raw-slice band keys —
+      identical results reproducible in any engine (the mode the DuckDB
+      oracle checks); ~2-3× more base-hash CPU.
     """
     from cryoflow_spark.core.session import tune_for_text_ops
 
+    if hash_mode not in ("engine", "portable"):
+        raise ValueError(f"invalid hash_mode '{hash_mode}'")
+    portable = hash_mode == "portable"
     tune_for_text_ops(df.sparkSession)
     with_sets = df.withColumn("__shingles", shingle_set(text_col, shingle_size))
     # Materialize the reduced base hashes ONCE; the affine rehashes then
     # scan a ready long array instead of re-hashing every shingle 64×.
+    base_hash = (
+        portable_base_hash
+        if portable
+        else (lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
+    )
     with_base = with_sets.withColumn(
         "__h",
-        F.transform(
-            F.col("__shingles"),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)),
-        ),
+        F.transform(F.col("__shingles"), base_hash),
     )
     with_sig = with_base.withColumn(
         "__sig", minhash_signature_vectorized(F.col("__h"), num_hashes)
     ).drop("__h")
+
+    # Null-text rows have no signature (null); keep them out of the
+    # candidate pipeline entirely — they are never near-duplicates and a
+    # null signature would otherwise collide in the band join.
+    with_sig = with_sig.filter(F.col("__sig").isNotNull())
 
     if verify == "estimate":
         # Signatures are tiny (num_hashes longs) — keep only (id, sig)
@@ -219,7 +276,9 @@ def minhash_dedup(
         # signature evaluations it saves — the numpy signature UDF is
         # ~1s/pass at sf0.1 while persist adds a blocking materialization.)
         sigs = with_sig.select(F.col(id_col), F.col("__sig"))
-        candidates = _lsh_candidate_pairs(sigs, id_col, "__sig", num_hashes, bands)
+        candidates = _lsh_candidate_pairs(
+            sigs, id_col, "__sig", num_hashes, bands, portable=portable
+        )
         sig_a = sigs.withColumnsRenamed({id_col: "id_a", "__sig": "__sig_a"})
         sig_b = sigs.withColumnsRenamed({id_col: "id_b", "__sig": "__sig_b"})
         agree = F.size(
@@ -236,7 +295,7 @@ def minhash_dedup(
         )
     elif verify == "exact":
         candidates = _lsh_candidate_pairs(
-            with_sig, id_col, "__sig", num_hashes, bands
+            with_sig, id_col, "__sig", num_hashes, bands, portable=portable
         )
         sets = with_sets.select(F.col(id_col), F.col("__shingles"))
         verified = (
@@ -262,14 +321,20 @@ def minhash_dedup(
     return df.join(to_remove, on=id_col, how="left_anti")
 
 
-def simhash_column(text_col: str):
-    """Column: 64-bit SimHash of whitespace tokens (vectorized pandas_udf).
+def simhash_column(text_col: str, n_bits: int = 64, hash_mode: str = "engine"):
+    """Column: ``n_bits``-bit SimHash of whitespace tokens (vectorized
+    pandas_udf).
 
-    Bit-voting over per-token xxhash64 values is done in numpy (Arrow
-    batches): unpack 64 bits, sum ±1 votes per bit, majority → bit set.
-    The token hashes themselves are computed JVM-side first.
+    Bit-voting over per-token hash values is done in numpy (Arrow
+    batches): unpack the bits, sum ±1 votes per bit, majority → bit set.
+    The token hashes themselves are computed JVM-side first —
+    ``xxhash64`` (64-bit, default) or the md5-derived 60-bit portable
+    hash (``hash_mode="portable"``, reproducible in any engine).
     """
     from pyspark.sql.pandas.functions import pandas_udf
+
+    if hash_mode == "portable" and n_bits > 60:
+        raise ValueError("portable hash provides 60 bits; pass n_bits <= 60")
 
     @pandas_udf("long")
     def _simhash(hash_arrays: pd.Series) -> pd.Series:
@@ -277,18 +342,26 @@ def simhash_column(text_col: str):
         for i, hashes in enumerate(hash_arrays):
             if hashes is None or len(hashes) == 0:
                 continue
-            h = np.asarray(hashes, dtype=np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                np.int64
-            )
+            # int64 → uint64 reinterpret via view (np.asarray(...,
+            # uint64) on negative ints is rejected by NumPy 2.x).
+            h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+            bits = (
+                (h[:, None] >> np.arange(n_bits, dtype=np.uint64)) & 1
+            ).astype(np.int64)
             votes = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
+            # Accumulate in a Python int and wrap explicitly to int64 two's
+            # complement — np.int64(uint64-with-bit-63) relies on C-cast
+            # wraparound that NumPy 2.x rejects with OverflowError.
+            sig = 0
             for j in np.nonzero(votes >= 0)[0]:
-                sig |= np.uint64(1) << np.uint64(j)
-            out[i] = np.int64(sig)
+                sig |= 1 << int(j)
+            out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
         return pd.Series(out)
 
-    token_hashes = F.transform(token_set(text_col), lambda t: F.xxhash64(t))
+    token_hash = (
+        portable_hash60 if hash_mode == "portable" else (lambda t: F.xxhash64(t))
+    )
+    token_hashes = F.transform(token_set(text_col), token_hash)
     return _simhash(token_hashes)
 
 
@@ -297,29 +370,38 @@ def simhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     hamming_threshold: int = 3,
+    hash_mode: str = "engine",
 ) -> DataFrame:
     """Remove near-duplicates whose SimHashes are within ``hamming_threshold``.
 
-    Candidates by pigeonhole: split the 64-bit signature into
-    ``hamming_threshold + 1`` chunks — any pair within the threshold
-    shares at least one exact chunk, so the join key is (chunk_idx,
-    chunk_value), never all-pairs. Verify with ``bit_count(xor)``.
+    Candidates by pigeonhole: partition the signature bits into
+    ``hamming_threshold + 1`` contiguous chunks — any pair within the
+    threshold shares at least one exact chunk (lossless), so the join key
+    is (chunk_idx, chunk_value), never all-pairs. Verify with
+    ``bit_count(xor)``. ``hash_mode="portable"`` uses 60-bit md5-derived
+    token hashes, reproducible in any engine (oracle-checkable).
     """
     from cryoflow_spark.core.session import tune_for_text_ops
 
     tune_for_text_ops(df.sparkSession)
+    n_bits = 60 if hash_mode == "portable" else 64
     n_chunks = hamming_threshold + 1
-    chunk_bits = 64 // n_chunks
+    # Contiguous chunk partition covering ALL n_bits even when n_chunks
+    # doesn't divide them (chunk i spans [i*n/k, (i+1)*n/k) bits).
+    bounds = [i * n_bits // n_chunks for i in range(n_chunks + 1)]
 
-    sigs = df.select(F.col(id_col), simhash_column(text_col).alias("__sim"))
+    sigs = df.select(
+        F.col(id_col),
+        simhash_column(text_col, n_bits=n_bits, hash_mode=hash_mode).alias("__sim"),
+    )
     chunks = sigs.select(
         id_col,
         "__sim",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("__sim"), i * chunk_bits).bitwiseAND(
-                        F.lit((1 << chunk_bits) - 1)
+                    F.shiftrightunsigned(F.col("__sim"), bounds[i]).bitwiseAND(
+                        F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
                     )
                     for i in range(n_chunks)
                 ]

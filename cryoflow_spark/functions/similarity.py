@@ -90,6 +90,36 @@ def cosine_topk(
     )
 
 
+def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Seeded random hyperplane components (plan literals, shared between
+    the Spark expression and SQL oracles so signatures match exactly)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def fixed_random_centroids(
+    dim: int, n_centroids: int, seed: int = 7
+) -> list[list[float]]:
+    """Seeded unit-norm centroids for a data-independent coarse quantizer.
+
+    Used where engine-portable reproducibility matters more than trained
+    cell balance (oracle checks, cross-engine repro); the literals embed
+    in both the Spark plan and SQL oracles.
+    """
+    import math
+    import random
+
+    rng = random.Random(seed)
+    cents = []
+    for _ in range(n_centroids):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([x / n for x in v])
+    return cents
+
+
 def hyperplane_signature(
     vec_col: str,
     dim: int,
@@ -102,12 +132,7 @@ def hyperplane_signature(
     the plan (same signature on every executor/run). Sign pattern of
     ``v·h_j`` forms the bucket id.
     """
-    import random
-
-    rng = random.Random(seed)
-    planes = [
-        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)
-    ]
+    planes = hyperplanes(dim, bits, seed)
     bit_cols = []
     for j, plane in enumerate(planes):
         d = F.aggregate(
@@ -226,19 +251,24 @@ def ivf_cosine_topk(
     n_centroids: int = 16,
     nprobe: int = 3,
     train_fraction: float = 0.2,
+    train_points_per_centroid: int = 256,
     kmeans_iters: int = 5,
     seed: int = 42,
     query_id_col: str | None = None,
+    centroids: "np.ndarray | list[list[float]] | None" = None,
+    assign_mode: str = "vectorized",
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
     The standard two-level ANN layout (Faiss-style IVF — public design):
 
     1. TRAIN: spherical k-means on a deterministic hash-sample of corpus
-       vectors. The training set is tiny by construction (centroids ×
-       ~1000 points suffice), so the driver-side numpy Lloyd iterations
-       are O(MB) — this is the one intentional collect, identical in role
-       to Faiss's ``train()``.
+       vectors, hard-capped at ``n_centroids × train_points_per_centroid``
+       rows — the one intentional collect, identical in role to Faiss's
+       ``train()``, and bounded by the centroid count (never corpus
+       size). Pass ``centroids=`` to skip training entirely (e.g. a
+       quantizer trained offline, or fixed seeded centroids for
+       engine-portable reproducibility).
     2. ASSIGN: every corpus vector goes to its nearest centroid (one
        numpy matmul per Arrow batch — vectorized pandas_udf, no per-row
        Python). This is a narrow map: no shuffle.
@@ -255,52 +285,94 @@ def ivf_cosine_topk(
     qid = query_id_col or id_col
 
     # --- 1. TRAIN (driver-side on a small deterministic sample) ---------
-    sample = (
-        corpus.filter(
-            hash_bucket(F.col(id_col), 1_000_000) < int(train_fraction * 1_000_000)
+    # The collect is bounded by O(n_centroids), NOT corpus size: the hash
+    # filter thins the scan (so huge corpora don't ship 20% of themselves)
+    # and the explicit limit caps the driver transfer at
+    # n_centroids × train_points_per_centroid rows regardless of scale.
+    # k-means quality saturates around a few hundred points per centroid
+    # (Faiss trains on the same order), so the cap costs no recall.
+    if centroids is None:
+        max_train = n_centroids * train_points_per_centroid
+        sample = (
+            corpus.filter(
+                hash_bucket(F.col(id_col), 1_000_000)
+                < int(train_fraction * 1_000_000)
+            )
+            .select(vec_col)
+            .limit(max_train)
+            .collect()
         )
-        .select(vec_col)
-        .collect()
-    )
-    train = np.asarray([r[0] for r in sample], dtype=np.float64)
-    train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
-    # Deterministic init: first n_centroids rows in hash order of the
-    # sample (already pseudo-random); fixed Lloyd iterations.
-    cents = train[:n_centroids].copy()
-    for _ in range(kmeans_iters):
-        assign = np.argmax(train @ cents.T, axis=1)
-        for c in range(n_centroids):
-            members = train[assign == c]
-            if len(members):
-                m = members.sum(axis=0)
-                cents[c] = m / max(np.linalg.norm(m), 1e-12)
-    centroids = cents  # (n_centroids, dim), unit-norm
+        train = np.asarray([r[0] for r in sample], dtype=np.float64)
+        train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
+        # Deterministic init: first n_centroids rows in hash order of the
+        # sample (already pseudo-random); fixed Lloyd iterations.
+        cents = train[:n_centroids].copy()
+        for _ in range(kmeans_iters):
+            assign = np.argmax(train @ cents.T, axis=1)
+            for c in range(n_centroids):
+                members = train[assign == c]
+                if len(members):
+                    m = members.sum(axis=0)
+                    cents[c] = m / max(np.linalg.norm(m), 1e-12)
+        centroids = cents  # (n_centroids, dim), unit-norm
+    else:
+        # Use the caller's values VERBATIM (no re-normalization): cell
+        # assignment must see the exact same literals as any external
+        # replica (e.g. a SQL oracle), and re-dividing by a norm ≈ 1.0
+        # would perturb the last ulp. Callers supply unit-norm centroids
+        # (fixed_random_centroids does).
+        centroids = np.asarray(centroids, dtype=np.float64)
+        n_centroids = len(centroids)
 
     # --- 2. ASSIGN (vectorized, shuffle-free) ---------------------------
-    from pyspark.sql.pandas.functions import pandas_udf
+    if assign_mode == "vectorized":
+        from pyspark.sql.pandas.functions import pandas_udf
 
-    @pandas_udf("array<int>")
-    def _nearest_cells(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
-            x = np.asarray(v, dtype=np.float64)
-            n = np.linalg.norm(x)
-            sims = (centroids @ x) / max(n, 1e-12)
-            top = np.argsort(-sims, kind="stable")[:nprobe]
-            out.append([int(c) for c in top])
-        return pd.Series(out)
+        cents_arr = centroids
+
+        @pandas_udf("array<int>")
+        def _cells_udf(vecs: pd.Series) -> pd.Series:
+            out = []
+            for v in vecs:
+                x = np.asarray(v, dtype=np.float64)
+                n = np.linalg.norm(x)
+                sims = (cents_arr @ x) / max(n, 1e-12)
+                top = np.argsort(-sims, kind="stable")[:nprobe]
+                out.append([int(c) for c in top])
+            return pd.Series(out)
+
+        nearest_cells = _cells_udf(F.col(vec_col))
+    elif assign_mode == "fold":
+        # JVM-side sequential left-fold dot products against centroid
+        # literals + struct sort — bit-identical to an equivalent
+        # ``list_reduce`` fold in any engine (the oracle-checkable path;
+        # argmax is norm-invariant so no normalization is needed).
+        structs = [
+            F.struct(
+                (-dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec])))
+                .alias("s"),
+                F.lit(j).alias("i"),
+            )
+            for j, cvec in enumerate(np.asarray(centroids).tolist())
+        ]
+        nearest_cells = F.transform(
+            F.slice(F.sort_array(F.array(*structs)), 1, nprobe),
+            lambda s: s["i"],
+        )
+    else:
+        raise ValueError(f"invalid assign_mode '{assign_mode}'")
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         norm(F.col(vec_col)).alias("__cnorm"),
-        F.element_at(_nearest_cells(F.col(vec_col)), 1).alias("__cell"),
+        F.element_at(nearest_cells, 1).alias("__cell"),
     )
     q = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         norm(F.col(vec_col)).alias("__qnorm"),
-        F.explode(_nearest_cells(F.col(vec_col))).alias("__cell"),
+        F.explode(nearest_cells).alias("__cell"),
     )
 
     # --- 3. PROBE: equi-join on cell → exact cosine → top-k -------------

@@ -77,5 +77,7 @@ class DedupPlugin(AnalyzedTransformPlugin):
                 id_col=id_column,
                 ngram=int(self.options.get("ngram", 3)),
                 threshold=float(self.options.get("threshold", 0.8)),
+                block_by=self.options.get("block_by"),
+                method=self.options.get("method_strategy", "count"),
             )
         raise ValueError(f"invalid dedup method '{method}'")

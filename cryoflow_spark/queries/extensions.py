@@ -207,13 +207,49 @@ def x06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- x07: LSH-bucketed ANN (scale path; rows-only) -----------------------
+# --- x07: LSH-bucketed ANN (scale path) ----------------------------------
+
+
+def _sql_hyperplane_bucket(vec: str, dim: int, bits: int, seed: int = 42) -> str:
+    """DuckDB spelling of ``hyperplane_signature`` — same seeded plane
+    literals, same sequential left-fold dot product → identical buckets."""
+    terms = []
+    for j, plane in enumerate(S.hyperplanes(dim, bits, seed)):
+        lits = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in plane)
+        d = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"[{vec}[i]::DOUBLE * (list_value({lits}))[i] "
+            f"for i in generate_series(1, {dim})]), (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _x07_oracle() -> str:
+    bucket = _sql_hyperplane_bucket("embedding", dim=64, bits=6)
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_COSINE_SQL} AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_COSINE_SQL} DESC, b.vec_id
+             ) AS INTEGER) AS rank
+      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+      WHERE a.vec_id < 10
+    ) WHERE rank <= 5
+    """
 
 
 @register(
     "x07_lsh_cosine_topk",
-    None,
-    "Approximate ANN: random-hyperplane LSH buckets, exact cosine within buckets (rows-only: LSH recall is probabilistic by design)",
+    _x07_oracle(),
+    "Approximate ANN: random-hyperplane LSH buckets, exact cosine within "
+    "buckets — hyperplane literals shared with the SQL oracle, so the "
+    "probabilistic bucketing is still bit-reproducible",
 )
 def x07_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -367,53 +403,223 @@ def x12_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- x13/x14: multimodal feature extraction + frame sampling (stub) ------
 
 
+# The stub features are a pure FNV-1a function of the payload bytes
+# (multimodal.py:_fake_features), so a DuckDB oracle can replicate them
+# bit-for-bit: each feature is (acc_j % 2000001)/1e6 - 1 where acc_j is
+# the running FNV-1a state after chunk j. The query exposes the integer
+# keys k_j = round((f+1)*1e6) (recovered exactly through the float32
+# round-trip: |f32 err| ≤ 6e-8 → |k err| ≤ 0.06) so the driver's
+# hash/unique step digests plain strings instead of raw ARRAY<FLOAT>.
+_X13_SQL = """
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text))::BIGINT AS n,
+             hex(encode(text)) AS h
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id, n, greatest(n // 8, 1)::BIGINT AS step,
+             [CAST(('0x' || substring(h, 2*i-1, 2)) AS BIGINT)
+              for i in generate_series(1, n)] AS bs
+      FROM b
+    ),
+    eff AS (
+      SELECT doc_id, n, step,
+             CASE WHEN n >= 8 THEN bs[1:8*step]
+                  WHEN n = 0 THEN []::BIGINT[]
+                  ELSE list_concat(bs, [bs[n] for i in generate_series(1, 8 - n)])
+             END AS e
+      FROM parsed
+    ),
+    ks AS (
+      SELECT doc_id, n,
+             CASE WHEN n = 0
+               THEN [1000000::BIGINT for i in generate_series(1, 8)]
+               ELSE [
+                 list_reduce(
+                   list_prepend(2166136261::BIGINT, e[1:j*step]),
+                   (acc, x) -> (xor(acc, x) * 16777619) & 4294967295
+                 ) % 2000001
+                 for j in generate_series(1, 8)
+               ]
+             END AS k
+      FROM eff
+    )
+    SELECT doc_id AS asset_id, 'text' AS kind, n AS byte_size,
+           8 AS feature_dim,
+           array_to_string(list_transform(k, v -> CAST(v AS VARCHAR)), ',')
+             AS features_key,
+           TRUE AS decode_ok
+    FROM ks
+"""
+
+
 @register(
     "x13_multimodal_features",
-    None,
-    "mapInPandas Arrow-batched feature extraction over binary payloads (decode stubbed — deterministic fake features; rows-only)",
+    _X13_SQL,
+    "mapInPandas Arrow-batched feature extraction over binary payloads "
+    "(decode stubbed — deterministic FNV-1a fake features, oracle-checked "
+    "via integer feature keys)",
 )
 def x13_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     assets = M.documents_as_assets(d)
-    return M.extract_features(assets, dim=8)
+    feats = M.extract_features(assets, dim=8)
+    return feats.select(
+        "asset_id",
+        "kind",
+        "byte_size",
+        "feature_dim",
+        F.array_join(
+            F.transform(
+                "features",
+                lambda f: F.round((f.cast("double") + F.lit(1.0)) * 1e6)
+                .cast("bigint")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("features_key"),
+        "decode_ok",
+    )
 
 
 @register(
     "x14_frame_sample",
-    None,
-    "1→N frame-sampling plumbing over binary payloads (rows-only)",
+    """
+    WITH f AS (
+      SELECT doc_id, coalesce(hex(encode(text)), '') AS hx,
+             least(4, greatest(coalesce(octet_length(encode(text)), 0) // 128,
+                               1)) AS nf
+      FROM documents
+    )
+    SELECT doc_id AS asset_id, CAST(i - 1 AS INTEGER) AS frame_idx,
+           substring(hx, (i-1)*256 + 1, 256) AS frame_hex
+    FROM (SELECT doc_id, hx, unnest(generate_series(1, nf)) AS i FROM f)
+    """,
+    "1→N frame-sampling plumbing over binary payloads (byte-slice stub; "
+    "projected as hex so the check harness digests scalars — the oracle "
+    "slices the same payload bytes)",
 )
 def x14_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     assets = M.documents_as_assets(d)
-    return M.sample_frames(assets, every_n_bytes=128, max_frames=4)
+    frames = M.sample_frames(assets, every_n_bytes=128, max_frames=4)
+    return frames.select(
+        "asset_id", "frame_idx", F.hex(F.col("frame_bytes")).alias("frame_hex")
+    )
 
 
-# --- x15/x16: MinHash + SimHash near-dup (rows-only: engine hash) --------
+# --- x15/x16: MinHash + SimHash near-dup (portable hash → real oracles) --
+
+
+def _x15_oracle() -> str:
+    """DuckDB replica of portable-mode MinHash-LSH dedup: md5-derived base
+    hashes, the same seeded affine family, raw-slice band keys, estimate
+    verify — every stage engine-portable, so the result is bit-identical."""
+    p = 2147483647  # same Mersenne prime as functions.dedup._MERSENNE_31
+    mins = ", ".join(
+        f"list_min(list_transform(h, x -> ({a}*x + {b}) % {p}))"
+        for a, b in D._minhash_coeffs(64, 42)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([substring(text, i, 4)
+               for i in generate_series(1, greatest(length(text) - 3, 1))]) AS s
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(s, x ->
+               CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % {p}) AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, list_value({mins}) AS sg
+      FROM hs
+      WHERE len(h) > 0
+    ),
+    banded AS (
+      SELECT doc_id, j, sg[(4*j+1):(4*j+4)] AS band
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+      SELECT id_b
+      FROM cand
+      JOIN sig sa ON sa.doc_id = cand.id_a
+      JOIN sig sb ON sb.doc_id = cand.id_b
+      WHERE len(list_filter([sa.sg[i] = sb.sg[i]
+                             for i in generate_series(1, 64)], x -> x)) / 64.0
+            >= 0.5
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id_b FROM ver)
+    """
 
 
 @register(
     "x15_minhash_dedup",
-    None,
-    "MinHash-LSH near-dedup: shingle→signature→band→bucket-join→verify (rows-only: xxhash64 is engine-specific)",
+    _x15_oracle(),
+    "MinHash-LSH near-dedup: shingle→signature→band→bucket-join→verify, "
+    "portable md5-derived hashes (oracle-checked bit-identical; xxhash64 "
+    "mode remains the fast engine path)",
 )
 def x15_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return D.minhash_dedup(
         d, text_col="text", id_col="doc_id", num_hashes=64, bands=16,
-        shingle_size=4, threshold=0.5,
+        shingle_size=4, threshold=0.5, hash_mode="portable",
     ).select("doc_id", "lang")
+
+
+def _x16_oracle() -> str:
+    """DuckDB replica of portable-mode SimHash dedup. The pigeonhole
+    chunking is LOSSLESS (chunks partition all bits), so the oracle can
+    skip banding and test hamming distance directly on all pairs."""
+    return """
+    WITH hs AS (
+      SELECT doc_id,
+             list_transform(
+               list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                         t -> t != '')),
+               t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)) AS h
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(0::BIGINT,
+            [CASE WHEN list_sum(list_transform(h, x -> 2*((x >> j) & 1) - 1)) >= 0
+                  THEN (1::BIGINT << j) ELSE 0::BIGINT END
+             for j in generate_series(0, 59)]),
+          (a, b) -> a | b) AS s
+      FROM hs
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id NOT IN (
+      SELECT b.doc_id FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.s, b.s)) <= 8
+    )
+    """
 
 
 @register(
     "x16_simhash_pairs",
-    None,
-    "SimHash near-dup: vectorized bit-voting (Arrow pandas_udf) + pigeonhole chunk blocking (rows-only)",
+    _x16_oracle(),
+    "SimHash near-dup: vectorized bit-voting (Arrow pandas_udf) + lossless "
+    "pigeonhole chunk blocking, portable 60-bit md5 token hashes "
+    "(oracle-checked bit-identical)",
 )
 def x16_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return D.simhash_dedup(
-        d, text_col="text", id_col="doc_id", hamming_threshold=8
+        d, text_col="text", id_col="doc_id", hamming_threshold=8,
+        hash_mode="portable",
     ).select("doc_id", "lang")
 
 
@@ -655,3 +861,71 @@ _R2["x22_token_shards"] = _QS2(
     oracle=_x22_oracle(),
     description=_R2["x22_token_shards"].description,
 )
+
+
+# --- x23: IVF ANN with a fixed coarse quantizer (oracle-checked) ----------
+
+_X23_CENTROIDS = S.fixed_random_centroids(dim=64, n_centroids=16, seed=7)
+
+
+def _x23_oracle() -> str:
+    """DuckDB replica of the IVF assign→probe→top-k path with the same
+    fixed centroid literals and the same sequential-fold dot products —
+    exercises every distributed stage of the IVF operator bit-for-bit
+    (training is covered separately by x18's sampled k-means)."""
+
+    def fold_dot(vec: str, lits: list[float]) -> str:
+        vals = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in lits)
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"[{vec}[i]::DOUBLE * (list_value({vals}))[i] "
+            f"for i in generate_series(1, 64)]), (acc, x) -> acc + x)"
+        )
+
+    structs = ", ".join(
+        f"{{'s': -({fold_dot('embedding', cvec)}), 'i': {j}}}"
+        for j, cvec in enumerate(_X23_CENTROIDS)
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT vec_id, embedding,
+             list_sort(list_value({structs})) AS r
+      FROM embeddings
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, r[1].i AS cell FROM ranked
+    ),
+    probes AS (
+      SELECT vec_id, embedding, unnest(list_transform(r[1:4], x -> x.i)) AS cell
+      FROM ranked WHERE vec_id % 100 = 0
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_COSINE_SQL} AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_COSINE_SQL} DESC, b.vec_id
+             ) AS INTEGER) AS rank
+      FROM probes a JOIN assigned b ON a.cell = b.cell AND a.vec_id != b.vec_id
+    ) WHERE rank <= 5
+    """
+
+
+@register(
+    "x23_ivf_fixed_topk",
+    _x23_oracle(),
+    "IVF ANN with a fixed (seeded) coarse quantizer: JVM fold-dot cell "
+    "assignment → nprobe cell probing → exact cosine top-k, every stage "
+    "oracle-checked bit-identical (complements x18's trained quantizer)",
+)
+def x23_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return S.ivf_cosine_topk(
+        e,
+        queries,
+        k=5,
+        nprobe=4,
+        centroids=_X23_CENTROIDS,
+        assign_mode="fold",
+    )
