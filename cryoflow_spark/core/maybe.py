@@ -1,0 +1,109 @@
+"""Maybe container for plugin authors (optional-value railway).
+
+Parity with the reference's plugin-author surface, which re-exports the
+``returns`` library's Maybe family
+(cryoflow-plugin-collections/cryoflow_plugin_collections/libs/returns/maybe.py:1-13).
+Like :mod:`cryoflow_spark.core.result`, this is a from-scratch minimal
+implementation of the same public protocol: ``Some(x)`` / ``Nothing`` /
+``Maybe.from_optional`` / the ``@maybe`` decorator lifting
+Optional-returning functions.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Generic, Optional, TypeVar
+
+_T = TypeVar("_T")
+_U = TypeVar("_U")
+
+
+class Maybe(Generic[_T]):
+    """Abstract optional container: ``Some(value)`` or ``Nothing``."""
+
+    @classmethod
+    def from_optional(cls, value: Optional[_T]) -> "Maybe[_T]":
+        return Nothing if value is None else Some(value)
+
+    def bind(self, fn: Callable[[_T], "Maybe[_U]"]) -> "Maybe[_U]":
+        raise NotImplementedError
+
+    def map(self, fn: Callable[[_T], _U]) -> "Maybe[_U]":
+        raise NotImplementedError
+
+    def value_or(self, default: _U) -> "_T | _U":
+        raise NotImplementedError
+
+    def unwrap(self) -> _T:
+        raise NotImplementedError
+
+
+class Some(Maybe[_T]):
+    __slots__ = ("_value",)
+
+    def __init__(self, value: _T) -> None:
+        self._value = value
+
+    def bind(self, fn: Callable[[_T], Maybe[_U]]) -> Maybe[_U]:
+        return fn(self._value)
+
+    def map(self, fn: Callable[[_T], _U]) -> Maybe[_U]:
+        return Some(fn(self._value))
+
+    def value_or(self, default: _U) -> _T:
+        return self._value
+
+    def unwrap(self) -> _T:
+        return self._value
+
+    def __repr__(self) -> str:
+        return f"<Some: {self._value!r}>"
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, Some) and other._value == self._value
+
+    def __hash__(self) -> int:
+        return hash(("Some", self._value))
+
+
+class _Nothing(Maybe[Any]):
+    """Singleton absent value (compared by identity, like returns')."""
+
+    _instance: "_Nothing | None" = None
+
+    def __new__(cls) -> "_Nothing":
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def bind(self, fn: Callable[[Any], Maybe[_U]]) -> Maybe[_U]:
+        return self
+
+    def map(self, fn: Callable[[Any], _U]) -> Maybe[_U]:
+        return self
+
+    def value_or(self, default: _U) -> _U:
+        return default
+
+    def unwrap(self) -> Any:
+        raise ValueError("Called .unwrap() on Nothing")
+
+    def __repr__(self) -> str:
+        return "<Nothing>"
+
+    def __bool__(self) -> bool:
+        return False
+
+
+#: The singleton Nothing instance (use ``is Nothing`` checks).
+Nothing: _Nothing = _Nothing()
+
+
+def maybe(fn: Callable[..., Optional[_T]]) -> Callable[..., Maybe[_T]]:
+    """Decorator: lift an Optional-returning function into Maybe."""
+
+    def wrapper(*args: Any, **kwargs: Any) -> Maybe[_T]:
+        return Maybe.from_optional(fn(*args, **kwargs))
+
+    wrapper.__name__ = getattr(fn, "__name__", "maybe_wrapped")
+    wrapper.__doc__ = fn.__doc__
+    return wrapper

@@ -248,7 +248,13 @@ def minhash_dedup(
         raise ValueError(f"invalid hash_mode '{hash_mode}'")
     portable = hash_mode == "portable"
     tune_for_text_ops(df.sparkSession)
-    with_sets = df.withColumn("__shingles", shingle_set(text_col, shingle_size))
+    # Null-text rows never enter the signature/candidate pipeline: their
+    # shingle array would be [NULL], and xxhash64(NULL) yields a seed
+    # constant — every null doc would share one signature and be flagged
+    # as mutual near-duplicates. They are all kept in the output.
+    with_sets = df.filter(F.col(text_col).isNotNull()).withColumn(
+        "__shingles", shingle_set(text_col, shingle_size)
+    )
     # Materialize the reduced base hashes ONCE; the affine rehashes then
     # scan a ready long array instead of re-hashing every shingle 64×.
     base_hash = (
@@ -390,7 +396,10 @@ def simhash_dedup(
     # doesn't divide them (chunk i spans [i*n/k, (i+1)*n/k) bits).
     bounds = [i * n_bits // n_chunks for i in range(n_chunks + 1)]
 
-    sigs = df.select(
+    # Null-text rows get no signature (kept in the output, never flagged):
+    # their token hashes are NULL, which would collapse to the all-zero
+    # signature and make every null doc a near-dup of every other.
+    sigs = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         simhash_column(text_col, n_bits=n_bits, hash_mode=hash_mode).alias("__sim"),
     )
@@ -708,19 +717,113 @@ def connected_components(
     return labels
 
 
+def connected_components_two_phase(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) via large-star/small-star alternation.
+
+    The two-phase MapReduce connected-components algorithm (Kiveris et
+    al., *Connected Components in MapReduce and Beyond*, SoCC 2014 —
+    public algorithm): each round rewires edges toward neighborhood
+    minima —
+
+    - LARGE-STAR: every node's larger neighbors re-attach to the minimum
+      of its closed neighborhood;
+    - SMALL-STAR: every node and its smaller neighbors re-attach to the
+      smallest of them.
+
+    Converges to star graphs (every node points at its component's
+    minimum) in O(log²) rounds worst-case and ~log(chain length) on
+    chains — vs O(diameter) for plain min-label propagation
+    (:func:`connected_components`), which this replaces as the scale
+    path for deep/chain-shaped near-dup clusters. Per round: two
+    groupBy-min shuffles + joins, lineage truncated with
+    ``localCheckpoint``; the driver only sees a changed-edge count.
+
+    Output labels are identical to :func:`connected_components` (the
+    component id is the component's minimum node id).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # LARGE-STAR over symmetric neighborhoods: for each center u,
+        # m = min(N(u) ∪ {u}); larger neighbors v > u re-attach to m.
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # SMALL-STAR over downward edges (large-star output already points
+        # big→small): u and all its smaller neighbors attach to their min.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        with_min = large.join(mins2, "u")
+        small = (
+            with_min.select(F.col("v").alias("n"), F.col("m"))
+            .unionByName(with_min.select(F.col("u").alias("n"), F.col("m")))
+            .where(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = small.subtract(edges).count()
+        edges = small
+        if changed == 0:
+            break
+    star = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return (
+        nodes.join(star, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+    )
+
+
 def cluster_dedup(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    algorithm: str = "two_phase",
 ) -> DataFrame:
     """Keep ONE row (smallest id) per transitive near-dup cluster.
 
     Fixes the per-pair survivor rule's blind spot: for a chain A~B~C the
     pairwise rule keeps A and (if (A,C) wasn't a pair) also C; clustering
-    keeps only A.
+    keeps only A. ``algorithm``: ``"two_phase"`` (default — log-rounds
+    large-star/small-star) or ``"label_prop"`` (O(diameter) min-label
+    propagation); both yield identical labels.
     """
-    comp = connected_components(pairs, max_iter=max_iter)
+    if algorithm == "two_phase":
+        comp = connected_components_two_phase(pairs, max_iter=max_iter)
+    elif algorithm == "label_prop":
+        comp = connected_components(pairs, max_iter=max_iter)
+    else:
+        raise ValueError(f"invalid algorithm '{algorithm}'")
     losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )

@@ -20,6 +20,7 @@ from cryoflow_spark.core.plugin import (
     SchemaData,
     TransformPlugin,
 )
+from cryoflow_spark.core.maybe import Maybe, Nothing, Some, maybe
 from cryoflow_spark.core.result import (
     Failure,
     Result,
@@ -30,6 +31,10 @@ from cryoflow_spark.core.result import (
 )
 
 __all__ = [
+    "Maybe",
+    "Nothing",
+    "Some",
+    "maybe",
     "Column",
     "DataFrame",
     "Row",

@@ -589,6 +589,7 @@ def _x16_oracle() -> str:
                                          t -> t != '')),
                t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)) AS h
       FROM documents
+      WHERE text IS NOT NULL
     ),
     sig AS (
       SELECT doc_id,
@@ -751,9 +752,9 @@ _CLUSTERS_SQL = f"""
 @register(
     "x20_dedup_clusters",
     _CLUSTERS_SQL,
-    "Transitive near-dup clusters: iterative min-label propagation "
-    "(O(diameter) shuffle rounds, lineage-truncated) vs a recursive-CTE "
-    "oracle — fixes the per-pair survivor rule's chain blind spot",
+    "Transitive near-dup clusters: large-star/small-star alternation "
+    "(log-rounds, lineage-truncated) vs a recursive-CTE oracle — fixes "
+    "the per-pair survivor rule's chain blind spot",
 )
 def x20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -761,7 +762,7 @@ def x20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, text_col="text", id_col="doc_id", ngram=3, threshold=0.05,
         block_by="lang",
     )
-    return D.connected_components(pairs).select("node", "component")
+    return D.connected_components_two_phase(pairs).select("node", "component")
 
 
 # --- x21: TF-IDF top terms per document ----------------------------------

@@ -119,3 +119,40 @@ def test_asof_plugin_via_pipeline(spark, trades, quotes):
     )
     assert is_successful(result), result
     assert len(out.rows) == 4
+
+def test_asof_null_payload_cell_stays_with_matched_row(spark):
+    """A NULL payload cell in the matched right row must surface as NULL —
+    not fall back to an older right row's value (the matched row is
+    carried atomically as one struct)."""
+    left = spark.createDataFrame(
+        [(1, "A", ts(10))], "trade_id long, sym string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [("A", ts(4), 100.0, 5), ("A", ts(9), None, 7)],
+        "sym string, t timestamp, px double, size long",
+    )
+    out = asof_join(left, right, on="sym", left_time="t").collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["__matched_time"] == ts(9)
+    assert row["px"] is None  # from the matched ts(9) row, NOT 100.0
+    assert row["size"] == 7
+
+
+def test_asof_tolerance_does_not_resurrect_stale_values(spark):
+    """With a tolerance window, payload values must never come from a
+    right row outside tolerance even when the in-tolerance row has NULLs."""
+    left = spark.createDataFrame(
+        [(1, "A", ts(10))], "trade_id long, sym string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [("A", ts(1), 100.0, 5), ("A", ts(9), None, 7)],
+        "sym string, t timestamp, px double, size long",
+    )
+    out = asof_join(
+        left, right, on="sym", left_time="t", tolerance_seconds=120.0
+    ).collect()
+    row = out[0]
+    assert row["__matched_time"] == ts(9)  # within 2 min
+    assert row["px"] is None  # ts(1) is outside tolerance; must not leak
+    assert row["size"] == 7

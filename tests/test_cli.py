@@ -186,3 +186,73 @@ class TestExamples:
         assert result.exit_code == 0, result.output
         n = duckdb.sql(f"SELECT count(*) FROM '{out_glob}'").fetchone()[0]
         assert n > 0
+
+
+# --- reference tests/cli error-parity (test_run_errors.py / test_check_errors.py) ---
+
+
+def test_run_bad_toml_syntax_exits_1(runner, tmp_path):
+    """Reference cli/test_run_errors.py::test_config_load_error."""
+    cfg = tmp_path / "bad.toml"
+    cfg.write_text("invalid = [[[")
+    result = runner.invoke(main, ["run", "-c", str(cfg)])
+    assert result.exit_code == 1
+
+
+def test_check_bad_toml_syntax_exits_1(runner, tmp_path):
+    """Reference cli/test_check_errors.py::test_config_load_error."""
+    cfg = tmp_path / "bad.toml"
+    cfg.write_text("invalid = [[[")
+    result = runner.invoke(main, ["check", "-c", str(cfg)])
+    assert result.exit_code == 1
+
+
+def test_check_missing_config_exits_nonzero(runner, tmp_path):
+    """Reference cli/test_check_errors.py::test_nonexistent_file."""
+    result = runner.invoke(main, ["check", "-c", str(tmp_path / "nope.toml")])
+    assert result.exit_code != 0
+
+
+def test_run_plugin_load_error_surfaces_message(runner, tmp_path):
+    """Reference cli/test_run_errors.py::test_plugin_load_error: a plugin
+    that can't be imported must exit 1 and surface the loader message."""
+    cfg = tmp_path / "config.toml"
+    cfg.write_text(
+        """
+transform_plugins = []
+
+[[input_plugins]]
+name = "scan"
+module = "does_not_exist_plugin_module"
+
+[[output_plugins]]
+name = "write"
+module = "parquet_writer"
+options = { output_path = "out" }
+"""
+    )
+    result = runner.invoke(main, ["run", "-c", str(cfg)])
+    assert result.exit_code == 1
+    assert "does_not_exist_plugin_module" in result.output
+
+
+def test_check_no_output_plugin_message(runner, tmp_path):
+    """Reference cli/test_check_errors.py::test_no_output_plugin message."""
+    cfg = tmp_path / "config.toml"
+    cfg.write_text(
+        f"""
+transform_plugins = []
+output_plugins = []
+
+[[input_plugins]]
+name = "scan"
+module = "parquet_scan"
+options = {{ input_path = "{SF}/region.parquet" }}
+
+[spark]
+master = "local[2]"
+"""
+    )
+    result = runner.invoke(main, ["check", "-c", str(cfg)])
+    assert result.exit_code == 1
+    assert "[ERROR] No output plugin configured" in result.output

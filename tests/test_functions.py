@@ -377,3 +377,132 @@ def test_pack_token_shards_budget_invariant(spark):
         ids = [r["doc_id"] for r in shards[sid]]
         assert ids == sorted(ids)
         assert ids[-1] - ids[0] == len(ids) - 1
+
+
+def test_minhash_dedup_portable_matches_semantics(docs):
+    """Portable (md5) hash mode removes the exact dup and keeps distinct
+    docs, like engine mode — signatures differ but semantics hold."""
+    out = D.minhash_dedup(
+        docs, text_col="text", id_col="doc_id", threshold=0.9,
+        hash_mode="portable",
+    )
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 1 in ids and 4 not in ids  # exact dup dropped, survivor kept
+    assert 3 in ids and 5 in ids
+
+
+def test_minhash_dedup_null_text_rows_survive(spark):
+    """Null-text rows get no signature: they are never flagged as mutual
+    near-duplicates (previously they all shared one constant signature)."""
+    rows = [(1, None), (2, None), (3, "real content here"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.minhash_dedup(df, text_col="text", id_col="doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3, 4]
+
+
+def test_simhash_portable_dedup(docs):
+    out = D.simhash_dedup(
+        docs, text_col="text", id_col="doc_id", hamming_threshold=3,
+        hash_mode="portable",
+    )
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 4 not in ids  # exact dup has identical signature → removed
+    assert 1 in ids and 3 in ids
+
+
+def test_ivf_fold_assign_matches_vectorized(spark):
+    """Fixed centroids: the JVM fold assignment and the numpy vectorized
+    assignment must produce identical top-k results."""
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(16)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 3)
+    cents = S.fixed_random_centroids(dim=16, n_centroids=4, seed=7)
+    a = S.ivf_cosine_topk(
+        df, queries, k=3, nprobe=2, centroids=cents, assign_mode="fold"
+    ).collect()
+    b = S.ivf_cosine_topk(
+        df, queries, k=3, nprobe=2, centroids=cents, assign_mode="vectorized"
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in a) == \
+        sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in b)
+
+
+def test_library_collects_are_bounded():
+    """Guard: no library operator may collect() corpus-proportional data to
+    the driver. Every .collect() in cryoflow_spark must sit behind an
+    explicit .limit(...) in the same expression chain (currently only the
+    IVF trainer)."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(D.__file__).resolve().parent.parent
+    offenders = []
+    total = 0
+    for py in pkg.rglob("*.py"):
+        src = py.read_text()
+        n = len(re.findall(r"\.collect\(\)", src))
+        if not n:
+            continue
+        total += n
+        bounded = len(
+            re.findall(r"\.limit\([^)]+\)\s*\.collect\(\)", src)
+        )
+        if bounded != n:
+            offenders.append((str(py), n, bounded))
+    assert total >= 1  # the IVF trainer's bounded collect exists
+    assert not offenders, f"unbounded driver collect in library code: {offenders}"
+
+
+def test_two_phase_cc_matches_label_prop(spark):
+    """Two-phase (large-star/small-star) labels == min-label propagation
+    labels on a mixed chain + island + star graph."""
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22), (20, 23)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {
+        (r["node"], r["component"])
+        for r in D.connected_components(pairs).collect()
+    }
+    b = {
+        (r["node"], r["component"])
+        for r in D.connected_components_two_phase(pairs).collect()
+    }
+    assert a == b
+    assert (4, 0) in b and (11, 10) in b and (23, 20) in b
+
+
+def test_two_phase_cc_converges_fast_on_chains(spark):
+    """A 32-node chain needs ~diameter rounds under label propagation but
+    only O(log) large-star/small-star rounds — 6 must suffice."""
+    n = 32
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels = {
+        r["node"]: r["component"]
+        for r in D.connected_components_two_phase(pairs, max_iter=6).collect()
+    }
+    assert labels == {i: 0 for i in range(n)}
+
+
+def test_cluster_dedup_algorithms_agree(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    two = sorted(
+        r["doc_id"]
+        for r in D.cluster_dedup(docs, pairs, algorithm="two_phase").collect()
+    )
+    lab = sorted(
+        r["doc_id"]
+        for r in D.cluster_dedup(docs, pairs, algorithm="label_prop").collect()
+    )
+    assert two == lab == [0, 3, 4]

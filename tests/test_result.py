@@ -70,3 +70,43 @@ def test_lash():
     recovered = Failure(ValueError("v")).lash(lambda e: Success("recovered"))
     assert recovered.unwrap() == "recovered"
     assert Success(1).lash(lambda e: Success(2)).unwrap() == 1
+
+
+def test_success_hash_eq_contract():
+    from cryoflow_spark.core.result import Failure, Success
+
+    assert Success(1) == Success(1)
+    assert hash(Success(1)) == hash(Success(1))
+    assert len({Success(1), Success(1), Success(2)}) == 2
+    err = ValueError("x")
+    assert hash(Failure(err)) == hash(Failure(ValueError("x")))
+
+
+def test_success_of_unhashable_value_is_unhashable():
+    from cryoflow_spark.core.result import Success
+
+    with pytest.raises(TypeError):
+        hash(Success([1, 2]))
+
+
+def test_maybe_surface():
+    """Plugin-author Maybe parity (reference libs/returns/maybe.py:1-13)."""
+    from cryoflow_spark.plugins.libs import Maybe, Nothing, Some, maybe
+
+    assert Maybe.from_optional(5) == Some(5)
+    assert Maybe.from_optional(None) is Nothing
+    assert Some(2).map(lambda x: x + 1) == Some(3)
+    assert Some(2).bind(lambda x: Nothing) is Nothing
+    assert Nothing.map(lambda x: x + 1) is Nothing
+    assert Nothing.value_or(7) == 7
+    assert Some(1).value_or(7) == 1
+    assert not Nothing and bool(Some(0) is not Nothing)
+
+    @maybe
+    def lookup(d, k):
+        return d.get(k)
+
+    assert lookup({"a": 1}, "a") == Some(1)
+    assert lookup({}, "a") is Nothing
+    with pytest.raises(ValueError):
+        Nothing.unwrap()

@@ -240,3 +240,28 @@ def test_analyzer_dry_run_catches_group_agg_typo(spark):
     plugin.attach_session(spark)
     schema = StructType.fromDDL("region string, amount double")
     assert not is_successful(plugin.dry_run(schema))
+
+
+def test_dedup_plugin_forwards_block_by(spark):
+    """block_by must reach ngram_jaccard_dedup: cross-block near-dups are
+    NOT removed when blocks differ."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "de"),  # same text, other block
+        (3, "the quick brown fox jumps over the lazy dog", "en"),  # dup of 1 in-block
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    plugin = DedupPlugin(
+        options={
+            "method": "ngram_jaccard",
+            "column": "text",
+            "id_column": "doc_id",
+            "threshold": 0.9,
+            "block_by": "lang",
+        }
+    )
+    plugin.attach_session(spark)
+    out = plugin.execute(df).unwrap()
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # 3 removed (in-block dup of 1); 2 kept (different block despite identical text)
+    assert ids == [1, 2]
