@@ -1,0 +1,156 @@
+"""Training-corpus curation operators: PII scrubbing, benchmark
+decontamination, repetition/boilerplate quality stats.
+
+The standard pre-training hygiene passes (all public techniques):
+
+- ``scrub_pii``: regex redaction of emails / URLs / IPv4 / phone-shaped
+  spans (the common first pass before any model sees the text). Pure
+  ``regexp_replace`` chains — JVM-side, whole-stage codegen, and the
+  patterns avoid lookaround so they behave identically under Java regex
+  and RE2 (DuckDB/Go) — oracle-checkable.
+- ``ngram_decontaminate``: drop training documents that share any word
+  n-gram with an evaluation/benchmark set (the GPT-3-style 8-to-13-gram
+  overlap rule, Brown et al. 2020 appendix C). The benchmark gram set is
+  small by construction → broadcast; the corpus side is a narrow
+  explode + one aggregation shuffle.
+- ``repetition_stats``: Gopher-style repetition signals (Rae et al.
+  2021, table A1): duplicate-token fraction, duplicate-2-gram fraction,
+  most-frequent-token fraction. Array stats stay in pure expressions;
+  the top-token count is one explode + two-level aggregation.
+
+Scale notes: every operator is a narrow map plus at most one shuffle on
+the document id; nothing is quadratic in corpus size and nothing
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: (pattern, replacement) chain applied in order. No lookaround: portable
+#: between Java regex (Spark) and RE2 (DuckDB). Order matters — URLs
+#: first so an email-looking userinfo inside a URL is already gone.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(text_col):
+    """Column: text with PII-shaped spans replaced by typed tags."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pattern, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pattern, repl)
+    return col
+
+
+def sql_scrub_pii(text_expr: str) -> str:
+    """DuckDB spelling of :func:`scrub_pii` (same patterns, 'g' flag)."""
+    expr = text_expr
+    for pattern, repl in PII_PATTERNS:
+        sql_pat = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{repl}', 'g')"
+    return expr
+
+
+def _word_grams(toks_col: str, ngram: int):
+    """Column: distinct word n-grams from a pre-tokenized array column."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size({toks_col}) - {ngram - 1}, 1)),"
+            f" i -> array_join(slice({toks_col}, i, {ngram}), ' '))"
+        )
+    )
+
+
+def contaminated_ids(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+) -> DataFrame:
+    """(id, n_shared_grams) for every corpus doc sharing ≥1 word n-gram
+    with the benchmark set.
+
+    Scale: benchmark gram sets are tiny (eval suites are thousands of
+    docs) → ``broadcast`` hash join against the corpus's exploded grams;
+    the only shuffle is the per-doc count aggregation.
+    """
+    tokenize = lambda c: F.array_remove(F.split(F.col(c), r"\s+"), "")  # noqa: E731
+    corpus_grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokenize(text_col).alias("__toks"))
+        .select(F.col(id_col), F.explode(_word_grams("__toks", ngram)).alias("__gram"))
+    )
+    bench_grams = (
+        benchmark.filter(F.col(text_col).isNotNull())
+        .select(tokenize(text_col).alias("__toks"))
+        .select(F.explode(_word_grams("__toks", ngram)).alias("__gram"))
+        .distinct()
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "__gram")
+        .groupBy(id_col)
+        .agg(F.countDistinct("__gram").alias("n_shared_grams"))
+    )
+
+
+def ngram_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+) -> DataFrame:
+    """Remove corpus docs sharing any word n-gram with the benchmark."""
+    hits = contaminated_ids(df, benchmark, text_col, id_col, ngram)
+    return df.join(hits.select(id_col), on=id_col, how="left_anti")
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc repetition signals: (id, n_tokens, dup_token_frac,
+    dup_2gram_frac, top_token_frac).
+
+    ``dup_*_frac`` = 1 - distinct/total (fraction of tokens / 2-grams
+    that are repeats); ``top_token_frac`` = occurrences of the most
+    frequent token / total tokens. High values mark boilerplate and
+    degenerate repetition (Gopher filter family).
+    """
+    tokenize = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokenize.alias("__toks")
+    )
+    grams2 = F.expr(
+        "transform(sequence(1, greatest(size(__toks) - 1, 1)),"
+        " i -> array_join(slice(__toks, i, 2), ' '))"
+    )
+    frac = lambda arr: F.when(  # noqa: E731
+        F.size(arr) > 0,
+        1.0 - F.size(F.array_distinct(arr)) / F.size(arr).cast("double"),
+    )
+    array_stats = base.select(
+        F.col(id_col),
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        frac(F.col("__toks")).alias("dup_token_frac"),
+        frac(grams2).alias("dup_2gram_frac"),
+    )
+    top_counts = (
+        base.select(F.col(id_col), F.explode("__toks").alias("__tok"))
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .groupBy(id_col)
+        .agg(
+            (F.max("__cnt") / F.sum("__cnt").cast("double")).alias(
+                "top_token_frac"
+            )
+        )
+    )
+    return array_stats.join(top_counts, id_col, "left")

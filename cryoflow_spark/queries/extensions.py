@@ -6,8 +6,10 @@ float-determinism rules: every cosine is computed as an explicit
 left-fold dot product over double-cast elements — Spark's
 ``zip_with``+``aggregate`` and DuckDB's ``list_reduce`` both fold
 sequentially left-to-right, so results are bit-identical. Hash-based
-candidate generation (MinHash/SimHash/LSH — xxhash64 is Spark-specific)
-is registered rows-only.
+candidate generation uses portable md5-derived hashes (MinHash/SimHash)
+or plan-baked literals (hyperplane LSH, fixed IVF centroids) so even the
+probabilistic operators are oracle-checked; the only rows-only entry is
+x18's trained quantizer (driver-side k-means by design).
 """
 
 from __future__ import annotations
@@ -15,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cryoflow_spark.functions import curation as C
 from cryoflow_spark.functions import dedup as D
 from cryoflow_spark.functions import multimodal as M
 from cryoflow_spark.functions import similarity as S
@@ -930,3 +933,125 @@ def x23_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=_X23_CENTROIDS,
         assign_mode="fold",
     )
+
+
+# --- x24: PII scrubbing (regex redaction, portable pattern subset) --------
+
+_X24_PII_EXPR = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com via https://ex' || CAST(doc_id % 7 AS VARCHAR) || "
+    "'.org or 10.0.0.' || CAST(doc_id % 250 AS VARCHAR) || ' tel +1 555 0100'"
+)
+
+
+@register(
+    "x24_pii_scrub",
+    f"""
+    SELECT doc_id, {C.sql_scrub_pii(_X24_PII_EXPR)} AS scrubbed
+    FROM documents
+    """,
+    "PII scrubbing: regex redaction of URLs/emails/IPs/phones "
+    "(lookaround-free patterns, identical under Java regex and RE2; "
+    "deterministic PII injected per doc so the scrub provably fires)",
+)
+def x24_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".org or 10.0.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" tel +1 555 0100"),
+    )
+    return d.select("doc_id", C.scrub_pii(pii_text).alias("scrubbed"))
+
+
+# --- x25: benchmark n-gram decontamination --------------------------------
+
+
+@register(
+    "x25_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS t
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+7], ' ')
+               for i in generate_series(1, greatest(len(t) - 7, 1))]) AS g
+      FROM toks
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 50 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 50 != 0
+    )
+    SELECT doc_id, COUNT(DISTINCT gram)::BIGINT AS n_shared_grams
+    FROM corpus JOIN bench USING (gram)
+    GROUP BY doc_id
+    """,
+    "Benchmark decontamination: corpus docs sharing any word 8-gram with "
+    "the (broadcast) benchmark set — the GPT-3-style eval-overlap rule",
+)
+def x25_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return C.contaminated_ids(corpus, bench, ngram=8)
+
+
+# --- x26: repetition / boilerplate quality stats --------------------------
+
+
+@register(
+    "x26_repetition_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS t
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    with_g2 AS (
+      SELECT doc_id, t,
+             [array_to_string(t[i:i+1], ' ')
+              for i in generate_series(1, greatest(len(t) - 1, 1))] AS g2
+      FROM toks
+    ),
+    stats AS (
+      SELECT doc_id, len(t)::BIGINT AS n_tokens,
+             CASE WHEN len(t) > 0
+               THEN 1.0 - (len(list_distinct(t))::DOUBLE / len(t)::DOUBLE)
+             END AS dup_token_frac,
+             CASE WHEN len(g2) > 0
+               THEN 1.0 - (len(list_distinct(g2))::DOUBLE / len(g2)::DOUBLE)
+             END AS dup_2gram_frac
+      FROM with_g2
+    ),
+    tops AS (
+      SELECT doc_id, (max(c)::DOUBLE / sum(c)::DOUBLE) AS top_token_frac
+      FROM (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY doc_id, tok
+      )
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens, s.dup_token_frac, s.dup_2gram_frac,
+           p.top_token_frac
+    FROM stats s LEFT JOIN tops p ON s.doc_id = p.doc_id
+    """,
+    "Repetition/boilerplate signals per doc (Gopher filter family): "
+    "duplicate-token and duplicate-2-gram fractions (pure array exprs) + "
+    "most-frequent-token fraction (one explode + two-level agg)",
+)
+def x26_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return C.repetition_stats(d)

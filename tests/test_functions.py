@@ -506,3 +506,52 @@ def test_cluster_dedup_algorithms_agree(spark):
         for r in D.cluster_dedup(docs, pairs, algorithm="label_prop").collect()
     )
     assert two == lab == [0, 3, 4]
+
+
+def test_scrub_pii_redacts_all_kinds(spark):
+    from cryoflow_spark.functions import curation as C
+
+    df = spark.createDataFrame(
+        [(1, "mail a.user+x@sub.example.org or visit https://ex.org/p?q=1 "
+             "from 192.168.0.12 call +1 555-010-0199 now")],
+        "doc_id long, text string",
+    )
+    out = df.select(C.scrub_pii("text").alias("t")).collect()[0]["t"]
+    assert "<EMAIL>" in out and "<URL>" in out and "<IP>" in out and "<PHONE>" in out
+    assert "@" not in out and "192.168" not in out and "https" not in out
+
+
+def test_ngram_decontaminate_removes_overlap(spark):
+    from cryoflow_spark.functions import curation as C
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words alpha beta gamma delta epsilon zeta eta theta suffix"),
+            (2, "totally unrelated content with no benchmark overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = C.contaminated_ids(corpus, bench, ngram=8).collect()
+    assert [(r["doc_id"], r["n_shared_grams"] > 0) for r in hits] == [(1, True)]
+    clean = C.ngram_decontaminate(corpus, bench, ngram=8)
+    assert [r["doc_id"] for r in clean.collect()] == [2]
+
+
+def test_repetition_stats_flags_degenerate_docs(spark):
+    from cryoflow_spark.functions import curation as C
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "all words here are fully distinct tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in C.repetition_stats(df).collect()}
+    assert rows[1]["dup_token_frac"] > 0.8 and rows[1]["top_token_frac"] == 1.0
+    assert rows[2]["dup_token_frac"] == 0.0 and rows[2]["top_token_frac"] < 0.2
+    assert rows[1]["n_tokens"] == 6

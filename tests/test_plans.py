@@ -95,3 +95,27 @@ def test_no_cartesian_products(spark, registry):
         assert "CartesianProduct" not in plan, name
         if name not in allowed_nested_loop:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_decontamination_broadcasts_benchmark(spark, registry):
+    """x25: the benchmark gram set is the small side by construction and
+    must broadcast — never shuffle the corpus for it."""
+    plan = plan_of(registry["x25_decontaminate"].fn(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_portable_minhash_band_join_shape(spark):
+    """Portable-mode banding joins on the raw signature slice (array key):
+    it must still plan as a partitioned equi-join (hash or sort-merge on
+    the band key) — never a nested-loop/cartesian fallback."""
+    from cryoflow_spark.functions import dedup as D
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = D.minhash_dedup(
+        d, text_col="text", id_col="doc_id", num_hashes=16, bands=4,
+        shingle_size=4, threshold=0.5, hash_mode="portable",
+    )
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan)
