@@ -70,6 +70,7 @@ BUILTIN_MODULES: dict[str, str] = {
     "set_op": "cryoflow_spark.plugins.transform.set_op",
     "window": "cryoflow_spark.plugins.transform.window",
     "sql": "cryoflow_spark.plugins.transform.sql",
+    "curate": "cryoflow_spark.plugins.transform.curate",
     "dedup": "cryoflow_spark.plugins.transform.dedup",
     "repartition": "cryoflow_spark.plugins.transform.repartition",
     "watermark": "cryoflow_spark.streaming.watermark",

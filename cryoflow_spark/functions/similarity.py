@@ -90,6 +90,88 @@ def cosine_topk(
     )
 
 
+def with_quantized_embedding(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    bits: int = 8,
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Add symmetric per-vector int quantization of an embedding column.
+
+    ``qvec[i] = round(v[i] * (2^(bits-1)-1) / max|v|)`` — the standard
+    scalar quantization used to shrink embedding stores 4× (float32 →
+    int8). Adds ``out_col`` (array<int>) and ``{out_col}_scale``; cosine
+    similarity needs no dequantization (the per-vector scales cancel),
+    so candidate scoring runs entirely in exact integer arithmetic.
+
+    All math is deterministic and engine-portable: double products,
+    round-half-away-from-zero, integer sums — oracle-checkable.
+    """
+    levels = float((1 << (bits - 1)) - 1)
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.lit(levels) / F.greatest(maxabs, F.lit(eps))
+    q = F.transform(v, lambda x: F.round(x.cast("double") * scale).cast("int"))
+    return df.withColumn(out_col, q).withColumn(f"{out_col}_scale", scale)
+
+
+def int_dot(a, b):
+    """Column: exact integer dot product of two array<int> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    bits: int = 8,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors scored on int-quantized vectors.
+
+    Same shape as :func:`cosine_topk` but the per-pair work is integer
+    multiply-adds over arrays ``2^(32-bits)``× smaller than float64 —
+    the memory-bandwidth path for a 100 TB embedding store. Scales
+    cancel in cosine, so no dequantization happens anywhere.
+    """
+    qid = query_id_col or id_col
+    q = with_quantized_embedding(queries, vec_col, "__q", bits).select(
+        F.col(qid).alias("query_id"),
+        F.col("__q"),
+        F.sqrt(int_dot(F.col("__q"), F.col("__q")).cast("double")).alias("__qn"),
+    )
+    c = with_quantized_embedding(corpus, vec_col, "__c", bits).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__c"),
+        F.sqrt(int_dot(F.col("__c"), F.col("__c")).cast("double")).alias("__cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "qcosine",
+            int_dot(F.col("__q"), F.col("__c")).cast("double")
+            / (F.col("__qn") * F.col("__cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qcosine", "rank")
+    )
+
+
 def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Seeded random hyperplane components (plan literals, shared between
     the Spark expression and SQL oracles so signatures match exactly)."""

@@ -1,6 +1,7 @@
 """Transform plugins."""
 
 from cryoflow_spark.plugins.transform.cast import CastPlugin
+from cryoflow_spark.plugins.transform.curate import CuratePlugin
 from cryoflow_spark.plugins.transform.dedup import DedupPlugin
 from cryoflow_spark.plugins.transform.distinct import DistinctPlugin
 from cryoflow_spark.plugins.transform.filter import FilterPlugin
@@ -19,6 +20,7 @@ from cryoflow_spark.plugins.transform.with_column import WithColumnPlugin
 __all__ = [
     "CastPlugin",
     "ColumnMultiplierPlugin",
+    "CuratePlugin",
     "DedupPlugin",
     "DistinctPlugin",
     "FilterPlugin",

@@ -1,0 +1,85 @@
+"""Corpus-curation transform: PII scrub, quality/repetition filters,
+benchmark decontamination.
+
+Engine extension for training-data pipelines (BASELINE.json
+``north_star``), exposing :mod:`cryoflow_spark.functions.curation` and
+the quality heuristics of :mod:`cryoflow_spark.functions.text` through
+the TOML plugin surface. Modes (option ``method``):
+
+- ``pii_scrub`` (default): redact URL/email/IP/phone spans in ``column``
+  (in place, or into ``out_column``).
+- ``repetition_filter``: drop docs whose repetition stats exceed
+  thresholds — options ``max_dup_token_frac``, ``max_dup_2gram_frac``,
+  ``max_top_token_frac``, ``min_tokens`` (any subset).
+- ``quality_filter``: keep docs with ``quality_score >= min_quality``.
+- ``decontaminate``: drop docs sharing any word ``ngram``-gram with the
+  sibling stream named by ``benchmark_label`` (the eval set), GPT-3
+  style.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import SiblingAwareTransformPlugin
+
+
+class CuratePlugin(SiblingAwareTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "curate"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        from cryoflow_spark.functions import curation as C
+
+        method = self.options.get("method", "pii_scrub")
+        column = self.options.get("column", "text")
+        id_column = self.options.get("id_column", "doc_id")
+
+        if method == "pii_scrub":
+            out = self.options.get("out_column", column)
+            return data.withColumn(out, C.scrub_pii(column))
+
+        if method == "repetition_filter":
+            stats = C.repetition_stats(data, text_col=column, id_col=id_column)
+            cond = F.lit(False)
+            if "max_dup_token_frac" in self.options:
+                cond = cond | (
+                    F.col("dup_token_frac")
+                    > float(self.options["max_dup_token_frac"])
+                )
+            if "max_dup_2gram_frac" in self.options:
+                cond = cond | (
+                    F.col("dup_2gram_frac")
+                    > float(self.options["max_dup_2gram_frac"])
+                )
+            if "max_top_token_frac" in self.options:
+                cond = cond | (
+                    F.col("top_token_frac")
+                    > float(self.options["max_top_token_frac"])
+                )
+            if "min_tokens" in self.options:
+                cond = cond | (
+                    F.col("n_tokens") < int(self.options["min_tokens"])
+                )
+            bad = stats.filter(cond).select(id_column)
+            return data.join(bad, on=id_column, how="left_anti")
+
+        if method == "quality_filter":
+            from cryoflow_spark.functions import text as X
+
+            min_quality = float(self.require_option("min_quality"))
+            return data.filter(X.quality_score(column) >= min_quality)
+
+        if method == "decontaminate":
+            bench = self.sibling_frame(self.require_option("benchmark_label"))
+            return C.ngram_decontaminate(
+                data,
+                bench,
+                text_col=column,
+                id_col=id_column,
+                ngram=int(self.options.get("ngram", 8)),
+            )
+
+        raise ValueError(f"invalid curate method '{method}'")

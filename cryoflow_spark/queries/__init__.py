@@ -77,7 +77,8 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: a spread of already-green sentinels as regression canaries; everything
 #: else follows in original registration order (still runnable/benchable).
 #: Round 2: q29–q57 (registered but never driver-checked in round 1) +
-#: the six queries fixed/oracle-upgraded this round + 14 sentinels.
+#: the queries fixed/oracle-upgraded/added this round (x07, x13–x16, x18,
+#: x23–x27) + 10 sentinels.
 _PRIORITY: list[str] = [
     # never driver-checked in round 1 (registration slot > 50)
     *[
@@ -93,16 +94,16 @@ _PRIORITY: list[str] = [
         "q54_array_lambdas", "q55_grouping_sets", "q56_latest_per_key",
         "q57_above_nation_average",
     ],
-    # fixed / oracle-upgraded this round
+    # fixed / oracle-upgraded / newly added this round
     "x13_multimodal_features", "x14_frame_sample", "x15_minhash_dedup",
     "x16_simhash_pairs", "x07_lsh_cosine_topk", "x23_ivf_fixed_topk",
-    "x18_ivf_cosine_topk",
+    "x18_ivf_cosine_topk", "x24_pii_scrub", "x25_decontaminate",
+    "x26_repetition_stats", "x27_quantized_topk",
     # green sentinels (round-1 driver-verified, kept as regression canaries)
     "x01_dedup_exact", "x03_jaccard_pairs", "x05_cosine_topk",
     "x17_sessionize", "x19_bpe_token_budget", "x20_dedup_clusters",
-    "x22_token_shards", "q01_pricing_summary", "q03_top_orders",
-    "q13_top_orders_per_customer", "q16_orders_by_month", "q25_asof_join",
-    "q26_price_quantiles", "q27_pivot_returnflag",
+    "x22_token_shards", "q01_pricing_summary", "q25_asof_join",
+    "q26_price_quantiles",
 ]
 
 

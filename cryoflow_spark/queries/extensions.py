@@ -1055,3 +1055,61 @@ def x25_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x26_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return C.repetition_stats(d)
+
+
+# --- x27: int8-quantized embedding search ---------------------------------
+
+_X27_QUANT = """
+    quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(x::DOUBLE * (127.0 / greatest(
+                      list_max(list_transform(embedding, y -> abs(y::DOUBLE))),
+                      1e-12))) AS INTEGER)) AS q
+      FROM embeddings
+    )
+"""
+
+
+def _sql_int_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"[({a}[i] * {b}[i])::BIGINT for i in generate_series(1, len({a}))]"
+        f"), (acc, x) -> acc + x)"
+    )
+
+
+def _x27_oracle() -> str:
+    qcos = (
+        f"({_sql_int_dot('a.q', 'b.q')}::DOUBLE"
+        f" / (sqrt({_sql_int_dot('a.q', 'a.q')}::DOUBLE)"
+        f" * sqrt({_sql_int_dot('b.q', 'b.q')}::DOUBLE)))"
+    )
+    return f"""
+    WITH {_X27_QUANT}
+    SELECT query_id, neighbor_id, qcosine, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {qcos} AS qcosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {qcos} DESC, b.vec_id
+             ) AS INTEGER) AS rank
+      FROM quant a JOIN quant b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < 10
+    ) WHERE rank <= 5
+    """
+
+
+@register(
+    "x27_quantized_topk",
+    _x27_oracle(),
+    "Int8 embedding quantization + quantized cosine top-k: 4x smaller "
+    "vectors, exact integer dot products (scales cancel in cosine) — the "
+    "memory-bandwidth path for a 100 TB embedding store",
+)
+def x27_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return S.quantized_cosine_topk(
+        e, queries, vec_col="embedding", id_col="vec_id", k=5, bits=8
+    )

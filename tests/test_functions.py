@@ -555,3 +555,22 @@ def test_repetition_stats_flags_degenerate_docs(spark):
     assert rows[1]["dup_token_frac"] > 0.8 and rows[1]["top_token_frac"] == 1.0
     assert rows[2]["dup_token_frac"] == 0.0 and rows[2]["top_token_frac"] < 0.2
     assert rows[1]["n_tokens"] == 6
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """Int8-quantized cosine top-k must recover most of the exact top-k
+    (quantization noise is ~1/127 per component)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(32)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = S.cosine_topk(df, queries, k=5)
+    quant = S.quantized_cosine_topk(df, queries, k=5, bits=8)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    qu = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
+    recall = len(ex & qu) / len(ex)
+    assert recall >= 0.8, recall

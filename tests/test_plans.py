@@ -86,6 +86,7 @@ def test_no_cartesian_products(spark, registry):
     vocabulary table)."""
     allowed_nested_loop = {
         "x05_cosine_topk",
+        "x27_quantized_topk",  # same brute-force broadcast pattern as x05
         "q20_region_nation_matrix",
         "x21_tfidf_top_terms",
     }

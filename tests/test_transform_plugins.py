@@ -9,6 +9,7 @@ from cryoflow_spark.core.pipeline import run_pipeline
 from cryoflow_spark.core.result import Success, is_successful
 from cryoflow_spark.plugins.transform import (
     CastPlugin,
+    CuratePlugin,
     DedupPlugin,
     DistinctPlugin,
     FilterPlugin,
@@ -265,3 +266,72 @@ def test_dedup_plugin_forwards_block_by(spark):
     ids = sorted(r["doc_id"] for r in out.collect())
     # 3 removed (in-block dup of 1); 2 kept (different block despite identical text)
     assert ids == [1, 2]
+
+
+def test_curate_pii_scrub_plugin(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me@ex.org or hit https://x.io now")],
+        "doc_id long, text string",
+    )
+    out = _run(CuratePlugin(options={"method": "pii_scrub"}), df)
+    t = out.collect()[0]["text"]
+    assert "<EMAIL>" in t and "<URL>" in t
+
+
+def test_curate_repetition_filter_plugin(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "these words are all completely distinct from each other"),
+        ],
+        "doc_id long, text string",
+    )
+    out = _run(
+        CuratePlugin(options={"method": "repetition_filter",
+                              "max_dup_token_frac": 0.5}),
+        df,
+    )
+    assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_curate_decontaminate_plugin_via_pipeline(spark, tmp_path):
+    """decontaminate reads the benchmark from a sibling labeled stream."""
+    import pyspark.sql.functions as F
+    from cryoflow_spark.core.pipeline import run_pipeline
+    from cryoflow_spark.core.plugin import InputPlugin, SchemaData
+    from cryoflow_spark.core.result import Result, Success
+
+    corpus_rows = [
+        (1, "one two three four five six seven eight tail words"),
+        (2, "nothing in common with that benchmark document at all"),
+    ]
+    bench_rows = [(9, "one two three four five six seven eight")]
+
+    class _MemInput(InputPlugin):
+        def __init__(self, rows, label):
+            super().__init__(label=label)
+            self._rows = rows
+
+        def execute(self) -> Result:
+            spark_ = self._require_session()
+            return Success(
+                spark_.createDataFrame(self._rows, "doc_id long, text string")
+            )
+
+        def dry_run(self) -> Result[SchemaData]:
+            return Success(
+                self._require_session()
+                .createDataFrame([], "doc_id long, text string")
+                .schema
+            )
+
+    out_plugin = CollectOutputPlugin()
+    res = run_pipeline(
+        [_MemInput(corpus_rows, "default"), _MemInput(bench_rows, "bench")],
+        [CuratePlugin(options={"method": "decontaminate",
+                               "benchmark_label": "bench"})],
+        [out_plugin],
+        spark=spark,
+    )
+    assert is_successful(res), res
+    assert [r[0] for r in out_plugin.rows] == [2]
