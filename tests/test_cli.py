@@ -167,6 +167,7 @@ class TestExamples:
             "examples/pricing_rollup.toml",
             "examples/multistream_join.toml",
             "examples/corpus_curation.toml",
+            "examples/decontaminate.toml",
             "examples/streaming_sessions.toml",
         ],
     )
@@ -179,6 +180,7 @@ class TestExamples:
         [
             ("examples/pricing_rollup.toml", "/tmp/cryoflow_examples/pricing_rollup/*.parquet"),
             ("examples/corpus_curation.toml", "/tmp/cryoflow_examples/curated_corpus/*/*.parquet"),
+            ("examples/decontaminate.toml", "/tmp/cryoflow_examples/decontaminated_corpus/*.parquet"),
         ],
     )
     def test_run(self, runner, example, out_glob):

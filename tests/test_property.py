@@ -116,3 +116,62 @@ def test_asof_join_tolerance_cuts_stale_matches(spark):
     ).collect()
     assert loose[0]["payload"] == 7
     assert tight[0]["payload"] is None
+
+
+@st.composite
+def edge_lists(draw):
+    n_nodes = draw(st.integers(min_value=2, max_value=12))
+    edges = draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=n_nodes - 1),
+                st.integers(min_value=0, max_value=n_nodes - 1),
+            ),
+            min_size=1,
+            max_size=18,
+        )
+    )
+    return edges
+
+
+def _cc_oracle(edges):
+    """Union-find reference labeling (min node id per component)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        nodes.update((a, b))
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+@given(edge_lists())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_connected_components_both_algorithms_match_union_find(spark, edges):
+    from cryoflow_spark.functions import dedup as D
+
+    expected = _cc_oracle(edges)
+    if not expected:  # all self-loops
+        return
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    for fn in (D.connected_components, D.connected_components_two_phase):
+        got = {r["node"]: r["component"] for r in fn(pairs).collect()}
+        assert got == expected, fn.__name__
