@@ -250,3 +250,29 @@ def test_stream_static_broadcast_join(spark, tmp_path, stream_src):
     assert is_successful(result), result
     rows = sorted((r["event_id"], r["b"]) for r in spark.table("enriched").collect())
     assert rows == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_streaming_pii_scrub_pipeline(spark, tmp_path):
+    """Curation ops are narrow maps, so they compose with Structured
+    Streaming unchanged: stream text files through the curate plugin."""
+    from cryoflow_spark.plugins.transform.curate import CuratePlugin
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "reach me at someone@example.com"), (2, "clean text only")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    out = tmp_path / "docs_out"
+    result = run_pipeline(
+        [FileStreamPlugin({"input_path": str(src), "format": "parquet"})],
+        [CuratePlugin({"method": "pii_scrub"})],
+        [StreamWriterPlugin({"output_path": str(out), "trigger": "available_now"})],
+        spark=spark,
+    )
+    assert is_successful(result), result
+    rows = dict(
+        duckdb.sql(f"SELECT doc_id, text FROM '{out}/*.parquet'").fetchall()
+    )
+    assert rows[1] == "reach me at <EMAIL>"
+    assert rows[2] == "clean text only"
