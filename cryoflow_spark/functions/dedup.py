@@ -746,18 +746,21 @@ def connected_components_two_phase(
     Output labels are identical to :func:`connected_components` (the
     component id is the component's minimum node id).
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
+    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # Node set from the RAW pairs: a self-loop contributes a singleton
+    # component (same semantics as plain label propagation and the
+    # recursive-CTE formulation), even though it carries no connectivity.
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
+    edges = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
         .distinct()
         .localCheckpoint()
     )

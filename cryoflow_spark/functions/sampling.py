@@ -84,6 +84,57 @@ def stratified_sample(
     return df.filter(hash_bucket(key_col, buckets) < threshold)
 
 
+def rebalance_sources(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    target_shares: dict[str, float],
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Downsample sources so the output matches a target mix (data mixing).
+
+    Given per-source target proportions, keep the LARGEST output that
+    needs no upsampling: ``N_out = min_s(count_s / share_s)``, then each
+    source keeps ``share_s * N_out / count_s`` of its rows via the
+    deterministic md5-bucket filter (reproducible, nested, map-only
+    after one tiny count aggregation). Sources absent from
+    ``target_shares`` are dropped.
+
+    Fully distributed: the per-source counts table is tiny (one row per
+    source), so the global-min window over it is a deliberate
+    single-partition step over |sources| rows, and the rates join back
+    broadcast — the corpus itself is touched by exactly one groupBy and
+    one map-side filter. No driver collect.
+    """
+    from pyspark.sql import Window
+
+    shares = F.create_map(
+        *[F.lit(x) for kv in target_shares.items() for x in kv]
+    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    with_share = counts.withColumn(
+        "__share", shares[F.col(source_col)]
+    ).filter(F.col("__share").isNotNull())
+    # Max feasible output size without upsampling any source. The counts
+    # table has one row per source — the all-rows window is intentional.
+    n_out = F.min(F.col("__n") / F.col("__share")).over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    rates = with_share.withColumn(
+        "__rate", F.col("__share") * n_out / F.col("__n")
+    ).select(source_col, "__rate")
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(
+            hash_bucket(key_col, buckets)
+            < F.floor(F.col("__rate") * buckets).cast("bigint")
+        )
+        .drop("__rate")
+    )
+
+
 def train_test_split(
     df: DataFrame,
     key_col: str,

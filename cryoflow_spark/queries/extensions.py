@@ -1113,3 +1113,42 @@ def x27_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantized_cosine_topk(
         e, queries, vec_col="embedding", id_col="vec_id", k=5, bits=8
     )
+
+
+# --- x28: source-mix rebalancing (data mixing) ----------------------------
+
+
+from cryoflow_spark.functions.sampling import sql_hash_bucket as _sql_hash_bucket
+
+
+@register(
+    "x28_source_mix",
+    f"""
+    WITH counts AS (
+      SELECT source, COUNT(*)::DOUBLE AS n FROM documents GROUP BY source
+    ),
+    shares(source, share) AS (
+      VALUES ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE), ('src2', 0.2::DOUBLE)
+    ),
+    w AS (
+      SELECT c.source, c.n, s.share, MIN(c.n / s.share) OVER () AS n_out
+      FROM counts c JOIN shares s USING (source)
+    ),
+    rates AS (SELECT source, share * n_out / n AS rate FROM w)
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN rates r USING (source)
+    WHERE {{bucket}} < CAST(FLOOR(r.rate * 1000000) AS BIGINT)
+    """.format(bucket=_sql_hash_bucket("d.doc_id")),
+    "Source-mix rebalancing (data mixing): largest no-upsampling output "
+    "hitting target per-source shares, deterministic md5-bucket keeps — "
+    "one tiny count agg + broadcast rates + map-only filter",
+)
+def x28_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.sampling import rebalance_sources
+
+    d = load(spark, sf_dir, "documents")
+    out = rebalance_sources(
+        d, source_col="source", key_col="doc_id",
+        target_shares={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+    )
+    return out.select("doc_id", "source")

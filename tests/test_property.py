@@ -147,9 +147,9 @@ def _cc_oracle(edges):
 
     nodes = set()
     for a, b in edges:
-        if a == b:
-            continue
         nodes.update((a, b))
+        if a == b:
+            continue  # self-loop: node exists as a singleton component
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)

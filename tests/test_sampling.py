@@ -71,3 +71,31 @@ def test_train_test_split_disjoint_total(keyed):
     assert train_ids.isdisjoint(test_ids)
     assert len(train_ids) + len(test_ids) == 1000
     assert 120 <= len(test_ids) <= 280
+
+
+def test_rebalance_sources_hits_target_mix(spark):
+    """Skewed corpus → output proportions ≈ targets, deterministic, and
+    the binding (scarcest-relative-to-share) source keeps all its rows."""
+    from cryoflow_spark.functions.sampling import rebalance_sources
+
+    rows = (
+        [(i, "web") for i in range(600)]
+        + [(1000 + i, "wiki") for i in range(300)]
+        + [(2000 + i, "books") for i in range(60)]
+        + [(3000 + i, "junk") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    targets = {"web": 0.5, "wiki": 0.3, "books": 0.2}
+    out = rebalance_sources(df, "source", "doc_id", targets)
+    got = {r["source"]: r["cnt"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert "junk" not in got  # unlisted sources dropped
+    # books is binding: 60/0.2 = 300 = N_out → books keeps everything
+    assert got["books"] == 60
+    total = sum(got.values())
+    for s, share in targets.items():
+        assert abs(got[s] / total - share) < 0.07, (s, got)
+    # deterministic: same rows both runs
+    again = {r["doc_id"] for r in out.collect()}
+    assert again == {r["doc_id"] for r in
+                     rebalance_sources(df, "source", "doc_id", targets).collect()}
