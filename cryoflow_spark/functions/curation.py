@@ -111,6 +111,55 @@ def ngram_decontaminate(
     return df.join(hits.select(id_col), on=id_col, how="left_anti")
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 500,
+    overlap: int = 100,
+) -> DataFrame:
+    """1→N sliding-window document chunks with character offsets.
+
+    The standard RAG/embedding preprocessing step: windows of
+    ``chunk_size`` chars advancing by ``chunk_size - overlap``; the last
+    window may be shorter; every doc yields at least one chunk. Output:
+    (id, chunk_idx, chunk_start, chunk_text).
+
+    Pure integer arithmetic + ``substring`` + one ``explode`` — JVM-side,
+    no shuffle (a narrow 1→N map), engine-portable.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.length(F.col(text_col)) - chunk_size, F.lit(0))
+            / F.lit(stride)
+        ).cast("int")
+        + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            (i * stride + 1).cast("bigint").alias("chunk_start"),
+            F.substring(
+                F.col(text_col), (i * stride + 1).cast("int"), chunk_size
+            ).alias("chunk_text"),
+        ),
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(chunks).alias("__c"))
+        .select(
+            id_col,
+            F.col("__c.chunk_idx").alias("chunk_idx"),
+            F.col("__c.chunk_start").alias("chunk_start"),
+            F.col("__c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",

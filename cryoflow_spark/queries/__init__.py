@@ -98,12 +98,12 @@ _PRIORITY: list[str] = [
     "x13_multimodal_features", "x14_frame_sample", "x15_minhash_dedup",
     "x16_simhash_pairs", "x07_lsh_cosine_topk", "x23_ivf_fixed_topk",
     "x18_ivf_cosine_topk", "x24_pii_scrub", "x25_decontaminate",
-    "x26_repetition_stats", "x27_quantized_topk",
+    "x26_repetition_stats", "x27_quantized_topk", "x28_source_mix",
+    "x29_chunk_documents",
     # green sentinels (round-1 driver-verified, kept as regression canaries)
     "x01_dedup_exact", "x03_jaccard_pairs", "x05_cosine_topk",
-    "x17_sessionize", "x19_bpe_token_budget", "x20_dedup_clusters",
-    "x22_token_shards", "q01_pricing_summary", "q25_asof_join",
-    "q26_price_quantiles",
+    "x17_sessionize", "x20_dedup_clusters", "x22_token_shards",
+    "q01_pricing_summary", "q25_asof_join",
 ]
 
 

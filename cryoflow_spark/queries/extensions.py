@@ -1152,3 +1152,31 @@ def x28_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_shares={"src0": 0.5, "src1": 0.3, "src2": 0.2},
     )
     return out.select("doc_id", "source")
+
+
+# --- x29: document chunking (RAG preprocessing) ---------------------------
+
+
+@register(
+    "x29_chunk_documents",
+    """
+    WITH n AS (
+      SELECT doc_id, text, length(text) AS len,
+             (CAST(ceil(greatest(length(text) - 200, 0) / 150.0) AS INTEGER) + 1)
+               AS n_chunks
+      FROM documents
+      WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           CAST(i * 150 + 1 AS BIGINT) AS chunk_start,
+           substring(text, CAST(i * 150 + 1 AS INTEGER), 200) AS chunk_text
+    FROM (SELECT doc_id, text, unnest(generate_series(0, n_chunks - 1)) AS i
+          FROM n)
+    """,
+    "Sliding-window document chunking with char offsets (200-char chunks, "
+    "50-char overlap) — the RAG/embedding preprocessing 1→N narrow map",
+)
+def x29_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return C.chunk_documents(d, chunk_size=200, overlap=50)

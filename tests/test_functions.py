@@ -574,3 +574,28 @@ def test_quantized_topk_recall_vs_exact(spark):
     qu = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
     recall = len(ex & qu) / len(ex)
     assert recall >= 0.8, recall
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from cryoflow_spark.functions import curation as C
+
+    text = "".join(chr(ord("a") + (i % 26)) for i in range(437))
+    df = spark.createDataFrame(
+        [(1, text), (2, "tiny"), (3, None)], "doc_id long, text string"
+    )
+    out = C.chunk_documents(df, chunk_size=100, overlap=20).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: stride 80 → chunks at 1, 81, 161, ... covering 437 chars
+    ones = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert ones[0]["chunk_start"] == 1 and len(ones[0]["chunk_text"]) == 100
+    # full reconstruction: stitched chunks (dropping overlap) == original
+    stitched = ones[0]["chunk_text"] + "".join(c["chunk_text"][20:] for c in ones[1:])
+    assert stitched == text
+    # every char covered; last chunk may be short
+    assert ones[-1]["chunk_start"] + len(ones[-1]["chunk_text"]) - 1 == 437
+    # tiny doc: exactly one chunk, full text
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "tiny"
+    # null text: no chunks
+    assert 3 not in by_doc
