@@ -77,18 +77,38 @@ def main() -> int:
     except ValueError:
         sf = sf_name
 
-    # The driver records a bounded TAIL of stdout: keep the machine-readable
-    # result COMPACT (3-decimal timings, no spaces) and make it the very
-    # last line, after flushing stderr so interleaving can't split it.
-    payload = {
+    # The driver records only the LAST 2000 characters of stdout (measured
+    # from BENCH_r01: tail=2000, and the full 86-query map is ~2.5 KB, so a
+    # single full line would be truncated from the front and unparseable).
+    # Strategy: persist the COMPLETE per-query map to bench_full.json in
+    # the repo, and make the final stdout line a compact summary (total +
+    # the slowest queries) guaranteed to fit inside the tail window.
+    full = {
         "metric": f"total_sec_{len(timings)}_queries",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": sf,
     }
+    (REPO / "bench_full.json").write_text(
+        json.dumps(full, separators=(",", ":")) + "\n"
+    )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    line = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in slowest.items()},
+        "n_queries": len(timings),
+        "full_map": "bench_full.json",
+        "sf": sf,
+    }
     sys.stderr.flush()
-    print(json.dumps(payload, separators=(",", ":")), flush=True)
+    out = json.dumps(line, separators=(",", ":"))
+    assert len(out) < 1900, "final bench line must fit the driver tail window"
+    print(out, flush=True)
     return 0
 
 
