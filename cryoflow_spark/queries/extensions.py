@@ -869,7 +869,10 @@ _R2["x22_token_shards"] = _QS2(
 
 # --- x23: IVF ANN with a fixed coarse quantizer (oracle-checked) ----------
 
-_X23_CENTROIDS = S.fixed_random_centroids(dim=64, n_centroids=16, seed=7)
+# 8 centroids: the fold-dot assignment is 8x64 interpreted HOF lambdas per
+# row, so centroid count is the dominant cost of this oracle query; 8
+# exercises the same assign/probe/top-k machinery at half the price.
+_X23_CENTROIDS = S.fixed_random_centroids(dim=64, n_centroids=8, seed=7)
 
 
 def _x23_oracle() -> str:
@@ -900,7 +903,7 @@ def _x23_oracle() -> str:
       SELECT vec_id, embedding, r[1].i AS cell FROM ranked
     ),
     probes AS (
-      SELECT vec_id, embedding, unnest(list_transform(r[1:4], x -> x.i)) AS cell
+      SELECT vec_id, embedding, unnest(list_transform(r[1:3], x -> x.i)) AS cell
       FROM ranked WHERE vec_id % 100 = 0
     )
     SELECT query_id, neighbor_id, cosine, rank FROM (
@@ -929,7 +932,7 @@ def x23_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         queries,
         k=5,
-        nprobe=4,
+        nprobe=3,
         centroids=_X23_CENTROIDS,
         assign_mode="fold",
     )
