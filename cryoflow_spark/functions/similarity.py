@@ -241,35 +241,61 @@ def lsh_cosine_topk(
     k: int = 10,
     bits: int = 12,
     dim: int = 64,
+    tables: int = 1,
+    seed: int = 42,
     query_id_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine only within matching LSH buckets.
 
-    Scale: corpus is bucketed once (one narrow column added), the join is
-    an equi-join on the bucket id — shuffle on bucket, never cross-join.
-    Recall improves with fewer bits (bigger buckets) or multiple tables
-    (union of several seeds); this single-table variant is the building
-    block.
+    Scale: corpus is bucketed once per table (narrow columns added), the
+    join is an equi-join on (table, bucket) — shuffle on bucket, never
+    cross-join. Recall improves with fewer bits (bigger buckets) or more
+    ``tables`` (candidates = union over independent hyperplane seeds;
+    the standard multi-table LSH recall lever — a pair is a candidate if
+    ANY table buckets it together). Candidate de-dup happens before
+    scoring so each pair pays the exact cosine once.
     """
     qid = query_id_col or id_col
-    sig = lambda df: df.withColumn(  # noqa: E731
-        "__bucket", hyperplane_signature(vec_col, dim=dim, bits=bits)
+
+    def sig(df, t):
+        return df.withColumn(
+            "__bucket",
+            hyperplane_signature(vec_col, dim=dim, bits=bits, seed=seed + t),
+        ).withColumn("__table", F.lit(t))
+
+    def banded(df, alias_id, out_id):
+        parts = [
+            sig(df, t).select(
+                F.col(alias_id).alias(out_id), "__table", "__bucket"
+            )
+            for t in range(tables)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    q_keys = banded(queries, qid, "query_id")
+    c_keys = banded(corpus, id_col, "neighbor_id")
+    candidates = (
+        q_keys.join(c_keys, ["__table", "__bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    q = sig(queries).select(
+    q_payload = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         norm(F.col(vec_col)).alias("__qnorm"),
-        "__bucket",
     )
-    c = sig(corpus).select(
+    c_payload = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         norm(F.col(vec_col)).alias("__cnorm"),
-        "__bucket",
     )
     scored = (
-        q.join(c, "__bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        candidates.join(q_payload, "query_id")
+        .join(c_payload, "neighbor_id")
         .withColumn(
             "cosine",
             dot(F.col("__qvec"), F.col("__cvec"))

@@ -599,3 +599,38 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "tiny"
     # null text: no chunks
     assert 3 not in by_doc
+
+
+def test_multi_table_lsh_improves_recall(spark):
+    """Union over independent hyperplane seeds must not lose (and should
+    gain) recall vs a single table at the same bits."""
+    import random
+
+    # Planted angular neighbors (LSH's actual regime): 30 base directions,
+    # 5 slightly-perturbed copies each — true neighbors are ~cos 0.99.
+    rng = random.Random(5)
+    bases = [[rng.gauss(0.0, 1.0) for _ in range(32)] for _ in range(30)]
+    rows = []
+    for b_idx, base in enumerate(bases):
+        for c in range(5):
+            vec = [x + rng.gauss(0.0, 0.05) for x in base]
+            rows.append((b_idx * 5 + c, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(df, queries, k=5).collect()
+    }
+
+    def recall(tables):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.lsh_cosine_topk(
+                df, queries, k=5, bits=8, dim=32, tables=tables
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1
+    assert r3 >= 0.8, (r1, r3)
