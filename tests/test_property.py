@@ -159,6 +159,7 @@ def _cc_oracle(edges):
 @given(edge_lists())
 @settings(
     max_examples=8,
+    derandomize=True,  # fixed exploration: the gate must not flake mid-round
     deadline=None,
     suppress_health_check=[
         HealthCheck.too_slow,
