@@ -62,6 +62,8 @@ class DedupPlugin(AnalyzedTransformPlugin):
                 bands=int(self.options.get("bands", 16)),
                 shingle_size=int(self.options.get("shingle_size", 3)),
                 threshold=float(self.options.get("threshold", 0.8)),
+                verify=self.options.get("verify", "estimate"),
+                hash_mode=self.options.get("hash_mode", "engine"),
             )
         if method == "simhash":
             return D.simhash_dedup(
@@ -69,6 +71,7 @@ class DedupPlugin(AnalyzedTransformPlugin):
                 text_col=column,
                 id_col=id_column,
                 hamming_threshold=int(self.options.get("hamming_threshold", 3)),
+                hash_mode=self.options.get("hash_mode", "engine"),
             )
         if method == "ngram_jaccard":
             return D.ngram_jaccard_dedup(

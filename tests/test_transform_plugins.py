@@ -335,3 +335,22 @@ def test_curate_decontaminate_plugin_via_pipeline(spark, tmp_path):
     )
     assert is_successful(res), res
     assert [r[0] for r in out_plugin.rows] == [2]
+
+
+def test_dedup_plugin_forwards_hash_mode(spark):
+    """Portable hash mode must reach the minhash/simhash functions."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely different content about spark engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for method in ("minhash", "simhash"):
+        out = _run(
+            DedupPlugin(options={"method": method, "column": "text",
+                                 "id_column": "doc_id", "hash_mode": "portable",
+                                 "threshold": 0.9}),
+            df,
+        )
+        ids = sorted(r["doc_id"] for r in out.collect())
+        assert ids == [1, 3], (method, ids)
