@@ -12,6 +12,8 @@ the TOML plugin surface. Modes (option ``method``):
   thresholds — options ``max_dup_token_frac``, ``max_dup_2gram_frac``,
   ``max_top_token_frac``, ``min_tokens`` (any subset).
 - ``quality_filter``: keep docs with ``quality_score >= min_quality``.
+- ``chunk``: 1→N sliding-window chunks with char offsets (RAG
+  preprocessing) — options ``chunk_size``, ``overlap``.
 - ``decontaminate``: drop docs sharing any word ``ngram``-gram with the
   sibling stream named by ``benchmark_label`` (the eval set), GPT-3
   style.
@@ -71,6 +73,15 @@ class CuratePlugin(SiblingAwareTransformPlugin):
 
             min_quality = float(self.require_option("min_quality"))
             return data.filter(X.quality_score(column) >= min_quality)
+
+        if method == "chunk":
+            return C.chunk_documents(
+                data,
+                text_col=column,
+                id_col=id_column,
+                chunk_size=int(self.options.get("chunk_size", 500)),
+                overlap=int(self.options.get("overlap", 100)),
+            )
 
         if method == "decontaminate":
             bench = self.sibling_frame(self.require_option("benchmark_label"))

@@ -354,3 +354,17 @@ def test_dedup_plugin_forwards_hash_mode(spark):
         )
         ids = sorted(r["doc_id"] for r in out.collect())
         assert ids == [1, 3], (method, ids)
+
+
+def test_curate_chunk_plugin(spark):
+    df = spark.createDataFrame(
+        [(1, "a" * 250)], "doc_id long, text string"
+    )
+    out = _run(
+        CuratePlugin(options={"method": "chunk", "chunk_size": 100,
+                              "overlap": 20}),
+        df,
+    )
+    rows = sorted(out.collect(), key=lambda r: r["chunk_idx"])
+    assert [r["chunk_start"] for r in rows] == [1, 81, 161]
+    assert out.columns == ["doc_id", "chunk_idx", "chunk_start", "chunk_text"]
