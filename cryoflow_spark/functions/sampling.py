@@ -108,6 +108,10 @@ def rebalance_sources(
     """
     from pyspark.sql import Window
 
+    if any(s <= 0 for s in target_shares.values()):
+        raise ValueError(
+            "target_shares must be positive; omit a source to drop it"
+        )
     shares = F.create_map(
         *[F.lit(x) for kv in target_shares.items() for x in kv]
     )

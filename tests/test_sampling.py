@@ -99,3 +99,11 @@ def test_rebalance_sources_hits_target_mix(spark):
     again = {r["doc_id"] for r in out.collect()}
     assert again == {r["doc_id"] for r in
                      rebalance_sources(df, "source", "doc_id", targets).collect()}
+
+
+def test_rebalance_sources_rejects_zero_share(spark):
+    from cryoflow_spark.functions.sampling import rebalance_sources
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="positive"):
+        rebalance_sources(df, "source", "doc_id", {"a": 0.0})
