@@ -22,6 +22,11 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime bloom-filter join pruning (selective dim filters pushed into
+    # the fact-side scan) is ON BY DEFAULT in Spark 4
+    # (spark.sql.optimizer.runtime.bloomFilter.enabled=true) — relied on,
+    # not overridden. Its semiJoinReduction sibling stays at its default:
+    # enabling it stalled query planning in this environment.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     # InferFiltersFromGenerate clones the generator's full child expression
