@@ -741,7 +741,17 @@ def connected_components_two_phase(
     (:func:`connected_components`), which this replaces as the scale
     path for deep/chain-shaped near-dup clusters. Per round: two
     groupBy-min shuffles + joins, lineage truncated with
-    ``localCheckpoint``; the driver only sees a changed-edge count.
+    ``localCheckpoint``; the driver only sees a convergence count every
+    SECOND round (one extra star round on a converged graph is cheaper
+    than a per-round symmetric-difference job).
+
+    Convergence is a true fixpoint test (symmetric difference of the
+    edge sets — subset-only would accept a strictly-shrinking round).
+    If ``max_iter`` is exhausted before the fixpoint, a warning is
+    raised and the final mapping is still well-formed (one row per
+    node) because labels are aggregated with groupBy-min; labels may
+    then be finer than the true components (under-merged), never
+    conflicting.
 
     Output labels are identical to :func:`connected_components` (the
     component id is the component's minimum node id).
@@ -764,7 +774,8 @@ def connected_components_two_phase(
         .distinct()
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    converged = False
+    for i in range(max_iter):
         # LARGE-STAR over symmetric neighborhoods: for each center u,
         # m = min(N(u) ∪ {u}); larger neighbors v > u re-attach to m.
         sym = edges.unionByName(
@@ -792,11 +803,36 @@ def connected_components_two_phase(
             .distinct()
             .localCheckpoint()
         )
-        changed = small.subtract(edges).count()
+        prev = edges
         edges = small
-        if changed == 0:
-            break
-    star = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        # Fixpoint test (symmetric difference — both sides are distinct
+        # sets, so empty diff ⟺ set equality ⟺ the round is a no-op).
+        # Run it only every second round: the diff is a full extra job,
+        # while one redundant star round on an already-converged (tiny,
+        # star-shaped) edge set is nearly free.
+        if i % 2 == 1 or i == max_iter - 1:
+            diff = (
+                small.subtract(prev).unionAll(prev.subtract(small)).count()
+            )
+            if diff == 0:
+                converged = True
+                break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            "connected_components_two_phase: max_iter="
+            f"{max_iter} exhausted before convergence; labels may be "
+            "finer than the true components (under-merged). Increase "
+            "max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # groupBy-min keeps the mapping well-formed (exactly one row per
+    # node) even if iteration stopped on a non-star edge set.
+    star = edges.groupBy("u").agg(F.min("v").alias("component")).select(
+        F.col("u").alias("node"), "component"
+    )
     return (
         nodes.join(star, "node", "left")
         .select(

@@ -721,21 +721,33 @@ def q44_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q45_collect_sorted_arrays",
     """
     SELECT o_orderpriority,
-           list(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses,
-           list(o_orderkey ORDER BY o_orderkey) [1:5] AS first_keys
+           array_to_string(
+             list(DISTINCT o_orderstatus ORDER BY o_orderstatus), ','
+           ) AS statuses,
+           array_to_string(
+             list(o_orderkey ORDER BY o_orderkey) [1:5], ','
+           ) AS first_keys
     FROM orders
     GROUP BY o_orderpriority
     """,
     "Array aggregation made deterministic: sort_array(collect_set/list) — "
-    "collection order is partitioning-dependent, sorting restores identity",
+    "collection order is partitioning-dependent, sorting restores identity. "
+    "Arrays are projected to comma-joined strings so the result is "
+    "hash-comparable (pandas cannot hash list cells; same trick as "
+    "x13 features_key / x14 frame_hex).",
 )
 def q45_collect_sorted_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
-        F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 5).alias(
-            "first_keys"
-        ),
+        F.concat_ws(
+            ",", F.sort_array(F.collect_set("o_orderstatus"))
+        ).alias("statuses"),
+        F.concat_ws(
+            ",",
+            F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 5).cast(
+                "array<string>"
+            ),
+        ).alias("first_keys"),
     )
 
 

@@ -490,6 +490,31 @@ def test_two_phase_cc_converges_fast_on_chains(spark):
     assert labels == {i: 0 for i in range(n)}
 
 
+def test_two_phase_cc_max_iter_exhaustion_is_well_formed(spark):
+    """With max_iter too small to converge, the mapping must still be
+    well-formed (exactly one row per node), labels at-most-finer than the
+    true components, and a RuntimeWarning raised."""
+    import warnings
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rows = D.connected_components_two_phase(pairs, max_iter=1).collect()
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "max_iter" in str(w.message)
+        for w in caught
+    )
+    nodes = [r["node"] for r in rows]
+    assert sorted(nodes) == list(range(n))  # one row per node, all nodes
+    # labels may be under-merged but must never exceed a node's id
+    # (component id is always a reachable minimum, ≤ node)
+    assert all(r["component"] <= r["node"] for r in rows)
+
+
 def test_cluster_dedup_algorithms_agree(spark):
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
