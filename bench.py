@@ -35,7 +35,14 @@ def main() -> int:
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
-    parser.add_argument("--repeat", type=int, default=1)
+    parser.add_argument(
+        "--repeat",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")),
+        help="runs per query; the reported time is the min (default 3 — "
+        "local[32] timing variance at sf0.1 is ±25%%, which would swamp "
+        "real regressions in single-run numbers)",
+    )
     parser.add_argument("queries", nargs="*")
     args = parser.parse_args()
 
@@ -88,26 +95,34 @@ def main() -> int:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
+        "runs_per_query": max(1, args.repeat),
+        "agg": "min",
         "sf": sf,
     }
     (REPO / "bench_full.json").write_text(
         json.dumps(full, separators=(",", ":")) + "\n"
     )
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
-    )
-    line = {
-        "metric": full["metric"],
-        "value": full["value"],
-        "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in slowest.items()},
-        "n_queries": len(timings),
-        "full_map": "bench_full.json",
-        "sf": sf,
-    }
+    # Shrink the slowest-queries summary until the line fits the driver's
+    # 2000-char stdout tail window — never crash after a completed run (the
+    # full map is already safe in bench_full.json).
+    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+    out = ""
+    for top_n in range(10, -1, -1):
+        line = {
+            "metric": full["metric"],
+            "value": full["value"],
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in ranked[:top_n]},
+            "n_queries": len(timings),
+            "runs_per_query": full["runs_per_query"],
+            "agg": "min",
+            "full_map": "bench_full.json",
+            "sf": sf,
+        }
+        out = json.dumps(line, separators=(",", ":"))
+        if len(out) < 1900:
+            break
     sys.stderr.flush()
-    out = json.dumps(line, separators=(",", ":"))
-    assert len(out) < 1900, "final bench line must fit the driver tail window"
     print(out, flush=True)
     return 0
 

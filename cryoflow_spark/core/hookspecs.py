@@ -1,4 +1,11 @@
-"""Pluggy hook specifications (reference ``cryoflow_core/hookspecs.py:11-25``)."""
+"""Pluggy hook contracts for the three plugin roles.
+
+The hook *names* (``register_input_plugins`` / ``register_transform_plugins``
+/ ``register_output_plugins``) are part of the public plugin API and match
+the reference engine's surface (``cryoflow_core/hookspecs.py:11-25``) so a
+plugin author can move over without renaming their hookimpls. Everything
+else — marker project name, docs, typing — is this project's own.
+"""
 
 from __future__ import annotations
 
@@ -6,6 +13,9 @@ import pluggy
 
 from cryoflow_spark.core.plugin import InputPlugin, OutputPlugin, TransformPlugin
 
+#: Pluggy project namespace: hookimpls must be registered under this marker,
+#: which is deliberately distinct from the reference engine's so the two
+#: plugin ecosystems cannot cross-load each other's implementations.
 PROJECT = "cryoflow_spark"
 
 hookspec = pluggy.HookspecMarker(PROJECT)
@@ -13,16 +23,22 @@ hookimpl = pluggy.HookimplMarker(PROJECT)
 
 
 class CryoflowSpecs:
-    """Hook specifications for the plugin system."""
+    """Declares the hooks a plugin module may implement.
+
+    Each hook contributes zero or more plugin *instances* (not classes);
+    the loader (``cryoflow_spark/core/loader.py``) calls all registered
+    hookimpls and flattens their results into the per-role plugin maps
+    keyed by ``Plugin.name``.
+    """
 
     @hookspec
     def register_input_plugins(self) -> list[InputPlugin]:  # type: ignore[empty-body]
-        """Return a list of input plugin instances."""
+        """Contribute source plugins (each reads external data into a DataFrame)."""
 
     @hookspec
     def register_transform_plugins(self) -> list[TransformPlugin]:  # type: ignore[empty-body]
-        """Return a list of transform plugin instances."""
+        """Contribute transform plugins (each maps DataFrame -> DataFrame)."""
 
     @hookspec
     def register_output_plugins(self) -> list[OutputPlugin]:  # type: ignore[empty-body]
-        """Return a list of output plugin instances."""
+        """Contribute sink plugins (each writes a DataFrame somewhere)."""

@@ -1,0 +1,139 @@
+"""Distributed global rank statistics (percent_rank / cume_dist / rank).
+
+Spark's built-in ``F.percent_rank().over(Window.orderBy(...))`` with no
+partition key moves the ENTIRE table through one reducer (``WindowExec: No
+Partition Defined``) — correct, but a scale-killer at 100 TB. These
+functions compute the same values with only distributed operations:
+
+1. Aggregate to the distinct-value spine: ``groupBy(value) -> count``
+   (map-side partial agg, shuffle on value).
+2. Range-partition the spine by value (``repartitionByRange``), so
+   partition *i* holds a contiguous value range and equal values are
+   co-located; compute a per-partition running count with a window
+   partitioned by ``spark_partition_id()`` (distributed — each partition
+   is its own window).
+3. Stitch partitions: per-partition totals form an ``n_partitions``-row
+   table; its prefix-sum offsets (and the grand total) are computed with a
+   single-reducer window over that *bounded* table (rows = shuffle
+   partition count, never data-dependent) and broadcast-joined back.
+4. ``rank(v) = rows_below(v) + 1``; ``percent_rank = rows_below/(n-1)``;
+   ``cume_dist = rows_at_or_below/n``. These depend only on the value, so
+   the per-row result is a shuffle equi-join of the input against the
+   spine — no global sort of the fact table anywhere.
+
+The reference engine has no window functions at all (SURVEY §2B
+"explicitly absent"); this is the engine-extension scale path for the rank
+family. Global ``ntile`` remains genuinely order-dependent per row — for
+that, Spark's single-reducer window is the only exact formulation, and
+callers should prefer bucketing by ``percent_rank`` (e.g.
+``floor(pct_rank * n_tiles)``) which this module makes scale-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["value_cdf", "with_rank_stats"]
+
+
+def value_cdf(
+    df: DataFrame,
+    value_col: str,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Per-distinct-value CDF spine for ``value_col``.
+
+    Returns one row per distinct value with columns::
+
+        <value_col>, rows_below (bigint), rows_at_or_below (bigint),
+        n_total (bigint)
+
+    built entirely from distributed operations (see module docstring).
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+
+    counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    # Contiguous, non-overlapping value ranges per partition; equal values
+    # land together (one spine row per value anyway after the groupBy).
+    spine = counts.repartitionByRange(n_part, F.col(value_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spine = spine.withColumn("_local_cum", F.sum("_cnt").over(w_local))
+
+    # Partition totals: bounded at n_part rows, so the two unpartitioned
+    # windows below are single-reducer over a TINY table by construction
+    # (the documented envelope — same pattern as pack_token_shards).
+    sizes = spine.groupBy("_pid").agg(F.sum("_cnt").alias("_psize"))
+    w_off = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_psize").over(w_off), F.lit(0)).alias("_offset"),
+        F.sum("_psize").over(w_all).alias("n_total"),
+    )
+
+    return (
+        spine.join(F.broadcast(offsets), "_pid")
+        .select(
+            F.col(value_col),
+            (F.col("_offset") + F.col("_local_cum") - F.col("_cnt")).alias(
+                "rows_below"
+            ),
+            (F.col("_offset") + F.col("_local_cum")).alias("rows_at_or_below"),
+            F.col("n_total"),
+        )
+    )
+
+
+def with_rank_stats(
+    df: DataFrame,
+    value_col: str,
+    pct_col: str = "pct_rank",
+    cume_col: str = "cume_dist",
+    rank_col: Optional[str] = None,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Attach global ``percent_rank`` / ``cume_dist`` (and optionally
+    ``rank``) over ``value_col`` to every row of ``df`` without a
+    single-reducer global window.
+
+    Bit-identical to ``F.percent_rank()/F.cume_dist().over(
+    Window.orderBy(value_col))``: both are integer-ratio divisions in
+    IEEE double, and rank statistics depend only on the value, never the
+    tiebreaker. Pinned by ``tests/test_functions.py``.
+    """
+    spine = value_cdf(df, value_col, num_partitions=num_partitions)
+    denom: Column = F.when(
+        F.col("n_total") > 1, (F.col("n_total") - 1).cast("double")
+    ).otherwise(F.lit(1.0))
+    stats = spine.select(
+        F.col(value_col),
+        (F.col("rows_below").cast("double") / denom).alias(pct_col),
+        (
+            F.col("rows_at_or_below").cast("double")
+            / F.col("n_total").cast("double")
+        ).alias(cume_col),
+        *(
+            [(F.col("rows_below") + F.lit(1)).alias(rank_col)]
+            if rank_col
+            else []
+        ),
+    )
+    return df.join(stats, on=value_col, how="inner")

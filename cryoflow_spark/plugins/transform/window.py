@@ -4,12 +4,27 @@
 
 Options:
 
-- ``columns`` (required): mapping alias → SQL window expression, e.g.
+- ``columns``: mapping alias → SQL window expression, e.g.
   ``{rnk = "rank() OVER (PARTITION BY k ORDER BY v DESC)"}``
+- ``rank_stats``: scale-safe GLOBAL percent_rank/cume_dist via the
+  distributed CDF (``functions/ranks.py``) instead of a single-reducer
+  ``OVER (ORDER BY ...)`` window::
+
+      [transform.options.rank_stats]
+      value = "o_totalprice"   # required: ranking column
+      pct = "pct_rank"         # optional output column names
+      cume = "cume_dist"
+      rank = "rnk"             # omit to skip the integer rank column
+
+At least one of the two options is required; both may be given (the
+``columns`` expressions are applied first).
 
 Scale: one window spec = one shuffle on its partition keys; group
 same-spec expressions into one plugin instance so Spark reuses the sort.
 Always include a unique tiebreaker in ORDER BY for deterministic results.
+An UNPARTITIONED ``OVER (ORDER BY ...)`` in ``columns`` funnels the whole
+table through one reducer — use ``rank_stats`` for global rank statistics
+instead.
 """
 
 from __future__ import annotations
@@ -26,5 +41,22 @@ class WindowPlugin(AnalyzedTransformPlugin):
         return "window"
 
     def _transform(self, data: FrameData) -> FrameData:
-        columns = self.require_option("columns")
-        return data.withColumns({name: F.expr(sql) for name, sql in columns.items()})
+        columns = self.options.get("columns")
+        rank_stats = self.options.get("rank_stats")
+        if not columns and not rank_stats:
+            self.require_option("columns")  # raise with the standard message
+        if columns:
+            data = data.withColumns(
+                {name: F.expr(sql) for name, sql in columns.items()}
+            )
+        if rank_stats:
+            from cryoflow_spark.functions.ranks import with_rank_stats
+
+            data = with_rank_stats(
+                data,
+                rank_stats["value"],
+                pct_col=rank_stats.get("pct", "pct_rank"),
+                cume_col=rank_stats.get("cume", "cume_dist"),
+                rank_col=rank_stats.get("rank"),
+            )
+        return data

@@ -54,20 +54,26 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table, normalizing its nanosecond timestamps.
+    """Load the events table, normalizing ``ts`` to session-local TIMESTAMP.
 
-    The driver's ``events.parquet`` stores ``ts`` as parquet
-    TIMESTAMP(NANOS), which Spark's vectorized reader rejects. We read it
-    as a long (``spark.sql.legacy.parquet.nanosAsLong`` — a runtime SQL
-    conf) and truncate to microseconds, which is exactly what DuckDB's
-    reader does, so both engines see identical timestamp values.
+    The driver's ``events.parquet`` has shipped ``ts`` as either parquet
+    TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read as a
+    long via ``spark.sql.legacy.parquet.nanosAsLong`` and truncate to
+    micros, matching DuckDB's reader) or plain TIMESTAMP(MICROS) without
+    UTC adjustment (which Spark infers as TIMESTAMP_NTZ — cast to LTZ;
+    the session timezone is UTC, so the micros are unchanged and both
+    engines see identical values). Downstream queries rely on a uniform
+    TIMESTAMP (LTZ) type for ``unix_micros``/``F.window`` etc.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -76,34 +82,36 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: not-yet-driver-verified queries into that window each round while keeping
 #: a spread of already-green sentinels as regression canaries; everything
 #: else follows in original registration order (still runnable/benchable).
-#: Round 2: q29–q57 (registered but never driver-checked in round 1) +
-#: the queries fixed/oracle-upgraded/added this round (x07, x13–x16, x18,
-#: x23–x27) + 10 sentinels.
+#: Round 3: rotate back the 36 queries last checked in round 1 (so every
+#: query is driver-verified within the last two rounds) + the queries
+#: fixed/changed this round (q45 hash-fix, q35 exact twin, x15/x20 perf,
+#: q58 new) + 9 round-2 sentinels.
 _PRIORITY: list[str] = [
-    # never driver-checked in round 1 (registration slot > 50)
+    # last driver-checked in round 1 — rotate back in
     *[
-        "q29_priciest_lineitem_per_flag", "q30_string_cleanup",
-        "q31_running_totals", "q32_rank_family", "q33_conditional_aggs",
-        "q34_date_vocabulary", "q35_approx_distinct", "q36_range_join_pairs",
-        "q37_null_handling", "q38_cube_order_stats", "q39_hash_sample",
-        "q40_stratified_sample", "q41_native_pivot", "q42_exists_subquery",
-        "q43_range_interval_window", "q44_time_bucket_rollup",
-        "q45_collect_sorted_arrays", "q46_sliding_windows", "q47_regex_groups",
-        "q48_bag_set_ops", "q49_null_safe_join", "q50_unpivot_measures",
-        "q51_gap_fill_spine", "q52_bivariate_stats", "q53_fuzzy_part_names",
-        "q54_array_lambdas", "q55_grouping_sets", "q56_latest_per_key",
-        "q57_above_nation_average",
+        "q02_filter_project", "q03_top_orders", "q04_order_priority",
+        "q05_local_supplier_volume", "q06_forecast_revenue",
+        "q07_price_buckets", "q08_topk_lineitems", "q09_distinct_segments",
+        "q10_union_order_classes", "q11_intersect_customers",
+        "q12_customers_without_orders", "q13_top_orders_per_customer",
+        "q14_event_deltas", "q15_string_ops", "q16_orders_by_month",
+        "q17_cast_quantity_histogram", "q18_customer_order_stats",
+        "q19_right_join_nations", "q20_region_nation_matrix",
+        "q21_quantity_stats", "q22_rollup_counts", "q23_event_props_json",
+        "q24_ship_delay", "q26_price_quantiles", "q27_pivot_returnflag",
+        "q28_word_frequencies", "x02_dedup_normalized", "x04_jaccard_dedup",
+        "x06_embedding_neardup", "x08_text_stats", "x09_lang_id",
+        "x10_quality_score", "x11_fingerprint", "x12_multimodal_meta",
+        "x19_bpe_token_budget", "x21_tfidf_top_terms",
     ],
-    # fixed / oracle-upgraded / newly added this round
-    "x13_multimodal_features", "x14_frame_sample", "x15_minhash_dedup",
-    "x16_simhash_pairs", "x07_lsh_cosine_topk", "x23_ivf_fixed_topk",
-    "x18_ivf_cosine_topk", "x24_pii_scrub", "x25_decontaminate",
-    "x26_repetition_stats", "x27_quantized_topk", "x28_source_mix",
-    "x29_chunk_documents",
-    # green sentinels (round-1 driver-verified, kept as regression canaries)
-    "x01_dedup_exact", "x03_jaccard_pairs", "x05_cosine_topk",
-    "x17_sessionize", "x20_dedup_clusters", "x22_token_shards",
-    "q01_pricing_summary", "q25_asof_join",
+    # fixed / upgraded / perf-changed / new this round
+    "q45_collect_sorted_arrays", "q35_approx_distinct", "x15_minhash_dedup",
+    "x20_dedup_clusters", "q58_distributed_cdf",
+    # green sentinels (round-2 driver-verified, kept as regression canaries)
+    "q29_priciest_lineitem_per_flag", "q31_running_totals",
+    "q36_range_join_pairs", "q44_time_bucket_rollup", "q54_array_lambdas",
+    "q57_above_nation_average", "x16_simhash_pairs", "x24_pii_scrub",
+    "x27_quantized_topk",
 ]
 
 

@@ -354,19 +354,39 @@ def q34_date_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q35: approximate aggregates (rows-only: HLL sketches differ) --------
+# --- q35: approximate aggregates (exact twin + sketch accuracy bound) ----
 
 
 @register(
     "q35_approx_distinct",
-    None,
-    "approx_count_distinct (HyperLogLog++) per event_type — sketch values are engine-specific (rows-only)",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+    "approx_count_distinct (HyperLogLog++) per event_type, hash-checked via "
+    "an exact countDistinct twin plus a deterministic 5%-accuracy bound on "
+    "the sketch (rsd=0.01 → bound is 5 sigma; the raw sketch estimate is "
+    "engine-specific so it is validated, not emitted)",
 )
 def q35_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir)
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    # HLL++ is deterministic for fixed data, so this bound is a stable,
+    # hash-checkable witness that the sketch ran and is accurate; the raw
+    # estimate itself never leaves the engine.
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_ok"),
     )
 
 
@@ -1247,3 +1267,29 @@ def q57_above_nation_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal").cast("double").alias("acctbal"),
         )
     )
+
+
+# --- q58: distributed global CDF (scale-safe rank family) ----------------
+
+
+@register(
+    "q58_distributed_cdf",
+    """
+    SELECT o_orderkey,
+           PERCENT_RANK() OVER (ORDER BY o_totalprice) AS pct_rank,
+           CUME_DIST() OVER (ORDER BY o_totalprice) AS cume
+    FROM orders
+    """,
+    "Global percent_rank/cume_dist WITHOUT a single-reducer window: "
+    "distinct-value CDF spine (groupBy + range-partitioned prefix sums) "
+    "joined back on value — the 100 TB formulation of q32's global "
+    "windows (functions/ranks.py); the oracle uses the classic window "
+    "form, proving bit-identity",
+)
+def q58_distributed_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.ranks import with_rank_stats
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return with_rank_stats(
+        o, "o_totalprice", pct_col="pct_rank", cume_col="cume"
+    ).select("o_orderkey", "pct_rank", "cume")

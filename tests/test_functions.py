@@ -659,3 +659,67 @@ def test_multi_table_lsh_improves_recall(spark):
     r1, r3 = recall(1), recall(3)
     assert r3 >= r1
     assert r3 >= 0.8, (r1, r3)
+
+
+class TestDistributedRankStats:
+    """functions/ranks.py: scale-safe global percent_rank/cume_dist."""
+
+    def test_matches_builtin_window_with_ties(self, spark):
+        from pyspark.sql import Window
+
+        from cryoflow_spark.functions.ranks import with_rank_stats
+
+        # Ties, negatives, and a singleton value to exercise CDF edges.
+        vals = [5, 5, 5, -2, 0, 0, 17, 3, 3, 3, 3, -2, 99] * 7
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, v long"
+        )
+        mine = with_rank_stats(
+            df, "v", pct_col="pct", cume_col="cume", rank_col="rnk",
+            num_partitions=5,
+        )
+        w = Window.orderBy("v")
+        ref = df.select(
+            "id",
+            F.percent_rank().over(w).alias("pct"),
+            F.cume_dist().over(w).alias("cume"),
+            F.rank().over(w).alias("rnk"),
+        )
+        got = {r["id"]: r for r in mine.collect()}
+        exp = {r["id"]: r for r in ref.collect()}
+        assert len(got) == len(exp) == len(vals)
+        for i in exp:
+            assert got[i]["pct"] == exp[i]["pct"], i
+            assert got[i]["cume"] == exp[i]["cume"], i
+            assert got[i]["rnk"] == exp[i]["rnk"], i
+
+    def test_single_row_frame(self, spark):
+        from cryoflow_spark.functions.ranks import with_rank_stats
+
+        df = spark.createDataFrame([(1, 42)], "id long, v long")
+        row = with_rank_stats(df, "v").collect()[0]
+        assert row["pct_rank"] == 0.0 and row["cume_dist"] == 1.0
+
+    def test_no_global_window_over_input(self, spark):
+        """The fact table must never pass through an unpartitioned
+        WindowExec: every Window node in the plan is either partitioned by
+        _pid (distributed) or runs over the bounded partition-sizes table."""
+        import contextlib
+        import io
+
+        from cryoflow_spark.functions.ranks import with_rank_stats
+
+        df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        out = with_rank_stats(df.select("o_orderkey", "o_totalprice"),
+                              "o_totalprice")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("simple")
+        plan = buf.getvalue()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # Unpartitioned windows appear only downstream of the _psize
+        # aggregation (bounded rows), never over raw input columns.
+        for line in plan.splitlines():
+            if "Window [" in line and "windowspecdefinition(_pid" not in line:
+                assert "_psize" in line, line

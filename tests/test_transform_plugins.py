@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from cryoflow_spark.core.pipeline import run_pipeline
@@ -139,6 +140,40 @@ def test_window(sales, spark):
     out = _run(plugin, sales)
     top = [r["id"] for r in out.collect() if r["rnk"] == 1]
     assert sorted(top) == [4, 5]
+
+
+def test_window_rank_stats(sales, spark):
+    plugin = WindowPlugin(
+        {
+            "rank_stats": {
+                "value": "amount",
+                "pct": "pct",
+                "cume": "cume",
+                "rank": "rnk",
+            }
+        }
+    )
+    out = _run(plugin, sales)
+    rows = {r["id"]: r for r in out.collect()}
+    n = len(rows)
+    # Compare against the built-in global window on the same frame.
+    from pyspark.sql import Window
+
+    w = Window.orderBy("amount")
+    ref = {
+        r["id"]: r
+        for r in sales.select(
+            "id",
+            F.percent_rank().over(w).alias("pct"),
+            F.cume_dist().over(w).alias("cume"),
+            F.rank().over(w).alias("rnk"),
+        ).collect()
+    }
+    assert len(rows) == n
+    for rid, r in rows.items():
+        assert r["pct"] == ref[rid]["pct"]
+        assert r["cume"] == ref[rid]["cume"]
+        assert r["rnk"] == ref[rid]["rnk"]
 
 
 def test_repartition(sales, spark):

@@ -94,9 +94,11 @@ def main() -> int:
     registry = all_queries()
 
     failed, skipped = [], []
+    ran = 0
     for name, spec in sorted(registry.items()):
         if only and name not in only:
             continue
+        ran += 1
         try:
             sdf = spec.fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
@@ -121,7 +123,7 @@ def main() -> int:
             print(f"ok    {name}: {len(sdf)} rows bit-identical")
 
     print(
-        f"\n{len(registry) - len(failed) - len(skipped)} ok, "
+        f"\n{ran - len(failed) - len(skipped)} ok, "
         f"{len(skipped)} rows-only, {len(failed)} failed"
     )
     return 1 if failed else 0
