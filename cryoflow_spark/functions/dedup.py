@@ -161,6 +161,7 @@ def _lsh_candidate_pairs(
     num_hashes: int,
     bands: int,
     portable: bool = False,
+    carry_sig: bool = False,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs sharing at least one LSH band.
 
@@ -172,6 +173,14 @@ def _lsh_candidate_pairs(
     ``portable=True`` joins on the raw signature slice (array<long>)
     instead of its ``xxhash64`` — a few extra bytes per band key, but the
     candidate set is then reproducible in any engine (list equality).
+
+    ``carry_sig=True`` additionally returns ``__sig_a``/``__sig_b`` (both
+    sides' full signatures) and SKIPS the pair ``distinct()``: callers
+    verify inline and dedup on the surviving side only, avoiding two
+    signature join-backs (each a full re-evaluation of the signature
+    pipeline). Cost: signatures ride the band-join shuffle — num_hashes
+    longs × bands copies per doc (e.g. 8 KiB at 64×16), independent of
+    corpus size, the standard space-for-shuffle LSH trade.
     """
     rows_per_band = num_hashes // bands
     band_key = (
@@ -179,6 +188,7 @@ def _lsh_candidate_pairs(
     )
     banded = df.select(
         F.col(id_col),
+        *([F.col(sig_col)] if carry_sig else []),
         F.posexplode(
             F.array(
                 *[
@@ -193,19 +203,23 @@ def _lsh_candidate_pairs(
     a = banded.alias("a")
     # shuffle_hash → ReusedExchange: the signature pipeline computes once.
     b = banded.hint("shuffle_hash").alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
+    joined = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    if carry_sig:
+        return joined.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{sig_col}").alias("__sig_a"),
+            F.col(f"b.{sig_col}").alias("__sig_b"),
         )
-        .distinct()
-    )
+    return joined.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    ).distinct()
 
 
 def minhash_dedup(
@@ -276,29 +290,27 @@ def minhash_dedup(
     with_sig = with_sig.filter(F.col("__sig").isNotNull())
 
     if verify == "estimate":
-        # Signatures are tiny (num_hashes longs) — keep only (id, sig)
-        # and let the candidate join carry both sides' signatures.
-        # (Measured: persisting this table costs more than the ≤2 extra
-        # signature evaluations it saves — the numpy signature UDF is
-        # ~1s/pass at sf0.1 while persist adds a blocking materialization.)
+        # Signatures are tiny (num_hashes longs) — carry both sides
+        # through the band join itself and verify INLINE, so the
+        # signature pipeline is evaluated exactly once (band-join sides
+        # share a ReusedExchange) instead of three times (candidates +
+        # two sig join-backs). Duplicate candidate pairs from multi-band
+        # collisions just re-evaluate a cheap zip_with; the only
+        # pair-level dedup needed is on the surviving id_b set.
         sigs = with_sig.select(F.col(id_col), F.col("__sig"))
         candidates = _lsh_candidate_pairs(
-            sigs, id_col, "__sig", num_hashes, bands, portable=portable
+            sigs, id_col, "__sig", num_hashes, bands,
+            portable=portable, carry_sig=True,
         )
-        sig_a = sigs.withColumnsRenamed({id_col: "id_a", "__sig": "__sig_a"})
-        sig_b = sigs.withColumnsRenamed({id_col: "id_b", "__sig": "__sig_b"})
         agree = F.size(
             F.filter(
                 F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y),
                 lambda m: m,
             )
         )
-        verified = (
-            candidates.join(sig_a, "id_a")
-            .join(sig_b, "id_b")
-            .withColumn("__jaccard_est", agree / F.lit(num_hashes))
-            .filter(F.col("__jaccard_est") >= threshold)
-        )
+        verified = candidates.withColumn(
+            "__jaccard_est", agree / F.lit(num_hashes)
+        ).filter(F.col("__jaccard_est") >= threshold)
     elif verify == "exact":
         candidates = _lsh_candidate_pairs(
             with_sig, id_col, "__sig", num_hashes, bands, portable=portable

