@@ -1,0 +1,226 @@
+"""Image decode / resize / feature kernels (executor-side, stdlib-only).
+
+Real decode path for :func:`cryoflow_spark.functions.multimodal.
+extract_features` with ``decode_stub=False``. Pillow/ffmpeg are not in
+this container, but PNG is a simple public format (RFC 2083 / W3C
+PNG spec), so the image path is implemented directly on
+``zlib``+``struct``+numpy: chunk parse → zlib inflate → per-scanline
+unfilter → pixel array. When Pillow IS importable it is preferred (it
+also covers JPEG/WebP/…); the import is attempted lazily per call site.
+
+Everything here is a plain function over ``bytes``/``ndarray`` — no
+Spark imports — so the kernels are unit-testable locally and usable from
+any ``mapInPandas`` closure. Unlike the stub kernels (which are nested
+inside their closures so cloudpickle ships them by value), the real
+decode path may import this module on the executor: a deployment that
+wants real decoding has the package installed on its cluster anyway.
+
+Scale: decode cost is per-payload CPU inside an Arrow batch — no
+shuffle, no skew beyond payload-size variance; repartition upstream so a
+task holds ~64-256 MB of payloads (see ``multimodal`` module notes).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = [
+    "decode_image",
+    "encode_png",
+    "image_grid_features",
+    "resize_image",
+]
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type → samples per pixel (bit depth 8).
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """Decode a bit-depth-8, non-interlaced PNG to an (H, W, 3) uint8 array.
+
+    Supports color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA); alpha is dropped (no compositing), gray is broadcast to RGB.
+    """
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette: bytes | None = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[
+            pos + 4 : pos + 8
+        ]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", chunk)
+            )
+        elif ctype == b"PLTE":
+            palette = chunk
+        elif ctype == b"IDAT":
+            idat.extend(chunk)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bit_depth} (only 8)")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    channels = _CHANNELS[color_type]
+    stride = width * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG data length mismatch")
+
+    out = np.empty((height, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=pos + 1)
+        pos += 1 + stride
+        prev = out[y - 1] if y else zero
+        if ftype == 0:  # None
+            out[y] = line
+        elif ftype == 2:  # Up (uint8 addition wraps mod 256)
+            out[y] = line + prev
+        else:  # Sub/Average/Paeth carry a within-row dependency
+            rec = out[y]
+            for i in range(stride):
+                a = int(rec[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                x = int(line[i])
+                if ftype == 1:
+                    v = x + a
+                elif ftype == 3:
+                    v = x + (a + b) // 2
+                elif ftype == 4:
+                    v = x + _paeth(a, b, c)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                rec[i] = v & 0xFF
+
+    px = out.reshape(height, width, channels)
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 2:
+        return px
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        lut = np.frombuffer(palette, np.uint8).reshape(-1, 3)
+        return lut[px[:, :, 0]]
+    if color_type == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # 6: RGBA → drop alpha
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an (H, W, 3) uint8 RGB array.
+
+    Prefers Pillow when importable (JPEG/WebP/… coverage); falls back to
+    the built-in PNG decoder. Raises ``ValueError`` for undecodable or
+    unsupported payloads.
+    """
+    if not payload:
+        raise ValueError("empty payload")
+    try:
+        import io
+
+        from PIL import Image  # noqa: PLC0415
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except ImportError:
+        pass
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
+    raise ValueError(
+        "unsupported media format (built-in decoder handles PNG; install "
+        "Pillow for JPEG/WebP/…)"
+    )
+
+
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Block-mean downsample / nearest-neighbor upsample to (out_h, out_w).
+
+    Deterministic and dependency-free; each output cell is the mean of
+    its (possibly 1-pixel) source block, matching how the grid features
+    pool pixels.
+    """
+    h, w = img.shape[:2]
+    ys = np.linspace(0, h, out_h + 1).round().astype(int)
+    xs = np.linspace(0, w, out_w + 1).round().astype(int)
+    out = np.empty((out_h, out_w, img.shape[2]), dtype=np.uint8)
+    for i in range(out_h):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(out_w):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            block = img[min(y0, h - 1) : y1, min(x0, w - 1) : x1]
+            out[i, j] = block.reshape(-1, img.shape[2]).mean(axis=0).round()
+    return out
+
+
+def image_grid_features(payload: bytes, dim: int) -> list[float]:
+    """``dim`` luminance features in [-1, 1] from a decoded image.
+
+    Decode → resize to a ceil(sqrt(dim))² block-mean grid → Rec. 601
+    luminance per cell → scale [0, 1] → [-1, 1] → first ``dim`` cells.
+    The same shape/normalization contract as the stub's fake features, so
+    downstream similarity operators are agnostic to which path produced
+    the vector.
+    """
+    img = decode_image(payload)
+    g = int(np.ceil(np.sqrt(dim)))
+    grid = resize_image(img, g, g).astype(np.float64)
+    lum = (
+        0.299 * grid[:, :, 0] + 0.587 * grid[:, :, 1] + 0.114 * grid[:, :, 2]
+    ) / 255.0
+    return [2.0 * v - 1.0 for v in lum.ravel()[:dim]]
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a PNG (filter 0, one IDAT).
+
+    The inverse of :func:`_decode_png` for color type 2 — used as a sink
+    utility and to generate test corpora without Pillow.
+    """
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_png expects an (H, W, 3) uint8 array")
+    h, w = img.shape[:2]
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    scanlines = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines, 6))
+        + chunk(b"IEND", b"")
+    )

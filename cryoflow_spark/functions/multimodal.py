@@ -4,12 +4,15 @@ BASELINE.json north_star: treat image/audio/video as ``binary`` columns
 with typed metadata, with decode / feature-extract / resize / frame-sample
 as Arrow-batched functions over ``mapInPandas``.
 
-The heavy codec libraries (Pillow, ffmpeg, torchaudio, …) are NOT in this
-container, so the decode kernels are STUBBED: ``decode_stub=True``
-produces deterministic fake features (derived from payload bytes), and
-``decode_stub=False`` raises ``NotImplementedError`` at the exact point a
-real decoder would plug in. Everything Spark-side — schemas, batch
-iteration, partitioning, column pruning — is real and tested.
+Decode kernels come in two flavors: ``decode_stub=True`` (default)
+produces deterministic fake features derived from payload bytes — the
+oracle-checkable path that works on any payload; ``decode_stub=False``
+performs a REAL image decode via :mod:`cryoflow_spark.functions.imaging`
+(Pillow when installed, else the built-in stdlib PNG decoder), emitting
+``decode_ok=false`` + zero features for undecodable payloads. Audio/video
+codecs (ffmpeg, torchaudio) remain out of scope for this container.
+Everything Spark-side — schemas, batch iteration, partitioning, column
+pruning — is identical between the two paths.
 
 Scale notes:
 
@@ -62,15 +65,21 @@ def extract_features(
 ) -> DataFrame:
     """Decode + featurize binary assets via ``mapInPandas`` Arrow batches.
 
-    With ``decode_stub=True`` (default in this container) features are
-    deterministic byte-derived fakes; a real deployment replaces
-    ``_decode_real`` with Pillow/ffmpeg kernels — the Spark plumbing
-    (batch iterator, schema, pruning) is identical.
+    With ``decode_stub=True`` (default) features are deterministic
+    byte-derived fakes — works on any payload, and is what the DuckDB
+    oracle replicates. With ``decode_stub=False`` each payload is REALLY
+    decoded (:func:`cryoflow_spark.functions.imaging.image_grid_features`:
+    Pillow if installed, else the stdlib PNG decoder) and featurized as a
+    luminance grid; undecodable payloads yield ``decode_ok=false`` and a
+    zero vector instead of failing the task. Both paths share the exact
+    same Spark plumbing (batch iterator, schema, pruning).
     """
 
-    # Executor-side helpers are NESTED so cloudpickle ships them by value:
-    # a module-level reference would require this package on the executor
-    # workers' sys.path, which a foreign driver (different cwd) won't have.
+    # STUB helpers are NESTED so cloudpickle ships them by value: a
+    # module-level reference would require this package on the executor
+    # workers' sys.path, which a foreign driver (different cwd) won't
+    # have. The REAL path imports the imaging module executor-side — a
+    # deployment doing real decoding has the package on its cluster.
 
     def _fake_features(payload: bytes, dim: int) -> list[float]:
         """Deterministic stand-in feature vector derived from payload bytes."""
@@ -86,14 +95,13 @@ def extract_features(
             out.append(((acc % 2000001) / 1000000.0) - 1.0)
         return out
 
-    def _decode_real(payload: bytes, kind: str) -> list[float]:
-        raise NotImplementedError(
-            "real media decoding requires codec libraries (Pillow/ffmpeg) "
-            "not present in this environment; run with decode_stub=True"
-        )
-
     def featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
+
+        if not decode_stub:
+            from zlib import error as zlib_error
+
+            from cryoflow_spark.functions.imaging import image_grid_features
 
         for batch in batches:
             payloads = batch[payload_col]
@@ -104,8 +112,12 @@ def extract_features(
                     feats.append(_fake_features(raw, dim))
                     ok.append(True)
                 else:
-                    feats.append(_decode_real(raw, ""))
-                    ok.append(True)
+                    try:
+                        feats.append(image_grid_features(raw, dim))
+                        ok.append(True)
+                    except (ValueError, zlib_error):
+                        feats.append([0.0] * dim)
+                        ok.append(False)
             yield pd.DataFrame(
                 {
                     "asset_id": batch[id_col],

@@ -148,10 +148,117 @@ def test_multimodal_features_deterministic(docs):
     assert again == first
 
 
-def test_multimodal_decode_stub_raises(docs, spark):
-    assets = M.documents_as_assets(docs)
-    with pytest.raises(Exception):
-        M.extract_features(assets, dim=4, decode_stub=False).collect()
+class TestRealImageDecode:
+    """functions/imaging.py: stdlib PNG decode behind decode_stub=False."""
+
+    @staticmethod
+    def _gradient(h, w):
+        import numpy as np
+
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[:, :, 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+        img[:, :, 1] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+        img[:, :, 2] = 128
+        return img
+
+    def test_encode_decode_roundtrip(self):
+        import numpy as np
+
+        from cryoflow_spark.functions import imaging
+
+        img = self._gradient(13, 7)
+        assert np.array_equal(imaging.decode_image(imaging.encode_png(img)), img)
+
+    def test_decode_all_filter_types(self):
+        """A zlib-recompressed stream with explicit Sub/Up/Average/Paeth
+        filter bytes must reconstruct the same pixels."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from cryoflow_spark.functions import imaging
+
+        img = self._gradient(5, 4)
+        # Re-filter each scanline with filter types 1..4 (spec formulas),
+        # exercising every unfilter branch.
+        stride = 4 * 3
+        lines = []
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(5):
+            cur = img[y].reshape(-1)
+            ft = (y % 4) + 1
+            filt = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - 3]) if i >= 3 else 0
+                b = int(prev[i])
+                c = int(prev[i - 3]) if i >= 3 else 0
+                x = int(cur[i])
+                if ft == 1:
+                    filt[i] = (x - a) & 0xFF
+                elif ft == 2:
+                    filt[i] = (x - b) & 0xFF
+                elif ft == 3:
+                    filt[i] = (x - (a + b) // 2) & 0xFF
+                else:
+                    filt[i] = (x - imaging._paeth(a, b, c)) & 0xFF
+            lines.append(bytes([ft]) + filt.tobytes())
+            prev = cur
+        base = imaging.encode_png(img)
+
+        def chunk(ctype, payload):
+            return (
+                struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+            )
+
+        refiltered = (
+            base[:8]
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(imaging.decode_image(refiltered), img)
+
+    def test_resize_block_mean(self):
+        import numpy as np
+
+        from cryoflow_spark.functions import imaging
+
+        img = np.zeros((4, 4, 3), dtype=np.uint8)
+        img[:2, :2] = 100
+        img[2:, 2:] = 200
+        small = imaging.resize_image(img, 2, 2)
+        assert small[0, 0, 0] == 100 and small[1, 1, 0] == 200
+        assert small[0, 1, 0] == 0 and small[1, 0, 0] == 0
+
+    def test_extract_features_real_decode_executor_side(self, spark):
+        """End-to-end: PNG corpus → mapInPandas real decode → features
+        match the locally-computed luminance grid; corrupt payloads get
+        decode_ok=false instead of failing the task."""
+        from cryoflow_spark.functions import imaging
+
+        pngs = {i: imaging.encode_png(self._gradient(8 + i, 6 + i)) for i in range(3)}
+        rows = [(i, "image", "image/png", p) for i, p in pngs.items()]
+        rows.append((99, "image", "image/png", b"\x89PNG\r\n\x1a\nGARBAGE"))
+        rows.append((100, "image", "image/png", None))
+        df = spark.createDataFrame(
+            rows, "asset_id long, kind string, media_type string, payload binary"
+        )
+        out = {
+            r["asset_id"]: r
+            for r in M.extract_features(df, dim=9, decode_stub=False).collect()
+        }
+        assert len(out) == 5
+        for i, png in pngs.items():
+            assert out[i]["decode_ok"]
+            expected = imaging.image_grid_features(png, 9)
+            got = out[i]["features"]
+            assert len(got) == 9
+            assert all(abs(g - e) < 1e-6 for g, e in zip(got, expected))
+        for bad in (99, 100):
+            assert not out[bad]["decode_ok"]
+            assert out[bad]["features"] == [0.0] * 9
 
 
 def test_frame_sampling_shapes(docs):
