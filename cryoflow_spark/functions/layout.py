@@ -1,0 +1,115 @@
+"""Physical data layout: Z-order (Morton) clustering for write paths.
+
+At 100 TB the dominant read cost is how much of the table a selective
+scan must touch. Parquet keeps per-file/per-row-group min-max statistics,
+and engines (Spark included) prune files whose stats exclude the filter —
+but one-dimensional sort only localizes ONE column. Z-ordering interleaves
+the bits of several columns' range-bucketed values so rows close in ANY
+of the dimensions land in the same files, making min-max pruning
+effective for filters on each dimension independently (the technique
+Delta Lake / Iceberg expose as ``OPTIMIZE ... ZORDER BY``; the Morton
+curve itself is classic public material).
+
+Everything is a pure JVM expression over fixed, caller-supplied bounds —
+no action, no sampling pass, no UDF:
+
+- ``zorder_key``: the interleaved sort key column;
+- ``zorder_repartition``: range-partition + sort-within-partitions by
+  that key — the shape to put immediately before a parquet/ORC write.
+
+Caller-supplied bounds (rather than a computed min/max) keep the
+operator deterministic and single-pass; out-of-range values clamp into
+the edge buckets, which only weakens pruning for those rows, never
+correctness.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_key", "zorder_repartition"]
+
+
+def _bucket(col: Column, lo: float, hi: float, bits: int) -> Column:
+    """Range-bucket a numeric column into [0, 2**bits) with clamping."""
+    n = 1 << bits
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    raw = F.floor(
+        (col.cast("double") - F.lit(float(lo)))
+        * F.lit(float(n))
+        / F.lit(float(hi) - float(lo))
+    ).cast("bigint")
+    return F.least(
+        F.lit(n - 1).cast("bigint"), F.greatest(F.lit(0).cast("bigint"), raw)
+    )
+
+
+def zorder_key(
+    dims: Sequence[tuple[Column | str, float, float]],
+    bits: int = 16,
+) -> Column:
+    """Column: Morton/Z-order key interleaving ``dims`` bit-by-bit.
+
+    ``dims`` is a sequence of ``(column, lo, hi)``; each value is bucketed
+    into ``2**bits`` range cells over ``[lo, hi)`` and the buckets' bits
+    are interleaved (dimension 0 contributes the least-significant bit of
+    each group). ``len(dims) * bits`` must fit a signed 64-bit integer
+    (≤ 62 to stay positive).
+
+    Pure arithmetic (shift/or) — identical in any engine, so layouts and
+    their oracles are portable.
+    """
+    ndims = len(dims)
+    if ndims < 1:
+        raise ValueError("need at least one dimension")
+    if ndims * bits > 62:
+        raise ValueError(f"{ndims} dims x {bits} bits exceeds 62 bits")
+    buckets = [
+        _bucket(F.col(c) if isinstance(c, str) else c, lo, hi, bits)
+        for c, lo, hi in dims
+    ]
+    # NB: Column & / | are LOGICAL operators in PySpark; bit manipulation
+    # goes through bitwiseAND/bitwiseOR.
+    one = F.lit(1).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, bucket in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(one), b * ndims + i
+                )
+            )
+    return z
+
+
+def zorder_repartition(
+    df: DataFrame,
+    dims: Sequence[tuple[Column | str, float, float]],
+    bits: int = 16,
+    num_partitions: int | None = None,
+    key_col: str = "__zorder",
+    keep_key: bool = False,
+) -> DataFrame:
+    """Cluster ``df`` on the Z-curve: range-partition by the Z-key and
+    sort within partitions, so a subsequent parquet/ORC write produces
+    files whose min-max stats are tight in EVERY ``dims`` column.
+
+    One shuffle (the range exchange samples the key to pick balanced
+    split points) + a per-partition sort — the standard write-side
+    clustering step. Drop-in before ``df.write``:
+
+        zorder_repartition(df, [("price", 0, 6e5), ("d", 0, 2600)]) \\
+            .write.parquet(path)
+    """
+    keyed = df.withColumn(key_col, zorder_key(dims, bits))
+    parts = (
+        keyed.repartitionByRange(num_partitions, key_col)
+        if num_partitions
+        else keyed.repartitionByRange(key_col)
+    )
+    out = parts.sortWithinPartitions(key_col)
+    return out if keep_key else out.drop(key_col)

@@ -139,6 +139,43 @@ def rebalance_sources(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    rate_at_unit_weight: float,
+    max_weight: float | None = None,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Weighted Bernoulli sampling, deterministic (no ``rand()``).
+
+    Each row is kept with probability ``min(1, rate_at_unit_weight * w)``
+    — e.g. sample documents proportionally to a quality score so the
+    kept corpus is quality-weighted while staying reproducible. This is
+    the weighted analogue of :func:`deterministic_sample`: the coin flip
+    is the md5 bucket of the key, so the sample is stable across runs,
+    engines, and partitionings, and raising the rate strictly grows the
+    sample (nested).
+
+    Scale: a narrow map-side filter — the weight multiply and hash
+    compare run inside the scan stage; no shuffle, no state, no driver
+    action. ``max_weight`` (optional) caps the effective weight so a few
+    huge weights can't silently saturate to keep-everything.
+
+    The keep test compares the integer bucket against
+    ``floor(rate * w * buckets)`` — integer-vs-integer, so the oracle
+    (same arithmetic in SQL) is bit-identical; IEEE double multiply is
+    exact-deterministic in every engine.
+    """
+    w = F.col(weight_col).cast("double")
+    if max_weight is not None:
+        w = F.least(w, F.lit(float(max_weight)))
+    threshold = F.floor(
+        F.least(F.lit(rate_at_unit_weight) * w, F.lit(1.0)) * buckets
+    ).cast("bigint")
+    return df.filter(hash_bucket(key_col, buckets) < threshold)
+
+
 def train_test_split(
     df: DataFrame,
     key_col: str,

@@ -1188,3 +1188,109 @@ def x28_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x29_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return C.chunk_documents(d, chunk_size=200, overlap=50)
+
+
+# --- x30: weighted deterministic sampling ---------------------------------
+
+
+def _x30_oracle() -> str:
+    from cryoflow_spark.functions.sampling import sql_hash_bucket
+
+    return f"""
+    SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars
+    FROM documents
+    WHERE {sql_hash_bucket('doc_id')}
+          < CAST(floor(least(CAST(0.002 AS DOUBLE)
+                             * least(CAST(n_chars AS DOUBLE),
+                                     CAST(400.0 AS DOUBLE)),
+                             CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT)
+    GROUP BY lang
+    """
+
+
+@register(
+    "x30_weighted_sample",
+    None,  # late-bound below (reuses the canonical bucket SQL)
+    "Weighted Bernoulli sampling without rand(): keep probability "
+    "proportional to a per-row weight (here n_chars, capped at 400), coin "
+    "flip = md5 bucket of the key — reproducible, nested, map-only",
+)
+def x30_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.sampling import weighted_sample
+
+    d = load(spark, sf_dir, "documents")
+    out = weighted_sample(
+        d, key_col="doc_id", weight_col="n_chars",
+        rate_at_unit_weight=0.002, max_weight=400.0,
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_R2["x30_weighted_sample"] = _QS2(
+    fn=_R2["x30_weighted_sample"].fn,
+    oracle=_x30_oracle(),
+    description=_R2["x30_weighted_sample"].description,
+)
+
+
+# --- x31: Z-order (Morton) layout key -------------------------------------
+
+
+def _x31_oracle() -> str:
+    def bucket(expr: str, lo: float, hi: float) -> str:
+        return (
+            f"least(65535, greatest(0, CAST(floor((CAST({expr} AS DOUBLE) "
+            f"- CAST({lo} AS DOUBLE)) * CAST(65536.0 AS DOUBLE) "
+            f"/ CAST({hi - lo} AS DOUBLE)) AS BIGINT)))"
+        )
+
+    interleave = " | ".join(
+        f"(((b{i} >> {b}) & 1) << {b * 2 + i})"
+        for b in range(16)
+        for i in range(2)
+    )
+    return f"""
+    SELECT o_orderkey, {interleave} AS zkey
+    FROM (
+      SELECT o_orderkey,
+             {bucket('o_totalprice', 0.0, 600000.0)} AS b0,
+             {bucket(
+                 "datediff('day', DATE '1992-01-01', o_orderdate)",
+                 0.0, 2600.0,
+             )} AS b1
+      FROM orders
+      WHERE o_orderkey % 7 = 0
+    )
+    """
+
+
+@register(
+    "x31_zorder_key",
+    None,  # late-bound below (oracle generated from the same interleave)
+    "Z-order/Morton layout key over (price, order date): bit-interleaved "
+    "range buckets — the write-side clustering key that makes parquet "
+    "min-max pruning effective on every dimension (Delta/Iceberg OPTIMIZE "
+    "ZORDER shape); pure shift/or arithmetic, engine-portable",
+)
+def x31_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.layout import zorder_key
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    z = zorder_key(
+        [
+            (F.col("o_totalprice"), 0.0, 600000.0),
+            (F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")), 0.0, 2600.0),
+        ],
+        bits=16,
+    )
+    return o.select("o_orderkey", z.alias("zkey"))
+
+
+_R2["x31_zorder_key"] = _QS2(
+    fn=_R2["x31_zorder_key"].fn,
+    oracle=_x31_oracle(),
+    description=_R2["x31_zorder_key"].description,
+)

@@ -768,6 +768,104 @@ def test_multi_table_lsh_improves_recall(spark):
     assert r3 >= 0.8, (r1, r3)
 
 
+class TestZOrderLayout:
+    """functions/layout.py: Morton key + write-side clustering."""
+
+    def test_key_matches_python_interleave(self, spark):
+        from cryoflow_spark.functions.layout import zorder_key
+
+        rows = [(i, float(v1), float(v2)) for i, (v1, v2) in enumerate(
+            [(0, 0), (15, 0), (0, 15), (15, 15), (7, 9), (3, 12)]
+        )]
+        df = spark.createDataFrame(rows, "id long, a double, b double")
+        got = {
+            r["id"]: r["z"]
+            for r in df.select(
+                "id",
+                zorder_key([("a", 0.0, 16.0), ("b", 0.0, 16.0)], bits=4)
+                .alias("z"),
+            ).collect()
+        }
+
+        def interleave(x, y):
+            z = 0
+            for b in range(4):
+                z |= ((x >> b) & 1) << (2 * b)
+                z |= ((y >> b) & 1) << (2 * b + 1)
+            return z
+
+        for i, a, b in rows:
+            assert got[i] == interleave(int(a), int(b)), (i, a, b)
+
+    def test_out_of_range_clamps(self, spark):
+        from cryoflow_spark.functions.layout import zorder_key
+
+        df = spark.createDataFrame(
+            [(1, -5.0, 99.0)], "id long, a double, b double"
+        )
+        z = df.select(
+            zorder_key([("a", 0.0, 16.0), ("b", 0.0, 16.0)], bits=4).alias("z")
+        ).first()["z"]
+        # a clamps to bucket 0, b clamps to bucket 15.
+        assert z == sum(1 << (2 * b + 1) for b in range(4))
+
+    def test_repartition_plan_is_range_partitioned(self, spark):
+        import contextlib
+        import io
+
+        from cryoflow_spark.functions.layout import zorder_repartition
+
+        df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        out = zorder_repartition(
+            df,
+            [("o_totalprice", 0.0, 600000.0)],
+            num_partitions=4,
+            keep_key=True,
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("simple")
+        plan = buf.getvalue().lower()
+        assert "rangepartitioning(__zorder" in plan
+        assert "sort [__zorder" in plan
+        assert out.columns[-1] == "__zorder"
+
+    def test_clustering_tightens_file_stats(self, spark, tmp_path):
+        """Write with and without Z-clustering; the Z-ordered files must
+        have a smaller summed min-max extent in BOTH dimensions (the
+        property parquet pruning depends on)."""
+        import pyarrow.parquet as pq
+
+        from cryoflow_spark.functions.layout import zorder_repartition
+
+        df = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
+            "o_totalprice",
+            F.datediff("o_orderdate", F.lit("1992-01-01")).alias("d"),
+        )
+        naive_dir, z_dir = str(tmp_path / "naive"), str(tmp_path / "z")
+        df.repartition(8).write.parquet(naive_dir)
+        zorder_repartition(
+            df,
+            [("o_totalprice", 0.0, 600000.0), ("d", 0.0, 2600.0)],
+            num_partitions=8,
+        ).write.parquet(z_dir)
+
+        def extent(path, col):
+            import glob
+
+            total = 0.0
+            for f in glob.glob(f"{path}/*.parquet"):
+                md = pq.read_metadata(f)
+                for rg in range(md.num_row_groups):
+                    idx = md.schema.names.index(col)
+                    st = md.row_group(rg).column(idx).statistics
+                    total += float(st.max) - float(st.min)
+            return total
+
+        for col in ("o_totalprice", "d"):
+            assert extent(z_dir, col) < 0.7 * extent(naive_dir, col), col
+
+
 class TestDistributedRankStats:
     """functions/ranks.py: scale-safe global percent_rank/cume_dist."""
 

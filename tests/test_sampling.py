@@ -12,6 +12,7 @@ from cryoflow_spark.functions.sampling import (
     sql_hash_bucket,
     stratified_sample,
     train_test_split,
+    weighted_sample,
 )
 
 
@@ -62,6 +63,32 @@ def test_stratified_rates(keyed):
     }
     assert 200 <= counts.get("even", 0) <= 300  # ~250 of 500
     assert counts.get("odd", 0) <= 30  # ~10 of 500
+
+
+def test_weighted_sample_rate_proportional_to_weight(spark):
+    """Keep rate tracks the per-row weight; nested in the rate; cap and
+    saturation behave."""
+    df = spark.createDataFrame(
+        [(i, 1.0 if i % 2 == 0 else 10.0) for i in range(2000)],
+        "id long, w double",
+    )
+    out = weighted_sample(df, "id", "w", rate_at_unit_weight=0.05)
+    counts = {
+        r["w"]: r["n"]
+        for r in out.groupBy("w").agg(F.count("*").alias("n")).collect()
+    }
+    # w=1 → 5% of 1000 ≈ 50; w=10 → 50% of 1000 ≈ 500.
+    assert 20 <= counts.get(1.0, 0) <= 90
+    assert 420 <= counts.get(10.0, 0) <= 580
+    # Nested: lower rate is a strict subset of a higher rate.
+    lo = set(r["id"] for r in weighted_sample(df, "id", "w", 0.02).collect())
+    hi = set(r["id"] for r in weighted_sample(df, "id", "w", 0.08).collect())
+    assert lo <= hi
+    # max_weight caps the heavy rows down to the light rows' rate.
+    capped = weighted_sample(df, "id", "w", 0.05, max_weight=1.0)
+    assert 40 <= capped.count() <= 180  # ~100 of 2000
+    # rate*w >= 1 keeps everything.
+    assert weighted_sample(df, "id", "w", 1.0).count() == 2000
 
 
 def test_train_test_split_disjoint_total(keyed):
