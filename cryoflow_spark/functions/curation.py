@@ -160,6 +160,79 @@ def chunk_documents(
     )
 
 
+def remove_frequent_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    min_docs: int | None = None,
+    min_doc_frac: float | None = None,
+) -> DataFrame:
+    """Remove text segments that recur across many documents.
+
+    Split each document on ``delimiter``, drop every non-blank segment
+    that appears in at least ``min_docs`` DISTINCT documents (or
+    ``min_doc_frac`` of all documents), and reassemble the remaining
+    segments in their original order. With ``delimiter="\\n"`` this is
+    corpus-level boilerplate line removal (nav menus, cookie banners,
+    footers — the RefinedWeb/CCNet-style cleaning pass); with
+    ``delimiter=" "`` it degrades to corpus-frequency stopword removal.
+    Documents whose every segment is boilerplate drop out of the result.
+
+    Scale: two shuffles — segment-frequency aggregation (map-side
+    partial ``countDistinct`` on the segment key) and the per-document
+    regroup — plus an equi-join of segments against the boilerplate set
+    (small by construction: segments above the frequency floor; AQE
+    broadcasts it when it fits). The ``min_doc_frac`` mode adds one
+    1-row corpus-count scalar joined in broadcast (same envelope as
+    ``tfidf_top_terms``'s corpus scalar). Within-document repeats count
+    once (frequency is per-document), so a doc can't promote its own
+    refrain into corpus boilerplate.
+    """
+    if (min_docs is None) == (min_doc_frac is None):
+        raise ValueError("pass exactly one of min_docs / min_doc_frac")
+    import re
+
+    base = df.filter(F.col(text_col).isNotNull())
+    # split() takes a regex; the delimiter is treated as a LITERAL string
+    # (it is also what reassembly joins with).
+    segments = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(delimiter), -1)
+        ).alias("__pos", "__seg"),
+    )
+    seg_docs = (
+        segments.filter(F.trim("__seg") != "")
+        .groupBy("__seg")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+    )
+    if min_docs is not None:
+        boiler = seg_docs.filter(F.col("__nd") >= min_docs)
+    else:
+        total = base.select(
+            F.countDistinct(id_col).alias("__total")
+        )
+        boiler = seg_docs.crossJoin(F.broadcast(total)).filter(
+            F.col("__nd") >= F.ceil(F.lit(min_doc_frac) * F.col("__total"))
+        )
+    kept = segments.join(boiler.select("__seg"), "__seg", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__seg"))
+                    ),
+                    lambda s: s["__seg"],
+                ),
+                delimiter,
+            ).alias(text_col)
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",

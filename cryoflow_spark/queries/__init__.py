@@ -107,7 +107,7 @@ _PRIORITY: list[str] = [
     # fixed / upgraded / perf-changed / new this round
     "q45_collect_sorted_arrays", "q35_approx_distinct", "x15_minhash_dedup",
     "x20_dedup_clusters", "q58_distributed_cdf", "x30_weighted_sample",
-    "x31_zorder_key",
+    "x31_zorder_key", "x32_remove_frequent_segments",
     # green sentinels (round-2 driver-verified, kept as regression canaries)
     "q29_priciest_lineitem_per_flag", "q31_running_totals",
     "q36_range_join_pairs", "q44_time_bucket_rollup", "q54_array_lambdas",

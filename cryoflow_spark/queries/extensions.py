@@ -1294,3 +1294,40 @@ _R2["x31_zorder_key"] = _QS2(
     oracle=_x31_oracle(),
     description=_R2["x31_zorder_key"].description,
 )
+
+
+# --- x32: corpus-frequency segment removal (boilerplate pass) ------------
+
+
+@register(
+    "x32_remove_frequent_segments",
+    """
+    WITH segs AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    boiler AS (
+      SELECT seg FROM segs
+      WHERE trim(seg) != ''
+      GROUP BY seg
+      HAVING COUNT(DISTINCT doc_id)
+             >= ceil(0.6 * (SELECT COUNT(DISTINCT doc_id)
+                            FROM documents WHERE text IS NOT NULL))
+    )
+    SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+    FROM segs
+    WHERE seg NOT IN (SELECT seg FROM boiler)
+    GROUP BY doc_id
+    """,
+    "Corpus-frequency segment removal (RefinedWeb/CCNet boilerplate pass "
+    "shape): segments appearing in >=60% of documents are dropped and the "
+    "rest reassembled in order — with delimiter=newline this removes "
+    "boilerplate lines; on this single-line corpus it runs at word level",
+)
+def x32_remove_frequent_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return C.remove_frequent_segments(
+        d, delimiter=" ", min_doc_frac=0.6
+    )

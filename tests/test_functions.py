@@ -708,6 +708,50 @@ def test_quantized_topk_recall_vs_exact(spark):
     assert recall >= 0.8, recall
 
 
+def test_remove_frequent_segments_boilerplate_lines(spark):
+    from cryoflow_spark.functions import curation as C
+
+    footer = "(c) example corp - all rights reserved"
+    nav = "home | about | contact"
+    rows = [
+        (1, f"{nav}\nunique story one\n{footer}"),
+        (2, f"{nav}\nanother unique tale\nwith two lines\n{footer}"),
+        (3, f"{nav}\nthird thing entirely\n{footer}"),
+        (4, f"{footer}\n{footer}"),  # all-boilerplate doc → drops out
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in C.remove_frequent_segments(df, min_docs=3).collect()
+    }
+    # Repeated nav/footer lines removed; unique lines kept in order.
+    assert out[1] == "unique story one"
+    assert out[2] == "another unique tale\nwith two lines"
+    assert out[3] == "third thing entirely"
+    assert 4 not in out  # every segment was boilerplate
+    assert 5 not in out
+    # Within-doc repetition alone must NOT make a line boilerplate: the
+    # footer sits in 4 distinct docs (doc 4's double counts once), so
+    # min_docs=5 keeps every line.
+    out5 = {
+        r["doc_id"]: r["text"]
+        for r in C.remove_frequent_segments(df, min_docs=5).collect()
+    }
+    assert out5[1] == rows[0][1]
+    assert out5[4] == rows[3][1]
+    # frac mode mirrors absolute mode (3 of 4 non-null docs = 0.75).
+    out_frac = {
+        r["doc_id"]: r["text"]
+        for r in C.remove_frequent_segments(df, min_doc_frac=0.75).collect()
+    }
+    assert out_frac == out
+    with pytest.raises(ValueError):
+        C.remove_frequent_segments(df)
+    with pytest.raises(ValueError):
+        C.remove_frequent_segments(df, min_docs=2, min_doc_frac=0.5)
+
+
 def test_chunk_documents_coverage_and_overlap(spark):
     from cryoflow_spark.functions import curation as C
 
