@@ -139,21 +139,36 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an (H, W, 3) uint8 RGB array.
 
     Prefers Pillow when importable (JPEG/WebP/… coverage); falls back to
-    the built-in PNG decoder. Raises ``ValueError`` for undecodable or
-    unsupported payloads.
+    the built-in PNG decoder — including when Pillow is present but fails
+    on a PNG payload. Raises ``ValueError`` for undecodable or
+    unsupported payloads on every path (Pillow's
+    UnidentifiedImageError/OSError and the stdlib decoder's
+    struct/zlib/index errors are all re-raised as ValueError, so callers
+    can rely on the documented contract).
     """
     if not payload:
         raise ValueError("empty payload")
+    pil_error: Exception | None = None
     try:
         import io
 
         from PIL import Image  # noqa: PLC0415
-
-        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError:
-        pass
+        Image = None  # type: ignore[assignment]
+    if Image is not None:
+        try:
+            return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        except Exception as exc:  # UnidentifiedImageError, OSError, …
+            pil_error = exc
     if payload[:8] == _PNG_MAGIC:
-        return _decode_png(payload)
+        try:
+            return _decode_png(payload)
+        except ValueError:
+            raise
+        except (struct.error, zlib.error, IndexError, OSError) as exc:
+            raise ValueError(f"undecodable PNG payload: {exc!r}") from exc
+    if pil_error is not None:
+        raise ValueError(f"undecodable payload: {pil_error!r}") from pil_error
     raise ValueError(
         "unsupported media format (built-in decoder handles PNG; install "
         "Pillow for JPEG/WebP/…)"

@@ -99,9 +99,22 @@ def extract_features(
         import pandas as pd
 
         if not decode_stub:
+            import struct
             from zlib import error as zlib_error
 
             from cryoflow_spark.functions.imaging import image_grid_features
+
+            # decode_image wraps every decode failure in ValueError, but a
+            # malformed payload must never kill the task, so catch the raw
+            # decoder/IO error types too (struct/zlib/index from the stdlib
+            # PNG path, OSError from Pillow) as a second line of defense.
+            decode_errors = (
+                ValueError,
+                zlib_error,
+                struct.error,
+                IndexError,
+                OSError,
+            )
 
         for batch in batches:
             payloads = batch[payload_col]
@@ -115,7 +128,7 @@ def extract_features(
                     try:
                         feats.append(image_grid_features(raw, dim))
                         ok.append(True)
-                    except (ValueError, zlib_error):
+                    except decode_errors:
                         feats.append([0.0] * dim)
                         ok.append(False)
             yield pd.DataFrame(

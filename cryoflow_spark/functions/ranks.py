@@ -52,6 +52,11 @@ def value_cdf(
         n_total (bigint)
 
     built entirely from distributed operations (see module docstring).
+
+    NULL values form their own spine row and sort as the LOWEST group
+    (``asc_nulls_first`` in both the range partitioning and the local
+    running sum), matching Spark's ``Window.orderBy(col)`` default
+    (NULLS FIRST): NULL rows get ``rows_below = 0``.
     """
     spark = df.sparkSession
     n_part = num_partitions or int(
@@ -61,12 +66,12 @@ def value_cdf(
     counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
     # Contiguous, non-overlapping value ranges per partition; equal values
     # land together (one spine row per value anyway after the groupBy).
-    spine = counts.repartitionByRange(n_part, F.col(value_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    spine = counts.repartitionByRange(
+        n_part, F.col(value_col).asc_nulls_first()
+    ).withColumn("_pid", F.spark_partition_id())
     w_local = (
         Window.partitionBy("_pid")
-        .orderBy(value_col)
+        .orderBy(F.col(value_col).asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     spine = spine.withColumn("_local_cum", F.sum("_cnt").over(w_local))
@@ -117,14 +122,18 @@ def with_rank_stats(
     Bit-identical to ``F.percent_rank()/F.cume_dist().over(
     Window.orderBy(value_col))``: both are integer-ratio divisions in
     IEEE double, and rank statistics depend only on the value, never the
-    tiebreaker. Pinned by ``tests/test_functions.py``.
+    tiebreaker. NULL rows are KEPT — the stats are attached with a
+    null-safe equi-join (``<=>``, still a hash/sort-merge equi-join
+    plan), and NULL sorts as the lowest group exactly like the builtin
+    window's NULLS FIRST default. Pinned by ``tests/test_functions.py``.
     """
     spine = value_cdf(df, value_col, num_partitions=num_partitions)
     denom: Column = F.when(
         F.col("n_total") > 1, (F.col("n_total") - 1).cast("double")
     ).otherwise(F.lit(1.0))
+    stats_key = f"__rank_stats_{value_col}"
     stats = spine.select(
-        F.col(value_col),
+        F.col(value_col).alias(stats_key),
         (F.col("rows_below").cast("double") / denom).alias(pct_col),
         (
             F.col("rows_at_or_below").cast("double")
@@ -136,4 +145,6 @@ def with_rank_stats(
             else []
         ),
     )
-    return df.join(stats, on=value_col, how="inner")
+    return df.join(
+        stats, F.col(value_col).eqNullSafe(F.col(stats_key)), "inner"
+    ).drop(stats_key)

@@ -573,9 +573,11 @@ def _x15_oracle(num_hashes: int = 32, bands: int = 8) -> str:
     "MinHash-LSH near-dedup: shingle→signature→band→bucket-join→verify, "
     "portable md5-derived hashes (oracle-checked bit-identical; xxhash64 "
     "mode remains the fast engine path). Registered at 32 hashes / 8 "
-    "bands — same band width (r=4) and collision curve as the library's "
-    "64×16 default, half the signature cost; recall is oracle-checked "
-    "either way.",
+    "bands — same band width (r=4) as the library's 64×16 default but a "
+    "lower candidate-recall curve (1-(1-s^4)^8 vs 1-(1-s^4)^16): a "
+    "deliberate cost/recall trade for the benchmark query. The oracle "
+    "replicates the exact same parameters, so correctness is checked at "
+    "the chosen operating point either way.",
 )
 def x15_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -1197,7 +1199,7 @@ def _x30_oracle() -> str:
     from cryoflow_spark.functions.sampling import sql_hash_bucket
 
     return f"""
-    SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     WHERE {sql_hash_bucket('doc_id')}
           < CAST(floor(least(CAST(0.002 AS DOUBLE)

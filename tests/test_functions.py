@@ -232,6 +232,47 @@ class TestRealImageDecode:
         assert small[0, 0, 0] == 100 and small[1, 1, 0] == 200
         assert small[0, 1, 0] == 0 and small[1, 0, 0] == 0
 
+    def test_decode_failures_always_valueerror(self):
+        """The documented contract: every undecodable payload raises
+        ValueError — never the raw struct/zlib/index error from the
+        stdlib path nor Pillow's UnidentifiedImageError/OSError."""
+        import struct
+        import zlib
+
+        from cryoflow_spark.functions import imaging
+
+        base = imaging.encode_png(self._gradient(4, 4))
+
+        def chunk(ctype, payload):
+            return (
+                struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+            )
+
+        truncated_ihdr = base[:8] + chunk(b"IHDR", b"\x00\x00")  # 2 of 13 bytes
+        # Palette PNG (color type 3) whose pixel indexes exceed the 1-entry
+        # PLTE — the stdlib decoder's out-of-range-LUT case.
+        bad_palette = (
+            base[:8]
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", b"\x10\x20\x30")
+            + chunk(b"IDAT", zlib.compress(b"\x00\x05\x07"))
+            + chunk(b"IEND", b"")
+        )
+        bad_zlib = base[:8] + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+        ) + chunk(b"IDAT", b"not-a-zlib-stream") + chunk(b"IEND", b"")
+        for payload in (
+            b"",
+            b"\x89PNG\r\n\x1a\nGARBAGE",
+            truncated_ihdr,
+            bad_palette,
+            bad_zlib,
+            b"totally unrelated bytes",
+        ):
+            with pytest.raises(ValueError):
+                imaging.decode_image(payload)
+
     def test_extract_features_real_decode_executor_side(self, spark):
         """End-to-end: PNG corpus → mapInPandas real decode → features
         match the locally-computed luminance grid; corrupt payloads get
@@ -242,6 +283,9 @@ class TestRealImageDecode:
         rows = [(i, "image", "image/png", p) for i, p in pngs.items()]
         rows.append((99, "image", "image/png", b"\x89PNG\r\n\x1a\nGARBAGE"))
         rows.append((100, "image", "image/png", None))
+        # Truncated IHDR — the payload whose raw failure mode is
+        # struct.error, not ValueError (the ADVICE case).
+        rows.append((101, "image", "image/png", pngs[0][:20]))
         df = spark.createDataFrame(
             rows, "asset_id long, kind string, media_type string, payload binary"
         )
@@ -249,14 +293,14 @@ class TestRealImageDecode:
             r["asset_id"]: r
             for r in M.extract_features(df, dim=9, decode_stub=False).collect()
         }
-        assert len(out) == 5
+        assert len(out) == 6
         for i, png in pngs.items():
             assert out[i]["decode_ok"]
             expected = imaging.image_grid_features(png, 9)
             got = out[i]["features"]
             assert len(got) == 9
             assert all(abs(g - e) < 1e-6 for g, e in zip(got, expected))
-        for bad in (99, 100):
+        for bad in (99, 100, 101):
             assert not out[bad]["decode_ok"]
             assert out[bad]["features"] == [0.0] * 9
 
@@ -948,6 +992,37 @@ class TestDistributedRankStats:
         df = spark.createDataFrame([(1, 42)], "id long, v long")
         row = with_rank_stats(df, "v").collect()[0]
         assert row["pct_rank"] == 0.0 and row["cume_dist"] == 1.0
+
+    def test_null_rows_kept_and_match_builtin(self, spark):
+        """NULL values must neither be dropped (null-safe join) nor
+        mis-ranked: Spark's Window.orderBy sorts NULLS FIRST, so NULL rows
+        get pct_rank 0.0 and the lowest rank — bit-identical here."""
+        from pyspark.sql import Window
+
+        from cryoflow_spark.functions.ranks import with_rank_stats
+
+        vals = [7, None, 3, 3, None, None, 12, 0, 7, None, 5]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, v long"
+        )
+        mine = with_rank_stats(
+            df, "v", pct_col="pct", cume_col="cume", rank_col="rnk",
+            num_partitions=3,
+        )
+        w = Window.orderBy("v")
+        ref = df.select(
+            "id",
+            F.percent_rank().over(w).alias("pct"),
+            F.cume_dist().over(w).alias("cume"),
+            F.rank().over(w).alias("rnk"),
+        )
+        got = {r["id"]: r for r in mine.collect()}
+        exp = {r["id"]: r for r in ref.collect()}
+        assert len(got) == len(vals)  # no NULL row dropped
+        for i in exp:
+            assert got[i]["pct"] == exp[i]["pct"], i
+            assert got[i]["cume"] == exp[i]["cume"], i
+            assert got[i]["rnk"] == exp[i]["rnk"], i
 
     def test_no_global_window_over_input(self, spark):
         """The fact table must never pass through an unpartitioned

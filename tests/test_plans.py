@@ -89,6 +89,10 @@ def test_no_cartesian_products(spark, registry):
         "x27_quantized_topk",  # same brute-force broadcast pattern as x05
         "q20_region_nation_matrix",
         "x21_tfidf_top_terms",
+        # 1-row corpus-count scalar crossJoin(broadcast(total)) — same
+        # deliberate pattern as x21; plans BroadcastNestedLoopJoin over a
+        # broadcast 1-row build side, never CartesianProduct.
+        "x32_remove_frequent_segments",
     }
     for name, spec in registry.items():
         df = spec.fn(spark, SF)
