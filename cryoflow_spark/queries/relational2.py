@@ -271,18 +271,68 @@ def q31_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
     """,
-    "ntile/percent_rank/cume_dist/dense_rank window family",
+    "ntile/percent_rank/cume_dist/dense_rank window family — computed on "
+    "the distributed CDF spine (functions/ranks.py), not a single-reducer "
+    "global window",
 )
 def q32_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale path: Spark's Window.orderBy with no partition key funnels the
+    # whole table through ONE reducer (`WindowExec: No Partition Defined`)
+    # — a 100 TB non-starter. The composite order key (o_totalprice,
+    # o_orderkey) is UNIQUE (orderkey is a key), so every rank statistic
+    # here is a pure function of the key's position:
+    #   row_number == rank == rows_below + 1   (no ties by construction)
+    #   percent_rank = rows_below / (n-1); cume_dist = rowno / n
+    #   ntile(4): first (n mod 4) buckets hold (n div 4)+1 rows, the rest
+    #   (n div 4) — derived below from rowno exactly (NOT the tempting
+    #   floor(4*(rowno-1)/n)+1, which mis-sizes buckets when 4 ∤ n).
+    # value_cdf over a struct key gives rows_below with only distributed
+    # ops (groupBy + range repartition + bounded-offsets stitch); folding
+    # o_orderstatus into the struct (it never breaks ties — the unique
+    # prefix decides every comparison) means the spine already carries
+    # every column we need, so there is NO join back to the fact table.
+    from cryoflow_spark.functions.ranks import value_cdf, with_rank_stats
+
     o = load(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
-    w2 = Window.orderBy("o_orderstatus")
-    return o.select(
-        "o_orderkey",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-        F.dense_rank().over(w2).cast("int").alias("status_rank"),
+    keyed = o.select(
+        F.struct("o_totalprice", "o_orderkey", "o_orderstatus").alias("_wkey")
+    )
+    spine = value_cdf(keyed, "_wkey")
+    rowno = F.col("rows_below") + F.lit(1)
+    n = F.col("n_total")
+    # Exact SQL NTILE(4): q = n div 4, r = n mod 4; bucket boundaries at
+    # multiples of (q+1) for the first r buckets, then q. When q == 0 the
+    # first branch always fires (thr == n), so the q-division is never hit.
+    q4 = F.expr("n_total div 4")
+    r4 = n % F.lit(4)
+    thr = r4 * (q4 + F.lit(1))
+    quartile = (
+        F.when(rowno <= thr, (rowno - 1) / (q4 + 1))
+        .otherwise(r4 + (rowno - thr - 1) / q4)
+        .cast("long")
+        + F.lit(1)
+    ).cast("int")
+    base = spine.select(
+        F.col("_wkey.o_orderkey").alias("o_orderkey"),
+        F.col("_wkey.o_orderstatus").alias("o_orderstatus"),
+        quartile.alias("quartile"),
+        (
+            F.col("rows_below").cast("double")
+            / F.when(n > 1, (n - 1).cast("double")).otherwise(F.lit(1.0))
+        ).alias("pct_rank"),
+        (rowno.cast("double") / n.cast("double")).alias("cume"),
+    )
+    # dense_rank(o_orderstatus) == rank among DISTINCT statuses: run the
+    # spine machinery over the deduped values (a tiny table) and broadcast
+    # the result back.
+    status_rank = with_rank_stats(
+        o.select("o_orderstatus").distinct(), "o_orderstatus",
+        rank_col="_drank",
+    ).select(
+        "o_orderstatus", F.col("_drank").cast("int").alias("status_rank")
+    )
+    return base.join(F.broadcast(status_rank), "o_orderstatus").select(
+        "o_orderkey", "quartile", "pct_rank", "cume", "status_rank"
     )
 
 
@@ -373,9 +423,20 @@ def q34_date_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q35_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir)
-    agg = e.groupBy("event_type").agg(
+    # Two-stage plan instead of a single agg with countDistinct +
+    # approx_count_distinct: mixing them forces Catalyst's expand-based
+    # distinct rewrite (every row duplicated per aggregate), which at sf0.1
+    # made this the only query >2x its r1 time. Pre-distinct the
+    # (event_type, user_id) pairs once (map-side partial agg, one shuffle),
+    # then count rows per event_type (exact by construction) and run the
+    # HLL++ sketch over the already-deduped pairs — same answers (HLL
+    # depends only on the distinct value set, so deduping first changes
+    # nothing), no Expand; the second shuffle moves only the deduped
+    # pairs, a tiny fraction of the fact table.
+    pairs = e.groupBy("event_type", "user_id").agg(F.lit(1).alias("_one"))
+    agg = pairs.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("exact_users"),
     )
     # HLL++ is deterministic for fixed data, so this bound is a stable,
     # hash-checkable witness that the sketch ran and is accurate; the raw

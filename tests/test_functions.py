@@ -1024,6 +1024,55 @@ class TestDistributedRankStats:
             assert got[i]["cume"] == exp[i]["cume"], i
             assert got[i]["rnk"] == exp[i]["rnk"], i
 
+    def test_q32_spine_matches_builtin_window_nondivisible_n(
+        self, spark, tmp_path
+    ):
+        """q32's CDF-spine rank family must equal the builtin global
+        window INCLUDING ntile bucket sizing when 4 does not divide n
+        (first n%4 buckets are one row larger — the case the driver's
+        15000-row table never exercises)."""
+        from pyspark.sql import Window
+
+        from cryoflow_spark.queries import all_queries
+
+        rows = [
+            # 11 rows (11 % 4 == 3), duplicate prices to prove the unique
+            # orderkey tiebreaker decides, three statuses for dense_rank.
+            (i, float(p), s)
+            for i, (p, s) in enumerate(
+                [(100, "F"), (50, "O"), (100, "P"), (75, "F"), (50, "F"),
+                 (200, "O"), (75, "P"), (10, "F"), (300, "O"), (100, "O"),
+                 (75, "F")]
+            )
+        ]
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, o_totalprice double, o_orderstatus string"
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+        got = {
+            r["o_orderkey"]: r
+            for r in all_queries()["q32_rank_family"]
+            .fn(spark, str(tmp_path))
+            .collect()
+        }
+        w = Window.orderBy("o_totalprice", "o_orderkey")
+        w2 = Window.orderBy("o_orderstatus")
+        exp = {
+            r["o_orderkey"]: r
+            for r in df.select(
+                "o_orderkey",
+                F.ntile(4).over(w).cast("int").alias("quartile"),
+                F.percent_rank().over(w).alias("pct_rank"),
+                F.cume_dist().over(w).alias("cume"),
+                F.dense_rank().over(w2).cast("int").alias("status_rank"),
+            ).collect()
+        }
+        assert len(got) == len(exp) == 11
+        for k in exp:
+            for c in ("quartile", "pct_rank", "cume", "status_rank"):
+                assert got[k][c] == exp[k][c], (k, c)
+
     def test_no_global_window_over_input(self, spark):
         """The fact table must never pass through an unpartitioned
         WindowExec: every Window node in the plan is either partitioned by

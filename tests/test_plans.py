@@ -102,6 +102,17 @@ def test_no_cartesian_products(spark, registry):
             assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_q32_no_single_reducer_window(spark, registry):
+    """q32 (rank family) must stay on the distributed CDF spine: every
+    Window node in its plan is either partitioned by _pid or runs over
+    the bounded partition-sizes (_psize) table — never an unpartitioned
+    window over the fact table (the 100 TB scale-killer it replaced)."""
+    plan = plan_of(registry["q32_rank_family"].fn(spark, SF), "simple")
+    for line in plan.splitlines():
+        if "Window [" in line and "windowspecdefinition(_pid" not in line:
+            assert "_psize" in line, line
+
+
 def test_decontamination_broadcasts_benchmark(spark, registry):
     """x25: the benchmark gram set is the small side by construction and
     must broadcast — never shuffle the corpus for it."""
