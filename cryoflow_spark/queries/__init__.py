@@ -82,37 +82,34 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: not-yet-driver-verified queries into that window each round while keeping
 #: a spread of already-green sentinels as regression canaries; everything
 #: else follows in original registration order (still runnable/benchable).
-#: Round 3: rotate back the 36 queries last checked in round 1 (so every
-#: query is driver-verified within the last two rounds) + the queries
-#: fixed/changed this round (q45 hash-fix, q35 exact twin, x15/x20 perf,
-#: q58 new) + 9 round-2 sentinels.
+#: Round 4: rotate back the 39 queries last checked in round 2 (keeping
+#: the freshness invariant: every query driver-verified within the last
+#: two rounds) + the queries fixed/changed this round (x30 oracle cast,
+#: q32 CDF-spine migration, q35 de-expand) + 9 round-3 sentinels.
 _PRIORITY: list[str] = [
-    # last driver-checked in round 1 — rotate back in
+    # last driver-checked in round 2 — rotate back in
     *[
-        "q02_filter_project", "q03_top_orders", "q04_order_priority",
-        "q05_local_supplier_volume", "q06_forecast_revenue",
-        "q07_price_buckets", "q08_topk_lineitems", "q09_distinct_segments",
-        "q10_union_order_classes", "q11_intersect_customers",
-        "q12_customers_without_orders", "q13_top_orders_per_customer",
-        "q14_event_deltas", "q15_string_ops", "q16_orders_by_month",
-        "q17_cast_quantity_histogram", "q18_customer_order_stats",
-        "q19_right_join_nations", "q20_region_nation_matrix",
-        "q21_quantity_stats", "q22_rollup_counts", "q23_event_props_json",
-        "q24_ship_delay", "q26_price_quantiles", "q27_pivot_returnflag",
-        "q28_word_frequencies", "x02_dedup_normalized", "x04_jaccard_dedup",
-        "x06_embedding_neardup", "x08_text_stats", "x09_lang_id",
-        "x10_quality_score", "x11_fingerprint", "x12_multimodal_meta",
-        "x19_bpe_token_budget", "x21_tfidf_top_terms",
+        "q01_pricing_summary", "q25_asof_join", "q30_string_cleanup",
+        "q33_conditional_aggs", "q34_date_vocabulary", "q37_null_handling",
+        "q38_cube_order_stats", "q39_hash_sample", "q40_stratified_sample",
+        "q41_native_pivot", "q42_exists_subquery",
+        "q43_range_interval_window", "q46_sliding_windows",
+        "q47_regex_groups", "q48_bag_set_ops", "q49_null_safe_join",
+        "q50_unpivot_measures", "q51_gap_fill_spine", "q52_bivariate_stats",
+        "q53_fuzzy_part_names", "q55_grouping_sets", "q56_latest_per_key",
+        "x01_dedup_exact", "x03_jaccard_pairs", "x05_cosine_topk",
+        "x07_lsh_cosine_topk", "x13_multimodal_features", "x14_frame_sample",
+        "x16_simhash_pairs", "x17_sessionize", "x22_token_shards",
+        "x23_ivf_fixed_topk", "x24_pii_scrub", "x25_decontaminate",
+        "x26_repetition_stats", "x27_quantized_topk", "x28_source_mix",
+        "x29_chunk_documents",
     ],
-    # fixed / upgraded / perf-changed / new this round
-    "q45_collect_sorted_arrays", "q35_approx_distinct", "x15_minhash_dedup",
-    "x20_dedup_clusters", "q58_distributed_cdf", "x30_weighted_sample",
-    "x31_zorder_key", "x32_remove_frequent_segments",
-    # green sentinels (round-2 driver-verified, kept as regression canaries)
-    "q29_priciest_lineitem_per_flag", "q31_running_totals",
-    "q36_range_join_pairs", "q44_time_bucket_rollup", "q54_array_lambdas",
-    "q57_above_nation_average", "x16_simhash_pairs", "x24_pii_scrub",
-    "x27_quantized_topk",
+    # fixed / changed this round (must re-verify)
+    "x30_weighted_sample", "q32_rank_family", "q35_approx_distinct",
+    # green sentinels (round-3 driver-verified, kept as regression canaries)
+    "q03_top_orders", "q22_rollup_counts", "q45_collect_sorted_arrays",
+    "q58_distributed_cdf", "x02_dedup_normalized", "x15_minhash_dedup",
+    "x20_dedup_clusters", "x31_zorder_key", "x32_remove_frequent_segments",
 ]
 
 
