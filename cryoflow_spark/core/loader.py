@@ -53,6 +53,8 @@ BUILTIN_MODULES: dict[str, str] = {
     "json_scan": "cryoflow_spark.plugins.input.json_scan",
     "table_scan": "cryoflow_spark.plugins.input.table_scan",
     "binary_scan": "cryoflow_spark.plugins.input.binary_scan",
+    "orc_scan": "cryoflow_spark.plugins.input.orc_scan",
+    "text_scan": "cryoflow_spark.plugins.input.text_scan",
     "rate_stream": "cryoflow_spark.streaming.rate_stream",
     "file_stream": "cryoflow_spark.streaming.file_stream",
     # transform
@@ -73,6 +75,7 @@ BUILTIN_MODULES: dict[str, str] = {
     "curate": "cryoflow_spark.plugins.transform.curate",
     "dedup": "cryoflow_spark.plugins.transform.dedup",
     "repartition": "cryoflow_spark.plugins.transform.repartition",
+    "sample": "cryoflow_spark.plugins.transform.sample",
     "watermark": "cryoflow_spark.streaming.watermark",
     "session_window": "cryoflow_spark.streaming.sessionize",
     "stateful_sessionize": "cryoflow_spark.streaming.stateful_sessionize",
@@ -83,6 +86,7 @@ BUILTIN_MODULES: dict[str, str] = {
     "ipc_writer": "cryoflow_spark.plugins.output.ipc_writer",
     "console": "cryoflow_spark.plugins.output.console",
     "table_writer": "cryoflow_spark.plugins.output.table_writer",
+    "orc_writer": "cryoflow_spark.plugins.output.orc_writer",
     "stream_writer": "cryoflow_spark.streaming.stream_writer",
 }
 

@@ -30,7 +30,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "zorder_repartition"]
+__all__ = ["zorder_from_options", "zorder_key", "zorder_repartition"]
 
 
 def _bucket(col: Column, lo: float, hi: float, bits: int) -> Column:
@@ -113,3 +113,27 @@ def zorder_repartition(
     )
     out = parts.sortWithinPartitions(key_col)
     return out if keep_key else out.drop(key_col)
+
+
+def zorder_from_options(
+    df: DataFrame,
+    zorder_by: Sequence[Sequence],
+    bits: int = 16,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """:func:`zorder_repartition` from a config-shaped dim spec.
+
+    ``zorder_by`` is a list of ``[column, lo, hi]`` triples as they
+    arrive from a TOML array-of-arrays (writer plugins' ``zorder_by``
+    option) — validated and coerced here so both the parquet and ORC
+    sinks share one parser.
+    """
+    dims = []
+    for entry in zorder_by:
+        if len(entry) != 3:
+            raise ValueError(
+                f"zorder_by entries must be [column, lo, hi], got {entry!r}"
+            )
+        col, lo, hi = entry
+        dims.append((str(col), float(lo), float(hi)))
+    return zorder_repartition(df, dims, bits=bits, num_partitions=num_partitions)

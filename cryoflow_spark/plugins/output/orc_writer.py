@@ -1,7 +1,9 @@
 """ORC sink plugin. Options: ``output_path`` (required), ``mode``
 (default overwrite), ``partition_by`` (list — directory-partitioned
 layout for partition pruning at read time), ``compression``
-(default snappy).
+(default snappy), ``zorder_by``/``zorder_bits``/``zorder_partitions``
+(Z-curve layout clustering before write — same option shape as the
+parquet writer).
 """
 
 from __future__ import annotations
@@ -19,7 +21,12 @@ class OrcWriterPlugin(OutputPlugin):
 
     def execute(self, data: FrameData) -> Result[None]:
         try:
+            from cryoflow_spark.plugins.output.parquet_writer import (
+                _maybe_zorder,
+            )
+
             path = self.resolve_path(self.require_option("output_path"))
+            data = _maybe_zorder(data, self.options)
             path.parent.mkdir(parents=True, exist_ok=True)
             writer = data.write.mode(self.options.get("mode", "overwrite"))
             writer = writer.option(
@@ -41,6 +48,13 @@ class OrcWriterPlugin(OutputPlugin):
             missing = [c for c in partition_by if c not in names]
             if missing:
                 raise KeyError(f"partition_by columns not in schema: {missing}")
+            z_missing = [
+                str(e[0])
+                for e in (self.options.get("zorder_by") or [])
+                if str(e[0]) not in names
+            ]
+            if z_missing:
+                raise KeyError(f"zorder_by columns not in schema: {z_missing}")
             path.parent.mkdir(parents=True, exist_ok=True)
             if not os.access(path.parent, os.W_OK):
                 raise PermissionError(

@@ -14,6 +14,12 @@ target directory is creatable/writable without writing data. Options:
 - ``partition_by`` (optional list) — hive-style partitioned layout, the
   scale path the reference lacks.
 - ``compression`` (default snappy)
+- ``zorder_by`` (optional list of ``[column, lo, hi]`` triples) — cluster
+  rows on the Z-curve over these dimensions before writing (one range
+  exchange + in-partition sort), so per-file min-max stats are tight in
+  every listed column and downstream scans skip files. ``zorder_bits``
+  (default 16) and ``zorder_partitions`` (optional) tune the key
+  resolution and output file count.
 
 Spark's ``df.write.parquet`` is pipelined per partition (executors stream
 their partitions to files) — the same out-of-core property as the
@@ -31,6 +37,22 @@ from cryoflow_spark.core.plugin import FrameData, OutputPlugin, SchemaData
 from cryoflow_spark.core.result import Failure, Result, Success
 
 
+def _maybe_zorder(data: FrameData, options: dict) -> FrameData:
+    """Apply the writers' shared ``zorder_by`` layout-clustering option."""
+    zorder_by = options.get("zorder_by")
+    if not zorder_by:
+        return data
+    from cryoflow_spark.functions.layout import zorder_from_options
+
+    parts = options.get("zorder_partitions")
+    return zorder_from_options(
+        data,
+        zorder_by,
+        bits=int(options.get("zorder_bits", 16)),
+        num_partitions=int(parts) if parts is not None else None,
+    )
+
+
 class ParquetWriterPlugin(OutputPlugin):
     @property
     def name(self) -> str:
@@ -44,6 +66,7 @@ class ParquetWriterPlugin(OutputPlugin):
             single_file = bool(self.options.get("single_file", False))
             partition_by = self.options.get("partition_by")
 
+            data = _maybe_zorder(data, self.options)
             path.parent.mkdir(parents=True, exist_ok=True)
 
             if single_file:
@@ -76,6 +99,14 @@ class ParquetWriterPlugin(OutputPlugin):
         """Writability check via mkdir (reference parquet_writer.py:51-75)."""
         try:
             path = self.resolve_path(self.require_option("output_path"))
+            names = {f.name for f in schema.fields}
+            missing = [
+                str(e[0])
+                for e in (self.options.get("zorder_by") or [])
+                if str(e[0]) not in names
+            ]
+            if missing:
+                raise KeyError(f"zorder_by columns not in schema: {missing}")
             path.parent.mkdir(parents=True, exist_ok=True)
             if not os.access(path.parent, os.W_OK):
                 raise PermissionError(f"output directory not writable: {path.parent}")

@@ -10,6 +10,7 @@ from cryoflow_spark.plugins.transform.join import JoinPlugin
 from cryoflow_spark.plugins.transform.limit import LimitPlugin
 from cryoflow_spark.plugins.transform.multiplier import ColumnMultiplierPlugin
 from cryoflow_spark.plugins.transform.repartition import RepartitionPlugin
+from cryoflow_spark.plugins.transform.sample import SamplePlugin
 from cryoflow_spark.plugins.transform.select import SelectPlugin
 from cryoflow_spark.plugins.transform.set_op import SetOpPlugin
 from cryoflow_spark.plugins.transform.sort import SortPlugin
@@ -28,6 +29,7 @@ __all__ = [
     "JoinPlugin",
     "LimitPlugin",
     "RepartitionPlugin",
+    "SamplePlugin",
     "SelectPlugin",
     "SetOpPlugin",
     "SortPlugin",

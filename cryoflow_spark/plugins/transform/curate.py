@@ -17,6 +17,10 @@ the TOML plugin surface. Modes (option ``method``):
 - ``decontaminate``: drop docs sharing any word ``ngram``-gram with the
   sibling stream named by ``benchmark_label`` (the eval set), GPT-3
   style.
+- ``remove_frequent_segments``: corpus-level boilerplate removal — drop
+  segments (split on ``delimiter``, default newline) that appear in at
+  least ``min_docs`` distinct documents or ``min_doc_frac`` of the
+  corpus (exactly one of the two), reassembling survivors in order.
 """
 
 from __future__ import annotations
@@ -91,6 +95,20 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 text_col=column,
                 id_col=id_column,
                 ngram=int(self.options.get("ngram", 8)),
+            )
+
+        if method == "remove_frequent_segments":
+            min_docs = self.options.get("min_docs")
+            min_doc_frac = self.options.get("min_doc_frac")
+            return C.remove_frequent_segments(
+                data,
+                text_col=column,
+                id_col=id_column,
+                delimiter=str(self.options.get("delimiter", "\n")),
+                min_docs=int(min_docs) if min_docs is not None else None,
+                min_doc_frac=(
+                    float(min_doc_frac) if min_doc_frac is not None else None
+                ),
             )
 
         raise ValueError(f"invalid curate method '{method}'")

@@ -1,0 +1,97 @@
+"""Deterministic sampling transform plugin.
+
+TOML-facing surface for :mod:`cryoflow_spark.functions.sampling` — every
+mode is hash-bucket-deterministic (no ``rand()``: reproducible across
+runs, engines, and partitionings, and nested — a 1% sample is a subset
+of a 10% sample). Modes (option ``method``):
+
+- ``deterministic`` (default): keep ``fraction`` of rows by
+  ``key_column`` hash — a map-side filter, no shuffle.
+- ``stratified``: per-stratum rates — options ``strata_column``,
+  ``fractions`` (TOML table: stratum value → rate), optional
+  ``default_fraction`` for unlisted strata.
+- ``weighted``: Bernoulli keep-probability proportional to a per-row
+  weight — options ``weight_column``, ``rate_at_unit_weight``, optional
+  ``max_weight`` cap.
+- ``train_test``: disjoint split by key hash; options ``test_fraction``
+  (default 0.1) and ``keep`` = ``train`` | ``test`` (which side this
+  stream carries forward — run two labeled streams to keep both).
+- ``rebalance``: downsample sources to a target mix — options
+  ``source_column``, ``target_shares`` (TOML table: source → share).
+
+All modes take ``key_column`` (the hash key) and optional ``buckets``.
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+
+
+class SamplePlugin(AnalyzedTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "sample"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        from cryoflow_spark.functions import sampling as S
+
+        method = self.options.get("method", "deterministic")
+        key = self.require_option("key_column")
+        buckets = int(self.options.get("buckets", S.BUCKETS))
+
+        if method == "deterministic":
+            return S.deterministic_sample(
+                data, key, float(self.require_option("fraction")), buckets
+            )
+
+        if method == "stratified":
+            fractions = {
+                str(k): float(v)
+                for k, v in self.require_option("fractions").items()
+            }
+            return S.stratified_sample(
+                data,
+                self.require_option("strata_column"),
+                fractions,
+                key,
+                float(self.options.get("default_fraction", 0.0)),
+                buckets,
+            )
+
+        if method == "weighted":
+            max_weight = self.options.get("max_weight")
+            return S.weighted_sample(
+                data,
+                key,
+                self.require_option("weight_column"),
+                float(self.require_option("rate_at_unit_weight")),
+                float(max_weight) if max_weight is not None else None,
+                buckets,
+            )
+
+        if method == "train_test":
+            train, test = S.train_test_split(
+                data, key, float(self.options.get("test_fraction", 0.1)),
+                buckets,
+            )
+            side = self.options.get("keep", "train")
+            if side == "train":
+                return train
+            if side == "test":
+                return test
+            raise ValueError(
+                f"invalid train_test keep side '{side}' (train|test)"
+            )
+
+        if method == "rebalance":
+            shares = {
+                str(k): float(v)
+                for k, v in self.require_option("target_shares").items()
+            }
+            return S.rebalance_sources(
+                data, self.require_option("source_column"), key, shares,
+                buckets,
+            )
+
+        raise ValueError(f"invalid sample method '{method}'")

@@ -364,3 +364,80 @@ class TestTextScan:
         rows = {r["file_path"].split("/")[-1]: r["value"]
                 for r in plugin.execute().unwrap().collect()}
         assert rows == {"doc1.txt": "alpha\nbeta\n", "doc2.txt": "gamma\n"}
+
+
+class TestWriterZorder:
+    """zorder_by option on the parquet/ORC sinks (layout clustering)."""
+
+    def _frame(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, float(rng.randrange(0, 1000)), float(rng.randrange(0, 1000)))
+                for i in range(4000)]
+        return spark.createDataFrame(rows, "id long, x double, y double")
+
+    def test_parquet_zorder_rows_and_stats(self, spark, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from cryoflow_spark.plugins.output import ParquetWriterPlugin
+
+        df = self._frame(spark)
+        naive = tmp_path / "naive"
+        df.repartition(8).write.parquet(str(naive))
+        z = tmp_path / "z"
+        plugin = ParquetWriterPlugin({
+            "output_path": str(z),
+            "zorder_by": [["x", 0.0, 1000.0], ["y", 0.0, 1000.0]],
+            "zorder_bits": 10,
+            "zorder_partitions": 8,
+        })
+        plugin.attach_session(spark)
+        assert is_successful(plugin.execute(df))
+        back = spark.read.parquet(str(z))
+        assert back.count() == 4000
+        assert {r["id"] for r in back.select("id").collect()} == set(range(4000))
+
+        def extent(path, col):
+            total = 0.0
+            for f in glob.glob(f"{path}/part-*.parquet"):
+                md = pq.read_metadata(f)
+                idx = md.schema.names.index(col)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    total += float(st.max) - float(st.min)
+            return total
+
+        # Z-clustered files must carry materially tighter min-max ranges
+        # in BOTH dimensions than a random 8-way layout.
+        for col in ("x", "y"):
+            assert extent(z, col) < 0.7 * extent(naive, col), col
+
+    def test_dry_run_validates_zorder_columns(self, spark, tmp_path):
+        from cryoflow_spark.plugins.output import OrcWriterPlugin, ParquetWriterPlugin
+
+        schema = self._frame(spark).schema
+        for cls in (ParquetWriterPlugin, OrcWriterPlugin):
+            plugin = cls({
+                "output_path": str(tmp_path / "o"),
+                "zorder_by": [["nope", 0.0, 1.0]],
+            })
+            plugin.attach_session(spark)
+            res = plugin.dry_run(schema)
+            assert not is_successful(res)
+
+    def test_orc_zorder_roundtrip(self, spark, tmp_path):
+        from cryoflow_spark.plugins.output import OrcWriterPlugin
+
+        df = self._frame(spark)
+        out = tmp_path / "zorc"
+        plugin = OrcWriterPlugin({
+            "output_path": str(out),
+            "zorder_by": [["x", 0.0, 1000.0], ["y", 0.0, 1000.0]],
+            "zorder_partitions": 4,
+        })
+        plugin.attach_session(spark)
+        assert is_successful(plugin.execute(df))
+        assert spark.read.orc(str(out)).count() == 4000

@@ -403,3 +403,120 @@ def test_curate_chunk_plugin(spark):
     rows = sorted(out.collect(), key=lambda r: r["chunk_idx"])
     assert [r["chunk_start"] for r in rows] == [1, 81, 161]
     assert out.columns == ["doc_id", "chunk_idx", "chunk_start", "chunk_text"]
+
+
+class TestSamplePlugin:
+    """TOML-facing surface over functions/sampling.py (round-3 ops)."""
+
+    @pytest.fixture()
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [(i, ["en", "fr", "de"][i % 3], float(10 + i * 7)) for i in range(60)],
+            "doc_id long, lang string, score double",
+        )
+
+    def test_deterministic_matches_library_and_nests(self, docs):
+        from cryoflow_spark.functions import sampling as S
+
+        from cryoflow_spark.plugins.transform import SamplePlugin
+
+        small = _run(
+            SamplePlugin({"key_column": "doc_id", "fraction": 0.2}), docs
+        )
+        big = _run(
+            SamplePlugin({"key_column": "doc_id", "fraction": 0.6}), docs
+        )
+        exp = {r["doc_id"] for r in
+               S.deterministic_sample(docs, "doc_id", 0.2).collect()}
+        got_small = {r["doc_id"] for r in small.collect()}
+        got_big = {r["doc_id"] for r in big.collect()}
+        assert got_small == exp
+        assert got_small <= got_big  # nested samples
+
+    def test_weighted_matches_library(self, docs):
+        from cryoflow_spark.functions import sampling as S
+
+        from cryoflow_spark.plugins.transform import SamplePlugin
+
+        out = _run(
+            SamplePlugin({
+                "method": "weighted", "key_column": "doc_id",
+                "weight_column": "score", "rate_at_unit_weight": 0.002,
+                "max_weight": 300.0,
+            }),
+            docs,
+        )
+        exp = {r["doc_id"] for r in
+               S.weighted_sample(docs, "doc_id", "score", 0.002, 300.0).collect()}
+        assert {r["doc_id"] for r in out.collect()} == exp
+
+    def test_stratified_and_rebalance(self, docs):
+        from cryoflow_spark.plugins.transform import SamplePlugin
+
+        strat = _run(
+            SamplePlugin({
+                "method": "stratified", "key_column": "doc_id",
+                "strata_column": "lang",
+                "fractions": {"en": 1.0, "fr": 0.0},
+            }),
+            docs,
+        )
+        langs = {r["lang"] for r in strat.collect()}
+        assert langs == {"en"}  # fr rate 0, de default 0
+        reb = _run(
+            SamplePlugin({
+                "method": "rebalance", "key_column": "doc_id",
+                "source_column": "lang",
+                "target_shares": {"en": 0.5, "fr": 0.5},
+            }),
+            docs,
+        )
+        assert {r["lang"] for r in reb.collect()} <= {"en", "fr"}  # de dropped
+
+    def test_train_test_sides_partition_frame(self, docs):
+        from cryoflow_spark.plugins.transform import SamplePlugin
+
+        train = _run(
+            SamplePlugin({"method": "train_test", "key_column": "doc_id",
+                          "test_fraction": 0.3, "keep": "train"}),
+            docs,
+        )
+        test = _run(
+            SamplePlugin({"method": "train_test", "key_column": "doc_id",
+                          "test_fraction": 0.3, "keep": "test"}),
+            docs,
+        )
+        tr = {r["doc_id"] for r in train.collect()}
+        te = {r["doc_id"] for r in test.collect()}
+        assert tr.isdisjoint(te) and len(tr) + len(te) == 60
+
+    def test_dry_run_schema_and_missing_option(self, docs, spark):
+        from cryoflow_spark.plugins.transform import SamplePlugin
+
+        res = _dry(
+            SamplePlugin({"key_column": "doc_id", "fraction": 0.5}),
+            docs.schema, spark,
+        )
+        assert is_successful(res) and res.unwrap() == docs.schema  # filter-only
+        bad = _dry(SamplePlugin({"fraction": 0.5}), docs.schema, spark)
+        assert not is_successful(bad)  # key_column required
+
+
+def test_curate_remove_frequent_segments_plugin(spark):
+    from cryoflow_spark.functions import curation as C
+
+    boiler = "subscribe to our newsletter"
+    rows = [(i, f"unique line {i}\n{boiler}") for i in range(10)]
+    rows.append((99, boiler))  # all-boilerplate doc drops out entirely
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = _run(
+        CuratePlugin({"method": "remove_frequent_segments", "min_docs": 5}),
+        df,
+    )
+    exp = {
+        r["doc_id"]: r["text"]
+        for r in C.remove_frequent_segments(df, min_docs=5).collect()
+    }
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got == exp
+    assert 99 not in got and got[3] == "unique line 3"
