@@ -222,6 +222,42 @@ def _lsh_candidate_pairs(
     ).distinct()
 
 
+def _with_minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    num_hashes: int,
+    shingle_size: int,
+    portable: bool,
+) -> DataFrame:
+    """``df`` rows with non-null text, plus ``__shingles`` and ``__sig``.
+
+    The shared signature pipeline of :func:`minhash_dedup` and
+    :func:`minhash_dedup_incremental`: shingle → reduced base hashes
+    (materialized once) → vectorized affine min-hash signature. Rows
+    whose signature is null (empty shingle set) are filtered out — they
+    can never be near-duplicates and would collide in band joins.
+    """
+    with_sets = df.filter(F.col(text_col).isNotNull()).withColumn(
+        "__shingles", shingle_set(text_col, shingle_size)
+    )
+    base_hash = (
+        portable_base_hash
+        if portable
+        else (lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
+    )
+    with_base = with_sets.withColumn(
+        "__h",
+        F.transform(F.col("__shingles"), base_hash),
+    )
+    return (
+        with_base.withColumn(
+            "__sig", minhash_signature_vectorized(F.col("__h"), num_hashes)
+        )
+        .drop("__h")
+        .filter(F.col("__sig").isNotNull())
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -262,32 +298,14 @@ def minhash_dedup(
         raise ValueError(f"invalid hash_mode '{hash_mode}'")
     portable = hash_mode == "portable"
     tune_for_text_ops(df.sparkSession)
-    # Null-text rows never enter the signature/candidate pipeline: their
-    # shingle array would be [NULL], and xxhash64(NULL) yields a seed
-    # constant — every null doc would share one signature and be flagged
-    # as mutual near-duplicates. They are all kept in the output.
-    with_sets = df.filter(F.col(text_col).isNotNull()).withColumn(
-        "__shingles", shingle_set(text_col, shingle_size)
+    # Null-text rows never enter the signature/candidate pipeline (their
+    # shingle array would be [NULL] and every null doc would share one
+    # signature); they are all kept in the output. Base hashes are
+    # materialized ONCE — the affine rehashes scan a ready long array
+    # instead of re-hashing every shingle 64×.
+    with_sig = _with_minhash_signature(
+        df, text_col, num_hashes, shingle_size, portable
     )
-    # Materialize the reduced base hashes ONCE; the affine rehashes then
-    # scan a ready long array instead of re-hashing every shingle 64×.
-    base_hash = (
-        portable_base_hash
-        if portable
-        else (lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
-    )
-    with_base = with_sets.withColumn(
-        "__h",
-        F.transform(F.col("__shingles"), base_hash),
-    )
-    with_sig = with_base.withColumn(
-        "__sig", minhash_signature_vectorized(F.col("__h"), num_hashes)
-    ).drop("__h")
-
-    # Null-text rows have no signature (null); keep them out of the
-    # candidate pipeline entirely — they are never near-duplicates and a
-    # null signature would otherwise collide in the band join.
-    with_sig = with_sig.filter(F.col("__sig").isNotNull())
 
     if verify == "estimate":
         # Signatures are tiny (num_hashes longs) — carry both sides
@@ -315,7 +333,7 @@ def minhash_dedup(
         candidates = _lsh_candidate_pairs(
             with_sig, id_col, "__sig", num_hashes, bands, portable=portable
         )
-        sets = with_sets.select(F.col(id_col), F.col("__shingles"))
+        sets = with_sig.select(F.col(id_col), F.col("__shingles"))
         verified = (
             candidates.join(
                 sets.withColumnsRenamed({id_col: "id_a", "__shingles": "__set_a"}),
@@ -337,6 +355,86 @@ def minhash_dedup(
 
     to_remove = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(to_remove, on=id_col, how="left_anti")
+
+
+def minhash_dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    hash_mode: str = "engine",
+) -> DataFrame:
+    """Drop rows of ``new_df`` that near-duplicate anything in
+    ``corpus_df`` (cross-dump dedup: dedup a NEW crawl/batch against the
+    corpus already ingested, without re-deduping the corpus itself).
+
+    Same signature family, banding, and estimate-verify as
+    :func:`minhash_dedup`, but the band join is new-vs-corpus instead of
+    a self-join, and only new-side rows are ever removed. Dedup WITHIN
+    the new batch is deliberately out of scope — run
+    :func:`minhash_dedup` on the batch first; at 100 TB the corpus side
+    is the big one and this keeps its pipeline one-pass (signatures are
+    computed once per side, ride the band shuffle, and verify inline —
+    no join-backs, the same ReusedExchange-free shape as the carry-sig
+    self-join path).
+
+    New-batch rows with null text or empty shingle sets are kept (they
+    cannot match anything).
+    """
+    if hash_mode not in ("engine", "portable"):
+        raise ValueError(f"invalid hash_mode '{hash_mode}'")
+    portable = hash_mode == "portable"
+    from cryoflow_spark.core.session import tune_for_text_ops
+
+    tune_for_text_ops(new_df.sparkSession)
+    rows_per_band = num_hashes // bands
+    band_key = (lambda s: s) if portable else (lambda s: F.xxhash64(s))
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        sig = _with_minhash_signature(
+            df, text_col, num_hashes, shingle_size, portable
+        ).select(
+            F.col(id_col).alias(f"__id_{side}"),
+            F.col("__sig").alias(f"__sig_{side}"),
+        )
+        return sig.select(
+            f"__id_{side}",
+            f"__sig_{side}",
+            F.posexplode(
+                F.array(
+                    *[
+                        band_key(
+                            F.slice(
+                                F.col(f"__sig_{side}"),
+                                i * rows_per_band + 1,
+                                rows_per_band,
+                            )
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("band_idx", "band_hash"),
+        )
+
+    pairs = banded(new_df, "new").join(
+        banded(corpus_df, "corpus"), ["band_idx", "band_hash"]
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("__sig_new", "__sig_corpus", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    dupes = (
+        pairs.filter(agree / F.lit(num_hashes) >= threshold)
+        .select(F.col("__id_new").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(dupes, on=id_col, how="left_anti")
 
 
 def simhash_column(text_col: str, n_bits: int = 64, hash_mode: str = "engine"):

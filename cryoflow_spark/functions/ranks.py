@@ -43,6 +43,7 @@ def value_cdf(
     df: DataFrame,
     value_col: str,
     num_partitions: Optional[int] = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Per-distinct-value CDF spine for ``value_col``.
 
@@ -57,13 +58,24 @@ def value_cdf(
     (``asc_nulls_first`` in both the range partitioning and the local
     running sum), matching Spark's ``Window.orderBy(col)`` default
     (NULLS FIRST): NULL rows get ``rows_below = 0``.
+
+    ``assume_distinct=True`` asserts every ``value_col`` is unique (e.g.
+    a composite struct with a key column inside) and skips the distinct
+    groupBy — saving one full-table hash shuffle; the range exchange
+    below is then the ONLY full-table movement. With non-unique values
+    this flag silently produces row-number-style ranks — callers own the
+    uniqueness guarantee.
     """
     spark = df.sparkSession
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
 
-    counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    counts = (
+        df.select(value_col).withColumn("_cnt", F.lit(1).cast("long"))
+        if assume_distinct
+        else df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    )
     # Contiguous, non-overlapping value ranges per partition; equal values
     # land together (one spine row per value anyway after the groupBy).
     spine = counts.repartitionByRange(

@@ -176,6 +176,40 @@ def weighted_sample(
     return df.filter(hash_bucket(key_col, buckets) < threshold)
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    max_rows: int,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group, chosen deterministically.
+
+    The web-corpus "per-domain cap": a handful of giant domains (or
+    sources, or languages) would otherwise dominate the training mix, so
+    each group keeps only its first ``max_rows`` rows in md5-bucket order
+    (ties broken by the key itself) — reproducible across runs, engines,
+    and partitionings, and independent of input row order.
+
+    Scale: one partitioned window (``partitionBy(group_col)``) — the
+    shuffle is on the group key, each group ranks locally, no global
+    sort. A pathologically hot group concentrates its rows on one
+    reducer; that is inherent to exact per-group top-N — for skew beyond
+    that, pre-filter with :func:`stratified_sample` to bring groups near
+    the cap first.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(key_col, buckets), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )
+
+
 def train_test_split(
     df: DataFrame,
     key_col: str,

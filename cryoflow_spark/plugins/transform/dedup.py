@@ -12,6 +12,10 @@ Engine extension for large-scale training-data pipelines (BASELINE.json
   ``hamming_threshold``.
 - ``ngram_jaccard``: pairwise n-gram Jaccard within blocks; options
   ``column``, ``ngram``, ``threshold``, ``block_by``.
+- ``minhash_incremental``: cross-dump dedup — drop rows of THIS stream
+  that near-duplicate the sibling stream named by ``corpus_label`` (the
+  already-ingested corpus, which is never modified); same knobs as
+  ``minhash``.
 
 All near-dup modes return the frame with duplicates removed (keeping the
 lowest ``id_column`` per duplicate cluster).
@@ -23,10 +27,10 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cryoflow_spark.core.plugin import FrameData
-from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+from cryoflow_spark.plugins.transform.base import SiblingAwareTransformPlugin
 
 
-class DedupPlugin(AnalyzedTransformPlugin):
+class DedupPlugin(SiblingAwareTransformPlugin):
     @property
     def name(self) -> str:
         return "dedup"
@@ -71,6 +75,19 @@ class DedupPlugin(AnalyzedTransformPlugin):
                 text_col=column,
                 id_col=id_column,
                 hamming_threshold=int(self.options.get("hamming_threshold", 3)),
+                hash_mode=self.options.get("hash_mode", "engine"),
+            )
+        if method == "minhash_incremental":
+            corpus = self.sibling_frame(self.require_option("corpus_label"))
+            return D.minhash_dedup_incremental(
+                data,
+                corpus,
+                text_col=column,
+                id_col=id_column,
+                num_hashes=int(self.options.get("num_hashes", 64)),
+                bands=int(self.options.get("bands", 16)),
+                shingle_size=int(self.options.get("shingle_size", 3)),
+                threshold=float(self.options.get("threshold", 0.8)),
                 hash_mode=self.options.get("hash_mode", "engine"),
             )
         if method == "ngram_jaccard":

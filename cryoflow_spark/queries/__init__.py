@@ -104,10 +104,11 @@ _PRIORITY: list[str] = [
         "x26_repetition_stats", "x27_quantized_topk", "x28_source_mix",
         "x29_chunk_documents",
     ],
-    # fixed / changed this round (must re-verify)
+    # fixed / changed / NEW this round (must verify)
     "x30_weighted_sample", "q32_rank_family", "q35_approx_distinct",
+    "x33_incremental_dedup", "x34_domain_cap",
     # green sentinels (round-3 driver-verified, kept as regression canaries)
-    "q03_top_orders", "q22_rollup_counts", "q45_collect_sorted_arrays",
+    "q45_collect_sorted_arrays",
     "q58_distributed_cdf", "x02_dedup_normalized", "x15_minhash_dedup",
     "x20_dedup_clusters", "x31_zorder_key", "x32_remove_frequent_segments",
 ]

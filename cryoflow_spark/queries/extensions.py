@@ -1333,3 +1333,117 @@ def x32_remove_frequent_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.remove_frequent_segments(
         d, delimiter=" ", min_doc_frac=0.6
     )
+
+
+# --- x33: incremental (cross-dump) MinHash dedup --------------------------
+
+
+def _x33_oracle(num_hashes: int = 32, bands: int = 8, split: int = 250) -> str:
+    """DuckDB replica of portable-mode incremental MinHash dedup: the same
+    md5 base hashes / seeded affine family / raw-slice band keys as
+    :func:`_x15_oracle`, but candidates are new-vs-corpus (doc_id >=
+    split vs < split) and only new-side rows are removed."""
+    p = 2147483647  # functions.dedup._MERSENNE_31
+    rpb = num_hashes // bands
+    mins = ", ".join(
+        f"list_min(list_transform(h, x -> ({a}*x + {b}) % {p}))"
+        for a, b in D._minhash_coeffs(num_hashes, 42)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([substring(text, i, 4)
+               for i in generate_series(1, greatest(length(text) - 3, 1))]) AS s
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(s, x ->
+               CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % {p}) AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, list_value({mins}) AS sg
+      FROM hs
+      WHERE len(h) > 0
+    ),
+    banded AS (
+      SELECT doc_id, j, sg[({rpb}*j+1):({rpb}*j+{rpb})] AS band
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS j)
+    ),
+    dup AS (
+      SELECT DISTINCT n.doc_id
+      FROM banded n
+      JOIN banded c ON n.j = c.j AND n.band = c.band
+      JOIN sig sn ON sn.doc_id = n.doc_id
+      JOIN sig sc ON sc.doc_id = c.doc_id
+      WHERE n.doc_id >= {split} AND c.doc_id < {split}
+        AND len(list_filter([sn.sg[i] = sc.sg[i]
+                             for i in generate_series(1, {num_hashes})],
+                            x -> x)) / {num_hashes}.0
+            >= 0.5
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id >= {split} AND d.doc_id NOT IN (SELECT doc_id FROM dup)
+    """
+
+
+@register(
+    "x33_incremental_dedup",
+    _x33_oracle(),
+    "Incremental (cross-dump) MinHash dedup: drop NEW-batch docs that "
+    "near-duplicate the already-ingested corpus without re-deduping the "
+    "corpus — the standard crawl-over-crawl ingestion step. New-vs-corpus "
+    "band equi-join, signatures carried through the shuffle, inline "
+    "estimate verify; portable md5 mode so the oracle is bit-identical",
+)
+def x33_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    new_batch = d.filter(F.col("doc_id") >= 250)
+    corpus = d.filter(F.col("doc_id") < 250)
+    out = D.minhash_dedup_incremental(
+        new_batch, corpus, text_col="text", id_col="doc_id",
+        num_hashes=32, bands=8, shingle_size=4, threshold=0.5,
+        hash_mode="portable",
+    )
+    return out.select("doc_id", "lang")
+
+
+# --- x34: per-domain document cap ----------------------------------------
+
+
+def _x34_oracle(max_rows: int = 10) -> str:
+    from cryoflow_spark.functions.sampling import sql_hash_bucket
+
+    return f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {sql_hash_bucket('doc_id')}, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= {max_rows}
+    """
+
+
+@register(
+    "x34_domain_cap",
+    None,  # late-bound below (reuses the canonical bucket SQL)
+    "Per-domain/source document cap: keep at most N docs per source, "
+    "chosen deterministically by md5-bucket order — the web-corpus "
+    "anti-domination pass (one partitioned window, no global sort)",
+)
+def x34_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.sampling import cap_per_group
+
+    d = load(spark, sf_dir, "documents")
+    out = cap_per_group(d, group_col="source", key_col="doc_id", max_rows=10)
+    return out.select("doc_id", "source")
+
+
+_R2["x34_domain_cap"] = _QS2(
+    fn=_R2["x34_domain_cap"].fn,
+    oracle=_x34_oracle(),
+    description=_R2["x34_domain_cap"].description,
+)

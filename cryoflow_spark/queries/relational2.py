@@ -297,7 +297,10 @@ def q32_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = o.select(
         F.struct("o_totalprice", "o_orderkey", "o_orderstatus").alias("_wkey")
     )
-    spine = value_cdf(keyed, "_wkey")
+    # assume_distinct: the struct contains the key column, so the distinct
+    # groupBy would be an identity shuffle — skipping it leaves the range
+    # exchange as the only full-table movement.
+    spine = value_cdf(keyed, "_wkey", assume_distinct=True)
     rowno = F.col("rows_below") + F.lit(1)
     n = F.col("n_total")
     # Exact SQL NTILE(4): q = n div 4, r = n mod 4; bucket boundaries at

@@ -42,6 +42,73 @@ def test_minhash_dedup_removes_near_dups(docs):
     assert 2 not in ids  # near-dup (1 word of 9 differs) removed
 
 
+def test_minhash_dedup_incremental(spark):
+    """Cross-dump dedup: only new-batch rows matching the corpus drop;
+    within-batch duplicates and corpus rows are untouched; null-text new
+    rows survive."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # corpus dup
+            (11, "the quick brown fox jumps over the lazy cat"),  # near-dup
+            (12, "fresh unseen text about distributed minhash joins"),
+            (13, "fresh unseen text about distributed minhash joins"),  # in-batch dup: KEPT
+            (14, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = D.minhash_dedup_incremental(
+        new, corpus, text_col="text", id_col="doc_id",
+        num_hashes=64, bands=32, shingle_size=3, threshold=0.5,
+    )
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 10 not in ids  # exact corpus dup removed
+    assert 11 not in ids  # near-dup of corpus removed
+    assert ids == [12, 13, 14]  # in-batch dup + null text kept
+
+
+def test_cap_per_group_deterministic(spark):
+    from cryoflow_spark.functions.sampling import cap_per_group, hash_bucket
+
+    df = spark.createDataFrame(
+        [(i, ["big", "small"][i % 5 == 0]) for i in range(100)],
+        "doc_id long, source string",
+    )
+    out = cap_per_group(df, group_col="source", key_col="doc_id", max_rows=7)
+    rows = out.collect()
+    from collections import Counter
+
+    per = Counter(r["source"] for r in rows)
+    assert per["big"] == 7 and per["small"] == 7
+    # Deterministic under a different physical layout.
+    again = {
+        r["doc_id"]
+        for r in cap_per_group(
+            df.repartition(13), "source", "doc_id", 7
+        ).collect()
+    }
+    assert {r["doc_id"] for r in rows} == again
+    # The kept set is exactly the 7 lowest hash buckets per group.
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", "source",
+                           hash_bucket("doc_id").alias("b")).collect()
+    }
+    for src in ("big", "small"):
+        members = sorted(
+            (buckets[r["doc_id"]], r["doc_id"])
+            for r in df.collect() if r["source"] == src
+        )
+        expect = {d for _, d in members[:7]}
+        assert {r["doc_id"] for r in rows if r["source"] == src} == expect
+
+
 def test_minhash_signature_deterministic(docs):
     sig = docs.select(
         D.minhash_signature(D.shingle_set("text", 3), num_hashes=8).alias("s")

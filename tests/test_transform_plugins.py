@@ -520,3 +520,29 @@ def test_curate_remove_frequent_segments_plugin(spark):
     got = {r["doc_id"]: r["text"] for r in out.collect()}
     assert got == exp
     assert 99 not in got and got[3] == "unique line 3"
+
+
+def test_dedup_minhash_incremental_plugin(spark):
+    """Cross-dump dedup through the TOML surface: the 'corpus' sibling
+    stream is the reference; only the default stream loses rows."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),
+         (11, "entirely new material about plugin pipelines")],
+        "doc_id long, text string",
+    )
+    plugin = DedupPlugin({
+        "method": "minhash_incremental", "column": "text",
+        "id_column": "doc_id", "corpus_label": "corpus",
+        "num_hashes": 64, "bands": 32, "shingle_size": 3,
+        "threshold": 0.5,
+    })
+    plugin.attach_session(spark)
+    from cryoflow_spark.core.result import Success
+    plugin._siblings = {"corpus": Success(corpus)}
+    res = plugin.execute(new)
+    assert is_successful(res)
+    assert [r["doc_id"] for r in res.unwrap().collect()] == [11]
