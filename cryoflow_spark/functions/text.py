@@ -232,3 +232,68 @@ def pack_token_shards(
             (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)
         ).cast("bigint"),
     )
+
+
+def corpus_frequency_score(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 1,
+):
+    """Per-document common-token prior score (CCNet-family quality signal,
+    transcendental-free).
+
+    A document whose tokens are corpus-common reads as "in-distribution";
+    one full of rare junk tokens scores low — the same signal a unigram
+    LM perplexity filter extracts, but with NO log/exp anywhere so the
+    score is bit-identical across engines (libm ``log`` differs by ulps
+    between JVMs and DuckDB; plain +,-,*,/ and ``floor`` are
+    IEEE-correctly-rounded everywhere):
+
+        freq_score = floor(1e9 * sum_t cnt(t) / (n_tokens * N_corpus))
+
+    where ``cnt(t)`` is the token's corpus frequency and ``N_corpus`` the
+    total token count. The two sums are INTEGER aggregations
+    (order-independent under any partitioning); the single double
+    divide/multiply/floor chain is exact-deterministic.
+
+    Scale: one token explode, one vocabulary-sized frequency aggregation
+    (map-side partial, broadcast back into the token join), one per-doc
+    sum — the same join shape as :func:`tfidf_top_terms`, plus a 1-row
+    corpus-total scalar joined broadcast (the x21/x32 envelope).
+
+    Returns one row per document with tokens: ``id_col, sum_cnt,
+    n_tokens, freq_score``.
+    """
+    from pyspark.sql import DataFrame
+
+    assert isinstance(df, DataFrame)
+    tokens = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"),
+    ).filter((F.col("term") != "") & (F.length("term") >= min_len))
+    freq = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("__cnt"))
+    totals = freq.agg(F.sum("__cnt").alias("__n_corpus"))
+    per_doc = (
+        tokens.join(F.broadcast(freq), "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__cnt").alias("sum_cnt"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        F.col(id_col),
+        "sum_cnt",
+        "n_tokens",
+        F.floor(
+            F.lit(1000000000.0)
+            * (
+                F.col("sum_cnt").cast("double")
+                / (
+                    F.col("n_tokens").cast("double")
+                    * F.col("__n_corpus").cast("double")
+                )
+            )
+        ).cast("bigint").alias("freq_score"),
+    )

@@ -106,9 +106,8 @@ _PRIORITY: list[str] = [
     ],
     # fixed / changed / NEW this round (must verify)
     "x30_weighted_sample", "q32_rank_family", "q35_approx_distinct",
-    "x33_incremental_dedup", "x34_domain_cap",
+    "x33_incremental_dedup", "x34_domain_cap", "x35_corpus_freq_score",
     # green sentinels (round-3 driver-verified, kept as regression canaries)
-    "q45_collect_sorted_arrays",
     "q58_distributed_cdf", "x02_dedup_normalized", "x15_minhash_dedup",
     "x20_dedup_clusters", "x31_zorder_key", "x32_remove_frequent_segments",
 ]

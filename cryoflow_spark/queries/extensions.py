@@ -1447,3 +1447,38 @@ _R2["x34_domain_cap"] = _QS2(
     oracle=_x34_oracle(),
     description=_R2["x34_domain_cap"].description,
 )
+
+
+# --- x35: corpus-frequency quality score ----------------------------------
+
+
+@register(
+    "x35_corpus_freq_score",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                t -> t != '')) AS term
+      FROM documents WHERE text IS NOT NULL
+    ),
+    freq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_corpus FROM freq),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM toks JOIN freq USING (term) GROUP BY doc_id
+    )
+    SELECT doc_id, sum_cnt, n_tokens,
+           CAST(floor(1000000000.0 * (CAST(sum_cnt AS DOUBLE)
+                / (CAST(n_tokens AS DOUBLE) * CAST(n_corpus AS DOUBLE))))
+                AS BIGINT) AS freq_score
+    FROM per_doc, tot
+    """,
+    "Common-token prior quality score (CCNet-family signal without a "
+    "LM): integer corpus-frequency sums + one exact double divide — "
+    "bit-identical with no transcendentals; vocabulary table broadcast, "
+    "1-row corpus-total scalar (x21/x32 envelope)",
+)
+def x35_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.corpus_frequency_score(d, text_col="text", id_col="doc_id")

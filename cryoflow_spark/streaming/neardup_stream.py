@@ -1,0 +1,89 @@
+"""Streaming near-duplicate filtering against a static corpus.
+
+Engine extension (the reference has no stream processing — SURVEY.md §2B
+"explicitly absent"). A landing-zone document stream is filtered against
+the already-ingested corpus with the SAME operator a batch backfill
+uses: each micro-batch runs
+:func:`cryoflow_spark.functions.dedup.minhash_dedup_incremental` (new
+micro-batch vs static corpus band join, only stream rows dropped) inside
+``foreachBatch`` — Spark's sanctioned bridge for reusing batch-only
+machinery (multi-stage joins, AQE) per micro-batch, with exactly-once
+sink semantics from the checkpoint.
+
+Scale notes:
+
+- The corpus side is a static DataFrame: its signature pipeline is a
+  batch plan re-executed per micro-batch. For high-frequency triggers,
+  pre-compute the corpus signatures once (``minhash_dedup_incremental``
+  accepts any frame with the text column) or persist them as a parquet
+  band index; a micro-batch is the "new dump" of x33 in miniature.
+- Within-batch duplicates are NOT removed (same contract as the batch
+  operator) — compose ``dropDuplicatesWithinWatermark`` upstream for
+  stream-internal dedup.
+- State: none held by this operator itself (the band join is recomputed
+  per batch); memory is bounded by micro-batch size, never stream
+  history.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def neardup_filter_stream(
+    stream_df: DataFrame,
+    corpus_df: DataFrame,
+    output_path: str,
+    checkpoint_path: Optional[str] = None,
+    trigger: str = "available_now",
+    output_format: str = "parquet",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    hash_mode: str = "engine",
+) -> StreamingQuery:
+    """Start a stream that appends corpus-novel rows to ``output_path``.
+
+    Rows of ``stream_df`` that near-duplicate ``corpus_df`` (MinHash-LSH,
+    same knobs as the batch operator) are dropped; the rest are appended
+    in ``output_format``. ``trigger`` is ``available_now`` (bounded — for
+    backfills/tests) or ``processing_time=<interval>``.
+    """
+    from cryoflow_spark.functions.dedup import minhash_dedup_incremental
+
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    checkpoint = checkpoint_path or f"{output_path}/_checkpoint"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = minhash_dedup_incremental(
+            batch_df,
+            corpus_df,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_size=shingle_size,
+            threshold=threshold,
+            hash_mode=hash_mode,
+        )
+        fresh.write.format(output_format).mode("append").save(output_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger == "available_now":
+        writer = writer.trigger(availableNow=True)
+    elif trigger.startswith("processing_time="):
+        writer = writer.trigger(processingTime=trigger.split("=", 1)[1])
+    else:
+        raise ValueError(f"invalid trigger '{trigger}'")
+    return writer.start()

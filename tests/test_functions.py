@@ -1163,3 +1163,22 @@ class TestDistributedRankStats:
         for line in plan.splitlines():
             if "Window [" in line and "windowspecdefinition(_pid" not in line:
                 assert "_psize" in line, line
+
+
+def test_corpus_frequency_score_orders_quality(spark):
+    """A doc of corpus-common tokens outscores a doc of rare junk — the
+    signal a unigram-LM perplexity filter extracts, sans transcendentals."""
+    from cryoflow_spark.functions.text import corpus_frequency_score
+
+    common = "the cat sat on the mat and the dog sat too"
+    rows = [(i, common) for i in range(8)]
+    rows.append((100, "zxqv glorb fnibble wug zxqv"))  # rare junk
+    rows.append((101, None))  # no tokens -> absent from output
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus_frequency_score(df).collect()}
+    assert 101 not in out and len(out) == 9
+    assert out[0]["freq_score"] > out[100]["freq_score"]
+    # integer witnesses: n_tokens exact, sum_cnt = sum of corpus counts
+    assert out[100]["n_tokens"] == 5
+    # 'zxqv' occurs twice in the corpus (both in doc 100): 2+1+1+1+2
+    assert out[100]["sum_cnt"] == 7

@@ -93,6 +93,7 @@ def test_no_cartesian_products(spark, registry):
         # deliberate pattern as x21; plans BroadcastNestedLoopJoin over a
         # broadcast 1-row build side, never CartesianProduct.
         "x32_remove_frequent_segments",
+        "x35_corpus_freq_score",  # same 1-row corpus-total scalar
     }
     for name, spec in registry.items():
         df = spec.fn(spark, SF)

@@ -276,3 +276,49 @@ def test_streaming_pii_scrub_pipeline(spark, tmp_path):
     )
     assert rows[1] == "reach me at <EMAIL>"
     assert rows[2] == "clean text only"
+
+
+def test_neardup_filter_stream_vs_static_corpus(spark, tmp_path):
+    """foreachBatch near-dup filter: stream docs that duplicate the static
+    corpus are dropped; novel docs land in the sink exactly once."""
+    import duckdb as _duck
+
+    from cryoflow_spark.streaming.neardup_stream import neardup_filter_stream
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different content about spark engines")],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),   # corpus dup
+         (11, "the quick brown fox jumps over the lazy cat"),   # near-dup
+         (12, "genuinely novel material about stream filtering"),
+         (13, "another unseen document body entirely")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(src))
+    )
+    out = tmp_path / "fresh"
+    q = neardup_filter_stream(
+        stream, corpus, str(out),
+        num_hashes=64, bands=32, shingle_size=3, threshold=0.5,
+    )
+    q.awaitTermination(120)
+    ids = sorted(
+        r[0]
+        for r in _duck.sql(f"SELECT doc_id FROM '{out}/*.parquet'").fetchall()
+    )
+    assert ids == [12, 13]
+
+
+def test_neardup_filter_stream_rejects_batch_frame(spark):
+    from cryoflow_spark.streaming.neardup_stream import neardup_filter_stream
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must be a streaming"):
+        neardup_filter_stream(df, df, "/tmp/nowhere")
