@@ -233,6 +233,64 @@ def remove_frequent_segments(
     )
 
 
+def remove_duplicate_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Corpus-wide EXACT segment dedup: every non-blank segment keeps only
+    its first occurrence (lowest ``(id, position)``) across the whole
+    corpus; later repeats are removed and the survivors reassembled in
+    their original order.
+
+    This is the RefinedWeb/MassiveText "exact line dedup" pass —
+    complementary to :func:`remove_frequent_segments` (which drops
+    segments exceeding a document-frequency floor EVERYWHERE, including
+    the first copy). Here a quote or header survives once, corpus-wide.
+    Documents whose every segment was a repeat vanish from the output.
+
+    Scale: one shuffle keyed on the segment value (the partitioned
+    ``row_number`` window — each segment value ranks its occurrences
+    locally) and one per-document regroup. Hot segment values concentrate
+    their occurrence lists on one reducer; that is inherent to exact
+    first-occurrence semantics, and the values themselves (not documents)
+    are the window key, so skew is bounded by the count of the single
+    most-repeated segment.
+    """
+    import re
+
+    from pyspark.sql import Window
+
+    base = df.filter(F.col(text_col).isNotNull())
+    segments = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(delimiter), -1)
+        ).alias("__pos", "__seg"),
+    )
+    w = Window.partitionBy("__seg").orderBy(id_col, "__pos")
+    ranked = segments.withColumn("__occ", F.row_number().over(w))
+    kept = ranked.filter(
+        (F.trim("__seg") == "") | (F.col("__occ") == 1)
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__seg"))
+                    ),
+                    lambda s: s["__seg"],
+                ),
+                delimiter,
+            ).alias(text_col)
+        )
+        .filter(F.trim(text_col) != "")
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -21,6 +21,9 @@ the TOML plugin surface. Modes (option ``method``):
   segments (split on ``delimiter``, default newline) that appear in at
   least ``min_docs`` distinct documents or ``min_doc_frac`` of the
   corpus (exactly one of the two), reassembling survivors in order.
+- ``remove_duplicate_segments``: corpus-wide EXACT segment dedup — every
+  non-blank segment keeps only its first (id, position) occurrence;
+  option ``delimiter`` (default newline).
 """
 
 from __future__ import annotations
@@ -95,6 +98,14 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 text_col=column,
                 id_col=id_column,
                 ngram=int(self.options.get("ngram", 8)),
+            )
+
+        if method == "remove_duplicate_segments":
+            return C.remove_duplicate_segments(
+                data,
+                text_col=column,
+                id_col=id_column,
+                delimiter=str(self.options.get("delimiter", "\n")),
             )
 
         if method == "remove_frequent_segments":

@@ -1482,3 +1482,39 @@ _R2["x34_domain_cap"] = _QS2(
 def x35_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return X.corpus_frequency_score(d, text_col="text", id_col="doc_id")
+
+
+# --- x36: corpus-wide exact segment dedup ---------------------------------
+
+
+@register(
+    "x36_dedup_segments",
+    """
+    WITH segs AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS seg,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ranked AS (
+      SELECT doc_id, seg, pos,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS occ
+      FROM segs
+    )
+    SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+    FROM ranked
+    WHERE trim(seg) = '' OR occ = 1
+    GROUP BY doc_id
+    HAVING trim(string_agg(seg, ' ' ORDER BY pos)) != ''
+    """,
+    "Corpus-wide EXACT segment dedup (RefinedWeb/MassiveText exact line "
+    "dedup shape): each non-blank segment keeps only its first "
+    "(id, pos) occurrence across the corpus, survivors reassembled in "
+    "order — with delimiter=newline this is exact duplicate-line removal; "
+    "on this single-line corpus it runs at word level (4 docs contain "
+    "the corpus's last first-occurrences — the hash still pins exact "
+    "reassembly order); line semantics are unit-tested on multi-line docs",
+)
+def x36_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return C.remove_duplicate_segments(d, delimiter=" ")

@@ -1182,3 +1182,38 @@ def test_corpus_frequency_score_orders_quality(spark):
     assert out[100]["n_tokens"] == 5
     # 'zxqv' occurs twice in the corpus (both in doc 100): 2+1+1+1+2
     assert out[100]["sum_cnt"] == 7
+
+
+def test_remove_duplicate_segments_line_level(spark):
+    """Exact first-occurrence line dedup: a repeated quote survives once
+    (lowest id, pos), blanks are structural and always kept, all-repeat
+    docs vanish."""
+    from cryoflow_spark.functions.curation import remove_duplicate_segments
+
+    quote = "to be or not to be"
+    rows = [
+        (1, f"alpha line one\n{quote}\nalpha line two"),
+        (2, f"{quote}\nbeta unique line"),          # quote repeats -> dropped
+        (3, f"\ngamma solo line\n"),                # blank lines kept
+        (4, quote),                                  # all-repeat doc vanishes
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in remove_duplicate_segments(df, delimiter="\n").collect()}
+    assert out[1] == f"alpha line one\n{quote}\nalpha line two"
+    assert out[2] == "beta unique line"
+    assert out[3] == "\ngamma solo line\n"
+    assert 4 not in out and 5 not in out
+
+
+def test_remove_duplicate_segments_first_occurrence_order(spark):
+    """Within one doc, a line repeated later in the SAME doc also keeps
+    only the first position."""
+    from cryoflow_spark.functions.curation import remove_duplicate_segments
+
+    df = spark.createDataFrame(
+        [(7, "x\ny\nx\nz\ny")], "doc_id long, text string"
+    )
+    out = remove_duplicate_segments(df, delimiter="\n").collect()[0]["text"]
+    assert out == "x\ny\nz"

@@ -546,3 +546,15 @@ def test_dedup_minhash_incremental_plugin(spark):
     res = plugin.execute(new)
     assert is_successful(res)
     assert [r["doc_id"] for r in res.unwrap().collect()] == [11]
+
+
+def test_curate_remove_duplicate_segments_plugin(spark):
+    df = spark.createDataFrame(
+        [(1, "a\nshared\nb"), (2, "shared\nc")],
+        "doc_id long, text string",
+    )
+    out = _run(
+        CuratePlugin({"method": "remove_duplicate_segments"}), df
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got == {1: "a\nshared\nb", 2: "c"}
