@@ -76,6 +76,7 @@ BUILTIN_MODULES: dict[str, str] = {
     "dedup": "cryoflow_spark.plugins.transform.dedup",
     "repartition": "cryoflow_spark.plugins.transform.repartition",
     "sample": "cryoflow_spark.plugins.transform.sample",
+    "profile": "cryoflow_spark.plugins.transform.profile",
     "watermark": "cryoflow_spark.streaming.watermark",
     "session_window": "cryoflow_spark.streaming.sessionize",
     "stateful_sessionize": "cryoflow_spark.streaming.stateful_sessionize",

@@ -9,6 +9,7 @@ from cryoflow_spark.plugins.transform.group_agg import GroupAggPlugin
 from cryoflow_spark.plugins.transform.join import JoinPlugin
 from cryoflow_spark.plugins.transform.limit import LimitPlugin
 from cryoflow_spark.plugins.transform.multiplier import ColumnMultiplierPlugin
+from cryoflow_spark.plugins.transform.profile import ProfilePlugin
 from cryoflow_spark.plugins.transform.repartition import RepartitionPlugin
 from cryoflow_spark.plugins.transform.sample import SamplePlugin
 from cryoflow_spark.plugins.transform.select import SelectPlugin
@@ -28,6 +29,7 @@ __all__ = [
     "GroupAggPlugin",
     "JoinPlugin",
     "LimitPlugin",
+    "ProfilePlugin",
     "RepartitionPlugin",
     "SamplePlugin",
     "SelectPlugin",

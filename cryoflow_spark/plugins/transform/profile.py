@@ -1,0 +1,35 @@
+"""Column-profiling transform plugin (data-QA audit stage).
+
+Replaces the stream with its long-format profile — one row per column
+with ``col_name, n_rows, n_nulls, n_distinct, min_num, max_num``
+(see :mod:`cryoflow_spark.functions.profiling`). Route it on its own
+label (or behind a ``select``) to audit a pipeline stage without
+disturbing the main stream. Options:
+
+- ``columns`` (optional list — default: every column)
+- ``exact`` (default true) — exact ``countDistinct`` (one Expand) vs
+  HLL++ ``approx_count_distinct`` (the expand-free 100 TB mode)
+- ``rsd`` (default 0.05) — approx-mode relative standard deviation
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+
+
+class ProfilePlugin(AnalyzedTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "profile"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        from cryoflow_spark.functions.profiling import profile_columns
+
+        columns = self.options.get("columns")
+        return profile_columns(
+            data,
+            columns=list(columns) if columns else None,
+            exact=bool(self.options.get("exact", True)),
+            rsd=float(self.options.get("rsd", 0.05)),
+        )

@@ -107,9 +107,9 @@ _PRIORITY: list[str] = [
     # fixed / changed / NEW this round (must verify)
     "x30_weighted_sample", "q32_rank_family", "q35_approx_distinct",
     "x33_incremental_dedup", "x34_domain_cap", "x35_corpus_freq_score",
-    "x36_dedup_segments",
+    "x36_dedup_segments", "x37_profile_columns",
     # green sentinels (round-3 driver-verified, kept as regression canaries)
-    "q58_distributed_cdf", "x15_minhash_dedup",
+    "x15_minhash_dedup",
     "x20_dedup_clusters", "x31_zorder_key", "x32_remove_frequent_segments",
 ]
 

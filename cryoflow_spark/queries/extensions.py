@@ -1518,3 +1518,59 @@ def x35_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x36_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return C.remove_duplicate_segments(d, delimiter=" ")
+
+
+# --- x37: one-pass column profiling --------------------------------------
+
+
+def _x37_col(name: str, kind: str) -> str:
+    if kind == "num":
+        mn = f"(SELECT CAST(MIN({name}) AS DOUBLE) FROM lineitem)"
+        mx = f"(SELECT CAST(MAX({name}) AS DOUBLE) FROM lineitem)"
+    elif kind == "ts":
+        mn = f"(SELECT CAST(epoch_us(MIN({name})) AS DOUBLE) FROM lineitem)"
+        mx = f"(SELECT CAST(epoch_us(MAX({name})) AS DOUBLE) FROM lineitem)"
+    else:
+        mn = "CAST(NULL AS DOUBLE)"
+        mx = "CAST(NULL AS DOUBLE)"
+    return f"""
+    SELECT '{name}' AS col_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+           (SELECT CAST(COUNT(*) - COUNT({name}) AS BIGINT) FROM lineitem)
+             AS n_nulls,
+           (SELECT CAST(COUNT(DISTINCT {name}) AS BIGINT) FROM lineitem)
+             AS n_distinct,
+           {mn} AS min_num, {mx} AS max_num
+    """
+
+
+def _x37_oracle() -> str:
+    cols = [
+        ("l_orderkey", "num"), ("l_quantity", "num"),
+        ("l_extendedprice", "num"), ("l_discount", "num"),
+        ("l_returnflag", "str"), ("l_linestatus", "str"),
+        ("l_shipdate", "ts"),
+    ]
+    return " UNION ALL ".join(_x37_col(n, k) for n, k in cols)
+
+
+@register(
+    "x37_profile_columns",
+    _x37_oracle(),
+    "One-pass column profiling (nulls / exact distincts / numeric+epoch "
+    "min-max per column) — the pre/post-curation data-QA audit; exact "
+    "mode pays one Expand for multi-column countDistinct, approx mode "
+    "(HLL++) is the expand-free 100 TB path",
+)
+def x37_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import profile_columns
+
+    li = load(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li,
+        columns=[
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+        exact=True,
+    )

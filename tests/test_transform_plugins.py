@@ -558,3 +558,46 @@ def test_curate_remove_duplicate_segments_plugin(spark):
     )
     got = {r["doc_id"]: r["text"] for r in out.collect()}
     assert got == {1: "a\nshared\nb", 2: "c"}
+
+
+class TestProfilePlugin:
+    def test_profile_exact(self, sales, spark):
+        from cryoflow_spark.plugins.transform import ProfilePlugin
+
+        out = _run(
+            ProfilePlugin({"columns": ["region", "amount", "qty"]}), sales
+        )
+        rows = {r["col_name"]: r for r in out.collect()}
+        assert set(rows) == {"region", "amount", "qty"}
+        assert all(r["n_rows"] == 5 for r in rows.values())
+        assert rows["region"]["n_distinct"] == 2
+        assert rows["region"]["min_num"] is None  # non-numeric
+        assert rows["amount"]["min_num"] == 10.0
+        assert rows["amount"]["max_num"] == 50.0
+        assert rows["qty"]["n_nulls"] == 0
+
+    def test_profile_approx_no_expand(self, sales, spark):
+        """approx mode must not plan an Expand (the 100 TB path)."""
+        import contextlib
+        import io
+
+        from cryoflow_spark.plugins.transform import ProfilePlugin
+
+        plugin = ProfilePlugin({"exact": False})
+        plugin.attach_session(spark)
+        df = plugin.execute(sales).unwrap()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("simple")
+        assert "Expand" not in buf.getvalue()
+        rows = {r["col_name"]: r for r in df.collect()}
+        assert len(rows) == 4
+        # HLL at default rsd is exact on tiny cardinalities
+        assert rows["region"]["n_distinct"] == 2
+
+    def test_profile_unknown_column_fails(self, sales, spark):
+        from cryoflow_spark.plugins.transform import ProfilePlugin
+
+        plugin = ProfilePlugin({"columns": ["nope"]})
+        plugin.attach_session(spark)
+        assert not is_successful(plugin.execute(sales))
