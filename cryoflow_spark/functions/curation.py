@@ -252,11 +252,12 @@ def remove_duplicate_segments(
 
     Scale: one shuffle keyed on the segment value (the partitioned
     ``row_number`` window — each segment value ranks its occurrences
-    locally) and one per-document regroup. Hot segment values concentrate
-    their occurrence lists on one reducer; that is inherent to exact
-    first-occurrence semantics, and the values themselves (not documents)
-    are the window key, so skew is bounded by the count of the single
-    most-repeated segment.
+    locally) and one per-document regroup. Blank segments — by far the
+    most frequent "value" in a real multi-line corpus — are routed
+    AROUND the window entirely (they are structural and always kept), so
+    they never pile onto one reducer; remaining skew is bounded by the
+    count of the single most-repeated non-blank segment, which is
+    inherent to exact first-occurrence semantics.
     """
     import re
 
@@ -269,11 +270,15 @@ def remove_duplicate_segments(
             F.split(F.col(text_col), re.escape(delimiter), -1)
         ).alias("__pos", "__seg"),
     )
+    blanks = segments.filter(F.trim("__seg") == "")
     w = Window.partitionBy("__seg").orderBy(id_col, "__pos")
-    ranked = segments.withColumn("__occ", F.row_number().over(w))
-    kept = ranked.filter(
-        (F.trim("__seg") == "") | (F.col("__occ") == 1)
+    firsts = (
+        segments.filter(F.trim("__seg") != "")
+        .withColumn("__occ", F.row_number().over(w))
+        .filter(F.col("__occ") == 1)
+        .drop("__occ")
     )
+    kept = firsts.unionByName(blanks)
     return (
         kept.groupBy(id_col)
         .agg(

@@ -154,6 +154,43 @@ def minhash_signature_vectorized(hashes_col, num_hashes: int = 64, seed: int = 4
     return _sig(hashes_col)
 
 
+def _band_explode(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    num_hashes: int,
+    bands: int,
+    portable: bool,
+    carry_sig: bool,
+) -> DataFrame:
+    """One row per (doc, band): ``id_col, [sig_col,] band_idx, band_hash``.
+
+    THE banding scheme — band ``i`` is signature slice
+    ``[i*r+1, (i+1)*r]`` (r = num_hashes // bands), keyed raw (portable:
+    list-equality joins reproducible in any engine) or ``xxhash64``-ed
+    (engine mode). Shared by the self-join candidate generator and the
+    incremental new-vs-corpus path so the two can never diverge.
+    """
+    rows_per_band = num_hashes // bands
+    band_key = (lambda s: s) if portable else (lambda s: F.xxhash64(s))
+    return df.select(
+        F.col(id_col),
+        *([F.col(sig_col)] if carry_sig else []),
+        F.posexplode(
+            F.array(
+                *[
+                    band_key(
+                        F.slice(
+                            F.col(sig_col), i * rows_per_band + 1, rows_per_band
+                        )
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def _lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -182,23 +219,8 @@ def _lsh_candidate_pairs(
     longs × bands copies per doc (e.g. 8 KiB at 64×16), independent of
     corpus size, the standard space-for-shuffle LSH trade.
     """
-    rows_per_band = num_hashes // bands
-    band_key = (
-        (lambda s: s) if portable else (lambda s: F.xxhash64(s))
-    )
-    banded = df.select(
-        F.col(id_col),
-        *([F.col(sig_col)] if carry_sig else []),
-        F.posexplode(
-            F.array(
-                *[
-                    band_key(
-                        F.slice(F.col(sig_col), i * rows_per_band + 1, rows_per_band)
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+    banded = _band_explode(
+        df, id_col, sig_col, num_hashes, bands, portable, carry_sig
     )
     a = banded.alias("a")
     # shuffle_hash → ReusedExchange: the signature pipeline computes once.
@@ -391,8 +413,6 @@ def minhash_dedup_incremental(
     from cryoflow_spark.core.session import tune_for_text_ops
 
     tune_for_text_ops(new_df.sparkSession)
-    rows_per_band = num_hashes // bands
-    band_key = (lambda s: s) if portable else (lambda s: F.xxhash64(s))
 
     def banded(df: DataFrame, side: str) -> DataFrame:
         sig = _with_minhash_signature(
@@ -401,23 +421,9 @@ def minhash_dedup_incremental(
             F.col(id_col).alias(f"__id_{side}"),
             F.col("__sig").alias(f"__sig_{side}"),
         )
-        return sig.select(
-            f"__id_{side}",
-            f"__sig_{side}",
-            F.posexplode(
-                F.array(
-                    *[
-                        band_key(
-                            F.slice(
-                                F.col(f"__sig_{side}"),
-                                i * rows_per_band + 1,
-                                rows_per_band,
-                            )
-                        )
-                        for i in range(bands)
-                    ]
-                )
-            ).alias("band_idx", "band_hash"),
+        return _band_explode(
+            sig, f"__id_{side}", f"__sig_{side}", num_hashes, bands,
+            portable, carry_sig=True,
         )
 
     pairs = banded(new_df, "new").join(

@@ -189,7 +189,12 @@ def cap_per_group(
     sources, or languages) would otherwise dominate the training mix, so
     each group keeps only its first ``max_rows`` rows in md5-bucket order
     (ties broken by the key itself) — reproducible across runs, engines,
-    and partitionings, and independent of input row order.
+    and partitionings, and independent of input row order, PROVIDED
+    ``key_col`` is unique within each group (e.g. a document id). With
+    duplicate keys inside a group, rows at the cap boundary tie on
+    (bucket, key) and ``row_number`` breaks the tie arbitrarily — the
+    caller owns key uniqueness, same contract as ``value_cdf``'s
+    ``assume_distinct``.
 
     Scale: one partitioned window (``partitionBy(group_col)``) — the
     shuffle is on the group key, each group ranks locally, no global

@@ -44,17 +44,15 @@ class OrcWriterPlugin(OutputPlugin):
         try:
             path = self.resolve_path(self.require_option("output_path"))
             partition_by = self.options.get("partition_by") or []
+            from cryoflow_spark.plugins.output.parquet_writer import (
+                _check_zorder_columns,
+            )
+
             names = {f.name for f in schema.fields}
             missing = [c for c in partition_by if c not in names]
             if missing:
                 raise KeyError(f"partition_by columns not in schema: {missing}")
-            z_missing = [
-                str(e[0])
-                for e in (self.options.get("zorder_by") or [])
-                if str(e[0]) not in names
-            ]
-            if z_missing:
-                raise KeyError(f"zorder_by columns not in schema: {z_missing}")
+            _check_zorder_columns(self.options, schema)
             path.parent.mkdir(parents=True, exist_ok=True)
             if not os.access(path.parent, os.W_OK):
                 raise PermissionError(

@@ -19,7 +19,10 @@ target directory is creatable/writable without writing data. Options:
   exchange + in-partition sort), so per-file min-max stats are tight in
   every listed column and downstream scans skip files. ``zorder_bits``
   (default 16) and ``zorder_partitions`` (optional) tune the key
-  resolution and output file count.
+  resolution and output file count. Composes with ``single_file``:
+  ``coalesce(1)`` concatenates the range partitions in index order, so
+  the single file is GLOBALLY Z-sorted and its row-group stats stay
+  tight (pinned by test).
 
 Spark's ``df.write.parquet`` is pipelined per partition (executors stream
 their partitions to files) — the same out-of-core property as the
@@ -35,6 +38,18 @@ from pathlib import Path
 
 from cryoflow_spark.core.plugin import FrameData, OutputPlugin, SchemaData
 from cryoflow_spark.core.result import Failure, Result, Success
+
+
+def _check_zorder_columns(options: dict, schema: SchemaData) -> None:
+    """Shared dry-run validation for the writers' ``zorder_by`` option."""
+    names = {f.name for f in schema.fields}
+    missing = [
+        str(e[0])
+        for e in (options.get("zorder_by") or [])
+        if str(e[0]) not in names
+    ]
+    if missing:
+        raise KeyError(f"zorder_by columns not in schema: {missing}")
 
 
 def _maybe_zorder(data: FrameData, options: dict) -> FrameData:
@@ -99,14 +114,7 @@ class ParquetWriterPlugin(OutputPlugin):
         """Writability check via mkdir (reference parquet_writer.py:51-75)."""
         try:
             path = self.resolve_path(self.require_option("output_path"))
-            names = {f.name for f in schema.fields}
-            missing = [
-                str(e[0])
-                for e in (self.options.get("zorder_by") or [])
-                if str(e[0]) not in names
-            ]
-            if missing:
-                raise KeyError(f"zorder_by columns not in schema: {missing}")
+            _check_zorder_columns(self.options, schema)
             path.parent.mkdir(parents=True, exist_ok=True)
             if not os.access(path.parent, os.W_OK):
                 raise PermissionError(f"output directory not writable: {path.parent}")

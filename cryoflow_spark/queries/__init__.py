@@ -82,10 +82,11 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: not-yet-driver-verified queries into that window each round while keeping
 #: a spread of already-green sentinels as regression canaries; everything
 #: else follows in original registration order (still runnable/benchable).
-#: Round 4: rotate back the 39 queries last checked in round 2 (keeping
-#: the freshness invariant: every query driver-verified within the last
-#: two rounds) + the queries fixed/changed this round (x30 oracle cast,
-#: q32 CDF-spine migration, q35 de-expand) + 9 round-3 sentinels.
+#: Round 4: rotate back the 38 queries last checked in round 2, PLUS x18
+#: (rows-only by design, but it fell outside both the r2 and r3 windows —
+#: restoring the freshness invariant: every query driver-checked within
+#: the last two rounds) + the 8 queries fixed/changed/new this round +
+#: 3 round-3 green sentinels as regression canaries.
 _PRIORITY: list[str] = [
     # last driver-checked in round 2 — rotate back in
     *[
@@ -102,15 +103,15 @@ _PRIORITY: list[str] = [
         "x16_simhash_pairs", "x17_sessionize", "x22_token_shards",
         "x23_ivf_fixed_topk", "x24_pii_scrub", "x25_decontaminate",
         "x26_repetition_stats", "x27_quantized_topk", "x28_source_mix",
-        "x29_chunk_documents",
+        "x29_chunk_documents", "x18_ivf_cosine_topk",
     ],
     # fixed / changed / NEW this round (must verify)
     "x30_weighted_sample", "q32_rank_family", "q35_approx_distinct",
     "x33_incremental_dedup", "x34_domain_cap", "x35_corpus_freq_score",
     "x36_dedup_segments", "x37_profile_columns",
     # green sentinels (round-3 driver-verified, kept as regression canaries)
-    "x15_minhash_dedup",
-    "x20_dedup_clusters", "x31_zorder_key", "x32_remove_frequent_segments",
+    "x15_minhash_dedup", "x20_dedup_clusters",
+    "x32_remove_frequent_segments",
 ]
 
 

@@ -437,9 +437,12 @@ def q35_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nothing), no Expand; the second shuffle moves only the deduped
     # pairs, a tiny fraction of the fact table.
     pairs = e.groupBy("event_type", "user_id").agg(F.lit(1).alias("_one"))
+    # count(user_id), not count(*): the deduped pairs include a NULL-user
+    # group per event_type, which COUNT(DISTINCT user_id) (and the HLL
+    # sketch) would never count — count(col) skips NULLs, matching both.
     agg = pairs.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.count(F.lit(1)).alias("exact_users"),
+        F.count("user_id").alias("exact_users"),
     )
     # HLL++ is deterministic for fixed data, so this bound is a stable,
     # hash-checkable witness that the sketch ran and is accurate; the raw

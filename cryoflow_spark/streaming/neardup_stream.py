@@ -7,8 +7,13 @@ uses: each micro-batch runs
 :func:`cryoflow_spark.functions.dedup.minhash_dedup_incremental` (new
 micro-batch vs static corpus band join, only stream rows dropped) inside
 ``foreachBatch`` — Spark's sanctioned bridge for reusing batch-only
-machinery (multi-stage joins, AQE) per micro-batch, with exactly-once
-sink semantics from the checkpoint.
+machinery (multi-stage joins, AQE) per micro-batch. foreachBatch
+delivery is AT-LEAST-ONCE (a batch whose write completed but whose
+checkpoint commit didn't is re-delivered on restart), so the sink write
+is made idempotent the standard way: each batch overwrites its own
+``batch_id=N`` subdirectory — a replayed batch replaces its previous
+output instead of duplicating it. Readers scan the root path (Spark
+discovers ``batch_id`` as a partition column).
 
 Scale notes:
 
@@ -73,7 +78,11 @@ def neardup_filter_stream(
             threshold=threshold,
             hash_mode=hash_mode,
         )
-        fresh.write.format(output_format).mode("append").save(output_path)
+        # Idempotent per-batch sink: overwrite THIS batch's subdirectory,
+        # so an at-least-once redelivery replaces rather than duplicates.
+        fresh.write.format(output_format).mode("overwrite").save(
+            f"{output_path}/batch_id={batch_id}"
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(_process)

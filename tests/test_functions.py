@@ -1217,3 +1217,30 @@ def test_remove_duplicate_segments_first_occurrence_order(spark):
     )
     out = remove_duplicate_segments(df, delimiter="\n").collect()[0]["text"]
     assert out == "x\ny\nz"
+
+
+def test_q35_excludes_null_users_like_count_distinct(spark, tmp_path):
+    """q35's de-expanded exact count must match COUNT(DISTINCT user_id)
+    semantics exactly: NULL user_ids are not users."""
+    from pyspark.sql import functions as SF
+
+    from cryoflow_spark.queries import all_queries
+
+    rows = [
+        (1, "click", 10), (2, "click", 10), (3, "click", None),
+        (4, "view", None), (5, "view", None), (6, "view", 20),
+        (7, "buy", 30),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, user_id long")
+    df = df.withColumn("ts", SF.timestamp_micros(SF.col("event_id") * 1000000))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["event_type"]: r
+        for r in all_queries()["q35_approx_distinct"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["click"]["exact_users"] == 1   # NULL group not counted
+    assert out["view"]["exact_users"] == 1
+    assert out["buy"]["exact_users"] == 1
+    assert all(r["approx_ok"] for r in out.values())

@@ -441,3 +441,33 @@ class TestWriterZorder:
         plugin.attach_session(spark)
         assert is_successful(plugin.execute(df))
         assert spark.read.orc(str(out)).count() == 4000
+
+
+    def test_single_file_zorder_globally_sorted(self, spark, tmp_path):
+        """single_file + zorder_by compose: coalesce(1) concatenates the
+        range partitions in index order, so the one output file is
+        globally Z-sorted (stats stay tight per row group)."""
+        from cryoflow_spark.functions.layout import zorder_key
+        from cryoflow_spark.plugins.output import ParquetWriterPlugin
+
+        df = self._frame(spark)
+        target = tmp_path / "single.parquet"
+        plugin = ParquetWriterPlugin({
+            "output_path": str(target),
+            "single_file": True,
+            "zorder_by": [["x", 0.0, 1000.0], ["y", 0.0, 1000.0]],
+            "zorder_bits": 10,
+            "zorder_partitions": 8,
+        })
+        plugin.attach_session(spark)
+        assert is_successful(plugin.execute(df))
+        back = spark.read.parquet(str(target))
+        assert back.count() == 4000
+        zkeys = [
+            r["z"]
+            for r in back.select(
+                zorder_key([("x", 0.0, 1000.0), ("y", 0.0, 1000.0)],
+                           bits=10).alias("z")
+            ).collect()
+        ]
+        assert zkeys == sorted(zkeys)

@@ -311,7 +311,9 @@ def test_neardup_filter_stream_vs_static_corpus(spark, tmp_path):
     q.awaitTermination(120)
     ids = sorted(
         r[0]
-        for r in _duck.sql(f"SELECT doc_id FROM '{out}/*.parquet'").fetchall()
+        for r in _duck.sql(
+            f"SELECT doc_id FROM '{out}/batch_id=*/*.parquet'"
+        ).fetchall()
     )
     assert ids == [12, 13]
 
