@@ -229,3 +229,44 @@ def train_test_split(
     cut = int(test_fraction * buckets)
     bucket = hash_bucket(key_col, buckets)
     return df.filter(bucket >= cut), df.filter(bucket < cut)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    test_fraction: float = 0.1,
+    buckets: int = BUCKETS,
+    group_col: str = "split_group",
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) split where NEAR-DUPLICATE CLUSTERS never straddle
+    the boundary — the eval-integrity property a per-row split cannot
+    give (a test doc whose near-dup sits in train is leaked).
+
+    ``pairs`` is a near-dup edge list ``(id_a, id_b)`` from any of the
+    candidate generators (MinHash/SimHash/n-gram Jaccard/embedding).
+    Edges are closed transitively via connected components
+    (large-star/small-star, log-rounds); every document's split group is
+    its component label (its own id for singletons), and the side is the
+    md5 bucket of the GROUP — so the whole cluster moves together,
+    deterministically. Both returned frames carry ``group_col``.
+
+    Scale: the CC rounds touch only the edge list (pairs are sparse by
+    construction); the corpus itself sees one left join against the
+    component map and the usual map-only bucket filter.
+    """
+    from pyspark.sql import functions as F
+
+    from cryoflow_spark.functions.dedup import connected_components_two_phase
+
+    comp = connected_components_two_phase(pairs)
+    labeled = (
+        df.join(comp, df[id_col] == comp["node"], "left")
+        .withColumn(
+            group_col, F.coalesce(F.col("component"), F.col(id_col))
+        )
+        .drop("node", "component")
+    )
+    cut = int(test_fraction * buckets)
+    bucket = hash_bucket(group_col, buckets)
+    return labeled.filter(bucket >= cut), labeled.filter(bucket < cut)

@@ -1574,3 +1574,50 @@ def x37_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         exact=True,
     )
+
+
+# --- x38: leakage-safe (cluster-aware) train/test split -------------------
+
+
+def _x38_oracle() -> str:
+    from cryoflow_spark.functions.sampling import sql_hash_bucket
+
+    return f"""
+    WITH comp AS ({_CLUSTERS_SQL}),
+    labeled AS (
+      SELECT d.doc_id, d.lang,
+             COALESCE(c.component, d.doc_id) AS split_group
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, lang, split_group FROM labeled
+    WHERE {sql_hash_bucket('split_group')} < 300000
+    """
+
+
+@register(
+    "x38_leakage_safe_split",
+    None,  # late-bound below (reuses the canonical bucket SQL)
+    "Leakage-safe train/test split: near-dup clusters (transitive closure "
+    "of Jaccard pairs) move as a unit — the md5 bucket of the COMPONENT "
+    "decides the side, so no test doc has a near-duplicate in train. "
+    "Query emits the 30% test side with its split group",
+)
+def x38_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.sampling import leakage_safe_split
+
+    d = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", ngram=3, threshold=0.05,
+        block_by="lang",
+    )
+    _train, test = leakage_safe_split(
+        d, pairs, id_col="doc_id", test_fraction=0.3
+    )
+    return test.select("doc_id", "lang", "split_group")
+
+
+_R2["x38_leakage_safe_split"] = _QS2(
+    fn=_R2["x38_leakage_safe_split"].fn,
+    oracle=_x38_oracle(),
+    description=_R2["x38_leakage_safe_split"].description,
+)

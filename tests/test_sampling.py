@@ -134,3 +134,32 @@ def test_rebalance_sources_rejects_zero_share(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     with pytest.raises(ValueError, match="positive"):
         rebalance_sources(df, "source", "doc_id", {"a": 0.0})
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Every near-dup pair (and its transitive closure) lands on one side;
+    the two sides partition the corpus."""
+    from cryoflow_spark.functions.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body number {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    # chain 0-1-2 plus pair (10,11): transitive closure must group 0,1,2
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    train, test = leakage_safe_split(docs, pairs, test_fraction=0.4)
+    tr = {r["doc_id"]: r["split_group"] for r in train.collect()}
+    te = {r["doc_id"]: r["split_group"] for r in test.collect()}
+    assert set(tr).isdisjoint(te) and len(tr) + len(te) == 40
+    for cluster in ({0, 1, 2}, {10, 11}):
+        sides = {("train" if d in tr else "test") for d in cluster}
+        assert len(sides) == 1, cluster  # whole cluster on one side
+        groups = {(tr | te)[d] for d in cluster}
+        assert len(groups) == 1  # one shared split_group label
+    # determinism under different physical layout
+    train2, test2 = leakage_safe_split(
+        docs.repartition(7), pairs, test_fraction=0.4
+    )
+    assert {r["doc_id"] for r in test2.collect()} == set(te)
