@@ -1621,3 +1621,72 @@ _R2["x38_leakage_safe_split"] = _QS2(
     oracle=_x38_oracle(),
     description=_R2["x38_leakage_safe_split"].description,
 )
+
+
+# --- x39: corpus snapshot diff --------------------------------------------
+
+
+@register(
+    "x39_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, text, lang FROM documents
+    ),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END
+               AS text,
+             lang
+      FROM documents WHERE doc_id % 17 != 0
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text, lang
+      FROM documents WHERE doc_id % 23 = 0
+    ),
+    oh AS (
+      SELECT doc_id,
+             md5(concat_ws(chr(31),
+                           coalesce(CAST(text AS VARCHAR), chr(0)),
+                           coalesce(CAST(lang AS VARCHAR), chr(0)))) AS h
+      FROM old
+    ),
+    nh AS (
+      SELECT doc_id,
+             md5(concat_ws(chr(31),
+                           coalesce(CAST(text AS VARCHAR), chr(0)),
+                           coalesce(CAST(lang AS VARCHAR), chr(0)))) AS h
+      FROM new
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM oh o FULL OUTER JOIN nh n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h != n.h
+    """,
+    "Corpus snapshot diff (added/removed/changed between dump versions): "
+    "map-side md5 row hashes + one full-outer key join — no payload ever "
+    "rides the shuffle; the new snapshot is derived deterministically "
+    "from documents (drop %17, mutate %11, add shifted %23) in both "
+    "engines",
+)
+def x39_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.diff import snapshot_diff
+
+    d = load(spark, sf_dir, "documents")
+    old = d.select("doc_id", "text", "lang")
+    new = (
+        d.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")).alias("text"),
+            "lang",
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 23 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+            )
+        )
+    )
+    return snapshot_diff(old, new, id_col="doc_id", compare_cols=["text", "lang"])

@@ -1244,3 +1244,33 @@ def test_q35_excludes_null_users_like_count_distinct(spark, tmp_path):
     assert out["view"]["exact_users"] == 1
     assert out["buy"]["exact_users"] == 1
     assert all(r["approx_ok"] for r in out.values())
+
+
+def test_snapshot_diff_classifies_and_drops_unchanged(spark):
+    from cryoflow_spark.functions.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha", "en"), (2, "beta", "en"), (3, "gamma", "fr"),
+         (4, None, "de")],
+        "doc_id long, text string, lang string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha", "en"),          # unchanged -> omitted
+         (2, "beta PRIME", "en"),     # changed
+         (4, None, "de"),             # unchanged incl. NULL text
+         (5, "delta", "es")],         # added; 3 removed
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: r["change"] for r in snapshot_diff(old, new).collect()}
+    assert got == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_snapshot_diff_null_vs_sentinel_distinct(spark):
+    """A NULL value and the literal sentinel string must hash differently
+    enough: changing NULL -> '' is a change."""
+    from cryoflow_spark.functions.diff import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    got = [r["change"] for r in snapshot_diff(old, new).collect()]
+    assert got == ["changed"]
