@@ -176,3 +176,44 @@ def test_connected_components_both_algorithms_match_union_find(spark, edges):
     for fn in (D.connected_components, D.connected_components_two_phase):
         got = {r["node"]: r["component"] for r in fn(pairs).collect()}
         assert got == expected, fn.__name__
+
+
+@st.composite
+def snapshot_pair(draw):
+    ids = st.integers(min_value=0, max_value=12)
+    vals = st.one_of(st.none(), st.text(alphabet="abcX", max_size=3))
+    old = draw(
+        st.dictionaries(ids, vals, max_size=10)
+    )
+    new = draw(
+        st.dictionaries(ids, vals, max_size=10)
+    )
+    return old, new
+
+
+@given(snapshot_pair())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_snapshot_diff_matches_dict_reference(spark, pair):
+    from cryoflow_spark.functions.diff import snapshot_diff
+
+    old, new = pair
+    schema = "doc_id long, text string"
+    odf = spark.createDataFrame(list(old.items()) or [], schema)
+    ndf = spark.createDataFrame(list(new.items()) or [], schema)
+    got = {r["doc_id"]: r["change"] for r in snapshot_diff(odf, ndf).collect()}
+    expected = {}
+    for i in set(old) | set(new):
+        if i not in old:
+            expected[i] = "added"
+        elif i not in new:
+            expected[i] = "removed"
+        elif old[i] != new[i]:
+            expected[i] = "changed"
+    assert got == expected
