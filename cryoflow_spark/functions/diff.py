@@ -8,6 +8,13 @@ columns (engine-portable: same concat/cast spelling works in DuckDB, so
 the operator is oracle-checkable), then a single full-outer equi-join on
 the key classifies every id.
 
+The row hash is INJECTIVE over the column tuple: each column contributes
+a fixed-length piece ('N' for NULL, 'V' + md5(value) otherwise) before
+the outer md5, so values containing separator-ish control characters —
+which scraped web text absolutely does contain — cannot shift content
+across column boundaries and alias two different rows (md5 collisions
+aside).
+
 Scale: two map-only hash projections + one shuffle join on the key —
 no payload moves through the shuffle, only (key, 16-byte hash). At
 100 TB the hash projection reads each side once; unchanged rows (the
@@ -22,25 +29,28 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Field / NULL sentinels for the row hash — control chars that cannot
-#: collide with real text values in any sane corpus.
-_FIELD_SEP = "\x1f"
-_NULL_SENTINEL = "\x00"
-
-
 def row_hash(columns: Sequence[str]):
-    """Column: md5 over the ``\\x1f``-joined, NULL-sentineled string casts.
+    """Column: md5 over fixed-length per-column pieces — injective.
 
-    DuckDB spelling (for oracles):
-    ``md5(concat_ws(chr(31), coalesce(CAST(c AS VARCHAR), chr(0)), ...))``.
+    Each column becomes ``'N'`` (NULL) or ``'V' || md5(CAST(c AS
+    STRING))`` (33 chars), then the pieces are concatenated and md5-ed.
+    Fixed-length pieces mean no value can bleed into a neighboring
+    column's contribution, regardless of what bytes the value contains.
+
+    DuckDB spelling (for oracles)::
+
+        md5(concat(
+          CASE WHEN c IS NULL THEN 'N'
+               ELSE 'V' || md5(CAST(c AS VARCHAR)) END, ...))
     """
     return F.md5(
-        F.concat_ws(
-            _FIELD_SEP,
+        F.concat(
             *[
-                F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL))
+                F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+                    F.concat(F.lit("V"), F.md5(F.col(c).cast("string")))
+                )
                 for c in columns
-            ],
+            ]
         )
     )
 
@@ -60,7 +70,7 @@ def snapshot_diff(
     """
     cols = (
         list(compare_cols)
-        if compare_cols
+        if compare_cols is not None
         else sorted((set(old_df.columns) & set(new_df.columns)) - {id_col})
     )
     if not cols:

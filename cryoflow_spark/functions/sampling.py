@@ -252,20 +252,24 @@ def leakage_safe_split(
     deterministically. Both returned frames carry ``group_col``.
 
     Scale: the CC rounds touch only the edge list (pairs are sparse by
-    construction); the corpus itself sees one left join against the
-    component map and the usual map-only bucket filter.
+    construction); the corpus sees one left join against the component
+    map and the map-only bucket filter PER CONSUMED SIDE — a caller
+    materializing both train and test (the normal use) pays that lineage
+    twice; persist/checkpoint the labeled frame first if the corpus scan
+    dominates.
     """
-    from pyspark.sql import functions as F
-
     from cryoflow_spark.functions.dedup import connected_components_two_phase
 
-    comp = connected_components_two_phase(pairs)
+    comp = connected_components_two_phase(pairs).select(
+        F.col("node").alias("__cc_node"),
+        F.col("component").alias("__cc_component"),
+    )
     labeled = (
-        df.join(comp, df[id_col] == comp["node"], "left")
+        df.join(comp, df[id_col] == F.col("__cc_node"), "left")
         .withColumn(
-            group_col, F.coalesce(F.col("component"), F.col(id_col))
+            group_col, F.coalesce(F.col("__cc_component"), F.col(id_col))
         )
-        .drop("node", "component")
+        .drop("__cc_node", "__cc_component")
     )
     cut = int(test_fraction * buckets)
     bucket = hash_bucket(group_col, buckets)

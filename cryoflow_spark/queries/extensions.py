@@ -1639,21 +1639,19 @@ _R2["x38_leakage_safe_split"] = _QS2(
              lang
       FROM documents WHERE doc_id % 17 != 0
       UNION ALL
-      SELECT doc_id + 100000 AS doc_id, text, lang
+      SELECT doc_id + 10000000000 AS doc_id, text, lang
       FROM documents WHERE doc_id % 23 = 0
     ),
     oh AS (
       SELECT doc_id,
-             md5(concat_ws(chr(31),
-                           coalesce(CAST(text AS VARCHAR), chr(0)),
-                           coalesce(CAST(lang AS VARCHAR), chr(0)))) AS h
+             md5(concat(CASE WHEN text IS NULL THEN 'N' ELSE 'V' || md5(CAST(text AS VARCHAR)) END,
+                        CASE WHEN lang IS NULL THEN 'N' ELSE 'V' || md5(CAST(lang AS VARCHAR)) END)) AS h
       FROM old
     ),
     nh AS (
       SELECT doc_id,
-             md5(concat_ws(chr(31),
-                           coalesce(CAST(text AS VARCHAR), chr(0)),
-                           coalesce(CAST(lang AS VARCHAR), chr(0)))) AS h
+             md5(concat(CASE WHEN text IS NULL THEN 'N' ELSE 'V' || md5(CAST(text AS VARCHAR)) END,
+                        CASE WHEN lang IS NULL THEN 'N' ELSE 'V' || md5(CAST(lang AS VARCHAR)) END)) AS h
       FROM new
     )
     SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
@@ -1666,7 +1664,8 @@ _R2["x38_leakage_safe_split"] = _QS2(
     "Corpus snapshot diff (added/removed/changed between dump versions): "
     "map-side md5 row hashes + one full-outer key join — no payload ever "
     "rides the shuffle; the new snapshot is derived deterministically "
-    "from documents (drop %17, mutate %11, add shifted %23) in both "
+    "from documents (drop %17, mutate %11, add %23 shifted by 1e10 — "
+    "beyond any plausible id range, so synthetic ids cannot collide) in both "
     "engines",
 )
 def x39_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1685,7 +1684,7 @@ def x39_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             d.filter(F.col("doc_id") % 23 == 0).select(
-                (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+                (F.col("doc_id") + 10_000_000_000).alias("doc_id"), "text", "lang"
             )
         )
     )

@@ -1274,3 +1274,37 @@ def test_snapshot_diff_null_vs_sentinel_distinct(spark):
     new = spark.createDataFrame([(1, "")], "doc_id long, text string")
     got = [r["change"] for r in snapshot_diff(old, new).collect()]
     assert got == ["changed"]
+
+
+def test_snapshot_diff_separator_chars_cannot_alias_rows(spark):
+    """Injectivity across column boundaries: control characters in values
+    must not make two different rows hash equal."""
+    from cryoflow_spark.functions.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a\x1fb", "c")], "doc_id long, text string, lang string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "b\x1fc")], "doc_id long, text string, lang string"
+    )
+    got = [r["change"] for r in snapshot_diff(old, new).collect()]
+    assert got == ["changed"]
+
+
+def test_leakage_safe_split_tolerates_reserved_column_names(spark):
+    """User columns named 'node'/'component' must survive intact (the
+    join internals use __-prefixed names)."""
+    from cryoflow_spark.functions.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"n{i}", i * 10) for i in range(12)],
+        "doc_id long, node string, component long",
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    train, test = leakage_safe_split(docs, pairs, test_fraction=0.5)
+    for side in (train, test):
+        assert {"doc_id", "node", "component", "split_group"} <= set(side.columns)
+    all_rows = train.collect() + test.collect()
+    assert len(all_rows) == 12
+    assert {r["node"] for r in all_rows} == {f"n{i}" for i in range(12)}
+    assert {r["component"] for r in all_rows} == {i * 10 for i in range(12)}
