@@ -233,6 +233,82 @@ def remove_frequent_segments(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: what fraction of a doc's distinct
+    word n-grams appears NOWHERE else in the corpus.
+
+    The cross-document diversity signal that complements
+    :func:`repetition_stats` (within-doc) and the boilerplate passes
+    (cross-doc frequency): templated/spun text scores near 0, original
+    prose near 1. Scoring is transcendental-free for bit-identical
+    cross-engine checks::
+
+        novelty_score = floor(1e9 * n_novel / n_grams)
+
+    where ``n_grams`` counts the doc's DISTINCT n-grams and ``n_novel``
+    those with corpus document-frequency 1 — both integer aggregates
+    (order-independent), one exact double divide.
+
+    Scale: one explode + distinct per doc (map-side), one
+    vocabulary-sized document-frequency aggregation joined back on the
+    gram key, one per-doc count — the TF-IDF join shape. Docs with fewer
+    than ``ngram`` words contribute their whole token list as a single
+    gram (same convention as the Jaccard operators).
+    """
+    tokenize = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokenize.alias("__toks")
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(
+                            F.size("__toks") - ngram, F.lit(0)
+                        ),
+                    ),
+                    lambda i: F.array_join(
+                        F.slice("__toks", i + 1, ngram), " "
+                    ),
+                )
+            )
+        ).alias("__gram"),
+    )
+    dfreq = grams.groupBy("__gram").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    per_doc = (
+        grams.join(dfreq, "__gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_grams",
+        "n_novel",
+        F.floor(
+            F.lit(1000000000.0)
+            * (
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double")
+            )
+        ).cast("bigint").alias("novelty_score"),
+    )
+
+
 def remove_duplicate_segments(
     df: DataFrame,
     text_col: str = "text",

@@ -85,8 +85,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Round 4: rotate back the 38 queries last checked in round 2, PLUS x18
 #: (rows-only by design, but it fell outside both the r2 and r3 windows —
 #: restoring the freshness invariant: every query driver-checked within
-#: the last two rounds) + the 10 queries fixed/changed/new this round +
-#: 1 round-3 green sentinel (x15, the heavy watch item) as canary.
+#: the last two rounds) + the 11 queries fixed/changed/new this round.
+#: (x15/x20/x31/x32 sentinels were green in r3 — still within the
+#: two-round freshness window without a re-check this round.)
 _PRIORITY: list[str] = [
     # last driver-checked in round 2 — rotate back in
     *[
@@ -109,9 +110,7 @@ _PRIORITY: list[str] = [
     "x30_weighted_sample", "q32_rank_family", "q35_approx_distinct",
     "x33_incremental_dedup", "x34_domain_cap", "x35_corpus_freq_score",
     "x36_dedup_segments", "x37_profile_columns", "x38_leakage_safe_split",
-    "x39_snapshot_diff",
-    # green sentinels (round-3 driver-verified, kept as regression canaries)
-    "x15_minhash_dedup",
+    "x39_snapshot_diff", "x40_ngram_novelty",
 ]
 
 

@@ -1689,3 +1689,46 @@ def x39_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(old, new, id_col="doc_id", compare_cols=["text", "lang"])
+
+
+# --- x40: n-gram novelty score --------------------------------------------
+
+
+@register(
+    "x40_ngram_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+               for i in generate_series(1, greatest(len(tk) - 2, 1))]))
+               AS gram
+      FROM toks
+    ),
+    dfq AS (
+      SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY gram
+    ),
+    per AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+      FROM grams JOIN dfq USING (gram) GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_novel,
+           CAST(floor(1000000000.0 * (CAST(n_novel AS DOUBLE)
+                / CAST(n_grams AS DOUBLE))) AS BIGINT) AS novelty_score
+    FROM per
+    """,
+    "Per-doc word-3-gram novelty (fraction of the doc's distinct grams "
+    "with corpus document-frequency 1): the cross-document diversity "
+    "signal complementing within-doc repetition stats — templated text "
+    "scores ~0, original prose ~1; integer aggregates + one exact double "
+    "divide, no transcendentals",
+)
+def x40_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return C.ngram_novelty(d, text_col="text", id_col="doc_id", ngram=3)

@@ -1308,3 +1308,18 @@ def test_leakage_safe_split_tolerates_reserved_column_names(spark):
     assert len(all_rows) == 12
     assert {r["node"] for r in all_rows} == {f"n{i}" for i in range(12)}
     assert {r["component"] for r in all_rows} == {i * 10 for i in range(12)}
+
+
+def test_ngram_novelty_separates_templated_from_original(spark):
+    from cryoflow_spark.functions.curation import ngram_novelty
+
+    template = "click here to subscribe to our newsletter today"
+    rows = [(i, template) for i in range(5)]           # identical template docs
+    rows.append((100, "quantum chromodynamics lattice discretization artifacts"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_novelty(df, ngram=3).collect()}
+    for i in range(5):
+        assert out[i]["novelty_score"] == 0      # every gram shared
+        assert out[i]["n_novel"] == 0
+    assert out[100]["novelty_score"] == 1000000000  # fully novel
+    assert out[100]["n_grams"] == out[100]["n_novel"] == 3
