@@ -258,11 +258,16 @@ def ngram_novelty(
     vocabulary-sized document-frequency aggregation joined back on the
     gram key, one per-doc count — the TF-IDF join shape. Docs with fewer
     than ``ngram`` words contribute their whole token list as a single
-    gram (same convention as the Jaccard operators).
+    gram (same convention as the Jaccard operators). Docs with NO tokens
+    at all (NULL, empty, or whitespace-only text) are excluded from the
+    output entirely — a zero-token doc has no grams, so giving it a
+    synthetic empty gram would award it a perfect-novelty score.
     """
     tokenize = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), tokenize.alias("__toks")
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokenize.alias("__toks"))
+        .filter(F.size("__toks") > 0)
     )
     grams = base.select(
         F.col(id_col),

@@ -64,9 +64,14 @@ def snapshot_diff(
     """Rows ``(id_col, change)`` with change ∈ added | removed | changed.
 
     ``compare_cols`` defaults to every column the two frames share,
-    minus the key. Unchanged rows are omitted. Duplicate keys within a
-    snapshot are the caller's bug (the join would fan out) — snapshots
-    are keyed corpora by contract.
+    minus the key. Unchanged rows are omitted.
+
+    Key contract: snapshots are keyed corpora — duplicate keys within a
+    snapshot are the caller's bug (the join would fan out), and NULL
+    keys are EXCLUDED from the diff on both sides (an equi-join never
+    matches NULL, so a NULL-keyed row would otherwise surface as a
+    spurious added+removed pair; filtering is the only classification
+    that is symmetric and deterministic for an unaddressable row).
     """
     cols = (
         list(compare_cols)
@@ -75,10 +80,10 @@ def snapshot_diff(
     )
     if not cols:
         raise ValueError("no common columns to compare")
-    old_h = old_df.select(
+    old_h = old_df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("__old_id"), row_hash(cols).alias("__old_h")
     )
-    new_h = new_df.select(
+    new_h = new_df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("__new_id"), row_hash(cols).alias("__new_h")
     )
     joined = old_h.join(

@@ -18,6 +18,12 @@ Scale notes:
   doubles for timestamps (monotonic, so min/max commute with the cast);
   other types get NULL. Doubles avoid engine-specific string formatting,
   keeping the exact mode oracle-checkable bit-identically.
+- TIMESTAMP_NTZ columns are wall-clock values with no zone; their
+  epoch-micros are taken as-if-UTC regardless of the session timezone
+  (the NTZ→LTZ cast is session-zone-dependent, so a ``from_utc_timestamp``
+  correction re-anchors it; exact under the framework's pinned UTC
+  session, and correct elsewhere up to DST-gap wall times that no zone
+  ever observed).
 - The output is |cols| rows — the wide 1-row aggregate is exploded into
   long format driver-free.
 """
@@ -73,11 +79,26 @@ def profile_columns(
         dt = dtypes[c]
         if isinstance(dt, _NUMERIC):
             lo, hi = F.min(col).cast("double"), F.max(col).cast("double")
-        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-            # NTZ → LTZ cast first (session tz is UTC, micros unchanged);
-            # unix_micros only accepts TIMESTAMP (LTZ).
-            lo = F.unix_micros(F.min(col).cast("timestamp")).cast("double")
-            hi = F.unix_micros(F.max(col).cast("timestamp")).cast("double")
+        elif isinstance(dt, T.TimestampNTZType):
+            # unix_micros only accepts TIMESTAMP (LTZ). The NTZ→LTZ cast
+            # interprets the wall clock in the SESSION timezone; the
+            # from_utc_timestamp(-, session_tz) shift re-adds that offset,
+            # so the emitted micros are the wall clock as-if-UTC under ANY
+            # session timezone (identity when the session is UTC).
+            tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+
+            def _ntz_micros(agg, _tz=tz):
+                if _tz in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+                    return F.unix_micros(agg.cast("timestamp"))
+                return F.unix_micros(
+                    F.from_utc_timestamp(agg.cast("timestamp"), _tz)
+                )
+
+            lo = _ntz_micros(F.min(col)).cast("double")
+            hi = _ntz_micros(F.max(col)).cast("double")
+        elif isinstance(dt, T.TimestampType):
+            lo = F.unix_micros(F.min(col)).cast("double")
+            hi = F.unix_micros(F.max(col)).cast("double")
         elif isinstance(dt, T.DateType):
             lo = F.datediff(F.min(col), F.lit("1970-01-01")).cast("double")
             hi = F.datediff(F.max(col), F.lit("1970-01-01")).cast("double")

@@ -258,9 +258,15 @@ def corpus_frequency_score(
     divide/multiply/floor chain is exact-deterministic.
 
     Scale: one token explode, one vocabulary-sized frequency aggregation
-    (map-side partial, broadcast back into the token join), one per-doc
-    sum — the same join shape as :func:`tfidf_top_terms`, plus a 1-row
-    corpus-total scalar joined broadcast (the x21/x32 envelope).
+    joined back on the token key, one per-doc sum — the same join shape
+    as :func:`tfidf_top_terms` — plus a 1-row corpus-total scalar joined
+    broadcast (the x21/x32 envelope). The vocabulary join carries NO
+    broadcast hint: a web corpus's vocabulary is unbounded (junk tokens
+    keep it growing with corpus size), so the strategy is left to
+    AQE/auto-broadcast — small vocabularies still broadcast at runtime,
+    a 100 TB crawl's vocabulary falls back to a shuffled hash join on
+    the token key instead of OOM-ing the driver. ``min_len`` trims the
+    vocabulary tail if a bounded build side is required.
 
     Returns one row per document with tokens: ``id_col, sum_cnt,
     n_tokens, freq_score``.
@@ -275,7 +281,7 @@ def corpus_frequency_score(
     freq = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("__cnt"))
     totals = freq.agg(F.sum("__cnt").alias("__n_corpus"))
     per_doc = (
-        tokens.join(F.broadcast(freq), "term")
+        tokens.join(freq, "term")
         .groupBy(id_col)
         .agg(
             F.sum("__cnt").alias("sum_cnt"),

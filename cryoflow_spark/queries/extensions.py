@@ -1697,11 +1697,12 @@ def x39_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x40_ngram_novelty",
     """
-    WITH toks AS (
+    WITH toks0 AS (
       SELECT doc_id,
              list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS tk
       FROM documents WHERE text IS NOT NULL
     ),
+    toks AS (SELECT * FROM toks0 WHERE len(tk) > 0),
     grams AS (
       SELECT doc_id,
              unnest(list_distinct([array_to_string(tk[i:i+2], ' ')

@@ -1291,6 +1291,21 @@ def test_snapshot_diff_separator_chars_cannot_alias_rows(spark):
     assert got == ["changed"]
 
 
+def test_snapshot_diff_excludes_null_keys(spark):
+    """NULL-keyed rows are unaddressable — excluded on both sides, never
+    reported as a spurious added+removed pair."""
+    from cryoflow_spark.functions.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, "ghost-old"), (1, "alpha")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(None, "ghost-new"), (1, "alpha2")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["change"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "changed"}
+
+
 def test_leakage_safe_split_tolerates_reserved_column_names(spark):
     """User columns named 'node'/'component' must survive intact (the
     join internals use __-prefixed names)."""
@@ -1323,3 +1338,44 @@ def test_ngram_novelty_separates_templated_from_original(spark):
         assert out[i]["n_novel"] == 0
     assert out[100]["novelty_score"] == 1000000000  # fully novel
     assert out[100]["n_grams"] == out[100]["n_novel"] == 3
+
+
+def test_ngram_novelty_excludes_zero_token_docs(spark):
+    """Empty / whitespace-only / NULL text has no grams — such docs must
+    be absent from the output, not scored as perfectly novel."""
+    from cryoflow_spark.functions.curation import ngram_novelty
+
+    df = spark.createDataFrame(
+        [(1, "real original content appears right here"),
+         (2, ""), (3, "   \t  "), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(df, ngram=3).collect()}
+    assert set(out) == {1}
+    assert out[1]["novelty_score"] == 1000000000
+
+
+def test_profile_ntz_micros_session_timezone_independent(spark):
+    """TIMESTAMP_NTZ min/max epoch-micros must not shift when the session
+    timezone is not UTC (the NTZ wall clock is zone-free by definition)."""
+    from cryoflow_spark.functions.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [("2024-03-15 12:30:45.123456",), ("2024-07-01 00:00:00",)],
+        "s string",
+    ).select(F.col("s").cast("timestamp_ntz").alias("ts"))
+
+    def run():
+        row = profile_columns(df, columns=["ts"]).collect()[0]
+        return row["min_num"], row["max_num"]
+
+    utc = run()
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        shifted = run()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert utc == shifted
+    # 2024-03-15T12:30:45.123456Z as-if-UTC epoch micros
+    assert utc[0] == 1710505845123456.0
