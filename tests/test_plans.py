@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -28,6 +29,34 @@ def registry():
     from cryoflow_spark.queries import all_queries
 
     return all_queries()
+
+
+@pytest.fixture(scope="module")
+def all_plans(spark, registry):
+    """Simple-mode plan per registered query, built once for the sweeps."""
+    return {
+        name: plan_of(spec.fn(spark, SF), "simple")
+        for name, spec in registry.items()
+    }
+
+
+def unpartitioned_window_specs(line: str) -> int:
+    """Count window specs on a plan line that define NO partition columns.
+
+    ``windowspecdefinition(...)`` lists partition columns first (plain
+    attributes), then ordering columns (suffixed ASC/DESC), then the
+    frame — so a spec whose first argument is the frame or carries a sort
+    direction is unpartitioned (single-reducer at runtime).
+    """
+    n = 0
+    for m in re.finditer(
+        r"windowspecdefinition\((.*?)specifiedwindowframe", line
+    ):
+        head = m.group(1).strip()
+        first = head.split(",")[0] if head else ""
+        if head == "" or " ASC" in first or " DESC" in first:
+            n += 1
+    return n
 
 
 def test_filter_pushdown_and_pruning(spark, registry):
@@ -78,7 +107,7 @@ def test_whole_stage_codegen_hot_path(spark, registry):
     assert "*(" in plan  # codegen stage markers
 
 
-def test_no_cartesian_products(spark, registry):
+def test_no_cartesian_products(all_plans):
     """No registered query may plan a CartesianProduct. Broadcast
     nested-loop joins are allowed only where a tiny broadcast side is the
     intended design (x05 brute-force ANN baseline; q20's 5-row region ×
@@ -95,23 +124,75 @@ def test_no_cartesian_products(spark, registry):
         "x32_remove_frequent_segments",
         "x35_corpus_freq_score",  # same 1-row corpus-total scalar
     }
-    for name, spec in registry.items():
-        df = spec.fn(spark, SF)
-        plan = plan_of(df, "simple")
+    for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name
         if name not in allowed_nested_loop:
             assert "BroadcastNestedLoopJoin" not in plan, name
 
 
-def test_q32_no_single_reducer_window(spark, registry):
-    """q32 (rank family) must stay on the distributed CDF spine: every
-    Window node in its plan is either partitioned by _pid or runs over
-    the bounded partition-sizes (_psize) table — never an unpartitioned
-    window over the fact table (the 100 TB scale-killer it replaced)."""
-    plan = plan_of(registry["q32_rank_family"].fn(spark, SF), "simple")
-    for line in plan.splitlines():
-        if "Window [" in line and "windowspecdefinition(_pid" not in line:
-            assert "_psize" in line, line
+#: Queries allowed to plan unpartitioned (single-reducer) Window nodes —
+#: each over a table BOUNDED BY CONSTRUCTION, never the fact table:
+#: name -> (required marker substring, exact count of unpartitioned specs).
+#: The marker ties the window to its bounded input: `_psize` is the
+#: per-range-partition totals table of the CDF spine (rows = shuffle
+#: partition count), `min(_w0` is x28's per-source counts table (one row
+#: per source in target_shares).
+_BOUNDED_WINDOW_ENVELOPES = {
+    # main spine stitch (2 specs in one Window: offsets + grand total)
+    # + the distinct-status mini-spine stitch (1 spec; its n_total is
+    # unused so Spark prunes the second sum).
+    "q32_rank_family": ("_psize", 3),
+    "q58_distributed_cdf": ("_psize", 2),
+    "x28_source_mix": ("min(_w0", 1),
+}
+
+
+def test_no_unpartitioned_window_outside_bounded_envelopes(all_plans):
+    """Registry-wide scale pin: NO query may run an unpartitioned Window
+    (single-reducer — the 100 TB killer) except the allowlisted
+    bounded-table envelopes, where the window's input is provably tiny
+    (partition-count or source-count rows). A future edit sliding a fact
+    table under `Window.orderBy(...)` with no partition key fails here."""
+    for name, plan in all_plans.items():
+        expected_marker, expected_n = _BOUNDED_WINDOW_ENVELOPES.get(
+            name, ("", 0)
+        )
+        n = 0
+        for line in plan.splitlines():
+            if "Window [" not in line:
+                continue
+            k = unpartitioned_window_specs(line)
+            if k:
+                assert name in _BOUNDED_WINDOW_ENVELOPES, (name, line)
+                assert expected_marker in line, (name, line)
+                n += k
+        assert n == expected_n, (name, n)
+
+
+def test_pack_token_shards_partitioned_mode_no_global_window(spark):
+    """The registered x22 path (partition_col set) must plan ZERO
+    unpartitioned windows; only the documented global mode (explicitly
+    opt-in, modest corpora) funnels through one reducer."""
+    from cryoflow_spark.functions.text import pack_token_shards
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(
+        pack_token_shards(d, partition_col="lang", budget=2048), "simple"
+    )
+    assert all(
+        unpartitioned_window_specs(l) == 0
+        for l in plan.splitlines()
+        if "Window [" in l
+    )
+    global_plan = plan_of(pack_token_shards(d, budget=2048), "simple")
+    assert (
+        sum(
+            unpartitioned_window_specs(l)
+            for l in global_plan.splitlines()
+            if "Window [" in l
+        )
+        == 1
+    )
 
 
 def test_decontamination_broadcasts_benchmark(spark, registry):
