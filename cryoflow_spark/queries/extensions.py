@@ -1733,3 +1733,49 @@ def x39_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x40_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return C.ngram_novelty(d, text_col="text", id_col="doc_id", ngram=3)
+
+
+# --- engine-mode minhash bench twins --------------------------------------
+# The portable-md5 x15/x33 remain the bit-identical ORACLE queries; these
+# twins run the identical operator in its production hash mode (xxhash64 —
+# the library default, engine-specific so no SQL oracle exists) so the
+# committed bench measures what a real 100 TB run pays for the minhash
+# family, not the oracle-portability surcharge (~3x, BASELINE.md).
+
+
+@register(
+    "x15_engine_minhash_dedup",
+    None,  # xxhash64 signatures are engine-specific — rows-only by design
+    "MinHash-LSH near-dedup, PRODUCTION hash path (xxhash64 engine mode): "
+    "identical banding/verify pipeline and parameters as the "
+    "oracle-checked portable twin x15_minhash_dedup; registered so the "
+    "bench records the real ingest cost (portable md5 is ~3x slower and "
+    "exists only for cross-engine oracle checks)",
+)
+def x15_engine_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.minhash_dedup(
+        d, text_col="text", id_col="doc_id", num_hashes=32, bands=8,
+        shingle_size=4, threshold=0.5, hash_mode="engine",
+    ).select("doc_id", "lang")
+
+
+@register(
+    "x33_engine_incremental_dedup",
+    None,  # xxhash64 signatures are engine-specific — rows-only by design
+    "Incremental cross-dump MinHash dedup, PRODUCTION hash path (xxhash64 "
+    "engine mode): identical new-vs-corpus band join and parameters as "
+    "the oracle-checked portable twin x33_incremental_dedup",
+)
+def x33_engine_incremental_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    new_batch = d.filter(F.col("doc_id") >= 250)
+    corpus = d.filter(F.col("doc_id") < 250)
+    out = D.minhash_dedup_incremental(
+        new_batch, corpus, text_col="text", id_col="doc_id",
+        num_hashes=32, bands=8, shingle_size=4, threshold=0.5,
+        hash_mode="engine",
+    )
+    return out.select("doc_id", "lang")

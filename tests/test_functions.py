@@ -42,6 +42,26 @@ def test_minhash_dedup_removes_near_dups(docs):
     assert 2 not in ids  # near-dup (1 word of 9 differs) removed
 
 
+def test_engine_mode_bench_twins_registered(spark):
+    """x15/x33 engine-mode twins: registered rows-only (no oracle — the
+    xxhash64 signatures are engine-specific; the portable twins carry the
+    bit-identical oracle), same output schema as their portable twin, and
+    runnable end-to-end."""
+    from cryoflow_spark.queries import all_queries
+
+    reg = all_queries()
+    sf = "/root/testdata/sf0.001"
+    for engine_name, portable_name in (
+        ("x15_engine_minhash_dedup", "x15_minhash_dedup"),
+        ("x33_engine_incremental_dedup", "x33_incremental_dedup"),
+    ):
+        assert reg[engine_name].oracle is None
+        assert reg[portable_name].oracle is not None
+        e = reg[engine_name].fn(spark, sf)
+        assert e.columns == reg[portable_name].fn(spark, sf).columns
+        assert e.count() > 0
+
+
 def test_minhash_dedup_incremental(spark):
     """Cross-dump dedup: only new-batch rows matching the corpus drop;
     within-batch duplicates and corpus rows are untouched; null-text new
