@@ -73,6 +73,7 @@ BUILTIN_MODULES: dict[str, str] = {
     "window": "cryoflow_spark.plugins.transform.window",
     "sql": "cryoflow_spark.plugins.transform.sql",
     "curate": "cryoflow_spark.plugins.transform.curate",
+    "snapshot_diff": "cryoflow_spark.plugins.transform.diff",
     "dedup": "cryoflow_spark.plugins.transform.dedup",
     "repartition": "cryoflow_spark.plugins.transform.repartition",
     "sample": "cryoflow_spark.plugins.transform.sample",

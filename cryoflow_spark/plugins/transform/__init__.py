@@ -3,6 +3,7 @@
 from cryoflow_spark.plugins.transform.cast import CastPlugin
 from cryoflow_spark.plugins.transform.curate import CuratePlugin
 from cryoflow_spark.plugins.transform.dedup import DedupPlugin
+from cryoflow_spark.plugins.transform.diff import SnapshotDiffPlugin
 from cryoflow_spark.plugins.transform.distinct import DistinctPlugin
 from cryoflow_spark.plugins.transform.filter import FilterPlugin
 from cryoflow_spark.plugins.transform.group_agg import GroupAggPlugin
@@ -34,6 +35,7 @@ __all__ = [
     "SamplePlugin",
     "SelectPlugin",
     "SetOpPlugin",
+    "SnapshotDiffPlugin",
     "SortPlugin",
     "SqlPlugin",
     "WindowPlugin",

@@ -24,6 +24,13 @@ the TOML plugin surface. Modes (option ``method``):
 - ``remove_duplicate_segments``: corpus-wide EXACT segment dedup — every
   non-blank segment keeps only its first (id, position) occurrence;
   option ``delimiter`` (default newline).
+- ``ngram_novelty``: score each doc by the fraction of its distinct word
+  ``ngram``-grams appearing nowhere else in the corpus (cross-document
+  diversity; templated/spun text ≈ 0, original prose ≈ 1e9). Annotates
+  the stream with ``out_column`` (default ``novelty_score``, scaled
+  floor(1e9·fraction)); with ``min_novelty`` set, instead FILTERS to
+  docs scoring at least it (zero-token docs carry NULL scores — kept
+  when annotating, dropped by the filter).
 """
 
 from __future__ import annotations
@@ -99,6 +106,25 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 id_col=id_column,
                 ngram=int(self.options.get("ngram", 8)),
             )
+
+        if method == "ngram_novelty":
+            scores = C.ngram_novelty(
+                data,
+                text_col=column,
+                id_col=id_column,
+                ngram=int(self.options.get("ngram", 3)),
+            ).select(
+                id_column,
+                F.col("novelty_score").alias(
+                    self.options.get("out_column", "novelty_score")
+                ),
+            )
+            out = data.join(scores, on=id_column, how="left")
+            min_novelty = self.options.get("min_novelty")
+            if min_novelty is not None:
+                out_col = self.options.get("out_column", "novelty_score")
+                out = out.filter(F.col(out_col) >= int(min_novelty))
+            return out
 
         if method == "remove_duplicate_segments":
             return C.remove_duplicate_segments(

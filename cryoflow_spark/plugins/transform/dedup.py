@@ -16,9 +16,14 @@ Engine extension for large-scale training-data pipelines (BASELINE.json
   that near-duplicate the sibling stream named by ``corpus_label`` (the
   already-ingested corpus, which is never modified); same knobs as
   ``minhash``.
+- ``ngram_jaccard_pairs``: emit the near-dup EDGE LIST ``(id_a, id_b)``
+  instead of removing rows — feeds cluster-aware consumers (the
+  ``sample`` plugin's ``leakage_safe`` split, offline cluster audits);
+  same knobs as ``ngram_jaccard``.
 
-All near-dup modes return the frame with duplicates removed (keeping the
-lowest ``id_column`` per duplicate cluster).
+All near-dup modes except ``ngram_jaccard_pairs`` return the frame with
+duplicates removed (keeping the lowest ``id_column`` per duplicate
+cluster).
 """
 
 from __future__ import annotations
@@ -89,6 +94,16 @@ class DedupPlugin(SiblingAwareTransformPlugin):
                 shingle_size=int(self.options.get("shingle_size", 3)),
                 threshold=float(self.options.get("threshold", 0.8)),
                 hash_mode=self.options.get("hash_mode", "engine"),
+            )
+        if method == "ngram_jaccard_pairs":
+            return D.ngram_jaccard_pairs(
+                data,
+                text_col=column,
+                id_col=id_column,
+                ngram=int(self.options.get("ngram", 3)),
+                threshold=float(self.options.get("threshold", 0.8)),
+                block_by=self.options.get("block_by"),
+                method=self.options.get("method_strategy", "count"),
             )
         if method == "ngram_jaccard":
             return D.ngram_jaccard_dedup(

@@ -1,0 +1,47 @@
+"""Corpus snapshot-diff transform (two-snapshot sibling-label plugin).
+
+TOML-facing surface for :func:`cryoflow_spark.functions.diff.snapshot_diff`
+— the dataset-versioning primitive (which documents appeared, vanished,
+or changed between two dumps). The plugin's own label carries the NEW
+snapshot; the sibling stream named by ``old_label`` carries the OLD one
+(the same two-stream pattern as the ``join`` plugin,
+plugins/transform/join.py — the reference documents multi-stream configs
+at docs/plugin_development.md:1249-1295 / docs/spec.md:488-507 but ships
+no two-stream transform).
+
+Options:
+
+- ``old_label`` (required): label of the OLD-snapshot stream.
+- ``id_column`` (default ``doc_id``): snapshot key; NULL-keyed rows are
+  excluded per the library contract, duplicate keys are the caller's bug.
+- ``compare_columns`` (optional list): columns whose change flips a row
+  to ``changed``; defaults to every column the two snapshots share,
+  minus the key.
+
+Output schema: ``(id_column, change)`` with change ∈ added | removed |
+changed — unchanged rows are omitted, so the output is tiny between
+adjacent dumps and only (key, 16-byte hash) ever rides the shuffle.
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import SiblingAwareTransformPlugin
+
+
+class SnapshotDiffPlugin(SiblingAwareTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "snapshot_diff"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        from cryoflow_spark.functions.diff import snapshot_diff
+
+        old = self.sibling_frame(self.require_option("old_label"))
+        compare = self.options.get("compare_columns")
+        return snapshot_diff(
+            old,
+            data,
+            id_col=self.options.get("id_column", "doc_id"),
+            compare_cols=list(compare) if compare is not None else None,
+        )

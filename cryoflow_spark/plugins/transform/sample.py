@@ -18,17 +18,26 @@ of a 10% sample). Modes (option ``method``):
   stream carries forward — run two labeled streams to keep both).
 - ``rebalance``: downsample sources to a target mix — options
   ``source_column``, ``target_shares`` (TOML table: source → share).
+- ``leakage_safe``: cluster-aware train/test split — near-duplicate
+  clusters never straddle the boundary. The sibling stream named by
+  ``pairs_label`` carries the near-dup edge list (columns = two doc-id
+  columns, e.g. from a ``dedup`` plugin's pairs mode); edges are closed
+  transitively (connected components) and the md5 bucket of the
+  COMPONENT decides the side. Options ``pairs_label`` (required),
+  ``test_fraction`` (default 0.1), ``keep`` = ``train`` | ``test``,
+  ``group_column`` (default ``split_group``, added to the output).
 
-All modes take ``key_column`` (the hash key) and optional ``buckets``.
+All modes take ``key_column`` (the hash key; for ``leakage_safe`` it is
+the document id matched against the pairs) and optional ``buckets``.
 """
 
 from __future__ import annotations
 
 from cryoflow_spark.core.plugin import FrameData
-from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+from cryoflow_spark.plugins.transform.base import SiblingAwareTransformPlugin
 
 
-class SamplePlugin(AnalyzedTransformPlugin):
+class SamplePlugin(SiblingAwareTransformPlugin):
     @property
     def name(self) -> str:
         return "sample"
@@ -82,6 +91,25 @@ class SamplePlugin(AnalyzedTransformPlugin):
                 return test
             raise ValueError(
                 f"invalid train_test keep side '{side}' (train|test)"
+            )
+
+        if method == "leakage_safe":
+            pairs = self.sibling_frame(self.require_option("pairs_label"))
+            train, test = S.leakage_safe_split(
+                data,
+                pairs,
+                id_col=key,
+                test_fraction=float(self.options.get("test_fraction", 0.1)),
+                buckets=buckets,
+                group_col=self.options.get("group_column", "split_group"),
+            )
+            side = self.options.get("keep", "train")
+            if side == "train":
+                return train
+            if side == "test":
+                return test
+            raise ValueError(
+                f"invalid leakage_safe keep side '{side}' (train|test)"
             )
 
         if method == "rebalance":

@@ -169,6 +169,9 @@ class TestExamples:
             "examples/corpus_curation.toml",
             "examples/decontaminate.toml",
             "examples/streaming_sessions.toml",
+            "examples/sampled_lake.toml",
+            "examples/cross_dump_ingest.toml",
+            "examples/dump_release_gate.toml",
         ],
     )
     def test_check(self, runner, example):
@@ -181,6 +184,7 @@ class TestExamples:
             ("examples/pricing_rollup.toml", "/tmp/cryoflow_examples/pricing_rollup/*.parquet"),
             ("examples/corpus_curation.toml", "/tmp/cryoflow_examples/curated_corpus/*/*.parquet"),
             ("examples/decontaminate.toml", "/tmp/cryoflow_examples/decontaminated_corpus/*.parquet"),
+            ("examples/dump_release_gate.toml", "/tmp/cryoflow_examples/dump_release_holdout/*.parquet"),
         ],
     )
     def test_run(self, runner, example, out_glob):

@@ -560,6 +560,163 @@ def test_curate_remove_duplicate_segments_plugin(spark):
     assert got == {1: "a\nshared\nb", 2: "c"}
 
 
+class TestSnapshotDiffPlugin:
+    """Two-snapshot sibling-label diff (reference plugin-test template:
+    execute success / missing option / dry_run)."""
+
+    def _frames(self, spark):
+        old = spark.createDataFrame(
+            [(1, "alpha", "en"), (2, "beta", "en"), (3, "gamma", "fr")],
+            "doc_id long, text string, lang string",
+        )
+        new = spark.createDataFrame(
+            [(1, "alpha", "en"), (2, "beta PRIME", "en"), (5, "delta", "es")],
+            "doc_id long, text string, lang string",
+        )
+        return old, new
+
+    def test_execute_success(self, spark):
+        from cryoflow_spark.plugins.transform import SnapshotDiffPlugin
+
+        old, new = self._frames(spark)
+        plugin = SnapshotDiffPlugin({"old_label": "previous"})
+        plugin.attach_session(spark)
+        plugin._siblings = {"previous": Success(old)}
+        res = plugin.execute(new)
+        assert is_successful(res)
+        got = {r["doc_id"]: r["change"] for r in res.unwrap().collect()}
+        assert got == {2: "changed", 3: "removed", 5: "added"}
+
+    def test_execute_missing_option(self, spark):
+        from cryoflow_spark.plugins.transform import SnapshotDiffPlugin
+
+        old, new = self._frames(spark)
+        plugin = SnapshotDiffPlugin({})
+        plugin.attach_session(spark)
+        plugin._siblings = {"previous": Success(old)}
+        res = plugin.execute(new)
+        assert not is_successful(res)
+        assert "required" in str(res.failure())
+
+    def test_compare_columns_subset(self, spark):
+        """Restricting compare_columns to lang hides the text change."""
+        from cryoflow_spark.plugins.transform import SnapshotDiffPlugin
+
+        old, new = self._frames(spark)
+        plugin = SnapshotDiffPlugin(
+            {"old_label": "previous", "compare_columns": ["lang"]}
+        )
+        plugin.attach_session(spark)
+        plugin._siblings = {"previous": Success(old)}
+        got = {
+            r["doc_id"]: r["change"]
+            for r in plugin.execute(new).unwrap().collect()
+        }
+        assert got == {3: "removed", 5: "added"}
+
+    def test_dry_run_uses_sibling_schema(self, spark):
+        from cryoflow_spark.plugins.transform import SnapshotDiffPlugin
+
+        old, new = self._frames(spark)
+        plugin = SnapshotDiffPlugin({"old_label": "previous"})
+        plugin.attach_session(spark)
+        plugin._sibling_schemas = {"previous": Success(old.schema)}
+        res = plugin.dry_run(new.schema)
+        assert is_successful(res)
+        assert [f.name for f in res.unwrap().fields] == ["doc_id", "change"]
+
+
+def test_sample_leakage_safe_plugin(spark):
+    """Cluster-aware split through the TOML surface: the pairs sibling
+    closes {1,2,3} into one component — no side may split it."""
+    from cryoflow_spark.plugins.transform import SamplePlugin
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)], "id_a long, id_b long, jaccard double"
+    )
+    sides = {}
+    for side in ("train", "test"):
+        plugin = SamplePlugin({
+            "method": "leakage_safe", "key_column": "doc_id",
+            "pairs_label": "pairs", "test_fraction": 0.5, "keep": side,
+        })
+        plugin.attach_session(spark)
+        plugin._siblings = {"pairs": Success(pairs)}
+        res = plugin.execute(docs)
+        assert is_successful(res), res
+        sides[side] = res.unwrap()
+        assert "split_group" in sides[side].columns
+    train_ids = {r["doc_id"] for r in sides["train"].collect()}
+    test_ids = {r["doc_id"] for r in sides["test"].collect()}
+    assert train_ids | test_ids == set(range(1, 9))
+    assert not (train_ids & test_ids)
+    cluster = {1, 2, 3}
+    assert cluster <= train_ids or cluster <= test_ids
+
+
+def test_sample_leakage_safe_missing_pairs_label(spark):
+    from cryoflow_spark.plugins.transform import SamplePlugin
+
+    docs = spark.createDataFrame([(1, "d")], "doc_id long, text string")
+    plugin = SamplePlugin({"method": "leakage_safe", "key_column": "doc_id"})
+    plugin.attach_session(spark)
+    res = plugin.execute(docs)
+    assert not is_successful(res)
+    assert "required" in str(res.failure())
+
+
+def test_curate_ngram_novelty_plugin(spark):
+    """Annotate mode keeps all docs (zero-token docs score NULL); filter
+    mode keeps only docs at or above min_novelty."""
+    template = "click here to subscribe to our newsletter today"
+    df = spark.createDataFrame(
+        [(1, template), (2, template),
+         (3, "original quantum chromodynamics lattice results"),
+         (4, "")],
+        "doc_id long, text string",
+    )
+    annotated = _run(
+        CuratePlugin({"method": "ngram_novelty", "ngram": 3}), df
+    )
+    got = {r["doc_id"]: r["novelty_score"] for r in annotated.collect()}
+    assert got[1] == 0 and got[2] == 0
+    assert got[3] == 1000000000
+    assert got[4] is None  # zero-token doc: annotated NULL, kept
+
+    filtered = _run(
+        CuratePlugin(
+            {"method": "ngram_novelty", "ngram": 3, "min_novelty": 500000000}
+        ),
+        df,
+    )
+    assert [r["doc_id"] for r in filtered.collect()] == [3]
+
+
+def test_dedup_ngram_jaccard_pairs_plugin(spark):
+    from cryoflow_spark.functions import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different material")],
+        "doc_id long, text string",
+    )
+    out = _run(
+        DedupPlugin({
+            "method": "ngram_jaccard_pairs", "column": "text",
+            "ngram": 3, "threshold": 0.5,
+        }),
+        df,
+    )
+    rows = out.collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(1, 2)}
+    lib = D.ngram_jaccard_pairs(df, ngram=3, threshold=0.5).collect()
+    assert rows[0]["jaccard"] == lib[0]["jaccard"]
+
+
 class TestProfilePlugin:
     def test_profile_exact(self, sales, spark):
         from cryoflow_spark.plugins.transform import ProfilePlugin
