@@ -501,3 +501,64 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    k: int | None = None,
+) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the exact
+    one — search quality as a FIRST-CLASS dataset, not a pytest-only
+    number, so ANN regressions (a bad hyperplane seed, an over-pruned
+    nprobe) surface in the recorded correctness/bench artifacts.
+
+    Both inputs are result sets shaped ``(query_col, neighbor_col, ...)``
+    — e.g. :func:`lsh_cosine_topk` / :func:`ivf_cosine_topk` output vs
+    :func:`cosine_topk`. If ``k`` is given and a ``rank`` column exists,
+    each side is truncated to ``rank <= k`` first (so a deeper result
+    list can be evaluated at a shallower cutoff).
+
+    Returns one row per query in the EXACT set::
+
+        query_col, n_exact, n_hit, recall
+
+    with ``recall = n_hit / n_exact`` (the denominator is the query's
+    true neighbor count, which handles queries with fewer than k real
+    neighbors); integer counts + one exact double divide, so the result
+    is bit-identical across engines. Queries where the approximate
+    search returned nothing still appear, with recall 0.
+
+    Scale: one left-semi equi-join on (query, neighbor) and two
+    query-keyed aggregations — all shuffles on the query key; result
+    cardinality = number of distinct queries.
+    """
+    a = approx
+    e = exact
+    if k is not None:
+        if "rank" in a.columns:
+            a = a.filter(F.col("rank") <= k)
+        if "rank" in e.columns:
+            e = e.filter(F.col("rank") <= k)
+    a = a.select(query_col, neighbor_col)
+    e = e.select(query_col, neighbor_col)
+    n_exact = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = (
+        e.join(a, on=[query_col, neighbor_col], how="left_semi")
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_exact.join(n_hit, on=query_col, how="left")
+        .select(
+            query_col,
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )

@@ -1779,3 +1779,69 @@ def x33_engine_incremental_dedup(
         hash_mode="engine",
     )
     return out.select("doc_id", "lang")
+
+
+# --- x41: ANN recall@k as a first-class evaluation operator ---------------
+
+
+def _x41_oracle() -> str:
+    bucket = _sql_hyperplane_bucket("embedding", dim=64, bits=6)
+    return f"""
+    WITH exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_COSINE_SQL} DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < 10
+      ) WHERE rank <= 5
+    ),
+    sig AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_COSINE_SQL} DESC, b.vec_id) AS rank
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+        WHERE a.vec_id < 10
+      ) WHERE rank <= 5
+    ),
+    n_exact AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM exact GROUP BY query_id
+    ),
+    n_hit AS (
+      SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM exact e SEMI JOIN approx a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT ne.query_id, ne.n_exact,
+           COALESCE(nh.n_hit, 0) AS n_hit,
+           CAST(COALESCE(nh.n_hit, 0) AS DOUBLE) / CAST(ne.n_exact AS DOUBLE)
+             AS recall
+    FROM n_exact ne LEFT JOIN n_hit nh ON ne.query_id = nh.query_id
+    """
+
+
+@register(
+    "x41_ann_recall",
+    _x41_oracle(),
+    "ANN search-quality evaluation as a first-class operator: per-query "
+    "recall@5 of the hyperplane-LSH result (x07 pipeline) against the "
+    "exact brute-force baseline (x05 pipeline) — integer hit counts + "
+    "one exact double divide, so a bad plane seed or over-pruned bucket "
+    "shows up in the recorded correctness artifact, not just in pytest",
+)
+def x41_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(e, queries, vec_col="embedding", id_col="vec_id", k=5)
+    approx = S.lsh_cosine_topk(
+        e, queries, vec_col="embedding", id_col="vec_id", k=5, bits=6, dim=64
+    )
+    return S.recall_at_k(approx, exact, k=5)

@@ -42,6 +42,40 @@ def test_minhash_dedup_removes_near_dups(docs):
     assert 2 not in ids  # near-dup (1 word of 9 differs) removed
 
 
+def test_recall_at_k_counts_hits_per_query(spark):
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99),   # 2/3 hits (99 is a miss)
+         (2, 20), (2, 21)],           # 2/2; query 3 returned nothing
+        "query_id long, neighbor_id long",
+    )
+    got = {r["query_id"]: r for r in S.recall_at_k(approx, exact).collect()}
+    assert (got[1]["n_exact"], got[1]["n_hit"]) == (3, 2)
+    assert got[1]["recall"] == 2 / 3
+    assert got[2]["recall"] == 1.0
+    assert (got[3]["n_hit"], got[3]["recall"]) == (0, 0.0)
+
+
+def test_recall_at_k_truncates_by_rank(spark):
+    """With k set, deeper result lists are cut to rank <= k first."""
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 11, 1), (1, 10, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    row = S.recall_at_k(approx, exact, k=2).collect()[0]
+    # exact@2 = {10,11}; approx@2 = {11,10} -> full recall at the cutoff
+    assert (row["n_exact"], row["n_hit"], row["recall"]) == (2, 2, 1.0)
+    row3 = S.recall_at_k(approx, exact, k=3).collect()[0]
+    assert row3["recall"] == 1.0
+
+
 def test_engine_mode_bench_twins_registered(spark):
     """x15/x33 engine-mode twins: registered rows-only (no oracle — the
     xxhash64 signatures are engine-specific; the portable twins carry the

@@ -116,6 +116,7 @@ def test_no_cartesian_products(all_plans):
     allowed_nested_loop = {
         "x05_cosine_topk",
         "x27_quantized_topk",  # same brute-force broadcast pattern as x05
+        "x41_ann_recall",  # embeds the x05 brute-force exact baseline
         "q20_region_nation_matrix",
         "x21_tfidf_top_terms",
         # 1-row corpus-count scalar crossJoin(broadcast(total)) — same
