@@ -1,0 +1,185 @@
+"""URL / domain normalization for web-corpus curation (pure JVM regexp).
+
+Real crawl pipelines group, cap, and rebalance by *site*, not by raw URL
+string: the per-domain cap (:func:`cryoflow_spark.functions.sampling.
+cap_per_group`, x34) and the source-mix operators need a canonical
+``registrable_domain(url)`` key, and dedup passes need URLs normalized
+before comparison (scheme/host case, default ports, fragments, tracking
+params are all cosmetic).
+
+Everything here is a chain of built-in string/regexp expressions — no
+UDFs, so the operators ride whole-stage codegen and push through scans
+untouched — and every pattern is lookaround-free so the identical
+spelling runs on RE2 engines (DuckDB oracles, Trino) bit-identically;
+the ``sql_*`` twins emit that spelling (the
+``sampling.sql_hash_bucket`` pattern).
+
+The public-suffix handling is deliberately a BOUNDED HEURISTIC, not the
+full Mozilla Public Suffix List: a curated set of the common two-label
+suffixes (co.uk, com.au, co.jp, ...) plus the general last-two-labels
+rule. That covers the mass of a web crawl; pipelines needing exact PSL
+semantics can broadcast-join the full list as a table instead (same
+join shape as the stopword tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Common two-label public suffixes: a host ending in one of these keeps
+#: THREE labels as its registrable domain (news.bbc.co.uk -> bbc.co.uk).
+#: Bounded by design — see module docstring.
+MULTI_LABEL_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "co.kr", "or.kr", "go.kr",
+    "co.in", "net.in", "org.in", "gov.in",
+    "com.br", "net.br", "org.br",
+    "com.mx", "com.ar", "com.cn", "com.tw", "com.hk", "com.sg",
+    "com.tr", "co.za", "co.id", "co.th", "com.my", "com.ph",
+)
+
+_SCHEME_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
+_USERINFO_RE = "^[^/@?#]*@"
+_IPV4_RE = r"^\d{1,3}(\.\d{1,3}){3}$"
+
+
+def _after_authority_prefix(url: Column) -> Column:
+    """scheme and userinfo stripped: ``host[:port][/path...]``."""
+    return F.regexp_replace(
+        F.regexp_replace(url, _SCHEME_RE, ""), _USERINFO_RE, ""
+    )
+
+
+def extract_host(url) -> Column:
+    """Column: lowercased hostname of a URL (no scheme, userinfo, port,
+    path, query, or fragment; trailing dot stripped).
+
+    DuckDB spelling: :func:`sql_extract_host`.
+    """
+    u = url if not isinstance(url, str) else F.col(url)
+    host = F.regexp_extract(_after_authority_prefix(u), "^([^/:?#]*)", 1)
+    return F.regexp_replace(F.lower(host), r"\.$", "")
+
+
+def registrable_domain(host) -> Column:
+    """Column: the registrable ("pay-level") domain of a hostname.
+
+    Last two labels, or last three when the host ends in a known
+    two-label public suffix (:data:`MULTI_LABEL_SUFFIXES`); IPv4
+    literals and single-label hosts pass through unchanged. Compose as
+    ``registrable_domain(extract_host(url))`` for raw URLs.
+    """
+    h = host if not isinstance(host, str) else F.col(host)
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    last2 = F.array_join(F.slice(parts, F.greatest(n - 1, F.lit(1)), 2), ".")
+    last3 = F.array_join(F.slice(parts, F.greatest(n - 2, F.lit(1)), 3), ".")
+    return (
+        F.when(h.rlike(_IPV4_RE) | (n <= 2), h)
+        .when((last2.isin(*MULTI_LABEL_SUFFIXES)) & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def canonicalize_url(url) -> Column:
+    """Column: canonical form of a URL for dedup/grouping.
+
+    - scheme and host lowercased (path/query case is PRESERVED — it is
+      significant on most servers);
+    - default ports ``:80``/``:443`` dropped;
+    - fragment dropped;
+    - tracking query params dropped (``utm_*``, ``fbclid``, ``gclid``,
+      ``ref``), and a now-empty query string removed entirely;
+    - a bare root path ``/`` dropped.
+
+    Inputs are expected to carry an explicit scheme (crawl frontiers
+    do); scheme-less strings pass through the same host rules with the
+    original prefix preserved. DuckDB spelling:
+    :func:`sql_canonicalize_url`.
+    """
+    u = url if not isinstance(url, str) else F.col(url)
+    rest = _after_authority_prefix(u)
+    scheme = F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    hostport = F.regexp_extract(rest, "^([^/?#]*)", 1)
+    host = F.regexp_replace(F.lower(hostport), ":(80|443)$", "")
+    path = F.substring(rest, F.length(hostport) + 1, F.lit(2_147_483_647))
+    # Drop fragment, then normalize tracking params: turn '?' into '?&'
+    # so every param is &-prefixed, strip tracked ones globally, undo.
+    p = F.regexp_replace(path, "#.*$", "")
+    p = F.regexp_replace(p, r"\?", "?&")
+    p = F.regexp_replace(
+        p, "&(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*", ""
+    )
+    p = F.regexp_replace(p, r"\?&", "?")
+    p = F.regexp_replace(p, r"\?$", "")
+    p = F.regexp_replace(p, "^/$", "")
+    return F.concat(
+        F.when(scheme != "", F.concat(F.lower(scheme), F.lit("://"))).otherwise(
+            F.lit("")
+        ),
+        host,
+        p,
+    )
+
+
+# --- DuckDB spellings (for oracles) ---------------------------------------
+
+
+def _sql_after_authority_prefix(url_expr: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace({url_expr}, '{_SCHEME_RE}', ''), "
+        f"'{_USERINFO_RE}', '')"
+    )
+
+
+def sql_extract_host(url_expr: str) -> str:
+    """DuckDB spelling of :func:`extract_host`."""
+    rest = _sql_after_authority_prefix(url_expr)
+    return (
+        f"regexp_replace(lower(regexp_extract({rest}, '^([^/:?#]*)', 1)), "
+        f"'\\.$', '')"
+    )
+
+
+def sql_registrable_domain(host_expr: str) -> str:
+    """DuckDB spelling of :func:`registrable_domain`."""
+    parts = f"string_split({host_expr}, '.')"
+    n = f"len({parts})"
+    last2 = f"array_to_string(list_slice({parts}, greatest({n} - 1, 1), {n}), '.')"
+    last3 = f"array_to_string(list_slice({parts}, greatest({n} - 2, 1), {n}), '.')"
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+    return f"""
+    CASE
+      WHEN regexp_matches({host_expr}, '{_IPV4_RE}') OR {n} <= 2
+        THEN {host_expr}
+      WHEN {last2} IN ({suffixes}) AND {n} >= 3 THEN {last3}
+      ELSE {last2}
+    END
+    """
+
+
+def sql_canonicalize_url(url_expr: str) -> str:
+    """DuckDB spelling of :func:`canonicalize_url` (regexp_replace needs
+    the explicit 'g' flag where Spark replaces globally by default)."""
+    rest = _sql_after_authority_prefix(url_expr)
+    scheme = f"regexp_extract({url_expr}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)"
+    hostport = f"regexp_extract({rest}, '^([^/?#]*)', 1)"
+    host = f"regexp_replace(lower({hostport}), ':(80|443)$', '')"
+    path = f"substring({rest}, length({hostport}) + 1)"
+    p = f"regexp_replace({path}, '#.*$', '')"
+    p = f"regexp_replace({p}, '\\?', '?&', 'g')"
+    p = (
+        f"regexp_replace({p}, "
+        f"'&(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*', '', 'g')"
+    )
+    p = f"regexp_replace({p}, '\\?&', '?', 'g')"
+    p = f"regexp_replace({p}, '\\?$', '')"
+    p = f"regexp_replace({p}, '^/$', '')"
+    return (
+        f"(CASE WHEN {scheme} != '' THEN lower({scheme}) || '://' "
+        f"ELSE '' END) || {host} || {p}"
+    )

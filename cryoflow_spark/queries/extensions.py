@@ -1845,3 +1845,86 @@ def x41_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, queries, vec_col="embedding", id_col="vec_id", k=5, bits=6, dim=64
     )
     return S.recall_at_k(approx, exact, k=5)
+
+
+# --- x42: URL/domain normalization feeding the per-domain cap -------------
+
+
+def _x42_url_sql() -> str:
+    """Deterministic messy-URL synthesis from documents metadata (both
+    engines build the identical string, like x39's snapshot synthesis):
+    mixed-case hosts, userinfo, default ports, tracking params,
+    fragments, and a spread of public-suffix shapes."""
+    return """
+      CASE doc_id % 5
+        WHEN 0 THEN 'https://WWW.News-' || (doc_id % 7) || '.Example.CO.UK:443/articles/'
+                    || doc_id || '?utm_source=feed&id=' || doc_id || '#top'
+        WHEN 1 THEN 'http://crawler@Blog-' || (doc_id % 11) || '.example.com:80/posts/'
+                    || doc_id || '?id=' || doc_id || '&utm_campaign=x'
+        WHEN 2 THEN 'https://cdn' || (doc_id % 3) || '.media-' || (doc_id % 13)
+                    || '.example.org/img/' || doc_id || '?gclid=abc' || doc_id
+        WHEN 3 THEN 'https://sub.site-' || (doc_id % 17) || '.com.au/'
+        ELSE 'http://192.168.' || (doc_id % 4) || '.' || (doc_id % 251) || '/raw/' || doc_id
+      END
+    """
+
+
+def _x42_oracle(max_rows: int = 25) -> str:
+    from cryoflow_spark.functions.sampling import sql_hash_bucket
+    from cryoflow_spark.functions.urls import (
+        sql_canonicalize_url,
+        sql_extract_host,
+        sql_registrable_domain,
+    )
+
+    host = sql_extract_host("url")
+    return f"""
+    WITH urls AS (
+      SELECT doc_id, {_x42_url_sql()} AS url FROM documents
+    ),
+    norm AS (
+      SELECT doc_id,
+             {host} AS host,
+             {sql_registrable_domain(host)} AS domain,
+             {sql_canonicalize_url('url')} AS canonical_url
+      FROM urls
+    )
+    SELECT doc_id, host, domain, canonical_url FROM (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY domain
+               ORDER BY {sql_hash_bucket('doc_id')}, doc_id) AS rn
+      FROM norm
+    ) WHERE rn <= {max_rows}
+    """
+
+
+@register(
+    "x42_domain_normalize_cap",
+    _x42_oracle(),
+    "URL canonicalization + registrable-domain extraction (pure JVM "
+    "regexp chains, lookaround-free so the identical spelling runs on "
+    "RE2 oracles) feeding the x34 per-domain cap: keep at most N docs "
+    "per registrable domain in deterministic md5-bucket order — the "
+    "standard anti-domination pass of a web-crawl pipeline, now "
+    "reachable from a raw URL column",
+)
+def x42_domain_normalize_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.sampling import cap_per_group
+    from cryoflow_spark.functions.urls import (
+        canonicalize_url,
+        extract_host,
+        registrable_domain,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    url = F.expr(_x42_url_sql())
+    norm = d.select(
+        "doc_id",
+        extract_host(url).alias("host"),
+        registrable_domain(extract_host(url)).alias("domain"),
+        canonicalize_url(url).alias("canonical_url"),
+    )
+    return cap_per_group(
+        norm, group_col="domain", key_col="doc_id", max_rows=25
+    )

@@ -42,6 +42,98 @@ def test_minhash_dedup_removes_near_dups(docs):
     assert 2 not in ids  # near-dup (1 word of 9 differs) removed
 
 
+class TestUrlNormalization:
+    def _one(self, spark, expr_col, value):
+        df = spark.createDataFrame([(value,)], "u string")
+        return df.select(expr_col.alias("out")).collect()[0]["out"]
+
+    def test_extract_host(self, spark):
+        from cryoflow_spark.functions.urls import extract_host
+
+        cases = {
+            "https://WWW.Example.COM/path?q=1#f": "www.example.com",
+            "http://user:pw@Sub.Site.ORG:8080/x": "sub.site.org",
+            "https://example.com.": "example.com",
+            "ftp://Files.Example.net": "files.example.net",
+            "https://192.168.0.1/admin": "192.168.0.1",
+        }
+        for url, host in cases.items():
+            assert self._one(spark, extract_host(F.col("u")), url) == host, url
+
+    def test_registrable_domain(self, spark):
+        from cryoflow_spark.functions.urls import registrable_domain
+
+        cases = {
+            "news.bbc.co.uk": "bbc.co.uk",
+            "www.example.com": "example.com",
+            "example.com": "example.com",
+            "deep.sub.tree.example.org": "example.org",
+            "sub.site.com.au": "site.com.au",
+            "localhost": "localhost",
+            "192.168.0.1": "192.168.0.1",
+            "co.uk": "co.uk",
+        }
+        for host, dom in cases.items():
+            got = self._one(spark, registrable_domain(F.col("u")), host)
+            assert got == dom, (host, got, dom)
+
+    def test_canonicalize_url(self, spark):
+        from cryoflow_spark.functions.urls import canonicalize_url
+
+        cases = {
+            # default port + tracking param + fragment + host case
+            "https://WWW.Example.com:443/Path/?utm_source=x&id=1#frag":
+                "https://www.example.com/Path/?id=1",
+            # all params tracked -> query dropped entirely
+            "http://a.com/p?utm_a=1&utm_b=2": "http://a.com/p",
+            # bare root path dropped; non-default port kept
+            "HTTPS://A.B.com:8443/": "https://a.b.com:8443",
+            "https://a.com/": "https://a.com",
+            # path case preserved, ref param dropped mid-query
+            "https://a.com/X?id=2&ref=abc&page=3": "https://a.com/X?id=2&page=3",
+            # userinfo stripped
+            "https://bot@a.com/x": "https://a.com/x",
+        }
+        for url, canon in cases.items():
+            got = self._one(spark, canonicalize_url(F.col("u")), url)
+            assert got == canon, (url, got, canon)
+
+    def test_sql_twins_agree_with_spark(self, spark):
+        """The DuckDB spellings must produce byte-identical results for a
+        messy URL sample — the x42 bit-identity precondition."""
+        import duckdb
+
+        from cryoflow_spark.functions import urls as U
+
+        samples = [
+            "https://WWW.News.Example.CO.UK:443/a/1?utm_source=f&id=1#t",
+            "http://crawler@Blog.example.com:80/posts/9?id=9&utm_campaign=x",
+            "https://cdn1.media.example.org/img/4?gclid=abc4",
+            "https://sub.site.com.au/",
+            "http://192.168.1.77/raw/5",
+            "https://deep.sub.tree.example.org/X/Y?ref=r&q=Z",
+        ]
+        df = spark.createDataFrame([(s,) for s in samples], "url string")
+        got_spark = [
+            (r["h"], r["d"], r["c"])
+            for r in df.select(
+                U.extract_host("url").alias("h"),
+                U.registrable_domain(U.extract_host("url")).alias("d"),
+                U.canonicalize_url("url").alias("c"),
+            ).collect()
+        ]
+        host = U.sql_extract_host("url")
+        con = duckdb.connect()
+        con.register(
+            "urls_t", __import__("pandas").DataFrame({"url": samples})
+        )
+        got_duck = con.execute(
+            f"SELECT {host} AS h, {U.sql_registrable_domain(host)} AS d, "
+            f"{U.sql_canonicalize_url('url')} AS c FROM urls_t"
+        ).fetchall()
+        assert got_spark == [tuple(r) for r in got_duck]
+
+
 def test_recall_at_k_counts_hits_per_query(spark):
     exact = spark.createDataFrame(
         [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
