@@ -137,3 +137,133 @@ def zorder_from_options(
         col, lo, hi = entry
         dims.append((str(col), float(lo), float(hi)))
     return zorder_repartition(df, dims, bits=bits, num_partitions=num_partitions)
+
+
+# --- small-file compaction (target-size rewrite) --------------------------
+
+
+def dataset_file_stats(spark, path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of a dataset directory — driver-side FILE
+    METADATA only (Hadoop FileSystem listing; works for file://, hdfs://,
+    s3a://), no data read. Hidden/_SUCCESS entries are skipped.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise FileNotFoundError(path)
+    n_files = 0
+    total = 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        n_files += 1
+        total += status.getLen()
+    return n_files, total
+
+
+def compact_files(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_key: str | None = None,
+    sort_by: "Sequence[str] | None" = None,
+    fmt: str = "parquet",
+    compression: str = "snappy",
+) -> dict:
+    """Rewrite a fragmented dataset to ~``target_bytes`` files — the most
+    common lake-maintenance pass (streaming sinks and over-parallel
+    writes leave thousands of tiny files; scan cost at 100 TB is then
+    dominated by per-file open/footer overhead and tiny row groups).
+
+    The output file count is planned from the REAL compressed input
+    size (one driver-side metadata listing, no data scan):
+    ``n_out = ceil(total_bytes / target_bytes)`` — same codec in and
+    out, so output files land near the target.
+
+    File assignment is deterministic, cheapest strategy first:
+
+    - default: ``coalesce(n_out)`` when shrinking the file count — a
+      MAP-ONLY merge (no shuffle, no row moves between executors beyond
+      partition concatenation); falls back to a round-robin
+      ``repartition`` only when the plan must SPLIT files (n_out larger
+      than the input file count — rare for a compaction pass).
+    - ``partition_key``: hash-partition rows by that column instead —
+      one shuffle, but output file membership is then a pure function
+      of the key (stable across reruns and input layouts, and keeps
+      per-key locality for downstream joins).
+    - ``sort_by``: range-partition + in-partition sort on these columns
+      — one shuffle, preserves/establishes clustering so per-file
+      min-max stats stay tight (compose with Z-order layouts by
+      compacting on the same key).
+
+    Returns ``{"n_files_before", "bytes_before", "n_files_planned"}``.
+    The actual output count can only be LOWER (empty partitions write
+    nothing), never higher — pinned by test.
+    """
+    import math
+
+    n_in, total = dataset_file_stats(spark, in_path)
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.format(fmt).load(in_path)
+    if sort_by:
+        out = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    elif partition_key is not None:
+        out = df.repartition(n_out, partition_key)
+    elif n_out <= df.rdd.getNumPartitions():
+        out = df.coalesce(n_out)
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").format(fmt).option(
+        "compression", compression
+    ).save(out_path)
+    return {
+        "n_files_before": n_in,
+        "bytes_before": total,
+        "n_files_planned": n_out,
+    }
+
+
+def estimate_total_bytes(
+    df: DataFrame,
+    sample_rows: int = 2000,
+    compression: str = "snappy",
+) -> int:
+    """Estimated on-disk parquet size of ``df``: micro-write a bounded
+    ``sample_rows`` sample to a temp directory with the target codec,
+    measure it, and scale by the row count.
+
+    Costs one count action plus one tiny write — the price of sizing an
+    ARBITRARY frame (filters/joins break any input-file-size heuristic).
+    When the data already sits in files, prefer
+    :func:`dataset_file_stats` + :func:`compact_files`, which read no
+    data at all. Per-file footer overhead biases the estimate slightly
+    HIGH for wide schemas, which errs toward more, smaller files — the
+    safe direction for a size cap.
+    """
+    import math
+    import shutil
+    import tempfile
+
+    n = df.count()
+    if n == 0:
+        return 0
+    spark = df.sparkSession
+    k = min(n, sample_rows)
+    tmp = tempfile.mkdtemp(prefix="cryoflow_sizing_")
+    try:
+        df.limit(k).coalesce(1).write.mode("overwrite").parquet(
+            tmp + "/s", compression=compression
+        )
+        _, sample_bytes = dataset_file_stats(spark, tmp + "/s")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return math.ceil(sample_bytes * (n / k))

@@ -14,6 +14,16 @@ target directory is creatable/writable without writing data. Options:
 - ``partition_by`` (optional list) — hive-style partitioned layout, the
   scale path the reference lacks.
 - ``compression`` (default snappy)
+- ``target_file_mb`` (optional float) — size-targeted output files: the
+  frame is sized with a bounded sample micro-write (one count + one tiny
+  write — see ``functions.layout.estimate_total_bytes``) and
+  coalesced/repartitioned to ``ceil(total / target)`` partitions, so
+  output files land near the requested size regardless of upstream
+  parallelism (the anti-small-files knob; for compacting an EXISTING
+  dataset use ``functions.layout.compact_files``, which plans from real
+  file metadata with no data pass). Mutually exclusive with
+  ``single_file``, ``partition_by`` and ``zorder_by`` (those own the
+  output partitioning).
 - ``zorder_by`` (optional list of ``[column, lo, hi]`` triples) — cluster
   rows on the Z-curve over these dimensions before writing (one range
   exchange + in-partition sort), so per-file min-max stats are tight in
@@ -52,6 +62,32 @@ def _check_zorder_columns(options: dict, schema: SchemaData) -> None:
         raise KeyError(f"zorder_by columns not in schema: {missing}")
 
 
+def _maybe_target_size(data: FrameData, options: dict) -> FrameData:
+    """Apply the ``target_file_mb`` size-targeted partitioning option."""
+    target_mb = options.get("target_file_mb")
+    if target_mb is None:
+        return data
+    for other in ("single_file", "partition_by", "zorder_by"):
+        if options.get(other):
+            raise ValueError(
+                f"target_file_mb cannot be combined with '{other}'"
+            )
+    import math
+
+    from cryoflow_spark.functions.layout import estimate_total_bytes
+
+    target = float(target_mb) * 1024 * 1024
+    if target <= 0:
+        raise ValueError("target_file_mb must be positive")
+    total = estimate_total_bytes(
+        data, compression=options.get("compression", "snappy")
+    )
+    n_out = max(1, math.ceil(total / target))
+    if n_out <= data.rdd.getNumPartitions():
+        return data.coalesce(n_out)
+    return data.repartition(n_out)
+
+
 def _maybe_zorder(data: FrameData, options: dict) -> FrameData:
     """Apply the writers' shared ``zorder_by`` layout-clustering option."""
     zorder_by = options.get("zorder_by")
@@ -82,6 +118,7 @@ class ParquetWriterPlugin(OutputPlugin):
             partition_by = self.options.get("partition_by")
 
             data = _maybe_zorder(data, self.options)
+            data = _maybe_target_size(data, self.options)
             path.parent.mkdir(parents=True, exist_ok=True)
 
             if single_file:

@@ -471,3 +471,137 @@ class TestWriterZorder:
             ).collect()
         ]
         assert zkeys == sorted(zkeys)
+
+
+class TestCompaction:
+    """Small-file compaction: target-size rewrite operator + writer knob."""
+
+    def _fragment(self, spark, tmp_path, n_parts=32):
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        frag = str(tmp_path / "fragmented")
+        li.repartition(n_parts).write.parquet(frag)
+        return li, frag
+
+    def _files(self, path):
+        from pathlib import Path
+
+        return [
+            p for p in Path(path).rglob("*.parquet")
+            if not p.name.startswith(("_", "."))
+        ]
+
+    def test_compact_files_hits_size_envelope(self, spark, tmp_path):
+        from cryoflow_spark.functions.layout import (
+            compact_files,
+            dataset_file_stats,
+        )
+
+        li, frag = self._fragment(spark, tmp_path)
+        n_before, total = dataset_file_stats(spark, frag)
+        assert n_before == 32
+        target = max(1, total // 4)
+        out = str(tmp_path / "compacted")
+        stats = compact_files(spark, frag, out, target_bytes=target)
+        assert stats["n_files_before"] == 32
+        assert stats["bytes_before"] == total
+        files = self._files(out)
+        # count envelope: exactly the planned count (no empty partitions
+        # here), never more
+        assert len(files) == stats["n_files_planned"] <= 5
+        # size envelope: merging 32 tiny files dedups footer overhead, so
+        # files land at or under ~2x target and are far fatter than the
+        # fragments
+        sizes = [f.stat().st_size for f in files]
+        assert max(sizes) <= 2 * target
+        assert min(sizes) >= (total // n_before)
+        # content preserved bit-for-bit (order-insensitive)
+        a = spark.read.parquet(out)
+        assert a.count() == li.count()
+        assert (
+            a.exceptAll(spark.read.parquet(frag)).count() == 0
+        )
+
+    def test_compact_files_deterministic_and_keyed(self, spark, tmp_path):
+        from cryoflow_spark.functions.layout import compact_files
+
+        _, frag = self._fragment(spark, tmp_path, n_parts=8)
+        out1 = str(tmp_path / "c1")
+        out2 = str(tmp_path / "c2")
+        for out in (out1, out2):
+            compact_files(
+                spark, frag, out, target_bytes=1 << 40,
+                partition_key="l_orderkey",
+            )
+        # keyed assignment: same key -> same file, stable across reruns
+        import duckdb as dk
+
+        rows1 = dk.sql(
+            f"SELECT filename, count(*) AS n FROM read_parquet('{out1}/*.parquet', filename=true) GROUP BY 1 ORDER BY 2"
+        ).fetchall()
+        rows2 = dk.sql(
+            f"SELECT filename, count(*) AS n FROM read_parquet('{out2}/*.parquet', filename=true) GROUP BY 1 ORDER BY 2"
+        ).fetchall()
+        assert [n for _, n in rows1] == [n for _, n in rows2]
+
+    def test_compact_files_sorted_mode_tight_stats(self, spark, tmp_path):
+        """sort_by compaction keeps per-file min-max ranges disjoint-ish
+        (clustering preserved), unlike round-robin merging."""
+        from cryoflow_spark.functions.layout import (
+            compact_files,
+            dataset_file_stats,
+        )
+
+        _, frag = self._fragment(spark, tmp_path)
+        _, total = dataset_file_stats(spark, frag)
+        out = str(tmp_path / "sorted")
+        compact_files(
+            spark, frag, out, target_bytes=max(1, total // 4),
+            sort_by=["l_orderkey"],
+        )
+        import duckdb as dk
+
+        spans = dk.sql(
+            f"SELECT min(l_orderkey), max(l_orderkey) FROM read_parquet('{out}/*.parquet', filename=true) GROUP BY filename"
+        ).fetchall()
+        spans.sort()
+        for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2  # ranges do not interleave
+
+    def test_writer_target_file_mb(self, spark, tmp_path):
+        from cryoflow_spark.plugins.output import ParquetWriterPlugin
+
+        li = spark.read.parquet(
+            "/root/testdata/sf0.001/lineitem.parquet"
+        ).repartition(16)
+        out = tmp_path / "by_size"
+        plugin = ParquetWriterPlugin(
+            {"output_path": str(out), "target_file_mb": 0.05}
+        )
+        plugin.attach_session(spark)
+        res = plugin.execute(li)
+        assert is_successful(res), res
+        files = self._files(out)
+        # sf0.001 lineitem is ~0.2 MB compressed -> a 0.05 MB target makes
+        # several files, far fewer than the 16 input partitions
+        assert 2 <= len(files) < 16
+        big = tmp_path / "one"
+        plugin2 = ParquetWriterPlugin(
+            {"output_path": str(big), "target_file_mb": 512}
+        )
+        plugin2.attach_session(spark)
+        assert is_successful(plugin2.execute(li))
+        assert len(self._files(big)) == 1
+
+    def test_writer_target_file_mb_conflicts(self, spark, tmp_path):
+        from cryoflow_spark.plugins.output import ParquetWriterPlugin
+
+        li = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+        plugin = ParquetWriterPlugin({
+            "output_path": str(tmp_path / "x"),
+            "target_file_mb": 1,
+            "single_file": True,
+        })
+        plugin.attach_session(spark)
+        res = plugin.execute(li)
+        assert not is_successful(res)
+        assert "cannot be combined" in str(res.failure())
