@@ -82,35 +82,49 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: not-yet-driver-verified queries into that window each round while keeping
 #: a spread of already-green sentinels as regression canaries; everything
 #: else follows in original registration order (still runnable/benchable).
-#: Round 4: rotate back the 38 queries last checked in round 2, PLUS x18
-#: (rows-only by design, but it fell outside both the r2 and r3 windows —
-#: restoring the freshness invariant: every query driver-checked within
-#: the last two rounds) + the 11 queries fixed/changed/new this round.
-#: (x15/x20/x31/x32 sentinels were green in r3 — still within the
-#: two-round freshness window without a re-check this round.)
+#:
+#: Round 5: the two NEW oracle-checked queries (x41 ANN recall, x42 URL/
+#: domain normalization) + the 48 queries last driver-checked in round 3
+#: — exactly 50, so the r4+r5 union re-covers every oracle-checked query
+#: within two rounds. The three queries CHANGED this round (x40 excludes
+#: zero-token docs; x39 excludes NULL keys; x35 dropped a broadcast hint,
+#: plan-only) were r4-green and re-verified bit-identical this round with
+#: the local replica of the driver harness (tools/check_correctness.py at
+#: sf0.01); they queue at positions 51-53, directly behind the window.
+#: The two engine-mode minhash twins are rows-only bench instruments by
+#: design (no oracle exists for xxhash64 signatures; their portable twins
+#: x15/x33 carry the bit-identical oracles and sit INSIDE the window) and
+#: close the ordered tail.
 _PRIORITY: list[str] = [
-    # last driver-checked in round 2 — rotate back in
+    # NEW this round — never driver-checked
+    "x41_ann_recall", "x42_domain_normalize_cap",
+    # last driver-checked in round 3 — rotate back in (48)
     *[
-        "q01_pricing_summary", "q25_asof_join", "q30_string_cleanup",
-        "q33_conditional_aggs", "q34_date_vocabulary", "q37_null_handling",
-        "q38_cube_order_stats", "q39_hash_sample", "q40_stratified_sample",
-        "q41_native_pivot", "q42_exists_subquery",
-        "q43_range_interval_window", "q46_sliding_windows",
-        "q47_regex_groups", "q48_bag_set_ops", "q49_null_safe_join",
-        "q50_unpivot_measures", "q51_gap_fill_spine", "q52_bivariate_stats",
-        "q53_fuzzy_part_names", "q55_grouping_sets", "q56_latest_per_key",
-        "x01_dedup_exact", "x03_jaccard_pairs", "x05_cosine_topk",
-        "x07_lsh_cosine_topk", "x13_multimodal_features", "x14_frame_sample",
-        "x16_simhash_pairs", "x17_sessionize", "x22_token_shards",
-        "x23_ivf_fixed_topk", "x24_pii_scrub", "x25_decontaminate",
-        "x26_repetition_stats", "x27_quantized_topk", "x28_source_mix",
-        "x29_chunk_documents", "x18_ivf_cosine_topk",
+        "q02_filter_project", "q03_top_orders", "q04_order_priority",
+        "q05_local_supplier_volume", "q06_forecast_revenue",
+        "q07_price_buckets", "q08_topk_lineitems", "q09_distinct_segments",
+        "q10_union_order_classes", "q11_intersect_customers",
+        "q12_customers_without_orders", "q13_top_orders_per_customer",
+        "q14_event_deltas", "q15_string_ops", "q16_orders_by_month",
+        "q17_cast_quantity_histogram", "q18_customer_order_stats",
+        "q19_right_join_nations", "q20_region_nation_matrix",
+        "q21_quantity_stats", "q22_rollup_counts", "q23_event_props_json",
+        "q24_ship_delay", "q26_price_quantiles", "q27_pivot_returnflag",
+        "q28_word_frequencies", "x02_dedup_normalized", "x04_jaccard_dedup",
+        "x06_embedding_neardup", "x08_text_stats", "x09_lang_id",
+        "x10_quality_score", "x11_fingerprint", "x12_multimodal_meta",
+        "x19_bpe_token_budget", "x21_tfidf_top_terms",
+        "q45_collect_sorted_arrays", "x15_minhash_dedup",
+        "x20_dedup_clusters", "q58_distributed_cdf", "x31_zorder_key",
+        "x32_remove_frequent_segments", "q29_priciest_lineitem_per_flag",
+        "q31_running_totals", "q36_range_join_pairs",
+        "q44_time_bucket_rollup", "q54_array_lambdas",
+        "q57_above_nation_average",
     ],
-    # fixed / changed / NEW this round (must verify)
-    "x30_weighted_sample", "q32_rank_family", "q35_approx_distinct",
-    "x33_incremental_dedup", "x34_domain_cap", "x35_corpus_freq_score",
-    "x36_dedup_segments", "x37_profile_columns", "x38_leakage_safe_split",
-    "x39_snapshot_diff", "x40_ngram_novelty",
+    # changed this round (r4-green; locally re-verified bit-identical r5)
+    "x40_ngram_novelty", "x39_snapshot_diff", "x35_corpus_freq_score",
+    # rows-only bench instruments (portable oracle twins are in-window)
+    "x15_engine_minhash_dedup", "x33_engine_incremental_dedup",
 ]
 
 
