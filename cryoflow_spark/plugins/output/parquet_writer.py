@@ -152,6 +152,13 @@ class ParquetWriterPlugin(OutputPlugin):
         try:
             path = self.resolve_path(self.require_option("output_path"))
             _check_zorder_columns(self.options, schema)
+            if self.options.get("target_file_mb") is not None:
+                # Surface option conflicts at check time, before any data.
+                for other in ("single_file", "partition_by", "zorder_by"):
+                    if self.options.get(other):
+                        raise ValueError(
+                            f"target_file_mb cannot be combined with '{other}'"
+                        )
             path.parent.mkdir(parents=True, exist_ok=True)
             if not os.access(path.parent, os.W_OK):
                 raise PermissionError(f"output directory not writable: {path.parent}")

@@ -31,6 +31,11 @@ the TOML plugin surface. Modes (option ``method``):
   floor(1e9·fraction)); with ``min_novelty`` set, instead FILTERS to
   docs scoring at least it (zero-token docs carry NULL scores — kept
   when annotating, dropped by the filter).
+- ``normalize_urls``: URL normalization for web corpora — from
+  ``url_column`` add ``host``, ``domain`` (registrable domain via the
+  bounded public-suffix heuristic), and ``canonical_url`` (pure JVM
+  regexp chains, functions/urls.py); the ``domain`` column is the group
+  key the per-domain cap and source-mix passes expect.
 """
 
 from __future__ import annotations
@@ -106,6 +111,19 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 id_col=id_column,
                 ngram=int(self.options.get("ngram", 8)),
             )
+
+        if method == "normalize_urls":
+            from cryoflow_spark.functions import urls as U
+
+            url_col = self.require_option("url_column")
+            host = U.extract_host(url_col)
+            return data.withColumns({
+                self.options.get("host_column", "host"): host,
+                self.options.get("domain_column", "domain"):
+                    U.registrable_domain(host),
+                self.options.get("canonical_column", "canonical_url"):
+                    U.canonicalize_url(url_col),
+            })
 
         if method == "ngram_novelty":
             scores = C.ngram_novelty(

@@ -695,6 +695,38 @@ def test_curate_ngram_novelty_plugin(spark):
     assert [r["doc_id"] for r in filtered.collect()] == [3]
 
 
+def test_curate_normalize_urls_plugin(spark):
+    df = spark.createDataFrame(
+        [(1, "https://WWW.News.Example.CO.UK:443/a?utm_source=f&id=1#t"),
+         (2, "http://bot@blog.example.com:80/p/2")],
+        "doc_id long, url string",
+    )
+    out = _run(
+        CuratePlugin({"method": "normalize_urls", "url_column": "url"}), df
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["host"] == "www.news.example.co.uk"
+    assert got[1]["domain"] == "example.co.uk"
+    assert got[1]["canonical_url"] == "https://www.news.example.co.uk/a?id=1"
+    assert got[2]["domain"] == "example.com"
+    assert got[2]["canonical_url"] == "http://blog.example.com/p/2"
+
+
+def test_parquet_writer_dry_run_catches_target_size_conflict(spark, tmp_path):
+    from cryoflow_spark.plugins.output import ParquetWriterPlugin
+
+    plugin = ParquetWriterPlugin({
+        "output_path": str(tmp_path / "x"),
+        "target_file_mb": 1,
+        "partition_by": ["a"],
+    })
+    plugin.attach_session(spark)
+    df = spark.createDataFrame([(1,)], "a long")
+    res = plugin.dry_run(df.schema)
+    assert not is_successful(res)
+    assert "cannot be combined" in str(res.failure())
+
+
 def test_dedup_ngram_jaccard_pairs_plugin(spark):
     from cryoflow_spark.functions import dedup as D
 
