@@ -350,6 +350,51 @@ def embedding_neardup_pairs(
     )
 
 
+def _train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    train_fraction: float = 0.2,
+    train_points_per_centroid: int = 256,
+    kmeans_iters: int = 5,
+) -> "np.ndarray":
+    """Spherical k-means on a deterministic hash-sample of corpus vectors
+    (the IVF/SemDeDup coarse-quantizer trainer). The one driver-side
+    collect is hard-capped at ``n_centroids x train_points_per_centroid``
+    rows — bounded by centroid count, never corpus size."""
+    from cryoflow_spark.functions.sampling import hash_bucket
+
+    max_train = n_centroids * train_points_per_centroid
+    sample = (
+        corpus.filter(
+            hash_bucket(F.col(id_col), 1_000_000)
+            < int(train_fraction * 1_000_000)
+        )
+        .select(vec_col)
+        .limit(max_train)
+        .collect()
+    )
+    if not sample:
+        # Empty input (schema-only dry runs, empty partitions): nothing
+        # to train on and nothing to assign — any centroid set yields the
+        # same (empty) result, so return a deterministic placeholder.
+        return np.ones((n_centroids, 1), dtype=np.float64)
+    train = np.asarray([r[0] for r in sample], dtype=np.float64)
+    train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
+    # Deterministic init: first n_centroids rows in hash order of the
+    # sample (already pseudo-random); fixed Lloyd iterations.
+    cents = train[:n_centroids].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(train @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = train[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents  # (n_centroids, dim), unit-norm
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -388,41 +433,26 @@ def ivf_cosine_topk(
     count → identical centroids on every run and executor. Recall is
     tunable via ``nprobe``/``n_centroids``.
     """
-    from cryoflow_spark.functions.sampling import hash_bucket
-
     qid = query_id_col or id_col
 
     # --- 1. TRAIN (driver-side on a small deterministic sample) ---------
-    # The collect is bounded by O(n_centroids), NOT corpus size: the hash
-    # filter thins the scan (so huge corpora don't ship 20% of themselves)
-    # and the explicit limit caps the driver transfer at
-    # n_centroids × train_points_per_centroid rows regardless of scale.
-    # k-means quality saturates around a few hundred points per centroid
+    # The collect inside _train_ivf_centroids is bounded by O(n_centroids),
+    # NOT corpus size: the hash filter thins the scan (so huge corpora
+    # don't ship 20% of themselves) and the explicit limit caps the driver
+    # transfer at n_centroids × train_points_per_centroid rows regardless
+    # of scale. k-means quality saturates around a few hundred points per
+    # centroid
     # (Faiss trains on the same order), so the cap costs no recall.
     if centroids is None:
-        max_train = n_centroids * train_points_per_centroid
-        sample = (
-            corpus.filter(
-                hash_bucket(F.col(id_col), 1_000_000)
-                < int(train_fraction * 1_000_000)
-            )
-            .select(vec_col)
-            .limit(max_train)
-            .collect()
+        centroids = _train_ivf_centroids(
+            corpus,
+            vec_col=vec_col,
+            id_col=id_col,
+            n_centroids=n_centroids,
+            train_fraction=train_fraction,
+            train_points_per_centroid=train_points_per_centroid,
+            kmeans_iters=kmeans_iters,
         )
-        train = np.asarray([r[0] for r in sample], dtype=np.float64)
-        train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
-        # Deterministic init: first n_centroids rows in hash order of the
-        # sample (already pseudo-random); fixed Lloyd iterations.
-        cents = train[:n_centroids].copy()
-        for _ in range(kmeans_iters):
-            assign = np.argmax(train @ cents.T, axis=1)
-            for c in range(n_centroids):
-                members = train[assign == c]
-                if len(members):
-                    m = members.sum(axis=0)
-                    cents[c] = m / max(np.linalg.norm(m), 1e-12)
-        centroids = cents  # (n_centroids, dim), unit-norm
     else:
         # Use the caller's values VERBATIM (no re-normalization): cell
         # assignment must see the exact same literals as any external
@@ -562,3 +592,138 @@ def recall_at_k(
             ).alias("recall"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    centroids: "np.ndarray | list[list[float]] | None" = None,
+    n_centroids: int = 16,
+    assign_mode: str = "vectorized",
+    keep: str = "far",
+    with_cluster_info: bool = False,
+) -> DataFrame:
+    """Semantic deduplication: SemDeDup (Abbas et al. 2023, arXiv
+    2303.09540 — public algorithm). Cluster embeddings with a coarse
+    quantizer, compare pairs only WITHIN a cluster, and keep exactly the
+    members that have no above-threshold duplicate preferred over them.
+
+    The paper's keep rule (``keep="far"``): order each cluster by cosine
+    similarity to the centroid descending; a row is removed iff some
+    same-cluster row with pairwise cosine >= ``threshold`` comes LATER in
+    that order (lower centroid similarity — the survivor of a duplicate
+    group is its most "atypical" member, which the paper found preserves
+    downstream accuracy best). ``keep="near"`` flips the preference.
+    Ties on centroid similarity break by id, so the result is a
+    deterministic function of the input set — the same non-iterative
+    "exists a preferred partner" rule as the paper's triu-max matrix
+    formulation, expressible as one anti-join (no fixpoint loop).
+
+    ``centroids`` (unit-norm) makes the pass engine-portable/oracle-
+    checkable with ``assign_mode="fold"`` (sequential JVM fold dots, the
+    x23 pattern); ``None`` trains a quantizer exactly like
+    :func:`ivf_cosine_topk` (bounded hash-sampled k-means — the one
+    driver-side collect is capped by centroid count, never corpus size).
+
+    Scale: assignment is a narrow map (vectorized Arrow batches in the
+    default mode); the only shuffles are the cell equi-join and the
+    removed-id anti-join. Pairwise work is O(sum over cells of |cell|^2)
+    — the SemDeDup cost model; size ``n_centroids`` proportionally to
+    the corpus (the paper uses 50k clusters for web scale) so cells stay
+    bounded. No all-pairs path exists.
+    """
+    if keep not in ("far", "near"):
+        raise ValueError(f"invalid keep '{keep}' (expected 'far' or 'near')")
+
+    if centroids is None:
+        centroids = _train_ivf_centroids(
+            df, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids
+        )
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    if assign_mode == "vectorized":
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        @pandas_udf("struct<cell:int, cdot:double>")
+        def _assign_udf(vecs: pd.Series) -> pd.DataFrame:
+            cells, cdots = [], []
+            for v in vecs:
+                x = np.asarray(v, dtype=np.float64)
+                dots = cents @ x
+                # Stable argsort on -dots → lowest index wins ties, the
+                # same rule as the fold path's (score, index) struct sort.
+                c = int(np.argsort(-dots, kind="stable")[0])
+                cells.append(c)
+                cdots.append(float(dots[c]))
+            return pd.DataFrame({"cell": cells, "cdot": cdots})
+
+        assigned = _assign_udf(F.col(vec_col))
+    elif assign_mode == "fold":
+        structs = [
+            F.struct(
+                (-dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec])))
+                .alias("s"),
+                F.lit(j).alias("i"),
+            )
+            for j, cvec in enumerate(cents.tolist())
+        ]
+        best = F.element_at(F.sort_array(F.array(*structs)), 1)
+        assigned = F.struct(
+            best["i"].alias("cell"), (-best["s"]).alias("cdot")
+        )
+    else:
+        raise ValueError(f"invalid assign_mode '{assign_mode}'")
+
+    base = (
+        df.withColumn("__a", assigned)
+        .withColumn("__norm", norm(F.col(vec_col)))
+        .withColumn("__cell", F.col("__a.cell"))
+        # Cosine to the assigned (unit-norm) centroid: one divide on the
+        # already-computed assignment dot — no second fold traversal.
+        .withColumn("__csim", F.col("__a.cdot") / F.col("__norm"))
+        .drop("__a")
+    )
+
+    a = base.select(
+        F.col(id_col).alias("__rid"),
+        F.col(vec_col).alias("__rvec"),
+        F.col("__norm").alias("__rnorm"),
+        F.col("__csim").alias("__rcsim"),
+        "__cell",
+    )
+    b = base.select(
+        F.col(id_col).alias("__sid"),
+        F.col(vec_col).alias("__svec"),
+        F.col("__norm").alias("__snorm"),
+        F.col("__csim").alias("__scsim"),
+        "__cell",
+    )
+    if keep == "far":
+        preferred = (F.col("__scsim") < F.col("__rcsim")) | (
+            (F.col("__scsim") == F.col("__rcsim"))
+            & (F.col("__sid") > F.col("__rid"))
+        )
+    else:
+        preferred = (F.col("__scsim") > F.col("__rcsim")) | (
+            (F.col("__scsim") == F.col("__rcsim"))
+            & (F.col("__sid") > F.col("__rid"))
+        )
+    pair_cos = dot(F.col("__rvec"), F.col("__svec")) / (
+        F.col("__rnorm") * F.col("__snorm")
+    )
+    removed = (
+        a.join(b, "__cell")
+        .filter(F.col("__rid") != F.col("__sid"))
+        .filter(pair_cos >= F.lit(float(threshold)))
+        .filter(preferred)
+        .select(F.col("__rid").alias(id_col))
+        .distinct()
+    )
+    kept = base.join(removed, on=id_col, how="left_anti")
+    if with_cluster_info:
+        return kept.withColumnRenamed("__cell", "cell").withColumnRenamed(
+            "__csim", "centroid_sim"
+        ).drop("__norm")
+    return kept.drop("__cell", "__csim", "__norm")

@@ -20,6 +20,9 @@ Engine extension for large-scale training-data pipelines (BASELINE.json
   instead of removing rows — feeds cluster-aware consumers (the
   ``sample`` plugin's ``leakage_safe`` split, offline cluster audits);
   same knobs as ``ngram_jaccard``.
+- ``semantic``: SemDeDup over an embedding column (``column`` names the
+  vector column) — within-cluster cosine dedup with a trained coarse
+  quantizer; options ``threshold``, ``n_centroids``, ``keep``.
 
 All near-dup modes except ``ngram_jaccard_pairs`` return the frame with
 duplicates removed (keeping the lowest ``id_column`` per duplicate
@@ -114,5 +117,16 @@ class DedupPlugin(SiblingAwareTransformPlugin):
                 threshold=float(self.options.get("threshold", 0.8)),
                 block_by=self.options.get("block_by"),
                 method=self.options.get("method_strategy", "count"),
+            )
+        if method == "semantic":
+            from cryoflow_spark.functions import similarity as S
+
+            return S.semantic_dedup(
+                data,
+                vec_col=column,
+                id_col=id_column,
+                threshold=float(self.options.get("threshold", 0.9)),
+                n_centroids=int(self.options.get("n_centroids", 16)),
+                keep=self.options.get("keep", "far"),
             )
         raise ValueError(f"invalid dedup method '{method}'")

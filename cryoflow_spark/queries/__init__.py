@@ -123,6 +123,10 @@ _PRIORITY: list[str] = [
     ],
     # changed this round (r4-green; locally re-verified bit-identical r5)
     "x40_ngram_novelty", "x39_snapshot_diff", "x35_corpus_freq_score",
+    # new mid-r5 (after the window was fixed): locally verified
+    # bit-identical at sf0.01 via tools/check_correctness.py; heads the
+    # r6 window
+    "x43_semantic_dedup",
     # rows-only bench instruments (portable oracle twins are in-window)
     "x15_engine_minhash_dedup", "x33_engine_incremental_dedup",
 ]

@@ -218,7 +218,10 @@ def _sql_hyperplane_bucket(vec: str, dim: int, bits: int, seed: int = 42) -> str
     literals, same sequential left-fold dot product → identical buckets."""
     terms = []
     for j, plane in enumerate(S.hyperplanes(dim, bits, seed)):
-        lits = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in plane)
+        # Scientific notation parses directly as DOUBLE (a bare decimal
+        # literal goes through DECIMAL, whose cast to DOUBLE is not
+        # always correctly rounded).
+        lits = ", ".join(f"{x:.17e}" for x in plane)
         d = (
             f"list_reduce(list_prepend(0.0::DOUBLE, "
             f"[{vec}[i]::DOUBLE * (list_value({lits}))[i] "
@@ -889,7 +892,7 @@ def _x23_oracle() -> str:
     (training is covered separately by x18's sampled k-means)."""
 
     def fold_dot(vec: str, lits: list[float]) -> str:
-        vals = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in lits)
+        vals = ", ".join(f"{x:.17e}" for x in lits)  # exact DOUBLE literals
         return (
             f"list_reduce(list_prepend(0.0::DOUBLE, "
             f"[{vec}[i]::DOUBLE * (list_value({vals}))[i] "
@@ -1928,3 +1931,85 @@ def x42_domain_normalize_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(
         norm, group_col="domain", key_col="doc_id", max_rows=25
     )
+
+
+# --- x43: SemDeDup semantic deduplication (oracle-checked) ----------------
+
+# 4 centroids / threshold 0.4: the synthetic embeddings have no strong
+# near-dups (max pairwise cosine ~0.51), so the registered query uses a
+# low threshold and few large cells to actually exercise the removal
+# path; real corpora run n_centroids proportional to corpus size with
+# thresholds ~0.9 (the library default). The fixed seeded quantizer +
+# fold assignment is the engine-portable x23 pattern.
+_X43_CENTROIDS = S.fixed_random_centroids(dim=64, n_centroids=4, seed=7)
+_X43_THRESHOLD = 0.4
+
+
+def _x43_oracle() -> str:
+    """DuckDB replica of the SemDeDup pass with the same fixed centroid
+    literals: fold-dot cell assignment (struct sort, ties to the lowest
+    index), centroid cosine from the assignment dot, within-cell pairwise
+    cosine, and the paper's keep-farthest rule spelled as the identical
+    exists-a-preferred-partner anti-join.
+
+    Literal spelling matters here: a bare decimal literal parses as
+    DECIMAL in DuckDB and its DECIMAL->DOUBLE cast is not always
+    correctly rounded (1-ulp error observed), so centroid components are
+    spelled in scientific notation, which parses directly as DOUBLE and
+    round-trips every double exactly at 17 significant digits."""
+
+    def fold_dot(vec: str, lits: list[float]) -> str:
+        vals = ", ".join(f"{x:.17e}" for x in lits)
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"[{vec}[i]::DOUBLE * (list_value({vals}))[i] "
+            f"for i in generate_series(1, 64)]), (acc, x) -> acc + x)"
+        )
+
+    structs = ", ".join(
+        f"{{'s': -({fold_dot('embedding', cvec)}), 'i': {j}}}"
+        for j, cvec in enumerate(_X43_CENTROIDS)
+    )
+    return f"""
+    WITH assigned AS (
+      SELECT vec_id, embedding,
+             (list_sort(list_value({structs})))[1] AS r,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    base AS (
+      SELECT vec_id, embedding, nrm, r.i AS cell, (-r.s) / nrm AS csim
+      FROM assigned
+    ),
+    removed AS (
+      SELECT DISTINCT a.vec_id
+      FROM base a JOIN base b
+        ON a.cell = b.cell AND a.vec_id != b.vec_id
+      WHERE {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+              >= {_X43_THRESHOLD}
+        AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id > a.vec_id))
+    )
+    SELECT vec_id, cell, csim AS centroid_sim
+    FROM base WHERE vec_id NOT IN (SELECT vec_id FROM removed)
+    """
+
+
+@register(
+    "x43_semantic_dedup",
+    _x43_oracle(),
+    "SemDeDup semantic deduplication (Abbas et al. 2023): coarse-quantize "
+    "embeddings into cells, pairwise cosine only within a cell, keep the "
+    "duplicate-group member farthest from its centroid — the paper's "
+    "triu-max rule as one deterministic anti-join; fixed seeded quantizer "
+    "+ JVM fold dots so every stage is oracle-checked bit-identical",
+)
+def x43_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    kept = S.semantic_dedup(
+        e,
+        threshold=_X43_THRESHOLD,
+        centroids=_X43_CENTROIDS,
+        assign_mode="fold",
+        with_cluster_info=True,
+    )
+    return kept.select("vec_id", "cell", "centroid_sim")

@@ -1525,3 +1525,97 @@ def test_profile_ntz_micros_session_timezone_independent(spark):
     assert utc == shifted
     # 2024-03-15T12:30:45.123456Z as-if-UTC epoch micros
     assert utc[0] == 1710505845123456.0
+
+
+class TestSemanticDedup:
+    """SemDeDup (Abbas et al. 2023): within-cell pairwise dedup with the
+    paper's keep-farthest-from-centroid rule."""
+
+    CENTS = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+
+    def frame(self, spark):
+        # Cell 0: v1 (csim 1.0) duplicates both v2 and v5 (csim ~0.8,
+        # tied); v2 and v5 are NOT duplicates of each other (cos ~0.28).
+        # Cell 1: v3 and v4 are unrelated (cos 0.0).
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.8, 0.0, 0.6, 0.0]),
+            (5, [0.8, 0.0, -0.6, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [-1.0, 0.0, 0.0, 0.0]),
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def kept_ids(self, spark, **kw):
+        out = S.semantic_dedup(
+            self.frame(spark), threshold=0.75, centroids=self.CENTS, **kw
+        )
+        return {r["vec_id"] for r in out.select("vec_id").collect()}
+
+    def test_keep_far_removes_the_centroid_nearest_member(self, spark):
+        # v1 has preferred (farther-from-centroid) duplicates → removed;
+        # v2/v5 survive even though both duplicate v1 (the paper's rule is
+        # exists-a-preferred-partner, NOT transitive closure).
+        assert self.kept_ids(spark, assign_mode="fold") == {2, 3, 4, 5}
+
+    def test_keep_near_flips_the_preference(self, spark):
+        assert self.kept_ids(spark, assign_mode="fold", keep="near") == {1, 3, 4}
+
+    def test_fold_and_vectorized_assignments_agree(self, spark):
+        assert self.kept_ids(spark, assign_mode="fold") == self.kept_ids(
+            spark, assign_mode="vectorized"
+        )
+
+    def test_cluster_info_columns(self, spark):
+        out = S.semantic_dedup(
+            self.frame(spark),
+            threshold=0.75,
+            centroids=self.CENTS,
+            assign_mode="fold",
+            with_cluster_info=True,
+        )
+        rows = {r["vec_id"]: r for r in out.collect()}
+        assert rows[3]["cell"] == 1 and rows[4]["cell"] == 1
+        assert rows[2]["cell"] == 0
+        assert rows[3]["centroid_sim"] == 1.0
+        # Original columns are preserved; helper columns are renamed not
+        # leaked.
+        assert set(out.columns) == {"vec_id", "embedding", "cell", "centroid_sim"}
+
+    def test_trained_quantizer_mode_is_deterministic(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        base = [(i, [float(x) for x in rng.randn(8)]) for i in range(80)]
+        # Plant exact duplicates so something is removable.
+        dups = [(1000 + i, vec) for i, (_, vec) in enumerate(base[:10])]
+        df = spark.createDataFrame(
+            base + dups, "vec_id long, embedding array<double>"
+        )
+        a = {r["vec_id"] for r in S.semantic_dedup(
+            df, threshold=0.99, n_centroids=4).select("vec_id").collect()}
+        b = {r["vec_id"] for r in S.semantic_dedup(
+            df, threshold=0.99, n_centroids=4).select("vec_id").collect()}
+        assert a == b
+        # Every planted duplicate pair lost exactly its preferred member
+        # (identical vectors tie on centroid_sim → higher id preferred →
+        # the 1000+ copy survives, the original goes).
+        assert len(a) == 80
+        for i in range(10):
+            assert (i in a) != (1000 + i in a)
+
+    def test_invalid_args(self, spark):
+        with pytest.raises(ValueError):
+            S.semantic_dedup(self.frame(spark), centroids=self.CENTS, keep="bogus")
+        with pytest.raises(ValueError):
+            S.semantic_dedup(
+                self.frame(spark), centroids=self.CENTS, assign_mode="bogus"
+            )
+
+    def test_empty_input_trained_mode(self, spark):
+        # Schema-only dry runs execute transforms on empty frames — the
+        # trainer must not crash when the hash-sample collects 0 rows.
+        df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        out = S.semantic_dedup(df, threshold=0.9, n_centroids=4)
+        assert out.count() == 0
+        assert out.columns == ["vec_id", "embedding"]

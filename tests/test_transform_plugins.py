@@ -790,3 +790,27 @@ class TestProfilePlugin:
         plugin = ProfilePlugin({"columns": ["nope"]})
         plugin.attach_session(spark)
         assert not is_successful(plugin.execute(sales))
+
+
+def test_dedup_semantic_plugin(spark):
+    """SemDeDup through the TOML surface: planted exact duplicates lose
+    one member per pair (higher id survives under keep='far' ties)."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    base = [(i, [float(x) for x in rng.randn(8)]) for i in range(40)]
+    dups = [(100 + i, vec) for i, (_, vec) in enumerate(base[:5])]
+    df = spark.createDataFrame(
+        base + dups, "doc_id long, embedding array<double>"
+    )
+    out = _run(
+        DedupPlugin({
+            "method": "semantic", "column": "embedding",
+            "id_column": "doc_id", "threshold": 0.99, "n_centroids": 4,
+        }),
+        df,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert len(kept) == 40
+    for i in range(5):
+        assert (i in kept) != (100 + i in kept)
