@@ -1,0 +1,111 @@
+"""HTML → plain-text extraction for web-corpus ingestion (pure JVM
+regexp/replace chains).
+
+The first step of every crawl pipeline (WET-style text extraction):
+strip markup, drop non-content elements, decode the common entities,
+and normalize whitespace so the text operators downstream (lang-id,
+quality scoring, dedup shingles) see prose, not tag soup.
+
+Design constraints, mirroring :mod:`cryoflow_spark.functions.urls`:
+
+- Built-in string/regexp expressions only — no UDFs, so extraction rides
+  whole-stage codegen and is a narrow map over the scan.
+- Every pattern is lookaround/backreference-free so the IDENTICAL
+  spelling runs on RE2 engines; the ``sql_html_to_text`` twin emits that
+  spelling for DuckDB oracles.
+- This is a deterministic REGEX extractor, not an HTML5 parser: good for
+  the bulk of crawl text (and bit-reproducible anywhere), while
+  DOM-accurate extraction of pathological markup is out of scope by
+  design (a trafilatura-class parser would be a mapInPandas stage).
+
+Pipeline (order matters and is part of the contract):
+
+1. comments dropped (``<!-- ... -->``, dot-matches-newline, non-greedy);
+2. non-content elements dropped WITH their contents: script, style,
+   noscript, template, head;
+3. hard-break tags (``<br>``, ``<hr>``) and CLOSING block tags (p, div,
+   li, h1-h6, tr, td, th, table, ul, ol, blockquote, pre, section,
+   article, header, footer, figure, form) become newlines;
+4. every remaining tag is stripped;
+5. the common entities decode — ``&nbsp; &lt; &gt; &quot; &#39; &apos;``
+   and LAST ``&amp;`` (so ``&amp;lt;`` correctly yields the literal
+   ``&lt;`` per the spec's double-escaping rules);
+6. whitespace normalizes: horizontal runs collapse to one space, spaces
+   hug no newline, 3+ newlines collapse to a paragraph break, outer
+   whitespace trims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Elements whose CONTENT is dropped along with the tags.
+DROP_CONTENT_TAGS: tuple[str, ...] = (
+    "script", "style", "noscript", "template", "head",
+)
+
+#: Closing tags rendered as line breaks (plus <br>/<hr> in any form).
+_BLOCK_TAGS = (
+    "p|div|li|h[1-6]|tr|td|th|table|ul|ol|blockquote|pre|section|article|"
+    "header|footer|figure|form"
+)
+
+_COMMENT_RE = "(?s)<!--.*?-->"
+_BREAK_RE = f"(?i)<(?:br|hr)[^>]*>|</(?:{_BLOCK_TAGS})\\s*>"
+_ANY_TAG_RE = "(?s)<[^>]*>"
+
+#: (entity, replacement) in APPLICATION ORDER — ``&amp;`` must be last.
+ENTITY_DECODES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(html) -> Column:
+    """Column: plain text extracted from an HTML string (see module
+    docstring for the exact, engine-portable pipeline).
+
+    DuckDB spelling: :func:`sql_html_to_text`.
+    """
+    s = html if not isinstance(html, str) else F.col(html)
+    s = F.regexp_replace(s, _COMMENT_RE, "")
+    for tag in DROP_CONTENT_TAGS:
+        s = F.regexp_replace(s, f"(?is)<{tag}[^>]*>.*?</{tag}\\s*>", "")
+    s = F.regexp_replace(s, _BREAK_RE, "\n")
+    s = F.regexp_replace(s, _ANY_TAG_RE, "")
+    for ent, rep in ENTITY_DECODES:
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    # Horizontal whitespace runs -> one space; spaces never touch a
+    # newline; 3+ newlines -> paragraph break; outer whitespace trimmed.
+    s = F.regexp_replace(s, r"[^\S\n]+", " ")
+    s = F.regexp_replace(s, r" *\n *", "\n")
+    s = F.regexp_replace(s, r"\n{3,}", "\n\n")
+    s = F.regexp_replace(s, r"^\s+|\s+$", "")
+    return s
+
+
+def sql_html_to_text(html_expr: str) -> str:
+    """DuckDB spelling of :func:`html_to_text` (same patterns; DuckDB
+    regexp_replace needs the explicit 'g' flag where Spark is global by
+    default, and inline flags move to the flags argument where needed)."""
+    s = f"regexp_replace({html_expr}, '<!--.*?-->', '', 'gs')"
+    for tag in DROP_CONTENT_TAGS:
+        s = (
+            f"regexp_replace({s}, '<{tag}[^>]*>.*?</{tag}\\s*>', '', 'gis')"
+        )
+    s = f"regexp_replace({s}, '<(?:br|hr)[^>]*>|</(?:{_BLOCK_TAGS})\\s*>', e'\\n', 'gi')"
+    s = f"regexp_replace({s}, '<[^>]*>', '', 'gs')"
+    for ent, rep in ENTITY_DECODES:
+        lit = rep.replace("'", "''")
+        s = f"replace({s}, '{ent}', '{lit}')"
+    s = f"regexp_replace({s}, '[^\\S\\n]+', ' ', 'g')"
+    s = f"regexp_replace({s}, ' *\\n *', e'\\n', 'g')"
+    s = f"regexp_replace({s}, '\\n{{3,}}', e'\\n\\n', 'g')"
+    s = f"regexp_replace({s}, '^\\s+|\\s+$', '', 'g')"
+    return s

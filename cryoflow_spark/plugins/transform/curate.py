@@ -8,6 +8,10 @@ the TOML plugin surface. Modes (option ``method``):
 
 - ``pii_scrub`` (default): redact URL/email/IP/phone spans in ``column``
   (in place, or into ``out_column``).
+- ``html_to_text``: WET-style plain-text extraction from raw HTML in
+  ``column`` (in place, or into ``out_column``) — strip comments and
+  script/style/head blocks, break tags to newlines, decode common
+  entities, normalize whitespace (functions/html.py).
 - ``repetition_filter``: drop docs whose repetition stats exceed
   thresholds — options ``max_dup_token_frac``, ``max_dup_2gram_frac``,
   ``max_top_token_frac``, ``min_tokens`` (any subset).
@@ -61,6 +65,12 @@ class CuratePlugin(SiblingAwareTransformPlugin):
         if method == "pii_scrub":
             out = self.options.get("out_column", column)
             return data.withColumn(out, C.scrub_pii(column))
+
+        if method == "html_to_text":
+            from cryoflow_spark.functions.html import html_to_text
+
+            out = self.options.get("out_column", column)
+            return data.withColumn(out, html_to_text(column))
 
         if method == "repetition_filter":
             stats = C.repetition_stats(data, text_col=column, id_col=id_column)

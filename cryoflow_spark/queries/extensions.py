@@ -2013,3 +2013,45 @@ def x43_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_cluster_info=True,
     )
     return kept.select("vec_id", "cell", "centroid_sim")
+
+
+# --- x44: HTML -> plain-text extraction (oracle-checked) ------------------
+
+# Deterministic synthetic markup wrapping each document's text: exercises
+# comment stripping, dropped-content elements (script/style/head), break
+# tags, entity decoding (incl. the &amp;-last double-escape rule), and
+# whitespace normalization in one expression.
+_X44_HTML_EXPR = (
+    "'<html><head><title>t</title><style>p{color:red}</style>"
+    "<script type=\"text/javascript\">var x = 1 < 2;</script></head>"
+    "<body><h1>Doc ' || doc_id || '</h1><p>' || text || "
+    "'</p><ul><li>first &amp;lt; item</li><li>n&nbsp;' || "
+    "(doc_id % 5) || '</li></ul><!-- hidden ' || "
+    "doc_id || ' --><div>tail &quot;q&#39; &gt;</div>"
+    "</body></html>'"
+)
+
+
+from cryoflow_spark.functions.html import sql_html_to_text as _sql_html_to_text  # noqa: E402
+
+
+@register(
+    "x44_html_to_text",
+    f"""
+    SELECT doc_id,
+           {_sql_html_to_text(_X44_HTML_EXPR)} AS plain_text
+    FROM documents
+    """,
+    "HTML -> plain-text extraction (WET-style): strip comments and "
+    "non-content elements, break tags to newlines, decode common "
+    "entities, normalize whitespace — a pure regexp/replace chain that "
+    "rides whole-stage codegen, identical RE2-safe spelling oracle-"
+    "checked bit-identical",
+)
+def x44_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.html import html_to_text
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", html_to_text(F.expr(_X44_HTML_EXPR)).alias("plain_text")
+    )

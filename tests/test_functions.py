@@ -1619,3 +1619,90 @@ class TestSemanticDedup:
         out = S.semantic_dedup(df, threshold=0.9, n_centroids=4)
         assert out.count() == 0
         assert out.columns == ["vec_id", "embedding"]
+
+
+class TestHtmlToText:
+    """WET-style HTML extraction (functions/html.py)."""
+
+    def _one(self, spark, value):
+        from cryoflow_spark.functions.html import html_to_text
+
+        df = spark.createDataFrame([(value,)], "h string")
+        return df.select(html_to_text(F.col("h")).alias("t")).collect()[0]["t"]
+
+    def test_semantics(self, spark):
+        cases = {
+            # comments and non-content elements drop with their contents
+            "<script>var x = 1 < 2;</script><p>kept</p><!-- drop\nme -->":
+                "kept",
+            "<style>p{color:red}</style>shown<noscript>hid</noscript>":
+                "shown",
+            # head drops entirely (title text is not prose)
+            "<html><head><title>T</title></head><body>body</body></html>":
+                "body",
+            # break and block tags become newlines; inline tags vanish
+            "a<br>b<BR/>c<hr>d": "a\nb\nc\nd",
+            "<ul><li>one</li><li>two</li></ul>": "one\ntwo",
+            "<tr><td>c1</td><td>c2</td></tr>": "c1\nc2",
+            "<p>nested <b>bold <i>italic</i></b></p>": "nested bold italic",
+            # entity decoding: &amp; LAST so double-escapes stay escaped
+            "x &amp;lt; y &lt;z&gt; &quot;q&quot; &#39;a&#39;&nbsp;!":
+                'x &lt; y <z> "q" \'a\' !',
+            # whitespace: collapse runs, trim around newlines and ends
+            "  a   b \t c \n\n\n\n d  ": "a b c\n\nd",
+            "": "",
+        }
+        for html, want in cases.items():
+            got = self._one(spark, html)
+            assert got == want, (html, got, want)
+
+    def test_sql_twin_agrees_with_spark(self, spark):
+        """Byte-identity with the DuckDB spelling — the x44 bit-identity
+        precondition."""
+        import duckdb
+
+        from cryoflow_spark.functions.html import html_to_text, sql_html_to_text
+
+        samples = [
+            "<html><head><style>p{}</style></head><body><h1>H</h1>"
+            "<p>hello &amp;lt; world &lt;tag&gt;&nbsp;end</p></body></html>",
+            "<SCRIPT type='t'>1 < 2\nmore</script><p>kept</p><!-- c -->",
+            "a<br>b<br/>c<table><tr><td>1</td><td>2</td></tr></table>",
+            "  spaced   out \t\n\n\n\n text ",
+            "plain & text < no tags",
+            "",
+        ]
+        df = spark.createDataFrame([(s,) for s in samples], "h string")
+        got_spark = [
+            r["t"]
+            for r in df.select(html_to_text(F.col("h")).alias("t")).collect()
+        ]
+        con = duckdb.connect()
+        con.register(
+            "html_t", __import__("pandas").DataFrame({"h": samples})
+        )
+        got_duck = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {sql_html_to_text('h')} FROM html_t"
+            ).fetchall()
+        ]
+        assert got_spark == got_duck
+
+
+def test_curate_html_to_text_plugin(spark):
+    df = spark.createDataFrame(
+        [(1, "<p>body &amp; soul</p><script>x</script>")],
+        "doc_id long, text string",
+    )
+    from cryoflow_spark.plugins.transform.curate import CuratePlugin
+
+    plugin = CuratePlugin({"method": "html_to_text", "out_column": "plain"})
+    plugin.attach_session(spark)
+    res = plugin.execute(df)
+    from cryoflow_spark.core.result import is_successful
+
+    assert is_successful(res)
+    row = res.unwrap().collect()[0]
+    assert row["plain"] == "body & soul"
+    assert row["text"].startswith("<p>")
