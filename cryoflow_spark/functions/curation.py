@@ -420,3 +420,65 @@ def repetition_stats(
         )
     )
     return array_stats.join(top_counts, id_col, "left")
+
+
+def quantile_threshold_filter(
+    df: DataFrame,
+    score_col: str,
+    group_col: str | None = None,
+    p: float = 0.1,
+    keep: str = "above",
+    exact: bool = True,
+    accuracy: int = 10_000,
+    with_threshold: bool = False,
+) -> DataFrame:
+    """Adaptive quantile gate: keep rows at-or-above (``keep="above"``)
+    or at-or-below (``keep="below"``) their group's ``p``-th quantile of
+    ``score_col``.
+
+    The standard "per-language quality floor" of corpus curation
+    (CCNet's per-bucket perplexity cut is this shape): a single global
+    threshold over-prunes low-resource groups, so the cutoff adapts to
+    each ``group_col`` bucket's own score distribution. Rows with a NULL
+    score never pass the gate (they have no defined quantile position).
+
+    ``exact=True`` uses ``percentile`` (linear interpolation — identical
+    to ``quantile_cont`` in any engine, the oracle-checkable path); its
+    per-group aggregation buffer holds the group's values, fine for
+    bounded groups (languages, sources), and the partial aggregation
+    still runs map-side. ``exact=False`` switches to
+    ``percentile_approx`` (bounded t-digest sketch per group, merged
+    map-side) — the 100 TB path for high-cardinality groups. For GLOBAL
+    exact quantiles over an unbounded table (``group_col=None``), prefer
+    the distributed CDF spine (:mod:`cryoflow_spark.functions.ranks`) —
+    the single-group aggregation here funnels the value buffer through
+    one aggregator by definition (the approx mode does not).
+
+    Scale: one groupBy over the (small) group domain, the thresholds
+    broadcast back, then a map-side filter — no fact-table shuffle.
+    """
+    if keep not in ("above", "below"):
+        raise ValueError(f"invalid keep '{keep}' (expected 'above'/'below')")
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"quantile p={p} outside [0, 1]")
+
+    g = group_col or "__g"
+    base = df if group_col else df.withColumn("__g", F.lit(0))
+    fn = (
+        f"percentile({score_col}, {float(p)!r}D)"
+        if exact
+        else f"percentile_approx({score_col}, {float(p)!r}D, {int(accuracy)})"
+    )
+    thresholds = base.groupBy(g).agg(F.expr(fn).alias("__thr"))
+    gated = base.join(F.broadcast(thresholds), on=g)
+    cond = (
+        F.col(score_col) >= F.col("__thr")
+        if keep == "above"
+        else F.col(score_col) <= F.col("__thr")
+    )
+    out = gated.filter(cond)
+    if not group_col:
+        out = out.drop("__g")
+    if with_threshold:
+        return out.withColumnRenamed("__thr", "threshold")
+    return out.drop("__thr")

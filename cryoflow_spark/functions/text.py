@@ -303,3 +303,83 @@ def corpus_frequency_score(
             )
         ).cast("bigint").alias("freq_score"),
     )
+
+
+def vocab_stats(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    min_tf: int | None = None,
+    top_n: int | None = None,
+):
+    """Corpus vocabulary statistics: one row per distinct token with its
+    term frequency ``tf`` (total occurrences) and document frequency
+    ``df`` (distinct docs containing it).
+
+    The artifact every frequency-driven pass consumes: the corpus
+    frequency table for :func:`corpus_frequency_score`, idf inputs for
+    :func:`tfidf_top_terms`, stopword candidates, tokenizer-vocab seeds,
+    and heavy-hitter junk-token reports (``top_n``).
+
+    Scale: tokens explode map-side, then ONE (token, id)-keyed partial
+    aggregation collapses per-doc repeats before the vocabulary-keyed
+    rollup — tf and df come out of the same two-shuffle pipeline with no
+    count-distinct Expand. ``top_n`` uses orderBy+limit, which Spark
+    executes as TakeOrdered (per-partition partial top-N, driver merge
+    of N-row heads) — safe at any corpus size for bounded N.
+
+    Ordering contract: ``top_n`` ranks by (tf DESC, token ASC), so the
+    result SET is deterministic under ties.
+    """
+    toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    per_doc = (
+        df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("token"))
+        .groupBy("token", "__id")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    out = per_doc.groupBy("token").agg(
+        F.sum("__c").alias("tf"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    if min_tf is not None:
+        out = out.filter(F.col("tf") >= int(min_tf))
+    if top_n is not None:
+        out = out.orderBy(F.col("tf").desc(), F.col("token")).limit(int(top_n))
+    return out
+
+
+def sql_vocab_stats(
+    lowercase: bool = True,
+    min_tf: int | None = None,
+    top_n: int | None = None,
+    table: str = "documents",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB spelling of :func:`vocab_stats` (same tokenization, same
+    tie-break ordering)."""
+    tok = "t" if not lowercase else "lower(t)"
+    where = f"WHERE tf >= {int(min_tf)}" if min_tf is not None else ""
+    order = (
+        f"ORDER BY tf DESC, token LIMIT {int(top_n)}"
+        if top_n is not None
+        else ""
+    )
+    return f"""
+    SELECT token, tf, df FROM (
+      SELECT token, SUM(c)::BIGINT AS tf, COUNT(*)::BIGINT AS df FROM (
+        SELECT {tok} AS token, {id_expr} AS id, COUNT(*)::BIGINT AS c
+        FROM (
+          SELECT {id_expr}, unnest(
+            list_filter(string_split_regex({text_expr}, '\\s+'), t -> t != '')
+          ) AS t
+          FROM {table}
+        )
+        GROUP BY 1, 2
+      )
+      GROUP BY token
+    ) {where} {order}
+    """

@@ -17,6 +17,7 @@ from cryoflow_spark.plugins.transform.select import SelectPlugin
 from cryoflow_spark.plugins.transform.set_op import SetOpPlugin
 from cryoflow_spark.plugins.transform.sort import SortPlugin
 from cryoflow_spark.plugins.transform.sql import SqlPlugin
+from cryoflow_spark.plugins.transform.vocab import VocabPlugin
 from cryoflow_spark.plugins.transform.window import WindowPlugin
 from cryoflow_spark.plugins.transform.with_column import WithColumnPlugin
 
@@ -38,6 +39,7 @@ __all__ = [
     "SnapshotDiffPlugin",
     "SortPlugin",
     "SqlPlugin",
+    "VocabPlugin",
     "WindowPlugin",
     "WithColumnPlugin",
 ]

@@ -16,6 +16,10 @@ the TOML plugin surface. Modes (option ``method``):
   thresholds — options ``max_dup_token_frac``, ``max_dup_2gram_frac``,
   ``max_top_token_frac``, ``min_tokens`` (any subset).
 - ``quality_filter``: keep docs with ``quality_score >= min_quality``.
+- ``quantile_filter``: ADAPTIVE per-group gate — keep rows at-or-above
+  (``keep="above"``, default) or at-or-below their ``group_by`` bucket's
+  ``p``-th quantile of ``score_column`` (exact percentile by default,
+  ``exact=false`` for the t-digest sketch at scale).
 - ``chunk``: 1→N sliding-window chunks with char offsets (RAG
   preprocessing) — options ``chunk_size``, ``overlap``.
 - ``decontaminate``: drop docs sharing any word ``ngram``-gram with the
@@ -96,6 +100,16 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 )
             bad = stats.filter(cond).select(id_column)
             return data.join(bad, on=id_column, how="left_anti")
+
+        if method == "quantile_filter":
+            return C.quantile_threshold_filter(
+                data,
+                score_col=self.require_option("score_column"),
+                group_col=self.options.get("group_by"),
+                p=float(self.options.get("p", 0.1)),
+                keep=self.options.get("keep", "above"),
+                exact=bool(self.options.get("exact", True)),
+            )
 
         if method == "quality_filter":
             from cryoflow_spark.functions import text as X

@@ -1,0 +1,38 @@
+"""Vocabulary-statistics transform plugin (corpus analysis stage).
+
+Replaces the stream with its vocabulary — one row per distinct token
+with ``token, tf, df`` (see :func:`cryoflow_spark.functions.text.
+vocab_stats`). Route it on its own label to emit the frequency table a
+corpus-frequency scorer, TF-IDF pass, or stopword audit consumes.
+Options:
+
+- ``column`` (default ``text``) / ``id_column`` (default ``doc_id``)
+- ``lowercase`` (default true)
+- ``min_tf`` (optional) — frequency floor
+- ``top_n`` (optional) — heavy-hitter report, ranked (tf DESC, token)
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+
+
+class VocabPlugin(AnalyzedTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "vocab"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        from cryoflow_spark.functions.text import vocab_stats
+
+        min_tf = self.options.get("min_tf")
+        top_n = self.options.get("top_n")
+        return vocab_stats(
+            data,
+            text_col=self.options.get("column", "text"),
+            id_col=self.options.get("id_column", "doc_id"),
+            lowercase=bool(self.options.get("lowercase", True)),
+            min_tf=int(min_tf) if min_tf is not None else None,
+            top_n=int(top_n) if top_n is not None else None,
+        )

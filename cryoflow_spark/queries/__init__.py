@@ -126,7 +126,8 @@ _PRIORITY: list[str] = [
     # new mid-r5 (after the window was fixed): locally verified
     # bit-identical at sf0.01 via tools/check_correctness.py; heads the
     # r6 window
-    "x43_semantic_dedup", "x44_html_to_text",
+    "x43_semantic_dedup", "x44_html_to_text", "x45_quantile_gate",
+    "x46_vocab_stats",
     # rows-only bench instruments (portable oracle twins are in-window)
     "x15_engine_minhash_dedup", "x33_engine_incremental_dedup",
 ]

@@ -333,10 +333,11 @@ def x09_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- x10: quality scoring ------------------------------------------------
 
 
-@register(
-    "x10_quality_score",
-    """
-    SELECT doc_id,
+def _quality_scored_sql(cols: str = "doc_id") -> str:
+    """DuckDB spelling of ``text.quality_score`` over documents, passing
+    ``cols`` through — shared by the x10 and x45 oracles."""
+    return f"""
+    SELECT {cols},
            round(
              least(tokens / 100.0, 1.0) * 0.4
              + (1.0 - CASE WHEN chars > 0 THEN punct / chars ELSE 0.0 END) * 0.3
@@ -345,14 +346,19 @@ def x09_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
              6
            ) AS quality
     FROM (
-      SELECT doc_id,
+      SELECT {cols},
              len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))::DOUBLE
                AS tokens,
              length(text)::DOUBLE AS chars,
              length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))::DOUBLE AS punct
       FROM documents
     )
-    """,
+    """
+
+
+@register(
+    "x10_quality_score",
+    _quality_scored_sql("doc_id"),
     "Quality heuristic from length/punctuation/word-shape ratios",
 )
 def x10_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2055,3 +2061,48 @@ def x44_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", html_to_text(F.expr(_X44_HTML_EXPR)).alias("plain_text")
     )
+
+
+# --- x45: adaptive per-group quantile gate (oracle-checked) ----------------
+
+
+@register(
+    "x45_quantile_gate",
+    f"""
+    WITH scored AS ({_quality_scored_sql("doc_id, lang")}),
+    thr AS (
+      SELECT lang, quantile_cont(quality, 0.25) AS threshold
+      FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.quality, t.threshold
+    FROM scored s JOIN thr t ON s.lang = t.lang
+    WHERE s.quality >= t.threshold
+    """,
+    "Adaptive per-language quality floor (CCNet-style per-bucket cut): "
+    "each language keeps its docs at or above its OWN 25th-percentile "
+    "quality score — exact interpolated percentile per group, thresholds "
+    "broadcast back, map-side filter; no fact-table shuffle",
+)
+def x45_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "lang", X.quality_score("text").alias("quality"))
+    return C.quantile_threshold_filter(
+        scored, "quality", group_col="lang", p=0.25, with_threshold=True
+    ).select("doc_id", "lang", "quality", "threshold")
+
+
+# --- x46: corpus vocabulary / heavy-hitter stats (oracle-checked) ---------
+
+
+@register(
+    "x46_vocab_stats",
+    X.sql_vocab_stats(top_n=100),
+    "Corpus vocabulary statistics: per-token term frequency + document "
+    "frequency from one two-shuffle pipeline (per-(token,doc) partial "
+    "collapse, then vocabulary rollup — no count-distinct Expand); "
+    "top-100 by (tf DESC, token) via TakeOrdered. The frequency-table "
+    "artifact that feeds x35's corpus-frequency scorer and TF-IDF idf",
+)
+def x46_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.vocab_stats(d, top_n=100)

@@ -1706,3 +1706,114 @@ def test_curate_html_to_text_plugin(spark):
     row = res.unwrap().collect()[0]
     assert row["plain"] == "body & soul"
     assert row["text"].startswith("<p>")
+
+
+class TestQuantileThresholdFilter:
+    def frame(self, spark):
+        rows = [
+            ("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0),
+            ("B", 10.0), ("B", 20.0), ("B", 30.0),
+            ("B", None),
+        ]
+        return spark.createDataFrame(rows, "grp string, score double")
+
+    def kept(self, spark, **kw):
+        from cryoflow_spark.functions.curation import quantile_threshold_filter
+
+        out = quantile_threshold_filter(self.frame(spark), "score", **kw)
+        return {(r["grp"], r["score"]) for r in out.select("grp", "score").collect()}
+
+    def test_per_group_above(self, spark):
+        # medians: A=2.5, B=20 → above keeps A:{3,4}, B:{20,30}
+        assert self.kept(spark, group_col="grp", p=0.5) == {
+            ("A", 3.0), ("A", 4.0), ("B", 20.0), ("B", 30.0),
+        }
+
+    def test_per_group_below(self, spark):
+        assert self.kept(spark, group_col="grp", p=0.5, keep="below") == {
+            ("A", 1.0), ("A", 2.0), ("B", 10.0), ("B", 20.0),
+        }
+
+    def test_null_scores_never_pass(self, spark):
+        got = self.kept(spark, group_col="grp", p=0.0)
+        assert ("B", None) not in got and len(got) == 7
+
+    def test_global_mode(self, spark):
+        # Global p=0.5 over [1,2,3,4,10,20,30] → threshold 4
+        got = self.kept(spark, p=0.5)
+        assert got == {("A", 4.0), ("B", 10.0), ("B", 20.0), ("B", 30.0)}
+
+    def test_with_threshold_column(self, spark):
+        from cryoflow_spark.functions.curation import quantile_threshold_filter
+
+        out = quantile_threshold_filter(
+            self.frame(spark), "score", group_col="grp", p=0.5,
+            with_threshold=True,
+        )
+        thr = {r["grp"]: r["threshold"] for r in out.collect()}
+        assert thr == {"A": 2.5, "B": 20.0}
+
+    def test_approx_mode_runs(self, spark):
+        got = self.kept(spark, group_col="grp", p=0.5, exact=False)
+        # percentile_approx picks an actual data value near the median;
+        # the gate semantics (subset of input, nulls out) still hold.
+        assert got <= {
+            ("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0),
+            ("B", 10.0), ("B", 20.0), ("B", 30.0),
+        }
+        assert len(got) >= 4
+
+    def test_invalid_args(self, spark):
+        from cryoflow_spark.functions.curation import quantile_threshold_filter
+
+        with pytest.raises(ValueError):
+            quantile_threshold_filter(self.frame(spark), "score", keep="x")
+        with pytest.raises(ValueError):
+            quantile_threshold_filter(self.frame(spark), "score", p=1.5)
+
+
+class TestVocabStats:
+    def frame(self, spark):
+        rows = [
+            (1, "the Cat sat"),
+            (2, "the the dog"),
+            (3, "cat naps"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_tf_and_df(self, spark):
+        got = {
+            r["token"]: (r["tf"], r["df"])
+            for r in X.vocab_stats(self.frame(spark)).collect()
+        }
+        # 'the': 3 occurrences across docs 1+2; 'cat' lowercased merges
+        # doc 1's 'Cat' with doc 3's 'cat'.
+        assert got["the"] == (3, 2)
+        assert got["cat"] == (2, 2)
+        assert got["sat"] == (1, 1)
+        assert len(got) == 5  # the, cat, sat, dog, naps
+
+    def test_case_preserving_mode(self, spark):
+        got = {
+            r["token"]: (r["tf"], r["df"])
+            for r in X.vocab_stats(self.frame(spark), lowercase=False).collect()
+        }
+        assert got["Cat"] == (1, 1) and got["cat"] == (1, 1)
+
+    def test_min_tf_and_top_n(self, spark):
+        out = X.vocab_stats(self.frame(spark), min_tf=2).collect()
+        assert {r["token"] for r in out} == {"the", "cat"}
+        top = X.vocab_stats(self.frame(spark), top_n=2).collect()
+        # (tf DESC, token ASC): 'the' (3) then 'cat' (2)
+        assert [r["token"] for r in top] == ["the", "cat"]
+
+    def test_no_count_distinct_expand(self, spark):
+        """df comes from the two-shuffle partial collapse, never a
+        count-distinct Expand (the 100 TB path)."""
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            X.vocab_stats(self.frame(spark)).explain("simple")
+        assert "Expand" not in buf.getvalue()

@@ -814,3 +814,32 @@ def test_dedup_semantic_plugin(spark):
     assert len(kept) == 40
     for i in range(5):
         assert (i in kept) != (100 + i in kept)
+
+
+def test_curate_quantile_filter_plugin(spark):
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0),
+         ("B", 10.0), ("B", 20.0), ("B", 30.0)],
+        "grp string, score double",
+    )
+    out = _run(
+        CuratePlugin({
+            "method": "quantile_filter", "score_column": "score",
+            "group_by": "grp", "p": 0.5,
+        }),
+        df,
+    )
+    got = {(r["grp"], r["score"]) for r in out.collect()}
+    assert got == {("A", 3.0), ("A", 4.0), ("B", 20.0), ("B", 30.0)}
+
+
+def test_vocab_plugin(spark):
+    from cryoflow_spark.plugins.transform import VocabPlugin
+
+    df = spark.createDataFrame(
+        [(1, "the Cat sat"), (2, "the the dog")],
+        "doc_id long, text string",
+    )
+    out = _run(VocabPlugin({"min_tf": 2}), df)
+    got = {r["token"]: (r["tf"], r["df"]) for r in out.collect()}
+    assert got == {"the": (3, 2)}
