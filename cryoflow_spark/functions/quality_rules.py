@@ -1,0 +1,197 @@
+"""Rule-based document quality filters from the published pipelines:
+Gopher rules (Rae et al. 2021, arXiv 2112.11446 Appendix A) and C4
+heuristics (Raffel et al. 2020, arXiv 1910.10683 §2.2) — the two
+canonical pre-training corpus gates.
+
+Everything is built-in expressions (split / higher-order lambdas /
+regexp / integer aggregates, one exact double divide per ratio), so the
+pass is a narrow map over the scan — no UDF, no shuffle — and every
+ratio is a deterministic function of the text, bit-identical in any
+engine (the oracle twins are spelled inline in the x47/x48 queries).
+
+Thresholds default to the papers' published values; every one is a
+keyword so corpora can re-tune without forking the rule set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Gopher's stop-word presence set (the paper requires >= 2 present).
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+#: C4 "policy" phrases: LINES containing one are dropped.
+C4_LINE_DROP_PHRASES: tuple[str, ...] = (
+    "javascript", "terms of use", "privacy policy", "cookie policy",
+    "uses cookies",
+)
+
+#: C4 page-level kill phrases: the DOCUMENT is dropped.
+C4_PAGE_DROP_PHRASES: tuple[str, ...] = ("lorem ipsum", "{")
+
+
+def _words(text: Column) -> Column:
+    return F.array_remove(F.split(text, r"\s+"), "")
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Count of non-overlapping ``needle`` occurrences (replace-diff)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("bigint")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Annotate each document with the Gopher rule measurements and a
+    ``gopher_pass`` verdict (every rule must hold).
+
+    Measurements (all paper rules, paper defaults):
+
+    - ``n_words`` in [min_words, max_words];
+    - ``mean_word_len`` in [min, max];
+    - ``hash_ratio`` / ``ellipsis_ratio`` (symbol-to-word) <= max each;
+    - ``bullet_frac`` — fraction of lines starting with a bullet — <= max;
+    - ``ellipsis_line_frac`` — fraction of lines ending in "..." — <= max;
+    - ``alpha_frac`` — fraction of words containing a letter — >= min;
+    - ``stopword_hits`` — how many of the 8 Gopher stop words appear as
+      whole lowercase tokens — >= min.
+
+    Empty documents (0 words / 0 lines) fail the word-count rule; their
+    ratio columns are NULL (no defined denominator), never a divide
+    error. Use ``df.filter("gopher_pass")`` to gate, or keep the flags
+    for audit. Adds columns; removes none.
+    """
+    text = F.col(text_col)
+    words = _words(text)
+    lines = F.split(text, "\n")
+    n_words = F.size(words).cast("bigint")
+    n_lines = F.size(F.filter(lines, lambda x: x != "")).cast("bigint")
+
+    word_chars = F.aggregate(
+        F.transform(words, F.length), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    mean_word_len = F.when(
+        n_words > 0, word_chars.cast("double") / n_words.cast("double")
+    )
+    hash_ratio = F.when(
+        n_words > 0, _occurrences(text, "#").cast("double") / n_words
+    )
+    ellipsis_ratio = F.when(
+        n_words > 0, _occurrences(text, "...").cast("double") / n_words
+    )
+    bullet_lines = F.size(
+        F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))
+    ).cast("bigint")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda x: x.rlike(r"\.\.\.\s*$"))
+    ).cast("bigint")
+    bullet_frac = F.when(n_lines > 0, bullet_lines.cast("double") / n_lines)
+    ellipsis_line_frac = F.when(
+        n_lines > 0, ellipsis_lines.cast("double") / n_lines
+    )
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    alpha_frac = F.when(n_words > 0, alpha_words.cast("double") / n_words)
+    lower_words = F.transform(words, F.lower)
+    stopword_hits = sum(
+        (
+            F.array_contains(lower_words, w).cast("int")
+            for w in GOPHER_STOPWORDS
+        ),
+        start=F.lit(0),
+    ).cast("int")
+
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("hash_ratio", hash_ratio)
+        .withColumn("ellipsis_ratio", ellipsis_ratio)
+        .withColumn("bullet_frac", bullet_frac)
+        .withColumn("ellipsis_line_frac", ellipsis_line_frac)
+        .withColumn("alpha_frac", alpha_frac)
+        .withColumn("stopword_hits", stopword_hits)
+    )
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("hash_ratio") <= max_symbol_ratio)
+        & (F.col("ellipsis_ratio") <= max_symbol_ratio)
+        & (F.coalesce(F.col("bullet_frac") <= max_bullet_frac, F.lit(False)))
+        & (
+            F.coalesce(
+                F.col("ellipsis_line_frac") <= max_ellipsis_frac, F.lit(False)
+            )
+        )
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    return out.withColumn("gopher_pass", F.coalesce(passes, F.lit(False)))
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 3,
+    min_kept_lines: int = 1,
+    require_terminal_punct: bool = True,
+) -> DataFrame:
+    """C4's line- and page-level cleanup (Raffel et al. 2020 §2.2).
+
+    Line pass (order is the paper's): keep a line only if it (a) ends in
+    terminal punctuation (. ! ? or a closing quote after one), (b) has
+    at least ``min_line_words`` words, and (c) contains none of the
+    policy phrases (case-insensitive). Kept lines are rejoined with a
+    single newline into ``{text_col}`` (replaced in place).
+
+    Page pass: ``c4_keep`` is false — the caller drops the row — when
+    the ORIGINAL page contains a kill phrase ("lorem ipsum", a curly
+    brace) or fewer than ``min_kept_lines`` lines survive. (The paper's
+    "at least 5 sentences" page rule and its bad-word list belong to the
+    caller: sentence segmentation and list contents are corpus policy;
+    the plumbing here is the line machinery.)
+
+    One narrow map — no UDF, no shuffle; rides whole-stage codegen.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+
+    def line_ok(x: Column) -> Column:
+        trimmed = F.trim(x)
+        cond = F.size(F.array_remove(F.split(trimmed, r"\s+"), "")) >= int(
+            min_line_words
+        )
+        if require_terminal_punct:
+            cond = cond & trimmed.rlike("[.!?][\"']?$")
+        low = F.lower(trimmed)
+        for phrase in C4_LINE_DROP_PHRASES:
+            cond = cond & ~low.contains(phrase)
+        return cond
+
+    kept = F.filter(lines, line_ok)
+    page_kill = F.lit(False)
+    low_text = F.lower(text)
+    for phrase in C4_PAGE_DROP_PHRASES:
+        page_kill = page_kill | low_text.contains(phrase)
+    keep = (~page_kill) & (F.size(kept) >= int(min_kept_lines))
+    return df.withColumn(text_col, F.array_join(kept, "\n")).withColumn(
+        "c4_keep", F.coalesce(keep, F.lit(False))
+    )

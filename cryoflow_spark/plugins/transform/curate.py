@@ -16,6 +16,15 @@ the TOML plugin surface. Modes (option ``method``):
   thresholds — options ``max_dup_token_frac``, ``max_dup_2gram_frac``,
   ``max_top_token_frac``, ``min_tokens`` (any subset).
 - ``quality_filter``: keep docs with ``quality_score >= min_quality``.
+- ``gopher_rules``: the Gopher rule-based gate (word-count/word-length
+  bounds, symbol ratios, bullet/ellipsis line fractions, alpha fraction,
+  stop-word presence; every threshold an option). Default FILTERS to
+  passing docs; ``filter = false`` annotates with the flag columns
+  instead.
+- ``c4_clean``: C4 line/page cleanup — keep lines ending in terminal
+  punctuation with >= ``min_line_words`` words and no policy phrase,
+  drop pages with kill phrases or no surviving line; ``filter = false``
+  keeps killed pages with ``c4_keep = false``.
 - ``quantile_filter``: ADAPTIVE per-group gate — keep rows at-or-above
   (``keep="above"``, default) or at-or-below their ``group_by`` bucket's
   ``p``-th quantile of ``score_column`` (exact percentile by default,
@@ -100,6 +109,46 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 )
             bad = stats.filter(cond).select(id_column)
             return data.join(bad, on=id_column, how="left_anti")
+
+        if method == "gopher_rules":
+            from cryoflow_spark.functions.quality_rules import (
+                gopher_quality_flags,
+            )
+
+            kwargs = {
+                k: type_(self.options[k])
+                for k, type_ in (
+                    ("min_words", int), ("max_words", int),
+                    ("min_mean_word_len", float), ("max_mean_word_len", float),
+                    ("max_symbol_ratio", float), ("max_bullet_frac", float),
+                    ("max_ellipsis_frac", float), ("min_alpha_frac", float),
+                    ("min_stopword_hits", int),
+                )
+                if k in self.options
+            }
+            out = gopher_quality_flags(data, text_col=column, **kwargs)
+            if self.options.get("filter", True):
+                drop = [
+                    c for c in out.columns if c not in data.columns
+                ]
+                return out.filter("gopher_pass").drop(*drop)
+            return out
+
+        if method == "c4_clean":
+            from cryoflow_spark.functions.quality_rules import c4_clean
+
+            out = c4_clean(
+                data,
+                text_col=column,
+                min_line_words=int(self.options.get("min_line_words", 3)),
+                min_kept_lines=int(self.options.get("min_kept_lines", 1)),
+                require_terminal_punct=bool(
+                    self.options.get("require_terminal_punct", True)
+                ),
+            )
+            if self.options.get("filter", True):
+                return out.filter("c4_keep").drop("c4_keep")
+            return out
 
         if method == "quantile_filter":
             return C.quantile_threshold_filter(

@@ -127,7 +127,7 @@ _PRIORITY: list[str] = [
     # bit-identical at sf0.01 via tools/check_correctness.py; heads the
     # r6 window
     "x43_semantic_dedup", "x44_html_to_text", "x45_quantile_gate",
-    "x46_vocab_stats",
+    "x46_vocab_stats", "x47_gopher_rules", "x48_c4_clean",
     # rows-only bench instruments (portable oracle twins are in-window)
     "x15_engine_minhash_dedup", "x33_engine_incremental_dedup",
 ]

@@ -2106,3 +2106,157 @@ def x45_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x46_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return X.vocab_stats(d, top_n=100)
+
+
+# --- x47: Gopher quality rules (oracle-checked) ---------------------------
+
+
+def _x47_oracle() -> str:
+    words = "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
+    lines = "list_filter(string_split(text, chr(10)), x -> x != '')"
+    all_lines = "string_split(text, chr(10))"
+    occ = lambda needle, width: (  # noqa: E731
+        f"((length(text) - length(replace(text, '{needle}', ''))) / {width})::BIGINT"
+    )
+    word_chars = (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform({words}, w -> length(w)::BIGINT)), (a, x) -> a + x)"
+    )
+    stop_hits = " + ".join(
+        f"(CASE WHEN list_contains(list_transform({words}, w -> lower(w)), '{w}') "
+        f"THEN 1 ELSE 0 END)"
+        for w in (
+            "the", "be", "to", "of", "and", "that", "have", "with",
+        )
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             len({words})::BIGINT AS n_words,
+             len({lines})::BIGINT AS n_lines,
+             {word_chars} AS word_chars,
+             {occ('#', 1)} AS n_hash,
+             {occ('...', 3)} AS n_ellipsis,
+             len(list_filter({all_lines},
+                 x -> regexp_matches(x, '^\\s*[-*•]')))::BIGINT AS bullet_lines,
+             len(list_filter({all_lines},
+                 x -> regexp_matches(x, '\\.\\.\\.\\s*$')))::BIGINT AS ellipsis_lines,
+             len(list_filter({words},
+                 w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS alpha_words,
+             ({stop_hits})::INTEGER AS stopword_hits
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_words,
+             CASE WHEN n_words > 0 THEN word_chars::DOUBLE / n_words::DOUBLE END
+               AS mean_word_len,
+             CASE WHEN n_words > 0 THEN n_hash::DOUBLE / n_words END AS hash_ratio,
+             CASE WHEN n_words > 0 THEN n_ellipsis::DOUBLE / n_words END
+               AS ellipsis_ratio,
+             CASE WHEN n_lines > 0 THEN bullet_lines::DOUBLE / n_lines END
+               AS bullet_frac,
+             CASE WHEN n_lines > 0 THEN ellipsis_lines::DOUBLE / n_lines END
+               AS ellipsis_line_frac,
+             CASE WHEN n_words > 0 THEN alpha_words::DOUBLE / n_words END
+               AS alpha_frac,
+             stopword_hits
+      FROM m
+    )
+    SELECT *,
+           COALESCE(
+             n_words >= 25 AND n_words <= 100000
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+             AND COALESCE(bullet_frac <= 0.9, FALSE)
+             AND COALESCE(ellipsis_line_frac <= 0.3, FALSE)
+             AND alpha_frac >= 0.8
+             AND stopword_hits >= 1, FALSE) AS gopher_pass
+    FROM r
+    """
+
+
+@register(
+    "x47_gopher_rules",
+    _x47_oracle(),
+    "Gopher rule-based quality gate (Rae et al. 2021 App. A): word-count "
+    "and mean-word-length bounds, symbol-to-word ratios, bullet/ellipsis "
+    "line fractions, alphabetic-word fraction, stop-word presence — all "
+    "integer counts + exact divides in one narrow map, no UDF/shuffle, "
+    "oracle-checked bit-identical",
+)
+def x47_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.quality_rules import gopher_quality_flags
+
+    d = load(spark, sf_dir, "documents")
+    # Library defaults are the paper's; the registered query relaxes the
+    # word-count floor and stop-word minimum to the synthetic corpus's
+    # range (10-99 words of stopword-poor soup) so the verdict column
+    # actually discriminates (355/500 pass at sf0.01) instead of
+    # constant-failing.
+    return gopher_quality_flags(d, min_words=25, min_stopword_hits=1).select(
+        "doc_id", "n_words", "mean_word_len", "hash_ratio", "ellipsis_ratio",
+        "bullet_frac", "ellipsis_line_frac", "alpha_frac", "stopword_hits",
+        "gopher_pass",
+    )
+
+
+# --- x48: C4 line/page cleanup (oracle-checked) ---------------------------
+
+# Deterministic multi-line page synthesis: a kept prose line, a too-short
+# line, a kept sentence, a dropped policy line, and a page-kill phrase on
+# every 7th doc.
+_X48_PAGE_EXPR = (
+    "text || '.' || chr(10) || 'tiny' || chr(10) || "
+    "'This is sentence number ' || doc_id || '.' || chr(10) || "
+    "'Please enable javascript to continue.' || chr(10) || "
+    "(CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum filler here.' "
+    "ELSE 'A perfectly fine closing line ' || doc_id || '.' END)"
+)
+
+
+def _x48_oracle() -> str:
+    trimmed = "trim(x)"
+    n_line_words = (
+        f"len(list_filter(string_split_regex({trimmed}, '\\s+'), t -> t != ''))"
+    )
+    line_ok = (
+        f"{n_line_words} >= 3 AND regexp_matches({trimmed}, '[.!?][\"'']?$')"
+        f" AND NOT contains(lower({trimmed}), 'javascript')"
+        f" AND NOT contains(lower({trimmed}), 'terms of use')"
+        f" AND NOT contains(lower({trimmed}), 'privacy policy')"
+        f" AND NOT contains(lower({trimmed}), 'cookie policy')"
+        f" AND NOT contains(lower({trimmed}), 'uses cookies')"
+    )
+    return f"""
+    WITH pages AS (
+      SELECT doc_id, {_X48_PAGE_EXPR} AS page FROM documents
+    ),
+    cleaned AS (
+      SELECT doc_id, page,
+             list_filter(string_split(page, chr(10)), x -> {line_ok}) AS kept
+      FROM pages
+    )
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS text,
+           COALESCE(
+             NOT (contains(lower(page), 'lorem ipsum')
+                  OR contains(lower(page), '{{'))
+             AND len(kept) >= 1, FALSE) AS c4_keep
+    FROM cleaned
+    """
+
+
+@register(
+    "x48_c4_clean",
+    _x48_oracle(),
+    "C4 line/page cleanup (Raffel et al. 2020 §2.2): keep lines ending "
+    "in terminal punctuation with >= 3 words and no policy phrase, kill "
+    "pages containing lorem ipsum or a curly brace or with no surviving "
+    "line — one narrow map, oracle-checked bit-identical",
+)
+def x48_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.quality_rules import c4_clean
+
+    d = load(spark, sf_dir, "documents")
+    pages = d.select("doc_id", F.expr(_X48_PAGE_EXPR).alias("text"))
+    return c4_clean(pages).select("doc_id", "text", "c4_keep")

@@ -1817,3 +1817,96 @@ class TestVocabStats:
         with contextlib.redirect_stdout(buf):
             X.vocab_stats(self.frame(spark)).explain("simple")
         assert "Expand" not in buf.getvalue()
+
+
+class TestGopherRules:
+    def test_flags_and_verdict(self, spark):
+        from cryoflow_spark.functions.quality_rules import gopher_quality_flags
+
+        good = (
+            "The quick brown fox jumps over the lazy dog and keeps "
+            "running with great joy because that is what foxes have "
+            "always done in stories that people tell their children "
+            "every single night before bed to help them fall asleep "
+            "with happy thoughts of wild animals running free of worry."
+        )
+        bullets = "- one\n- two\n- three"
+        hashy = "word " * 10 + "#" * 20
+        rows = [(1, good), (2, bullets), (3, hashy), (4, ""), (5, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+
+        assert out[1]["gopher_pass"] is True
+        assert out[1]["stopword_hits"] >= 2
+        assert out[1]["alpha_frac"] == 1.0
+
+        assert out[2]["bullet_frac"] == 1.0
+        assert out[2]["gopher_pass"] is False
+
+        assert out[3]["hash_ratio"] > 0.1
+        assert out[3]["gopher_pass"] is False
+
+        # Empty/NULL text: ratios undefined, verdict false, no crash.
+        assert out[4]["n_words"] == 0
+        assert out[4]["mean_word_len"] is None
+        assert out[4]["gopher_pass"] is False
+        assert out[5]["gopher_pass"] is False
+
+    def test_ellipsis_rules(self, spark):
+        from cryoflow_spark.functions.quality_rules import gopher_quality_flags
+
+        df = spark.createDataFrame(
+            [(1, "a line that trails off...\nanother trailing line...")],
+            "doc_id long, text string",
+        )
+        row = gopher_quality_flags(df).collect()[0]
+        assert row["ellipsis_line_frac"] == 1.0
+        assert row["ellipsis_ratio"] > 0.1
+        assert row["gopher_pass"] is False
+
+
+class TestC4Clean:
+    def test_line_and_page_rules(self, spark):
+        from cryoflow_spark.functions.quality_rules import c4_clean
+
+        page = (
+            "A good first sentence right here.\n"
+            "tiny\n"
+            "no terminal punctuation on this line\n"
+            "Please enable javascript to view.\n"
+            "This page uses cookies for tracking.\n"
+            "Another perfectly good line stays put!\n"
+        )
+        rows = [
+            (1, page),
+            (2, "Lorem Ipsum dolor sit amet sentence."),
+            (3, "function() { return 1; } is code."),
+            (4, "tiny\nshort"),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in c4_clean(df).collect()}
+
+        assert out[1]["c4_keep"] is True
+        assert out[1]["text"] == (
+            "A good first sentence right here.\n"
+            "Another perfectly good line stays put!"
+        )
+        # Page kills: lorem ipsum (case-insensitive), curly brace.
+        assert out[2]["c4_keep"] is False
+        assert out[3]["c4_keep"] is False
+        # No surviving lines.
+        assert out[4]["c4_keep"] is False
+        assert out[5]["c4_keep"] is False
+
+    def test_threshold_knobs(self, spark):
+        from cryoflow_spark.functions.quality_rules import c4_clean
+
+        df = spark.createDataFrame(
+            [(1, "Two words.")], "doc_id long, text string"
+        )
+        strict = c4_clean(df).collect()[0]
+        assert strict["c4_keep"] is False  # < 3 words
+        loose = c4_clean(df, min_line_words=2).collect()[0]
+        assert loose["c4_keep"] is True
+        assert loose["text"] == "Two words."

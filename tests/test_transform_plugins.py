@@ -843,3 +843,32 @@ def test_vocab_plugin(spark):
     out = _run(VocabPlugin({"min_tf": 2}), df)
     got = {r["token"]: (r["tf"], r["df"]) for r in out.collect()}
     assert got == {"the": (3, 2)}
+
+
+def test_curate_gopher_rules_plugin(spark):
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with style"] * 5
+    ) + "."
+    df = spark.createDataFrame(
+        [(1, good), (2, "#### #### ####")], "doc_id long, text string"
+    )
+    out = _run(CuratePlugin({"method": "gopher_rules", "min_words": 25}), df)
+    assert [r["doc_id"] for r in out.collect()] == [1]
+    assert out.columns == ["doc_id", "text"]
+    annotated = _run(
+        CuratePlugin({"method": "gopher_rules", "filter": False}), df
+    )
+    assert "gopher_pass" in annotated.columns
+    assert annotated.count() == 2
+
+
+def test_curate_c4_clean_plugin(spark):
+    df = spark.createDataFrame(
+        [(1, "A fine sentence right here.\ntiny"),
+         (2, "code { float: left; } here.")],
+        "doc_id long, text string",
+    )
+    out = _run(CuratePlugin({"method": "c4_clean"}), df)
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["text"] == "A fine sentence right here."
