@@ -1941,13 +1941,15 @@ def x42_domain_normalize_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- x43: SemDeDup semantic deduplication (oracle-checked) ----------------
 
-# 4 centroids / threshold 0.4: the synthetic embeddings have no strong
+# 8 centroids / threshold 0.4: the synthetic embeddings have no strong
 # near-dups (max pairwise cosine ~0.51), so the registered query uses a
-# low threshold and few large cells to actually exercise the removal
-# path; real corpora run n_centroids proportional to corpus size with
-# thresholds ~0.9 (the library default). The fixed seeded quantizer +
-# fold assignment is the engine-portable x23 pattern.
-_X43_CENTROIDS = S.fixed_random_centroids(dim=64, n_centroids=4, seed=7)
+# low threshold and large-ish cells to actually exercise the removal
+# path (17 removals at sf0.01, 225 at sf0.1); real corpora run
+# n_centroids proportional to corpus size with thresholds ~0.9 (the
+# library default). 8 cells halve the within-cell pair folds vs 4 while
+# keeping the gate meaningful. The fixed seeded quantizer + fold
+# assignment is the engine-portable x23 pattern.
+_X43_CENTROIDS = S.fixed_random_centroids(dim=64, n_centroids=8, seed=7)
 _X43_THRESHOLD = 0.4
 
 
