@@ -727,3 +727,65 @@ def semantic_dedup(
             "__csim", "centroid_sim"
         ).drop("__norm")
     return kept.drop("__cell", "__csim", "__norm")
+
+
+def group_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    as_array: bool = True,
+    scale: int = 12,
+) -> DataFrame:
+    """Per-group mean embedding (class/source centroids).
+
+    The aggregation every embedding-space audit starts from: per-source
+    drift tracking, class prototypes, warm-start centroids for the IVF /
+    SemDeDup quantizers, nearest-centroid labeling.
+
+    Determinism: double addition is order-dependent, so each component
+    is quantized map-side to a fixed-point BIGINT (``floor(v * 10^scale)``
+    — floor, not round: round-half tie rules differ between engines'
+    double->decimal casts, floor has no ties) and summed exactly; the
+    mean is one exact double divide. Order-independent under any
+    partitioning, bit-identical across engines and runs; resolution is
+    ``10^-scale`` per component (1e-12 default — far below float32
+    input precision).
+
+    Scale: ``posexplode`` inflates rows by the embedding dimension
+    map-side, then ONE (group, pos)-keyed aggregation with map-side
+    partial sums — the idiomatic elementwise array aggregation. Output
+    cardinality is |groups| x dim (``as_array=False``, the long format)
+    or |groups| rows with the centroid rebuilt as an array
+    (``as_array=True``).
+    """
+    pe = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "__val")
+    )
+    q = float(10**scale)
+    agg = pe.groupBy(group_col, "pos").agg(
+        F.sum(
+            F.floor(F.col("__val").cast("double") * F.lit(q)).cast("bigint")
+        ).alias("__s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    long = agg.select(
+        group_col,
+        "pos",
+        (
+            F.col("__s").cast("double")
+            / (F.col("n").cast("double") * F.lit(q))
+        ).alias("val"),
+        "n",
+    )
+    if not as_array:
+        return long
+    return (
+        long.groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s["val"],
+            ).alias("centroid"),
+            F.max("n").alias("n"),
+        )
+    )

@@ -2262,3 +2262,26 @@ def x48_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     pages = d.select("doc_id", F.expr(_X48_PAGE_EXPR).alias("text"))
     return c4_clean(pages).select("doc_id", "text", "c4_keep")
+
+
+# --- x49: per-group embedding centroids (oracle-checked) ------------------
+
+
+@register(
+    "x49_group_centroids",
+    """
+    SELECT label, i - 1 AS pos,
+           SUM(floor(embedding[i]::DOUBLE * 1e12)::BIGINT)::DOUBLE
+             / (COUNT(*)::DOUBLE * 1e12) AS val,
+           COUNT(*)::BIGINT AS n
+    FROM embeddings, generate_series(1, 64) AS g(i)
+    GROUP BY label, i
+    """,
+    "Per-label mean embedding (class centroids): posexplode + one "
+    "(group, pos)-keyed aggregation with exact order-independent "
+    "DECIMAL component sums and one exact double divide — drift "
+    "tracking, class prototypes, quantizer warm starts",
+)
+def x49_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return S.group_centroids(e, as_array=False)

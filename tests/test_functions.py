@@ -1910,3 +1910,48 @@ class TestC4Clean:
         loose = c4_clean(df, min_line_words=2).collect()[0]
         assert loose["c4_keep"] is True
         assert loose["text"] == "Two words."
+
+
+class TestGroupCentroids:
+    def frame(self, spark):
+        rows = [
+            ("a", [1.0, 2.0]), ("a", [3.0, 4.0]),
+            ("b", [10.0, -2.0]),
+        ]
+        return spark.createDataFrame(rows, "label string, embedding array<double>")
+
+    def test_long_format_means(self, spark):
+        got = {
+            (r["label"], r["pos"]): (r["val"], r["n"])
+            for r in S.group_centroids(self.frame(spark), as_array=False).collect()
+        }
+        assert got == {
+            ("a", 0): (2.0, 2), ("a", 1): (3.0, 2),
+            ("b", 0): (10.0, 1), ("b", 1): (-2.0, 1),
+        }
+
+    def test_array_rebuild_in_position_order(self, spark):
+        got = {
+            r["label"]: (r["centroid"], r["n"])
+            for r in S.group_centroids(self.frame(spark)).collect()
+        }
+        assert got["a"] == ([2.0, 3.0], 2)
+        assert got["b"] == ([10.0, -2.0], 1)
+
+    def test_partitioning_invariance(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        rows = [
+            (f"g{i % 3}", [float(x) for x in rng.randn(8)]) for i in range(90)
+        ]
+        df = spark.createDataFrame(rows, "label string, embedding array<double>")
+        a = {
+            (r["label"], r["pos"]): r["val"]
+            for r in S.group_centroids(df.repartition(1), as_array=False).collect()
+        }
+        b = {
+            (r["label"], r["pos"]): r["val"]
+            for r in S.group_centroids(df.repartition(16), as_array=False).collect()
+        }
+        assert a == b  # exact fixed-point sums are order-independent
