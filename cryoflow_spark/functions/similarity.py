@@ -789,3 +789,69 @@ def group_centroids(
             F.max("n").alias("n"),
         )
     )
+
+
+def jl_planes(
+    in_dim: int, out_dim: int, seed: int = 17
+) -> list[list[float]]:
+    """Seeded Gaussian Johnson-Lindenstrauss projection rows, scaled by
+    1/sqrt(out_dim) so expected squared norms are preserved (the JL
+    lemma's standard construction). Plan literals — the same values
+    embed in Spark expressions and SQL oracles."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    s = 1.0 / math.sqrt(out_dim)
+    return [
+        [rng.gauss(0.0, 1.0) * s for _ in range(in_dim)]
+        for _ in range(out_dim)
+    ]
+
+
+def project_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+    in_dim: int = 64,
+    out_dim: int = 8,
+    seed: int = 17,
+    mode: str = "fold",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of an embedding column —
+    dimensionality reduction with distance-preservation guarantees
+    (public lemma; the standard trick to cut ANN/dedup cost by 4-8x
+    before candidate generation).
+
+    ``mode="fold"``: each output component is a sequential JVM fold dot
+    against seeded plan literals — bit-identical to the same fold in any
+    engine (oracle-checkable; fine for small ``out_dim``).
+    ``mode="vectorized"``: one numpy matmul per Arrow batch — the scale
+    path for large ``out_dim`` (same projection, float associativity
+    differs in last ulps).
+
+    A narrow map either way: no shuffle, no driver involvement.
+    """
+    planes = jl_planes(in_dim, out_dim, seed)
+    if mode == "fold":
+        comps = [
+            dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
+            for plane in planes
+        ]
+        return df.withColumn(out_col, F.array(*comps))
+    if mode == "vectorized":
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        mat = np.asarray(planes, dtype=np.float64)
+
+        @pandas_udf("array<double>")
+        def _proj(vecs: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    (mat @ np.asarray(v, dtype=np.float64)).tolist()
+                    for v in vecs
+                ]
+            )
+
+        return df.withColumn(out_col, _proj(F.col(vec_col)))
+    raise ValueError(f"invalid mode '{mode}'")

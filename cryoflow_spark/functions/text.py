@@ -383,3 +383,84 @@ def sql_vocab_stats(
       GROUP BY token
     ) {where} {order}
     """
+
+
+#: Unicode script ranges (BMP blocks, literal char-class patterns —
+#: identical semantics in Java regex and RE2, so oracles share the
+#: spelling). Bounded heuristic like the lang markers: the major writing
+#: systems, not the full Unicode script property.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "[A-Za-zÀ-ɏ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "arabic": "[؀-ۿ]",
+    "hebrew": "[֐-׿]",
+    "devanagari": "[ऀ-ॿ]",
+    "han": "[一-鿿]",
+    "kana": "[぀-ヿ]",
+    "hangul": "[가-힯]",
+}
+
+
+def script_counts(text_col: str) -> dict[str, "F.Column"]:
+    """Per-script character counts (length-diff after regexp strip —
+    pure JVM, no UDF)."""
+    text = F.col(text_col)
+    return {
+        name: (
+            F.length(text) - F.length(F.regexp_replace(text, pattern, ""))
+        ).cast("bigint")
+        for name, pattern in SCRIPT_RANGES.items()
+    }
+
+
+def script_profile(df, text_col: str = "text"):
+    """Annotate each document with per-script character counts
+    (``script_<name>`` for every :data:`SCRIPT_RANGES` entry) and the
+    ``dominant_script`` (most characters; ties alphabetical; no script
+    characters at all → ``und``).
+
+    The writing-system router of a multilingual pipeline: split a crawl
+    by script before per-language processing, catch mislabeled-language
+    docs (``lang='en'`` but Cyrillic-dominant), measure script mix per
+    source. Complements :func:`lang_id` (stopword voting only works
+    within a script). One narrow map — counts are length-diffs after a
+    regexp strip, no UDF, no shuffle.
+    """
+    counts = script_counts(text_col)
+    out = df
+    for name, cnt in counts.items():
+        out = out.withColumn(f"script_{name}", cnt)
+    best = F.greatest(*(F.col(f"script_{n}") for n in SCRIPT_RANGES))
+    dominant = F.lit("und")
+    for name in sorted(SCRIPT_RANGES, reverse=True):
+        c = F.col(f"script_{name}")
+        dominant = F.when((c > 0) & (c == best), F.lit(name)).otherwise(
+            dominant
+        )
+    return out.withColumn("dominant_script", dominant)
+
+
+def sql_script_profile(text_expr: str, cols: str = "doc_id") -> str:
+    """DuckDB spelling of :func:`script_profile` over ``documents``."""
+    count_exprs = ",\n           ".join(
+        f"(length(t) - length(regexp_replace(t, '{pat}', '', 'g')))::BIGINT"
+        f" AS script_{name}"
+        for name, pat in SCRIPT_RANGES.items()
+    )
+    best = "greatest(" + ", ".join(
+        f"script_{n}" for n in SCRIPT_RANGES
+    ) + ")"
+    dominant = "'und'"
+    for name in sorted(SCRIPT_RANGES, reverse=True):
+        dominant = (
+            f"CASE WHEN script_{name} > 0 AND script_{name} = {best} "
+            f"THEN '{name}' ELSE {dominant} END"
+        )
+    return f"""
+    SELECT * EXCLUDE (t), {dominant} AS dominant_script FROM (
+      SELECT {cols}, {text_expr} AS t,
+           {count_exprs}
+      FROM documents
+    )
+    """

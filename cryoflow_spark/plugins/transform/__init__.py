@@ -11,6 +11,7 @@ from cryoflow_spark.plugins.transform.join import JoinPlugin
 from cryoflow_spark.plugins.transform.limit import LimitPlugin
 from cryoflow_spark.plugins.transform.multiplier import ColumnMultiplierPlugin
 from cryoflow_spark.plugins.transform.profile import ProfilePlugin
+from cryoflow_spark.plugins.transform.project import ProjectPlugin
 from cryoflow_spark.plugins.transform.repartition import RepartitionPlugin
 from cryoflow_spark.plugins.transform.sample import SamplePlugin
 from cryoflow_spark.plugins.transform.select import SelectPlugin
@@ -32,6 +33,7 @@ __all__ = [
     "JoinPlugin",
     "LimitPlugin",
     "ProfilePlugin",
+    "ProjectPlugin",
     "RepartitionPlugin",
     "SamplePlugin",
     "SelectPlugin",

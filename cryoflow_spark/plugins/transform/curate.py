@@ -16,6 +16,9 @@ the TOML plugin surface. Modes (option ``method``):
   thresholds — options ``max_dup_token_frac``, ``max_dup_2gram_frac``,
   ``max_top_token_frac``, ``min_tokens`` (any subset).
 - ``quality_filter``: keep docs with ``quality_score >= min_quality``.
+- ``script_profile``: annotate with per-script character counts
+  (``script_latin`` ... ``script_hangul``) and ``dominant_script`` —
+  the writing-system router of a multilingual pipeline.
 - ``gopher_rules``: the Gopher rule-based gate (word-count/word-length
   bounds, symbol ratios, bullet/ellipsis line fractions, alpha fraction,
   stop-word presence; every threshold an option). Default FILTERS to
@@ -109,6 +112,11 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 )
             bad = stats.filter(cond).select(id_column)
             return data.join(bad, on=id_column, how="left_anti")
+
+        if method == "script_profile":
+            from cryoflow_spark.functions.text import script_profile
+
+            return script_profile(data, text_col=column)
 
         if method == "gopher_rules":
             from cryoflow_spark.functions.quality_rules import (

@@ -1,0 +1,36 @@
+"""Embedding projection transform plugin (Johnson-Lindenstrauss).
+
+Adds a reduced-dimension projection of an embedding column (see
+:func:`cryoflow_spark.functions.similarity.project_embeddings`) —
+run it before a dedup/ANN stage to cut candidate-scoring cost. Options:
+
+- ``column`` (default ``embedding``) / ``out_column`` (default
+  ``projected``)
+- ``in_dim`` (required) / ``out_dim`` (default 8) / ``seed`` (default 17)
+- ``mode`` — ``vectorized`` (default, Arrow matmul; the scale path) or
+  ``fold`` (JVM fold dots, engine-portable bit-exact)
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+
+
+class ProjectPlugin(AnalyzedTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "project"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        from cryoflow_spark.functions.similarity import project_embeddings
+
+        return project_embeddings(
+            data,
+            vec_col=self.options.get("column", "embedding"),
+            out_col=self.options.get("out_column", "projected"),
+            in_dim=int(self.require_option("in_dim")),
+            out_dim=int(self.options.get("out_dim", 8)),
+            seed=int(self.options.get("seed", 17)),
+            mode=self.options.get("mode", "vectorized"),
+        )

@@ -2285,3 +2285,63 @@ def x48_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x49_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return S.group_centroids(e, as_array=False)
+
+
+# --- x50: Unicode script profiling (oracle-checked) -----------------------
+
+# Deterministic multilingual synthesis: the base ASCII text plus a
+# per-doc snippet from another writing system, so dominance, ties, and
+# every range counter are exercised.
+_X50_TEXT_EXPR = (
+    "text || (CASE doc_id % 5"
+    " WHEN 0 THEN ' привет мир как дела сегодня'"
+    " WHEN 1 THEN ' 你好世界今天天气很好'"
+    " WHEN 2 THEN ' مرحبا بالعالم كيف الحال'"
+    " WHEN 3 THEN ' こんにちは世界 γειά σου'"
+    " ELSE '' END)"
+)
+
+
+@register(
+    "x50_script_profile",
+    X.sql_script_profile(_X50_TEXT_EXPR),
+    "Unicode writing-system profiler: per-script character counts "
+    "(Latin/Cyrillic/Greek/Arabic/Hebrew/Devanagari/Han/Kana/Hangul "
+    "BMP ranges) via regexp-strip length diffs + dominant-script vote "
+    "with deterministic ties — the script router of a multilingual "
+    "pipeline, one narrow map, no UDF",
+)
+def x50_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    synth = d.select("doc_id", F.expr(_X50_TEXT_EXPR).alias("text"))
+    return X.script_profile(synth).drop("text")
+
+
+# --- x51: Johnson-Lindenstrauss projection (oracle-checked) ---------------
+
+
+def _x51_oracle() -> str:
+    comps = ", ".join(
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "[embedding[i]::DOUBLE * (list_value("
+        + ", ".join(f"{x:.17e}" for x in plane)
+        + "))[i] for i in generate_series(1, 64)]), (acc, x) -> acc + x)"
+        for plane in S.jl_planes(64, 8, seed=17)
+    )
+    return f"""
+    SELECT vec_id, list_value({comps}) AS projected
+    FROM embeddings
+    """
+
+
+@register(
+    "x51_jl_projection",
+    _x51_oracle(),
+    "Johnson-Lindenstrauss random projection 64->8 (seeded Gaussian "
+    "rows scaled 1/sqrt(k)): distance-preserving dimensionality "
+    "reduction before ANN/dedup candidate generation — JVM fold dots "
+    "against plan literals, narrow map, oracle-checked bit-identical",
+)
+def x51_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return S.project_embeddings(e).select("vec_id", "projected")

@@ -1955,3 +1955,94 @@ class TestGroupCentroids:
             for r in S.group_centroids(df.repartition(16), as_array=False).collect()
         }
         assert a == b  # exact fixed-point sums are order-independent
+
+
+class TestScriptProfile:
+    def test_counts_and_dominance(self, spark):
+        rows = [
+            (1, "hello world"),
+            (2, "привет мир hello"),
+            (3, "你好世界"),
+            (4, "مرحبا"),
+            (5, "12345 !!!"),
+            (6, "こんにちは 世界"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in X.script_profile(df).collect()}
+        assert out[1]["script_latin"] == 10
+        assert out[1]["dominant_script"] == "latin"
+        assert out[2]["script_cyrillic"] == 9
+        assert out[2]["dominant_script"] == "cyrillic"
+        assert out[3]["script_han"] == 4
+        assert out[3]["dominant_script"] == "han"
+        assert out[4]["dominant_script"] == "arabic"
+        # digits/punct belong to no script
+        assert out[5]["dominant_script"] == "und"
+        # kana + han mix: han 2 ('世界'), kana 5 → kana dominant
+        assert out[6]["script_kana"] == 5
+        assert out[6]["dominant_script"] == "kana"
+
+    def test_tie_breaks_alphabetically(self, spark):
+        df = spark.createDataFrame(
+            [(1, "ab мир")], "doc_id long, text string"
+        )
+        row = X.script_profile(df).collect()[0]
+        assert row["script_latin"] == 2 and row["script_cyrillic"] == 3
+        # cyrillic wins on count; force a tie:
+        df2 = spark.createDataFrame(
+            [(1, "abc мир")], "doc_id long, text string"
+        )
+        row2 = X.script_profile(df2).collect()[0]
+        assert row2["script_latin"] == row2["script_cyrillic"] == 3
+        assert row2["dominant_script"] == "cyrillic"  # alphabetical
+
+
+class TestJLProjection:
+    def test_linearity_and_shape(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(2)
+        a = [float(x) for x in rng.randn(64)]
+        b = [float(x) for x in rng.randn(64)]
+        ab = [x + y for x, y in zip(a, b)]
+        df = spark.createDataFrame(
+            [(1, a), (2, b), (3, ab)], "vec_id long, embedding array<double>"
+        )
+        got = {
+            r["vec_id"]: r["projected"]
+            for r in S.project_embeddings(df).collect()
+        }
+        assert all(len(v) == 8 for v in got.values())
+        for pa, pb, pab in zip(got[1], got[2], got[3]):
+            assert abs((pa + pb) - pab) < 1e-9  # projection is linear
+
+    def test_fold_and_vectorized_agree(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(4)
+        rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(20)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        f = {r["vec_id"]: r["projected"]
+             for r in S.project_embeddings(df, mode="fold").collect()}
+        v = {r["vec_id"]: r["projected"]
+             for r in S.project_embeddings(df, mode="vectorized").collect()}
+        for k in f:
+            for x, y in zip(f[k], v[k]):
+                assert abs(x - y) < 1e-9
+
+    def test_distance_preservation_in_expectation(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(6)
+        rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {r["vec_id"]: np.array(r["projected"])
+               for r in S.project_embeddings(df, out_dim=16).collect()}
+        orig = {i: np.array(v) for i, v in rows}
+        ratios = []
+        for i in range(0, 38, 2):
+            d0 = np.linalg.norm(orig[i] - orig[i + 1])
+            d1 = np.linalg.norm(got[i] - got[i + 1])
+            ratios.append(d1 / d0)
+        m = float(np.mean(ratios))
+        assert 0.7 < m < 1.3  # JL: distances preserved in expectation

@@ -872,3 +872,28 @@ def test_curate_c4_clean_plugin(spark):
     rows = out.collect()
     assert [r["doc_id"] for r in rows] == [1]
     assert rows[0]["text"] == "A fine sentence right here."
+
+
+def test_project_plugin(spark):
+    import numpy as np
+
+    from cryoflow_spark.plugins.transform import ProjectPlugin
+
+    rng = np.random.RandomState(9)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(16)]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    out = _run(ProjectPlugin({"in_dim": 16, "out_dim": 4}), df)
+    rows = out.collect()
+    assert all(len(r["projected"]) == 4 for r in rows)
+    assert set(out.columns) == {"vec_id", "embedding", "projected"}
+
+
+def test_curate_script_profile_plugin(spark):
+    df = spark.createDataFrame(
+        [(1, "привет мир")], "doc_id long, text string"
+    )
+    out = _run(CuratePlugin({"method": "script_profile"}), df)
+    row = out.collect()[0]
+    assert row["dominant_script"] == "cyrillic"
