@@ -78,6 +78,8 @@ BUILTIN_MODULES: dict[str, str] = {
     "repartition": "cryoflow_spark.plugins.transform.repartition",
     "sample": "cryoflow_spark.plugins.transform.sample",
     "profile": "cryoflow_spark.plugins.transform.profile",
+    "vocab": "cryoflow_spark.plugins.transform.vocab",
+    "project": "cryoflow_spark.plugins.transform.project",
     "watermark": "cryoflow_spark.streaming.watermark",
     "session_window": "cryoflow_spark.streaming.sessionize",
     "stateful_sessionize": "cryoflow_spark.streaming.stateful_sessionize",

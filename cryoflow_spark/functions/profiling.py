@@ -131,3 +131,54 @@ def profile_columns(
         "__p.min_num",
         "__p.max_num",
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("source", "lang"),
+) -> DataFrame:
+    """Per-slice corpus summary — the "dataset card" numbers: document
+    count, token/char totals and means, and mean quality score for every
+    (source, language, ...) bucket.
+
+    Determinism: token/char totals are integer sums; the per-doc quality
+    score (already rounded to 6 decimals by ``text.quality_score``) is
+    carried as a fixed-point BIGINT (``round(q * 1e6)`` — the rounded
+    score is within an ulp of a 1e-6 grid point, so round() lands the
+    same integer in any engine) and summed exactly; every mean is one
+    exact double divide. Order-independent under any partitioning.
+
+    Scale: one groupBy over the slice domain with map-side partial
+    integer sums — output cardinality = number of slices.
+    """
+    from cryoflow_spark.functions.text import (
+        char_count,
+        quality_score,
+        token_count,
+    )
+
+    base = df.select(
+        *group_cols,
+        token_count(text_col).alias("__t"),
+        char_count(text_col).alias("__c"),
+        F.round(quality_score(text_col) * 1e6).cast("bigint").alias("__q"),
+    )
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__t").alias("total_tokens"),
+        F.sum("__c").alias("total_chars"),
+        F.sum("__q").alias("__qsum"),
+    )
+    n = F.col("n_docs").cast("double")
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        (F.col("total_tokens").cast("double") / n).alias("avg_tokens"),
+        (F.col("total_chars").cast("double") / n).alias("avg_chars"),
+        (F.col("__qsum").cast("double") / (n * F.lit(1e6))).alias(
+            "mean_quality"
+        ),
+    )

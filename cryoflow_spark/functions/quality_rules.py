@@ -153,6 +153,7 @@ def c4_clean(
     min_line_words: int = 3,
     min_kept_lines: int = 1,
     require_terminal_punct: bool = True,
+    min_sentences: int | None = None,
 ) -> DataFrame:
     """C4's line- and page-level cleanup (Raffel et al. 2020 §2.2).
 
@@ -164,10 +165,12 @@ def c4_clean(
 
     Page pass: ``c4_keep`` is false — the caller drops the row — when
     the ORIGINAL page contains a kill phrase ("lorem ipsum", a curly
-    brace) or fewer than ``min_kept_lines`` lines survive. (The paper's
-    "at least 5 sentences" page rule and its bad-word list belong to the
-    caller: sentence segmentation and list contents are corpus policy;
-    the plumbing here is the line machinery.)
+    brace), fewer than ``min_kept_lines`` lines survive, or (with
+    ``min_sentences`` set) the CLEANED text segments into fewer than
+    that many sentences (:func:`sentence_count` — the paper's "at least
+    5 sentences" rule; pass 5 for full C4 behavior). The paper's
+    bad-word list stays with the caller: list contents are corpus
+    policy, the plumbing here is the line machinery.
 
     One narrow map — no UDF, no shuffle; rides whole-stage codegen.
     """
@@ -192,6 +195,24 @@ def c4_clean(
     for phrase in C4_PAGE_DROP_PHRASES:
         page_kill = page_kill | low_text.contains(phrase)
     keep = (~page_kill) & (F.size(kept) >= int(min_kept_lines))
-    return df.withColumn(text_col, F.array_join(kept, "\n")).withColumn(
+    cleaned = F.array_join(kept, "\n")
+    if min_sentences is not None:
+        keep = keep & (sentence_count(cleaned) >= int(min_sentences))
+    return df.withColumn(text_col, cleaned).withColumn(
         "c4_keep", F.coalesce(keep, F.lit(False))
+    )
+
+
+def sentence_count(text) -> Column:
+    """Column: sentence count by terminal-punctuation segmentation
+    (split on ``[.!?]+`` runs, count non-blank segments) — the bounded
+    heuristic behind C4's "at least 5 sentences" page rule. A trailing
+    fragment without terminal punctuation counts as a sentence;
+    NULL text counts 0."""
+    t = text if not isinstance(text, str) else F.col(text)
+    return F.coalesce(
+        F.size(
+            F.filter(F.split(t, "[.!?]+"), lambda s: F.trim(s) != "")
+        ).cast("bigint"),
+        F.lit(0).cast("bigint"),
     )

@@ -145,6 +145,7 @@ class CuratePlugin(SiblingAwareTransformPlugin):
         if method == "c4_clean":
             from cryoflow_spark.functions.quality_rules import c4_clean
 
+            min_sentences = self.options.get("min_sentences")
             out = c4_clean(
                 data,
                 text_col=column,
@@ -152,6 +153,9 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 min_kept_lines=int(self.options.get("min_kept_lines", 1)),
                 require_terminal_punct=bool(
                     self.options.get("require_terminal_punct", True)
+                ),
+                min_sentences=(
+                    int(min_sentences) if min_sentences is not None else None
                 ),
             )
             if self.options.get("filter", True):

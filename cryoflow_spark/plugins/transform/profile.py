@@ -10,6 +10,9 @@ disturbing the main stream. Options:
 - ``exact`` (default true) — exact ``countDistinct`` (one Expand) vs
   HLL++ ``approx_count_distinct`` (the expand-free 100 TB mode)
 - ``rsd`` (default 0.05) — approx-mode relative standard deviation
+- ``report = "corpus"`` switches to the per-slice dataset-card report
+  (doc counts, token/char totals and means, mean quality per
+  ``group_by`` bucket — default ``["source", "lang"]``).
 """
 
 from __future__ import annotations
@@ -25,6 +28,17 @@ class ProfilePlugin(AnalyzedTransformPlugin):
 
     def _transform(self, data: FrameData) -> FrameData:
         from cryoflow_spark.functions.profiling import profile_columns
+
+        if self.options.get("report") == "corpus":
+            from cryoflow_spark.functions.profiling import corpus_report
+
+            return corpus_report(
+                data,
+                text_col=self.options.get("column", "text"),
+                group_cols=tuple(
+                    self.options.get("group_by", ["source", "lang"])
+                ),
+            )
 
         columns = self.options.get("columns")
         return profile_columns(

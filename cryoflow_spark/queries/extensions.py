@@ -2345,3 +2345,50 @@ def _x51_oracle() -> str:
 def x51_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return S.project_embeddings(e).select("vec_id", "projected")
+
+
+# --- x52: per-slice corpus report (oracle-checked) ------------------------
+
+
+@register(
+    "x52_corpus_report",
+    """
+    SELECT source, lang,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(tokens)::BIGINT AS total_tokens,
+           SUM(chars)::BIGINT AS total_chars,
+           SUM(tokens)::DOUBLE / COUNT(*)::DOUBLE AS avg_tokens,
+           SUM(chars)::DOUBLE / COUNT(*)::DOUBLE AS avg_chars,
+           SUM(qfp)::DOUBLE / (COUNT(*)::DOUBLE * 1e6) AS mean_quality
+    FROM (
+      SELECT source, lang,
+             len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))::BIGINT
+               AS tokens,
+             length(text)::BIGINT AS chars,
+             round(
+               round(
+                 least(len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))::DOUBLE / 100.0, 1.0) * 0.4
+                 + (1.0 - CASE WHEN length(text) > 0
+                     THEN length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))::DOUBLE / length(text)::DOUBLE
+                     ELSE 0.0 END) * 0.3
+                 + least((CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) > 0
+                     THEN (length(text)::DOUBLE - (len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))::DOUBLE - 1.0))
+                          / len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))::DOUBLE
+                     ELSE 0.0 END) / 8.0, 1.0) * 0.3,
+                 6
+               ) * 1e6
+             )::BIGINT AS qfp
+      FROM documents
+    )
+    GROUP BY source, lang
+    """,
+    "Per-(source, lang) dataset-card report: doc counts, token/char "
+    "totals and means, mean quality — integer partial sums + fixed-"
+    "point quality carry, one exact divide per mean; output cardinality "
+    "= number of corpus slices",
+)
+def x52_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import corpus_report
+
+    d = load(spark, sf_dir, "documents")
+    return corpus_report(d)

@@ -172,6 +172,7 @@ class TestExamples:
             "examples/sampled_lake.toml",
             "examples/cross_dump_ingest.toml",
             "examples/dump_release_gate.toml",
+            "examples/web_crawl_curation.toml",
         ],
     )
     def test_check(self, runner, example):
@@ -185,6 +186,7 @@ class TestExamples:
             ("examples/corpus_curation.toml", "/tmp/cryoflow_examples/curated_corpus/*/*.parquet"),
             ("examples/decontaminate.toml", "/tmp/cryoflow_examples/decontaminated_corpus/*.parquet"),
             ("examples/dump_release_gate.toml", "/tmp/cryoflow_examples/dump_release_holdout/*.parquet"),
+            ("examples/web_crawl_curation.toml", "/tmp/cryoflow_examples/crawl_curated/*.parquet"),
         ],
     )
     def test_run(self, runner, example, out_glob):

@@ -2046,3 +2046,44 @@ class TestJLProjection:
             ratios.append(d1 / d0)
         m = float(np.mean(ratios))
         assert 0.7 < m < 1.3  # JL: distances preserved in expectation
+
+
+def test_sentence_count_and_c4_min_sentences(spark):
+    from cryoflow_spark.functions.quality_rules import c4_clean, sentence_count
+
+    df = spark.createDataFrame(
+        [(1, "One. Two! Three? Trailing fragment"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n"]
+           for r in df.select("doc_id", sentence_count("text").alias("n")).collect()}
+    assert got == {1: 4, 2: 0, 3: 0}
+
+    pages = spark.createDataFrame(
+        [(1, "First ok sentence here.\nSecond ok sentence here."),
+         (2, "Only one good sentence here.")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["c4_keep"]
+           for r in c4_clean(pages, min_sentences=2).collect()}
+    assert out == {1: True, 2: False}
+
+
+def test_corpus_report(spark):
+    from cryoflow_spark.functions.profiling import corpus_report
+
+    df = spark.createDataFrame(
+        [("a", "en", "one two three"), ("a", "en", "four five"),
+         ("b", "de", "sechs")],
+        "source string, lang string, text string",
+    )
+    got = {(r["source"], r["lang"]): r for r in corpus_report(df).collect()}
+    assert got[("a", "en")]["n_docs"] == 2
+    assert got[("a", "en")]["total_tokens"] == 5
+    assert got[("a", "en")]["avg_tokens"] == 2.5
+    assert got[("b", "de")]["total_chars"] == 5
+    assert 0.0 <= got[("a", "en")]["mean_quality"] <= 1.0
+    # partitioning invariance (fixed-point sums)
+    a = sorted(corpus_report(df.repartition(7)).collect())
+    b = sorted(corpus_report(df.repartition(1)).collect())
+    assert a == b

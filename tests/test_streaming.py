@@ -324,3 +324,36 @@ def test_neardup_filter_stream_rejects_batch_frame(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="must be a streaming"):
         neardup_filter_stream(df, df, "/tmp/nowhere")
+
+
+def test_streaming_rule_gates_are_stream_safe(spark, tmp_path):
+    """The r5 curation maps (Gopher rules, C4 clean, script profile,
+    HTML extraction) are stateless narrow maps, so the same plugins run
+    unchanged on a streaming frame."""
+    from cryoflow_spark.plugins.transform.curate import CuratePlugin
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    good = ("the quick brown fox jumps over that lazy dog and all " * 5) + "end."
+    spark.createDataFrame(
+        [(1, f"<p>{good}</p>"), (2, "<p>#### #### ####</p>")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    out = tmp_path / "docs_out"
+    result = run_pipeline(
+        [FileStreamPlugin({"input_path": str(src)})],
+        [
+            CuratePlugin({"method": "html_to_text"}),
+            CuratePlugin({"method": "script_profile"}),
+            CuratePlugin({"method": "gopher_rules", "min_words": 20,
+                          "min_stopword_hits": 1}),
+        ],
+        [StreamWriterPlugin({"output_path": str(out), "trigger": "available_now"})],
+        spark=spark,
+    )
+    assert is_successful(result), result
+    rows = duckdb.sql(
+        f"SELECT doc_id, dominant_script FROM '{out}/*.parquet'"
+    ).fetchall()
+    assert rows == [(1, "latin")]

@@ -897,3 +897,17 @@ def test_curate_script_profile_plugin(spark):
     out = _run(CuratePlugin({"method": "script_profile"}), df)
     row = out.collect()[0]
     assert row["dominant_script"] == "cyrillic"
+
+
+def test_profile_corpus_report_mode(spark):
+    from cryoflow_spark.plugins.transform import ProfilePlugin
+
+    df = spark.createDataFrame(
+        [("a", "en", "one two"), ("a", "en", "three")],
+        "source string, lang string, text string",
+    )
+    out = _run(ProfilePlugin({"report": "corpus"}), df)
+    row = out.collect()[0]
+    assert (row["source"], row["lang"], row["n_docs"], row["total_tokens"]) == (
+        "a", "en", 2, 3,
+    )
