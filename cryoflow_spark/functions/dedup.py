@@ -280,6 +280,48 @@ def _with_minhash_signature(
     )
 
 
+def with_minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    hash_mode: str = "engine",
+    out_col: str = "minhash_sig",
+) -> DataFrame:
+    """Annotate every row with its MinHash signature (``array<long>``) —
+    the PERSISTABLE dedup artifact.
+
+    Store this column in the lake at ingest time and the n-th-dump
+    pipeline never recomputes the corpus side again:
+    :func:`minhash_dedup_incremental` accepts it via ``corpus_sig_col``
+    (and ``new_sig_col``), turning steady-state ingestion cost from
+    O(corpus shingling + hashing) per dump into O(read signatures).
+    Signature parameters must match between producer and consumer —
+    signatures from different ``num_hashes``/``shingle_size``/
+    ``hash_mode`` settings never compare equal.
+
+    Unlike the internal pipeline, ALL rows are kept: null text or an
+    empty shingle set yields a NULL signature (such rows can never be
+    near-duplicates; consumers filter them out of band joins).
+    """
+    if hash_mode not in ("engine", "portable"):
+        raise ValueError(f"invalid hash_mode '{hash_mode}'")
+    portable = hash_mode == "portable"
+    base_hash = (
+        portable_base_hash
+        if portable
+        else (lambda sh: F.pmod(F.xxhash64(sh), F.lit(_MERSENNE_31)))
+    )
+    hashes = F.when(
+        F.col(text_col).isNotNull(),
+        F.transform(shingle_set(text_col, shingle_size), base_hash),
+    )
+    return df.withColumn(
+        out_col, minhash_signature_vectorized(hashes, num_hashes)
+    )
+
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -389,6 +431,8 @@ def minhash_dedup_incremental(
     shingle_size: int = 3,
     threshold: float = 0.8,
     hash_mode: str = "engine",
+    corpus_sig_col: str | None = None,
+    new_sig_col: str | None = None,
 ) -> DataFrame:
     """Drop rows of ``new_df`` that near-duplicate anything in
     ``corpus_df`` (cross-dump dedup: dedup a NEW crawl/batch against the
@@ -406,6 +450,13 @@ def minhash_dedup_incremental(
 
     New-batch rows with null text or empty shingle sets are kept (they
     cannot match anything).
+
+    ``corpus_sig_col`` / ``new_sig_col`` name PRECOMPUTED signature
+    columns (from :func:`with_minhash_signature`, same num_hashes/
+    shingle/hash settings) — that side skips shingling and hashing
+    entirely and band-explodes the stored column. At steady state the
+    corpus side should always be precomputed: the n-th dump then pays
+    only for its own signatures plus the band join.
     """
     if hash_mode not in ("engine", "portable"):
         raise ValueError(f"invalid hash_mode '{hash_mode}'")
@@ -414,20 +465,26 @@ def minhash_dedup_incremental(
 
     tune_for_text_ops(new_df.sparkSession)
 
-    def banded(df: DataFrame, side: str) -> DataFrame:
-        sig = _with_minhash_signature(
-            df, text_col, num_hashes, shingle_size, portable
-        ).select(
-            F.col(id_col).alias(f"__id_{side}"),
-            F.col("__sig").alias(f"__sig_{side}"),
-        )
+    def banded(df: DataFrame, side: str, sig_col: str | None) -> DataFrame:
+        if sig_col is not None:
+            sig = df.filter(F.col(sig_col).isNotNull()).select(
+                F.col(id_col).alias(f"__id_{side}"),
+                F.col(sig_col).alias(f"__sig_{side}"),
+            )
+        else:
+            sig = _with_minhash_signature(
+                df, text_col, num_hashes, shingle_size, portable
+            ).select(
+                F.col(id_col).alias(f"__id_{side}"),
+                F.col("__sig").alias(f"__sig_{side}"),
+            )
         return _band_explode(
             sig, f"__id_{side}", f"__sig_{side}", num_hashes, bands,
             portable, carry_sig=True,
         )
 
-    pairs = banded(new_df, "new").join(
-        banded(corpus_df, "corpus"), ["band_idx", "band_hash"]
+    pairs = banded(new_df, "new", new_sig_col).join(
+        banded(corpus_df, "corpus", corpus_sig_col), ["band_idx", "band_hash"]
     )
     agree = F.size(
         F.filter(

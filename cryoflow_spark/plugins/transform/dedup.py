@@ -15,7 +15,12 @@ Engine extension for large-scale training-data pipelines (BASELINE.json
 - ``minhash_incremental``: cross-dump dedup — drop rows of THIS stream
   that near-duplicate the sibling stream named by ``corpus_label`` (the
   already-ingested corpus, which is never modified); same knobs as
-  ``minhash``.
+  ``minhash``, plus ``corpus_sig_column``/``new_sig_column`` to reuse
+  signatures precomputed by ``minhash_signature``.
+- ``minhash_signature``: annotate rows with the persistable MinHash
+  signature column (``out_column``, default ``minhash_sig``) — store it
+  in the lake so steady-state incremental ingest never recomputes the
+  corpus side.
 - ``ngram_jaccard_pairs``: emit the near-dup EDGE LIST ``(id_a, id_b)``
   instead of removing rows — feeds cluster-aware consumers (the
   ``sample`` plugin's ``leakage_safe`` split, offline cluster audits);
@@ -85,6 +90,15 @@ class DedupPlugin(SiblingAwareTransformPlugin):
                 hamming_threshold=int(self.options.get("hamming_threshold", 3)),
                 hash_mode=self.options.get("hash_mode", "engine"),
             )
+        if method == "minhash_signature":
+            return D.with_minhash_signature(
+                data,
+                text_col=column,
+                num_hashes=int(self.options.get("num_hashes", 64)),
+                shingle_size=int(self.options.get("shingle_size", 3)),
+                hash_mode=self.options.get("hash_mode", "engine"),
+                out_col=self.options.get("out_column", "minhash_sig"),
+            )
         if method == "minhash_incremental":
             corpus = self.sibling_frame(self.require_option("corpus_label"))
             return D.minhash_dedup_incremental(
@@ -97,6 +111,8 @@ class DedupPlugin(SiblingAwareTransformPlugin):
                 shingle_size=int(self.options.get("shingle_size", 3)),
                 threshold=float(self.options.get("threshold", 0.8)),
                 hash_mode=self.options.get("hash_mode", "engine"),
+                corpus_sig_col=self.options.get("corpus_sig_column"),
+                new_sig_col=self.options.get("new_sig_column"),
             )
         if method == "ngram_jaccard_pairs":
             return D.ngram_jaccard_pairs(

@@ -2392,3 +2392,30 @@ def x52_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return corpus_report(d)
+
+
+# --- x53: incremental dedup against PRECOMPUTED corpus signatures ---------
+
+
+@register(
+    "x53_incremental_presig",
+    _x33_oracle(),
+    "Steady-state cross-dump ingest: the corpus side's MinHash "
+    "signatures are PRECOMPUTED (with_minhash_signature — the "
+    "persistable lake artifact) so the nth dump pays only its own "
+    "signatures + the band join; result identical to x33's "
+    "recompute-everything path, pinned by sharing its oracle",
+)
+def x53_incremental_presig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    corpus = D.with_minhash_signature(
+        d.filter(F.col("doc_id") < 250),
+        num_hashes=32, shingle_size=4, hash_mode="portable",
+    )
+    new_batch = d.filter(F.col("doc_id") >= 250)
+    out = D.minhash_dedup_incremental(
+        new_batch, corpus, text_col="text", id_col="doc_id",
+        num_hashes=32, bands=8, shingle_size=4, threshold=0.5,
+        hash_mode="portable", corpus_sig_col="minhash_sig",
+    )
+    return out.select("doc_id", "lang")

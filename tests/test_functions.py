@@ -2087,3 +2087,60 @@ def test_corpus_report(spark):
     a = sorted(corpus_report(df.repartition(7)).collect())
     b = sorted(corpus_report(df.repartition(1)).collect())
     assert a == b
+
+
+class TestMinhashSignaturePersistence:
+    def test_with_minhash_signature_nulls_and_roundtrip(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, None), (3, "ab")],
+            "doc_id long, text string",
+        )
+        out = D.with_minhash_signature(df, num_hashes=16)
+        rows = {r["doc_id"]: r["minhash_sig"] for r in out.collect()}
+        assert len(rows) == 3  # all rows kept
+        assert rows[2] is None  # null text -> null signature
+        assert rows[1] is not None and len(rows[1]) == 16
+        # 'ab' is shorter than the shingle size but still yields one
+        # shingle (substring semantics) -> a signature exists
+        assert rows[3] is not None
+
+    def test_presig_matches_recompute(self, spark):
+        base = "the quick brown fox jumps over the lazy dog"
+        corpus = spark.createDataFrame(
+            [(1, base), (2, "совершенно другой текст записи")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(10, base), (11, "entirely novel material here"), (12, None)],
+            "doc_id long, text string",
+        )
+        kw = dict(text_col="text", id_col="doc_id", num_hashes=32,
+                  bands=8, shingle_size=3, threshold=0.5)
+        recompute = {r["doc_id"] for r in D.minhash_dedup_incremental(
+            new, corpus, **kw).select("doc_id").collect()}
+        pre = D.with_minhash_signature(
+            corpus, num_hashes=32, shingle_size=3)
+        presig = {r["doc_id"] for r in D.minhash_dedup_incremental(
+            new, pre, corpus_sig_col="minhash_sig", **kw
+        ).select("doc_id").collect()}
+        assert recompute == presig == {11, 12}
+
+    def test_presig_new_side_too(self, spark):
+        base = "the quick brown fox jumps over the lazy dog"
+        corpus = spark.createDataFrame(
+            [(1, base)], "doc_id long, text string"
+        )
+        new = D.with_minhash_signature(
+            spark.createDataFrame(
+                [(10, base), (11, "different words entirely")],
+                "doc_id long, text string",
+            ),
+            num_hashes=32, shingle_size=3,
+        )
+        out = D.minhash_dedup_incremental(
+            new, corpus, text_col="text", id_col="doc_id", num_hashes=32,
+            bands=8, shingle_size=3, threshold=0.5,
+            new_sig_col="minhash_sig",
+        )
+        assert {r["doc_id"] for r in out.select("doc_id").collect()} == {11}

@@ -911,3 +911,34 @@ def test_profile_corpus_report_mode(spark):
     assert (row["source"], row["lang"], row["n_docs"], row["total_tokens"]) == (
         "a", "en", 2, 3,
     )
+
+
+def test_dedup_minhash_signature_and_presig_plugin(spark):
+    """Signature persistence through TOML: annotate the corpus stream,
+    then incremental-dedup against the stored column."""
+    base = "the quick brown fox jumps over the lazy dog"
+    corpus = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    )
+    sig = _run(
+        DedupPlugin({"method": "minhash_signature", "column": "text",
+                     "num_hashes": 32}),
+        corpus,
+    )
+    assert "minhash_sig" in sig.columns
+    new = spark.createDataFrame(
+        [(10, base), (11, "wholly new material")],
+        "doc_id long, text string",
+    )
+    plugin = DedupPlugin({
+        "method": "minhash_incremental", "column": "text",
+        "id_column": "doc_id", "corpus_label": "corpus",
+        "num_hashes": 32, "bands": 8, "threshold": 0.5,
+        "corpus_sig_column": "minhash_sig",
+    })
+    plugin.attach_session(spark)
+    from cryoflow_spark.core.result import Success
+    plugin._siblings = {"corpus": Success(sig)}
+    res = plugin.execute(new)
+    assert is_successful(res)
+    assert [r["doc_id"] for r in res.unwrap().collect()] == [11]
