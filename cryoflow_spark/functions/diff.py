@@ -102,3 +102,46 @@ def snapshot_diff(
         )
         .filter(F.col("change") != "unchanged")
     )
+
+
+def dataset_checksum(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Order-independent content checksum of a dataset — the release-gate
+    fingerprint: two copies of a corpus (different partitioning, file
+    layout, row order, engine) are byte-equivalent iff their
+    ``(n_rows, checksum)`` agree.
+
+    Per row: the injective :func:`row_hash` over ``columns`` (default:
+    every non-group column, in NAME-SORTED order so the checksum does
+    not depend on schema column order), truncated to a 60-bit integer;
+    the checksum is the EXACT sum of those integers as DECIMAL(38,0) —
+    addition is commutative/associative over exact integers, so any
+    partitioning and any engine produce the identical value (capacity:
+    10^38 / 2^60 ≈ 8.6e19 rows before overflow).
+
+    ``group_cols`` yields one fingerprint per group (per-source /
+    per-partition verification — locate WHICH slice diverged without
+    re-hashing the world).
+
+    Scale: map-side hashing + one (tiny) aggregation; nothing but the
+    group keys and partial sums ever shuffles.
+    """
+    group_cols = list(group_cols)
+    if columns is None:
+        columns = sorted(c for c in df.columns if c not in group_cols)
+    h60 = F.conv(F.substring(row_hash(columns), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    base = df.select(*group_cols, h60.alias("__h"))
+    agg = (
+        base.groupBy(*group_cols)
+        if group_cols
+        else base.groupBy()
+    )
+    return agg.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__h").alias("checksum"),
+    )

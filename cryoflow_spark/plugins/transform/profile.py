@@ -10,6 +10,9 @@ disturbing the main stream. Options:
 - ``exact`` (default true) — exact ``countDistinct`` (one Expand) vs
   HLL++ ``approx_count_distinct`` (the expand-free 100 TB mode)
 - ``rsd`` (default 0.05) — approx-mode relative standard deviation
+- ``report = "checksum"`` emits the order-independent content
+  fingerprint (``n_rows, checksum`` — per ``group_by`` bucket if set):
+  the release-gate equality check between dataset copies.
 - ``report = "corpus"`` switches to the per-slice dataset-card report
   (doc counts, token/char totals and means, mean quality per
   ``group_by`` bucket — default ``["source", "lang"]``).
@@ -28,6 +31,16 @@ class ProfilePlugin(AnalyzedTransformPlugin):
 
     def _transform(self, data: FrameData) -> FrameData:
         from cryoflow_spark.functions.profiling import profile_columns
+
+        if self.options.get("report") == "checksum":
+            from cryoflow_spark.functions.diff import dataset_checksum
+
+            columns = self.options.get("columns")
+            return dataset_checksum(
+                data,
+                columns=list(columns) if columns else None,
+                group_cols=tuple(self.options.get("group_by", [])),
+            )
 
         if self.options.get("report") == "corpus":
             from cryoflow_spark.functions.profiling import corpus_report

@@ -2419,3 +2419,39 @@ def x53_incremental_presig(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_mode="portable", corpus_sig_col="minhash_sig",
     )
     return out.select("doc_id", "lang")
+
+
+# --- x54: dataset content checksum (oracle-checked) -----------------------
+
+
+def _x54_oracle() -> str:
+    cols = ["doc_id", "lang", "n_chars", "text"]  # name-sorted
+    pieces = " || ".join(
+        f"(CASE WHEN {c} IS NULL THEN 'N' "
+        f"ELSE 'V' || md5(CAST({c} AS VARCHAR)) END)"
+        for c in cols
+    )
+    return f"""
+    SELECT source,
+           COUNT(*)::BIGINT AS n_rows,
+           SUM(CAST(('0x' || substring(md5({pieces}), 1, 15)) AS BIGINT)
+               ::DECIMAL(38,0)) AS checksum
+    FROM documents
+    GROUP BY source
+    """
+
+
+@register(
+    "x54_dataset_checksum",
+    _x54_oracle(),
+    "Order-independent per-source content fingerprint: injective md5 "
+    "row hash truncated to 60 bits, summed exactly as DECIMAL(38,0) — "
+    "two copies of a corpus are equivalent iff (n_rows, checksum) "
+    "agree, regardless of partitioning, row order, or engine; the "
+    "release-gate verification artifact",
+)
+def x54_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.diff import dataset_checksum
+
+    d = load(spark, sf_dir, "documents")
+    return dataset_checksum(d, group_cols=["source"])

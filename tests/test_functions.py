@@ -2144,3 +2144,54 @@ class TestMinhashSignaturePersistence:
             new_sig_col="minhash_sig",
         )
         assert {r["doc_id"] for r in out.select("doc_id").collect()} == {11}
+
+
+class TestDatasetChecksum:
+    def test_order_and_partitioning_invariant(self, spark):
+        from cryoflow_spark.functions.diff import dataset_checksum
+
+        rows = [(i, f"text {i}", i % 3) for i in range(50)]
+        a = spark.createDataFrame(rows, "doc_id long, text string, grp int")
+        b = spark.createDataFrame(
+            list(reversed(rows)), "doc_id long, text string, grp int"
+        ).repartition(13)
+        ca = dataset_checksum(a).collect()[0]
+        cb = dataset_checksum(b).collect()[0]
+        assert (ca["n_rows"], ca["checksum"]) == (cb["n_rows"], cb["checksum"])
+        assert ca["n_rows"] == 50
+
+    def test_detects_any_difference(self, spark):
+        from cryoflow_spark.functions.diff import dataset_checksum
+
+        rows = [(1, "a"), (2, "b")]
+        base = spark.createDataFrame(rows, "doc_id long, text string")
+        changed = spark.createDataFrame(
+            [(1, "a"), (2, "B")], "doc_id long, text string"
+        )
+        nulled = spark.createDataFrame(
+            [(1, "a"), (2, None)], "doc_id long, text string"
+        )
+        c0 = dataset_checksum(base).collect()[0]["checksum"]
+        assert dataset_checksum(changed).collect()[0]["checksum"] != c0
+        assert dataset_checksum(nulled).collect()[0]["checksum"] != c0
+
+    def test_column_order_independent(self, spark):
+        from cryoflow_spark.functions.diff import dataset_checksum
+
+        a = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        b = spark.createDataFrame([("x", 1)], "text string, doc_id long")
+        ca = dataset_checksum(a).collect()[0]["checksum"]
+        cb = dataset_checksum(b).collect()[0]["checksum"]
+        assert ca == cb  # name-sorted default column list
+
+    def test_per_group_fingerprints(self, spark):
+        from cryoflow_spark.functions.diff import dataset_checksum
+
+        df = spark.createDataFrame(
+            [("s1", 1, "a"), ("s1", 2, "b"), ("s2", 3, "c")],
+            "source string, doc_id long, text string",
+        )
+        got = {r["source"]: r for r in
+               dataset_checksum(df, group_cols=["source"]).collect()}
+        assert got["s1"]["n_rows"] == 2 and got["s2"]["n_rows"] == 1
+        assert got["s1"]["checksum"] != got["s2"]["checksum"]

@@ -942,3 +942,14 @@ def test_dedup_minhash_signature_and_presig_plugin(spark):
     res = plugin.execute(new)
     assert is_successful(res)
     assert [r["doc_id"] for r in res.unwrap().collect()] == [11]
+
+
+def test_profile_checksum_mode(spark):
+    from cryoflow_spark.plugins.transform import ProfilePlugin
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    out = _run(ProfilePlugin({"report": "checksum"}), df)
+    row = out.collect()[0]
+    assert row["n_rows"] == 2 and row["checksum"] is not None
