@@ -111,6 +111,132 @@ def ngram_decontaminate(
     return df.join(hits.select(id_col), on=id_col, how="left_anti")
 
 
+def _bloom_words(
+    pairs: list[tuple[int, int]], m_bits: int, num_probes: int
+) -> list[int]:
+    """Bit-table words (signed int64) for a Bloom filter over (h1, h2)
+    hash pairs, probes via Kirsch-Mitzenmacher double hashing:
+    ``pos_i = pmod(h1 + i*h2, m)`` with Java-long wraparound — the exact
+    arithmetic the JVM probe expression replays, so build and probe
+    agree bit-for-bit.
+    """
+    import numpy as np
+
+    words = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+    if pairs:
+        h1 = np.array([p[0] for p in pairs], dtype=np.int64)
+        h2 = np.array([p[1] for p in pairs], dtype=np.int64)
+        # pmod-reduce BEFORE mixing: probe arithmetic then stays inside
+        # [0, (num_probes+1)*m) — no long overflow, so the expression is
+        # legal under ANSI mode and identical in numpy and the JVM.
+        p1 = (h1 % m_bits + m_bits) % m_bits
+        p2 = (h2 % m_bits + m_bits) % m_bits
+        for i in range(num_probes):
+            pos = (p1 + i * p2) % m_bits
+            np.bitwise_or.at(
+                words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
+            )
+    return [int(w) for w in words.view(np.int64)]
+
+
+def bloom_contaminated_ids(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    bits_per_element: int = 16,
+    num_probes: int | None = None,
+) -> DataFrame:
+    """``contaminated_ids`` semantics via a Bloom prefilter + exact
+    confirm join — bit-identical results, built for benchmark gram sets
+    too large to broadcast as a hash join.
+
+    Plan shape: the benchmark grams are hashed JVM-side (xxhash64 h1/h2)
+    and reduced to an ``m``-bit table (~``bits_per_element``/8 bytes per
+    gram — a 10M-gram suite at 16 bits/elem is a 20 MB array vs a
+    ~100+ MB broadcast hash relation). The table rides a 1-row broadcast
+    cross join; every corpus gram is probed with pure shift/and
+    expressions inside whole-stage codegen, so ~all clean grams die
+    map-side. Survivors (true hits + Bloom false positives) then confirm
+    against the real gram set with an equi-join whose left side is
+    already tiny — false positives cannot reach the output, which is why
+    the exact-join oracle stays valid.
+
+    The driver holds only the collected (h1, h2) pairs while building
+    the table — bounded by the benchmark's distinct-gram count, never by
+    corpus size.
+    """
+    tokenize = lambda c: F.array_remove(F.split(F.col(c), r"\s+"), "")  # noqa: E731
+    spark = df.sparkSession
+    corpus_grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokenize(text_col).alias("__toks"))
+        .select(
+            F.col(id_col), F.explode(_word_grams("__toks", ngram)).alias("__gram")
+        )
+    )
+    bench_grams = (
+        benchmark.filter(F.col(text_col).isNotNull())
+        .select(tokenize(text_col).alias("__toks"))
+        .select(F.explode(_word_grams("__toks", ngram)).alias("__gram"))
+        .distinct()
+    )
+    h1 = F.xxhash64(F.col("__gram"))
+    h2 = F.xxhash64(F.lit("bloom2"), F.col("__gram"))
+    pairs = [
+        (r["h1"], r["h2"])
+        for r in bench_grams.select(h1.alias("h1"), h2.alias("h2")).collect()
+    ]
+    if num_probes is None:
+        num_probes = max(1, round(0.693 * bits_per_element))
+    m_bits = max(64, ((bits_per_element * max(1, len(pairs)) + 63) // 64) * 64)
+    words = _bloom_words(pairs, m_bits, num_probes)
+    bloom = spark.createDataFrame([(words,)], "__bloom array<bigint>")
+
+    # Probe i: pos = pmod(h1 + i*h2, m); test bit pos%64 of word pos/64.
+    # Pure shift/and arithmetic — stays inside whole-stage codegen.
+    pos_i = (
+        lambda i: f"pmod(pmod(__h1, {m_bits}L) + {i}L * pmod(__h2, {m_bits}L),"
+        f" {m_bits}L)"
+    )
+    probe_sql = " AND ".join(
+        f"((shiftrightunsigned("
+        f"element_at(__bloom, CAST({pos_i(i)} / 64 AS INT) + 1),"
+        f" CAST(pmod({pos_i(i)}, 64L) AS INT))"
+        f" & 1L) = 1L)"
+        for i in range(num_probes)
+    )
+    candidates = (
+        corpus_grams.withColumn("__h1", h1)
+        .withColumn("__h2", h2)
+        .crossJoin(F.broadcast(bloom))
+        .filter(F.expr(probe_sql))
+        .select(id_col, "__gram")
+    )
+    return (
+        candidates.join(bench_grams, "__gram")
+        .groupBy(id_col)
+        .agg(F.countDistinct("__gram").alias("n_shared_grams"))
+    )
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    bits_per_element: int = 16,
+    num_probes: int | None = None,
+) -> DataFrame:
+    """``ngram_decontaminate`` semantics on the Bloom-prefilter path."""
+    hits = bloom_contaminated_ids(
+        df, benchmark, text_col, id_col, ngram, bits_per_element, num_probes
+    )
+    return df.join(hits.select(id_col), on=id_col, how="left_anti")
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

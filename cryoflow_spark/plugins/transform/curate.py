@@ -36,7 +36,9 @@ the TOML plugin surface. Modes (option ``method``):
   preprocessing) — options ``chunk_size``, ``overlap``.
 - ``decontaminate``: drop docs sharing any word ``ngram``-gram with the
   sibling stream named by ``benchmark_label`` (the eval set), GPT-3
-  style.
+  style. ``use_bloom = true`` switches to the Bloom-prefilter + exact-
+  confirm path (identical results; for benchmark gram sets too large to
+  broadcast — ``bloom_bits_per_element`` sizes the table).
 - ``remove_frequent_segments``: corpus-level boilerplate removal — drop
   segments (split on ``delimiter``, default newline) that appear in at
   least ``min_docs`` distinct documents or ``min_doc_frac`` of the
@@ -189,6 +191,17 @@ class CuratePlugin(SiblingAwareTransformPlugin):
 
         if method == "decontaminate":
             bench = self.sibling_frame(self.require_option("benchmark_label"))
+            if self.options.get("use_bloom", False):
+                return C.bloom_decontaminate(
+                    data,
+                    bench,
+                    text_col=column,
+                    id_col=id_column,
+                    ngram=int(self.options.get("ngram", 8)),
+                    bits_per_element=int(
+                        self.options.get("bloom_bits_per_element", 16)
+                    ),
+                )
             return C.ngram_decontaminate(
                 data,
                 bench,

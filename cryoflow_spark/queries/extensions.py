@@ -2455,3 +2455,44 @@ def x54_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return dataset_checksum(d, group_cols=["source"])
+
+
+# --- x55: Bloom-prefiltered decontamination (oracle-checked) --------------
+
+
+@register(
+    "x55_bloom_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS t
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+5], ' ')
+               for i in generate_series(1, greatest(len(t) - 5, 1))]) AS g
+      FROM toks
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 40 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 40 != 0
+    )
+    SELECT doc_id, COUNT(DISTINCT gram)::BIGINT AS n_shared_grams
+    FROM corpus JOIN bench USING (gram)
+    GROUP BY doc_id
+    """,
+    "Decontamination at headroom scale: benchmark grams reduced to an "
+    "m-bit Bloom table riding a 1-row broadcast, corpus grams probed "
+    "with pure shift/and expressions map-side, survivors confirmed "
+    "against the real gram set — false positives cannot reach the "
+    "output, so the exact-join oracle pins the result bit-identical",
+)
+def x55_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 40 == 0)
+    corpus = d.filter(F.col("doc_id") % 40 != 0)
+    return C.bloom_contaminated_ids(corpus, bench, ngram=6)

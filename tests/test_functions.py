@@ -2195,3 +2195,73 @@ class TestDatasetChecksum:
                dataset_checksum(df, group_cols=["source"]).collect()}
         assert got["s1"]["n_rows"] == 2 and got["s2"]["n_rows"] == 1
         assert got["s1"]["checksum"] != got["s2"]["checksum"]
+
+
+class TestBloomDecontaminate:
+    def _frames(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "completely unrelated clean training text about spark"),
+                (3, "the quick brown fox jumps over the lazy dog again"),
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        return corpus, bench
+
+    def test_matches_exact_path(self, spark):
+        from cryoflow_spark.functions import curation as C
+
+        corpus, bench = self._frames(spark)
+        exact = sorted(
+            (r["doc_id"], r["n_shared_grams"])
+            for r in C.contaminated_ids(corpus, bench, ngram=4).collect()
+        )
+        bloom = sorted(
+            (r["doc_id"], r["n_shared_grams"])
+            for r in C.bloom_contaminated_ids(corpus, bench, ngram=4).collect()
+        )
+        assert bloom == exact and len(exact) == 2
+
+    def test_false_positives_cannot_leak(self, spark):
+        # 1 bit/elem + 1 probe saturates the table with false positives;
+        # the exact confirm join must still pin the output.
+        from cryoflow_spark.functions import curation as C
+
+        corpus, bench = self._frames(spark)
+        exact = sorted(
+            r["doc_id"]
+            for r in C.contaminated_ids(corpus, bench, ngram=4).collect()
+        )
+        stressed = sorted(
+            r["doc_id"]
+            for r in C.bloom_contaminated_ids(
+                corpus, bench, ngram=4, bits_per_element=1, num_probes=1
+            ).collect()
+        )
+        assert stressed == exact
+
+    def test_decontaminate_removes_hits(self, spark):
+        from cryoflow_spark.functions import curation as C
+
+        corpus, bench = self._frames(spark)
+        kept = sorted(
+            r["doc_id"]
+            for r in C.bloom_decontaminate(corpus, bench, ngram=4).collect()
+        )
+        assert kept == [2, 4]  # null-text rows are never contaminated
+
+    def test_empty_benchmark_keeps_everything(self, spark):
+        from cryoflow_spark.functions import curation as C
+        from pyspark.sql import functions as F
+
+        corpus, bench = self._frames(spark)
+        kept = C.bloom_decontaminate(
+            corpus, bench.filter(F.lit(False)), ngram=4
+        )
+        assert kept.count() == corpus.count()

@@ -371,6 +371,19 @@ def test_curate_decontaminate_plugin_via_pipeline(spark, tmp_path):
     assert is_successful(res), res
     assert [r[0] for r in out_plugin.rows] == [2]
 
+    # the Bloom-prefilter path is option-switched and must agree exactly
+    bloom_out = CollectOutputPlugin()
+    res = run_pipeline(
+        [_MemInput(corpus_rows, "default"), _MemInput(bench_rows, "bench")],
+        [CuratePlugin(options={"method": "decontaminate",
+                               "benchmark_label": "bench",
+                               "use_bloom": True})],
+        [bloom_out],
+        spark=spark,
+    )
+    assert is_successful(res), res
+    assert [r[0] for r in bloom_out.rows] == [2]
+
 
 def test_dedup_plugin_forwards_hash_mode(spark):
     """Portable hash mode must reach the minhash/simhash functions."""
