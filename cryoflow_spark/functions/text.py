@@ -8,6 +8,7 @@ logic is expressible in ANSI SQL for the DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 # Tiny seeded stopword lists per language — a deterministic n-gram/stopword
@@ -464,3 +465,33 @@ def sql_script_profile(text_expr: str, cols: str = "doc_id") -> str:
       FROM documents
     )
     """
+
+
+def normalize_unicode(text_col, form: str = "NFC"):
+    """Column: Unicode-normalize a string column (NFC/NFD/NFKC/NFKD).
+
+    Spark has no built-in normalizer, so the slow path is an
+    Arrow-batched ``pandas_udf`` over ``unicodedata.normalize`` — but
+    every normalization form is the identity on pure-ASCII text, so an
+    ``rlike`` fast path keeps ASCII rows (the bulk of an
+    English-dominant web corpus) entirely JVM-side and only non-ASCII
+    rows cross the Arrow boundary. NULL in → NULL out.
+
+    NFC output is byte-identical to DuckDB's ``nfc_normalize`` (both
+    implement UAX #15), which is what oracle-checks the operator.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"invalid normalization form '{form}'")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.when(col.rlike(r"^[\x00-\x7F]*$"), col).otherwise(_norm(col))

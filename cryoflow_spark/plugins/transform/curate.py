@@ -34,6 +34,9 @@ the TOML plugin surface. Modes (option ``method``):
   ``exact=false`` for the t-digest sketch at scale).
 - ``chunk``: 1→N sliding-window chunks with char offsets (RAG
   preprocessing) — options ``chunk_size``, ``overlap``.
+- ``normalize_unicode``: Unicode-normalize ``column`` (in place, or
+  into ``out_column``) — option ``form`` NFC (default) / NFD / NFKC /
+  NFKD; pure-ASCII rows take a JVM fast path.
 - ``decontaminate``: drop docs sharing any word ``ngram``-gram with the
   sibling stream named by ``benchmark_label`` (the eval set), GPT-3
   style. ``use_bloom = true`` switches to the Bloom-prefilter + exact-
@@ -208,6 +211,15 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 text_col=column,
                 id_col=id_column,
                 ngram=int(self.options.get("ngram", 8)),
+            )
+
+        if method == "normalize_unicode":
+            from cryoflow_spark.functions.text import normalize_unicode
+
+            out_col = self.options.get("out_column", column)
+            return data.withColumn(
+                out_col,
+                normalize_unicode(column, self.options.get("form", "NFC")),
             )
 
         if method == "normalize_urls":

@@ -130,7 +130,7 @@ _PRIORITY: list[str] = [
     "x46_vocab_stats", "x47_gopher_rules", "x48_c4_clean",
     "x49_group_centroids", "x50_script_profile", "x51_jl_projection",
     "x52_corpus_report", "x53_incremental_presig", "x54_dataset_checksum",
-    "x55_bloom_decontaminate",
+    "x55_bloom_decontaminate", "x56_unicode_normalize",
     # rows-only bench instruments (portable oracle twins are in-window)
     "x15_engine_minhash_dedup", "x33_engine_incremental_dedup",
 ]

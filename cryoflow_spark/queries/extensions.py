@@ -2496,3 +2496,45 @@ def x55_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 40 == 0)
     corpus = d.filter(F.col("doc_id") % 40 != 0)
     return C.bloom_contaminated_ids(corpus, bench, ngram=6)
+
+
+# --- x56: Unicode normalization (oracle-checked vs DuckDB NFC) ------------
+
+#: Decomposed/compatibility suffix: "cafe" + combining acute, the fi
+#: ligature, a fullwidth A — NFC composes the acute (changes bytes) and
+#: leaves the compatibility chars alone, pinning form semantics.
+_X56_SUFFIX = " café ﬁle Ａ"
+_X56_SUFFIX_SQL = "' cafe' || chr(769) || ' ' || chr(64257) || 'le ' || chr(65313)"
+
+
+def _x56_oracle() -> str:
+    raw = f"(text || {_X56_SUFFIX_SQL})"
+    return f"""
+    SELECT doc_id,
+           md5(nfc_normalize({raw})) AS norm_md5,
+           length(nfc_normalize({raw}))::BIGINT AS n_chars,
+           (nfc_normalize({raw}) != {raw}) AS changed
+    FROM documents
+    WHERE text IS NOT NULL
+    """
+
+
+@register(
+    "x56_unicode_normalize",
+    _x56_oracle(),
+    "Unicode NFC normalization (UAX #15): no Spark builtin exists, so "
+    "non-ASCII rows go through an Arrow-batched pandas_udf over "
+    "unicodedata while an rlike fast path keeps pure-ASCII rows "
+    "JVM-side; byte-identity is pinned against DuckDB's nfc_normalize "
+    "via md5 of the normalized text",
+)
+def x56_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    raw = F.concat(F.col("text"), F.lit(_X56_SUFFIX))
+    norm = X.normalize_unicode(raw, "NFC")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("bigint").alias("n_chars"),
+        (norm != raw).alias("changed"),
+    )

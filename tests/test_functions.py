@@ -2265,3 +2265,61 @@ class TestBloomDecontaminate:
             corpus, bench.filter(F.lit(False)), ngram=4
         )
         assert kept.count() == corpus.count()
+
+
+class TestNormalizeUnicode:
+    def test_nfc_composes_and_nfkc_folds(self, spark):
+        from cryoflow_spark.functions.text import normalize_unicode
+
+        df = spark.createDataFrame(
+            [(1, "café"), (2, "ﬁle Ａ"), (3, None)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["nfc"], r["nfkc"])
+            for r in df.select(
+                "doc_id",
+                normalize_unicode("text", "NFC").alias("nfc"),
+                normalize_unicode("text", "NFKC").alias("nfkc"),
+            ).collect()
+        }
+        assert got[1] == ("café", "café")  # acute composed
+        assert got[2][0] == "ﬁle Ａ"  # NFC keeps compatibility chars
+        assert got[2][1] == "file A"  # NFKC folds ligature + fullwidth
+        assert got[3] == (None, None)
+
+    def test_ascii_fast_path_stays_jvm_side(self, spark):
+        from cryoflow_spark.functions.text import normalize_unicode
+
+        df = spark.createDataFrame([(1, "plain ascii")], "doc_id long, text string")
+        out = df.select(normalize_unicode("text").alias("t"))
+        assert out.collect()[0]["t"] == "plain ascii"
+        # the plan must branch: ASCII rows never cross the Arrow boundary
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CASE WHEN" in plan and "RLIKE" in plan.upper()
+
+    def test_invalid_form_raises(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.text import normalize_unicode
+
+        with pytest.raises(ValueError, match="invalid normalization form"):
+            normalize_unicode("text", "NFX")
+
+    def test_matches_duckdb_nfc(self, spark):
+        import duckdb
+
+        from cryoflow_spark.functions.text import normalize_unicode
+
+        samples = ["éclair", "½ cup", "Å", "ascii only", "ＡＢ"]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(samples)], "i long, text string"
+        )
+        got = {
+            r["i"]: r["t"]
+            for r in df.select("i", normalize_unicode("text").alias("t")).collect()
+        }
+        con = duckdb.connect()
+        for i, s in enumerate(samples):
+            want = con.execute("select nfc_normalize(?)", [s]).fetchone()[0]
+            assert got[i] == want, s
