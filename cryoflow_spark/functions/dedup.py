@@ -807,6 +807,129 @@ def ngram_jaccard_dedup(
     return df.join(to_remove, on=id_col, how="left_anti")
 
 
+def _containment_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram: int,
+    threshold: float,
+    block_by: str | None,
+    min_grams: int,
+) -> DataFrame:
+    """Directed (id_a, id_b, __na, __nb, containment) where
+    ``containment = |grams(A) ∩ grams(B)| / |grams(A)| >= threshold``.
+    """
+    from cryoflow_spark.core.session import tune_for_text_ops
+
+    tune_for_text_ops(df.sparkSession)
+    tokenized = df.select(
+        F.col(id_col),
+        F.array_remove(F.split(F.col(text_col), r"\s+"), "").alias("__toks"),
+        *(
+            [F.col(block_by).alias("__block")]
+            if block_by
+            else [F.lit(1).alias("__block")]
+        ),
+    )
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(__toks) - {ngram - 1}, 1)),"
+            f" i -> array_join(slice(__toks, i, {ngram}), ' '))"
+        )
+    )
+    sized = tokenized.select(
+        F.col(id_col), grams.alias("__grams"), "__block"
+    ).withColumn("__n", F.size("__grams"))
+    index = sized.select(
+        F.col(id_col), "__block", "__n", F.explode("__grams").alias("__gram")
+    )
+    # Identical subtrees + shuffle_hash → the gram pipeline runs once and
+    # the second Exchange is reused (same plan shape as Jaccard "count").
+    # min_grams and the size bound (containment >= t forces |B| >= t*|A|)
+    # live in the JOIN predicate so both sides stay identical.
+    a = index.alias("a")
+    b = index.hint("shuffle_hash").alias("b")
+    shared_counts = (
+        a.join(
+            b,
+            (F.col("a.__gram") == F.col("b.__gram"))
+            & (F.col("a.__block") == F.col("b.__block"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            & (F.col("a.__n") >= F.lit(min_grams))
+            & (F.lit(threshold) * F.col("a.__n") <= F.col("b.__n")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    return shared_counts.withColumn(
+        "containment", F.col("__shared") / F.col("__na")
+    ).filter(F.col("containment") >= threshold)
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.8,
+    block_by: str | None = None,
+    min_grams: int = 5,
+) -> DataFrame:
+    """Directed near-dup pairs by n-gram set CONTAINMENT: (id_a, id_b,
+    containment) with ``|grams(A) ∩ grams(B)| / |grams(A)| >= threshold``
+    — A is (mostly) contained in B.
+
+    Symmetric Jaccard misses the commonest web-duplication shape: a
+    short document swallowed whole by a longer one (quoted articles,
+    boilerplate-wrapped reposts) has high containment but LOW Jaccard
+    because the union is dominated by the big doc. Containment is the
+    published fix (Broder's resemblance/containment pair, 1997).
+
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` ``count``
+    mode — one reused exchange, one aggregation; the size bound
+    ``|B| >= t*|A|`` prunes in the join. ``min_grams`` drops trivially
+    contained tiny docs (|grams(A)| < min_grams) — raise it rather than
+    lowering the threshold when short docs flood the output. Pass
+    ``block_by`` at scale.
+    """
+    return _containment_counts(
+        df, text_col, id_col, ngram, threshold, block_by, min_grams
+    ).select("id_a", "id_b", "containment")
+
+
+def containment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.8,
+    block_by: str | None = None,
+    min_grams: int = 5,
+) -> DataFrame:
+    """Drop every doc contained (>= threshold) in a PREFERRED partner:
+    one with more grams, or equal grams and a smaller id — deterministic
+    and order-independent (the same anti-join keep rule as
+    ``semantic_dedup``; no fixpoint chaining).
+    """
+    counts = _containment_counts(
+        df, text_col, id_col, ngram, threshold, block_by, min_grams
+    )
+    dropped = (
+        counts.filter(
+            (F.col("__nb") > F.col("__na"))
+            | ((F.col("__nb") == F.col("__na")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, on=id_col, how="left_anti")
+
+
 def exact_dedup(
     df: DataFrame,
     subset: list[str] | None = None,

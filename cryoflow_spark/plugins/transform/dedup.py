@@ -12,6 +12,10 @@ Engine extension for large-scale training-data pipelines (BASELINE.json
   ``hamming_threshold``.
 - ``ngram_jaccard``: pairwise n-gram Jaccard within blocks; options
   ``column``, ``ngram``, ``threshold``, ``block_by``.
+- ``containment`` / ``containment_pairs``: directed n-gram containment
+  |A∩B|/|A| — drops (or emits) short docs swallowed by longer ones;
+  options ``column``, ``ngram``, ``threshold``, ``block_by``,
+  ``min_grams``.
 - ``minhash_incremental``: cross-dump dedup — drop rows of THIS stream
   that near-duplicate the sibling stream named by ``corpus_label`` (the
   already-ingested corpus, which is never modified); same knobs as
@@ -123,6 +127,21 @@ class DedupPlugin(SiblingAwareTransformPlugin):
                 threshold=float(self.options.get("threshold", 0.8)),
                 block_by=self.options.get("block_by"),
                 method=self.options.get("method_strategy", "count"),
+            )
+        if method in ("containment_pairs", "containment"):
+            fn = (
+                D.containment_pairs
+                if method == "containment_pairs"
+                else D.containment_dedup
+            )
+            return fn(
+                data,
+                text_col=column,
+                id_col=id_column,
+                ngram=int(self.options.get("ngram", 3)),
+                threshold=float(self.options.get("threshold", 0.8)),
+                block_by=self.options.get("block_by"),
+                min_grams=int(self.options.get("min_grams", 5)),
             )
         if method == "ngram_jaccard":
             return D.ngram_jaccard_dedup(

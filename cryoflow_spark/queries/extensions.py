@@ -2538,3 +2538,45 @@ def x56_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).cast("bigint").alias("n_chars"),
         (norm != raw).alias("changed"),
     )
+
+
+# --- x57: containment near-dup pairs (oracle-checked) ---------------------
+
+_CONTAINMENT_SQL = """
+    WITH grams AS (
+      SELECT doc_id, lang,
+             list_distinct([
+               array_to_string(toks[i:i+2], ' ')
+               for i in generate_series(1, greatest(len(toks) - 2, 1))
+             ]) AS g
+      FROM (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
+        FROM documents
+      )
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.g, b.g))::DOUBLE / len(a.g)::DOUBLE
+             AS containment
+    FROM grams a JOIN grams b
+      ON a.lang = b.lang AND a.doc_id != b.doc_id
+    WHERE len(a.g) >= {min_grams}
+      AND len(b.g)::DOUBLE >= {thr} * len(a.g)::DOUBLE
+      AND len(list_intersect(a.g, b.g))::DOUBLE / len(a.g)::DOUBLE >= {thr}
+"""
+
+
+@register(
+    "x57_containment_pairs",
+    _CONTAINMENT_SQL.format(thr=0.3, min_grams=5),
+    "Directed containment near-dup pairs |A∩B|/|A| (Broder 1997): the "
+    "short-doc-swallowed-by-long-doc shape symmetric Jaccard misses — "
+    "same reused-exchange inverted-index join as x03, size bound "
+    "|B| >= t*|A| pruned in the join",
+)
+def x57_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.containment_pairs(
+        d, text_col="text", id_col="doc_id", ngram=3, threshold=0.3,
+        block_by="lang", min_grams=5,
+    )

@@ -2323,3 +2323,65 @@ class TestNormalizeUnicode:
         for i, s in enumerate(samples):
             want = con.execute("select nfc_normalize(?)", [s]).fetchone()[0]
             assert got[i] == want, s
+
+
+class TestContainment:
+    BIG = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    # SMALL is wholly contained in BIG but its Jaccard vs BIG is low
+    SMALL = "alpha beta gamma delta epsilon zeta eta theta"
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, self.BIG), (2, self.SMALL),
+             (3, "totally different text about spark execution engines ok")],
+            "doc_id long, text string",
+        )
+
+    def test_catches_subset_jaccard_misses(self, spark):
+        from cryoflow_spark.functions import dedup as D
+
+        df = self._df(spark)
+        jac = D.ngram_jaccard_pairs(df, ngram=2, threshold=0.8).collect()
+        assert jac == []  # symmetric Jaccard is blind to the swallow
+        pairs = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in D.containment_pairs(
+                df, ngram=2, threshold=0.8, min_grams=3
+            ).collect()
+        }
+        assert (2, 1) in pairs and pairs[(2, 1)] == 1.0
+        assert (1, 2) not in pairs  # direction matters
+
+    def test_dedup_drops_contained_doc(self, spark):
+        from cryoflow_spark.functions import dedup as D
+
+        kept = sorted(
+            r["doc_id"]
+            for r in D.containment_dedup(
+                self._df(spark), ngram=2, threshold=0.8, min_grams=3
+            ).collect()
+        )
+        assert kept == [1, 3]
+
+    def test_min_grams_guards_tiny_docs(self, spark):
+        from cryoflow_spark.functions import dedup as D
+
+        df = spark.createDataFrame(
+            [(1, self.BIG), (2, "alpha beta")], "doc_id long, text string"
+        )
+        loose = D.containment_pairs(df, ngram=2, threshold=0.9, min_grams=1)
+        tight = D.containment_pairs(df, ngram=2, threshold=0.9, min_grams=5)
+        assert [(r["id_a"], r["id_b"]) for r in loose.collect()] == [(2, 1)]
+        assert tight.collect() == []
+
+    def test_equal_size_tie_keeps_min_id(self, spark):
+        from cryoflow_spark.functions import dedup as D
+
+        df = spark.createDataFrame(
+            [(7, self.SMALL), (3, self.SMALL)], "doc_id long, text string"
+        )
+        kept = [r["doc_id"] for r in D.containment_dedup(
+            df, ngram=2, threshold=0.9, min_grams=3
+        ).collect()]
+        assert kept == [3]
