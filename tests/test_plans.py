@@ -124,6 +124,10 @@ def test_no_cartesian_products(all_plans):
         # broadcast 1-row build side, never CartesianProduct.
         "x32_remove_frequent_segments",
         "x35_corpus_freq_score",  # same 1-row corpus-total scalar
+        # 1-row Bloom bit-table crossJoin(broadcast(bloom)) — the m-bit
+        # array rides one broadcast row; probes filter map-side and the
+        # exact confirm join pins the result (functions/curation.py).
+        "x55_bloom_decontaminate",
     }
     for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name
