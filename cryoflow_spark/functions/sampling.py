@@ -274,3 +274,68 @@ def leakage_safe_split(
     cut = int(test_fraction * buckets)
     bucket = hash_bucket(group_col, buckets)
     return labeled.filter(bucket >= cut), labeled.filter(bucket < cut)
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Temperature-based source mixing: sample so source shares follow
+    ``n_s^alpha`` (normalized) — the standard multilingual/multi-corpus
+    rebalancing rule (alpha < 1 upweights small sources; alpha = 1 keeps
+    the natural mix; alpha = 0 equalizes).
+
+    Like :func:`rebalance_sources` but the target shares are DERIVED
+    from the observed counts instead of supplied. The normalizer
+    ``sum_t(n_t^alpha)`` cancels algebraically in the keep rates::
+
+        rate_s = share_s * N_out / n_s          with share_s = w_s / W,
+               = w_s * min_t(n_t / w_t) / n_s   (W cancels exactly)
+
+    so the computation needs NO cross-source sum — only an exact min
+    over the per-source counts table — which keeps the rates
+    order-independent and engine-portable (sqrt, /, *, min are all
+    correctly-rounded IEEE ops; a float sum would depend on row order).
+    ``alpha = 0.5`` uses ``sqrt`` explicitly; other alphas use ``pow``,
+    which is deterministic within one engine but may differ by an ulp
+    across libm implementations (the md5-bucket keep rule quantizes to
+    1e6 buckets, so an ulp only matters on an exact boundary).
+
+    Scale: one tiny count aggregation (one row per source), a broadcast
+    rates join, and a map-only hash-bucket filter — identical plan
+    shape to ``rebalance_sources``; the all-rows window runs over the
+    |sources|-row counts table by construction.
+    """
+    from pyspark.sql import Window
+
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    if alpha == 0.5:
+        w = F.sqrt(F.col("__n"))
+    elif alpha == 1.0:
+        w = F.col("__n")
+    else:
+        w = F.pow(F.col("__n"), F.lit(float(alpha)))
+    weighted = counts.withColumn("__w", w)
+    m = F.min(F.col("__n") / F.col("__w")).over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    rates = weighted.withColumn(
+        "__rate", (F.col("__w") * m) / F.col("__n")
+    ).select(source_col, "__rate")
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(
+            hash_bucket(key_col, buckets)
+            < F.floor(F.col("__rate") * buckets).cast("bigint")
+        )
+        .drop("__rate")
+    )

@@ -18,6 +18,10 @@ of a 10% sample). Modes (option ``method``):
   stream carries forward — run two labeled streams to keep both).
 - ``rebalance``: downsample sources to a target mix — options
   ``source_column``, ``target_shares`` (TOML table: source → share).
+- ``temperature``: derive the target mix from observed counts as
+  ``n^alpha`` (normalized) — multilingual temperature sampling; options
+  ``source_column``, ``alpha`` (default 0.5; < 1 upweights small
+  sources, 0 equalizes).
 - ``leakage_safe``: cluster-aware train/test split — near-duplicate
   clusters never straddle the boundary. The sibling stream named by
   ``pairs_label`` carries the near-dup edge list (columns = two doc-id
@@ -120,6 +124,15 @@ class SamplePlugin(SiblingAwareTransformPlugin):
             return S.rebalance_sources(
                 data, self.require_option("source_column"), key, shares,
                 buckets,
+            )
+
+        if method == "temperature":
+            return S.temperature_mix(
+                data,
+                self.require_option("source_column"),
+                key,
+                alpha=float(self.options.get("alpha", 0.5)),
+                buckets=buckets,
             )
 
         raise ValueError(f"invalid sample method '{method}'")

@@ -131,7 +131,7 @@ _PRIORITY: list[str] = [
     "x49_group_centroids", "x50_script_profile", "x51_jl_projection",
     "x52_corpus_report", "x53_incremental_presig", "x54_dataset_checksum",
     "x55_bloom_decontaminate", "x56_unicode_normalize",
-    "x57_containment_pairs",
+    "x57_containment_pairs", "x58_temperature_mix",
     # rows-only bench instruments (portable oracle twins are in-window)
     "x15_engine_minhash_dedup", "x33_engine_incremental_dedup",
 ]

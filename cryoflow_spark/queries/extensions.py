@@ -2580,3 +2580,45 @@ def x57_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, text_col="text", id_col="doc_id", ngram=3, threshold=0.3,
         block_by="lang", min_grams=5,
     )
+
+
+# --- x58: temperature source mixing (oracle-checked) ----------------------
+
+
+@register(
+    "x58_temperature_mix",
+    f"""
+    WITH skewed AS (
+      SELECT doc_id, source FROM documents
+      WHERE source = 'src0'
+         OR (source = 'src1' AND doc_id % 2 = 0)
+         OR (source NOT IN ('src0','src1') AND doc_id % 5 = 0)
+    ),
+    counts AS (
+      SELECT source, COUNT(*)::DOUBLE AS n FROM skewed GROUP BY source
+    ),
+    w AS (SELECT source, n, sqrt(n) AS w FROM counts),
+    m AS (SELECT source, n, w, MIN(n / w) OVER () AS mm FROM w),
+    rates AS (SELECT source, (w * mm) / n AS rate FROM m)
+    SELECT d.doc_id, d.source FROM skewed d
+    JOIN rates r USING (source)
+    WHERE {{bucket}} < CAST(FLOOR(r.rate * 1000000) AS BIGINT)
+    """.format(bucket=_sql_hash_bucket("d.doc_id")),
+    "Temperature mixing (share ∝ n^0.5): derived target shares upweight "
+    "small sources; the sum normalizer cancels algebraically so the "
+    "rates need only an exact min over the per-source counts table — "
+    "no order-dependent float sum; md5-bucket keeps, map-only filter",
+)
+def x58_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.sampling import temperature_mix
+
+    d = load(spark, sf_dir, "documents")
+    skewed = d.filter(
+        (F.col("source") == "src0")
+        | ((F.col("source") == "src1") & (F.col("doc_id") % 2 == 0))
+        | (~F.col("source").isin("src0", "src1") & (F.col("doc_id") % 5 == 0))
+    )
+    out = temperature_mix(
+        skewed, source_col="source", key_col="doc_id", alpha=0.5
+    )
+    return out.select("doc_id", "source")

@@ -149,6 +149,9 @@ _BOUNDED_WINDOW_ENVELOPES = {
     "q32_rank_family": ("_psize", 3),
     "q58_distributed_cdf": ("_psize", 2),
     "x28_source_mix": ("min(_w0", 1),
+    # temperature_mix: same rebalance shape — the min runs over the
+    # |sources|-row counts table (functions/sampling.py temperature_mix).
+    "x58_temperature_mix": ("min(_w0", 1),
 }
 
 

@@ -163,3 +163,52 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
         docs.repartition(7), pairs, test_fraction=0.4
     )
     assert {r["doc_id"] for r in test2.collect()} == set(te)
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    from cryoflow_spark.functions.sampling import temperature_mix
+
+    rows = [(i, "big" if i < 800 else "small") for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, "source", "doc_id", alpha=0.5)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # w_big = sqrt(800), w_small = sqrt(100); min(n/w) is the small side
+    # -> small keeps everything, big keeps ~sqrt(100/800) ≈ 35%
+    assert got["small"] == 100
+    assert 200 <= got["big"] <= 350
+    # output shares move toward sqrt-proportional: 800/100 -> ~2.8/1
+    assert 2.0 <= got["big"] / got["small"] <= 3.6
+
+
+def test_temperature_alpha_one_keeps_natural_mix(spark):
+    from cryoflow_spark.functions.sampling import temperature_mix
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, "source", "doc_id", alpha=1.0)
+    # alpha=1: every rate is exactly 1.0 -> nothing dropped
+    assert out.count() == 300
+
+
+def test_temperature_zero_equalizes(spark):
+    from cryoflow_spark.functions.sampling import temperature_mix
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, "source", "doc_id", alpha=0.0)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # alpha=0 -> equal target shares -> both sides ~min source size
+    assert got["small"] == 100
+    assert 80 <= got["big"] <= 110
+
+
+def test_temperature_negative_alpha_rejected(spark):
+    import pytest
+
+    from cryoflow_spark.functions.sampling import temperature_mix
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, "source", "doc_id", alpha=-1.0)
