@@ -608,3 +608,64 @@ def quantile_threshold_filter(
     if with_threshold:
         return out.withColumnRenamed("__thr", "threshold")
     return out.drop("__thr")
+
+
+def segment_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Per-doc segment-level repetition signals (Gopher/MassiveText
+    repetition family, Rae et al. 2021 table A1): with
+    ``delimiter="\\n"`` these are the duplicate-LINE fraction and the
+    fraction of characters inside duplicated lines; with ``"\\n\\n"``
+    the duplicate-paragraph versions.
+
+    Output: ``(id, n_segments, dup_segment_frac, dup_segment_char_frac)``
+
+    - ``dup_segment_frac``  = 1 - distinct/total segments (repeat rate);
+    - ``dup_segment_char_frac`` = chars in ALL occurrences of segments
+      appearing more than once / total segment chars — the signal that
+      catches a page whose one navigation line repeats 500 times.
+
+    Blank/whitespace-only segments are excluded; NULL-text docs and
+    docs with no non-blank segment produce no row. Integer partial
+    aggregates + one exact divide per fraction → engine-portable.
+
+    Scale: explode + two-level aggregation keyed by (id, segment) then
+    id — the same shape as ``repetition_stats``' top-token pass; no
+    corpus-wide state, fully partition-parallel.
+    """
+    import re
+
+    segs = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.col(text_col), re.escape(delimiter))
+            ).alias("__seg"),
+        )
+        .filter(F.trim(F.col("__seg")) != "")
+    )
+    per_seg = segs.groupBy(id_col, "__seg").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    seg_len = F.length("__seg").cast("bigint")
+    return per_seg.groupBy(id_col).agg(
+        F.sum("__cnt").cast("bigint").alias("n_segments"),
+        (
+            F.lit(1.0)
+            - F.count(F.lit(1)).cast("double")
+            / F.sum("__cnt").cast("double")
+        ).alias("dup_segment_frac"),
+        (
+            F.sum(
+                F.when(F.col("__cnt") > 1, F.col("__cnt") * seg_len).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / F.sum(F.col("__cnt") * seg_len).cast("double")
+        ).alias("dup_segment_char_frac"),
+    )

@@ -15,6 +15,10 @@ the TOML plugin surface. Modes (option ``method``):
 - ``repetition_filter``: drop docs whose repetition stats exceed
   thresholds — options ``max_dup_token_frac``, ``max_dup_2gram_frac``,
   ``max_top_token_frac``, ``min_tokens`` (any subset).
+- ``segment_repetition_filter``: drop docs whose line/paragraph
+  repetition exceeds thresholds — options ``delimiter`` (default
+  newline), ``max_dup_segment_frac``, ``max_dup_segment_char_frac``
+  (the Gopher duplicate-line family).
 - ``quality_filter``: keep docs with ``quality_score >= min_quality``.
 - ``script_profile``: annotate with per-script character counts
   (``script_latin`` ... ``script_hangul``) and ``dominant_script`` —
@@ -114,6 +118,27 @@ class CuratePlugin(SiblingAwareTransformPlugin):
             if "min_tokens" in self.options:
                 cond = cond | (
                     F.col("n_tokens") < int(self.options["min_tokens"])
+                )
+            bad = stats.filter(cond).select(id_column)
+            return data.join(bad, on=id_column, how="left_anti")
+
+        if method == "segment_repetition_filter":
+            stats = C.segment_repetition_stats(
+                data,
+                text_col=column,
+                id_col=id_column,
+                delimiter=self.options.get("delimiter", "\n"),
+            )
+            cond = F.lit(False)
+            if "max_dup_segment_frac" in self.options:
+                cond = cond | (
+                    F.col("dup_segment_frac")
+                    > float(self.options["max_dup_segment_frac"])
+                )
+            if "max_dup_segment_char_frac" in self.options:
+                cond = cond | (
+                    F.col("dup_segment_char_frac")
+                    > float(self.options["max_dup_segment_char_frac"])
                 )
             bad = stats.filter(cond).select(id_column)
             return data.join(bad, on=id_column, how="left_anti")

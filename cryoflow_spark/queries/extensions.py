@@ -2622,3 +2622,37 @@ def x58_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         skewed, source_col="source", key_col="doc_id", alpha=0.5
     )
     return out.select("doc_id", "source")
+
+
+# --- x59: segment repetition stats (oracle-checked) -----------------------
+
+
+@register(
+    "x59_segment_repetition",
+    """
+    WITH segs AS (
+      SELECT doc_id, seg FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS seg
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE trim(seg) != ''
+    ),
+    per AS (
+      SELECT doc_id, seg, COUNT(*)::BIGINT AS cnt, length(seg)::BIGINT AS len
+      FROM segs GROUP BY doc_id, seg
+    )
+    SELECT doc_id,
+           SUM(cnt)::BIGINT AS n_segments,
+           1.0 - COUNT(*)::DOUBLE / SUM(cnt)::DOUBLE AS dup_segment_frac,
+           SUM(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END)::DOUBLE
+             / SUM(cnt * len)::DOUBLE AS dup_segment_char_frac
+    FROM per GROUP BY doc_id
+    """,
+    "Gopher/MassiveText segment-repetition signals: duplicate-segment "
+    "fraction and chars-in-duplicated-segments fraction per doc "
+    "(line-level with delimiter=newline; word-level on this single-line "
+    "corpus, mirroring x36's convention) — integer partial aggs + one "
+    "exact divide per fraction",
+)
+def x59_segment_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return C.segment_repetition_stats(d, delimiter=" ")

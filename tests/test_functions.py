@@ -2385,3 +2385,49 @@ class TestContainment:
             df, ngram=2, threshold=0.9, min_grams=3
         ).collect()]
         assert kept == [3]
+
+
+class TestSegmentRepetition:
+    def test_line_level_dup_fractions(self, spark):
+        from cryoflow_spark.functions.curation import segment_repetition_stats
+
+        nav = "home | products | contact"
+        doc1 = "\n".join([nav, "unique line one", nav, "unique line two", nav])
+        doc2 = "all\nlines\nare\ndifferent"
+        df = spark.createDataFrame(
+            [(1, doc1), (2, doc2), (3, None), (4, "   \n  ")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in
+               segment_repetition_stats(df, delimiter="\n").collect()}
+        assert set(got) == {1, 2}  # null text / all-blank docs: no row
+        r1 = got[1]
+        assert r1["n_segments"] == 5
+        # 3 distinct of 5 total -> dup fraction 1 - 3/5
+        assert abs(r1["dup_segment_frac"] - 0.4) < 1e-12
+        # chars in the 3 nav occurrences / total chars
+        nav_chars = 3 * len(nav)
+        total = nav_chars + len("unique line one") + len("unique line two")
+        assert abs(r1["dup_segment_char_frac"] - nav_chars / total) < 1e-12
+        assert got[2]["dup_segment_frac"] == 0.0
+        assert got[2]["dup_segment_char_frac"] == 0.0
+
+    def test_paragraph_level_via_delimiter(self, spark):
+        from cryoflow_spark.functions.curation import segment_repetition_stats
+
+        para = "repeated paragraph text"
+        doc = "\n\n".join([para, "a fresh paragraph", para])
+        df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+        r = segment_repetition_stats(df, delimiter="\n\n").collect()[0]
+        assert r["n_segments"] == 3
+        assert abs(r["dup_segment_frac"] - (1 - 2 / 3)) < 1e-12
+
+    def test_blank_segments_excluded(self, spark):
+        from cryoflow_spark.functions.curation import segment_repetition_stats
+
+        df = spark.createDataFrame(
+            [(1, "a\n\n\na\n   \nb")], "doc_id long, text string"
+        )
+        r = segment_repetition_stats(df, delimiter="\n").collect()[0]
+        assert r["n_segments"] == 3  # a, a, b — blanks dropped
+        assert abs(r["dup_segment_frac"] - (1 - 2 / 3)) < 1e-12
