@@ -183,3 +183,66 @@ def sql_canonicalize_url(url_expr: str) -> str:
         f"(CASE WHEN {scheme} != '' THEN lower({scheme}) || '://' "
         f"ELSE '' END) || {host} || {p}"
     )
+
+
+def crawl_refresh(
+    df,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    content_cols: list[str] | None = None,
+):
+    """Latest-fetch-per-canonical-URL dedup across crawl dumps, with a
+    content-change annotation — the standard cross-dump refresh pass:
+    each page keeps only its newest fetch, and ``content_changed`` says
+    whether that fetch differs from the previous one (NULL on first
+    sight), so downstream re-processing (re-extract, re-embed, re-score)
+    can skip unchanged pages.
+
+    The grouping key is :func:`canonicalize_url` (host case, default
+    ports, fragments, tracking params are cosmetic between dumps); the
+    change test is the injective :func:`~cryoflow_spark.functions.diff.
+    row_hash` over ``content_cols`` (in the given order; defaults to
+    every column except the URL and timestamp). Ties on ``ts`` break by
+    hash descending — deterministic and engine-portable.
+
+    Output: the surviving rows plus ``canonical_url``, ``n_fetches``
+    (fetch count for the page), and ``content_changed``.
+
+    Scale: one window partitioned by canonical URL — per-page fetch
+    counts are tiny (#dumps), so partitions are bounded; no global
+    window, no collect. At steady state feed only (new dump ∪ current
+    latest) instead of all history.
+    """
+    from pyspark.sql import DataFrame, Window
+
+    from cryoflow_spark.functions.diff import row_hash
+
+    assert isinstance(df, DataFrame)
+    if content_cols is None:
+        content_cols = [c for c in df.columns if c not in (url_col, ts_col)]
+    hashed = df.withColumn(
+        "canonical_url", canonicalize_url(url_col)
+    ).withColumn("__h", row_hash(content_cols))
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col(ts_col).desc(), F.col("__h").desc()
+    )
+    annotated = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__prev_h", F.lead("__h").over(w))
+        .withColumn(
+            "n_fetches",
+            F.count(F.lit(1))
+            .over(
+                Window.partitionBy("canonical_url").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .cast("bigint"),
+        )
+        .withColumn(
+            "content_changed",
+            F.when(F.col("__prev_h").isNull(), F.lit(None).cast("boolean"))
+            .otherwise(F.col("__h") != F.col("__prev_h")),
+        )
+    )
+    return annotated.filter(F.col("__rn") == 1).drop("__rn", "__h", "__prev_h")

@@ -12,6 +12,9 @@ Engine extension for large-scale training-data pipelines (BASELINE.json
   ``hamming_threshold``.
 - ``ngram_jaccard``: pairwise n-gram Jaccard within blocks; options
   ``column``, ``ngram``, ``threshold``, ``block_by``.
+- ``crawl_refresh``: newest fetch per canonical URL with a
+  ``content_changed`` annotation (cross-dump refresh); options
+  ``url_column``, ``ts_column``, ``content_columns``.
 - ``containment`` / ``containment_pairs``: directed n-gram containment
   |A∩B|/|A| — drops (or emits) short docs swallowed by longer ones;
   options ``column``, ``ngram``, ``threshold``, ``block_by``,
@@ -127,6 +130,16 @@ class DedupPlugin(SiblingAwareTransformPlugin):
                 threshold=float(self.options.get("threshold", 0.8)),
                 block_by=self.options.get("block_by"),
                 method=self.options.get("method_strategy", "count"),
+            )
+        if method == "crawl_refresh":
+            from cryoflow_spark.functions.urls import crawl_refresh
+
+            content = self.options.get("content_columns")
+            return crawl_refresh(
+                data,
+                url_col=self.options.get("url_column", "url"),
+                ts_col=self.options.get("ts_column", "fetch_ts"),
+                content_cols=list(content) if content else None,
             )
         if method in ("containment_pairs", "containment"):
             fn = (

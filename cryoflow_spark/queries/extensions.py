@@ -2656,3 +2656,99 @@ def x58_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x59_segment_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return C.segment_repetition_stats(d, delimiter=" ")
+
+
+# --- x60: crawl refresh — latest fetch per canonical URL ------------------
+
+#: Two synthetic crawl dumps from documents metadata (both engines build
+#: identical strings): dump 2 refetches the even doc_ids later with
+#: cosmetically different URLs (case/port/tracking) and actually-changed
+#: text for doc_id % 4 == 0.
+_X60_URL1 = (
+    "'https://Site-' || (doc_id % 23) || '.Example.COM:443/page/' || doc_id"
+    " || '?utm_source=dump1'"
+)
+_X60_URL2 = "'https://site-' || (doc_id % 23) || '.example.com/page/' || doc_id"
+_X60_TEXT2 = "CASE WHEN doc_id % 4 = 0 THEN text || ' updated' ELSE text END"
+_X60_FETCHES = f"""
+      SELECT doc_id, {_X60_URL1} AS url,
+             CAST(doc_id % 97 AS BIGINT) AS fetch_ts, text, lang
+      FROM documents
+      UNION ALL
+      SELECT doc_id, {_X60_URL2} AS url,
+             CAST(1000 + doc_id % 97 AS BIGINT) AS fetch_ts,
+             {_X60_TEXT2} AS text, lang
+      FROM documents WHERE doc_id % 2 = 0
+"""
+
+
+def _x60_oracle() -> str:
+    from cryoflow_spark.functions.urls import sql_canonicalize_url
+
+    h = (
+        "md5(concat("
+        "CASE WHEN lang IS NULL THEN 'N'"
+        " ELSE 'V' || md5(CAST(lang AS VARCHAR)) END, "
+        "CASE WHEN text IS NULL THEN 'N'"
+        " ELSE 'V' || md5(CAST(text AS VARCHAR)) END))"
+    )
+    return f"""
+    WITH fetches AS ({_X60_FETCHES}),
+    hashed AS (
+      SELECT doc_id, fetch_ts, {sql_canonicalize_url("url")} AS canonical_url,
+             {h} AS h
+      FROM fetches
+    ),
+    win AS (
+      SELECT doc_id, canonical_url, fetch_ts, h,
+             ROW_NUMBER() OVER (PARTITION BY canonical_url
+                                ORDER BY fetch_ts DESC, h DESC) AS rn,
+             LEAD(h) OVER (PARTITION BY canonical_url
+                           ORDER BY fetch_ts DESC, h DESC) AS prev_h,
+             COUNT(*) OVER (PARTITION BY canonical_url) AS n_fetches
+      FROM hashed
+    )
+    SELECT doc_id, canonical_url, fetch_ts, n_fetches::BIGINT AS n_fetches,
+           CASE WHEN prev_h IS NULL THEN NULL ELSE h != prev_h END
+             AS content_changed
+    FROM win WHERE rn = 1
+    """
+
+
+@register(
+    "x60_crawl_refresh",
+    _x60_oracle(),
+    "Cross-dump crawl refresh: newest fetch per CANONICAL URL survives "
+    "(host case / default port / tracking params are cosmetic between "
+    "dumps), content_changed flags real text changes via the injective "
+    "row hash so unchanged pages can skip re-processing — one window "
+    "partitioned by canonical URL, per-page partitions bounded by dump "
+    "count",
+)
+def x60_crawl_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.urls import crawl_refresh
+
+    d = load(spark, sf_dir, "documents")
+    dump1 = d.select(
+        "doc_id",
+        F.expr(_X60_URL1).alias("url"),
+        (F.col("doc_id") % 97).cast("bigint").alias("fetch_ts"),
+        "text",
+        "lang",
+    )
+    dump2 = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.expr(_X60_URL2).alias("url"),
+        (F.lit(1000) + F.col("doc_id") % 97).cast("bigint").alias("fetch_ts"),
+        F.expr(_X60_TEXT2).alias("text"),
+        "lang",
+    )
+    out = crawl_refresh(
+        dump1.unionByName(dump2),
+        url_col="url",
+        ts_col="fetch_ts",
+        content_cols=["lang", "text"],
+    )
+    return out.select(
+        "doc_id", "canonical_url", "fetch_ts", "n_fetches", "content_changed"
+    )

@@ -2431,3 +2431,60 @@ class TestSegmentRepetition:
         r = segment_repetition_stats(df, delimiter="\n").collect()[0]
         assert r["n_segments"] == 3  # a, a, b — blanks dropped
         assert abs(r["dup_segment_frac"] - (1 - 2 / 3)) < 1e-12
+
+
+class TestCrawlRefresh:
+    def _fetches(self, spark):
+        return spark.createDataFrame(
+            [
+                # same page, three fetches; content changed on the last
+                (1, "https://WWW.Example.COM:443/a?utm_source=x", 100, "v1"),
+                (2, "https://www.example.com/a", 200, "v1"),
+                (3, "https://crawler@www.example.com/a#frag", 300, "v2"),
+                # single-fetch page
+                (4, "https://example.org/b", 150, "only"),
+            ],
+            "fetch_id long, url string, fetch_ts long, text string",
+        )
+
+    def test_latest_fetch_survives_with_change_flag(self, spark):
+        from cryoflow_spark.functions.urls import crawl_refresh
+
+        out = crawl_refresh(
+            self._fetches(spark), content_cols=["text"]
+        ).collect()
+        got = {r["canonical_url"]: r for r in out}
+        assert len(got) == 2  # cosmetic URL variants merged
+        page_a = got["https://www.example.com/a"]
+        assert page_a["fetch_id"] == 3 and page_a["n_fetches"] == 3
+        assert page_a["content_changed"] is True
+        page_b = got["https://example.org/b"]
+        assert page_b["n_fetches"] == 1
+        assert page_b["content_changed"] is None  # first sight
+
+    def test_unchanged_content_flags_false(self, spark):
+        from cryoflow_spark.functions.urls import crawl_refresh
+
+        df = spark.createDataFrame(
+            [(1, "https://e.com/x", 10, "same"),
+             (2, "https://e.com/x", 20, "same")],
+            "fetch_id long, url string, fetch_ts long, text string",
+        )
+        r = crawl_refresh(df, content_cols=["text"]).collect()[0]
+        assert r["fetch_id"] == 2 and r["content_changed"] is False
+
+    def test_deterministic_under_repartition(self, spark):
+        from cryoflow_spark.functions.urls import crawl_refresh
+
+        base = self._fetches(spark)
+        a = sorted(
+            (r["canonical_url"], r["fetch_id"])
+            for r in crawl_refresh(base, content_cols=["text"]).collect()
+        )
+        b = sorted(
+            (r["canonical_url"], r["fetch_id"])
+            for r in crawl_refresh(
+                base.repartition(7), content_cols=["text"]
+            ).collect()
+        )
+        assert a == b
