@@ -495,3 +495,94 @@ def normalize_unicode(text_col, form: str = "NFC"):
 
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.when(col.rlike(r"^[\x00-\x7F]*$"), col).otherwise(_norm(col))
+
+
+def heavy_hitters(
+    df,
+    text_col: str = "text",
+    top_n: int = 50,
+    k: int = 1000,
+) -> "DataFrame":
+    """EXACT corpus heavy hitters without shuffling the vocabulary:
+    the top ``top_n`` tokens by frequency among all tokens with
+    ``count * k > N`` (N = total token occurrences), ordered by
+    (count desc, token asc).
+
+    Physical strategy (approximate prefilter + exact confirm, like the
+    x55 Bloom pass):
+
+    1. One scan runs a Misra-Gries summary of capacity ``k`` per
+       partition (Arrow batches; per-batch exact value_counts merged
+       with the Agarwal et al. 2012 mergeable-summaries compaction —
+       subtract the (k+1)-th largest, keep positive). By pigeonhole any
+       token with global count > N/k exceeds its local threshold
+       N_p/k in >= 1 partition, so the union of summaries is a PROVABLE
+       SUPERSET of every qualifying token. Emitted volume: <= k tokens
+       + 1 total-count row per partition — no full-vocab shuffle ever
+       exists.
+    2. The candidate tokens broadcast back; a second scan exact-counts
+       ONLY them (map-side partial aggs on a tiny key set) and applies
+       the integer guarantee filter ``count * k > N`` — false
+       candidates die here, so the result is bit-identical to the plain
+       exact-SQL spelling no matter how partitioning shaped the
+       summaries.
+
+    Contrast with ``vocab_stats`` (x46), which shuffles every distinct
+    token: use that for the full frequency table artifact, this when
+    you only need the head of the distribution at 100 TB. ``k`` bounds
+    both the driver's candidate set (<= partitions * k) and which
+    tokens can qualify; raise it to reach deeper into the tail.
+    """
+    from pyspark.sql import DataFrame
+    from pyspark.sql.functions import broadcast
+
+    assert isinstance(df, DataFrame)
+    spark = df.sparkSession
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+            ).alias("token")
+        )
+    )
+
+    def _mg(batches):
+        counters: dict[str, int] = {}
+        seen = 0
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            seen += int(vc.sum())
+            for tok, cnt in vc.items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > k:
+                # mergeable-summaries compaction: subtract the (k+1)-th
+                # largest count, drop non-positive — error <= N_p/(k+1).
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    t: c - cut for t, c in counters.items() if c - cut > 0
+                }
+        out = pd.DataFrame(
+            {"token": list(counters), "weight": list(counters.values())}
+        )
+        total = pd.DataFrame({"token": [None], "weight": [seen]})
+        yield pd.concat([out, total], ignore_index=True).astype(
+            {"weight": "int64"}
+        )
+
+    summary = toks.mapInPandas(_mg, "token string, weight long").collect()
+    n_total = sum(r["weight"] for r in summary if r["token"] is None)
+    candidates = [r["token"] for r in summary if r["token"] is not None]
+    if not candidates or n_total == 0:
+        return spark.createDataFrame([], "token string, cnt bigint")
+    cand_df = spark.createDataFrame(
+        [(t,) for t in set(candidates)], "token string"
+    )
+    return (
+        toks.join(broadcast(cand_df), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * F.lit(k) > F.lit(n_total))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(top_n)
+    )

@@ -10,6 +10,10 @@ Options:
 - ``lowercase`` (default true)
 - ``min_tf`` (optional) — frequency floor
 - ``top_n`` (optional) — heavy-hitter report, ranked (tf DESC, token)
+- ``method = "heavy_hitters"`` — switch to the Misra-Gries-prefiltered
+  exact head (:func:`...text.heavy_hitters`): the top ``top_n`` tokens
+  with ``count * k > N``, no full-vocab shuffle; options ``top_n``
+  (default 50), ``k`` (default 1000).
 """
 
 from __future__ import annotations
@@ -24,8 +28,15 @@ class VocabPlugin(AnalyzedTransformPlugin):
         return "vocab"
 
     def _transform(self, data: FrameData) -> FrameData:
-        from cryoflow_spark.functions.text import vocab_stats
+        from cryoflow_spark.functions.text import heavy_hitters, vocab_stats
 
+        if self.options.get("method") == "heavy_hitters":
+            return heavy_hitters(
+                data,
+                text_col=self.options.get("column", "text"),
+                top_n=int(self.options.get("top_n", 50)),
+                k=int(self.options.get("k", 1000)),
+            )
         min_tf = self.options.get("min_tf")
         top_n = self.options.get("top_n")
         return vocab_stats(

@@ -2752,3 +2752,34 @@ def x60_crawl_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "canonical_url", "fetch_ts", "n_fetches", "content_changed"
     )
+
+
+# --- x61: exact heavy hitters via Misra-Gries prefilter -------------------
+
+
+@register(
+    "x61_heavy_hitters",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t != '')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tot AS (SELECT COUNT(*)::BIGINT AS n FROM toks),
+    counts AS (
+      SELECT token, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY token
+    )
+    SELECT token, cnt FROM counts, tot
+    WHERE cnt * 40 > n
+    ORDER BY cnt DESC, token
+    LIMIT 20
+    """,
+    "Exact heavy hitters with NO full-vocab shuffle: per-partition "
+    "Misra-Gries summaries (mergeable-summaries compaction) generate a "
+    "provable candidate superset of every token with count*k > N, a "
+    "broadcast-filtered second scan exact-counts only those — result "
+    "bit-identical to the plain SQL spelling regardless of partitioning",
+)
+def x61_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.heavy_hitters(d, text_col="text", top_n=20, k=40)

@@ -2488,3 +2488,46 @@ class TestCrawlRefresh:
             ).collect()
         )
         assert a == b
+
+
+class TestHeavyHitters:
+    def test_matches_exact_counts(self, spark):
+        from cryoflow_spark.functions.text import heavy_hitters
+
+        rows = [(i, "the " * 20 + "cat " * 10 + f"rare{i}") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [(r["token"], r["cnt"]) for r in
+               heavy_hitters(df, top_n=5, k=10).collect()]
+        # N = 40*31 = 1240; threshold cnt*10 > 1240 -> cnt > 124
+        assert got == [("the", 800), ("cat", 400)]
+
+    def test_superset_survives_tiny_k_and_repartition(self, spark):
+        from cryoflow_spark.functions.text import heavy_hitters
+
+        rows = [(i, ("alpha " * 5) + ("beta " * 3) + f"tail{i % 7}")
+                for i in range(60)]
+        base = spark.createDataFrame(rows, "doc_id long, text string")
+        want = [(r["token"], r["cnt"]) for r in
+                heavy_hitters(base, top_n=3, k=8).collect()]
+        for parts in (1, 3, 13):
+            got = [(r["token"], r["cnt"]) for r in
+                   heavy_hitters(base.repartition(parts), top_n=3, k=8)
+                   .collect()]
+            assert got == want, parts
+
+    def test_guarantee_filter_excludes_boundary(self, spark):
+        from cryoflow_spark.functions.text import heavy_hitters
+
+        # 4 tokens x 25 occurrences: N=100, k=4 -> need cnt*4 > 100,
+        # i.e. cnt > 25 — every token is AT the boundary, none qualify.
+        text = " ".join(w for _ in range(25) for w in ("a", "b", "c", "d"))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        assert heavy_hitters(df, top_n=10, k=4).collect() == []
+
+    def test_empty_and_null_corpus(self, spark):
+        from cryoflow_spark.functions.text import heavy_hitters
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "   ")], "doc_id long, text string"
+        )
+        assert heavy_hitters(df, top_n=5, k=10).collect() == []
