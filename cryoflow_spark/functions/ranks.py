@@ -160,3 +160,44 @@ def with_rank_stats(
     return df.join(
         stats, F.col(value_col).eqNullSafe(F.col(stats_key)), "inner"
     ).drop(stats_key)
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    bucket_col: str = "bucket",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Attach each row's global quantile bucket of ``value_col`` —
+    ``floor(rows_below * n_buckets / n_total)`` in [0, n_buckets-1] —
+    without a single-reducer global window (curriculum binning, score
+    stratification, decile reporting).
+
+    Pure integer arithmetic on the CDF spine, so the assignment is
+    exact and engine-portable (equivalent SQL:
+    ``(COUNT(*) OVER (ORDER BY v) - COUNT(*) OVER (PARTITION BY v)) *
+    n // N``... spelled via rows_below). Equal values always share a
+    bucket (unlike ``ntile``, which splits ties by row position and is
+    therefore not deterministic under reordering — the reason this
+    operator intentionally does NOT reproduce ntile semantics). NULLs
+    sort lowest (bucket 0), matching the spine's NULLS FIRST rule.
+
+    Scale: inherits the spine's profile — one groupBy + one range
+    exchange over distinct values, then a null-safe equi-join back;
+    no unpartitioned window anywhere.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    spine = value_cdf(df, value_col, num_partitions=num_partitions)
+    key = f"__qb_{value_col}"
+    buckets = spine.select(
+        F.col(value_col).alias(key),
+        # integer `div`, not float floor(x/y): exact at any N
+        F.expr(f"(rows_below * {int(n_buckets)}L) div n_total")
+        .cast("int")
+        .alias(bucket_col),
+    )
+    return df.join(
+        buckets, F.col(value_col).eqNullSafe(F.col(key)), "inner"
+    ).drop(key)

@@ -32,6 +32,10 @@ the TOML plugin surface. Modes (option ``method``):
   punctuation with >= ``min_line_words`` words and no policy phrase,
   drop pages with kill phrases or no surviving line; ``filter = false``
   keeps killed pages with ``c4_keep = false``.
+- ``quantile_buckets``: annotate each row with its GLOBAL quantile
+  bucket of ``score_column`` (``n_buckets``, default 10; output
+  ``bucket_column``) — curriculum binning on the distributed CDF spine,
+  no single-reducer window; ties always share a bucket.
 - ``quantile_filter``: ADAPTIVE per-group gate — keep rows at-or-above
   (``keep="above"``, default) or at-or-below their ``group_by`` bucket's
   ``p``-th quantile of ``score_column`` (exact percentile by default,
@@ -200,6 +204,16 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 p=float(self.options.get("p", 0.1)),
                 keep=self.options.get("keep", "above"),
                 exact=bool(self.options.get("exact", True)),
+            )
+
+        if method == "quantile_buckets":
+            from cryoflow_spark.functions.ranks import quantile_buckets
+
+            return quantile_buckets(
+                data,
+                self.require_option("score_column"),
+                n_buckets=int(self.options.get("n_buckets", 10)),
+                bucket_col=self.options.get("bucket_column", "bucket"),
             )
 
         if method == "quality_filter":

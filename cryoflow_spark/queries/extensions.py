@@ -2783,3 +2783,35 @@ def x60_crawl_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x61_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return X.heavy_hitters(d, text_col="text", top_n=20, k=40)
+
+
+# --- x62: global quantile buckets on the CDF spine ------------------------
+
+
+@register(
+    "x62_quantile_buckets",
+    """
+    WITH spine AS (
+      SELECT n_chars,
+             COUNT(*) AS at_val,
+             SUM(COUNT(*)) OVER (ORDER BY n_chars ASC NULLS FIRST)
+               - COUNT(*) AS rows_below,
+             SUM(COUNT(*)) OVER () AS n_total
+      FROM documents GROUP BY n_chars
+    )
+    SELECT d.doc_id, d.n_chars,
+           CAST((s.rows_below * 10) // s.n_total AS INT) AS bucket
+    FROM documents d JOIN spine s ON d.n_chars IS NOT DISTINCT FROM s.n_chars
+    """,
+    "Global decile assignment (curriculum binning / score strata) "
+    "WITHOUT a single-reducer window: integer (rows_below*10) div N on "
+    "the distributed CDF spine; equal values share a bucket by "
+    "construction — deterministic where ntile is not",
+)
+def x62_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.ranks import quantile_buckets
+
+    d = load(spark, sf_dir, "documents")
+    return quantile_buckets(d, "n_chars", n_buckets=10).select(
+        "doc_id", "n_chars", "bucket"
+    )

@@ -2531,3 +2531,60 @@ class TestHeavyHitters:
             [(1, None), (2, "   ")], "doc_id long, text string"
         )
         assert heavy_hitters(df, top_n=5, k=10).collect() == []
+
+
+class TestQuantileBuckets:
+    def test_deciles_match_rank_arithmetic(self, spark):
+        from cryoflow_spark.functions.ranks import quantile_buckets
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "id long, score double"
+        )
+        got = {r["id"]: r["bucket"] for r in
+               quantile_buckets(df, "score", n_buckets=10).collect()}
+        assert all(got[i] == i // 10 for i in range(100))
+
+    def test_ties_share_a_bucket(self, spark):
+        from cryoflow_spark.functions.ranks import quantile_buckets
+
+        # 6 rows of the same value straddling a would-be boundary
+        df = spark.createDataFrame(
+            [(i, 1.0 if i < 6 else 2.0) for i in range(10)],
+            "id long, score double",
+        )
+        rows = quantile_buckets(df, "score", n_buckets=2).collect()
+        by_val = {}
+        for r in rows:
+            by_val.setdefault(r["score"], set()).add(r["bucket"])
+        assert by_val[1.0] == {0} and by_val[2.0] == {1}
+
+    def test_nulls_bucket_lowest_and_kept(self, spark):
+        from cryoflow_spark.functions.ranks import quantile_buckets
+
+        df = spark.createDataFrame(
+            [(1, None), (2, 5.0), (3, 9.0)], "id long, score double"
+        )
+        got = {r["id"]: r["bucket"] for r in
+               quantile_buckets(df, "score", n_buckets=3).collect()}
+        assert len(got) == 3 and got[1] == 0 and got[2] == 1 and got[3] == 2
+
+    def test_partitioning_invariance(self, spark):
+        from cryoflow_spark.functions.ranks import quantile_buckets
+
+        df = spark.createDataFrame(
+            [(i, float(i % 17)) for i in range(200)], "id long, score double"
+        )
+        a = sorted((r["id"], r["bucket"]) for r in
+                   quantile_buckets(df, "score", 7).collect())
+        b = sorted((r["id"], r["bucket"]) for r in
+                   quantile_buckets(df.repartition(11), "score", 7).collect())
+        assert a == b
+
+    def test_invalid_buckets_raise(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.ranks import quantile_buckets
+
+        df = spark.createDataFrame([(1, 1.0)], "id long, score double")
+        with pytest.raises(ValueError, match="n_buckets"):
+            quantile_buckets(df, "score", 0)

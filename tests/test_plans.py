@@ -148,6 +148,9 @@ _BOUNDED_WINDOW_ENVELOPES = {
     # unused so Spark prunes the second sum).
     "q32_rank_family": ("_psize", 3),
     "q58_distributed_cdf": ("_psize", 2),
+    # quantile_buckets rides the same value_cdf spine as q58 — its
+    # stitch windows run over the per-range-partition totals table.
+    "x62_quantile_buckets": ("_psize", 2),
     "x28_source_mix": ("min(_w0", 1),
     # temperature_mix: same rebalance shape — the min runs over the
     # |sources|-row counts table (functions/sampling.py temperature_mix).
