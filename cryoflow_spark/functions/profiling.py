@@ -182,3 +182,68 @@ def corpus_report(
             "mean_quality"
         ),
     )
+
+
+def filter_funnel(
+    df: DataFrame,
+    gates: "list[tuple[str, Column]]",
+) -> DataFrame:
+    """One-pass filter-cascade (ablation funnel) report: for an ordered
+    list of named keep-gates, how many rows enter each stage, survive
+    it, and die there — the standard curation-pipeline debugging
+    artifact ("which gate kills what"), without running the pipeline N
+    times.
+
+    ``gates`` is ordered ``[(name, keep_condition), ...]``; a row
+    reaches stage i iff it passed every earlier gate, so stage counts
+    are sums of conjunction indicators — ONE aggregation over one scan,
+    integer arithmetic plus a single exact divide for ``kill_frac``
+    (NULL when nothing enters a stage). A NULL gate verdict counts as
+    not-kept (filter semantics).
+
+    Output: one row per stage —
+    ``(stage, gate, rows_in, rows_out, killed, kill_frac)``.
+
+    Scale: a narrow map (G boolean columns) plus one global aggregation
+    producing G partial sums — cost is the scan, independent of gate
+    count; no shuffle of data rows, only the G-value partial aggs.
+    """
+    if not gates:
+        raise ValueError("gates must be a non-empty ordered list")
+    names = [n for n, _ in gates]
+    if len(set(names)) != len(names):
+        raise ValueError("gate names must be unique")
+    keeps = []  # keeps[i] = row passed gates 0..i (null-safe false)
+    running = F.lit(True)
+    for _, cond in gates:
+        running = running & F.coalesce(cond, F.lit(False))
+        keeps.append(running)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__in0")]
+    for i, k in enumerate(keeps):
+        aggs.append(
+            F.sum(F.when(k, 1).otherwise(0)).cast("bigint").alias(f"__s{i}")
+        )
+    totals = df.agg(*aggs)
+    stages = []
+    for i, name in enumerate(names):
+        rows_in = F.col("__in0") if i == 0 else F.col(f"__s{i - 1}")
+        rows_out = F.col(f"__s{i}")
+        stages.append(
+            F.struct(
+                F.lit(i + 1).cast("int").alias("stage"),
+                F.lit(name).alias("gate"),
+                rows_in.alias("rows_in"),
+                rows_out.alias("rows_out"),
+                (rows_in - rows_out).alias("killed"),
+                F.when(
+                    rows_in > 0,
+                    (rows_in - rows_out).cast("double")
+                    / rows_in.cast("double"),
+                ).alias("kill_frac"),
+            )
+        )
+    return (
+        totals.select(
+            F.explode(F.array(*stages)).alias("__st")
+        ).select("__st.*")
+    )

@@ -16,6 +16,10 @@ disturbing the main stream. Options:
 - ``report = "corpus"`` switches to the per-slice dataset-card report
   (doc counts, token/char totals and means, mean quality per
   ``group_by`` bucket — default ``["source", "lang"]``).
+- ``report = "funnel"`` emits the one-pass filter-cascade report:
+  option ``gates`` is an ordered array of TOML tables
+  ``{name = "...", keep = "<SQL boolean expr>"}``; output is one row
+  per stage with rows_in/rows_out/killed/kill_frac.
 """
 
 from __future__ import annotations
@@ -41,6 +45,17 @@ class ProfilePlugin(AnalyzedTransformPlugin):
                 columns=list(columns) if columns else None,
                 group_cols=tuple(self.options.get("group_by", [])),
             )
+
+        if self.options.get("report") == "funnel":
+            from pyspark.sql import functions as F
+
+            from cryoflow_spark.functions.profiling import filter_funnel
+
+            gates = [
+                (str(g["name"]), F.expr(str(g["keep"])))
+                for g in self.require_option("gates")
+            ]
+            return filter_funnel(data, gates)
 
         if self.options.get("report") == "corpus":
             from cryoflow_spark.functions.profiling import corpus_report

@@ -2815,3 +2815,73 @@ def x62_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_buckets(d, "n_chars", n_buckets=10).select(
         "doc_id", "n_chars", "bucket"
     )
+
+
+# --- x63: curation filter funnel (oracle-checked) -------------------------
+
+_X63_STAGES_SQL = [
+    ("min_words", "words >= 40"),
+    ("lang_allowlist", "lang IN ('en', 'de')"),
+    ("max_word_len", "longtoks = 0"),
+    ("max_chars", "n_chars < 400"),
+]
+
+
+def _x63_oracle() -> str:
+    conj, sums = [], []
+    for i, (_, cond) in enumerate(_X63_STAGES_SQL):
+        conj.append(cond)
+        sums.append(
+            f"SUM(CASE WHEN {' AND '.join(conj)} THEN 1 ELSE 0 END)"
+            f"::BIGINT AS s{i}"
+        )
+    stage_rows = []
+    for i, (name, _) in enumerate(_X63_STAGES_SQL):
+        rin = "in0" if i == 0 else f"s{i - 1}"
+        stage_rows.append(
+            f"SELECT CAST({i + 1} AS INT) AS stage, '{name}' AS gate,"
+            f" {rin} AS rows_in, s{i} AS rows_out,"
+            f" {rin} - s{i} AS killed,"
+            f" CASE WHEN {rin} > 0 THEN ({rin} - s{i})::DOUBLE /"
+            f" {rin}::DOUBLE END AS kill_frac FROM agg"
+        )
+    return f"""
+    WITH t AS (
+      SELECT lang, n_chars,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x != '')) AS words,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> length(x) > 12)) AS longtoks
+      FROM documents
+    ),
+    agg AS (
+      SELECT COUNT(*)::BIGINT AS in0, {", ".join(sums)} FROM t
+    )
+    {" UNION ALL ".join(stage_rows)}
+    """
+
+
+@register(
+    "x63_filter_funnel",
+    _x63_oracle(),
+    "One-pass curation funnel: per-stage rows_in/rows_out/killed/"
+    "kill_frac for an ordered gate cascade (word floor, language "
+    "allowlist, word-length cap, char cap) — G conjunction indicators "
+    "summed in ONE aggregation over one scan instead of running the "
+    "pipeline G times; the which-gate-kills-what dataset-card artifact",
+)
+def x63_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import filter_funnel
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_remove(F.split(F.col("text"), r"\s+"), "")
+    gates = [
+        ("min_words", F.size(toks) >= 40),
+        ("lang_allowlist", F.col("lang").isin("en", "de")),
+        (
+            "max_word_len",
+            F.size(F.filter(toks, lambda x: F.length(x) > 12)) == 0,
+        ),
+        ("max_chars", F.col("n_chars") < 400),
+    ]
+    return filter_funnel(d, gates)

@@ -2588,3 +2588,49 @@ class TestQuantileBuckets:
         df = spark.createDataFrame([(1, 1.0)], "id long, score double")
         with pytest.raises(ValueError, match="n_buckets"):
             quantile_buckets(df, "score", 0)
+
+
+class TestFilterFunnel:
+    def test_cascade_counts(self, spark):
+        from pyspark.sql import functions as F
+
+        from cryoflow_spark.functions.profiling import filter_funnel
+
+        df = spark.createDataFrame(
+            [(1, 10, "en"), (2, 50, "en"), (3, 60, "fr"),
+             (4, 70, "en"), (5, None, "en")],
+            "id long, words int, lang string",
+        )
+        out = {r["gate"]: r for r in filter_funnel(df, [
+            ("min_words", F.col("words") >= 20),   # kills 1 and NULL(5)
+            ("lang_en", F.col("lang") == "en"),    # kills 3
+        ]).collect()}
+        g1, g2 = out["min_words"], out["lang_en"]
+        assert (g1["rows_in"], g1["rows_out"], g1["killed"]) == (5, 3, 2)
+        assert abs(g1["kill_frac"] - 0.4) < 1e-12
+        assert (g2["stage"], g2["rows_in"], g2["rows_out"]) == (2, 3, 2)
+
+    def test_empty_stage_yields_null_frac(self, spark):
+        from pyspark.sql import functions as F
+
+        from cryoflow_spark.functions.profiling import filter_funnel
+
+        df = spark.createDataFrame([(1,)], "id long")
+        out = filter_funnel(df, [
+            ("kill_all", F.lit(False)),
+            ("after", F.lit(True)),
+        ]).collect()
+        assert out[0]["rows_out"] == 0
+        assert out[1]["rows_in"] == 0 and out[1]["kill_frac"] is None
+
+    def test_validates_gates(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from cryoflow_spark.functions.profiling import filter_funnel
+
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="non-empty"):
+            filter_funnel(df, [])
+        with pytest.raises(ValueError, match="unique"):
+            filter_funnel(df, [("a", F.lit(True)), ("a", F.lit(True))])

@@ -966,3 +966,24 @@ def test_profile_checksum_mode(spark):
     out = _run(ProfilePlugin({"report": "checksum"}), df)
     row = out.collect()[0]
     assert row["n_rows"] == 2 and row["checksum"] is not None
+
+
+class TestFunnelPlugin:
+    def test_funnel_report_from_toml_gates(self, sales, spark):
+        from cryoflow_spark.plugins.transform import ProfilePlugin
+
+        out = _run(
+            ProfilePlugin({
+                "report": "funnel",
+                "gates": [
+                    {"name": "amount_floor", "keep": "amount >= 20"},
+                    {"name": "west_only", "keep": "region = 'west'"},
+                ],
+            }),
+            sales,
+        )
+        rows = {r["gate"]: r for r in out.collect()}
+        assert rows["amount_floor"]["rows_in"] == 5
+        assert rows["west_only"]["stage"] == 2
+        assert (rows["west_only"]["rows_in"]
+                == rows["amount_floor"]["rows_out"])
