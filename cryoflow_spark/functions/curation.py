@@ -147,6 +147,7 @@ def bloom_contaminated_ids(
     ngram: int = 8,
     bits_per_element: int = 16,
     num_probes: int | None = None,
+    max_benchmark_grams: int = 5_000_000,
 ) -> DataFrame:
     """``contaminated_ids`` semantics via a Bloom prefilter + exact
     confirm join — bit-identical results, built for benchmark gram sets
@@ -165,7 +166,10 @@ def bloom_contaminated_ids(
 
     The driver holds only the collected (h1, h2) pairs while building
     the table — bounded by the benchmark's distinct-gram count, never by
-    corpus size.
+    corpus size, and hard-capped at ``max_benchmark_grams`` (default 5M
+    ≈ 80 MB of pairs): exceeding it raises instead of silently pulling
+    a corpus-sized frame through the driver (the guard against passing
+    the corpus as the benchmark).
     """
     tokenize = lambda c: F.array_remove(F.split(F.col(c), r"\s+"), "")  # noqa: E731
     spark = df.sparkSession
@@ -184,10 +188,18 @@ def bloom_contaminated_ids(
     )
     h1 = F.xxhash64(F.col("__gram"))
     h2 = F.xxhash64(F.lit("bloom2"), F.col("__gram"))
-    pairs = [
-        (r["h1"], r["h2"])
-        for r in bench_grams.select(h1.alias("h1"), h2.alias("h2")).collect()
-    ]
+    collected = (
+        bench_grams.select(h1.alias("h1"), h2.alias("h2"))
+        .limit(max_benchmark_grams + 1)
+        .collect()
+    )
+    if len(collected) > max_benchmark_grams:
+        raise ValueError(
+            f"benchmark has more than max_benchmark_grams="
+            f"{max_benchmark_grams} distinct {ngram}-grams; raise the cap "
+            f"(driver memory permitting) or shrink/split the benchmark"
+        )
+    pairs = [(r["h1"], r["h2"]) for r in collected]
     if num_probes is None:
         num_probes = max(1, round(0.693 * bits_per_element))
     m_bits = max(64, ((bits_per_element * max(1, len(pairs)) + 63) // 64) * 64)

@@ -570,7 +570,20 @@ def heavy_hitters(
             {"weight": "int64"}
         )
 
-    summary = toks.mapInPandas(_mg, "token string, weight long").collect()
+    # Structural bound: <= k tokens + 1 total row per partition. The
+    # limit+raise guards a pathological configuration (huge k x huge
+    # partition count) from silently flooding the driver.
+    max_summary_rows = 2_000_000
+    summary = (
+        toks.mapInPandas(_mg, "token string, weight long")
+        .limit(max_summary_rows + 1)
+        .collect()
+    )
+    if len(summary) > max_summary_rows:
+        raise ValueError(
+            "Misra-Gries summaries exceed 2M rows (partitions x k too "
+            "large); lower k or coalesce the input"
+        )
     n_total = sum(r["weight"] for r in summary if r["token"] is None)
     candidates = [r["token"] for r in summary if r["token"] is not None]
     if not candidates or n_total == 0:
@@ -585,4 +598,81 @@ def heavy_hitters(
         .filter(F.col("cnt") * F.lit(k) > F.lit(n_total))
         .orderBy(F.col("cnt").desc(), F.col("token"))
         .limit(top_n)
+    )
+
+
+def pack_training_sequences(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    context_len: int = 4096,
+    partition_col: str | None = None,
+):
+    """GPT-style concatenate-and-chop sequence packing: documents are
+    laid back-to-back in deterministic ``id_col`` order and cut into
+    fixed ``context_len``-token training sequences; a document
+    straddling a boundary is SPLIT across sequences (unlike
+    ``pack_token_shards``, which only assigns whole docs to shards).
+
+    Emits one row per (document, sequence) overlap::
+
+        seq_id           which training sequence the slice lands in
+        doc_slice_start  0-based token offset of the slice in the doc
+        doc_slice_len    tokens of this doc in this sequence
+        seq_pos          where the slice starts inside the sequence
+
+    so a writer can assemble every sequence exactly, and token
+    accounting is airtight: sum(doc_slice_len) per seq_id == context_len
+    for every closed sequence. Zero-token docs place nothing and emit
+    no row. All arithmetic is integer (cumsum, div, greatest/least) —
+    engine-portable.
+
+    Scale: same contract as ``pack_token_shards`` — pass
+    ``partition_col`` (e.g. ``lang`` or a coarse hash bucket) so the
+    cumulative window partitions and sequence identity is
+    (partition value, local seq_id); the global mode (``None``) is a
+    documented single-reducer for modest corpora only.
+    """
+    from pyspark.sql import DataFrame, Window
+
+    assert isinstance(df, DataFrame)
+    if context_len < 1:
+        raise ValueError("context_len must be >= 1")
+    c = int(context_len)
+    with_tokens = df.filter(F.col(text_col).isNotNull()).withColumn(
+        "n_tokens", bpe_token_count(text_col)
+    )
+    w = (
+        Window.partitionBy(partition_col) if partition_col else Window
+    ).orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    placed = (
+        with_tokens.withColumn(
+            "__start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "seq_id",
+            F.explode(
+                F.sequence(
+                    F.expr(f"__start div {c}"),
+                    F.expr(f"(__start + n_tokens - 1) div {c}"),
+                )
+            ),
+        )
+    )
+    seq_lo = F.col("seq_id") * c
+    doc_end = F.col("__start") + F.col("n_tokens")
+    return (
+        placed.withColumn(
+            "doc_slice_start", F.greatest(seq_lo - F.col("__start"), F.lit(0))
+        )
+        .withColumn(
+            "doc_slice_len",
+            F.least(seq_lo + c, doc_end)
+            - F.greatest(seq_lo, F.col("__start")),
+        )
+        .withColumn(
+            "seq_pos", F.greatest(F.col("__start") - seq_lo, F.lit(0))
+        )
+        .drop("__start")
     )

@@ -10,6 +10,7 @@ from cryoflow_spark.plugins.transform.group_agg import GroupAggPlugin
 from cryoflow_spark.plugins.transform.join import JoinPlugin
 from cryoflow_spark.plugins.transform.limit import LimitPlugin
 from cryoflow_spark.plugins.transform.multiplier import ColumnMultiplierPlugin
+from cryoflow_spark.plugins.transform.pack import PackPlugin
 from cryoflow_spark.plugins.transform.profile import ProfilePlugin
 from cryoflow_spark.plugins.transform.project import ProjectPlugin
 from cryoflow_spark.plugins.transform.repartition import RepartitionPlugin
@@ -32,6 +33,7 @@ __all__ = [
     "GroupAggPlugin",
     "JoinPlugin",
     "LimitPlugin",
+    "PackPlugin",
     "ProfilePlugin",
     "ProjectPlugin",
     "RepartitionPlugin",

@@ -1,0 +1,61 @@
+"""Token-packing transform plugin (LLM training-shard preparation).
+
+TOML surface for the packing operators of
+:mod:`cryoflow_spark.functions.text`. Modes (option ``method``):
+
+- ``shards`` (default): assign whole documents to token-budget shards
+  (:func:`...text.pack_token_shards`) — adds ``n_tokens``/``shard_id``.
+- ``sequences``: GPT-style concatenate-and-chop packing
+  (:func:`...text.pack_training_sequences`) — one row per
+  (doc, sequence) overlap with exact slice offsets; docs straddling a
+  context boundary split.
+
+Shared options: ``column`` (default ``text``), ``id_column`` (default
+``doc_id``), ``budget`` / ``context_len`` (default 4096), and
+``partition_column`` — pass it at scale so the cumulative window never
+runs on a single reducer (shard/sequence identity is then per
+partition value; see the functions' docstrings).
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+
+
+class PackPlugin(AnalyzedTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "pack"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        from cryoflow_spark.functions.text import (
+            pack_token_shards,
+            pack_training_sequences,
+        )
+
+        method = self.options.get("method", "shards")
+        column = self.options.get("column", "text")
+        id_column = self.options.get("id_column", "doc_id")
+        partition = self.options.get("partition_column")
+        if method == "shards":
+            return pack_token_shards(
+                data,
+                text_col=column,
+                id_col=id_column,
+                budget=int(self.options.get("budget", 4096)),
+                partition_col=partition,
+            )
+        if method == "sequences":
+            return pack_training_sequences(
+                data,
+                text_col=column,
+                id_col=id_column,
+                context_len=int(
+                    self.options.get(
+                        "context_len", self.options.get("budget", 4096)
+                    )
+                ),
+                partition_col=partition,
+            )
+        raise ValueError(f"invalid pack method '{method}'")

@@ -2885,3 +2885,56 @@ def x63_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("max_chars", F.col("n_chars") < 400),
     ]
     return filter_funnel(d, gates)
+
+
+# --- x64: training sequence packing (oracle-checked) ----------------------
+
+
+def _x64_oracle() -> str:
+    from cryoflow_spark.functions.text import sql_bpe_token_count
+
+    c = 512
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, {sql_bpe_token_count("text")} AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ),
+    o AS (
+      SELECT doc_id, lang, n_tokens,
+             (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+               - n_tokens)::BIGINT AS start
+      FROM t
+    ),
+    spans AS (
+      SELECT doc_id, lang, n_tokens, start,
+             unnest(generate_series(start // {c},
+                                    (start + n_tokens - 1) // {c})) AS seq_id
+      FROM o WHERE n_tokens > 0
+    )
+    SELECT doc_id, lang, n_tokens, seq_id,
+           greatest(seq_id * {c} - start, 0) AS doc_slice_start,
+           least((seq_id + 1) * {c}, start + n_tokens)
+             - greatest(seq_id * {c}, start) AS doc_slice_len,
+           greatest(start - seq_id * {c}, 0) AS seq_pos
+    FROM spans
+    """
+
+
+@register(
+    "x64_pack_sequences",
+    _x64_oracle(),
+    "GPT-style concatenate-and-chop packing into 512-token training "
+    "sequences, partitioned by lang (no single reducer): one row per "
+    "(doc, sequence) overlap with exact slice offsets so a writer can "
+    "assemble every context window; docs straddling boundaries split — "
+    "all integer cumsum/div arithmetic",
+)
+def x64_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    out = X.pack_training_sequences(
+        d, context_len=512, partition_col="lang"
+    )
+    return out.select(
+        "doc_id", "lang", "n_tokens", "seq_id",
+        "doc_slice_start", "doc_slice_len", "seq_pos",
+    )

@@ -2634,3 +2634,59 @@ class TestFilterFunnel:
             filter_funnel(df, [])
         with pytest.raises(ValueError, match="unique"):
             filter_funnel(df, [("a", F.lit(True)), ("a", F.lit(True))])
+
+
+class TestPackTrainingSequences:
+    def _packed(self, spark, texts, c=8):
+        from cryoflow_spark.functions.text import pack_training_sequences
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return pack_training_sequences(df, context_len=c).collect()
+
+    def test_closed_sequences_are_exactly_full(self, spark):
+        rows = self._packed(
+            spark, ["a b c d e", "f g h i j k", "l m n o p q r"], c=8
+        )
+        # 18 tokens over 8-token contexts -> seqs 0,1 full, seq 2 partial
+        by_seq = {}
+        for r in rows:
+            by_seq.setdefault(r["seq_id"], 0)
+            by_seq[r["seq_id"]] += r["doc_slice_len"]
+        assert by_seq[0] == 8 and by_seq[1] == 8 and by_seq[2] == 2
+
+    def test_straddling_doc_splits_with_exact_offsets(self, spark):
+        rows = self._packed(spark, ["a b c d e", "f g h i j k"], c=8)
+        doc1 = sorted(
+            (r["seq_id"], r["doc_slice_start"], r["doc_slice_len"],
+             r["seq_pos"])
+            for r in rows if r["doc_id"] == 1
+        )
+        # doc1 occupies tokens [5, 11): 3 tokens close seq 0, 3 open seq 1
+        assert doc1 == [(0, 0, 3, 5), (1, 3, 3, 0)]
+
+    def test_slices_reassemble_every_doc(self, spark):
+        rows = self._packed(
+            spark, ["one two three", "four five six seven eight nine ten"],
+            c=4,
+        )
+        per_doc = {}
+        for r in rows:
+            per_doc.setdefault(r["doc_id"], []).append(
+                (r["doc_slice_start"], r["doc_slice_len"])
+            )
+        for doc, slices in per_doc.items():
+            slices.sort()
+            pos = 0
+            for start, length in slices:
+                assert start == pos  # contiguous, gapless
+                pos += length
+            assert pos == (3 if doc == 0 else 7)
+
+    def test_empty_docs_place_nothing(self, spark):
+        rows = self._packed(spark, ["a b", "", None, "c d"], c=4)
+        assert {r["doc_id"] for r in rows} == {0, 3}
+        # doc 3 starts right after doc 0 — empties consume no budget
+        doc3 = [r for r in rows if r["doc_id"] == 3][0]
+        assert doc3["seq_pos"] == 2 and doc3["seq_id"] == 0

@@ -987,3 +987,32 @@ class TestFunnelPlugin:
         assert rows["west_only"]["stage"] == 2
         assert (rows["west_only"]["rows_in"]
                 == rows["amount_floor"]["rows_out"])
+
+
+class TestPackPlugin:
+    def test_sequence_packing_mode(self, spark):
+        from cryoflow_spark.plugins.transform import PackPlugin
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "f g h i j k")],
+            "doc_id long, text string",
+        )
+        out = _run(
+            PackPlugin({"method": "sequences", "context_len": 8}), df
+        )
+        rows = out.collect()
+        assert {(r["doc_id"], r["seq_id"]) for r in rows} == {
+            (1, 0), (2, 0), (2, 1)
+        }
+        full = sum(r["doc_slice_len"] for r in rows if r["seq_id"] == 0)
+        assert full == 8
+
+    def test_shard_mode_default(self, spark):
+        from cryoflow_spark.plugins.transform import PackPlugin
+
+        df = spark.createDataFrame(
+            [(i, "tok " * 10) for i in range(6)], "doc_id long, text string"
+        )
+        out = _run(PackPlugin({"budget": 25}), df)
+        assert "shard_id" in out.columns
+        assert out.count() == 6  # whole docs, never split
