@@ -855,3 +855,52 @@ def project_embeddings(
 
         return df.withColumn(out_col, _proj(F.col(vec_col)))
     raise ValueError(f"invalid mode '{mode}'")
+
+
+def centroid_drift(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    scale: int = 12,
+) -> DataFrame:
+    """Per-group embedding drift report: cosine of each group's centroid
+    against the global centroid — the dataset-card signal for "this
+    source/dump/language moved in embedding space" (new-crawl QA,
+    encoder-version regression checks, slice skew audits).
+
+    Output: ``(group_col, n, drift_cosine)`` — drift_cosine near 1
+    means the slice sits where the corpus sits; low values flag
+    divergent slices worth inspecting.
+
+    Determinism: both centroids come from :func:`group_centroids`'
+    exact fixed-point sums; the cosine is the same left-fold dot used
+    everywhere in this module — bit-identical across engines.
+
+    Scale: two (group, pos)-keyed aggregations over one posexplode
+    shape (map-side partial sums), then the 1-row global centroid
+    broadcasts into the |groups|-row table — nothing scales with corpus
+    size after the aggregations.
+    """
+    cents = group_centroids(
+        df, vec_col=vec_col, group_col=group_col, as_array=True, scale=scale
+    )
+    glob = (
+        group_centroids(
+            df.withColumn("__all", F.lit(0)),
+            vec_col=vec_col,
+            group_col="__all",
+            as_array=True,
+            scale=scale,
+        )
+        .select(F.col("centroid").alias("__global"))
+    )
+    return (
+        cents.crossJoin(F.broadcast(glob))
+        .select(
+            group_col,
+            "n",
+            cosine(F.col("centroid"), F.col("__global")).alias(
+                "drift_cosine"
+            ),
+        )
+    )

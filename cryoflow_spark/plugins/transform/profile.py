@@ -16,6 +16,9 @@ disturbing the main stream. Options:
 - ``report = "corpus"`` switches to the per-slice dataset-card report
   (doc counts, token/char totals and means, mean quality per
   ``group_by`` bucket — default ``["source", "lang"]``).
+- ``report = "drift"`` emits the per-group embedding drift report
+  (cosine of each ``group_column`` slice's centroid vs the global
+  centroid over ``column``, default ``embedding``/``label``).
 - ``report = "funnel"`` emits the one-pass filter-cascade report:
   option ``gates`` is an ordered array of TOML tables
   ``{name = "...", keep = "<SQL boolean expr>"}``; output is one row
@@ -56,6 +59,15 @@ class ProfilePlugin(AnalyzedTransformPlugin):
                 for g in self.require_option("gates")
             ]
             return filter_funnel(data, gates)
+
+        if self.options.get("report") == "drift":
+            from cryoflow_spark.functions.similarity import centroid_drift
+
+            return centroid_drift(
+                data,
+                vec_col=self.options.get("column", "embedding"),
+                group_col=self.options.get("group_column", "label"),
+            )
 
         if self.options.get("report") == "corpus":
             from cryoflow_spark.functions.profiling import corpus_report

@@ -2938,3 +2938,55 @@ def x64_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_tokens", "seq_id",
         "doc_slice_start", "doc_slice_len", "seq_pos",
     )
+
+
+# --- x65: per-group embedding drift (oracle-checked) ----------------------
+
+
+def _x65_oracle() -> str:
+    dot = (
+        lambda a, b: f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"[{a}[i]::DOUBLE * {b}[i]::DOUBLE "
+        f"for i in generate_series(1, len({a}))]), (acc, x) -> acc + x)"
+    )
+    cos = (
+        f"{dot('c.c', 'g.c')} / (sqrt({dot('c.c', 'c.c')})"
+        f" * sqrt({dot('g.c', 'g.c')}))"
+    )
+    return f"""
+    WITH gc AS (
+      SELECT label, i - 1 AS pos,
+             SUM(floor(embedding[i]::DOUBLE * 1e12)::BIGINT)::DOUBLE
+               / (COUNT(*)::DOUBLE * 1e12) AS val,
+             COUNT(*)::BIGINT AS n
+      FROM embeddings, generate_series(1, 64) AS s(i)
+      GROUP BY label, i
+    ),
+    ga AS (
+      SELECT i - 1 AS pos,
+             SUM(floor(embedding[i]::DOUBLE * 1e12)::BIGINT)::DOUBLE
+               / (COUNT(*)::DOUBLE * 1e12) AS val
+      FROM embeddings, generate_series(1, 64) AS s(i)
+      GROUP BY i
+    ),
+    cent AS (
+      SELECT label, MAX(n) AS n, list(val ORDER BY pos) AS c
+      FROM gc GROUP BY label
+    ),
+    gcent AS (SELECT list(val ORDER BY pos) AS c FROM ga)
+    SELECT label, n, {cos} AS drift_cosine
+    FROM cent c, gcent g
+    """
+
+
+@register(
+    "x65_centroid_drift",
+    _x65_oracle(),
+    "Per-label embedding drift: cosine of each slice centroid against "
+    "the global centroid (exact fixed-point centroid sums, left-fold "
+    "cosine) — the new-dump / encoder-regression / slice-skew audit; "
+    "1-row global centroid broadcast into the |groups| table",
+)
+def x65_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return S.centroid_drift(e, vec_col="embedding", group_col="label")

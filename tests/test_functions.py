@@ -2690,3 +2690,45 @@ class TestPackTrainingSequences:
         # doc 3 starts right after doc 0 — empties consume no budget
         doc3 = [r for r in rows if r["doc_id"] == 3][0]
         assert doc3["seq_pos"] == 2 and doc3["seq_id"] == 0
+
+
+class TestCentroidDrift:
+    def test_identical_slices_have_unit_drift(self, spark):
+        from cryoflow_spark.functions.similarity import centroid_drift
+
+        rows = [("a", [1.0, 2.0, 3.0]), ("b", [1.0, 2.0, 3.0])]
+        df = spark.createDataFrame(
+            rows, "label string, embedding array<double>"
+        )
+        out = {r["label"]: r["drift_cosine"] for r in
+               centroid_drift(df).collect()}
+        assert abs(out["a"] - 1.0) < 1e-9 and abs(out["b"] - 1.0) < 1e-9
+
+    def test_divergent_slice_scores_low(self, spark):
+        from cryoflow_spark.functions.similarity import centroid_drift
+
+        rows = (
+            [("main", [1.0, 0.0]) for _ in range(50)]
+            + [("weird", [0.0, 1.0]) for _ in range(2)]
+        )
+        df = spark.createDataFrame(
+            rows, "label string, embedding array<double>"
+        )
+        out = {r["label"]: r for r in centroid_drift(df).collect()}
+        assert out["main"]["n"] == 50
+        assert out["main"]["drift_cosine"] > 0.99
+        assert out["weird"]["drift_cosine"] < 0.1
+
+    def test_partitioning_invariance(self, spark):
+        from cryoflow_spark.functions.similarity import centroid_drift
+
+        rows = [(f"l{i % 3}", [float(i % 7), float(i % 5), 1.0])
+                for i in range(60)]
+        df = spark.createDataFrame(
+            rows, "label string, embedding array<double>"
+        )
+        a = sorted((r["label"], r["drift_cosine"]) for r in
+                   centroid_drift(df).collect())
+        b = sorted((r["label"], r["drift_cosine"]) for r in
+                   centroid_drift(df.repartition(13)).collect())
+        assert a == b  # exact fixed-point sums: bit-equal, not approx

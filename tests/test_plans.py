@@ -128,6 +128,9 @@ def test_no_cartesian_products(all_plans):
         # array rides one broadcast row; probes filter map-side and the
         # exact confirm join pins the result (functions/curation.py).
         "x55_bloom_decontaminate",
+        # 1-row global-centroid crossJoin(broadcast) into the |groups|
+        # table — same deliberate scalar-broadcast pattern as x21/x35.
+        "x65_centroid_drift",
     }
     for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name
