@@ -410,6 +410,7 @@ def ivf_cosine_topk(
     query_id_col: str | None = None,
     centroids: "np.ndarray | list[list[float]] | None" = None,
     assign_mode: str = "vectorized",
+    corpus_cell_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
@@ -432,6 +433,12 @@ def ivf_cosine_topk(
     Determinism: hash-sampled training set, fixed seed/init/iteration
     count → identical centroids on every run and executor. Recall is
     tunable via ``nprobe``/``n_centroids``.
+
+    ``corpus_cell_col``: name of a PRECOMPUTED cell column on the corpus
+    (from :func:`with_ivf_cell`, written at ingest like the MinHash
+    signature column) — the corpus side then skips assignment entirely
+    and steady-state search pays only the queries' assignment + the
+    cell equi-join. Caller owns centroid/column consistency.
     """
     qid = query_id_col or id_col
 
@@ -500,11 +507,16 @@ def ivf_cosine_topk(
     else:
         raise ValueError(f"invalid assign_mode '{assign_mode}'")
 
+    corpus_cell = (
+        F.col(corpus_cell_col)
+        if corpus_cell_col
+        else F.element_at(nearest_cells, 1)
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         norm(F.col(vec_col)).alias("__cnorm"),
-        F.element_at(nearest_cells, 1).alias("__cell"),
+        corpus_cell.alias("__cell"),
     )
     q = queries.select(
         F.col(qid).alias("query_id"),
@@ -904,3 +916,58 @@ def centroid_drift(
             ),
         )
     )
+
+
+def with_ivf_cell(
+    df: DataFrame,
+    centroids: "np.ndarray | list[list[float]]",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    assign_mode: str = "vectorized",
+) -> DataFrame:
+    """Annotate rows with their nearest-centroid cell id — the storable
+    IVF index column (the ANN analogue of ``with_minhash_signature``):
+    write it at ingest and pass ``corpus_cell_col=`` to
+    :func:`ivf_cosine_topk`, and every later search skips the corpus
+    assignment scan entirely.
+
+    ``assign_mode="vectorized"`` is the Arrow/numpy path;
+    ``"fold"`` is the JVM fold-dot path, bit-identical to a
+    ``list_reduce`` SQL replica (the oracle-checkable spelling).
+    NULL embeddings get a NULL cell (vectorized mode requires non-null
+    vectors, matching ``ivf_cosine_topk``'s contract).
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    if assign_mode == "vectorized":
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        @pandas_udf("int")
+        def _cell_udf(vecs: pd.Series) -> pd.Series:
+            out = []
+            for v in vecs:
+                if v is None:
+                    out.append(None)
+                    continue
+                x = np.asarray(v, dtype=np.float64)
+                n = np.linalg.norm(x)
+                sims = (cents @ x) / max(n, 1e-12)
+                out.append(int(np.argsort(-sims, kind="stable")[0]))
+            return pd.Series(out, dtype="object")
+
+        cell = _cell_udf(F.col(vec_col))
+    elif assign_mode == "fold":
+        structs = [
+            F.struct(
+                (-dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec])))
+                .alias("s"),
+                F.lit(j).alias("i"),
+            )
+            for j, cvec in enumerate(cents.tolist())
+        ]
+        cell = F.when(
+            F.col(vec_col).isNotNull(),
+            F.sort_array(F.array(*structs))[0]["i"],
+        )
+    else:
+        raise ValueError(f"invalid assign_mode '{assign_mode}'")
+    return df.withColumn(cell_col, cell)

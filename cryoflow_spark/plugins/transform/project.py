@@ -9,6 +9,11 @@ run it before a dedup/ANN stage to cut candidate-scoring cost. Options:
 - ``in_dim`` (required) / ``out_dim`` (default 8) / ``seed`` (default 17)
 - ``mode`` — ``vectorized`` (default, Arrow matmul; the scale path) or
   ``fold`` (JVM fold dots, engine-portable bit-exact)
+- ``method = "ivf_cell"`` — instead of projecting, annotate the
+  storable IVF cell id (fixed seeded quantizer; options
+  ``n_centroids`` default 16, ``in_dim`` required, ``seed`` default
+  42, ``out_column`` default ``ivf_cell``) for
+  ``ivf_cosine_topk(corpus_cell_col=...)`` steady-state search.
 """
 
 from __future__ import annotations
@@ -23,8 +28,29 @@ class ProjectPlugin(AnalyzedTransformPlugin):
         return "project"
 
     def _transform(self, data: FrameData) -> FrameData:
-        from cryoflow_spark.functions.similarity import project_embeddings
+        from cryoflow_spark.functions.similarity import (
+            fixed_random_centroids,
+            project_embeddings,
+            with_ivf_cell,
+        )
 
+        if self.options.get("method") == "ivf_cell":
+            cents = fixed_random_centroids(
+                dim=int(self.require_option("in_dim")),
+                n_centroids=int(self.options.get("n_centroids", 16)),
+                seed=int(self.options.get("seed", 42)),
+            )
+            return with_ivf_cell(
+                data,
+                cents,
+                vec_col=self.options.get("column", "embedding"),
+                cell_col=self.options.get("out_column", "ivf_cell"),
+                assign_mode=(
+                    "fold"
+                    if self.options.get("mode") == "fold"
+                    else "vectorized"
+                ),
+            )
         return project_embeddings(
             data,
             vec_col=self.options.get("column", "embedding"),

@@ -2990,3 +2990,32 @@ def _x65_oracle() -> str:
 def x65_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return S.centroid_drift(e, vec_col="embedding", group_col="label")
+
+
+# --- x66: IVF search against a PRECOMPUTED cell column --------------------
+
+
+@register(
+    "x66_ivf_presig_topk",
+    _x23_oracle(),
+    "Steady-state ANN: the corpus's IVF cell ids are PRECOMPUTED "
+    "(with_ivf_cell — the storable index column, the ANN analogue of "
+    "x53's signature persistence) so each search pays only query "
+    "assignment + the cell equi-join; result identical to x23's "
+    "assign-everything path, pinned by sharing its oracle",
+)
+def x66_ivf_presig_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    indexed = S.with_ivf_cell(
+        e, _X23_CENTROIDS, cell_col="ivf_cell", assign_mode="fold"
+    )
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return S.ivf_cosine_topk(
+        indexed,
+        queries,
+        k=5,
+        nprobe=3,
+        centroids=_X23_CENTROIDS,
+        assign_mode="fold",
+        corpus_cell_col="ivf_cell",
+    )

@@ -2732,3 +2732,54 @@ class TestCentroidDrift:
         b = sorted((r["label"], r["drift_cosine"]) for r in
                    centroid_drift(df.repartition(13)).collect())
         assert a == b  # exact fixed-point sums: bit-equal, not approx
+
+
+class TestIvfCellPersistence:
+    def test_presig_path_matches_assign_everything(self, spark):
+        from cryoflow_spark.functions.similarity import (
+            fixed_random_centroids,
+            ivf_cosine_topk,
+            with_ivf_cell,
+        )
+
+        cents = fixed_random_centroids(dim=8, n_centroids=4, seed=3)
+        rows = [
+            (i, [float((i * 7 + j * 3) % 11) / 11.0 for j in range(8)])
+            for i in range(60)
+        ]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = e.filter(F.col("vec_id") % 10 == 0)
+        base = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in ivf_cosine_topk(
+                e, q, k=3, nprobe=2, centroids=cents, assign_mode="fold"
+            ).collect()
+        )
+        indexed = with_ivf_cell(e, cents, assign_mode="fold")
+        pre = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in ivf_cosine_topk(
+                indexed, q, k=3, nprobe=2, centroids=cents,
+                assign_mode="fold", corpus_cell_col="ivf_cell",
+            ).collect()
+        )
+        assert pre == base
+
+    def test_modes_agree_and_nulls_pass_through(self, spark):
+        from cryoflow_spark.functions.similarity import (
+            fixed_random_centroids,
+            with_ivf_cell,
+        )
+
+        cents = fixed_random_centroids(dim=4, n_centroids=3, seed=1)
+        rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.5, 0.1]),
+                (3, None)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        fold = {r["vec_id"]: r["ivf_cell"] for r in
+                with_ivf_cell(df, cents, assign_mode="fold").collect()}
+        vec = {r["vec_id"]: r["ivf_cell"] for r in
+               with_ivf_cell(
+                   df.filter(F.col("embedding").isNotNull()), cents
+               ).collect()}
+        assert fold[3] is None
+        assert {k: fold[k] for k in (1, 2)} == vec
