@@ -247,3 +247,109 @@ def filter_funnel(
             F.explode(F.array(*stages)).alias("__st")
         ).select("__st.*")
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equal-width histogram of a numeric column: one row per non-empty
+    bin — ``(bin, lo_edge, hi_edge, cnt)`` with
+    ``bin = clamp(floor((v - lo) / width), 0, n_bins-1)`` (values at or
+    beyond the bounds land in the edge bins, so nothing is dropped).
+
+    ``lo``/``hi`` default to the column's exact min/max, fetched with
+    one bounded 1-row aggregation; pass them explicitly for stable
+    cross-dataset comparisons (drift dashboards) and to skip that
+    action. NULLs are excluded. The bin arithmetic is two IEEE ops +
+    one floor — deterministic in every engine, no ``width_bucket``
+    dependence.
+
+    Scale: a map-side bin expression + one aggregation keyed by at most
+    ``n_bins`` values — partial aggs collapse the corpus before any
+    shuffle; output is <= n_bins rows.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    col = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        row = (
+            df.agg(
+                F.min(col).alias("__lo"), F.max(col).alias("__hi")
+            )
+            .limit(1)
+            .collect()
+        )[0]
+        lo = row["__lo"] if lo is None else lo
+        hi = row["__hi"] if hi is None else hi
+    if lo is None or hi is None:  # all-NULL column
+        return df.sparkSession.createDataFrame(
+            [], "bin int, lo_edge double, hi_edge double, cnt bigint"
+        )
+    lo, hi = float(lo), float(hi)
+    if not hi > lo:
+        hi = lo + 1.0  # degenerate single-value column: one bin
+    width = (hi - lo) / n_bins
+    bin_expr = F.least(
+        F.greatest(
+            F.floor((col - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    return (
+        df.filter(col.isNotNull())
+        .groupBy(bin_expr.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lo_edge"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("hi_edge"),
+            "cnt",
+        )
+    )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Pre-join skew diagnostics for a key column: the ``top_n``
+    heaviest keys with ``(key, cnt, share, x_over_avg)`` where
+    ``share = cnt / total_rows`` and ``x_over_avg = cnt * n_keys /
+    total_rows`` (how many times the mean key weight this key carries).
+
+    This is the report to run BEFORE a big join: a key with
+    x_over_avg in the hundreds is the straggler task; route it through
+    ``skew.salted_join`` or AQE skew handling. NULL keys are counted as
+    a key (they hash-join nowhere but still skew aggregations).
+
+    Scale: one groupBy on the key (partial aggs map-side), a 1-row
+    global summary joined back broadcast, TakeOrdered for the top-N —
+    integer counts, one exact divide per ratio.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    summary = counts.agg(
+        F.sum("cnt").cast("bigint").alias("__total"),
+        F.count(F.lit(1)).cast("bigint").alias("__nkeys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(summary))
+        .select(
+            "key",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("__total").cast("double"))
+            .alias("share"),
+            (
+                (F.col("cnt") * F.col("__nkeys")).cast("double")
+                / F.col("__total").cast("double")
+            ).alias("x_over_avg"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(top_n)
+    )

@@ -16,6 +16,11 @@ disturbing the main stream. Options:
 - ``report = "corpus"`` switches to the per-slice dataset-card report
   (doc counts, token/char totals and means, mean quality per
   ``group_by`` bucket — default ``["source", "lang"]``).
+- ``report = "histogram"`` emits the equal-width histogram of
+  ``column`` (``bins`` default 20; explicit ``lo``/``hi`` recommended
+  for cross-dataset comparability).
+- ``report = "key_skew"`` emits the pre-join skew diagnostics for
+  ``column`` (``top_n`` heaviest keys with share / x-over-avg ratios).
 - ``report = "drift"`` emits the per-group embedding drift report
   (cosine of each ``group_column`` slice's centroid vs the global
   centroid over ``column``, default ``embedding``/``label``).
@@ -59,6 +64,28 @@ class ProfilePlugin(AnalyzedTransformPlugin):
                 for g in self.require_option("gates")
             ]
             return filter_funnel(data, gates)
+
+        if self.options.get("report") == "histogram":
+            from cryoflow_spark.functions.profiling import histogram
+
+            lo = self.options.get("lo")
+            hi = self.options.get("hi")
+            return histogram(
+                data,
+                self.require_option("column"),
+                n_bins=int(self.options.get("bins", 20)),
+                lo=float(lo) if lo is not None else None,
+                hi=float(hi) if hi is not None else None,
+            )
+
+        if self.options.get("report") == "key_skew":
+            from cryoflow_spark.functions.profiling import key_skew_report
+
+            return key_skew_report(
+                data,
+                self.require_option("column"),
+                top_n=int(self.options.get("top_n", 20)),
+            )
 
         if self.options.get("report") == "drift":
             from cryoflow_spark.functions.similarity import centroid_drift

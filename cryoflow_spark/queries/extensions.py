@@ -3019,3 +3019,65 @@ def x66_ivf_presig_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_mode="fold",
         corpus_cell_col="ivf_cell",
     )
+
+
+# --- x67: equal-width histogram (oracle-checked) --------------------------
+
+
+@register(
+    "x67_histogram",
+    """
+    WITH b AS (
+      SELECT LEAST(GREATEST(CAST(floor((n_chars::DOUBLE - 0.0) / 50.0)
+               AS INT), 0), 19) AS bin
+      FROM documents WHERE n_chars IS NOT NULL
+    )
+    SELECT bin,
+           0.0 + bin * 50.0 AS lo_edge,
+           0.0 + (bin + 1) * 50.0 AS hi_edge,
+           COUNT(*)::BIGINT AS cnt
+    FROM b GROUP BY bin
+    """,
+    "Equal-width histogram with explicit bounds (drift-dashboard "
+    "shape): clamp(floor((v-lo)/w)) bin expression map-side, one "
+    "aggregation keyed by <= n_bins values — no width_bucket "
+    "dependence, two IEEE ops + floor per row",
+)
+def x67_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import histogram
+
+    d = load(spark, sf_dir, "documents")
+    return histogram(d, "n_chars", n_bins=20, lo=0.0, hi=1000.0)
+
+
+# --- x68: join-key skew report (oracle-checked) ---------------------------
+
+
+@register(
+    "x68_key_skew",
+    """
+    WITH counts AS (
+      SELECT l_orderkey AS key, COUNT(*)::BIGINT AS cnt
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    s AS (
+      SELECT SUM(cnt)::BIGINT AS total, COUNT(*)::BIGINT AS nkeys
+      FROM counts
+    )
+    SELECT key, cnt,
+           cnt::DOUBLE / total::DOUBLE AS share,
+           (cnt * nkeys)::DOUBLE / total::DOUBLE AS x_over_avg
+    FROM counts, s
+    ORDER BY cnt DESC, key
+    LIMIT 15
+    """,
+    "Pre-join skew diagnostics: top-15 heaviest join keys with share "
+    "and x-over-average-weight ratios — the report that finds the "
+    "straggler key before a 100 TB join does; one keyed aggregation + "
+    "a broadcast 1-row summary",
+)
+def x68_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import key_skew_report
+
+    li = load(spark, sf_dir, "lineitem")
+    return key_skew_report(li, "l_orderkey", top_n=15)

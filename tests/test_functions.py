@@ -2783,3 +2783,65 @@ class TestIvfCellPersistence:
                ).collect()}
         assert fold[3] is None
         assert {k: fold[k] for k in (1, 2)} == vec
+
+
+class TestHistogram:
+    def test_explicit_bounds_with_clamping(self, spark):
+        from cryoflow_spark.functions.profiling import histogram
+
+        df = spark.createDataFrame(
+            [(float(v) if v is not None else None,)
+             for v in [-5, 0, 1, 9, 10, 15, 99, 150, None]],
+            "v double",
+        )
+        got = {r["bin"]: r for r in
+               histogram(df, "v", n_bins=10, lo=0.0, hi=100.0).collect()}
+        # -5 clamps into bin 0; 150 clamps into bin 9; NULL dropped
+        assert got[0]["cnt"] == 4  # -5, 0, 1, 9
+        assert got[9]["cnt"] == 2  # 99, 150
+        assert got[1]["cnt"] == 2  # 10, 15
+        assert sum(r["cnt"] for r in got.values()) == 8
+
+    def test_auto_bounds_and_degenerate_column(self, spark):
+        from cryoflow_spark.functions.profiling import histogram
+
+        df = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+        rows = histogram(df, "v", n_bins=4).collect()
+        assert len(rows) == 1 and rows[0]["cnt"] == 2
+        empty = spark.createDataFrame([(None,)], "v double")
+        assert histogram(empty, "v", n_bins=4).collect() == []
+
+    def test_edges_partition_the_range(self, spark):
+        from cryoflow_spark.functions.profiling import histogram
+
+        df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+        rows = sorted(histogram(df, "v", n_bins=5, lo=0.0, hi=100.0).collect())
+        for r in rows:
+            assert abs(r["hi_edge"] - r["lo_edge"] - 20.0) < 1e-9
+            assert r["cnt"] == 20
+
+
+class TestKeySkew:
+    def test_ratios_and_ranking(self, spark):
+        from cryoflow_spark.functions.profiling import key_skew_report
+
+        rows = [("hot",)] * 80 + [("warm",)] * 15 + [("cold",)] * 5
+        df = spark.createDataFrame(rows, "k string")
+        got = [
+            (r["key"], r["cnt"], r["share"], r["x_over_avg"])
+            for r in key_skew_report(df, "k", top_n=2).collect()
+        ]
+        assert got[0][0] == "hot" and got[0][1] == 80
+        assert abs(got[0][2] - 0.8) < 1e-12
+        assert abs(got[0][3] - 2.4) < 1e-12  # 80 * 3 keys / 100 rows
+        assert got[1][0] == "warm"
+
+    def test_null_keys_counted(self, spark):
+        from cryoflow_spark.functions.profiling import key_skew_report
+
+        df = spark.createDataFrame(
+            [(None,), (None,), ("a",)], "k string"
+        )
+        got = {r["key"]: r["cnt"] for r in
+               key_skew_report(df, "k", top_n=5).collect()}
+        assert got[None] == 2 and got["a"] == 1

@@ -131,6 +131,9 @@ def test_no_cartesian_products(all_plans):
         # 1-row global-centroid crossJoin(broadcast) into the |groups|
         # table — same deliberate scalar-broadcast pattern as x21/x35.
         "x65_centroid_drift",
+        # 1-row (total, n_keys) summary crossJoin(broadcast) into the
+        # per-key counts table — same scalar pattern.
+        "x68_key_skew",
     }
     for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name
