@@ -80,6 +80,7 @@ BUILTIN_MODULES: dict[str, str] = {
     "profile": "cryoflow_spark.plugins.transform.profile",
     "vocab": "cryoflow_spark.plugins.transform.vocab",
     "project": "cryoflow_spark.plugins.transform.project",
+    "pack": "cryoflow_spark.plugins.transform.pack",
     "watermark": "cryoflow_spark.streaming.watermark",
     "session_window": "cryoflow_spark.streaming.sessionize",
     "stateful_sessionize": "cryoflow_spark.streaming.stateful_sessionize",

@@ -173,6 +173,7 @@ class TestExamples:
             "examples/cross_dump_ingest.toml",
             "examples/dump_release_gate.toml",
             "examples/web_crawl_curation.toml",
+            "examples/training_release.toml",
         ],
     )
     def test_check(self, runner, example):
