@@ -339,3 +339,125 @@ def temperature_mix(
         )
         .drop("__rate")
     )
+
+
+def sample_exact_n(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+) -> DataFrame:
+    """EXACTLY ``n`` rows (or all rows if fewer), chosen by md5 hash
+    order of ``key_col`` with the key as tiebreaker — deterministic
+    across runs, partitionings, and engines, unlike fraction-based
+    sampling (row count varies) or ``rand()`` (not reproducible).
+    The draw is uniform because md5 order is unrelated to any data
+    order, and NESTED: the exact-1k sample is a prefix of the exact-10k
+    sample under the same key.
+
+    Scale: plans as TakeOrdered (per-partition top-n + merge of n-row
+    heads) — no global sort materializes, no shuffle of the full data.
+    Keys must be unique for exact reproducibility (duplicate keys tie
+    on both sort fields; which copy wins is then undefined).
+    """
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    return df.orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    ).limit(n)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    budget_tokens: int,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Materialize a ~``budget_tokens`` corpus whose per-source TOKEN
+    shares follow ``t_s^alpha`` — epoch planning for training runs
+    ("give me 1T tokens, temperature-balanced"), the token-weighted
+    sibling of :func:`temperature_mix` (which balances document
+    counts).
+
+    Per-source keep rate: ``min(1, (w_s * B / W) / t_s)`` with
+    ``w_s = t_s^alpha`` and ``W = sum(w)``. W cannot cancel here (B is
+    external), so it is computed as a LEFT FOLD over the per-source
+    weights in source-name order — collect_list → struct sort →
+    ``aggregate`` — making the float sum order-canonical and therefore
+    engine-portable (a plain SUM would depend on row order). Sources
+    whose rate clamps at 1 contribute all their tokens; the output then
+    lands under budget — rerun with a higher ``alpha`` or redistribute
+    manually if exact fill matters (documented one-shot allocation; no
+    iterative water-filling).
+
+    The keep decision is the md5-bucket filter on ``key_col``: an
+    expected-token allocation (docs are atomic; the realized total
+    fluctuates by O(sqrt) sampling noise plus doc-length granularity).
+
+    Scale: one token-count aggregation per source (map-side partials),
+    a 1-row broadcast fold, and the map-only bucket filter.
+    """
+    from cryoflow_spark.functions.text import token_count
+
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    counts = df.groupBy(source_col).agg(
+        F.sum(token_count(text_col)).cast("bigint").alias("__t")
+    )
+    td = F.col("__t").cast("double")
+    if alpha == 0.5:
+        w = F.sqrt(td)
+    elif alpha == 1.0:
+        w = td
+    else:
+        w = F.pow(td, F.lit(float(alpha)))
+    weighted = counts.withColumn("__w", w)
+    # Renamed projection for the fold side: sharing lineage with
+    # `weighted` would otherwise make `__w` ambiguous in the crossJoin.
+    wsum = weighted.select(
+        F.col(source_col).alias("__s"), F.col("__w").alias("__wx")
+    ).agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__s").alias("s"),
+                            F.col("__wx").alias("w"),
+                        )
+                    )
+                ),
+                lambda st: st["w"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__W")
+    )
+    rates = (
+        weighted.alias("wt")
+        .crossJoin(F.broadcast(wsum.alias("ws")))
+        .select(
+            F.col(f"wt.{source_col}").alias(source_col),
+            F.least(
+                F.lit(1.0),
+                (
+                    F.col("wt.__w")
+                    * F.lit(float(budget_tokens))
+                    / F.col("ws.__W")
+                )
+                / F.col("wt.__t").cast("double"),
+            ).alias("__rate"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(
+            hash_bucket(key_col, buckets)
+            < F.floor(F.col("__rate") * buckets).cast("bigint")
+        )
+        .drop("__rate")
+    )

@@ -22,6 +22,11 @@ of a 10% sample). Modes (option ``method``):
   ``n^alpha`` (normalized) — multilingual temperature sampling; options
   ``source_column``, ``alpha`` (default 0.5; < 1 upweights small
   sources, 0 equalizes).
+- ``token_budget``: keep ~``budget_tokens`` TOKENS with per-source
+  token shares ∝ t^alpha (epoch planning); options ``source_column``,
+  ``budget_tokens``, ``column`` (text, default ``text``), ``alpha``.
+- ``exact_n``: exactly ``n`` rows by md5 key order (nested,
+  TakeOrdered plan — never a global sort).
 - ``leakage_safe``: cluster-aware train/test split — near-duplicate
   clusters never straddle the boundary. The sibling stream named by
   ``pairs_label`` carries the near-dup edge list (columns = two doc-id
@@ -133,6 +138,22 @@ class SamplePlugin(SiblingAwareTransformPlugin):
                 key,
                 alpha=float(self.options.get("alpha", 0.5)),
                 buckets=buckets,
+            )
+
+        if method == "token_budget":
+            return S.token_budget_mix(
+                data,
+                self.require_option("source_column"),
+                key,
+                budget_tokens=int(self.require_option("budget_tokens")),
+                text_col=self.options.get("column", "text"),
+                alpha=float(self.options.get("alpha", 0.5)),
+                buckets=buckets,
+            )
+
+        if method == "exact_n":
+            return S.sample_exact_n(
+                data, key, int(self.require_option("n"))
             )
 
         raise ValueError(f"invalid sample method '{method}'")

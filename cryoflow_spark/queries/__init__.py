@@ -137,7 +137,7 @@ _PRIORITY: list[str] = [
     "x59_segment_repetition", "x60_crawl_refresh", "x61_heavy_hitters",
     "x62_quantile_buckets", "x63_filter_funnel", "x64_pack_sequences",
     "x65_centroid_drift", "x66_ivf_presig_topk", "x67_histogram",
-    "x68_key_skew",
+    "x68_key_skew", "x69_token_budget_mix", "x70_exact_n_sample",
     # rows-only bench instruments (portable oracle twins are in-window)
     "x15_engine_minhash_dedup", "x33_engine_incremental_dedup",
 ]

@@ -3081,3 +3081,70 @@ def x68_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return key_skew_report(li, "l_orderkey", top_n=15)
+
+
+# --- x70: exact-N deterministic sample ------------------------------------
+
+
+@register(
+    "x70_exact_n_sample",
+    """
+    SELECT doc_id, source FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 40
+    """,
+    "Exactly-N uniform sample by md5 key order (nested, engine-"
+    "portable, partitioning-independent) — plans as TakeOrdered: "
+    "per-partition top-N heads merge, the full data never sorts or "
+    "shuffles",
+)
+def x70_exact_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.sampling import sample_exact_n
+
+    d = load(spark, sf_dir, "documents")
+    return sample_exact_n(d, "doc_id", 40).select("doc_id", "source")
+
+
+# --- x69: token-budget allocation (oracle-checked) ------------------------
+
+
+@register(
+    "x69_token_budget_mix",
+    f"""
+    WITH counts AS (
+      SELECT source,
+             SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t != '')))::BIGINT AS t
+      FROM documents GROUP BY source
+    ),
+    w AS (SELECT source, t, sqrt(t::DOUBLE) AS w FROM counts),
+    ws AS (
+      SELECT list_reduce(
+               list_prepend(0.0::DOUBLE, list(w ORDER BY source)),
+               (acc, x) -> acc + x) AS wsum
+      FROM w
+    ),
+    rates AS (
+      SELECT source,
+             LEAST(1.0, ((w * 8000.0) / wsum) / t::DOUBLE) AS rate
+      FROM w, ws
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN rates r USING (source)
+    WHERE {{bucket}} < CAST(FLOOR(r.rate * 1000000) AS BIGINT)
+    """.format(bucket=_sql_hash_bucket("d.doc_id")),
+    "Token-budget allocation (epoch planning): keep ~8k tokens with "
+    "per-source token shares ∝ t^0.5 — the sum normalizer is a LEFT "
+    "FOLD in source-name order so the float sum is order-canonical and "
+    "engine-portable; one token-count agg + 1-row broadcast fold + "
+    "map-only md5-bucket filter",
+)
+def x69_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.sampling import token_budget_mix
+
+    d = load(spark, sf_dir, "documents")
+    out = token_budget_mix(
+        d, source_col="source", key_col="doc_id",
+        budget_tokens=8_000, alpha=0.5,
+    )
+    return out.select("doc_id", "source")

@@ -134,6 +134,9 @@ def test_no_cartesian_products(all_plans):
         # 1-row (total, n_keys) summary crossJoin(broadcast) into the
         # per-key counts table — same scalar pattern.
         "x68_key_skew",
+        # 1-row order-canonical weight-sum fold crossJoin(broadcast)
+        # into the per-source counts table — same scalar pattern.
+        "x69_token_budget_mix",
     }
     for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name

@@ -212,3 +212,70 @@ def test_temperature_negative_alpha_rejected(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     with pytest.raises(ValueError, match="alpha"):
         temperature_mix(df, "source", "doc_id", alpha=-1.0)
+
+
+def test_exact_n_sample_is_exact_nested_and_takeordered(spark):
+    from cryoflow_spark.functions.sampling import sample_exact_n
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    small = [r["doc_id"] for r in sample_exact_n(df, "doc_id", 10).collect()]
+    big = [r["doc_id"] for r in sample_exact_n(df, "doc_id", 50).collect()]
+    assert len(small) == 10 and len(big) == 50
+    assert small == big[:10]  # nested: prefix property
+    repart = [r["doc_id"] for r in
+              sample_exact_n(df.repartition(13), "doc_id", 10).collect()]
+    assert repart == small  # partitioning-independent
+    plan = (
+        sample_exact_n(df, "doc_id", 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # never a full global sort
+    # n larger than the frame: all rows, no error
+    assert sample_exact_n(df, "doc_id", 10_000).count() == 500
+
+
+def test_token_budget_mix_hits_budget_and_shares(spark):
+    from cryoflow_spark.functions.sampling import token_budget_mix
+    from cryoflow_spark.functions.text import token_count
+
+    # big: 4000 tokens over 400 docs; small: 400 tokens over 40 docs
+    rows = [(i, "big" if i < 400 else "small", "tok " * 10)
+            for i in range(440)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = token_budget_mix(
+        df, "source", "doc_id", budget_tokens=2000, alpha=0.5
+    )
+    kept = out.groupBy("source").agg(
+        F.sum(token_count("text")).alias("toks")
+    )
+    got = {r["source"]: r["toks"] for r in kept.collect()}
+    total = sum(got.values())
+    # within sampling noise of the 2000-token budget
+    assert 1600 <= total <= 2400, got
+    # sqrt shares: w_big/w_small = sqrt(10) ≈ 3.16 -> kept ratio ~3.16
+    assert 2.2 <= got["big"] / got["small"] <= 4.2, got
+
+
+def test_token_budget_saturation_underfills(spark):
+    from cryoflow_spark.functions.sampling import token_budget_mix
+
+    rows = [(i, "tiny" if i < 5 else "huge", "a b c d e")
+            for i in range(205)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # tiny's fair share exceeds its 25 tokens -> clamps to keep-all
+    out = token_budget_mix(df, "source", "doc_id", budget_tokens=500)
+    tiny_kept = out.filter(F.col("source") == "tiny").count()
+    assert tiny_kept == 5  # rate clamped at 1: all docs survive
+
+
+def test_token_budget_validates_inputs(spark):
+    import pytest
+
+    from cryoflow_spark.functions.sampling import token_budget_mix
+
+    df = spark.createDataFrame([(1, "a", "x")],
+                               "doc_id long, source string, text string")
+    with pytest.raises(ValueError, match="budget_tokens"):
+        token_budget_mix(df, "source", "doc_id", budget_tokens=0)
+    with pytest.raises(ValueError, match="alpha"):
+        token_budget_mix(df, "source", "doc_id", 10, alpha=-0.5)
