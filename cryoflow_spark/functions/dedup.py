@@ -845,8 +845,11 @@ def _containment_counts(
     )
     # Identical subtrees + shuffle_hash → the gram pipeline runs once and
     # the second Exchange is reused (same plan shape as Jaccard "count").
-    # min_grams and the size bound (containment >= t forces |B| >= t*|A|)
-    # live in the JOIN predicate so both sides stay identical.
+    # ONLY two-sided predicates may sit in the join condition: a
+    # single-side predicate (like a.__n >= min_grams) would be pushed
+    # into one subtree by Catalyst, desymmetrizing the sides and killing
+    # the ReusedExchange — so min_grams filters AFTER the aggregation,
+    # on the group key (pinned by tests/test_plans.py).
     a = index.alias("a")
     b = index.hint("shuffle_hash").alias("b")
     shared_counts = (
@@ -855,7 +858,6 @@ def _containment_counts(
             (F.col("a.__gram") == F.col("b.__gram"))
             & (F.col("a.__block") == F.col("b.__block"))
             & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
-            & (F.col("a.__n") >= F.lit(min_grams))
             & (F.lit(threshold) * F.col("a.__n") <= F.col("b.__n")),
         )
         .groupBy(
@@ -866,9 +868,25 @@ def _containment_counts(
         )
         .agg(F.count(F.lit(1)).alias("__shared"))
     )
-    return shared_counts.withColumn(
-        "containment", F.col("__shared") / F.col("__na")
-    ).filter(F.col("containment") >= threshold)
+    # min_grams must stay FUSED with the (unpushable) containment
+    # predicate: standing alone, `__na >= min_grams` is a single-side
+    # constraint that Catalyst pushes through the aggregation into the
+    # a-subtree — desymmetrizing the join sides and killing the
+    # ReusedExchange (each side would re-run the whole gram pipeline).
+    # least(c - t, __na - m) >= 0 ⟺ c >= t AND __na >= m, but is opaque
+    # to predicate decomposition. Pinned by tests/test_plans.py.
+    return (
+        shared_counts.withColumn(
+            "containment", F.col("__shared") / F.col("__na")
+        )
+        .filter(
+            F.least(
+                F.col("containment") - F.lit(float(threshold)),
+                (F.col("__na") - F.lit(min_grams)).cast("double"),
+            )
+            >= F.lit(0.0)
+        )
+    )
 
 
 def containment_pairs(

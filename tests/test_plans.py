@@ -237,3 +237,35 @@ def test_portable_minhash_band_join_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_containment_reuses_gram_exchange(spark, registry):
+    """x57: like x03, both sides of the inverted-index self-join must
+    come from ONE gram-pipeline evaluation (ReusedExchange), never two."""
+    df = registry["x57_containment_pairs"].fn(spark, SF)
+    df.collect()
+    plan = plan_of(df, "simple")
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+
+
+def test_bloom_probe_filters_map_side(spark, registry):
+    """x55: the Bloom probe must appear as a Filter over the corpus gram
+    stream (map-side kill) and the only nested-loop join is the 1-row
+    bit-table broadcast."""
+    plan = plan_of(registry["x55_bloom_decontaminate"].fn(spark, SF), "simple")
+    assert "shiftrightunsigned" in plan  # probe expression in the plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # only the 1-row table
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_confirm_is_broadcast(spark):
+    """x61 phase 2: candidate tokens broadcast into the token stream —
+    the corpus is never shuffled on the token key."""
+    from cryoflow_spark.functions.text import heavy_hitters
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = heavy_hitters(d, top_n=5, k=40)
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
