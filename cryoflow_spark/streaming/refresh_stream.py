@@ -1,0 +1,95 @@
+"""Streaming crawl-refresh ingest: emit only NEW or CHANGED pages.
+
+Engine extension (the reference has no stream processing — SURVEY.md §2B
+"explicitly absent"). A landing-zone fetch stream is compared against
+the static "current latest" snapshot of the lake with the SAME keying a
+batch refresh uses (:func:`cryoflow_spark.functions.urls.crawl_refresh`):
+each micro-batch canonicalizes its URLs, row-hashes its content columns,
+left-joins the snapshot's (canonical_url, content hash) index, and keeps
+only rows that are unseen or whose hash differs — so downstream
+re-extraction/re-embedding work tracks the CHANGE RATE of the crawl, not
+its volume. Runs inside ``foreachBatch`` (the sanctioned bridge for
+batch-only machinery per micro-batch) with the same idempotent
+``batch_id=N`` overwrite sink as ``neardup_stream``.
+
+Scale notes:
+
+- The snapshot side is static per run: at high trigger rates persist its
+  (canonical_url, hash) index as its own compact table — two narrow
+  columns, the crawl-refresh analogue of the pre-computed MinHash
+  signature column.
+- Within-batch duplicate URLs are NOT collapsed (same contract as the
+  batch operator's "feed new dump ∪ latest" mode); run the batch
+  ``crawl_refresh`` over the landed output for the periodic compaction.
+- No operator state: memory is bounded by micro-batch size.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def refresh_filter_stream(
+    stream_df: DataFrame,
+    latest_df: DataFrame,
+    output_path: str,
+    content_cols: Sequence[str],
+    checkpoint_path: Optional[str] = None,
+    trigger: str = "available_now",
+    output_format: str = "parquet",
+    url_col: str = "url",
+) -> StreamingQuery:
+    """Start a stream appending only new/changed fetches to
+    ``output_path``.
+
+    ``latest_df`` is the current lake snapshot (one row per page, with
+    the same ``url_col`` and content columns); a stream row is kept iff
+    its canonical URL is unseen there, or seen with different content
+    (injective row hash over ``content_cols``). Kept rows carry
+    ``canonical_url`` and ``is_new`` (true = first sight).
+    """
+    from cryoflow_spark.functions.diff import row_hash
+    from cryoflow_spark.functions.urls import canonicalize_url
+
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    checkpoint = checkpoint_path or f"{output_path}/_checkpoint"
+    cols = list(content_cols)
+    index = latest_df.select(
+        canonicalize_url(url_col).alias("canonical_url"),
+        row_hash(cols).alias("__seen_hash"),
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        hashed = batch_df.withColumn(
+            "canonical_url", canonicalize_url(url_col)
+        ).withColumn("__h", row_hash(cols))
+        kept = (
+            hashed.join(index, "canonical_url", "left")
+            .filter(
+                F.col("__seen_hash").isNull()
+                | (F.col("__h") != F.col("__seen_hash"))
+            )
+            .withColumn("is_new", F.col("__seen_hash").isNull())
+            .drop("__h", "__seen_hash")
+        )
+        kept.write.format(output_format).mode("overwrite").save(
+            f"{output_path}/batch_id={batch_id}"
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger == "available_now":
+        writer = writer.trigger(availableNow=True)
+    elif trigger.startswith("processing_time="):
+        writer = writer.trigger(processingTime=trigger.split("=", 1)[1])
+    else:
+        raise ValueError(f"invalid trigger '{trigger}'")
+    return writer.start()

@@ -357,3 +357,53 @@ def test_streaming_rule_gates_are_stream_safe(spark, tmp_path):
         f"SELECT doc_id, dominant_script FROM '{out}/*.parquet'"
     ).fetchall()
     assert rows == [(1, "latin")]
+
+
+def test_refresh_filter_stream_emits_only_new_or_changed(spark, tmp_path):
+    """foreachBatch crawl refresh: unchanged refetches die in the stream;
+    new pages and changed content land with the right is_new flag."""
+    import duckdb as _duck
+
+    from cryoflow_spark.streaming.refresh_stream import refresh_filter_stream
+
+    latest = spark.createDataFrame(
+        [("https://e.com/a", "alpha content"),
+         ("https://e.com/b", "beta content")],
+        "url string, text string",
+    )
+    src = tmp_path / "fetches"
+    src.mkdir()
+    spark.createDataFrame(
+        [
+            # unchanged refetch (cosmetic URL variant) -> dropped
+            (1, "https://E.com:443/a?utm_source=x", "alpha content"),
+            # changed content -> kept, is_new = false
+            (2, "https://e.com/b", "beta content v2"),
+            # brand-new page -> kept, is_new = true
+            (3, "https://e.com/c", "gamma content"),
+        ],
+        "fetch_id long, url string, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema("fetch_id long, url string, text string")
+        .parquet(str(src))
+    )
+    out = tmp_path / "landed"
+    q = refresh_filter_stream(
+        stream, latest, str(out), content_cols=["text"]
+    )
+    q.awaitTermination(120)
+    rows = _duck.sql(
+        f"SELECT fetch_id, is_new FROM '{out}/batch_id=*/*.parquet'"
+        " ORDER BY fetch_id"
+    ).fetchall()
+    assert rows == [(2, False), (3, True)]
+
+
+def test_refresh_filter_stream_rejects_batch_frame(spark):
+    from cryoflow_spark.streaming.refresh_stream import refresh_filter_stream
+
+    df = spark.createDataFrame([(1, "u", "t")],
+                               "fetch_id long, url string, text string")
+    with pytest.raises(ValueError, match="must be a streaming"):
+        refresh_filter_stream(df, df, "/tmp/nowhere", content_cols=["text"])
