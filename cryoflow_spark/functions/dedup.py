@@ -1162,14 +1162,22 @@ def cluster_dedup(
     id_col: str = "doc_id",
     max_iter: int = 20,
     algorithm: str = "two_phase",
+    keep_order_by: list[str] | None = None,
 ) -> DataFrame:
-    """Keep ONE row (smallest id) per transitive near-dup cluster.
+    """Keep ONE row per transitive near-dup cluster.
 
     Fixes the per-pair survivor rule's blind spot: for a chain A~B~C the
     pairwise rule keeps A and (if (A,C) wasn't a pair) also C; clustering
     keeps only A. ``algorithm``: ``"two_phase"`` (default — log-rounds
     large-star/small-star) or ``"label_prop"`` (O(diameter) min-label
     propagation); both yield identical labels.
+
+    Survivor policy: smallest id by default; ``keep_order_by`` (e.g.
+    ``["quality_score DESC", "doc_id"]``) keeps the member that sorts
+    FIRST instead — the curation-grade rule ("keep the best copy, not
+    the oldest id"); ``id_col`` is always the final tiebreak so the
+    choice is total. Costs one extra partitioned window over clusters
+    vs the anti-join of the default path.
     """
     if algorithm == "two_phase":
         comp = connected_components_two_phase(pairs, max_iter=max_iter)
@@ -1177,7 +1185,25 @@ def cluster_dedup(
         comp = connected_components(pairs, max_iter=max_iter)
     else:
         raise ValueError(f"invalid algorithm '{algorithm}'")
-    losers = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
+    if keep_order_by is None:
+        losers = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+        return df.join(losers, on=id_col, how="left_anti")
+    from cryoflow_spark.core.schema_utils import order_exprs
+
+    labeled = df.join(
+        comp.select(F.col("node").alias(id_col), "component"),
+        on=id_col,
+        how="left",
+    ).withColumn(
+        "__comp", F.coalesce(F.col("component"), F.col(id_col))
     )
-    return df.join(losers, on=id_col, how="left_anti")
+    w = Window.partitionBy("__comp").orderBy(
+        *order_exprs(keep_order_by), F.col(id_col)
+    )
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__comp", "component")
+    )

@@ -12,6 +12,10 @@ Engine extension for large-scale training-data pipelines (BASELINE.json
   ``hamming_threshold``.
 - ``ngram_jaccard``: pairwise n-gram Jaccard within blocks; options
   ``column``, ``ngram``, ``threshold``, ``block_by``.
+- ``cluster``: transitive near-dup CLUSTER dedup (Jaccard pairs →
+  connected components); options as ``ngram_jaccard`` plus
+  ``keep_order_by`` (e.g. ``["quality_score DESC"]``) to keep each
+  cluster's best member instead of its smallest id.
 - ``crawl_refresh``: newest fetch per canonical URL with a
   ``content_changed`` annotation (cross-dump refresh); options
   ``url_column``, ``ts_column``, ``content_columns``.
@@ -165,6 +169,23 @@ class DedupPlugin(SiblingAwareTransformPlugin):
                 threshold=float(self.options.get("threshold", 0.8)),
                 block_by=self.options.get("block_by"),
                 method=self.options.get("method_strategy", "count"),
+            )
+        if method == "cluster":
+            keep = self.options.get("keep_order_by")
+            pairs = D.ngram_jaccard_pairs(
+                data,
+                text_col=column,
+                id_col=id_column,
+                ngram=int(self.options.get("ngram", 3)),
+                threshold=float(self.options.get("threshold", 0.8)),
+                block_by=self.options.get("block_by"),
+                method=self.options.get("method_strategy", "count"),
+            )
+            return D.cluster_dedup(
+                data,
+                pairs,
+                id_col=id_column,
+                keep_order_by=list(keep) if keep else None,
             )
         if method == "semantic":
             from cryoflow_spark.functions import similarity as S

@@ -3148,3 +3148,38 @@ def x69_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_tokens=8_000, alpha=0.5,
     )
     return out.select("doc_id", "source")
+
+
+# --- x71: cluster dedup keeping the BEST member (oracle-checked) ----------
+
+
+@register(
+    "x71_cluster_best_keep",
+    f"""
+    WITH labeled AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             COALESCE(c.component, d.doc_id) AS comp
+      FROM documents d LEFT JOIN ({_CLUSTERS_SQL}) c ON d.doc_id = c.node
+    )
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY comp
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM labeled
+    ) WHERE rn = 1
+    """,
+    "Cluster dedup with a QUALITY survivor policy: transitive near-dup "
+    "clusters (two-phase CC) keep their LONGEST member (n_chars DESC, "
+    "id tiebreak) instead of the smallest id — the curation-grade "
+    "keep-the-best-copy rule; one partitioned window over clusters",
+)
+def x71_cluster_best_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", ngram=3, threshold=0.05,
+        block_by="lang",
+    )
+    out = D.cluster_dedup(
+        d, pairs, keep_order_by=["n_chars DESC"]
+    )
+    return out.select("doc_id", "lang")

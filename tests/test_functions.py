@@ -2845,3 +2845,36 @@ class TestKeySkew:
         got = {r["key"]: r["cnt"] for r in
                key_skew_report(df, "k", top_n=5).collect()}
         assert got[None] == 2 and got["a"] == 1
+
+
+class TestClusterBestKeep:
+    def test_quality_survivor_beats_min_id(self, spark):
+        from cryoflow_spark.functions import dedup as D
+
+        docs = spark.createDataFrame(
+            [(1, 10.0), (2, 99.0), (3, 50.0), (9, 7.0)],
+            "doc_id long, quality double",
+        )
+        # chain 1~2~3: one cluster; 9 is a singleton
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long"
+        )
+        default = sorted(r["doc_id"] for r in
+                         D.cluster_dedup(docs, pairs).collect())
+        assert default == [1, 9]  # min-id rule
+        best = sorted(r["doc_id"] for r in D.cluster_dedup(
+            docs, pairs, keep_order_by=["quality DESC"]
+        ).collect())
+        assert best == [2, 9]  # highest quality survives
+
+    def test_tie_breaks_on_id_and_helpers_dropped(self, spark):
+        from cryoflow_spark.functions import dedup as D
+
+        docs = spark.createDataFrame(
+            [(5, 1.0), (3, 1.0)], "doc_id long, quality double"
+        )
+        pairs = spark.createDataFrame([(3, 5)], "id_a long, id_b long")
+        out = D.cluster_dedup(docs, pairs, keep_order_by=["quality DESC"])
+        rows = out.collect()
+        assert [r["doc_id"] for r in rows] == [3]
+        assert set(out.columns) == {"doc_id", "quality"}
