@@ -681,3 +681,65 @@ def segment_repetition_stats(
             / F.sum(F.col("__cnt") * seg_len).cast("double")
         ).alias("dup_segment_char_frac"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    p_low: float = 0.01,
+    p_high: float = 0.99,
+    out_col: str | None = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Clip a numeric column to its per-group [p_low, p_high] quantile
+    band (winsorization) — the robust-statistics tail treatment for
+    quality/length/score columns before averaging, weighting, or
+    curriculum binning (a handful of absurd outliers otherwise owns the
+    mean and any weighted sample).
+
+    ``exact=True`` uses interpolated ``percentile`` (bit-identical to
+    ``quantile_cont`` — the oracle path; per-group value buffers, fine
+    for bounded group domains); ``exact=False`` uses the t-digest
+    ``percentile_approx`` (the 100 TB path for high-cardinality
+    groups). NULL values pass through unclipped (NULL in → NULL out).
+    Output goes to ``out_col`` (default: replaces ``value_col``).
+
+    Scale: one groupBy over the group domain, both thresholds computed
+    in ONE aggregation (shared buffer), broadcast back, then a map-side
+    ``greatest(least(...))`` — no fact-table shuffle.
+    """
+    if not 0.0 <= p_low <= p_high <= 1.0:
+        raise ValueError("need 0 <= p_low <= p_high <= 1")
+    g = group_col or "__g"
+    base = df if group_col else df.withColumn("__g", F.lit(0))
+    fn = "percentile" if exact else "percentile_approx"
+    acc = "" if exact else f", {int(accuracy)}"
+    thresholds = base.groupBy(g).agg(
+        F.expr(
+            f"{fn}({value_col}, array({float(p_low)!r}D,"
+            f" {float(p_high)!r}D){acc})"
+        ).alias("__band")
+    ).select(
+        F.col(g),
+        F.element_at("__band", 1).alias("__lo"),
+        F.element_at("__band", 2).alias("__hi"),
+    )
+    target = out_col or value_col
+    clipped = (
+        base.join(F.broadcast(thresholds), g)
+        .withColumn(
+            target,
+            F.when(
+                F.col(value_col).isNull(), F.lit(None).cast("double")
+            ).otherwise(
+                F.greatest(
+                    F.least(F.col(value_col).cast("double"), F.col("__hi")),
+                    F.col("__lo"),
+                )
+            ),
+        )
+        .drop("__lo", "__hi")
+    )
+    return clipped.drop("__g") if not group_col else clipped

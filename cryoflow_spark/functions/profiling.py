@@ -353,3 +353,69 @@ def key_skew_report(
         .orderBy(F.col("cnt").desc(), F.col("key"))
         .limit(top_n)
     )
+
+
+def expectation_report(
+    df: DataFrame,
+    checks: "list[tuple[str, Column]]",
+    id_col: Optional[str] = None,
+) -> DataFrame:
+    """One-pass data-contract report: for a list of named expectations
+    (predicates that should HOLD on every row), count violations of each
+    independently — the Great-Expectations-style validation artifact for
+    a pipeline stage, without one job per rule.
+
+    Unlike :func:`filter_funnel` (a sequential cascade), checks here are
+    INDEPENDENT: each row is tested against every rule. A NULL verdict
+    counts as a violation (an expectation that cannot be evaluated did
+    not hold). With ``id_col``, each failing rule also reports
+    ``first_violation`` (the minimum violating id — the row to go look
+    at).
+
+    Output: one row per check —
+    ``(check, n_rows, n_violations, violation_frac, first_violation)``.
+
+    Scale: a narrow map (C booleans) + one global aggregation emitting C
+    partial sums (plus C conditional mins) — cost is the scan,
+    independent of rule count.
+    """
+    if not checks:
+        raise ValueError("checks must be a non-empty list")
+    names = [n for n, _ in checks]
+    if len(set(names)) != len(names):
+        raise ValueError("check names must be unique")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for i, (_, cond) in enumerate(checks):
+        holds = F.coalesce(cond, F.lit(False))
+        aggs.append(
+            F.sum(F.when(~holds, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__v{i}")
+        )
+        if id_col:
+            aggs.append(
+                F.min(F.when(~holds, F.col(id_col))).alias(f"__id{i}")
+            )
+    totals = df.agg(*aggs)
+    rows = []
+    for i, name in enumerate(names):
+        viol = F.col(f"__v{i}")
+        rows.append(
+            F.struct(
+                F.lit(name).alias("check"),
+                F.col("__n").alias("n_rows"),
+                viol.alias("n_violations"),
+                F.when(
+                    F.col("__n") > 0,
+                    viol.cast("double") / F.col("__n").cast("double"),
+                ).alias("violation_frac"),
+                (
+                    F.col(f"__id{i}")
+                    if id_col
+                    else F.lit(None).cast("bigint")
+                ).alias("first_violation"),
+            )
+        )
+    return totals.select(F.explode(F.array(*rows)).alias("__c")).select(
+        "__c.*"
+    )

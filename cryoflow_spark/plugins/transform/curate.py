@@ -32,6 +32,10 @@ the TOML plugin surface. Modes (option ``method``):
   punctuation with >= ``min_line_words`` words and no policy phrase,
   drop pages with kill phrases or no surviving line; ``filter = false``
   keeps killed pages with ``c4_keep = false``.
+- ``winsorize``: clip ``score_column`` to its per-``group_by``
+  [``p_low``, ``p_high``] quantile band (robust-stats tail treatment;
+  ``out_column`` optional, ``exact=false`` for the t-digest scale
+  path).
 - ``quantile_buckets``: annotate each row with its GLOBAL quantile
   bucket of ``score_column`` (``n_buckets``, default 10; output
   ``bucket_column``) — curriculum binning on the distributed CDF spine,
@@ -203,6 +207,17 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 group_col=self.options.get("group_by"),
                 p=float(self.options.get("p", 0.1)),
                 keep=self.options.get("keep", "above"),
+                exact=bool(self.options.get("exact", True)),
+            )
+
+        if method == "winsorize":
+            return C.winsorize(
+                data,
+                self.require_option("score_column"),
+                group_col=self.options.get("group_by"),
+                p_low=float(self.options.get("p_low", 0.01)),
+                p_high=float(self.options.get("p_high", 0.99)),
+                out_col=self.options.get("out_column"),
                 exact=bool(self.options.get("exact", True)),
             )
 

@@ -24,6 +24,11 @@ disturbing the main stream. Options:
 - ``report = "drift"`` emits the per-group embedding drift report
   (cosine of each ``group_column`` slice's centroid vs the global
   centroid over ``column``, default ``embedding``/``label``).
+- ``report = "expectations"`` emits the one-pass data-contract report:
+  option ``checks`` is an array of TOML tables ``{name = "...",
+  holds = "<SQL boolean expr>"}`` tested INDEPENDENTLY per row; output
+  is one row per check with violation counts/fraction and (with
+  ``id_column``) the first violating id.
 - ``report = "funnel"`` emits the one-pass filter-cascade report:
   option ``gates`` is an ordered array of TOML tables
   ``{name = "...", keep = "<SQL boolean expr>"}``; output is one row
@@ -52,6 +57,19 @@ class ProfilePlugin(AnalyzedTransformPlugin):
                 data,
                 columns=list(columns) if columns else None,
                 group_cols=tuple(self.options.get("group_by", [])),
+            )
+
+        if self.options.get("report") == "expectations":
+            from pyspark.sql import functions as F
+
+            from cryoflow_spark.functions.profiling import expectation_report
+
+            checks = [
+                (str(c["name"]), F.expr(str(c["holds"])))
+                for c in self.require_option("checks")
+            ]
+            return expectation_report(
+                data, checks, id_col=self.options.get("id_column")
             )
 
         if self.options.get("report") == "funnel":

@@ -3183,3 +3183,96 @@ def x71_cluster_best_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, pairs, keep_order_by=["n_chars DESC"]
     )
     return out.select("doc_id", "lang")
+
+
+# --- x72: data-contract expectation report (oracle-checked) ---------------
+
+
+@register(
+    "x72_expectations",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             COALESCE(doc_id IS NOT NULL, FALSE) AS c0,
+             COALESCE(n_chars > 0, FALSE) AS c1,
+             COALESCE(lang IN ('en','de','fr','es','zh'), FALSE) AS c2,
+             COALESCE(length(text) = n_chars, FALSE) AS c3
+      FROM documents
+    ),
+    agg AS (
+      SELECT COUNT(*)::BIGINT AS n,
+             SUM(CASE WHEN NOT c0 THEN 1 ELSE 0 END)::BIGINT AS v0,
+             MIN(CASE WHEN NOT c0 THEN doc_id END) AS i0,
+             SUM(CASE WHEN NOT c1 THEN 1 ELSE 0 END)::BIGINT AS v1,
+             MIN(CASE WHEN NOT c1 THEN doc_id END) AS i1,
+             SUM(CASE WHEN NOT c2 THEN 1 ELSE 0 END)::BIGINT AS v2,
+             MIN(CASE WHEN NOT c2 THEN doc_id END) AS i2,
+             SUM(CASE WHEN NOT c3 THEN 1 ELSE 0 END)::BIGINT AS v3,
+             MIN(CASE WHEN NOT c3 THEN doc_id END) AS i3
+      FROM t
+    )
+    SELECT 'id_not_null' AS check_name, n AS n_rows, v0 AS n_violations,
+           CASE WHEN n > 0 THEN v0::DOUBLE / n::DOUBLE END AS violation_frac,
+           i0 AS first_violation FROM agg
+    UNION ALL
+    SELECT 'chars_positive', n, v1,
+           CASE WHEN n > 0 THEN v1::DOUBLE / n::DOUBLE END, i1 FROM agg
+    UNION ALL
+    SELECT 'lang_known', n, v2,
+           CASE WHEN n > 0 THEN v2::DOUBLE / n::DOUBLE END, i2 FROM agg
+    UNION ALL
+    SELECT 'chars_consistent', n, v3,
+           CASE WHEN n > 0 THEN v3::DOUBLE / n::DOUBLE END, i3 FROM agg
+    """,
+    "Data-contract validation in ONE pass: independent expectations "
+    "(id non-null, positive char count, known language, n_chars "
+    "consistent with text) each report violation counts/fractions and "
+    "the first violating id — C booleans + one aggregation, cost "
+    "independent of rule count",
+)
+def x72_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import expectation_report
+
+    d = load(spark, sf_dir, "documents")
+    out = expectation_report(
+        d,
+        [
+            ("id_not_null", F.col("doc_id").isNotNull()),
+            ("chars_positive", F.col("n_chars") > 0),
+            ("lang_known", F.col("lang").isin("en", "de", "fr", "es", "zh")),
+            ("chars_consistent", F.length("text") == F.col("n_chars")),
+        ],
+        id_col="doc_id",
+    )
+    return out.withColumnRenamed("check", "check_name")
+
+
+# --- x73: per-group winsorization (oracle-checked) ------------------------
+
+
+@register(
+    "x73_winsorize",
+    """
+    WITH band AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.10) AS lo,
+             quantile_cont(n_chars, 0.90) AS hi
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           GREATEST(LEAST(d.n_chars::DOUBLE, b.hi), b.lo) AS n_chars_w
+    FROM documents d JOIN band b USING (lang)
+    """,
+    "Per-language winsorization: clip n_chars to each language's own "
+    "[p10, p90] band — exact interpolated percentiles (one shared "
+    "buffer per group), thresholds broadcast back, map-side "
+    "greatest(least(...)); the robust-stats tail treatment before "
+    "means/weights/curricula",
+)
+def x73_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    out = C.winsorize(
+        d, "n_chars", group_col="lang", p_low=0.10, p_high=0.90,
+        out_col="n_chars_w",
+    )
+    return out.select("doc_id", "lang", "n_chars_w")

@@ -2878,3 +2878,81 @@ class TestClusterBestKeep:
         rows = out.collect()
         assert [r["doc_id"] for r in rows] == [3]
         assert set(out.columns) == {"doc_id", "quality"}
+
+
+class TestExpectationReport:
+    def test_independent_checks_with_first_violation(self, spark):
+        from pyspark.sql import functions as F
+
+        from cryoflow_spark.functions.profiling import expectation_report
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, -5), (3, None), (4, 20)],
+            "id long, v int",
+        )
+        out = {r["check"]: r for r in expectation_report(df, [
+            ("v_positive", F.col("v") > 0),
+            ("v_not_null", F.col("v").isNotNull()),
+        ], id_col="id").collect()}
+        pos = out["v_positive"]
+        # -5 fails; NULL verdict counts as violation too
+        assert (pos["n_rows"], pos["n_violations"]) == (4, 2)
+        assert pos["first_violation"] == 2
+        assert abs(pos["violation_frac"] - 0.5) < 1e-12
+        nn = out["v_not_null"]
+        assert nn["n_violations"] == 1 and nn["first_violation"] == 3
+
+    def test_without_id_col_and_validation(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from cryoflow_spark.functions.profiling import expectation_report
+
+        df = spark.createDataFrame([(1,)], "id long")
+        row = expectation_report(df, [("ok", F.lit(True))]).collect()[0]
+        assert row["n_violations"] == 0 and row["first_violation"] is None
+        with pytest.raises(ValueError, match="non-empty"):
+            expectation_report(df, [])
+        with pytest.raises(ValueError, match="unique"):
+            expectation_report(df, [("a", F.lit(True)), ("a", F.lit(True))])
+
+
+class TestWinsorize:
+    def test_clips_to_band_and_passes_nulls(self, spark):
+        from cryoflow_spark.functions.curation import winsorize
+
+        vals = list(range(1, 101))  # 1..100
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)] + [(999, None)],
+            "id long, v double",
+        )
+        out = {r["id"]: r["v"] for r in
+               winsorize(df, "v", p_low=0.1, p_high=0.9).collect()}
+        # quantile_cont(0.1) over 1..100 = 10.9; (0.9) = 90.1 (float repr)
+        assert abs(min(v for v in out.values() if v is not None) - 10.9) < 1e-9
+        assert abs(max(v for v in out.values() if v is not None) - 90.1) < 1e-9
+        assert out[49] == 50.0  # mid values untouched
+        assert out[999] is None
+
+    def test_per_group_bands_differ(self, spark):
+        from cryoflow_spark.functions.curation import winsorize
+
+        rows = [(i, "a", float(i)) for i in range(10)] + [
+            (100 + i, "b", float(1000 + i)) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        out = winsorize(df, "v", group_col="g", p_low=0.0, p_high=0.5)
+        got = {r["id"]: r["v"] for r in out.collect()}
+        assert got[9] == 4.5     # a's median clips a's tail
+        assert got[109] == 1004.5  # b clipped within ITS band
+
+    def test_out_col_and_invalid_band(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.curation import winsorize
+
+        df = spark.createDataFrame([(1, 5.0)], "id long, v double")
+        out = winsorize(df, "v", out_col="v_w")
+        assert set(out.columns) == {"id", "v", "v_w"}
+        with pytest.raises(ValueError, match="p_low"):
+            winsorize(df, "v", p_low=0.9, p_high=0.1)
