@@ -419,3 +419,71 @@ def expectation_report(
     return totals.select(F.explode(F.array(*rows)).alias("__c")).select(
         "__c.*"
     )
+
+
+def embedding_qa(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: Optional[str] = None,
+    expected_dim: Optional[int] = None,
+) -> DataFrame:
+    """Embedding-column ingest QA: per group (or globally), how many
+    vectors are NULL, wrong-dimension, contain NULL/NaN components, or
+    are all-zero — plus the min/max L2 norm of the clean ones. The
+    checks every vector pipeline needs before ANN/dedup stages consume
+    the column (a single zero vector silently poisons cosine math; a
+    ragged dimension crashes a matmul batch three stages later).
+
+    Norms use the module-standard sequential fold (sqrt of the fold
+    dot), so min/max are engine-portable. ``expected_dim`` defaults to
+    the dimension of the first vector encountered per group? No — it
+    must be EXPLICIT (or None to skip the check): inferring it from data
+    would make the report depend on row order.
+
+    Scale: one narrow map (flags + norm per row) + one aggregation
+    keyed by the group column; no shuffle of vector payloads beyond the
+    partial aggs.
+    """
+    g = group_col or "__g"
+    base = df if group_col else df.withColumn("__g", F.lit(0))
+    vec = F.col(vec_col)
+    has_bad_comp = F.exists(
+        vec, lambda x: x.isNull() | F.isnan(x.cast("double"))
+    )
+    clean = vec.isNotNull() & ~has_bad_comp
+    sq = F.aggregate(
+        vec,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm = F.when(clean, F.sqrt(sq))
+    is_zero = clean & (sq == 0.0)
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(vec.isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_vec"),
+        F.sum(
+            F.when(vec.isNotNull() & has_bad_comp, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_bad_component"),
+        F.sum(F.when(is_zero, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_vec"),
+        F.min(norm).alias("min_norm"),
+        F.max(norm).alias("max_norm"),
+    ]
+    if expected_dim is not None:
+        aggs.insert(
+            2,
+            F.sum(
+                F.when(
+                    vec.isNotNull() & (F.size(vec) != expected_dim), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_wrong_dim"),
+        )
+    out = base.groupBy(g).agg(*aggs)
+    return out.drop("__g") if not group_col else out

@@ -676,3 +676,72 @@ def pack_training_sequences(
         )
         .drop("__start")
     )
+
+
+def group_distinctive_terms(
+    df,
+    group_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    min_len: int = 3,
+    min_tf: int = 1,
+):
+    """Top-k DISTINCTIVE terms per group — class-based TF-IDF (the
+    c-TF-IDF idea popularized by BERTopic, public method): terms are
+    scored ``tf_in_group * ln((1+n_groups)/(1+groups_containing))``, so
+    a term every slice uses scores ~0 and each (source, lang, cluster)
+    slice surfaces what makes it DIFFERENT — the dataset-card "what is
+    actually in this slice" artifact.
+
+    Same float-portability contract as ``tfidf_top_terms``: the ``ln``
+    and the product are rounded to 6 decimals so rankings reproduce
+    across engines. ``min_tf`` drops hapax noise before scoring.
+
+    Scale: token explode → one (group, term) aggregation (map-side
+    partials); the per-term group-frequency table is vocabulary-sized
+    and broadcasts; n_groups is a 1-row broadcast scalar. Top-k is a
+    window partitioned by group.
+    """
+    from pyspark.sql import DataFrame, Window
+
+    assert isinstance(df, DataFrame)
+    tokens = df.select(
+        F.col(group_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"),
+    ).filter((F.col("term") != "") & (F.length("term") >= min_len))
+    tf = (
+        tokens.groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= min_tf)
+    )
+    group_freq = tokens.groupBy("term").agg(
+        F.countDistinct(group_col).alias("gf")
+    )
+    n_groups = df.select(
+        F.countDistinct(group_col).alias("n_groups")
+    )
+    scored = (
+        tf.join(F.broadcast(group_freq), "term")
+        .crossJoin(F.broadcast(n_groups))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.round(
+                    F.log(
+                        (1.0 + F.col("n_groups")) / (1.0 + F.col("gf"))
+                    ),
+                    6,
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(group_col, "rk", "term", "tf", "gf", "score")
+    )

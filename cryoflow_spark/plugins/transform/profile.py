@@ -21,6 +21,9 @@ disturbing the main stream. Options:
   for cross-dataset comparability).
 - ``report = "key_skew"`` emits the pre-join skew diagnostics for
   ``column`` (``top_n`` heaviest keys with share / x-over-avg ratios).
+- ``report = "embedding_qa"`` emits the embedding ingest-QA report
+  (NULL / wrong-``expected_dim`` / NaN-component / zero vectors +
+  clean-norm min/max, per ``group_column`` or globally).
 - ``report = "drift"`` emits the per-group embedding drift report
   (cosine of each ``group_column`` slice's centroid vs the global
   centroid over ``column``, default ``embedding``/``label``).
@@ -103,6 +106,17 @@ class ProfilePlugin(AnalyzedTransformPlugin):
                 data,
                 self.require_option("column"),
                 top_n=int(self.options.get("top_n", 20)),
+            )
+
+        if self.options.get("report") == "embedding_qa":
+            from cryoflow_spark.functions.profiling import embedding_qa
+
+            dim = self.options.get("expected_dim")
+            return embedding_qa(
+                data,
+                vec_col=self.options.get("column", "embedding"),
+                group_col=self.options.get("group_column"),
+                expected_dim=int(dim) if dim is not None else None,
             )
 
         if self.options.get("report") == "drift":

@@ -10,6 +10,9 @@ Options:
 - ``lowercase`` (default true)
 - ``min_tf`` (optional) — frequency floor
 - ``top_n`` (optional) — heavy-hitter report, ranked (tf DESC, token)
+- ``method = "distinctive"`` — per-``group_column`` c-TF-IDF keywords
+  (what makes each slice different); options ``top_n``, ``min_len``,
+  ``min_tf``.
 - ``method = "heavy_hitters"`` — switch to the Misra-Gries-prefiltered
   exact head (:func:`...text.heavy_hitters`): the top ``top_n`` tokens
   with ``count * k > N``, no full-vocab shuffle; options ``top_n``
@@ -30,6 +33,17 @@ class VocabPlugin(AnalyzedTransformPlugin):
     def _transform(self, data: FrameData) -> FrameData:
         from cryoflow_spark.functions.text import heavy_hitters, vocab_stats
 
+        if self.options.get("method") == "distinctive":
+            from cryoflow_spark.functions.text import group_distinctive_terms
+
+            return group_distinctive_terms(
+                data,
+                group_col=self.require_option("group_column"),
+                text_col=self.options.get("column", "text"),
+                k=int(self.options.get("top_n", 5)),
+                min_len=int(self.options.get("min_len", 3)),
+                min_tf=int(self.options.get("min_tf", 1)),
+            )
         if self.options.get("method") == "heavy_hitters":
             return heavy_hitters(
                 data,

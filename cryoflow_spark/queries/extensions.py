@@ -3276,3 +3276,98 @@ def x73_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="n_chars_w",
     )
     return out.select("doc_id", "lang", "n_chars_w")
+
+
+# --- x74: per-group distinctive terms, c-TF-IDF (oracle-checked) ----------
+
+
+@register(
+    "x74_distinctive_terms",
+    """
+    WITH tokens AS (
+      SELECT lang, t AS term
+      FROM (
+        SELECT lang,
+               UNNEST(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+        FROM documents
+      )
+      WHERE t <> '' AND length(t) >= 3
+    ),
+    tf AS (
+      SELECT lang, term, COUNT(*) AS tf FROM tokens
+      GROUP BY lang, term HAVING COUNT(*) >= 5
+    ),
+    gfreq AS (
+      SELECT term, COUNT(DISTINCT lang) AS gf FROM tokens GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.lang, tf.term, tf.tf, g.gf,
+             ROUND(tf.tf * ROUND(LN((1.0 + (SELECT COUNT(DISTINCT lang)
+                                            FROM documents))
+                                    / (1.0 + g.gf)), 6), 6) AS score
+      FROM tf JOIN gfreq g USING (term)
+    )
+    SELECT lang, rk, term, tf, gf, score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY score DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    "Per-language distinctive terms (c-TF-IDF, BERTopic-style): "
+    "tf-in-slice x ln((1+n_slices)/(1+slices-containing)) with the "
+    "6-decimal rounding contract — what makes each slice DIFFERENT, "
+    "the dataset-card keyword artifact; vocabulary-sized broadcast + "
+    "1-row slice-count scalar",
+)
+def x74_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.group_distinctive_terms(
+        d, group_col="lang", k=5, min_len=3, min_tf=5
+    )
+
+
+# --- x75: embedding-column QA report (oracle-checked) ---------------------
+
+
+@register(
+    "x75_embedding_qa",
+    """
+    WITH flagged AS (
+      SELECT label, embedding,
+             embedding IS NULL AS is_null,
+             (embedding IS NOT NULL AND len(list_filter(embedding,
+                x -> x IS NULL OR isnan(x::DOUBLE))) > 0) AS bad_comp,
+             CASE WHEN embedding IS NOT NULL
+               THEN list_reduce(list_prepend(0.0::DOUBLE,
+                      [embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                       for i in generate_series(1, len(embedding))]),
+                      (acc, x) -> acc + x)
+             END AS sq
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*)::BIGINT AS n_rows,
+           SUM(CASE WHEN is_null THEN 1 ELSE 0 END)::BIGINT AS n_null_vec,
+           SUM(CASE WHEN NOT is_null AND len(embedding) != 64
+                    THEN 1 ELSE 0 END)::BIGINT AS n_wrong_dim,
+           SUM(CASE WHEN bad_comp THEN 1 ELSE 0 END)::BIGINT
+             AS n_bad_component,
+           SUM(CASE WHEN NOT is_null AND NOT bad_comp AND sq = 0.0
+                    THEN 1 ELSE 0 END)::BIGINT AS n_zero_vec,
+           MIN(CASE WHEN NOT is_null AND NOT bad_comp THEN sqrt(sq) END)
+             AS min_norm,
+           MAX(CASE WHEN NOT is_null AND NOT bad_comp THEN sqrt(sq) END)
+             AS max_norm
+    FROM flagged GROUP BY label
+    """,
+    "Embedding ingest QA per label: NULL / wrong-dim / NaN-component / "
+    "zero vectors counted and clean-norm min/max (sequential-fold "
+    "norms) — the checks that keep a single zero vector from poisoning "
+    "downstream cosine stages; one narrow map + one keyed aggregation",
+)
+def x75_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import embedding_qa
+
+    e = load(spark, sf_dir, "embeddings")
+    return embedding_qa(e, group_col="label", expected_dim=64)

@@ -2956,3 +2956,68 @@ class TestWinsorize:
         assert set(out.columns) == {"id", "v", "v_w"}
         with pytest.raises(ValueError, match="p_low"):
             winsorize(df, "v", p_low=0.9, p_high=0.1)
+
+
+class TestGroupDistinctiveTerms:
+    def test_shared_terms_score_zero_and_unique_surface(self, spark):
+        from cryoflow_spark.functions.text import group_distinctive_terms
+
+        df = spark.createDataFrame(
+            [("a", "common words plus alpha alpha alpha"),
+             ("b", "common words plus beta beta beta")],
+            "grp string, text string",
+        )
+        got = {(r["grp"], r["rk"]): r for r in
+               group_distinctive_terms(df, "grp", k=2).collect()}
+        assert got[("a", 1)]["term"] == "alpha"
+        assert got[("b", 1)]["term"] == "beta"
+        # terms present in BOTH groups score ln(3/3)=0
+        assert got[("a", 1)]["score"] > 0
+        for key, r in got.items():
+            if r["term"] in ("common", "words", "plus"):
+                assert r["score"] == 0.0
+
+    def test_min_tf_floor(self, spark):
+        from cryoflow_spark.functions.text import group_distinctive_terms
+
+        df = spark.createDataFrame(
+            [("a", "rare word here"), ("b", "other stuff entirely")],
+            "grp string, text string",
+        )
+        out = group_distinctive_terms(df, "grp", k=5, min_tf=2).collect()
+        assert out == []  # every term is a hapax within its group
+
+
+class TestEmbeddingQA:
+    def test_flags_every_failure_mode(self, spark):
+        from cryoflow_spark.functions.profiling import embedding_qa
+
+        rows = [
+            (1, "a", [3.0, 4.0]),          # clean, norm 5
+            (2, "a", None),                # null vector
+            (3, "a", [1.0, None]),         # null component
+            (4, "a", [float("nan"), 1.0]), # NaN component
+            (5, "a", [0.0, 0.0]),          # zero vector
+            (6, "a", [1.0, 0.0, 0.0]),     # wrong dim (still clean norm 1)
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, label string, embedding array<double>"
+        )
+        r = embedding_qa(df, group_col="label", expected_dim=2).collect()[0]
+        assert r["n_rows"] == 6
+        assert r["n_null_vec"] == 1
+        assert r["n_bad_component"] == 2
+        assert r["n_zero_vec"] == 1
+        assert r["n_wrong_dim"] == 1
+        assert r["min_norm"] == 0.0 and r["max_norm"] == 5.0
+
+    def test_global_mode_without_dim_check(self, spark):
+        from cryoflow_spark.functions.profiling import embedding_qa
+
+        df = spark.createDataFrame(
+            [(1, [1.0]), (2, [2.0])], "id long, embedding array<double>"
+        )
+        out = embedding_qa(df)
+        assert "n_wrong_dim" not in out.columns
+        r = out.collect()[0]
+        assert r["n_rows"] == 2 and r["n_null_vec"] == 0

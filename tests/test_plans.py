@@ -137,6 +137,9 @@ def test_no_cartesian_products(all_plans):
         # 1-row order-canonical weight-sum fold crossJoin(broadcast)
         # into the per-source counts table — same scalar pattern.
         "x69_token_budget_mix",
+        # 1-row n_groups scalar crossJoin(broadcast) into the (group,
+        # term) tf table — same pattern as x21's corpus-size scalar.
+        "x74_distinctive_terms",
     }
     for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name
