@@ -123,11 +123,11 @@ _PRIORITY: list[str] = [
     ],
     # changed this round (r4-green; locally re-verified bit-identical r5)
     "x40_ngram_novelty", "x39_snapshot_diff", "x35_corpus_freq_score",
-    # new mid-r5 (after the window was fixed): x43-x68, every one
+    # new mid-r5 (after the window was fixed): x43-x75, every one
     # locally verified bit-identical at sf0.01 via
-    # tools/check_correctness.py (x66 shares x23's oracle); this block
-    # heads the r6 window — 26 queries, so r6 takes these + the
-    # longest-unverified sentinels to fill 50
+    # tools/check_correctness.py (x66 shares x23's oracle, x53 x33's);
+    # this block heads the r6 window — 33 queries, so r6 takes these +
+    # the longest-unverified sentinels to fill 50
     "x43_semantic_dedup", "x44_html_to_text", "x45_quantile_gate",
     "x46_vocab_stats", "x47_gopher_rules", "x48_c4_clean",
     "x49_group_centroids", "x50_script_profile", "x51_jl_projection",
