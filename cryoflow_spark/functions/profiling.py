@@ -487,3 +487,82 @@ def embedding_qa(
         )
     out = base.groupBy(g).agg(*aggs)
     return out.drop("__g") if not group_col else out
+
+
+def correlation_matrix(
+    df: DataFrame,
+    columns: Sequence[str],
+    scale: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns in ONE pass —
+    the feature-redundancy / metadata-dependence audit (which quality
+    signals are measuring the same thing?).
+
+    Determinism: float sums are order-dependent, so every value is
+    quantized map-side to fixed-point BIGINT (``floor(v * 10^scale)`` —
+    floor, no tie rules) and the five moments per pair (n, Σa, Σb, Σab,
+    Σa², Σb²) accumulate as exact DECIMAL(38,0); the final Pearson
+    ratio is computed from those exact integers in one fixed-order
+    double expression — bit-identical across engines and partitionings.
+    Rows with a NULL in either column of a pair are excluded from THAT
+    pair (pairwise deletion). Resolution is 10^-scale per value; size
+    ``scale`` so |v|·10^scale stays well under 10^18.
+
+    Output: one row per unordered pair — ``(col_a, col_b, n, corr)``
+    (corr NULL when a side is constant). Scale: C(C-1)/2 · 4 partial
+    sums map-side, one 1-row aggregation, explode to pair rows — cost
+    is the scan, quadratic only in the (small) column count.
+    """
+    cols = list(columns)
+    if len(cols) < 2:
+        raise ValueError("need at least 2 columns")
+    q = {
+        c: F.floor(F.col(c).cast("double") * F.lit(float(10**scale))).cast(
+            "decimal(38,0)"
+        )
+        for c in cols
+    }
+    aggs = []
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    for i, (a, b) in enumerate(pairs):
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        qa = F.when(both, q[a])
+        qb = F.when(both, q[b])
+        aggs += [
+            F.sum(F.when(both, 1).otherwise(0)).cast("bigint").alias(f"__n{i}"),
+            F.sum(qa).alias(f"__sa{i}"),
+            F.sum(qb).alias(f"__sb{i}"),
+            F.sum(qa * qb).alias(f"__sab{i}"),
+            F.sum(qa * qa).alias(f"__saa{i}"),
+            F.sum(qb * qb).alias(f"__sbb{i}"),
+        ]
+    totals = df.agg(*aggs)
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        n = F.col(f"__n{i}").cast("double")
+        sa = F.col(f"__sa{i}").cast("double")
+        sb = F.col(f"__sb{i}").cast("double")
+        sab = F.col(f"__sab{i}").cast("double")
+        saa = F.col(f"__saa{i}").cast("double")
+        sbb = F.col(f"__sbb{i}").cast("double")
+        var_a = n * saa - sa * sa
+        var_b = n * sbb - sb * sb
+        corr = F.when(
+            (F.col(f"__n{i}") > 1) & (var_a > 0) & (var_b > 0),
+            (n * sab - sa * sb) / (F.sqrt(var_a) * F.sqrt(var_b)),
+        )
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"__n{i}").alias("n"),
+                corr.alias("corr"),
+            )
+        )
+    return totals.select(F.explode(F.array(*rows)).alias("__p")).select(
+        "__p.*"
+    )

@@ -21,6 +21,9 @@ disturbing the main stream. Options:
   for cross-dataset comparability).
 - ``report = "key_skew"`` emits the pre-join skew diagnostics for
   ``column`` (``top_n`` heaviest keys with share / x-over-avg ratios).
+- ``report = "correlations"`` emits the one-pass pairwise Pearson
+  matrix over ``columns`` (exact fixed-point moments, ``scale``
+  default 6).
 - ``report = "embedding_qa"`` emits the embedding ingest-QA report
   (NULL / wrong-``expected_dim`` / NaN-component / zero vectors +
   clean-norm min/max, per ``group_column`` or globally).
@@ -106,6 +109,15 @@ class ProfilePlugin(AnalyzedTransformPlugin):
                 data,
                 self.require_option("column"),
                 top_n=int(self.options.get("top_n", 20)),
+            )
+
+        if self.options.get("report") == "correlations":
+            from cryoflow_spark.functions.profiling import correlation_matrix
+
+            return correlation_matrix(
+                data,
+                columns=list(self.require_option("columns")),
+                scale=int(self.options.get("scale", 6)),
             )
 
         if self.options.get("report") == "embedding_qa":

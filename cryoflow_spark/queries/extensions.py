@@ -3371,3 +3371,54 @@ def x75_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return embedding_qa(e, group_col="label", expected_dim=64)
+
+
+# --- x76: one-pass correlation matrix (oracle-checked) --------------------
+
+
+def _x76_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pieces = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            a, b = cols[i], cols[j]
+            qa = f"floor({a}::DOUBLE * 1000000.0)::DECIMAL(38,0)"
+            qb = f"floor({b}::DOUBLE * 1000000.0)::DECIMAL(38,0)"
+            both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+            va = "(n::DOUBLE * saa::DOUBLE - sa::DOUBLE * sa::DOUBLE)"
+            vb = "(n::DOUBLE * sbb::DOUBLE - sb::DOUBLE * sb::DOUBLE)"
+            pieces.append(f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b, n,
+           CASE WHEN n > 1 AND {va} > 0 AND {vb} > 0
+             THEN (n::DOUBLE * sab::DOUBLE - sa::DOUBLE * sb::DOUBLE)
+                  / (sqrt({va}) * sqrt({vb}))
+           END AS corr
+    FROM (
+      SELECT SUM(CASE WHEN {both} THEN 1 ELSE 0 END)::BIGINT AS n,
+             SUM(CASE WHEN {both} THEN {qa} END) AS sa,
+             SUM(CASE WHEN {both} THEN {qb} END) AS sb,
+             SUM(CASE WHEN {both} THEN {qa} * {qb} END) AS sab,
+             SUM(CASE WHEN {both} THEN {qa} * {qa} END) AS saa,
+             SUM(CASE WHEN {both} THEN {qb} * {qb} END) AS sbb
+      FROM lineitem
+    )
+            """)
+    return " UNION ALL ".join(pieces)
+
+
+@register(
+    "x76_correlation_matrix",
+    _x76_oracle(),
+    "One-pass pairwise Pearson over four lineitem measures: values "
+    "quantized to fixed-point BIGINT map-side, five exact "
+    "DECIMAL(38,0) moments per pair, final ratio computed once from "
+    "the exact integers in fixed order — order-independent and "
+    "bit-identical; cost is the scan, quadratic only in column count",
+)
+def x76_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import correlation_matrix
+
+    li = load(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )

@@ -3021,3 +3021,47 @@ class TestEmbeddingQA:
         assert "n_wrong_dim" not in out.columns
         r = out.collect()[0]
         assert r["n_rows"] == 2 and r["n_null_vec"] == 0
+
+
+class TestCorrelationMatrix:
+    def test_known_correlations(self, spark):
+        from cryoflow_spark.functions.profiling import correlation_matrix
+
+        rows = [(float(i), float(2 * i), float(-3 * i), float(i % 2))
+                for i in range(50)]
+        df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+        got = {(r["col_a"], r["col_b"]): r["corr"] for r in
+               correlation_matrix(df, ["a", "b", "c", "d"]).collect()}
+        assert abs(got[("a", "b")] - 1.0) < 1e-9    # perfectly linear
+        assert abs(got[("a", "c")] + 1.0) < 1e-9    # perfectly anti
+        assert abs(got[("a", "d")]) < 0.2           # ~independent
+
+    def test_nulls_pairwise_and_constant_column(self, spark):
+        from cryoflow_spark.functions.profiling import correlation_matrix
+
+        rows = [(1.0, 1.0, 5.0), (2.0, None, 5.0), (3.0, 3.0, 5.0),
+                (4.0, 4.0, 5.0)]
+        df = spark.createDataFrame(rows, "a double, b double, k double")
+        got = {(r["col_a"], r["col_b"]): r for r in
+               correlation_matrix(df, ["a", "b", "k"]).collect()}
+        assert got[("a", "b")]["n"] == 3            # pairwise deletion
+        assert abs(got[("a", "b")]["corr"] - 1.0) < 1e-9
+        assert got[("a", "k")]["corr"] is None      # constant side
+
+    def test_partitioning_invariance_bit_equal(self, spark):
+        from cryoflow_spark.functions.profiling import correlation_matrix
+
+        rows = [(float(i % 13) / 7, float(i % 11) / 3) for i in range(500)]
+        df = spark.createDataFrame(rows, "a double, b double")
+        r1 = correlation_matrix(df, ["a", "b"]).collect()[0]["corr"]
+        r2 = correlation_matrix(df.repartition(17), ["a", "b"]).collect()[0]["corr"]
+        assert r1 == r2  # exact moments: bit-equal, not approximately
+
+    def test_validates_columns(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.profiling import correlation_matrix
+
+        df = spark.createDataFrame([(1.0,)], "a double")
+        with pytest.raises(ValueError, match="at least 2"):
+            correlation_matrix(df, ["a"])
