@@ -566,3 +566,96 @@ def correlation_matrix(
     return totals.select(F.explode(F.array(*rows)).alias("__p")).select(
         "__p.*"
     )
+
+
+def categorical_dependence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Chi-square dependence test between two categorical columns —
+    ``(n, n_cells, chi2, cramers_v)`` — the metadata-independence audit
+    (is ``lang`` confounded with ``source``? does the near-dup cluster
+    correlate with the domain?). Cramér's V normalizes chi-square to
+    [0, 1] for comparability across table shapes.
+
+    Exactness: the contingency table is exact integer counts (including
+    EMPTY cells — the distinct-A × distinct-B cross restores them, so
+    the statistic matches the textbook definition); the per-cell float
+    terms ``(obs - exp)² / exp`` are summed by a LEFT FOLD in (a, b)
+    order (the order-canonical trick), so the result is bit-identical
+    across engines and partitionings. NULL categories count as a
+    regular category value (the sentinel '<NULL>').
+
+    Scale: one (a, b) aggregation over the corpus, then everything
+    operates on the |A|·|B|-cell table (bounded by the categorical
+    domains — this is a CONTINGENCY test, not a join-key profiler; for
+    high-cardinality keys use ``key_skew_report``). The cell cross and
+    the fold run on broadcast-sized frames.
+    """
+    a, b = "__a", "__b"
+    # NULL categories map to a sentinel BEFORE grouping: the fold sorts
+    # cells by (a, b), and engines disagree on where NULL struct fields
+    # sort — a concrete value removes the ambiguity.
+    base = df.select(
+        F.coalesce(F.col(col_a).cast("string"), F.lit("<NULL>")).alias(a),
+        F.coalesce(F.col(col_b).cast("string"), F.lit("<NULL>")).alias(b),
+    )
+    cells = base.groupBy(a, b).agg(F.count(F.lit(1)).alias("__obs"))
+    rows_t = base.groupBy(a).agg(F.count(F.lit(1)).alias("__ra"))
+    cols_t = base.groupBy(b).agg(F.count(F.lit(1)).alias("__cb"))
+    n_df = base.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    full = (
+        rows_t.crossJoin(F.broadcast(cols_t))
+        .join(cells, [a, b], "left")
+        .withColumn("__o", F.coalesce(F.col("__obs"), F.lit(0)))
+        .crossJoin(F.broadcast(n_df))
+        .withColumn(
+            "__exp",
+            F.col("__ra").cast("double")
+            * F.col("__cb").cast("double")
+            / F.col("__n").cast("double"),
+        )
+        .withColumn(
+            "__term",
+            (F.col("__o").cast("double") - F.col("__exp"))
+            * (F.col("__o").cast("double") - F.col("__exp"))
+            / F.col("__exp"),
+        )
+    )
+    # order-canonical fold over the bounded cell table
+    folded = full.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(a).alias("a"),
+                            F.col(b).alias("b"),
+                            F.col("__term").alias("t"),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("chi2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.max("__n").alias("__n"),
+        F.countDistinct(a).alias("__nr"),
+        F.countDistinct(b).alias("__nc"),
+    )
+    dof_side = F.least(F.col("__nr"), F.col("__nc")) - 1
+    return folded.select(
+        F.col("__n").alias("n"),
+        "n_cells",
+        "chi2",
+        F.when(
+            (F.col("__n") > 0) & (dof_side > 0),
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("__n").cast("double") * dof_side.cast("double"))
+            ),
+        ).alias("cramers_v"),
+    )

@@ -21,6 +21,9 @@ disturbing the main stream. Options:
   for cross-dataset comparability).
 - ``report = "key_skew"`` emits the pre-join skew diagnostics for
   ``column`` (``top_n`` heaviest keys with share / x-over-avg ratios).
+- ``report = "dependence"`` emits the chi-square / Cramér's V test
+  between categorical ``column_a`` and ``column_b`` (metadata
+  confounding audit).
 - ``report = "correlations"`` emits the one-pass pairwise Pearson
   matrix over ``columns`` (exact fixed-point moments, ``scale``
   default 6).
@@ -109,6 +112,17 @@ class ProfilePlugin(AnalyzedTransformPlugin):
                 data,
                 self.require_option("column"),
                 top_n=int(self.options.get("top_n", 20)),
+            )
+
+        if self.options.get("report") == "dependence":
+            from cryoflow_spark.functions.profiling import (
+                categorical_dependence,
+            )
+
+            return categorical_dependence(
+                data,
+                self.require_option("column_a"),
+                self.require_option("column_b"),
             )
 
         if self.options.get("report") == "correlations":

@@ -140,7 +140,7 @@ _PRIORITY: list[str] = [
     "x68_key_skew", "x69_token_budget_mix", "x70_exact_n_sample",
     "x71_cluster_best_keep", "x72_expectations", "x73_winsorize",
     "x74_distinctive_terms", "x75_embedding_qa",
-    "x76_correlation_matrix",
+    "x76_correlation_matrix", "x77_categorical_dependence",
     # rows-only bench instruments (portable oracle twins are in-window)
     "x15_engine_minhash_dedup", "x33_engine_incremental_dedup",
 ]

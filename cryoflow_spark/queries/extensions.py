@@ -3422,3 +3422,60 @@ def x76_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return correlation_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
+
+
+# --- x77: categorical dependence, chi-square (oracle-checked) -------------
+
+
+@register(
+    "x77_categorical_dependence",
+    """
+    WITH base AS (
+      SELECT COALESCE(lang::VARCHAR, '<NULL>') AS a,
+             COALESCE(source::VARCHAR, '<NULL>') AS b
+      FROM documents
+    ),
+    cells AS (SELECT a, b, COUNT(*)::BIGINT AS obs FROM base GROUP BY a, b),
+    rt AS (SELECT a, COUNT(*)::BIGINT AS ra FROM base GROUP BY a),
+    ct AS (SELECT b, COUNT(*)::BIGINT AS cb FROM base GROUP BY b),
+    n AS (SELECT COUNT(*)::BIGINT AS n FROM base),
+    full_cells AS (
+      SELECT rt.a, ct.b, COALESCE(cells.obs, 0) AS o, rt.ra, ct.cb, n.n
+      FROM rt CROSS JOIN ct
+      LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b
+      CROSS JOIN n
+    ),
+    terms AS (
+      SELECT a, b,
+             (o::DOUBLE - ra::DOUBLE * cb::DOUBLE / n::DOUBLE)
+             * (o::DOUBLE - ra::DOUBLE * cb::DOUBLE / n::DOUBLE)
+             / (ra::DOUBLE * cb::DOUBLE / n::DOUBLE) AS t,
+             n
+      FROM full_cells
+    ),
+    folded AS (
+      SELECT MAX(n) AS n,
+             COUNT(*)::BIGINT AS n_cells,
+             list_reduce(
+               list_prepend(0.0::DOUBLE,
+                 list(t ORDER BY a, b)),
+               (acc, x) -> acc + x) AS chi2,
+             COUNT(DISTINCT a) AS nr, COUNT(DISTINCT b) AS nc
+      FROM terms
+    )
+    SELECT n, n_cells, chi2,
+           CASE WHEN n > 0 AND LEAST(nr, nc) - 1 > 0
+             THEN sqrt(chi2 / (n::DOUBLE * (LEAST(nr, nc) - 1)::DOUBLE))
+           END AS cramers_v
+    FROM folded
+    """,
+    "Chi-square dependence between lang and source with Cramér's V: "
+    "exact integer contingency table (empty cells restored by the "
+    "distinct-cross), per-cell float terms summed by an order-canonical "
+    "(a, b) fold — the metadata-confounding audit, bit-identical",
+)
+def x77_categorical_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import categorical_dependence
+
+    d = load(spark, sf_dir, "documents")
+    return categorical_dependence(d, "lang", "source")

@@ -3065,3 +3065,36 @@ class TestCorrelationMatrix:
         df = spark.createDataFrame([(1.0,)], "a double")
         with pytest.raises(ValueError, match="at least 2"):
             correlation_matrix(df, ["a"])
+
+
+class TestCategoricalDependence:
+    def test_independent_columns_score_near_zero(self, spark):
+        from cryoflow_spark.functions.profiling import categorical_dependence
+
+        # perfectly balanced 2x2: a and b independent -> chi2 = 0
+        rows = [(x, y) for x in ("p", "q") for y in ("u", "v")
+                for _ in range(25)]
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = categorical_dependence(df, "a", "b").collect()[0]
+        assert r["n"] == 100 and r["n_cells"] == 4
+        assert abs(r["chi2"]) < 1e-9 and abs(r["cramers_v"]) < 1e-9
+
+    def test_perfect_dependence_gives_v_one(self, spark):
+        from cryoflow_spark.functions.profiling import categorical_dependence
+
+        rows = [("p", "u")] * 30 + [("q", "v")] * 30
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = categorical_dependence(df, "a", "b").collect()[0]
+        assert abs(r["cramers_v"] - 1.0) < 1e-9
+        # empty cells (p,v) and (q,u) must be in the table
+        assert r["n_cells"] == 4
+
+    def test_nulls_are_a_category_and_invariance(self, spark):
+        from cryoflow_spark.functions.profiling import categorical_dependence
+
+        rows = [("p", None)] * 10 + [("q", "u")] * 10 + [("p", "u")] * 5
+        df = spark.createDataFrame(rows, "a string, b string")
+        r1 = categorical_dependence(df, "a", "b").collect()[0]
+        r2 = categorical_dependence(df.repartition(7), "a", "b").collect()[0]
+        assert r1["chi2"] == r2["chi2"]  # canonical fold: bit-equal
+        assert r1["n"] == 25

@@ -140,6 +140,10 @@ def test_no_cartesian_products(all_plans):
         # 1-row n_groups scalar crossJoin(broadcast) into the (group,
         # term) tf table — same pattern as x21's corpus-size scalar.
         "x74_distinctive_terms",
+        # contingency-table construction: distinct-A × broadcast
+        # distinct-B cross (bounded categorical domains) + the 1-row N
+        # scalar — both deliberate bounded broadcasts.
+        "x77_categorical_dependence",
     }
     for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name
