@@ -659,3 +659,87 @@ def categorical_dependence(
             ),
         ).alias("cramers_v"),
     )
+
+
+def duplication_profile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    max_copies: int = 20,
+) -> DataFrame:
+    """Duplicate-multiplicity histogram: how many distinct values of
+    ``key_cols`` occur exactly k times — the dataset-card "duplication
+    profile" (is the corpus 1% doubletons or one value repeated a
+    million times? — the two need different dedup strategies).
+
+    Output: one row per multiplicity —
+    ``(n_copies, n_values, n_rows)`` with multiplicities above
+    ``max_copies`` collapsed into one overflow bucket
+    (``n_copies = max_copies + 1``) so the output stays bounded while
+    ``n_rows`` still accounts for every row.
+
+    Scale: groupBy on the key (the dedup shuffle), then a second tiny
+    aggregation on the count value — integer arithmetic only.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__m"))
+    bucket = F.when(
+        F.col("__m") > max_copies, F.lit(max_copies + 1)
+    ).otherwise(F.col("__m").cast("int"))
+    return (
+        counts.groupBy(bucket.alias("n_copies"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.sum("__m").cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+def quantile_summary(
+    df: DataFrame,
+    columns: Sequence[str],
+    probabilities: Sequence[float] = (0.05, 0.25, 0.5, 0.75, 0.95),
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Long-format quantile table: one row per (column, probability)
+    with the interpolated quantile — the five-number-summary companion
+    to ``profile_columns`` (which reports min/max but no distribution
+    shape).
+
+    ``exact=True`` uses interpolated ``percentile`` (bit-identical to
+    ``quantile_cont``; one shared buffer per column); ``exact=False``
+    uses the t-digest sketch (the 100 TB path). NULLs are ignored per
+    column (standard quantile semantics); an all-NULL column yields
+    NULL quantiles.
+
+    Scale: ONE aggregation computes every column's quantile array in
+    the same pass; output is |columns| x |probabilities| rows.
+    """
+    cols = list(columns)
+    if not cols:
+        raise ValueError("columns must be non-empty")
+    probs = [float(p) for p in probabilities]
+    if not probs or any(not 0.0 <= p <= 1.0 for p in probs):
+        raise ValueError("probabilities must be in [0, 1]")
+    arr = ", ".join(repr(p) + "D" for p in probs)
+    fn = "percentile" if exact else "percentile_approx"
+    acc = "" if exact else f", {int(accuracy)}"
+    aggs = [
+        F.expr(f"{fn}({c}, array({arr}){acc})").alias(f"__q{i}")
+        for i, c in enumerate(cols)
+    ]
+    totals = df.agg(*aggs)
+    rows = []
+    for i, c in enumerate(cols):
+        for j, p in enumerate(probs):
+            rows.append(
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.lit(p).alias("p"),
+                    F.element_at(f"__q{i}", j + 1).alias("quantile"),
+                )
+            )
+    return totals.select(F.explode(F.array(*rows)).alias("__q")).select(
+        "__q.*"
+    )

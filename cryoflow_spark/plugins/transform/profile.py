@@ -21,6 +21,12 @@ disturbing the main stream. Options:
   for cross-dataset comparability).
 - ``report = "key_skew"`` emits the pre-join skew diagnostics for
   ``column`` (``top_n`` heaviest keys with share / x-over-avg ratios).
+- ``report = "duplication"`` emits the duplicate-multiplicity
+  histogram over ``key_columns`` (overflow bucket above
+  ``max_copies``).
+- ``report = "quantiles"`` emits the long-format quantile summary of
+  ``columns`` at ``probabilities`` (default five-number summary;
+  ``exact=false`` for the t-digest scale path).
 - ``report = "dependence"`` emits the chi-square / Cramér's V test
   between categorical ``column_a`` and ``column_b`` (metadata
   confounding audit).
@@ -112,6 +118,30 @@ class ProfilePlugin(AnalyzedTransformPlugin):
                 data,
                 self.require_option("column"),
                 top_n=int(self.options.get("top_n", 20)),
+            )
+
+        if self.options.get("report") == "duplication":
+            from cryoflow_spark.functions.profiling import duplication_profile
+
+            return duplication_profile(
+                data,
+                key_cols=list(self.require_option("key_columns")),
+                max_copies=int(self.options.get("max_copies", 20)),
+            )
+
+        if self.options.get("report") == "quantiles":
+            from cryoflow_spark.functions.profiling import quantile_summary
+
+            return quantile_summary(
+                data,
+                columns=list(self.require_option("columns")),
+                probabilities=tuple(
+                    float(p)
+                    for p in self.options.get(
+                        "probabilities", (0.05, 0.25, 0.5, 0.75, 0.95)
+                    )
+                ),
+                exact=bool(self.options.get("exact", True)),
             )
 
         if self.options.get("report") == "dependence":

@@ -141,6 +141,7 @@ _PRIORITY: list[str] = [
     "x71_cluster_best_keep", "x72_expectations", "x73_winsorize",
     "x74_distinctive_terms", "x75_embedding_qa",
     "x76_correlation_matrix", "x77_categorical_dependence",
+    "x78_duplication_profile", "x79_quantile_summary",
     # rows-only bench instruments (portable oracle twins are in-window)
     "x15_engine_minhash_dedup", "x33_engine_incremental_dedup",
 ]

@@ -3479,3 +3479,71 @@ def x77_categorical_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return categorical_dependence(d, "lang", "source")
+
+
+# --- x78: duplication profile (oracle-checked) ----------------------------
+
+
+@register(
+    "x78_duplication_profile",
+    """
+    WITH m AS (
+      SELECT text, lang, COUNT(*)::BIGINT AS mult
+      FROM (SELECT * FROM documents
+            UNION ALL SELECT * FROM documents WHERE doc_id % 3 = 0)
+      GROUP BY text, lang
+    )
+    SELECT CASE WHEN mult > 5 THEN 6 ELSE mult END::INT AS n_copies,
+           COUNT(*)::BIGINT AS n_values,
+           SUM(mult)::BIGINT AS n_rows
+    FROM m
+    GROUP BY CASE WHEN mult > 5 THEN 6 ELSE mult END
+    """,
+    "Duplicate-multiplicity histogram over (text, lang) on a corpus "
+    "with synthetic 1/3 re-ingestion: how many values occur exactly k "
+    "times, overflow bucket above 5 — the dataset-card duplication "
+    "profile driving dedup-strategy choice; two integer aggregations",
+)
+def x78_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import duplication_profile
+
+    d = load(spark, sf_dir, "documents")
+    doubled = d.unionByName(d.filter(F.col("doc_id") % 3 == 0))
+    return duplication_profile(doubled, ["text", "lang"], max_copies=5)
+
+
+# --- x79: quantile summary table (oracle-checked) -------------------------
+
+
+@register(
+    "x79_quantile_summary",
+    """
+    WITH q AS (
+      SELECT
+        quantile_cont(l_quantity, [0.05, 0.25, 0.5, 0.75, 0.95]) AS ql,
+        quantile_cont(l_extendedprice, [0.05, 0.25, 0.5, 0.75, 0.95]) AS qe,
+        quantile_cont(l_discount, [0.05, 0.25, 0.5, 0.75, 0.95]) AS qd
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_name,
+           unnest([0.05, 0.25, 0.5, 0.75, 0.95]) AS p,
+           unnest(ql) AS quantile FROM q
+    UNION ALL
+    SELECT 'l_extendedprice',
+           unnest([0.05, 0.25, 0.5, 0.75, 0.95]), unnest(qe) FROM q
+    UNION ALL
+    SELECT 'l_discount',
+           unnest([0.05, 0.25, 0.5, 0.75, 0.95]), unnest(qd) FROM q
+    """,
+    "Five-number quantile summary for three lineitem measures in ONE "
+    "aggregation pass (shared percentile buffers, interpolated — "
+    "quantile_cont-identical); long format (column, p, quantile) — the "
+    "distribution-shape companion to the column profiler",
+)
+def x79_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import quantile_summary
+
+    li = load(spark, sf_dir, "lineitem")
+    return quantile_summary(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )

@@ -3098,3 +3098,56 @@ class TestCategoricalDependence:
         r2 = categorical_dependence(df.repartition(7), "a", "b").collect()[0]
         assert r1["chi2"] == r2["chi2"]  # canonical fold: bit-equal
         assert r1["n"] == 25
+
+
+class TestDuplicationProfile:
+    def test_multiplicity_histogram_with_overflow(self, spark):
+        from cryoflow_spark.functions.profiling import duplication_profile
+
+        rows = (["solo1"] + ["solo2"] + ["pair"] * 2 + ["mega"] * 10)
+        df = spark.createDataFrame([(t,) for t in rows], "text string")
+        got = {r["n_copies"]: r for r in
+               duplication_profile(df, ["text"], max_copies=3).collect()}
+        assert got[1]["n_values"] == 2 and got[1]["n_rows"] == 2
+        assert got[2]["n_values"] == 1 and got[2]["n_rows"] == 2
+        assert got[4]["n_values"] == 1 and got[4]["n_rows"] == 10  # overflow
+        assert sum(r["n_rows"] for r in got.values()) == len(rows)
+
+    def test_validates_keys(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.profiling import duplication_profile
+
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="non-empty"):
+            duplication_profile(df, [])
+
+
+class TestQuantileSummary:
+    def test_known_quantiles_long_format(self, spark):
+        from cryoflow_spark.functions.profiling import quantile_summary
+
+        df = spark.createDataFrame(
+            [(float(i), float(i) * 10) for i in range(101)],
+            "a double, b double",
+        )
+        got = {(r["col_name"], r["p"]): r["quantile"] for r in
+               quantile_summary(df, ["a", "b"], (0.5, 0.25)).collect()}
+        assert got[("a", 0.5)] == 50.0
+        assert got[("a", 0.25)] == 25.0
+        assert got[("b", 0.5)] == 500.0
+
+    def test_nulls_ignored_and_validation(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.profiling import quantile_summary
+
+        df = spark.createDataFrame(
+            [(1.0,), (None,), (3.0,)], "a double"
+        )
+        r = quantile_summary(df, ["a"], (0.5,)).collect()[0]
+        assert r["quantile"] == 2.0  # NULL skipped, not counted as 0
+        with pytest.raises(ValueError, match="probabilities"):
+            quantile_summary(df, ["a"], (1.5,))
+        with pytest.raises(ValueError, match="columns"):
+            quantile_summary(df, [])
