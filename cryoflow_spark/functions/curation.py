@@ -651,6 +651,8 @@ def segment_repetition_stats(
     """
     import re
 
+    if not delimiter:
+        raise ValueError("delimiter must be a non-empty string")
     segs = (
         df.filter(F.col(text_col).isNotNull())
         .select(

@@ -537,6 +537,8 @@ def heavy_hitters(
     from pyspark.sql.functions import broadcast
 
     assert isinstance(df, DataFrame)
+    if k < 1 or top_n < 1:
+        raise ValueError("k and top_n must be >= 1")
     spark = df.sparkSession
     toks = (
         df.filter(F.col(text_col).isNotNull())

@@ -220,6 +220,11 @@ def crawl_refresh(
     assert isinstance(df, DataFrame)
     if content_cols is None:
         content_cols = [c for c in df.columns if c not in (url_col, ts_col)]
+    if not content_cols:
+        raise ValueError(
+            "no content columns to hash (frame has only the URL and "
+            "timestamp) — pass content_cols explicitly"
+        )
     hashed = df.withColumn(
         "canonical_url", canonicalize_url(url_col)
     ).withColumn("__h", row_hash(content_cols))

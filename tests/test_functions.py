@@ -3151,3 +3151,25 @@ class TestQuantileSummary:
             quantile_summary(df, ["a"], (1.5,))
         with pytest.raises(ValueError, match="columns"):
             quantile_summary(df, [])
+
+
+def test_new_operator_input_guards(spark):
+    """Edge-case contracts of the r5 second-wave operators."""
+    import pytest
+
+    from cryoflow_spark.functions.curation import segment_repetition_stats
+    from cryoflow_spark.functions.text import heavy_hitters
+    from cryoflow_spark.functions.urls import crawl_refresh
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k and top_n"):
+        heavy_hitters(docs, k=0)
+    with pytest.raises(ValueError, match="k and top_n"):
+        heavy_hitters(docs, top_n=0)
+    with pytest.raises(ValueError, match="delimiter"):
+        segment_repetition_stats(docs, delimiter="")
+    bare = spark.createDataFrame(
+        [("https://e.com", 1)], "url string, fetch_ts long"
+    )
+    with pytest.raises(ValueError, match="no content columns"):
+        crawl_refresh(bare)
