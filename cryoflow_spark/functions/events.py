@@ -1,0 +1,95 @@
+"""Event-stream analytics: conversion funnels over typed event logs.
+
+Engine extension (north-star family): the classic product-analytics
+funnel — of the users who did step 1, how many went on to do step 2
+within the horizon, then step 3... — expressed as a chain of per-user
+min-time aggregations and equi-joins, never a window over the whole
+event log.
+
+Scale: each stage is one ``groupBy(user)`` aggregation over only the
+rows of that stage's event type (filter pushed to the scan) plus one
+user-keyed equi-join against the previous stage's (user, time) table —
+which only SHRINKS stage over stage. No global windows, no driver
+state; the number of stages bounds the number of joins.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def conversion_funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    horizon_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """Stage-by-stage conversion report for an ordered list of event
+    types: ``(step, event_type, n_users, conversion_rate)`` where a
+    user converts stage i when an event of ``steps[i]`` occurs STRICTLY
+    AFTER their stage-(i-1) conversion time and within
+    ``horizon_seconds`` of it (per-step horizon; the stage-1 time is a
+    user's EARLIEST step-1 event). ``conversion_rate`` is relative to
+    the stage-1 cohort (one exact divide).
+
+    Deterministic by construction: conversion times are minima, so
+    event order and partitioning cannot change the result.
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("need at least 2 funnel steps")
+    if horizon_seconds <= 0:
+        raise ValueError("horizon_seconds must be positive")
+    us = F.unix_micros(F.col(ts_col))
+    horizon_us = int(horizon_seconds) * 1_000_000
+
+    stage = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(us).alias("__t"))
+    )
+    counts = [stage.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))]
+    for s in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == s)
+            .select(F.col(user_col), us.alias("__e"))
+            .join(stage.withColumnRenamed("__t", "__prev"), user_col)
+            .filter(
+                (F.col("__e") > F.col("__prev"))
+                & (F.col("__e") <= F.col("__prev") + F.lit(horizon_us))
+            )
+            .groupBy(user_col)
+            .agg(F.min("__e").alias("__t"))
+        )
+        counts.append(
+            nxt.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+        )
+        stage = nxt
+
+    rows = None
+    for i, (s, c) in enumerate(zip(steps, counts)):
+        labeled = c.select(
+            F.lit(i + 1).cast("int").alias("step"),
+            F.lit(s).alias("event_type"),
+            F.col("__n").alias("n_users"),
+        )
+        rows = labeled if rows is None else rows.unionByName(labeled)
+    cohort = counts[0].select(F.col("__n").alias("__cohort"))
+    return (
+        rows.crossJoin(F.broadcast(cohort))
+        .select(
+            "step",
+            "event_type",
+            "n_users",
+            F.when(
+                F.col("__cohort") > 0,
+                F.col("n_users").cast("double")
+                / F.col("__cohort").cast("double"),
+            ).alias("conversion_rate"),
+        )
+    )

@@ -3547,3 +3547,55 @@ def x79_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_summary(
         li, ["l_quantity", "l_extendedprice", "l_discount"]
     )
+
+
+# --- x80: conversion funnel (oracle-checked) ------------------------------
+
+
+@register(
+    "x80_conversion_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click'
+        AND epoch_us(e.ts) > s1.t
+        AND epoch_us(e.ts) <= s1.t + 604800000000
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > s2.t
+        AND epoch_us(e.ts) <= s2.t + 604800000000
+      GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT 1 AS step, 'view' AS event_type,
+             (SELECT COUNT(*) FROM s1)::BIGINT AS n_users
+      UNION ALL
+      SELECT 2, 'click', (SELECT COUNT(*) FROM s2)::BIGINT
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)::BIGINT
+    )
+    SELECT step::INT AS step, event_type, n_users,
+           CASE WHEN (SELECT COUNT(*) FROM s1) > 0
+             THEN n_users::DOUBLE / (SELECT COUNT(*) FROM s1)::DOUBLE
+           END AS conversion_rate
+    FROM counts
+    """,
+    "view -> click -> purchase conversion funnel (7-day per-step "
+    "horizon): each stage is one per-user min-time aggregation over "
+    "that stage's type + a shrinking user-keyed join — no window over "
+    "the event log; deterministic minima, one exact divide per rate",
+)
+def x80_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.events import conversion_funnel
+
+    e = load_events(spark, sf_dir)
+    return conversion_funnel(e, ["view", "click", "purchase"])

@@ -3173,3 +3173,44 @@ def test_new_operator_input_guards(spark):
     )
     with pytest.raises(ValueError, match="no content columns"):
         crawl_refresh(bare)
+
+
+class TestConversionFunnel:
+    def _events(self, spark):
+        # user 1: full funnel in order; user 2: clicks BEFORE viewing
+        # (no conversion); user 3: view only; user 4: converts too late
+        rows = [
+            (1, 1, 1000, "view"), (2, 1, 2000, "click"),
+            (3, 1, 3000, "purchase"),
+            (4, 2, 5000, "click"), (5, 2, 6000, "view"),
+            (6, 3, 1000, "view"),
+            (7, 4, 1000, "view"), (8, 4, 9_000_000, "click"),
+        ]
+        return spark.createDataFrame(
+            [(e, u, __import__("datetime").datetime.utcfromtimestamp(t),
+              ty) for e, u, t, ty in rows],
+            "event_id long, user_id long, ts timestamp, event_type string",
+        )
+
+    def test_order_and_horizon_enforced(self, spark):
+        from cryoflow_spark.functions.events import conversion_funnel
+
+        out = {r["step"]: r for r in conversion_funnel(
+            self._events(spark), ["view", "click", "purchase"],
+            horizon_seconds=3600,
+        ).collect()}
+        assert out[1]["n_users"] == 4          # all viewers
+        assert out[2]["n_users"] == 1          # only user 1 in order+time
+        assert out[3]["n_users"] == 1
+        assert abs(out[2]["conversion_rate"] - 0.25) < 1e-12
+
+    def test_validation(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.events import conversion_funnel
+
+        df = self._events(spark)
+        with pytest.raises(ValueError, match="at least 2"):
+            conversion_funnel(df, ["view"])
+        with pytest.raises(ValueError, match="horizon"):
+            conversion_funnel(df, ["view", "click"], horizon_seconds=0)

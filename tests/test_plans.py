@@ -144,6 +144,9 @@ def test_no_cartesian_products(all_plans):
         # distinct-B cross (bounded categorical domains) + the 1-row N
         # scalar — both deliberate bounded broadcasts.
         "x77_categorical_dependence",
+        # 1-row cohort-count scalar crossJoin(broadcast) into the
+        # per-stage counts (len(steps) rows) — same scalar pattern.
+        "x80_conversion_funnel",
     }
     for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name
