@@ -93,3 +93,74 @@ def conversion_funnel(
             ).alias("conversion_rate"),
         )
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 7 * 24 * 3600,
+    max_offset: int = 12,
+) -> DataFrame:
+    """Cohort retention table: users grouped by their FIRST-ACTIVITY
+    period (cohort 0, 1, 2, ... from the corpus's earliest event), and
+    for each (cohort, offset) how many of them were active again
+    ``offset`` periods later — the standard product-retention artifact,
+    and for ingest pipelines the "does a contributor keep contributing"
+    view of a crawl.
+
+    Output: ``(cohort, offset, n_users, retention)`` with ``offset = 0``
+    rows being the cohort sizes (retention 1.0) and retention relative
+    to the cohort size (one exact divide). Periods are integer
+    ``(epoch_us - min_epoch_us) div period_us`` — exact arithmetic
+    anchored at the corpus minimum, so partitioning cannot shift
+    bucket edges. Offsets beyond ``max_offset`` are dropped (bounded
+    output).
+
+    Scale: one global min (1-row broadcast), one distinct over
+    (user, period) — the only corpus-sized shuffle — then a per-user
+    first-period aggregation joined back user-keyed; output cardinality
+    is cohorts × offsets.
+    """
+    if period_seconds <= 0:
+        raise ValueError("period_seconds must be positive")
+    if max_offset < 0:
+        raise ValueError("max_offset must be >= 0")
+    period_us = int(period_seconds) * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    base = events.select(F.col(user_col).alias("__u"), us.alias("__e"))
+    t0 = base.agg(F.min("__e").alias("__t0"))
+    periods = (
+        base.crossJoin(F.broadcast(t0))
+        .select(
+            "__u",
+            F.expr(f"(__e - __t0) div {period_us}L").alias("__p"),
+        )
+        .distinct()
+    )
+    firsts = periods.groupBy("__u").agg(F.min("__p").alias("__cohort"))
+    joined = (
+        periods.join(firsts, "__u")
+        .withColumn("__offset", F.col("__p") - F.col("__cohort"))
+        .filter(F.col("__offset") <= max_offset)
+    )
+    counts = joined.groupBy("__cohort", "__offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    sizes = counts.filter(F.col("__offset") == 0).select(
+        F.col("__cohort").alias("__c2"), F.col("n_users").alias("__size")
+    )
+    return (
+        counts.join(
+            F.broadcast(sizes), counts["__cohort"] == sizes["__c2"]
+        )
+        .select(
+            F.col("__cohort").cast("int").alias("cohort"),
+            F.col("__offset").cast("int").alias("offset"),
+            "n_users",
+            (
+                F.col("n_users").cast("double")
+                / F.col("__size").cast("double")
+            ).alias("retention"),
+        )
+    )

@@ -142,7 +142,7 @@ _PRIORITY: list[str] = [
     "x74_distinctive_terms", "x75_embedding_qa",
     "x76_correlation_matrix", "x77_categorical_dependence",
     "x78_duplication_profile", "x79_quantile_summary",
-    "x80_conversion_funnel",
+    "x80_conversion_funnel", "x81_retention_cohorts",
     # rows-only bench instruments (portable oracle twins are in-window)
     "x15_engine_minhash_dedup", "x33_engine_incremental_dedup",
 ]

@@ -3599,3 +3599,45 @@ def x80_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir)
     return conversion_funnel(e, ["view", "click", "purchase"])
+
+
+# --- x81: retention cohorts (oracle-checked) ------------------------------
+
+
+@register(
+    "x81_retention_cohorts",
+    """
+    WITH base AS (
+      SELECT user_id AS u, epoch_us(ts) AS e FROM events
+    ),
+    t0 AS (SELECT MIN(e) AS t0 FROM base),
+    periods AS (
+      SELECT DISTINCT u, (e - t0) // 604800000000 AS p
+      FROM base, t0
+    ),
+    firsts AS (SELECT u, MIN(p) AS cohort FROM periods GROUP BY u),
+    joined AS (
+      SELECT p.u, f.cohort, p.p - f.cohort AS off
+      FROM periods p JOIN firsts f ON p.u = f.u
+      WHERE p.p - f.cohort <= 12
+    ),
+    counts AS (
+      SELECT cohort, off, COUNT(*)::BIGINT AS n_users
+      FROM joined GROUP BY cohort, off
+    )
+    SELECT c.cohort::INT AS cohort, c.off::INT AS offset, c.n_users,
+           c.n_users::DOUBLE / s.n_users::DOUBLE AS retention
+    FROM counts c JOIN (SELECT cohort, n_users FROM counts WHERE off = 0) s
+      ON c.cohort = s.cohort
+    """,
+    "Weekly retention cohorts: users bucketed by first-activity week "
+    "(anchored at the corpus-min timestamp — exact integer div), "
+    "per-(cohort, offset) active-again counts and cohort-relative "
+    "retention; one distinct over (user, week) is the only "
+    "corpus-sized shuffle",
+)
+def x81_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.events import retention_cohorts
+
+    e = load_events(spark, sf_dir)
+    return retention_cohorts(e)

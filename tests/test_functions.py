@@ -3214,3 +3214,44 @@ class TestConversionFunnel:
             conversion_funnel(df, ["view"])
         with pytest.raises(ValueError, match="horizon"):
             conversion_funnel(df, ["view", "click"], horizon_seconds=0)
+
+
+class TestRetentionCohorts:
+    def test_cohorts_offsets_and_rates(self, spark):
+        import datetime as dt
+
+        from cryoflow_spark.functions.events import retention_cohorts
+
+        day = 24 * 3600
+        # cohort 0: users 1,2 (week 0); user 1 returns week 1
+        # cohort 1: user 3 (week 1 only)
+        rows = [
+            (1, 1, 0), (2, 2, day),            # week 0
+            (3, 1, 8 * day), (4, 3, 9 * day),  # week 1
+        ]
+        df = spark.createDataFrame(
+            [(e, u, dt.datetime.utcfromtimestamp(t)) for e, u, t in rows],
+            "event_id long, user_id long, ts timestamp",
+        )
+        got = {(r["cohort"], r["offset"]): r for r in
+               retention_cohorts(df).collect()}
+        assert got[(0, 0)]["n_users"] == 2
+        assert got[(0, 0)]["retention"] == 1.0
+        assert got[(0, 1)]["n_users"] == 1
+        assert abs(got[(0, 1)]["retention"] - 0.5) < 1e-12
+        assert got[(1, 0)]["n_users"] == 1
+        assert (1, 1) not in got  # nobody from cohort 1 returned
+
+    def test_max_offset_bounds_output(self, spark):
+        import datetime as dt
+
+        from cryoflow_spark.functions.events import retention_cohorts
+
+        week = 7 * 24 * 3600
+        rows = [(i, 1, dt.datetime.utcfromtimestamp(i * week))
+                for i in range(30)]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp"
+        )
+        out = retention_cohorts(df, max_offset=5).collect()
+        assert max(r["offset"] for r in out) == 5

@@ -147,6 +147,9 @@ def test_no_cartesian_products(all_plans):
         # 1-row cohort-count scalar crossJoin(broadcast) into the
         # per-stage counts (len(steps) rows) — same scalar pattern.
         "x80_conversion_funnel",
+        # 1-row corpus-min-timestamp scalar crossJoin(broadcast) into
+        # the event stream (anchors period buckets) — same pattern.
+        "x81_retention_cohorts",
     }
     for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name
