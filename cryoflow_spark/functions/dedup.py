@@ -822,6 +822,10 @@ def _containment_counts(
     from cryoflow_spark.core.session import tune_for_text_ops
 
     tune_for_text_ops(df.sparkSession)
+    # Zero-token docs are excluded BEFORE gram building (symmetric, so
+    # exchange reuse survives): the slice trick would otherwise give
+    # them a synthetic '' gram and two empty docs would read as
+    # mutually contained — the x40 empty-doc bug class.
     tokenized = df.select(
         F.col(id_col),
         F.array_remove(F.split(F.col(text_col), r"\s+"), "").alias("__toks"),
@@ -830,7 +834,7 @@ def _containment_counts(
             if block_by
             else [F.lit(1).alias("__block")]
         ),
-    )
+    ).filter(F.size("__toks") > 0)
     grams = F.array_distinct(
         F.expr(
             f"transform(sequence(1, greatest(size(__toks) - {ngram - 1}, 1)),"

@@ -2554,6 +2554,7 @@ _CONTAINMENT_SQL = """
                list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
         FROM documents
       )
+      WHERE len(toks) > 0
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            len(list_intersect(a.g, b.g))::DOUBLE / len(a.g)::DOUBLE

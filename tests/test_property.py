@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -217,3 +218,89 @@ def test_snapshot_diff_matches_dict_reference(spark, pair):
         elif old[i] != new[i]:
             expected[i] = "changed"
     assert got == expected
+
+
+WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+DOCS = st.lists(
+    st.lists(WORDS, min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(DOCS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_bloom_decontamination_always_matches_exact(spark, texts):
+    """Property: the Bloom prefilter + exact-confirm path is
+    bit-identical to the exact broadcast path on ANY corpus/benchmark
+    split — even with a saturated 1-bit table."""
+    from cryoflow_spark.functions import curation as C
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    bench = df.filter(F.col("doc_id") % 2 == 0)
+    corpus = df.filter(F.col("doc_id") % 2 == 1)
+    exact = sorted(
+        (r["doc_id"], r["n_shared_grams"])
+        for r in C.contaminated_ids(corpus, bench, ngram=2).collect()
+    )
+    for bits, probes in ((16, None), (1, 1)):
+        bloom = sorted(
+            (r["doc_id"], r["n_shared_grams"])
+            for r in C.bloom_contaminated_ids(
+                corpus, bench, ngram=2,
+                bits_per_element=bits, num_probes=probes,
+            ).collect()
+        )
+        assert bloom == exact
+
+
+@given(DOCS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_containment_matches_python_brute_force(spark, texts):
+    """Property: directed containment pairs equal a brute-force Python
+    computation of |grams(A) ∩ grams(B)| / |grams(A)| on any corpus."""
+    from cryoflow_spark.functions import dedup as D
+
+    def grams(t, n=2):
+        toks = [w for w in t.split() if w]
+        if not toks:
+            return set()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    gsets = {i: grams(t) for i, t in enumerate(texts)}
+    want = set()
+    thr = 0.5
+    for a, ga in gsets.items():
+        for b, gb in gsets.items():
+            if a == b or len(ga) < 1:
+                continue
+            if len(ga & gb) / len(ga) >= thr:
+                want.add((a, b))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.containment_pairs(
+            df, ngram=2, threshold=thr, min_grams=1
+        ).collect()
+    }
+    assert got == want
