@@ -745,3 +745,61 @@ def winsorize(
         .drop("__lo", "__hi")
     )
     return clipped.drop("__g") if not group_col else clipped
+
+
+def robust_outlier_flags(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    k: float = 3.0,
+    flag_col: str = "is_outlier",
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Median/MAD outlier annotation: flag rows where
+    ``|v - median| > k * MAD`` within their group (MAD = median of
+    absolute deviations) — the robust-statistics outlier rule that a
+    few extreme values cannot corrupt, unlike mean/stddev z-scores
+    where the outliers inflate their own yardstick.
+
+    Two grouped percentile passes (the second depends on the first's
+    medians): exact interpolated ``percentile`` by default
+    (quantile_cont-identical, bounded-group buffers) or the t-digest
+    sketch (``exact=False``, the high-cardinality path). A NULL value
+    gets a NULL flag; a zero MAD (>50% of the group at one value) flags
+    only rows NOT at the median — documented behavior of the rule.
+
+    Scale: two groupBy passes over the group domain + two broadcast
+    joins + a map-side comparison; no fact-table shuffle.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    g = group_col or "__g"
+    base = df if group_col else df.withColumn("__g", F.lit(0))
+    fn = "percentile" if exact else "percentile_approx"
+    acc = "" if exact else f", {int(accuracy)}"
+    med = base.groupBy(g).agg(
+        F.expr(f"{fn}({value_col}, 0.5D{acc})").alias("__med")
+    )
+    with_med = base.join(F.broadcast(med), g)
+    mad = (
+        with_med.withColumn(
+            "__absdev",
+            F.abs(F.col(value_col).cast("double") - F.col("__med")),
+        )
+        .groupBy(g)
+        .agg(F.expr(f"{fn}(__absdev, 0.5D{acc})").alias("__mad"))
+    )
+    out = (
+        with_med.join(F.broadcast(mad), g)
+        .withColumn(
+            flag_col,
+            F.when(F.col(value_col).isNull(), F.lit(None).cast("boolean"))
+            .otherwise(
+                F.abs(F.col(value_col).cast("double") - F.col("__med"))
+                > F.lit(float(k)) * F.col("__mad")
+            ),
+        )
+        .drop("__med", "__mad")
+    )
+    return out.drop("__g") if not group_col else out

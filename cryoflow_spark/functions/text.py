@@ -747,3 +747,70 @@ def group_distinctive_terms(
         .filter(F.col("rk") <= k)
         .select(group_col, "rk", "term", "tf", "gf", "score")
     )
+
+
+#: Compact English stopword core (public, the NLTK/most-common subset) —
+#: the default for stopword_fraction; pass a custom list per language.
+DEFAULT_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "but", "if", "then", "of", "in",
+    "on", "at", "to", "for", "with", "by", "from", "as", "is", "are",
+    "was", "were", "be", "been", "it", "its", "this", "that", "these",
+    "those", "he", "she", "they", "we", "you", "i", "not", "no", "do",
+    "does", "did", "have", "has", "had", "will", "would", "can", "could",
+)
+
+
+def stopword_fraction(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: "Sequence[str] | None" = None,
+    lowercase: bool = True,
+):
+    """Per-doc stopword statistics: ``(id, n_tokens, n_stopwords,
+    stopword_frac)`` — the classic language-quality feature (CCNet /
+    Gopher family): natural prose carries a stable stopword rate;
+    keyword-stuffed, boilerplate, or non-linguistic content does not.
+
+    The stopword list joins as a BROADCAST table against the exploded
+    tokens (not a giant IN-literal — the plan every lexicon-based
+    feature should use, swappable per language at any list size up to
+    the broadcast threshold). Zero-token docs are excluded (no row),
+    NULL text likewise. Integer counts + one exact divide.
+
+    Scale: explode → broadcast semi-count → one per-doc aggregation;
+    the lexicon never shuffles the corpus.
+    """
+    from collections.abc import Sequence as _Seq  # noqa: F401
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql.functions import broadcast
+
+    assert isinstance(df, DataFrame)
+    words = list(stopwords) if stopwords is not None else list(DEFAULT_STOPWORDS)
+    if not words:
+        raise ValueError("stopwords must be non-empty")
+    spark = df.sparkSession
+    sw = spark.createDataFrame([(w,) for w in words], "__sw string")
+    tok = F.col("__tok")
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+            ).alias("__tok"),
+        )
+        .withColumn("__t", F.lower(tok) if lowercase else tok)
+    )
+    flagged = toks.join(
+        broadcast(sw), toks["__t"] == sw["__sw"], "left"
+    ).withColumn("__hit", F.when(F.col("__sw").isNotNull(), 1).otherwise(0))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("__hit").cast("bigint").alias("n_stopwords"),
+        (
+            F.sum("__hit").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("stopword_frac"),
+    )

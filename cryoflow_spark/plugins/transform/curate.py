@@ -32,6 +32,11 @@ the TOML plugin surface. Modes (option ``method``):
   punctuation with >= ``min_line_words`` words and no policy phrase,
   drop pages with kill phrases or no surviving line; ``filter = false``
   keeps killed pages with ``c4_keep = false``.
+- ``robust_outliers``: median/MAD outlier flags on ``score_column``
+  per ``group_by`` (``k`` default 3; ``filter = true`` drops flagged
+  rows instead of annotating).
+- ``stopword_fraction``: per-doc stopword coverage stats (broadcast
+  lexicon; option ``stopwords`` list overrides the English default).
 - ``winsorize``: clip ``score_column`` to its per-``group_by``
   [``p_low``, ``p_high``] quantile band (robust-stats tail treatment;
   ``out_column`` optional, ``exact=false`` for the t-digest scale
@@ -208,6 +213,31 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 p=float(self.options.get("p", 0.1)),
                 keep=self.options.get("keep", "above"),
                 exact=bool(self.options.get("exact", True)),
+            )
+
+        if method == "robust_outliers":
+            out = C.robust_outlier_flags(
+                data,
+                self.require_option("score_column"),
+                group_col=self.options.get("group_by"),
+                k=float(self.options.get("k", 3.0)),
+                exact=bool(self.options.get("exact", True)),
+            )
+            if self.options.get("filter", False):
+                return out.filter(~F.coalesce(
+                    F.col("is_outlier"), F.lit(False)
+                )).drop("is_outlier")
+            return out
+
+        if method == "stopword_fraction":
+            from cryoflow_spark.functions.text import stopword_fraction
+
+            sw = self.options.get("stopwords")
+            return stopword_fraction(
+                data,
+                text_col=column,
+                id_col=id_column,
+                stopwords=list(sw) if sw else None,
             )
 
         if method == "winsorize":

@@ -143,6 +143,7 @@ _PRIORITY: list[str] = [
     "x76_correlation_matrix", "x77_categorical_dependence",
     "x78_duplication_profile", "x79_quantile_summary",
     "x80_conversion_funnel", "x81_retention_cohorts",
+    "x82_robust_outliers", "x83_stopword_fraction",
     # rows-only bench instruments (portable oracle twins are in-window)
     "x15_engine_minhash_dedup", "x33_engine_incremental_dedup",
 ]

@@ -3642,3 +3642,75 @@ def x81_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir)
     return retention_cohorts(e)
+
+
+# --- x82: median/MAD robust outliers (oracle-checked) ---------------------
+
+
+@register(
+    "x82_robust_outliers",
+    """
+    WITH med AS (
+      SELECT lang, quantile_cont(n_chars, 0.5) AS m
+      FROM documents GROUP BY lang
+    ),
+    mad AS (
+      SELECT d.lang,
+             quantile_cont(abs(d.n_chars::DOUBLE - med.m), 0.5) AS mad
+      FROM documents d JOIN med USING (lang)
+      GROUP BY d.lang
+    )
+    SELECT d.doc_id, d.lang,
+           (abs(d.n_chars::DOUBLE - med.m) > 3.0 * mad.mad) AS is_outlier
+    FROM documents d JOIN med USING (lang) JOIN mad USING (lang)
+    """,
+    "Per-language median/MAD outlier flags on n_chars (|v - med| > "
+    "3*MAD): the robust rule extreme values cannot corrupt — two exact "
+    "grouped percentile passes, broadcast thresholds, map-side compare",
+)
+def x82_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    out = C.robust_outlier_flags(d, "n_chars", group_col="lang", k=3.0)
+    return out.select("doc_id", "lang", "is_outlier")
+
+
+# --- x83: stopword coverage (oracle-checked) ------------------------------
+
+
+def _x83_oracle() -> str:
+    from cryoflow_spark.functions.text import DEFAULT_STOPWORDS
+
+    lst = ", ".join(f"('{w}')" for w in DEFAULT_STOPWORDS)
+    return f"""
+    WITH sw(w) AS (VALUES {lst}),
+    toks AS (
+      SELECT doc_id, lower(t) AS t
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x != '')) AS t
+        FROM documents WHERE text IS NOT NULL
+      )
+    )
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_tokens,
+           SUM(CASE WHEN sw.w IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_stopwords,
+           SUM(CASE WHEN sw.w IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*)::DOUBLE AS stopword_frac
+    FROM toks LEFT JOIN sw ON toks.t = sw.w
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "x83_stopword_fraction",
+    _x83_oracle(),
+    "Per-doc stopword coverage (CCNet/Gopher language-quality family): "
+    "the lexicon joins as a BROADCAST table against exploded tokens — "
+    "swappable per language, never an IN-literal, never shuffling the "
+    "corpus; integer counts + one exact divide",
+)
+def x83_stopword_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.stopword_fraction(d)

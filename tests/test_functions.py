@@ -3255,3 +3255,70 @@ class TestRetentionCohorts:
         )
         out = retention_cohorts(df, max_offset=5).collect()
         assert max(r["offset"] for r in out) == 5
+
+
+class TestRobustOutliers:
+    def test_extreme_value_cannot_hide_itself(self, spark):
+        from cryoflow_spark.functions.curation import robust_outlier_flags
+
+        # 99 values near 100 + one at 10000: mean/std would be dragged,
+        # median/MAD is not.
+        rows = [(i, 100.0 + (i % 7)) for i in range(99)] + [(99, 10000.0)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        got = {r["id"]: r["is_outlier"] for r in
+               robust_outlier_flags(df, "v").collect()}
+        assert got[99] is True
+        assert sum(1 for f in got.values() if f) == 1
+
+    def test_per_group_and_nulls(self, spark):
+        from cryoflow_spark.functions.curation import robust_outlier_flags
+
+        rows = ([(i, "a", 10.0) for i in range(10)] + [(10, "a", 500.0)]
+                + [(20 + i, "b", 500.0) for i in range(10)]
+                + [(99, "b", None)])
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        got = {r["id"]: r["is_outlier"] for r in
+               robust_outlier_flags(df, "v", group_col="g").collect()}
+        assert got[10] is True      # 500 is an outlier in group a...
+        assert got[20] is False     # ...but normal in group b
+        assert got[99] is None
+
+    def test_validates_k(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.curation import robust_outlier_flags
+
+        df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+        with pytest.raises(ValueError, match="k must be"):
+            robust_outlier_flags(df, "v", k=0)
+
+
+class TestStopwordFraction:
+    def test_fractions_and_exclusions(self, spark):
+        from cryoflow_spark.functions.text import stopword_fraction
+
+        df = spark.createDataFrame(
+            [
+                (1, "The cat is on the mat"),     # 4/6 stopwords
+                (2, "gibberish zork blat"),       # 0/3
+                (3, None),
+                (4, "   "),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in stopword_fraction(df).collect()}
+        assert set(got) == {1, 2}
+        assert got[1]["n_tokens"] == 6 and got[1]["n_stopwords"] == 4
+        assert abs(got[1]["stopword_frac"] - 4 / 6) < 1e-12
+        assert got[2]["stopword_frac"] == 0.0
+
+    def test_custom_list_and_validation(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.text import stopword_fraction
+
+        df = spark.createDataFrame([(1, "foo bar foo")], "doc_id long, text string")
+        r = stopword_fraction(df, stopwords=["foo"]).collect()[0]
+        assert r["n_stopwords"] == 2
+        with pytest.raises(ValueError, match="stopwords"):
+            stopword_fraction(df, stopwords=[])
