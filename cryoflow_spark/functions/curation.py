@@ -39,6 +39,15 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
+def _bt(name: str) -> str:
+    """Backtick-quote an identifier for interpolation into ``F.expr``
+    SQL (``percentile(`my col`, ...)``): column names with spaces,
+    hyphens, or dots — including plugin/TOML-supplied names — must not
+    reach the SQL parser unquoted. Embedded backticks are doubled per
+    Spark's escaping rule."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def scrub_pii(text_col):
     """Column: text with PII-shaped spans replaced by typed tags."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
@@ -603,9 +612,12 @@ def quantile_threshold_filter(
     g = group_col or "__g"
     base = df if group_col else df.withColumn("__g", F.lit(0))
     fn = (
-        f"percentile({score_col}, {float(p)!r}D)"
+        f"percentile({_bt(score_col)}, {float(p)!r}D)"
         if exact
-        else f"percentile_approx({score_col}, {float(p)!r}D, {int(accuracy)})"
+        else (
+            f"percentile_approx({_bt(score_col)}, {float(p)!r}D,"
+            f" {int(accuracy)})"
+        )
     )
     thresholds = base.groupBy(g).agg(F.expr(fn).alias("__thr"))
     gated = base.join(F.broadcast(thresholds), on=g)
@@ -720,7 +732,7 @@ def winsorize(
     acc = "" if exact else f", {int(accuracy)}"
     thresholds = base.groupBy(g).agg(
         F.expr(
-            f"{fn}({value_col}, array({float(p_low)!r}D,"
+            f"{fn}({_bt(value_col)}, array({float(p_low)!r}D,"
             f" {float(p_high)!r}D){acc})"
         ).alias("__band")
     ).select(
@@ -779,7 +791,7 @@ def robust_outlier_flags(
     fn = "percentile" if exact else "percentile_approx"
     acc = "" if exact else f", {int(accuracy)}"
     med = base.groupBy(g).agg(
-        F.expr(f"{fn}({value_col}, 0.5D{acc})").alias("__med")
+        F.expr(f"{fn}({_bt(value_col)}, 0.5D{acc})").alias("__med")
     )
     with_med = base.join(F.broadcast(med), g)
     mad = (

@@ -262,11 +262,16 @@ def histogram(
     beyond the bounds land in the edge bins, so nothing is dropped).
 
     ``lo``/``hi`` default to the column's exact min/max, fetched with
-    one bounded 1-row aggregation; pass them explicitly for stable
-    cross-dataset comparisons (drift dashboards) and to skip that
-    action. NULLs are excluded. The bin arithmetic is two IEEE ops +
-    one floor — deterministic in every engine, no ``width_bucket``
-    dependence.
+    one bounded 1-row aggregation — note that auto-bounds mode therefore
+    runs TWO scans of the table (the min/max job, then the binning
+    aggregation). Pass both bounds explicitly in pipelines: one scan,
+    and stable cross-dataset comparability (drift dashboards). Explicit
+    ``hi <= lo`` raises ``ValueError`` (swapped/inverted bounds from a
+    caller or TOML config would otherwise yield a garbage two-edge-bin
+    histogram); only auto-derived degenerate bounds (single-valued
+    column) fall back to a one-unit-wide single bin. NULLs are excluded.
+    The bin arithmetic is two IEEE ops + one floor — deterministic in
+    every engine, no ``width_bucket`` dependence.
 
     Scale: a map-side bin expression + one aggregation keyed by at most
     ``n_bins`` values — partial aggs collapse the corpus before any
@@ -274,6 +279,11 @@ def histogram(
     """
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
+    if lo is not None and hi is not None and not float(hi) > float(lo):
+        raise ValueError(
+            f"explicit histogram bounds must satisfy hi > lo (got lo={lo},"
+            f" hi={hi}) — swapped or degenerate bounds"
+        )
     col = F.col(value_col).cast("double")
     if lo is None or hi is None:
         row = (
@@ -539,6 +549,12 @@ def correlation_matrix(
             F.sum(qa * qb).alias(f"__sab{i}"),
             F.sum(qa * qa).alias(f"__saa{i}"),
             F.sum(qb * qb).alias(f"__sbb{i}"),
+            # Magnitude guards, accumulated in the SAME pass (no extra
+            # scan): n * max|q|^2 bounds every moment; if it can reach
+            # DECIMAL(38,0) range the sums may have overflowed (silent
+            # NULLs under non-ANSI) — raise instead of emitting garbage.
+            F.max(F.abs(qa)).alias(f"__ma{i}"),
+            F.max(F.abs(qb)).alias(f"__mb{i}"),
         ]
     totals = df.agg(*aggs)
     rows = []
@@ -551,7 +567,23 @@ def correlation_matrix(
         sbb = F.col(f"__sbb{i}").cast("double")
         var_a = n * saa - sa * sa
         var_b = n * sbb - sb * sb
+        mx = F.greatest(
+            F.col(f"__ma{i}").cast("double"),
+            F.col(f"__mb{i}").cast("double"),
+        )
         corr = F.when(
+            F.coalesce(n * mx * mx, F.lit(0.0)) >= F.lit(9e37),
+            F.raise_error(
+                F.format_string(
+                    "correlation_matrix: fixed-point moments for pair"
+                    " (%s, %s) would exceed DECIMAL(38,0) range"
+                    " (n*max|v*10^scale|^2 ~ %e) — lower `scale`",
+                    F.lit(a),
+                    F.lit(b),
+                    n * mx * mx,
+                )
+            ).cast("double"),
+        ).when(
             (F.col(f"__n{i}") > 1) & (var_a > 0) & (var_b > 0),
             (n * sab - sa * sb) / (F.sqrt(var_a) * F.sqrt(var_b)),
         )
@@ -725,8 +757,10 @@ def quantile_summary(
     arr = ", ".join(repr(p) + "D" for p in probs)
     fn = "percentile" if exact else "percentile_approx"
     acc = "" if exact else f", {int(accuracy)}"
+    from cryoflow_spark.functions.curation import _bt
+
     aggs = [
-        F.expr(f"{fn}({c}, array({arr}){acc})").alias(f"__q{i}")
+        F.expr(f"{fn}({_bt(c)}, array({arr}){acc})").alias(f"__q{i}")
         for i, c in enumerate(cols)
     ]
     totals = df.agg(*aggs)

@@ -788,6 +788,12 @@ def stopword_fraction(
 
     assert isinstance(df, DataFrame)
     words = list(stopwords) if stopwords is not None else list(DEFAULT_STOPWORDS)
+    if lowercase:
+        words = [w.lower() for w in words]
+    # Dedupe after case-folding: a duplicated lexicon entry would fan out
+    # the left join against the exploded tokens, inflating BOTH n_tokens
+    # and n_stopwords (user TOML lists arrive verbatim).
+    words = list(dict.fromkeys(words))
     if not words:
         raise ValueError("stopwords must be non-empty")
     spark = df.sparkSession

@@ -59,9 +59,18 @@ def refresh_filter_stream(
         raise ValueError("stream_df must be a streaming DataFrame")
     checkpoint = checkpoint_path or f"{output_path}/_checkpoint"
     cols = list(content_cols)
-    index = latest_df.select(
-        canonicalize_url(url_col).alias("canonical_url"),
-        row_hash(cols).alias("__seen_hash"),
+    # Defensively collapse to ONE row per canonical URL: the documented
+    # contract is one-row-per-page, but an index built from raw dumps
+    # would fan out the per-batch left join and duplicate rows in the
+    # sink. max() keeps a deterministic representative hash; any choice
+    # is equally valid for "has this page changed since the snapshot".
+    index = (
+        latest_df.select(
+            canonicalize_url(url_col).alias("canonical_url"),
+            row_hash(cols).alias("__seen_hash"),
+        )
+        .groupBy("canonical_url")
+        .agg(F.max("__seen_hash").alias("__seen_hash"))
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:

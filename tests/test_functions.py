@@ -2811,6 +2811,19 @@ class TestHistogram:
         empty = spark.createDataFrame([(None,)], "v double")
         assert histogram(empty, "v", n_bins=4).collect() == []
 
+    def test_explicit_swapped_bounds_raise(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.profiling import histogram
+
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError, match="hi > lo"):
+            histogram(df, "v", n_bins=4, lo=100.0, hi=0.0)
+        with pytest.raises(ValueError, match="hi > lo"):
+            histogram(df, "v", n_bins=4, lo=5.0, hi=5.0)
+        # auto-derived degenerate bounds still fall back to one bin
+        assert len(histogram(df, "v", n_bins=4).collect()) == 1
+
     def test_edges_partition_the_range(self, spark):
         from cryoflow_spark.functions.profiling import histogram
 
@@ -3066,6 +3079,32 @@ class TestCorrelationMatrix:
         with pytest.raises(ValueError, match="at least 2"):
             correlation_matrix(df, ["a"])
 
+    def test_fixed_point_overflow_raises_not_garbage(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.profiling import correlation_matrix
+
+        # |v|*10^6 ~ 1e22, so q*q ~ 1e44 > DECIMAL(38,0): per-row
+        # products overflow to NULL under non-ANSI and the moments go
+        # silently wrong — the runtime guard must raise instead.
+        rows = [(1.0e16 + i, 2.0e16 - i) for i in range(4)]
+        df = spark.createDataFrame(rows, "a double, b double")
+        # Under ANSI the decimal SUM itself throws; under non-ANSI the
+        # sums silently go NULL and OUR guard must be what raises.
+        ansi = spark.conf.get("spark.sql.ansi.enabled")
+        try:
+            spark.conf.set("spark.sql.ansi.enabled", "false")
+            with pytest.raises(Exception, match=r"DECIMAL\(38,0\)"):
+                correlation_matrix(df, ["a", "b"]).collect()
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+        # in-range magnitudes pass through the guard untouched
+        ok = spark.createDataFrame(
+            [(float(i), float(-i)) for i in range(4)], "a double, b double"
+        )
+        got = correlation_matrix(ok, ["a", "b"]).collect()[0]
+        assert abs(got["corr"] + 1.0) < 1e-9
+
 
 class TestCategoricalDependence:
     def test_independent_columns_score_near_zero(self, spark):
@@ -3292,6 +3331,28 @@ class TestRobustOutliers:
         with pytest.raises(ValueError, match="k must be"):
             robust_outlier_flags(df, "v", k=0)
 
+    def test_quoted_column_names_reach_the_parser_safely(self, spark):
+        """Columns needing backticks (spaces/hyphens/dots) flow through
+        every percentile-interpolating function without a parse error —
+        plugin/TOML-supplied names arrive verbatim."""
+        from cryoflow_spark.functions.curation import (
+            quantile_threshold_filter,
+            robust_outlier_flags,
+            winsorize,
+        )
+        from cryoflow_spark.functions.profiling import quantile_summary
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], ["id", "my-odd col"]
+        )
+        assert winsorize(df, "my-odd col", p_low=0.1, p_high=0.9).count() == 10
+        flags = robust_outlier_flags(df, "my-odd col").collect()
+        assert len(flags) == 10
+        kept = quantile_threshold_filter(df, "my-odd col", p=0.5)
+        assert kept.count() == 5
+        qs = quantile_summary(df, ["my-odd col"], probabilities=[0.5])
+        assert qs.collect()[0]["quantile"] == 4.5
+
 
 class TestStopwordFraction:
     def test_fractions_and_exclusions(self, spark):
@@ -3322,3 +3383,18 @@ class TestStopwordFraction:
         assert r["n_stopwords"] == 2
         with pytest.raises(ValueError, match="stopwords"):
             stopword_fraction(df, stopwords=[])
+
+    def test_duplicated_lexicon_not_double_counted(self, spark):
+        from cryoflow_spark.functions.text import stopword_fraction
+
+        df = spark.createDataFrame(
+            [(1, "foo bar foo")], "doc_id long, text string"
+        )
+        # "FOO" case-folds onto "foo"; duplicates must NOT fan out the
+        # join (previously n_tokens/n_stopwords tripled).
+        r = stopword_fraction(
+            df, stopwords=["foo", "FOO", "foo"]
+        ).collect()[0]
+        assert r["n_tokens"] == 3
+        assert r["n_stopwords"] == 2
+        assert abs(r["stopword_frac"] - 2 / 3) < 1e-12

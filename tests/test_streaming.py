@@ -400,6 +400,41 @@ def test_refresh_filter_stream_emits_only_new_or_changed(spark, tmp_path):
     assert rows == [(2, False), (3, True)]
 
 
+def test_refresh_filter_stream_collapses_duplicate_index(spark, tmp_path):
+    """A snapshot index built from raw dumps (several rows per page)
+    must not fan out the per-batch join — each kept fetch lands ONCE."""
+    import duckdb as _duck
+
+    from cryoflow_spark.streaming.refresh_stream import refresh_filter_stream
+
+    latest = spark.createDataFrame(
+        # same canonical URL three times, two distinct content hashes
+        [("https://e.com/a", "old v1"),
+         ("https://e.com/a?utm_source=x", "old v1"),
+         ("https://e.com/a", "old v2")],
+        "url string, text string",
+    )
+    src = tmp_path / "fetches"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "https://e.com/a", "fresh content"),
+         (2, "https://e.com/new", "brand new")],
+        "fetch_id long, url string, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema("fetch_id long, url string, text string")
+        .parquet(str(src))
+    )
+    out = tmp_path / "landed"
+    q = refresh_filter_stream(stream, latest, str(out), content_cols=["text"])
+    q.awaitTermination(120)
+    rows = _duck.sql(
+        f"SELECT fetch_id, count(*) FROM '{out}/batch_id=*/*.parquet'"
+        " GROUP BY fetch_id ORDER BY fetch_id"
+    ).fetchall()
+    assert rows == [(1, 1), (2, 1)]
+
+
 def test_refresh_filter_stream_rejects_batch_frame(spark):
     from cryoflow_spark.streaming.refresh_stream import refresh_filter_stream
 
