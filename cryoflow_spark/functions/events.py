@@ -2,15 +2,15 @@
 
 Engine extension (north-star family): the classic product-analytics
 funnel — of the users who did step 1, how many went on to do step 2
-within the horizon, then step 3... — expressed as a chain of per-user
-min-time aggregations and equi-joins, never a window over the whole
-event log.
+within the horizon, then step 3... — expressed as ONE scan + ONE
+per-user aggregation with the stage recursion in array expressions,
+never a window over the whole event log and never a per-stage rescan.
 
-Scale: each stage is one ``groupBy(user)`` aggregation over only the
-rows of that stage's event type (filter pushed to the scan) plus one
-user-keyed equi-join against the previous stage's (user, time) table —
-which only SHRINKS stage over stage. No global windows, no driver
-state; the number of stages bounds the number of joins.
+Scale: ``type IN steps`` prunes at the parquet scan, one
+``groupBy(user)`` shuffle carries each user's own funnel-type event
+times (the sessionization locality contract), and the S-stage
+recursion is per-row compute — the fact table is read exactly once
+however many stages the funnel has.
 """
 
 from __future__ import annotations
@@ -37,6 +37,19 @@ def conversion_funnel(
     user's EARLIEST step-1 event). ``conversion_rate`` is relative to
     the stage-1 cohort (one exact divide).
 
+    ONE scan of the fact table: ``type IN steps`` prunes at the scan,
+    then a single ``groupBy(user)`` collects one SORTED time-array per
+    step type, and the whole stage recursion runs as per-row array
+    expressions — ``t_i = array_min(filter(times_i, e -> e > t_{i-1}
+    and e <= t_{i-1} + horizon))`` — followed by a 1-row count
+    aggregation. (A naive per-stage formulation rescans the event log
+    once per stage: an S-stage funnel over 100 TB = S full scans; this
+    shape pays the scan and the user-keyed shuffle exactly once.) The
+    per-user state is the user's OWN funnel-type event times — the same
+    per-key locality contract as sessionization. A NULL user id counts
+    in the stage-1 cohort but never converts later (equi-join
+    semantics, matching the SQL formulation).
+
     Deterministic by construction: conversion times are minima, so
     event order and partitioning cannot change the result.
     """
@@ -48,47 +61,67 @@ def conversion_funnel(
     us = F.unix_micros(F.col(ts_col))
     horizon_us = int(horizon_seconds) * 1_000_000
 
-    stage = (
-        events.filter(F.col(type_col) == steps[0])
-        .groupBy(user_col)
-        .agg(F.min(us).alias("__t"))
+    per_user = (
+        events.filter(F.col(type_col).isin(steps))
+        .select(F.col(user_col).alias("__u"), F.col(type_col), us.alias("__e"))
+        .groupBy("__u")
+        .agg(
+            *[
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col(type_col) == s, F.col("__e"))
+                    )
+                ).alias(f"__ts{i}")
+                for i, s in enumerate(steps)
+            ]
+        )
     )
-    counts = [stage.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))]
-    for s in steps[1:]:
-        nxt = (
-            events.filter(F.col(type_col) == s)
-            .select(F.col(user_col), us.alias("__e"))
-            .join(stage.withColumnRenamed("__t", "__prev"), user_col)
-            .filter(
-                (F.col("__e") > F.col("__prev"))
-                & (F.col("__e") <= F.col("__prev") + F.lit(horizon_us))
+    # Stage recursion as pure column expressions over the arrays.
+    # NB: the lambda must be unary — PySpark reads a second parameter
+    # as the (element, index) binary form — so bind `prev` via a real
+    # closure, not a default argument.
+    def _first_after(times, prev):
+        return F.array_min(
+            F.filter(
+                times,
+                lambda e: (e > prev) & (e <= prev + F.lit(horizon_us)),
             )
-            .groupBy(user_col)
-            .agg(F.min("__e").alias("__t"))
         )
-        counts.append(
-            nxt.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
-        )
-        stage = nxt
 
-    rows = None
-    for i, (s, c) in enumerate(zip(steps, counts)):
-        labeled = c.select(
+    stage_ts = [F.array_min(F.col("__ts0"))]
+    for i in range(1, len(steps)):
+        nxt = _first_after(F.col(f"__ts{i}"), stage_ts[i - 1])
+        # NULL user ids never survive an equi-join past stage 1.
+        stage_ts.append(F.when(F.col("__u").isNotNull(), nxt))
+    flags = per_user.select(
+        *[t.alias(f"__c{i}") for i, t in enumerate(stage_ts)]
+    )
+    totals = flags.agg(
+        *[
+            F.count(F.col(f"__c{i}")).cast("bigint").alias(f"__n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = [
+        F.struct(
             F.lit(i + 1).cast("int").alias("step"),
             F.lit(s).alias("event_type"),
-            F.col("__n").alias("n_users"),
+            F.col(f"__n{i}").alias("n_users"),
         )
-        rows = labeled if rows is None else rows.unionByName(labeled)
-    cohort = counts[0].select(F.col("__n").alias("__cohort"))
+        for i, s in enumerate(steps)
+    ]
     return (
-        rows.crossJoin(F.broadcast(cohort))
+        totals.select(
+            F.col("__n0").alias("__cohort"),
+            F.explode(F.array(*rows)).alias("__r"),
+        )
         .select(
-            "step",
-            "event_type",
-            "n_users",
+            F.col("__r.step").alias("step"),
+            F.col("__r.event_type").alias("event_type"),
+            F.col("__r.n_users").alias("n_users"),
             F.when(
                 F.col("__cohort") > 0,
-                F.col("n_users").cast("double")
+                F.col("__r.n_users").cast("double")
                 / F.col("__cohort").cast("double"),
             ).alias("conversion_rate"),
         )

@@ -144,9 +144,6 @@ def test_no_cartesian_products(all_plans):
         # distinct-B cross (bounded categorical domains) + the 1-row N
         # scalar — both deliberate bounded broadcasts.
         "x77_categorical_dependence",
-        # 1-row cohort-count scalar crossJoin(broadcast) into the
-        # per-stage counts (len(steps) rows) — same scalar pattern.
-        "x80_conversion_funnel",
         # 1-row corpus-min-timestamp scalar crossJoin(broadcast) into
         # the event stream (anchors period buckets) — same pattern.
         "x81_retention_cohorts",
@@ -200,6 +197,17 @@ def test_no_unpartitioned_window_outside_bounded_envelopes(all_plans):
                 assert expected_marker in line, (name, line)
                 n += k
         assert n == expected_n, (name, n)
+
+
+def test_conversion_funnel_scans_events_once(spark, registry):
+    """x80: an S-stage funnel must read the fact table ONCE — the stage
+    recursion runs as array expressions after a single groupBy(user),
+    not as S per-stage rescans (S full scans of 100 TB otherwise)."""
+    plan = plan_of(registry["x80_conversion_funnel"].fn(spark, SF), "simple")
+    scans = plan.count("Scan parquet")
+    assert scans == 1, f"expected 1 events scan, plan has {scans}"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_pack_token_shards_partitioned_mode_no_global_window(spark):
