@@ -693,6 +693,117 @@ def categorical_dependence(
     )
 
 
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns —
+    ``(n, n_cells, h_a, h_b, mi, nmi)`` in nats — the standard
+    feature-selection dependence number (how much does knowing
+    ``source`` tell you about ``lang``?), companion to the χ²/Cramér's V
+    report of :func:`categorical_dependence`. ``nmi`` is the
+    sqrt-normalized variant ``mi / sqrt(h_a * h_b)`` in [0, 1] (NULL
+    when either marginal entropy is 0, i.e. a constant column).
+
+    Exactness/portability: the contingency cells are exact integer
+    counts from ONE corpus aggregation; marginals and the grand total
+    derive from the bounded cell table (no second scan of the fact
+    table). Each cell term ``obs · ln(obs·n / (ra·cb))`` uses the
+    6-decimal ``round(ln(...), 6)`` contract (libm ``ln`` differs by
+    ulps between engines; the rounded value is identical) and the terms
+    are summed by a LEFT FOLD in (a, b) order — bit-identical across
+    engines and partitionings. The single divide by ``n`` happens once
+    at the end. Due to the rounding contract, ``mi`` of independent
+    columns can come out a hair below 0 (|error| ≤ n_cells·5e-7).
+    NULL categories count as a regular category (sentinel '<NULL>').
+
+    Scale: one (a, b) aggregation over the corpus is the only
+    corpus-sized work; everything after operates on the |A|·|B| cell
+    table and the |A| / |B| marginal tables (bounded categorical
+    domains — for high-cardinality keys use ``key_skew_report``). The
+    folds and scalar cross-joins run on broadcast-sized frames.
+    """
+    a, b = "__a", "__b"
+    base = df.select(
+        F.coalesce(F.col(col_a).cast("string"), F.lit("<NULL>")).alias(a),
+        F.coalesce(F.col(col_b).cast("string"), F.lit("<NULL>")).alias(b),
+    )
+    cells = base.groupBy(a, b).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__obs")
+    )
+    ra = cells.groupBy(a).agg(F.sum("__obs").cast("bigint").alias("__ra"))
+    cb = cells.groupBy(b).agg(F.sum("__obs").cast("bigint").alias("__cb"))
+    n_df = cells.agg(F.sum("__obs").cast("bigint").alias("__n"))
+
+    def _fold(sorted_structs):
+        return F.aggregate(
+            F.transform(F.array_sort(sorted_structs), lambda s: s["t"]),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    obs_d = F.col("__obs").cast("double")
+    n_d = F.col("__n").cast("double")
+    mi_term = obs_d * F.round(
+        F.log(
+            (obs_d * n_d)
+            / (F.col("__ra").cast("double") * F.col("__cb").cast("double"))
+        ),
+        6,
+    )
+    mi_row = (
+        cells.join(F.broadcast(ra), a)
+        .join(F.broadcast(cb), b)
+        .crossJoin(F.broadcast(n_df))
+        .agg(
+            _fold(
+                F.collect_list(
+                    F.struct(
+                        F.col(a).alias("a"),
+                        F.col(b).alias("b"),
+                        mi_term.alias("t"),
+                    )
+                )
+            ).alias("__misum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.max("__n").alias("__n"),
+        )
+    )
+
+    def _entropy_row(marg, key, cnt, out):
+        c_d = F.col(cnt).cast("double")
+        term = c_d * F.round(F.log(c_d / n_d), 6)
+        return marg.crossJoin(F.broadcast(n_df)).agg(
+            _fold(
+                F.collect_list(
+                    F.struct(F.col(key).alias("a"), term.alias("t"))
+                )
+            ).alias(out)
+        )
+
+    ha_row = _entropy_row(ra, a, "__ra", "__hasum")
+    hb_row = _entropy_row(cb, b, "__cb", "__hbsum")
+    n_dd = F.col("__n").cast("double")
+    h_a = (F.lit(0.0) - F.col("__hasum")) / n_dd
+    h_b = (F.lit(0.0) - F.col("__hbsum")) / n_dd
+    mi = F.col("__misum") / n_dd
+    return (
+        mi_row.crossJoin(F.broadcast(ha_row))
+        .crossJoin(F.broadcast(hb_row))
+        .select(
+            F.col("__n").alias("n"),
+            "n_cells",
+            h_a.alias("h_a"),
+            h_b.alias("h_b"),
+            mi.alias("mi"),
+            F.when(
+                (h_a > 0) & (h_b > 0), mi / F.sqrt(h_a * h_b)
+            ).alias("nmi"),
+        )
+    )
+
+
 def duplication_profile(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -30,6 +30,9 @@ disturbing the main stream. Options:
 - ``report = "dependence"`` emits the chi-square / Cramér's V test
   between categorical ``column_a`` and ``column_b`` (metadata
   confounding audit).
+- ``report = "mutual_information"`` emits the MI / normalized-MI /
+  marginal-entropy report between categorical ``column_a`` and
+  ``column_b`` (feature-selection dependence, nats).
 - ``report = "correlations"`` emits the one-pass pairwise Pearson
   matrix over ``columns`` (exact fixed-point moments, ``scale``
   default 6).
@@ -150,6 +153,15 @@ class ProfilePlugin(AnalyzedTransformPlugin):
             )
 
             return categorical_dependence(
+                data,
+                self.require_option("column_a"),
+                self.require_option("column_b"),
+            )
+
+        if self.options.get("report") == "mutual_information":
+            from cryoflow_spark.functions.profiling import mutual_information
+
+            return mutual_information(
                 data,
                 self.require_option("column_a"),
                 self.require_option("column_b"),

@@ -3714,3 +3714,75 @@ def _x83_oracle() -> str:
 def x83_stopword_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return X.stopword_fraction(d)
+
+
+# --- x84: mutual information (oracle-checked) -----------------------------
+
+
+@register(
+    "x84_mutual_information",
+    """
+    WITH base AS (
+      SELECT COALESCE(lang::VARCHAR, '<NULL>') AS a,
+             COALESCE(source::VARCHAR, '<NULL>') AS b
+      FROM documents
+    ),
+    cells AS (SELECT a, b, COUNT(*)::BIGINT AS obs FROM base GROUP BY a, b),
+    ra AS (SELECT a, SUM(obs)::BIGINT AS ra FROM cells GROUP BY a),
+    cb AS (SELECT b, SUM(obs)::BIGINT AS cb FROM cells GROUP BY b),
+    n AS (SELECT SUM(obs)::BIGINT AS n FROM cells),
+    terms AS (
+      SELECT c.a, c.b,
+             c.obs::DOUBLE * ROUND(LN((c.obs::DOUBLE * n.n::DOUBLE)
+                 / (ra.ra::DOUBLE * cb.cb::DOUBLE)), 6) AS t
+      FROM cells c
+      JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN n
+    ),
+    mi AS (
+      SELECT list_reduce(
+               list_prepend(0.0::DOUBLE, list(t ORDER BY a, b)),
+               (acc, x) -> acc + x) AS misum,
+             COUNT(*)::BIGINT AS n_cells
+      FROM terms
+    ),
+    ha AS (
+      SELECT list_reduce(
+               list_prepend(0.0::DOUBLE,
+                 list(ra.ra::DOUBLE
+                      * ROUND(LN(ra.ra::DOUBLE / n.n::DOUBLE), 6)
+                      ORDER BY a)),
+               (acc, x) -> acc + x) AS hasum
+      FROM ra CROSS JOIN n
+    ),
+    hb AS (
+      SELECT list_reduce(
+               list_prepend(0.0::DOUBLE,
+                 list(cb.cb::DOUBLE
+                      * ROUND(LN(cb.cb::DOUBLE / n.n::DOUBLE), 6)
+                      ORDER BY b)),
+               (acc, x) -> acc + x) AS hbsum
+      FROM cb CROSS JOIN n
+    )
+    SELECT n.n AS n, mi.n_cells,
+           (0.0 - ha.hasum) / n.n::DOUBLE AS h_a,
+           (0.0 - hb.hbsum) / n.n::DOUBLE AS h_b,
+           mi.misum / n.n::DOUBLE AS mi,
+           CASE WHEN (0.0 - ha.hasum) / n.n::DOUBLE > 0
+                 AND (0.0 - hb.hbsum) / n.n::DOUBLE > 0
+             THEN (mi.misum / n.n::DOUBLE)
+                  / sqrt(((0.0 - ha.hasum) / n.n::DOUBLE)
+                         * ((0.0 - hb.hbsum) / n.n::DOUBLE))
+           END AS nmi
+    FROM mi CROSS JOIN ha CROSS JOIN hb CROSS JOIN n
+    """,
+    "Mutual information (+ sqrt-normalized NMI and both marginal "
+    "entropies, nats) between lang and source: exact integer cells from "
+    "ONE corpus aggregation, marginals derived from the bounded cell "
+    "table, 6-decimal round(ln) contract + order-canonical folds — the "
+    "feature-selection companion to x77's chi-square",
+)
+def x84_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import mutual_information
+
+    d = load(spark, sf_dir, "documents")
+    return mutual_information(d, "lang", "source")

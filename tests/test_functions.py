@@ -3139,6 +3139,50 @@ class TestCategoricalDependence:
         assert r1["n"] == 25
 
 
+class TestMutualInformation:
+    def test_independent_columns_score_near_zero(self, spark):
+        from cryoflow_spark.functions.profiling import mutual_information
+
+        rows = [(x, y) for x in ("p", "q") for y in ("u", "v")
+                for _ in range(25)]
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = mutual_information(df, "a", "b").collect()[0]
+        assert r["n"] == 100 and r["n_cells"] == 4
+        # 6-decimal ln contract: |mi| bounded by n_cells * 5e-7
+        assert abs(r["mi"]) < 1e-5
+        import math
+        assert abs(r["h_a"] - math.log(2)) < 1e-5
+        assert abs(r["h_b"] - math.log(2)) < 1e-5
+
+    def test_perfect_dependence_hits_entropy_bound(self, spark):
+        import math
+
+        from cryoflow_spark.functions.profiling import mutual_information
+
+        # 4 balanced categories, b determined by a: mi = h_a = h_b = ln 4
+        rows = [(c, c.upper()) for c in "wxyz" for _ in range(10)]
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = mutual_information(df, "a", "b").collect()[0]
+        assert abs(r["mi"] - math.log(4)) < 1e-5
+        assert abs(r["nmi"] - 1.0) < 1e-5
+        assert r["n_cells"] == 4  # only observed cells (zeros add 0)
+
+    def test_constant_column_gives_null_nmi_and_invariance(self, spark):
+        from cryoflow_spark.functions.profiling import mutual_information
+
+        rows = [("k", y, ) for y in ("u", "v") for _ in range(10)]
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = mutual_information(df, "a", "b").collect()[0]
+        assert r["h_a"] == 0.0 and r["nmi"] is None
+        # NULLs are a category; folds are order-canonical: bit-equal
+        rows2 = [(None, "u"), ("p", "u"), ("p", None)] * 7
+        df2 = spark.createDataFrame(rows2, "a string, b string")
+        r1 = mutual_information(df2, "a", "b").collect()[0]
+        r2 = mutual_information(df2.repartition(7), "a", "b").collect()[0]
+        assert r1["mi"] == r2["mi"] and r1["h_a"] == r2["h_a"]
+        assert r1["n"] == 21
+
+
 class TestDuplicationProfile:
     def test_multiplicity_histogram_with_overflow(self, spark):
         from cryoflow_spark.functions.profiling import duplication_profile

@@ -144,6 +144,10 @@ def test_no_cartesian_products(all_plans):
         # distinct-B cross (bounded categorical domains) + the 1-row N
         # scalar — both deliberate bounded broadcasts.
         "x77_categorical_dependence",
+        # 1-row grand-total scalar crossJoin(broadcast) into the
+        # bounded cell/marginal tables + 1-row entropy/MI row joins —
+        # every nested-loop input is a scalar or |A|/|B|-sized frame.
+        "x84_mutual_information",
         # 1-row corpus-min-timestamp scalar crossJoin(broadcast) into
         # the event stream (anchors period buckets) — same pattern.
         "x81_retention_cohorts",

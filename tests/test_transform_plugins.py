@@ -926,6 +926,27 @@ def test_profile_corpus_report_mode(spark):
     )
 
 
+def test_profile_mutual_information_mode(spark):
+    import math
+
+    from cryoflow_spark.plugins.transform import ProfilePlugin
+
+    # perfect dependence over 2 balanced categories: mi = ln 2, nmi = 1
+    df = spark.createDataFrame(
+        [("p", "u")] * 10 + [("q", "v")] * 10, "a string, b string"
+    )
+    out = _run(
+        ProfilePlugin(
+            {"report": "mutual_information", "column_a": "a", "column_b": "b"}
+        ),
+        df,
+    )
+    row = out.collect()[0]
+    assert row["n"] == 20 and row["n_cells"] == 2
+    assert abs(row["mi"] - math.log(2)) < 1e-5
+    assert abs(row["nmi"] - 1.0) < 1e-5
+
+
 def test_dedup_minhash_signature_and_presig_plugin(spark):
     """Signature persistence through TOML: annotate the corpus stream,
     then incremental-dedup against the stored column."""
