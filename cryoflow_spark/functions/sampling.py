@@ -461,3 +461,145 @@ def token_budget_mix(
         )
         .drop("__rate")
     )
+
+
+def water_fill_token_budget(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    budget_tokens: int,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    buckets: int = BUCKETS,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Water-filling token-budget allocation: like
+    :func:`token_budget_mix` (~``budget_tokens`` total with per-source
+    token shares following ``t_s^alpha``), but the budget a SATURATED
+    source cannot absorb (its keep rate clamps at 1) is REDISTRIBUTED
+    to the unsaturated sources instead of silently underfilling — the
+    real epoch planner's allocation (the classical water-filling
+    problem of resource allocation).
+
+    No iteration is needed: sources saturate in increasing ``t_s/w_s``
+    order, so the fixpoint has a closed form. Sort sources by that
+    ratio, and for each prefix boundary compute the hypothetical water
+    level ``λ_i = (B - Σ_{j<i} t_j) / Σ_{j>=i} w_j``; the final level
+    is ``λ* = max_i λ_i`` (the level rises while genuinely saturated
+    sources leave, falls once the hypothesis starts saturating sources
+    it shouldn't), and every source's keep rate is uniformly
+    ``min(1, λ* / (t_s/w_s))``. Expected kept tokens equal exactly
+    ``min(B, total)``: saturated sources contribute ``t_s``, the rest
+    ``w_s·λ*``, which telescopes to ``B`` by construction.
+
+    Portability: weights quantize to fixed-point
+    ``floor(t^alpha · weight_scale)`` BIGINTs; both running prefix sums
+    are EXACT integer/decimal window sums over the |sources|-row table
+    (a float cumsum would depend on the engine's accumulation tree —
+    DuckDB's windowed segment tree vs a left fold), so every ``λ_i``
+    derives from identical integers and the result is bit-identical
+    across engines. The keep decision is the same md5-bucket filter as
+    every mixer (docs atomic; realized tokens fluctuate by sampling
+    noise + per-source rate quantization to 1/buckets).
+
+    Scale: one token-count aggregation per source (map-side partials),
+    three window specs over the |sources|-row frame (bounded by the
+    source domain — see the plan-test envelope), a 1-row λ* broadcast,
+    and the map-only bucket filter. The fact table shuffles zero times.
+    """
+    from cryoflow_spark.functions.text import token_count
+
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if weight_scale <= 0:
+        raise ValueError("weight_scale must be positive")
+    counts = df.groupBy(source_col).agg(
+        F.sum(token_count(text_col)).cast("bigint").alias("_wf_t")
+    )
+    rates = water_fill_rates(
+        counts, source_col, budget_tokens, alpha, weight_scale
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(
+            hash_bucket(key_col, buckets)
+            < F.floor(F.col("__rate") * buckets).cast("bigint")
+        )
+        .drop("__rate")
+    )
+
+
+def water_fill_rates(
+    counts: DataFrame,
+    source_col: str,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Closed-form water-filling keep rates from a per-source token
+    count table ``(source_col, _wf_t)`` — the allocation core of
+    :func:`water_fill_token_budget`, exposed separately so the fixpoint
+    property (expected kept tokens == min(budget, total); agreement
+    with the iterative algorithm) is directly testable. Returns
+    ``(source_col, __rate)``.
+    """
+    from pyspark.sql import Window
+
+    td = F.col("_wf_t").cast("double")
+    if alpha == 0.5:
+        w = F.sqrt(td)
+    elif alpha == 1.0:
+        w = td
+    else:
+        w = F.pow(td, F.lit(float(alpha)))
+    weighted = counts.select(
+        source_col,
+        "_wf_t",
+        F.floor(w * F.lit(float(weight_scale)))
+        .cast("decimal(38,0)")
+        .alias("_wf_wq"),
+    ).withColumn(
+        "_wf_r",
+        td * F.lit(float(weight_scale)) / F.col("_wf_wq").cast("double"),
+    )
+    # Exact prefix sums over the bounded source table (sorted by the
+    # saturation order t/w with a deterministic name tiebreak).
+    prefix = (
+        Window.orderBy("_wf_r", source_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    everything = Window.orderBy("_wf_r", source_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    win = weighted.select(
+        source_col,
+        "_wf_t",
+        "_wf_wq",
+        "_wf_r",
+        F.coalesce(F.sum("_wf_t").over(prefix), F.lit(0).cast("bigint"))
+        .cast("bigint")
+        .alias("_wf_cumt"),
+        (
+            F.sum("_wf_wq").over(everything)
+            - F.coalesce(
+                F.sum("_wf_wq").over(prefix),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+        ).alias("_wf_sufw"),
+    )
+    lam_i = (
+        (F.lit(int(budget_tokens)) - F.col("_wf_cumt")).cast("double")
+        / (F.col("_wf_sufw").cast("double") / F.lit(float(weight_scale)))
+    )
+    lamstar = win.agg(F.max(lam_i).alias("_wf_lam"))
+    return (
+        win.crossJoin(F.broadcast(lamstar))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0), F.col("_wf_lam") / F.col("_wf_r")
+            ).alias("__rate"),
+        )
+    )

@@ -25,6 +25,10 @@ of a 10% sample). Modes (option ``method``):
 - ``token_budget``: keep ~``budget_tokens`` TOKENS with per-source
   token shares ∝ t^alpha (epoch planning); options ``source_column``,
   ``budget_tokens``, ``column`` (text, default ``text``), ``alpha``.
+- ``water_fill``: ``token_budget`` with the clamped surplus of
+  saturated sources REDISTRIBUTED to unsaturated ones (closed-form
+  water-filling; expected kept tokens exactly min(budget, total));
+  same options as ``token_budget``.
 - ``exact_n``: exactly ``n`` rows by md5 key order (nested,
   TakeOrdered plan — never a global sort).
 - ``leakage_safe``: cluster-aware train/test split — near-duplicate
@@ -142,6 +146,17 @@ class SamplePlugin(SiblingAwareTransformPlugin):
 
         if method == "token_budget":
             return S.token_budget_mix(
+                data,
+                self.require_option("source_column"),
+                key,
+                budget_tokens=int(self.require_option("budget_tokens")),
+                text_col=self.options.get("column", "text"),
+                alpha=float(self.options.get("alpha", 0.5)),
+                buckets=buckets,
+            )
+
+        if method == "water_fill":
+            return S.water_fill_token_budget(
                 data,
                 self.require_option("source_column"),
                 key,

@@ -3786,3 +3786,69 @@ def x84_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return mutual_information(d, "lang", "source")
+
+
+# --- x85: water-filling token budget (oracle-checked) ---------------------
+
+
+@register(
+    "x85_water_fill_budget",
+    f"""
+    WITH counts AS (
+      SELECT source,
+             SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t != '')))::BIGINT AS t
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, t,
+             CAST(FLOOR(sqrt(t::DOUBLE) * 1000000.0) AS BIGINT) AS wq
+      FROM counts
+    ),
+    ordw AS (
+      SELECT source, t, wq,
+             (t::DOUBLE * 1000000.0) / wq::DOUBLE AS r
+      FROM w
+    ),
+    win AS (
+      SELECT source, r,
+             COALESCE(CAST(SUM(t) OVER (
+                 ORDER BY r, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS cumt,
+             CAST(SUM(wq) OVER () AS HUGEINT)
+               - COALESCE(CAST(SUM(wq) OVER (
+                   ORDER BY r, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS HUGEINT), 0) AS sufw
+      FROM ordw
+    ),
+    lam AS (
+      SELECT MAX((26000 - cumt)::DOUBLE / (sufw::DOUBLE / 1000000.0))
+               AS lamstar
+      FROM win
+    ),
+    rates AS (
+      SELECT win.source, LEAST(1.0, lam.lamstar / win.r) AS rate
+      FROM win CROSS JOIN lam
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN rates r USING (source)
+    WHERE {{bucket}} < CAST(FLOOR(r.rate * 1000000) AS BIGINT)
+    """.format(bucket=_sql_hash_bucket("d.doc_id")),
+    "Water-filling token budget: the surplus a saturated source cannot "
+    "absorb redistributes to unsaturated sources (closed form — "
+    "sources saturate in t/w order, λ* = max hypothetical water level "
+    "over exact integer prefix sums; uniform rate min(1, λ*·w/t)); "
+    "expected kept tokens exactly min(B, total), vs x69's documented "
+    "one-shot underfill",
+)
+def x85_water_fill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.sampling import water_fill_token_budget
+
+    d = load(spark, sf_dir, "documents")
+    out = water_fill_token_budget(
+        d, source_col="source", key_col="doc_id",
+        budget_tokens=26_000, alpha=0.5,
+    )
+    return out.select("doc_id", "source")

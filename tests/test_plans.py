@@ -148,6 +148,9 @@ def test_no_cartesian_products(all_plans):
         # bounded cell/marginal tables + 1-row entropy/MI row joins —
         # every nested-loop input is a scalar or |A|/|B|-sized frame.
         "x84_mutual_information",
+        # 1-row water-level scalar crossJoin(broadcast) into the
+        # |sources|-row rate table — same scalar pattern.
+        "x85_water_fill_budget",
         # 1-row corpus-min-timestamp scalar crossJoin(broadcast) into
         # the event stream (anchors period buckets) — same pattern.
         "x81_retention_cohorts",
@@ -175,6 +178,10 @@ _BOUNDED_WINDOW_ENVELOPES = {
     # stitch windows run over the per-range-partition totals table.
     "x62_quantile_buckets": ("_psize", 2),
     "x28_source_mix": ("min(_w0", 1),
+    # water-filling allocator: exact prefix/total sums over the
+    # |sources|-row counts table (saturation-order sort) — 3 specs in
+    # one Window over a frame bounded by the source domain.
+    "x85_water_fill_budget": ("sum(_wf", 3),
     # temperature_mix: same rebalance shape — the min runs over the
     # |sources|-row counts table (functions/sampling.py temperature_mix).
     "x58_temperature_mix": ("min(_w0", 1),

@@ -268,6 +268,85 @@ def test_token_budget_saturation_underfills(spark):
     assert tiny_kept == 5  # rate clamped at 1: all docs survive
 
 
+def _brute_force_water_fill(caps: dict, budget: float, alpha: float):
+    """Iterative reference: redistribute saturated surplus to fixpoint."""
+    active = dict(caps)
+    rates = {}
+    lam = 0.0
+    while active:
+        W = sum(t**alpha for t in active.values())
+        lam = budget / (W / 1.0)
+        newly = {s: t for s, t in active.items() if (t**alpha) * lam >= t}
+        if not newly:
+            break
+        for s, t in newly.items():
+            rates[s] = 1.0
+            budget -= t
+            del active[s]
+    for s, t in active.items():
+        rates[s] = (t**alpha) * lam / t
+    return rates, lam
+
+
+def test_water_fill_matches_iterative_reference(spark):
+    """Closed-form λ* = max hypothetical level == the iterative
+    fixpoint, on an adversarial mix of saturating sources."""
+    from cryoflow_spark.functions.sampling import water_fill_rates
+
+    caps = {"a": 10, "b": 25, "c": 40000, "d": 900, "e": 3}
+    counts = spark.createDataFrame(
+        [(s, t) for s, t in caps.items()], "source string, _wf_t long"
+    )
+    for budget in (50, 500, 5_000, 20_000, 100_000):
+        got = {
+            r["source"]: r["__rate"]
+            for r in water_fill_rates(counts, "source", budget).collect()
+        }
+        want, _ = _brute_force_water_fill(caps, float(budget), 0.5)
+        for s in caps:
+            assert abs(got[s] - want[s]) < 1e-6, (budget, s, got, want)
+        # fixpoint property: expected kept tokens == min(budget, total)
+        expected = sum(got[s] * caps[s] for s in caps)
+        assert abs(expected - min(budget, sum(caps.values()))) < 1e-3, (
+            budget,
+            expected,
+        )
+
+
+def test_water_fill_redistributes_where_one_shot_underfills(spark):
+    from cryoflow_spark.functions.sampling import (
+        token_budget_mix,
+        water_fill_token_budget,
+    )
+    from cryoflow_spark.functions.text import token_count
+
+    # tiny saturates (25 tokens << its sqrt-fair share): one-shot leaves
+    # the surplus on the floor, water-filling hands it to huge.
+    rows = [(i, "tiny" if i < 5 else "huge", "a b c d e")
+            for i in range(2005)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    one_shot = token_budget_mix(df, "source", "doc_id", budget_tokens=5000)
+    filled = water_fill_token_budget(
+        df, "source", "doc_id", budget_tokens=5000
+    )
+    def toks(out):
+        return out.agg(F.sum(token_count("text")).alias("t")).collect()[0]["t"]
+    assert filled.filter(F.col("source") == "tiny").count() == 5
+    # water level: λ* = (5000-25)/sqrt(10000) = 49.75 -> huge expected
+    # 4975 tokens; one-shot λ0 = 5000/(5+100) = 47.6 -> huge ~4762.
+    assert toks(one_shot) < toks(filled)
+    assert abs(toks(filled) - 5000) <= 200  # bucket-quantization noise
+
+
+def test_water_fill_budget_above_total_keeps_everything(spark):
+    from cryoflow_spark.functions.sampling import water_fill_token_budget
+
+    rows = [(i, f"s{i % 3}", "w x y") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = water_fill_token_budget(df, "source", "doc_id", budget_tokens=10**6)
+    assert out.count() == 60
+
+
 def test_token_budget_validates_inputs(spark):
     import pytest
 

@@ -463,6 +463,28 @@ class TestSamplePlugin:
                S.weighted_sample(docs, "doc_id", "score", 0.002, 300.0).collect()}
         assert {r["doc_id"] for r in out.collect()} == exp
 
+    def test_water_fill_matches_library(self, spark):
+        from cryoflow_spark.functions import sampling as S
+
+        from cryoflow_spark.plugins.transform import SamplePlugin
+
+        rows = [(i, "tiny" if i < 5 else "huge", "a b c d e")
+                for i in range(105)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        out = _run(
+            SamplePlugin({
+                "method": "water_fill", "key_column": "doc_id",
+                "source_column": "source", "budget_tokens": 300,
+            }),
+            df,
+        )
+        exp = {r["doc_id"] for r in S.water_fill_token_budget(
+            df, "source", "doc_id", 300).collect()}
+        assert {r["doc_id"] for r in out.collect()} == exp
+        assert out.filter(out.source == "tiny").count() == 5  # saturated
+
     def test_stratified_and_rebalance(self, docs):
         from cryoflow_spark.plugins.transform import SamplePlugin
 
