@@ -503,6 +503,7 @@ def correlation_matrix(
     df: DataFrame,
     columns: Sequence[str],
     scale: int = 6,
+    exact: bool = True,
 ) -> DataFrame:
     """Pairwise Pearson correlations over numeric columns in ONE pass —
     the feature-redundancy / metadata-dependence audit (which quality
@@ -522,10 +523,53 @@ def correlation_matrix(
     (corr NULL when a side is constant). Scale: C(C-1)/2 · 4 partial
     sums map-side, one 1-row aggregation, explode to pair rows — cost
     is the scan, quadratic only in the (small) column count.
+
+    ``exact=False`` switches to plain double moments via the built-in
+    ``corr`` aggregate — the 100 TB mode: same one-pass plan, no
+    fixed-point resolution limit and no DECIMAL(38,0) magnitude
+    ceiling, at the price of last-ulp partition dependence (not
+    oracle-checkable bit-identically; ±1e-12-ish on realistic data).
     """
     cols = list(columns)
     if len(cols) < 2:
         raise ValueError("need at least 2 columns")
+    if not exact:
+        # 100 TB mode: plain double moments via the built-in corr
+        # aggregate (one pass, all pairs, no Expand) — accumulation
+        # order makes the last ulps partition-dependent, so this mode
+        # is NOT oracle-checkable bit-identically; it avoids both the
+        # fixed-point quantization (resolution) and the DECIMAL(38,0)
+        # magnitude ceiling of the exact mode.
+        pairs = [
+            (cols[i], cols[j])
+            for i in range(len(cols))
+            for j in range(i + 1, len(cols))
+        ]
+        aggs = []
+        for i, (a, b) in enumerate(pairs):
+            both = F.col(a).isNotNull() & F.col(b).isNotNull()
+            aggs += [
+                F.sum(F.when(both, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"__n{i}"),
+                F.corr(
+                    F.when(both, F.col(a).cast("double")),
+                    F.when(both, F.col(b).cast("double")),
+                ).alias(f"__c{i}"),
+            ]
+        totals = df.agg(*aggs)
+        rows = [
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"__n{i}").alias("n"),
+                F.col(f"__c{i}").alias("corr"),
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+        return totals.select(F.explode(F.array(*rows)).alias("__p")).select(
+            "__p.*"
+        )
     q = {
         c: F.floor(F.col(c).cast("double") * F.lit(float(10**scale))).cast(
             "decimal(38,0)"

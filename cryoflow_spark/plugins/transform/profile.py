@@ -174,6 +174,7 @@ class ProfilePlugin(AnalyzedTransformPlugin):
                 data,
                 columns=list(self.require_option("columns")),
                 scale=int(self.options.get("scale", 6)),
+                exact=bool(self.options.get("exact", True)),
             )
 
         if self.options.get("report") == "embedding_qa":

@@ -3852,3 +3852,69 @@ def x85_water_fill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_tokens=26_000, alpha=0.5,
     )
     return out.select("doc_id", "source")
+
+
+# --- approx-mode bench twins for the exact profiling trio -----------------
+# Rows-only instruments (à la x15_engine): the exact modes carry the
+# bit-identical oracles (x37/x76/x79); these twins record what the
+# 100 TB path costs — HLL++ distinct counts (no Expand), double-moment
+# corr (no decimal ceiling), t-digest quantile sketches. Approx outputs
+# are partition-dependent in the last ulps / sketch-dependent, so no
+# SQL oracle can be bit-identical by construction; pytest pins their
+# tolerance vs the exact mode instead (tests/test_functions.py
+# TestApproxTwinTolerance).
+
+
+@register(
+    "x37_profile_approx",
+    None,  # HLL++ estimates are sketch-specific — rows-only by design
+    "Column profile, 100 TB mode (approx_count_distinct/HLL++, rsd 5%): "
+    "identical single-scan plan as oracle-checked x37 but NO Expand "
+    "node — the per-column distinct counts come from mergeable sketches",
+)
+def x37_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import profile_columns
+
+    li = load(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li,
+        columns=[
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+        exact=False,
+    )
+
+
+@register(
+    "x76_correlation_approx",
+    None,  # double moments are partition-dependent in the last ulps
+    "Pairwise Pearson matrix, 100 TB mode (built-in corr aggregate, "
+    "plain double moments): same one-pass plan as oracle-checked x76, "
+    "no fixed-point resolution limit and no DECIMAL(38,0) magnitude "
+    "ceiling",
+)
+def x76_correlation_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import correlation_matrix
+
+    li = load(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        exact=False,
+    )
+
+
+@register(
+    "x79_quantiles_approx",
+    None,  # t-digest estimates are sketch-specific — rows-only by design
+    "Long-format quantile summary, 100 TB mode (percentile_approx "
+    "t-digest, accuracy 10k): mergeable bounded sketches instead of "
+    "x79's exact per-column value buffers",
+)
+def x79_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import quantile_summary
+
+    li = load(spark, sf_dir, "lineitem")
+    return quantile_summary(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], exact=False
+    )

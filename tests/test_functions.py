@@ -3139,6 +3139,57 @@ class TestCategoricalDependence:
         assert r1["n"] == 25
 
 
+class TestApproxTwinTolerance:
+    """The rows-only bench twins (x37/x76/x79 approx modes) must track
+    their exact-mode oracles within the documented error envelopes."""
+
+    def test_profile_hll_within_rsd(self, spark):
+        from cryoflow_spark.functions.profiling import profile_columns
+
+        df = spark.createDataFrame(
+            [(i % 500, float(i % 37)) for i in range(5000)],
+            "k long, v double",
+        )
+        exact = {r["col_name"]: r for r in
+                 profile_columns(df, exact=True).collect()}
+        approx = {r["col_name"]: r for r in
+                  profile_columns(df, exact=False, rsd=0.05).collect()}
+        for c in ("k", "v"):
+            e, a = exact[c]["n_distinct"], approx[c]["n_distinct"]
+            assert abs(a - e) <= max(3, 0.15 * e), (c, e, a)
+            # non-sketch stats identical
+            assert approx[c]["n_rows"] == exact[c]["n_rows"]
+            assert approx[c]["min_num"] == exact[c]["min_num"]
+
+    def test_corr_double_moments_close_to_exact(self, spark):
+        from cryoflow_spark.functions.profiling import correlation_matrix
+
+        rows = [(float(i % 97) / 7, float((i * 31) % 89) / 3,
+                 float(i)) for i in range(2000)]
+        df = spark.createDataFrame(rows, "a double, b double, c double")
+        exact = {(r["col_a"], r["col_b"]): r["corr"] for r in
+                 correlation_matrix(df, ["a", "b", "c"]).collect()}
+        approx = {(r["col_a"], r["col_b"]): r["corr"] for r in
+                  correlation_matrix(df, ["a", "b", "c"],
+                                     exact=False).collect()}
+        for k, e in exact.items():
+            assert abs(approx[k] - e) < 1e-6, (k, e, approx[k])
+
+    def test_quantile_tdigest_close_to_exact(self, spark):
+        from cryoflow_spark.functions.profiling import quantile_summary
+
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(10000)], "v double"
+        )
+        exact = {r["p"]: r["quantile"] for r in
+                 quantile_summary(df, ["v"]).collect()}
+        approx = {r["p"]: r["quantile"] for r in
+                  quantile_summary(df, ["v"], exact=False).collect()}
+        for p, e in exact.items():
+            # accuracy=10k -> rank error ~1/10k of the 10k-row domain
+            assert abs(approx[p] - e) <= 5.0, (p, e, approx[p])
+
+
 class TestMutualInformation:
     def test_independent_columns_score_near_zero(self, spark):
         from cryoflow_spark.functions.profiling import mutual_information

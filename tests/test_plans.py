@@ -221,6 +221,15 @@ def test_conversion_funnel_scans_events_once(spark, registry):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_profile_approx_twin_has_no_expand(spark, registry):
+    """x37_profile_approx: the HLL++ mode's whole point is dropping the
+    countDistinct Expand node (which multiplies the scan 2|C| ways)."""
+    exact_plan = plan_of(registry["x37_profile_columns"].fn(spark, SF), "simple")
+    approx_plan = plan_of(registry["x37_profile_approx"].fn(spark, SF), "simple")
+    assert "Expand" in exact_plan  # the documented exact-mode price
+    assert "Expand" not in approx_plan
+
+
 def test_pack_token_shards_partitioned_mode_no_global_window(spark):
     """The registered x22 path (partition_col set) must plan ZERO
     unpartitioned windows; only the documented global mode (explicitly
