@@ -46,6 +46,13 @@ def main() -> int:
     parser.add_argument("queries", nargs="*")
     args = parser.parse_args()
 
+    # Pre-registered evidence rule (BASELINE.md): the artifact records
+    # the host's 1-minute load BEFORE the run, so a contaminated window
+    # is visible in the committed JSON itself — and the committed
+    # bench_full.json is the LAST clean run (load_1min < 0.2), never a
+    # better window selected after the fact.
+    load_1min = os.getloadavg()[0]
+
     from cryoflow_spark.core.session import get_session
     from cryoflow_spark.queries import all_queries
 
@@ -97,6 +104,7 @@ def main() -> int:
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "runs_per_query": max(1, args.repeat),
         "agg": "min",
+        "load_1min": round(load_1min, 2),
         "sf": sf,
     }
     # A query-filtered run must never clobber the committed full map (that
