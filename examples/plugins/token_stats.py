@@ -1,0 +1,94 @@
+"""A worked third-party transform plugin, loaded by FILE PATH.
+
+This file is the companion to ``docs/plugin_development.md`` — a
+complete, tested plugin living OUTSIDE the ``cryoflow_spark`` package,
+exactly as a plugin author would ship one. The TOML config references it
+by path::
+
+    [[transform_plugins]]
+    name = "stats"
+    module = "plugins/token_stats.py"   # relative to the config file
+    options = { column = "text", out_column = "n_tokens" }
+
+Everything a plugin needs comes from the single ``libs`` import surface.
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.plugins.libs import (
+    F,
+    T,
+    Failure,
+    FrameData,
+    Result,
+    SchemaData,
+    Success,
+    TransformPlugin,
+)
+
+
+class TokenStatsPlugin(TransformPlugin):
+    """Append a whitespace token count of ``column`` as ``out_column``.
+
+    Options:
+      - ``column`` (required): the string column to count tokens in
+      - ``out_column`` (default ``n_tokens``): name of the added column
+    """
+
+    @property
+    def name(self) -> str:
+        return "token_stats"
+
+    def _out_column(self) -> str:
+        return str(self.options.get("out_column", "n_tokens"))
+
+    def execute(self, data: FrameData) -> Result[FrameData]:
+        try:
+            col = str(self.require_option("column"))
+            if col not in data.columns:
+                return Failure(
+                    KeyError(
+                        f"column '{col}' not found; available: "
+                        f"{data.columns}"
+                    )
+                )
+            # Lazy plan extension only — a transform must never trigger
+            # an action (no count/collect/show here).
+            toks = F.array_remove(F.split(F.col(col), r"\s+"), "")
+            return Success(
+                data.withColumn(
+                    self._out_column(),
+                    F.when(
+                        F.col(col).isNull(), F.lit(None).cast("long")
+                    ).otherwise(F.size(toks).cast("long")),
+                )
+            )
+        except Exception as exc:  # noqa: BLE001 — Result boundary
+            return Failure(exc)
+
+    def dry_run(self, schema: SchemaData) -> Result[SchemaData]:
+        try:
+            col = str(self.require_option("column"))
+            fields = {f.name: f for f in schema.fields}
+            if col not in fields:
+                return Failure(
+                    KeyError(
+                        f"column '{col}' not found; available: "
+                        f"{list(fields)}"
+                    )
+                )
+            if not isinstance(fields[col].dataType, T.StringType):
+                return Failure(
+                    TypeError(
+                        f"column '{col}' must be string for token "
+                        f"counting, got {fields[col].dataType.simpleString()}"
+                    )
+                )
+            return Success(
+                T.StructType(
+                    list(schema.fields)
+                    + [T.StructField(self._out_column(), T.LongType())]
+                )
+            )
+        except Exception as exc:  # noqa: BLE001 — Result boundary
+            return Failure(exc)

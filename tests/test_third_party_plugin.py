@@ -1,0 +1,151 @@
+"""E2E + the six-test template over the WORKED third-party plugin.
+
+The plugin under test lives OUTSIDE the package
+(examples/plugins/token_stats.py) and is loaded BY FILE PATH through the
+TOML loader — the exact flow a plugin author exercises on day one
+(docs/plugin_development.md §7-8; six-test template per ref:
+docs/plugin_development.md:896-982).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+from pathlib import Path
+
+import duckdb
+import pytest
+
+from cryoflow_spark.core.result import is_successful
+
+REPO = Path(__file__).resolve().parent.parent
+PLUGIN_FILE = REPO / "examples" / "plugins" / "token_stats.py"
+SF_DIR = Path("/root/testdata/sf0.001")
+
+
+def _plugin_class():
+    spec = importlib.util.spec_from_file_location(
+        "example_token_stats", PLUGIN_FILE
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.TokenStatsPlugin
+
+
+@pytest.fixture(scope="module")
+def TokenStatsPlugin():
+    return _plugin_class()
+
+
+# --- the six-test template -------------------------------------------------
+
+
+def test_name(TokenStatsPlugin):
+    assert TokenStatsPlugin({}).name == "token_stats"
+
+
+def test_execute_success(TokenStatsPlugin, spark):
+    df = spark.createDataFrame(
+        [(1, "one two  three"), (2, None)], "doc_id long, text string"
+    )
+    result = TokenStatsPlugin({"column": "text"}).execute(df)
+    assert is_successful(result), result
+    got = {r["doc_id"]: r["n_tokens"] for r in result.unwrap().collect()}
+    assert got == {1: 3, 2: None}
+
+
+def test_execute_missing_option(TokenStatsPlugin, spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    result = TokenStatsPlugin({}).execute(df)
+    assert not is_successful(result)
+    assert "required" in str(result.failure()).lower()
+
+
+def test_dry_run_success(TokenStatsPlugin, spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    result = TokenStatsPlugin({"column": "text"}).dry_run(schema)
+    assert is_successful(result)
+    out = result.unwrap()
+    assert [f.name for f in out.fields] == ["doc_id", "text", "n_tokens"]
+    assert isinstance(out["n_tokens"].dataType, T.LongType)
+
+
+def test_dry_run_column_not_found(TokenStatsPlugin):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("other", T.StringType())])
+    result = TokenStatsPlugin({"column": "text"}).dry_run(schema)
+    assert not is_successful(result)
+    assert "not found" in str(result.failure()).lower()
+
+
+def test_dry_run_invalid_type(TokenStatsPlugin):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("text", T.LongType())])
+    result = TokenStatsPlugin({"column": "text"}).dry_run(schema)
+    assert not is_successful(result)
+    assert "string" in str(result.failure()).lower()
+
+
+# --- e2e: TOML config loads the plugin by path -----------------------------
+
+
+@pytest.mark.skipif(not SF_DIR.exists(), reason="driver testdata not present")
+def test_e2e_toml_loads_plugin_by_path(spark, tmp_path):
+    """Full loader → pipeline flow: the config references the plugin
+    FILE, relative to the config dir, and the output lands verified."""
+    from cryoflow_spark.core.config import load_config
+    from cryoflow_spark.core.loader import get_plugins, load_plugins
+    from cryoflow_spark.core.pipeline import run_pipeline
+    from cryoflow_spark.core.plugin import (
+        InputPlugin,
+        OutputPlugin,
+        TransformPlugin,
+    )
+
+    out = tmp_path / "out"
+    cfg = tmp_path / "pipeline.toml"
+    # plugin referenced relative to THIS config's directory
+    plug = tmp_path / "token_stats.py"
+    plug.write_text(PLUGIN_FILE.read_text())
+    cfg.write_text(
+        f"""
+[[input_plugins]]
+name = "docs"
+module = "parquet_scan"
+options = {{ input_path = "{SF_DIR}/documents.parquet" }}
+
+[[transform_plugins]]
+name = "stats"
+module = "token_stats.py"
+options = {{ column = "text", out_column = "n_tokens" }}
+
+[[output_plugins]]
+name = "out"
+module = "parquet_writer"
+options = {{ output_path = "{out}" }}
+"""
+    )
+    config = load_config(cfg).unwrap()
+    pm = load_plugins(config, cfg)
+    inputs = get_plugins(pm, InputPlugin)
+    transforms = get_plugins(pm, TransformPlugin)
+    outputs = get_plugins(pm, OutputPlugin)
+    result = run_pipeline(inputs, transforms, outputs, spark=spark)
+    assert is_successful(result), result
+
+    got = duckdb.sql(
+        f"SELECT count(*) FROM '{out}/*.parquet' WHERE n_tokens IS NOT NULL"
+    ).fetchone()[0]
+    want = duckdb.sql(
+        f"""SELECT count(*) FROM '{SF_DIR}/documents.parquet'
+            WHERE text IS NOT NULL"""
+    ).fetchone()[0]
+    assert got == want
