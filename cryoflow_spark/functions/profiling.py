@@ -152,6 +152,23 @@ def corpus_report(
     Scale: one groupBy over the slice domain with map-side partial
     integer sums — output cardinality = number of slices.
     """
+    return corpus_report_finalize(
+        corpus_report_partials(df, text_col, group_cols), group_cols
+    )
+
+
+def corpus_report_partials(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("source", "lang"),
+) -> DataFrame:
+    """The MERGEABLE half of :func:`corpus_report`: per-slice integer
+    partial sums ``(group..., n_docs, total_tokens, total_chars,
+    __qsum)``. Partials from disjoint corpus slices (micro-batches,
+    shards, dumps) re-aggregate to the identical report — exact integer
+    addition is associative/commutative — which is what makes the
+    streaming twin (:mod:`cryoflow_spark.streaming.report_stream`)
+    exactly-once under per-batch idempotent writes."""
     from cryoflow_spark.functions.text import (
         char_count,
         quality_score,
@@ -164,11 +181,26 @@ def corpus_report(
         char_count(text_col).alias("__c"),
         F.round(quality_score(text_col) * 1e6).cast("bigint").alias("__q"),
     )
-    agg = base.groupBy(*group_cols).agg(
+    return base.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__t").alias("total_tokens"),
         F.sum("__c").alias("total_chars"),
         F.sum("__q").alias("__qsum"),
+    )
+
+
+def corpus_report_finalize(
+    partials: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+) -> DataFrame:
+    """Merge :func:`corpus_report_partials` tables (one or many) into
+    the final dataset-card report — re-sum the integer partials per
+    slice, then one exact divide per mean."""
+    agg = partials.groupBy(*group_cols).agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("total_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("total_chars").cast("bigint").alias("total_chars"),
+        F.sum("__qsum").cast("bigint").alias("__qsum"),
     )
     n = F.col("n_docs").cast("double")
     return agg.select(

@@ -1,0 +1,160 @@
+"""Streaming corpus report / dataset checksum — release gates on LIVE
+ingest, the foreachBatch twins of the batch operators x52/x54.
+
+Both batch operators are built entirely from EXACT integer partial sums
+(``corpus_report_partials``; ``dataset_checksum`` already outputs its
+mergeable partials), which is precisely what makes them streamable with
+exactly-once semantics and no stateful operator:
+
+- each micro-batch writes its per-slice partials to
+  ``<output>/partials/batch_id=N`` in OVERWRITE mode — a replayed batch
+  (failure/retry re-delivers the same batch_id) rewrites the same
+  directory instead of double-counting (the idempotent-sink contract of
+  foreachBatch);
+- the current report/checksum is the re-aggregation of all partial
+  directories (associative/commutative integer addition), obtained via
+  the ``finalize_*`` helpers — bit-identical to running the batch twin
+  over the full corpus seen so far.
+
+Scale: per batch, one slice-domain-sized aggregation (map-side integer
+partials) and a tiny parquet write; the finalize step reads only
+per-batch PARTIAL tables (|slices| rows each), never the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+
+def _start(stream_df: DataFrame, process, checkpoint: str, trigger: str):
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger == "available_now":
+        writer = writer.trigger(availableNow=True)
+    elif trigger.startswith("processing_time="):
+        writer = writer.trigger(processingTime=trigger.split("=", 1)[1])
+    else:
+        raise ValueError(f"invalid trigger '{trigger}'")
+    return writer.start()
+
+
+def _write_corpus_partials(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    text_col: str,
+    group_cols: tuple[str, ...],
+) -> None:
+    """Per-batch idempotent partial write (module-level so the replay
+    property is directly testable)."""
+    from cryoflow_spark.functions.profiling import corpus_report_partials
+
+    corpus_report_partials(batch_df, text_col, group_cols).write.mode(
+        "overwrite"
+    ).parquet(f"{output_path}/partials/batch_id={batch_id}")
+
+
+def corpus_report_stream(
+    stream_df: DataFrame,
+    output_path: str,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    checkpoint_path: Optional[str] = None,
+    trigger: str = "available_now",
+) -> StreamingQuery:
+    """Maintain the x52 dataset-card report over a document stream.
+
+    Read the current report at any time with
+    :func:`finalize_corpus_report` — equal to the batch
+    ``corpus_report`` over everything ingested so far.
+    """
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    checkpoint = checkpoint_path or f"{output_path}/_checkpoint"
+    cols = tuple(group_cols)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _write_corpus_partials(batch_df, batch_id, output_path, text_col, cols)
+
+    return _start(stream_df, _process, checkpoint, trigger)
+
+
+def finalize_corpus_report(
+    spark: SparkSession,
+    output_path: str,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+) -> DataFrame:
+    """Merge all written partials into the current corpus report."""
+    from cryoflow_spark.functions.profiling import corpus_report_finalize
+
+    partials = spark.read.parquet(f"{output_path}/partials/batch_id=*")
+    return corpus_report_finalize(partials, group_cols)
+
+
+def _write_checksum_partials(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    columns: Optional[Sequence[str]],
+    group_cols: tuple[str, ...],
+) -> None:
+    """Per-batch idempotent partial write (module-level for replay
+    tests). ``dataset_checksum``'s (n_rows, checksum) output IS its
+    mergeable partial form — exact decimal sums of 60-bit row hashes."""
+    from cryoflow_spark.functions.diff import dataset_checksum
+
+    dataset_checksum(
+        batch_df, columns=columns, group_cols=group_cols
+    ).write.mode("overwrite").parquet(
+        f"{output_path}/partials/batch_id={batch_id}"
+    )
+
+
+def dataset_checksum_stream(
+    stream_df: DataFrame,
+    output_path: str,
+    columns: Optional[Sequence[str]] = None,
+    group_cols: tuple[str, ...] = (),
+    checkpoint_path: Optional[str] = None,
+    trigger: str = "available_now",
+) -> StreamingQuery:
+    """Maintain the x54 release-gate content fingerprint over a stream.
+
+    NB: pass ``columns`` explicitly in production — the default
+    name-sorted-all-columns choice is re-derived per batch, so a schema
+    drift mid-stream would silently change the hashed column set.
+    """
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    checkpoint = checkpoint_path or f"{output_path}/_checkpoint"
+    cols = list(columns) if columns is not None else None
+    g = tuple(group_cols)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _write_checksum_partials(batch_df, batch_id, output_path, cols, g)
+
+    return _start(stream_df, _process, checkpoint, trigger)
+
+
+def finalize_dataset_checksum(
+    spark: SparkSession,
+    output_path: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Merge all written partials into the current fingerprint."""
+    from pyspark.sql import functions as F
+
+    partials = spark.read.parquet(f"{output_path}/partials/batch_id=*")
+    agg = (
+        partials.groupBy(*group_cols) if group_cols else partials.groupBy()
+    )
+    return agg.agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("checksum").cast("decimal(38,0)").alias("checksum"),
+    )

@@ -442,3 +442,110 @@ def test_refresh_filter_stream_rejects_batch_frame(spark):
                                "fetch_id long, url string, text string")
     with pytest.raises(ValueError, match="must be a streaming"):
         refresh_filter_stream(df, df, "/tmp/nowhere", content_cols=["text"])
+
+
+def test_corpus_report_stream_matches_batch_twin(spark, tmp_path):
+    """x52 streaming twin: the finalized report over all micro-batches
+    is bit-identical to the batch corpus_report on the full corpus, and
+    a REPLAYED batch (same batch_id) does not double-count."""
+    from cryoflow_spark.functions.profiling import corpus_report
+    from cryoflow_spark.streaming.report_stream import (
+        _write_corpus_partials,
+        corpus_report_stream,
+        finalize_corpus_report,
+    )
+
+    full = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = tmp_path / "docs"
+    src.mkdir()
+    # two source files -> available_now may deliver 1..2 batches
+    full.filter("doc_id % 2 = 0").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "a"))
+    full.filter("doc_id % 2 = 1").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b"))
+    stream = spark.readStream.schema(full.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = tmp_path / "report"
+    q = corpus_report_stream(stream, str(out))
+    q.awaitTermination(120)
+
+    def canon(df):
+        return sorted(
+            (r["source"], r["lang"], r["n_docs"], r["total_tokens"],
+             r["total_chars"], r["avg_tokens"], r["mean_quality"])
+            for r in df.collect()
+        )
+
+    got = canon(finalize_corpus_report(spark, str(out)))
+    want = canon(corpus_report(full))
+    assert got == want
+    # replay idempotence, tested directly on the per-batch writer: the
+    # same (batch_id, content) delivered twice must not double-count.
+    out2 = tmp_path / "report2"
+    a = spark.read.parquet(str(src / "a"))
+    b = spark.read.parquet(str(src / "b"))
+    for batch_id, batch in ((0, a), (1, b), (0, a)):  # 0 replayed
+        _write_corpus_partials(
+            batch, batch_id, str(out2), "text", ("source", "lang")
+        )
+    assert canon(finalize_corpus_report(spark, str(out2))) == want
+
+
+def test_dataset_checksum_stream_matches_batch_twin(spark, tmp_path):
+    """x54 streaming twin: the merged fingerprint equals the batch
+    checksum of the full corpus; idempotent under batch replay."""
+    from cryoflow_spark.functions.diff import dataset_checksum
+    from cryoflow_spark.streaming.report_stream import (
+        _write_checksum_partials,
+        dataset_checksum_stream,
+        finalize_dataset_checksum,
+    )
+
+    full = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    src = tmp_path / "docs"
+    src.mkdir()
+    full.filter("doc_id < 100").coalesce(1).write.mode("overwrite").parquet(
+        str(src / "a")
+    )
+    full.filter("doc_id >= 100").coalesce(1).write.mode("overwrite").parquet(
+        str(src / "b")
+    )
+    stream = spark.readStream.schema(full.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = tmp_path / "sum"
+    q = dataset_checksum_stream(stream, str(out), columns=cols)
+    q.awaitTermination(120)
+
+    got = finalize_dataset_checksum(spark, str(out)).collect()[0]
+    want = dataset_checksum(full, columns=cols).collect()[0]
+    assert got["n_rows"] == want["n_rows"]
+    assert got["checksum"] == want["checksum"]
+    # replay idempotence on the per-batch writer (same id + content 2x)
+    out2 = tmp_path / "sum2"
+    a = spark.read.parquet(str(src / "a"))
+    b = spark.read.parquet(str(src / "b"))
+    for batch_id, batch in ((0, a), (1, b), (0, a)):  # 0 replayed
+        _write_checksum_partials(batch, batch_id, str(out2), cols, ())
+    again = finalize_dataset_checksum(spark, str(out2)).collect()[0]
+    assert (again["n_rows"], again["checksum"]) == (
+        want["n_rows"], want["checksum"],
+    )
+
+
+def test_report_streams_reject_batch_frames(spark):
+    from cryoflow_spark.streaming.report_stream import (
+        corpus_report_stream,
+        dataset_checksum_stream,
+    )
+
+    df = spark.createDataFrame([(1, "t", "en", "s")],
+                               "doc_id long, text string, lang string, source string")
+    with pytest.raises(ValueError, match="must be a streaming"):
+        corpus_report_stream(df, "/tmp/nowhere")
+    with pytest.raises(ValueError, match="must be a streaming"):
+        dataset_checksum_stream(df, "/tmp/nowhere")
