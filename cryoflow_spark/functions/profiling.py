@@ -695,11 +695,13 @@ def categorical_dependence(
     across engines and partitionings. NULL categories count as a
     regular category value (the sentinel '<NULL>').
 
-    Scale: one (a, b) aggregation over the corpus, then everything
-    operates on the |A|·|B|-cell table (bounded by the categorical
-    domains — this is a CONTINGENCY test, not a join-key profiler; for
-    high-cardinality keys use ``key_skew_report``). The cell cross and
-    the fold run on broadcast-sized frames.
+    Scale: ONE (a, b) aggregation over the corpus — the marginals and
+    the grand total derive from the bounded cell table, never from a
+    second fact-table scan — then everything operates on the |A|·|B|
+    cells (bounded by the categorical domains — this is a CONTINGENCY
+    test, not a join-key profiler; for high-cardinality keys use
+    ``key_skew_report``). The cell cross and the fold run on
+    broadcast-sized frames.
     """
     a, b = "__a", "__b"
     # NULL categories map to a sentinel BEFORE grouping: the fold sorts
@@ -710,9 +712,9 @@ def categorical_dependence(
         F.coalesce(F.col(col_b).cast("string"), F.lit("<NULL>")).alias(b),
     )
     cells = base.groupBy(a, b).agg(F.count(F.lit(1)).alias("__obs"))
-    rows_t = base.groupBy(a).agg(F.count(F.lit(1)).alias("__ra"))
-    cols_t = base.groupBy(b).agg(F.count(F.lit(1)).alias("__cb"))
-    n_df = base.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    rows_t = cells.groupBy(a).agg(F.sum("__obs").alias("__ra"))
+    cols_t = cells.groupBy(b).agg(F.sum("__obs").alias("__cb"))
+    n_df = cells.agg(F.sum("__obs").cast("bigint").alias("__n"))
     full = (
         rows_t.crossJoin(F.broadcast(cols_t))
         .join(cells, [a, b], "left")

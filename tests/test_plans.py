@@ -290,6 +290,24 @@ def test_containment_reuses_gram_exchange(spark, registry):
     assert "ReusedExchange" in plan
 
 
+def test_dependence_marginals_reuse_the_cell_exchange(spark, registry):
+    """x77/x84: marginals and the grand total derive FROM the cell
+    table — at runtime the (a, b) cell exchange must be computed once
+    and reused by every marginal branch (one fact-table scan), never
+    re-aggregated from separate corpus scans."""
+    for name, n_reuses in (
+        ("x77_categorical_dependence", 3),
+        ("x84_mutual_information", 3),
+    ):
+        df = registry[name].fn(spark, SF)
+        df.collect()
+        plan = plan_of(df, "simple")
+        assert "isFinalPlan=true" in plan, name
+        assert plan.count("ReusedExchange") >= n_reuses, (
+            name, plan.count("ReusedExchange"),
+        )
+
+
 def test_bloom_probe_filters_map_side(spark, registry):
     """x55: the Bloom probe must appear as a Filter over the corpus gram
     stream (map-side kill) and the only nested-loop join is the 1-row
