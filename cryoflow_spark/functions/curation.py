@@ -815,3 +815,53 @@ def robust_outlier_flags(
         .drop("__med", "__mad")
     )
     return out.drop("__g") if not group_col else out
+
+
+def quantile_normalize(
+    df: DataFrame,
+    score_col: str,
+    group_col: str | None = None,
+    out_col: str = "calibrated",
+    method: str = "cume_dist",
+) -> DataFrame:
+    """Per-group score calibration: replace each row's raw score with
+    its within-group quantile position, so scores from different
+    sources/models become comparable before any GLOBAL gate or mixer
+    (a perplexity of 80 is great for one domain and terrible for
+    another — rank positions are the common currency; CCNet's
+    per-bucket treatment is this idea).
+
+    ``method="cume_dist"`` (default) emits ``P(X <= x)`` within the
+    group — ties share one value, so no tiebreak key is needed and the
+    result is deterministic under any partitioning. ``"percent_rank"``
+    emits ``(rank-1)/(n-1)`` (0 for the minimum, 1 for the maximum;
+    ties share the min rank). Both are exact rank arithmetic — no
+    floats beyond one final divide — and match the identically-named
+    ANSI window functions in any engine. NULL scores get NULL (they
+    sort first in a window, which would silently hand them quantile 0 —
+    excluded instead, then unioned back).
+
+    Scale: ONE partitioned window per group (each group sorts only its
+    own rows — the per-key locality contract); no global sort, no
+    corpus-wide single reducer. For a GLOBAL calibration over an
+    unbounded table prefer the distributed CDF spine
+    (:mod:`cryoflow_spark.functions.ranks`) — ``group_col=None`` here
+    is a deliberate single-window convenience for bounded tables.
+    """
+    from pyspark.sql import Window
+
+    if method not in ("cume_dist", "percent_rank"):
+        raise ValueError(
+            f"invalid method '{method}' (expected cume_dist/percent_rank)"
+        )
+    w = (
+        Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    ).orderBy(score_col)
+    fn = F.cume_dist() if method == "cume_dist" else F.percent_rank()
+    scored = df.filter(F.col(score_col).isNotNull()).withColumn(
+        out_col, fn.over(w)
+    )
+    nulls = df.filter(F.col(score_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    return scored.unionByName(nulls)

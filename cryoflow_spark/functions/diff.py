@@ -145,3 +145,93 @@ def dataset_checksum(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("__h").alias("checksum"),
     )
+
+
+def distribution_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — THE standard drift gate between crawls/dumps/releases
+    (rule of thumb: < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted):
+    ``PSI = Σ_bins (p_i - q_i) · ln(p_i / q_i)`` over shared FIXED
+    equal-width bins. Output: one row
+    ``(n_current, n_baseline, n_bins, psi)``.
+
+    Bounds are REQUIRED explicit (same reason as ``histogram``'s
+    pipeline mode: comparability needs the same grid on both sides and
+    auto-bounds would couple the grid to whichever data arrived).
+    Values at/beyond the bounds clamp into the edge bins (nothing
+    dropped); NULLs are excluded; empty bins take Laplace smoothing
+    ``p_i = (c_i + 1) / (n + n_bins)`` so the log is always defined —
+    the textbook zero-cell treatment, applied symmetrically.
+
+    Determinism: bin counts are exact integers per side; each bin term
+    uses the 6-decimal ``round(ln(p/q), 6)`` contract and the terms sum
+    by a LEFT FOLD in bin order — bit-identical across engines and
+    partitionings.
+
+    Scale: one map-side binning aggregation per side (≤ n_bins keys,
+    partials collapse before the shuffle), then everything runs on the
+    n_bins-row frame.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if not float(hi) > float(lo):
+        raise ValueError(
+            f"explicit bounds must satisfy hi > lo (got lo={lo}, hi={hi})"
+        )
+    lo, hi = float(lo), float(hi)
+    width = (hi - lo) / n_bins
+
+    def bin_counts(df: DataFrame, out: str) -> DataFrame:
+        col = F.col(value_col).cast("double")
+        bin_expr = F.least(
+            F.greatest(
+                F.floor((col - F.lit(lo)) / F.lit(width)).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        )
+        return (
+            df.filter(col.isNotNull())
+            .groupBy(bin_expr.alias("bin"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    spark = current.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        bins.join(F.broadcast(bin_counts(current, "__c")), "bin", "left")
+        .join(F.broadcast(bin_counts(baseline, "__b")), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("__c", F.lit(0)).cast("bigint").alias("__c"),
+            F.coalesce("__b", F.lit(0)).cast("bigint").alias("__b"),
+        )
+    )
+    row = joined.agg(
+        F.sum("__c").cast("bigint").alias("n_current"),
+        F.sum("__b").cast("bigint").alias("n_baseline"),
+        F.array_sort(
+            F.collect_list(F.struct("bin", "__c", "__b"))
+        ).alias("__cells"),
+    )
+    ncur = (F.col("n_current") + F.lit(n_bins)).cast("double")
+    nbase = (F.col("n_baseline") + F.lit(n_bins)).cast("double")
+
+    def merge(acc, s):
+        p = (s["__c"] + F.lit(1)).cast("double") / ncur
+        q = (s["__b"] + F.lit(1)).cast("double") / nbase
+        return acc + (p - q) * F.round(F.log(p / q), 6)
+
+    return row.select(
+        "n_current",
+        "n_baseline",
+        F.lit(int(n_bins)).cast("int").alias("n_bins"),
+        F.aggregate(F.col("__cells"), F.lit(0.0), merge).alias("psi"),
+    )

@@ -603,3 +603,38 @@ def water_fill_rates(
             ).alias("__rate"),
         )
     )
+
+
+def sample_exact_n_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n: int,
+) -> DataFrame:
+    """EXACTLY ``n`` rows per group (or all of a group if it has fewer)
+    — the balanced eval-set / few-shot-pool draw ("100 documents per
+    language, reproducibly"). Rows are chosen by md5 hash order of
+    ``key_col`` within each group with the key as tiebreaker, so the
+    draw is uniform, NESTED (the per-group 10 is a prefix of the
+    per-group 100 under the same key), deterministic across runs,
+    partitionings, and engines, and unlike :func:`cap_per_group`'s
+    soft cap it is the exact-count contract of :func:`sample_exact_n`
+    extended group-wise.
+
+    Scale: ONE partitioned window — each group ranks only its own rows
+    (per-key locality; no global sort, no single reducer); the filter
+    is map-side after the group shuffle. Keys must be unique within a
+    group for exact reproducibility.
+    """
+    from pyspark.sql import Window
+
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

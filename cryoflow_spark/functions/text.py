@@ -820,3 +820,79 @@ def stopword_fraction(
             / F.count(F.lit(1)).cast("double")
         ).alias("stopword_frac"),
     )
+
+
+def zipf_fit(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 500,
+    lowercase: bool = True,
+):
+    """Zipf's-law fit over the vocabulary head: least-squares slope and
+    intercept of ``ln(tf)`` against ``ln(rank)`` for the ``top_k`` most
+    frequent tokens — the dataset-card "does this look like natural
+    language" number (prose sits near slope ≈ -1, Zipf 1949; templated/
+    machine-generated corpora flatten or step). Output: ONE row
+    ``(n_terms, zipf_slope, zipf_intercept)``.
+
+    Portability: ranks come from the deterministic (tf DESC, token)
+    ordering; each point is ``(round(ln(rank), 6), round(ln(tf), 6))``
+    (the 6-decimal ln contract) and the four fit moments (Σx, Σy, Σxy,
+    Σx²) are LEFT FOLDS in rank order over the k-element array —
+    bit-identical across engines. Slope/intercept are closed-form OLS
+    on those moments (one deterministic expression). NULL slope when
+    fewer than 2 distinct ranks survive.
+
+    Scale: the vocabulary pipeline is :func:`vocab_stats` (two-shuffle,
+    no Expand); the head selection is TakeOrdered (per-partition top-k
+    heads, bounded driver merge) and the fit runs on a k-row frame.
+    """
+    if top_k < 2:
+        raise ValueError("top_k must be >= 2")
+    vocab = vocab_stats(
+        df, text_col=text_col, id_col=id_col, lowercase=lowercase,
+        top_n=top_k,
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                (-F.col("tf")).alias("negtf"),
+                F.col("token").alias("t"),
+                F.col("tf").alias("tf"),
+            )
+        )
+    )
+    pts = F.transform(
+        arr,
+        lambda s, i: F.struct(
+            F.round(F.log((i + F.lit(1)).cast("double")), 6).alias("x"),
+            F.round(F.log(s["tf"].cast("double")), 6).alias("y"),
+        ),
+    )
+
+    def fold(term):
+        # NB: the merge lambda must be binary — extra defaulted params
+        # change the arity PySpark reads — so bind `term` via closure.
+        def merge(acc, p):
+            return acc + term(p)
+
+        return F.aggregate(pts, F.lit(0.0), merge)
+
+    agg = vocab.agg(
+        F.size(arr).cast("bigint").alias("n_terms"),
+        fold(lambda p: p["x"]).alias("__sx"),
+        fold(lambda p: p["y"]).alias("__sy"),
+        fold(lambda p: p["x"] * p["y"]).alias("__sxy"),
+        fold(lambda p: p["x"] * p["x"]).alias("__sxx"),
+    )
+    k = F.col("n_terms").cast("double")
+    den = k * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = (k * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / den
+    return agg.select(
+        "n_terms",
+        F.when(den > 0, slope).alias("zipf_slope"),
+        F.when(
+            den > 0, (F.col("__sy") - slope * F.col("__sx")) / k
+        ).alias("zipf_intercept"),
+    )

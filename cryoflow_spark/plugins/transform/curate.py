@@ -41,6 +41,10 @@ the TOML plugin surface. Modes (option ``method``):
   [``p_low``, ``p_high``] quantile band (robust-stats tail treatment;
   ``out_column`` optional, ``exact=false`` for the t-digest scale
   path).
+- ``quantile_normalize``: replace ``score_column`` with its
+  within-``group_by`` quantile position (``out_column``, default
+  ``calibrated``; ``rank_method`` = ``cume_dist``/``percent_rank``) —
+  the cross-source score-calibration step before any global gate.
 - ``quantile_buckets``: annotate each row with its GLOBAL quantile
   bucket of ``score_column`` (``n_buckets``, default 10; output
   ``bucket_column``) — curriculum binning on the distributed CDF spine,
@@ -249,6 +253,15 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 p_high=float(self.options.get("p_high", 0.99)),
                 out_col=self.options.get("out_column"),
                 exact=bool(self.options.get("exact", True)),
+            )
+
+        if method == "quantile_normalize":
+            return C.quantile_normalize(
+                data,
+                self.require_option("score_column"),
+                group_col=self.options.get("group_by"),
+                out_col=self.options.get("out_column", "calibrated"),
+                method=self.options.get("rank_method", "cume_dist"),
             )
 
         if method == "quantile_buckets":

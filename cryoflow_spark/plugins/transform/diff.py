@@ -21,6 +21,12 @@ Options:
 Output schema: ``(id_column, change)`` with change ∈ added | removed |
 changed — unchanged rows are omitted, so the output is tiny between
 adjacent dumps and only (key, 16-byte hash) ever rides the shuffle.
+
+``mode = "psi"`` switches to the Population Stability Index drift gate
+(:func:`...diff.distribution_drift`): the stream is CURRENT, the
+``old_label`` sibling is the BASELINE, and the output is one row
+``(n_current, n_baseline, n_bins, psi)`` over fixed equal-width bins of
+``column`` (required explicit ``lo``/``hi``; ``bins`` default 10).
 """
 
 from __future__ import annotations
@@ -35,9 +41,21 @@ class SnapshotDiffPlugin(SiblingAwareTransformPlugin):
         return "snapshot_diff"
 
     def _transform(self, data: FrameData) -> FrameData:
-        from cryoflow_spark.functions.diff import snapshot_diff
+        from cryoflow_spark.functions.diff import (
+            distribution_drift,
+            snapshot_diff,
+        )
 
         old = self.sibling_frame(self.require_option("old_label"))
+        if self.options.get("mode") == "psi":
+            return distribution_drift(
+                data,
+                old,
+                self.require_option("column"),
+                lo=float(self.require_option("lo")),
+                hi=float(self.require_option("hi")),
+                n_bins=int(self.options.get("bins", 10)),
+            )
         compare = self.options.get("compare_columns")
         return snapshot_diff(
             old,

@@ -31,6 +31,9 @@ of a 10% sample). Modes (option ``method``):
   same options as ``token_budget``.
 - ``exact_n``: exactly ``n`` rows by md5 key order (nested,
   TakeOrdered plan — never a global sort).
+- ``exact_n_per_group``: exactly ``n`` rows per ``group_column`` by
+  within-group md5 key order (balanced eval-set draw; one partitioned
+  window, each group ranks only its own rows).
 - ``leakage_safe``: cluster-aware train/test split — near-duplicate
   clusters never straddle the boundary. The sibling stream named by
   ``pairs_label`` carries the near-dup edge list (columns = two doc-id
@@ -169,6 +172,14 @@ class SamplePlugin(SiblingAwareTransformPlugin):
         if method == "exact_n":
             return S.sample_exact_n(
                 data, key, int(self.require_option("n"))
+            )
+
+        if method == "exact_n_per_group":
+            return S.sample_exact_n_per_group(
+                data,
+                self.require_option("group_column"),
+                key,
+                int(self.require_option("n")),
             )
 
         raise ValueError(f"invalid sample method '{method}'")

@@ -17,6 +17,9 @@ Options:
   exact head (:func:`...text.heavy_hitters`): the top ``top_n`` tokens
   with ``count * k > N``, no full-vocab shuffle; options ``top_n``
   (default 50), ``k`` (default 1000).
+- ``method = "zipf"`` — ONE-row Zipf's-law fit over the ``top_k``
+  vocabulary head (ln tf vs ln rank OLS slope/intercept) — the
+  "does this look like natural language" dataset-card number.
 """
 
 from __future__ import annotations
@@ -43,6 +46,16 @@ class VocabPlugin(AnalyzedTransformPlugin):
                 k=int(self.options.get("top_n", 5)),
                 min_len=int(self.options.get("min_len", 3)),
                 min_tf=int(self.options.get("min_tf", 1)),
+            )
+        if self.options.get("method") == "zipf":
+            from cryoflow_spark.functions.text import zipf_fit
+
+            return zipf_fit(
+                data,
+                text_col=self.options.get("column", "text"),
+                id_col=self.options.get("id_column", "doc_id"),
+                top_k=int(self.options.get("top_k", 500)),
+                lowercase=bool(self.options.get("lowercase", True)),
             )
         if self.options.get("method") == "heavy_hitters":
             return heavy_hitters(

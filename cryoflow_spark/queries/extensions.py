@@ -3918,3 +3918,191 @@ def x79_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_summary(
         li, ["l_quantity", "l_extendedprice", "l_discount"], exact=False
     )
+
+
+# --- x86: per-group score calibration (oracle-checked) ---------------------
+
+
+@register(
+    "x86_quantile_normalize",
+    """
+    SELECT doc_id, lang, n_chars,
+           cume_dist() OVER (PARTITION BY lang ORDER BY n_chars)
+             AS calibrated
+    FROM documents WHERE n_chars IS NOT NULL
+    """,
+    "Per-group score calibration: each doc's length score becomes its "
+    "within-language cume_dist quantile position (P(X <= x); ties share "
+    "one value so no tiebreak key is needed) — the cross-source "
+    "comparability step before any global gate or mixer; ONE "
+    "partitioned window, no global sort",
+)
+def x86_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.curation import quantile_normalize
+
+    d = load(spark, sf_dir, "documents")
+    return quantile_normalize(
+        d.select("doc_id", "lang", "n_chars"),
+        score_col="n_chars",
+        group_col="lang",
+    )
+
+
+# --- x87: Zipf fit over the vocabulary head (oracle-checked) ---------------
+
+
+def _x87_oracle() -> str:
+    from cryoflow_spark.functions.text import sql_vocab_stats
+
+    vocab = sql_vocab_stats(top_n=200)
+
+    def fold(term: str) -> str:
+        return (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list({term} ORDER BY r)), (acc, v) -> acc + v)"
+        )
+
+    return f"""
+    WITH topk AS ({vocab}),
+    pts AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS r,
+             tf
+      FROM topk
+    ),
+    vals AS (
+      SELECT r,
+             ROUND(LN(r::DOUBLE), 6) AS x,
+             ROUND(LN(tf::DOUBLE), 6) AS y
+      FROM pts
+    ),
+    folds AS (
+      SELECT COUNT(*)::BIGINT AS n_terms,
+             {fold('x')} AS sx,
+             {fold('y')} AS sy,
+             {fold('x * y')} AS sxy,
+             {fold('x * x')} AS sxx
+      FROM vals
+    )
+    SELECT n_terms,
+           CASE WHEN n_terms::DOUBLE * sxx - sx * sx > 0
+             THEN (n_terms::DOUBLE * sxy - sx * sy)
+                  / (n_terms::DOUBLE * sxx - sx * sx)
+           END AS zipf_slope,
+           CASE WHEN n_terms::DOUBLE * sxx - sx * sx > 0
+             THEN (sy - ((n_terms::DOUBLE * sxy - sx * sy)
+                         / (n_terms::DOUBLE * sxx - sx * sx)) * sx)
+                  / n_terms::DOUBLE
+           END AS zipf_intercept
+    FROM folds
+    """
+
+
+@register(
+    "x87_zipf_fit",
+    _x87_oracle(),
+    "Zipf's-law fit over the top-200 vocabulary head: OLS slope/"
+    "intercept of ln(tf) on ln(rank) — the dataset-card 'does this look "
+    "like natural language' number (prose ~ -1; templated corpora "
+    "flatten). 6-decimal ln contract + rank-order left folds; vocab via "
+    "the two-shuffle no-Expand pipeline + TakeOrdered head",
+)
+def x87_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.text import zipf_fit
+
+    d = load(spark, sf_dir, "documents")
+    return zipf_fit(d, top_k=200)
+
+
+# --- x88: PSI distribution drift (oracle-checked) --------------------------
+
+
+@register(
+    "x88_distribution_drift",
+    """
+    WITH cur AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((n_chars::DOUBLE - 0.0) / 200.0)
+                                 AS INT), 0), 9) AS bin,
+             COUNT(*)::BIGINT AS c
+      FROM documents WHERE doc_id >= 250 AND n_chars IS NOT NULL
+      GROUP BY 1
+    ),
+    base AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((n_chars::DOUBLE - 0.0) / 200.0)
+                                 AS INT), 0), 9) AS bin,
+             COUNT(*)::BIGINT AS c
+      FROM documents WHERE doc_id < 250 AND n_chars IS NOT NULL
+      GROUP BY 1
+    ),
+    bins AS (SELECT UNNEST(range(10))::INT AS bin),
+    joined AS (
+      SELECT b.bin,
+             COALESCE(cur.c, 0)::BIGINT AS c,
+             COALESCE(base.c, 0)::BIGINT AS bb
+      FROM bins b
+      LEFT JOIN cur ON cur.bin = b.bin
+      LEFT JOIN base ON base.bin = b.bin
+    ),
+    tot AS (
+      SELECT SUM(c)::BIGINT AS n_current, SUM(bb)::BIGINT AS n_baseline
+      FROM joined
+    )
+    SELECT tot.n_current, tot.n_baseline, 10::INT AS n_bins,
+           (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+              list(
+                (((j.c + 1)::DOUBLE / (tot.n_current + 10)::DOUBLE)
+                 - ((j.bb + 1)::DOUBLE / (tot.n_baseline + 10)::DOUBLE))
+                * ROUND(LN(((j.c + 1)::DOUBLE
+                            / (tot.n_current + 10)::DOUBLE)
+                           / ((j.bb + 1)::DOUBLE
+                              / (tot.n_baseline + 10)::DOUBLE)), 6)
+                ORDER BY j.bin)),
+              (acc, x) -> acc + x)
+            FROM joined j) AS psi
+    FROM tot
+    """,
+    "Population Stability Index between the two halves of the corpus "
+    "over fixed 10-bin length grid [0, 2000): exact integer bin counts "
+    "per side, symmetric Laplace smoothing for empty bins, 6-decimal "
+    "round(ln) contract, bin-order left fold — THE drift gate between "
+    "crawls/dumps (<0.1 stable, >0.25 shifted)",
+)
+def x88_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.diff import distribution_drift
+
+    d = load(spark, sf_dir, "documents")
+    return distribution_drift(
+        d.filter(F.col("doc_id") >= 250),
+        d.filter(F.col("doc_id") < 250),
+        "n_chars",
+        lo=0.0,
+        hi=2000.0,
+        n_bins=10,
+    )
+
+
+# --- x89: exact-N per group (oracle-checked) --------------------------------
+
+
+@register(
+    "x89_exact_n_per_group",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 25
+    """,
+    "Exactly-N-per-group uniform sample (balanced eval-set draw: 25 "
+    "docs per language) by within-group md5 key order — nested, "
+    "engine-portable, partitioning-independent; ONE partitioned window, "
+    "each group ranks only its own rows",
+)
+def x89_exact_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.sampling import sample_exact_n_per_group
+
+    d = load(spark, sf_dir, "documents")
+    return sample_exact_n_per_group(d, "lang", "doc_id", 25).select(
+        "doc_id", "lang"
+    )

@@ -3493,3 +3493,120 @@ class TestStopwordFraction:
         assert r["n_tokens"] == 3
         assert r["n_stopwords"] == 2
         assert abs(r["stopword_frac"] - 2 / 3) < 1e-12
+
+
+class TestQuantileNormalize:
+    def test_cume_dist_semantics_and_nulls(self, spark):
+        from cryoflow_spark.functions.curation import quantile_normalize
+
+        rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 20.0),
+                (4, "a", 40.0), (5, "b", 7.0), (6, "b", None)]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        got = {r["id"]: r["calibrated"] for r in
+               quantile_normalize(df, "v", group_col="g").collect()}
+        assert got[1] == 0.25
+        assert got[2] == got[3] == 0.75  # ties share P(X <= x)
+        assert got[4] == 1.0
+        assert got[5] == 1.0             # group b calibrates on its own
+        assert got[6] is None            # NULL in -> NULL out, row kept
+
+    def test_percent_rank_and_invariance(self, spark):
+        from cryoflow_spark.functions.curation import quantile_normalize
+
+        rows = [(i, "g", float((i * 31) % 50)) for i in range(50)]  # unique
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        r1 = {r["id"]: r["calibrated"] for r in quantile_normalize(
+            df, "v", group_col="g", method="percent_rank").collect()}
+        r2 = {r["id"]: r["calibrated"] for r in quantile_normalize(
+            df.repartition(7), "v", group_col="g",
+            method="percent_rank").collect()}
+        assert r1 == r2
+        assert min(r1.values()) == 0.0 and max(r1.values()) == 1.0
+        import pytest
+        with pytest.raises(ValueError, match="method"):
+            quantile_normalize(df, "v", method="zscore")
+
+
+class TestZipfFit:
+    def test_perfect_zipf_recovers_slope(self, spark):
+        import math
+
+        from cryoflow_spark.functions.text import zipf_fit
+
+        # construct a corpus where term t_r appears floor(1200/r) times:
+        # ln(tf) = ln(1200) - 1.0*ln(rank) -> slope == -1
+        rows = []
+        for r in range(1, 21):
+            rows += [(len(rows) + j, f"term{r:02d}")
+                     for j in range(1200 // r)]
+        df = spark.createDataFrame(
+            [(i, w) for i, w in rows], "doc_id long, text string"
+        )
+        got = zipf_fit(df, top_k=20).collect()[0]
+        assert got["n_terms"] == 20
+        assert abs(got["zipf_slope"] + 1.0) < 0.02
+        assert abs(got["zipf_intercept"] - math.log(1200)) < 0.05
+
+    def test_constant_frequencies_give_zero_slope(self, spark):
+        from cryoflow_spark.functions.text import zipf_fit
+
+        rows = [(i, f"w{i % 10}") for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = zipf_fit(df, top_k=10).collect()[0]
+        assert abs(got["zipf_slope"]) < 1e-9  # flat head: y constant
+
+    def test_validates_k_and_partitioning_invariance(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.text import zipf_fit
+
+        df = spark.createDataFrame(
+            [(i, "a b c d e") for i in range(40)], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="top_k"):
+            zipf_fit(df, top_k=1)
+        a = zipf_fit(df, top_k=5).collect()[0]
+        b = zipf_fit(df.repartition(11), top_k=5).collect()[0]
+        assert a["zipf_slope"] == b["zipf_slope"]  # bit-equal folds
+
+
+class TestDistributionDrift:
+    def test_identical_snapshots_give_zero(self, spark):
+        from cryoflow_spark.functions.diff import distribution_drift
+
+        df = spark.createDataFrame(
+            [(float(i % 37),) for i in range(500)], "v double"
+        )
+        got = distribution_drift(df, df, "v", lo=0.0, hi=40.0).collect()[0]
+        assert got["psi"] == 0.0
+        assert got["n_current"] == got["n_baseline"] == 500
+
+    def test_shifted_distribution_scores_high(self, spark):
+        from cryoflow_spark.functions.diff import distribution_drift
+
+        base = spark.createDataFrame(
+            [(float(i % 20),) for i in range(400)], "v double"
+        )
+        cur = spark.createDataFrame(
+            [(float(60 + i % 20),) for i in range(400)], "v double"
+        )
+        got = distribution_drift(
+            cur, base, "v", lo=0.0, hi=100.0, n_bins=10
+        ).collect()[0]
+        assert got["psi"] > 0.25  # textbook "shifted" threshold
+
+    def test_clamping_nulls_and_validation(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.diff import distribution_drift
+
+        base = spark.createDataFrame(
+            [(v,) for v in (-100.0, 0.5, None)], "v double"
+        )
+        got = distribution_drift(
+            base, base, "v", lo=0.0, hi=1.0, n_bins=2
+        ).collect()[0]
+        assert got["n_current"] == 2  # NULL excluded, -100 clamped in
+        assert got["psi"] == 0.0
+        with pytest.raises(ValueError, match="hi > lo"):
+            distribution_drift(base, base, "v", lo=1.0, hi=1.0)

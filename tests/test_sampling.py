@@ -358,3 +358,26 @@ def test_token_budget_validates_inputs(spark):
         token_budget_mix(df, "source", "doc_id", budget_tokens=0)
     with pytest.raises(ValueError, match="alpha"):
         token_budget_mix(df, "source", "doc_id", 10, alpha=-0.5)
+
+
+def test_exact_n_per_group_is_exact_nested_and_invariant(spark):
+    from cryoflow_spark.functions.sampling import sample_exact_n_per_group
+
+    rows = [(i, ["en", "fr", "de"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    small = sample_exact_n_per_group(df, "lang", "doc_id", 10)
+    big = sample_exact_n_per_group(df, "lang", "doc_id", 40)
+    per_group = {r["lang"]: r["n"] for r in small.groupBy("lang")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_group == {"en": 10, "fr": 10, "de": 10}
+    # nested: the 10-per-group IDs are a subset of the 40-per-group IDs
+    s = {r["doc_id"] for r in small.collect()}
+    b = {r["doc_id"] for r in big.collect()}
+    assert s <= b
+    # partitioning-independent
+    s2 = {r["doc_id"] for r in sample_exact_n_per_group(
+        df.repartition(13), "lang", "doc_id", 10).collect()}
+    assert s2 == s
+    # short groups keep everything
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, lang string")
+    assert sample_exact_n_per_group(tiny, "lang", "doc_id", 10).count() == 2

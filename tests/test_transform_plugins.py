@@ -1059,3 +1059,68 @@ class TestPackPlugin:
         out = _run(PackPlugin({"budget": 25}), df)
         assert "shard_id" in out.columns
         assert out.count() == 6  # whole docs, never split
+
+
+def test_curate_quantile_normalize_plugin(spark):
+    from cryoflow_spark.plugins.transform import CuratePlugin
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 4.0), (4, "b", 9.0)],
+        "doc_id long, g string, score double",
+    )
+    out = _run(
+        CuratePlugin({
+            "method": "quantile_normalize", "score_column": "score",
+            "group_by": "g",
+        }),
+        df,
+    )
+    got = {r["doc_id"]: r["calibrated"] for r in out.collect()}
+    assert abs(got[1] - 1 / 3) < 1e-12 and got[3] == 1.0 and got[4] == 1.0
+
+
+def test_vocab_zipf_plugin(spark):
+    from cryoflow_spark.plugins.transform import VocabPlugin
+
+    df = spark.createDataFrame(
+        [(i, "alpha " * 8 + "beta " * 4 + "gamma " * 2) for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = _run(VocabPlugin({"method": "zipf", "top_k": 3}), df)
+    row = out.collect()[0]
+    assert row["n_terms"] == 3
+    assert row["zipf_slope"] < -0.5  # 8:4:2 geometric head
+
+
+def test_diff_psi_plugin_via_sibling_label(spark):
+    from cryoflow_spark.core.result import Success
+    from cryoflow_spark.plugins.transform import SnapshotDiffPlugin
+
+    cur = spark.createDataFrame([(float(i % 5),) for i in range(50)], "v double")
+    base = spark.createDataFrame([(float(i % 5),) for i in range(50)], "v double")
+    plugin = SnapshotDiffPlugin({
+        "mode": "psi", "old_label": "baseline", "column": "v",
+        "lo": 0.0, "hi": 5.0, "bins": 5,
+    })
+    plugin.attach_session(spark)
+    plugin.set_siblings({"baseline": Success(base)})
+    result = plugin.execute(cur)
+    assert is_successful(result), result
+    assert result.unwrap().collect()[0]["psi"] == 0.0
+
+
+def test_sample_exact_n_per_group_plugin(spark):
+    from cryoflow_spark.plugins.transform import SamplePlugin
+
+    rows = [(i, ["x", "y"][i % 2]) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = _run(
+        SamplePlugin({
+            "method": "exact_n_per_group", "key_column": "doc_id",
+            "group_column": "lang", "n": 7,
+        }),
+        df,
+    )
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"x": 7, "y": 7}
