@@ -896,3 +896,100 @@ def zipf_fit(
             den > 0, (F.col("__sy") - slope * F.col("__sx")) / k
         ).alias("zipf_intercept"),
     )
+
+
+def js_divergence(
+    df_p,
+    df_q,
+    text_col: str = "text",
+    lowercase: bool = True,
+    term_scale: int = 12,
+):
+    """Jensen-Shannon divergence between the token UNIGRAM distributions
+    of two corpora (nats, symmetric, bounded by ln 2) — the
+    domain-similarity number data-mixture work ranks sources by ("how
+    close is this crawl slice to my target distribution?"). Output: ONE
+    row ``(n_tokens_p, n_tokens_q, vocab_union, jsd)``.
+
+    ``JSD = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m)`` with ``m = (p+q)/2`` over
+    the union vocabulary; absent terms contribute 0 on their side
+    (no smoothing needed — m > 0 wherever either side is present).
+
+    Portability at ANY vocabulary size: the union vocabulary does NOT
+    fit an order-canonical fold (a 100M-term array cannot ride one
+    row), so this uses the other determinism trick — each per-term
+    float contribution is computed from exact integers (term counts +
+    the two grand totals, identical in every engine), QUANTIZED to
+    fixed-point ``round(term · 10^term_scale)`` BIGINT, and summed as
+    exact integers (order-independent by construction); the single
+    dequantizing divide happens once at the end. Resolution 1e-12 per
+    term bounds total error by ``vocab · 5e-13``.
+
+    Scale: one token-count aggregation per corpus (two-shuffle
+    vocab_stats shape collapsed to tf only), a full outer equi-join on
+    the term, map-side term arithmetic, ONE global integer sum. No
+    fold, no window, no driver state.
+    """
+    from pyspark.sql import DataFrame
+
+    assert isinstance(df_p, DataFrame) and isinstance(df_q, DataFrame)
+    if not 0 < term_scale <= 15:
+        raise ValueError("term_scale must be in (0, 15]")
+
+    def tf(df, out):
+        toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+        if lowercase:
+            toks = F.transform(toks, F.lower)
+        return (
+            df.select(F.explode(toks).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    p_tf = tf(df_p, "__cp")
+    q_tf = tf(df_q, "__cq")
+    joined = p_tf.join(q_tf, "token", "full_outer").select(
+        F.coalesce("__cp", F.lit(0)).cast("bigint").alias("__cp"),
+        F.coalesce("__cq", F.lit(0)).cast("bigint").alias("__cq"),
+    )
+    # Grand totals derive from the joined vocab table (one scan each
+    # side feeds the join; no second corpus pass).
+    totals = joined.agg(
+        F.sum("__cp").cast("bigint").alias("n_tokens_p"),
+        F.sum("__cq").cast("bigint").alias("n_tokens_q"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_union"),
+    )
+    # Per-term contributions need the totals: compute them in a second
+    # pass over the vocab table with the totals as a 1-row broadcast.
+    q_int = F.lit(int(10**term_scale)).cast("double")
+    cp = F.col("__cp").cast("double")
+    cq = F.col("__cq").cast("double")
+    tp = F.col("n_tokens_p").cast("double")
+    tq = F.col("n_tokens_q").cast("double")
+    p = cp / tp
+    q = cq / tq
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when((F.col("__cp") > 0) & (tp > 0), p * F.log(p / m)).otherwise(
+            F.lit(0.0)
+        )
+        + F.when((F.col("__cq") > 0) & (tq > 0), q * F.log(q / m)).otherwise(
+            F.lit(0.0)
+        )
+    )
+    quantized = (
+        joined.join(F.broadcast(totals), how="cross")
+        .select(
+            "n_tokens_p",
+            "n_tokens_q",
+            "vocab_union",
+            F.round(term * q_int).cast("bigint").alias("__tq"),
+        )
+    )
+    return quantized.groupBy(
+        "n_tokens_p", "n_tokens_q", "vocab_union"
+    ).agg(
+        (
+            (F.sum("__tq").cast("double") / q_int) / F.lit(2.0)
+        ).alias("jsd")
+    )

@@ -22,6 +22,11 @@ Output schema: ``(id_column, change)`` with change ∈ added | removed |
 changed — unchanged rows are omitted, so the output is tiny between
 adjacent dumps and only (key, 16-byte hash) ever rides the shuffle.
 
+``mode = "jsd"`` switches to the Jensen-Shannon token-distribution
+divergence (:func:`...text.js_divergence`): the stream vs the
+``old_label`` sibling over ``column`` (default ``text``) — the
+domain-similarity gate for data-mixture work.
+
 ``mode = "psi"`` switches to the Population Stability Index drift gate
 (:func:`...diff.distribution_drift`): the stream is CURRENT, the
 ``old_label`` sibling is the BASELINE, and the output is one row
@@ -47,6 +52,15 @@ class SnapshotDiffPlugin(SiblingAwareTransformPlugin):
         )
 
         old = self.sibling_frame(self.require_option("old_label"))
+        if self.options.get("mode") == "jsd":
+            from cryoflow_spark.functions.text import js_divergence
+
+            return js_divergence(
+                data,
+                old,
+                text_col=self.options.get("column", "text"),
+                lowercase=bool(self.options.get("lowercase", True)),
+            )
         if self.options.get("mode") == "psi":
             return distribution_drift(
                 data,

@@ -114,12 +114,13 @@ _PRIORITY: list[str] = [
     "x78_duplication_profile", "x79_quantile_summary",
     "x80_conversion_funnel", "x81_retention_cohorts",
     "x82_robust_outliers", "x83_stopword_fraction",
-    # NEW this round — never driver-checked (6)
+    # NEW this round — never driver-checked (7)
     "x84_mutual_information", "x85_water_fill_budget",
     "x86_quantile_normalize", "x87_zipf_fit",
     "x88_distribution_drift", "x89_exact_n_per_group",
-    # longest-stale sentinels (last driver-checked r4), shape-diverse (3)
-    "q01_pricing_summary", "q25_asof_join", "q32_rank_family",
+    "x90_js_divergence",
+    # longest-stale sentinels (last driver-checked r4), shape-diverse (2)
+    "q01_pricing_summary", "q32_rank_family",
 ]
 
 

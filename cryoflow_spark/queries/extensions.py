@@ -4106,3 +4106,74 @@ def x89_exact_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_exact_n_per_group(d, "lang", "doc_id", 25).select(
         "doc_id", "lang"
     )
+
+
+# --- x90: Jensen-Shannon corpus divergence (oracle-checked) -----------------
+
+
+def _x90_oracle() -> str:
+    def tf(where: str) -> str:
+        return f"""
+      SELECT lower(t) AS token, COUNT(*)::BIGINT AS c
+      FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x != '')) AS t
+        FROM documents WHERE {where}
+      ) GROUP BY 1
+    """
+
+    return f"""
+    WITH ptf AS ({tf('doc_id >= 250')}),
+    qtf AS ({tf('doc_id < 250')}),
+    joined AS (
+      SELECT COALESCE(ptf.c, 0)::BIGINT AS cp,
+             COALESCE(qtf.c, 0)::BIGINT AS cq
+      FROM ptf FULL OUTER JOIN qtf USING (token)
+    ),
+    tot AS (
+      SELECT SUM(cp)::BIGINT AS np, SUM(cq)::BIGINT AS nq,
+             COUNT(*)::BIGINT AS vu
+      FROM joined
+    ),
+    terms AS (
+      SELECT tot.np, tot.nq, tot.vu,
+             CAST(ROUND((
+               CASE WHEN j.cp > 0 AND tot.np::DOUBLE > 0
+                 THEN (j.cp::DOUBLE / tot.np::DOUBLE)
+                      * LN((j.cp::DOUBLE / tot.np::DOUBLE)
+                           / (((j.cp::DOUBLE / tot.np::DOUBLE)
+                               + (j.cq::DOUBLE / tot.nq::DOUBLE)) / 2.0))
+                 ELSE 0.0 END
+               +
+               CASE WHEN j.cq > 0 AND tot.nq::DOUBLE > 0
+                 THEN (j.cq::DOUBLE / tot.nq::DOUBLE)
+                      * LN((j.cq::DOUBLE / tot.nq::DOUBLE)
+                           / (((j.cp::DOUBLE / tot.np::DOUBLE)
+                               + (j.cq::DOUBLE / tot.nq::DOUBLE)) / 2.0))
+                 ELSE 0.0 END
+             ) * 1000000000000.0) AS BIGINT) AS tq
+      FROM joined j CROSS JOIN tot
+    )
+    SELECT np AS n_tokens_p, nq AS n_tokens_q, vu AS vocab_union,
+           (SUM(tq)::DOUBLE / 1000000000000.0) / 2.0 AS jsd
+    FROM terms GROUP BY np, nq, vu
+    """
+
+
+@register(
+    "x90_js_divergence",
+    _x90_oracle(),
+    "Jensen-Shannon divergence between the token distributions of the "
+    "two corpus halves (nats, symmetric, <= ln 2) — the domain-"
+    "similarity number for data-mixture ranking. Determinism WITHOUT a "
+    "fold (vocab-size-independent): per-term contributions from exact "
+    "integer counts are quantized to 1e-12 fixed-point BIGINT and "
+    "summed order-independently; one dequantizing divide at the end",
+)
+def x90_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.text import js_divergence
+
+    d = load(spark, sf_dir, "documents")
+    return js_divergence(
+        d.filter(F.col("doc_id") >= 250), d.filter(F.col("doc_id") < 250)
+    )

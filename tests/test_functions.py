@@ -3610,3 +3610,47 @@ class TestDistributionDrift:
         assert got["psi"] == 0.0
         with pytest.raises(ValueError, match="hi > lo"):
             distribution_drift(base, base, "v", lo=1.0, hi=1.0)
+
+
+class TestJSDivergence:
+    def test_identical_corpora_give_exact_zero(self, spark):
+        from cryoflow_spark.functions.text import js_divergence
+
+        df = spark.createDataFrame(
+            [(i, f"alpha beta w{i % 7}") for i in range(60)],
+            "doc_id long, text string",
+        )
+        got = js_divergence(df, df).collect()[0]
+        assert got["jsd"] == 0.0
+        assert got["n_tokens_p"] == got["n_tokens_q"] == 180
+
+    def test_disjoint_vocabularies_hit_ln2(self, spark):
+        import math
+
+        from cryoflow_spark.functions.text import js_divergence
+
+        p = spark.createDataFrame([(i, "aaa bbb") for i in range(20)],
+                                  "doc_id long, text string")
+        q = spark.createDataFrame([(i, "xxx yyy") for i in range(20)],
+                                  "doc_id long, text string")
+        got = js_divergence(p, q).collect()[0]
+        assert abs(got["jsd"] - math.log(2)) < 1e-9  # maximal divergence
+        assert got["vocab_union"] == 4
+
+    def test_symmetry_and_partitioning_invariance(self, spark):
+        from cryoflow_spark.functions.text import js_divergence
+
+        p = spark.createDataFrame(
+            [(i, f"tok{i % 5} shared") for i in range(40)],
+            "doc_id long, text string",
+        )
+        q = spark.createDataFrame(
+            [(i, f"tok{i % 9} shared other") for i in range(40)],
+            "doc_id long, text string",
+        )
+        a = js_divergence(p, q).collect()[0]["jsd"]
+        b = js_divergence(q, p).collect()[0]["jsd"]
+        assert a == b  # symmetric by construction
+        c = js_divergence(p.repartition(7), q.repartition(3)).collect()[0]
+        assert c["jsd"] == a  # quantized integer sum: bit-equal
+        assert 0.0 < a < 0.7

@@ -151,6 +151,9 @@ def test_no_cartesian_products(all_plans):
         # 1-row water-level scalar crossJoin(broadcast) into the
         # |sources|-row rate table — same scalar pattern.
         "x85_water_fill_budget",
+        # 1-row grand-totals scalar crossJoin(broadcast) into the
+        # union-vocab term table — same scalar pattern.
+        "x90_js_divergence",
         # 1-row corpus-min-timestamp scalar crossJoin(broadcast) into
         # the event stream (anchors period buckets) — same pattern.
         "x81_retention_cohorts",
