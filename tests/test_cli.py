@@ -174,6 +174,8 @@ class TestExamples:
             "examples/dump_release_gate.toml",
             "examples/web_crawl_curation.toml",
             "examples/training_release.toml",
+            "examples/corpus_analytics.toml",
+            "examples/third_party_plugin.toml",
         ],
     )
     def test_check(self, runner, example):
@@ -188,6 +190,7 @@ class TestExamples:
             ("examples/decontaminate.toml", "/tmp/cryoflow_examples/decontaminated_corpus/*.parquet"),
             ("examples/dump_release_gate.toml", "/tmp/cryoflow_examples/dump_release_holdout/*.parquet"),
             ("examples/web_crawl_curation.toml", "/tmp/cryoflow_examples/crawl_curated/*.parquet"),
+            ("examples/corpus_analytics.toml", "/tmp/cryoflow_examples/analytics/balanced_pool/*.parquet"),
         ],
     )
     def test_run(self, runner, example, out_glob):
