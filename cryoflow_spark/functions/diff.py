@@ -235,3 +235,63 @@ def distribution_drift(
         F.lit(int(n_bins)).cast("int").alias("n_bins"),
         F.aggregate(F.col("__cells"), F.lit(0.0), merge).alias("psi"),
     )
+
+
+def snapshot_containment(
+    current: DataFrame,
+    baseline: DataFrame,
+    key_col: str = "doc_id",
+    columns: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Set-overlap summary between two snapshots — the "how much of the
+    new dump is actually new" number that decides whether a crawl is
+    worth a full dedup pass: one row
+    ``(n_current, n_baseline, n_shared, containment_in_baseline,
+    novelty_rate, jaccard)`` where sharing is by ``key_col`` alone or,
+    with ``columns``, by exact CONTENT (the injective row hash over
+    those columns — renamed/re-keyed copies still count as shared).
+
+    ``containment_in_baseline = shared/current`` (1.0 → the new dump is
+    entirely old), ``novelty_rate = 1 - containment``, ``jaccard =
+    shared/(current + baseline - shared)``. Exact integer counts + one
+    exact divide each.
+
+    Scale: one distinct per side on the key/hash (map-side partials),
+    one equi-join for the intersection count — the same cost class as
+    exact dedup; no row data beyond key + 16-byte hash ever shuffles.
+    """
+    if columns is not None:
+        key = row_hash(list(columns))
+    else:
+        key = F.col(key_col).cast("string")
+    cur_keys = current.select(key.alias("__k")).filter(
+        F.col("__k").isNotNull()
+    ).distinct()
+    base_keys = baseline.select(key.alias("__k")).filter(
+        F.col("__k").isNotNull()
+    ).distinct()
+    shared = cur_keys.join(base_keys, "__k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared")
+    )
+    nc = cur_keys.agg(F.count(F.lit(1)).cast("bigint").alias("n_current"))
+    nb = base_keys.agg(F.count(F.lit(1)).cast("bigint").alias("n_baseline"))
+    joined = nc.crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(shared))
+    c = F.col("n_current").cast("double")
+    b = F.col("n_baseline").cast("double")
+    s = F.col("n_shared").cast("double")
+    return joined.select(
+        "n_current",
+        "n_baseline",
+        "n_shared",
+        F.when(F.col("n_current") > 0, s / c).alias(
+            "containment_in_baseline"
+        ),
+        F.when(F.col("n_current") > 0, F.lit(1.0) - s / c).alias(
+            "novelty_rate"
+        ),
+        F.when(
+            (F.col("n_current") + F.col("n_baseline") - F.col("n_shared"))
+            > 0,
+            s / (c + b - s),
+        ).alias("jaccard"),
+    )

@@ -993,3 +993,102 @@ def js_divergence(
             (F.sum("__tq").cast("double") / q_int) / F.lit(2.0)
         ).alias("jsd")
     )
+
+
+#: ln 2 as a shared LITERAL (not a libm call): both engines compute the
+#: absent-token JSD mass from the identical constant, removing the one
+#: transcendental that group_js_divergence cannot quantize away.
+LN2_LITERAL = 0.6931471805599453
+
+
+def group_js_divergence(
+    df,
+    group_col: str = "source",
+    text_col: str = "text",
+    lowercase: bool = True,
+    term_scale: int = 12,
+):
+    """Per-group Jensen-Shannon divergence of each slice's token
+    distribution FROM THE WHOLE CORPUS — the data-mixture ranking table
+    ("which sources look least like the corpus I want?"): one row per
+    group ``(group, n_tokens, jsd_vs_corpus)``, nats, <= ln 2.
+
+    The naive sum runs over |groups| × |vocab| terms (every group pays
+    for every corpus token it does NOT contain). This implementation
+    stays on the (group, token) table: for tokens ABSENT from a group,
+    ``p = 0`` and ``m = q/2``, so their total contribution collapses in
+    closed form to ``½·ln2·(1 − Q_g)`` with ``Q_g = Σ_{t∈g} q_t`` — and
+    ``Q_g`` is a ratio of exact integers. Present-token contributions
+    are quantized to ``10^-term_scale`` fixed-point BIGINT and summed
+    order-independently (the x90 pattern); ``ln 2`` enters as a shared
+    literal, not a libm call — bit-identical across engines.
+
+    The corpus distribution INCLUDES the group itself (a dominant
+    group therefore scores low by construction — it IS the corpus);
+    compare against an external target corpus with
+    :func:`js_divergence` per slice if exclusion is wanted.
+
+    Scale: one (group, token) aggregation over the corpus; the global
+    token table derives FROM it (no second scan); one equi-join on the
+    token; integer sums grouped by the (small) group domain.
+    """
+    from pyspark.sql import DataFrame
+
+    assert isinstance(df, DataFrame)
+    if not 0 < term_scale <= 15:
+        raise ValueError("term_scale must be in (0, 15]")
+    toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    tf_gt = (
+        df.select(F.col(group_col).alias("__g"), F.explode(toks).alias("__t"))
+        .groupBy("__g", "__t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cgt"))
+    )
+    tf_t = tf_gt.groupBy("__t").agg(
+        F.sum("__cgt").cast("bigint").alias("__ct")
+    )
+    n_g = tf_gt.groupBy("__g").agg(
+        F.sum("__cgt").cast("bigint").alias("__ng")
+    )
+    n_all = tf_t.agg(F.sum("__ct").cast("bigint").alias("__n"))
+    q_int = F.lit(float(10**term_scale))
+    joined = (
+        tf_gt.join(tf_t, "__t")
+        .join(F.broadcast(n_g), "__g")
+        .crossJoin(F.broadcast(n_all))
+    )
+    p = F.col("__cgt").cast("double") / F.col("__ng").cast("double")
+    q = F.col("__ct").cast("double") / F.col("__n").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = p * F.log(p / m) + q * F.log(q / m)
+    per_group = (
+        joined.select(
+            "__g",
+            "__ng",
+            "__n",
+            "__ct",
+            F.round(term * q_int).cast("bigint").alias("__tq"),
+        )
+        .groupBy("__g")
+        .agg(
+            F.max("__ng").alias("__ng"),
+            F.max("__n").alias("__n"),
+            F.sum("__tq").cast("bigint").alias("__qsum"),
+            F.sum("__ct").cast("bigint").alias("__csum"),
+        )
+    )
+    present = (F.col("__qsum").cast("double") / q_int) / F.lit(2.0)
+    absent = (
+        F.lit(LN2_LITERAL)
+        * (
+            (F.col("__n") - F.col("__csum")).cast("double")
+            / F.col("__n").cast("double")
+        )
+        / F.lit(2.0)
+    )
+    return per_group.select(
+        F.col("__g").alias(group_col),
+        F.col("__ng").alias("n_tokens"),
+        (present + absent).alias("jsd_vs_corpus"),
+    )

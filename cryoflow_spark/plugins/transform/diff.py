@@ -22,6 +22,11 @@ Output schema: ``(id_column, change)`` with change ∈ added | removed |
 changed — unchanged rows are omitted, so the output is tiny between
 adjacent dumps and only (key, 16-byte hash) ever rides the shuffle.
 
+``mode = "containment"`` switches to the set-overlap summary
+(:func:`...diff.snapshot_containment`): shared/novel/jaccard counts by
+``id_column`` or exact content over ``compare_columns`` — the "is this
+crawl worth a dedup pass" gate.
+
 ``mode = "jsd"`` switches to the Jensen-Shannon token-distribution
 divergence (:func:`...text.js_divergence`): the stream vs the
 ``old_label`` sibling over ``column`` (default ``text``) — the
@@ -52,6 +57,16 @@ class SnapshotDiffPlugin(SiblingAwareTransformPlugin):
         )
 
         old = self.sibling_frame(self.require_option("old_label"))
+        if self.options.get("mode") == "containment":
+            from cryoflow_spark.functions.diff import snapshot_containment
+
+            compare = self.options.get("compare_columns")
+            return snapshot_containment(
+                data,
+                old,
+                key_col=self.options.get("id_column", "doc_id"),
+                columns=list(compare) if compare is not None else None,
+            )
         if self.options.get("mode") == "jsd":
             from cryoflow_spark.functions.text import js_divergence
 

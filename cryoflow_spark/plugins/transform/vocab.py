@@ -20,6 +20,9 @@ Options:
 - ``method = "zipf"`` — ONE-row Zipf's-law fit over the ``top_k``
   vocabulary head (ln tf vs ln rank OLS slope/intercept) — the
   "does this look like natural language" dataset-card number.
+- ``method = "jsd_rank"`` — per-``group_column`` Jensen-Shannon
+  divergence of each slice's token distribution from the whole corpus
+  — the data-mixture ranking table.
 """
 
 from __future__ import annotations
@@ -55,6 +58,15 @@ class VocabPlugin(AnalyzedTransformPlugin):
                 text_col=self.options.get("column", "text"),
                 id_col=self.options.get("id_column", "doc_id"),
                 top_k=int(self.options.get("top_k", 500)),
+                lowercase=bool(self.options.get("lowercase", True)),
+            )
+        if self.options.get("method") == "jsd_rank":
+            from cryoflow_spark.functions.text import group_js_divergence
+
+            return group_js_divergence(
+                data,
+                group_col=self.require_option("group_column"),
+                text_col=self.options.get("column", "text"),
                 lowercase=bool(self.options.get("lowercase", True)),
             )
         if self.options.get("method") == "heavy_hitters":

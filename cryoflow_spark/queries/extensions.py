@@ -4177,3 +4177,112 @@ def x90_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return js_divergence(
         d.filter(F.col("doc_id") >= 250), d.filter(F.col("doc_id") < 250)
     )
+
+
+# --- x91: snapshot containment (oracle-checked) -----------------------------
+
+
+@register(
+    "x91_snapshot_containment",
+    """
+    WITH cur AS (
+      SELECT DISTINCT md5(concat_ws(chr(31),
+               COALESCE(text, chr(30)), COALESCE(lang, chr(30)))) AS k
+      FROM documents WHERE doc_id >= 100
+    ),
+    base AS (
+      SELECT DISTINCT md5(concat_ws(chr(31),
+               COALESCE(text, chr(30)), COALESCE(lang, chr(30)))) AS k
+      FROM documents WHERE doc_id < 400
+    ),
+    s AS (SELECT COUNT(*)::BIGINT AS n_shared
+          FROM cur JOIN base USING (k)),
+    c AS (SELECT COUNT(*)::BIGINT AS n_current FROM cur),
+    b AS (SELECT COUNT(*)::BIGINT AS n_baseline FROM base)
+    SELECT c.n_current, b.n_baseline, s.n_shared,
+           CASE WHEN c.n_current > 0
+             THEN s.n_shared::DOUBLE / c.n_current::DOUBLE END
+             AS containment_in_baseline,
+           CASE WHEN c.n_current > 0
+             THEN 1.0 - s.n_shared::DOUBLE / c.n_current::DOUBLE END
+             AS novelty_rate,
+           CASE WHEN c.n_current + b.n_baseline - s.n_shared > 0
+             THEN s.n_shared::DOUBLE
+                  / (c.n_current::DOUBLE + b.n_baseline::DOUBLE
+                     - s.n_shared::DOUBLE) END AS jaccard
+    FROM c CROSS JOIN b CROSS JOIN s
+    """,
+    "Cross-dump containment by exact CONTENT hash over (text, lang) "
+    "between two overlapping snapshot windows: shared/current + novelty "
+    "+ jaccard from exact integer distinct counts — the 'is this crawl "
+    "worth a dedup pass' gate; one distinct per side + one equi-join, "
+    "the exact-dedup cost class",
+)
+def x91_snapshot_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.diff import snapshot_containment
+
+    d = load(spark, sf_dir, "documents")
+    return snapshot_containment(
+        d.filter(F.col("doc_id") >= 100),
+        d.filter(F.col("doc_id") < 400),
+        columns=["text", "lang"],
+    )
+
+
+# --- x92: per-source JSD ranking vs the corpus (oracle-checked) -------------
+
+
+@register(
+    "x92_group_js_divergence",
+    """
+    WITH tf_gt AS (
+      SELECT lang AS g, lower(t) AS tok, COUNT(*)::BIGINT AS cgt
+      FROM (
+        SELECT lang,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x != '')) AS t
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    tf_t AS (SELECT tok, SUM(cgt)::BIGINT AS ct FROM tf_gt GROUP BY tok),
+    n_g AS (SELECT g, SUM(cgt)::BIGINT AS ng FROM tf_gt GROUP BY g),
+    n_all AS (SELECT SUM(ct)::BIGINT AS n FROM tf_t),
+    terms AS (
+      SELECT tf_gt.g, n_g.ng, n_all.n, tf_t.ct,
+             CAST(ROUND((
+               (tf_gt.cgt::DOUBLE / n_g.ng::DOUBLE)
+               * LN((tf_gt.cgt::DOUBLE / n_g.ng::DOUBLE)
+                    / (((tf_gt.cgt::DOUBLE / n_g.ng::DOUBLE)
+                        + (tf_t.ct::DOUBLE / n_all.n::DOUBLE)) / 2.0))
+               +
+               (tf_t.ct::DOUBLE / n_all.n::DOUBLE)
+               * LN((tf_t.ct::DOUBLE / n_all.n::DOUBLE)
+                    / (((tf_gt.cgt::DOUBLE / n_g.ng::DOUBLE)
+                        + (tf_t.ct::DOUBLE / n_all.n::DOUBLE)) / 2.0))
+             ) * 1000000000000.0) AS BIGINT) AS tq
+      FROM tf_gt
+      JOIN tf_t USING (tok) JOIN n_g USING (g) CROSS JOIN n_all
+    ),
+    per_g AS (
+      SELECT g, MAX(ng) AS ng, MAX(n) AS n,
+             SUM(tq)::BIGINT AS qsum, SUM(ct)::BIGINT AS csum
+      FROM terms GROUP BY g
+    )
+    SELECT g AS lang, ng AS n_tokens,
+           (qsum::DOUBLE / 1000000000000.0) / 2.0
+           + 0.6931471805599453
+             * ((n - csum)::DOUBLE / n::DOUBLE) / 2.0 AS jsd_vs_corpus
+    FROM per_g
+    """,
+    "Per-language JSD of each slice's token distribution FROM the whole "
+    "corpus — the data-mixture ranking table. Absent-token mass "
+    "collapses in closed form to ln2*(1-Q_g)/2 with Q_g a ratio of "
+    "exact integers (never |groups|x|vocab| terms); present-token "
+    "contributions use the x90 fixed-point-sum pattern; ln2 enters as a "
+    "shared LITERAL, not a libm call",
+)
+def x92_group_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.text import group_js_divergence
+
+    d = load(spark, sf_dir, "documents")
+    return group_js_divergence(d, group_col="lang")

@@ -3654,3 +3654,66 @@ class TestJSDivergence:
         c = js_divergence(p.repartition(7), q.repartition(3)).collect()[0]
         assert c["jsd"] == a  # quantized integer sum: bit-equal
         assert 0.0 < a < 0.7
+
+
+class TestSnapshotContainment:
+    def test_overlap_window_by_key_and_content(self, spark):
+        from cryoflow_spark.functions.diff import snapshot_containment
+
+        base = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(100)], "doc_id long, text string"
+        )
+        cur = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(60, 160)],
+            "doc_id long, text string",
+        )
+        r = snapshot_containment(cur, base, key_col="doc_id").collect()[0]
+        assert (r["n_current"], r["n_baseline"], r["n_shared"]) == (100, 100, 40)
+        assert r["containment_in_baseline"] == 0.4
+        assert r["novelty_rate"] == 0.6
+        assert abs(r["jaccard"] - 40 / 160) < 1e-12
+        # content mode: a re-keyed copy still counts as shared
+        rekeyed = cur.withColumn("doc_id", F.col("doc_id") + 10_000)
+        rc = snapshot_containment(
+            rekeyed, base, columns=["text"]
+        ).collect()[0]
+        assert rc["n_shared"] == 40
+
+    def test_self_and_disjoint_bounds(self, spark):
+        from cryoflow_spark.functions.diff import snapshot_containment
+
+        df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+        r = snapshot_containment(df, df).collect()[0]
+        assert r["containment_in_baseline"] == 1.0 and r["jaccard"] == 1.0
+        other = spark.createDataFrame([(i + 999,) for i in range(50)],
+                                      "doc_id long")
+        d = snapshot_containment(df, other).collect()[0]
+        assert d["containment_in_baseline"] == 0.0 and d["novelty_rate"] == 1.0
+
+
+class TestGroupJSDivergence:
+    def test_single_group_is_the_corpus(self, spark):
+        from cryoflow_spark.functions.text import group_js_divergence
+
+        df = spark.createDataFrame(
+            [(i, "only", f"w{i % 7} shared") for i in range(30)],
+            "doc_id long, source string, text string",
+        )
+        r = group_js_divergence(df, "source").collect()[0]
+        assert r["jsd_vs_corpus"] == 0.0  # p == q exactly
+
+    def test_outlier_group_ranks_highest(self, spark):
+        from cryoflow_spark.functions.text import group_js_divergence
+
+        rows = ([(i, "a", "common words here") for i in range(40)]
+                + [(100 + i, "b", "common words here") for i in range(40)]
+                + [(200 + i, "weird", "zzz qqq vvv") for i in range(10)])
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = {r["source"]: r["jsd_vs_corpus"] for r in
+               group_js_divergence(df, "source").collect()}
+        assert got["weird"] > got["a"] and got["weird"] > got["b"]
+        assert got["a"] == got["b"]  # identical slices score identically
+        # invariance: quantized integer sums are partition-independent
+        got2 = {r["source"]: r["jsd_vs_corpus"] for r in
+                group_js_divergence(df.repartition(9), "source").collect()}
+        assert got == got2

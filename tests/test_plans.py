@@ -154,6 +154,11 @@ def test_no_cartesian_products(all_plans):
         # 1-row grand-totals scalar crossJoin(broadcast) into the
         # union-vocab term table — same scalar pattern.
         "x90_js_divergence",
+        # three 1-row count scalars cross-joined together — all scalars.
+        "x91_snapshot_containment",
+        # 1-row corpus-total scalar crossJoin(broadcast) into the
+        # (group, token) term table — same scalar pattern.
+        "x92_group_js_divergence",
         # 1-row corpus-min-timestamp scalar crossJoin(broadcast) into
         # the event stream (anchors period buckets) — same pattern.
         "x81_retention_cohorts",
