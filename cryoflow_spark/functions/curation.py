@@ -865,3 +865,137 @@ def quantile_normalize(
         out_col, F.lit(None).cast("double")
     )
     return scored.unionByName(nulls)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 50,
+    stride: int = 25,
+    min_docs: int = 2,
+    max_examples: int = 3,
+) -> DataFrame:
+    """Cross-document duplicate SPAN inventory — the token-window
+    granularity of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    ``span_tokens``-token windows (advancing by ``stride``) whose exact
+    text occurs in at least ``min_docs`` DISTINCT documents. Line- or
+    paragraph-level segment dedup misses duplication that crosses
+    segment boundaries or lives inside long lines; token windows do not.
+    Output: one row per duplicated span —
+    ``(span_hash, n_docs, n_occurrences, example_ids)`` with
+    ``example_ids`` the ``max_examples`` smallest doc ids (deterministic).
+
+    Spans are md5-hashed BEFORE the aggregation, so only (id, 16-byte
+    hash) rides the shuffle, never span text; the (hash, id) pair is
+    pre-distincted per doc so n_docs needs no countDistinct Expand.
+    Short documents (< span_tokens tokens) contribute their single
+    full-text window iff they have at least one token.
+
+    Scale: a map-side window-explode (docs × windows/stride rows of
+    16-byte hashes), one (hash, id) distinct, one hash-keyed
+    aggregation; the example list is array_sort(slice(collect_set)) —
+    bounded at max_examples per span.
+    """
+    if span_tokens < 2:
+        raise ValueError("span_tokens must be >= 2")
+    if not 1 <= stride <= span_tokens:
+        raise ValueError("stride must be in [1, span_tokens]")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    # window starts: 1, 1+stride, ... covering every token; a doc
+    # shorter than span_tokens yields exactly one (shorter) window.
+    windows = F.expr(
+        f"transform(sequence(1, greatest(size(__toks) - {span_tokens - 1},"
+        f" 1), {stride}),"
+        f" i -> md5(array_join(slice(__toks, i, {span_tokens}), ' ')))"
+    )
+    pairs = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+        .filter(F.size("__toks") >= 1)
+        .select("__id", F.explode(windows).alias("span_hash"))
+    )
+    per_doc = pairs.groupBy("span_hash", "__id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__occ")
+    )
+    return (
+        per_doc.groupBy("span_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__occ").cast("bigint").alias("n_occurrences"),
+            F.slice(
+                F.array_sort(F.collect_set("__id")), 1, max_examples
+            ).alias("example_ids"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def ensemble_rank_score(
+    df: DataFrame,
+    score_cols: "list[str]",
+    group_col: str | None = None,
+    out_col: str = "ensemble_score",
+) -> DataFrame:
+    """Rank-ensemble quality score: the mean of each row's within-group
+    ``cume_dist`` quantile positions across several raw signals — the
+    standard way to COMBINE heterogeneous quality scores (length,
+    stopword rate, perplexity, ...) whose scales and distributions
+    don't match: calibrate each to [0, 1] by rank
+    (:func:`quantile_normalize` semantics), then average. A signal that
+    is NULL for a row is simply left out of that row's mean (rows with
+    every signal NULL get NULL).
+
+    Deterministic: each position is ``count(x <= current, non-null) /
+    count(non-null)`` — a RANGE-frame count window, so ties share one
+    value, NULL rows never inflate another signal's denominator
+    (``cume_dist`` itself counts null rows), and everything is integer
+    rank arithmetic + one exact divide per row —
+    partitioning-independent.
+
+    Scale: one PARTITIONED window per signal over the same group
+    partitioning (Spark collapses same-partitioning windows into one
+    exchange); no global sort, no single reducer (use the CDF spine for
+    a global calibration over an unbounded ungrouped table).
+    """
+    from pyspark.sql import Window
+
+    cols = list(score_cols)
+    if len(cols) < 2:
+        raise ValueError("need at least 2 score columns to ensemble")
+    base = Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    out = df
+    rank_cols = []
+    for c in cols:
+        rc = f"__r_{c}"
+        rank_cols.append(rc)
+        upto = F.count(F.col(c)).over(
+            base.orderBy(F.col(c)).rangeBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        n_nonnull = F.count(F.col(c)).over(
+            base.orderBy(F.col(c)).rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        out = out.withColumn(
+            rc,
+            F.when(
+                F.col(c).isNotNull(),
+                upto.cast("double") / n_nonnull.cast("double"),
+            ),
+        )
+    present = sum(
+        (F.when(F.col(rc).isNotNull(), 1).otherwise(0) for rc in rank_cols),
+        F.lit(0),
+    )
+    total = sum(
+        (F.coalesce(F.col(rc), F.lit(0.0)) for rc in rank_cols), F.lit(0.0)
+    )
+    return out.withColumn(
+        out_col, F.when(present > 0, total / present.cast("double"))
+    ).drop(*rank_cols)

@@ -179,6 +179,45 @@ def distribution_drift(
     partials collapse before the shuffle), then everything runs on the
     n_bins-row frame.
     """
+    spark = current.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        bins.join(
+            F.broadcast(
+                histogram_bin_counts(current, value_col, lo, hi, n_bins, "__c")
+            ),
+            "bin",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                histogram_bin_counts(baseline, value_col, lo, hi, n_bins, "__b")
+            ),
+            "bin",
+            "left",
+        )
+        .select(
+            "bin",
+            F.coalesce("__c", F.lit(0)).cast("bigint").alias("__c"),
+            F.coalesce("__b", F.lit(0)).cast("bigint").alias("__b"),
+        )
+    )
+    return psi_from_bin_counts(joined, n_bins)
+
+
+def histogram_bin_counts(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    out: str = "__c",
+) -> DataFrame:
+    """The mergeable half of :func:`distribution_drift`: exact integer
+    bin counts of ``value_col`` over the fixed [lo, hi) grid (edge
+    clamping, NULLs excluded) — partials from disjoint slices
+    (micro-batches, shards) re-aggregate to the identical counts, which
+    is what makes the streaming PSI twin exactly-once."""
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
     if not float(hi) > float(lo):
@@ -187,33 +226,25 @@ def distribution_drift(
         )
     lo, hi = float(lo), float(hi)
     width = (hi - lo) / n_bins
-
-    def bin_counts(df: DataFrame, out: str) -> DataFrame:
-        col = F.col(value_col).cast("double")
-        bin_expr = F.least(
-            F.greatest(
-                F.floor((col - F.lit(lo)) / F.lit(width)).cast("int"),
-                F.lit(0),
-            ),
-            F.lit(n_bins - 1),
-        )
-        return (
-            df.filter(col.isNotNull())
-            .groupBy(bin_expr.alias("bin"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
-        )
-
-    spark = current.sparkSession
-    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
-    joined = (
-        bins.join(F.broadcast(bin_counts(current, "__c")), "bin", "left")
-        .join(F.broadcast(bin_counts(baseline, "__b")), "bin", "left")
-        .select(
-            "bin",
-            F.coalesce("__c", F.lit(0)).cast("bigint").alias("__c"),
-            F.coalesce("__b", F.lit(0)).cast("bigint").alias("__b"),
-        )
+    col = F.col(value_col).cast("double")
+    bin_expr = F.least(
+        F.greatest(
+            F.floor((col - F.lit(lo)) / F.lit(width)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
     )
+    return (
+        df.filter(col.isNotNull())
+        .groupBy(bin_expr.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+    )
+
+
+def psi_from_bin_counts(joined: DataFrame, n_bins: int) -> DataFrame:
+    """PSI from a pre-joined ``(bin, __c, __b)`` counts frame (all
+    ``n_bins`` bins present, zeros filled) — shared by the batch
+    operator and the streaming twin's finalize step."""
     row = joined.agg(
         F.sum("__c").cast("bigint").alias("n_current"),
         F.sum("__b").cast("bigint").alias("n_baseline"),

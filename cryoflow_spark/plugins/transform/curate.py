@@ -41,6 +41,10 @@ the TOML plugin surface. Modes (option ``method``):
   [``p_low``, ``p_high``] quantile band (robust-stats tail treatment;
   ``out_column`` optional, ``exact=false`` for the t-digest scale
   path).
+- ``ensemble_rank``: combine several heterogeneous ``score_columns``
+  into one ``out_column`` (default ``ensemble_score``) as the mean of
+  each row's within-``group_by`` quantile positions — scale-free score
+  fusion.
 - ``quantile_normalize``: replace ``score_column`` with its
   within-``group_by`` quantile position (``out_column``, default
   ``calibrated``; ``rank_method`` = ``cume_dist``/``percent_rank``) —
@@ -253,6 +257,14 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 p_high=float(self.options.get("p_high", 0.99)),
                 out_col=self.options.get("out_column"),
                 exact=bool(self.options.get("exact", True)),
+            )
+
+        if method == "ensemble_rank":
+            return C.ensemble_rank_score(
+                data,
+                list(self.require_option("score_columns")),
+                group_col=self.options.get("group_by"),
+                out_col=self.options.get("out_column", "ensemble_score"),
             )
 
         if method == "quantile_normalize":

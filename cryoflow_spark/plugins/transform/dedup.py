@@ -32,6 +32,10 @@ Engine extension for large-scale training-data pipelines (BASELINE.json
   signature column (``out_column``, default ``minhash_sig``) — store it
   in the lake so steady-state incremental ingest never recomputes the
   corpus side.
+- ``duplicate_spans``: emit the cross-doc duplicate token-window
+  INVENTORY ``(span_hash, n_docs, n_occurrences, example_ids)`` — the
+  exact-substring-dedup diagnostic (options ``span_tokens``, ``stride``,
+  ``min_docs``, ``max_examples``).
 - ``ngram_jaccard_pairs``: emit the near-dup EDGE LIST ``(id_a, id_b)``
   instead of removing rows — feeds cluster-aware consumers (the
   ``sample`` plugin's ``leakage_safe`` split, offline cluster audits);
@@ -134,6 +138,18 @@ class DedupPlugin(SiblingAwareTransformPlugin):
                 threshold=float(self.options.get("threshold", 0.8)),
                 block_by=self.options.get("block_by"),
                 method=self.options.get("method_strategy", "count"),
+            )
+        if method == "duplicate_spans":
+            from cryoflow_spark.functions.curation import duplicate_spans
+
+            return duplicate_spans(
+                data,
+                text_col=column,
+                id_col=id_column,
+                span_tokens=int(self.options.get("span_tokens", 50)),
+                stride=int(self.options.get("stride", 25)),
+                min_docs=int(self.options.get("min_docs", 2)),
+                max_examples=int(self.options.get("max_examples", 3)),
             )
         if method == "crawl_refresh":
             from cryoflow_spark.functions.urls import crawl_refresh

@@ -114,12 +114,16 @@ _PRIORITY: list[str] = [
     "x78_duplication_profile", "x79_quantile_summary",
     "x80_conversion_funnel", "x81_retention_cohorts",
     "x82_robust_outliers", "x83_stopword_fraction",
-    # NEW this round — never driver-checked (7)
+    # NEW this round — never driver-checked (9)
     "x84_mutual_information", "x85_water_fill_budget",
     "x86_quantile_normalize", "x87_zipf_fit",
     "x88_distribution_drift", "x89_exact_n_per_group",
     "x90_js_divergence", "x91_snapshot_containment",
     "x92_group_js_divergence",
+    # positions 51-52: also never driver-checked (the window holds only
+    # 50) — first in line for the r7 window together with the stale
+    # r4-cohort sentinels
+    "x93_duplicate_spans", "x94_ensemble_rank_score",
 ]
 
 

@@ -4286,3 +4286,104 @@ def x92_group_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return group_js_divergence(d, group_col="lang")
+
+
+# --- x93: cross-doc duplicate spans (oracle-checked) -------------------------
+
+
+@register(
+    "x93_duplicate_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> x != '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    pairs AS (
+      SELECT doc_id,
+             md5(array_to_string(t[i : i + 7], ' ')) AS span_hash
+      FROM toks,
+           UNNEST(generate_series(1, GREATEST(len(t) - 7, 1), 4)) AS u(i)
+      WHERE len(t) >= 1
+    ),
+    per_doc AS (
+      SELECT span_hash, doc_id, COUNT(*)::BIGINT AS occ
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT span_hash,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(occ)::BIGINT AS n_occurrences,
+           (list_sort(list(doc_id)))[1:3] AS example_ids
+    FROM per_doc
+    GROUP BY span_hash
+    HAVING COUNT(*) >= 2
+    """,
+    "Cross-document duplicate 8-token spans (stride 4) — the token-"
+    "window granularity of exact-substring dedup (Lee et al. 2022) that "
+    "line/paragraph segment dedup misses; spans md5-hash BEFORE the "
+    "shuffle (16 bytes/window), (hash, id) pre-distinct kills the "
+    "countDistinct Expand, example ids bounded at 3",
+)
+def x93_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.curation import duplicate_spans
+
+    d = load(spark, sf_dir, "documents")
+    return duplicate_spans(d, span_tokens=8, stride=4, min_docs=2)
+
+
+# --- x94: rank-ensemble quality score (oracle-checked) -----------------------
+
+
+@register(
+    "x94_ensemble_rank_score",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             n_chars::DOUBLE AS len_score,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             t -> t != ''))::DOUBLE AS tok_score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, len_score, tok_score,
+             CASE WHEN len_score IS NOT NULL THEN
+               (COUNT(len_score) OVER (PARTITION BY lang ORDER BY len_score
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+               / (COUNT(len_score) OVER (PARTITION BY lang))::DOUBLE
+             END AS r1,
+             CASE WHEN tok_score IS NOT NULL THEN
+               (COUNT(tok_score) OVER (PARTITION BY lang ORDER BY tok_score
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+               / (COUNT(tok_score) OVER (PARTITION BY lang))::DOUBLE
+             END AS r2
+      FROM scored
+    )
+    SELECT doc_id, lang, len_score, tok_score,
+           CASE WHEN (CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN r2 IS NOT NULL THEN 1 ELSE 0 END) > 0
+             THEN (COALESCE(r1, 0.0) + COALESCE(r2, 0.0))
+                  / (CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END
+                     + CASE WHEN r2 IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+           END AS ensemble_score
+    FROM ranked
+    """,
+    "Rank-ensemble quality score: mean of within-language cume_dist "
+    "positions of two heterogeneous signals (char length, token count) "
+    "— the standard scale-free way to combine quality scores; "
+    "NULL-excluded RANGE-frame rank counts, ties share values, one "
+    "exact divide per row",
+)
+def x94_ensemble_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.curation import ensemble_rank_score
+    from cryoflow_spark.functions.text import token_count
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("double").alias("len_score"),
+        token_count("text").cast("double").alias("tok_score"),
+    )
+    return ensemble_rank_score(
+        d, ["len_score", "tok_score"], group_col="lang"
+    )

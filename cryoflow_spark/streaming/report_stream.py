@@ -158,3 +158,92 @@ def finalize_dataset_checksum(
         F.sum("n_rows").cast("bigint").alias("n_rows"),
         F.sum("checksum").cast("decimal(38,0)").alias("checksum"),
     )
+
+
+def _write_drift_partials(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> None:
+    """Per-batch idempotent bin-count write (module-level so the replay
+    property is directly testable)."""
+    from cryoflow_spark.functions.diff import histogram_bin_counts
+
+    histogram_bin_counts(
+        batch_df, value_col, lo, hi, n_bins, "__c"
+    ).write.mode("overwrite").parquet(
+        f"{output_path}/partials/batch_id={batch_id}"
+    )
+
+
+def psi_drift_stream(
+    stream_df: DataFrame,
+    baseline_df: DataFrame,
+    output_path: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    checkpoint_path: Optional[str] = None,
+    trigger: str = "available_now",
+) -> StreamingQuery:
+    """Maintain the x88 PSI drift gate over LIVE ingest: the baseline's
+    bin counts are computed ONCE at stream start (written to
+    ``<output>/baseline``), each micro-batch appends its exact integer
+    bin counts as an idempotent overwrite-by-batch_id partial, and
+    :func:`finalize_psi_drift` merges them into the PSI of everything
+    ingested so far vs the baseline — bit-identical to running the
+    batch ``distribution_drift`` on the accumulated stream.
+
+    Bounds are required explicit for the same reason as the batch
+    operator: the grid must be fixed before the data arrives.
+    """
+    from cryoflow_spark.functions.diff import histogram_bin_counts
+
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    checkpoint = checkpoint_path or f"{output_path}/_checkpoint"
+    histogram_bin_counts(
+        baseline_df, value_col, lo, hi, n_bins, "__b"
+    ).write.mode("overwrite").parquet(f"{output_path}/baseline")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _write_drift_partials(
+            batch_df, batch_id, output_path, value_col, lo, hi, n_bins
+        )
+
+    return _start(stream_df, _process, checkpoint, trigger)
+
+
+def finalize_psi_drift(
+    spark: SparkSession,
+    output_path: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Merge the baseline and all written current-side partials into
+    the live PSI report ``(n_current, n_baseline, n_bins, psi)``."""
+    from pyspark.sql import functions as F
+
+    from cryoflow_spark.functions.diff import psi_from_bin_counts
+
+    cur = (
+        spark.read.parquet(f"{output_path}/partials/batch_id=*")
+        .groupBy("bin")
+        .agg(F.sum("__c").cast("bigint").alias("__c"))
+    )
+    base = spark.read.parquet(f"{output_path}/baseline")
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        bins.join(F.broadcast(cur), "bin", "left")
+        .join(F.broadcast(base), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("__c", F.lit(0)).cast("bigint").alias("__c"),
+            F.coalesce("__b", F.lit(0)).cast("bigint").alias("__b"),
+        )
+    )
+    return psi_from_bin_counts(joined, n_bins)

@@ -3717,3 +3717,83 @@ class TestGroupJSDivergence:
         got2 = {r["source"]: r["jsd_vs_corpus"] for r in
                 group_js_divergence(df.repartition(9), "source").collect()}
         assert got == got2
+
+
+class TestDuplicateSpans:
+    def test_cross_boundary_duplication_found(self, spark):
+        from cryoflow_spark.functions.curation import duplicate_spans
+
+        shared = "the quick brown fox jumps over the lazy dog"
+        rows = [(1, f"intro one {shared} outro alpha"),
+                (2, f"different lead {shared} other tail"),
+                (3, "totally unrelated content with no overlap here")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = duplicate_spans(df, span_tokens=5, stride=1, min_docs=2)
+        rows_out = out.collect()
+        assert len(rows_out) >= 5  # several 5-token windows of `shared`
+        for r in rows_out:
+            assert r["n_docs"] == 2
+            assert r["example_ids"] == [1, 2]
+
+    def test_within_doc_repeats_not_cross_doc(self, spark):
+        from cryoflow_spark.functions.curation import duplicate_spans
+
+        df = spark.createDataFrame(
+            [(1, "echo echo echo echo echo echo"),
+             (2, "completely different words entirely here now")],
+            "doc_id long, text string",
+        )
+        # repeats INSIDE one doc don't meet min_docs=2 across docs
+        assert duplicate_spans(df, span_tokens=3, stride=1).count() == 0
+
+    def test_validates_params_and_short_docs(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.curation import duplicate_spans
+
+        df = spark.createDataFrame(
+            [(1, "tiny doc"), (2, "tiny doc")], "doc_id long, text string"
+        )
+        # shorter than span_tokens: the single full-text window matches
+        out = duplicate_spans(df, span_tokens=50, stride=25).collect()
+        assert len(out) == 1 and out[0]["n_docs"] == 2
+        with pytest.raises(ValueError, match="span_tokens"):
+            duplicate_spans(df, span_tokens=1)
+        with pytest.raises(ValueError, match="stride"):
+            duplicate_spans(df, span_tokens=5, stride=0)
+        with pytest.raises(ValueError, match="min_docs"):
+            duplicate_spans(df, min_docs=1)
+
+
+class TestEnsembleRankScore:
+    def test_mean_of_calibrated_positions_null_safe(self, spark):
+        from cryoflow_spark.functions.curation import ensemble_rank_score
+
+        rows = [(1, "a", 10.0, 5.0), (2, "a", 20.0, 1.0),
+                (3, "a", None, 3.0), (4, "a", None, None)]
+        df = spark.createDataFrame(rows, "id long, g string, s1 double, s2 double")
+        got = {r["id"]: r["ensemble_score"] for r in
+               ensemble_rank_score(df, ["s1", "s2"], group_col="g").collect()}
+        # s1 ranks over non-null {10,20}; s2 over {1,3,5} — NULL rows
+        # must NOT inflate denominators
+        assert got[1] == (0.5 + 1.0) / 2
+        assert got[2] == (1.0 + 1 / 3) / 2
+        assert got[3] == 2 / 3          # single present signal
+        assert got[4] is None           # all signals NULL
+
+    def test_partitioning_invariance_and_validation(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.curation import ensemble_rank_score
+
+        rows = [(i, "g", float(i % 13), float((i * 7) % 11))
+                for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, g string, s1 double, s2 double")
+        a = {r["id"]: r["ensemble_score"] for r in
+             ensemble_rank_score(df, ["s1", "s2"], group_col="g").collect()}
+        b = {r["id"]: r["ensemble_score"] for r in
+             ensemble_rank_score(df.repartition(9), ["s1", "s2"],
+                                 group_col="g").collect()}
+        assert a == b
+        with pytest.raises(ValueError, match="at least 2"):
+            ensemble_rank_score(df, ["s1"])

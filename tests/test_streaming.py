@@ -549,3 +549,50 @@ def test_report_streams_reject_batch_frames(spark):
         corpus_report_stream(df, "/tmp/nowhere")
     with pytest.raises(ValueError, match="must be a streaming"):
         dataset_checksum_stream(df, "/tmp/nowhere")
+
+
+def test_psi_drift_stream_matches_batch_twin(spark, tmp_path):
+    """x88 streaming twin: the finalized PSI over all micro-batches is
+    bit-identical to batch distribution_drift on the accumulated
+    stream, and batch replay does not double-count."""
+    from cryoflow_spark.functions.diff import distribution_drift
+    from cryoflow_spark.streaming.report_stream import (
+        _write_drift_partials,
+        finalize_psi_drift,
+        psi_drift_stream,
+    )
+
+    full = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    baseline = full.filter("doc_id < 250")
+    current = full.filter("doc_id >= 250")
+    src = tmp_path / "docs"
+    src.mkdir()
+    current.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    stream = spark.readStream.schema(full.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = tmp_path / "drift"
+    q = psi_drift_stream(
+        stream, baseline, str(out), "n_chars", lo=0.0, hi=2000.0, n_bins=10
+    )
+    q.awaitTermination(120)
+    got = finalize_psi_drift(spark, str(out), n_bins=10).collect()[0]
+    want = distribution_drift(
+        current, baseline, "n_chars", lo=0.0, hi=2000.0, n_bins=10
+    ).collect()[0]
+    assert (got["n_current"], got["n_baseline"], got["psi"]) == (
+        want["n_current"], want["n_baseline"], want["psi"],
+    )
+    # replay idempotence on the per-batch writer
+    half = current.filter("doc_id < 375")
+    out2 = tmp_path / "drift2"
+    from cryoflow_spark.functions.diff import histogram_bin_counts
+    histogram_bin_counts(baseline, "n_chars", 0.0, 2000.0, 10, "__b") \
+        .write.mode("overwrite").parquet(f"{out2}/baseline")
+    rest = current.filter("doc_id >= 375")
+    for batch_id, batch in ((0, half), (1, rest), (0, half)):  # 0 replayed
+        _write_drift_partials(
+            batch, batch_id, str(out2), "n_chars", 0.0, 2000.0, 10
+        )
+    again = finalize_psi_drift(spark, str(out2), n_bins=10).collect()[0]
+    assert again["psi"] == want["psi"]
