@@ -28,6 +28,7 @@ def conversion_funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     horizon_seconds: int = 7 * 24 * 3600,
+    with_latency: bool = False,
 ) -> DataFrame:
     """Stage-by-stage conversion report for an ordered list of event
     types: ``(step, event_type, n_users, conversion_rate)`` where a
@@ -49,6 +50,14 @@ def conversion_funnel(
     per-key locality contract as sessionization. A NULL user id counts
     in the stage-1 cohort but never converts later (equi-join
     semantics, matching the SQL formulation).
+
+    ``with_latency=True`` appends ``avg_seconds_from_prev`` — the mean
+    time converters took from their previous stage time to this one
+    (NULL for stage 1 and for stages with no converters). Durations are
+    exact integer microseconds summed as BIGINT in the SAME 1-row
+    aggregation (no extra pass, no value buffers — the scalable
+    latency stat; medians would need per-stage buffers, use the
+    quantile machinery on the per-user table for those).
 
     Deterministic by construction: conversion times are minima, so
     event order and partitioning cannot change the result.
@@ -96,20 +105,43 @@ def conversion_funnel(
     flags = per_user.select(
         *[t.alias(f"__c{i}") for i, t in enumerate(stage_ts)]
     )
-    totals = flags.agg(
-        *[
-            F.count(F.col(f"__c{i}")).cast("bigint").alias(f"__n{i}")
-            for i in range(len(steps))
+    aggs = [
+        F.count(F.col(f"__c{i}")).cast("bigint").alias(f"__n{i}")
+        for i in range(len(steps))
+    ]
+    if with_latency:
+        aggs += [
+            F.sum(F.col(f"__c{i}") - F.col(f"__c{i - 1}"))
+            .cast("bigint")
+            .alias(f"__d{i}")
+            for i in range(1, len(steps))
         ]
-    )
-    rows = [
-        F.struct(
+    totals = flags.agg(*aggs)
+
+    def _stage_struct(i: int, s: str):
+        fields = [
             F.lit(i + 1).cast("int").alias("step"),
             F.lit(s).alias("event_type"),
             F.col(f"__n{i}").alias("n_users"),
-        )
-        for i, s in enumerate(steps)
-    ]
+        ]
+        if with_latency:
+            fields.append(
+                F.when(
+                    (F.lit(i) > 0) & (F.col(f"__n{i}") > 0),
+                    (
+                        F.col(f"__d{i}").cast("double")
+                        / F.col(f"__n{i}").cast("double")
+                    )
+                    / F.lit(1e6),
+                ).alias("avg_seconds_from_prev")
+                if i > 0
+                else F.lit(None).cast("double").alias(
+                    "avg_seconds_from_prev"
+                )
+            )
+        return F.struct(*fields)
+
+    rows = [_stage_struct(i, s) for i, s in enumerate(steps)]
     return (
         totals.select(
             F.col("__n0").alias("__cohort"),
@@ -124,6 +156,15 @@ def conversion_funnel(
                 F.col("__r.n_users").cast("double")
                 / F.col("__cohort").cast("double"),
             ).alias("conversion_rate"),
+            *(
+                [
+                    F.col("__r.avg_seconds_from_prev").alias(
+                        "avg_seconds_from_prev"
+                    )
+                ]
+                if with_latency
+                else []
+            ),
         )
     )
 

@@ -4387,3 +4387,71 @@ def x94_ensemble_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ensemble_rank_score(
         d, ["len_score", "tok_score"], group_col="lang"
     )
+
+
+# --- x95: funnel with stage latency (oracle-checked) -------------------------
+
+
+@register(
+    "x95_funnel_latency",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click'
+        AND epoch_us(e.ts) > s1.t
+        AND epoch_us(e.ts) <= s1.t + 604800000000
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > s2.t
+        AND epoch_us(e.ts) <= s2.t + 604800000000
+      GROUP BY e.user_id
+    ),
+    d2 AS (
+      SELECT SUM(s2.t - s1.t)::BIGINT AS d, COUNT(*)::BIGINT AS n
+      FROM s2 JOIN s1 USING (user_id)
+    ),
+    d3 AS (
+      SELECT SUM(s3.t - s2.t)::BIGINT AS d, COUNT(*)::BIGINT AS n
+      FROM s3 JOIN s2 USING (user_id)
+    ),
+    counts AS (
+      SELECT 1 AS step, 'view' AS event_type,
+             (SELECT COUNT(*) FROM s1)::BIGINT AS n_users,
+             NULL::DOUBLE AS avg_seconds_from_prev
+      UNION ALL
+      SELECT 2, 'click', (SELECT COUNT(*) FROM s2)::BIGINT,
+             (SELECT CASE WHEN n > 0
+                THEN (d::DOUBLE / n::DOUBLE) / 1000000.0 END FROM d2)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)::BIGINT,
+             (SELECT CASE WHEN n > 0
+                THEN (d::DOUBLE / n::DOUBLE) / 1000000.0 END FROM d3)
+    )
+    SELECT step::INT AS step, event_type, n_users,
+           CASE WHEN (SELECT COUNT(*) FROM s1) > 0
+             THEN n_users::DOUBLE / (SELECT COUNT(*) FROM s1)::DOUBLE
+           END AS conversion_rate,
+           avg_seconds_from_prev
+    FROM counts
+    """,
+    "view -> click -> purchase funnel WITH stage latency: mean seconds "
+    "from the previous stage's conversion time among converters — "
+    "exact integer microsecond sums in the SAME one-scan 1-row "
+    "aggregation as x80 (no extra pass, no value buffers)",
+)
+def x95_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.events import conversion_funnel
+
+    e = load_events(spark, sf_dir)
+    return conversion_funnel(
+        e, ["view", "click", "purchase"], with_latency=True
+    )

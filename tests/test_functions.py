@@ -3797,3 +3797,42 @@ class TestEnsembleRankScore:
         assert a == b
         with pytest.raises(ValueError, match="at least 2"):
             ensemble_rank_score(df, ["s1"])
+
+
+class TestFunnelLatency:
+    def test_avg_seconds_from_prev(self, spark):
+        import datetime as dt
+
+        from cryoflow_spark.functions.events import conversion_funnel
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # user 1: A at 0s, B at 10s; user 2: A at 0s, B at 30s
+        # user 3: A only
+        for uid, offsets in ((1, {"A": 0, "B": 10}), (2, {"A": 0, "B": 30}),
+                             (3, {"A": 0})):
+            for t, off in offsets.items():
+                rows.append((uid, t, t0 + dt.timedelta(seconds=off)))
+        df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+        got = {r["step"]: r for r in conversion_funnel(
+            df, ["A", "B"], with_latency=True).collect()}
+        assert got[1]["avg_seconds_from_prev"] is None
+        assert got[2]["n_users"] == 2
+        assert got[2]["avg_seconds_from_prev"] == 20.0  # (10+30)/2
+        # without the flag the column is absent (x80 schema unchanged)
+        plain = conversion_funnel(df, ["A", "B"])
+        assert "avg_seconds_from_prev" not in plain.columns
+
+    def test_no_converters_gives_null_latency(self, spark):
+        import datetime as dt
+
+        from cryoflow_spark.functions.events import conversion_funnel
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, "A", t0)], "user_id long, event_type string, ts timestamp"
+        )
+        got = {r["step"]: r for r in conversion_funnel(
+            df, ["A", "B"], with_latency=True).collect()}
+        assert got[2]["n_users"] == 0
+        assert got[2]["avg_seconds_from_prev"] is None
