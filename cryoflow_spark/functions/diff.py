@@ -292,6 +292,11 @@ def snapshot_containment(
     exact dedup; no row data beyond key + 16-byte hash ever shuffles.
     """
     if columns is not None:
+        if not list(columns):
+            raise ValueError(
+                "columns must be non-empty (an empty hash would mark "
+                "every row as shared); pass None to compare by key_col"
+            )
         key = row_hash(list(columns))
     else:
         key = F.col(key_col).cast("string")

@@ -554,15 +554,23 @@ def water_fill_rates(
         w = td
     else:
         w = F.pow(td, F.lit(float(alpha)))
-    weighted = counts.select(
-        source_col,
-        "_wf_t",
-        F.floor(w * F.lit(float(weight_scale)))
-        .cast("decimal(38,0)")
-        .alias("_wf_wq"),
-    ).withColumn(
-        "_wf_r",
-        td * F.lit(float(weight_scale)) / F.col("_wf_wq").cast("double"),
+    weighted = (
+        counts.select(
+            source_col,
+            "_wf_t",
+            F.floor(w * F.lit(float(weight_scale)))
+            .cast("decimal(38,0)")
+            .alias("_wf_wq"),
+        )
+        # A source with no countable tokens (all-NULL text → NULL sum)
+        # or a weight overflowing DECIMAL(38,0) (huge alpha) would ride
+        # a NULL sort key through the prefix windows and poison λ* —
+        # drop such sources explicitly (they can absorb no budget).
+        .filter(F.col("_wf_t").isNotNull() & F.col("_wf_wq").isNotNull())
+        .withColumn(
+            "_wf_r",
+            td * F.lit(float(weight_scale)) / F.col("_wf_wq").cast("double"),
+        )
     )
     # Exact prefix sums over the bounded source table (sorted by the
     # saturation order t/w with a deterministic name tiebreak).

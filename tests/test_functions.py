@@ -3836,3 +3836,13 @@ class TestFunnelLatency:
             df, ["A", "B"], with_latency=True).collect()}
         assert got[2]["n_users"] == 0
         assert got[2]["avg_seconds_from_prev"] is None
+
+
+def test_snapshot_containment_rejects_empty_columns(spark):
+    import pytest
+
+    from cryoflow_spark.functions.diff import snapshot_containment
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="non-empty"):
+        snapshot_containment(df, df, columns=[])

@@ -381,3 +381,17 @@ def test_exact_n_per_group_is_exact_nested_and_invariant(spark):
     # short groups keep everything
     tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, lang string")
     assert sample_exact_n_per_group(tiny, "lang", "doc_id", 10).count() == 2
+
+
+def test_water_fill_drops_tokenless_sources(spark):
+    """A source whose texts are all NULL must not poison the water
+    level — it absorbs no budget and its rows are dropped."""
+    from cryoflow_spark.functions.sampling import water_fill_token_budget
+
+    rows = ([(i, "live", "a b c d e") for i in range(50)]
+            + [(100 + i, "ghost", None) for i in range(5)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = water_fill_token_budget(df, "source", "doc_id", budget_tokens=10**6)
+    got = {r["source"] for r in out.select("source").distinct().collect()}
+    assert got == {"live"}
+    assert out.count() == 50  # budget >= live capacity: keep all live
