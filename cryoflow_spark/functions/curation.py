@@ -966,6 +966,12 @@ def ensemble_rank_score(
     cols = list(score_cols)
     if len(cols) < 2:
         raise ValueError("need at least 2 score columns to ensemble")
+    clash = [c for c in cols if f"__r_{c}" in df.columns]
+    if clash:
+        raise ValueError(
+            f"temp rank columns would collide with existing columns: "
+            f"{[f'__r_{c}' for c in clash]}"
+        )
     base = Window.partitionBy(group_col) if group_col else Window.partitionBy()
     out = df
     rank_cols = []

@@ -1092,3 +1092,84 @@ def group_js_divergence(
         F.col("__ng").alias("n_tokens"),
         (present + absent).alias("jsd_vs_corpus"),
     )
+
+
+def cross_entropy_score(
+    df,
+    ref_df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    ln_scale: int = 6,
+):
+    """Per-document unigram cross-entropy under a REFERENCE corpus's
+    token distribution (nats/token) — the CCNet-style "score the crawl
+    against the target domain" signal: low H = reads like the
+    reference, high H = out-of-distribution or junk. Unlike
+    :func:`corpus_frequency_score` (arithmetic-mean common-token prior
+    against the corpus ITSELF), this is the geometric-mean/perplexity
+    proxy against an EXTERNAL target, with Laplace smoothing
+    ``p_ref(t) = (c_ref(t) + 1) / (N_ref + V_ref + 1)`` so out-of-vocab
+    tokens get the floor probability mass (the +1 in the denominator is
+    the OOV pseudo-type). Output: ``(id, n_tokens, cross_entropy)``.
+
+    Portability: each token occurrence contributes
+    ``round(ln(p_ref), ln_scale)`` quantized to fixed-point BIGINT
+    (``round(x · 10^ln_scale)``); per-doc sums are exact integer
+    aggregations, and ``H = -(sum / 10^ln_scale) / n_tokens`` is one
+    deterministic divide chain — bit-identical across engines and
+    partitionings.
+
+    Scale: reference counts are one vocabulary-sized aggregation; the
+    corpus side is a token explode + one equi-join on the token (AQE
+    broadcasts a small reference vocab) + one per-doc integer sum.
+    """
+    from pyspark.sql import DataFrame
+
+    assert isinstance(df, DataFrame) and isinstance(ref_df, DataFrame)
+    if not 0 < ln_scale <= 9:
+        raise ValueError("ln_scale must be in (0, 9]")
+    q = 10**ln_scale
+
+    def toks(frame):
+        t = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+        return F.transform(t, F.lower) if lowercase else t
+
+    ref_counts = (
+        ref_df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(toks(ref_df)).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cref"))
+    )
+    ref_totals = ref_counts.agg(
+        F.sum("__cref").cast("bigint").alias("__nref"),
+        F.count(F.lit(1)).cast("bigint").alias("__vref"),
+    )
+    doc_toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(toks(df)).alias("__t"))
+    )
+    p = (
+        (F.coalesce(F.col("__cref"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("__nref") + F.col("__vref") + F.lit(1)).cast("double")
+    )
+    contrib = F.round(F.round(F.log(p), ln_scale) * F.lit(float(q))).cast(
+        "bigint"
+    )
+    scored = (
+        doc_toks.join(ref_counts, "__t", "left")
+        .crossJoin(F.broadcast(ref_totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(contrib).cast("bigint").alias("__lsum"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        (
+            (F.lit(0.0) - F.col("__lsum").cast("double") / F.lit(float(q)))
+            / F.col("n_tokens").cast("double")
+        ).alias("cross_entropy"),
+    )

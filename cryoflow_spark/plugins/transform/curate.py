@@ -41,6 +41,10 @@ the TOML plugin surface. Modes (option ``method``):
   [``p_low``, ``p_high``] quantile band (robust-stats tail treatment;
   ``out_column`` optional, ``exact=false`` for the t-digest scale
   path).
+- ``cross_entropy``: per-doc unigram cross-entropy under the token
+  distribution of the REFERENCE corpus on sibling ``ref_label``
+  (Laplace-smoothed OOV) — the CCNet-style target-domain scorer;
+  output ``(id, n_tokens, cross_entropy)``.
 - ``ensemble_rank``: combine several heterogeneous ``score_columns``
   into one ``out_column`` (default ``ensemble_score``) as the mean of
   each row's within-``group_by`` quantile positions — scale-free score
@@ -299,6 +303,18 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 id_col=id_column,
                 chunk_size=int(self.options.get("chunk_size", 500)),
                 overlap=int(self.options.get("overlap", 100)),
+            )
+
+        if method == "cross_entropy":
+            from cryoflow_spark.functions.text import cross_entropy_score
+
+            ref = self.sibling_frame(self.require_option("ref_label"))
+            return cross_entropy_score(
+                data,
+                ref,
+                text_col=column,
+                id_col=id_column,
+                lowercase=bool(self.options.get("lowercase", True)),
             )
 
         if method == "decontaminate":

@@ -124,7 +124,7 @@ _PRIORITY: list[str] = [
     # 50) — first in line for the r7 window together with the stale
     # r4-cohort sentinels
     "x93_duplicate_spans", "x94_ensemble_rank_score",
-    "x95_funnel_latency",
+    "x95_funnel_latency", "x96_cross_entropy_score",
 ]
 
 

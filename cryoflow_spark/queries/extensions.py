@@ -4455,3 +4455,59 @@ def x95_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversion_funnel(
         e, ["view", "click", "purchase"], with_latency=True
     )
+
+
+# --- x96: cross-entropy vs reference corpus (oracle-checked) ----------------
+
+
+@register(
+    "x96_cross_entropy_score",
+    """
+    WITH ref AS (
+      SELECT lower(t) AS tok, COUNT(*)::BIGINT AS cref
+      FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x != '')) AS t
+        FROM documents WHERE doc_id < 250 AND text IS NOT NULL
+      ) GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(cref)::BIGINT AS nref, COUNT(*)::BIGINT AS vref FROM ref
+    ),
+    doc_toks AS (
+      SELECT doc_id, lower(t) AS tok
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x != '')) AS t
+        FROM documents WHERE doc_id >= 250 AND text IS NOT NULL
+      )
+    ),
+    contrib AS (
+      SELECT d.doc_id,
+             CAST(ROUND(ROUND(LN((COALESCE(ref.cref, 0) + 1)::DOUBLE
+                    / (tot.nref + tot.vref + 1)::DOUBLE), 6)
+                  * 1000000.0) AS BIGINT) AS c
+      FROM doc_toks d
+      LEFT JOIN ref ON d.tok = ref.tok
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_tokens,
+           (0.0 - SUM(c)::DOUBLE / 1000000.0)
+             / COUNT(*)::DOUBLE AS cross_entropy
+    FROM contrib GROUP BY doc_id
+    """,
+    "Per-doc unigram cross-entropy (nats/token) under the REFERENCE "
+    "half's token distribution with Laplace OOV smoothing — the "
+    "CCNet-style 'score the crawl against the target domain' signal; "
+    "6-decimal round(ln) quantized to fixed-point BIGINT per "
+    "occurrence, exact integer per-doc sums, one divide",
+)
+def x96_cross_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.text import cross_entropy_score
+
+    d = load(spark, sf_dir, "documents")
+    return cross_entropy_score(
+        d.filter(F.col("doc_id") >= 250), d.filter(F.col("doc_id") < 250)
+    )

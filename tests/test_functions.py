@@ -3846,3 +3846,46 @@ def test_snapshot_containment_rejects_empty_columns(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="non-empty"):
         snapshot_containment(df, df, columns=[])
+
+
+class TestCrossEntropyScore:
+    def test_in_distribution_scores_lower(self, spark):
+        from cryoflow_spark.functions.text import cross_entropy_score
+
+        ref = spark.createDataFrame(
+            [(i, "the cat sat on the mat") for i in range(50)],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [(1, "the cat sat"),          # pure reference vocabulary
+             (2, "zebra quark flux"),     # pure OOV
+             (3, None)],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in
+               cross_entropy_score(docs, ref).collect()}
+        assert set(got) == {1, 2}  # NULL text excluded (no tokens)
+        assert got[1]["cross_entropy"] < got[2]["cross_entropy"]
+        assert got[1]["n_tokens"] == 3
+        # OOV doc: every token gets the smoothing floor 1/(N+V+1)
+        import math
+        floor_h = -round(math.log(1 / (300 + 5 + 1)), 6)
+        assert abs(got[2]["cross_entropy"] - floor_h) < 1e-6
+
+    def test_partitioning_invariance_bit_equal(self, spark):
+        from cryoflow_spark.functions.text import cross_entropy_score
+
+        ref = spark.createDataFrame(
+            [(i, f"tok{i % 17} shared words") for i in range(200)],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [(i, f"tok{i % 23} shared other") for i in range(100)],
+            "doc_id long, text string",
+        )
+        a = {r["doc_id"]: r["cross_entropy"] for r in
+             cross_entropy_score(docs, ref).collect()}
+        b = {r["doc_id"]: r["cross_entropy"] for r in
+             cross_entropy_score(docs.repartition(7),
+                                 ref.repartition(3)).collect()}
+        assert a == b  # quantized integer sums: bit-equal

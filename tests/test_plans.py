@@ -156,6 +156,9 @@ def test_no_cartesian_products(all_plans):
         "x90_js_divergence",
         # three 1-row count scalars cross-joined together — all scalars.
         "x91_snapshot_containment",
+        # 1-row reference-totals scalar crossJoin(broadcast) into the
+        # exploded token stream — same scalar pattern.
+        "x96_cross_entropy_score",
         # 1-row corpus-total scalar crossJoin(broadcast) into the
         # (group, token) term table — same scalar pattern.
         "x92_group_js_divergence",
