@@ -646,3 +646,122 @@ def sample_exact_n_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def water_fill_epochs(
+    df: DataFrame,
+    source_col: str,
+    budget_tokens: int,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    max_epochs: float = 4.0,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Epoch-capped water-filling ALLOCATION table — the data-
+    constrained training planner (Muennighoff et al. 2023, "Scaling
+    Data-Constrained Language Models": repeating data helps up to ~4
+    epochs): distribute ``budget_tokens`` across sources proportionally
+    to ``t^alpha``, allowing REPETITION (allocation above a source's own
+    size) up to ``max_epochs``x, redistributing what capped sources
+    cannot absorb. Unlike :func:`water_fill_token_budget` (a row
+    FILTER, rates <= 1), the output is the plan a training loader
+    materializes: one row per source —
+    ``(source, n_tokens, allocated_tokens, epochs)`` with
+    ``epochs = allocated/n_tokens`` in (0, max_epochs].
+
+    Same closed form as the keep-rate variant with the cap
+    ``cap_s = floor(max_epochs * t_s)`` in place of ``t_s``: sources
+    hit their cap in increasing ``cap/w`` order, ``λ* = max`` over
+    prefix water levels computed from EXACT integer/decimal prefix
+    sums, and ``allocated_s = min(cap_s, w_s λ*)``. Allocations
+    telescope to exactly ``min(budget, Σ cap)``.
+
+    Scale: identical to the keep-rate variant — one token-count
+    aggregation, three window specs over the |sources|-row frame, a
+    1-row λ* broadcast. Sources with no countable tokens are dropped.
+    """
+    from pyspark.sql import Window
+
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be positive")
+    if weight_scale <= 0:
+        raise ValueError("weight_scale must be positive")
+    from cryoflow_spark.functions.text import token_count
+
+    counts = df.groupBy(source_col).agg(
+        F.sum(token_count(text_col)).cast("bigint").alias("_wf_t")
+    )
+    td = F.col("_wf_t").cast("double")
+    if alpha == 0.5:
+        w = F.sqrt(td)
+    elif alpha == 1.0:
+        w = td
+    else:
+        w = F.pow(td, F.lit(float(alpha)))
+    weighted = (
+        counts.select(
+            source_col,
+            "_wf_t",
+            F.floor(td * F.lit(float(max_epochs)))
+            .cast("bigint")
+            .alias("_wf_cap"),
+            F.floor(w * F.lit(float(weight_scale)))
+            .cast("decimal(38,0)")
+            .alias("_wf_wq"),
+        )
+        .filter(F.col("_wf_t").isNotNull() & F.col("_wf_wq").isNotNull())
+        .withColumn(
+            "_wf_r",
+            F.col("_wf_cap").cast("double")
+            * F.lit(float(weight_scale))
+            / F.col("_wf_wq").cast("double"),
+        )
+    )
+    prefix = (
+        Window.orderBy("_wf_r", source_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    everything = Window.orderBy("_wf_r", source_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    win = weighted.select(
+        source_col,
+        "_wf_t",
+        "_wf_cap",
+        "_wf_wq",
+        "_wf_r",
+        F.coalesce(F.sum("_wf_cap").over(prefix), F.lit(0).cast("bigint"))
+        .cast("bigint")
+        .alias("_wf_cumcap"),
+        (
+            F.sum("_wf_wq").over(everything)
+            - F.coalesce(
+                F.sum("_wf_wq").over(prefix),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+        ).alias("_wf_sufw"),
+    )
+    lam_i = (
+        (F.lit(int(budget_tokens)) - F.col("_wf_cumcap")).cast("double")
+        / (F.col("_wf_sufw").cast("double") / F.lit(float(weight_scale)))
+    )
+    lamstar = win.agg(F.max(lam_i).alias("_wf_lam"))
+    alloc = F.least(
+        F.col("_wf_cap").cast("double"),
+        F.col("_wf_wq").cast("double")
+        / F.lit(float(weight_scale))
+        * F.col("_wf_lam"),
+    )
+    return (
+        win.crossJoin(F.broadcast(lamstar))
+        .select(
+            source_col,
+            F.col("_wf_t").alias("n_tokens"),
+            alloc.alias("allocated_tokens"),
+            (alloc / F.col("_wf_t").cast("double")).alias("epochs"),
+        )
+    )

@@ -29,6 +29,11 @@ of a 10% sample). Modes (option ``method``):
   saturated sources REDISTRIBUTED to unsaturated ones (closed-form
   water-filling; expected kept tokens exactly min(budget, total));
   same options as ``token_budget``.
+- ``water_fill_epochs``: replace the stream with the epoch-capped
+  ALLOCATION PLAN ``(source, n_tokens, allocated_tokens, epochs)`` —
+  water-filling that allows repetition up to ``max_epochs`` per source
+  (data-constrained training planning); options ``source_column``,
+  ``budget_tokens``, ``column``, ``alpha``, ``max_epochs``.
 - ``exact_n``: exactly ``n`` rows by md5 key order (nested,
   TakeOrdered plan — never a global sort).
 - ``exact_n_per_group``: exactly ``n`` rows per ``group_column`` by
@@ -167,6 +172,16 @@ class SamplePlugin(SiblingAwareTransformPlugin):
                 text_col=self.options.get("column", "text"),
                 alpha=float(self.options.get("alpha", 0.5)),
                 buckets=buckets,
+            )
+
+        if method == "water_fill_epochs":
+            return S.water_fill_epochs(
+                data,
+                self.require_option("source_column"),
+                budget_tokens=int(self.require_option("budget_tokens")),
+                text_col=self.options.get("column", "text"),
+                alpha=float(self.options.get("alpha", 0.5)),
+                max_epochs=float(self.options.get("max_epochs", 4.0)),
             )
 
         if method == "exact_n":

@@ -4511,3 +4511,69 @@ def x96_cross_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_entropy_score(
         d.filter(F.col("doc_id") >= 250), d.filter(F.col("doc_id") < 250)
     )
+
+
+# --- x97: epoch-capped water-filling allocation (oracle-checked) ------------
+
+
+@register(
+    "x97_water_fill_epochs",
+    """
+    WITH counts AS (
+      SELECT source,
+             SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t != '')))::BIGINT AS t
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, t,
+             CAST(FLOOR(t::DOUBLE * 4.0) AS BIGINT) AS cap,
+             CAST(FLOOR(sqrt(t::DOUBLE) * 1000000.0) AS BIGINT) AS wq
+      FROM counts
+    ),
+    ordw AS (
+      SELECT source, t, cap, wq,
+             cap::DOUBLE * 1000000.0 / wq::DOUBLE AS r
+      FROM w
+    ),
+    win AS (
+      SELECT source, t, cap, wq, r,
+             COALESCE(CAST(SUM(cap) OVER (
+                 ORDER BY r, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS cumcap,
+             CAST(SUM(wq) OVER () AS HUGEINT)
+               - COALESCE(CAST(SUM(wq) OVER (
+                   ORDER BY r, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS HUGEINT), 0) AS sufw
+      FROM ordw
+    ),
+    lam AS (
+      SELECT MAX((100000 - cumcap)::DOUBLE / (sufw::DOUBLE / 1000000.0))
+               AS lamstar
+      FROM win
+    )
+    SELECT win.source, win.t AS n_tokens,
+           LEAST(win.cap::DOUBLE,
+                 win.wq::DOUBLE / 1000000.0 * lam.lamstar)
+             AS allocated_tokens,
+           LEAST(win.cap::DOUBLE,
+                 win.wq::DOUBLE / 1000000.0 * lam.lamstar)
+             / win.t::DOUBLE AS epochs
+    FROM win CROSS JOIN lam
+    """,
+    "Epoch-capped water-filling allocation (Muennighoff-style data-"
+    "constrained planning): distribute 100k tokens ∝ sqrt(t) allowing "
+    "repetition up to 4 epochs per source, redistributing what capped "
+    "sources cannot absorb — same exact-integer closed form as x85 "
+    "with cap=floor(4t); allocations telescope to min(B, Σcap)",
+)
+def x97_water_fill_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.sampling import water_fill_epochs
+
+    d = load(spark, sf_dir, "documents")
+    return water_fill_epochs(
+        d, source_col="source", budget_tokens=100_000, alpha=0.5,
+        max_epochs=4.0,
+    )

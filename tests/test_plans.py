@@ -151,6 +151,7 @@ def test_no_cartesian_products(all_plans):
         # 1-row water-level scalar crossJoin(broadcast) into the
         # |sources|-row rate table — same scalar pattern.
         "x85_water_fill_budget",
+        "x97_water_fill_epochs",
         # 1-row grand-totals scalar crossJoin(broadcast) into the
         # union-vocab term table — same scalar pattern.
         "x90_js_divergence",
@@ -193,6 +194,9 @@ _BOUNDED_WINDOW_ENVELOPES = {
     # |sources|-row counts table (saturation-order sort) — 3 specs in
     # one Window over a frame bounded by the source domain.
     "x85_water_fill_budget": ("sum(_wf", 3),
+    # epoch-capped variant: same 3 exact prefix/total specs over the
+    # |sources|-row counts table.
+    "x97_water_fill_epochs": ("sum(_wf", 3),
     # temperature_mix: same rebalance shape — the min runs over the
     # |sources|-row counts table (functions/sampling.py temperature_mix).
     "x58_temperature_mix": ("min(_w0", 1),

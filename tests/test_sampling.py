@@ -395,3 +395,55 @@ def test_water_fill_drops_tokenless_sources(spark):
     got = {r["source"] for r in out.select("source").distinct().collect()}
     assert got == {"live"}
     assert out.count() == 50  # budget >= live capacity: keep all live
+
+
+def test_water_fill_epochs_matches_iterative_reference(spark):
+    """Closed form == iterative fixpoint with caps = max_epochs * t;
+    allocations telescope to min(budget, total capacity)."""
+    from cryoflow_spark.functions.sampling import water_fill_epochs
+
+    caps = {"a": 10, "b": 25, "c": 40000, "d": 900, "e": 3}
+    rows = []
+    did = 0
+    for s, t in caps.items():
+        for _ in range(t):
+            rows.append((did, s, "w"))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    for budget, max_ep in ((500, 2.0), (50_000, 4.0), (200_000, 4.0)):
+        got = {r["source"]: r for r in water_fill_epochs(
+            df, "source", budget, alpha=0.5, max_epochs=max_ep).collect()}
+        # brute-force with capacity = max_ep * t
+        active = {s: (t, max_ep * t) for s, t in caps.items()}
+        alloc = {}
+        b = float(budget)
+        lam = 0.0
+        while active:
+            W = sum(t**0.5 for t, _ in active.values())
+            lam = b / W
+            newly = {s for s, (t, cap) in active.items()
+                     if (t**0.5) * lam >= cap}
+            if not newly:
+                break
+            for s in newly:
+                t, cap = active.pop(s)
+                alloc[s] = cap
+                b -= cap
+        for s, (t, cap) in active.items():
+            alloc[s] = (t**0.5) * lam
+        for s in caps:
+            assert abs(got[s]["allocated_tokens"] - alloc[s]) < 1e-4, (
+                budget, s, got[s], alloc[s],
+            )
+            assert got[s]["epochs"] <= max_ep + 1e-9
+        total = sum(r["allocated_tokens"] for r in got.values())
+        assert abs(total - min(budget, sum(max_ep * t for t in caps.values()))) < 1e-3
+
+
+def test_water_fill_epochs_validates(spark):
+    from cryoflow_spark.functions.sampling import water_fill_epochs
+
+    df = spark.createDataFrame([(1, "a", "x")],
+                               "doc_id long, source string, text string")
+    with pytest.raises(ValueError, match="max_epochs"):
+        water_fill_epochs(df, "source", 10, max_epochs=0)
