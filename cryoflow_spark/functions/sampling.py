@@ -765,3 +765,43 @@ def water_fill_epochs(
             (alloc / F.col("_wf_t").cast("double")).alias("epochs"),
         )
     )
+
+
+def cap_tokens_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    max_tokens: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep rows per group until the group's TOKEN budget is spent — the
+    token-denominated sibling of :func:`cap_per_group` (rows): a domain
+    contributing ten 100k-token pages and one contributing a thousand
+    1k-token pages should hit the same ceiling. Rows are taken in
+    deterministic md5-bucket order (key tiebreak) and a row survives
+    iff the group's cumulative token count INCLUDING it stays within
+    ``max_tokens`` — so one oversized document cannot blow the budget
+    by "arriving first" (it is simply skipped along with everything
+    after the cap; strict prefix semantics keep the result
+    reproducible and nested in the cap).
+
+    Scale: ONE partitioned window per group computing the exact integer
+    running token sum in md5 order — per-key locality, no global sort;
+    the filter is map-side after the group shuffle. NULL-text rows
+    count 0 tokens and pass through within the prefix.
+    """
+    from pyspark.sql import Window
+
+    from cryoflow_spark.functions.text import token_count
+
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(F.coalesce(token_count(text_col), F.lit(0))).over(w)
+    return (
+        df.withColumn("__cum", cum)
+        .filter(F.col("__cum") <= int(max_tokens))
+        .drop("__cum")
+    )

@@ -251,3 +251,54 @@ def crawl_refresh(
         )
     )
     return annotated.filter(F.col("__rn") == 1).drop("__rn", "__h", "__prev_h")
+
+
+def domain_filter(
+    df,
+    url_col: str,
+    blocked_domains=None,
+    allowed_domains=None,
+):
+    """Filter rows by the REGISTRABLE DOMAIN of a raw URL column against
+    a blocklist or allowlist — the UT1-blocklist / safelist pass every
+    web-crawl pipeline runs (FineWeb/RefinedWeb-style). Exactly one of
+    ``blocked_domains`` (drop matching rows) or ``allowed_domains``
+    (keep ONLY matching rows) must be given; matching is on
+    :func:`registrable_domain` of the extracted host, so
+    ``news.bbc.co.uk`` matches a ``bbc.co.uk`` list entry and hosts
+    never need enumerating. Rows whose URL yields no host: kept in
+    blocklist mode (nothing to match), dropped in allowlist mode.
+
+    The list joins as a BROADCAST table (deduped, case-folded) — the
+    lexicon pattern, swappable at any list size up to the broadcast
+    threshold, never a giant IN-literal.
+
+    Scale: domain extraction is a regexp chain in whole-stage codegen;
+    one broadcast semi/anti join; no corpus shuffle.
+    """
+    from pyspark.sql import DataFrame
+
+    assert isinstance(df, DataFrame)
+    if (blocked_domains is None) == (allowed_domains is None):
+        raise ValueError(
+            "pass exactly one of blocked_domains / allowed_domains"
+        )
+    words = list(
+        blocked_domains if blocked_domains is not None else allowed_domains
+    )
+    words = list(dict.fromkeys(w.lower() for w in words))
+    if not words:
+        raise ValueError("domain list must be non-empty")
+    spark = df.sparkSession
+    lst = spark.createDataFrame([(w,) for w in words], "__dom string")
+    dom = registrable_domain(extract_host(F.col(url_col)))
+    tagged = df.withColumn("__d", F.lower(dom))
+    if blocked_domains is not None:
+        out = tagged.join(
+            F.broadcast(lst), tagged["__d"] == lst["__dom"], "left_anti"
+        )
+    else:
+        out = tagged.join(
+            F.broadcast(lst), tagged["__d"] == lst["__dom"], "left_semi"
+        )
+    return out.drop("__d")

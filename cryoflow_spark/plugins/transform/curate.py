@@ -41,6 +41,10 @@ the TOML plugin surface. Modes (option ``method``):
   [``p_low``, ``p_high``] quantile band (robust-stats tail treatment;
   ``out_column`` optional, ``exact=false`` for the t-digest scale
   path).
+- ``domain_filter``: drop (``blocked_domains``) or keep only
+  (``allowed_domains``) rows by the REGISTRABLE domain of
+  ``url_column`` — the UT1 blocklist/safelist pass; the list rides a
+  broadcast anti/semi join.
 - ``cross_entropy``: per-doc unigram cross-entropy under the token
   distribution of the REFERENCE corpus on sibling ``ref_label``
   (Laplace-smoothed OOV) — the CCNet-style target-domain scorer;
@@ -345,6 +349,16 @@ class CuratePlugin(SiblingAwareTransformPlugin):
             return data.withColumn(
                 out_col,
                 normalize_unicode(column, self.options.get("form", "NFC")),
+            )
+
+        if method == "domain_filter":
+            from cryoflow_spark.functions.urls import domain_filter
+
+            return domain_filter(
+                data,
+                self.options.get("url_column", "url"),
+                blocked_domains=self.options.get("blocked_domains"),
+                allowed_domains=self.options.get("allowed_domains"),
             )
 
         if method == "normalize_urls":

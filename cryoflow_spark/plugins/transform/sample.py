@@ -29,6 +29,10 @@ of a 10% sample). Modes (option ``method``):
   saturated sources REDISTRIBUTED to unsaturated ones (closed-form
   water-filling; expected kept tokens exactly min(budget, total));
   same options as ``token_budget``.
+- ``token_cap``: per-``group_column`` TOKEN budget (the
+  token-denominated per-domain ceiling): rows in deterministic md5
+  order until the group's cumulative token count would exceed
+  ``max_tokens`` — strict prefix, nested in the cap.
 - ``water_fill_epochs``: replace the stream with the epoch-capped
   ALLOCATION PLAN ``(source, n_tokens, allocated_tokens, epochs)`` —
   water-filling that allows repetition up to ``max_epochs`` per source
@@ -172,6 +176,15 @@ class SamplePlugin(SiblingAwareTransformPlugin):
                 text_col=self.options.get("column", "text"),
                 alpha=float(self.options.get("alpha", 0.5)),
                 buckets=buckets,
+            )
+
+        if method == "token_cap":
+            return S.cap_tokens_per_group(
+                data,
+                self.require_option("group_column"),
+                key,
+                max_tokens=int(self.require_option("max_tokens")),
+                text_col=self.options.get("column", "text"),
             )
 
         if method == "water_fill_epochs":

@@ -120,12 +120,13 @@ _PRIORITY: list[str] = [
     "x88_distribution_drift", "x89_exact_n_per_group",
     "x90_js_divergence", "x91_snapshot_containment",
     "x92_group_js_divergence",
-    # positions 51-55: also never driver-checked (the window holds only
+    # positions 51-57: also never driver-checked (the window holds only
     # 50) — first in line for the r7 window together with the stale
     # r4-cohort sentinels
     "x93_duplicate_spans", "x94_ensemble_rank_score",
     "x95_funnel_latency", "x96_cross_entropy_score",
-    "x97_water_fill_epochs",
+    "x97_water_fill_epochs", "x98_domain_blocklist",
+    "x99_token_cap_per_source",
 ]
 
 

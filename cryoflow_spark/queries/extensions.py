@@ -4577,3 +4577,86 @@ def x97_water_fill_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, source_col="source", budget_tokens=100_000, alpha=0.5,
         max_epochs=4.0,
     )
+
+
+# --- x98: domain blocklist filter (oracle-checked) --------------------------
+
+
+def _x98_oracle() -> str:
+    from cryoflow_spark.functions.urls import (
+        sql_extract_host,
+        sql_registrable_domain,
+    )
+
+    host = sql_extract_host("url")
+    return f"""
+    WITH urls AS (
+      SELECT doc_id, lang, {_x42_url_sql()} AS url FROM documents
+    ),
+    tagged AS (
+      SELECT doc_id, lang, url,
+             lower({sql_registrable_domain(host)}) AS d
+      FROM urls
+    ),
+    block(dom) AS (VALUES ('example.co.uk'), ('example.org'))
+    SELECT t.doc_id, t.lang FROM tagged t
+    LEFT JOIN block b ON t.d = b.dom
+    WHERE b.dom IS NULL
+    """
+
+
+@register(
+    "x98_domain_blocklist",
+    _x98_oracle(),
+    "UT1-style domain blocklist filter over raw URLs: matching on the "
+    "REGISTRABLE domain (news.bbc.co.uk matches a bbc.co.uk entry, "
+    "hosts never enumerated), the list as a BROADCAST anti-join (the "
+    "lexicon pattern, never an IN-literal); regexp-only extraction in "
+    "whole-stage codegen, no corpus shuffle",
+)
+def x98_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.urls import domain_filter
+
+    d = load(spark, sf_dir, "documents")
+    urls = d.select("doc_id", "lang", F.expr(_x42_url_sql()).alias("url"))
+    return domain_filter(
+        urls, "url", blocked_domains=["example.co.uk", "example.org"]
+    ).select("doc_id", "lang")
+
+
+# --- x99: per-group token cap (oracle-checked) ------------------------------
+
+
+@register(
+    "x99_token_cap_per_source",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             t -> t != ''))::BIGINT AS n
+      FROM documents
+    ),
+    running AS (
+      SELECT doc_id, source,
+             CAST(SUM(COALESCE(n, 0)) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum
+      FROM toks
+    )
+    SELECT doc_id, source FROM running WHERE cum <= 600
+    """,
+    "Per-source TOKEN budget cap (the token-denominated per-domain "
+    "ceiling): rows taken in deterministic md5 order until the group's "
+    "cumulative token count would exceed 600 — strict prefix semantics, "
+    "reproducible and nested in the cap; ONE partitioned window, exact "
+    "integer running sums",
+)
+def x99_token_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.sampling import cap_tokens_per_group
+
+    d = load(spark, sf_dir, "documents")
+    return cap_tokens_per_group(
+        d, "source", "doc_id", max_tokens=600
+    ).select("doc_id", "source")

@@ -3889,3 +3889,36 @@ class TestCrossEntropyScore:
              cross_entropy_score(docs.repartition(7),
                                  ref.repartition(3)).collect()}
         assert a == b  # quantized integer sums: bit-equal
+
+
+class TestDomainFilter:
+    def test_block_and_allow_modes(self, spark):
+        from cryoflow_spark.functions.urls import domain_filter
+
+        df = spark.createDataFrame(
+            [(1, "https://WWW.news.Example.CO.UK:443/a"),
+             (2, "http://blog.other.com/b"),
+             (3, "https://sub.deep.other.com/c"),
+             (4, None)],
+            "doc_id long, url string",
+        )
+        blocked = {r["doc_id"] for r in domain_filter(
+            df, "url", blocked_domains=["example.co.uk"]).collect()}
+        assert blocked == {2, 3, 4}  # no-host rows survive a blocklist
+        allowed = {r["doc_id"] for r in domain_filter(
+            df, "url", allowed_domains=["OTHER.com"]).collect()}
+        assert allowed == {2, 3}     # registrable-domain match, any sub
+
+    def test_validates_exclusive_lists(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.urls import domain_filter
+
+        df = spark.createDataFrame([(1, "http://a.com")], "id long, url string")
+        with pytest.raises(ValueError, match="exactly one"):
+            domain_filter(df, "url")
+        with pytest.raises(ValueError, match="exactly one"):
+            domain_filter(df, "url", blocked_domains=["a.com"],
+                          allowed_domains=["b.com"])
+        with pytest.raises(ValueError, match="non-empty"):
+            domain_filter(df, "url", blocked_domains=[])

@@ -447,3 +447,32 @@ def test_water_fill_epochs_validates(spark):
                                "doc_id long, source string, text string")
     with pytest.raises(ValueError, match="max_epochs"):
         water_fill_epochs(df, "source", 10, max_epochs=0)
+
+
+def test_cap_tokens_per_group_strict_prefix_and_nesting(spark):
+    from cryoflow_spark.functions.sampling import cap_tokens_per_group
+
+    rows = ([(i, "a", "t " * 10) for i in range(20)]       # 10 tokens each
+            + [(100, "b", "x " * 1000)]                     # oversized doc
+            + [(101, "b", "y y y"), (102, "b", None)])
+    df = spark.createDataFrame(rows, "doc_id long, g string, text string")
+    out = cap_tokens_per_group(df, "g", "doc_id", max_tokens=50)
+    got = {r["g"]: sorted(x["doc_id"] for x in out.filter(out.g == r["g"]).collect())
+           for r in out.select("g").distinct().collect()}
+    # group a: exactly 5 docs of 10 tokens fit the 50 budget
+    assert len(got["a"]) == 5
+    # group b: the 1000-token doc cannot fit anywhere in the prefix;
+    # whether later docs survive depends on its md5 position (strict
+    # prefix semantics) — assert it is NOT kept
+    assert 100 not in got.get("b", [])
+    # nested: a smaller cap's survivors are a subset of a larger cap's
+    small = {r["doc_id"] for r in cap_tokens_per_group(
+        df, "g", "doc_id", max_tokens=30).collect()}
+    big = {r["doc_id"] for r in cap_tokens_per_group(
+        df, "g", "doc_id", max_tokens=80).collect()}
+    assert small <= big
+    # partitioning-independent
+    again = {r["doc_id"] for r in cap_tokens_per_group(
+        df.repartition(7), "g", "doc_id", max_tokens=50).collect()}
+    base = {r["doc_id"] for r in out.collect()}
+    assert again == base
