@@ -304,3 +304,207 @@ def test_containment_matches_python_brute_force(spark, texts):
         ).collect()
     }
     assert got == want
+
+
+# --- round-6 operators vs pure-Python references ---------------------------
+
+
+@st.composite
+def categorical_tables(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    a_vals = st.sampled_from(["p", "q", "r", None])
+    b_vals = st.sampled_from(["u", "v", None])
+    return [
+        (draw(a_vals), draw(b_vals)) for _ in range(n)
+    ]
+
+
+@given(categorical_tables())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_mutual_information_matches_python_reference(spark, rows):
+    """MI/entropies vs an independent Python implementation replicating
+    the 6-decimal ln contract (cells from plain dict counting)."""
+    import math
+    from collections import Counter
+
+    from cryoflow_spark.functions.profiling import mutual_information
+
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = mutual_information(df, "a", "b").collect()[0]
+
+    norm = [("<NULL>" if a is None else a, "<NULL>" if b is None else b)
+            for a, b in rows]
+    n = len(norm)
+    cells = Counter(norm)
+    ra = Counter(a for a, _ in norm)
+    cb = Counter(b for _, b in norm)
+    mi = sum(
+        c * round(math.log((c * n) / (ra[a] * cb[b])), 6)
+        for (a, b), c in sorted(cells.items())
+    ) / n
+    h_a = -sum(v * round(math.log(v / n), 6) for _, v in sorted(ra.items())) / n
+    h_b = -sum(v * round(math.log(v / n), 6) for _, v in sorted(cb.items())) / n
+    assert got["n"] == n and got["n_cells"] == len(cells)
+    assert abs(got["mi"] - mi) < 1e-9
+    assert abs(got["h_a"] - h_a) < 1e-9
+    assert abs(got["h_b"] - h_b) < 1e-9
+
+
+@st.composite
+def event_logs(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    users = st.integers(min_value=1, max_value=5)
+    types = st.sampled_from(["A", "B", "C", "other"])
+    times = st.integers(min_value=0, max_value=100)
+    return [(draw(users), draw(types), draw(times)) for _ in range(n)]
+
+
+@given(event_logs(), st.integers(min_value=1, max_value=60))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_conversion_funnel_matches_python_simulation(spark, log, horizon):
+    """The one-scan array-recursion funnel vs a direct per-user
+    simulation of the stage semantics (strictly-after + horizon)."""
+    import datetime as dt
+
+    from cryoflow_spark.functions.events import conversion_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(u, t, t0 + dt.timedelta(seconds=s)) for u, t, s in log],
+        "user_id long, event_type string, ts timestamp",
+    )
+    steps = ["A", "B", "C"]
+    got = {r["step"]: r["n_users"] for r in conversion_funnel(
+        df, steps, horizon_seconds=horizon).collect()}
+
+    by_user: dict = {}
+    for u, t, s in log:
+        by_user.setdefault(u, []).append((t, s))
+    counts = [0, 0, 0]
+    for u, evs in by_user.items():
+        times = {s: sorted(sec for t, sec in evs if t == s) for s in steps}
+        prev = min(times["A"]) if times["A"] else None
+        if prev is None:
+            continue
+        counts[0] += 1
+        for i, s in enumerate(steps[1:], start=1):
+            nxt = [x for x in times[s] if prev < x <= prev + horizon]
+            if not nxt:
+                break
+            prev = min(nxt)
+            counts[i] += 1
+    assert [got[1], got[2], got[3]] == counts
+
+
+@st.composite
+def corpora_pairs(draw):
+    words = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+    def corpus():
+        docs = draw(st.lists(
+            st.lists(words, min_size=1, max_size=6), min_size=1, max_size=8))
+        return [" ".join(d) for d in docs]
+    return corpus(), corpus()
+
+
+@given(corpora_pairs())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_js_divergence_matches_python_reference(spark, corpora):
+    """JSD vs a plain-Python implementation replicating the 1e-12
+    fixed-point quantization; also bounded in [-eps, ln2 + eps]."""
+    import math
+    from collections import Counter
+
+    from cryoflow_spark.functions.text import js_divergence
+
+    p_texts, q_texts = corpora
+    pdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(p_texts)], "doc_id long, text string"
+    )
+    qdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(q_texts)], "doc_id long, text string"
+    )
+    got = js_divergence(pdf, qdf).collect()[0]
+
+    cp = Counter(w for t in p_texts for w in t.split())
+    cq = Counter(w for t in q_texts for w in t.split())
+    np_, nq = sum(cp.values()), sum(cq.values())
+    total = 0
+    for w in set(cp) | set(cq):
+        p = cp.get(w, 0) / np_
+        q = cq.get(w, 0) / nq
+        m = (p + q) / 2.0
+        term = (p * math.log(p / m) if cp.get(w) else 0.0) + (
+            q * math.log(q / m) if cq.get(w) else 0.0
+        )
+        total += round(term * 1e12)
+    want = (total / 1e12) / 2.0
+    assert abs(got["jsd"] - want) < 1e-9
+    assert -1e-9 <= got["jsd"] <= math.log(2) + 1e-9
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=2, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=50), min_size=2, max_size=40),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_distribution_drift_matches_python_reference(spark, cur, base):
+    """PSI vs a plain-Python reference with identical binning, Laplace
+    smoothing, and 6-decimal ln rounding; PSI(x, x) == 0 exactly."""
+    import math
+
+    from cryoflow_spark.functions.diff import distribution_drift
+
+    cdf = spark.createDataFrame([(float(v),) for v in cur], "v double")
+    bdf = spark.createDataFrame([(float(v),) for v in base], "v double")
+    n_bins, lo, hi = 5, 0.0, 50.0
+    got = distribution_drift(cdf, bdf, "v", lo=lo, hi=hi,
+                             n_bins=n_bins).collect()[0]
+
+    width = (hi - lo) / n_bins
+
+    def bins(vals):
+        out = [0] * n_bins
+        for v in vals:
+            b = min(max(int(math.floor((v - lo) / width)), 0), n_bins - 1)
+            out[b] += 1
+        return out
+
+    c, b = bins(cur), bins(base)
+    nc, nb = sum(c), sum(b)
+    psi = 0.0
+    for i in range(n_bins):
+        p = (c[i] + 1) / (nc + n_bins)
+        q = (b[i] + 1) / (nb + n_bins)
+        psi += (p - q) * round(math.log(p / q), 6)
+    assert abs(got["psi"] - psi) < 1e-9
+    same = distribution_drift(cdf, cdf, "v", lo=lo, hi=hi,
+                              n_bins=n_bins).collect()[0]
+    assert same["psi"] == 0.0
