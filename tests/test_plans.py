@@ -236,6 +236,15 @@ def test_conversion_funnel_scans_events_once(spark, registry):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_duplicate_spans_no_expand_and_hashed_shuffle(spark, registry):
+    """x93: the (hash, id) pre-distinct must avoid a countDistinct
+    Expand node, and span TEXT must never ride the shuffle (only the
+    16-byte md5 appears in the exchange schema)."""
+    plan = plan_of(registry["x93_duplicate_spans"].fn(spark, SF), "simple")
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_profile_approx_twin_has_no_expand(spark, registry):
     """x37_profile_approx: the HLL++ mode's whole point is dropping the
     countDistinct Expand node (which multiplies the scan 2|C| ways)."""

@@ -508,3 +508,106 @@ def test_distribution_drift_matches_python_reference(spark, cur, base):
     same = distribution_drift(cdf, cdf, "v", lo=lo, hi=hi,
                               n_bins=n_bins).collect()[0]
     assert same["psi"] == 0.0
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["s1", "s2", "s3", "s4", "s5", "s6"]),
+        st.integers(min_value=1, max_value=100_000),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=300_000),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_water_fill_rates_match_iterative_on_random_capacities(
+    spark, caps, budget
+):
+    """Closed-form λ* == the iterative fixpoint on RANDOM capacity
+    tables and budgets; expected kept tokens == min(budget, total)."""
+    from cryoflow_spark.functions.sampling import water_fill_rates
+
+    counts = spark.createDataFrame(
+        [(s, t) for s, t in caps.items()], "source string, _wf_t long"
+    )
+    got = {r["source"]: r["__rate"] for r in
+           water_fill_rates(counts, "source", budget).collect()}
+
+    active = dict(caps)
+    rates = {}
+    lam = 0.0
+    b = float(budget)
+    while active:
+        W = sum(t**0.5 for t in active.values())
+        lam = b / W
+        newly = {s for s, t in active.items() if (t**0.5) * lam >= t}
+        if not newly:
+            break
+        for s in newly:
+            rates[s] = 1.0
+            b -= active.pop(s)
+    for s, t in active.items():
+        rates[s] = (t**0.5) * lam / t
+    for s in caps:
+        assert abs(got[s] - rates[s]) < 1e-6, (s, got, rates)
+    expected = sum(got[s] * caps[s] for s in caps)
+    assert abs(expected - min(budget, sum(caps.values()))) < 1e-2
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=500),
+             min_size=2, max_size=15)
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_zipf_fit_matches_python_ols(spark, freqs):
+    """The array-fold OLS vs a direct Python least-squares on the same
+    (round(ln rank,6), round(ln tf,6)) points with the same ordering
+    contract (tf DESC, token ASC)."""
+    import math
+
+    from cryoflow_spark.functions.text import zipf_fit
+
+    # one token per frequency value; doc per occurrence keeps the
+    # vocab pipeline honest
+    rows = []
+    for i, f in enumerate(freqs):
+        for j in range(f):
+            rows.append((len(rows), f"tok{i:02d}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = zipf_fit(df, top_k=len(freqs)).collect()[0]
+
+    ranked = sorted(
+        ((f, f"tok{i:02d}") for i, f in enumerate(freqs)),
+        key=lambda p: (-p[0], p[1]),
+    )
+    pts = [
+        (round(math.log(r + 1), 6), round(math.log(f), 6))
+        for r, (f, _) in enumerate(ranked)
+    ]
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    den = k * sxx - sx * sx
+    assert got["n_terms"] == k
+    if den > 0:
+        slope = (k * sxy - sx * sy) / den
+        assert abs(got["zipf_slope"] - slope) < 1e-9
+        assert abs(got["zipf_intercept"] - (sy - slope * sx) / k) < 1e-9
+    else:
+        assert got["zipf_slope"] is None
