@@ -837,14 +837,16 @@ def quantile_normalize(
     emits ``(rank-1)/(n-1)`` (0 for the minimum, 1 for the maximum;
     ties share the min rank). Both are exact rank arithmetic — no
     floats beyond one final divide — and match the identically-named
-    ANSI window functions in any engine. NULL scores get NULL (they
-    sort first in a window, which would silently hand them quantile 0 —
-    excluded instead, then unioned back).
+    ANSI window functions in any engine. NULL scores get NULL without
+    being counted into any denominator (the built-in ``cume_dist``
+    counts null rows; this uses NULL-skipping ``count(col)`` RANGE
+    frames instead — the :func:`ensemble_rank_score` rank core — so no
+    filter+union and no second scan of the source).
 
-    Scale: ONE partitioned window per group (each group sorts only its
-    own rows — the per-key locality contract); no global sort, no
-    corpus-wide single reducer. For a GLOBAL calibration over an
-    unbounded table prefer the distributed CDF spine
+    Scale: ONE scan, ONE partitioned window exchange (each group sorts
+    only its own rows — the per-key locality contract); no global
+    sort, no corpus-wide single reducer. For a GLOBAL calibration over
+    an unbounded table prefer the distributed CDF spine
     (:mod:`cryoflow_spark.functions.ranks`) — ``group_col=None`` here
     is a deliberate single-window convenience for bounded tables.
     """
@@ -854,17 +856,33 @@ def quantile_normalize(
         raise ValueError(
             f"invalid method '{method}' (expected cume_dist/percent_rank)"
         )
-    w = (
-        Window.partitionBy(group_col) if group_col else Window.partitionBy()
-    ).orderBy(score_col)
-    fn = F.cume_dist() if method == "cume_dist" else F.percent_rank()
-    scored = df.filter(F.col(score_col).isNotNull()).withColumn(
-        out_col, fn.over(w)
+    base = Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    ordered = base.orderBy(F.col(score_col))
+    # count(col) skips NULLs: upto = non-null values <= current (RANGE
+    # frame includes peers), peers = ties at the current value, n =
+    # non-null count in the partition.
+    upto = F.count(F.col(score_col)).over(
+        ordered.rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    nulls = df.filter(F.col(score_col).isNull()).withColumn(
-        out_col, F.lit(None).cast("double")
+    peers = F.count(F.col(score_col)).over(
+        ordered.rangeBetween(Window.currentRow, Window.currentRow)
     )
-    return scored.unionByName(nulls)
+    n = F.count(F.col(score_col)).over(
+        ordered.rangeBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    if method == "cume_dist":
+        pos = upto.cast("double") / n.cast("double")
+    else:
+        # min rank = upto - peers + 1; percent_rank = (rank-1)/(n-1)
+        pos = F.when(
+            n > 1,
+            (upto - peers).cast("double") / (n - F.lit(1)).cast("double"),
+        ).otherwise(F.lit(0.0))
+    return df.withColumn(
+        out_col, F.when(F.col(score_col).isNotNull(), pos)
+    )
 
 
 def duplicate_spans(
