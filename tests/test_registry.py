@@ -1,0 +1,58 @@
+"""Registry/driver-contract invariants: the properties the correctness
+harness depends on, pinned so registry edits cannot silently break them."""
+
+from __future__ import annotations
+
+
+def test_priority_window_is_the_first_fifty():
+    """The driver checks the FIRST 50 entries of queries(); _PRIORITY's
+    head must BE that window, with no dangling names."""
+    from cryoflow_spark.queries import _PRIORITY, all_queries
+
+    q = list(all_queries())
+    assert len(_PRIORITY) >= 50
+    assert q[: len(_PRIORITY)] == _PRIORITY
+    missing = [n for n in _PRIORITY if n not in set(q)]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+
+
+def test_every_window_slot_carries_an_oracle():
+    """Rows-only instruments stay OUT of the 50-slot window so every
+    driver check is a bit-identical one."""
+    from cryoflow_spark.queries import _PRIORITY, all_queries
+
+    reg = all_queries()
+    weak = [n for n in _PRIORITY[:50] if reg[n].oracle is None]
+    assert not weak, f"rows-only queries inside the window: {weak}"
+
+
+def test_entry_module_parity():
+    """__spark_entry__ exposes exactly the registry; oracle_sql() keys
+    are a subset of queries() keys (no orphan oracles)."""
+    import __spark_entry__ as E
+
+    q = E.queries()
+    o = E.oracle_sql()
+    assert set(o) <= set(q)
+    from cryoflow_spark.queries import all_queries
+
+    assert set(q) == set(all_queries())
+
+
+def test_descriptions_and_rows_only_census():
+    """Every registered query carries a description; the rows-only set
+    is exactly the six documented instruments."""
+    from cryoflow_spark.queries import all_queries
+
+    reg = all_queries()
+    undescribed = [n for n, s in reg.items() if not s.description.strip()]
+    assert not undescribed, undescribed
+    rows_only = sorted(n for n, s in reg.items() if s.oracle is None)
+    assert rows_only == [
+        "x15_engine_minhash_dedup",
+        "x18_ivf_cosine_topk",
+        "x33_engine_incremental_dedup",
+        "x37_profile_approx",
+        "x76_correlation_approx",
+        "x79_quantiles_approx",
+    ], rows_only

@@ -596,3 +596,19 @@ def test_psi_drift_stream_matches_batch_twin(spark, tmp_path):
         )
     again = finalize_psi_drift(spark, str(out2), n_bins=10).collect()[0]
     assert again["psi"] == want["psi"]
+
+
+def test_report_streams_reject_invalid_trigger(spark, tmp_path):
+    from cryoflow_spark.streaming.report_stream import corpus_report_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "t", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string"
+    ).parquet(str(src))
+    with pytest.raises(ValueError, match="invalid trigger"):
+        corpus_report_stream(stream, str(tmp_path / "o"), trigger="hourly")
