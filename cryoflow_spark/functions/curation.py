@@ -893,6 +893,7 @@ def duplicate_spans(
     stride: int = 25,
     min_docs: int = 2,
     max_examples: int = 3,
+    example_shards: int = 64,
 ) -> DataFrame:
     """Cross-document duplicate SPAN inventory — the token-window
     granularity of exact-substring dedup (Lee et al. 2022,
@@ -912,9 +913,17 @@ def duplicate_spans(
     full-text window iff they have at least one token.
 
     Scale: a map-side window-explode (docs × windows/stride rows of
-    16-byte hashes), one (hash, id) distinct, one hash-keyed
-    aggregation; the example list is array_sort(slice(collect_set)) —
-    bounded at max_examples per span.
+    16-byte hashes), one (hash, id) distinct, then a TWO-LEVEL example
+    aggregation so no buffer is ever proportional to a span's document
+    count: level 1 groups by (span_hash, id % example_shards) and keeps
+    only that shard's ``max_examples`` smallest ids (a boilerplate span
+    present in 10^8 docs puts at most n_docs/example_shards ids in any
+    one reducer, vs all 10^8 in a single-level collect_set); level 2
+    merges the <= example_shards bounded slices — at most
+    example_shards × max_examples ids per span, constant. The global
+    k-smallest are always inside the union of per-shard k-smallest, so
+    the result is identical to the single-level form. Counts are plain
+    integer sums with map-side partial aggregation at both levels.
     """
     if span_tokens < 2:
         raise ValueError("span_tokens must be >= 2")
@@ -939,13 +948,25 @@ def duplicate_spans(
     per_doc = pairs.groupBy("span_hash", "__id").agg(
         F.count(F.lit(1)).cast("bigint").alias("__occ")
     )
+    sharded = per_doc.groupBy(
+        "span_hash",
+        F.pmod(F.col("__id"), F.lit(example_shards)).alias("__shard"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__docs"),
+        F.sum("__occ").cast("bigint").alias("__occs"),
+        F.slice(
+            F.array_sort(F.collect_set("__id")), 1, max_examples
+        ).alias("__ex"),
+    )
     return (
-        per_doc.groupBy("span_hash")
+        sharded.groupBy("span_hash")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("__occ").cast("bigint").alias("n_occurrences"),
+            F.sum("__docs").cast("bigint").alias("n_docs"),
+            F.sum("__occs").cast("bigint").alias("n_occurrences"),
             F.slice(
-                F.array_sort(F.collect_set("__id")), 1, max_examples
+                F.array_sort(F.flatten(F.collect_list("__ex"))),
+                1,
+                max_examples,
             ).alias("example_ids"),
         )
         .filter(F.col("n_docs") >= min_docs)

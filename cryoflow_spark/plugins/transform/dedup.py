@@ -150,6 +150,7 @@ class DedupPlugin(SiblingAwareTransformPlugin):
                 stride=int(self.options.get("stride", 25)),
                 min_docs=int(self.options.get("min_docs", 2)),
                 max_examples=int(self.options.get("max_examples", 3)),
+                example_shards=int(self.options.get("example_shards", 64)),
             )
         if method == "crawl_refresh":
             from cryoflow_spark.functions.urls import crawl_refresh

@@ -83,50 +83,53 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: a spread of already-green sentinels as regression canaries; everything
 #: else follows in original registration order (still runnable/benchable).
 #:
-#: Round 6: the r5 window froze before x43-x83 were registered, so those
-#: 41 queries have never been driver-checked (they are locally verified
-#: bit-identical at sf0.01 via tools/check_correctness.py, and the r5
-#: judge's independent full sweep confirmed all of them green). They head
-#: this window, followed by the NINE queries new this round (x84 mutual
-#: information, x85 water-filling budget, x86 quantile calibration, x87
-#: Zipf fit, x88 PSI drift, x89 exact-N per group, x90 JS divergence,
-#: x91 snapshot containment, x92 per-group JSD ranking — all locally
-#: bit-identical) — 41 + 9 = exactly 50, so every window slot carries a
-#: never-driver-checked oracle-bearing query and no sentinel slots
-#: remain this round (the r4-cohort sentinels return in r7). The
-#: rows-only instruments (engine-mode minhash twins and the three approx
-#: profiling twins; no oracles by design) stay OUT of the window.
+#: Round 7 window (head 50):
+#: 1) x93-x99 — registered late in r6 (the window was full), never
+#:    driver-checked; first in line per the r6 verdict.
+#: 2) x51 + x54 retests — the only two red driver rows in six rounds
+#:    (both representation-portability: x51's array<double> column crashed
+#:    the driver's pandas canonicalizer, x54's DECIMAL(38,0) checksum
+#:    hashed differently than DuckDB's HUGEINT). Both re-registered with
+#:    scalar/VARCHAR projections and locally bit-identical — the window
+#:    must produce the green driver rows.
+#: 3) The stalest r4-cohort sentinels (last driver-green in round 4 —
+#:    three rounds stale). 41 slots remain for the 49-query cohort; the
+#:    8 deferred to r8 are each the member of a twin pair whose sibling
+#:    ran green in r5/r6 on the same code path (x03~x04 jaccard,
+#:    x14~x12/x13 multimodal, x23~x66 fixed-IVF, x26~x59 repetition,
+#:    x27~x05/x41 brute-force topk, x33~x53 incremental minhash,
+#:    x36~x32 segment dedup, x37~x52/x84 profiling).
+#: The rows-only instruments (engine-mode minhash twins and the three
+#: approx profiling twins; no oracles by design) stay OUT of the window.
 _PRIORITY: list[str] = [
-    # never driver-checked: registered mid-r5 after the window froze (41)
-    "x43_semantic_dedup", "x44_html_to_text", "x45_quantile_gate",
-    "x46_vocab_stats", "x47_gopher_rules", "x48_c4_clean",
-    "x49_group_centroids", "x50_script_profile", "x51_jl_projection",
-    "x52_corpus_report", "x53_incremental_presig", "x54_dataset_checksum",
-    "x55_bloom_decontaminate", "x56_unicode_normalize",
-    "x57_containment_pairs", "x58_temperature_mix",
-    "x59_segment_repetition", "x60_crawl_refresh", "x61_heavy_hitters",
-    "x62_quantile_buckets", "x63_filter_funnel", "x64_pack_sequences",
-    "x65_centroid_drift", "x66_ivf_presig_topk", "x67_histogram",
-    "x68_key_skew", "x69_token_budget_mix", "x70_exact_n_sample",
-    "x71_cluster_best_keep", "x72_expectations", "x73_winsorize",
-    "x74_distinctive_terms", "x75_embedding_qa",
-    "x76_correlation_matrix", "x77_categorical_dependence",
-    "x78_duplication_profile", "x79_quantile_summary",
-    "x80_conversion_funnel", "x81_retention_cohorts",
-    "x82_robust_outliers", "x83_stopword_fraction",
-    # NEW this round — never driver-checked (9)
-    "x84_mutual_information", "x85_water_fill_budget",
-    "x86_quantile_normalize", "x87_zipf_fit",
-    "x88_distribution_drift", "x89_exact_n_per_group",
-    "x90_js_divergence", "x91_snapshot_containment",
-    "x92_group_js_divergence",
-    # positions 51-57: also never driver-checked (the window holds only
-    # 50) — first in line for the r7 window together with the stale
-    # r4-cohort sentinels
+    # never driver-checked (late-r6 additions)
     "x93_duplicate_spans", "x94_ensemble_rank_score",
     "x95_funnel_latency", "x96_cross_entropy_score",
     "x97_water_fill_epochs", "x98_domain_blocklist",
     "x99_token_cap_per_source",
+    # retests of the r6 red rows (now scalar/VARCHAR-portable)
+    "x51_jl_projection", "x54_dataset_checksum",
+    # r4-cohort sentinels, three rounds stale (41 of 49)
+    "q01_pricing_summary", "q25_asof_join", "q30_string_cleanup",
+    "q32_rank_family", "q33_conditional_aggs", "q34_date_vocabulary",
+    "q35_approx_distinct", "q37_null_handling", "q38_cube_order_stats",
+    "q39_hash_sample", "q40_stratified_sample", "q41_native_pivot",
+    "q42_exists_subquery", "q43_range_interval_window",
+    "q46_sliding_windows", "q47_regex_groups", "q48_bag_set_ops",
+    "q49_null_safe_join", "q50_unpivot_measures", "q51_gap_fill_spine",
+    "q52_bivariate_stats", "q53_fuzzy_part_names", "q55_grouping_sets",
+    "q56_latest_per_key",
+    "x01_dedup_exact", "x05_cosine_topk", "x07_lsh_cosine_topk",
+    "x13_multimodal_features", "x16_simhash_pairs", "x17_sessionize",
+    "x22_token_shards", "x24_pii_scrub", "x25_decontaminate",
+    "x28_source_mix", "x29_chunk_documents", "x30_weighted_sample",
+    "x34_domain_cap", "x35_corpus_freq_score",
+    "x38_leakage_safe_split", "x39_snapshot_diff", "x40_ngram_novelty",
+    # positions 51+: the 8 deferred twins (r8 window head) in
+    # registration-family order, still runnable/benchable
+    "x03_jaccard_pairs", "x14_frame_sample", "x23_ivf_fixed_topk",
+    "x26_repetition_stats", "x27_quantized_topk",
+    "x33_incremental_dedup", "x36_dedup_segments", "x37_profile_columns",
 ]
 
 

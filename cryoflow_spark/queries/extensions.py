@@ -2321,6 +2321,10 @@ def x50_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _x51_oracle() -> str:
+    # Long format (vec_id, pos, component): the driver's pandas
+    # canonicalizer sorts columns and cannot hash list cells, so the
+    # registered projection is scalar rows (the x49 centroid pattern).
+    # Lockstep unnest pairs each position with its fold-dot component.
     comps = ", ".join(
         "list_reduce(list_prepend(0.0::DOUBLE, "
         "[embedding[i]::DOUBLE * (list_value("
@@ -2328,8 +2332,11 @@ def _x51_oracle() -> str:
         + "))[i] for i in generate_series(1, 64)]), (acc, x) -> acc + x)"
         for plane in S.jl_planes(64, 8, seed=17)
     )
+    poses = ", ".join(f"{p}::BIGINT" for p in range(8))
     return f"""
-    SELECT vec_id, list_value({comps}) AS projected
+    SELECT vec_id,
+           unnest(list_value({poses})) AS pos,
+           unnest(list_value({comps})) AS component
     FROM embeddings
     """
 
@@ -2340,11 +2347,18 @@ def _x51_oracle() -> str:
     "Johnson-Lindenstrauss random projection 64->8 (seeded Gaussian "
     "rows scaled 1/sqrt(k)): distance-preserving dimensionality "
     "reduction before ANN/dedup candidate generation — JVM fold dots "
-    "against plan literals, narrow map, oracle-checked bit-identical",
+    "against plan literals, narrow map, oracle-checked bit-identical; "
+    "registered long-format (scalar columns) for driver-canon "
+    "portability",
 )
 def x51_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    return S.project_embeddings(e).select("vec_id", "projected")
+    proj = S.project_embeddings(e)
+    return proj.select(
+        "vec_id", F.posexplode("projected").alias("pos", "component")
+    ).select(
+        "vec_id", F.col("pos").cast("long").alias("pos"), "component"
+    )
 
 
 # --- x52: per-slice corpus report (oracle-checked) ------------------------
@@ -2435,7 +2449,7 @@ def _x54_oracle() -> str:
     SELECT source,
            COUNT(*)::BIGINT AS n_rows,
            SUM(CAST(('0x' || substring(md5({pieces}), 1, 15)) AS BIGINT)
-               ::DECIMAL(38,0)) AS checksum
+               ::DECIMAL(38,0))::VARCHAR AS checksum
     FROM documents
     GROUP BY source
     """
@@ -2448,13 +2462,17 @@ def _x54_oracle() -> str:
     "row hash truncated to 60 bits, summed exactly as DECIMAL(38,0) — "
     "two copies of a corpus are equivalent iff (n_rows, checksum) "
     "agree, regardless of partitioning, row order, or engine; the "
-    "release-gate verification artifact",
+    "release-gate verification artifact. Registered with the checksum "
+    "cast to VARCHAR on both sides: Spark surfaces DECIMAL(38,0) as "
+    "Decimal objects where DuckDB surfaces HUGEINT, and the driver's "
+    "value hasher sees different scalar representations",
 )
 def x54_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cryoflow_spark.functions.diff import dataset_checksum
 
     d = load(spark, sf_dir, "documents")
-    return dataset_checksum(d, group_cols=["source"])
+    out = dataset_checksum(d, group_cols=["source"])
+    return out.withColumn("checksum", F.col("checksum").cast("string"))
 
 
 # --- x55: Bloom-prefiltered decontamination (oracle-checked) --------------
@@ -4314,7 +4332,8 @@ def x92_group_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT span_hash,
            COUNT(*)::BIGINT AS n_docs,
            SUM(occ)::BIGINT AS n_occurrences,
-           (list_sort(list(doc_id)))[1:3] AS example_ids
+           array_to_string((list_sort(list(doc_id)))[1:3], ',')
+             AS example_ids
     FROM per_doc
     GROUP BY span_hash
     HAVING COUNT(*) >= 2
@@ -4323,13 +4342,18 @@ def x92_group_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window granularity of exact-substring dedup (Lee et al. 2022) that "
     "line/paragraph segment dedup misses; spans md5-hash BEFORE the "
     "shuffle (16 bytes/window), (hash, id) pre-distinct kills the "
-    "countDistinct Expand, example ids bounded at 3",
+    "countDistinct Expand, example ids two-level bounded at 3 and "
+    "registered comma-joined (driver-canon scalar columns only)",
 )
 def x93_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cryoflow_spark.functions.curation import duplicate_spans
 
     d = load(spark, sf_dir, "documents")
-    return duplicate_spans(d, span_tokens=8, stride=4, min_docs=2)
+    out = duplicate_spans(d, span_tokens=8, stride=4, min_docs=2)
+    return out.withColumn(
+        "example_ids",
+        F.concat_ws(",", F.col("example_ids").cast("array<string>")),
+    )
 
 
 # --- x94: rank-ensemble quality score (oracle-checked) -----------------------

@@ -3746,6 +3746,41 @@ class TestDuplicateSpans:
         # repeats INSIDE one doc don't meet min_docs=2 across docs
         assert duplicate_spans(df, span_tokens=3, stride=1).count() == 0
 
+    def test_hot_span_examples_bounded_two_level(self, spark):
+        """A span occurring in MANY docs: the two-level slice-merge must
+        return the same k smallest ids as the naive single-level form
+        (per-shard k-smallest always contain the global k-smallest),
+        with no aggregation buffer proportional to the span's doc count
+        — the shard-keyed level is visible in the plan and each level
+        carries map-side partial aggregation."""
+        import contextlib
+        import io
+
+        from cryoflow_spark.functions.curation import duplicate_spans
+
+        hot = "alpha beta gamma delta epsilon"
+        rows = [(i * 7 + 3, f"doc {i} says {hot} uniquely{i}")
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = duplicate_spans(
+            df, span_tokens=5, stride=1, min_docs=2, max_examples=3,
+            example_shards=8,
+        )
+        rows_out = out.filter(F.col("n_docs") == 200).collect()
+        assert len(rows_out) >= 1  # the hot 5-token span(s)
+        for r in rows_out:
+            assert r["example_ids"] == [3, 10, 17]  # 3 smallest ids
+            assert r["n_occurrences"] == 200
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("simple")
+        plan = buf.getvalue()
+        # level 1 keyed by (span_hash, pmod shard) — Catalyst renders
+        # the pmod key as _groupingexpression after alias pruning
+        assert "__shard" in plan or "_groupingexpression" in plan
+        assert "partial_collect_set" in plan  # map-side partials, lvl 1
+        assert "partial_collect_list" in plan  # map-side partials, lvl 2
+
     def test_validates_params_and_short_docs(self, spark):
         import pytest
 

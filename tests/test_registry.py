@@ -56,3 +56,41 @@ def test_descriptions_and_rows_only_census():
         "x76_correlation_approx",
         "x79_quantiles_approx",
     ], rows_only
+
+
+#: Queries whose registered output may carry a non-scalar column or a
+#: decimal wider than 18 digits, each with the justification the guard
+#: demands. Empty: the driver's pandas canonicalizer handles scalar
+#: columns only (it lexsorts every column — list cells are unhashable
+#: and crash it, r6's x51) and renders wide decimals differently than
+#: DuckDB's HUGEINT (r6's x54), so registered projections must
+#: explode/concat arrays and VARCHAR-cast wide decimals instead.
+DRIVER_CANON_ALLOWLIST: dict[str, str] = {}
+
+
+def test_registered_outputs_are_driver_canon_portable(spark):
+    """Registry-wide sweep: no registered query may output a top-level
+    array/map/struct column or a decimal wider than 18 digits unless
+    allowlisted with a justification. This is the x51/x54 failure class
+    — invisible locally (the repo checker tuple-izes lists and compares
+    values, the driver canon does neither) until a driver round hits it.
+    """
+    from pyspark.sql import types as T
+
+    from cryoflow_spark.queries import all_queries
+
+    bad: list[str] = []
+    for name, spec in all_queries().items():
+        if name in DRIVER_CANON_ALLOWLIST:
+            continue
+        schema = spec.fn(spark, "/root/testdata/sf0.001").schema
+        for field in schema.fields:
+            dt = field.dataType
+            if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append(f"{name}.{field.name}: {dt.simpleString()}")
+            elif isinstance(dt, T.DecimalType) and dt.precision > 18:
+                bad.append(f"{name}.{field.name}: {dt.simpleString()}")
+    assert not bad, (
+        "driver-canon-unportable registered outputs "
+        f"(explode/concat arrays, VARCHAR-cast wide decimals): {bad}"
+    )
