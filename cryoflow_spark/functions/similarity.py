@@ -971,3 +971,247 @@ def with_ivf_cell(
     else:
         raise ValueError(f"invalid assign_mode '{assign_mode}'")
     return df.withColumn(cell_col, cell)
+
+
+# --- Product quantization (Jégou et al. 2011, "Product Quantization for
+# --- Nearest Neighbor Search", TPAMI) ------------------------------------
+
+
+def pq_codebooks(
+    dim: int, m: int = 8, ksub: int = 16, seed: int = 11
+) -> list[list[list[float]]]:
+    """Seeded data-independent PQ codebooks: ``m`` subspaces of
+    ``dim/m`` components, ``ksub`` codewords each, Gaussian with scale
+    ``1/sqrt(dim)`` (the component scale of unit-norm vectors). Plan
+    literals — the same values embed in Spark expressions and SQL
+    oracles, so encode/ADC replicate bit-identically across engines
+    (the :func:`fixed_random_centroids` pattern; trained codebooks via
+    :func:`train_pq_codebooks` are the production path).
+    """
+    import math
+    import random
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = random.Random(seed)
+    s = 1.0 / math.sqrt(dim)
+    dsub = dim // m
+    return [
+        [[rng.gauss(0.0, 1.0) * s for _ in range(dsub)] for _ in range(ksub)]
+        for _ in range(m)
+    ]
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    train_fraction: float = 0.2,
+    train_points_per_codeword: int = 256,
+    kmeans_iters: int = 5,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd (L2) k-means PQ codebooks on ONE deterministic
+    hash-sample of corpus vectors — the Faiss ``ProductQuantizer.train``
+    role. The single driver collect is hard-capped at
+    ``ksub × train_points_per_codeword`` rows (bounded by codebook size,
+    never corpus size; the k-means quality plateau Faiss trains at).
+    Deterministic: hash-sampled rows, first-k init in hash order, fixed
+    iteration count — identical codebooks on every run/executor.
+    """
+    from cryoflow_spark.functions.sampling import hash_bucket
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    max_train = ksub * train_points_per_codeword
+    sample = (
+        corpus.filter(
+            hash_bucket(F.col(id_col), 1_000_000)
+            < int(train_fraction * 1_000_000)
+        )
+        .select(vec_col)
+        .limit(max_train)
+        .collect()
+    )
+    if not sample:
+        return pq_codebooks(dim, m, ksub)
+    train = np.asarray([r[0] for r in sample], dtype=np.float64)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = train[:, j * dsub : (j + 1) * dsub]
+        cents = sub[: min(ksub, len(sub))].copy()
+        if len(cents) < ksub:  # tiny sample: pad by cycling
+            reps = int(np.ceil(ksub / len(cents)))
+            cents = np.tile(cents, (reps, 1))[:ksub]
+        for _ in range(kmeans_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents.tolist())
+    return books
+
+
+def _pq_subdist(vec_col: str, offset: int, codeword: list[float]):
+    """Column: exact squared L2 distance between a dsub-component slice
+    of ``vec_col`` (0-based ``offset``) and a literal codeword, summed
+    left-to-right (0 + t1) + t2 ... — the IEEE order a
+    ``list_reduce(list_prepend(0.0, ...))`` SQL replica uses."""
+    expr = None
+    for i, c in enumerate(codeword):
+        d = F.col(vec_col)[offset + i] - F.lit(float(c))
+        sq = d * d
+        expr = sq if expr is None else expr + sq
+    return expr
+
+
+def with_pq_codes(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+    encode_mode: str = "vectorized",
+) -> DataFrame:
+    """Annotate rows with their PQ code vector (``array<int>`` of m
+    nearest-codeword indices, one per subspace) — the storable
+    compressed index column (the ANN analogue of
+    ``with_minhash_signature``): m small ints per vector instead of
+    ``dim`` doubles (64 floats → 8 codes = 32x less index memory), and
+    steady-state search via :func:`pq_adc_topk` pays no corpus encode.
+
+    ``encode_mode="vectorized"``: one numpy distance matrix per Arrow
+    batch — the scale path. ``"fold"``: JVM expressions bit-identical
+    to a ``list_reduce`` SQL replica (the oracle-checkable spelling).
+    Ties pick the lowest codeword index in both modes. NULL vectors get
+    NULL codes. A narrow map either way: no shuffle, no driver.
+    """
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    if encode_mode == "vectorized":
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        books = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+
+        @pandas_udf("array<int>")
+        def _codes_udf(vecs: pd.Series) -> pd.Series:
+            out = []
+            for v in vecs:
+                if v is None:
+                    out.append(None)
+                    continue
+                x = np.asarray(v, dtype=np.float64).reshape(m, dsub)
+                # (m, ksub): squared L2 per subspace x codeword
+                d2 = ((x[:, None, :] - books) ** 2).sum(axis=2)
+                out.append([int(c) for c in np.argmin(d2, axis=1)])
+            return pd.Series(out, dtype="object")
+
+        codes = _codes_udf(F.col(vec_col))
+    elif encode_mode == "fold":
+        per_sub = []
+        for j in range(m):
+            structs = [
+                F.struct(
+                    _pq_subdist(vec_col, j * dsub, codebooks[j][c]).alias("s"),
+                    F.lit(c).alias("i"),
+                )
+                for c in range(ksub)
+            ]
+            per_sub.append(F.sort_array(F.array(*structs))[0]["i"])
+        codes = F.when(
+            F.col(vec_col).isNotNull(), F.array(*per_sub)
+        )
+    else:
+        raise ValueError(f"invalid encode_mode '{encode_mode}'")
+    return df.withColumn(code_col, codes)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    query_id_col: str | None = None,
+    encode_mode: str = "vectorized",
+    corpus_code_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance computation (ADC —
+    Jégou et al. 2011): the corpus is reduced to m-code rows, each query
+    precomputes its (m × ksub) lookup table of exact subspace distances,
+    and a candidate's approximate distance is m LUT lookups summed —
+    never a dim-component float op against corpus vectors.
+
+    Output: (query_id, neighbor_id, approx_dist, rank), rank by
+    ascending approx distance with neighbor-id tiebreak.
+
+    Scale: this is the memory-bound linear-scan regime PQ exists for —
+    the scan reads m ints per corpus row (32-64x less than raw
+    vectors), the query side with LUTs rides a broadcast (tiny), and
+    the join is broadcast nested-loop by design, exactly like the
+    brute-force cosine baseline but over compressed codes; compose with
+    :func:`with_ivf_cell` (filter corpus to probed cells first) for the
+    IVF-PQ layout when even the compressed scan is too wide.
+    ``corpus_code_col``: a PRECOMPUTED code column (from
+    :func:`with_pq_codes`, written at ingest) — steady-state search
+    then never touches corpus vectors at all.
+    """
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    qid = query_id_col or id_col
+
+    if corpus_code_col is None:
+        coded = with_pq_codes(
+            corpus, codebooks, vec_col=vec_col, code_col="__codes",
+            encode_mode=encode_mode,
+        )
+        code_col = "__codes"
+    else:
+        coded = corpus
+        code_col = corpus_code_col
+    coded = coded.select(
+        F.col(id_col).alias("__nid"), F.col(code_col).alias("__codes")
+    ).filter(F.col("__codes").isNotNull())
+
+    lut = F.array(*[
+        F.array(*[
+            _pq_subdist(vec_col, j * dsub, codebooks[j][c])
+            for c in range(ksub)
+        ])
+        for j in range(m)
+    ])
+    qlut = queries.select(
+        F.col(qid).alias("__qid"), lut.alias("__lut")
+    )
+
+    pairs = coded.join(
+        F.broadcast(qlut), F.col("__nid") != F.col("__qid")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__lut"),
+            F.col("__codes"),
+            lambda l, c: F.element_at(l, c + F.lit(1)),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select(
+            F.col("__qid").alias("query_id"),
+            F.col("__nid").alias("neighbor_id"),
+            dist.alias("approx_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

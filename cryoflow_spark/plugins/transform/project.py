@@ -14,6 +14,12 @@ run it before a dedup/ANN stage to cut candidate-scoring cost. Options:
   ``n_centroids`` default 16, ``in_dim`` required, ``seed`` default
   42, ``out_column`` default ``ivf_cell``) for
   ``ivf_cosine_topk(corpus_cell_col=...)`` steady-state search.
+- ``method = "pq_codes"`` — annotate the storable product-quantization
+  code vector (options ``in_dim`` required, ``m`` default 8, ``ksub``
+  default 16, ``seed`` default 11, ``train`` default true — per-
+  subspace k-means on a driver-capped hash sample; false uses fixed
+  seeded codebooks — ``out_column`` default ``pq_codes``) for
+  ``pq_adc_topk(corpus_code_col=...)`` steady-state compressed search.
 """
 
 from __future__ import annotations
@@ -30,10 +36,38 @@ class ProjectPlugin(AnalyzedTransformPlugin):
     def _transform(self, data: FrameData) -> FrameData:
         from cryoflow_spark.functions.similarity import (
             fixed_random_centroids,
+            pq_codebooks,
             project_embeddings,
+            train_pq_codebooks,
             with_ivf_cell,
+            with_pq_codes,
         )
 
+        if self.options.get("method") == "pq_codes":
+            dim = int(self.require_option("in_dim"))
+            m = int(self.options.get("m", 8))
+            ksub = int(self.options.get("ksub", 16))
+            seed = int(self.options.get("seed", 11))
+            if self.options.get("train", True):
+                books = train_pq_codebooks(
+                    data,
+                    vec_col=self.options.get("column", "embedding"),
+                    id_col=self.options.get("id_column", "vec_id"),
+                    dim=dim, m=m, ksub=ksub,
+                )
+            else:
+                books = pq_codebooks(dim, m=m, ksub=ksub, seed=seed)
+            return with_pq_codes(
+                data,
+                books,
+                vec_col=self.options.get("column", "embedding"),
+                code_col=self.options.get("out_column", "pq_codes"),
+                encode_mode=(
+                    "fold"
+                    if self.options.get("mode") == "fold"
+                    else "vectorized"
+                ),
+            )
         if self.options.get("method") == "ivf_cell":
             cents = fixed_random_centroids(
                 dim=int(self.require_option("in_dim")),

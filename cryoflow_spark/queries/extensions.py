@@ -4684,3 +4684,86 @@ def x99_token_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_tokens_per_group(
         d, "source", "doc_id", max_tokens=600
     ).select("doc_id", "source")
+
+
+# --- x100: product-quantization ADC top-k (oracle-checked) ------------------
+
+# 8 subspaces x 8 codewords x 8 dims: every distributed PQ stage (encode,
+# LUT build, ADC fold, top-k) at a price the interpreted SQL replica can
+# pay; trained codebooks and recall are pinned separately in pytest
+# (the x23-vs-x18 split applied to PQ).
+_X100_BOOKS = S.pq_codebooks(dim=64, m=8, ksub=8, seed=11)
+
+
+def _x100_oracle() -> str:
+    """DuckDB replica of encode -> per-query LUT -> ADC fold -> top-k with
+    the same codebook literals and the same left-to-right IEEE sums."""
+    m, ksub = len(_X100_BOOKS), len(_X100_BOOKS[0])
+    dsub = len(_X100_BOOKS[0][0])
+
+    def sub_l2(j: int, codeword: list[float]) -> str:
+        vals = ", ".join(f"{x:.17e}" for x in codeword)
+        off = j * dsub
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"[((embedding[{off} + i]::DOUBLE - (list_value({vals}))[i])"
+            f" * (embedding[{off} + i]::DOUBLE - (list_value({vals}))[i]))"
+            f" for i in generate_series(1, {dsub})]), (acc, x) -> acc + x)"
+        )
+
+    codes = ", ".join(
+        "list_sort(list_value("
+        + ", ".join(
+            f"{{'s': {sub_l2(j, _X100_BOOKS[j][c])}, 'i': {c}}}"
+            for c in range(ksub)
+        )
+        + "))[1].i"
+        for j in range(m)
+    )
+    lut = ", ".join(
+        "list_value("
+        + ", ".join(sub_l2(j, _X100_BOOKS[j][c]) for c in range(ksub))
+        + ")"
+        for j in range(m)
+    )
+    return f"""
+    WITH coded AS (
+      SELECT vec_id, list_value({codes}) AS codes FROM embeddings
+    ),
+    luts AS (
+      SELECT vec_id, list_value({lut}) AS lut
+      FROM embeddings WHERE vec_id % 100 = 0
+    )
+    SELECT query_id, neighbor_id, approx_dist, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               [a.lut[j][b.codes[j] + 1] for j in generate_series(1, {m})]),
+               (acc, x) -> acc + x) AS approx_dist,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_reduce(list_prepend(0.0::DOUBLE,
+                 [a.lut[j][b.codes[j] + 1] for j in generate_series(1, {m})]),
+                 (acc, x) -> acc + x) ASC, b.vec_id
+             ) AS INTEGER) AS rank
+      FROM luts a JOIN coded b ON a.vec_id != b.vec_id
+    ) WHERE rank <= 5
+    """
+
+
+@register(
+    "x100_pq_adc_topk",
+    _x100_oracle(),
+    "Product-quantization ADC top-k (Jegou et al. 2011): corpus encoded "
+    "to m nearest-codeword ids (m ints vs dim doubles — the memory-"
+    "bound linear-scan regime PQ exists for), each query precomputes "
+    "its (m x ksub) exact subspace-distance LUT, candidate distance = "
+    "m LUT lookups summed; fixed seeded codebooks make every stage "
+    "bit-identical to the SQL replica (trained codebooks + recall "
+    "floor pinned in pytest, the x23/x18 split)",
+)
+def x100_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return S.pq_adc_topk(
+        e, queries, _X100_BOOKS, k=5, encode_mode="fold"
+    )

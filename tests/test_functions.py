@@ -2785,6 +2785,153 @@ class TestIvfCellPersistence:
         assert {k: fold[k] for k in (1, 2)} == vec
 
 
+class TestProductQuantization:
+    def _toy(self, spark, n=80, dim=8):
+        rows = [
+            (i, [float((i * 13 + j * 5) % 17) / 17.0 - 0.5
+                 for j in range(dim)])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_encode_modes_identical_and_nulls(self, spark):
+        from cryoflow_spark.functions.similarity import (
+            pq_codebooks,
+            with_pq_codes,
+        )
+
+        books = pq_codebooks(8, m=4, ksub=4, seed=3)
+        df = self._toy(spark).union(
+            spark.createDataFrame(
+                [(999, None)], "vec_id long, embedding array<double>"
+            )
+        )
+        fold = {r["vec_id"]: r["pq_codes"] for r in
+                with_pq_codes(df, books, encode_mode="fold").collect()}
+        vec = {r["vec_id"]: r["pq_codes"] for r in
+               with_pq_codes(
+                   df.filter(F.col("embedding").isNotNull()), books
+               ).collect()}
+        assert fold[999] is None
+        assert {k: v for k, v in fold.items() if k != 999} == vec
+
+    def test_adc_distance_is_exact_lut_sum(self, spark):
+        import numpy as np
+
+        from cryoflow_spark.functions.similarity import (
+            pq_adc_topk,
+            pq_codebooks,
+        )
+
+        books = pq_codebooks(8, m=4, ksub=4, seed=3)
+        df = self._toy(spark, n=30)
+        q = df.filter(F.col("vec_id") % 10 == 0)
+        out = pq_adc_topk(df, q, books, k=3, encode_mode="fold").collect()
+        assert len(out) == 9  # 3 queries x top-3
+        V = {r["vec_id"]: np.asarray(r["embedding"])
+             for r in df.collect()}
+        b = np.asarray(books)  # (m, ksub, dsub)
+        for r in out:
+            xq = V[r["query_id"]].reshape(4, 2)
+            xn = V[r["neighbor_id"]].reshape(4, 2)
+            codes = np.argmin(
+                ((xn[:, None, :] - b) ** 2).sum(axis=2), axis=1
+            )
+            want = sum(
+                float(((xq[j] - b[j][codes[j]]) ** 2).sum())
+                for j in range(4)
+            )
+            assert abs(r["approx_dist"] - want) < 1e-12
+
+    def test_precomputed_codes_match_inline_encode(self, spark):
+        from cryoflow_spark.functions.similarity import (
+            pq_adc_topk,
+            pq_codebooks,
+            with_pq_codes,
+        )
+
+        books = pq_codebooks(8, m=4, ksub=4, seed=3)
+        df = self._toy(spark)
+        q = df.filter(F.col("vec_id") % 20 == 0)
+        base = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["approx_dist"])
+            for r in pq_adc_topk(
+                df, q, books, k=3, encode_mode="fold"
+            ).collect()
+        )
+        indexed = with_pq_codes(df, books, encode_mode="fold")
+        pre = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["approx_dist"])
+            for r in pq_adc_topk(
+                indexed, q, books, k=3, corpus_code_col="pq_codes"
+            ).collect()
+        )
+        assert pre == base
+
+    def test_trained_codebooks_determinism_and_validation(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.similarity import (
+            pq_codebooks,
+            train_pq_codebooks,
+        )
+
+        df = self._toy(spark)
+        b1 = train_pq_codebooks(df, dim=8, m=4, ksub=4,
+                                train_fraction=1.0)
+        b2 = train_pq_codebooks(df, dim=8, m=4, ksub=4,
+                                train_fraction=1.0)
+        assert b1 == b2  # hash-sample + fixed init/iters
+        assert len(b1) == 4 and len(b1[0]) == 4 and len(b1[0][0]) == 2
+        with pytest.raises(ValueError, match="divisible"):
+            train_pq_codebooks(df, dim=8, m=3)
+        with pytest.raises(ValueError, match="divisible"):
+            pq_codebooks(8, m=3)
+        # empty input: deterministic fallback, no crash
+        empty = df.filter(F.col("vec_id") < 0)
+        assert train_pq_codebooks(empty, dim=8, m=4, ksub=4) == \
+            pq_codebooks(8, 4, 4)
+
+    def test_trained_recall_floor_vs_exact(self, spark):
+        """The x41 pattern for PQ: trained m=32 codebooks on the real
+        embeddings table must reach a pinned recall@5 vs exact cosine
+        top-5, and beat the data-independent seeded codebooks."""
+        from cryoflow_spark.functions.similarity import (
+            cosine_topk,
+            pq_adc_topk,
+            pq_codebooks,
+            recall_at_k,
+            train_pq_codebooks,
+        )
+
+        e = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        q = e.filter(F.col("vec_id") % 100 == 0)
+        exact = cosine_topk(e, q, k=5)
+
+        def mean_recall(books):
+            approx = pq_adc_topk(e, q, books, k=5).select(
+                "query_id", "neighbor_id", "rank"
+            )
+            rows = recall_at_k(approx, exact, k=5).collect()
+            return sum(r["recall"] for r in rows) / len(rows)
+
+        trained32 = mean_recall(
+            train_pq_codebooks(e, m=32, ksub=16, train_fraction=1.0)
+        )
+        assert trained32 >= 0.3
+        # at coarse m=8 (8-dim subspaces) training clearly matters:
+        # seeded Gaussian codewords can't fit the data distribution
+        trained8 = mean_recall(
+            train_pq_codebooks(e, m=8, ksub=16, train_fraction=1.0)
+        )
+        fixed8 = mean_recall(pq_codebooks(64, m=8, ksub=16))
+        assert trained8 > fixed8
+
+
 class TestHistogram:
     def test_explicit_bounds_with_clamping(self, spark):
         from cryoflow_spark.functions.profiling import histogram

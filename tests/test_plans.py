@@ -166,6 +166,10 @@ def test_no_cartesian_products(all_plans):
         # 1-row corpus-min-timestamp scalar crossJoin(broadcast) into
         # the event stream (anchors period buckets) — same pattern.
         "x81_retention_cohorts",
+        # PQ ADC is by design a linear scan over m-int codes with the
+        # tiny LUT-carrying query side broadcast — the same brute-force
+        # broadcast regime as x05/x27, but over compressed codes.
+        "x100_pq_adc_topk",
     }
     for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name

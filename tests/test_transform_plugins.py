@@ -925,6 +925,36 @@ def test_project_plugin(spark):
     assert set(out.columns) == {"vec_id", "embedding", "projected"}
 
 
+def test_project_plugin_pq_codes(spark):
+    import numpy as np
+
+    from cryoflow_spark.plugins.transform import ProjectPlugin
+
+    rng = np.random.RandomState(9)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(16)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    out = _run(
+        ProjectPlugin(
+            {"method": "pq_codes", "in_dim": 16, "m": 4, "ksub": 4}
+        ),
+        df,
+    )
+    rows = out.collect()
+    assert all(len(r["pq_codes"]) == 4 for r in rows)
+    assert all(0 <= c < 4 for r in rows for c in r["pq_codes"])
+    # fixed (untrained) codebooks are deterministic plan literals
+    fixed = _run(
+        ProjectPlugin(
+            {"method": "pq_codes", "in_dim": 16, "m": 4, "ksub": 4,
+             "train": False, "mode": "fold"}
+        ),
+        df,
+    ).collect()
+    assert all(len(r["pq_codes"]) == 4 for r in fixed)
+
+
 def test_curate_script_profile_plugin(spark):
     df = spark.createDataFrame(
         [(1, "привет мир")], "doc_id long, text string"
