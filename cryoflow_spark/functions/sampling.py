@@ -805,3 +805,148 @@ def cap_tokens_per_group(
         .filter(F.col("__cum") <= int(max_tokens))
         .drop("__cum")
     )
+
+
+def water_fill_floors(
+    df: DataFrame,
+    source_col: str,
+    budget_tokens: int,
+    floor_tokens: int,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Water-filling allocation WITH per-source minimum guarantees — the
+    dual of :func:`water_fill_epochs`'s caps: every source is first
+    guaranteed ``floor_s = min(floor_tokens, t_s)`` tokens (a rare
+    language must survive the mix even when the power law would starve
+    it — the floor side of data-mixture planning), then the REMAINING
+    budget ``B' = B - Σ floor_s`` is water-filled over the sources'
+    residual capacity ``cap_s = t_s - floor_s`` proportionally to
+    ``t_s^alpha``, redistributing what saturated sources cannot absorb.
+
+    Output: one row per source with countable tokens —
+    ``(source, n_tokens, guaranteed_tokens, allocated_tokens, rate)``,
+    ``rate = allocated/n_tokens`` in (0, 1] (this is a keep-rate
+    planner: no repetition, unlike the epoch variant).
+
+    Closed form (same fixpoint argument as :func:`water_fill_rates`):
+    sources exhaust their residual capacity in increasing ``cap/w``
+    order, so ``λ* = max_i (B' - Σ_{j<i} cap_j) / Σ_{j>=i} w_j`` over
+    EXACT integer/decimal prefix sums, and
+    ``allocated_s = floor_s + min(cap_s, w_s λ*)``; allocations
+    telescope to exactly ``min(B, Σ t)``. If the floors alone exceed
+    the budget (``B <= Σ floor_s``) there is no water to fill: every
+    guarantee scales proportionally, ``allocated_s = floor_s · B / Σ
+    floor`` — one deterministic CASE branch, no driver-side check.
+
+    Portability: identical to x85/x97 — fixed-point BIGINT/DECIMAL
+    prefix sums (never a float window cumsum), one exact double λ*
+    derivation, so the table is bit-identical across engines.
+
+    Scale: one token-count aggregation (map-side partials), window
+    specs over the |sources|-row frame (the bounded envelope), a 1-row
+    λ* broadcast. The fact table shuffles zero times.
+    """
+    from pyspark.sql import Window
+
+    from cryoflow_spark.functions.text import token_count
+
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if floor_tokens < 0:
+        raise ValueError("floor_tokens must be >= 0")
+    if weight_scale <= 0:
+        raise ValueError("weight_scale must be positive")
+    counts = df.groupBy(source_col).agg(
+        F.sum(token_count(text_col)).cast("bigint").alias("_wf_t")
+    )
+    td = F.col("_wf_t").cast("double")
+    if alpha == 0.5:
+        w = F.sqrt(td)
+    elif alpha == 1.0:
+        w = td
+    else:
+        w = F.pow(td, F.lit(float(alpha)))
+    weighted = (
+        counts.select(
+            source_col,
+            "_wf_t",
+            F.least(F.lit(int(floor_tokens)).cast("bigint"), F.col("_wf_t"))
+            .alias("_wf_fl"),
+            F.floor(w * F.lit(float(weight_scale)))
+            .cast("decimal(38,0)")
+            .alias("_wf_wq"),
+        )
+        .filter(
+            F.col("_wf_t").isNotNull()
+            & (F.col("_wf_t") > 0)
+            & F.col("_wf_wq").isNotNull()
+        )
+        .withColumn("_wf_cap", (F.col("_wf_t") - F.col("_wf_fl")).cast("bigint"))
+        .withColumn(
+            "_wf_r",
+            F.col("_wf_cap").cast("double")
+            * F.lit(float(weight_scale))
+            / F.col("_wf_wq").cast("double"),
+        )
+    )
+    prefix = (
+        Window.orderBy("_wf_r", source_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    everything = Window.orderBy("_wf_r", source_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    win = weighted.select(
+        source_col,
+        "_wf_t",
+        "_wf_fl",
+        "_wf_cap",
+        "_wf_wq",
+        "_wf_r",
+        F.sum("_wf_fl").over(everything).cast("bigint").alias("_wf_feas"),
+        F.coalesce(F.sum("_wf_cap").over(prefix), F.lit(0).cast("bigint"))
+        .cast("bigint")
+        .alias("_wf_cumcap"),
+        (
+            F.sum("_wf_wq").over(everything)
+            - F.coalesce(
+                F.sum("_wf_wq").over(prefix),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+        ).alias("_wf_sufw"),
+    )
+    lam_i = (
+        (F.lit(int(budget_tokens)) - F.col("_wf_feas") - F.col("_wf_cumcap"))
+        .cast("double")
+        / (F.col("_wf_sufw").cast("double") / F.lit(float(weight_scale)))
+    )
+    lamstar = win.agg(F.max(lam_i).alias("_wf_lam"))
+    infeasible = F.lit(int(budget_tokens)) <= F.col("_wf_feas")
+    alloc = F.when(
+        infeasible,
+        F.col("_wf_fl").cast("double")
+        * F.lit(float(budget_tokens))
+        / F.col("_wf_feas").cast("double"),
+    ).otherwise(
+        F.col("_wf_fl").cast("double")
+        + F.least(
+            F.col("_wf_cap").cast("double"),
+            F.col("_wf_wq").cast("double")
+            / F.lit(float(weight_scale))
+            * F.col("_wf_lam"),
+        )
+    )
+    return (
+        win.crossJoin(F.broadcast(lamstar))
+        .select(
+            source_col,
+            F.col("_wf_t").alias("n_tokens"),
+            F.col("_wf_fl").alias("guaranteed_tokens"),
+            alloc.alias("allocated_tokens"),
+            (alloc / F.col("_wf_t").cast("double")).alias("rate"),
+        )
+    )

@@ -38,6 +38,12 @@ of a 10% sample). Modes (option ``method``):
   water-filling that allows repetition up to ``max_epochs`` per source
   (data-constrained training planning); options ``source_column``,
   ``budget_tokens``, ``column``, ``alpha``, ``max_epochs``.
+- ``water_fill_floors``: the floor-guaranteed ALLOCATION PLAN
+  ``(source, n_tokens, guaranteed_tokens, allocated_tokens, rate)`` —
+  every source first receives min(``floor_tokens``, its size), the
+  rest of the budget water-fills residual capacity (rare-language
+  minimum guarantees); options ``source_column``, ``budget_tokens``,
+  ``floor_tokens`` (both required), ``column``, ``alpha``.
 - ``exact_n``: exactly ``n`` rows by md5 key order (nested,
   TakeOrdered plan — never a global sort).
 - ``exact_n_per_group``: exactly ``n`` rows per ``group_column`` by
@@ -195,6 +201,16 @@ class SamplePlugin(SiblingAwareTransformPlugin):
                 text_col=self.options.get("column", "text"),
                 alpha=float(self.options.get("alpha", 0.5)),
                 max_epochs=float(self.options.get("max_epochs", 4.0)),
+            )
+
+        if method == "water_fill_floors":
+            return S.water_fill_floors(
+                data,
+                self.require_option("source_column"),
+                budget_tokens=int(self.require_option("budget_tokens")),
+                floor_tokens=int(self.require_option("floor_tokens")),
+                text_col=self.options.get("column", "text"),
+                alpha=float(self.options.get("alpha", 0.5)),
             )
 
         if method == "exact_n":

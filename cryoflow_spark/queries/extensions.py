@@ -4767,3 +4767,78 @@ def x100_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_adc_topk(
         e, queries, _X100_BOOKS, k=5, encode_mode="fold"
     )
+
+
+# --- x101: floor-guaranteed water-filling (oracle-checked) ------------------
+
+
+@register(
+    "x101_water_fill_floors",
+    """
+    WITH counts AS (
+      SELECT source,
+             SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t != '')))::BIGINT AS t
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, t,
+             LEAST(500::BIGINT, t) AS fl,
+             (t - LEAST(500::BIGINT, t))::BIGINT AS cap,
+             CAST(FLOOR(sqrt(t::DOUBLE) * 1000000.0) AS BIGINT) AS wq
+      FROM counts WHERE t > 0
+    ),
+    ordw AS (
+      SELECT source, t, fl, cap, wq,
+             cap::DOUBLE * 1000000.0 / wq::DOUBLE AS r
+      FROM w
+    ),
+    win AS (
+      SELECT source, t, fl, cap, wq, r,
+             CAST(SUM(fl) OVER () AS BIGINT) AS feas,
+             COALESCE(CAST(SUM(cap) OVER (
+                 ORDER BY r, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS cumcap,
+             CAST(SUM(wq) OVER () AS HUGEINT)
+               - COALESCE(CAST(SUM(wq) OVER (
+                   ORDER BY r, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS HUGEINT), 0) AS sufw
+      FROM ordw
+    ),
+    lam AS (
+      SELECT MAX((100000 - feas - cumcap)::DOUBLE
+                 / (sufw::DOUBLE / 1000000.0)) AS lamstar
+      FROM win
+    )
+    SELECT win.source, win.t AS n_tokens, win.fl AS guaranteed_tokens,
+           CASE WHEN 100000 <= win.feas
+                THEN win.fl::DOUBLE * 100000.0 / win.feas::DOUBLE
+                ELSE win.fl::DOUBLE
+                     + LEAST(win.cap::DOUBLE,
+                             win.wq::DOUBLE / 1000000.0 * lam.lamstar)
+           END AS allocated_tokens,
+           CASE WHEN 100000 <= win.feas
+                THEN win.fl::DOUBLE * 100000.0 / win.feas::DOUBLE
+                ELSE win.fl::DOUBLE
+                     + LEAST(win.cap::DOUBLE,
+                             win.wq::DOUBLE / 1000000.0 * lam.lamstar)
+           END / win.t::DOUBLE AS rate
+    FROM win CROSS JOIN lam
+    """,
+    "Floor-guaranteed water-filling allocation (the dual of x97's "
+    "caps): every source is guaranteed min(500, t) tokens — a rare "
+    "language survives the power-law mix — then the remaining budget "
+    "water-fills residual capacity ∝ sqrt(t); infeasible floors scale "
+    "proportionally in one CASE branch; same exact-integer closed "
+    "form, allocations telescope to min(B, Σt)",
+)
+def x101_water_fill_floors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.sampling import water_fill_floors
+
+    d = load(spark, sf_dir, "documents")
+    return water_fill_floors(
+        d, source_col="source", budget_tokens=100_000, floor_tokens=500,
+        alpha=0.5,
+    )

@@ -152,6 +152,7 @@ def test_no_cartesian_products(all_plans):
         # |sources|-row rate table — same scalar pattern.
         "x85_water_fill_budget",
         "x97_water_fill_epochs",
+        "x101_water_fill_floors",
         # 1-row grand-totals scalar crossJoin(broadcast) into the
         # union-vocab term table — same scalar pattern.
         "x90_js_divergence",
@@ -201,6 +202,10 @@ _BOUNDED_WINDOW_ENVELOPES = {
     # epoch-capped variant: same 3 exact prefix/total specs over the
     # |sources|-row counts table.
     "x97_water_fill_epochs": ("sum(_wf", 3),
+    # floor-guaranteed variant: the prefix/total specs plus the
+    # floor-feasibility total — 5 specs over the |sources|-row table
+    # (Spark keeps the two all-rows totals as separate specs).
+    "x101_water_fill_floors": ("sum(_wf", 5),
     # temperature_mix: same rebalance shape — the min runs over the
     # |sources|-row counts table (functions/sampling.py temperature_mix).
     "x58_temperature_mix": ("min(_w0", 1),

@@ -476,3 +476,86 @@ def test_cap_tokens_per_group_strict_prefix_and_nesting(spark):
         df.repartition(7), "g", "doc_id", max_tokens=50).collect()}
     base = {r["doc_id"] for r in out.collect()}
     assert again == base
+
+
+def _brute_force_floors(caps: dict, budget: float, floor: int, alpha: float):
+    """Iterative reference for floor-guaranteed water-filling."""
+    fl = {s: min(floor, t) for s, t in caps.items()}
+    feas = sum(fl.values())
+    if budget <= feas:
+        return {s: fl[s] * budget / feas for s in caps}
+    b = budget - feas
+    active = {s: caps[s] - fl[s] for s in caps if caps[s] - fl[s] > 0}
+    alloc = {s: float(fl[s]) for s in caps}
+    lam = 0.0
+    while active:
+        W = sum(caps[s] ** alpha for s in active)
+        lam = b / W
+        newly = {s: c for s, c in active.items()
+                 if caps[s] ** alpha * lam >= c}
+        if not newly:
+            break
+        for s, c in newly.items():
+            alloc[s] += c
+            b -= c
+            del active[s]
+    for s in active:
+        alloc[s] += caps[s] ** alpha * lam
+    return alloc
+
+
+def test_water_fill_floors_matches_iterative_reference(spark):
+    """Closed form == iterative fixpoint across feasible and
+    infeasible budgets; floors honored; allocations telescope to
+    min(budget, total); rates never exceed 1."""
+    from cryoflow_spark.functions.sampling import water_fill_floors
+
+    caps = {"a": 10, "b": 25, "c": 40000, "d": 900, "e": 3}
+    rows = []
+    did = 0
+    for s, t in caps.items():
+        for _ in range(t):
+            rows.append((did, s, "w"))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    floor = 20
+    for budget in (30, 78, 500, 5_000, 20_000, 100_000):
+        got = {r["source"]: r for r in water_fill_floors(
+            df, "source", budget, floor_tokens=floor).collect()}
+        want = _brute_force_floors(caps, float(budget), floor, 0.5)
+        for s in caps:
+            assert abs(got[s]["allocated_tokens"] - want[s]) \
+                <= max(1e-6, 1e-5 * want[s]), (budget, s, got[s], want[s])
+            assert got[s]["guaranteed_tokens"] == min(floor, caps[s])
+            assert got[s]["rate"] <= 1.0 + 1e-12
+        total = sum(got[s]["allocated_tokens"] for s in caps)
+        assert abs(total - min(budget, sum(caps.values()))) < 1e-6
+        feas = sum(min(floor, t) for t in caps.values())
+        if budget > feas:
+            for s in caps:  # guarantees hold with water to fill
+                assert got[s]["allocated_tokens"] \
+                    >= min(floor, caps[s]) - 1e-9
+
+
+def test_water_fill_floors_rescues_starved_source(spark):
+    """The motivating case: a tiny source the power law would starve
+    gets its guarantee; without floors it gets less."""
+    from cryoflow_spark.functions.sampling import (
+        water_fill_epochs,
+        water_fill_floors,
+    )
+
+    rows = ([(i, "big", "a b c d e f g h i j") for i in range(5000)]
+            + [(10_000 + i, "rare", "k l m") for i in range(4)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in water_fill_floors(
+        df, "source", budget_tokens=1000, floor_tokens=12).collect()}
+    assert out["rare"]["allocated_tokens"] >= 12.0 - 1e-9
+    # validation
+    import pytest
+    with pytest.raises(ValueError, match="budget_tokens"):
+        water_fill_floors(df, "source", 0, 10)
+    with pytest.raises(ValueError, match="floor_tokens"):
+        water_fill_floors(df, "source", 100, -1)
+    with pytest.raises(ValueError, match="alpha"):
+        water_fill_floors(df, "source", 100, 10, alpha=-1.0)

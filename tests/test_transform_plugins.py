@@ -485,6 +485,28 @@ class TestSamplePlugin:
         assert {r["doc_id"] for r in out.collect()} == exp
         assert out.filter(out.source == "tiny").count() == 5  # saturated
 
+    def test_water_fill_floors_matches_library(self, spark):
+        from cryoflow_spark.functions import sampling as S
+        from cryoflow_spark.plugins.transform import SamplePlugin
+
+        rows = [(i, "tiny" if i < 5 else "huge", "a b c d e")
+                for i in range(105)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        out = _run(
+            SamplePlugin({
+                "method": "water_fill_floors", "key_column": "doc_id",
+                "source_column": "source", "budget_tokens": 300,
+                "floor_tokens": 20,
+            }),
+            df,
+        )
+        got = {(r["source"], r["allocated_tokens"]) for r in out.collect()}
+        exp = {(r["source"], r["allocated_tokens"]) for r in
+               S.water_fill_floors(df, "source", 300, 20).collect()}
+        assert got == exp
+
     def test_stratified_and_rebalance(self, docs):
         from cryoflow_spark.plugins.transform import SamplePlugin
 
