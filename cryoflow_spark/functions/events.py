@@ -67,10 +67,37 @@ def conversion_funnel(
         raise ValueError("need at least 2 funnel steps")
     if horizon_seconds <= 0:
         raise ValueError("horizon_seconds must be positive")
-    us = F.unix_micros(F.col(ts_col))
-    horizon_us = int(horizon_seconds) * 1_000_000
+    per_user = funnel_user_times(
+        events, steps, user_col=user_col, ts_col=ts_col, type_col=type_col
+    )
+    return funnel_report_from_times(
+        per_user, steps,
+        horizon_seconds=horizon_seconds, with_latency=with_latency,
+    )
 
-    per_user = (
+
+def funnel_user_times(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """The funnel's MERGEABLE per-user state: one row per user with a
+    SORTED array of event times (exact integer microseconds) per step
+    type — ``(__u, __ts0, ..., __tsN)``. This is both the first stage
+    of :func:`conversion_funnel` and its streaming partial form: two
+    state tables for disjoint event slices merge associatively with
+    :func:`funnel_times_merge` (concatenate + resort), so per-batch
+    partials reconstruct the full-corpus state exactly.
+
+    Scale: ``type IN steps`` prunes at the scan; ONE user-keyed
+    aggregation whose buffers hold only each user's own funnel-type
+    event times (the sessionization locality contract).
+    """
+    steps = list(steps)
+    us = F.unix_micros(F.col(ts_col))
+    return (
         events.filter(F.col(type_col).isin(steps))
         .select(F.col(user_col).alias("__u"), F.col(type_col), us.alias("__e"))
         .groupBy("__u")
@@ -85,6 +112,45 @@ def conversion_funnel(
             ]
         )
     )
+
+
+def funnel_times_merge(partials: DataFrame, n_steps: int) -> DataFrame:
+    """Merge per-user funnel state tables (:func:`funnel_user_times`
+    outputs over disjoint event slices, e.g. streaming micro-batch
+    partials) into the state of their union: per user, each step's
+    time arrays concatenate and resort — associative and commutative,
+    so batch boundaries and arrival order cannot change the result.
+
+    Scale: one user-keyed aggregation over |active users| x |batches|
+    partial rows (never raw events); buffers hold each user's own
+    funnel event times, exactly like the single-pass builder.
+    """
+    return partials.groupBy("__u").agg(
+        *[
+            F.array_sort(F.flatten(F.collect_list(F.col(f"__ts{i}"))))
+            .alias(f"__ts{i}")
+            for i in range(n_steps)
+        ]
+    )
+
+
+def funnel_report_from_times(
+    per_user: DataFrame,
+    steps: Sequence[str],
+    horizon_seconds: int = 7 * 24 * 3600,
+    with_latency: bool = False,
+) -> DataFrame:
+    """Stage recursion + report shaping over a per-user funnel state
+    table (:func:`funnel_user_times` / :func:`funnel_times_merge`
+    output) — the second half of :func:`conversion_funnel`, exposed so
+    the streaming twin finalizes from merged partials bit-identically.
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("need at least 2 funnel steps")
+    if horizon_seconds <= 0:
+        raise ValueError("horizon_seconds must be positive")
+    horizon_us = int(horizon_seconds) * 1_000_000
     # Stage recursion as pure column expressions over the arrays.
     # NB: the lambda must be unary — PySpark reads a second parameter
     # as the (element, index) binary form — so bind `prev` via a real

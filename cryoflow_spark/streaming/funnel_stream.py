@@ -1,0 +1,119 @@
+"""Streaming conversion funnel — the live product-analytics dashboard,
+the foreachBatch twin of the batch operators x80/x95.
+
+The funnel is not a slice-count report: a user's journey can straddle
+micro-batches (step 1 in Monday's batch, step 2 on Wednesday), so the
+mergeable partial is the funnel's PER-USER STATE — one row per active
+user per batch with a sorted time array per step type
+(:func:`cryoflow_spark.functions.events.funnel_user_times`). Array
+concatenation + resort is associative and commutative, so:
+
+- each micro-batch writes its per-user state to
+  ``<output>/partials/batch_id=N`` in OVERWRITE mode — a replayed batch
+  (failure/retry re-delivers the same batch_id) rewrites the same
+  directory instead of double-counting events (the idempotent-sink
+  contract of foreachBatch);
+- the current funnel report is obtained by merging all partial state
+  tables (:func:`funnel_times_merge`) and running the SAME stage
+  recursion + 1-row aggregation the batch twin runs
+  (:func:`funnel_report_from_times`) — bit-identical to
+  ``conversion_funnel`` over every event ingested so far (conversion
+  times are minima, so batch boundaries cannot change them).
+
+Scale: per batch, one user-keyed aggregation whose buffers hold only
+that batch's per-user funnel-type event times, and a parquet write of
+|active users in batch| rows. The finalize step reads only partial
+STATE tables, never raw events; its cost grows with batches x active
+users — compact periodically by replacing the partial directories with
+one merged state table (``funnel_times_merge`` output is itself valid
+partial input, closed under merge).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from cryoflow_spark.streaming.report_stream import _start
+
+
+def _write_funnel_partials(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    steps: Sequence[str],
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+) -> None:
+    """Per-batch idempotent per-user-state write (module-level so the
+    replay property is directly testable)."""
+    from cryoflow_spark.functions.events import funnel_user_times
+
+    funnel_user_times(
+        batch_df, steps, user_col=user_col, ts_col=ts_col,
+        type_col=type_col,
+    ).write.mode("overwrite").parquet(
+        f"{output_path}/partials/batch_id={batch_id}"
+    )
+
+
+def conversion_funnel_stream(
+    stream_df: DataFrame,
+    output_path: str,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    checkpoint_path: Optional[str] = None,
+    trigger: str = "available_now",
+) -> StreamingQuery:
+    """Maintain the x80 conversion funnel over a live event stream.
+
+    Read the current report at any time with
+    :func:`finalize_conversion_funnel` — equal to the batch
+    ``conversion_funnel`` over everything ingested so far (pass
+    ``with_latency=True`` there for the x95 latency columns; latency
+    needs no extra streaming state, it derives from the same per-user
+    times).
+    """
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("need at least 2 funnel steps")
+    checkpoint = checkpoint_path or f"{output_path}/_checkpoint"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _write_funnel_partials(
+            batch_df, batch_id, output_path, steps, user_col, ts_col,
+            type_col,
+        )
+
+    return _start(stream_df, _process, checkpoint, trigger)
+
+
+def finalize_conversion_funnel(
+    spark: SparkSession,
+    output_path: str,
+    steps: Sequence[str],
+    horizon_seconds: int = 7 * 24 * 3600,
+    with_latency: bool = False,
+) -> DataFrame:
+    """Merge all written per-user state partials into the current
+    funnel report — bit-identical to the batch twin on the ingested
+    union."""
+    from cryoflow_spark.functions.events import (
+        funnel_report_from_times,
+        funnel_times_merge,
+    )
+
+    steps = list(steps)
+    partials = spark.read.parquet(f"{output_path}/partials/batch_id=*")
+    merged = funnel_times_merge(partials, len(steps))
+    return funnel_report_from_times(
+        merged, steps,
+        horizon_seconds=horizon_seconds, with_latency=with_latency,
+    )

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from cryoflow_spark.core.pipeline import run_dry_run_pipeline, run_pipeline
 from cryoflow_spark.core.result import is_successful
@@ -612,3 +613,77 @@ def test_report_streams_reject_invalid_trigger(spark, tmp_path):
     ).parquet(str(src))
     with pytest.raises(ValueError, match="invalid trigger"):
         corpus_report_stream(stream, str(tmp_path / "o"), trigger="hourly")
+
+
+def test_conversion_funnel_stream_matches_batch_twin(spark, tmp_path):
+    """x80/x95 streaming twin: the finalized funnel over all
+    micro-batches is bit-identical to the batch conversion_funnel on
+    the full event log — even though user journeys STRADDLE batches
+    (the split below puts early events and late events in different
+    files) — and a replayed batch does not double-count."""
+    from cryoflow_spark.functions.events import conversion_funnel
+    from cryoflow_spark.queries import load_events
+    from cryoflow_spark.streaming.funnel_stream import (
+        _write_funnel_partials,
+        conversion_funnel_stream,
+        finalize_conversion_funnel,
+    )
+
+    steps = ["view", "click", "purchase"]
+    full = load_events(spark, "/root/testdata/sf0.001")
+    src = tmp_path / "events"
+    src.mkdir()
+    # split by TIME, not user: journeys straddle the two batches
+    mid = full.select(
+        F.percentile(F.unix_micros("ts"), 0.5).alias("m")
+    ).collect()[0]["m"]
+    full.filter(F.unix_micros("ts") <= mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "a"))
+    full.filter(F.unix_micros("ts") > mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b"))
+    stream = spark.readStream.schema(full.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = tmp_path / "funnel"
+    q = conversion_funnel_stream(stream, str(out), steps)
+    q.awaitTermination(120)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got = canon(finalize_conversion_funnel(spark, str(out), steps))
+    want = canon(conversion_funnel(full, steps))
+    assert got == want
+    # the x95 latency columns derive from the same state, no re-ingest
+    got_lat = canon(finalize_conversion_funnel(
+        spark, str(out), steps, with_latency=True))
+    want_lat = canon(conversion_funnel(full, steps, with_latency=True))
+    assert got_lat == want_lat
+    # replay idempotence on the per-batch writer (same id + content 2x)
+    out2 = tmp_path / "funnel2"
+    a = spark.read.parquet(str(src / "a"))
+    b = spark.read.parquet(str(src / "b"))
+    for batch_id, batch in ((0, a), (1, b), (0, a)):  # 0 replayed
+        _write_funnel_partials(
+            batch, batch_id, str(out2), steps, "user_id", "ts",
+            "event_type",
+        )
+    assert canon(finalize_conversion_funnel(spark, str(out2), steps)) \
+        == want
+
+
+def test_conversion_funnel_stream_validates_inputs(spark):
+    from cryoflow_spark.streaming.funnel_stream import (
+        conversion_funnel_stream,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "view")], "user_id long, event_type string"
+    )
+    with pytest.raises(ValueError, match="streaming"):
+        conversion_funnel_stream(batch, "/tmp/nowhere", ["view", "click"])
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="steps"):
+        conversion_funnel_stream(stream, "/tmp/nowhere", ["view"])
