@@ -1215,3 +1215,136 @@ def pq_adc_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: "np.ndarray | list[list[float]]",
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 3,
+    query_id_col: str | None = None,
+    assign_mode: str = "vectorized",
+    encode_mode: str = "vectorized",
+    corpus_cell_col: str | None = None,
+    corpus_code_col: str | None = None,
+) -> DataFrame:
+    """The composed Faiss IVF-PQ layout (Jégou et al. 2011 §V) from the
+    two storable index columns: the coarse quantizer restricts each
+    query to its ``nprobe`` nearest IVF cells (an EQUI-JOIN on cell id
+    — sublinear candidate generation, unlike :func:`pq_adc_topk`'s
+    deliberate linear scan), and candidates are scored by PQ asymmetric
+    distance over their m-int codes — the corpus' raw vectors are never
+    touched at search time when both ``corpus_cell_col`` and
+    ``corpus_code_col`` are precomputed (written once at ingest via
+    :func:`with_ivf_cell` / :func:`with_pq_codes`).
+
+    Output: (query_id, neighbor_id, approx_dist, rank) — ascending
+    approximate squared L2 with neighbor-id tiebreak. For unit-norm
+    vectors ascending L2 equals descending cosine, so recall is
+    measured against :func:`cosine_topk` exactly as for the other ANN
+    paths.
+
+    Scale: query side = nprobe rows each carrying an (m × ksub) LUT;
+    the join shuffles on cell id only (never a cross product); the
+    fact side ships (id, cell, codes) — tens of bytes per vector.
+    Deterministic: fixed centroids/codebooks → same cells, codes, LUT
+    and fold order on every engine (``assign_mode="fold"`` +
+    ``encode_mode="fold"`` is the oracle-checkable spelling).
+    """
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    qid = query_id_col or id_col
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    # corpus side: (id, cell, codes) — both columns persistable.
+    c = corpus
+    if corpus_cell_col is None:
+        c = with_ivf_cell(c, cents, vec_col=vec_col, cell_col="__cell",
+                          assign_mode=assign_mode)
+        cell_col = "__cell"
+    else:
+        cell_col = corpus_cell_col
+    if corpus_code_col is None:
+        c = with_pq_codes(c, codebooks, vec_col=vec_col,
+                          code_col="__codes", encode_mode=encode_mode)
+        code_col = "__codes"
+    else:
+        code_col = corpus_code_col
+    c = c.select(
+        F.col(id_col).alias("__nid"),
+        F.col(cell_col).alias("__qcell"),
+        F.col(code_col).alias("__codes"),
+    ).filter(F.col("__codes").isNotNull() & F.col("__qcell").isNotNull())
+
+    # query side: nprobe nearest cells + the ADC lookup table.
+    if assign_mode == "fold":
+        structs = [
+            F.struct(
+                (-dot(F.col(vec_col),
+                      F.array(*[F.lit(float(x)) for x in cvec]))).alias("s"),
+                F.lit(j).alias("i"),
+            )
+            for j, cvec in enumerate(cents.tolist())
+        ]
+        probe_cells = F.transform(
+            F.slice(F.sort_array(F.array(*structs)), 1, nprobe),
+            lambda s: s["i"],
+        )
+    elif assign_mode == "vectorized":
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        @pandas_udf("array<int>")
+        def _probe_udf(vecs: pd.Series) -> pd.Series:
+            out = []
+            for v in vecs:
+                x = np.asarray(v, dtype=np.float64)
+                n = np.linalg.norm(x)
+                sims = (cents @ x) / max(n, 1e-12)
+                top = np.argsort(-sims, kind="stable")[:nprobe]
+                out.append([int(j) for j in top])
+            return pd.Series(out)
+
+        probe_cells = _probe_udf(F.col(vec_col))
+    else:
+        raise ValueError(f"invalid assign_mode '{assign_mode}'")
+    lut = F.array(*[
+        F.array(*[
+            _pq_subdist(vec_col, j * dsub, codebooks[j][c_])
+            for c_ in range(ksub)
+        ])
+        for j in range(m)
+    ])
+    q = queries.select(
+        F.col(qid).alias("__qid"),
+        lut.alias("__lut"),
+        F.explode(probe_cells).alias("__qcell"),
+    )
+
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__lut"),
+            F.col("__codes"),
+            lambda l, cc: F.element_at(l, cc + F.lit(1)),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        q.join(c, "__qcell")
+        .filter(F.col("__qid") != F.col("__nid"))
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__nid").alias("neighbor_id"),
+            dist.alias("approx_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -4842,3 +4842,101 @@ def x101_water_fill_floors(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, source_col="source", budget_tokens=100_000, floor_tokens=500,
         alpha=0.5,
     )
+
+
+# --- x102: composed IVF-PQ top-k (oracle-checked) ---------------------------
+
+
+def _x102_oracle() -> str:
+    """DuckDB replica of the composed IVF-PQ layout: x23's fixed-centroid
+    assign/probe plus x100's encode/LUT/ADC, joined on cell id."""
+    m, ksub = len(_X100_BOOKS), len(_X100_BOOKS[0])
+    dsub = len(_X100_BOOKS[0][0])
+
+    def fold_dot(vec: str, lits: list[float]) -> str:
+        vals = ", ".join(f"{x:.17e}" for x in lits)
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"[{vec}[i]::DOUBLE * (list_value({vals}))[i] "
+            f"for i in generate_series(1, 64)]), (acc, x) -> acc + x)"
+        )
+
+    def sub_l2(j: int, codeword: list[float]) -> str:
+        vals = ", ".join(f"{x:.17e}" for x in codeword)
+        off = j * dsub
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"[((embedding[{off} + i]::DOUBLE - (list_value({vals}))[i])"
+            f" * (embedding[{off} + i]::DOUBLE - (list_value({vals}))[i]))"
+            f" for i in generate_series(1, {dsub})]), (acc, x) -> acc + x)"
+        )
+
+    cent_structs = ", ".join(
+        f"{{'s': -({fold_dot('embedding', cvec)}), 'i': {j}}}"
+        for j, cvec in enumerate(_X23_CENTROIDS)
+    )
+    codes = ", ".join(
+        "list_sort(list_value("
+        + ", ".join(
+            f"{{'s': {sub_l2(j, _X100_BOOKS[j][c])}, 'i': {c}}}"
+            for c in range(ksub)
+        )
+        + "))[1].i"
+        for j in range(m)
+    )
+    lut = ", ".join(
+        "list_value("
+        + ", ".join(sub_l2(j, _X100_BOOKS[j][c]) for c in range(ksub))
+        + ")"
+        for j in range(m)
+    )
+    dist = (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"[a.lut[j][b.codes[j] + 1] for j in generate_series(1, {m})]), "
+        f"(acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT vec_id, embedding,
+             list_sort(list_value({cent_structs})) AS r
+      FROM embeddings
+    ),
+    corp AS (
+      SELECT vec_id, r[1].i AS cell, list_value({codes}) AS codes
+      FROM ranked
+    ),
+    luts AS (
+      SELECT vec_id,
+             unnest(list_transform(r[1:3], x -> x.i)) AS cell,
+             list_value({lut}) AS lut
+      FROM ranked WHERE vec_id % 100 = 0
+    )
+    SELECT query_id, neighbor_id, approx_dist, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {dist} AS approx_dist,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {dist} ASC, b.vec_id
+             ) AS INTEGER) AS rank
+      FROM luts a JOIN corp b ON a.cell = b.cell AND a.vec_id != b.vec_id
+    ) WHERE rank <= 5
+    """
+
+
+@register(
+    "x102_ivf_pq_topk",
+    _x102_oracle(),
+    "Composed Faiss IVF-PQ layout from the two storable index columns: "
+    "coarse quantizer restricts each query to nprobe cells (an "
+    "equi-join on cell id — sublinear candidate generation), "
+    "candidates scored by PQ asymmetric distance over m-int codes — "
+    "raw corpus vectors untouched at search time; fixed seeded "
+    "centroids + codebooks pin every stage bit-identical",
+)
+def x102_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return S.ivf_pq_topk(
+        e, queries, _X23_CENTROIDS, _X100_BOOKS, k=5, nprobe=3,
+        assign_mode="fold", encode_mode="fold",
+    )

@@ -2870,6 +2870,53 @@ class TestProductQuantization:
         )
         assert pre == base
 
+    def test_ivf_pq_composed_precomputed_and_subset(self, spark):
+        """IVF-PQ: precomputed (cell, codes) columns give the identical
+        result to inline assign+encode, and every scored candidate is a
+        same-cell pair whose distance matches the pure-ADC scan's for
+        that pair (the IVF stage only prunes, never rescores)."""
+        from cryoflow_spark.functions.similarity import (
+            fixed_random_centroids,
+            ivf_pq_topk,
+            pq_adc_topk,
+            pq_codebooks,
+            with_ivf_cell,
+            with_pq_codes,
+        )
+
+        cents = fixed_random_centroids(dim=8, n_centroids=4, seed=3)
+        books = pq_codebooks(8, m=4, ksub=4, seed=3)
+        df = self._toy(spark)
+        q = df.filter(F.col("vec_id") % 20 == 0)
+
+        def key(rows):
+            return sorted(
+                (r["query_id"], r["rank"], r["neighbor_id"],
+                 r["approx_dist"])
+                for r in rows
+            )
+
+        base = key(ivf_pq_topk(
+            df, q, cents, books, k=3, nprobe=2,
+            assign_mode="fold", encode_mode="fold",
+        ).collect())
+        idx = with_ivf_cell(df, cents, assign_mode="fold",
+                            cell_col="ivf_cell")
+        idx = with_pq_codes(idx, books, encode_mode="fold",
+                            code_col="pq_codes")
+        pre = key(ivf_pq_topk(
+            idx, q, cents, books, k=3, nprobe=2, assign_mode="fold",
+            corpus_cell_col="ivf_cell", corpus_code_col="pq_codes",
+        ).collect())
+        assert pre == base and len(base) > 0
+        # distances agree pairwise with the exhaustive ADC scan
+        full = {(r["query_id"], r["neighbor_id"]): r["approx_dist"]
+                for r in pq_adc_topk(
+                    df, q, books, k=len(df.collect()),
+                    encode_mode="fold").collect()}
+        for qid, _, nid, d in base:
+            assert abs(full[(qid, nid)] - d) < 1e-12
+
     def test_trained_codebooks_determinism_and_validation(self, spark):
         import pytest
 
