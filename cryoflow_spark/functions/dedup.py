@@ -1211,3 +1211,135 @@ def cluster_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__comp", "component")
     )
+
+
+def minhash_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    hash_mode: str = "engine",
+) -> DataFrame:
+    """Quality audit of the MinHash-LSH ESTIMATE pipeline against exact
+    shingle-set Jaccard ground truth — the dedup analogue of
+    :func:`~cryoflow_spark.functions.similarity.recall_at_k`: search
+    quality as a first-class dataset, so a bad band split, too few
+    hashes, or an over-tight threshold surfaces in recorded artifacts,
+    not just anecdotes.
+
+    Predicted pairs: the exact pipeline :func:`minhash_dedup` uses to
+    LINK near-duplicates (banded candidates, signature-agreement
+    estimate >= threshold). True pairs: exact Jaccard >= threshold on
+    the SAME shingle sets, computed by inverted-index counting (one
+    shingle-keyed self-join with the pigeonhole size bound — never an
+    all-pairs scan; the :func:`ngram_jaccard_pairs` "count" strategy
+    applied to character shingles). Both sides therefore measure the
+    same similarity on the same sets — the audit isolates exactly the
+    LSH banding + estimation error.
+
+    Output (ONE row):
+    ``n_predicted, n_true, n_hit, precision, recall, f1`` —
+    ``precision = hit/predicted`` (how many linked pairs are real),
+    ``recall = hit/true`` (how many real pairs the bands + estimate
+    caught; misses come from band non-collision AND estimate
+    fluctuation), zeros divide to NULL. Integer counts + exact double
+    divides: bit-identical across engines in portable hash mode.
+
+    Scale: the predicted side is the production band join; the truth
+    side is the inverted-index join whose cost is the audit's price —
+    run it on a sampled or blocked slice at 100 TB (the estimate's
+    std-err ≈ sqrt(t(1-t)/num_hashes) is corpus-independent, so a
+    slice-level audit generalizes).
+    """
+    if hash_mode not in ("engine", "portable"):
+        raise ValueError(f"invalid hash_mode '{hash_mode}'")
+    portable = hash_mode == "portable"
+    with_sig = _with_minhash_signature(
+        df, text_col, num_hashes, shingle_size, portable
+    )
+    sigs = with_sig.select(F.col(id_col), F.col("__sig"))
+    candidates = _lsh_candidate_pairs(
+        sigs, id_col, "__sig", num_hashes, bands,
+        portable=portable, carry_sig=True,
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    pred = (
+        candidates.withColumn("__est", agree / F.lit(num_hashes))
+        .filter(F.col("__est") >= threshold)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sized = with_sig.select(
+        F.col(id_col),
+        F.col("__shingles"),
+        F.size("__shingles").alias("__n"),
+    )
+    inv = sized.select(
+        F.col(id_col), "__n", F.explode("__shingles").alias("__g")
+    )
+    a = inv.alias("a")
+    b = inv.hint("shuffle_hash").alias("b")
+    truth = (
+        a.join(
+            b,
+            (F.col("a.__g") == F.col("b.__g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # Jaccard >= t forces t*max(|A|,|B|) <= min(|A|,|B|).
+            & (
+                F.lit(threshold)
+                * F.greatest(F.col("a.__n"), F.col("b.__n"))
+                <= F.least(F.col("a.__n"), F.col("b.__n"))
+            ),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .filter(
+            F.col("__shared").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__shared"))
+            .cast("double")
+            >= F.lit(float(threshold))
+        )
+        .select("id_a", "id_b")
+    )
+
+    n_pred = pred.agg(F.count(F.lit(1)).cast("bigint").alias("n_predicted"))
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    n_hit = pred.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    stats = n_pred.crossJoin(F.broadcast(n_true)).crossJoin(
+        F.broadcast(n_hit)
+    )
+    p = F.when(
+        F.col("n_predicted") > 0,
+        F.col("n_hit").cast("double") / F.col("n_predicted").cast("double"),
+    )
+    r = F.when(
+        F.col("n_true") > 0,
+        F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
+    )
+    return stats.select(
+        "n_predicted",
+        "n_true",
+        "n_hit",
+        p.alias("precision"),
+        r.alias("recall"),
+        F.when(
+            p.isNotNull() & r.isNotNull() & ((p + r) > 0),
+            F.lit(2.0) * p * r / (p + r),
+        ).alias("f1"),
+    )

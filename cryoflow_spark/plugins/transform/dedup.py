@@ -36,6 +36,10 @@ Engine extension for large-scale training-data pipelines (BASELINE.json
   INVENTORY ``(span_hash, n_docs, n_occurrences, example_ids)`` — the
   exact-substring-dedup diagnostic (options ``span_tokens``, ``stride``,
   ``min_docs``, ``max_examples``).
+- ``minhash_audit``: replace the stream with the ONE-row
+  precision/recall/F1 audit of the MinHash estimate pipeline against
+  exact shingle-set Jaccard ground truth (same knobs as ``minhash``) —
+  record it alongside the dedup run as a quality artifact.
 - ``ngram_jaccard_pairs``: emit the near-dup EDGE LIST ``(id_a, id_b)``
   instead of removing rows — feeds cluster-aware consumers (the
   ``sample`` plugin's ``leakage_safe`` split, offline cluster audits);
@@ -138,6 +142,17 @@ class DedupPlugin(SiblingAwareTransformPlugin):
                 threshold=float(self.options.get("threshold", 0.8)),
                 block_by=self.options.get("block_by"),
                 method=self.options.get("method_strategy", "count"),
+            )
+        if method == "minhash_audit":
+            return D.minhash_audit(
+                data,
+                text_col=column,
+                id_col=id_column,
+                num_hashes=int(self.options.get("num_hashes", 64)),
+                bands=int(self.options.get("bands", 16)),
+                shingle_size=int(self.options.get("shingle_size", 3)),
+                threshold=float(self.options.get("threshold", 0.8)),
+                hash_mode=self.options.get("hash_mode", "engine"),
             )
         if method == "duplicate_spans":
             from cryoflow_spark.functions.curation import duplicate_spans

@@ -4940,3 +4940,101 @@ def x102_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, queries, _X23_CENTROIDS, _X100_BOOKS, k=5, nprobe=3,
         assign_mode="fold", encode_mode="fold",
     )
+
+
+# --- x103: MinHash-LSH quality audit (oracle-checked) -----------------------
+
+
+def _x103_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """DuckDB replica of the MinHash audit: the x15 predicted-pair
+    pipeline (portable hashes, band join, estimate verify) joined
+    against exact shingle-set Jaccard ground truth."""
+    p = 2147483647
+    rpb = num_hashes // bands
+    mins = ", ".join(
+        f"list_min(list_transform(h, x -> ({a}*x + {b}) % {p}))"
+        for a, b in D._minhash_coeffs(num_hashes, 42)
+    )
+    prec = "n_hit::DOUBLE / n_predicted::DOUBLE"
+    rec = "n_hit::DOUBLE / n_true::DOUBLE"
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([substring(text, i, 4)
+               for i in generate_series(1, greatest(length(text) - 3, 1))]) AS s
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(s, x ->
+               CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % {p}) AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, list_value({mins}) AS sg
+      FROM hs
+      WHERE len(h) > 0
+    ),
+    banded AS (
+      SELECT doc_id, j, sg[({rpb}*j+1):({rpb}*j+{rpb})] AS band
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    pred AS (
+      SELECT cand.id_a, cand.id_b
+      FROM cand
+      JOIN sig sa ON sa.doc_id = cand.id_a
+      JOIN sig sb ON sb.doc_id = cand.id_b
+      WHERE len(list_filter([sa.sg[i] = sb.sg[i]
+                             for i in generate_series(1, {num_hashes})],
+                            x -> x)) / {num_hashes}.0
+            >= 0.5
+    ),
+    inv AS (
+      SELECT sh.doc_id, unnest(sh.s) AS g, len(sh.s) AS n
+      FROM sh JOIN sig ON sig.doc_id = sh.doc_id
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv a JOIN inv b
+        ON a.g = b.g AND a.doc_id < b.doc_id
+        AND 0.5 * greatest(a.n, b.n) <= least(a.n, b.n)
+      GROUP BY a.doc_id, b.doc_id, a.n, b.n
+      HAVING COUNT(*)::DOUBLE / (a.n + b.n - COUNT(*))::DOUBLE >= 0.5
+    ),
+    np AS (SELECT COUNT(*)::BIGINT AS n_predicted FROM pred),
+    nt AS (SELECT COUNT(*)::BIGINT AS n_true FROM truth),
+    nh AS (SELECT COUNT(*)::BIGINT AS n_hit
+           FROM pred JOIN truth USING (id_a, id_b))
+    SELECT n_predicted, n_true, n_hit,
+           CASE WHEN n_predicted > 0 THEN {prec} END AS "precision",
+           CASE WHEN n_true > 0 THEN {rec} END AS recall,
+           CASE WHEN n_predicted > 0 AND n_true > 0
+                     AND ({prec} + {rec}) > 0
+                THEN 2.0 * ({prec}) * ({rec}) / (({prec}) + ({rec}))
+           END AS f1
+    FROM np CROSS JOIN nt CROSS JOIN nh
+    """
+
+
+@register(
+    "x103_minhash_audit",
+    _x103_oracle(),
+    "MinHash-LSH quality audit — the dedup analogue of x41's ANN "
+    "recall: the production band-join + estimate pipeline scored "
+    "against exact shingle-set Jaccard ground truth (inverted-index "
+    "count with the pigeonhole size bound, never all-pairs); one row "
+    "of precision/recall/F1 isolating exactly the banding + "
+    "estimation error, recorded as a first-class artifact",
+)
+def x103_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.minhash_audit(
+        d, text_col="text", id_col="doc_id", num_hashes=32, bands=8,
+        shingle_size=4, threshold=0.5, hash_mode="portable",
+    )

@@ -4151,3 +4151,50 @@ class TestDomainFilter:
                           allowed_domains=["b.com"])
         with pytest.raises(ValueError, match="non-empty"):
             domain_filter(df, "url", blocked_domains=[])
+
+
+class TestMinhashAudit:
+    def test_confusion_counts_on_planted_duplicates(self, spark):
+        """Planted near-identical pairs must be true AND predicted
+        (recall on them), unrelated docs must be neither; counts and
+        ratios agree with a hand-built ground truth."""
+        from cryoflow_spark.functions.dedup import minhash_audit
+
+        base = ("the quick brown fox jumps over the lazy dog while "
+                "seventeen ships sail the winter sea toward harbor")
+        rows = []
+        for i in range(6):  # 6 near-identical docs: C(6,2)=15 true pairs
+            rows.append((i, base + f" tail{i}"))
+        import random
+        rng = random.Random(5)
+        letters = "abcdefghijklmnopqrstuvwxyz"
+        for i in range(20, 30):  # unrelated singletons: random strings
+            rows.append((i, "".join(rng.choice(letters) for _ in range(90))))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        row = minhash_audit(
+            df, num_hashes=32, bands=8, shingle_size=4, threshold=0.5,
+            hash_mode="portable",
+        ).collect()[0]
+        assert row["n_true"] == 15
+        assert row["n_hit"] == 15  # near-identical: estimate can't miss
+        assert row["recall"] == 1.0
+        assert row["n_predicted"] >= 15
+        assert 0.0 < row["precision"] <= 1.0
+        p, r = row["precision"], row["recall"]
+        assert abs(row["f1"] - 2 * p * r / (p + r)) < 1e-12
+
+    def test_empty_corpus_yields_null_ratios(self, spark):
+        from cryoflow_spark.functions.dedup import minhash_audit
+
+        df = spark.createDataFrame(
+            [(1, "only one document here nothing to pair")],
+            "doc_id long, text string",
+        )
+        row = minhash_audit(df, hash_mode="portable").collect()[0]
+        assert (row["n_predicted"], row["n_true"], row["n_hit"]) == (0, 0, 0)
+        assert row["precision"] is None
+        assert row["recall"] is None
+        assert row["f1"] is None
+        import pytest
+        with pytest.raises(ValueError, match="hash_mode"):
+            minhash_audit(df, hash_mode="nope")

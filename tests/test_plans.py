@@ -158,6 +158,9 @@ def test_no_cartesian_products(all_plans):
         "x90_js_divergence",
         # three 1-row count scalars cross-joined together — all scalars.
         "x91_snapshot_containment",
+        # three 1-row confusion-count scalars cross-joined — all scalars
+        # (the pair-generating joins themselves are band/gram equi-joins).
+        "x103_minhash_audit",
         # 1-row reference-totals scalar crossJoin(broadcast) into the
         # exploded token stream — same scalar pattern.
         "x96_cross_entropy_score",
