@@ -117,3 +117,25 @@ def finalize_conversion_funnel(
         merged, steps,
         horizon_seconds=horizon_seconds, with_latency=with_latency,
     )
+
+
+def compact_funnel_partials(
+    spark: SparkSession,
+    output_path: str,
+    steps: Sequence[str],
+) -> int:
+    """Compact the funnel's per-batch state directories into one merged
+    per-user state table (|users| rows instead of |active users| ×
+    |batches|) — ``funnel_times_merge`` output is closed under merge,
+    so the compacted directory is valid partial input for both
+    :func:`finalize_conversion_funnel` and later compactions. See
+    :func:`cryoflow_spark.streaming.report_stream.compact_partials`
+    for the crash/replay contract. Returns directories removed.
+    """
+    from cryoflow_spark.functions.events import funnel_times_merge
+    from cryoflow_spark.streaming.report_stream import compact_partials
+
+    n = len(list(steps))
+    return compact_partials(
+        spark, output_path, merge_fn=lambda df: funnel_times_merge(df, n)
+    )

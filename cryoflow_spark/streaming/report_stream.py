@@ -247,3 +247,64 @@ def finalize_psi_drift(
         )
     )
     return psi_from_bin_counts(joined, n_bins)
+
+
+def compact_partials(
+    spark: SparkSession,
+    output_path: str,
+    merge_fn=None,
+) -> int:
+    """Compact a stream's ``partials/batch_id=*`` directories into ONE
+    — the steady-state maintenance every foreachBatch-partials stream
+    needs: finalize cost is dominated by listing/reading thousands of
+    per-batch directories, and every partial family here is CLOSED
+    UNDER MERGE, so the merged table is itself valid partial input.
+
+    ``merge_fn(df) -> df`` optionally re-aggregates the unioned
+    partials into compact partial form (e.g. the funnel's
+    ``funnel_times_merge`` shrinks |users|x|batches| state rows to
+    |users|); without it, rows are rewritten as-is into one directory
+    (the report/checksum/PSI partials are already slice-domain sized —
+    the win there is directory count, not rows).
+
+    Write-then-delete ordering makes a crash leave EXTRA data at worst
+    never missing data — but an interrupted run can leave both the
+    compact dir and the originals, so rerun compaction (idempotent: the
+    union is re-merged) before trusting a finalize after a crash. Call
+    it while the stream is stopped, or only on batches the checkpoint
+    has committed: foreachBatch replays only uncommitted batch ids, and
+    a replay re-creating a DELETED batch directory would double-count
+    rows already folded into the compact.
+
+    Returns the number of directories removed.
+    """
+    glob = f"{output_path}/partials/batch_id=*"
+    merged = spark.read.parquet(glob)
+    if merge_fn is not None:
+        merged = merge_fn(merged)
+
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(f"{output_path}/partials")
+    fs = root.getFileSystem(conf)
+    old = [
+        st.getPath()
+        for st in fs.listStatus(root)
+        if st.isDirectory()
+        and st.getPath().getName().startswith("batch_id=")
+    ]
+    # Pick a compact name not among the existing directories (they are
+    # all about to be deleted; a restarted stream's numeric batch ids
+    # can never collide with the non-numeric name).
+    names = {p.getName() for p in old}
+    n_prior = 0
+    while f"batch_id=compact{n_prior}" in names:
+        n_prior += 1
+    target = f"{output_path}/partials/batch_id=compact{n_prior}"
+    merged.write.mode("overwrite").parquet(target)
+    removed = 0
+    for p in old:
+        fs.delete(p, True)
+        removed += 1
+    return removed

@@ -687,3 +687,61 @@ def test_conversion_funnel_stream_validates_inputs(spark):
     stream = spark.readStream.format("rate").load()
     with pytest.raises(ValueError, match="steps"):
         conversion_funnel_stream(stream, "/tmp/nowhere", ["view"])
+
+
+def test_compact_partials_preserves_finalize_results(spark, tmp_path):
+    """Compaction folds every batch directory into one; finalize is
+    bit-identical before and after, for both the row-rewrite family
+    (corpus report) and the merge family (funnel); compaction is
+    idempotent and re-compaction safe."""
+    from cryoflow_spark.functions.events import conversion_funnel
+    from cryoflow_spark.functions.profiling import corpus_report
+    from cryoflow_spark.queries import load_events
+    from cryoflow_spark.streaming.funnel_stream import (
+        _write_funnel_partials,
+        compact_funnel_partials,
+        finalize_conversion_funnel,
+    )
+    from cryoflow_spark.streaming.report_stream import (
+        _write_corpus_partials,
+        compact_partials,
+        finalize_corpus_report,
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # corpus report family (row rewrite)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = tmp_path / "report"
+    for i in range(4):
+        _write_corpus_partials(
+            docs.filter(f"doc_id % 4 = {i}"), i, str(out), "text",
+            ("source", "lang"),
+        )
+    want = canon(corpus_report(docs))
+    assert canon(finalize_corpus_report(spark, str(out))) == want
+    assert compact_partials(spark, str(out)) == 4
+    assert canon(finalize_corpus_report(spark, str(out))) == want
+    # re-compaction folds the compact dir itself (1 removed)
+    assert compact_partials(spark, str(out)) == 1
+    assert canon(finalize_corpus_report(spark, str(out))) == want
+
+    # funnel family (state merge shrinks rows)
+    steps = ["view", "click", "purchase"]
+    events = load_events(spark, "/root/testdata/sf0.001")
+    out2 = tmp_path / "funnel"
+    for i in range(3):
+        _write_funnel_partials(
+            events.filter(f"user_id % 3 = {i}"), i, str(out2), steps,
+            "user_id", "ts", "event_type",
+        )
+    want2 = canon(conversion_funnel(events, steps))
+    rows_before = spark.read.parquet(
+        str(out2 / "partials" / "batch_id=*")).count()
+    assert compact_funnel_partials(spark, str(out2), steps) == 3
+    rows_after = spark.read.parquet(
+        str(out2 / "partials" / "batch_id=*")).count()
+    assert rows_after <= rows_before
+    assert canon(finalize_conversion_funnel(spark, str(out2), steps)) \
+        == want2
