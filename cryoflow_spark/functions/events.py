@@ -304,3 +304,79 @@ def retention_cohorts(
             ).alias("retention"),
         )
     )
+
+
+def ingest_freshness(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str | None = None,
+    window_days: int = 7,
+) -> DataFrame:
+    """Ingest freshness / volume-trend report: one row per (group, day)
+    with the day's exact counts, a trailing ``window_days``-day
+    CALENDAR moving sum/average, and the day-over-day delta — the
+    dataset-operations dashboard that catches a dying crawler or a
+    double-delivering source before it poisons a training mix.
+
+    Columns: ``group_col, day, n_events[, total_value], ma{W}_events``
+    (trailing W-day mean, calendar-based: missing days count as zero —
+    a RANGE frame over the epoch-day number, deliberately NOT a ROWS
+    frame, which would silently skip gap days and overstate freshness)
+    and ``delta_events`` (vs the previous CALENDAR day; a gap day
+    yields delta = the full count). ``value_col`` adds an exact
+    decimal-summed total per day.
+
+    Deterministic: integer counts, RANGE-frame integer sums (engine-
+    portable, unlike float window cumsums), one exact double divide
+    per mean.
+
+    Scale: one (group, day)-keyed aggregation with map-side partials
+    reduces the fact table to |groups| x |days| rows; every window is
+    PARTITIONED by group over that bounded table — no unpartitioned
+    window, no second fact scan.
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    from pyspark.sql import Window
+
+    day = F.to_date(F.col(ts_col))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_events")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(38,10)"))
+            .cast("double")
+            .alias("total_value")
+        )
+    daily = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(group_col), day.alias("day"))
+        .agg(*aggs)
+        .withColumn("__dn", F.unix_date(F.col("day")).cast("long"))
+    )
+    trail = (
+        Window.partitionBy(group_col)
+        .orderBy("__dn")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    prev = (
+        Window.partitionBy(group_col).orderBy("__dn").rangeBetween(-1, -1)
+    )
+    return (
+        daily.withColumn(
+            f"ma{window_days}_events",
+            F.sum("n_events").over(trail).cast("bigint").cast("double")
+            / F.lit(float(window_days)),
+        )
+        .withColumn(
+            "delta_events",
+            (
+                F.col("n_events")
+                - F.coalesce(
+                    F.sum("n_events").over(prev).cast("bigint"),
+                    F.lit(0).cast("bigint"),
+                )
+            ).cast("bigint"),
+        )
+        .drop("__dn")
+    )

@@ -51,6 +51,10 @@ disturbing the main stream. Options:
   option ``gates`` is an ordered array of TOML tables
   ``{name = "...", keep = "<SQL boolean expr>"}``; output is one row
   per stage with rows_in/rows_out/killed/kill_frac.
+- ``report = "freshness"`` emits the per-(group, day) ingest volume
+  report with trailing calendar moving mean and day-over-day delta
+  (options ``ts_column``, ``group_column``, ``value_column``,
+  ``window_days``).
 """
 
 from __future__ import annotations
@@ -75,6 +79,17 @@ class ProfilePlugin(AnalyzedTransformPlugin):
                 data,
                 columns=list(columns) if columns else None,
                 group_cols=tuple(self.options.get("group_by", [])),
+            )
+
+        if self.options.get("report") == "freshness":
+            from cryoflow_spark.functions.events import ingest_freshness
+
+            return ingest_freshness(
+                data,
+                ts_col=self.options.get("ts_column", "ts"),
+                group_col=self.options.get("group_column", "event_type"),
+                value_col=self.options.get("value_column"),
+                window_days=int(self.options.get("window_days", 7)),
             )
 
         if self.options.get("report") == "expectations":

@@ -5038,3 +5038,50 @@ def x103_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, text_col="text", id_col="doc_id", num_hashes=32, bands=8,
         shingle_size=4, threshold=0.5, hash_mode="portable",
     )
+
+
+# --- x104: ingest freshness / volume trend (oracle-checked) -----------------
+
+
+@register(
+    "x104_ingest_freshness",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(*)::BIGINT AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+               AS total_value
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT event_type, day, n_events, total_value,
+             CAST(SUM(n_events) OVER (
+               PARTITION BY event_type
+               ORDER BY (day - DATE '1970-01-01')
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS w7,
+             COALESCE(CAST(SUM(n_events) OVER (
+               PARTITION BY event_type
+               ORDER BY (day - DATE '1970-01-01')
+               RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING)
+             AS BIGINT), 0) AS prevn
+      FROM daily
+    )
+    SELECT event_type, day, n_events, total_value,
+           w7::DOUBLE / 7.0 AS ma7_events,
+           (n_events - prevn)::BIGINT AS delta_events
+    FROM win
+    """,
+    "Ingest freshness / volume-trend report: per (event_type, day) "
+    "exact counts + value totals, a trailing 7-CALENDAR-day moving "
+    "mean (RANGE frame over epoch days — missing days count as zero, "
+    "never silently skipped), and day-over-day delta — the dataset-"
+    "operations dashboard; one fact aggregation then partitioned "
+    "windows over the bounded (group x day) table",
+)
+def x104_ingest_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.events import ingest_freshness
+
+    e = load_events(spark, sf_dir)
+    return ingest_freshness(e, value_col="value", window_days=7)

@@ -4198,3 +4198,59 @@ class TestMinhashAudit:
         import pytest
         with pytest.raises(ValueError, match="hash_mode"):
             minhash_audit(df, hash_mode="nope")
+
+
+class TestIngestFreshness:
+    def test_calendar_semantics_with_gap_days(self, spark):
+        """A gap day must drag the trailing mean down (RANGE frame) and
+        make the post-gap delta equal the full count."""
+        from datetime import datetime
+
+        from cryoflow_spark.functions.events import ingest_freshness
+
+        rows = []
+        # type "a": 10 events on day 1, 4 on day 2, GAP on day 3,
+        # 6 on day 4
+        for day, n in ((1, 10), (2, 4), (4, 6)):
+            for i in range(n):
+                rows.append(
+                    (datetime(2024, 1, day, 12, 0, i), "a", 2.5)
+                )
+        df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+        out = {str(r["day"]): r for r in ingest_freshness(
+            df, value_col="value", window_days=3).collect()}
+        assert out["2024-01-01"]["n_events"] == 10
+        assert out["2024-01-01"]["delta_events"] == 10  # no prior day
+        assert out["2024-01-02"]["delta_events"] == -6
+        assert out["2024-01-02"]["ma3_events"] == (10 + 4) / 3.0
+        # day 4: trailing 3 calendar days = {2,3,4} -> 4 + 0 + 6
+        assert out["2024-01-04"]["ma3_events"] == (4 + 0 + 6) / 3.0
+        # gap day 3 is absent from output but delta vs CALENDAR prev:
+        # day 4's previous calendar day (3) had zero events
+        assert out["2024-01-04"]["delta_events"] == 6
+        assert out["2024-01-01"]["total_value"] == 25.0
+        import pytest
+        with pytest.raises(ValueError, match="window_days"):
+            ingest_freshness(df, window_days=0)
+
+    def test_partitioned_window_only(self, spark):
+        """The windows must be partitioned by group — never a global
+        single-reducer window."""
+        import contextlib
+        import io
+
+        from cryoflow_spark.functions.events import ingest_freshness
+        from cryoflow_spark.queries import load_events
+
+        e = load_events(spark, "/root/testdata/sf0.001")
+        out = ingest_freshness(e)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("simple")
+        plan = buf.getvalue()
+        from tests.test_plans import unpartitioned_window_specs
+        assert all(
+            unpartitioned_window_specs(line) == 0
+            for line in plan.splitlines()
+            if "Window [" in line
+        )
