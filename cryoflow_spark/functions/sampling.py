@@ -950,3 +950,49 @@ def water_fill_floors(
             (alloc / F.col("_wf_t").cast("double")).alias("rate"),
         )
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 1024,
+    shard_col: str = "shard",
+    position_col: str = "position",
+) -> DataFrame:
+    """Deterministic pseudo-random GLOBAL training order without a
+    global sort: every row gets ``(shard, position)`` where
+    ``shard = md5-bucket(key) % n_shards`` and ``position`` is the
+    row's rank within its shard by md5 hash order (key tiebreak). The
+    total order "shard-major, then position" is a uniform shuffle of
+    the dataset that is identical across runs, partitionings, and
+    engines — the order a training loader should read, decided by the
+    pipeline rather than by file listing order or a seeded in-memory
+    shuffle that cannot be reproduced at 100 TB.
+
+    Unlike ``orderBy(rand(seed))`` (a global sort through one total
+    ordering, and nondeterministic under retries/partition changes),
+    this is ONE partitioned window: each shard ranks only its own
+    ~1/n_shards of the data (pick n_shards so a shard fits an
+    executor's sort buffer), and the shard column doubles as the
+    ``partitionBy`` write key so each output file is internally
+    ordered. Stable under ingest growth: a row's shard never changes,
+    and new rows only append to (never reorder relative ranks of)
+    existing hash positions within a shard... positions after an
+    insertion point do shift — the order is a function of the DATASET,
+    nested the same way every md5-order sample here is.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from pyspark.sql import Window
+
+    key = F.col(key_col)
+    shard = hash_bucket(key, n_shards)
+    w = Window.partitionBy(shard_col).orderBy(
+        F.md5(key.cast("string")), key
+    )
+    return (
+        df.withColumn(shard_col, shard.cast("int"))
+        .withColumn(
+            position_col, F.row_number().over(w).cast("bigint")
+        )
+    )

@@ -9,6 +9,10 @@ TOML surface for the packing operators of
   (:func:`...text.pack_training_sequences`) — one row per
   (doc, sequence) overlap with exact slice offsets; docs straddling a
   context boundary split.
+- ``training_order``: deterministic pseudo-random global read order
+  (:func:`...sampling.deterministic_shuffle`) — adds ``shard`` /
+  ``position`` (option ``n_shards``, default 1024); write
+  partitioned by ``shard``, read shard-major.
 
 Shared options: ``column`` (default ``text``), ``id_column`` (default
 ``doc_id``), ``budget`` / ``context_len`` (default 4096), and
@@ -57,5 +61,15 @@ class PackPlugin(AnalyzedTransformPlugin):
                     )
                 ),
                 partition_col=partition,
+            )
+        if method == "training_order":
+            from cryoflow_spark.functions.sampling import (
+                deterministic_shuffle,
+            )
+
+            return deterministic_shuffle(
+                data,
+                id_column,
+                n_shards=int(self.options.get("n_shards", 1024)),
             )
         raise ValueError(f"invalid pack method '{method}'")

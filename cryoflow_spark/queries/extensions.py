@@ -5085,3 +5085,39 @@ def x104_ingest_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir)
     return ingest_freshness(e, value_col="value", window_days=7)
+
+
+# --- x105: deterministic global training order (oracle-checked) -------------
+
+
+def _x105_oracle() -> str:
+    from cryoflow_spark.functions.sampling import sql_hash_bucket
+
+    b = sql_hash_bucket("doc_id", 8)
+    return f"""
+    SELECT doc_id,
+           CAST({b} AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY {b}
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS position
+    FROM documents
+    """
+
+
+@register(
+    "x105_training_order",
+    _x105_oracle(),
+    "Deterministic pseudo-random global training order without a "
+    "global sort: (shard, position) from md5-bucket sharding + one "
+    "PARTITIONED rank window per shard — the reproducible read order a "
+    "training loader needs at 100 TB, where orderBy(rand(seed)) is a "
+    "single global sort and not retry-stable",
+)
+def x105_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.sampling import deterministic_shuffle
+
+    d = load(spark, sf_dir, "documents")
+    return deterministic_shuffle(d, "doc_id", n_shards=8).select(
+        "doc_id", "shard", "position"
+    )

@@ -559,3 +559,51 @@ def test_water_fill_floors_rescues_starved_source(spark):
         water_fill_floors(df, "source", 100, -1)
     with pytest.raises(ValueError, match="alpha"):
         water_fill_floors(df, "source", 100, 10, alpha=-1.0)
+
+
+def test_deterministic_shuffle_total_order_properties(spark):
+    """(shard, position) is a bijective, partition-invariant total
+    order: positions are contiguous 1..n per shard, every row appears
+    once, repartitioning changes nothing, and the plan carries only
+    PARTITIONED windows."""
+    import contextlib
+    import io
+
+    from cryoflow_spark.functions.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long"
+    )
+    out = deterministic_shuffle(df, "doc_id", n_shards=8)
+    rows = out.collect()
+    assert len(rows) == 500
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    assert set(by_shard) == set(range(8))  # every shard populated
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # partition-invariant
+    again = {(r["doc_id"], r["shard"], r["position"])
+             for r in deterministic_shuffle(
+                 df.repartition(13), "doc_id", n_shards=8).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["position"])
+                     for r in rows}
+    # the order is a real shuffle, not id order
+    first_shard = sorted(
+        (r["position"], r["doc_id"]) for r in rows if r["shard"] == 0
+    )
+    ids_in_order = [d for _, d in first_shard]
+    assert ids_in_order != sorted(ids_in_order)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    from tests.test_plans import unpartitioned_window_specs
+    assert all(
+        unpartitioned_window_specs(line) == 0
+        for line in buf.getvalue().splitlines()
+        if "Window [" in line
+    )
+    import pytest
+    with pytest.raises(ValueError, match="n_shards"):
+        deterministic_shuffle(df, "doc_id", n_shards=0)
