@@ -1173,3 +1173,85 @@ def cross_entropy_score(
             / F.col("n_tokens").cast("double")
         ).alias("cross_entropy"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    top_n: int = 1000,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-group vocabulary coverage against a reference top-N vocab —
+    the tokenizer/corpus-fit report: what fraction of a slice's token
+    OCCURRENCES (and distinct TYPES) falls inside the reference
+    corpus's ``top_n`` most frequent tokens. High OOV on a language
+    slice means the reference vocab (or the tokenizer trained on it)
+    under-serves that slice — the standard signal for rebalancing a
+    tokenizer training mix.
+
+    Output per group: ``n_tokens, n_covered, oov_rate`` (occurrence
+    level) and ``n_types, n_types_covered, type_coverage`` (type
+    level). Reference vocab ties at the top-N boundary break by token
+    text ascending — fully deterministic across engines.
+
+    Scale: the vocab is one reference-side aggregation + a bounded
+    top-N (TakeOrdered, never a full sort); the corpus side is a token
+    explode + one broadcast equi-join on the token + two |groups|-row
+    integer aggregations (the type-level one from a pre-distincted
+    (group, token) table — deliberately not countDistinct, which would
+    Expand the occurrence stream).
+    """
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+
+    def toks(frame):
+        t = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+        return F.transform(t, F.lower) if lowercase else t
+
+    vocab = (
+        ref_df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(toks(ref_df)).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("__tok").asc())
+        .limit(int(top_n))
+        .select("__tok", F.lit(1).alias("__in_vocab"))
+    )
+    stream = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(group_col), F.explode(toks(df)).alias("__tok"))
+        .join(F.broadcast(vocab), "__tok", "left")
+    )
+    occ = stream.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.count("__in_vocab").cast("bigint").alias("n_covered"),
+    )
+    types = (
+        stream.select(group_col, "__tok", "__in_vocab")
+        .distinct()
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.count("__in_vocab").cast("bigint").alias("n_types_covered"),
+        )
+    )
+    return (
+        occ.join(types, group_col)
+        .select(
+            group_col,
+            "n_tokens",
+            "n_covered",
+            (
+                (F.col("n_tokens") - F.col("n_covered")).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("oov_rate"),
+            "n_types",
+            "n_types_covered",
+            (
+                F.col("n_types_covered").cast("double")
+                / F.col("n_types").cast("double")
+            ).alias("type_coverage"),
+        )
+    )

@@ -23,6 +23,10 @@ Options:
 - ``method = "jsd_rank"`` — per-``group_column`` Jensen-Shannon
   divergence of each slice's token distribution from the whole corpus
   — the data-mixture ranking table.
+- ``method = "coverage"`` — per-``group_column`` vocabulary coverage
+  against the top-``top_n`` vocab of the sibling stream named by
+  ``ref_label`` (occurrence-level OOV rate + type-level coverage) —
+  the tokenizer/corpus-fit report.
 """
 
 from __future__ import annotations
@@ -67,6 +71,18 @@ class VocabPlugin(AnalyzedTransformPlugin):
                 data,
                 group_col=self.require_option("group_column"),
                 text_col=self.options.get("column", "text"),
+                lowercase=bool(self.options.get("lowercase", True)),
+            )
+        if self.options.get("method") == "coverage":
+            from cryoflow_spark.functions.text import vocab_coverage
+
+            ref = self.sibling_frame(self.require_option("ref_label"))
+            return vocab_coverage(
+                data,
+                ref,
+                text_col=self.options.get("column", "text"),
+                group_col=self.options.get("group_column", "lang"),
+                top_n=int(self.options.get("top_n", 1000)),
                 lowercase=bool(self.options.get("lowercase", True)),
             )
         if self.options.get("method") == "heavy_hitters":

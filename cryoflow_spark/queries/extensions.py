@@ -5121,3 +5121,65 @@ def x105_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_shuffle(d, "doc_id", n_shards=8).select(
         "doc_id", "shard", "position"
     )
+
+
+# --- x106: vocabulary coverage / OOV rate (oracle-checked) ------------------
+
+
+@register(
+    "x106_vocab_coverage",
+    """
+    WITH vocab AS (
+      SELECT tok, 1 AS in_vocab FROM (
+        SELECT lower(t) AS tok, COUNT(*)::BIGINT AS c
+        FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x != '')) AS t
+          FROM documents WHERE doc_id < 250 AND text IS NOT NULL
+        ) GROUP BY 1
+        ORDER BY c DESC, tok ASC LIMIT 200
+      )
+    ),
+    stream AS (
+      SELECT d.lang, d.tok, vocab.in_vocab
+      FROM (
+        SELECT lang, lower(t) AS tok FROM (
+          SELECT lang,
+                 unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x != '')) AS t
+          FROM documents WHERE doc_id >= 250 AND text IS NOT NULL
+        )
+      ) d LEFT JOIN vocab ON d.tok = vocab.tok
+    ),
+    occ AS (
+      SELECT lang, COUNT(*)::BIGINT AS n_tokens,
+             COUNT(in_vocab)::BIGINT AS n_covered
+      FROM stream GROUP BY lang
+    ),
+    typ AS (
+      SELECT lang, COUNT(*)::BIGINT AS n_types,
+             COUNT(in_vocab)::BIGINT AS n_types_covered
+      FROM (SELECT DISTINCT lang, tok, in_vocab FROM stream)
+      GROUP BY lang
+    )
+    SELECT occ.lang, n_tokens, n_covered,
+           (n_tokens - n_covered)::DOUBLE / n_tokens::DOUBLE AS oov_rate,
+           n_types, n_types_covered,
+           n_types_covered::DOUBLE / n_types::DOUBLE AS type_coverage
+    FROM occ JOIN typ ON occ.lang = typ.lang
+    """,
+    "Per-language vocabulary coverage against the reference half's "
+    "top-200 vocab: occurrence-level OOV rate + type-level coverage — "
+    "the tokenizer/corpus-fit report that flags under-served slices; "
+    "bounded top-N vocab (TakeOrdered), broadcast token join, "
+    "pre-distincted type table (no countDistinct Expand)",
+)
+def x106_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.text import vocab_coverage
+
+    d = load(spark, sf_dir, "documents")
+    return vocab_coverage(
+        d.filter(F.col("doc_id") >= 250),
+        d.filter(F.col("doc_id") < 250),
+        top_n=200,
+    )

@@ -4254,3 +4254,46 @@ class TestIngestFreshness:
             for line in plan.splitlines()
             if "Window [" in line
         )
+
+
+class TestVocabCoverage:
+    def test_coverage_semantics(self, spark):
+        from cryoflow_spark.functions.text import vocab_coverage
+
+        ref = spark.createDataFrame(
+            [(1, "alpha beta gamma alpha alpha beta")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [(10, "en", "alpha beta zulu"),      # 2/3 covered
+             (11, "en", "alpha alpha"),          # 2/2 covered
+             (12, "fr", "zulu yankee xray")],    # 0/3 covered
+            "doc_id long, lang string, text string",
+        )
+        # top-2 vocab of ref = {alpha, beta} (gamma loses the tie-free
+        # count ranking: alpha 3, beta 2, gamma 1)
+        out = {r["lang"]: r for r in vocab_coverage(
+            corpus, ref, top_n=2).collect()}
+        en, fr = out["en"], out["fr"]
+        assert (en["n_tokens"], en["n_covered"]) == (5, 4)
+        assert en["oov_rate"] == 1 / 5
+        assert (en["n_types"], en["n_types_covered"]) == (3, 2)
+        assert en["type_coverage"] == 2 / 3
+        assert (fr["n_covered"], fr["oov_rate"]) == (0, 1.0)
+        import pytest
+        with pytest.raises(ValueError, match="top_n"):
+            vocab_coverage(corpus, ref, top_n=0)
+
+    def test_topn_boundary_tie_is_deterministic(self, spark):
+        from cryoflow_spark.functions.text import vocab_coverage
+
+        # "b" and "c" tie at count 1 on the top-2 boundary behind "a";
+        # token-ascending tiebreak must pick "b".
+        ref = spark.createDataFrame(
+            [(1, "a a b c")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(2, "x", "b c")], "doc_id long, lang string, text string"
+        )
+        row = vocab_coverage(corpus, ref, top_n=2).collect()[0]
+        assert row["n_covered"] == 1  # only "b" made the vocab
