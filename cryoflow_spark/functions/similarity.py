@@ -1348,3 +1348,60 @@ def ivf_pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_cell_stats(
+    df: DataFrame,
+    centroids: "np.ndarray | list[list[float]]",
+    vec_col: str = "embedding",
+    assign_mode: str = "vectorized",
+    cell_col: str | None = None,
+) -> DataFrame:
+    """IVF index balance report: one row per cell with its vector
+    count, share of the corpus, and imbalance factor
+    ``n · n_centroids / N`` (1.0 = perfectly uniform) — the quantizer
+    health check that predicts ANN cost: probe latency follows the
+    LARGEST probed cells, so a hot cell (imbalance >> 1) silently
+    turns nprobe=3 into a near-linear scan, and an empty cell wastes a
+    centroid. Run it per dump; retrain the quantizer when imbalance
+    drifts.
+
+    ``cell_col``: use a PRECOMPUTED assignment column instead of
+    assigning here (the :func:`with_ivf_cell` artifact). Cells with no
+    vectors do not appear (their imbalance is 0; count rows vs
+    n_centroids to find them).
+
+    Scale: one narrow assignment map (skipped entirely with
+    ``cell_col``), one ≤ n_centroids-key aggregation, a 1-row total
+    broadcast. Deterministic with fixed centroids in fold mode.
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    n_centroids = len(cents)
+    if cell_col is None:
+        assigned = with_ivf_cell(
+            df, cents, vec_col=vec_col, cell_col="__cell",
+            assign_mode=assign_mode,
+        )
+        cell_col = "__cell"
+    else:
+        assigned = df
+    counts = (
+        assigned.filter(F.col(cell_col).isNotNull())
+        .groupBy(F.col(cell_col).alias("cell"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    )
+    total = counts.agg(
+        F.sum("n_vectors").cast("bigint").alias("__total")
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "cell",
+        "n_vectors",
+        (
+            F.col("n_vectors").cast("double")
+            / F.col("__total").cast("double")
+        ).alias("frac"),
+        (
+            (F.col("n_vectors") * F.lit(int(n_centroids))).cast("double")
+            / F.col("__total").cast("double")
+        ).alias("imbalance"),
+    )

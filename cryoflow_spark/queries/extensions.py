@@ -5183,3 +5183,53 @@ def x106_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") < 250),
         top_n=200,
     )
+
+
+# --- x107: IVF cell-balance report (oracle-checked) -------------------------
+
+
+def _x107_oracle() -> str:
+    """DuckDB replica: x23's fixed-centroid assignment, grouped."""
+
+    def fold_dot(vec: str, lits: list[float]) -> str:
+        vals = ", ".join(f"{x:.17e}" for x in lits)
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"[{vec}[i]::DOUBLE * (list_value({vals}))[i] "
+            f"for i in generate_series(1, 64)]), (acc, x) -> acc + x)"
+        )
+
+    structs = ", ".join(
+        f"{{'s': -({fold_dot('embedding', cvec)}), 'i': {j}}}"
+        for j, cvec in enumerate(_X23_CENTROIDS)
+    )
+    return f"""
+    WITH assigned AS (
+      SELECT vec_id,
+             (list_sort(list_value({structs})))[1].i AS cell
+      FROM embeddings
+    ),
+    counts AS (
+      SELECT cell, COUNT(*)::BIGINT AS n_vectors
+      FROM assigned GROUP BY cell
+    ),
+    tot AS (SELECT SUM(n_vectors)::BIGINT AS n FROM counts)
+    SELECT cell, n_vectors,
+           n_vectors::DOUBLE / tot.n::DOUBLE AS frac,
+           (n_vectors * 8)::DOUBLE / tot.n::DOUBLE AS imbalance
+    FROM counts CROSS JOIN tot
+    """
+
+
+@register(
+    "x107_ivf_cell_stats",
+    _x107_oracle(),
+    "IVF index balance report: per-cell vector count, corpus share, "
+    "and imbalance factor (n*n_centroids/N; 1.0 = uniform) — the "
+    "quantizer health check that predicts ANN probe cost (a hot cell "
+    "turns nprobe=3 into a near-linear scan); one narrow assignment "
+    "map, one <=n_centroids-key aggregation, 1-row total broadcast",
+)
+def x107_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return S.ivf_cell_stats(e, _X23_CENTROIDS, assign_mode="fold")

@@ -4297,3 +4297,30 @@ class TestVocabCoverage:
         )
         row = vocab_coverage(corpus, ref, top_n=2).collect()[0]
         assert row["n_covered"] == 1  # only "b" made the vocab
+
+
+class TestIvfCellStats:
+    def test_counts_and_imbalance(self, spark):
+        from cryoflow_spark.functions.similarity import (
+            fixed_random_centroids,
+            ivf_cell_stats,
+            with_ivf_cell,
+        )
+
+        cents = fixed_random_centroids(dim=8, n_centroids=4, seed=3)
+        rows = [
+            (i, [float((i * 7 + j * 3) % 11) / 11.0 for j in range(8)])
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = ivf_cell_stats(df, cents, assign_mode="fold").collect()
+        assert sum(r["n_vectors"] for r in out) == 120
+        assert abs(sum(r["frac"] for r in out) - 1.0) < 1e-12
+        # imbalance is frac * n_centroids
+        for r in out:
+            assert abs(r["imbalance"] - r["frac"] * 4) < 1e-12
+        # precomputed-cell path identical
+        idx = with_ivf_cell(df, cents, assign_mode="fold")
+        pre = ivf_cell_stats(df=idx, centroids=cents,
+                             cell_col="ivf_cell").collect()
+        assert sorted(map(tuple, pre)) == sorted(map(tuple, out))

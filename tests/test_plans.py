@@ -161,6 +161,9 @@ def test_no_cartesian_products(all_plans):
         # three 1-row confusion-count scalars cross-joined — all scalars
         # (the pair-generating joins themselves are band/gram equi-joins).
         "x103_minhash_audit",
+        # 1-row corpus-total scalar crossJoin(broadcast) into the
+        # <=n_centroids-row cell-count table — same scalar pattern.
+        "x107_ivf_cell_stats",
         # 1-row reference-totals scalar crossJoin(broadcast) into the
         # exploded token stream — same scalar pattern.
         "x96_cross_entropy_score",
