@@ -1255,3 +1255,112 @@ def vocab_coverage(
             ).alias("type_coverage"),
         )
     )
+
+
+def bigram_cross_entropy_score(
+    df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    ln_scale: int = 6,
+) -> DataFrame:
+    """Per-document BIGRAM cross-entropy under a reference corpus's
+    conditional token model (nats/transition) — the order-sensitive
+    upgrade of :func:`cross_entropy_score`: a bag of common words in
+    scrambled order scores like the reference under a unigram model
+    but blows up under ``p(t | prev)``, so this is the signal that
+    separates fluent text from keyword-stuffed or shuffled junk
+    (the CCNet/KenLM idea at bigram order).
+
+    Model: Laplace-smoothed conditionals
+    ``p(t | prev) = (c2(prev, t) + 1) / (c1(prev) + V + 1)`` with
+    ``c1(prev) = Σ_t c2(prev, t)`` (left-context occurrences) and
+    ``V`` the reference unigram type count — an unseen context backs
+    off to the uniform floor ``1/(V+1)``. Output:
+    ``(id, n_bigrams, cross_entropy)`` over a document's token
+    TRANSITIONS; documents with fewer than two tokens emit no row.
+
+    Portability: the x96 fixed-point pattern — each transition
+    contributes ``round(ln p, ln_scale)`` quantized to BIGINT, per-doc
+    sums are exact integers, one divide chain at the end.
+
+    Scale: the reference side is one bigram-keyed aggregation (+ its
+    prev-keyed rollup and a 1-row V scalar); the corpus side is a
+    bigram explode + two token-keyed equi-joins (AQE broadcasts small
+    reference models) + one per-doc integer sum.
+    """
+    if not 0 < ln_scale <= 9:
+        raise ValueError("ln_scale must be in (0, 9]")
+    q = 10**ln_scale
+
+    def toks(frame):
+        t = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+        return F.transform(t, F.lower) if lowercase else t
+
+    def bigrams(tok_arr):
+        # Spark's sequence(1, 0) counts DOWN — guard short docs
+        # explicitly instead of relying on an empty sequence.
+        pairs = F.expr(
+            "transform(sequence(1, size(__toks) - 1),"
+            " i -> struct(__toks[i-1] AS p, __toks[i] AS c))"
+        )
+        return F.when(F.size(tok_arr) >= 2, pairs).otherwise(
+            F.expr("array()").cast("array<struct<p:string,c:string>>")
+        )
+
+    ref_tok = ref_df.filter(F.col(text_col).isNotNull()).select(
+        toks(ref_df).alias("__toks")
+    )
+    c2 = (
+        ref_tok.select(F.explode(bigrams(F.col("__toks"))).alias("__bg"))
+        .select(F.col("__bg.p").alias("__p"), F.col("__bg.c").alias("__c"))
+        .groupBy("__p", "__c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c2"))
+    )
+    c1 = c2.groupBy("__p").agg(
+        F.sum("__c2").cast("bigint").alias("__c1")
+    )
+    vref = (
+        ref_tok.select(F.explode("__toks").alias("__t"))
+        .agg(F.count_distinct(F.col("__t")).cast("bigint").alias("__v"))
+    )
+    doc_bg = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks(df).alias("__toks"))
+        .select(
+            F.col(id_col), F.explode(bigrams(F.col("__toks"))).alias("__bg")
+        )
+        .select(
+            F.col(id_col),
+            F.col("__bg.p").alias("__p"),
+            F.col("__bg.c").alias("__c"),
+        )
+    )
+    p = (
+        (F.coalesce(F.col("__c2"), F.lit(0)) + F.lit(1)).cast("double")
+        / (
+            F.coalesce(F.col("__c1"), F.lit(0)) + F.col("__v") + F.lit(1)
+        ).cast("double")
+    )
+    contrib = F.round(F.round(F.log(p), ln_scale) * F.lit(float(q))).cast(
+        "bigint"
+    )
+    scored = (
+        doc_bg.join(c2, ["__p", "__c"], "left")
+        .join(c1, "__p", "left")
+        .crossJoin(F.broadcast(vref))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(contrib).cast("bigint").alias("__lsum"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        (
+            (F.lit(0.0) - F.col("__lsum").cast("double") / F.lit(float(q)))
+            / F.col("n_bigrams").cast("double")
+        ).alias("bigram_cross_entropy"),
+    )

@@ -45,10 +45,12 @@ the TOML plugin surface. Modes (option ``method``):
   (``allowed_domains``) rows by the REGISTRABLE domain of
   ``url_column`` — the UT1 blocklist/safelist pass; the list rides a
   broadcast anti/semi join.
-- ``cross_entropy``: per-doc unigram cross-entropy under the token
-  distribution of the REFERENCE corpus on sibling ``ref_label``
-  (Laplace-smoothed OOV) — the CCNet-style target-domain scorer;
-  output ``(id, n_tokens, cross_entropy)``.
+- ``cross_entropy``: per-doc cross-entropy under the token model of
+  the REFERENCE corpus on sibling ``ref_label`` (Laplace-smoothed
+  OOV) — the CCNet-style target-domain scorer; ``order = 1``
+  (default) scores unigrams, ``order = 2`` the order-sensitive
+  conditional bigram model that catches shuffled/keyword-stuffed
+  text; output ``(id, n_tokens|n_bigrams, ..._cross_entropy)``.
 - ``ensemble_rank``: combine several heterogeneous ``score_columns``
   into one ``out_column`` (default ``ensemble_score``) as the mean of
   each row's within-``group_by`` quantile positions — scale-free score
@@ -310,10 +312,18 @@ class CuratePlugin(SiblingAwareTransformPlugin):
             )
 
         if method == "cross_entropy":
-            from cryoflow_spark.functions.text import cross_entropy_score
+            from cryoflow_spark.functions.text import (
+                bigram_cross_entropy_score,
+                cross_entropy_score,
+            )
 
             ref = self.sibling_frame(self.require_option("ref_label"))
-            return cross_entropy_score(
+            scorer = (
+                bigram_cross_entropy_score
+                if int(self.options.get("order", 1)) == 2
+                else cross_entropy_score
+            )
+            return scorer(
                 data,
                 ref,
                 text_col=column,

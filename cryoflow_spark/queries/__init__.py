@@ -94,18 +94,19 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:    must produce the green driver rows.
 #: 3) New r7 operators (x100 PQ ADC, x101 water-fill floors, x102
 #:    IVF-PQ, x103 minhash audit, x104 ingest freshness, x105 training
-#:    order, x106 vocab coverage, x107 IVF cell stats) — never
-#:    driver-checked.
+#:    order, x106 vocab coverage, x107 IVF cell stats, x108 bigram
+#:    cross-entropy) — never driver-checked.
 #: 4) The stalest r4-cohort sentinels (last driver-green in round 4 —
-#:    three rounds stale). 33 slots remain for the 49-query cohort; the
-#:    16 deferred to r8 are each the member of a twin pair whose
+#:    three rounds stale). 32 slots remain for the 49-query cohort; the
+#:    17 deferred to r8 are each the member of a twin pair whose
 #:    sibling ran green in r5/r6 on the same code path (x03~x04
 #:    jaccard, x05~x41/x27 brute-force topk, x07~x06 hyperplane LSH,
 #:    x13/x14~x12 multimodal, x22~x64 packing contract, x23~x66
 #:    fixed-IVF, x26~x59 repetition, x27~x05/x41, x28~x58/x85 source
 #:    rebalance, x30~x70/x89 md5-order draws, x33~x53 incremental
-#:    minhash, x34~x99 per-group caps, x36~x32 segment dedup,
-#:    x37~x52/x84 profiling, x39~x88/x91 snapshot diff family).
+#:    minhash, x34~x99 per-group caps, x35~x96/x21 corpus-scorer joins,
+#:    x36~x32 segment dedup, x37~x52/x84 profiling, x39~x88/x91
+#:    snapshot diff family).
 #: The rows-only instruments (engine-mode minhash twins and the three
 #: approx profiling twins; no oracles by design) stay OUT of the window.
 _PRIORITY: list[str] = [
@@ -120,7 +121,7 @@ _PRIORITY: list[str] = [
     "x100_pq_adc_topk", "x101_water_fill_floors", "x102_ivf_pq_topk",
     "x103_minhash_audit", "x104_ingest_freshness",
     "x105_training_order", "x106_vocab_coverage",
-    "x107_ivf_cell_stats",
+    "x107_ivf_cell_stats", "x108_bigram_cross_entropy",
     # r4-cohort sentinels, three rounds stale (41 of 49)
     "q01_pricing_summary", "q25_asof_join", "q30_string_cleanup",
     "q32_rank_family", "q33_conditional_aggs", "q34_date_vocabulary",
@@ -135,7 +136,6 @@ _PRIORITY: list[str] = [
     "x16_simhash_pairs", "x17_sessionize",
     "x24_pii_scrub", "x25_decontaminate",
     "x29_chunk_documents",
-    "x35_corpus_freq_score",
     "x38_leakage_safe_split", "x40_ngram_novelty",
     # positions 51+: the deferred twins (r8 window head) in
     # registration-family order, still runnable/benchable — each
@@ -145,8 +145,8 @@ _PRIORITY: list[str] = [
     "x13_multimodal_features", "x14_frame_sample", "x22_token_shards",
     "x23_ivf_fixed_topk", "x26_repetition_stats", "x27_quantized_topk",
     "x28_source_mix", "x30_weighted_sample", "x33_incremental_dedup",
-    "x34_domain_cap", "x36_dedup_segments", "x37_profile_columns",
-    "x39_snapshot_diff",
+    "x34_domain_cap", "x35_corpus_freq_score", "x36_dedup_segments",
+    "x37_profile_columns", "x39_snapshot_diff",
 ]
 
 

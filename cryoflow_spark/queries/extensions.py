@@ -5233,3 +5233,76 @@ def _x107_oracle() -> str:
 def x107_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return S.ivf_cell_stats(e, _X23_CENTROIDS, assign_mode="fold")
+
+
+# --- x108: bigram cross-entropy (oracle-checked) ----------------------------
+
+
+@register(
+    "x108_bigram_cross_entropy",
+    """
+    WITH ref_toks AS (
+      SELECT list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x != ''), t -> lower(t)) AS t
+      FROM documents WHERE doc_id < 250 AND text IS NOT NULL
+    ),
+    ref_bg AS (
+      SELECT u.bg[1] AS p, u.bg[2] AS c, COUNT(*)::BIGINT AS c2
+      FROM (
+        SELECT unnest([[t[i], t[i+1]]
+                 for i in generate_series(1, len(t) - 1)]) AS bg
+        FROM ref_toks WHERE len(t) >= 2
+      ) u GROUP BY 1, 2
+    ),
+    ref_c1 AS (
+      SELECT p, SUM(c2)::BIGINT AS c1 FROM ref_bg GROUP BY p
+    ),
+    vref AS (
+      SELECT COUNT(DISTINCT tok)::BIGINT AS v FROM (
+        SELECT unnest(t) AS tok FROM ref_toks
+      )
+    ),
+    doc_bg AS (
+      SELECT doc_id, u.bg[1] AS p, u.bg[2] AS c
+      FROM (
+        SELECT doc_id,
+               unnest([[t[i], t[i+1]]
+                 for i in generate_series(1, len(t) - 1)]) AS bg
+        FROM (
+          SELECT doc_id,
+                 list_transform(list_filter(
+                   string_split_regex(text, '\\s+'), x -> x != ''),
+                   t -> lower(t)) AS t
+          FROM documents WHERE doc_id >= 250 AND text IS NOT NULL
+        ) WHERE len(t) >= 2
+      ) u
+    ),
+    contrib AS (
+      SELECT d.doc_id,
+             CAST(ROUND(ROUND(LN((COALESCE(ref_bg.c2, 0) + 1)::DOUBLE
+                    / (COALESCE(ref_c1.c1, 0) + vref.v + 1)::DOUBLE), 6)
+                  * 1000000.0) AS BIGINT) AS x
+      FROM doc_bg d
+      LEFT JOIN ref_bg ON d.p = ref_bg.p AND d.c = ref_bg.c
+      LEFT JOIN ref_c1 ON d.p = ref_c1.p
+      CROSS JOIN vref
+    )
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_bigrams,
+           (0.0 - SUM(x)::DOUBLE / 1000000.0)
+             / COUNT(*)::DOUBLE AS bigram_cross_entropy
+    FROM contrib GROUP BY doc_id
+    """,
+    "Per-doc BIGRAM cross-entropy (nats/transition) under the "
+    "reference half's Laplace-smoothed conditional model p(t|prev) — "
+    "the order-sensitive fluency signal that catches shuffled/keyword-"
+    "stuffed text a unigram model scores as normal; x96's fixed-point "
+    "round(ln) pattern, exact integer per-doc sums",
+)
+def x108_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.text import bigram_cross_entropy_score
+
+    d = load(spark, sf_dir, "documents")
+    return bigram_cross_entropy_score(
+        d.filter(F.col("doc_id") >= 250), d.filter(F.col("doc_id") < 250)
+    )

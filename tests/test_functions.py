@@ -4324,3 +4324,53 @@ class TestIvfCellStats:
         pre = ivf_cell_stats(df=idx, centroids=cents,
                              cell_col="ivf_cell").collect()
         assert sorted(map(tuple, pre)) == sorted(map(tuple, out))
+
+
+class TestBigramCrossEntropy:
+    def test_order_sensitivity_vs_unigram(self, spark):
+        """The motivating property: scrambled word order leaves the
+        unigram score unchanged but raises the bigram score."""
+        from cryoflow_spark.functions.text import (
+            bigram_cross_entropy_score,
+            cross_entropy_score,
+        )
+
+        ref_text = " ".join(
+            ["the quick brown fox jumps over the lazy dog"] * 20
+        )
+        ref = spark.createDataFrame(
+            [(0, ref_text)], "doc_id long, text string"
+        )
+        fluent = "the quick brown fox jumps over the lazy dog"
+        scrambled = "dog the over quick lazy jumps brown the fox"
+        corpus = spark.createDataFrame(
+            [(1, fluent), (2, scrambled)], "doc_id long, text string"
+        )
+        uni = {r["doc_id"]: r["cross_entropy"]
+               for r in cross_entropy_score(corpus, ref).collect()}
+        bi = {r["doc_id"]: r["bigram_cross_entropy"]
+              for r in bigram_cross_entropy_score(corpus, ref).collect()}
+        assert abs(uni[1] - uni[2]) < 1e-9  # unigram is order-blind
+        assert bi[2] > bi[1] + 0.5          # bigram punishes scrambling
+
+    def test_short_docs_and_unseen_context(self, spark):
+        from cryoflow_spark.functions.text import (
+            bigram_cross_entropy_score,
+        )
+        import math
+
+        ref = spark.createDataFrame(
+            [(0, "a b a b")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(1, "single"), (2, "zz qq")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in
+                bigram_cross_entropy_score(corpus, ref).collect()}
+        assert 1 not in rows  # <2 tokens: no transitions, no row
+        # unseen context backs off to the uniform floor 1/(V+1), V=2
+        got = rows[2]["bigram_cross_entropy"]
+        assert abs(got - (-round(math.log(1 / 3), 6))) < 1e-9
+        import pytest
+        with pytest.raises(ValueError, match="ln_scale"):
+            bigram_cross_entropy_score(corpus, ref, ln_scale=0)
