@@ -1257,6 +1257,31 @@ def vocab_coverage(
     )
 
 
+def _ws_tokens_factory(text_col: str, lowercase: bool):
+    """Nullary column factory for the whitespace token array shared by
+    the bigram-model operators (split on ``\\s+``, drop empties,
+    optional lowercase)."""
+
+    def toks():
+        t = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+        return F.transform(t, F.lower) if lowercase else t
+
+    return toks
+
+
+def _bigram_pairs(tok_arr):
+    """Adjacent-pair struct array over a token column NAMED ``__toks``.
+    Spark's ``sequence(1, 0)`` counts DOWN — guard short docs
+    explicitly instead of relying on an empty sequence."""
+    pairs = F.expr(
+        "transform(sequence(1, size(__toks) - 1),"
+        " i -> struct(__toks[i-1] AS p, __toks[i] AS c))"
+    )
+    return F.when(F.size(tok_arr) >= 2, pairs).otherwise(
+        F.expr("array()").cast("array<struct<p:string,c:string>>")
+    )
+
+
 def bigram_cross_entropy_score(
     df: DataFrame,
     ref_df: DataFrame,
@@ -1293,24 +1318,11 @@ def bigram_cross_entropy_score(
     if not 0 < ln_scale <= 9:
         raise ValueError("ln_scale must be in (0, 9]")
     q = 10**ln_scale
-
-    def toks(frame):
-        t = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
-        return F.transform(t, F.lower) if lowercase else t
-
-    def bigrams(tok_arr):
-        # Spark's sequence(1, 0) counts DOWN — guard short docs
-        # explicitly instead of relying on an empty sequence.
-        pairs = F.expr(
-            "transform(sequence(1, size(__toks) - 1),"
-            " i -> struct(__toks[i-1] AS p, __toks[i] AS c))"
-        )
-        return F.when(F.size(tok_arr) >= 2, pairs).otherwise(
-            F.expr("array()").cast("array<struct<p:string,c:string>>")
-        )
+    toks = _ws_tokens_factory(text_col, lowercase)
+    bigrams = _bigram_pairs
 
     ref_tok = ref_df.filter(F.col(text_col).isNotNull()).select(
-        toks(ref_df).alias("__toks")
+        toks().alias("__toks")
     )
     c2 = (
         ref_tok.select(F.explode(bigrams(F.col("__toks"))).alias("__bg"))
@@ -1327,7 +1339,7 @@ def bigram_cross_entropy_score(
     )
     doc_bg = (
         df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), toks(df).alias("__toks"))
+        .select(F.col(id_col), toks().alias("__toks"))
         .select(
             F.col(id_col), F.explode(bigrams(F.col("__toks"))).alias("__bg")
         )
@@ -1363,4 +1375,105 @@ def bigram_cross_entropy_score(
             (F.lit(0.0) - F.col("__lsum").cast("double") / F.lit(float(q)))
             / F.col("n_bigrams").cast("double")
         ).alias("bigram_cross_entropy"),
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+    lowercase: bool = True,
+    ln_scale: int = 6,
+) -> DataFrame:
+    """Top-N collocations (adjacent word pairs) by pointwise mutual
+    information (Church & Hanks 1990, "Word Association Norms, Mutual
+    Information, and Lexicography") — the corpus-analytics signal for
+    multiword expressions, boilerplate phrases, and tokenizer-merge
+    candidates: ``pmi = ln( p(w1,w2) / (p(w1) p(w2)) )`` estimated as
+    ``ln( (c2 · T · T) / (B · c1(w1) · c1(w2)) )`` with c2 the pair
+    count over B transitions and c1 the unigram counts over T tokens.
+    A ``min_count`` floor drops the low-frequency pairs whose PMI is
+    pure noise (PMI's known bias toward hapax pairs).
+
+    Output: ``(w1, w2, pair_count, pmi)``, ordered pmi DESC with a
+    (w1, w2) tiebreak, limited to ``top_n``.
+
+    Portability: pmi is ``round(ln(ratio-of-exact-integers), ln_scale)``
+    with the double products written left-associated identically on
+    both engines — deterministic without any float accumulation.
+
+    Scale: two token-keyed aggregations (pair + unigram counts), the
+    ``min_count`` filter applied BEFORE the unigram joins so only
+    surviving pairs shuffle, two 1-row total scalars riding a broadcast
+    crossJoin, and a TakeOrdered top-N — never a global sort.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    if not 0 < ln_scale <= 9:
+        raise ValueError("ln_scale must be in (0, 9]")
+    toks = _ws_tokens_factory(text_col, lowercase)
+
+    tok_arrays = df.filter(F.col(text_col).isNotNull()).select(
+        toks().alias("__toks")
+    )
+    unigrams = (
+        tok_arrays.select(F.explode("__toks").alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c1"))
+    )
+    pairs = (
+        tok_arrays.select(
+            F.explode(_bigram_pairs(F.col("__toks"))).alias("__bg")
+        )
+        .select(F.col("__bg.p").alias("w1"), F.col("__bg.c").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+        .filter(F.col("pair_count") >= F.lit(int(min_count)))
+    )
+    totals = unigrams.agg(
+        F.sum("__c1").cast("bigint").alias("__tot_tokens")
+    ).crossJoin(
+        F.broadcast(
+            tok_arrays.select(
+                F.greatest(
+                    F.size("__toks") - F.lit(1), F.lit(0)
+                ).alias("__nb")
+            ).agg(F.sum("__nb").cast("bigint").alias("__tot_bigrams"))
+        )
+    )
+    pmi = F.round(
+        F.log(
+            (
+                F.col("pair_count").cast("double")
+                * F.col("__tot_tokens").cast("double")
+                * F.col("__tot_tokens").cast("double")
+            )
+            / (
+                F.col("__tot_bigrams").cast("double")
+                * F.col("__u1").cast("double")
+                * F.col("__u2").cast("double")
+            )
+        ),
+        ln_scale,
+    )
+    return (
+        pairs.join(
+            unigrams.select(
+                F.col("__t").alias("w1"), F.col("__c1").alias("__u1")
+            ),
+            "w1",
+        )
+        .join(
+            unigrams.select(
+                F.col("__t").alias("w2"), F.col("__c1").alias("__u2")
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "pair_count", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(int(top_n))
     )

@@ -27,6 +27,10 @@ Options:
   against the top-``top_n`` vocab of the sibling stream named by
   ``ref_label`` (occurrence-level OOV rate + type-level coverage) —
   the tokenizer/corpus-fit report.
+- ``method = "pmi"`` — top-``top_n`` adjacent-pair collocations by
+  pointwise mutual information with a ``min_count`` noise floor
+  (Church & Hanks 1990) — multiword-expression / boilerplate-phrase
+  discovery.
 """
 
 from __future__ import annotations
@@ -83,6 +87,16 @@ class VocabPlugin(AnalyzedTransformPlugin):
                 text_col=self.options.get("column", "text"),
                 group_col=self.options.get("group_column", "lang"),
                 top_n=int(self.options.get("top_n", 1000)),
+                lowercase=bool(self.options.get("lowercase", True)),
+            )
+        if self.options.get("method") == "pmi":
+            from cryoflow_spark.functions.text import pmi_collocations
+
+            return pmi_collocations(
+                data,
+                text_col=self.options.get("column", "text"),
+                min_count=int(self.options.get("min_count", 5)),
+                top_n=int(self.options.get("top_n", 50)),
                 lowercase=bool(self.options.get("lowercase", True)),
             )
         if self.options.get("method") == "heavy_hitters":

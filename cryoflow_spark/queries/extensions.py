@@ -5306,3 +5306,51 @@ def x108_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_cross_entropy_score(
         d.filter(F.col("doc_id") >= 250), d.filter(F.col("doc_id") < 250)
     )
+
+
+# --- x109: PMI collocations (oracle-checked) --------------------------------
+
+
+@register(
+    "x109_pmi_collocations",
+    r"""
+    WITH toks AS (
+      SELECT list_transform(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x != ''), t -> lower(t)) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (
+      SELECT tok AS w, COUNT(*)::BIGINT AS c1
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+    ),
+    pairs AS (
+      SELECT u.bg[1] AS w1, u.bg[2] AS w2, COUNT(*)::BIGINT AS pair_count
+      FROM (
+        SELECT unnest([[t[i], t[i+1]]
+                 for i in generate_series(1, len(t) - 1)]) AS bg
+        FROM toks WHERE len(t) >= 2
+      ) u GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    tot AS (
+      SELECT (SELECT SUM(c1)::BIGINT FROM uni) AS tt,
+             (SELECT SUM(GREATEST(len(t) - 1, 0))::BIGINT FROM toks) AS tb
+    )
+    SELECT w1, w2, pair_count,
+           ROUND(LN((pair_count::DOUBLE * tt::DOUBLE * tt::DOUBLE)
+                 / (tb::DOUBLE * u1.c1::DOUBLE * u2.c1::DOUBLE)), 6) AS pmi
+    FROM pairs
+    JOIN uni u1 ON pairs.w1 = u1.w
+    JOIN uni u2 ON pairs.w2 = u2.w
+    CROSS JOIN tot
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+    "Top-50 adjacent-pair collocations by pointwise mutual information "
+    "(Church & Hanks 1990) with a min_count=5 noise floor — multiword-"
+    "expression / boilerplate-phrase / tokenizer-merge discovery; pmi is "
+    "round(ln(ratio of exact integer counts), 6), no float accumulation",
+)
+def x109_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.text import pmi_collocations
+
+    d = load(spark, sf_dir, "documents")
+    return pmi_collocations(d, min_count=5, top_n=50)

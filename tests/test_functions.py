@@ -4374,3 +4374,44 @@ class TestBigramCrossEntropy:
         import pytest
         with pytest.raises(ValueError, match="ln_scale"):
             bigram_cross_entropy_score(corpus, ref, ln_scale=0)
+
+
+class TestPmiCollocations:
+    def test_hand_computed_pmi_and_floor(self, spark):
+        """Corpus engineered so 'new york' is a strong collocation and
+        'the the' is penalized; min_count floor drops rare pairs."""
+        import math
+        from cryoflow_spark.functions.text import pmi_collocations
+
+        docs = [(i, "new york " * 3) for i in range(4)] + [
+            (10, "the cat the dog the fox new deal york times")
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = pmi_collocations(df, min_count=2, top_n=10).collect()
+        pairs = {(r["w1"], r["w2"]): r for r in out}
+        assert ("new", "york") in pairs
+        r = pairs[("new", "york")]
+        # exact estimator: ln(c2*T*T / (B*c1(new)*c1(york)))
+        T = sum(len(t.split()) for _, t in docs)
+        B = sum(len(t.split()) - 1 for _, t in docs)
+        c2, c1n, c1y = r["pair_count"], 13, 13
+        want = round(math.log(c2 * T * T / (B * c1n * c1y)), 6)
+        assert abs(r["pmi"] - want) < 1e-9
+        # every surviving pair respects the floor
+        assert all(r2["pair_count"] >= 2 for r2 in out)
+
+    def test_ordering_top_n_and_validation(self, spark):
+        from cryoflow_spark.functions.text import pmi_collocations
+        import pytest
+
+        df = spark.createDataFrame(
+            [(0, "a b a b a b c d c d")], "doc_id long, text string"
+        )
+        out = pmi_collocations(df, min_count=1, top_n=3).collect()
+        assert len(out) == 3
+        keys = [(-r["pmi"], r["w1"], r["w2"]) for r in out]
+        assert keys == sorted(keys)
+        with pytest.raises(ValueError, match="min_count"):
+            pmi_collocations(df, min_count=0)
+        with pytest.raises(ValueError, match="top_n"):
+            pmi_collocations(df, top_n=0)

@@ -170,6 +170,9 @@ def test_no_cartesian_products(all_plans):
         # 1-row reference vocab-size scalar crossJoin(broadcast) into
         # the exploded bigram stream — x96's pattern at bigram order.
         "x108_bigram_cross_entropy",
+        # 1-row (total tokens, total bigrams) scalar crossJoin(broadcast)
+        # into the min_count-filtered pair table — same scalar pattern.
+        "x109_pmi_collocations",
         # 1-row corpus-total scalar crossJoin(broadcast) into the
         # (group, token) term table — same scalar pattern.
         "x92_group_js_divergence",

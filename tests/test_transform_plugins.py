@@ -1144,6 +1144,19 @@ def test_vocab_zipf_plugin(spark):
     assert row["zipf_slope"] < -0.5  # 8:4:2 geometric head
 
 
+def test_vocab_pmi_plugin(spark):
+    from cryoflow_spark.plugins.transform import VocabPlugin
+
+    df = spark.createDataFrame(
+        [(i, "new york " * 3) for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = _run(VocabPlugin({"method": "pmi", "min_count": 2, "top_n": 5}), df)
+    rows = out.collect()
+    assert ("new", "york") in {(r["w1"], r["w2"]) for r in rows}
+    assert set(out.columns) == {"w1", "w2", "pair_count", "pmi"}
+
+
 def test_diff_psi_plugin_via_sibling_label(spark):
     from cryoflow_spark.core.result import Success
     from cryoflow_spark.plugins.transform import SnapshotDiffPlugin
