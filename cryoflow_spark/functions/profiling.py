@@ -966,3 +966,89 @@ def quantile_summary(
     return totals.select(F.explode(F.array(*rows)).alias("__q")).select(
         "__q.*"
     )
+
+
+def referential_integrity_report(
+    fact_df: DataFrame,
+    dim_df: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    constraint: Optional[str] = None,
+) -> DataFrame:
+    """ONE-row foreign-key audit of ``fact.fact_key -> dim.dim_key`` —
+    the referential-integrity check a lake runs before a 100 TB join
+    silently drops (inner) or null-fans (left) the orphan rows:
+
+    - ``fact_rows`` / ``null_fk_rows`` — total fact rows and rows whose
+      FK is NULL (never join candidates);
+    - ``orphan_rows`` / ``orphan_keys`` — non-NULL fact rows (and their
+      distinct keys) with NO match in the dimension, the integrity
+      violations;
+    - ``dim_keys`` / ``unreferenced_dim_keys`` — distinct dimension
+      keys and the dead ones no fact row references (dimension bloat);
+    - ``orphan_row_pct`` — orphan share of the fact table, rounded to
+      6 decimals from exact integer counts.
+
+    Scale: the fact table collapses to (key, count) with map-side
+    partial aggregation BEFORE the join, so the join input is
+    |distinct fact keys|, not |fact rows|; one full-outer equi-join
+    against the distinct dimension keys classifies matched / orphan /
+    unreferenced in a single 1-row aggregate — no anti-join double
+    scan, no driver collect.
+    """
+    name = constraint or f"{fact_key}->{dim_key}"
+    fact_counts = (
+        fact_df.groupBy(F.col(fact_key).alias("__k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__fc"))
+    )
+    dim_keys = (
+        dim_df.filter(F.col(dim_key).isNotNull())
+        .select(F.col(dim_key).alias("__k"))
+        .distinct()
+        .withColumn("__d", F.lit(1))
+    )
+    joined = fact_counts.join(dim_keys, "__k", "full_outer")
+    fact_present = F.col("__fc").isNotNull()
+    fk_null = fact_present & F.col("__k").isNull()
+    orphan = fact_present & F.col("__k").isNotNull() & F.col("__d").isNull()
+    fact_rows = F.sum(F.coalesce(F.col("__fc"), F.lit(0))).cast("bigint")
+    orphan_rows = F.sum(
+        F.when(orphan, F.col("__fc")).otherwise(F.lit(0))
+    ).cast("bigint")
+    agg = joined.agg(
+        fact_rows.alias("fact_rows"),
+        F.sum(F.when(fk_null, F.col("__fc")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("null_fk_rows"),
+        orphan_rows.alias("orphan_rows"),
+        F.sum(F.when(orphan, 1).otherwise(0)).cast("bigint").alias(
+            "orphan_keys"
+        ),
+        F.sum(F.when(F.col("__d").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("dim_keys"),
+        F.sum(
+            F.when(F.col("__d").isNotNull() & ~fact_present, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("unreferenced_dim_keys"),
+    )
+    return agg.select(
+        F.lit(name).alias("constraint_name"),
+        "fact_rows",
+        "null_fk_rows",
+        "orphan_rows",
+        "orphan_keys",
+        "dim_keys",
+        "unreferenced_dim_keys",
+        F.when(
+            F.col("fact_rows") > 0,
+            F.round(
+                F.col("orphan_rows").cast("double")
+                / F.col("fact_rows").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("orphan_row_pct"),
+    )

@@ -55,21 +55,40 @@ disturbing the main stream. Options:
   report with trailing calendar moving mean and day-over-day delta
   (options ``ts_column``, ``group_column``, ``value_column``,
   ``window_days``).
+- ``report = "referential"`` emits the ONE-row FK audit of this
+  stream's ``fact_key`` against the sibling ``dim_label`` stream's
+  ``dim_key`` (orphan rows/keys, NULL FKs, dead dimension keys,
+  orphan share) — the pre-join integrity gate; optional
+  ``constraint`` names the row.
 """
 
 from __future__ import annotations
 
 from cryoflow_spark.core.plugin import FrameData
-from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+from cryoflow_spark.plugins.transform.base import SiblingAwareTransformPlugin
 
 
-class ProfilePlugin(AnalyzedTransformPlugin):
+class ProfilePlugin(SiblingAwareTransformPlugin):
     @property
     def name(self) -> str:
         return "profile"
 
     def _transform(self, data: FrameData) -> FrameData:
         from cryoflow_spark.functions.profiling import profile_columns
+
+        if self.options.get("report") == "referential":
+            from cryoflow_spark.functions.profiling import (
+                referential_integrity_report,
+            )
+
+            dim = self.sibling_frame(self.require_option("dim_label"))
+            return referential_integrity_report(
+                data,
+                dim,
+                fact_key=self.require_option("fact_key"),
+                dim_key=self.require_option("dim_key"),
+                constraint=self.options.get("constraint"),
+            )
 
         if self.options.get("report") == "checksum":
             from cryoflow_spark.functions.diff import dataset_checksum

@@ -5354,3 +5354,78 @@ def x109_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return pmi_collocations(d, min_count=5, top_n=50)
+
+
+# --- x110: referential-integrity audit (oracle-checked) ---------------------
+
+
+def _x110_constraint_sql(fact: str, fk: str, dim: str, dk: str) -> str:
+    """One FK-audit row in DuckDB SQL, mirroring
+    functions/profiling.py::referential_integrity_report."""
+    dimk = f"(SELECT DISTINCT {dk} AS k FROM {dim} WHERE {dk} IS NOT NULL)"
+    return f"""
+    SELECT '{fact}.{fk}->{dim}.{dk}' AS constraint_name,
+           (SELECT COUNT(*) FROM {fact})::BIGINT AS fact_rows,
+           (SELECT COUNT(*) FROM {fact} WHERE {fk} IS NULL)::BIGINT
+             AS null_fk_rows,
+           (SELECT COUNT(*) FROM {fact} f LEFT JOIN {dimk} d
+              ON f.{fk} = d.k
+              WHERE f.{fk} IS NOT NULL AND d.k IS NULL)::BIGINT
+             AS orphan_rows,
+           (SELECT COUNT(DISTINCT f.{fk}) FROM {fact} f LEFT JOIN {dimk} d
+              ON f.{fk} = d.k
+              WHERE f.{fk} IS NOT NULL AND d.k IS NULL)::BIGINT
+             AS orphan_keys,
+           (SELECT COUNT(*) FROM {dimk})::BIGINT AS dim_keys,
+           (SELECT COUNT(*) FROM {dimk} d LEFT JOIN
+              (SELECT DISTINCT {fk} AS k FROM {fact}) f ON d.k = f.k
+              WHERE f.k IS NULL)::BIGINT AS unreferenced_dim_keys
+    """
+
+
+_X110_FKS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _x110_oracle() -> str:
+    rows = " UNION ALL ".join(_x110_constraint_sql(*c) for c in _X110_FKS)
+    return f"""
+    SELECT constraint_name, fact_rows, null_fk_rows, orphan_rows,
+           orphan_keys, dim_keys, unreferenced_dim_keys,
+           CASE WHEN fact_rows > 0
+                THEN ROUND(orphan_rows::DOUBLE / fact_rows::DOUBLE, 6)
+                ELSE 0.0 END AS orphan_row_pct
+    FROM ({rows})
+    """
+
+
+@register(
+    "x110_fk_integrity",
+    _x110_oracle(),
+    "Referential-integrity audit of the lake's FK spine (lineitem->"
+    "orders->customer->nation): per constraint, orphan rows/keys, NULL "
+    "FKs, dead dimension keys, orphan share — the pre-join gate that "
+    "catches silent inner-join row loss; fact collapses to (key, count) "
+    "before one full-outer equi-join per constraint",
+)
+def x110_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from cryoflow_spark.functions.profiling import (
+        referential_integrity_report,
+    )
+
+    frames = [
+        referential_integrity_report(
+            load(spark, sf_dir, fact),
+            load(spark, sf_dir, dim),
+            fk,
+            dk,
+            constraint=f"{fact}.{fk}->{dim}.{dk}",
+        )
+        for fact, fk, dim, dk in _X110_FKS
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames)

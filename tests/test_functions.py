@@ -4415,3 +4415,47 @@ class TestPmiCollocations:
             pmi_collocations(df, min_count=0)
         with pytest.raises(ValueError, match="top_n"):
             pmi_collocations(df, top_n=0)
+
+
+class TestReferentialIntegrity:
+    def test_hand_built_violations(self, spark):
+        """Fact with NULL FKs, orphans, and a dim with dead keys —
+        every counter checked against hand counts."""
+        from cryoflow_spark.functions.profiling import (
+            referential_integrity_report,
+        )
+
+        fact = spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 20), (4, None), (5, None), (6, 99),
+             (7, 99), (8, 98)],
+            "row_id long, fk long",
+        )
+        dim = spark.createDataFrame(
+            [(10,), (20,), (30,), (40,), (None,)], "pk long"
+        )
+        row = referential_integrity_report(
+            fact, dim, "fk", "pk", constraint="fact.fk->dim.pk"
+        ).collect()[0]
+        assert row["constraint_name"] == "fact.fk->dim.pk"
+        assert row["fact_rows"] == 8
+        assert row["null_fk_rows"] == 2
+        assert row["orphan_rows"] == 3       # 99, 99, 98
+        assert row["orphan_keys"] == 2       # {99, 98}
+        assert row["dim_keys"] == 4          # NULL pk excluded
+        assert row["unreferenced_dim_keys"] == 2  # {30, 40}
+        assert row["orphan_row_pct"] == 0.375
+
+    def test_clean_fk_and_empty_fact(self, spark):
+        from cryoflow_spark.functions.profiling import (
+            referential_integrity_report,
+        )
+
+        fact = spark.createDataFrame([(1, 10), (2, 20)], "r long, fk long")
+        dim = spark.createDataFrame([(10,), (20,)], "pk long")
+        row = referential_integrity_report(fact, dim, "fk", "pk").collect()[0]
+        assert row["orphan_rows"] == 0 and row["orphan_row_pct"] == 0.0
+        assert row["constraint_name"] == "fk->pk"
+        empty = referential_integrity_report(
+            fact.filter("r < 0"), dim, "fk", "pk"
+        ).collect()[0]
+        assert empty["fact_rows"] == 0 and empty["orphan_row_pct"] == 0.0

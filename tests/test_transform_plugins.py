@@ -1157,6 +1157,24 @@ def test_vocab_pmi_plugin(spark):
     assert set(out.columns) == {"w1", "w2", "pair_count", "pmi"}
 
 
+def test_profile_referential_plugin_via_sibling_label(spark):
+    from cryoflow_spark.core.result import Success
+    from cryoflow_spark.plugins.transform import ProfilePlugin
+
+    fact = spark.createDataFrame([(1, 10), (2, 99)], "r long, fk long")
+    dim = spark.createDataFrame([(10,), (20,)], "pk long")
+    plugin = ProfilePlugin({
+        "report": "referential", "dim_label": "dims",
+        "fact_key": "fk", "dim_key": "pk",
+    })
+    plugin.attach_session(spark)
+    plugin.set_siblings({"dims": Success(dim)})
+    result = plugin.execute(fact)
+    assert is_successful(result), result
+    row = result.unwrap().collect()[0]
+    assert row["orphan_rows"] == 1 and row["unreferenced_dim_keys"] == 1
+
+
 def test_diff_psi_plugin_via_sibling_label(spark):
     from cryoflow_spark.core.result import Success
     from cryoflow_spark.plugins.transform import SnapshotDiffPlugin
