@@ -1044,3 +1044,134 @@ def ensemble_rank_score(
     return out.withColumn(
         out_col, F.when(present > 0, total / present.cast("double"))
     ).drop(*rank_cols)
+
+
+#: Natural log of 2 as a SHARED literal (Spark + oracle SQL) — entropy
+#: is computed in nats from integer counts and converted to bits with
+#: one portable divide, never a per-engine libm log2.
+_LN2 = 0.6931471805599453
+
+#: Base64/hex/token-ish charset a credential scanner screens for.
+SECRET_CHARSET_REGEX = r"^[A-Za-z0-9+/=_\-]+$"
+
+
+def secret_token_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 16,
+    entropy_bits: float = 3.5,
+    emit: str = "summary",
+    ln_scale: int = 6,
+) -> DataFrame:
+    """High-entropy token scan — the credential/API-key leak detector a
+    pretraining corpus runs alongside PII scrubbing (the technique
+    behind detect-secrets-style scanners: a random base64/hex secret
+    has near-maximal character Shannon entropy, while natural-language
+    words of the same length sit far lower).
+
+    Candidates are whitespace tokens of ``len >= min_len`` fully
+    matching :data:`SECRET_CHARSET_REGEX`. Per DISTINCT candidate
+    string the character entropy ``H = ln n - (1/n) Σ c_i ln c_i``
+    (c_i = per-character counts) is computed once, converted to bits
+    via the shared ``ln 2`` literal, and flagged when
+    ``>= entropy_bits``. Output:
+
+    - ``emit="summary"`` (default): one row per document WITH at least
+      one candidate — ``(id, n_candidates, n_flagged,
+      max_entropy_bits)`` over the doc's distinct candidate strings;
+    - ``emit="tokens"``: the scrub worklist —
+      ``(id, token, token_len, entropy_bits, flagged)`` per distinct
+      (document, candidate) pair.
+
+    Portability: per-character contributions are
+    ``c_i × round(ln c_i, ln_scale)`` quantized to BIGINT (exact
+    integer sums), plus one ``round(ln n, ln_scale)`` term — the
+    x96/x108 fixed-point pattern; the bits conversion and 6-decimal
+    output rounding are identical double expressions on both engines.
+
+    Scale: the length/charset filter prunes at the scan; candidates
+    dedupe to DISTINCT STRINGS before the character explode, so a key
+    pasted into 10^6 documents costs one entropy computation and the
+    char explode is bounded by |distinct candidates| × token length;
+    the doc join-back is a token-keyed equi-join (AQE broadcasts small
+    candidate vocabularies).
+    """
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    if emit not in ("summary", "tokens"):
+        raise ValueError("emit must be 'summary' or 'tokens'")
+    if not 0 < ln_scale <= 9:
+        raise ValueError("ln_scale must be in (0, 9]")
+    q = float(10**ln_scale)
+
+    cand = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+            ).alias("token"),
+        )
+        .filter(
+            (F.length("token") >= F.lit(int(min_len)))
+            & F.col("token").rlike(SECRET_CHARSET_REGEX)
+        )
+        .distinct()
+    )
+    chars = (
+        cand.select("token")
+        .distinct()
+        .select(
+            "token",
+            F.length("token").cast("bigint").alias("__n"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(token)),"
+                    " i -> substring(token, i, 1))"
+                )
+            ).alias("__ch"),
+        )
+        .groupBy("token", "__n", "__ch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    contrib = (
+        F.col("__c")
+        * F.round(F.round(F.log("__c"), ln_scale) * F.lit(q)).cast("bigint")
+    )
+    ent = chars.groupBy("token", "__n").agg(
+        F.sum(contrib).cast("bigint").alias("__s")
+    )
+    bits = F.round(
+        (
+            F.round(F.log("__n"), ln_scale)
+            - F.col("__s").cast("double") / (F.col("__n").cast("double") * F.lit(q))
+        )
+        / F.lit(_LN2),
+        ln_scale,
+    )
+    scored = cand.join(
+        ent.select(
+            "token",
+            F.col("__n").alias("token_len"),
+            bits.alias("entropy_bits"),
+        ),
+        "token",
+    ).select(
+        id_col,
+        "token",
+        "token_len",
+        "entropy_bits",
+        (F.col("entropy_bits") >= F.lit(float(entropy_bits))).alias(
+            "flagged"
+        ),
+    )
+    if emit == "tokens":
+        return scored
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.max("entropy_bits").alias("max_entropy_bits"),
+    )

@@ -8,6 +8,10 @@ the TOML plugin surface. Modes (option ``method``):
 
 - ``pii_scrub`` (default): redact URL/email/IP/phone spans in ``column``
   (in place, or into ``out_column``).
+- ``secret_scan``: high-entropy token scan (credential/API-key leak
+  detector) — per-doc summary or per-token worklist (``emit =
+  "summary" | "tokens"``); options ``min_len`` (default 16),
+  ``entropy_bits`` (default 3.5).
 - ``html_to_text``: WET-style plain-text extraction from raw HTML in
   ``column`` (in place, or into ``out_column``) — strip comments and
   script/style/head blocks, break tags to newlines, decode common
@@ -117,6 +121,18 @@ class CuratePlugin(SiblingAwareTransformPlugin):
         method = self.options.get("method", "pii_scrub")
         column = self.options.get("column", "text")
         id_column = self.options.get("id_column", "doc_id")
+
+        if method == "secret_scan":
+            from cryoflow_spark.functions.curation import secret_token_scan
+
+            return secret_token_scan(
+                data,
+                text_col=column,
+                id_col=id_column,
+                min_len=int(self.options.get("min_len", 16)),
+                entropy_bits=float(self.options.get("entropy_bits", 3.5)),
+                emit=str(self.options.get("emit", "summary")),
+            )
 
         if method == "pii_scrub":
             out = self.options.get("out_column", column)

@@ -95,15 +95,17 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: 3) New r7 operators (x100 PQ ADC, x101 water-fill floors, x102
 #:    IVF-PQ, x103 minhash audit, x104 ingest freshness, x105 training
 #:    order, x106 vocab coverage, x107 IVF cell stats, x108 bigram
-#:    cross-entropy, x109 PMI collocations, x110 FK integrity) — never
-#:    driver-checked.
+#:    cross-entropy, x109 PMI collocations, x110 FK integrity, x111
+#:    secret scan) — never driver-checked.
 #: 4) The stalest r4-cohort sentinels (last driver-green in round 4 —
-#:    three rounds stale). 30 slots remain for the 49-query cohort; the
-#:    19 deferred to r8 are each the member of a twin pair whose
+#:    three rounds stale). 29 slots remain for the 49-query cohort; the
+#:    20 deferred to r8 are each the member of a twin pair whose
 #:    sibling ran green in r5/r6 on the same code path (x03~x04
 #:    jaccard, x05~x41/x27 brute-force topk, x07~x06 hyperplane LSH,
 #:    x13/x14~x12 multimodal, x22~x64 packing contract, x23~x66
-#:    fixed-IVF, x26~x59 repetition, x27~x05/x41, x28~x58/x85 source
+#:    fixed-IVF, x25~x55 decontamination (the Bloom mode ends in the
+#:    same exact n-gram confirm join, D6-green), x26~x59 repetition,
+#:    x27~x05/x41, x28~x58/x85 source
 #:    rebalance, x29~x32 chunker path (frequent-segment removal chunks
 #:    via the same splitter), x30~x70/x89 md5-order draws, x33~x53
 #:    incremental minhash, x34~x99 per-group caps, x35~x96/x21
@@ -126,8 +128,8 @@ _PRIORITY: list[str] = [
     "x103_minhash_audit", "x104_ingest_freshness",
     "x105_training_order", "x106_vocab_coverage",
     "x107_ivf_cell_stats", "x108_bigram_cross_entropy",
-    "x109_pmi_collocations", "x110_fk_integrity",
-    # r4-cohort sentinels, three rounds stale (30 of 49)
+    "x109_pmi_collocations", "x110_fk_integrity", "x111_secret_scan",
+    # r4-cohort sentinels, three rounds stale (29 of 49)
     "q01_pricing_summary", "q25_asof_join", "q30_string_cleanup",
     "q32_rank_family", "q33_conditional_aggs", "q34_date_vocabulary",
     "q35_approx_distinct", "q37_null_handling", "q38_cube_order_stats",
@@ -139,7 +141,7 @@ _PRIORITY: list[str] = [
     "q56_latest_per_key",
     "x01_dedup_exact",
     "x16_simhash_pairs", "x17_sessionize",
-    "x24_pii_scrub", "x25_decontaminate",
+    "x24_pii_scrub",
     "x40_ngram_novelty",
     # positions 51+: the deferred twins (r8 window head) in
     # registration-family order, still runnable/benchable — each
@@ -147,7 +149,8 @@ _PRIORITY: list[str] = [
     # r5/r6-green sibling on its code path (see the window comment)
     "x03_jaccard_pairs", "x05_cosine_topk", "x07_lsh_cosine_topk",
     "x13_multimodal_features", "x14_frame_sample", "x22_token_shards",
-    "x23_ivf_fixed_topk", "x26_repetition_stats", "x27_quantized_topk",
+    "x23_ivf_fixed_topk", "x25_decontaminate", "x26_repetition_stats",
+    "x27_quantized_topk",
     "x28_source_mix", "x29_chunk_documents", "x30_weighted_sample",
     "x33_incremental_dedup",
     "x34_domain_cap", "x35_corpus_freq_score", "x36_dedup_segments",

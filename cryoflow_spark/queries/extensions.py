@@ -5429,3 +5429,58 @@ def x110_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         for fact, fk, dim, dk in _X110_FKS
     ]
     return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+# --- x111: high-entropy secret-token scan (oracle-checked) ------------------
+
+
+@register(
+    "x111_secret_scan",
+    r"""
+    WITH cand AS (
+      SELECT DISTINCT doc_id, tok AS token FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x != '')) AS tok
+        FROM documents WHERE text IS NOT NULL)
+      WHERE len(tok) >= 5 AND regexp_matches(tok, '^[A-Za-z0-9+/=_\-]+$')
+    ),
+    chars AS (
+      SELECT token, n, ch, COUNT(*)::BIGINT AS c FROM (
+        SELECT token, len(token)::BIGINT AS n,
+               unnest(list_transform(generate_series(1, len(token)),
+                                     i -> substring(token, i, 1))) AS ch
+        FROM (SELECT DISTINCT token FROM cand))
+      GROUP BY 1, 2, 3
+    ),
+    ent AS (
+      SELECT token, n,
+             SUM(c * CAST(ROUND(ROUND(LN(c), 6) * 1000000.0) AS BIGINT))
+               ::BIGINT AS s
+      FROM chars GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT cand.doc_id,
+             ROUND((ROUND(LN(ent.n), 6)
+                    - s::DOUBLE / (n::DOUBLE * 1000000.0))
+                   / 0.6931471805599453, 6) AS entropy_bits
+      FROM cand JOIN ent ON cand.token = ent.token
+    )
+    SELECT doc_id, COUNT(*)::BIGINT AS n_candidates,
+           SUM(CASE WHEN entropy_bits >= 2.0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_flagged,
+           MAX(entropy_bits) AS max_entropy_bits
+    FROM scored GROUP BY doc_id
+    """,
+    "High-entropy token scan (detect-secrets-style credential leak "
+    "detector): per doc, candidate tokens >= min_len in the base64-ish "
+    "charset, char Shannon entropy per DISTINCT string (fixed-point "
+    "integer sums), flags >= threshold bits — demo parameters "
+    "min_len=5 / 2.0 bits sized to the synthetic corpus (production "
+    "defaults 16 / 3.5)",
+)
+def x111_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.curation import secret_token_scan
+
+    d = load(spark, sf_dir, "documents")
+    return secret_token_scan(d, min_len=5, entropy_bits=2.0)
