@@ -1477,3 +1477,58 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(int(top_n))
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    labels: tuple = ("head", "middle", "tail"),
+    lowercase: bool = True,
+    ln_scale: int = 6,
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): score every
+    document's unigram cross-entropy against a REFERENCE (target-
+    domain) corpus, then split each ``group_col`` slice into equal
+    quantile buckets of the score — ``head`` (reads most like the
+    reference), ``middle``, ``tail`` (most out-of-distribution). The
+    per-language head/middle/tail split is the canonical crawl-
+    curation knob: train on head+middle, drop or down-weight tail.
+
+    Bucketing uses ``percent_rank`` over the deterministic total order
+    ``(cross_entropy, id)`` within each group: bucket ``i`` is
+    ``pr · k < i+1`` — engine-portable because the rank fractions are
+    exact ``(rank-1)/(n-1)`` doubles over an identical order (no
+    ntile row-numbering ambiguity, no quantile interpolation).
+
+    Output: ``(id, group, n_tokens, cross_entropy, bucket)``.
+
+    Scale: the scoring pass is x96's shape (vocab-keyed agg + token
+    equi-join + per-doc integer sums); bucketing adds ONE window
+    partitioned by the group — no global sort, no unpartitioned spec.
+    """
+    if len(labels) < 2:
+        raise ValueError("labels must name at least 2 buckets")
+    from pyspark.sql import Window
+
+    scored = cross_entropy_score(
+        df, ref_df, text_col=text_col, id_col=id_col,
+        lowercase=lowercase, ln_scale=ln_scale,
+    )
+    groups = df.select(F.col(id_col), F.col(group_col))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("cross_entropy").asc(), F.col(id_col).asc()
+    )
+    k = len(labels)
+    prk = F.percent_rank().over(w) * F.lit(float(k))
+    bucket = F.lit(labels[-1])
+    for i in range(k - 1, 0, -1):
+        bucket = F.when(prk < F.lit(float(i)), F.lit(labels[i - 1])).otherwise(
+            bucket
+        )
+    return scored.join(groups, id_col).select(
+        id_col, group_col, "n_tokens", "cross_entropy",
+        bucket.alias("bucket"),
+    )

@@ -55,6 +55,11 @@ the TOML plugin surface. Modes (option ``method``):
   (default) scores unigrams, ``order = 2`` the order-sensitive
   conditional bigram model that catches shuffled/keyword-stuffed
   text; output ``(id, n_tokens|n_bigrams, ..._cross_entropy)``.
+- ``ccnet_buckets``: the CCNet head/middle/tail split — per-
+  ``group_column`` percent-rank buckets of the unigram cross-entropy
+  against the REFERENCE corpus on sibling ``ref_label``; options
+  ``group_column`` (default ``lang``), ``labels`` (default
+  head/middle/tail).
 - ``ensemble_rank``: combine several heterogeneous ``score_columns``
   into one ``out_column`` (default ``ensemble_score``) as the mean of
   each row's within-``group_by`` quantile positions — scale-free score
@@ -325,6 +330,20 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 id_col=id_column,
                 chunk_size=int(self.options.get("chunk_size", 500)),
                 overlap=int(self.options.get("overlap", 100)),
+            )
+
+        if method == "ccnet_buckets":
+            from cryoflow_spark.functions.text import ccnet_buckets
+
+            ref = self.sibling_frame(self.require_option("ref_label"))
+            labels = self.options.get("labels")
+            return ccnet_buckets(
+                data,
+                ref,
+                text_col=column,
+                id_col=id_column,
+                group_col=self.options.get("group_column", "lang"),
+                labels=tuple(labels) if labels else ("head", "middle", "tail"),
             )
 
         if method == "cross_entropy":

@@ -96,10 +96,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:    IVF-PQ, x103 minhash audit, x104 ingest freshness, x105 training
 #:    order, x106 vocab coverage, x107 IVF cell stats, x108 bigram
 #:    cross-entropy, x109 PMI collocations, x110 FK integrity, x111
-#:    secret scan) — never driver-checked.
+#:    secret scan, x112 CCNet buckets) — never driver-checked.
 #: 4) The stalest r4-cohort sentinels (last driver-green in round 4 —
-#:    three rounds stale). 29 slots remain for the 49-query cohort; the
-#:    20 deferred to r8 are each the member of a twin pair whose
+#:    three rounds stale). 28 slots remain for the 49-query cohort; the
+#:    21 deferred to r8 are each the member of a twin pair whose
 #:    sibling ran green in r5/r6 on the same code path (x03~x04
 #:    jaccard, x05~x41/x27 brute-force topk, x07~x06 hyperplane LSH,
 #:    x13/x14~x12 multimodal, x22~x64 packing contract, x23~x66
@@ -112,7 +112,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:    corpus-scorer joins, x36~x32 segment dedup, x37~x52/x84
 #:    profiling, x38~x20/x71 connected-components path (the
 #:    leakage-safe split rides the same CC code, D6-green), x39~x88/
-#:    x91 snapshot diff family).
+#:    x91 snapshot diff family, x40~x32 word-gram explode path
+#:    (frequent-segment removal rides the same gram machinery,
+#:    D5/D6-green)).
 #: The rows-only instruments (engine-mode minhash twins and the three
 #: approx profiling twins; no oracles by design) stay OUT of the window.
 _PRIORITY: list[str] = [
@@ -129,7 +131,8 @@ _PRIORITY: list[str] = [
     "x105_training_order", "x106_vocab_coverage",
     "x107_ivf_cell_stats", "x108_bigram_cross_entropy",
     "x109_pmi_collocations", "x110_fk_integrity", "x111_secret_scan",
-    # r4-cohort sentinels, three rounds stale (29 of 49)
+    "x112_ccnet_buckets",
+    # r4-cohort sentinels, three rounds stale (28 of 49)
     "q01_pricing_summary", "q25_asof_join", "q30_string_cleanup",
     "q32_rank_family", "q33_conditional_aggs", "q34_date_vocabulary",
     "q35_approx_distinct", "q37_null_handling", "q38_cube_order_stats",
@@ -142,7 +145,6 @@ _PRIORITY: list[str] = [
     "x01_dedup_exact",
     "x16_simhash_pairs", "x17_sessionize",
     "x24_pii_scrub",
-    "x40_ngram_novelty",
     # positions 51+: the deferred twins (r8 window head) in
     # registration-family order, still runnable/benchable — each
     # displaced by a never-driver-checked r7 operator, each with an
@@ -155,7 +157,7 @@ _PRIORITY: list[str] = [
     "x33_incremental_dedup",
     "x34_domain_cap", "x35_corpus_freq_score", "x36_dedup_segments",
     "x37_profile_columns", "x38_leakage_safe_split",
-    "x39_snapshot_diff",
+    "x39_snapshot_diff", "x40_ngram_novelty",
 ]
 
 

@@ -5484,3 +5484,72 @@ def x111_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return secret_token_scan(d, min_len=5, entropy_bits=2.0)
+
+
+# --- x112: CCNet head/middle/tail buckets (oracle-checked) ------------------
+
+
+@register(
+    "x112_ccnet_buckets",
+    r"""
+    WITH ref AS (
+      SELECT lower(t) AS tok, COUNT(*)::BIGINT AS cref
+      FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x != '')) AS t
+        FROM documents WHERE doc_id < 250 AND text IS NOT NULL
+      ) GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(cref)::BIGINT AS nref, COUNT(*)::BIGINT AS vref FROM ref
+    ),
+    doc_toks AS (
+      SELECT doc_id, lower(t) AS tok
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x != '')) AS t
+        FROM documents WHERE doc_id >= 250 AND text IS NOT NULL
+      )
+    ),
+    contrib AS (
+      SELECT d.doc_id,
+             CAST(ROUND(ROUND(LN((COALESCE(ref.cref, 0) + 1)::DOUBLE
+                    / (tot.nref + tot.vref + 1)::DOUBLE), 6)
+                  * 1000000.0) AS BIGINT) AS c
+      FROM doc_toks d
+      LEFT JOIN ref ON d.tok = ref.tok
+      CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT doc_id,
+             COUNT(*)::BIGINT AS n_tokens,
+             (0.0 - SUM(c)::DOUBLE / 1000000.0)
+               / COUNT(*)::DOUBLE AS cross_entropy
+      FROM contrib GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT s.doc_id, d.lang, s.n_tokens, s.cross_entropy,
+             PERCENT_RANK() OVER (PARTITION BY d.lang
+               ORDER BY s.cross_entropy, s.doc_id) * 3.0 AS prk
+      FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, n_tokens, cross_entropy,
+           CASE WHEN prk < 1.0 THEN 'head'
+                WHEN prk < 2.0 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+    "CCNet head/middle/tail quality buckets (Wenzek et al. 2020): "
+    "per-language percent_rank terciles of the unigram cross-entropy "
+    "vs the reference half — the canonical crawl-curation split; "
+    "deterministic (score, id) total order, ONE group-partitioned "
+    "window on top of x96's scoring shape",
+)
+def x112_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.text import ccnet_buckets
+
+    d = load(spark, sf_dir, "documents")
+    return ccnet_buckets(
+        d.filter(F.col("doc_id") >= 250), d.filter(F.col("doc_id") < 250)
+    )

@@ -4505,3 +4505,49 @@ class TestSecretTokenScan:
             secret_token_scan(df, min_len=1)
         with pytest.raises(ValueError, match="emit"):
             secret_token_scan(df, emit="bogus")
+
+
+class TestCcnetBuckets:
+    def test_tercile_sizes_and_ordering(self, spark):
+        from cryoflow_spark.functions.text import ccnet_buckets
+
+        ref = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        # 9 docs per lang with increasing OOV fraction -> increasing CE
+        rows = []
+        for g, lang in enumerate(["en", "de"]):
+            for i in range(9):
+                known = "the quick brown fox " * (9 - i)
+                oov = f"zz{g}q{i} " * i
+                rows.append((g * 100 + i, lang, (known + oov).strip()))
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        out = ccnet_buckets(df, ref).collect()
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r["lang"], []).append(r)
+        for lang, rs in by_lang.items():
+            counts = {"head": 0, "middle": 0, "tail": 0}
+            for r in rs:
+                counts[r["bucket"]] += 1
+            assert counts == {"head": 3, "middle": 3, "tail": 3}, (lang, counts)
+            # bucket order must follow the CE order
+            rs.sort(key=lambda r: (r["cross_entropy"], r["doc_id"]))
+            assert [r["bucket"] for r in rs] == (
+                ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+            )
+
+    def test_custom_labels_and_validation(self, spark):
+        import pytest
+        from cryoflow_spark.functions.text import ccnet_buckets
+
+        ref = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        df = spark.createDataFrame(
+            [(i, "en", "a b zz" if i % 2 else "a b c") for i in range(4)],
+            "doc_id long, lang string, text string",
+        )
+        out = ccnet_buckets(df, ref, labels=("keep", "drop")).collect()
+        assert {r["bucket"] for r in out} == {"keep", "drop"}
+        with pytest.raises(ValueError, match="labels"):
+            ccnet_buckets(df, ref, labels=("only",))

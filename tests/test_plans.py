@@ -173,6 +173,9 @@ def test_no_cartesian_products(all_plans):
         # 1-row (total tokens, total bigrams) scalar crossJoin(broadcast)
         # into the min_count-filtered pair table — same scalar pattern.
         "x109_pmi_collocations",
+        # composes x96's scorer — the same 1-row reference-totals
+        # scalar crossJoin(broadcast) into the exploded token stream.
+        "x112_ccnet_buckets",
         # 1-row corpus-total scalar crossJoin(broadcast) into the
         # (group, token) term table — same scalar pattern.
         "x92_group_js_divergence",
