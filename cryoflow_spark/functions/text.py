@@ -1532,3 +1532,59 @@ def ccnet_buckets(
         id_col, group_col, "n_tokens", "cross_entropy",
         bucket.alias("bucket"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group tokenizer fertility / compression report — the
+    "how efficiently does the tokenizer encode each language" table
+    that drives multilingual mix decisions (a high-fertility language
+    pays more tokens per word, so a token-budgeted mix under-samples
+    its CONTENT even at equal token counts; cf. the fertility metric
+    in multilingual tokenizer studies, e.g. Rust et al. 2021).
+
+    Counts words (whitespace tokens), BPE-style pre-tokens
+    (:func:`bpe_token_count` — the budgeting unit), and characters,
+    then derives:
+
+    - ``fertility`` = tokens / words (subword splits per word),
+    - ``chars_per_token`` = chars / tokens (compression),
+    - ``tokens_per_doc`` = tokens / docs.
+
+    All ratios are 6-decimal rounds of exact-integer divides —
+    engine-portable. Scale: one narrow JVM map (regex counts, no
+    explode, no UDF) + one group-keyed aggregation with map-side
+    partials; output is |groups| rows.
+    """
+    counts = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(group_col),
+        token_count(text_col).alias("__w"),
+        bpe_token_count(text_col).alias("__t"),
+        char_count(text_col).alias("__c"),
+    )
+    agg = counts.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum("__w").cast("bigint").alias("words"),
+        F.sum("__t").cast("bigint").alias("tokens"),
+        F.sum("__c").cast("bigint").alias("chars"),
+    )
+
+    def ratio(num, den):
+        return F.when(
+            F.col(den) > 0,
+            F.round(F.col(num).cast("double") / F.col(den).cast("double"), 6),
+        ).otherwise(F.lit(0.0))
+
+    return agg.select(
+        group_col,
+        "docs",
+        "words",
+        "tokens",
+        "chars",
+        ratio("tokens", "words").alias("fertility"),
+        ratio("chars", "tokens").alias("chars_per_token"),
+        ratio("tokens", "docs").alias("tokens_per_doc"),
+    )

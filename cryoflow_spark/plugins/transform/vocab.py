@@ -31,6 +31,9 @@ Options:
   pointwise mutual information with a ``min_count`` noise floor
   (Church & Hanks 1990) — multiword-expression / boilerplate-phrase
   discovery.
+- ``method = "fertility"`` — per-``group_column`` tokenizer fertility
+  / compression report (tokens per word, chars per token, tokens per
+  doc) — the multilingual token-budget fairness signal.
 """
 
 from __future__ import annotations
@@ -88,6 +91,14 @@ class VocabPlugin(AnalyzedTransformPlugin):
                 group_col=self.options.get("group_column", "lang"),
                 top_n=int(self.options.get("top_n", 1000)),
                 lowercase=bool(self.options.get("lowercase", True)),
+            )
+        if self.options.get("method") == "fertility":
+            from cryoflow_spark.functions.text import tokenizer_fertility
+
+            return tokenizer_fertility(
+                data,
+                text_col=self.options.get("column", "text"),
+                group_col=self.options.get("group_column", "lang"),
             )
         if self.options.get("method") == "pmi":
             from cryoflow_spark.functions.text import pmi_collocations

@@ -5553,3 +5553,55 @@ def x112_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_buckets(
         d.filter(F.col("doc_id") >= 250), d.filter(F.col("doc_id") < 250)
     )
+
+
+# --- x113: tokenizer fertility report (oracle-checked) ----------------------
+
+
+def _x113_oracle() -> str:
+    from cryoflow_spark.functions.text import sql_bpe_token_count
+
+    bpe = sql_bpe_token_count("text")
+    words = (
+        r"CAST(len(list_filter(string_split_regex(text, '\s+'),"
+        r" x -> x != '')) AS BIGINT)"
+    )
+    return f"""
+    WITH counts AS (
+      SELECT lang, {words} AS w, {bpe} AS t,
+             CAST(length(text) AS BIGINT) AS c
+      FROM documents WHERE text IS NOT NULL
+    ),
+    agg AS (
+      SELECT lang, COUNT(*)::BIGINT AS docs, SUM(w)::BIGINT AS words,
+             SUM(t)::BIGINT AS tokens, SUM(c)::BIGINT AS chars
+      FROM counts GROUP BY lang
+    )
+    SELECT lang, docs, words, tokens, chars,
+           CASE WHEN words > 0
+                THEN ROUND(tokens::DOUBLE / words::DOUBLE, 6)
+                ELSE 0.0 END AS fertility,
+           CASE WHEN tokens > 0
+                THEN ROUND(chars::DOUBLE / tokens::DOUBLE, 6)
+                ELSE 0.0 END AS chars_per_token,
+           CASE WHEN docs > 0
+                THEN ROUND(tokens::DOUBLE / docs::DOUBLE, 6)
+                ELSE 0.0 END AS tokens_per_doc
+    FROM agg
+    """
+
+
+@register(
+    "x113_tokenizer_fertility",
+    _x113_oracle(),
+    "Per-language tokenizer fertility / compression report (tokens per "
+    "word, chars per token, tokens per doc from exact integer counts) — "
+    "the multilingual-mix signal that a token budget under-samples "
+    "high-fertility languages' content; one narrow JVM map + one "
+    "group-keyed agg, no explode",
+)
+def x113_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.text import tokenizer_fertility
+
+    d = load(spark, sf_dir, "documents")
+    return tokenizer_fertility(d)

@@ -4551,3 +4551,34 @@ class TestCcnetBuckets:
         assert {r["bucket"] for r in out} == {"keep", "drop"}
         with pytest.raises(ValueError, match="labels"):
             ccnet_buckets(df, ref, labels=("only",))
+
+
+class TestTokenizerFertility:
+    def test_hand_counts(self, spark):
+        from cryoflow_spark.functions.text import tokenizer_fertility
+
+        df = spark.createDataFrame(
+            [(1, "en", "don't stop"),      # words=2, bpe: don 't stop = 3
+             (2, "en", "hello world"),     # words=2, bpe=2
+             (3, "de", "übermäßig gut"),   # non-ASCII run counts once per run
+             (4, "de", None)],
+            "doc_id long, lang string, text string",
+        )
+        rows = {r["lang"]: r for r in tokenizer_fertility(df).collect()}
+        en = rows["en"]
+        assert en["docs"] == 2 and en["words"] == 4
+        assert en["tokens"] == 5       # don,'t,stop + hello,world => 3+2
+        assert en["chars"] == 10 + 11
+        assert en["fertility"] == round(5 / 4, 6)
+        assert en["chars_per_token"] == round(21 / 5, 6)
+        assert en["tokens_per_doc"] == 2.5
+        assert "de" in rows and rows["de"]["docs"] == 1  # NULL text dropped
+
+    def test_empty_group_safe(self, spark):
+        from cryoflow_spark.functions.text import tokenizer_fertility
+
+        df = spark.createDataFrame(
+            [(1, "en", "")], "doc_id long, lang string, text string"
+        )
+        row = tokenizer_fertility(df).collect()[0]
+        assert row["words"] == 0 and row["fertility"] == 0.0

@@ -1157,6 +1157,19 @@ def test_vocab_pmi_plugin(spark):
     assert set(out.columns) == {"w1", "w2", "pair_count", "pmi"}
 
 
+def test_vocab_fertility_plugin(spark):
+    from cryoflow_spark.plugins.transform import VocabPlugin
+
+    df = spark.createDataFrame(
+        [(1, "en", "hello world"), (2, "en", "don't")],
+        "doc_id long, lang string, text string",
+    )
+    out = _run(VocabPlugin({"method": "fertility"}), df)
+    row = out.collect()[0]
+    assert row["words"] == 3 and row["tokens"] == 4  # hello,world + don,'t
+    assert row["fertility"] == round(4 / 3, 6)
+
+
 def test_profile_referential_plugin_via_sibling_label(spark):
     from cryoflow_spark.core.result import Success
     from cryoflow_spark.plugins.transform import ProfilePlugin
