@@ -331,3 +331,82 @@ def snapshot_containment(
             s / (c + b - s),
         ).alias("jaccard"),
     )
+
+
+def profile_drift(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    columns=None,
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Column-level drift report between two dataset snapshots — the
+    schema/quality regression gate a lake runs on every new dump: one
+    row per column with BOTH sides' profile stats
+    (:func:`cryoflow_spark.functions.profiling.profile_columns`:
+    rows, nulls, exact-or-HLL distincts, numeric/epoch min-max), a
+    ``status`` of ``common`` / ``added`` / ``removed`` (schema drift
+    falls out of the full-outer join on column name), and the drift
+    deltas: ``null_rate_delta`` (6-decimal rates from exact integer
+    counts) and ``distinct_delta``. A new dump whose ``lang`` column
+    suddenly gains 30% NULLs or loses half its distinct values fails
+    review here, before any training job reads it.
+
+    Scale: each side is ONE aggregation pass (profile_columns —
+    ``exact=False`` for the Expand-free HLL mode at 100 TB); the join
+    is |columns| × |columns| rows — trivially broadcast.
+    """
+    from cryoflow_spark.functions.profiling import profile_columns
+
+    def side(df, prefix):
+        p = profile_columns(df, columns=columns, exact=exact, rsd=rsd)
+        return p.select(
+            "col_name",
+            *[
+                F.col(c).alias(f"{prefix}_{c.replace('n_', '', 1) if c.startswith('n_') else c}")
+                for c in ("n_rows", "n_nulls", "n_distinct")
+            ],
+            F.col("min_num").alias(f"{prefix}_min"),
+            F.col("max_num").alias(f"{prefix}_max"),
+        )
+
+    old_p = side(old_df, "old")
+    new_p = side(new_df, "new")
+    j = new_p.join(old_p, "col_name", "full_outer")
+
+    def rate(nulls, rows):
+        return F.when(
+            F.col(rows) > 0,
+            F.round(F.col(nulls).cast("double") / F.col(rows).cast("double"), 6),
+        ).otherwise(F.lit(0.0))
+
+    new_present = F.col("new_rows").isNotNull()
+    old_present = F.col("old_rows").isNotNull()
+    old_rate = rate("old_nulls", "old_rows")
+    new_rate = rate("new_nulls", "new_rows")
+    return j.select(
+        "col_name",
+        F.when(new_present & old_present, F.lit("common"))
+        .when(new_present, F.lit("added"))
+        .otherwise(F.lit("removed"))
+        .alias("status"),
+        "old_rows",
+        "new_rows",
+        "old_nulls",
+        "new_nulls",
+        F.when(old_present, old_rate).alias("old_null_rate"),
+        F.when(new_present, new_rate).alias("new_null_rate"),
+        F.when(new_present & old_present, new_rate - old_rate).alias(
+            "null_rate_delta"
+        ),
+        "old_distinct",
+        "new_distinct",
+        F.when(
+            new_present & old_present,
+            (F.col("new_distinct") - F.col("old_distinct")).cast("bigint"),
+        ).alias("distinct_delta"),
+        "old_min",
+        "new_min",
+        "old_max",
+        "new_max",
+    )

@@ -37,6 +37,12 @@ domain-similarity gate for data-mixture work.
 ``old_label`` sibling is the BASELINE, and the output is one row
 ``(n_current, n_baseline, n_bins, psi)`` over fixed equal-width bins of
 ``column`` (required explicit ``lo``/``hi``; ``bins`` default 10).
+
+``mode = "profile"`` switches to the column-profile drift gate
+(:func:`...diff.profile_drift`): one row per column with both sides'
+rows/nulls/distincts/min-max, ``added``/``removed`` schema status, and
+null-rate / distinct deltas (``exact = false`` for the HLL 100 TB
+mode).
 """
 
 from __future__ import annotations
@@ -57,6 +63,17 @@ class SnapshotDiffPlugin(SiblingAwareTransformPlugin):
         )
 
         old = self.sibling_frame(self.require_option("old_label"))
+        if self.options.get("mode") == "profile":
+            from cryoflow_spark.functions.diff import profile_drift
+
+            columns = self.options.get("columns")
+            return profile_drift(
+                data,
+                old,
+                columns=list(columns) if columns else None,
+                exact=bool(self.options.get("exact", True)),
+                rsd=float(self.options.get("rsd", 0.05)),
+            )
         if self.options.get("mode") == "containment":
             from cryoflow_spark.functions.diff import snapshot_containment
 

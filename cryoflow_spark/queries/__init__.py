@@ -96,13 +96,15 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:    IVF-PQ, x103 minhash audit, x104 ingest freshness, x105 training
 #:    order, x106 vocab coverage, x107 IVF cell stats, x108 bigram
 #:    cross-entropy, x109 PMI collocations, x110 FK integrity, x111
-#:    secret scan, x112 CCNet buckets, x113 tokenizer fertility) —
-#:    never driver-checked.
+#:    secret scan, x112 CCNet buckets, x113 tokenizer fertility, x114
+#:    profile drift) — never driver-checked.
 #: 4) The stalest r4-cohort sentinels (last driver-green in round 4 —
-#:    three rounds stale). 27 slots remain for the 49-query cohort; the
-#:    22 deferred to r8 are each the member of a twin pair whose
-#:    sibling ran green in r5/r6 on the same code path (x03~x04
-#:    jaccard, x05~x41/x27 brute-force topk, x07~x06 hyperplane LSH,
+#:    three rounds stale). 26 slots remain for the 49-query cohort; the
+#:    23 deferred to r8 are each the member of a twin pair whose
+#:    sibling ran green in r5/r6 on the same code path (x01~x02
+#:    normalized-key exact dedup (same keyed-agg path, r5-green),
+#:    x03~x04 jaccard, x05~x41/x27 brute-force topk, x07~x06
+#:    hyperplane LSH,
 #:    x16~x57 blocked-pair dedup family (simhash pigeonhole blocks ~
 #:    containment inverted index, x57 D6-green),
 #:    x13/x14~x12 multimodal, x22~x64 packing contract, x23~x66
@@ -135,7 +137,8 @@ _PRIORITY: list[str] = [
     "x107_ivf_cell_stats", "x108_bigram_cross_entropy",
     "x109_pmi_collocations", "x110_fk_integrity", "x111_secret_scan",
     "x112_ccnet_buckets", "x113_tokenizer_fertility",
-    # r4-cohort sentinels, three rounds stale (27 of 49)
+    "x114_profile_drift",
+    # r4-cohort sentinels, three rounds stale (26 of 49)
     "q01_pricing_summary", "q25_asof_join", "q30_string_cleanup",
     "q32_rank_family", "q33_conditional_aggs", "q34_date_vocabulary",
     "q35_approx_distinct", "q37_null_handling", "q38_cube_order_stats",
@@ -145,14 +148,14 @@ _PRIORITY: list[str] = [
     "q49_null_safe_join", "q50_unpivot_measures", "q51_gap_fill_spine",
     "q52_bivariate_stats", "q53_fuzzy_part_names", "q55_grouping_sets",
     "q56_latest_per_key",
-    "x01_dedup_exact",
     "x17_sessionize",
     "x24_pii_scrub",
     # positions 51+: the deferred twins (r8 window head) in
     # registration-family order, still runnable/benchable — each
     # displaced by a never-driver-checked r7 operator, each with an
     # r5/r6-green sibling on its code path (see the window comment)
-    "x03_jaccard_pairs", "x05_cosine_topk", "x07_lsh_cosine_topk",
+    "x01_dedup_exact", "x03_jaccard_pairs", "x05_cosine_topk",
+    "x07_lsh_cosine_topk",
     "x13_multimodal_features", "x14_frame_sample", "x16_simhash_pairs",
     "x22_token_shards",
     "x23_ivf_fixed_topk", "x25_decontaminate", "x26_repetition_stats",

@@ -5605,3 +5605,100 @@ def x113_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return tokenizer_fertility(d)
+
+
+# --- x114: snapshot column-profile drift (oracle-checked) -------------------
+
+
+def _x114_side_sql(name: str, table: str, cols) -> str:
+    """Per-column profile rows for one snapshot side (x37's shape)."""
+    rows = []
+    for col, kind in cols:
+        if kind == "num":
+            mn = f"(SELECT CAST(MIN({col}) AS DOUBLE) FROM {table})"
+            mx = f"(SELECT CAST(MAX({col}) AS DOUBLE) FROM {table})"
+        else:
+            mn = "CAST(NULL AS DOUBLE)"
+            mx = "CAST(NULL AS DOUBLE)"
+        rows.append(f"""
+        SELECT '{col}' AS col_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {table})
+                 AS {name}_rows,
+               (SELECT CAST(COUNT(*) - COUNT({col}) AS BIGINT) FROM {table})
+                 AS {name}_nulls,
+               (SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) FROM {table})
+                 AS {name}_distinct,
+               {mn} AS {name}_min, {mx} AS {name}_max
+        """)
+    return " UNION ALL ".join(rows)
+
+
+_X114_NEW_COLS = [
+    ("doc_id", "num"), ("text", "str"), ("lang", "str"),
+    ("source", "str"), ("n_chars", "num"),
+]
+_X114_OLD_COLS = [c for c in _X114_NEW_COLS if c[0] != "n_chars"]
+
+
+def _x114_oracle() -> str:
+    new_side = _x114_side_sql("new", "documents", _X114_NEW_COLS)
+    old_side = _x114_side_sql(
+        "old",
+        "(SELECT doc_id, text, lang, source FROM documents"
+        " WHERE doc_id < 400)",
+        _X114_OLD_COLS,
+    )
+    return f"""
+    WITH new_p AS ({new_side}), old_p AS ({old_side}),
+    j AS (
+      SELECT COALESCE(n.col_name, o.col_name) AS col_name,
+             n.new_rows, n.new_nulls, n.new_distinct, n.new_min, n.new_max,
+             o.old_rows, o.old_nulls, o.old_distinct, o.old_min, o.old_max
+      FROM new_p n FULL OUTER JOIN old_p o ON n.col_name = o.col_name
+    )
+    SELECT col_name,
+           CASE WHEN new_rows IS NOT NULL AND old_rows IS NOT NULL
+                  THEN 'common'
+                WHEN new_rows IS NOT NULL THEN 'added'
+                ELSE 'removed' END AS status,
+           old_rows, new_rows, old_nulls, new_nulls,
+           CASE WHEN old_rows IS NULL THEN NULL
+                WHEN old_rows > 0
+                  THEN ROUND(old_nulls::DOUBLE / old_rows::DOUBLE, 6)
+                ELSE 0.0 END AS old_null_rate,
+           CASE WHEN new_rows IS NULL THEN NULL
+                WHEN new_rows > 0
+                  THEN ROUND(new_nulls::DOUBLE / new_rows::DOUBLE, 6)
+                ELSE 0.0 END AS new_null_rate,
+           CASE WHEN new_rows IS NOT NULL AND old_rows IS NOT NULL THEN
+             (CASE WHEN new_rows > 0
+                THEN ROUND(new_nulls::DOUBLE / new_rows::DOUBLE, 6)
+                ELSE 0.0 END)
+             - (CASE WHEN old_rows > 0
+                THEN ROUND(old_nulls::DOUBLE / old_rows::DOUBLE, 6)
+                ELSE 0.0 END)
+           END AS null_rate_delta,
+           old_distinct, new_distinct,
+           CASE WHEN new_rows IS NOT NULL AND old_rows IS NOT NULL
+                THEN (new_distinct - old_distinct)::BIGINT
+           END AS distinct_delta,
+           old_min, new_min, old_max, new_max
+    FROM j
+    """
+
+
+@register(
+    "x114_profile_drift",
+    _x114_oracle(),
+    "Snapshot column-profile drift gate: per column, both sides' "
+    "rows/nulls/distincts/min-max, added/removed schema status from the "
+    "full-outer join on column name, and null-rate / distinct deltas — "
+    "the dump-to-dump quality regression check; one aggregation pass "
+    "per side, |columns|-row join",
+)
+def x114_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.diff import profile_drift
+
+    d = load(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < 400).drop("n_chars")
+    return profile_drift(d, old)

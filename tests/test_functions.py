@@ -4582,3 +4582,41 @@ class TestTokenizerFertility:
         )
         row = tokenizer_fertility(df).collect()[0]
         assert row["words"] == 0 and row["fertility"] == 0.0
+
+
+class TestProfileDrift:
+    def test_schema_and_rate_drift(self, spark):
+        from cryoflow_spark.functions.diff import profile_drift
+
+        old = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (4, "d", 4.0)],
+            "id long, s string, gone double",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10), (2, None, 20), (3, None, 30), (4, None, 40),
+             (5, "e", 50)],
+            "id long, s string, fresh long",
+        )
+        rows = {r["col_name"]: r for r in profile_drift(new, old).collect()}
+        assert rows["gone"]["status"] == "removed"
+        assert rows["gone"]["new_rows"] is None
+        assert rows["fresh"]["status"] == "added"
+        assert rows["fresh"]["old_null_rate"] is None
+        assert rows["fresh"]["new_min"] == 10.0 and rows["fresh"]["new_max"] == 50.0
+        s = rows["s"]
+        assert s["status"] == "common"
+        assert s["old_null_rate"] == 0.25 and s["new_null_rate"] == 0.6
+        assert abs(s["null_rate_delta"] - 0.35) < 1e-9
+        assert s["distinct_delta"] == 2 - 3
+        i = rows["id"]
+        assert i["old_rows"] == 4 and i["new_rows"] == 5
+        assert i["old_min"] == 1.0 and i["new_max"] == 5.0
+
+    def test_empty_old_side(self, spark):
+        from cryoflow_spark.functions.diff import profile_drift
+
+        new = spark.createDataFrame([(1,)], "id long")
+        old = new.filter("id < 0")
+        row = profile_drift(new, old).collect()[0]
+        assert row["status"] == "common"   # column exists on both sides
+        assert row["old_rows"] == 0 and row["old_null_rate"] == 0.0
