@@ -1588,3 +1588,45 @@ def tokenizer_fertility(
         ratio("chars", "tokens").alias("chars_per_token"),
         ratio("tokens", "docs").alias("tokens_per_doc"),
     )
+
+
+def lang_id_margin(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document language-ID confidence report — the code-switching
+    / mixed-language detector layered on :func:`lang_id`'s stopword-
+    marker voting: ``predicted`` (same tie-break as lang_id), the top
+    and runner-up marker-hit scores, their ``margin`` (a margin of 0
+    with hits means an exact cross-language tie), ``n_langs_hit`` and
+    a 0/1 ``mixed`` flag (markers from >= 2 languages present) — docs
+    a single-label router would mis-file and a multilingual mix wants
+    either split or routed to an 'und' bucket.
+
+    All outputs are exact integers / strings from the same padded
+    whole-token ``contains`` hits as lang_id — engine-portable with no
+    float anywhere. Scale: a pure per-row JVM expression map (no
+    explode, no shuffle, no UDF); the report keeps corpus cardinality.
+    """
+    scores = {
+        code: _marker_hits(text_col, ws).cast("int")
+        for code, ws in LANG_MARKERS.items()
+    }
+    n = len(scores)
+    arr = F.array_sort(F.array(*scores.values()))  # ascending
+    top = F.element_at(arr, n)
+    second = F.element_at(arr, n - 1)
+    n_hit = None
+    for s in scores.values():
+        term = F.when(s > 0, 1).otherwise(0)
+        n_hit = term if n_hit is None else n_hit + term
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        lang_id(text_col).alias("predicted"),
+        top.cast("bigint").alias("top_hits"),
+        second.cast("bigint").alias("second_hits"),
+        (top - second).cast("bigint").alias("margin"),
+        n_hit.cast("bigint").alias("n_langs_hit"),
+        F.when(n_hit >= 2, 1).otherwise(0).cast("bigint").alias("mixed"),
+    )

@@ -12,6 +12,9 @@ the TOML plugin surface. Modes (option ``method``):
   detector) — per-doc summary or per-token worklist (``emit =
   "summary" | "tokens"``); options ``min_len`` (default 16),
   ``entropy_bits`` (default 3.5).
+- ``lang_margin``: per-doc language-ID confidence report (predicted
+  code, top/runner-up marker scores, margin, 0/1 ``mixed``
+  code-switching flag).
 - ``html_to_text``: WET-style plain-text extraction from raw HTML in
   ``column`` (in place, or into ``out_column``) — strip comments and
   script/style/head blocks, break tags to newlines, decode common
@@ -331,6 +334,11 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 chunk_size=int(self.options.get("chunk_size", 500)),
                 overlap=int(self.options.get("overlap", 100)),
             )
+
+        if method == "lang_margin":
+            from cryoflow_spark.functions.text import lang_id_margin
+
+            return lang_id_margin(data, text_col=column, id_col=id_column)
 
         if method == "ccnet_buckets":
             from cryoflow_spark.functions.text import ccnet_buckets

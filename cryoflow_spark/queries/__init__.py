@@ -150,10 +150,14 @@ _PRIORITY: list[str] = [
     "q56_latest_per_key",
     "x17_sessionize",
     "x24_pii_scrub",
-    # positions 51+: the deferred twins (r8 window head) in
-    # registration-family order, still runnable/benchable — each
-    # displaced by a never-driver-checked r7 operator, each with an
-    # r5/r6-green sibling on its code path (see the window comment)
+    # positions 51+ run FIRST in the r8 window. Head: r7 operators
+    # registered after this round's 50 slots filled — never
+    # driver-checked, so they outrank the deferred twins below.
+    "x115_langid_margin",
+    # then the deferred twins in registration-family order, still
+    # runnable/benchable — each displaced by a never-driver-checked
+    # r7 operator, each with an r5/r6-green sibling on its code path
+    # (see the window comment)
     "x01_dedup_exact", "x03_jaccard_pairs", "x05_cosine_topk",
     "x07_lsh_cosine_topk",
     "x13_multimodal_features", "x14_frame_sample", "x16_simhash_pairs",

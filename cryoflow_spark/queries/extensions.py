@@ -5702,3 +5702,56 @@ def x114_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     old = d.filter(F.col("doc_id") < 400).drop("n_chars")
     return profile_drift(d, old)
+
+
+# --- x115: language-ID margin / mixed-language flag (oracle-checked) --------
+
+
+def _x115_oracle() -> str:
+    score_exprs = []
+    for code, words in X.LANG_MARKERS.items():
+        hits = " + ".join(
+            f"(CASE WHEN contains(' ' || text || ' ', ' {w} ')"
+            " THEN 1 ELSE 0 END)"
+            for w in words
+        )
+        score_exprs.append(f"({hits}) AS s_{code}")
+    scores = ", ".join(score_exprs)
+    codes = list(X.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{c}" for c in codes) + ")"
+    cases = " ".join(
+        f"WHEN s_{c} > 0 AND s_{c} = {best} THEN '{c}'"
+        for c in sorted(codes)
+    )
+    arr = "list_sort([" + ", ".join(f"s_{c}" for c in codes) + "])"
+    n = len(codes)
+    hits_sum = " + ".join(
+        f"(CASE WHEN s_{c} > 0 THEN 1 ELSE 0 END)" for c in codes
+    )
+    return f"""
+    SELECT doc_id,
+           CASE {cases} ELSE 'und' END AS predicted,
+           CAST({arr}[{n}] AS BIGINT) AS top_hits,
+           CAST({arr}[{n - 1}] AS BIGINT) AS second_hits,
+           CAST({arr}[{n}] - {arr}[{n - 1}] AS BIGINT) AS margin,
+           CAST({hits_sum} AS BIGINT) AS n_langs_hit,
+           CAST(CASE WHEN ({hits_sum}) >= 2 THEN 1 ELSE 0 END AS BIGINT)
+             AS mixed
+    FROM (SELECT doc_id, text, {scores} FROM documents
+          WHERE text IS NOT NULL)
+    """
+
+
+@register(
+    "x115_langid_margin",
+    _x115_oracle(),
+    "Per-doc language-ID confidence: predicted code plus top/runner-up "
+    "marker-hit scores, margin, languages-hit count and 0/1 mixed flag "
+    "— the code-switching detector a single-label router needs; pure "
+    "per-row integer expressions, no explode/shuffle/UDF",
+)
+def x115_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.text import lang_id_margin
+
+    d = load(spark, sf_dir, "documents")
+    return lang_id_margin(d)

@@ -4620,3 +4620,40 @@ class TestProfileDrift:
         row = profile_drift(new, old).collect()[0]
         assert row["status"] == "common"   # column exists on both sides
         assert row["old_rows"] == 0 and row["old_null_rate"] == 0.0
+
+
+class TestLangIdMargin:
+    def test_hand_scores(self, spark):
+        from cryoflow_spark.functions.text import lang_id_margin
+
+        df = spark.createDataFrame(
+            [(1, "the cat and the dog of to in x"),   # en: 5 markers
+             (2, "the der cat und dog"),              # en 1? the->1, and? no; de: der, und -> 2
+             (3, "nothing here matches markers"),
+             (4, None)],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in lang_id_margin(df).collect()}
+        r1 = rows[1]
+        assert r1["predicted"] == "en" and r1["top_hits"] == 5
+        assert r1["second_hits"] == 0 and r1["margin"] == 5
+        assert r1["n_langs_hit"] == 1 and r1["mixed"] == 0
+        r2 = rows[2]
+        assert r2["predicted"] == "de"  # de 2 hits beats en 1
+        assert r2["top_hits"] == 2 and r2["second_hits"] == 1
+        assert r2["margin"] == 1 and r2["mixed"] == 1
+        r3 = rows[3]
+        assert r3["predicted"] == "und" and r3["top_hits"] == 0
+        assert r3["mixed"] == 0
+        assert 4 not in rows  # NULL text dropped
+
+    def test_exact_tie_has_zero_margin(self, spark):
+        from cryoflow_spark.functions.text import lang_id_margin
+
+        # one en marker + one de marker -> tie, margin 0, mixed
+        df = spark.createDataFrame(
+            [(1, "the der")], "doc_id long, text string"
+        )
+        r = lang_id_margin(df).collect()[0]
+        assert r["margin"] == 0 and r["mixed"] == 1
+        assert r["predicted"] == "de"  # alphabetical tie-break
