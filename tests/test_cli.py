@@ -175,6 +175,7 @@ class TestExamples:
             "examples/web_crawl_curation.toml",
             "examples/training_release.toml",
             "examples/corpus_analytics.toml",
+            "examples/corpus_hygiene.toml",
             "examples/third_party_plugin.toml",
         ],
     )
@@ -191,6 +192,7 @@ class TestExamples:
             ("examples/dump_release_gate.toml", "/tmp/cryoflow_examples/dump_release_holdout/*.parquet"),
             ("examples/web_crawl_curation.toml", "/tmp/cryoflow_examples/crawl_curated/*.parquet"),
             ("examples/corpus_analytics.toml", "/tmp/cryoflow_examples/analytics/balanced_pool/*.parquet"),
+            ("examples/corpus_hygiene.toml", "/tmp/cryoflow_examples/hygiene/ccnet_split/*.parquet"),
         ],
     )
     def test_run(self, runner, example, out_glob):
