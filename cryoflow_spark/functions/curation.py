@@ -1175,3 +1175,100 @@ def secret_token_scan(
         .alias("n_flagged"),
         F.max("entropy_bits").alias("max_entropy_bits"),
     )
+
+
+def decontamination_audit(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngrams=(3, 5, 8),
+) -> DataFrame:
+    """Overlap audit across n-gram sizes — the tuning table for the
+    decontamination rule (:func:`contaminated_ids` /
+    :func:`bloom_contaminated_ids`): per candidate ``n`` it reports
+    how much of the corpus the rule would drop and how much of the
+    benchmark actually leaks, so the n that separates "real eval
+    leakage" from "common phrases nuke half the corpus" is chosen
+    from evidence, not folklore (GPT-3 used 8-13; Lee et al. 2022
+    studies the sensitivity). One row per n:
+
+    ``(ngram, corpus_docs, benchmark_grams, contaminated_docs,
+    contaminated_frac, benchmark_grams_hit, benchmark_hit_frac)``.
+
+    Fractions are 6-decimal rounds of exact integer counts.
+
+    Scale: per n, the benchmark gram set stays broadcast-small (eval
+    suites), the corpus pays one gram explode + broadcast join +
+    1-row distinct-count agg; the audit is an INSTRUMENT — at 100 TB
+    run it on a hash-sample of the corpus (the fractions are what
+    matter), then apply the chosen n with the Bloom production path.
+    """
+    if not ngrams or any(int(n) < 1 for n in ngrams):
+        raise ValueError("ngrams must be a non-empty list of sizes >= 1")
+    tokenize = lambda c: F.array_remove(F.split(F.col(c), r"\s+"), "")  # noqa: E731
+    corpus_toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokenize(text_col).alias("__toks"))
+    )
+    bench_toks = benchmark.filter(F.col(text_col).isNotNull()).select(
+        tokenize(text_col).alias("__toks")
+    )
+    n_docs = corpus_toks.select(
+        F.count(F.lit(1)).cast("bigint").alias("corpus_docs")
+    )
+    out = None
+    for n in ngrams:
+        n = int(n)
+        bench_grams = (
+            bench_toks.select(
+                F.explode(_word_grams("__toks", n)).alias("__gram")
+            ).distinct()
+        )
+        n_bench = bench_grams.agg(
+            F.count(F.lit(1)).cast("bigint").alias("benchmark_grams")
+        )
+        hits = (
+            corpus_toks.select(
+                F.col(id_col),
+                F.explode(_word_grams("__toks", n)).alias("__gram"),
+            )
+            .join(F.broadcast(bench_grams), "__gram")
+            .agg(
+                F.count_distinct(F.col(id_col))
+                .cast("bigint")
+                .alias("contaminated_docs"),
+                F.count_distinct(F.col("__gram"))
+                .cast("bigint")
+                .alias("benchmark_grams_hit"),
+            )
+        )
+        row = (
+            hits.crossJoin(F.broadcast(n_bench))
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                F.lit(n).cast("bigint").alias("ngram"),
+                "corpus_docs",
+                "benchmark_grams",
+                "contaminated_docs",
+                F.when(
+                    F.col("corpus_docs") > 0,
+                    F.round(
+                        F.col("contaminated_docs").cast("double")
+                        / F.col("corpus_docs").cast("double"),
+                        6,
+                    ),
+                ).otherwise(F.lit(0.0)).alias("contaminated_frac"),
+                "benchmark_grams_hit",
+                F.when(
+                    F.col("benchmark_grams") > 0,
+                    F.round(
+                        F.col("benchmark_grams_hit").cast("double")
+                        / F.col("benchmark_grams").cast("double"),
+                        6,
+                    ),
+                ).otherwise(F.lit(0.0)).alias("benchmark_hit_frac"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

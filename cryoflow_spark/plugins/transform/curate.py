@@ -89,6 +89,10 @@ the TOML plugin surface. Modes (option ``method``):
   style. ``use_bloom = true`` switches to the Bloom-prefilter + exact-
   confirm path (identical results; for benchmark gram sets too large to
   broadcast — ``bloom_bits_per_element`` sizes the table).
+- ``decontamination_audit``: the rule-tuning table instead of the
+  filter — per candidate size in ``ngrams`` (default ``[3, 5, 8]``),
+  corpus docs dropped and benchmark grams leaked vs the
+  ``benchmark_label`` sibling, as counts + fractions.
 - ``remove_frequent_segments``: corpus-level boilerplate removal — drop
   segments (split on ``delimiter``, default newline) that appear in at
   least ``min_docs`` distinct documents or ``min_doc_frac`` of the
@@ -372,6 +376,18 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 text_col=column,
                 id_col=id_column,
                 lowercase=bool(self.options.get("lowercase", True)),
+            )
+
+        if method == "decontamination_audit":
+            bench = self.sibling_frame(self.require_option("benchmark_label"))
+            return C.decontamination_audit(
+                data,
+                bench,
+                text_col=column,
+                id_col=id_column,
+                ngrams=tuple(
+                    int(n) for n in self.options.get("ngrams", (3, 5, 8))
+                ),
             )
 
         if method == "decontaminate":

@@ -153,7 +153,7 @@ _PRIORITY: list[str] = [
     # positions 51+ run FIRST in the r8 window. Head: r7 operators
     # registered after this round's 50 slots filled — never
     # driver-checked, so they outrank the deferred twins below.
-    "x115_langid_margin",
+    "x115_langid_margin", "x116_decontamination_audit",
     # then the deferred twins in registration-family order, still
     # runnable/benchable — each displaced by a never-driver-checked
     # r7 operator, each with an r5/r6-green sibling on its code path

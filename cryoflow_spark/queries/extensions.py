@@ -5755,3 +5755,77 @@ def x115_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return lang_id_margin(d)
+
+
+# --- x116: decontamination rule audit (oracle-checked) ----------------------
+
+
+def _x116_n_sql(n: int) -> str:
+    """One audit row for gram size ``n`` (x25's gram comprehension)."""
+    return f"""
+    SELECT {n}::BIGINT AS ngram,
+           (SELECT COUNT(*)::BIGINT FROM toks WHERE doc_id % 50 != 0)
+             AS corpus_docs,
+           (SELECT COUNT(DISTINCT gram)::BIGINT FROM (
+              SELECT unnest(list_distinct([array_to_string(t[i:i+{n - 1}], ' ')
+                for i in generate_series(1, greatest(len(t) - {n - 1}, 1))]))
+                AS gram
+              FROM toks WHERE doc_id % 50 = 0)) AS benchmark_grams,
+           h.contaminated_docs, h.benchmark_grams_hit
+    FROM (
+      SELECT COUNT(DISTINCT c.doc_id)::BIGINT AS contaminated_docs,
+             COUNT(DISTINCT c.gram)::BIGINT AS benchmark_grams_hit
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(t[i:i+{n - 1}], ' ')
+                 for i in generate_series(1, greatest(len(t) - {n - 1}, 1))]))
+               AS gram
+        FROM toks WHERE doc_id % 50 != 0
+      ) c
+      JOIN (
+        SELECT DISTINCT unnest(list_distinct([array_to_string(t[i:i+{n - 1}], ' ')
+                 for i in generate_series(1, greatest(len(t) - {n - 1}, 1))]))
+               AS gram
+        FROM toks WHERE doc_id % 50 = 0
+      ) b USING (gram)
+    ) h
+    """
+
+
+def _x116_oracle() -> str:
+    rows = " UNION ALL ".join(_x116_n_sql(n) for n in (3, 5, 8))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS t
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT ngram, corpus_docs, benchmark_grams, contaminated_docs,
+           CASE WHEN corpus_docs > 0
+                THEN ROUND(contaminated_docs::DOUBLE / corpus_docs::DOUBLE, 6)
+                ELSE 0.0 END AS contaminated_frac,
+           benchmark_grams_hit,
+           CASE WHEN benchmark_grams > 0
+                THEN ROUND(benchmark_grams_hit::DOUBLE
+                           / benchmark_grams::DOUBLE, 6)
+                ELSE 0.0 END AS benchmark_hit_frac
+    FROM ({rows})
+    """
+
+
+@register(
+    "x116_decontamination_audit",
+    _x116_oracle(),
+    "Decontamination-rule tuning table: per candidate n-gram size "
+    "(3/5/8), corpus docs the rule would drop and benchmark grams that "
+    "actually leak, as counts + 6-decimal fractions — evidence for "
+    "choosing GPT-3's n instead of folklore; per n one gram explode + "
+    "broadcast benchmark join + 1-row agg",
+)
+def x116_decontamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.curation import decontamination_audit
+
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return decontamination_audit(corpus, bench, ngrams=(3, 5, 8))

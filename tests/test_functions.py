@@ -4657,3 +4657,43 @@ class TestLangIdMargin:
         r = lang_id_margin(df).collect()[0]
         assert r["margin"] == 0 and r["mixed"] == 1
         assert r["predicted"] == "de"  # alphabetical tie-break
+
+
+class TestDecontaminationAudit:
+    def test_hand_built_overlap(self, spark):
+        from cryoflow_spark.functions.curation import decontamination_audit
+
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon"),  # shares 2- and 4-grams
+             (2, "alpha beta zeta"),                 # shares the 2-gram only
+             (3, "nothing in common here")],
+            "doc_id long, text string",
+        )
+        rows = {r["ngram"]: r for r in
+                decontamination_audit(corpus, bench, ngrams=(2, 4)).collect()}
+        r2 = rows[2]
+        # bench 2-grams: {alpha beta, beta gamma, gamma delta} = 3
+        assert r2["benchmark_grams"] == 3 and r2["corpus_docs"] == 3
+        assert r2["contaminated_docs"] == 2
+        assert r2["contaminated_frac"] == round(2 / 3, 6)
+        assert r2["benchmark_grams_hit"] == 3  # doc1 hits all three
+        r4 = rows[4]
+        # bench 4-grams: {alpha beta gamma delta} = 1; only doc1 hits
+        assert r4["benchmark_grams"] == 1
+        assert r4["contaminated_docs"] == 1
+        assert r4["benchmark_hit_frac"] == 1.0
+        # tighter n drops fewer docs — the monotonicity the audit exists for
+        assert r4["contaminated_docs"] <= r2["contaminated_docs"]
+
+    def test_validation(self, spark):
+        import pytest
+        from cryoflow_spark.functions.curation import decontamination_audit
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="ngrams"):
+            decontamination_audit(df, df, ngrams=())
+        with pytest.raises(ValueError, match="ngrams"):
+            decontamination_audit(df, df, ngrams=(0,))

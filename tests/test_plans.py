@@ -176,6 +176,10 @@ def test_no_cartesian_products(all_plans):
         # composes x96's scorer — the same 1-row reference-totals
         # scalar crossJoin(broadcast) into the exploded token stream.
         "x112_ccnet_buckets",
+        # per-n 1-row hit/total scalars cross-joined together — all
+        # scalars (the contamination joins themselves are broadcast
+        # gram equi-joins, the x103 audit shape).
+        "x116_decontamination_audit",
         # 1-row corpus-total scalar crossJoin(broadcast) into the
         # (group, token) term table — same scalar pattern.
         "x92_group_js_divergence",
