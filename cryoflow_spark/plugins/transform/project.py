@@ -20,6 +20,11 @@ run it before a dedup/ANN stage to cut candidate-scoring cost. Options:
   subspace k-means on a driver-capped hash sample; false uses fixed
   seeded codebooks — ``out_column`` default ``pq_codes``) for
   ``pq_adc_topk(corpus_code_col=...)`` steady-state compressed search.
+- ``method = "truncation_qa"`` — replace the stream with the
+  Matryoshka dimension-truncation QA table (per prefix length in
+  ``dims``, default ``[8, 16, 32]``: mean/min energy-kept and
+  full-vs-truncated cosine) — decides how few dims the ANN index can
+  run on.
 """
 
 from __future__ import annotations
@@ -42,6 +47,17 @@ class ProjectPlugin(AnalyzedTransformPlugin):
             with_ivf_cell,
             with_pq_codes,
         )
+
+        if self.options.get("method") == "truncation_qa":
+            from cryoflow_spark.functions.similarity import truncation_qa
+
+            return truncation_qa(
+                data,
+                vec_col=self.options.get("column", "embedding"),
+                dims=tuple(
+                    int(d) for d in self.options.get("dims", (8, 16, 32))
+                ),
+            )
 
         if self.options.get("method") == "pq_codes":
             dim = int(self.require_option("in_dim"))

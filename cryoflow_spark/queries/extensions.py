@@ -5829,3 +5829,71 @@ def x116_decontamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 50 == 0)
     corpus = d.filter(F.col("doc_id") % 50 != 0)
     return decontamination_audit(corpus, bench, ngrams=(3, 5, 8))
+
+
+# --- x117: embedding truncation QA (oracle-checked) -------------------------
+
+
+def _x117_d_sql(d: int) -> str:
+    return f"""
+    SELECT {d}::BIGINT AS trunc_dim, n AS n_vectors,
+           se_{d}::DOUBLE / (n::DOUBLE * 1000000.0) AS mean_energy_kept,
+           sc_{d}::DOUBLE / (n::DOUBLE * 1000000.0) AS mean_cosine,
+           mc_{d} AS min_cosine
+    FROM agg
+    """
+
+
+def _x117_oracle() -> str:
+    fold = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "[{v}[i]::DOUBLE * {v}[i]::DOUBLE "
+        "for i in generate_series(1, len({v}))]), (acc, x) -> acc + x)"
+    )
+    full = fold.format(v="embedding")
+    dims = (8, 16, 32)
+    per_d = []
+    for d in dims:
+        pre = fold.format(v=f"embedding[1:{d}]")
+        per_d.append(
+            f"CAST(ROUND(ROUND({pre} / fullsq, 6) * 1000000.0) AS BIGINT)"
+            f" AS e_{d},"
+            f" CAST(ROUND(ROUND(SQRT(ROUND({pre} / fullsq, 6)), 6)"
+            f" * 1000000.0) AS BIGINT) AS c_{d}"
+        )
+    scored = ", ".join(per_d)
+    aggs = ", ".join(
+        f"SUM(e_{d})::BIGINT AS se_{d}, SUM(c_{d})::BIGINT AS sc_{d},"
+        f" MIN(c_{d}::DOUBLE / 1000000.0) AS mc_{d}"
+        for d in dims
+    )
+    rows = " UNION ALL ".join(_x117_d_sql(d) for d in dims)
+    return f"""
+    WITH base AS (
+      SELECT embedding, {full} AS fullsq FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    scored AS (
+      SELECT {scored} FROM base WHERE fullsq > 0
+    ),
+    agg AS (
+      SELECT COUNT(*)::BIGINT AS n, {aggs} FROM scored
+    )
+    {rows}
+    """
+
+
+@register(
+    "x117_truncation_qa",
+    _x117_oracle(),
+    "Matryoshka dimension-truncation QA (Kusupati et al. 2022): per "
+    "prefix length d, mean/min energy-kept and full-vs-truncated "
+    "cosine — decides whether the ANN index can run on d of 64 dims; "
+    "ONE scan, all d's folded per row, one aggregate, exact "
+    "fixed-point means",
+)
+def x117_truncation_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.similarity import truncation_qa
+
+    e = load(spark, sf_dir, "embeddings")
+    return truncation_qa(e, dims=(8, 16, 32))

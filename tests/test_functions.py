@@ -4697,3 +4697,38 @@ class TestDecontaminationAudit:
             decontamination_audit(df, df, ngrams=())
         with pytest.raises(ValueError, match="ngrams"):
             decontamination_audit(df, df, ngrams=(0,))
+
+
+class TestTruncationQa:
+    def test_hand_computed_energy(self, spark):
+        import math
+        from cryoflow_spark.functions.similarity import truncation_qa
+
+        rows = [
+            (1, [3.0, 4.0, 0.0, 0.0]),      # d=2 keeps everything
+            (2, [0.0, 0.0, 3.0, 4.0]),      # d=2 keeps nothing
+            (3, [1.0, 1.0, 1.0, 1.0]),      # d=2 keeps half
+            (4, None),                      # dropped
+            (5, [0.0, 0.0, 0.0, 0.0]),      # zero vector dropped
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r["trunc_dim"]: r for r in
+               truncation_qa(df, dims=(2, 4)).collect()}
+        r2 = out[2]
+        assert r2["n_vectors"] == 3
+        assert abs(r2["mean_energy_kept"] - (1.0 + 0.0 + 0.5) / 3) < 1e-9
+        want_cos = (1.0 + 0.0 + round(math.sqrt(0.5), 6)) / 3
+        assert abs(r2["mean_cosine"] - want_cos) < 1e-9
+        assert r2["min_cosine"] == 0.0
+        r4 = out[4]
+        assert r4["mean_energy_kept"] == 1.0 and r4["min_cosine"] == 1.0
+
+    def test_validation(self, spark):
+        import pytest
+        from cryoflow_spark.functions.similarity import truncation_qa
+
+        df = spark.createDataFrame([(1, [1.0])], "v long, embedding array<float>")
+        with pytest.raises(ValueError, match="dims"):
+            truncation_qa(df, dims=())
+        with pytest.raises(ValueError, match="ln_scale"):
+            truncation_qa(df, dims=(1,), ln_scale=0)
