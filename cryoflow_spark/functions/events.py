@@ -380,3 +380,112 @@ def ingest_freshness(
         )
         .drop("__dn")
     )
+
+
+def rate_anomaly_report(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    burst_per_minute: int = 60,
+    min_events_for_cadence: int = 20,
+) -> DataFrame:
+    """Per-user event-rate anomaly report — the bot/scraper detector a
+    web-log curation pass runs before user-level analytics or training
+    draws (a scripted client fires in bursts a human can't, or on a
+    metronome cadence a human won't): per user,
+
+    - ``n_events`` / ``active_minutes`` (distinct minute buckets) /
+      ``span_seconds`` (last - first event);
+    - ``peak_minute_rate`` — max events in any single minute, and
+      ``mean_per_active_minute`` (6-decimal exact-integer ratio);
+    - ``distinct_gaps`` — distinct inter-event intervals (epoch-micro
+      integers over the deterministic ``(ts, id)`` order): a constant-
+      cadence script has ONE distinct gap where humans have many;
+    - flags: ``burst_flag`` (peak rate >= ``burst_per_minute``) and
+      ``constant_cadence`` (>= ``min_events_for_cadence`` events but a
+      single distinct gap) — 0/1 ints.
+
+    Everything is integer arithmetic on epoch micros — engine-portable
+    with no floats except the one rounded ratio.
+
+    Scale: one (user, minute) keyed pre-aggregation with map-side
+    partials feeds the per-user rollup; the gap pass is ONE window
+    partitioned by user (never unpartitioned) + a distinct-count agg;
+    nothing is quadratic, nothing collects.
+    """
+    if burst_per_minute < 1 or min_events_for_cadence < 2:
+        raise ValueError(
+            "burst_per_minute must be >= 1 and min_events_for_cadence >= 2"
+        )
+    from pyspark.sql import Window
+
+    micros = F.unix_micros(F.col(ts_col))
+    minute = F.floor(micros / F.lit(60_000_000)).cast("bigint")
+    per_minute = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col),
+            minute.alias("__m"),
+            micros.alias("__us"),
+        )
+        .groupBy(user_col, "__m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__c"),
+            F.min("__us").alias("__lo"),
+            F.max("__us").alias("__hi"),
+        )
+    )
+    rollup = per_minute.groupBy(user_col).agg(
+        F.sum("__c").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("active_minutes"),
+        F.max("__c").cast("bigint").alias("peak_minute_rate"),
+        F.floor((F.max("__hi") - F.min("__lo")) / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("span_seconds"),
+    )
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    gaps = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col),
+            (micros - F.lag(micros).over(w)).alias("__gap"),
+        )
+        .filter(F.col("__gap").isNotNull())
+        .groupBy(user_col)
+        .agg(F.count_distinct(F.col("__gap")).cast("bigint").alias(
+            "distinct_gaps"
+        ))
+    )
+    out = rollup.join(gaps, user_col, "left")
+    return out.select(
+        user_col,
+        "n_events",
+        "active_minutes",
+        "span_seconds",
+        "peak_minute_rate",
+        F.round(
+            F.col("n_events").cast("double")
+            / F.col("active_minutes").cast("double"),
+            6,
+        ).alias("mean_per_active_minute"),
+        F.coalesce(F.col("distinct_gaps"), F.lit(0))
+        .cast("bigint")
+        .alias("distinct_gaps"),
+        F.when(
+            F.col("peak_minute_rate") >= F.lit(int(burst_per_minute)), 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("burst_flag"),
+        F.when(
+            (F.col("n_events") >= F.lit(int(min_events_for_cadence)))
+            & (F.coalesce(F.col("distinct_gaps"), F.lit(0)) == 1),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("constant_cadence"),
+    )

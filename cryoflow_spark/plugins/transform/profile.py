@@ -55,6 +55,12 @@ disturbing the main stream. Options:
   report with trailing calendar moving mean and day-over-day delta
   (options ``ts_column``, ``group_column``, ``value_column``,
   ``window_days``).
+- ``report = "rate_anomaly"`` emits the per-user event-rate anomaly
+  report (peak per-minute burst, active minutes, distinct inter-event
+  gaps, 0/1 burst / constant-cadence bot flags) — options
+  ``user_column`` / ``ts_column`` / ``id_column``,
+  ``burst_per_minute`` (default 60), ``min_events_for_cadence``
+  (default 20).
 - ``report = "referential"`` emits the ONE-row FK audit of this
   stream's ``fact_key`` against the sibling ``dim_label`` stream's
   ``dim_key`` (orphan rows/keys, NULL FKs, dead dimension keys,
@@ -75,6 +81,22 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
 
     def _transform(self, data: FrameData) -> FrameData:
         from cryoflow_spark.functions.profiling import profile_columns
+
+        if self.options.get("report") == "rate_anomaly":
+            from cryoflow_spark.functions.events import rate_anomaly_report
+
+            return rate_anomaly_report(
+                data,
+                user_col=self.options.get("user_column", "user_id"),
+                ts_col=self.options.get("ts_column", "ts"),
+                id_col=self.options.get("id_column", "event_id"),
+                burst_per_minute=int(
+                    self.options.get("burst_per_minute", 60)
+                ),
+                min_events_for_cadence=int(
+                    self.options.get("min_events_for_cadence", 20)
+                ),
+            )
 
         if self.options.get("report") == "referential":
             from cryoflow_spark.functions.profiling import (

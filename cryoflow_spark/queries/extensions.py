@@ -5897,3 +5897,61 @@ def x117_truncation_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return truncation_qa(e, dims=(8, 16, 32))
+
+
+# --- x118: event-rate anomaly / bot detection (oracle-checked) --------------
+
+
+@register(
+    "x118_rate_anomaly",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(FLOOR(epoch_us(ts) / 60000000) AS BIGINT) AS m
+      FROM events WHERE ts IS NOT NULL
+    ),
+    per_minute AS (
+      SELECT user_id, m, COUNT(*)::BIGINT AS c,
+             MIN(us) AS lo, MAX(us) AS hi
+      FROM ev GROUP BY 1, 2
+    ),
+    rollup AS (
+      SELECT user_id, SUM(c)::BIGINT AS n_events,
+             COUNT(*)::BIGINT AS active_minutes,
+             MAX(c)::BIGINT AS peak_minute_rate,
+             CAST(FLOOR((MAX(hi) - MIN(lo)) / 1000000) AS BIGINT)
+               AS span_seconds
+      FROM per_minute GROUP BY 1
+    ),
+    gaps AS (
+      SELECT user_id, COUNT(DISTINCT gap)::BIGINT AS distinct_gaps
+      FROM (
+        SELECT user_id,
+               us - LAG(us) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS gap
+        FROM ev
+      ) WHERE gap IS NOT NULL GROUP BY 1
+    )
+    SELECT r.user_id, n_events, active_minutes, span_seconds,
+           peak_minute_rate,
+           ROUND(n_events::DOUBLE / active_minutes::DOUBLE, 6)
+             AS mean_per_active_minute,
+           COALESCE(g.distinct_gaps, 0)::BIGINT AS distinct_gaps,
+           CAST(CASE WHEN peak_minute_rate >= 10 THEN 1 ELSE 0 END
+                AS BIGINT) AS burst_flag,
+           CAST(CASE WHEN n_events >= 20
+                      AND COALESCE(g.distinct_gaps, 0) = 1
+                     THEN 1 ELSE 0 END AS BIGINT) AS constant_cadence
+    FROM rollup r LEFT JOIN gaps g ON r.user_id = g.user_id
+    """,
+    "Per-user event-rate anomaly report (bot/scraper detection): peak "
+    "per-minute burst rate, active minutes, span, distinct inter-event "
+    "gaps over the deterministic (ts, id) order (a metronome script has "
+    "ONE), with 0/1 burst / constant-cadence flags — all integer epoch-"
+    "micro arithmetic; demo burst threshold 10/min",
+)
+def x118_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.events import rate_anomaly_report
+
+    e = load_events(spark, sf_dir)
+    return rate_anomaly_report(e, burst_per_minute=10)

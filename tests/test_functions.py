@@ -4732,3 +4732,52 @@ class TestTruncationQa:
             truncation_qa(df, dims=())
         with pytest.raises(ValueError, match="ln_scale"):
             truncation_qa(df, dims=(1,), ln_scale=0)
+
+
+class TestRateAnomaly:
+    def test_bot_vs_human(self, spark):
+        from datetime import datetime, timedelta
+        from cryoflow_spark.functions.events import rate_anomaly_report
+
+        t0 = datetime(2026, 1, 1, 12, 0, 0)
+        rows = []
+        # bot 1: metronome — 30 events exactly 2s apart
+        for i in range(30):
+            rows.append((i, t0 + timedelta(seconds=2 * i), 1))
+        # bot 2: burst — 100 events inside one minute
+        for i in range(100):
+            rows.append((100 + i, t0 + timedelta(milliseconds=137 * i), 2))
+        # human: 5 events, irregular gaps, spread over an hour
+        for i, s in enumerate([0, 63, 400, 1777, 3599]):
+            rows.append((300 + i, t0 + timedelta(seconds=s), 3))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long"
+        )
+        out = {r["user_id"]: r for r in rate_anomaly_report(
+            df, burst_per_minute=60, min_events_for_cadence=20
+        ).collect()}
+        bot1 = out[1]
+        assert bot1["distinct_gaps"] == 1 and bot1["constant_cadence"] == 1
+        assert bot1["n_events"] == 30 and bot1["span_seconds"] == 58
+        bot2 = out[2]
+        assert bot2["burst_flag"] == 1 and bot2["peak_minute_rate"] >= 60
+        human = out[3]
+        assert human["burst_flag"] == 0 and human["constant_cadence"] == 0
+        assert human["distinct_gaps"] == 4
+        assert human["active_minutes"] == 5
+        assert human["span_seconds"] == 3599
+
+    def test_single_event_and_validation(self, spark):
+        from datetime import datetime
+        import pytest
+        from cryoflow_spark.functions.events import rate_anomaly_report
+
+        df = spark.createDataFrame(
+            [(1, datetime(2026, 1, 1), 7)],
+            "event_id long, ts timestamp, user_id long",
+        )
+        r = rate_anomaly_report(df).collect()[0]
+        assert r["distinct_gaps"] == 0 and r["constant_cadence"] == 0
+        assert r["span_seconds"] == 0
+        with pytest.raises(ValueError, match="burst_per_minute"):
+            rate_anomaly_report(df, burst_per_minute=0)
