@@ -996,3 +996,93 @@ def deterministic_shuffle(
             position_col, F.row_number().over(w).cast("bigint")
         )
     )
+
+
+def interleaved_mixture_order(
+    df: DataFrame,
+    key_col: str,
+    source_col: str = "source",
+    weights: "dict[str, float] | None" = None,
+    n_shards: int = 1024,
+    shard_col: str = "shard",
+    position_col: str = "position",
+) -> DataFrame:
+    """Deterministic PREFIX-BALANCED training order: like
+    :func:`deterministic_shuffle` the output is a reproducible
+    ``(shard, position)`` total order with one partitioned window per
+    shard — but instead of a uniform shuffle, sources are interleaved
+    by stride scheduling (Waldspurger & Weihl 1995) so that EVERY
+    prefix of every shard carries (approximately, off by at most one
+    per source) the target source proportions. A uniform shuffle only
+    matches the mix in expectation; a curriculum that stops early, a
+    loader that crashes mid-epoch, or a checkpoint-resume all read
+    PREFIXES — this order makes any prefix a faithful mixture draw.
+
+    Each source's rows get a deterministic within-(shard, source) rank
+    ``r`` by md5 hash order; the row's virtual time is
+    ``v = round(r / w_source, 9)`` and the shard's order is
+    ``(v, source, key)``. ``weights`` maps source → positive weight
+    (unnormalized); ``None`` uses each source's GLOBAL row share, so
+    prefixes mirror the corpus mix exactly.
+
+    Scale: one (shard, source)-partitioned rank window + one
+    shard-partitioned position window — never an unpartitioned spec,
+    never a global sort; with ``weights`` given there is no extra
+    pass, with ``weights=None`` the source shares come from one
+    |sources|-row broadcast aggregate.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if weights is not None:
+        if not weights or any(w <= 0 for w in weights.values()):
+            raise ValueError("weights must be positive and non-empty")
+    from pyspark.sql import Window
+
+    key = F.col(key_col)
+    base = df.withColumn(
+        shard_col, hash_bucket(key, n_shards).cast("int")
+    )
+    rank_w = Window.partitionBy(shard_col, source_col).orderBy(
+        F.md5(key.cast("string")), key
+    )
+    ranked = base.withColumn(
+        "__r", F.row_number().over(rank_w).cast("bigint")
+    )
+    if weights is not None:
+        wcol = None
+        for s, w in sorted(weights.items()):
+            term = F.when(F.col(source_col) == F.lit(s), F.lit(float(w)))
+            wcol = term if wcol is None else wcol.when(
+                F.col(source_col) == F.lit(s), F.lit(float(w))
+            )
+        # executor-side guard (the profiling.py raise_error pattern):
+        # an uncovered source would otherwise silently sort NULLS FIRST.
+        ranked = ranked.withColumn(
+            "__w",
+            F.when(
+                wcol.isNull(),
+                F.raise_error(
+                    F.format_string(
+                        "interleaved_mixture_order: source %s not"
+                        " covered by weights",
+                        F.col(source_col),
+                    )
+                ),
+            ).otherwise(wcol),
+        )
+    else:
+        shares = (
+            df.groupBy(source_col)
+            .agg(F.count(F.lit(1)).cast("double").alias("__w"))
+        )
+        ranked = ranked.join(F.broadcast(shares), source_col)
+    v = F.round(F.col("__r").cast("double") / F.col("__w"), 9)
+    pos_w = Window.partitionBy(shard_col).orderBy(
+        v.asc(), F.col(source_col).asc(), key.asc()
+    )
+    return (
+        ranked.withColumn(
+            position_col, F.row_number().over(pos_w).cast("bigint")
+        )
+        .drop("__r", "__w")
+    )

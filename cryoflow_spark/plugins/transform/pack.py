@@ -13,6 +13,12 @@ TOML surface for the packing operators of
   (:func:`...sampling.deterministic_shuffle`) — adds ``shard`` /
   ``position`` (option ``n_shards``, default 1024); write
   partitioned by ``shard``, read shard-major.
+- ``mixture_order``: prefix-balanced deterministic read order
+  (:func:`...sampling.interleaved_mixture_order`) — sources
+  stride-interleave so every shard prefix carries the target mix;
+  options ``source_column`` (default ``source``), ``weights``
+  (TOML table source → weight; omitted = global row shares),
+  ``n_shards``.
 
 Shared options: ``column`` (default ``text``), ``id_column`` (default
 ``doc_id``), ``budget`` / ``context_len`` (default 4096), and
@@ -70,6 +76,23 @@ class PackPlugin(AnalyzedTransformPlugin):
             return deterministic_shuffle(
                 data,
                 id_column,
+                n_shards=int(self.options.get("n_shards", 1024)),
+            )
+        if method == "mixture_order":
+            from cryoflow_spark.functions.sampling import (
+                interleaved_mixture_order,
+            )
+
+            weights = self.options.get("weights")
+            return interleaved_mixture_order(
+                data,
+                id_column,
+                source_col=self.options.get("source_column", "source"),
+                weights=(
+                    {str(k): float(v) for k, v in weights.items()}
+                    if weights
+                    else None
+                ),
                 n_shards=int(self.options.get("n_shards", 1024)),
             )
         raise ValueError(f"invalid pack method '{method}'")

@@ -154,7 +154,7 @@ _PRIORITY: list[str] = [
     # registered after this round's 50 slots filled — never
     # driver-checked, so they outrank the deferred twins below.
     "x115_langid_margin", "x116_decontamination_audit",
-    "x117_truncation_qa", "x118_rate_anomaly",
+    "x117_truncation_qa", "x118_rate_anomaly", "x119_mixture_order",
     # then the deferred twins in registration-family order, still
     # runnable/benchable — each displaced by a never-driver-checked
     # r7 operator, each with an r5/r6-green sibling on its code path

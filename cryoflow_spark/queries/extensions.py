@@ -5955,3 +5955,55 @@ def x118_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir)
     return rate_anomaly_report(e, burst_per_minute=10)
+
+
+# --- x119: prefix-balanced interleaved mixture order (oracle-checked) -------
+
+
+def _x119_oracle() -> str:
+    from cryoflow_spark.functions.sampling import sql_hash_bucket
+
+    b = sql_hash_bucket("doc_id", 8)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             CAST({b} AS INTEGER) AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    shares AS (
+      SELECT source, COUNT(*)::DOUBLE AS w FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT b.doc_id, b.source, b.shard, s.w,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY b.shard, b.source ORDER BY b.h, b.doc_id
+             ) AS BIGINT) AS r
+      FROM base b JOIN shares s ON b.source = s.source
+    )
+    SELECT doc_id, source, shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY shard
+             ORDER BY ROUND(r::DOUBLE / w, 9), source, doc_id
+           ) AS BIGINT) AS position
+    FROM ranked
+    """
+
+
+@register(
+    "x119_mixture_order",
+    _x119_oracle(),
+    "Prefix-balanced deterministic training order (stride scheduling, "
+    "Waldspurger & Weihl 1995): sources interleave by virtual time "
+    "r/weight so EVERY shard prefix carries the target source mix "
+    "(checkpoint resumes and early stops read faithful mixture draws); "
+    "two partitioned windows, no global sort; weights default to "
+    "global row shares",
+)
+def x119_mixture_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.sampling import interleaved_mixture_order
+
+    d = load(spark, sf_dir, "documents")
+    return interleaved_mixture_order(d, "doc_id", n_shards=8).select(
+        "doc_id", "source", "shard", "position"
+    )

@@ -607,3 +607,77 @@ def test_deterministic_shuffle_total_order_properties(spark):
     import pytest
     with pytest.raises(ValueError, match="n_shards"):
         deterministic_shuffle(df, "doc_id", n_shards=0)
+
+
+class TestInterleavedMixtureOrder:
+    def test_prefix_balance_and_bijection(self, spark):
+        from cryoflow_spark.functions.sampling import (
+            interleaved_mixture_order,
+        )
+
+        rows = [(i, "a" if i < 90 else "b") for i in range(120)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = interleaved_mixture_order(
+            df, "doc_id", weights={"a": 3.0, "b": 1.0}, n_shards=1
+        ).orderBy("position").collect()
+        # bijection: positions are exactly 1..n within the single shard
+        assert [r["position"] for r in out] == list(range(1, 121))
+        # stride guarantee: every prefix within 1 of the 3:1 target
+        ca = 0
+        for k, r in enumerate(out, start=1):
+            ca += r["source"] == "a"
+            assert abs(ca - 0.75 * k) <= 1.0, (k, ca)
+
+    def test_default_weights_mirror_corpus_mix(self, spark):
+        from cryoflow_spark.functions.sampling import (
+            interleaved_mixture_order,
+        )
+
+        rows = [(i, ["x", "y", "z"][i % 3]) for i in range(90)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = interleaved_mixture_order(df, "doc_id", n_shards=1)
+        got = out.orderBy("position").collect()
+        counts = {"x": 0, "y": 0, "z": 0}
+        for k, r in enumerate(got, start=1):
+            counts[r["source"]] += 1
+            for s in counts:
+                assert abs(counts[s] - k / 3) <= 1.0, (k, counts)
+        # determinism under repartitioning
+        again = (
+            interleaved_mixture_order(df.repartition(7), "doc_id",
+                                      n_shards=1)
+            .orderBy("position").collect()
+        )
+        assert [r["doc_id"] for r in again] == [r["doc_id"] for r in got]
+
+    def test_uncovered_source_raises_and_validation(self, spark):
+        import pytest
+        from py4j.protocol import Py4JJavaError
+        from cryoflow_spark.functions.sampling import (
+            interleaved_mixture_order,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "doc_id long, source string"
+        )
+        with pytest.raises(ValueError, match="weights"):
+            interleaved_mixture_order(df, "doc_id", weights={})
+        with pytest.raises(ValueError, match="n_shards"):
+            interleaved_mixture_order(df, "doc_id", n_shards=0)
+        with pytest.raises(Exception, match="not covered|USER_RAISED"):
+            interleaved_mixture_order(
+                df, "doc_id", weights={"a": 1.0}
+            ).collect()
+
+    def test_partitioned_window_plan_pin(self, spark):
+        from cryoflow_spark.functions.sampling import (
+            interleaved_mixture_order,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "a") for i in range(10)], "doc_id long, source string"
+        )
+        plan = interleaved_mixture_order(
+            df, "doc_id", weights={"a": 1.0}
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "No Partition Defined" not in plan
