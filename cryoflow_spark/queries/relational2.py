@@ -1360,3 +1360,51 @@ def q58_distributed_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_rank_stats(
         o, "o_totalprice", pct_col="pct_rank", cume_col="cume"
     ).select("o_orderkey", "pct_rank", "cume")
+
+
+# --- q59: recursive CTE calendar spine (Spark 4 WITH RECURSIVE) ----------
+
+_Q59_SQL = """
+WITH RECURSIVE bounds AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+  FROM {orders}
+),
+months(m, hi) AS (
+  SELECT lo, hi FROM bounds
+  UNION ALL
+  SELECT {next_month}, hi FROM months WHERE m < hi
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mm,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM {orders} GROUP BY 1
+)
+SELECT m AS month, COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(revenue_cents, 0) AS revenue_cents
+FROM months LEFT JOIN monthly ON m = mm
+"""
+
+
+@register(
+    "q59_recursive_months",
+    _Q59_SQL.format(
+        orders="orders", next_month="CAST(m + INTERVAL 1 MONTH AS DATE)"
+    ),
+    "Recursive CTE (Spark 4 WITH RECURSIVE) month spine from min to max "
+    "order month LEFT JOINed to the monthly rollup — zero-order months "
+    "appear, which a plain GROUP BY cannot produce; revenue as exact "
+    "integer cents (per-row quantize, order-independent sum); recursion "
+    "depth = |months|, a driver-bounded constant, never data-sized",
+)
+def q59_recursive_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "q59_orders_view"
+    )
+    return spark.sql(
+        _Q59_SQL.format(
+            orders="q59_orders_view", next_month="add_months(m, 1)"
+        )
+    )
