@@ -382,6 +382,59 @@ def ingest_freshness(
     )
 
 
+def rate_minute_partials(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-(user, minute) event-count partials ``(user, __m, __c,
+    __lo, __hi)`` — the mergeable core of :func:`rate_anomaly_report`:
+    counts add, minute-window min/max epoch-micros combine, so partials
+    from any split of the data (micro-batches, shards) re-aggregate to
+    the same rollup (the streaming twin's contract)."""
+    micros = F.unix_micros(F.col(ts_col))
+    minute = F.floor(micros / F.lit(60_000_000)).cast("bigint")
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(F.col(user_col), minute.alias("__m"), micros.alias("__us"))
+        .groupBy(user_col, "__m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__c"),
+            F.min("__us").alias("__lo"),
+            F.max("__us").alias("__hi"),
+        )
+    )
+
+
+def merge_rate_minute_partials(
+    partials: DataFrame, user_col: str = "user_id"
+) -> DataFrame:
+    """Re-aggregate unioned per-(user, minute) partials back to one row
+    per (user, minute) — associative/commutative, so the family is
+    closed under merge (batch splits, stream micro-batches,
+    compaction)."""
+    return partials.groupBy(user_col, "__m").agg(
+        F.sum("__c").cast("bigint").alias("__c"),
+        F.min("__lo").alias("__lo"),
+        F.max("__hi").alias("__hi"),
+    )
+
+
+def rate_rollup_from_minutes(
+    per_minute: DataFrame, user_col: str = "user_id"
+) -> DataFrame:
+    """Per-user rollup from (merged) minute partials — the shared
+    finalize of the batch report and its streaming twin."""
+    return per_minute.groupBy(user_col).agg(
+        F.sum("__c").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("active_minutes"),
+        F.max("__c").cast("bigint").alias("peak_minute_rate"),
+        F.floor((F.max("__hi") - F.min("__lo")) / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("span_seconds"),
+    )
+
+
 def rate_anomaly_report(
     df: DataFrame,
     user_col: str = "user_id",
@@ -421,29 +474,8 @@ def rate_anomaly_report(
     from pyspark.sql import Window
 
     micros = F.unix_micros(F.col(ts_col))
-    minute = F.floor(micros / F.lit(60_000_000)).cast("bigint")
-    per_minute = (
-        df.filter(F.col(ts_col).isNotNull())
-        .select(
-            F.col(user_col),
-            minute.alias("__m"),
-            micros.alias("__us"),
-        )
-        .groupBy(user_col, "__m")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("__c"),
-            F.min("__us").alias("__lo"),
-            F.max("__us").alias("__hi"),
-        )
-    )
-    rollup = per_minute.groupBy(user_col).agg(
-        F.sum("__c").cast("bigint").alias("n_events"),
-        F.count(F.lit(1)).cast("bigint").alias("active_minutes"),
-        F.max("__c").cast("bigint").alias("peak_minute_rate"),
-        F.floor((F.max("__hi") - F.min("__lo")) / F.lit(1_000_000))
-        .cast("bigint")
-        .alias("span_seconds"),
-    )
+    per_minute = rate_minute_partials(df, user_col=user_col, ts_col=ts_col)
+    rollup = rate_rollup_from_minutes(per_minute, user_col=user_col)
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col(id_col).asc()
     )

@@ -1,0 +1,115 @@
+"""Streaming burst monitor — the foreachBatch twin of the MERGEABLE
+subset of :func:`cryoflow_spark.functions.events.rate_anomaly_report`
+(x118): live per-user event-rate surveillance over an event stream,
+with the batch report as its oracle.
+
+Same exactly-once recipe as report_stream.py: each micro-batch writes
+its per-(user, minute) count partials (``rate_minute_partials`` —
+counts add, window min/max epoch-micros combine) to
+``<output>/partials/batch_id=N`` in OVERWRITE mode, so a replayed
+batch rewrites instead of double-counting; the live report is the
+re-aggregation of all partials through the SAME rollup the batch
+operator uses (``rate_rollup_from_minutes``) — bit-identical to
+running ``rate_anomaly_report`` over everything seen so far, on the
+columns that are mergeable. The cadence columns (``distinct_gaps`` /
+``constant_cadence``) need cross-batch inter-event ordering and are
+deliberately absent from the stream twin — run the batch report for
+those; a live burst gate doesn't need them.
+
+Scale: per batch one (user, minute)-keyed aggregation with map-side
+partials and a tiny parquet write; finalize reads only partial tables
+(|active user-minutes| rows), never the event stream. Compact with
+``report_stream.compact_partials(..., merge_fn=
+merge_rate_minute_partials)`` — the family is closed under merge.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from cryoflow_spark.streaming.report_stream import _start
+
+
+def _write_burst_partials(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    user_col: str,
+    ts_col: str,
+) -> None:
+    """Per-batch idempotent partial write (module-level so the replay
+    property is directly testable)."""
+    from cryoflow_spark.functions.events import rate_minute_partials
+
+    rate_minute_partials(
+        batch_df, user_col=user_col, ts_col=ts_col
+    ).write.mode("overwrite").parquet(
+        f"{output_path}/partials/batch_id={batch_id}"
+    )
+
+
+def burst_monitor_stream(
+    stream_df: DataFrame,
+    output_path: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    checkpoint_path: Optional[str] = None,
+    trigger: str = "available_now",
+) -> StreamingQuery:
+    """Start the burst-monitor stream: per micro-batch, write the
+    (user, minute) count partials idempotently (overwrite-by-batch_id).
+    Read the live report at any time with :func:`finalize_burst_report`.
+    """
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    checkpoint = checkpoint_path or f"{output_path}/_checkpoint"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _write_burst_partials(
+            batch_df, batch_id, output_path, user_col, ts_col
+        )
+
+    return _start(stream_df, process, checkpoint, trigger)
+
+
+def finalize_burst_report(
+    spark: SparkSession,
+    output_path: str,
+    user_col: str = "user_id",
+    burst_per_minute: int = 60,
+) -> DataFrame:
+    """Current per-user burst report from all partials written so far —
+    bit-identical to ``rate_anomaly_report`` over the full stream on
+    the mergeable columns, plus the same ``burst_flag``."""
+    if burst_per_minute < 1:
+        raise ValueError("burst_per_minute must be >= 1")
+    from cryoflow_spark.functions.events import (
+        merge_rate_minute_partials,
+        rate_rollup_from_minutes,
+    )
+
+    partials = spark.read.parquet(f"{output_path}/partials/batch_id=*")
+    merged = merge_rate_minute_partials(partials, user_col=user_col)
+    rollup = rate_rollup_from_minutes(merged, user_col=user_col)
+    return rollup.select(
+        user_col,
+        "n_events",
+        "active_minutes",
+        "span_seconds",
+        "peak_minute_rate",
+        F.round(
+            F.col("n_events").cast("double")
+            / F.col("active_minutes").cast("double"),
+            6,
+        ).alias("mean_per_active_minute"),
+        F.when(
+            F.col("peak_minute_rate") >= F.lit(int(burst_per_minute)), 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("burst_flag"),
+    )

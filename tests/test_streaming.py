@@ -745,3 +745,82 @@ def test_compact_partials_preserves_finalize_results(spark, tmp_path):
     assert rows_after <= rows_before
     assert canon(finalize_conversion_funnel(spark, str(out2), steps)) \
         == want2
+
+
+def test_burst_monitor_stream_matches_batch_twin(spark, tmp_path):
+    """x118 streaming twin: the finalized burst report over all
+    micro-batches equals the batch rate_anomaly_report on the full
+    stream (mergeable columns), a replayed batch does not
+    double-count, and compaction preserves the finalize."""
+    from cryoflow_spark.functions.events import (
+        merge_rate_minute_partials,
+        rate_anomaly_report,
+    )
+    from cryoflow_spark.queries import load_events
+    from cryoflow_spark.streaming.burst_stream import (
+        _write_burst_partials,
+        burst_monitor_stream,
+        finalize_burst_report,
+    )
+    from cryoflow_spark.streaming.report_stream import compact_partials
+
+    full = load_events(spark, "/root/testdata/sf0.001")
+    src = tmp_path / "events"
+    src.mkdir()
+    full.filter("event_id % 2 = 0").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "a"))
+    full.filter("event_id % 2 = 1").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b"))
+    stream = spark.readStream.schema(full.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = tmp_path / "burst"
+    q = burst_monitor_stream(stream, str(out), trigger="available_now")
+    q.awaitTermination(120)
+
+    def canon(df):
+        return sorted(
+            (r["user_id"], r["n_events"], r["active_minutes"],
+             r["span_seconds"], r["peak_minute_rate"],
+             r["mean_per_active_minute"], r["burst_flag"])
+            for r in df.collect()
+        )
+
+    got = canon(finalize_burst_report(spark, str(out), burst_per_minute=10))
+    want = canon(
+        rate_anomaly_report(full, burst_per_minute=10).drop(
+            "distinct_gaps", "constant_cadence"
+        )
+    )
+    assert got == want
+    # replay idempotence: same (batch_id, content) delivered twice
+    half = full.filter("event_id % 2 = 0")
+    out2 = tmp_path / "burst2"
+    _write_burst_partials(half, 0, str(out2), "user_id", "ts")
+    _write_burst_partials(half, 0, str(out2), "user_id", "ts")
+    got2 = canon(finalize_burst_report(spark, str(out2), burst_per_minute=10))
+    want2 = canon(
+        rate_anomaly_report(half, burst_per_minute=10).drop(
+            "distinct_gaps", "constant_cadence"
+        )
+    )
+    assert got2 == want2
+    # compaction: merged partials are valid partial input
+    removed = compact_partials(
+        spark, str(out), merge_fn=merge_rate_minute_partials
+    )
+    assert removed >= 1
+    assert canon(
+        finalize_burst_report(spark, str(out), burst_per_minute=10)
+    ) == want
+
+
+def test_burst_monitor_stream_rejects_batch_frame(spark):
+    import pytest
+    from cryoflow_spark.streaming.burst_stream import burst_monitor_stream
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="streaming"):
+        burst_monitor_stream(df, "/tmp/nope")
