@@ -1343,3 +1343,99 @@ def minhash_audit(
             F.lit(2.0) * p * r / (p + r),
         ).alias("f1"),
     )
+
+
+def cross_source_duplication(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    normalize: bool = True,
+) -> DataFrame:
+    """Pairwise source-level EXACT-duplication matrix — "which sources
+    copy from each other": for every unordered source pair (a <= b,
+    including the a = b diagonal), how many distinct document texts
+    appear in both, plus each side's distinct-text count and the
+    overlap coefficient ``shared / min(|a|, |b|)`` (6-decimal exact
+    ratio). The dataset-card table that catches a mirror site, a
+    re-crawled dump, or a licensing feed duplicated across sources
+    BEFORE global dedup hides the provenance.
+
+    ``normalize=True`` dedups on the lowercased whitespace-collapsed
+    text (the x02 normalized key); ``False`` on the raw string.
+
+    Output: ``(source_a, source_b, shared_texts, texts_a, texts_b,
+    overlap_coeff)``; the diagonal rows carry each source's
+    within-source duplicate-free text count (shared = texts = distinct
+    texts of that source).
+
+    Scale: texts collapse to (text-hash, distinct source set) — the
+    per-hash state is bounded by |sources| (a config-sized constant),
+    NEVER by duplicate count, so a boilerplate page in 10^8 docs is
+    one row with its source set; the pair explode is |sources|² per
+    hash worst-case and the final matrix is |sources|² rows. No
+    all-pairs doc join exists anywhere.
+    """
+    text = F.col(text_col)
+    if normalize:
+        text = F.lower(F.regexp_replace(text, r"\s+", " "))
+    pairs_per_hash = (
+        df.filter(F.col(text_col).isNotNull() & F.col(source_col).isNotNull())
+        .select(
+            F.md5(text).alias("__h"), F.col(source_col).alias("__s")
+        )
+        .distinct()
+        .groupBy("__h")
+        .agg(F.array_sort(F.collect_set("__s")).alias("__srcs"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__srcs, (a, i) ->"
+                    " transform(slice(__srcs, i + 1, size(__srcs) - i),"
+                    " b -> struct(a AS a, b AS b))))"
+                )
+            ).alias("__p")
+        )
+        .groupBy(
+            F.col("__p.a").alias("source_a"), F.col("__p.b").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_texts"))
+    )
+    per_source = (
+        df.filter(F.col(text_col).isNotNull() & F.col(source_col).isNotNull())
+        .select(F.md5(text).alias("__h"), F.col(source_col).alias("__s"))
+        .distinct()
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    return (
+        pairs_per_hash.join(
+            F.broadcast(
+                per_source.select(
+                    F.col("__s").alias("source_a"),
+                    F.col("__n").alias("texts_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                per_source.select(
+                    F.col("__s").alias("source_b"),
+                    F.col("__n").alias("texts_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_texts",
+            "texts_a",
+            "texts_b",
+            F.round(
+                F.col("shared_texts").cast("double")
+                / F.least("texts_a", "texts_b").cast("double"),
+                6,
+            ).alias("overlap_coeff"),
+        )
+    )

@@ -36,6 +36,11 @@ Engine extension for large-scale training-data pipelines (BASELINE.json
   INVENTORY ``(span_hash, n_docs, n_occurrences, example_ids)`` — the
   exact-substring-dedup diagnostic (options ``span_tokens``, ``stride``,
   ``min_docs``, ``max_examples``).
+- ``cross_source``: replace the stream with the pairwise source-level
+  exact-duplication matrix (shared distinct texts + overlap
+  coefficient per unordered source pair) — the provenance table that
+  catches mirror/re-crawl duplication BEFORE global dedup erases it;
+  options ``column``, ``source_column``, ``normalize``.
 - ``minhash_audit``: replace the stream with the ONE-row
   precision/recall/F1 audit of the MinHash estimate pipeline against
   exact shingle-set Jaccard ground truth (same knobs as ``minhash``) —
@@ -83,6 +88,18 @@ class DedupPlugin(SiblingAwareTransformPlugin):
                 data.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
+            )
+
+        if method == "cross_source":
+            from cryoflow_spark.functions.dedup import (
+                cross_source_duplication,
+            )
+
+            return cross_source_duplication(
+                data,
+                text_col=self.options.get("column", "text"),
+                source_col=self.options.get("source_column", "source"),
+                normalize=bool(self.options.get("normalize", True)),
             )
 
         from cryoflow_spark.functions import dedup as D

@@ -155,7 +155,7 @@ _PRIORITY: list[str] = [
     # driver-checked, so they outrank the deferred twins below.
     "x115_langid_margin", "x116_decontamination_audit",
     "x117_truncation_qa", "x118_rate_anomaly", "x119_mixture_order",
-    "q59_recursive_months",
+    "q59_recursive_months", "x120_cross_source_dup",
     # then the deferred twins in registration-family order, still
     # runnable/benchable — each displaced by a never-driver-checked
     # r7 operator, each with an r5/r6-green sibling on its code path

@@ -6007,3 +6007,51 @@ def x119_mixture_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleaved_mixture_order(d, "doc_id", n_shards=8).select(
         "doc_id", "source", "shard", "position"
     )
+
+
+# --- x120: cross-source duplication matrix (oracle-checked) -----------------
+
+
+@register(
+    "x120_cross_source_dup",
+    r"""
+    WITH pairs AS (
+      SELECT DISTINCT lower(regexp_replace(substring(text, 1, 40),
+                                           '\s+', ' ', 'g')) AS h,
+             source AS s
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    sets AS (
+      SELECT h, list_sort(list(DISTINCT s)) AS srcs FROM pairs GROUP BY h
+    ),
+    pp AS (
+      SELECT u.p['a'] AS source_a, u.p['b'] AS source_b,
+             COUNT(*)::BIGINT AS shared_texts
+      FROM (
+        SELECT unnest(flatten([[{'a': srcs[i], 'b': srcs[j]}
+                  for j in generate_series(i, len(srcs))]
+                  for i in generate_series(1, len(srcs))])) AS p
+        FROM sets) u
+      GROUP BY 1, 2
+    ),
+    ps AS (SELECT s, COUNT(DISTINCT h)::BIGINT AS n FROM pairs GROUP BY s)
+    SELECT source_a, source_b, shared_texts, a.n AS texts_a,
+           b.n AS texts_b,
+           ROUND(shared_texts::DOUBLE / LEAST(a.n, b.n)::DOUBLE, 6)
+             AS overlap_coeff
+    FROM pp JOIN ps a ON source_a = a.s JOIN ps b ON source_b = b.s
+    """,
+    "Cross-source duplication matrix over leading 40-char spans (the "
+    "boilerplate-header provenance table: which sources share content "
+    "BEFORE global dedup erases who copied whom): per unordered source "
+    "pair, shared distinct spans + overlap coefficient; per-span state "
+    "is the bounded |sources| set, never duplicate count — no all-pairs "
+    "doc join",
+)
+def x120_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.dedup import cross_source_duplication
+
+    d = load(spark, sf_dir, "documents")
+    return cross_source_duplication(
+        d.withColumn("text", F.substring("text", 1, 40))
+    )

@@ -4781,3 +4781,44 @@ class TestRateAnomaly:
         assert r["span_seconds"] == 0
         with pytest.raises(ValueError, match="burst_per_minute"):
             rate_anomaly_report(df, burst_per_minute=0)
+
+
+class TestCrossSourceDuplication:
+    def test_hand_built_matrix(self, spark):
+        from cryoflow_spark.functions.dedup import cross_source_duplication
+
+        df = spark.createDataFrame(
+            [(1, "A", "shared one"), (2, "B", "Shared  one"),  # norm dup
+             (3, "A", "only in a"), (4, "A", "only in a"),     # within-A dup
+             (5, "B", "only in b"), (6, "C", "unique c"),
+             (7, "C", "shared one")],
+            "doc_id long, source string, text string",
+        )
+        rows = {(r["source_a"], r["source_b"]): r
+                for r in cross_source_duplication(df).collect()}
+        ab = rows[("A", "B")]
+        assert ab["shared_texts"] == 1
+        assert ab["texts_a"] == 2 and ab["texts_b"] == 2   # A: {shared one, only in a}
+        assert ab["overlap_coeff"] == 0.5
+        assert rows[("A", "C")]["shared_texts"] == 1
+        assert rows[("B", "C")]["shared_texts"] == 1
+        # diagonal = per-source distinct text counts
+        assert rows[("A", "A")]["shared_texts"] == 2
+        assert rows[("C", "C")]["shared_texts"] == 2
+        assert rows[("A", "A")]["overlap_coeff"] == 1.0
+        # only unordered pairs (a <= b)
+        assert ("B", "A") not in rows
+
+    def test_normalize_false_distinguishes_case(self, spark):
+        from cryoflow_spark.functions.dedup import cross_source_duplication
+
+        df = spark.createDataFrame(
+            [(1, "A", "Same"), (2, "B", "same")],
+            "doc_id long, source string, text string",
+        )
+        raw = {(r["source_a"], r["source_b"]): r["shared_texts"]
+               for r in cross_source_duplication(df, normalize=False).collect()}
+        assert ("A", "B") not in raw
+        norm = {(r["source_a"], r["source_b"]): r["shared_texts"]
+                for r in cross_source_duplication(df).collect()}
+        assert norm[("A", "B")] == 1
