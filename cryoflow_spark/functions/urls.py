@@ -302,3 +302,90 @@ def domain_filter(
             F.broadcast(lst), tagged["__d"] == lst["__dom"], "left_semi"
         )
     return out.drop("__d")
+
+
+def domain_diversity_report(
+    df: DataFrame,
+    url_col: str = "url",
+    group_col: "str | None" = None,
+    ln_scale: int = 6,
+) -> DataFrame:
+    """Per-group (or global) crawl domain-diversity report — the
+    concentration check a web corpus runs before training: a source
+    whose tokens are 80% one registrable domain is a single point of
+    bias/takedown failure however large it is. Per slice:
+
+    - ``n_urls`` / ``n_domains`` (distinct registrable domains);
+    - ``top_domain`` / ``top_domain_count`` / ``top_domain_share``
+      (deterministic tie-break: count DESC, domain ASC);
+    - ``domain_entropy_bits`` — Shannon entropy of the domain
+      distribution (0 = one domain; ln(n)/ln2 = uniform), via the
+      x111 fixed-point pattern (exact integer sums, shared ln-2
+      literal);
+    - ``hhi`` — Herfindahl-Hirschman concentration Σ(c/N)², exact
+      DECIMAL sum of c² (BIGINT c² overflows at 100 TB domain counts)
+      with one deterministic final divide.
+
+    Scale: one (group, domain)-keyed count with map-side partials
+    (|groups|x|domains| rows), one group rollup, one group-partitioned
+    top-1 window over the domain-count table (never the URL table).
+    """
+    if not 0 < ln_scale <= 9:
+        raise ValueError("ln_scale must be in (0, 9]")
+    from pyspark.sql import Window
+
+    q = float(10**ln_scale)
+    g = group_col or "__g"
+    base = df if group_col else df.withColumn("__g", F.lit(0))
+    host = extract_host(F.col(url_col))
+    counts = (
+        base.filter(F.col(url_col).isNotNull())
+        .select(F.col(g), registrable_domain(host).alias("__d"))
+        .filter(F.col("__d").isNotNull() & (F.col("__d") != ""))
+        .groupBy(g, "__d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    contrib = (
+        F.col("__c")
+        * F.round(F.round(F.log("__c"), ln_scale) * F.lit(q)).cast("bigint")
+    )
+    rollup = counts.groupBy(g).agg(
+        F.sum("__c").cast("bigint").alias("n_urls"),
+        F.count(F.lit(1)).cast("bigint").alias("n_domains"),
+        F.sum(contrib).cast("bigint").alias("__s"),
+        F.sum(
+            (F.col("__c") * F.col("__c")).cast("decimal(38,0)")
+        ).alias("__c2"),
+    )
+    w = Window.partitionBy(g).orderBy(F.desc("__c"), F.asc("__d"))
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(g),
+            F.col("__d").alias("top_domain"),
+            F.col("__c").alias("top_domain_count"),
+        )
+    )
+    n_d = F.col("n_urls").cast("double")
+    ent_bits = F.round(
+        (
+            F.round(F.log(F.col("n_urls")), ln_scale)
+            - F.col("__s").cast("double") / (n_d * F.lit(q))
+        )
+        / F.lit(0.6931471805599453),
+        ln_scale,
+    )
+    out = rollup.join(top, g).select(
+        F.col(g),
+        "n_urls",
+        "n_domains",
+        "top_domain",
+        "top_domain_count",
+        F.round(F.col("top_domain_count").cast("double") / n_d, ln_scale)
+        .alias("top_domain_share"),
+        ent_bits.alias("domain_entropy_bits"),
+        F.round(F.col("__c2").cast("double") / (n_d * n_d), ln_scale)
+        .alias("hhi"),
+    )
+    return out.drop("__g") if not group_col else out

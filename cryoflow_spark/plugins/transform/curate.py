@@ -48,6 +48,11 @@ the TOML plugin surface. Modes (option ``method``):
   [``p_low``, ``p_high``] quantile band (robust-stats tail treatment;
   ``out_column`` optional, ``exact=false`` for the t-digest scale
   path).
+- ``domain_diversity``: replace the stream with the per-
+  ``group_column`` (or global) domain-diversity report over
+  ``url_column`` — distinct registrable domains, top domain + share,
+  Shannon entropy (bits), HHI concentration — the single-domain-bias
+  gate.
 - ``domain_filter``: drop (``blocked_domains``) or keep only
   (``allowed_domains``) rows by the REGISTRABLE domain of
   ``url_column`` — the UT1 blocklist/safelist pass; the list rides a
@@ -418,6 +423,17 @@ class CuratePlugin(SiblingAwareTransformPlugin):
             return data.withColumn(
                 out_col,
                 normalize_unicode(column, self.options.get("form", "NFC")),
+            )
+
+        if method == "domain_diversity":
+            from cryoflow_spark.functions.urls import (
+                domain_diversity_report,
+            )
+
+            return domain_diversity_report(
+                data,
+                url_col=self.options.get("url_column", "url"),
+                group_col=self.options.get("group_column"),
             )
 
         if method == "domain_filter":

@@ -6055,3 +6055,68 @@ def x120_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_source_duplication(
         d.withColumn("text", F.substring("text", 1, 40))
     )
+
+
+# --- x121: domain diversity / concentration report (oracle-checked) ---------
+
+
+def _x121_oracle() -> str:
+    from cryoflow_spark.functions.urls import (
+        sql_extract_host,
+        sql_registrable_domain,
+    )
+
+    host = sql_extract_host("url")
+    return f"""
+    WITH urls AS (
+      SELECT doc_id, lang, {_x42_url_sql()} AS url FROM documents
+    ),
+    doms AS (
+      SELECT lang, {sql_registrable_domain(host)} AS d FROM urls
+      WHERE url IS NOT NULL
+    ),
+    counts AS (
+      SELECT lang, d, COUNT(*)::BIGINT AS c FROM doms
+      WHERE d IS NOT NULL AND d != '' GROUP BY 1, 2
+    ),
+    rollup AS (
+      SELECT lang, SUM(c)::BIGINT AS n_urls, COUNT(*)::BIGINT AS n_domains,
+             SUM(c * CAST(ROUND(ROUND(LN(c), 6) * 1000000.0) AS BIGINT))
+               ::BIGINT AS s,
+             SUM(c * c) AS c2
+      FROM counts GROUP BY 1
+    ),
+    top AS (
+      SELECT lang, d AS top_domain, c AS top_domain_count FROM (
+        SELECT lang, d, c,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY c DESC, d ASC) AS rn
+        FROM counts) WHERE rn = 1
+    )
+    SELECT r.lang, n_urls, n_domains, top_domain, top_domain_count,
+           ROUND(top_domain_count::DOUBLE / n_urls::DOUBLE, 6)
+             AS top_domain_share,
+           ROUND((ROUND(LN(n_urls), 6)
+                  - s::DOUBLE / (n_urls::DOUBLE * 1000000.0))
+                 / 0.6931471805599453, 6) AS domain_entropy_bits,
+           ROUND(c2::DOUBLE / (n_urls::DOUBLE * n_urls::DOUBLE), 6) AS hhi
+    FROM rollup r JOIN top t ON r.lang = t.lang
+    """
+
+
+@register(
+    "x121_domain_diversity",
+    _x121_oracle(),
+    "Per-language crawl domain-diversity report over the synthesized "
+    "messy URLs: distinct registrable domains, deterministic top "
+    "domain + share, Shannon entropy (bits, fixed-point integer sums) "
+    "and HHI concentration (exact decimal sum of c^2) — the "
+    "single-domain-bias gate; one (group, domain) count + one rollup + "
+    "one top-1 window over the DOMAIN table, never the URL table",
+)
+def x121_domain_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.urls import domain_diversity_report
+
+    d = load(spark, sf_dir, "documents")
+    urls = d.select("doc_id", "lang", F.expr(_x42_url_sql()).alias("url"))
+    return domain_diversity_report(urls, group_col="lang")

@@ -4822,3 +4822,45 @@ class TestCrossSourceDuplication:
         norm = {(r["source_a"], r["source_b"]): r["shared_texts"]
                 for r in cross_source_duplication(df).collect()}
         assert norm[("A", "B")] == 1
+
+
+class TestDomainDiversity:
+    def test_hand_computed_metrics(self, spark):
+        import math
+        from cryoflow_spark.functions.urls import domain_diversity_report
+
+        urls = (
+            [f"https://a.example.com/p{i}" for i in range(6)]
+            + [f"https://b.example.org/p{i}" for i in range(2)]
+        )
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "id long, url string"
+        )
+        row = domain_diversity_report(df).collect()[0]
+        assert row["n_urls"] == 8 and row["n_domains"] == 2
+        assert row["top_domain"] == "example.com"
+        assert row["top_domain_count"] == 6
+        assert row["top_domain_share"] == 0.75
+        s = sum(c * round(round(math.log(c), 6) * 1e6) for c in (6, 2))
+        want_ent = round((round(math.log(8), 6) - s / (8 * 1e6))
+                         / 0.6931471805599453, 6)
+        assert row["domain_entropy_bits"] == want_ent
+        assert row["hhi"] == round((36 + 4) / 64, 6)
+
+    def test_single_domain_and_tiebreak(self, spark):
+        from cryoflow_spark.functions.urls import domain_diversity_report
+
+        df = spark.createDataFrame(
+            [(1, "x", "https://only.example.com/a"),
+             (2, "x", "https://only.example.com/b"),
+             (3, "y", "https://tie-a.net/1"), (4, "y", "https://tie-b.net/1")],
+            "id long, grp string, url string",
+        )
+        rows = {r["grp"]: r for r in
+                domain_diversity_report(df, group_col="grp").collect()}
+        x = rows["x"]
+        assert x["domain_entropy_bits"] == 0.0 and x["hhi"] == 1.0
+        y = rows["y"]
+        assert y["top_domain"] == "tie-a.net"  # count tie -> domain ASC
+        assert y["domain_entropy_bits"] == 1.0  # two uniform domains = 1 bit
+        assert y["hhi"] == 0.5
