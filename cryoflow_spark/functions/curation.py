@@ -1272,3 +1272,71 @@ def decontamination_audit(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+#: Stable short names for the PII_PATTERNS chain, in chain order.
+PII_TYPE_NAMES: tuple[str, ...] = ("url", "email", "ip", "phone")
+
+
+def pii_exposure_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: "str | None" = None,
+) -> DataFrame:
+    """Per-group PII exposure audit — the MEASUREMENT side of
+    :func:`scrub_pii`: before deciding to scrub (or to drop a source
+    outright), report how much PII-shaped content each slice carries.
+    Per slice and per PII type in :data:`PII_PATTERNS` chain order
+    (URLs counted before emails so an email-looking userinfo inside a
+    URL is attributed to the URL, exactly as the scrubber replaces):
+
+    ``<type>_docs`` (docs with >= 1 span) and ``<type>_spans`` (total
+    spans), plus ``docs``, ``any_pii_docs`` and ``any_pii_rate``
+    (6-decimal exact ratio) — the compliance dashboard row that
+    decides scrub-vs-drop per source.
+
+    Scale: a pure per-row regex expression map (the same
+    whole-stage-codegen chain as the scrubber, counting instead of
+    replacing) + ONE group-keyed aggregation with map-side partials;
+    output is |groups| rows.
+    """
+    g = group_col or "__g"
+    base = df if group_col else df.withColumn("__g", F.lit(0))
+    text = F.col(text_col)
+    counts = []
+    current = text
+    for name, (pattern, repl) in zip(PII_TYPE_NAMES, PII_PATTERNS):
+        c = F.size(F.regexp_extract_all(current, F.lit(pattern), F.lit(0)))
+        counts.append((name, F.when(text.isNotNull(), c).otherwise(0)))
+        current = F.regexp_replace(current, pattern, repl)
+    proj = base.filter(text.isNotNull()).select(
+        F.col(g), *[c.cast("bigint").alias(f"__c_{n}") for n, c in counts]
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("docs")]
+    any_hit = None
+    for n, _ in counts:
+        aggs.append(
+            F.sum(F.when(F.col(f"__c_{n}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{n}_docs")
+        )
+        aggs.append(F.sum(f"__c_{n}").cast("bigint").alias(f"{n}_spans"))
+        hit = F.col(f"__c_{n}") > 0
+        any_hit = hit if any_hit is None else (any_hit | hit)
+    aggs.append(
+        F.sum(F.when(any_hit, 1).otherwise(0))
+        .cast("bigint")
+        .alias("any_pii_docs")
+    )
+    out = proj.groupBy(g).agg(*aggs).withColumn(
+        "any_pii_rate",
+        F.when(
+            F.col("docs") > 0,
+            F.round(
+                F.col("any_pii_docs").cast("double")
+                / F.col("docs").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+    return out.drop("__g") if not group_col else out

@@ -8,6 +8,10 @@ the TOML plugin surface. Modes (option ``method``):
 
 - ``pii_scrub`` (default): redact URL/email/IP/phone spans in ``column``
   (in place, or into ``out_column``).
+- ``pii_exposure``: replace the stream with the per-``group_column``
+  (or global) PII exposure audit — per type (url/email/ip/phone, in
+  scrub-chain order) docs-hit + span counts, any-PII docs and rate —
+  the scrub-vs-drop compliance dashboard.
 - ``secret_scan``: high-entropy token scan (credential/API-key leak
   detector) — per-doc summary or per-token worklist (``emit =
   "summary" | "tokens"``); options ``min_len`` (default 16),
@@ -138,6 +142,17 @@ class CuratePlugin(SiblingAwareTransformPlugin):
         method = self.options.get("method", "pii_scrub")
         column = self.options.get("column", "text")
         id_column = self.options.get("id_column", "doc_id")
+
+        if method == "pii_exposure":
+            from cryoflow_spark.functions.curation import (
+                pii_exposure_report,
+            )
+
+            return pii_exposure_report(
+                data,
+                text_col=column,
+                group_col=self.options.get("group_column"),
+            )
 
         if method == "secret_scan":
             from cryoflow_spark.functions.curation import secret_token_scan

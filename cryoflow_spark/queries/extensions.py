@@ -6120,3 +6120,67 @@ def x121_domain_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     urls = d.select("doc_id", "lang", F.expr(_x42_url_sql()).alias("url"))
     return domain_diversity_report(urls, group_col="lang")
+
+
+# --- x122: PII exposure audit (oracle-checked) ------------------------------
+
+
+def _x122_oracle() -> str:
+    cols, scrub = [], _X24_PII_EXPR
+    for name, (pattern, repl) in zip(C.PII_TYPE_NAMES, C.PII_PATTERNS):
+        pat = pattern.replace("'", "''")
+        cols.append(
+            f"CAST(len(regexp_extract_all({scrub}, '{pat}')) AS BIGINT)"
+            f" AS c_{name}"
+        )
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    per_doc = ", ".join(cols)
+    aggs, any_hit = [], []
+    for name in C.PII_TYPE_NAMES:
+        aggs.append(
+            f"SUM(CASE WHEN c_{name} > 0 THEN 1 ELSE 0 END)::BIGINT"
+            f" AS {name}_docs"
+        )
+        aggs.append(f"SUM(c_{name})::BIGINT AS {name}_spans")
+        any_hit.append(f"c_{name} > 0")
+    return f"""
+    WITH per_doc AS (
+      SELECT lang, {per_doc} FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang, COUNT(*)::BIGINT AS docs, {', '.join(aggs)},
+           SUM(CASE WHEN {' OR '.join(any_hit)} THEN 1 ELSE 0 END)::BIGINT
+             AS any_pii_docs,
+           CASE WHEN COUNT(*) > 0 THEN
+             ROUND(SUM(CASE WHEN {' OR '.join(any_hit)} THEN 1 ELSE 0 END)
+                   ::DOUBLE / COUNT(*)::DOUBLE, 6)
+           ELSE 0.0 END AS any_pii_rate
+    FROM per_doc GROUP BY lang
+    """
+
+
+@register(
+    "x122_pii_exposure",
+    _x122_oracle(),
+    "Per-language PII exposure audit over the deterministically "
+    "PII-injected corpus (x24's synthesis): per type (url/email/ip/"
+    "phone, counted in scrub-chain order so a URL's userinfo is not "
+    "double-counted as an email) docs-hit + total spans, plus any-PII "
+    "docs and rate — the scrub-vs-drop compliance dashboard; pure "
+    "regex map + one group agg",
+)
+def x122_pii_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.curation import pii_exposure_report
+
+    d = load(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".org or 10.0.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" tel +1 555 0100"),
+    )
+    injected = d.select("doc_id", "lang", pii_text.alias("text"))
+    return pii_exposure_report(injected, group_col="lang")

@@ -4864,3 +4864,41 @@ class TestDomainDiversity:
         assert y["top_domain"] == "tie-a.net"  # count tie -> domain ASC
         assert y["domain_entropy_bits"] == 1.0  # two uniform domains = 1 bit
         assert y["hhi"] == 0.5
+
+
+class TestPiiExposure:
+    def test_hand_counts_and_chain_order(self, spark):
+        from cryoflow_spark.functions.curation import pii_exposure_report
+
+        df = spark.createDataFrame(
+            [(1, "A", "mail me at bob@x.com or sue@y.org ok"),
+             (2, "A", "see https://bob@x.com/path and 10.0.0.1"),
+             (3, "A", "clean text here"),
+             (4, "B", "call +1 555 0100 now"),
+             (5, "B", None)],
+            "doc_id long, grp string, text string",
+        )
+        rows = {r["grp"]: r for r in
+                pii_exposure_report(df, group_col="grp").collect()}
+        a = rows["A"]
+        assert a["docs"] == 3
+        assert a["email_docs"] == 1 and a["email_spans"] == 2
+        # chain order: the email-shaped userinfo inside the URL belongs
+        # to the URL, not the email counter
+        assert a["url_docs"] == 1 and a["url_spans"] == 1
+        assert a["ip_docs"] == 1
+        assert a["any_pii_docs"] == 2
+        assert a["any_pii_rate"] == round(2 / 3, 6)
+        b = rows["B"]
+        assert b["docs"] == 1  # NULL text excluded
+        assert b["phone_docs"] == 1 and b["any_pii_rate"] == 1.0
+
+    def test_global_mode(self, spark):
+        from cryoflow_spark.functions.curation import pii_exposure_report
+
+        df = spark.createDataFrame(
+            [(1, "no pii"), (2, "x@y.io here")], "doc_id long, text string"
+        )
+        row = pii_exposure_report(df).collect()[0]
+        assert row["docs"] == 2 and row["email_docs"] == 1
+        assert row["any_pii_rate"] == 0.5
