@@ -1502,3 +1502,79 @@ def truncation_qa(
         "__r.mean_cosine",
         "__r.min_cosine",
     )
+
+
+def centroid_similarity_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    scale: int = 12,
+    ln_scale: int = 6,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group embedding
+    centroids — the "which sources/classes are semantically redundant"
+    matrix that complements x120's exact-overlap provenance: two
+    crawls with near-identical centroids cover the same distribution
+    even when no document is shared, so one of them is mixture budget
+    better spent elsewhere (and a LOW diagonal-adjacent value flags a
+    mislabeled slice). One row per unordered group pair (a < b):
+    ``(group_a, group_b, n_a, n_b, cosine)``.
+
+    Determinism: centroids come from :func:`group_centroids`' exact
+    fixed-point component means; each componentwise product is
+    re-quantized to BIGINT (``round(va*vb*10^scale)``) so the dot/norm
+    sums are exact integers and the one cosine divide + sqrt chain is
+    identical on both engines; output rounded to ``ln_scale``.
+
+    Scale: the matrix never touches the corpus after the x49
+    aggregation — inputs are |groups| x dim centroid rows, the
+    pos-equijoin produces |groups|² x dim product rows, and the output
+    is |groups|² — all config-sized.
+    """
+    if not 0 < ln_scale <= 9:
+        raise ValueError("ln_scale must be in (0, 9]")
+    q = float(10**scale)
+    long = group_centroids(
+        df, vec_col=vec_col, group_col=group_col, as_array=False,
+        scale=scale,
+    )
+    a = long.select(
+        F.col(group_col).alias("group_a"),
+        F.col("pos"),
+        F.col("val").alias("__va"),
+        F.col("n").cast("bigint").alias("n_a"),
+    )
+    b = long.select(
+        F.col(group_col).alias("group_b"),
+        F.col("pos"),
+        F.col("val").alias("__vb"),
+        F.col("n").cast("bigint").alias("n_b"),
+    )
+    prod = F.round(F.col("__va") * F.col("__vb") * F.lit(q)).cast("bigint")
+    sq_a = F.round(F.col("__va") * F.col("__va") * F.lit(q)).cast("bigint")
+    sq_b = F.round(F.col("__vb") * F.col("__vb") * F.lit(q)).cast("bigint")
+    pairs = (
+        a.join(b, "pos")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.sum(prod).cast("bigint").alias("__dot"),
+            F.sum(sq_a).cast("bigint").alias("__na"),
+            F.sum(sq_b).cast("bigint").alias("__nb"),
+        )
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("__dot").cast("double")
+            / F.sqrt(
+                F.col("__na").cast("double") * F.col("__nb").cast("double")
+            ),
+            ln_scale,
+        ).alias("cosine"),
+    )

@@ -55,6 +55,10 @@ disturbing the main stream. Options:
   report with trailing calendar moving mean and day-over-day delta
   (options ``ts_column``, ``group_column``, ``value_column``,
   ``window_days``).
+- ``report = "centroid_similarity"`` emits the pairwise cosine matrix
+  between per-``group_column`` embedding centroids over ``column``
+  (default ``embedding``/``label``) — the semantic-redundancy /
+  mislabeled-slice check.
 - ``report = "rate_anomaly"`` emits the per-user event-rate anomaly
   report (peak per-minute burst, active minutes, distinct inter-event
   gaps, 0/1 burst / constant-cadence bot flags) — options
@@ -81,6 +85,17 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
 
     def _transform(self, data: FrameData) -> FrameData:
         from cryoflow_spark.functions.profiling import profile_columns
+
+        if self.options.get("report") == "centroid_similarity":
+            from cryoflow_spark.functions.similarity import (
+                centroid_similarity_matrix,
+            )
+
+            return centroid_similarity_matrix(
+                data,
+                vec_col=self.options.get("column", "embedding"),
+                group_col=self.options.get("group_column", "label"),
+            )
 
         if self.options.get("report") == "rate_anomaly":
             from cryoflow_spark.functions.events import rate_anomaly_report

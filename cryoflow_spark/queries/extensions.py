@@ -6184,3 +6184,49 @@ def x122_pii_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     injected = d.select("doc_id", "lang", pii_text.alias("text"))
     return pii_exposure_report(injected, group_col="lang")
+
+
+# --- x123: centroid similarity matrix (oracle-checked) ----------------------
+
+
+@register(
+    "x123_centroid_similarity",
+    """
+    WITH cent AS (
+      SELECT label, i - 1 AS pos,
+             SUM(floor(embedding[i]::DOUBLE * 1e12)::BIGINT)::DOUBLE
+               / (COUNT(*)::DOUBLE * 1e12) AS val,
+             COUNT(*)::BIGINT AS n
+      FROM embeddings, generate_series(1, 64) AS g(i)
+      GROUP BY label, i
+    ),
+    pairs AS (
+      SELECT a.label AS group_a, b.label AS group_b,
+             MAX(a.n) AS n_a, MAX(b.n) AS n_b,
+             SUM(CAST(ROUND(a.val * b.val * 1e12) AS BIGINT))::BIGINT
+               AS dot,
+             SUM(CAST(ROUND(a.val * a.val * 1e12) AS BIGINT))::BIGINT
+               AS na,
+             SUM(CAST(ROUND(b.val * b.val * 1e12) AS BIGINT))::BIGINT
+               AS nb
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT group_a, group_b, n_a, n_b,
+           ROUND(dot::DOUBLE / SQRT(na::DOUBLE * nb::DOUBLE), 6) AS cosine
+    FROM pairs
+    """,
+    "Pairwise cosine between per-label centroids (the semantic-"
+    "redundancy matrix: near-identical centroids = overlapping "
+    "distributions even with zero shared documents): x49's exact "
+    "fixed-point centroids, componentwise products re-quantized to "
+    "exact integer sums, |groups|^2 output — never touches the corpus "
+    "after the centroid aggregation",
+)
+def x123_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.similarity import (
+        centroid_similarity_matrix,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    return centroid_similarity_matrix(e)

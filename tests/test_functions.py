@@ -4902,3 +4902,42 @@ class TestPiiExposure:
         row = pii_exposure_report(df).collect()[0]
         assert row["docs"] == 2 and row["email_docs"] == 1
         assert row["any_pii_rate"] == 0.5
+
+
+class TestCentroidSimilarity:
+    def test_hand_built_geometry(self, spark):
+        from cryoflow_spark.functions.similarity import (
+            centroid_similarity_matrix,
+        )
+
+        rows = (
+            [(i, "x", [1.0, 0.0, 0.0]) for i in range(3)]       # centroid ex
+            + [(10 + i, "y", [0.0, 2.0, 0.0]) for i in range(2)]  # ey
+            + [(20 + i, "z", [3.0, 3.0, 0.0]) for i in range(4)]  # diag
+        )
+        df = spark.createDataFrame(
+            rows, "vec_id long, label string, embedding array<float>"
+        )
+        out = {(r["group_a"], r["group_b"]): r
+               for r in centroid_similarity_matrix(
+                   df, group_col="label").collect()}
+        assert out[("x", "y")]["cosine"] == 0.0    # orthogonal
+        assert abs(out[("x", "z")]["cosine"] - 0.707107) < 1e-6
+        assert abs(out[("y", "z")]["cosine"] - 0.707107) < 1e-6
+        assert out[("x", "y")]["n_a"] == 3 and out[("x", "y")]["n_b"] == 2
+        assert ("y", "x") not in out and ("x", "x") not in out
+
+    def test_identical_groups_cosine_one(self, spark):
+        from cryoflow_spark.functions.similarity import (
+            centroid_similarity_matrix,
+        )
+
+        rows = [(i, g, [0.5, -1.5, 2.0]) for g in ("a", "b")
+                for i in range(3)]
+        df = spark.createDataFrame(
+            [(i + (0 if g == "a" else 100), g, v) for i, (j, g, v)
+             in enumerate(rows)],
+            "vec_id long, label string, embedding array<float>",
+        )
+        r = centroid_similarity_matrix(df, group_col="label").collect()[0]
+        assert r["cosine"] == 1.0
