@@ -1630,3 +1630,89 @@ def lang_id_margin(
         n_hit.cast("bigint").alias("n_langs_hit"),
         F.when(n_hit >= 2, 1).otherwise(0).cast("bigint").alias("mixed"),
     )
+
+
+def packing_efficiency_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    context_len: int = 4096,
+    partition_col: "str | None" = None,
+) -> DataFrame:
+    """Packing-efficiency report over
+    :func:`pack_training_sequences`'s layout — the cost accounting for
+    chop-packing a corpus into fixed ``context_len`` sequences, per
+    ``partition_col`` slice (or one global row):
+
+    - ``n_docs`` / ``n_tokens`` / ``n_sequences``;
+    - ``fill_rate`` = tokens / (sequences × context) — below 1.0 only
+      via the final partial sequence, so a low value means the slice
+      is too small for its context length;
+    - ``split_docs`` / ``split_rate`` — documents fragmented across a
+      sequence boundary (the attention-contamination cost of
+      chop-packing; cf. the packing discussions in GPT-3 / T5
+      appendices), and ``max_doc_span`` — the worst fragmentation
+      (sequences one document straddles);
+    - ``avg_slices_per_seq`` — how many document slices share a
+      sequence (cross-doc attention exposure).
+
+    All integer arithmetic + two 6-decimal exact-ratio rounds.
+
+    Scale: inherits the packing contract — pass ``partition_col`` so
+    the cumulative window partitions; the report adds one per-doc and
+    one per-slice aggregation over the (doc, sequence) overlap rows,
+    both keyed, both map-side-partial.
+    """
+    placed = pack_training_sequences(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        context_len=context_len,
+        partition_col=partition_col,
+    )
+    g = partition_col or "__g"
+    base = placed if partition_col else placed.withColumn("__g", F.lit(0))
+    per_doc = base.groupBy(g, id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__spans"),
+        F.sum("doc_slice_len").cast("bigint").alias("__tok"),
+    )
+    doc_roll = per_doc.groupBy(g).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__tok").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("__spans") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("split_docs"),
+        F.max("__spans").cast("bigint").alias("max_doc_span"),
+    )
+    seq_roll = (
+        base.groupBy(g, "seq_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__slices"))
+        .groupBy(g)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sequences"),
+            F.sum("__slices").cast("bigint").alias("__total_slices"),
+        )
+    )
+    out = doc_roll.join(seq_roll, g).select(
+        F.col(g),
+        "n_docs",
+        "n_tokens",
+        "n_sequences",
+        F.round(
+            F.col("n_tokens").cast("double")
+            / (F.col("n_sequences").cast("double") * F.lit(float(context_len))),
+            6,
+        ).alias("fill_rate"),
+        "split_docs",
+        F.round(
+            F.col("split_docs").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("split_rate"),
+        "max_doc_span",
+        F.round(
+            F.col("__total_slices").cast("double")
+            / F.col("n_sequences").cast("double"),
+            6,
+        ).alias("avg_slices_per_seq"),
+    )
+    return out.drop("__g") if not partition_col else out

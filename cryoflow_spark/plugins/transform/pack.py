@@ -13,6 +13,10 @@ TOML surface for the packing operators of
   (:func:`...sampling.deterministic_shuffle`) — adds ``shard`` /
   ``position`` (option ``n_shards``, default 1024); write
   partitioned by ``shard``, read shard-major.
+- ``efficiency``: replace the stream with the packing-efficiency
+  report (fill rate, fragmented-doc rate, worst span, slices per
+  sequence) for ``context_len`` — the accounting that picks the
+  context/partitioning before a pack job.
 - ``mixture_order``: prefix-balanced deterministic read order
   (:func:`...sampling.interleaved_mixture_order`) — sources
   stride-interleave so every shard prefix carries the target mix;
@@ -77,6 +81,22 @@ class PackPlugin(AnalyzedTransformPlugin):
                 data,
                 id_column,
                 n_shards=int(self.options.get("n_shards", 1024)),
+            )
+        if method == "efficiency":
+            from cryoflow_spark.functions.text import (
+                packing_efficiency_report,
+            )
+
+            return packing_efficiency_report(
+                data,
+                text_col=self.options.get("column", "text"),
+                id_col=id_column,
+                context_len=int(
+                    self.options.get(
+                        "context_len", self.options.get("budget", 4096)
+                    )
+                ),
+                partition_col=self.options.get("partition_column"),
             )
         if method == "mixture_order":
             from cryoflow_spark.functions.sampling import (

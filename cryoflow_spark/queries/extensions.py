@@ -6230,3 +6230,59 @@ def x123_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return centroid_similarity_matrix(e)
+
+
+# --- x124: packing-efficiency report (oracle-checked) -----------------------
+
+
+def _x124_oracle() -> str:
+    return f"""
+    WITH placed AS ({_x64_oracle()}),
+    per_doc AS (
+      SELECT lang, doc_id, COUNT(*)::BIGINT AS spans,
+             SUM(doc_slice_len)::BIGINT AS tok
+      FROM placed GROUP BY 1, 2
+    ),
+    doc_roll AS (
+      SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(tok)::BIGINT AS n_tokens,
+             SUM(CASE WHEN spans > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS split_docs,
+             MAX(spans)::BIGINT AS max_doc_span
+      FROM per_doc GROUP BY 1
+    ),
+    seq_roll AS (
+      SELECT lang, COUNT(*)::BIGINT AS n_sequences,
+             SUM(slices)::BIGINT AS total_slices
+      FROM (SELECT lang, seq_id, COUNT(*)::BIGINT AS slices
+            FROM placed GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT d.lang, n_docs, n_tokens, n_sequences,
+           ROUND(n_tokens::DOUBLE / (n_sequences::DOUBLE * 512.0), 6)
+             AS fill_rate,
+           split_docs,
+           ROUND(split_docs::DOUBLE / n_docs::DOUBLE, 6) AS split_rate,
+           max_doc_span,
+           ROUND(total_slices::DOUBLE / n_sequences::DOUBLE, 6)
+             AS avg_slices_per_seq
+    FROM doc_roll d JOIN seq_roll s ON d.lang = s.lang
+    """
+
+
+@register(
+    "x124_packing_efficiency",
+    _x124_oracle(),
+    "Packing-efficiency report over x64's chop-packed layout (per "
+    "language at context 512): fill rate (final-partial waste), "
+    "fragmented-doc count/rate and worst span (the attention-"
+    "contamination cost), slices per sequence — the accounting that "
+    "picks the context/partitioning before a 100 TB pack job; two "
+    "keyed aggs over the overlap rows",
+)
+def x124_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.text import packing_efficiency_report
+
+    d = load(spark, sf_dir, "documents")
+    return packing_efficiency_report(
+        d, context_len=512, partition_col="lang"
+    )

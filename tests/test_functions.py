@@ -4941,3 +4941,38 @@ class TestCentroidSimilarity:
         )
         r = centroid_similarity_matrix(df, group_col="label").collect()[0]
         assert r["cosine"] == 1.0
+
+
+class TestPackingEfficiency:
+    def test_hand_built_layout(self, spark):
+        """10-token docs into context 16: doc layout is fully
+        predictable, every counter hand-checkable."""
+        from cryoflow_spark.functions.text import packing_efficiency_report
+
+        # 4 docs x 10 tokens = 40 tokens -> seqs of 16: [0,16) [16,32) [32,40)
+        docs = [(i, "tok " * 10) for i in range(4)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        r = packing_efficiency_report(df, context_len=16).collect()[0]
+        assert r["n_docs"] == 4 and r["n_tokens"] == 40
+        assert r["n_sequences"] == 3
+        assert r["fill_rate"] == round(40 / 48, 6)
+        # doc0 [0,10) fits; doc1 [10,20) crosses 16; doc2 [20,30) sits
+        # inside [16,32); doc3 [30,40) crosses 32
+        assert r["split_docs"] == 2 and r["split_rate"] == 0.5
+        assert r["max_doc_span"] == 2
+        # slices: seq0 = doc0 + doc1-head; seq1 = doc1-tail + doc2 +
+        # doc3-head; seq2 = doc3-tail
+        assert r["avg_slices_per_seq"] == round((2 + 3 + 1) / 3, 6)
+
+    def test_partitioned_mode(self, spark):
+        from cryoflow_spark.functions.text import packing_efficiency_report
+
+        docs = [(i, "en", "a b c d") for i in range(2)] + [
+            (10, "de", "x y z")
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+        rows = {r["lang"]: r for r in packing_efficiency_report(
+            df, context_len=4, partition_col="lang").collect()}
+        assert rows["en"]["n_sequences"] == 2 and rows["en"]["fill_rate"] == 1.0
+        assert rows["de"]["n_tokens"] == 3
+        assert rows["de"]["fill_rate"] == 0.75
