@@ -155,7 +155,8 @@ _PRIORITY: list[str] = [
     # driver-checked, so they outrank the deferred twins below.
     "x115_langid_margin", "x116_decontamination_audit",
     "x117_truncation_qa", "x118_rate_anomaly", "x119_mixture_order",
-    "q59_recursive_months", "x120_cross_source_dup",
+    "q59_recursive_months", "q60_lateral_topn",
+    "x120_cross_source_dup",
     "x121_domain_diversity", "x122_pii_exposure",
     "x123_centroid_similarity", "x124_packing_efficiency",
     # then the deferred twins in registration-family order, still

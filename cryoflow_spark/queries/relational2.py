@@ -1408,3 +1408,30 @@ def q59_recursive_months(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders="q59_orders_view", next_month="add_months(m, 1)"
         )
     )
+
+
+# --- q60: correlated LATERAL join (per-key top-N without a window) --------
+
+_Q60_SQL = """
+SELECT c_custkey, c_name, t.o_orderkey, t.o_totalprice
+FROM customer,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) AS t
+"""
+
+
+@register(
+    "q60_lateral_topn",
+    _Q60_SQL,
+    "Correlated LATERAL subquery join (Spark 4 LATERAL): each "
+    "customer's top-2 orders by price via a per-row ordered+limited "
+    "subquery — the SQL-standard spelling of per-key top-N that "
+    "Catalyst decorrelates into a ranked join (customers with no "
+    "orders drop out, matching the comma-join semantics); "
+    "deterministic (price DESC, key) tiebreak",
+)
+def q60_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q60_SQL)
