@@ -1439,3 +1439,71 @@ def cross_source_duplication(
             ).alias("overlap_coeff"),
         )
     )
+
+
+def dedup_savings_report(
+    df: DataFrame,
+    components: DataFrame,
+) -> DataFrame:
+    """ONE-row dedup cost/benefit summary from a near-dup clustering
+    (:func:`connected_components` / :func:`connected_components_two_phase`
+    output ``(node, component)``) — the "is the dedup pass worth its
+    compute" estimate a 100 TB pipeline wants BEFORE committing to the
+    full cluster-dedup write:
+
+    - ``corpus_docs`` — total rows of the corpus frame;
+    - ``clustered_docs`` / ``n_clusters`` / ``max_cluster`` — docs
+      participating in any near-dup cluster, cluster count, and the
+      largest cluster (a huge one usually means boilerplate, not true
+      duplication — route it to x32 instead);
+    - ``removable_docs`` = Σ (size - 1) — rows cluster-dedup would
+      drop keeping one survivor per cluster;
+    - ``savings_pct`` — removable share of the corpus (6-decimal
+      exact ratio);
+    - ``singleton_docs`` — rows in no cluster (untouched by dedup).
+
+    Scale: cluster sizes are one component-keyed count over the
+    |clustered docs| table (never the corpus); the corpus contributes
+    only a 1-row count that rides a broadcast crossJoin.
+    """
+    sizes = components.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__size")
+    )
+    summary = sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("__size").cast("bigint").alias("clustered_docs"),
+        F.max("__size").cast("bigint").alias("max_cluster"),
+        F.sum(F.col("__size") - F.lit(1)).cast("bigint").alias(
+            "removable_docs"
+        ),
+    )
+    total = df.agg(F.count(F.lit(1)).cast("bigint").alias("corpus_docs"))
+    return summary.crossJoin(F.broadcast(total)).select(
+        "corpus_docs",
+        F.coalesce(F.col("clustered_docs"), F.lit(0))
+        .cast("bigint")
+        .alias("clustered_docs"),
+        F.coalesce(F.col("n_clusters"), F.lit(0))
+        .cast("bigint")
+        .alias("n_clusters"),
+        F.coalesce(F.col("max_cluster"), F.lit(0))
+        .cast("bigint")
+        .alias("max_cluster"),
+        F.coalesce(F.col("removable_docs"), F.lit(0))
+        .cast("bigint")
+        .alias("removable_docs"),
+        F.when(
+            F.col("corpus_docs") > 0,
+            F.round(
+                F.coalesce(F.col("removable_docs"), F.lit(0)).cast("double")
+                / F.col("corpus_docs").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("savings_pct"),
+        (
+            F.col("corpus_docs")
+            - F.coalesce(F.col("clustered_docs"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("singleton_docs"),
+    )

@@ -52,6 +52,10 @@ Engine extension for large-scale training-data pipelines (BASELINE.json
 - ``semantic``: SemDeDup over an embedding column (``column`` names the
   vector column) — within-cluster cosine dedup with a trained coarse
   quantizer; options ``threshold``, ``n_centroids``, ``keep``.
+- ``savings``: replace the stream with the ONE-row dedup cost/benefit
+  estimate (cluster count, largest cluster, removable rows, savings
+  share) of the ``cluster`` mode's clustering WITHOUT performing the
+  dedup write — same knobs as ``ngram_jaccard``.
 
 All near-dup modes except ``ngram_jaccard_pairs`` return the frame with
 duplicates removed (keeping the lowest ``id_column`` per duplicate
@@ -236,6 +240,20 @@ class DedupPlugin(SiblingAwareTransformPlugin):
                 id_col=id_column,
                 keep_order_by=list(keep) if keep else None,
             )
+        if method == "savings":
+            pairs = D.ngram_jaccard_pairs(
+                data,
+                text_col=column,
+                id_col=id_column,
+                ngram=int(self.options.get("ngram", 3)),
+                threshold=float(self.options.get("threshold", 0.8)),
+                block_by=self.options.get("block_by"),
+                method=self.options.get("method_strategy", "count"),
+            )
+            comp = D.connected_components_two_phase(pairs).select(
+                "node", "component"
+            )
+            return D.dedup_savings_report(data, comp)
         if method == "semantic":
             from cryoflow_spark.functions import similarity as S
 

@@ -6286,3 +6286,53 @@ def x124_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_efficiency_report(
         d, context_len=512, partition_col="lang"
     )
+
+
+# --- x125: dedup savings estimate (oracle-checked) --------------------------
+
+
+@register(
+    "x125_dedup_savings",
+    f"""
+    WITH comp AS ({_CLUSTERS_SQL}),
+    sizes AS (
+      SELECT component, COUNT(*)::BIGINT AS s FROM comp GROUP BY 1
+    ),
+    summary AS (
+      SELECT COUNT(*)::BIGINT AS n_clusters,
+             COALESCE(SUM(s), 0)::BIGINT AS clustered_docs,
+             COALESCE(MAX(s), 0)::BIGINT AS max_cluster,
+             COALESCE(SUM(s - 1), 0)::BIGINT AS removable_docs
+      FROM sizes
+    ),
+    total AS (
+      SELECT COUNT(*)::BIGINT AS corpus_docs FROM documents
+    )
+    SELECT corpus_docs, clustered_docs, n_clusters, max_cluster,
+           removable_docs,
+           CASE WHEN corpus_docs > 0
+                THEN ROUND(removable_docs::DOUBLE / corpus_docs::DOUBLE, 6)
+                ELSE 0.0 END AS savings_pct,
+           (corpus_docs - clustered_docs)::BIGINT AS singleton_docs
+    FROM summary CROSS JOIN total
+    """,
+    "ONE-row dedup cost/benefit estimate from the x20 near-dup "
+    "clustering: clustered docs, cluster count, largest cluster "
+    "(boilerplate detector), removable rows keeping one survivor per "
+    "cluster, and the savings share of the corpus — decides whether "
+    "the full cluster-dedup write is worth its compute; cluster sizes "
+    "keyed on the |clustered| table, corpus contributes one broadcast "
+    "count row",
+)
+def x125_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.dedup import dedup_savings_report
+
+    d = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", ngram=3, threshold=0.05,
+        block_by="lang",
+    )
+    comp = D.connected_components_two_phase(pairs).select(
+        "node", "component"
+    )
+    return dedup_savings_report(d, comp)

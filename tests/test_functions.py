@@ -4976,3 +4976,34 @@ class TestPackingEfficiency:
         assert rows["en"]["n_sequences"] == 2 and rows["en"]["fill_rate"] == 1.0
         assert rows["de"]["n_tokens"] == 3
         assert rows["de"]["fill_rate"] == 0.75
+
+
+class TestDedupSavings:
+    def test_hand_built_clusters(self, spark):
+        from cryoflow_spark.functions.dedup import dedup_savings_report
+
+        corpus = spark.createDataFrame(
+            [(i,) for i in range(10)], "doc_id long"
+        )
+        comp = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)],  # sizes 3 and 2
+            "node long, component long",
+        )
+        r = dedup_savings_report(corpus, comp).collect()[0]
+        assert r["corpus_docs"] == 10
+        assert r["clustered_docs"] == 5 and r["n_clusters"] == 2
+        assert r["max_cluster"] == 3
+        assert r["removable_docs"] == 3  # (3-1) + (2-1)
+        assert r["savings_pct"] == 0.3
+        assert r["singleton_docs"] == 5
+
+    def test_no_clusters(self, spark):
+        from cryoflow_spark.functions.dedup import dedup_savings_report
+
+        corpus = spark.createDataFrame([(1,), (2,)], "doc_id long")
+        comp = spark.createDataFrame(
+            [], "node long, component long"
+        )
+        r = dedup_savings_report(corpus, comp).collect()[0]
+        assert r["removable_docs"] == 0 and r["savings_pct"] == 0.0
+        assert r["singleton_docs"] == 2 and r["max_cluster"] == 0

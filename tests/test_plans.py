@@ -190,6 +190,9 @@ def test_no_cartesian_products(all_plans):
         # tiny LUT-carrying query side broadcast — the same brute-force
         # broadcast regime as x05/x27, but over compressed codes.
         "x100_pq_adc_topk",
+        # 1-row corpus-count scalar crossJoin(broadcast) into the 1-row
+        # cluster-size summary — both sides scalar.
+        "x125_dedup_savings",
     }
     for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name

@@ -806,6 +806,26 @@ def test_dedup_ngram_jaccard_pairs_plugin(spark):
     assert rows[0]["jaccard"] == lib[0]["jaccard"]
 
 
+def test_dedup_savings_plugin(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different material")],
+        "doc_id long, text string",
+    )
+    out = _run(
+        DedupPlugin({
+            "method": "savings", "column": "text",
+            "ngram": 3, "threshold": 0.5,
+        }),
+        df,
+    )
+    r = out.collect()[0]
+    assert r["corpus_docs"] == 3
+    assert r["clustered_docs"] == 2 and r["n_clusters"] == 1
+    assert r["removable_docs"] == 1 and r["singleton_docs"] == 1
+
+
 class TestProfilePlugin:
     def test_profile_exact(self, sales, spark):
         from cryoflow_spark.plugins.transform import ProfilePlugin
