@@ -1340,3 +1340,82 @@ def pii_exposure_report(
         ).otherwise(F.lit(0.0)),
     )
     return out.drop("__g") if not group_col else out
+
+
+#: Encoding-artifact detectors shared by :func:`encoding_artifact_report`
+#: and its DuckDB oracle — ``\x{..}`` escapes parse identically in Java
+#: regex (Spark) and RE2 (DuckDB). ``mojibake``: UTF-8 bytes re-decoded
+#: as Latin-1/cp1252 — a stray ``Ã`` before a continuation-byte char
+#: (``Ã©`` for ``é``), the ``â€``-prefixed curly-quote/dash family
+#: (``â€™`` for ``’``), or the ``Â``+NBSP pair. ``control``: C0 control
+#: characters other than tab/newline/CR (binary bleed-through).
+#: ``replacement``: U+FFFD, a decoder's own failure marker.
+ENCODING_ARTIFACT_PATTERNS: "list[tuple[str, str]]" = [
+    ("mojibake", "Ã[\\x{80}-\\x{BF}]|â€|Â\\x{A0}"),
+    ("control", "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}]"),
+    ("replacement", "\\x{FFFD}"),
+]
+
+
+def encoding_artifact_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: "str | None" = None,
+) -> DataFrame:
+    """Per-group encoding-artifact audit — the charset-hygiene twin of
+    :func:`pii_exposure_report` for web-scraped corpora (the defect
+    class the public ``ftfy`` tool repairs; Speer 2019): per slice,
+    docs carrying each artifact family of
+    :data:`ENCODING_ARTIFACT_PATTERNS` —
+
+    - ``mojibake_docs`` — UTF-8-decoded-as-Latin-1/cp1252 signatures
+      (``Ã©``, ``â€™``, ``Â``+NBSP): the dump was transcoded twice
+      somewhere upstream;
+    - ``control_docs`` — C0 control characters besides tab/newline/CR:
+      binary content leaked into the text column;
+    - ``replacement_docs`` — U+FFFD: a decoder already gave up;
+
+    plus ``docs``, ``artifact_docs`` (any family) and ``artifact_rate``
+    (6-decimal exact ratio) — the per-source row that decides
+    re-extract vs transcode-repair vs drop BEFORE tokenization bakes
+    the damage into the model's vocabulary.
+
+    Scale: a pure per-row ``rlike`` expression map (whole-stage
+    codegen, no UDF) + ONE group-keyed aggregation with map-side
+    partials; output is |groups| rows. NULL text is excluded.
+    """
+    g = group_col or "__g"
+    base = df if group_col else df.withColumn("__g", F.lit(0))
+    text = F.col(text_col)
+    proj = base.filter(text.isNotNull()).select(
+        F.col(g),
+        *[
+            text.rlike(pat).cast("int").alias(f"__h_{name}")
+            for name, pat in ENCODING_ARTIFACT_PATTERNS
+        ],
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("docs")]
+    any_hit = None
+    for name, _ in ENCODING_ARTIFACT_PATTERNS:
+        aggs.append(
+            F.sum(f"__h_{name}").cast("bigint").alias(f"{name}_docs")
+        )
+        hit = F.col(f"__h_{name}") > 0
+        any_hit = hit if any_hit is None else (any_hit | hit)
+    aggs.append(
+        F.sum(F.when(any_hit, 1).otherwise(0))
+        .cast("bigint")
+        .alias("artifact_docs")
+    )
+    out = proj.groupBy(g).agg(*aggs).withColumn(
+        "artifact_rate",
+        F.when(
+            F.col("docs") > 0,
+            F.round(
+                F.col("artifact_docs").cast("double")
+                / F.col("docs").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+    return out.drop("__g") if not group_col else out

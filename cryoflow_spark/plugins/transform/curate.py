@@ -12,6 +12,10 @@ the TOML plugin surface. Modes (option ``method``):
   (or global) PII exposure audit — per type (url/email/ip/phone, in
   scrub-chain order) docs-hit + span counts, any-PII docs and rate —
   the scrub-vs-drop compliance dashboard.
+- ``encoding_artifacts``: replace the stream with the per-
+  ``group_column`` (or global) encoding-artifact audit — docs carrying
+  mojibake / C0-control / U+FFFD signatures, any-artifact docs and
+  rate — the charset-hygiene dashboard.
 - ``secret_scan``: high-entropy token scan (credential/API-key leak
   detector) — per-doc summary or per-token worklist (``emit =
   "summary" | "tokens"``); options ``min_len`` (default 16),
@@ -149,6 +153,13 @@ class CuratePlugin(SiblingAwareTransformPlugin):
             )
 
             return pii_exposure_report(
+                data,
+                text_col=column,
+                group_col=self.options.get("group_column"),
+            )
+
+        if method == "encoding_artifacts":
+            return C.encoding_artifact_report(
                 data,
                 text_col=column,
                 group_col=self.options.get("group_column"),

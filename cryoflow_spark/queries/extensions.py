@@ -6336,3 +6336,65 @@ def x125_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", "component"
     )
     return dedup_savings_report(d, comp)
+
+
+# --- x126: encoding-artifact audit (oracle-checked) -------------------------
+
+
+def _x126_oracle() -> str:
+    flags, any_hit = [], []
+    for name, pat in C.ENCODING_ARTIFACT_PATTERNS:
+        m = f"regexp_matches(text, '{pat}')"
+        flags.append(
+            f"SUM(CASE WHEN {m} THEN 1 ELSE 0 END)::BIGINT AS {name}_docs"
+        )
+        any_hit.append(m)
+    return f"""
+    WITH injected AS (
+      SELECT lang,
+             text
+               || CASE WHEN doc_id % 7 = 0 THEN ' cafÃ© â€™' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN chr(65533) ELSE '' END
+               || CASE WHEN doc_id % 13 = 0 THEN chr(1) ELSE '' END AS text
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang, COUNT(*)::BIGINT AS docs, {', '.join(flags)},
+           SUM(CASE WHEN {' OR '.join(any_hit)} THEN 1 ELSE 0 END)::BIGINT
+             AS artifact_docs,
+           CASE WHEN COUNT(*) > 0 THEN
+             ROUND(SUM(CASE WHEN {' OR '.join(any_hit)} THEN 1 ELSE 0 END)
+                   ::DOUBLE / COUNT(*)::DOUBLE, 6)
+           ELSE 0.0 END AS artifact_rate
+    FROM injected GROUP BY lang
+    """
+
+
+@register(
+    "x126_encoding_artifacts",
+    _x126_oracle(),
+    "Per-language encoding-artifact audit over a deterministically "
+    "corrupted corpus (mojibake / C0-control / U+FFFD injections on "
+    "doc_id residue classes): docs carrying each artifact family plus "
+    "any-artifact docs and rate — the charset-hygiene row that decides "
+    "re-extract vs transcode-repair vs drop per source; pure rlike "
+    "expression map + one group agg",
+)
+def x126_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    corrupted = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" cafÃ© â€™")
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\ufffd")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("\u0001")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return C.encoding_artifact_report(corrupted, group_col="lang")

@@ -5007,3 +5007,45 @@ class TestDedupSavings:
         r = dedup_savings_report(corpus, comp).collect()[0]
         assert r["removable_docs"] == 0 and r["savings_pct"] == 0.0
         assert r["singleton_docs"] == 2 and r["max_cluster"] == 0
+
+
+class TestEncodingArtifacts:
+    def test_families_and_rate(self, spark):
+        from cryoflow_spark.functions.curation import encoding_artifact_report
+
+        df = spark.createDataFrame(
+            [
+                (1, "clean prose here", "a"),
+                (2, "double-decoded caf\u00c3\u00a9", "a"),  # mojibake
+                (3, "curly it\u00e2\u20ac\u2122s fine", "a"),  # mojibake
+                (4, "binary \u0001 bleedthrough", "a"),  # control
+                (5, "decoder gave up \ufffd", "b"),  # replacement
+                (6, "tab\tand\nnewline ok", "b"),  # NOT control
+                (7, None, "b"),  # excluded
+            ],
+            "doc_id long, text string, grp string",
+        )
+        rows = {
+            r["grp"]: r
+            for r in encoding_artifact_report(
+                df, group_col="grp"
+            ).collect()
+        }
+        a, b = rows["a"], rows["b"]
+        assert a["docs"] == 4 and a["mojibake_docs"] == 2
+        assert a["control_docs"] == 1 and a["replacement_docs"] == 0
+        assert a["artifact_docs"] == 3 and a["artifact_rate"] == 0.75
+        assert b["docs"] == 2  # NULL text excluded
+        assert b["replacement_docs"] == 1 and b["control_docs"] == 0
+        assert b["artifact_docs"] == 1 and b["artifact_rate"] == 0.5
+
+    def test_global_and_clean(self, spark):
+        from cryoflow_spark.functions.curation import encoding_artifact_report
+
+        df = spark.createDataFrame(
+            [(1, "all good"), (2, "still fine")], "doc_id long, text string"
+        )
+        r = encoding_artifact_report(df).collect()[0]
+        assert r["docs"] == 2 and r["artifact_docs"] == 0
+        assert r["artifact_rate"] == 0.0
+        assert "grp" not in r.asDict()

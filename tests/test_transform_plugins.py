@@ -1240,3 +1240,22 @@ def test_sample_exact_n_per_group_plugin(spark):
     got = {r["lang"]: r["n"] for r in
            out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == {"x": 7, "y": 7}
+
+
+def test_curate_encoding_artifacts_plugin(spark):
+    from cryoflow_spark.plugins.transform import CuratePlugin
+
+    df = spark.createDataFrame(
+        [(1, "caf\u00c3\u00a9 mojibake", "a"), (2, "clean", "a"),
+         (3, "also clean", "b")],
+        "doc_id long, text string, src string",
+    )
+    out = _run(
+        CuratePlugin({
+            "method": "encoding_artifacts", "group_column": "src",
+        }),
+        df,
+    )
+    rows = {r["src"]: r for r in out.collect()}
+    assert rows["a"]["mojibake_docs"] == 1 and rows["a"]["artifact_rate"] == 0.5
+    assert rows["b"]["artifact_docs"] == 0
