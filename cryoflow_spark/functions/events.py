@@ -521,3 +521,82 @@ def rate_anomaly_report(
         .cast("bigint")
         .alias("constant_cadence"),
     )
+
+
+def event_transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    start_marker: str = "__start__",
+    end_marker: str = "__end__",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the path-analysis primitive behind "what do users do
+    after X" dashboards, next-event prediction baselines, and
+    journey-anomaly detection: per ordered pair,
+
+    - ``src`` / ``dst`` — consecutive event types in each user's
+      timeline (deterministic ``(ts, id)`` order), with two absorbing
+      markers: ``src = start_marker`` rows count each user's FIRST
+      event (entry distribution) and ``dst = end_marker`` rows count
+      each user's LAST event (drop-off distribution);
+    - ``n_transitions`` — exact integer pair count;
+    - ``prob`` — row-stochastic transition probability
+      ``n / Σ_dst n`` per ``src`` (6-decimal exact-integer ratio).
+
+    Rows with NULL user or event are excluded.
+
+    Scale: ONE window partitioned by user computes ``lead`` + first-row
+    flag in a single pass; both real transitions and the synthetic
+    start rows come off that pass via a 2-element inline explode (scan
+    stays single, expansion factor <= 2); the pair count is a keyed
+    aggregation with map-side partials and the prob window runs over
+    the (|event types| + 1)-row-per-src bounded matrix, never the fact
+    table. Output is at most (|types| + 1)^2 rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    base = df.filter(
+        F.col(user_col).isNotNull() & F.col(event_col).isNotNull()
+    ).select(
+        F.col(user_col),
+        F.col(event_col).alias("__e"),
+        F.lead(F.col(event_col)).over(w).alias("__next"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    pairs = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("__e").alias("src"),
+                    F.coalesce(F.col("__next"), F.lit(end_marker)).alias(
+                        "dst"
+                    ),
+                ),
+                F.when(
+                    F.col("__rn") == 1,
+                    F.struct(
+                        F.lit(start_marker).alias("src"),
+                        F.col("__e").alias("dst"),
+                    ),
+                ).otherwise(F.lit(None)),
+            )
+        ).alias("__t")
+    ).filter(F.col("__t").isNotNull())
+    counts = pairs.groupBy(
+        F.col("__t.src").alias("src"), F.col("__t.dst").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    w_src = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_src).cast("double"),
+            6,
+        ).alias("prob"),
+    )

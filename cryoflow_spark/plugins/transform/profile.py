@@ -59,6 +59,10 @@ disturbing the main stream. Options:
   between per-``group_column`` embedding centroids over ``column``
   (default ``embedding``/``label``) — the semantic-redundancy /
   mislabeled-slice check.
+- ``report = "transitions"`` emits the first-order Markov event
+  transition matrix (src/dst/count/row-stochastic prob with
+  ``__start__``/``__end__`` markers) over per-user sequences — options
+  ``user_column`` / ``event_column`` / ``ts_column`` / ``id_column``.
 - ``report = "rate_anomaly"`` emits the per-user event-rate anomaly
   report (peak per-minute burst, active minutes, distinct inter-event
   gaps, 0/1 burst / constant-cadence bot flags) — options
@@ -95,6 +99,19 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 data,
                 vec_col=self.options.get("column", "embedding"),
                 group_col=self.options.get("group_column", "label"),
+            )
+
+        if self.options.get("report") == "transitions":
+            from cryoflow_spark.functions.events import (
+                event_transition_matrix,
+            )
+
+            return event_transition_matrix(
+                data,
+                user_col=self.options.get("user_column", "user_id"),
+                event_col=self.options.get("event_column", "event_type"),
+                ts_col=self.options.get("ts_column", "ts"),
+                id_col=self.options.get("id_column", "event_id"),
             )
 
         if self.options.get("report") == "rate_anomaly":

@@ -6398,3 +6398,49 @@ def x126_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return C.encoding_artifact_report(corrupted, group_col="lang")
+
+
+# --- x127: event transition matrix (oracle-checked) -------------------------
+
+
+@register(
+    "x127_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS e,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    pairs AS (
+      SELECT e AS src, COALESCE(nxt, '__end__') AS dst FROM seq
+      UNION ALL
+      SELECT '__start__', e FROM seq WHERE rn = 1
+    ),
+    counts AS (
+      SELECT src, dst, COUNT(*)::BIGINT AS n_transitions
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT src, dst, n_transitions,
+           ROUND(n_transitions::DOUBLE
+                 / (SUM(n_transitions) OVER (PARTITION BY src))::DOUBLE,
+                 6) AS prob
+    FROM counts
+    """,
+    "First-order Markov transition matrix over per-user event "
+    "sequences with __start__/__end__ absorbing markers (entry and "
+    "drop-off distributions) and row-stochastic probabilities — the "
+    "path-analysis primitive; ONE user-partitioned window pass, "
+    "2-element inline explode, keyed pair count, prob window over the "
+    "bounded |types|^2 matrix",
+)
+def x127_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.events import event_transition_matrix
+
+    e = load_events(spark, sf_dir)
+    return event_transition_matrix(e)

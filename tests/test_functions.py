@@ -5049,3 +5049,61 @@ class TestEncodingArtifacts:
         assert r["docs"] == 2 and r["artifact_docs"] == 0
         assert r["artifact_rate"] == 0.0
         assert "grp" not in r.asDict()
+
+
+class TestEventTransitions:
+    def test_hand_built_chain(self, spark):
+        from datetime import datetime
+
+        from cryoflow_spark.functions.events import event_transition_matrix
+
+        t0 = datetime(2024, 1, 1)
+        rows = [
+            # user 1: a -> b -> a   (same ts for first two: id breaks tie)
+            (1, t0, 1, "a"), (2, t0, 1, "b"),
+            (3, datetime(2024, 1, 1, 0, 1), 1, "a"),
+            # user 2: single event b
+            (4, t0, 2, "b"),
+            # excluded rows
+            (5, t0, None, "a"), (6, t0, 3, None),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        out = {
+            (r["src"], r["dst"]): r
+            for r in event_transition_matrix(df).collect()
+        }
+        assert out[("a", "b")]["n_transitions"] == 1
+        assert out[("b", "a")]["n_transitions"] == 1
+        assert out[("a", "__end__")]["n_transitions"] == 1
+        assert out[("b", "__end__")]["n_transitions"] == 1
+        assert out[("__start__", "a")]["n_transitions"] == 1
+        assert out[("__start__", "b")]["n_transitions"] == 1
+        assert len(out) == 6
+        # row-stochastic per src
+        assert out[("a", "b")]["prob"] == 0.5
+        assert out[("__start__", "a")]["prob"] == 0.5
+        for src in ("a", "b", "__start__"):
+            assert (
+                sum(r["prob"] for k, r in out.items() if k[0] == src) == 1.0
+            )
+
+    def test_single_pass_plan(self, spark):
+        """The start rows must NOT cost a second scan/window pass."""
+        import contextlib
+        import io
+        from datetime import datetime
+
+        from cryoflow_spark.functions.events import event_transition_matrix
+
+        df = spark.createDataFrame(
+            [(1, datetime(2024, 1, 1), 1, "a")],
+            "event_id long, ts timestamp, user_id long, event_type string",
+        )
+        plan_buf = io.StringIO()
+        with contextlib.redirect_stdout(plan_buf):
+            event_transition_matrix(df).explain("simple")
+        plan = plan_buf.getvalue()
+        assert plan.count("Window") == 2  # lead+rn fused; prob matrix
+        assert "Generate explode" in plan

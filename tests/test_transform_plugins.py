@@ -1259,3 +1259,20 @@ def test_curate_encoding_artifacts_plugin(spark):
     rows = {r["src"]: r for r in out.collect()}
     assert rows["a"]["mojibake_docs"] == 1 and rows["a"]["artifact_rate"] == 0.5
     assert rows["b"]["artifact_docs"] == 0
+
+
+def test_profile_transitions_plugin(spark):
+    from datetime import datetime
+
+    from cryoflow_spark.plugins.transform import ProfilePlugin
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, "a"),
+         (2, datetime(2024, 1, 1, 0, 1), 1, "b")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = _run(ProfilePlugin({"report": "transitions"}), df)
+    rows = {(r["src"], r["dst"]): r["n_transitions"] for r in out.collect()}
+    assert rows == {
+        ("__start__", "a"): 1, ("a", "b"): 1, ("b", "__end__"): 1,
+    }
