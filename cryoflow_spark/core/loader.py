@@ -75,6 +75,7 @@ BUILTIN_MODULES: dict[str, str] = {
     "curate": "cryoflow_spark.plugins.transform.curate",
     "snapshot_diff": "cryoflow_spark.plugins.transform.diff",
     "dedup": "cryoflow_spark.plugins.transform.dedup",
+    "scd2": "cryoflow_spark.plugins.transform.scd2",
     "repartition": "cryoflow_spark.plugins.transform.repartition",
     "sample": "cryoflow_spark.plugins.transform.sample",
     "profile": "cryoflow_spark.plugins.transform.profile",

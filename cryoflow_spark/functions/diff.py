@@ -410,3 +410,69 @@ def profile_drift(
         "old_max",
         "new_max",
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    id_col: "str | None" = None,
+    collapse: bool = True,
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change
+    log (Kimball's SCD2): per key, each row of the output is one
+    validity interval of the tracked ``value_cols`` state —
+
+    - ``valid_from`` — the change timestamp that opened the interval;
+    - ``valid_to`` — the next change's timestamp (half-open
+      ``[from, to)``), NULL while the state is still current;
+    - ``is_current`` — 0/1 flag for the open interval.
+
+    With ``collapse=True`` (default), no-op updates — rows whose
+    tracked values equal the previous row's (null-safe struct
+    compare) — are dropped first, so consecutive intervals always
+    differ in state and a chatty upstream that re-emits unchanged
+    records cannot inflate the dimension. ``id_col`` breaks timestamp
+    ties deterministically. Rows with a NULL key are excluded.
+
+    Scale: ONE shuffle — both windows (the change-detection lag and
+    the interval lead) partition by the same keys, and the collapse
+    filter preserves hash partitioning, so Catalyst plans a single
+    Exchange with the second Window reusing the first's distribution
+    (plan-pinned in tests). Output is |changes| rows, never more than
+    the log.
+    """
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    values = list(value_cols)
+    if not keys or not values:
+        raise ValueError("key_cols and value_cols must be non-empty")
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    cond = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        cond = c if cond is None else (cond & c)
+    base = df.filter(cond)
+    if collapse:
+        state = F.struct(*[F.col(v) for v in values])
+        base = (
+            base.withColumn("__prev", F.lag(state).over(w))
+            .filter(
+                F.col("__prev").isNull()
+                | ~F.col("__prev").eqNullSafe(state)
+            )
+            .drop("__prev")
+        )
+    out = base.select(
+        *keys,
+        *values,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w).alias("valid_to"),
+    )
+    return out.withColumn(
+        "is_current",
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).cast("int"),
+    )

@@ -15,6 +15,7 @@ from cryoflow_spark.plugins.transform.profile import ProfilePlugin
 from cryoflow_spark.plugins.transform.project import ProjectPlugin
 from cryoflow_spark.plugins.transform.repartition import RepartitionPlugin
 from cryoflow_spark.plugins.transform.sample import SamplePlugin
+from cryoflow_spark.plugins.transform.scd2 import Scd2Plugin
 from cryoflow_spark.plugins.transform.select import SelectPlugin
 from cryoflow_spark.plugins.transform.set_op import SetOpPlugin
 from cryoflow_spark.plugins.transform.sort import SortPlugin
@@ -38,6 +39,7 @@ __all__ = [
     "ProjectPlugin",
     "RepartitionPlugin",
     "SamplePlugin",
+    "Scd2Plugin",
     "SelectPlugin",
     "SetOpPlugin",
     "SnapshotDiffPlugin",

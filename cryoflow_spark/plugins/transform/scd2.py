@@ -1,0 +1,43 @@
+"""SCD2 history-building transform — change log → type-2 dimension.
+
+Engine extension for lakehouse dimension maintenance (no reference
+counterpart; Kimball type-2 slowly-changing dimensions): turns a
+change/event log into per-key validity intervals via
+:func:`cryoflow_spark.functions.diff.scd2_intervals`.
+
+Options:
+
+- ``keys`` (required): list of key columns.
+- ``ts_column`` (required): change timestamp column.
+- ``values`` (required): list of tracked state columns.
+- ``id_column`` (optional): deterministic timestamp tiebreaker.
+- ``collapse`` (default true): drop no-op updates (rows whose tracked
+  values equal the previous row's, null-safe) before building
+  intervals.
+
+Output: the key + value columns plus ``valid_from`` / ``valid_to``
+(half-open, NULL while current) / ``is_current``.
+"""
+
+from __future__ import annotations
+
+from cryoflow_spark.core.plugin import FrameData
+from cryoflow_spark.plugins.transform.base import AnalyzedTransformPlugin
+
+
+class Scd2Plugin(AnalyzedTransformPlugin):
+    @property
+    def name(self) -> str:
+        return "scd2"
+
+    def _transform(self, data: FrameData) -> FrameData:
+        from cryoflow_spark.functions.diff import scd2_intervals
+
+        return scd2_intervals(
+            data,
+            key_cols=list(self.require_option("keys")),
+            ts_col=self.require_option("ts_column"),
+            value_cols=list(self.require_option("values")),
+            id_col=self.options.get("id_column"),
+            collapse=bool(self.options.get("collapse", True)),
+        )

@@ -6444,3 +6444,48 @@ def x127_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir)
     return event_transition_matrix(e)
+
+
+# --- x128: SCD2 validity intervals (oracle-checked) -------------------------
+
+
+@register(
+    "x128_scd2_intervals",
+    """
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG({'v': event_type}) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM marked
+      WHERE prev IS DISTINCT FROM {'v': event_type}
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to,
+           CASE WHEN LEAD(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL THEN 1 ELSE 0 END::INT AS is_current
+    FROM changes
+    """,
+    "Type-2 slowly-changing-dimension history built from the event "
+    "change log (Kimball SCD2): per user, half-open validity "
+    "intervals of the event_type state with no-op updates collapsed "
+    "(null-safe struct compare), valid_from/valid_to/is_current — "
+    "ONE shuffle, both windows share the key partitioning",
+)
+def x128_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.diff import scd2_intervals
+
+    e = load_events(spark, sf_dir)
+    return scd2_intervals(
+        e,
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_cols=["event_type"],
+        id_col="event_id",
+    )

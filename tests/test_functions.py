@@ -5107,3 +5107,78 @@ class TestEventTransitions:
         plan = plan_buf.getvalue()
         assert plan.count("Window") == 2  # lead+rn fused; prob matrix
         assert "Generate explode" in plan
+
+
+class TestScd2Intervals:
+    def test_collapse_and_intervals(self, spark):
+        from datetime import datetime
+
+        from cryoflow_spark.functions.diff import scd2_intervals
+
+        t = [datetime(2024, 1, d) for d in range(1, 6)]
+        rows = [
+            # user 1: gold, gold (no-op), silver, gold
+            (1, t[0], 1, "gold"), (2, t[1], 1, "gold"),
+            (3, t[2], 1, "silver"), (4, t[3], 1, "gold"),
+            # user 2: one state
+            (5, t[0], 2, "bronze"),
+            # NULL key excluded
+            (6, t[0], None, "gold"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, tier string"
+        )
+        out = scd2_intervals(
+            df, key_cols=["user_id"], ts_col="ts",
+            value_cols=["tier"], id_col="event_id",
+        ).collect()
+        u1 = sorted(
+            [r for r in out if r["user_id"] == 1],
+            key=lambda r: r["valid_from"],
+        )
+        # the no-op day-2 re-emit is collapsed: 3 intervals, not 4
+        assert [r["tier"] for r in u1] == ["gold", "silver", "gold"]
+        assert u1[0]["valid_from"] == t[0] and u1[0]["valid_to"] == t[2]
+        assert u1[1]["valid_to"] == t[3]
+        assert u1[2]["valid_to"] is None and u1[2]["is_current"] == 1
+        assert sum(r["is_current"] for r in u1) == 1
+        u2 = [r for r in out if r["user_id"] == 2]
+        assert len(u2) == 1 and u2[0]["is_current"] == 1
+        assert len(out) == 4  # NULL-key row gone
+
+    def test_no_collapse_keeps_noops(self, spark):
+        from datetime import datetime
+
+        from cryoflow_spark.functions.diff import scd2_intervals
+
+        df = spark.createDataFrame(
+            [(1, datetime(2024, 1, 1), 1, "a"),
+             (2, datetime(2024, 1, 2), 1, "a")],
+            "event_id long, ts timestamp, user_id long, v string",
+        )
+        out = scd2_intervals(
+            df, key_cols=["user_id"], ts_col="ts", value_cols=["v"],
+            id_col="event_id", collapse=False,
+        ).collect()
+        assert len(out) == 2
+
+    def test_single_exchange_plan(self, spark):
+        """Both windows share the key partitioning: ONE shuffle."""
+        import contextlib
+        import io
+        from datetime import datetime
+
+        from cryoflow_spark.functions.diff import scd2_intervals
+
+        df = spark.createDataFrame(
+            [(1, datetime(2024, 1, 1), 1, "a")],
+            "event_id long, ts timestamp, user_id long, v string",
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            scd2_intervals(
+                df, key_cols=["user_id"], ts_col="ts",
+                value_cols=["v"], id_col="event_id",
+            ).explain("simple")
+        plan = buf.getvalue()
+        assert plan.count("Exchange hashpartitioning") == 1

@@ -1276,3 +1276,29 @@ def test_profile_transitions_plugin(spark):
     assert rows == {
         ("__start__", "a"): 1, ("a", "b"): 1, ("b", "__end__"): 1,
     }
+
+
+def test_scd2_plugin(spark):
+    from datetime import datetime
+
+    from cryoflow_spark.plugins.transform import Scd2Plugin
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, "gold"),
+         (2, datetime(2024, 1, 2), 1, "gold"),
+         (3, datetime(2024, 1, 3), 1, "silver")],
+        "event_id long, ts timestamp, user_id long, tier string",
+    )
+    out = _run(
+        Scd2Plugin({
+            "keys": ["user_id"], "ts_column": "ts",
+            "values": ["tier"], "id_column": "event_id",
+        }),
+        df,
+    )
+    rows = sorted(out.collect(), key=lambda r: r["valid_from"])
+    assert [r["tier"] for r in rows] == ["gold", "silver"]
+    assert rows[0]["is_current"] == 0 and rows[1]["is_current"] == 1
+    missing = Scd2Plugin({"keys": ["user_id"]})
+    missing.attach_session(spark)
+    assert not is_successful(missing.execute(df))
