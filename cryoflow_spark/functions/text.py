@@ -1716,3 +1716,83 @@ def packing_efficiency_report(
         ).alias("avg_slices_per_seq"),
     )
     return out.drop("__g") if not partition_col else out
+
+
+def ngram_diversity_report(
+    df,
+    text_col: str = "text",
+    group_col: "str | None" = None,
+    max_n: int = 3,
+    lowercase: bool = False,
+):
+    """Per-slice distinct-n diversity — the repetitiveness dashboard
+    from the dialogue-diversity literature (distinct-1/2/3, Li et al.
+    2016) applied corpus-side: for each word-gram order ``n`` in
+    ``1..max_n``,
+
+    - ``total_ngrams`` — running n-gram tokens across the slice;
+    - ``distinct_ngrams`` — unique n-grams (the slice-level type
+      count);
+    - ``distinct_ratio`` — types/tokens (6-decimal exact ratio): low
+      distinct-2/3 means template spam or decode-loop degeneration
+      even when distinct-1 looks healthy.
+
+    Docs shorter than ``n`` tokens contribute no n-grams at that
+    order; a (group, n) pair with zero grams emits no row. NULL text
+    is excluded.
+
+    Scale: tokens are split ONCE per doc; all gram orders come off
+    that array in a single projection (tagged structs, flattened,
+    exploded — expansion factor ~``max_n``x tokens, the honest cost
+    of the metric), then an explicit two-phase aggregation: a
+    (group, n, gram)-keyed count with map-side partials does the
+    dedup work distributed, and the |distinct grams|-sized result
+    rolls up to |groups| x ``max_n`` rows. No ``countDistinct``
+    Expand, no collect.
+    """
+    from pyspark.sql import DataFrame
+
+    assert isinstance(df, DataFrame)
+    if max_n < 1:
+        raise ValueError("max_n must be >= 1")
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    g = group_col or "__g"
+    base = df if group_col else df.withColumn("__g", F.lit(0))
+    toks = base.filter(F.col(text_col).isNotNull()).select(
+        F.col(g),
+        F.array_remove(F.split(text, r"\s+"), "").alias("__toks"),
+    )
+    per_n = []
+    for n in range(1, max_n + 1):
+        per_n.append(
+            f"""CASE WHEN size(__toks) >= {n}
+              THEN transform(sequence(1, size(__toks) - {n} + 1),
+                   i -> named_struct('n', {n},
+                        'gram', array_join(slice(__toks, i, {n}), ' ')))
+              ELSE array(named_struct('n', {n},
+                        'gram', cast(null as string)))
+            END"""
+        )
+    grams = (
+        toks.select(
+            F.col(g),
+            F.explode(
+                F.flatten(F.expr(f"array({', '.join(per_n)})"))
+            ).alias("__t"),
+        )
+        .filter(F.col("__t.gram").isNotNull())
+        .select(F.col(g), F.col("__t.n").alias("n"), F.col("__t.gram").alias("__gram"))
+    )
+    per_gram = grams.groupBy(g, "n", "__gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    out = per_gram.groupBy(g, "n").agg(
+        F.sum("__c").cast("bigint").alias("total_ngrams"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_ngrams"),
+        F.round(
+            F.count(F.lit(1)).cast("double")
+            / F.sum("__c").cast("double"),
+            6,
+        ).alias("distinct_ratio"),
+    )
+    return out.drop("__g") if not group_col else out

@@ -17,6 +17,9 @@ Options:
   exact head (:func:`...text.heavy_hitters`): the top ``top_n`` tokens
   with ``count * k > N``, no full-vocab shuffle; options ``top_n``
   (default 50), ``k`` (default 1000).
+- ``method = "diversity"`` — per-``group_column`` distinct-1..n
+  diversity report (total vs unique word n-grams, type/token ratio
+  per gram order) — options ``max_n`` (default 3), ``lowercase``.
 - ``method = "zipf"`` — ONE-row Zipf's-law fit over the ``top_k``
   vocabulary head (ln tf vs ln rank OLS slope/intercept) — the
   "does this look like natural language" dataset-card number.
@@ -61,6 +64,19 @@ class VocabPlugin(AnalyzedTransformPlugin):
                 min_len=int(self.options.get("min_len", 3)),
                 min_tf=int(self.options.get("min_tf", 1)),
             )
+        if self.options.get("method") == "diversity":
+            from cryoflow_spark.functions.text import (
+                ngram_diversity_report,
+            )
+
+            return ngram_diversity_report(
+                data,
+                text_col=self.options.get("column", "text"),
+                group_col=self.options.get("group_column"),
+                max_n=int(self.options.get("max_n", 3)),
+                lowercase=bool(self.options.get("lowercase", False)),
+            )
+
         if self.options.get("method") == "zipf":
             from cryoflow_spark.functions.text import zipf_fit
 

@@ -6489,3 +6489,42 @@ def x128_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["event_type"],
         id_col="event_id",
     )
+
+
+# --- x129: n-gram diversity (distinct-n) report (oracle-checked) ------------
+
+
+@register(
+    "x129_ngram_diversity",
+    r"""
+    WITH toks0 AS (
+      SELECT lang,
+             list_filter(string_split_regex(text, '\s+'), t -> t != '')
+               AS tk
+      FROM documents WHERE text IS NOT NULL
+    ),
+    gram_lists AS (
+      SELECT lang, n,
+             [array_to_string(tk[i:i+n-1], ' ')
+              for i in generate_series(1, len(tk) - n + 1)] AS gl
+      FROM toks0, generate_series(1, 3) AS gs(n)
+    ),
+    grams AS (SELECT lang, n, unnest(gl) AS gram FROM gram_lists),
+    per_gram AS (
+      SELECT lang, n, gram, COUNT(*)::BIGINT AS c
+      FROM grams GROUP BY 1, 2, 3
+    )
+    SELECT lang, n::INT AS n, SUM(c)::BIGINT AS total_ngrams,
+           COUNT(*)::BIGINT AS distinct_ngrams,
+           ROUND(COUNT(*)::DOUBLE / SUM(c)::DOUBLE, 6) AS distinct_ratio
+    FROM per_gram GROUP BY lang, n
+    """,
+    "Per-language distinct-1/2/3 diversity report (Li et al. 2016): "
+    "total vs unique word n-grams and the type/token ratio per gram "
+    "order — the template-spam / decode-degeneration dashboard; one "
+    "tokenize pass, all orders off one projection, explicit two-phase "
+    "agg (no countDistinct Expand)",
+)
+def x129_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.ngram_diversity_report(d, group_col="lang", max_n=3)

@@ -5182,3 +5182,44 @@ class TestScd2Intervals:
             ).explain("simple")
         plan = buf.getvalue()
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestNgramDiversity:
+    def test_hand_counts(self, spark):
+        from cryoflow_spark.functions.text import ngram_diversity_report
+
+        df = spark.createDataFrame(
+            [(1, "a b a b", "x"),   # 1grams: a,b,a,b  2grams: ab,ba,ab  3grams: aba,bab
+             (2, "a", "x"),          # only a 1-gram
+             (3, None, "x"),
+             (4, "c c", "y")],
+            "doc_id long, text string, grp string",
+        )
+        rows = {
+            (r["grp"], r["n"]): r
+            for r in ngram_diversity_report(
+                df, group_col="grp", max_n=3
+            ).collect()
+        }
+        x1 = rows[("x", 1)]
+        assert x1["total_ngrams"] == 5 and x1["distinct_ngrams"] == 2
+        assert x1["distinct_ratio"] == 0.4
+        x2 = rows[("x", 2)]
+        assert x2["total_ngrams"] == 3 and x2["distinct_ngrams"] == 2
+        x3 = rows[("x", 3)]
+        assert x3["total_ngrams"] == 2 and x3["distinct_ngrams"] == 2
+        assert x3["distinct_ratio"] == 1.0
+        y2 = rows[("y", 2)]
+        assert y2["total_ngrams"] == 1 and y2["distinct_ngrams"] == 1
+        # "c c" is 2 tokens: no 3-grams, so the (y, 3) row must not exist
+        assert ("y", 3) not in rows
+
+    def test_short_docs_emit_no_row(self, spark):
+        from cryoflow_spark.functions.text import ngram_diversity_report
+
+        df = spark.createDataFrame(
+            [(1, "only two")], "doc_id long, text string"
+        )
+        rows = {r["n"]: r for r in ngram_diversity_report(df).collect()}
+        assert set(rows) == {1, 2}
+        assert "grp" not in rows[1].asDict()

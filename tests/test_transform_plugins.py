@@ -1302,3 +1302,15 @@ def test_scd2_plugin(spark):
     missing = Scd2Plugin({"keys": ["user_id"]})
     missing.attach_session(spark)
     assert not is_successful(missing.execute(df))
+
+
+def test_vocab_diversity_plugin(spark):
+    from cryoflow_spark.plugins.transform import VocabPlugin
+
+    df = spark.createDataFrame(
+        [(1, "a b a b")], "doc_id long, text string"
+    )
+    out = _run(VocabPlugin({"method": "diversity", "max_n": 2}), df)
+    rows = {r["n"]: r for r in out.collect()}
+    assert rows[1]["total_ngrams"] == 4 and rows[1]["distinct_ngrams"] == 2
+    assert rows[2]["total_ngrams"] == 3 and rows[2]["distinct_ratio"] == round(2 / 3, 6)
