@@ -1052,3 +1052,93 @@ def referential_integrity_report(
         .otherwise(F.lit(0.0))
         .alias("orphan_row_pct"),
     )
+
+
+#: Benford's-law expected leading-digit frequencies log10(1 + 1/d) for
+#: d = 1..9, pre-rounded to 6 decimals — shared LITERALS with the SQL
+#: oracle (a libm log10 call could differ across engines in the last
+#: ULP; nine constants cannot).
+BENFORD_FREQS: "list[float]" = [
+    0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+    0.066947, 0.057992, 0.051153, 0.045757,
+]
+
+
+def benford_audit(
+    df: DataFrame,
+    columns: Sequence[str],
+) -> DataFrame:
+    """Benford's-law leading-digit audit over numeric columns — the
+    forensic-accounting data-quality screen (Nigrini 2012): naturally
+    occurring multi-magnitude amounts follow ``P(d) = log10(1+1/d)``;
+    fabricated, synthetic, truncated, or unit-capped data does not.
+    Per ``(col_name, digit)``:
+
+    - ``n_obs`` — values whose first significant digit is ``digit``
+      (zeros and NULLs excluded — they have no leading digit);
+    - ``obs_freq`` vs ``benford_freq`` (both 6-decimal) and ``dev`` =
+      their signed difference — a large |dev| on a single digit is
+      the classic threshold/rounding-manipulation signature.
+
+    The leading digit is extracted from the DECIMAL(38,6) string
+    rendering (first ``[1-9]`` match), NOT via ``floor(log10(x))`` —
+    decimal formatting is identical across engines while a libm
+    ``log10`` at an exact power of 10 is a last-ULP coin flip.
+
+    Scale: the column stack is an inline explode (|columns| x rows,
+    map-side), the count is (col, digit)-keyed with partials, and the
+    frequency window runs over the bounded 9-rows-per-column result.
+    Output <= 9 x |columns| rows.
+    """
+    from pyspark.sql import Window
+
+    cols = list(columns)
+    if not cols:
+        raise ValueError("columns must be non-empty")
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("__s")
+    ).select("__s.col_name", "__s.v")
+    digits = (
+        stacked.filter(F.col("v").isNotNull())
+        .select(
+            "col_name",
+            F.regexp_extract(
+                F.abs(F.col("v")).cast("decimal(38,6)").cast("string"),
+                "[1-9]",
+                0,
+            ).alias("__d"),
+        )
+        .filter(F.col("__d") != "")
+        .select("col_name", F.col("__d").cast("int").alias("digit"))
+    )
+    counts = digits.groupBy("col_name", "digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    w = Window.partitionBy("col_name")
+    benford = F.element_at(
+        F.array(*[F.lit(x) for x in BENFORD_FREQS]), F.col("digit")
+    )
+    freqd = counts.select(
+        "col_name",
+        "digit",
+        "n_obs",
+        F.round(
+            F.col("n_obs").cast("double")
+            / F.sum("n_obs").over(w).cast("double"),
+            6,
+        ).alias("obs_freq"),
+        benford.alias("benford_freq"),
+    )
+    return freqd.withColumn(
+        "dev", F.round(F.col("obs_freq") - F.col("benford_freq"), 6)
+    )

@@ -59,6 +59,10 @@ disturbing the main stream. Options:
   between per-``group_column`` embedding centroids over ``column``
   (default ``embedding``/``label``) — the semantic-redundancy /
   mislabeled-slice check.
+- ``report = "benford"`` emits the Benford's-law leading-digit audit
+  of the numeric ``columns`` (observed vs log10(1+1/d) expected
+  frequency + signed deviation per digit) — the fabricated/capped
+  data screen.
 - ``report = "transitions"`` emits the first-order Markov event
   transition matrix (src/dst/count/row-stochastic prob with
   ``__start__``/``__end__`` markers) over per-user sequences — options
@@ -99,6 +103,13 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 data,
                 vec_col=self.options.get("column", "embedding"),
                 group_col=self.options.get("group_column", "label"),
+            )
+
+        if self.options.get("report") == "benford":
+            from cryoflow_spark.functions.profiling import benford_audit
+
+            return benford_audit(
+                data, columns=list(self.require_option("columns"))
             )
 
         if self.options.get("report") == "transitions":

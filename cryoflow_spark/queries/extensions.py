@@ -6528,3 +6528,66 @@ def x128_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x129_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return X.ngram_diversity_report(d, group_col="lang", max_n=3)
+
+
+# --- x130: Benford leading-digit audit (oracle-checked) ---------------------
+
+
+def _x130_oracle() -> str:
+    from cryoflow_spark.functions.profiling import BENFORD_FREQS
+
+    case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {f!r}" for d, f in enumerate(BENFORD_FREQS, 1)
+    ) + " END"
+    return f"""
+    WITH stacked AS (
+      SELECT 'l_extendedprice' AS col_name, l_extendedprice AS v
+      FROM lineitem
+      UNION ALL SELECT 'l_quantity', l_quantity FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+    ),
+    digits AS (
+      SELECT col_name,
+             CAST(regexp_extract(
+               CAST(CAST(abs(v) AS DECIMAL(38,6)) AS VARCHAR), '[1-9]', 0
+             ) AS INT) AS digit
+      FROM stacked
+      WHERE v IS NOT NULL AND regexp_extract(
+        CAST(CAST(abs(v) AS DECIMAL(38,6)) AS VARCHAR), '[1-9]', 0
+      ) <> ''
+    ),
+    counts AS (
+      SELECT col_name, digit, COUNT(*)::BIGINT AS n_obs
+      FROM digits GROUP BY 1, 2
+    ),
+    freqd AS (
+      SELECT col_name, digit, n_obs,
+             ROUND(n_obs::DOUBLE
+                   / (SUM(n_obs) OVER (PARTITION BY col_name))::DOUBLE,
+                   6) AS obs_freq,
+             {case} AS benford_freq
+      FROM counts
+    )
+    SELECT col_name, digit, n_obs, obs_freq, benford_freq,
+           ROUND(obs_freq - benford_freq, 6) AS dev
+    FROM freqd
+    """
+
+
+@register(
+    "x130_benford_audit",
+    _x130_oracle(),
+    "Benford's-law leading-digit audit over lineitem amounts "
+    "(extendedprice follows, quantity/discount violate — the "
+    "synthetic/capped-data signature): per (column, digit) observed "
+    "vs log10(1+1/d) expected frequency and signed deviation; digit "
+    "extracted from the DECIMAL string rendering for engine-exact "
+    "portability, inline column stack + keyed count + bounded window",
+)
+def x130_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import benford_audit
+
+    li = load(spark, sf_dir, "lineitem")
+    return benford_audit(
+        li, ["l_extendedprice", "l_quantity", "l_discount"]
+    )

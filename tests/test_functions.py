@@ -5223,3 +5223,51 @@ class TestNgramDiversity:
         rows = {r["n"]: r for r in ngram_diversity_report(df).collect()}
         assert set(rows) == {1, 2}
         assert "grp" not in rows[1].asDict()
+
+
+class TestBenfordAudit:
+    def test_digit_extraction_and_freqs(self, spark):
+        from cryoflow_spark.functions.profiling import (
+            BENFORD_FREQS,
+            benford_audit,
+        )
+
+        df = spark.createDataFrame(
+            [(123.0, 0.045), (19.5, -0.7), (0.0031, None), (0.0, 2.0),
+             (-250.0, 2.5)],
+            "a double, b double",
+        )
+        rows = {
+            (r["col_name"], r["digit"]): r
+            for r in benford_audit(df, ["a", "b"]).collect()
+        }
+        # a: 123->1, 19.5->1, 0.0031->3, 0.0 excluded, -250->2
+        assert rows[("a", 1)]["n_obs"] == 2
+        assert rows[("a", 2)]["n_obs"] == 1 and rows[("a", 3)]["n_obs"] == 1
+        assert rows[("a", 1)]["obs_freq"] == 0.5
+        assert rows[("a", 1)]["benford_freq"] == BENFORD_FREQS[0]
+        assert rows[("a", 1)]["dev"] == round(0.5 - BENFORD_FREQS[0], 6)
+        # b: 0.045->4, -0.7->7, NULL excluded, 2.0->2, 2.5->2
+        assert rows[("b", 2)]["n_obs"] == 2
+        assert rows[("b", 4)]["n_obs"] == 1 and rows[("b", 7)]["n_obs"] == 1
+        assert sum(
+            r["n_obs"] for k, r in rows.items() if k[0] == "b"
+        ) == 4
+
+    def test_benford_constants(self):
+        import math
+
+        from cryoflow_spark.functions.profiling import BENFORD_FREQS
+
+        for d, f in enumerate(BENFORD_FREQS, 1):
+            assert f == round(math.log10(1 + 1 / d), 6)
+        assert round(sum(BENFORD_FREQS), 3) == 1.0
+
+    def test_empty_columns_raise(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.profiling import benford_audit
+
+        df = spark.createDataFrame([(1.0,)], "a double")
+        with _pytest.raises(ValueError):
+            benford_audit(df, [])

@@ -1314,3 +1314,18 @@ def test_vocab_diversity_plugin(spark):
     rows = {r["n"]: r for r in out.collect()}
     assert rows[1]["total_ngrams"] == 4 and rows[1]["distinct_ngrams"] == 2
     assert rows[2]["total_ngrams"] == 3 and rows[2]["distinct_ratio"] == round(2 / 3, 6)
+
+
+def test_profile_benford_plugin(spark):
+    from cryoflow_spark.plugins.transform import ProfilePlugin
+
+    df = spark.createDataFrame(
+        [(100.0,), (23.0,), (0.0,)], "amt double"
+    )
+    out = _run(ProfilePlugin({"report": "benford", "columns": ["amt"]}), df)
+    rows = {r["digit"]: r for r in out.collect()}
+    assert rows[1]["n_obs"] == 1 and rows[2]["n_obs"] == 1
+    assert rows[1]["obs_freq"] == 0.5
+    missing = ProfilePlugin({"report": "benford"})
+    missing.attach_session(spark)
+    assert not is_successful(missing.execute(df))
