@@ -1578,3 +1578,71 @@ def centroid_similarity_matrix(
             ln_scale,
         ).alias("cosine"),
     )
+
+
+def ivf_quantization_error(
+    df: DataFrame,
+    centroids: "np.ndarray | list[list[float]]",
+    vec_col: str = "embedding",
+    assign_mode: str = "vectorized",
+    cell_col: "str | None" = None,
+) -> DataFrame:
+    """Per-cell IVF quantization-error report — the reconstruction-
+    quality half of the quantizer health check (``ivf_cell_stats`` is
+    the balance half; together they are the k-means objective split by
+    cell, Jegou et al. 2011 sec. II): per assigned cell,
+
+    - ``n_vectors`` — cell population;
+    - ``mean_sq_error`` — mean squared L2 distance from each vector
+      to its cell centroid (the cell's inertia / n): a high-error
+      cell is a region the codebook under-covers — recall for queries
+      landing there will sag before the global average moves;
+    - ``max_sq_error`` — the worst vector (outlier detector).
+
+    Assignment follows ``with_ivf_cell`` (argmax dot, the index's own
+    rule); the error is measured in L2 on the assigned cell, so the
+    report reflects what the index actually stores. ``cell_col`` uses
+    a precomputed assignment and skips the argmax entirely.
+
+    Determinism: per-row squared distance folds components
+    left-to-right from 0.0 (``zip_with`` + ``aggregate``), exactly
+    mirroring DuckDB's ``list_reduce(list_prepend(0.0, ...))``; the
+    cross-row mean goes through an exact DECIMAL(38,10) accumulator.
+
+    Scale: one narrow per-row map (skipped argmax with ``cell_col``),
+    one <= n_centroids-key aggregation with map-side partials; output
+    is <= n_centroids rows. The per-row cost is n_centroids x dim
+    multiply-adds — the same order as the assignment itself.
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    base = df.filter(F.col(vec_col).isNotNull())
+    if cell_col is None:
+        base = with_ivf_cell(
+            base, cents, vec_col=vec_col, cell_col="__cell",
+            assign_mode=assign_mode,
+        )
+        cell_col = "__cell"
+    sq_exprs = []
+    for cvec in cents.tolist():
+        carr = F.array(*[F.lit(float(x)) for x in cvec])
+        diff2 = F.zip_with(
+            F.col(vec_col), carr, lambda x, c: (x - c) * (x - c)
+        )
+        sq_exprs.append(
+            F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+        )
+    # precomputed cell columns may arrive as BIGINT from the lake;
+    # element_at requires an INT index
+    chosen = F.element_at(
+        F.array(*sq_exprs), (F.col(cell_col) + 1).cast("int")
+    )
+    proj = base.select(F.col(cell_col).alias("cell"), chosen.alias("__sq"))
+    return proj.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(
+            F.sum(F.col("__sq").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_sq_error"),
+        F.round(F.max("__sq"), 6).alias("max_sq_error"),
+    )

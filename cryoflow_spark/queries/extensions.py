@@ -6591,3 +6591,63 @@ def x130_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(
         li, ["l_extendedprice", "l_quantity", "l_discount"]
     )
+
+
+# --- x131: IVF quantization-error report (oracle-checked) -------------------
+
+
+def _x131_oracle() -> str:
+    """DuckDB replica: x107's fold-dot assignment + the same
+    left-to-right squared-distance fold per assigned cell."""
+
+    def fold_dot(vec: str, lits: list[float]) -> str:
+        vals = ", ".join(f"{x:.17e}" for x in lits)
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"[{vec}[i]::DOUBLE * (list_value({vals}))[i] "
+            f"for i in generate_series(1, 64)]), (acc, x) -> acc + x)"
+        )
+
+    def fold_sq(vec: str, lits: list[float]) -> str:
+        vals = ", ".join(f"{x:.17e}" for x in lits)
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"[({vec}[i]::DOUBLE - (list_value({vals}))[i])"
+            f" * ({vec}[i]::DOUBLE - (list_value({vals}))[i]) "
+            f"for i in generate_series(1, 64)]), (acc, x) -> acc + x)"
+        )
+
+    structs = ", ".join(
+        f"{{'s': -({fold_dot('embedding', cvec)}), 'i': {j}}}"
+        for j, cvec in enumerate(_X23_CENTROIDS)
+    )
+    sq_list = ", ".join(fold_sq("embedding", cvec) for cvec in _X23_CENTROIDS)
+    return f"""
+    WITH assigned AS (
+      SELECT (list_sort(list_value({structs})))[1].i AS cell,
+             (list_value({sq_list}))[
+               (list_sort(list_value({structs})))[1].i + 1
+             ] AS sq
+      FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT cell, COUNT(*)::BIGINT AS n_vectors,
+           ROUND((SUM(CAST(sq AS DECIMAL(38,10))))::DOUBLE
+                 / COUNT(*)::DOUBLE, 6) AS mean_sq_error,
+           ROUND(MAX(sq), 6) AS max_sq_error
+    FROM assigned GROUP BY cell
+    """
+
+
+@register(
+    "x131_ivf_quant_error",
+    _x131_oracle(),
+    "Per-cell IVF quantization-error report (the reconstruction half "
+    "of the quantizer health check; x107 is the balance half): cell "
+    "population, mean squared L2 distance to the assigned centroid "
+    "(cell inertia/n — an under-covered region sags recall before "
+    "the global average moves) and the worst vector; fold-mode "
+    "assignment + left-to-right component fold, exact decimal mean",
+)
+def x131_ivf_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return S.ivf_quantization_error(e, _X23_CENTROIDS, assign_mode="fold")

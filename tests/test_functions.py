@@ -5271,3 +5271,69 @@ class TestBenfordAudit:
         df = spark.createDataFrame([(1.0,)], "a double")
         with _pytest.raises(ValueError):
             benford_audit(df, [])
+
+
+class TestIvfQuantizationError:
+    def test_planted_cells(self, spark):
+        from cryoflow_spark.functions.similarity import (
+            ivf_quantization_error,
+        )
+
+        cents = [[10.0, 0.0], [0.0, 10.0]]
+        # vectors near each centroid with known squared distances
+        df = spark.createDataFrame(
+            [
+                (1, [10.0, 0.0]),   # cell 0, sq 0
+                (2, [9.0, 0.0]),    # cell 0, sq 1
+                (3, [0.0, 10.0]),   # cell 1, sq 0
+                (4, [0.0, 7.0]),    # cell 1, sq 9
+                (5, None),          # excluded
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {
+            r["cell"]: r
+            for r in ivf_quantization_error(
+                df, cents, assign_mode="fold"
+            ).collect()
+        }
+        assert rows[0]["n_vectors"] == 2 and rows[0]["mean_sq_error"] == 0.5
+        assert rows[0]["max_sq_error"] == 1.0
+        assert rows[1]["n_vectors"] == 2 and rows[1]["mean_sq_error"] == 4.5
+        assert rows[1]["max_sq_error"] == 9.0
+
+    def test_precomputed_cell_skips_assignment(self, spark):
+        from cryoflow_spark.functions.similarity import (
+            ivf_quantization_error,
+            with_ivf_cell,
+        )
+
+        cents = [[10.0, 0.0], [0.0, 10.0]]
+        df = spark.createDataFrame(
+            [(1, [9.0, 0.0]), (2, [0.0, 7.0])],
+            "vec_id long, embedding array<double>",
+        )
+        # materialize the assignment as a lake would store it, so the
+        # cell_col path sees a plain column, not the lazy argmax expr
+        pre = spark.createDataFrame(
+            with_ivf_cell(
+                df, cents, cell_col="c", assign_mode="fold"
+            ).collect()
+        )
+        got = {
+            r["cell"]: r["mean_sq_error"]
+            for r in ivf_quantization_error(
+                pre, cents, cell_col="c"
+            ).collect()
+        }
+        assert got == {0: 1.0, 1: 9.0}
+        # the cell_col path must not plan the argmax sort_array
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            ivf_quantization_error(pre, cents, cell_col="c").explain(
+                "simple"
+            )
+        assert "sort_array" not in buf.getvalue()
