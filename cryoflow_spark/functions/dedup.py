@@ -1507,3 +1507,72 @@ def dedup_savings_report(
         .cast("bigint")
         .alias("singleton_docs"),
     )
+
+
+def dedup_threshold_sensitivity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    block_by: "str | None" = None,
+    floor: float = 0.05,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Jaccard threshold-sensitivity curve — "what does each threshold
+    buy" from ONE pair computation, so the dedup threshold is chosen
+    from evidence instead of folklore (the knob every near-dup paper
+    tunes and every pipeline copies): pairs at similarity >= ``floor``
+    are binned by ``floor(jaccard * n_bins)`` and reported as
+
+    - ``threshold`` — the bin's lower edge (a candidate cutoff);
+    - ``n_pairs`` — pairs landing in [threshold, threshold + 1/n_bins);
+    - ``cum_pairs`` / ``cum_share`` — pairs a dedup run AT this
+      threshold would act on (exact descending cumulative), as count
+      and as share of all pairs >= ``floor``.
+
+    Reading the curve: a cliff between two bins is a natural cutoff;
+    a heavy 1.0 bin means exact dupes dominate (run x01 first and
+    spare the near-dup pass the volume).
+
+    Scale: the pair generation is :func:`ngram_jaccard_pairs` (blocked
+    + size-bound pruned — the expensive part, paid once); everything
+    after is a <= ``n_bins``-row keyed count and two window sums over
+    that bounded bin table (allowlisted bounded envelope).
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    from pyspark.sql import Window
+
+    pairs = ngram_jaccard_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        ngram=ngram,
+        threshold=floor,
+        block_by=block_by,
+    )
+    counts = (
+        pairs.select(
+            F.floor(F.col("jaccard") * n_bins).cast("int").alias("__bin")
+        )
+        .groupBy("__bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    w_cum = Window.orderBy(F.col("__bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.col("__bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return counts.select(
+        F.round(F.col("__bin").cast("double") / F.lit(n_bins), 6).alias(
+            "threshold"
+        ),
+        "n_pairs",
+        F.sum("n_pairs").over(w_cum).cast("bigint").alias("cum_pairs"),
+        F.round(
+            F.sum("n_pairs").over(w_cum).cast("double")
+            / F.sum("n_pairs").over(w_all).cast("double"),
+            6,
+        ).alias("cum_share"),
+    )

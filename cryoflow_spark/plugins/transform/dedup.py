@@ -52,6 +52,11 @@ Engine extension for large-scale training-data pipelines (BASELINE.json
 - ``semantic``: SemDeDup over an embedding column (``column`` names the
   vector column) — within-cluster cosine dedup with a trained coarse
   quantizer; options ``threshold``, ``n_centroids``, ``keep``.
+- ``threshold_curve``: replace the stream with the Jaccard
+  threshold-sensitivity curve (per-bin pair counts + descending
+  cumulative count/share) from one pair computation — pick the dedup
+  cutoff from evidence; options ``column``, ``ngram``, ``block_by``,
+  ``floor``, ``n_bins``.
 - ``savings``: replace the stream with the ONE-row dedup cost/benefit
   estimate (cluster count, largest cluster, removable rows, savings
   share) of the ``cluster`` mode's clustering WITHOUT performing the
@@ -239,6 +244,16 @@ class DedupPlugin(SiblingAwareTransformPlugin):
                 pairs,
                 id_col=id_column,
                 keep_order_by=list(keep) if keep else None,
+            )
+        if method == "threshold_curve":
+            return D.dedup_threshold_sensitivity(
+                data,
+                text_col=column,
+                id_col=id_column,
+                ngram=int(self.options.get("ngram", 3)),
+                block_by=self.options.get("block_by"),
+                floor=float(self.options.get("floor", 0.05)),
+                n_bins=int(self.options.get("n_bins", 20)),
             )
         if method == "savings":
             pairs = D.ngram_jaccard_pairs(

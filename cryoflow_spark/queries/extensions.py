@@ -6651,3 +6651,42 @@ def _x131_oracle() -> str:
 def x131_ivf_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return S.ivf_quantization_error(e, _X23_CENTROIDS, assign_mode="fold")
+
+
+# --- x132: dedup threshold-sensitivity curve (oracle-checked) ---------------
+
+
+@register(
+    "x132_threshold_sensitivity",
+    f"""
+    WITH pairs AS ({_JACCARD_SQL.format(thr=0.05)}),
+    binned AS (
+      SELECT floor(jaccard * 20)::INT AS b FROM pairs
+    ),
+    counts AS (
+      SELECT b, COUNT(*)::BIGINT AS n_pairs FROM binned GROUP BY b
+    )
+    SELECT ROUND(b::DOUBLE / 20, 6) AS threshold, n_pairs,
+           (SUM(n_pairs) OVER (
+              ORDER BY b DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ))::BIGINT AS cum_pairs,
+           ROUND((SUM(n_pairs) OVER (
+              ORDER BY b DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ))::DOUBLE
+             / (SUM(n_pairs) OVER ())::DOUBLE, 6) AS cum_share
+    FROM counts
+    """,
+    "Jaccard threshold-sensitivity curve from ONE pair computation: "
+    "per 0.05 bin the pair count plus exact descending cumulative "
+    "count/share (= what a dedup run at that cutoff would act on) — "
+    "evidence-based threshold choice; the bin rollup and two window "
+    "sums run over the <=20-row bin table (bounded envelope)",
+)
+def x132_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.dedup_threshold_sensitivity(
+        d, text_col="text", id_col="doc_id", ngram=3,
+        block_by="lang", floor=0.05, n_bins=20,
+    )

@@ -5337,3 +5337,46 @@ class TestIvfQuantizationError:
                 "simple"
             )
         assert "sort_array" not in buf.getvalue()
+
+
+class TestThresholdSensitivity:
+    def test_hand_built_curve(self, spark):
+        from cryoflow_spark.functions.dedup import (
+            dedup_threshold_sensitivity,
+        )
+
+        # identical pair (jaccard 1.0) + a mid-similarity pair
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy dog"),
+                (3, "the quick brown fox jumps over the lazy cat today"),
+                (4, "entirely different content with no overlap at all"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["threshold"]: r
+            for r in dedup_threshold_sensitivity(
+                df, ngram=3, floor=0.05, n_bins=20
+            ).collect()
+        }
+        assert rows[1.0]["n_pairs"] == 1  # the exact-dup pair
+        # 3 pairs total: (1,2)@1.0 plus (1,3) and (2,3) in one mid bin
+        assert rows[1.0]["cum_pairs"] == 1
+        assert rows[1.0]["cum_share"] == round(1 / 3, 6)
+        mid = [t for t in rows if t < 1.0]
+        assert mid == [0.65]
+        assert rows[0.65]["n_pairs"] == 2
+        assert rows[0.65]["cum_pairs"] == 3 and rows[0.65]["cum_share"] == 1.0
+
+    def test_invalid_bins_raise(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.dedup import (
+            dedup_threshold_sensitivity,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            dedup_threshold_sensitivity(df, n_bins=1)

@@ -231,6 +231,10 @@ _BOUNDED_WINDOW_ENVELOPES = {
     # temperature_mix: same rebalance shape — the min runs over the
     # |sources|-row counts table (functions/sampling.py temperature_mix).
     "x58_temperature_mix": ("min(_w0", 1),
+    # threshold-sensitivity curve: descending cumulative + grand total
+    # over the <= n_bins-row Jaccard bin table (Spark keeps the
+    # duplicated cumulative spec: 2 cum + 1 total = 3 specs).
+    "x132_threshold_sensitivity": ("sum(n_pairs", 3),
 }
 
 

@@ -1329,3 +1329,21 @@ def test_profile_benford_plugin(spark):
     missing = ProfilePlugin({"report": "benford"})
     missing.attach_session(spark)
     assert not is_successful(missing.execute(df))
+
+
+def test_dedup_threshold_curve_plugin(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = _run(
+        DedupPlugin({
+            "method": "threshold_curve", "column": "text",
+            "ngram": 3, "floor": 0.5, "n_bins": 10,
+        }),
+        df,
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["threshold"] == 1.0
+    assert rows[0]["n_pairs"] == 1 and rows[0]["cum_share"] == 1.0
