@@ -1142,3 +1142,82 @@ def benford_audit(
     return freqd.withColumn(
         "dev", F.round(F.col("obs_freq") - F.col("benford_freq"), 6)
     )
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision/recall/F1 report for any gold-vs-predicted
+    column pair (the sklearn-style classification report, computed
+    distributed): one row per class appearing in EITHER column —
+
+    - ``support`` — gold rows of the class; ``predicted`` — rows the
+      predictor assigned to it; ``tp`` — their agreement;
+    - ``precision`` = tp/predicted, ``recall`` = tp/support, and
+      ``f1`` computed as ``2*tp / (support + predicted)`` — the
+      harmonic mean simplified to ONE exact integer ratio, so no
+      compounding of rounded intermediates (all 6-decimal, 0.0 on
+      empty denominators).
+
+    Rows with a NULL label AND NULL prediction are excluded; a NULL
+    on one side counts as its own mismatch (support/predicted without
+    tp), surfacing predictors that abstain.
+
+    Use it on the lang-id output to turn x09's confusion counts into
+    the per-language quality row a curation gate thresholds on; or on
+    any rule-based labeler vs a gold slice.
+
+    Scale: ONE fact aggregation to the bounded |classes|^2 confusion
+    table; everything after (margins + the tp diagonal, three outer
+    joins) runs on that config-sized frame. Output is |classes| rows.
+    """
+    cm = (
+        df.filter(
+            F.col(label_col).isNotNull() | F.col(pred_col).isNotNull()
+        )
+        .groupBy(
+            F.col(label_col).alias("__l"), F.col(pred_col).alias("__p")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    gold = cm.groupBy(F.col("__l").alias("class")).agg(
+        F.sum("__n").cast("bigint").alias("support")
+    ).filter(F.col("class").isNotNull())
+    pred = cm.groupBy(F.col("__p").alias("class")).agg(
+        F.sum("__n").cast("bigint").alias("predicted")
+    ).filter(F.col("class").isNotNull())
+    tp = cm.filter(F.col("__l") == F.col("__p")).select(
+        F.col("__l").alias("class"), F.col("__n").alias("tp")
+    )
+    base = (
+        gold.join(pred, "class", "full_outer")
+        .join(tp, "class", "full_outer")
+        .select(
+            "class",
+            F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
+            F.coalesce("predicted", F.lit(0))
+            .cast("bigint")
+            .alias("predicted"),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+
+    def ratio(num, den):
+        return F.when(
+            den > 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).otherwise(F.lit(0.0))
+
+    return base.select(
+        "class",
+        "support",
+        "predicted",
+        "tp",
+        ratio(F.col("tp"), F.col("predicted")).alias("precision"),
+        ratio(F.col("tp"), F.col("support")).alias("recall"),
+        ratio(
+            F.lit(2) * F.col("tp"), F.col("support") + F.col("predicted")
+        ).alias("f1"),
+    )

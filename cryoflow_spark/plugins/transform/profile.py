@@ -59,6 +59,11 @@ disturbing the main stream. Options:
   between per-``group_column`` embedding centroids over ``column``
   (default ``embedding``/``label``) — the semantic-redundancy /
   mislabeled-slice check.
+- ``report = "classification"`` emits the per-class
+  precision/recall/F1 report of ``pred_column`` against
+  ``label_column`` (support/predicted/tp, F1 as the exact
+  2tp/(support+predicted) ratio) — grade any labeler against a gold
+  column.
 - ``report = "benford"`` emits the Benford's-law leading-digit audit
   of the numeric ``columns`` (observed vs log10(1+1/d) expected
   frequency + signed deviation per digit) — the fabricated/capped
@@ -103,6 +108,17 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 data,
                 vec_col=self.options.get("column", "embedding"),
                 group_col=self.options.get("group_column", "label"),
+            )
+
+        if self.options.get("report") == "classification":
+            from cryoflow_spark.functions.profiling import (
+                classification_report,
+            )
+
+            return classification_report(
+                data,
+                label_col=self.require_option("label_column"),
+                pred_col=self.require_option("pred_column"),
             )
 
         if self.options.get("report") == "benford":

@@ -6690,3 +6690,80 @@ def x132_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, text_col="text", id_col="doc_id", ngram=3,
         block_by="lang", floor=0.05, n_bins=20,
     )
+
+
+# --- x133: per-class precision/recall/F1 report (oracle-checked) ------------
+
+
+def _x133_oracle() -> str:
+    """Confusion margins over the x09 lang-id predictions."""
+    score_exprs = []
+    for code, words in X.LANG_MARKERS.items():
+        hits = " + ".join(
+            f"(CASE WHEN contains(' ' || text || ' ', ' {w} ') THEN 1 ELSE 0 END)"
+            for w in words
+        )
+        score_exprs.append(f"({hits}) AS s_{code}")
+    scores = ", ".join(score_exprs)
+    best = "greatest(" + ", ".join(f"s_{c}" for c in X.LANG_MARKERS) + ")"
+    cases = " ".join(
+        f"WHEN s_{c} > 0 AND s_{c} = {best} THEN '{c}'"
+        for c in sorted(X.LANG_MARKERS)
+    )
+    return f"""
+    WITH cm AS (
+      SELECT lang AS l, predicted AS p, COUNT(*)::BIGINT AS n FROM (
+        SELECT lang, CASE {cases} ELSE 'und' END AS predicted
+        FROM (SELECT lang, text, {scores} FROM documents)
+      ) GROUP BY 1, 2
+    ),
+    gold AS (
+      SELECT l AS class, SUM(n)::BIGINT AS support FROM cm
+      WHERE l IS NOT NULL GROUP BY l
+    ),
+    pred AS (
+      SELECT p AS class, SUM(n)::BIGINT AS predicted FROM cm
+      WHERE p IS NOT NULL GROUP BY p
+    ),
+    tp AS (SELECT l AS class, n AS tp FROM cm WHERE l = p),
+    base AS (
+      SELECT COALESCE(gold.class, pred.class, tp.class) AS class,
+             COALESCE(support, 0)::BIGINT AS support,
+             COALESCE(predicted, 0)::BIGINT AS predicted,
+             COALESCE(tp, 0)::BIGINT AS tp
+      FROM gold
+      FULL OUTER JOIN pred ON gold.class = pred.class
+      FULL OUTER JOIN tp
+        ON COALESCE(gold.class, pred.class) = tp.class
+    )
+    SELECT class, support, predicted, tp,
+           CASE WHEN predicted > 0
+                THEN ROUND(tp::DOUBLE / predicted::DOUBLE, 6)
+                ELSE 0.0 END AS precision,
+           CASE WHEN support > 0
+                THEN ROUND(tp::DOUBLE / support::DOUBLE, 6)
+                ELSE 0.0 END AS recall,
+           CASE WHEN support + predicted > 0
+                THEN ROUND((2 * tp)::DOUBLE
+                           / (support + predicted)::DOUBLE, 6)
+                ELSE 0.0 END AS f1
+    FROM base
+    """
+
+
+@register(
+    "x133_classification_report",
+    _x133_oracle(),
+    "Per-class precision/recall/F1 report over the x09 lang-id "
+    "predictions vs the labeled lang column (sklearn-style, computed "
+    "distributed): support/predicted/tp with F1 as the single exact "
+    "ratio 2tp/(support+predicted) — the per-language quality row a "
+    "curation gate thresholds on; ONE fact agg to the bounded "
+    "confusion table, margins + diagonal joins on config-sized frames",
+)
+def x133_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import classification_report
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select("lang", X.lang_id("text").alias("predicted"))
+    return classification_report(scored, "lang", "predicted")

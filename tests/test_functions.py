@@ -5380,3 +5380,48 @@ class TestThresholdSensitivity:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             dedup_threshold_sensitivity(df, n_bins=1)
+
+
+class TestClassificationReport:
+    def test_hand_confusion(self, spark):
+        from cryoflow_spark.functions.profiling import classification_report
+
+        df = spark.createDataFrame(
+            [
+                ("a", "a"), ("a", "a"), ("a", "b"),   # a: 3 gold, 2 tp
+                ("b", "b"),                            # b: tp
+                ("c", "a"),                            # c never predicted
+                (None, "d"),                           # abstaining gold
+                ("e", None),                           # abstaining pred
+            ],
+            "gold string, pred string",
+        )
+        rows = {
+            r["class"]: r
+            for r in classification_report(df, "gold", "pred").collect()
+        }
+        a = rows["a"]
+        assert (a["support"], a["predicted"], a["tp"]) == (3, 3, 2)
+        assert a["precision"] == round(2 / 3, 6)
+        assert a["recall"] == round(2 / 3, 6)
+        assert a["f1"] == round(4 / 6, 6)  # 2*2/(3+3)
+        b = rows["b"]
+        assert (b["support"], b["predicted"], b["tp"]) == (1, 2, 1)
+        c = rows["c"]
+        assert c["predicted"] == 0 and c["precision"] == 0.0
+        assert c["recall"] == 0.0 and c["tp"] == 0
+        d = rows["d"]
+        assert d["support"] == 0 and d["predicted"] == 1
+        e = rows["e"]
+        assert e["support"] == 1 and e["predicted"] == 0
+        assert set(rows) == {"a", "b", "c", "d", "e"}
+
+    def test_perfect_predictor(self, spark):
+        from cryoflow_spark.functions.profiling import classification_report
+
+        df = spark.createDataFrame(
+            [("x", "x"), ("y", "y")], "gold string, pred string"
+        )
+        for r in classification_report(df, "gold", "pred").collect():
+            assert r["precision"] == 1.0 and r["recall"] == 1.0
+            assert r["f1"] == 1.0

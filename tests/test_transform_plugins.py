@@ -1347,3 +1347,24 @@ def test_dedup_threshold_curve_plugin(spark):
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["threshold"] == 1.0
     assert rows[0]["n_pairs"] == 1 and rows[0]["cum_share"] == 1.0
+
+
+def test_profile_classification_plugin(spark):
+    from cryoflow_spark.plugins.transform import ProfilePlugin
+
+    df = spark.createDataFrame(
+        [("x", "x"), ("x", "y")], "gold string, pred string"
+    )
+    out = _run(
+        ProfilePlugin({
+            "report": "classification",
+            "label_column": "gold", "pred_column": "pred",
+        }),
+        df,
+    )
+    rows = {r["class"]: r for r in out.collect()}
+    assert rows["x"]["recall"] == 0.5 and rows["x"]["precision"] == 1.0
+    assert rows["y"]["support"] == 0 and rows["y"]["predicted"] == 1
+    missing = ProfilePlugin({"report": "classification"})
+    missing.attach_session(spark)
+    assert not is_successful(missing.execute(df))
