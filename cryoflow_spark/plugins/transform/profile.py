@@ -78,6 +78,11 @@ disturbing the main stream. Options:
   ``user_column`` / ``ts_column`` / ``id_column``,
   ``burst_per_minute`` (default 60), ``min_events_for_cadence``
   (default 20).
+- ``report = "join_explosion"`` emits the ONE-row equi-join
+  pre-flight audit of this stream against the sibling ``right_label``
+  stream on ``keys`` (optional ``right_keys``): exact inner-join
+  output size, max single-key fanout, amplification, dropped rows —
+  run it before any big join.
 - ``report = "referential"`` emits the ONE-row FK audit of this
   stream's ``fact_key`` against the sibling ``dim_label`` stream's
   ``dim_key`` (orphan rows/keys, NULL FKs, dead dimension keys,
@@ -155,6 +160,20 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 min_events_for_cadence=int(
                     self.options.get("min_events_for_cadence", 20)
                 ),
+            )
+
+        if self.options.get("report") == "join_explosion":
+            from cryoflow_spark.functions.profiling import (
+                join_explosion_audit,
+            )
+
+            right = self.sibling_frame(self.require_option("right_label"))
+            rk = self.options.get("right_keys")
+            return join_explosion_audit(
+                data,
+                right,
+                left_keys=list(self.require_option("keys")),
+                right_keys=list(rk) if rk else None,
             )
 
         if self.options.get("report") == "referential":

@@ -162,7 +162,7 @@ _PRIORITY: list[str] = [
     "x125_dedup_savings", "x126_encoding_artifacts", "x127_event_transitions",
     "x128_scd2_intervals", "x129_ngram_diversity", "x130_benford_audit",
     "x131_ivf_quant_error", "x132_threshold_sensitivity",
-    "x133_classification_report",
+    "x133_classification_report", "x134_join_explosion",
     # then the deferred twins in registration-family order, still
     # runnable/benchable — each displaced by a never-driver-checked
     # r7 operator, each with an r5/r6-green sibling on its code path

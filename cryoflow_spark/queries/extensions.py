@@ -6767,3 +6767,66 @@ def x133_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     scored = d.select("lang", X.lang_id("text").alias("predicted"))
     return classification_report(scored, "lang", "predicted")
+
+
+# --- x134: join-explosion pre-flight audit (oracle-checked) -----------------
+
+
+@register(
+    "x134_join_explosion",
+    """
+    WITH lcnt AS (
+      SELECT c_custkey AS k, COUNT(*)::BIGINT AS cl FROM customer
+      WHERE c_custkey IS NOT NULL GROUP BY 1
+    ),
+    rcnt AS (
+      SELECT o_custkey AS k, COUNT(*)::BIGINT AS cr FROM orders
+      WHERE o_custkey IS NOT NULL GROUP BY 1
+    ),
+    j AS (
+      SELECT lcnt.cl, rcnt.cr FROM lcnt FULL OUTER JOIN rcnt USING (k)
+    ),
+    t AS (
+      SELECT COALESCE(SUM(cl), 0)::BIGINT AS lr,
+             COALESCE(SUM(cr), 0)::BIGINT AS rr,
+             COUNT(cl)::BIGINT AS left_keys,
+             COUNT(cr)::BIGINT AS right_keys,
+             SUM(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+                      THEN 1 ELSE 0 END)::BIGINT AS matched_keys,
+             COALESCE(SUM(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+                               THEN cl * cr END), 0)::BIGINT AS inner_rows,
+             COALESCE(MAX(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+                               THEN cl * cr END), 0)::BIGINT
+               AS max_key_fanout,
+             COALESCE(SUM(CASE WHEN cr IS NULL THEN cl END), 0)::BIGINT
+               AS l_un,
+             COALESCE(SUM(CASE WHEN cl IS NULL THEN cr END), 0)::BIGINT
+               AS r_un
+      FROM j
+    ),
+    lt AS (SELECT COUNT(*)::BIGINT AS n FROM customer),
+    rt AS (SELECT COUNT(*)::BIGINT AS n FROM orders)
+    SELECT lt.n AS left_rows, rt.n AS right_rows,
+           left_keys, right_keys, matched_keys, inner_rows,
+           max_key_fanout,
+           CASE WHEN greatest(lt.n, rt.n) > 0
+                THEN ROUND(inner_rows::DOUBLE
+                           / greatest(lt.n, rt.n)::DOUBLE, 6)
+                ELSE 0.0 END AS amplification,
+           (lt.n - lr + l_un)::BIGINT AS left_dropped,
+           (rt.n - rr + r_un)::BIGINT AS right_dropped
+    FROM t CROSS JOIN lt CROSS JOIN rt
+    """,
+    "ONE-row pre-flight audit of the customer-orders equi-join: exact "
+    "inner-join output size (sum of per-key count products), max "
+    "single-key fanout (the straggler predictor), amplification vs "
+    "the larger input, and rows an inner join would silently drop — "
+    "the many-to-many explosion check paid on count tables, not data "
+    "rows",
+)
+def x134_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import join_explosion_audit
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return join_explosion_audit(c, o, ["c_custkey"], ["o_custkey"])

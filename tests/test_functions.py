@@ -5425,3 +5425,44 @@ class TestClassificationReport:
         for r in classification_report(df, "gold", "pred").collect():
             assert r["precision"] == 1.0 and r["recall"] == 1.0
             assert r["f1"] == 1.0
+
+
+class TestJoinExplosionAudit:
+    def test_many_to_many_counts(self, spark):
+        from cryoflow_spark.functions.profiling import join_explosion_audit
+
+        left = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (None, "e")],
+            "k long, v string",
+        )
+        right = spark.createDataFrame(
+            [(1, "x"), (1, "y"), (1, "z"), (2, "w"), (9, "q")],
+            "k long, v string",
+        )
+        r = join_explosion_audit(left, right, ["k"]).collect()[0]
+        assert r["left_rows"] == 5 and r["right_rows"] == 5
+        assert r["left_keys"] == 3 and r["right_keys"] == 3
+        assert r["matched_keys"] == 2
+        # key 1: 2*3 = 6, key 2: 1*1 = 1
+        assert r["inner_rows"] == 7 and r["max_key_fanout"] == 6
+        assert r["amplification"] == 1.4
+        # left drops: key 3 (1 row) + NULL key (1 row)
+        assert r["left_dropped"] == 2
+        # right drops: key 9 (1 row)
+        assert r["right_dropped"] == 1
+        # cross-check inner_rows against the actual join
+        actual = left.na.drop(subset=["k"]).join(
+            right.na.drop(subset=["k"]), "k", "inner"
+        ).count()
+        assert actual == r["inner_rows"]
+
+    def test_mismatched_keys_raise(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.profiling import join_explosion_audit
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with _pytest.raises(ValueError):
+            join_explosion_audit(df, df, ["k"], ["k", "j"])
+        with _pytest.raises(ValueError):
+            join_explosion_audit(df, df, [])

@@ -193,6 +193,9 @@ def test_no_cartesian_products(all_plans):
         # 1-row corpus-count scalar crossJoin(broadcast) into the 1-row
         # cluster-size summary — both sides scalar.
         "x125_dedup_savings",
+        # two 1-row table-total scalars crossJoin(broadcast) into the
+        # 1-row join-audit rollup — all sides scalar.
+        "x134_join_explosion",
     }
     for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name

@@ -1368,3 +1368,22 @@ def test_profile_classification_plugin(spark):
     missing = ProfilePlugin({"report": "classification"})
     missing.attach_session(spark)
     assert not is_successful(missing.execute(df))
+
+
+def test_profile_join_explosion_plugin(spark):
+    from cryoflow_spark.plugins.transform import ProfilePlugin
+    from cryoflow_spark.core.pipeline import run_pipeline
+
+    left = DummyInputPlugin(label="default")   # a: 1,2,3
+    right = DummyInputPlugin(label="dims")
+    audit = ProfilePlugin({
+        "report": "join_explosion", "right_label": "dims", "keys": ["a"],
+    })
+    out = CollectOutputPlugin()
+    result = run_pipeline([left, right], [audit], [out], spark=spark)
+    assert is_successful(result), result
+    (l_rows, r_rows, l_keys, r_keys, matched, inner, fanout,
+     amp, l_drop, r_drop) = out.rows[0]
+    assert (l_rows, r_rows) == (3, 3)
+    assert matched == 3 and inner == 3 and fanout == 1
+    assert amp == 1.0 and l_drop == 0 and r_drop == 0
