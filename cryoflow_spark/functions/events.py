@@ -21,6 +21,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ts_micros(ts_col: str):
+    """Column: epoch micros of ``ts_col``, tolerant of TIMESTAMP_NTZ.
+
+    Raw parquet reads can surface event timestamps as TIMESTAMP_NTZ
+    (micros without UTC adjustment), which ``unix_micros`` rejects; the
+    cast to session-local TIMESTAMP is a no-op for LTZ inputs and, with
+    the UTC session timezone, preserves the stored micros for NTZ —
+    matching how ``load_events`` and DuckDB read the same file.
+    """
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
 def conversion_funnel(
     events: DataFrame,
     steps: Sequence[str],
@@ -96,7 +108,7 @@ def funnel_user_times(
     event times (the sessionization locality contract).
     """
     steps = list(steps)
-    us = F.unix_micros(F.col(ts_col))
+    us = _ts_micros(ts_col)
     return (
         events.filter(F.col(type_col).isin(steps))
         .select(F.col(user_col).alias("__u"), F.col(type_col), us.alias("__e"))
@@ -267,7 +279,7 @@ def retention_cohorts(
     if max_offset < 0:
         raise ValueError("max_offset must be >= 0")
     period_us = int(period_seconds) * 1_000_000
-    us = F.unix_micros(F.col(ts_col))
+    us = _ts_micros(ts_col)
     base = events.select(F.col(user_col).alias("__u"), us.alias("__e"))
     t0 = base.agg(F.min("__e").alias("__t0"))
     periods = (
@@ -392,7 +404,7 @@ def rate_minute_partials(
     counts add, minute-window min/max epoch-micros combine, so partials
     from any split of the data (micro-batches, shards) re-aggregate to
     the same rollup (the streaming twin's contract)."""
-    micros = F.unix_micros(F.col(ts_col))
+    micros = _ts_micros(ts_col)
     minute = F.floor(micros / F.lit(60_000_000)).cast("bigint")
     return (
         df.filter(F.col(ts_col).isNotNull())
@@ -473,7 +485,7 @@ def rate_anomaly_report(
         )
     from pyspark.sql import Window
 
-    micros = F.unix_micros(F.col(ts_col))
+    micros = _ts_micros(ts_col)
     per_minute = rate_minute_partials(df, user_col=user_col, ts_col=ts_col)
     rollup = rate_rollup_from_minutes(per_minute, user_col=user_col)
     w = Window.partitionBy(user_col).orderBy(
@@ -600,3 +612,84 @@ def event_transition_matrix(
             6,
         ).alias("prob"),
     )
+
+
+def top_session_journeys(
+    df: DataFrame,
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+    max_steps: int = 5,
+    top_n: int = 20,
+) -> DataFrame:
+    """Most common session journeys — the "what do sessions look like"
+    product-analytics table (the aggregate view of what x127 models
+    one transition at a time): sessions are inactivity-gap windows
+    (> ``gap_minutes`` between events opens a new one, the x17
+    sessionization rule), each session is summarized by its first
+    ``max_steps`` event types in deterministic ``(ts, id)`` order
+    joined with ``>``, and the ``top_n`` paths are reported with
+
+    - ``path`` — e.g. ``view>click>purchase``;
+    - ``n_sessions`` — sessions following it;
+    - ``n_users`` — distinct users among them (a path with many
+      sessions but one user is a bot loop, not a product insight);
+
+    ordered by ``(n_sessions DESC, path)`` — a deterministic top-k.
+
+    Scale: session ids are two windows partitioned by user (gap flag +
+    running sum), the step filter ``rn <= max_steps`` runs BEFORE the
+    path aggregation so the per-session buffer is bounded by
+    ``max_steps`` (never by session length — a bot session with 10^6
+    events contributes ``max_steps`` rows), and the path count is a
+    keyed agg with map-side partials feeding a ``TakeOrdered`` top-k
+    (no global sort).
+    """
+    from pyspark.sql import Window
+
+    if max_steps < 1 or top_n < 1:
+        raise ValueError("max_steps and top_n must be >= 1")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap_us = F.lit(int(gap_minutes) * 60 * 1_000_000)
+    base = df.filter(
+        F.col(user_col).isNotNull() & F.col(event_col).isNotNull()
+    ).select(
+        F.col(user_col),
+        F.col(event_col).alias("__e"),
+        _ts_micros(ts_col).alias("__us"),
+        F.col(id_col).alias("__id"),
+    )
+    w_us = Window.partitionBy(user_col).orderBy("__us", "__id")
+    flagged = base.withColumn(
+        "__new",
+        F.when(
+            F.col("__us") - F.lag("__us").over(w_us) > gap_us, 1
+        ).otherwise(0),
+    ).withColumn(
+        "__sess",
+        F.sum("__new").over(
+            w_us.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_sess = Window.partitionBy(user_col, "__sess").orderBy("__us", "__id")
+    steps = flagged.withColumn("__rn", F.row_number().over(w_sess)).filter(
+        F.col("__rn") <= max_steps
+    )
+    paths = steps.groupBy(user_col, "__sess").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__rn", F.col("__e")))
+                ),
+                lambda s: s["__e"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.countDistinct(user_col).cast("bigint").alias("n_users"),
+    )
+    return counts.orderBy(F.col("n_sessions").desc(), "path").limit(top_n)

@@ -68,6 +68,11 @@ disturbing the main stream. Options:
   of the numeric ``columns`` (observed vs log10(1+1/d) expected
   frequency + signed deviation per digit) — the fabricated/capped
   data screen.
+- ``report = "journeys"`` emits the top-``top_n`` session journeys
+  (inactivity-gap sessions, first ``max_steps`` event types joined
+  with ``>``, session + distinct-user counts) — options
+  ``gap_minutes`` / ``max_steps`` / ``top_n`` and the event column
+  names.
 - ``report = "transitions"`` emits the first-order Markov event
   transition matrix (src/dst/count/row-stochastic prob with
   ``__start__``/``__end__`` markers) over per-user sequences — options
@@ -131,6 +136,22 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
 
             return benford_audit(
                 data, columns=list(self.require_option("columns"))
+            )
+
+        if self.options.get("report") == "journeys":
+            from cryoflow_spark.functions.events import (
+                top_session_journeys,
+            )
+
+            return top_session_journeys(
+                data,
+                user_col=self.options.get("user_column", "user_id"),
+                event_col=self.options.get("event_column", "event_type"),
+                ts_col=self.options.get("ts_column", "ts"),
+                id_col=self.options.get("id_column", "event_id"),
+                gap_minutes=int(self.options.get("gap_minutes", 30)),
+                max_steps=int(self.options.get("max_steps", 5)),
+                top_n=int(self.options.get("top_n", 20)),
             )
 
         if self.options.get("report") == "transitions":

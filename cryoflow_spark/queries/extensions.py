@@ -6830,3 +6830,63 @@ def x134_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     return join_explosion_audit(c, o, ["c_custkey"], ["o_custkey"])
+
+
+# --- x135: top session journeys (oracle-checked) ----------------------------
+
+
+@register(
+    "x135_session_journeys",
+    """
+    WITH base AS (
+      SELECT user_id, event_type AS e,
+             epoch_us(ts)::BIGINT AS us, event_id AS id
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN us - LAG(us) OVER w > 30 * 60 * 1000000
+                     THEN 1 ELSE 0 END AS newf
+      FROM base WINDOW w AS (PARTITION BY user_id ORDER BY us, id)
+    ),
+    sess AS (
+      SELECT *, (SUM(newf) OVER (
+        PARTITION BY user_id ORDER BY us, id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ))::BIGINT AS s
+      FROM flagged
+    ),
+    steps AS (
+      SELECT user_id, s, e,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, s ORDER BY us, id
+             ) AS rn
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, s,
+             array_to_string(list(e ORDER BY rn), '>') AS path
+      FROM steps WHERE rn <= 5 GROUP BY user_id, s
+    ),
+    counts AS (
+      SELECT path, COUNT(*)::BIGINT AS n_sessions,
+             COUNT(DISTINCT user_id)::BIGINT AS n_users
+      FROM paths GROUP BY path
+    )
+    SELECT path, n_sessions, n_users FROM counts
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+    "Top-20 session journeys: inactivity-gap sessions (30 min), each "
+    "summarized by its first 5 event types in deterministic (ts, id) "
+    "order, counted with distinct-user support (one-user paths = bot "
+    "loops) — the aggregate view of x127's per-transition model; step "
+    "cap BEFORE the path agg bounds the per-session buffer, keyed "
+    "count + TakeOrdered top-k",
+)
+def x135_session_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.events import top_session_journeys
+
+    e = load_events(spark, sf_dir)
+    return top_session_journeys(
+        e, gap_minutes=30, max_steps=5, top_n=20
+    )

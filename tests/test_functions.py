@@ -5466,3 +5466,56 @@ class TestJoinExplosionAudit:
             join_explosion_audit(df, df, ["k"], ["k", "j"])
         with _pytest.raises(ValueError):
             join_explosion_audit(df, df, [])
+
+
+class TestSessionJourneys:
+    def test_gap_split_and_paths(self, spark):
+        from datetime import datetime, timedelta
+
+        from cryoflow_spark.functions.events import top_session_journeys
+
+        t0 = datetime(2024, 1, 1)
+        m = timedelta(minutes=1)
+        rows = [
+            # user 1, session 1: a > b; gap 40min; session 2: a > b
+            (1, t0, 1, "a"), (2, t0 + m, 1, "b"),
+            (3, t0 + 41 * m, 1, "a"), (4, t0 + 42 * m, 1, "b"),
+            # user 2, one session: a > b
+            (5, t0, 2, "a"), (6, t0 + m, 2, "b"),
+            # user 3, one session: c
+            (7, t0, 3, "c"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        out = top_session_journeys(df, gap_minutes=30, max_steps=5).collect()
+        assert [(r["path"], r["n_sessions"], r["n_users"]) for r in out] == [
+            ("a>b", 3, 2), ("c", 1, 1),
+        ]
+
+    def test_step_cap_truncates_path(self, spark):
+        from datetime import datetime, timedelta
+
+        from cryoflow_spark.functions.events import top_session_journeys
+
+        t0 = datetime(2024, 1, 1)
+        s = timedelta(seconds=1)
+        rows = [(i, t0 + i * s, 1, ch) for i, ch in enumerate("abcde")]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        out = top_session_journeys(df, max_steps=3).collect()
+        assert out[0]["path"] == "a>b>c"  # d, e truncated
+
+    def test_tie_ordering_deterministic(self, spark):
+        from datetime import datetime
+
+        from cryoflow_spark.functions.events import top_session_journeys
+
+        t0 = datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, t0, 1, "z"), (2, t0, 2, "a")],
+            "event_id long, ts timestamp, user_id long, event_type string",
+        )
+        out = top_session_journeys(df).collect()
+        assert [r["path"] for r in out] == ["a", "z"]  # tie -> path asc

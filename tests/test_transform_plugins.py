@@ -1387,3 +1387,18 @@ def test_profile_join_explosion_plugin(spark):
     assert (l_rows, r_rows) == (3, 3)
     assert matched == 3 and inner == 3 and fanout == 1
     assert amp == 1.0 and l_drop == 0 and r_drop == 0
+
+
+def test_profile_journeys_plugin(spark):
+    from datetime import datetime, timedelta
+
+    from cryoflow_spark.plugins.transform import ProfilePlugin
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, 1, "a"), (2, t0 + timedelta(minutes=1), 1, "b")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = _run(ProfilePlugin({"report": "journeys", "max_steps": 1}), df)
+    rows = out.collect()
+    assert rows[0]["path"] == "a" and rows[0]["n_sessions"] == 1
