@@ -1796,3 +1796,66 @@ def ngram_diversity_report(
         ).alias("distinct_ratio"),
     )
     return out.drop("__g") if not group_col else out
+
+
+def keyword_contexts(
+    df,
+    terms: "Sequence[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_chars: int = 40,
+    max_examples: int = 5,
+):
+    """Keyword-in-context concordance — deterministic example snippets
+    per query term (the corpus-inspection "show me occurrences of X"
+    every curation decision wants before writing a rule): per term,
+    the ``max_examples`` lowest-id documents containing it, each with
+
+    - ``pos`` — 1-based character offset of the first occurrence;
+    - ``snippet`` — ``window_chars`` characters of context on each
+      side of the match (clamped at the document start).
+
+    Matching is plain case-sensitive substring (``instr``) — the same
+    primitive a blocklist rule will use, so what you see here is what
+    the rule will hit. Term list is compile-time literals (a handful
+    of query terms, not a lexicon — use the stopword/blocklist joins
+    for big lists).
+
+    Scale: ONE scan — terms ride an inline |terms|-element explode,
+    the ``instr > 0`` filter drops non-matching (doc, term) rows
+    map-side, and the per-term example rank runs over matching docs
+    only (partitioned by term; the rank-filter top-k pattern). Output
+    <= |terms| x ``max_examples`` rows.
+    """
+    from pyspark.sql import DataFrame, Window
+
+    assert isinstance(df, DataFrame)
+    term_list = list(terms)
+    if not term_list or max_examples < 1 or window_chars < 0:
+        raise ValueError(
+            "terms must be non-empty; max_examples >= 1; window_chars >= 0"
+        )
+    hits = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(text_col).alias("__t"),
+            F.explode(
+                F.array(*[F.lit(t) for t in term_list])
+            ).alias("term"),
+        )
+        .withColumn("pos", F.instr(F.col("__t"), F.col("term")))
+        .filter(F.col("pos") > 0)
+    )
+    w = Window.partitionBy("term").orderBy(id_col)
+    ranked = hits.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= max_examples
+    )
+    start = F.greatest(F.col("pos") - window_chars, F.lit(1))
+    length = F.lit(window_chars) + F.length("term") + F.lit(window_chars)
+    return ranked.select(
+        "term",
+        F.col(id_col),
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("__t").substr(start, length).alias("snippet"),
+    )

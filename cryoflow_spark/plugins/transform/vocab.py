@@ -17,6 +17,9 @@ Options:
   exact head (:func:`...text.heavy_hitters`): the top ``top_n`` tokens
   with ``count * k > N``, no full-vocab shuffle; options ``top_n``
   (default 50), ``k`` (default 1000).
+- ``method = "contexts"`` — keyword-in-context concordance: per
+  term in ``terms`` the ``max_examples`` lowest-id matching docs
+  with offset + ``window_chars``-char context snippet.
 - ``method = "diversity"`` — per-``group_column`` distinct-1..n
   diversity report (total vs unique word n-grams, type/token ratio
   per gram order) — options ``max_n`` (default 3), ``lowercase``.
@@ -64,6 +67,18 @@ class VocabPlugin(AnalyzedTransformPlugin):
                 min_len=int(self.options.get("min_len", 3)),
                 min_tf=int(self.options.get("min_tf", 1)),
             )
+        if self.options.get("method") == "contexts":
+            from cryoflow_spark.functions.text import keyword_contexts
+
+            return keyword_contexts(
+                data,
+                terms=list(self.require_option("terms")),
+                text_col=self.options.get("column", "text"),
+                id_col=self.options.get("id_column", "doc_id"),
+                window_chars=int(self.options.get("window_chars", 40)),
+                max_examples=int(self.options.get("max_examples", 5)),
+            )
+
         if self.options.get("method") == "diversity":
             from cryoflow_spark.functions.text import (
                 ngram_diversity_report,

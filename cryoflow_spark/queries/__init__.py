@@ -163,7 +163,7 @@ _PRIORITY: list[str] = [
     "x128_scd2_intervals", "x129_ngram_diversity", "x130_benford_audit",
     "x131_ivf_quant_error", "x132_threshold_sensitivity",
     "x133_classification_report", "x134_join_explosion",
-    "x135_session_journeys",
+    "x135_session_journeys", "x136_keyword_contexts",
     # then the deferred twins in registration-family order, still
     # runnable/benchable — each displaced by a never-driver-checked
     # r7 operator, each with an r5/r6-green sibling on its code path

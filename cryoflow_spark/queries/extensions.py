@@ -6890,3 +6890,39 @@ def x135_session_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_session_journeys(
         e, gap_minutes=30, max_steps=5, top_n=20
     )
+
+
+# --- x136: keyword-in-context concordance (oracle-checked) ------------------
+
+
+@register(
+    "x136_keyword_contexts",
+    """
+    WITH hits AS (
+      SELECT doc_id, term, strpos(text, term) AS pos, text
+      FROM documents,
+           (SELECT unnest(['spark', 'shuffle', 'join']) AS term) t
+      WHERE text IS NOT NULL AND strpos(text, term) > 0
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY term ORDER BY doc_id
+      ) AS rn
+      FROM hits
+    )
+    SELECT term, doc_id, pos::BIGINT AS pos,
+           substring(text, greatest(pos - 40, 1),
+                     40 + length(term) + 40) AS snippet
+    FROM ranked WHERE rn <= 5
+    """,
+    "Keyword-in-context concordance for three query terms: per term "
+    "the 5 lowest-id matching docs with the first-occurrence offset "
+    "and a +-40-char snippet — the show-me-examples inspection pass "
+    "before writing a curation rule; one scan, inline term explode, "
+    "map-side instr filter, per-term rank-filter top-k",
+)
+def x136_keyword_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.keyword_contexts(
+        d, ["spark", "shuffle", "join"], window_chars=40, max_examples=5
+    )

@@ -5519,3 +5519,42 @@ class TestSessionJourneys:
         )
         out = top_session_journeys(df).collect()
         assert [r["path"] for r in out] == ["a", "z"]  # tie -> path asc
+
+
+class TestKeywordContexts:
+    def test_snippets_and_ranking(self, spark):
+        from cryoflow_spark.functions.text import keyword_contexts
+
+        df = spark.createDataFrame(
+            [
+                (3, "zzz needle zzz"),
+                (1, "needle at start"),
+                (2, "no match here"),
+                (4, "late needle"),
+            ],
+            "doc_id long, text string",
+        )
+        out = keyword_contexts(
+            df, ["needle"], window_chars=4, max_examples=2
+        ).collect()
+        rows = {r["doc_id"]: r for r in out}
+        # two lowest ids containing the term: 1 and 3 (not 4)
+        assert set(rows) == {1, 3}
+        r1 = rows[1]
+        assert r1["pos"] == 1
+        # window clamps at doc start: substring(text, 1, 4+6+4)
+        assert r1["snippet"] == "needle at star"
+        r3 = rows[3]
+        assert r3["pos"] == 5
+        assert r3["snippet"] == "zzz needle zzz"
+
+    def test_invalid_args_raise(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.text import keyword_contexts
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            keyword_contexts(df, [])
+        with _pytest.raises(ValueError):
+            keyword_contexts(df, ["x"], max_examples=0)

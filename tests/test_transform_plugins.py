@@ -1402,3 +1402,22 @@ def test_profile_journeys_plugin(spark):
     out = _run(ProfilePlugin({"report": "journeys", "max_steps": 1}), df)
     rows = out.collect()
     assert rows[0]["path"] == "a" and rows[0]["n_sessions"] == 1
+
+
+def test_vocab_contexts_plugin(spark):
+    from cryoflow_spark.plugins.transform import VocabPlugin
+
+    df = spark.createDataFrame(
+        [(1, "find the needle here")], "doc_id long, text string"
+    )
+    out = _run(
+        VocabPlugin({
+            "method": "contexts", "terms": ["needle"], "window_chars": 3,
+        }),
+        df,
+    )
+    rows = out.collect()
+    assert rows[0]["pos"] == 10 and rows[0]["snippet"] == "he needle he"
+    missing = VocabPlugin({"method": "contexts"})
+    missing.attach_session(spark)
+    assert not is_successful(missing.execute(df))
