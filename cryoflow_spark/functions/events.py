@@ -693,3 +693,49 @@ def top_session_journeys(
         F.countDistinct(user_col).cast("bigint").alias("n_users"),
     )
     return counts.orderBy(F.col("n_sessions").desc(), "path").limit(top_n)
+
+
+def traffic_seasonality(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Day-of-week x hour-of-day traffic matrix — the seasonality
+    profile behind capacity planning, anomaly baselines (compare x118
+    bursts against the expected cell, not the global mean), and
+    crawl-politeness scheduling: per ``(dow, hour)`` cell,
+
+    - ``dow`` — 0 = Monday .. 6 = Sunday (ISO, engine-portable);
+    - ``n_events`` and ``n_users`` (distinct active users);
+    - ``share`` — the cell's fraction of all events (6-decimal).
+
+    NULL timestamps are excluded.
+
+    Scale: one narrow projection + a <= 168-key aggregation with
+    map-side partials; the grand total rides one broadcast scalar
+    crossJoin into the 168-row matrix.
+    """
+    base = df.filter(F.col(ts_col).isNotNull()).select(
+        F.weekday(F.col(ts_col).cast("timestamp")).cast("int").alias("dow"),
+        F.hour(F.col(ts_col).cast("timestamp")).cast("int").alias("hour"),
+        F.col(user_col),
+    )
+    cells = base.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct(user_col).cast("bigint").alias("n_users"),
+    )
+    total = base.agg(F.count(F.lit(1)).cast("bigint").alias("__tot"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "dow",
+        "hour",
+        "n_events",
+        "n_users",
+        F.when(
+            F.col("__tot") > 0,
+            F.round(
+                F.col("n_events").cast("double")
+                / F.col("__tot").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("share"),
+    )

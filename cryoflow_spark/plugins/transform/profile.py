@@ -68,6 +68,9 @@ disturbing the main stream. Options:
   of the numeric ``columns`` (observed vs log10(1+1/d) expected
   frequency + signed deviation per digit) — the fabricated/capped
   data screen.
+- ``report = "seasonality"`` emits the day-of-week x hour-of-day
+  traffic matrix (event count, distinct users, share per cell; ISO
+  dow 0=Monday) — the anomaly/capacity baseline.
 - ``report = "journeys"`` emits the top-``top_n`` session journeys
   (inactivity-gap sessions, first ``max_steps`` event types joined
   with ``>``, session + distinct-user counts) — options
@@ -136,6 +139,17 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
 
             return benford_audit(
                 data, columns=list(self.require_option("columns"))
+            )
+
+        if self.options.get("report") == "seasonality":
+            from cryoflow_spark.functions.events import (
+                traffic_seasonality,
+            )
+
+            return traffic_seasonality(
+                data,
+                ts_col=self.options.get("ts_column", "ts"),
+                user_col=self.options.get("user_column", "user_id"),
             )
 
         if self.options.get("report") == "journeys":

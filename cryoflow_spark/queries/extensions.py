@@ -6926,3 +6926,37 @@ def x136_keyword_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.keyword_contexts(
         d, ["spark", "shuffle", "join"], window_chars=40, max_examples=5
     )
+
+
+# --- x137: traffic seasonality matrix (oracle-checked) ----------------------
+
+
+@register(
+    "x137_traffic_seasonality",
+    """
+    WITH base AS (
+      SELECT (isodow(ts) - 1)::INT AS dow, hour(ts)::INT AS hour, user_id
+      FROM events WHERE ts IS NOT NULL
+    ),
+    cells AS (
+      SELECT dow, hour, COUNT(*)::BIGINT AS n_events,
+             COUNT(DISTINCT user_id)::BIGINT AS n_users
+      FROM base GROUP BY 1, 2
+    ),
+    tot AS (SELECT COUNT(*)::BIGINT AS t FROM base)
+    SELECT dow, hour, n_events, n_users,
+           CASE WHEN t > 0
+                THEN ROUND(n_events::DOUBLE / t::DOUBLE, 6)
+                ELSE 0.0 END AS share
+    FROM cells CROSS JOIN tot
+    """,
+    "Day-of-week x hour-of-day traffic matrix (ISO dow, 0=Monday): "
+    "per cell event count, distinct active users and share of all "
+    "traffic — the seasonality baseline for anomaly detection and "
+    "crawl scheduling; <=168-key agg + one broadcast total scalar",
+)
+def x137_traffic_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.events import traffic_seasonality
+
+    e = load_events(spark, sf_dir)
+    return traffic_seasonality(e)

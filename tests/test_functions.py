@@ -5558,3 +5558,32 @@ class TestKeywordContexts:
             keyword_contexts(df, [])
         with _pytest.raises(ValueError):
             keyword_contexts(df, ["x"], max_examples=0)
+
+
+class TestTrafficSeasonality:
+    def test_cells_and_share(self, spark):
+        from datetime import datetime
+
+        from cryoflow_spark.functions.events import traffic_seasonality
+
+        rows = [
+            # Mon 2024-01-01 09:xx -> dow 0, hour 9
+            (1, datetime(2024, 1, 1, 9, 5), 1),
+            (2, datetime(2024, 1, 1, 9, 45), 2),
+            # Sun 2024-01-07 23:xx -> dow 6, hour 23
+            (3, datetime(2024, 1, 7, 23, 1), 1),
+            (4, None, 1),  # excluded
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long"
+        )
+        out = {
+            (r["dow"], r["hour"]): r
+            for r in traffic_seasonality(df).collect()
+        }
+        assert set(out) == {(0, 9), (6, 23)}
+        mon = out[(0, 9)]
+        assert mon["n_events"] == 2 and mon["n_users"] == 2
+        assert mon["share"] == round(2 / 3, 6)
+        sun = out[(6, 23)]
+        assert sun["n_events"] == 1 and sun["n_users"] == 1

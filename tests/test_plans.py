@@ -196,6 +196,9 @@ def test_no_cartesian_products(all_plans):
         # two 1-row table-total scalars crossJoin(broadcast) into the
         # 1-row join-audit rollup — all sides scalar.
         "x134_join_explosion",
+        # 1-row event-total scalar crossJoin(broadcast) into the
+        # <=168-row dow x hour matrix — same scalar pattern.
+        "x137_traffic_seasonality",
     }
     for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name
