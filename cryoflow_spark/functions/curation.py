@@ -1419,3 +1419,112 @@ def encoding_artifact_report(
         ).otherwise(F.lit(0.0)),
     )
     return out.drop("__g") if not group_col else out
+
+
+def chat_transcript_audit(
+    df: DataFrame,
+    json_col: str = "transcript",
+    group_col: "str | None" = None,
+) -> DataFrame:
+    """Per-group chat-transcript format audit — the schema gate an
+    instruction/RLHF data pipeline runs before a single transcript
+    reaches tokenization (a malformed turn structure silently corrupts
+    the chat template for every epoch): transcripts are JSON arrays of
+    ``{"role", "content"}`` turns, and per slice the report counts
+
+    - ``parse_fail_docs`` — not valid JSON or not a top-level ARRAY
+      (``from_json`` null, or a bare object it would permissively
+      wrap);
+    - ``bad_start_docs`` — first role is neither ``user`` nor
+      ``system``;
+    - ``non_alternating_docs`` — two consecutive turns with the same
+      role (double-send);
+    - ``empty_content_docs`` — a turn with NULL/empty content;
+    - ``bad_role_docs`` — a role outside system/user/assistant;
+    - ``valid_docs`` / ``valid_rate`` — transcripts passing ALL
+      checks (6-decimal exact ratio), and ``docs`` scanned.
+
+    NULL transcripts are excluded.
+
+    Scale: one ``from_json`` + higher-order-function flag projection
+    per row (no explode — the turn list never leaves its row), then
+    ONE group-keyed aggregation with map-side partials; |groups| rows
+    out.
+    """
+    g = group_col or "__g"
+    base = df if group_col else df.withColumn("__g", F.lit(0))
+    arr = F.from_json(
+        F.col(json_col), "array<struct<role:string,content:string>>"
+    )
+    roles = F.transform(arr, lambda t: t["role"])
+    n = F.size(arr)
+    # from_json permissively WRAPS a bare JSON object into a 1-element
+    # array; a transcript must be a top-level array, so require the
+    # first non-space char to be '[' as well as a successful parse.
+    parsed = arr.isNotNull() & F.ltrim(F.col(json_col)).startswith("[")
+    bad_start = parsed & (n > 0) & ~F.element_at(roles, 1).isin(
+        "user", "system"
+    )
+    non_alt = F.when(
+        parsed & (n >= 2),
+        F.exists(
+            F.zip_with(
+                F.slice(roles, 1, n - 1),
+                F.slice(roles, 2, n - 1),
+                lambda a, b: a.eqNullSafe(b),
+            ),
+            lambda x: x,
+        ),
+    ).otherwise(F.lit(False))
+    empty_content = F.when(
+        parsed,
+        F.exists(
+            arr,
+            lambda t: t["content"].isNull() | (t["content"] == ""),
+        ),
+    ).otherwise(F.lit(False))
+    bad_role = F.when(
+        parsed,
+        F.exists(
+            roles,
+            lambda r: r.isNull()
+            | ~r.isin("system", "user", "assistant"),
+        ),
+    ).otherwise(F.lit(False))
+    valid = (
+        parsed
+        & (n > 0)
+        & ~bad_start
+        & ~non_alt
+        & ~empty_content
+        & ~bad_role
+    )
+    proj = base.filter(F.col(json_col).isNotNull()).select(
+        F.col(g),
+        (~parsed).cast("int").alias("__pf"),
+        bad_start.cast("int").alias("__bs"),
+        non_alt.cast("int").alias("__na"),
+        empty_content.cast("int").alias("__ec"),
+        bad_role.cast("int").alias("__br"),
+        valid.cast("int").alias("__ok"),
+    )
+    out = proj.groupBy(g).agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum("__pf").cast("bigint").alias("parse_fail_docs"),
+        F.sum("__bs").cast("bigint").alias("bad_start_docs"),
+        F.sum("__na").cast("bigint").alias("non_alternating_docs"),
+        F.sum("__ec").cast("bigint").alias("empty_content_docs"),
+        F.sum("__br").cast("bigint").alias("bad_role_docs"),
+        F.sum("__ok").cast("bigint").alias("valid_docs"),
+    ).withColumn(
+        "valid_rate",
+        F.when(
+            F.col("docs") > 0,
+            F.round(
+                F.col("valid_docs").cast("double")
+                / F.col("docs").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+    return out.drop("__g") if not group_col else out

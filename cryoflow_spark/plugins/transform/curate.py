@@ -12,6 +12,10 @@ the TOML plugin surface. Modes (option ``method``):
   (or global) PII exposure audit — per type (url/email/ip/phone, in
   scrub-chain order) docs-hit + span counts, any-PII docs and rate —
   the scrub-vs-drop compliance dashboard.
+- ``chat_audit``: replace the stream with the per-``group_column``
+  (or global) chat-transcript format audit over the JSON ``column``
+  (parse/start/alternation/empty-content/role failures + valid rate)
+  — the schema gate before chat-template tokenization.
 - ``encoding_artifacts``: replace the stream with the per-
   ``group_column`` (or global) encoding-artifact audit — docs carrying
   mojibake / C0-control / U+FFFD signatures, any-artifact docs and
@@ -155,6 +159,13 @@ class CuratePlugin(SiblingAwareTransformPlugin):
             return pii_exposure_report(
                 data,
                 text_col=column,
+                group_col=self.options.get("group_column"),
+            )
+
+        if method == "chat_audit":
+            return C.chat_transcript_audit(
+                data,
+                json_col=self.options.get("column", "transcript"),
                 group_col=self.options.get("group_column"),
             )
 

@@ -164,7 +164,7 @@ _PRIORITY: list[str] = [
     "x131_ivf_quant_error", "x132_threshold_sensitivity",
     "x133_classification_report", "x134_join_explosion",
     "x135_session_journeys", "x136_keyword_contexts",
-    "x137_traffic_seasonality",
+    "x137_traffic_seasonality", "x138_chat_transcript_audit",
     # then the deferred twins in registration-family order, still
     # runnable/benchable — each displaced by a never-driver-checked
     # r7 operator, each with an r5/r6-green sibling on its code path

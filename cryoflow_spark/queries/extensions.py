@@ -6960,3 +6960,140 @@ def x137_traffic_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir)
     return traffic_seasonality(e)
+
+
+# --- x138: chat-transcript format audit (oracle-checked) --------------------
+
+#: Shared synthesis: a 2-turn transcript per document with defects
+#: planted on doc_id residue classes (5: double-send, 7: empty content,
+#: 11: bad start, 13: truncated JSON, 17: unknown role). Both engines
+#: build the IDENTICAL string, so the audit is checked end-to-end.
+_X138_SQL_TRANSCRIPT = """
+    CASE WHEN doc_id % 13 = 0
+         THEN substring(full_json, 1, length(full_json) - 1)
+         ELSE full_json END
+"""
+
+_X138_SQL_FULL = """
+    '[{"role":"' ||
+    (CASE WHEN doc_id % 11 = 0 THEN 'assistant' ELSE 'user' END) ||
+    '","content":"q' || doc_id || '"},{"role":"' ||
+    (CASE WHEN doc_id % 5 = 0 THEN 'user'
+          WHEN doc_id % 17 = 0 THEN 'robot'
+          ELSE 'assistant' END) ||
+    '","content":"' ||
+    (CASE WHEN doc_id % 7 = 0 THEN '' ELSE 'a' || doc_id END) ||
+    '"}]'
+"""
+
+
+@register(
+    "x138_chat_transcript_audit",
+    f"""
+    WITH synth AS (
+      SELECT lang, {_X138_SQL_TRANSCRIPT.strip()} AS j
+      FROM (
+        SELECT doc_id, lang, {_X138_SQL_FULL.strip()} AS full_json
+        FROM documents
+      )
+    ),
+    flags AS (
+      -- sanitize malformed rows to '[]' BEFORE json_transform:
+      -- DuckDB's subexpression elimination can evaluate a CASE-guarded
+      -- json_transform eagerly, so the guard alone does not protect it
+      SELECT lang, pf,
+             list_transform(json_transform(j2,
+               '[{{"role":"VARCHAR","content":"VARCHAR"}}]'),
+               e -> e.role) AS roles,
+             list_transform(json_transform(j2,
+               '[{{"role":"VARCHAR","content":"VARCHAR"}}]'),
+               e -> e.content) AS contents
+      FROM (
+        SELECT lang,
+               (NOT json_valid(jv) OR json_type(jv) != 'ARRAY') AS pf,
+               CASE WHEN json_valid(jv) AND json_type(jv) = 'ARRAY'
+                    THEN jv ELSE '[]' END AS j2
+        FROM (
+          -- json_type also throws on malformed input: pre-sanitize
+          SELECT lang,
+                 CASE WHEN json_valid(j) THEN j ELSE 'null' END AS jv
+          FROM synth
+        )
+      )
+    ),
+    per_doc AS (
+      SELECT lang, pf,
+             (NOT pf AND len(roles) > 0
+              AND roles[1] NOT IN ('user', 'system')) AS bs,
+             (NOT pf AND len(roles) >= 2 AND list_contains(
+                [roles[i] IS NOT DISTINCT FROM roles[i + 1]
+                 for i in generate_series(1, len(roles) - 1)], true))
+               AS na,
+             (NOT pf AND len(list_filter(contents,
+                c -> c IS NULL OR c = '')) > 0) AS ec,
+             (NOT pf AND len(list_filter(roles,
+                r -> r IS NULL
+                     OR r NOT IN ('system', 'user', 'assistant'))) > 0)
+               AS br,
+             (NOT pf AND len(roles) > 0) AS nonempty
+      FROM flags
+    )
+    SELECT lang, COUNT(*)::BIGINT AS docs,
+           SUM(CASE WHEN pf THEN 1 ELSE 0 END)::BIGINT AS parse_fail_docs,
+           SUM(CASE WHEN bs THEN 1 ELSE 0 END)::BIGINT AS bad_start_docs,
+           SUM(CASE WHEN na THEN 1 ELSE 0 END)::BIGINT
+             AS non_alternating_docs,
+           SUM(CASE WHEN ec THEN 1 ELSE 0 END)::BIGINT
+             AS empty_content_docs,
+           SUM(CASE WHEN br THEN 1 ELSE 0 END)::BIGINT AS bad_role_docs,
+           SUM(CASE WHEN nonempty AND NOT bs AND NOT na AND NOT ec
+                         AND NOT br
+                    THEN 1 ELSE 0 END)::BIGINT AS valid_docs,
+           CASE WHEN COUNT(*) > 0 THEN
+             ROUND(SUM(CASE WHEN nonempty AND NOT bs AND NOT na
+                                 AND NOT ec AND NOT br
+                            THEN 1 ELSE 0 END)::DOUBLE
+                   / COUNT(*)::DOUBLE, 6)
+           ELSE 0.0 END AS valid_rate
+    FROM per_doc GROUP BY lang
+    """,
+    "Per-language chat-transcript format audit over deterministically "
+    "synthesized 2-turn transcripts with planted defects (truncated "
+    "JSON, assistant-first, double-send, empty content, unknown "
+    "role): parse/start/alternation/content/role failure counts and "
+    "the valid rate — the schema gate before chat-template "
+    "tokenization; from_json + higher-order flags, no explode, one "
+    "group agg",
+)
+def x138_chat_transcript_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    role1 = F.when(F.col("doc_id") % 11 == 0, F.lit("assistant")).otherwise(
+        F.lit("user")
+    )
+    role2 = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("user"))
+        .when(F.col("doc_id") % 17 == 0, F.lit("robot"))
+        .otherwise(F.lit("assistant"))
+    )
+    content2 = F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("a"), F.col("doc_id").cast("string"))
+    )
+    full = F.concat(
+        F.lit('[{"role":"'),
+        role1,
+        F.lit('","content":"q'),
+        F.col("doc_id").cast("string"),
+        F.lit('"},{"role":"'),
+        role2,
+        F.lit('","content":"'),
+        content2,
+        F.lit('"}]'),
+    )
+    transcript = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.substring(full, 1, 2_000_000).substr(
+            F.lit(1), F.length(full) - 1
+        ),
+    ).otherwise(full)
+    synth = d.select("lang", transcript.alias("transcript"))
+    return C.chat_transcript_audit(synth, group_col="lang")

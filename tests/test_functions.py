@@ -5587,3 +5587,53 @@ class TestTrafficSeasonality:
         assert mon["share"] == round(2 / 3, 6)
         sun = out[(6, 23)]
         assert sun["n_events"] == 1 and sun["n_users"] == 1
+
+
+class TestChatTranscriptAudit:
+    def test_defect_flags(self, spark):
+        from cryoflow_spark.functions.curation import chat_transcript_audit
+
+        good = '[{"role":"user","content":"q"},{"role":"assistant","content":"a"}]'
+        sys_first = ('[{"role":"system","content":"s"},'
+                     '{"role":"user","content":"q"}]')
+        rows = [
+            (1, good, "a"),
+            (2, sys_first, "a"),                                  # valid
+            (3, '[{"role":"assistant","content":"a"}]', "a"),     # bad start
+            (4, '[{"role":"user","content":"q"},'
+                '{"role":"user","content":"q2"}]', "a"),          # double-send
+            (5, '[{"role":"user","content":""}]', "b"),           # empty
+            (6, '[{"role":"user","content":"q"},'
+                '{"role":"robot","content":"x"}]', "b"),          # bad role
+            (7, '[{"role":"user","content":"q"', "b"),            # truncated
+            (8, '{"role":"user","content":"q"}', "b"),            # bare object
+            (9, None, "b"),                                       # excluded
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, transcript string, grp string"
+        )
+        out = {
+            r["grp"]: r
+            for r in chat_transcript_audit(
+                df, group_col="grp"
+            ).collect()
+        }
+        a = out["a"]
+        assert a["docs"] == 4 and a["valid_docs"] == 2
+        assert a["bad_start_docs"] == 1 and a["non_alternating_docs"] == 1
+        assert a["parse_fail_docs"] == 0 and a["valid_rate"] == 0.5
+        b = out["b"]
+        assert b["docs"] == 4  # NULL excluded
+        assert b["empty_content_docs"] == 1 and b["bad_role_docs"] == 1
+        assert b["parse_fail_docs"] == 2  # truncated + bare object
+        assert b["valid_docs"] == 0 and b["valid_rate"] == 0.0
+
+    def test_global_grouping(self, spark):
+        from cryoflow_spark.functions.curation import chat_transcript_audit
+
+        df = spark.createDataFrame(
+            [(1, '[{"role":"user","content":"q"}]')],
+            "doc_id long, transcript string",
+        )
+        r = chat_transcript_audit(df).collect()[0]
+        assert r["valid_docs"] == 1 and r["valid_rate"] == 1.0

@@ -1421,3 +1421,17 @@ def test_vocab_contexts_plugin(spark):
     missing = VocabPlugin({"method": "contexts"})
     missing.attach_session(spark)
     assert not is_successful(missing.execute(df))
+
+
+def test_curate_chat_audit_plugin(spark):
+    from cryoflow_spark.plugins.transform import CuratePlugin
+
+    df = spark.createDataFrame(
+        [(1, '''[{"role":"user","content":"q"}]'''),
+         (2, "not json")],
+        "doc_id long, transcript string",
+    )
+    out = _run(CuratePlugin({"method": "chat_audit"}), df)
+    r = out.collect()[0]
+    assert r["docs"] == 2 and r["valid_docs"] == 1
+    assert r["parse_fail_docs"] == 1 and r["valid_rate"] == 0.5
