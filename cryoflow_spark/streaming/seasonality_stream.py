@@ -1,0 +1,135 @@
+"""Streaming traffic-seasonality matrix — the foreachBatch twin of the
+batch operator x137 (``functions.events.traffic_seasonality``).
+
+The mergeable partial is the per-batch ``(dow, hour, user)`` count
+table: event counts per (cell, user) sum associatively and distinct
+users are a set union, so re-aggregating unioned partials by the same
+keys IS the merge (closed under merge — valid compaction input).
+
+- each micro-batch writes its (dow, hour, user, n) rows to
+  ``<output>/partials/batch_id=N`` in OVERWRITE mode — a replayed
+  batch rewrites the same directory instead of double-counting (the
+  idempotent-sink contract of foreachBatch);
+- the current matrix is obtained by re-aggregating all partials:
+  ``n_events`` = Σ n, ``n_users`` = distinct users per cell, ``share``
+  from the same totals — bit-identical to ``traffic_seasonality`` over
+  every event ingested so far (counts are order-insensitive, so batch
+  boundaries cannot change them).
+
+Scale: per batch, one (dow, hour, user)-keyed aggregation bounded by
+168 x |active users in batch| rows; finalize reads only partial STATE
+tables, never raw events. Compact periodically with
+:func:`compact_seasonality_partials`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from cryoflow_spark.streaming.report_stream import _start
+
+
+def _seasonality_partials(
+    batch_df: DataFrame, ts_col: str, user_col: str
+) -> DataFrame:
+    return (
+        batch_df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.weekday(F.col(ts_col).cast("timestamp"))
+            .cast("int")
+            .alias("dow"),
+            F.hour(F.col(ts_col).cast("timestamp"))
+            .cast("int")
+            .alias("hour"),
+            F.col(user_col).alias("user"),
+        )
+        .groupBy("dow", "hour", "user")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def _write_seasonality_partials(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    ts_col: str,
+    user_col: str,
+) -> None:
+    """Per-batch idempotent partial write (module-level so the replay
+    property is directly testable)."""
+    _seasonality_partials(batch_df, ts_col, user_col).write.mode(
+        "overwrite"
+    ).parquet(f"{output_path}/partials/batch_id={batch_id}")
+
+
+def traffic_seasonality_stream(
+    stream_df: DataFrame,
+    output_path: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    checkpoint_path: Optional[str] = None,
+    trigger: str = "available_now",
+) -> StreamingQuery:
+    """Maintain the x137 dow x hour traffic matrix over a live event
+    stream; read the current matrix with
+    :func:`finalize_traffic_seasonality`."""
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    checkpoint = checkpoint_path or f"{output_path}/_checkpoint"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _write_seasonality_partials(
+            batch_df, batch_id, output_path, ts_col, user_col
+        )
+
+    return _start(stream_df, _process, checkpoint, trigger)
+
+
+def finalize_traffic_seasonality(
+    spark: SparkSession, output_path: str
+) -> DataFrame:
+    """Merge all written partials into the current seasonality matrix —
+    bit-identical to the batch twin on the ingested union."""
+    partials = spark.read.parquet(f"{output_path}/partials/batch_id=*")
+    cells = partials.groupBy("dow", "hour").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.countDistinct("user").cast("bigint").alias("n_users"),
+    )
+    total = partials.agg(F.sum("n").cast("bigint").alias("__tot"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "dow",
+        "hour",
+        "n_events",
+        "n_users",
+        F.when(
+            F.col("__tot") > 0,
+            F.round(
+                F.col("n_events").cast("double")
+                / F.col("__tot").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("share"),
+    )
+
+
+def compact_seasonality_partials(
+    spark: SparkSession, output_path: str
+) -> int:
+    """Compact per-batch partial directories into one (dow, hour, user)
+    table — the partial family is closed under merge. See
+    :func:`cryoflow_spark.streaming.report_stream.compact_partials` for
+    the crash/replay contract. Returns directories removed."""
+    from cryoflow_spark.streaming.report_stream import compact_partials
+
+    def _merge(df: DataFrame) -> DataFrame:
+        return df.groupBy("dow", "hour", "user").agg(
+            F.sum("n").cast("bigint").alias("n")
+        )
+
+    return compact_partials(spark, output_path, merge_fn=_merge)

@@ -824,3 +824,64 @@ def test_burst_monitor_stream_rejects_batch_frame(spark):
     df = spark.range(3)
     with pytest.raises(ValueError, match="streaming"):
         burst_monitor_stream(df, "/tmp/nope")
+
+
+def test_traffic_seasonality_stream_matches_batch_twin(spark, tmp_path):
+    """x137 streaming twin: the finalized matrix over all micro-batches
+    is bit-identical to the batch traffic_seasonality on the full log
+    (counts are order-insensitive), a replayed batch does not
+    double-count, and compaction preserves the result."""
+    from cryoflow_spark.functions.events import traffic_seasonality
+    from cryoflow_spark.queries import load_events
+    from cryoflow_spark.streaming.seasonality_stream import (
+        _write_seasonality_partials,
+        compact_seasonality_partials,
+        finalize_traffic_seasonality,
+        traffic_seasonality_stream,
+    )
+
+    full = load_events(spark, "/root/testdata/sf0.001")
+    src = tmp_path / "events"
+    src.mkdir()
+    mid = full.select(
+        F.percentile(F.unix_micros("ts"), 0.5).alias("m")
+    ).collect()[0]["m"]
+    full.filter(F.unix_micros("ts") <= mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "a"))
+    full.filter(F.unix_micros("ts") > mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b"))
+    stream = spark.readStream.schema(full.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = tmp_path / "clock"
+    q = traffic_seasonality_stream(stream, str(out))
+    q.awaitTermination(120)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    want = canon(traffic_seasonality(full))
+    assert canon(finalize_traffic_seasonality(spark, str(out))) == want
+    # compaction is result-preserving
+    removed = compact_seasonality_partials(spark, str(out))
+    assert removed >= 1  # availableNow may fold both files into one batch
+    assert canon(finalize_traffic_seasonality(spark, str(out))) == want
+    # replay idempotence on the per-batch writer
+    out2 = tmp_path / "clock2"
+    a = spark.read.parquet(str(src / "a"))
+    b = spark.read.parquet(str(src / "b"))
+    for batch_id, batch in ((0, a), (1, b), (0, a)):  # 0 replayed
+        _write_seasonality_partials(batch, batch_id, str(out2), "ts", "user_id")
+    assert canon(finalize_traffic_seasonality(spark, str(out2))) == want
+
+
+def test_traffic_seasonality_stream_validates_inputs(spark):
+    from cryoflow_spark.streaming.seasonality_stream import (
+        traffic_seasonality_stream,
+    )
+
+    batch = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(ValueError):
+        traffic_seasonality_stream(batch, "/tmp/nowhere")
