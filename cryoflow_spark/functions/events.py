@@ -739,3 +739,86 @@ def traffic_seasonality(
             ),
         ).otherwise(F.lit(0.0)).alias("share"),
     )
+
+
+def ab_lift_report(
+    df: DataFrame,
+    variant_col: str = "variant",
+    converted_col: str = "converted",
+    control: "str | None" = None,
+) -> DataFrame:
+    """A/B experiment lift report over a UNIT-LEVEL frame (one row per
+    randomization unit with its variant and 0/1 outcome — aggregate
+    events to users first; counting events double-counts heavy users):
+    one row per non-control variant vs the control,
+
+    - ``n_control`` / ``conv_control`` / ``rate_control`` and the
+      variant's ``n`` / ``conv`` / ``rate`` (6-decimal exact ratios);
+    - ``abs_lift`` = rate - rate_control and ``rel_lift`` =
+      abs_lift / rate_control (0.0 when the control never converts);
+    - ``z_score`` — the classic two-proportion pooled z statistic:
+      |z| > 1.96 is the 95% two-sided threshold. IEEE ``sqrt`` is
+      correctly rounded, so the statistic is engine-portable.
+
+    ``control`` defaults to the lexicographically smallest variant
+    (deterministic without configuration). NULL variants/outcomes are
+    excluded.
+
+    Scale: ONE unit-keyed aggregation to the |variants|-row table;
+    the control row rides a broadcast scalar crossJoin into the
+    remaining rows. Output is |variants| - 1 rows.
+    """
+    base = df.filter(
+        F.col(variant_col).isNotNull() & F.col(converted_col).isNotNull()
+    ).select(
+        F.col(variant_col).alias("variant"),
+        F.col(converted_col).cast("int").alias("__c"),
+    )
+    per_variant = base.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__c").cast("bigint").alias("conv"),
+    )
+    if control is None:
+        ctrl_row = per_variant.orderBy("variant").limit(1)
+    else:
+        ctrl_row = per_variant.filter(F.col("variant") == control)
+    ctrl = ctrl_row.select(
+        F.col("variant").alias("__cv"),
+        F.col("n").alias("n_control"),
+        F.col("conv").alias("conv_control"),
+    )
+    joined = per_variant.crossJoin(F.broadcast(ctrl)).filter(
+        F.col("variant") != F.col("__cv")
+    )
+    rate_c = F.col("conv_control").cast("double") / F.col(
+        "n_control"
+    ).cast("double")
+    rate_v = F.col("conv").cast("double") / F.col("n").cast("double")
+    p_pool = (F.col("conv") + F.col("conv_control")).cast("double") / (
+        F.col("n") + F.col("n_control")
+    ).cast("double")
+    se = F.sqrt(
+        p_pool
+        * (F.lit(1.0) - p_pool)
+        * (
+            F.lit(1.0) / F.col("n").cast("double")
+            + F.lit(1.0) / F.col("n_control").cast("double")
+        )
+    )
+    return joined.select(
+        "variant",
+        "n_control",
+        "conv_control",
+        F.round(rate_c, 6).alias("rate_control"),
+        "n",
+        "conv",
+        F.round(rate_v, 6).alias("rate"),
+        F.round(rate_v - rate_c, 6).alias("abs_lift"),
+        F.when(
+            F.col("conv_control") > 0,
+            F.round((rate_v - rate_c) / rate_c, 6),
+        ).otherwise(F.lit(0.0)).alias("rel_lift"),
+        F.when(se > 0, F.round((rate_v - rate_c) / se, 6))
+        .otherwise(F.lit(0.0))
+        .alias("z_score"),
+    )

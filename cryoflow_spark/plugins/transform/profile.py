@@ -68,6 +68,10 @@ disturbing the main stream. Options:
   of the numeric ``columns`` (observed vs log10(1+1/d) expected
   frequency + signed deviation per digit) — the fabricated/capped
   data screen.
+- ``report = "ab_lift"`` emits the A/B lift report over unit-level
+  rows (``variant_column`` + 0/1 ``converted_column``): rates,
+  absolute/relative lift and the pooled two-proportion z per variant
+  vs ``control`` (default: lexicographically smallest).
 - ``report = "seasonality"`` emits the day-of-week x hour-of-day
   traffic matrix (event count, distinct users, share per cell; ISO
   dow 0=Monday) — the anomaly/capacity baseline.
@@ -139,6 +143,18 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
 
             return benford_audit(
                 data, columns=list(self.require_option("columns"))
+            )
+
+        if self.options.get("report") == "ab_lift":
+            from cryoflow_spark.functions.events import ab_lift_report
+
+            return ab_lift_report(
+                data,
+                variant_col=self.options.get("variant_column", "variant"),
+                converted_col=self.options.get(
+                    "converted_column", "converted"
+                ),
+                control=self.options.get("control"),
             )
 
         if self.options.get("report") == "seasonality":

@@ -7097,3 +7097,84 @@ def x138_chat_transcript_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(full)
     synth = d.select("lang", transcript.alias("transcript"))
     return C.chat_transcript_audit(synth, group_col="lang")
+
+
+# --- x139: A/B experiment lift report (oracle-checked) ----------------------
+
+
+@register(
+    "x139_ab_lift",
+    """
+    WITH units AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'control'
+                  ELSE 'treatment' END AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    per_variant AS (
+      SELECT variant, COUNT(*)::BIGINT AS n,
+             SUM(converted)::BIGINT AS conv
+      FROM units GROUP BY variant
+    ),
+    ctrl AS (
+      SELECT variant AS cv, n AS n_control, conv AS conv_control
+      FROM per_variant ORDER BY variant LIMIT 1
+    )
+    SELECT variant, n_control, conv_control,
+           ROUND(conv_control::DOUBLE / n_control::DOUBLE, 6)
+             AS rate_control,
+           n, conv,
+           ROUND(conv::DOUBLE / n::DOUBLE, 6) AS rate,
+           ROUND(conv::DOUBLE / n::DOUBLE
+                 - conv_control::DOUBLE / n_control::DOUBLE, 6)
+             AS abs_lift,
+           CASE WHEN conv_control > 0 THEN
+             ROUND((conv::DOUBLE / n::DOUBLE
+                    - conv_control::DOUBLE / n_control::DOUBLE)
+                   / (conv_control::DOUBLE / n_control::DOUBLE), 6)
+           ELSE 0.0 END AS rel_lift,
+           CASE WHEN sqrt(((conv + conv_control)::DOUBLE
+                           / (n + n_control)::DOUBLE)
+                  * (1.0 - (conv + conv_control)::DOUBLE
+                           / (n + n_control)::DOUBLE)
+                  * (1.0 / n::DOUBLE + 1.0 / n_control::DOUBLE)) > 0
+           THEN ROUND((conv::DOUBLE / n::DOUBLE
+                       - conv_control::DOUBLE / n_control::DOUBLE)
+                 / sqrt(((conv + conv_control)::DOUBLE
+                         / (n + n_control)::DOUBLE)
+                   * (1.0 - (conv + conv_control)::DOUBLE
+                            / (n + n_control)::DOUBLE)
+                   * (1.0 / n::DOUBLE + 1.0 / n_control::DOUBLE)), 6)
+           ELSE 0.0 END AS z_score
+    FROM per_variant CROSS JOIN ctrl
+    WHERE variant != cv
+    """,
+    "A/B lift report over user-level units (variant by user-id "
+    "parity, converted = any purchase event): per treatment variant "
+    "vs control the conversion rates, absolute/relative lift and the "
+    "pooled two-proportion z statistic (IEEE sqrt is correctly "
+    "rounded, engine-portable) — one unit-keyed agg to the "
+    "|variants|-row table + a broadcast control scalar",
+)
+def x139_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.events import ab_lift_report
+
+    e = load_events(spark, sf_dir)
+    units = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+            .otherwise(F.lit("treatment"))
+            .alias("variant"),
+            "converted",
+        )
+    )
+    return ab_lift_report(units)

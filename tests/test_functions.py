@@ -5637,3 +5637,41 @@ class TestChatTranscriptAudit:
         )
         r = chat_transcript_audit(df).collect()[0]
         assert r["valid_docs"] == 1 and r["valid_rate"] == 1.0
+
+
+class TestAbLiftReport:
+    def test_hand_counts_and_z(self, spark):
+        import math
+
+        from cryoflow_spark.functions.events import ab_lift_report
+
+        # control: 100 units, 10 conv; treatment: 100 units, 20 conv
+        rows = [("a_control", 1 if i < 10 else 0) for i in range(100)]
+        rows += [("b_treatment", 1 if i < 20 else 0) for i in range(100)]
+        df = spark.createDataFrame(rows, "variant string, converted int")
+        out = ab_lift_report(df).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["variant"] == "b_treatment"  # control = lexic. smallest
+        assert (r["n_control"], r["conv_control"]) == (100, 10)
+        assert (r["n"], r["conv"]) == (100, 20)
+        assert r["rate_control"] == 0.1 and r["rate"] == 0.2
+        assert r["abs_lift"] == 0.1 and r["rel_lift"] == 1.0
+        p = 30 / 200
+        se = math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+        assert r["z_score"] == round(0.1 / se, 6)
+
+    def test_explicit_control_and_three_variants(self, spark):
+        from cryoflow_spark.functions.events import ab_lift_report
+
+        df = spark.createDataFrame(
+            [("x", 1), ("x", 0), ("y", 1), ("y", 1), ("z", 0), ("z", 0)],
+            "variant string, converted int",
+        )
+        out = {
+            r["variant"]: r
+            for r in ab_lift_report(df, control="y").collect()
+        }
+        assert set(out) == {"x", "z"}
+        assert out["x"]["rate_control"] == 1.0
+        assert out["z"]["rate"] == 0.0 and out["z"]["abs_lift"] == -1.0

@@ -199,6 +199,9 @@ def test_no_cartesian_products(all_plans):
         # 1-row event-total scalar crossJoin(broadcast) into the
         # <=168-row dow x hour matrix — same scalar pattern.
         "x137_traffic_seasonality",
+        # 1-row control-variant scalar crossJoin(broadcast) into the
+        # |variants|-row table — same scalar pattern.
+        "x139_ab_lift",
     }
     for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name

@@ -1435,3 +1435,16 @@ def test_curate_chat_audit_plugin(spark):
     r = out.collect()[0]
     assert r["docs"] == 2 and r["valid_docs"] == 1
     assert r["parse_fail_docs"] == 1 and r["valid_rate"] == 0.5
+
+
+def test_profile_ab_lift_plugin(spark):
+    from cryoflow_spark.plugins.transform import ProfilePlugin
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("b", 1), ("b", 1)],
+        "variant string, converted int",
+    )
+    out = _run(ProfilePlugin({"report": "ab_lift"}), df)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["variant"] == "b"
+    assert rows[0]["rate"] == 1.0 and rows[0]["abs_lift"] == 0.5
