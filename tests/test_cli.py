@@ -177,6 +177,7 @@ class TestExamples:
             "examples/corpus_analytics.toml",
             "examples/corpus_hygiene.toml",
             "examples/third_party_plugin.toml",
+            "examples/event_analytics.toml",
         ],
     )
     def test_check(self, runner, example):
@@ -193,6 +194,7 @@ class TestExamples:
             ("examples/web_crawl_curation.toml", "/tmp/cryoflow_examples/crawl_curated/*.parquet"),
             ("examples/corpus_analytics.toml", "/tmp/cryoflow_examples/analytics/balanced_pool/*.parquet"),
             ("examples/corpus_hygiene.toml", "/tmp/cryoflow_examples/hygiene/ccnet_split/*.parquet"),
+            ("examples/event_analytics.toml", "/tmp/cryoflow_examples/events/transitions/*.parquet"),
         ],
     )
     def test_run(self, runner, example, out_glob):
