@@ -165,7 +165,7 @@ _PRIORITY: list[str] = [
     "x133_classification_report", "x134_join_explosion",
     "x135_session_journeys", "x136_keyword_contexts",
     "x137_traffic_seasonality", "x138_chat_transcript_audit",
-    "x139_ab_lift",
+    "x139_ab_lift", "q61_market_share",
     # then the deferred twins in registration-family order, still
     # runnable/benchable — each displaced by a never-driver-checked
     # r7 operator, each with an r5/r6-green sibling on its code path

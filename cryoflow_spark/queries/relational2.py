@@ -687,7 +687,7 @@ def q41_native_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_linestatus")
         .pivot("l_returnflag", ["A", "N", "R"])
         .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(38,10)")).cast(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
                 "double"
             )
         )
@@ -1435,3 +1435,73 @@ def q60_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_Q60_SQL)
+
+
+# --- q61: market share (TPC-H Q8 flavor) ------------------------------------
+
+
+@register(
+    "q61_market_share",
+    """
+    WITH flat AS (
+      SELECT year(o.o_orderdate)::INT AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(18,4)) AS rev,
+             r.r_name
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN r_name = 'ASIA' THEN rev
+                         ELSE CAST(0 AS DECIMAL(18,4)) END)
+                AS DOUBLE) AS asia_revenue,
+           CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+           ROUND(CAST(SUM(CASE WHEN r_name = 'ASIA' THEN rev
+                              ELSE CAST(0 AS DECIMAL(18,4)) END)
+                      AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 6) AS asia_share
+    FROM flat GROUP BY o_year
+    """,
+    "TPC-H Q8-flavor market share: per order year, the revenue share "
+    "of ASIA-region suppliers among PROMO-part revenue — a 6-way "
+    "star join where every dimension broadcasts and the fact side "
+    "shuffles once for the year rollup; decimal accumulators keep "
+    "the float sums order-independent (ref: docs/spec.md query "
+    "surface; TPC-H spec Q8, public)",
+)
+def q61_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    flat = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev.alias("__rev"),
+            "r_name",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    asia = F.when(F.col("r_name") == "ASIA", F.col("__rev")).otherwise(zero)
+    return flat.groupBy("o_year").agg(
+        F.sum(asia).cast("double").alias("asia_revenue"),
+        F.sum("__rev").cast("double").alias("total_revenue"),
+        F.round(
+            F.sum(asia).cast("double") / F.sum("__rev").cast("double"), 6
+        ).alias("asia_share"),
+    )

@@ -5675,3 +5675,30 @@ class TestAbLiftReport:
         assert set(out) == {"x", "z"}
         assert out["x"]["rate_control"] == 1.0
         assert out["z"]["rate"] == 0.0 and out["z"]["abs_lift"] == -1.0
+
+
+class TestMarketShare:
+    def test_share_identity_and_broadcast_plan(self, spark):
+        """q61: asia + non-asia revenue must cover the total, shares in
+        [0,1]; the dims must broadcast (no shuffle join for them)."""
+        import contextlib
+        import io
+
+        from cryoflow_spark.queries import all_queries
+
+        df = all_queries()["q61_market_share"].fn(
+            spark, "/root/testdata/sf0.001"
+        )
+        rows = df.collect()
+        assert rows
+        for r in rows:
+            assert 0.0 <= r["asia_share"] <= 1.0
+            assert r["asia_revenue"] <= r["total_revenue"]
+            assert r["asia_share"] == round(
+                r["asia_revenue"] / r["total_revenue"], 6
+            )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("simple")
+        plan = buf.getvalue()
+        assert plan.count("BroadcastHashJoin") >= 4  # part/supp/nation/region
