@@ -1086,3 +1086,59 @@ def interleaved_mixture_order(
         )
         .drop("__r", "__w")
     )
+
+
+def cluster_capped_sample(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    cap: int = 2,
+    keep_order_by: "list[str] | None" = None,
+) -> DataFrame:
+    """Keep at most ``cap`` members of every near-dup cluster — the
+    middle ground between full cluster-dedup (cap=1, maximal token
+    savings, loses paraphrase diversity) and no dedup (memorization
+    risk; Lee et al. 2022 measure the repetition harm): bounded
+    repetition as an explicit training-mix knob.
+
+    ``components`` is a ``(node, component)`` clustering
+    (:func:`cryoflow_spark.functions.dedup.connected_components_two_phase`);
+    rows absent from it are singletons (their own cluster) and always
+    survive. Within a cluster the kept members are the first ``cap``
+    by ``keep_order_by`` (e.g. ``["quality_score DESC"]``) with
+    ``id_col`` as the final tiebreak — deterministic, so reruns keep
+    the same rows.
+
+    Adds ``__cluster`` / ``__cluster_rank`` columns (callers may drop
+    them; kept so downstream mixing can see residual duplication).
+
+    Scale: one id-equi left join against the |clustered docs| table
+    (broadcastable when the clustering is small relative to the
+    corpus) + ONE window partitioned by cluster — partition size is
+    the cluster size, and the cap keeps the output skew-free even if
+    a boilerplate cluster is huge.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from pyspark.sql import Window
+
+    from cryoflow_spark.core.schema_utils import order_exprs
+
+    comp = components.select(
+        F.col("node").alias("__n"), F.col("component").alias("__c")
+    )
+    joined = df.join(
+        comp, df[id_col] == comp["__n"], "left"
+    ).withColumn(
+        "__cluster", F.coalesce(F.col("__c"), F.col(id_col))
+    ).drop("__n", "__c")
+    order = (
+        [*order_exprs(keep_order_by), F.col(id_col)]
+        if keep_order_by
+        else [F.col(id_col)]
+    )
+    w = Window.partitionBy("__cluster").orderBy(*order)
+    return (
+        joined.withColumn("__cluster_rank", F.row_number().over(w))
+        .filter(F.col("__cluster_rank") <= cap)
+    )

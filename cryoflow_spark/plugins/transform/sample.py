@@ -49,6 +49,11 @@ of a 10% sample). Modes (option ``method``):
 - ``exact_n_per_group``: exactly ``n`` rows per ``group_column`` by
   within-group md5 key order (balanced eval-set draw; one partitioned
   window, each group ranks only its own rows).
+- ``cluster_cap``: keep at most ``cap`` members of every near-dup
+  cluster (sibling ``pairs_label`` carries the edge list; transitive
+  closure applied; singletons always survive) — bounded repetition as
+  an explicit mix knob; optional ``keep_order_by`` picks the best
+  members instead of the lowest ids.
 - ``leakage_safe``: cluster-aware train/test split — near-duplicate
   clusters never straddle the boundary. The sibling stream named by
   ``pairs_label`` carries the near-dup edge list (columns = two doc-id
@@ -123,6 +128,28 @@ class SamplePlugin(SiblingAwareTransformPlugin):
             raise ValueError(
                 f"invalid train_test keep side '{side}' (train|test)"
             )
+
+        if method == "cluster_cap":
+            from cryoflow_spark.functions.dedup import (
+                connected_components_two_phase,
+            )
+            from cryoflow_spark.functions.sampling import (
+                cluster_capped_sample,
+            )
+
+            pairs = self.sibling_frame(self.require_option("pairs_label"))
+            comp = connected_components_two_phase(pairs).select(
+                "node", "component"
+            )
+            keep = self.options.get("keep_order_by")
+            out = cluster_capped_sample(
+                data,
+                comp,
+                id_col=key,
+                cap=int(self.options.get("cap", 2)),
+                keep_order_by=list(keep) if keep else None,
+            )
+            return out.drop("__cluster", "__cluster_rank")
 
         if method == "leakage_safe":
             pairs = self.sibling_frame(self.require_option("pairs_label"))

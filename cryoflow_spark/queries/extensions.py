@@ -7178,3 +7178,46 @@ def x139_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ab_lift_report(units)
+
+
+# --- x140: cluster-capped sample (oracle-checked) ---------------------------
+
+
+@register(
+    "x140_cluster_capped_sample",
+    f"""
+    WITH comp AS ({_CLUSTERS_SQL}),
+    ranked AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY COALESCE(c.component, d.doc_id)
+               ORDER BY d.doc_id
+             ) AS cluster_rank
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, cluster, cluster_rank::INT AS cluster_rank
+    FROM ranked WHERE cluster_rank <= 2
+    """,
+    "Cluster-capped sample: keep at most 2 members of every x20 "
+    "near-dup cluster (singletons always survive) — bounded "
+    "repetition as an explicit mix knob between full cluster-dedup "
+    "and no dedup; one id-equi left join + one cluster-partitioned "
+    "window, deterministic survivors",
+)
+def x140_cluster_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.sampling import cluster_capped_sample
+
+    d = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", ngram=3, threshold=0.05,
+        block_by="lang",
+    )
+    comp = D.connected_components_two_phase(pairs).select(
+        "node", "component"
+    )
+    return cluster_capped_sample(d, comp, cap=2).select(
+        "doc_id",
+        F.col("__cluster").alias("cluster"),
+        F.col("__cluster_rank").alias("cluster_rank"),
+    )

@@ -681,3 +681,73 @@ class TestInterleavedMixtureOrder:
             df, "doc_id", weights={"a": 1.0}
         )._jdf.queryExecution().executedPlan().toString()
         assert "No Partition Defined" not in plan
+
+
+class TestClusterCappedSample:
+    def test_cap_and_singletons(self, spark):
+        from cryoflow_spark.functions.sampling import cluster_capped_sample
+
+        docs = spark.createDataFrame(
+            [(i, f"doc{i}", 10 - i) for i in range(6)],
+            "doc_id long, text string, quality long",
+        )
+        comp = spark.createDataFrame(
+            # cluster 0: {0,1,2,3}; 4 and 5 are singletons
+            [(0, 0), (1, 0), (2, 0), (3, 0)],
+            "node long, component long",
+        )
+        out = cluster_capped_sample(docs, comp, cap=2).collect()
+        kept = sorted(r["doc_id"] for r in out)
+        assert kept == [0, 1, 4, 5]  # first 2 by id + both singletons
+        ranks = {r["doc_id"]: r["__cluster_rank"] for r in out}
+        assert ranks[0] == 1 and ranks[1] == 2
+        assert ranks[4] == 1 and ranks[5] == 1
+
+    def test_keep_order_by_quality(self, spark):
+        from cryoflow_spark.functions.sampling import cluster_capped_sample
+
+        docs = spark.createDataFrame(
+            [(1, 5), (2, 9), (3, 7)], "doc_id long, quality long"
+        )
+        comp = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1)], "node long, component long"
+        )
+        out = cluster_capped_sample(
+            docs, comp, cap=2, keep_order_by=["quality DESC"]
+        ).collect()
+        assert sorted(r["doc_id"] for r in out) == [2, 3]  # best two
+
+    def test_cap_one_equals_cluster_dedup_survivors(self, spark):
+        from cryoflow_spark.functions.dedup import cluster_dedup
+        from cryoflow_spark.functions.sampling import cluster_capped_sample
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(5)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long"
+        )
+        from cryoflow_spark.functions.dedup import (
+            connected_components_two_phase,
+        )
+
+        comp = connected_components_two_phase(pairs).select(
+            "node", "component"
+        )
+        capped = sorted(
+            r["doc_id"]
+            for r in cluster_capped_sample(docs, comp, cap=1).collect()
+        )
+        deduped = sorted(
+            r["doc_id"] for r in cluster_dedup(docs, pairs).collect()
+        )
+        assert capped == deduped == [0, 3]
+
+    def test_invalid_cap(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.sampling import cluster_capped_sample
+
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        with _pytest.raises(ValueError):
+            cluster_capped_sample(df, df, cap=0)

@@ -1448,3 +1448,23 @@ def test_profile_ab_lift_plugin(spark):
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["variant"] == "b"
     assert rows[0]["rate"] == 1.0 and rows[0]["abs_lift"] == 0.5
+
+
+def test_sample_cluster_cap_plugin(spark):
+    from cryoflow_spark.core.result import Success
+    from cryoflow_spark.plugins.transform import SamplePlugin
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    plugin = SamplePlugin({
+        "method": "cluster_cap", "pairs_label": "pairs",
+        "key_column": "doc_id", "cap": 1,
+    })
+    plugin.attach_session(spark)
+    plugin.set_siblings({"pairs": Success(pairs)})
+    result = plugin.execute(docs)
+    assert is_successful(result), result
+    kept = sorted(r["doc_id"] for r in result.unwrap().collect())
+    assert kept == [1, 3]  # 2 capped away; singleton 3 survives
