@@ -1327,3 +1327,82 @@ def join_explosion_audit(
             .alias("right_dropped"),
         )
     )
+
+
+def outlier_report(
+    df: DataFrame,
+    columns: Sequence[str],
+    k: float = 10.0,
+) -> DataFrame:
+    """Per-column robust outlier screen — median/MAD instead of
+    mean/std (one wild value corrupts a z-score screen's own
+    yardstick; the median absolute deviation is 50%-breakdown robust,
+    Hampel's rule): per numeric column,
+
+    - ``n`` — non-NULL values; ``median`` and ``mad`` (median of
+      |x - median|, raw units — no consistency constant, so no
+      transcendental literal to keep portable);
+    - ``n_outliers`` / ``outlier_rate`` — values with
+      |x - median| > ``k`` * mad (6-decimal rate). With ``mad = 0``
+      (> 50% constant values) any deviation from the median counts;
+    - ``min_val`` / ``max_val`` — the extremes for context.
+
+    Use it before winsorizing (x73) or robust scaling (x82): this is
+    the read-only screen that says WHICH columns need them.
+
+    Scale: the column stack is an inline explode; exact medians cost
+    a per-column percentile aggregation each of the two passes
+    (median, then MAD), and the final count is a third keyed agg —
+    three passes over the stacked projection, the honest price of
+    exact medians (swap to approx_percentile off the oracle path at
+    100 TB). The per-column stats tables are broadcast back.
+    """
+    cols = list(columns)
+    if not cols:
+        raise ValueError("columns must be non-empty")
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("__s")
+    ).select("__s.col_name", "__s.v").filter(F.col("v").isNotNull())
+    med = stacked.groupBy("col_name").agg(
+        F.percentile("v", F.lit(0.5)).alias("__med")
+    )
+    dev = stacked.join(F.broadcast(med), "col_name").select(
+        "col_name", "v", "__med", F.abs(F.col("v") - F.col("__med")).alias("__d")
+    )
+    mad = dev.groupBy("col_name").agg(
+        F.percentile("__d", F.lit(0.5)).alias("__mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "col_name")
+    return flagged.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.first("__med").alias("median"),
+        F.first("__mad").alias("mad"),
+        F.sum(
+            F.when(F.col("__d") > F.lit(float(k)) * F.col("__mad"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.round(
+            F.sum(
+                F.when(F.col("__d") > F.lit(float(k)) * F.col("__mad"), 1)
+                .otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("outlier_rate"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+    )

@@ -64,6 +64,10 @@ disturbing the main stream. Options:
   ``label_column`` (support/predicted/tp, F1 as the exact
   2tp/(support+predicted) ratio) — grade any labeler against a gold
   column.
+- ``report = "outliers"`` emits the per-column robust outlier screen
+  (exact median + MAD, count beyond ``k`` MADs, default 10) over the
+  numeric ``columns`` — decides which columns need
+  winsorizing/robust scaling.
 - ``report = "benford"`` emits the Benford's-law leading-digit audit
   of the numeric ``columns`` (observed vs log10(1+1/d) expected
   frequency + signed deviation per digit) — the fabricated/capped
@@ -136,6 +140,15 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 data,
                 label_col=self.require_option("label_column"),
                 pred_col=self.require_option("pred_column"),
+            )
+
+        if self.options.get("report") == "outliers":
+            from cryoflow_spark.functions.profiling import outlier_report
+
+            return outlier_report(
+                data,
+                columns=list(self.require_option("columns")),
+                k=float(self.options.get("k", 10.0)),
             )
 
         if self.options.get("report") == "benford":

@@ -7221,3 +7221,53 @@ def x140_cluster_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__cluster").alias("cluster"),
         F.col("__cluster_rank").alias("cluster_rank"),
     )
+
+
+# --- x141: per-column robust outlier screen (oracle-checked) ----------------
+
+
+@register(
+    "x141_outlier_report",
+    """
+    WITH stacked AS (
+      SELECT col_name, v FROM (
+        SELECT 'l_extendedprice' AS col_name,
+               l_extendedprice::DOUBLE AS v FROM lineitem
+        UNION ALL SELECT 'l_quantity', l_quantity::DOUBLE FROM lineitem
+      ) WHERE v IS NOT NULL
+    ),
+    med AS (
+      SELECT col_name, quantile_cont(v, 0.5) AS m
+      FROM stacked GROUP BY col_name
+    ),
+    dev AS (
+      SELECT s.col_name, s.v, med.m, abs(s.v - med.m) AS d
+      FROM stacked s JOIN med ON s.col_name = med.col_name
+    ),
+    mad AS (
+      SELECT col_name, quantile_cont(d, 0.5) AS md
+      FROM dev GROUP BY col_name
+    )
+    SELECT dev.col_name, COUNT(*)::BIGINT AS n,
+           ANY_VALUE(dev.m) AS median, ANY_VALUE(mad.md) AS mad,
+           SUM(CASE WHEN dev.d > 10.0 * mad.md THEN 1 ELSE 0 END)::BIGINT
+             AS n_outliers,
+           ROUND(SUM(CASE WHEN dev.d > 10.0 * mad.md
+                          THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*)::DOUBLE, 6) AS outlier_rate,
+           MIN(dev.v) AS min_val, MAX(dev.v) AS max_val
+    FROM dev JOIN mad ON dev.col_name = mad.col_name
+    GROUP BY dev.col_name
+    """,
+    "Per-column robust outlier screen over lineitem amounts: exact "
+    "median + MAD (raw units, no consistency constant) and the count "
+    "of values beyond 10 MADs (Hampel's rule, 50%-breakdown robust "
+    "where z-scores self-corrupt) — the read-only pass that decides "
+    "which columns need winsorizing/robust scaling; column stack + "
+    "two percentile passes + one keyed count",
+)
+def x141_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import outlier_report
+
+    li = load(spark, sf_dir, "lineitem")
+    return outlier_report(li, ["l_extendedprice", "l_quantity"], k=10.0)

@@ -5702,3 +5702,39 @@ class TestMarketShare:
             df.explain("simple")
         plan = buf.getvalue()
         assert plan.count("BroadcastHashJoin") >= 4  # part/supp/nation/region
+
+
+class TestOutlierReport:
+    def test_hand_built_outliers(self, spark):
+        from cryoflow_spark.functions.profiling import outlier_report
+
+        # median 5, deviations [4,1,0,1,4,9995] -> mad = 2.5
+        vals = [1.0, 4.0, 5.0, 6.0, 9.0, 10000.0, None]
+        df = spark.createDataFrame([(v,) for v in vals], "a double")
+        r = outlier_report(df, ["a"], k=10.0).collect()[0]
+        assert r["n"] == 6
+        assert r["median"] == 5.5  # interpolated even-count median
+        assert r["n_outliers"] == 1  # only the 10000
+        assert r["outlier_rate"] == round(1 / 6, 6)
+        assert r["max_val"] == 10000.0 and r["min_val"] == 1.0
+
+    def test_constant_column_mad_zero(self, spark):
+        from cryoflow_spark.functions.profiling import outlier_report
+
+        df = spark.createDataFrame(
+            [(2.0,), (2.0,), (2.0,), (7.0,)], "a double"
+        )
+        r = outlier_report(df, ["a"], k=10.0).collect()[0]
+        assert r["mad"] == 0.0
+        assert r["n_outliers"] == 1  # any deviation counts when mad=0
+
+    def test_invalid_args(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.profiling import outlier_report
+
+        df = spark.createDataFrame([(1.0,)], "a double")
+        with _pytest.raises(ValueError):
+            outlier_report(df, [])
+        with _pytest.raises(ValueError):
+            outlier_report(df, ["a"], k=0)

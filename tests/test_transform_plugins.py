@@ -1468,3 +1468,17 @@ def test_sample_cluster_cap_plugin(spark):
     assert is_successful(result), result
     kept = sorted(r["doc_id"] for r in result.unwrap().collect())
     assert kept == [1, 3]  # 2 capped away; singleton 3 survives
+
+
+def test_profile_outliers_plugin(spark):
+    from cryoflow_spark.plugins.transform import ProfilePlugin
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (1000.0,)], "a double"
+    )
+    out = _run(ProfilePlugin({"report": "outliers", "columns": ["a"]}), df)
+    r = out.collect()[0]
+    assert r["n"] == 4 and r["n_outliers"] == 1
+    missing = ProfilePlugin({"report": "outliers"})
+    missing.attach_session(spark)
+    assert not is_successful(missing.execute(df))
