@@ -822,3 +822,93 @@ def ab_lift_report(
         .otherwise(F.lit(0.0))
         .alias("z_score"),
     )
+
+
+def event_association_rules(
+    df: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "event_type",
+    min_support: float = 0.0,
+) -> DataFrame:
+    """Pairwise association rules over per-user event baskets — the
+    depth-2 slice of classic market-basket mining (Agrawal & Srikant
+    1994), which is the slice that actually matters for event
+    analytics ("users who ever X also Y"): each user's basket is their
+    DISTINCT event-type set, and for every ordered pair
+    ``antecedent -> consequent``,
+
+    - ``n_both`` / ``support`` — users with both (6-decimal share of
+      all users);
+    - ``confidence`` — P(consequent | antecedent) as an exact integer
+      ratio;
+    - ``lift`` — confidence / P(consequent): > 1 means the pair
+      co-occurs beyond independence.
+
+    Rules with support < ``min_support`` are dropped. NULL users or
+    items are excluded.
+
+    Scale: one distinct to (user, item) — baskets, not events — then
+    a user-keyed self-join whose per-user fanout is bounded by the
+    ITEM-TYPE count squared (single digits for event vocabularies,
+    never the event count), keyed pair counts, and the bounded
+    |items|²-row rule table joined against the |items|-row marginals
+    (broadcast) and a 1-row user-count scalar.
+    """
+    ut = (
+        df.filter(
+            F.col(user_col).isNotNull() & F.col(item_col).isNotNull()
+        )
+        .select(F.col(user_col).alias("__u"), F.col(item_col).alias("__i"))
+        .distinct()
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    pair_counts = (
+        a.join(b, F.col("a.__u") == F.col("b.__u"))
+        .filter(F.col("a.__i") < F.col("b.__i"))
+        .groupBy(
+            F.col("a.__i").alias("x"), F.col("b.__i").alias("y")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    rules = pair_counts.select(
+        F.col("x").alias("antecedent"), F.col("y").alias("consequent"),
+        "n_both",
+    ).unionByName(
+        pair_counts.select(
+            F.col("y").alias("antecedent"),
+            F.col("x").alias("consequent"),
+            "n_both",
+        )
+    )
+    singles = ut.groupBy(F.col("__i").alias("item")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    total = ut.select("__u").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_users")
+    )
+    out = (
+        rules.join(
+            F.broadcast(singles.withColumnRenamed("item", "antecedent")
+                        .withColumnRenamed("n_item", "__n_a")),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(singles.withColumnRenamed("item", "consequent")
+                        .withColumnRenamed("n_item", "__n_c")),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    support = F.col("n_both").cast("double") / F.col("__n_users").cast(
+        "double"
+    )
+    conf = F.col("n_both").cast("double") / F.col("__n_a").cast("double")
+    p_c = F.col("__n_c").cast("double") / F.col("__n_users").cast("double")
+    return out.filter(support >= min_support).select(
+        "antecedent",
+        "consequent",
+        "n_both",
+        F.round(support, 6).alias("support"),
+        F.round(conf, 6).alias("confidence"),
+        F.round(conf / p_c, 6).alias("lift"),
+    )

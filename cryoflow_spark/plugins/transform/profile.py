@@ -72,6 +72,9 @@ disturbing the main stream. Options:
   of the numeric ``columns`` (observed vs log10(1+1/d) expected
   frequency + signed deviation per digit) — the fabricated/capped
   data screen.
+- ``report = "associations"`` emits pairwise association rules over
+  per-user item baskets (support / confidence / lift per ordered
+  pair; ``min_support`` filter) — the depth-2 market-basket slice.
 - ``report = "ab_lift"`` emits the A/B lift report over unit-level
   rows (``variant_column`` + 0/1 ``converted_column``): rates,
   absolute/relative lift and the pooled two-proportion z per variant
@@ -156,6 +159,18 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
 
             return benford_audit(
                 data, columns=list(self.require_option("columns"))
+            )
+
+        if self.options.get("report") == "associations":
+            from cryoflow_spark.functions.events import (
+                event_association_rules,
+            )
+
+            return event_association_rules(
+                data,
+                user_col=self.options.get("user_column", "user_id"),
+                item_col=self.options.get("item_column", "event_type"),
+                min_support=float(self.options.get("min_support", 0.0)),
             )
 
         if self.options.get("report") == "ab_lift":

@@ -7271,3 +7271,51 @@ def x141_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return outlier_report(li, ["l_extendedprice", "l_quantity"], k=10.0)
+
+
+# --- x142: pairwise association rules (oracle-checked) ----------------------
+
+
+@register(
+    "x142_association_rules",
+    """
+    WITH ut AS (
+      SELECT DISTINCT user_id AS u, event_type AS i
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    pair_counts AS (
+      SELECT a.i AS x, b.i AS y, COUNT(*)::BIGINT AS n_both
+      FROM ut a JOIN ut b ON a.u = b.u AND a.i < b.i
+      GROUP BY 1, 2
+    ),
+    rules AS (
+      SELECT x AS antecedent, y AS consequent, n_both FROM pair_counts
+      UNION ALL
+      SELECT y, x, n_both FROM pair_counts
+    ),
+    singles AS (
+      SELECT i AS item, COUNT(*)::BIGINT AS n_item FROM ut GROUP BY i
+    ),
+    total AS (SELECT COUNT(DISTINCT u)::BIGINT AS n_users FROM ut)
+    SELECT r.antecedent, r.consequent, r.n_both,
+           ROUND(r.n_both::DOUBLE / t.n_users::DOUBLE, 6) AS support,
+           ROUND(r.n_both::DOUBLE / sa.n_item::DOUBLE, 6) AS confidence,
+           ROUND((r.n_both::DOUBLE / sa.n_item::DOUBLE)
+                 / (sc.n_item::DOUBLE / t.n_users::DOUBLE), 6) AS lift
+    FROM rules r
+    JOIN singles sa ON r.antecedent = sa.item
+    JOIN singles sc ON r.consequent = sc.item
+    CROSS JOIN total t
+    """,
+    "Pairwise association rules over per-user event baskets (the "
+    "depth-2 market-basket slice, Agrawal-Srikant): per ordered "
+    "antecedent->consequent pair the co-occurrence count, support, "
+    "exact-ratio confidence and lift — distinct baskets, user-keyed "
+    "self-join bounded by item-type count squared, bounded rule "
+    "table + broadcast marginals + 1-row user scalar",
+)
+def x142_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.events import event_association_rules
+
+    e = load_events(spark, sf_dir)
+    return event_association_rules(e)

@@ -5738,3 +5738,50 @@ class TestOutlierReport:
             outlier_report(df, [])
         with _pytest.raises(ValueError):
             outlier_report(df, ["a"], k=0)
+
+
+class TestAssociationRules:
+    def test_hand_built_rules(self, spark):
+        from datetime import datetime
+
+        from cryoflow_spark.functions.events import event_association_rules
+
+        t0 = datetime(2024, 1, 1)
+        # baskets: u1 {a,b}, u2 {a,b}, u3 {a}, u4 {b,c}
+        rows = [
+            (1, t0, 1, "a"), (2, t0, 1, "b"), (3, t0, 1, "a"),  # dup a
+            (4, t0, 2, "a"), (5, t0, 2, "b"),
+            (6, t0, 3, "a"),
+            (7, t0, 4, "b"), (8, t0, 4, "c"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        out = {
+            (r["antecedent"], r["consequent"]): r
+            for r in event_association_rules(df).collect()
+        }
+        ab = out[("a", "b")]
+        assert ab["n_both"] == 2 and ab["support"] == 0.5
+        assert ab["confidence"] == round(2 / 3, 6)  # P(b|a), a in 3 baskets
+        # lift = conf / P(b) = (2/3) / (3/4)
+        assert ab["lift"] == round((2 / 3) / (3 / 4), 6)
+        ba = out[("b", "a")]
+        assert ba["confidence"] == round(2 / 3, 6)  # P(a|b), b in 3 baskets
+        bc = out[("b", "c")]
+        assert bc["n_both"] == 1 and bc["confidence"] == round(1 / 3, 6)
+        assert ("a", "c") not in out  # never co-occur
+
+    def test_min_support_filters(self, spark):
+        from datetime import datetime
+
+        from cryoflow_spark.functions.events import event_association_rules
+
+        t0 = datetime(2024, 1, 1)
+        rows = [(1, t0, 1, "a"), (2, t0, 1, "b"),
+                (3, t0, 2, "c"), (4, t0, 2, "d")]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        out = event_association_rules(df, min_support=0.6).collect()
+        assert out == []  # every pair has support 0.5

@@ -202,6 +202,9 @@ def test_no_cartesian_products(all_plans):
         # 1-row control-variant scalar crossJoin(broadcast) into the
         # |variants|-row table — same scalar pattern.
         "x139_ab_lift",
+        # 1-row user-count scalar crossJoin(broadcast) into the bounded
+        # |items|^2 rule table — same scalar pattern.
+        "x142_association_rules",
     }
     for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name

@@ -1482,3 +1482,19 @@ def test_profile_outliers_plugin(spark):
     missing = ProfilePlugin({"report": "outliers"})
     missing.attach_session(spark)
     assert not is_successful(missing.execute(df))
+
+
+def test_profile_associations_plugin(spark):
+    from datetime import datetime
+
+    from cryoflow_spark.plugins.transform import ProfilePlugin
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, 1, "a"), (2, t0, 1, "b"), (3, t0, 2, "a")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = _run(ProfilePlugin({"report": "associations"}), df)
+    rows = {(r["antecedent"], r["consequent"]): r for r in out.collect()}
+    assert rows[("a", "b")]["confidence"] == 0.5
+    assert rows[("b", "a")]["confidence"] == 1.0
