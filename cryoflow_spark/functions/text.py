@@ -1859,3 +1859,82 @@ def keyword_contexts(
         F.col("pos").cast("bigint").alias("pos"),
         F.col("__t").substr(start, length).alias("snippet"),
     )
+
+
+def bpe_merge_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """One byte-pair-encoding merge iteration: the adjacent-symbol pair
+    frequency table a BPE trainer greedily merges from (Sennrich,
+    Haddow & Birch 2016, "Neural Machine Translation of Rare Words with
+    Subword Units", §3.2) — run over the corpus the tokenizer will be
+    trained on, the head of this table IS the first merge list, and a
+    pair table that diverges from the tokenizer's actual merges is the
+    early-warning sign of corpus/tokenizer mismatch (see
+    ``tokenizer_fertility`` for the after-the-fact check).
+
+    Classic trainer semantics: words are whitespace tokens; each
+    alphanumeric word is split into single-character symbols plus a
+    ``</w>`` end-of-word marker (so merges never cross word
+    boundaries); a pair occurring twice in one word counts twice; pair
+    counts are weighted by word frequency. Non-alphanumeric tokens are
+    excluded from the symbol stage — punctuation runs are never merge
+    candidates in the word-internal scheme, and the restriction keeps
+    the character split on ASCII where Java regex (UTF-16 code units)
+    and RE2 (codepoints) agree.
+
+    Output: ``(pair, pair_count, n_words)`` — the symbol pair as
+    ``"left right"`` (symbols are single chars or ``</w>``, so the
+    space join is unambiguous), total weighted occurrences, and the
+    number of distinct vocabulary words containing the pair — ordered
+    ``pair_count`` DESC with a ``pair`` tiebreak, limited to ``top_k``.
+
+    Scale: the two-stage collapse keeps the explode VOCABULARY-sized,
+    never corpus-sized — stage 1 aggregates the corpus to the
+    ``(word, count)`` vocab table (keyed agg with map-side partials,
+    ~10^7 rows at 100 TB), stage 2 explodes adjacent pairs over vocab
+    words only (O(|vocab| × word_len) rows); the final pair agg is
+    again keyed with partials, and top-k is sort+limit (TakeOrdered on
+    the driver), never a global sort.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+            ).alias("word")
+        )
+        .filter(F.col("word").rlike(r"^[A-Za-z0-9']+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__wc"))
+    )
+    syms = words.select(
+        "word",
+        "__wc",
+        F.expr(
+            "concat(filter(split(word, ''), c -> c != ''), array('</w>'))"
+        ).alias("__s"),
+    )
+    pairs = syms.select(
+        "word",
+        "__wc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__s) - 1),"
+                " i -> concat(element_at(__s, i), ' ', element_at(__s, i + 1)))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("__wc").cast("bigint").alias("pair_count"),
+            F.countDistinct("word").cast("bigint").alias("n_words"),
+        )
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(int(top_k))
+    )

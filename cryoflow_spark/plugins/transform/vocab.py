@@ -40,6 +40,10 @@ Options:
 - ``method = "fertility"`` — per-``group_column`` tokenizer fertility
   / compression report (tokens per word, chars per token, tokens per
   doc) — the multilingual token-budget fairness signal.
+- ``method = "bpe_pairs"`` — one BPE merge iteration (Sennrich 2016):
+  the ``top_k`` adjacent-symbol pairs by frequency over the
+  character-split vocabulary with ``</w>`` markers — the merge-list
+  head a tokenizer trainer would pick next; options ``top_k``.
 """
 
 from __future__ import annotations
@@ -101,6 +105,14 @@ class VocabPlugin(AnalyzedTransformPlugin):
                 id_col=self.options.get("id_column", "doc_id"),
                 top_k=int(self.options.get("top_k", 500)),
                 lowercase=bool(self.options.get("lowercase", True)),
+            )
+        if self.options.get("method") == "bpe_pairs":
+            from cryoflow_spark.functions.text import bpe_merge_pairs
+
+            return bpe_merge_pairs(
+                data,
+                text_col=self.options.get("column", "text"),
+                top_k=int(self.options.get("top_k", 50)),
             )
         if self.options.get("method") == "jsd_rank":
             from cryoflow_spark.functions.text import group_js_divergence

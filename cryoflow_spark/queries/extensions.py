@@ -7319,3 +7319,50 @@ def x142_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir)
     return event_association_rules(e)
+
+
+# --- x143: BPE merge-pair statistics (oracle-checked) ------------------------
+
+
+@register(
+    "x143_bpe_merge_pairs",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t != '')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ),
+    words AS (
+      SELECT word, COUNT(*)::BIGINT AS wc
+      FROM toks
+      WHERE regexp_matches(word, '^[A-Za-z0-9'']+$')
+      GROUP BY word
+    ),
+    syms AS (
+      SELECT word, wc,
+             list_append(list_filter(string_split(word, ''), c -> c != ''),
+                         '</w>') AS s
+      FROM words
+    ),
+    pair_rows AS (
+      SELECT word, wc,
+             unnest([s[i] || ' ' || s[i + 1] for i in range(1, len(s))]) AS pair
+      FROM syms
+    )
+    SELECT pair,
+           SUM(wc)::BIGINT AS pair_count,
+           COUNT(DISTINCT word)::BIGINT AS n_words
+    FROM pair_rows
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 30
+    """,
+    "One BPE merge iteration (Sennrich 2016): adjacent-symbol pair "
+    "frequencies over the character-split vocabulary with </w> "
+    "end-of-word markers — the table the tokenizer trainer greedily "
+    "merges from; two-stage collapse keeps the explode vocab-sized, "
+    "never corpus-sized",
+)
+def x143_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.bpe_merge_pairs(d, "text", top_k=30)

@@ -5785,3 +5785,48 @@ class TestAssociationRules:
         )
         out = event_association_rules(df, min_support=0.6).collect()
         assert out == []  # every pair has support 0.5
+
+
+class TestBpeMergePairs:
+    def test_hand_computed_counts(self, spark):
+        from cryoflow_spark.functions.text import bpe_merge_pairs
+
+        df = spark.createDataFrame(
+            [("low low lower",), ("low !!",)], "text string"
+        )
+        out = bpe_merge_pairs(df, "text", top_k=10).collect()
+        got = {r["pair"]: (r["pair_count"], r["n_words"]) for r in out}
+        # low ×3: l o / o w / w </w>; lower ×1 adds w e / e r / r </w>;
+        # "!!" is non-alphanumeric and never reaches the symbol stage.
+        assert got == {
+            "l o": (4, 2),
+            "o w": (4, 2),
+            "w </w>": (3, 1),
+            "w e": (1, 1),
+            "e r": (1, 1),
+            "r </w>": (1, 1),
+        }
+        # ordering: count DESC then pair ASC
+        assert [r["pair"] for r in out] == [
+            "l o", "o w", "w </w>", "e r", "r </w>", "w e",
+        ]
+
+    def test_within_word_repeats_count_per_occurrence(self, spark):
+        from cryoflow_spark.functions.text import bpe_merge_pairs
+
+        df = spark.createDataFrame([("aaa",)], "text string")
+        got = {
+            r["pair"]: r["pair_count"]
+            for r in bpe_merge_pairs(df, "text").collect()
+        }
+        assert got == {"a a": 2, "a </w>": 1}
+
+    def test_top_k_and_validation(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.text import bpe_merge_pairs
+
+        df = spark.createDataFrame([("ab cd",)], "text string")
+        assert bpe_merge_pairs(df, "text", top_k=1).count() == 1
+        with _pytest.raises(ValueError):
+            bpe_merge_pairs(df, "text", top_k=0)
