@@ -1406,3 +1406,87 @@ def outlier_report(
         F.min("v").alias("min_val"),
         F.max("v").alias("max_val"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """ONE-row chance-corrected agreement between two categorical
+    columns (Cohen 1960, "A Coefficient of Agreement for Nominal
+    Scales"): ``kappa = (p_o - p_e) / (1 - p_e)`` with ``p_o`` the
+    observed agreement rate and ``p_e`` the agreement expected if the
+    two raters assigned classes independently at their observed
+    marginal rates — the accuracy number x133's per-class report does
+    NOT give you, because raw agreement is inflated by class imbalance
+    (two raters both saying "en" 95% of the time agree 90.25% by
+    chance alone). The standard QA statistic for double-annotated
+    label samples and for grading a cheap heuristic against a gold
+    column before trusting it as a curation gate.
+
+    Output: ``(n_items, observed_agreement, expected_agreement,
+    kappa)``. All three rates are single divisions of exact integers
+    (kappa simplified to ``(N·agree - S) / (N² - S)`` with
+    ``S = Σ_k rowmarg_k · colmarg_k``), computed in DECIMAL(38,0) so
+    no float accumulates — one correctly-rounded double division per
+    output, 6-decimal rounded. Rows with a NULL on either side are
+    excluded (use :func:`classification_report` to audit abstentions).
+    Degenerate chance-perfect tables (``p_e = 1``, a single class on
+    both sides) report ``kappa = 0.0`` — chance explains everything.
+
+    Scale: ONE fact scan collapses to the bounded |classes|² confusion
+    table (keyed agg with map-side partials); totals, marginals, and
+    the Σ rm·cm join all run on config-sized frames. DECIMAL(38,0)
+    keeps N² exact past the 2^53 double-integer ceiling (N up to
+    10^12 rows → N² = 10^24 < 10^38).
+    """
+    dec = "decimal(38,0)"
+    cm = (
+        df.filter(F.col(label_col).isNotNull() & F.col(pred_col).isNotNull())
+        .groupBy(
+            F.col(label_col).alias("__l"), F.col(pred_col).alias("__p")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    totals = cm.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n_items"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__l") == F.col("__p"), F.col("__n")).otherwise(
+                    F.lit(0)
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("__agree"),
+    )
+    rm = cm.groupBy("__l").agg(F.sum("__n").cast(dec).alias("__rm"))
+    colm = cm.groupBy("__p").agg(F.sum("__n").cast(dec).alias("__cm"))
+    s = (
+        rm.join(colm, rm["__l"] == colm["__p"])
+        .agg(
+            F.coalesce(F.sum(F.col("__rm") * F.col("__cm")), F.lit(0))
+            .cast(dec)
+            .alias("__s")
+        )
+    )
+    n_dec = F.col("n_items").cast(dec)
+    num = (n_dec * F.col("__agree").cast(dec) - F.col("__s")).cast(dec)
+    den = (n_dec * n_dec - F.col("__s")).cast(dec)
+    rate = lambda x, y: F.round(  # noqa: E731
+        x.cast("double") / y.cast("double"), 6
+    )
+    return totals.crossJoin(F.broadcast(s)).select(
+        "n_items",
+        F.when(F.col("n_items") == 0, F.lit(0.0))
+        .otherwise(rate(F.col("__agree"), F.col("n_items")))
+        .alias("observed_agreement"),
+        F.when(F.col("n_items") == 0, F.lit(0.0))
+        .otherwise(rate(F.col("__s"), n_dec * n_dec))
+        .alias("expected_agreement"),
+        F.when(den == F.lit(0).cast(dec), F.lit(0.0))
+        .otherwise(rate(num, den))
+        .alias("kappa"),
+    )

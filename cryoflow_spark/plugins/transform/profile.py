@@ -64,6 +64,10 @@ disturbing the main stream. Options:
   ``label_column`` (support/predicted/tp, F1 as the exact
   2tp/(support+predicted) ratio) — grade any labeler against a gold
   column.
+- ``report = "kappa"`` emits the ONE-row Cohen's-kappa
+  chance-corrected agreement of ``pred_column`` vs ``label_column``
+  (Cohen 1960) — the imbalance-robust companion number to
+  ``classification``.
 - ``report = "outliers"`` emits the per-column robust outlier screen
   (exact median + MAD, count beyond ``k`` MADs, default 10) over the
   numeric ``columns`` — decides which columns need
@@ -140,6 +144,15 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
             )
 
             return classification_report(
+                data,
+                label_col=self.require_option("label_column"),
+                pred_col=self.require_option("pred_column"),
+            )
+
+        if self.options.get("report") == "kappa":
+            from cryoflow_spark.functions.profiling import cohens_kappa
+
+            return cohens_kappa(
                 data,
                 label_col=self.require_option("label_column"),
                 pred_col=self.require_option("pred_column"),

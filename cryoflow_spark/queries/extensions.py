@@ -7366,3 +7366,73 @@ def x142_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x143_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return X.bpe_merge_pairs(d, "text", top_k=30)
+
+
+# --- x144: Cohen's kappa agreement (oracle-checked) --------------------------
+
+
+def _x144_oracle() -> str:
+    """Chance-corrected agreement of the x09 lang-id vs the label."""
+    score_exprs = []
+    for code, words in X.LANG_MARKERS.items():
+        hits = " + ".join(
+            f"(CASE WHEN contains(' ' || text || ' ', ' {w} ') THEN 1 ELSE 0 END)"
+            for w in words
+        )
+        score_exprs.append(f"({hits}) AS s_{code}")
+    scores = ", ".join(score_exprs)
+    best = "greatest(" + ", ".join(f"s_{c}" for c in X.LANG_MARKERS) + ")"
+    cases = " ".join(
+        f"WHEN s_{c} > 0 AND s_{c} = {best} THEN '{c}'"
+        for c in sorted(X.LANG_MARKERS)
+    )
+    return f"""
+    WITH cm AS (
+      SELECT lang AS l, predicted AS p, COUNT(*)::HUGEINT AS n FROM (
+        SELECT lang, CASE {cases} ELSE 'und' END AS predicted
+        FROM (SELECT lang, text, {scores} FROM documents)
+      ) WHERE lang IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT COALESCE(SUM(n), 0)::HUGEINT AS nn,
+             COALESCE(SUM(CASE WHEN l = p THEN n ELSE 0 END), 0)::HUGEINT
+               AS agree
+      FROM cm
+    ),
+    rm AS (SELECT l AS c, SUM(n)::HUGEINT AS r FROM cm GROUP BY l),
+    cl AS (SELECT p AS c, SUM(n)::HUGEINT AS m FROM cm GROUP BY p),
+    s AS (
+      SELECT COALESCE(SUM(rm.r * cl.m), 0)::HUGEINT AS s
+      FROM rm JOIN cl USING (c)
+    )
+    SELECT nn::BIGINT AS n_items,
+           CASE WHEN nn = 0 THEN 0.0
+                ELSE ROUND(agree::DOUBLE / nn::DOUBLE, 6)
+           END AS observed_agreement,
+           CASE WHEN nn = 0 THEN 0.0
+                ELSE ROUND(s::DOUBLE / (nn * nn)::DOUBLE, 6)
+           END AS expected_agreement,
+           CASE WHEN (nn * nn - s) = 0 THEN 0.0
+                ELSE ROUND((nn * agree - s)::DOUBLE
+                           / (nn * nn - s)::DOUBLE, 6)
+           END AS kappa
+    FROM tot CROSS JOIN s
+    """
+
+
+@register(
+    "x144_cohens_kappa",
+    _x144_oracle(),
+    "Cohen's kappa of the x09 lang-id predictions vs the labeled lang "
+    "column (chance-corrected agreement, Cohen 1960): the ONE-row "
+    "should-I-trust-this-heuristic statistic that raw agreement "
+    "inflates under class imbalance — exact-integer confusion margins, "
+    "kappa as the single ratio (N*agree - S)/(N^2 - S) in "
+    "DECIMAL(38,0); ONE fact scan to the bounded confusion table",
+)
+def x144_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import cohens_kappa
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select("lang", X.lang_id("text").alias("predicted"))
+    return cohens_kappa(scored, "lang", "predicted")

@@ -5830,3 +5830,63 @@ class TestBpeMergePairs:
         assert bpe_merge_pairs(df, "text", top_k=1).count() == 1
         with _pytest.raises(ValueError):
             bpe_merge_pairs(df, "text", top_k=0)
+
+
+class TestCohensKappa:
+    def test_hand_computed(self, spark):
+        from cryoflow_spark.functions.profiling import cohens_kappa
+
+        rows = (
+            [("a", "a")] * 4 + [("a", "b")] * 1
+            + [("b", "a")] * 2 + [("b", "b")] * 3
+        )
+        df = spark.createDataFrame(rows, "gold string, pred string")
+        r = cohens_kappa(df, "gold", "pred").collect()[0]
+        # N=10, agree=7; rm=(5,5), cm=(6,4) -> S=50, pe=0.5
+        # kappa = (10*7 - 50) / (100 - 50) = 0.4
+        assert r["n_items"] == 10
+        assert r["observed_agreement"] == 0.7
+        assert r["expected_agreement"] == 0.5
+        assert r["kappa"] == 0.4
+
+    def test_degenerate_single_class_is_zero(self, spark):
+        from cryoflow_spark.functions.profiling import cohens_kappa
+
+        df = spark.createDataFrame(
+            [("a", "a")] * 3, "gold string, pred string"
+        )
+        r = cohens_kappa(df, "gold", "pred").collect()[0]
+        assert r["observed_agreement"] == 1.0
+        assert r["expected_agreement"] == 1.0
+        assert r["kappa"] == 0.0  # chance explains everything
+
+    def test_nulls_excluded_and_empty_safe(self, spark):
+        from cryoflow_spark.functions.profiling import cohens_kappa
+
+        df = spark.createDataFrame(
+            [("a", None), (None, "b"), ("a", "a"), ("b", "a")],
+            "gold string, pred string",
+        )
+        r = cohens_kappa(df, "gold", "pred").collect()[0]
+        assert r["n_items"] == 2
+        empty = df.filter("gold IS NULL AND pred IS NULL")
+        r0 = cohens_kappa(empty, "gold", "pred").collect()[0]
+        assert r0["n_items"] == 0 and r0["kappa"] == 0.0
+
+    def test_matches_sklearn_formula(self, spark):
+        from cryoflow_spark.functions.profiling import cohens_kappa
+
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (rng.choice("abc"), rng.choice("abc")) for _ in range(200)
+        ]
+        df = spark.createDataFrame(rows, "gold string, pred string")
+        r = cohens_kappa(df, "gold", "pred").collect()[0]
+        n = len(rows)
+        agree = sum(1 for g, p in rows if g == p)
+        rm = {c: sum(1 for g, _ in rows if g == c) for c in "abc"}
+        cm = {c: sum(1 for _, p in rows if p == c) for c in "abc"}
+        s = sum(rm[c] * cm[c] for c in "abc")
+        assert r["kappa"] == round((n * agree - s) / (n * n - s), 6)
