@@ -239,3 +239,57 @@ def encode_png(img: np.ndarray) -> bytes:
         + chunk(b"IDAT", zlib.compress(scanlines, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def average_hash(payload: bytes, hash_size: int = 8) -> int:
+    """Perceptual average-hash (aHash) of an image payload: decode →
+    block-mean resize to ``hash_size``² cells → Rec. 601 luminance →
+    1 bit per cell, set when the cell is brighter than the grid mean
+    (the classic pHash-library aHash; see also Zauner 2010,
+    "Implementation and Benchmarking of Perceptual Image Hash
+    Functions"). Near-duplicate images — recompressed, resized,
+    lightly edited — land within a few bits of each other, so hamming
+    distance on this hash is the image analogue of SimHash on text.
+
+    Bit order: row-major cells, first cell in the most significant of
+    the ``hash_size``² low bits (for ``hash_size=8`` the value fills
+    all 64 bits). Returned wrapped to signed int64 — the natural
+    LongType representation for the JVM-side ``bit_count(a XOR b)``
+    hamming distance.
+
+    All-equal images (no cell brighter than the mean) hash to 0.
+    """
+    if hash_size < 2 or hash_size * hash_size > 64:
+        raise ValueError("hash_size must be in [2, 8]")
+    img = decode_image(payload)
+    grid = resize_image(img, hash_size, hash_size).astype(np.float64)
+    lum = (
+        0.299 * grid[:, :, 0] + 0.587 * grid[:, :, 1] + 0.114 * grid[:, :, 2]
+    )
+    bits = (lum > lum.mean()).ravel()
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def bitmap_png(value: int, hash_size: int = 8) -> bytes:
+    """Encode a non-negative integer as a black/white ``hash_size``²
+    PNG whose :func:`average_hash` round-trips to the value: cell ``c``
+    (row-major) is white iff bit ``hash_size² - 1 - c`` of ``value`` is
+    set — the aHash bit order. Holds for every value whose bit count is
+    < hash_size² (an all-white image has no cell above its own mean and
+    hashes to 0 — the single aHash fixed-point collision).
+
+    Test/demo generator: gives correctness harnesses a SQL-predictable
+    image corpus that still exercises the REAL encode → decode →
+    resize → hash path.
+    """
+    n_bits = hash_size * hash_size
+    if value < 0 or value >= (1 << n_bits):
+        raise ValueError(f"value must be in [0, 2^{n_bits})")
+    img = np.zeros((hash_size, hash_size, 3), dtype=np.uint8)
+    for c in range(n_bits):
+        if (value >> (n_bits - 1 - c)) & 1:
+            img[c // hash_size, c % hash_size] = 255
+    return encode_png(img)

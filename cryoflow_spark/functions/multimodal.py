@@ -30,11 +30,12 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 if TYPE_CHECKING:
-    import pandas as pd
+    pass
 
 #: Schema fragment for a multimodal asset column family.
 ASSET_FIELDS = (
@@ -187,3 +188,160 @@ def documents_as_assets(df: DataFrame, text_col: str = "text", id_col: str = "do
         F.lit("text/plain; charset=utf-8").alias("media_type"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
     ).withColumn("byte_size", F.length(F.col("payload")).cast("bigint"))
+
+
+def with_image_hash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    hash_col: str = "image_hash",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Attach the perceptual average-hash (aHash; Zauner 2010) of each
+    image payload as a signed-int64 column — NULL for NULL or
+    undecodable payloads, so corrupt blobs never collapse into one
+    all-zero near-dup cluster (the same rule SimHash applies to NULL
+    text).
+
+    Scale: one Arrow-batched pandas UDF over the payload column — the
+    decode is the honest cost and runs once; every downstream pairing/
+    dedup pass works on the 8-byte hash, never re-reading payload
+    bytes. Persist the hash column next to the asset table (the x53
+    signature-persistence pattern) so steady-state ingest only hashes
+    the new dump.
+    """
+    size = int(hash_size)
+
+    @F.pandas_udf("long")
+    def _ahash(payloads: pd.Series) -> pd.Series:
+        from cryoflow_spark.functions.imaging import (  # noqa: PLC0415
+            average_hash,
+        )
+
+        def one(p):
+            if p is None:
+                return None
+            try:
+                return average_hash(bytes(p), size)
+            except ValueError:
+                return None
+
+        return payloads.map(one)
+
+    return df.withColumn(hash_col, _ahash(F.col(payload_col)))
+
+
+def image_hash_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    hamming_threshold: int = 2,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash hamming distance:
+    ``(id_a, id_b, hamming)`` for every pair of decodable images whose
+    aHashes differ in at most ``hamming_threshold`` bits — recompressed
+    thumbnails, re-encodes, and light crops of one another. The image
+    analogue of SimHash text dedup, and the pre-filter an image-dedup
+    pass runs before any expensive embedding model.
+
+    Scale: NO all-pairs path — the pigeonhole band join of the SimHash
+    dedup (``hamming_threshold + 1`` contiguous bit-chunks of the
+    64-bit hash; any pair within the threshold agrees exactly on at
+    least one chunk), so candidates meet on a chunk-value equi-join and
+    only candidates pay the ``bit_count(xor)`` verify. Decode runs once
+    per image (Arrow-batched UDF on the hash column), pairs are
+    deduplicated by the canonical ``id_a < id_b`` orientation +
+    distinct (a pair may share several chunks).
+    """
+    if hamming_threshold < 0:
+        raise ValueError("hamming_threshold must be >= 0")
+    n_bits = int(hash_size) * int(hash_size)
+    n_chunks = hamming_threshold + 1
+    if n_chunks > n_bits:
+        raise ValueError("hamming_threshold + 1 must be <= hash_size^2")
+    bounds = [i * n_bits // n_chunks for i in range(n_chunks + 1)]
+
+    hashed = (
+        with_image_hash(df, payload_col, "__ihash", hash_size)
+        .filter(F.col("__ihash").isNotNull())
+        .select(id_col, "__ihash")
+    )
+    chunks = hashed.select(
+        id_col,
+        "__ihash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("__ihash"), bounds[i]).bitwiseAND(
+                        F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    # shuffle_hash → ReusedExchange: the decode UDF + chunking compute once.
+    b = chunks.hint("shuffle_hash").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.__ihash").bitwiseXOR(F.col("b.__ihash"))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_threshold)
+        .distinct()
+    )
+
+
+def image_hash_dedup(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    hamming_threshold: int = 2,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Remove near-duplicate images, keeping each pair's lower id (the
+    SimHash-dedup survivor policy applied to :func:`image_hash_pairs`).
+    Undecodable payloads are kept — never flagged as duplicates."""
+    pairs = image_hash_pairs(
+        df, payload_col, id_col, hamming_threshold, hash_size
+    )
+    to_remove = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(to_remove, on=id_col, how="left_anti")
+
+
+def synthetic_image_assets(
+    df: DataFrame, id_col: str = "doc_id", hash_size: int = 8
+) -> DataFrame:
+    """Adapter: a REAL-PNG asset table whose aHash is SQL-predictable —
+    each row's payload is :func:`...imaging.bitmap_png` of its id, so
+    ``average_hash(payload) == id`` (ids < 2^(hash_size²) with not all
+    bits set) and an oracle can mirror hash/hamming arithmetic on the
+    id column while Spark runs the real encode → decode → hash path.
+    The image-corpus counterpart of :func:`documents_as_assets`.
+    """
+    size = int(hash_size)
+
+    @F.pandas_udf("binary")
+    def _bitmap(ids: pd.Series) -> pd.Series:
+        from cryoflow_spark.functions.imaging import bitmap_png  # noqa: PLC0415
+
+        return ids.map(lambda v: bitmap_png(int(v), size))
+
+    return df.select(
+        F.col(id_col).alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/png").alias("media_type"),
+        _bitmap(F.col(id_col)).alias("payload"),
+    ).withColumn("byte_size", F.length("payload").cast("bigint"))

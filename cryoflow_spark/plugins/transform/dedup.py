@@ -23,6 +23,11 @@ Engine extension for large-scale training-data pipelines (BASELINE.json
   |A∩B|/|A| — drops (or emits) short docs swallowed by longer ones;
   options ``column``, ``ngram``, ``threshold``, ``block_by``,
   ``min_grams``.
+- ``image_hash`` / ``image_hash_pairs``: perceptual-hash (aHash) image
+  near-dup dedup / pair emission over a binary payload column — the
+  SimHash hamming-band scheme applied to images (real PNG decode);
+  options ``payload_column``, ``id_column``, ``hamming_threshold``,
+  ``hash_size``.
 - ``minhash_incremental``: cross-dump dedup — drop rows of THIS stream
   that near-duplicate the sibling stream named by ``corpus_label`` (the
   already-ingested corpus, which is never modified); same knobs as
@@ -109,6 +114,24 @@ class DedupPlugin(SiblingAwareTransformPlugin):
                 text_col=self.options.get("column", "text"),
                 source_col=self.options.get("source_column", "source"),
                 normalize=bool(self.options.get("normalize", True)),
+            )
+
+        if method in ("image_hash", "image_hash_pairs"):
+            from cryoflow_spark.functions import multimodal as MM
+
+            fn = (
+                MM.image_hash_dedup
+                if method == "image_hash"
+                else MM.image_hash_pairs
+            )
+            return fn(
+                data,
+                payload_col=self.options.get("payload_column", "payload"),
+                id_col=self.options.get("id_column", "asset_id"),
+                hamming_threshold=int(
+                    self.options.get("hamming_threshold", 2)
+                ),
+                hash_size=int(self.options.get("hash_size", 8)),
             )
 
         from cryoflow_spark.functions import dedup as D

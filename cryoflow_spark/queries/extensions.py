@@ -7436,3 +7436,28 @@ def x144_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     scored = d.select("lang", X.lang_id("text").alias("predicted"))
     return cohens_kappa(scored, "lang", "predicted")
+
+
+# --- x145: perceptual-hash image near-dup pairs (oracle-checked) -------------
+
+
+@register(
+    "x145_image_hash_pairs",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.doc_id, b.doc_id))::BIGINT AS hamming
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.doc_id, b.doc_id)) <= 2
+    """,
+    "Near-duplicate image pairs by perceptual average-hash hamming "
+    "distance (aHash, Zauner 2010) over a REAL-PNG asset corpus whose "
+    "aHash provably equals the doc id (bitmap_png round-trip) — Spark "
+    "runs the honest encode -> PNG decode -> block-mean resize -> "
+    "luminance threshold -> pigeonhole band join path while the oracle "
+    "mirrors the hash arithmetic on the id column; the SimHash blocking "
+    "scheme applied to images, no all-pairs path",
+)
+def x145_image_hash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    assets = M.synthetic_image_assets(d)
+    return M.image_hash_pairs(assets, hamming_threshold=2)

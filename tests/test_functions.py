@@ -5890,3 +5890,77 @@ class TestCohensKappa:
         cm = {c: sum(1 for _, p in rows if p == c) for c in "abc"}
         s = sum(rm[c] * cm[c] for c in "abc")
         assert r["kappa"] == round((n * agree - s) / (n * n - s), 6)
+
+
+class TestImageHashDedup:
+    def test_bitmap_roundtrip_property(self):
+        from cryoflow_spark.functions.imaging import average_hash, bitmap_png
+
+        for v in [0, 1, 5, 255, 12345, 2**40 + 17, (1 << 63) - 1]:
+            h = average_hash(bitmap_png(v))
+            assert (h + (1 << 64) if h < 0 else h) == v
+        # smaller grid: 16-bit space
+        h4 = average_hash(bitmap_png(0xBEEF, hash_size=4), hash_size=4)
+        assert h4 == 0xBEEF
+
+    def test_near_dup_pair_found_and_unrelated_not(self, spark):
+        import numpy as np
+
+        from cryoflow_spark.functions.imaging import encode_png
+        from cryoflow_spark.functions.multimodal import image_hash_pairs
+
+        rng = np.random.RandomState(3)
+        base = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+        edited = base.copy()
+        edited[0, 0] = 255 - edited[0, 0]  # one-pixel edit
+        unrelated = (255 - base).astype(np.uint8)  # inverted image
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(encode_png(base))),
+                (2, bytearray(encode_png(edited))),
+                (3, bytearray(encode_png(unrelated))),
+            ],
+            "asset_id long, payload binary",
+        )
+        pairs = image_hash_pairs(df, hamming_threshold=4).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 2) in got
+        assert (1, 3) not in got and (2, 3) not in got
+
+    def test_undecodable_kept_never_paired(self, spark):
+        from cryoflow_spark.functions.imaging import bitmap_png
+        from cryoflow_spark.functions.multimodal import (
+            image_hash_dedup,
+            image_hash_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(bitmap_png(7))),
+                (2, bytearray(bitmap_png(7))),  # exact dup of 1
+                (3, bytearray(b"not an image")),
+                (4, None),
+            ],
+            "asset_id long, payload binary",
+        )
+        pairs = image_hash_pairs(df, hamming_threshold=2).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+        kept = {
+            r["asset_id"]
+            for r in image_hash_dedup(df, hamming_threshold=2).collect()
+        }
+        assert kept == {1, 3, 4}  # lower id survives; corrupt rows kept
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.imaging import average_hash, bitmap_png
+        from cryoflow_spark.functions.multimodal import image_hash_pairs
+
+        with _pytest.raises(ValueError):
+            bitmap_png(-1)
+        with _pytest.raises(ValueError):
+            average_hash(b"", hash_size=9)
+        df = spark.createDataFrame([(1, None)], "asset_id long, payload binary")
+        with _pytest.raises(ValueError):
+            image_hash_pairs(df, hamming_threshold=-1)
