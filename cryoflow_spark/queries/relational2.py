@@ -1505,3 +1505,48 @@ def q61_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(asia).cast("double") / F.sum("__rev").cast("double"), 6
         ).alias("asia_share"),
     )
+
+
+# --- q62: customer order-count distribution (TPC-H Q13 flavor) ---------------
+
+
+@register(
+    "q62_customer_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey)::BIGINT AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*)::BIGINT AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    "Customer order-count distribution (TPC-H Q13 shape: predicate "
+    "INSIDE the left outer join so order-less customers survive into "
+    "the c_count=0 bucket, then a second aggregation over the count "
+    "domain) — the how-many-customers-have-N-orders histogram; the "
+    "custkey shuffle is the only data-sized exchange, the second agg "
+    "runs on the tiny count domain",
+)
+def q62_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    c_orders = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

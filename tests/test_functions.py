@@ -5964,3 +5964,32 @@ class TestImageHashDedup:
         df = spark.createDataFrame([(1, None)], "asset_id long, payload binary")
         with _pytest.raises(ValueError):
             image_hash_pairs(df, hamming_threshold=-1)
+
+
+class TestCustomerDistribution:
+    def test_zero_bucket_and_join_predicate(self, spark, tmp_path):
+        import cryoflow_spark.queries.relational2 as R2
+
+        c = spark.createDataFrame(
+            [(1,), (2,), (3,)], "c_custkey long"
+        )
+        o = spark.createDataFrame(
+            [
+                (10, 1, "2-HIGH"),
+                (11, 1, "2-HIGH"),
+                (12, 2, "1-URGENT"),  # excluded by the JOIN predicate
+            ],
+            "o_orderkey long, o_custkey long, o_orderpriority string",
+        )
+        sf = str(tmp_path)
+        c.write.parquet(f"{sf}/customer.parquet")
+        o.write.parquet(f"{sf}/orders.parquet")
+        rows = R2.q62_customer_distribution(spark, sf).collect()
+        got = {r["c_count"]: r["custdist"] for r in rows}
+        # cust 1 -> 2 orders; cust 2 -> 0 (its only order is URGENT,
+        # filtered INSIDE the join, so the customer still appears);
+        # cust 3 -> 0 (no orders at all)
+        assert got == {2: 1, 0: 2}
+        assert [(r["custdist"], r["c_count"]) for r in rows] == [
+            (2, 0), (1, 2),
+        ]
