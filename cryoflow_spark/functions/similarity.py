@@ -1646,3 +1646,110 @@ def ivf_quantization_error(
         ).alias("mean_sq_error"),
         F.round(F.max("__sq"), 6).alias("max_sq_error"),
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    scale: int = 9,
+) -> DataFrame:
+    """Upper-triangle second-moment + covariance matrix of embedding
+    components, computed distributed: per pair ``i <= j`` the row
+    ``(i, j, n, second_moment, covariance)`` with
+    ``second_moment = E[x_i x_j]`` and
+    ``covariance = E[x_i x_j] - E[x_i] E[x_j]``. The d×d output is the
+    input to every embedding-geometry decision made driver-side —
+    PCA/whitening directions (eigendecompose the tiny d×d table with
+    numpy), JL target dimension checks, anisotropy/collapse audits
+    (dominant-eigenvalue share; Mu & Viswanath 2018's common-direction
+    postprocessing), and the x75 embedding-QA family's second-order
+    companion.
+
+    Determinism: each per-row product ``x_i · x_j`` is double-exact
+    IEEE (identical in both engines), quantized map-side with
+    ``floor(p · 10^scale)`` (floor has no tie rule) and summed in
+    DECIMAL(38,0) — exact and order-independent under any
+    partitioning; one deterministic double divide per output. Means
+    come from the same singles aggregation, so ``covariance`` is a
+    deterministic expression over two exact ratios.
+
+    Scale: the explode inflates rows by d(d+1)/2 CPU-side, but the
+    hash aggregation collapses them map-side — the SHUFFLE carries
+    |tasks| × d(d+1)/2 partial rows, never corpus-sized. DECIMAL(38,0)
+    sums survive 10^38 (vs bigint partials overflowing past ~10^19 at
+    10^10 rows × 10^9 quanta). ``dims`` limits to the leading
+    components (None = full vector width of the first row).
+    """
+    if scale < 1 or scale > 12:
+        raise ValueError("scale must be in [1, 12]")
+    if dims is not None and dims < 1:
+        raise ValueError("dims must be >= 1 when given")
+    if dims is None:
+        first = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+        dims = int(first[0]["d"]) if first else 0
+        if dims < 1:
+            raise ValueError("cannot infer dims from an empty frame")
+    d = int(dims)
+    q = f"{10 ** scale}.0"
+    base = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) >= d)
+    )
+    singles = (
+        base.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, {d}), i -> struct(i, "
+                    f"cast(floor(cast(element_at({vec_col}, i) as double)"
+                    f" * {q}) as decimal(38,0)) as s))"
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.i").alias("i"), F.col("e.s").alias("s"))
+        .groupBy("i")
+        .agg(
+            F.sum("s").alias("__s1"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    pairs = (
+        base.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, {d}), i ->"
+                    f" transform(sequence(i, {d}), j -> struct(i, j,"
+                    f" cast(floor(cast(element_at({vec_col}, i) as double)"
+                    f" * cast(element_at({vec_col}, j) as double)"
+                    f" * {q}) as decimal(38,0)) as p))))"
+                )
+            ).alias("e")
+        )
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("__sp"))
+    )
+    si = F.broadcast(
+        singles.select(
+            F.col("i").alias("__ii"), F.col("__s1").alias("__si"), "n"
+        )
+    )
+    sj = F.broadcast(
+        singles.select(
+            F.col("i").alias("__jj"), F.col("__s1").alias("__sj")
+        )
+    )
+    denom = F.col("n").cast("double") * F.lit(float(10 ** scale))
+    second = F.col("__sp").cast("double") / denom
+    mean_i = F.col("__si").cast("double") / denom
+    mean_j = F.col("__sj").cast("double") / denom
+    return (
+        pairs.join(si, pairs["i"] == F.col("__ii"))
+        .join(sj, pairs["j"] == F.col("__jj"))
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            "n",
+            second.alias("second_moment"),
+            (second - mean_i * mean_j).alias("covariance"),
+        )
+    )

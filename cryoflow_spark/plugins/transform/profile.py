@@ -36,6 +36,10 @@ disturbing the main stream. Options:
 - ``report = "correlations"`` emits the one-pass pairwise Pearson
   matrix over ``columns`` (exact fixed-point moments, ``scale``
   default 6).
+- ``report = "covariance"`` emits the upper-triangle second-moment +
+  covariance matrix of embedding components (long format: i, j, n,
+  second_moment, covariance) — eigendecompose driver-side for
+  PCA/whitening/anisotropy; options ``column``, ``dims``, ``scale``.
 - ``report = "embedding_qa"`` emits the embedding ingest-QA report
   (NULL / wrong-``expected_dim`` / NaN-component / zero vectors +
   clean-norm min/max, per ``group_column`` or globally).
@@ -412,6 +416,19 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 vec_col=self.options.get("column", "embedding"),
                 group_col=self.options.get("group_column"),
                 expected_dim=int(dim) if dim is not None else None,
+            )
+
+        if self.options.get("report") == "covariance":
+            from cryoflow_spark.functions.similarity import (
+                embedding_covariance,
+            )
+
+            dims = self.options.get("dims")
+            return embedding_covariance(
+                data,
+                vec_col=self.options.get("column", "embedding"),
+                dims=int(dims) if dims is not None else None,
+                scale=int(self.options.get("scale", 9)),
             )
 
         if self.options.get("report") == "drift":

@@ -7461,3 +7461,52 @@ def x145_image_hash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     assets = M.synthetic_image_assets(d)
     return M.image_hash_pairs(assets, hamming_threshold=2)
+
+
+# --- x146: embedding covariance matrix (oracle-checked) ----------------------
+
+
+@register(
+    "x146_embedding_covariance",
+    """
+    WITH base AS (
+      SELECT embedding FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) >= 8
+    ),
+    singles AS (
+      SELECT i,
+             SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000.0)
+                      AS HUGEINT)) AS s1,
+             COUNT(*)::BIGINT AS n
+      FROM base, range(1, 9) t(i)
+      GROUP BY i
+    ),
+    pairs AS (
+      SELECT i, j,
+             SUM(CAST(floor(CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[j] AS DOUBLE)
+                            * 1000000000.0) AS HUGEINT)) AS sp
+      FROM base, range(1, 9) t1(i), range(1, 9) t2(j)
+      WHERE j >= i
+      GROUP BY i, j
+    )
+    SELECT p.i::BIGINT AS i, p.j::BIGINT AS j, si.n,
+           sp::DOUBLE / (si.n::DOUBLE * 1000000000.0) AS second_moment,
+           sp::DOUBLE / (si.n::DOUBLE * 1000000000.0)
+             - (si.s1::DOUBLE / (si.n::DOUBLE * 1000000000.0))
+               * (sj.s1::DOUBLE / (si.n::DOUBLE * 1000000000.0))
+             AS covariance
+    FROM pairs p
+    JOIN singles si ON si.i = p.i
+    JOIN singles sj ON sj.i = p.j
+    """,
+    "Upper-triangle second-moment + covariance matrix of the leading 8 "
+    "embedding components — the d x d table PCA/whitening directions, "
+    "JL-dimension checks, and anisotropy audits eigendecompose "
+    "driver-side; per-row products quantized map-side (floor, no tie "
+    "rule) and summed in DECIMAL(38,0), shuffle carries only "
+    "|tasks| x d(d+1)/2 partial rows",
+)
+def x146_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return S.embedding_covariance(e, "embedding", dims=8)

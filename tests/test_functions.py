@@ -5993,3 +5993,58 @@ class TestCustomerDistribution:
         assert [(r["custdist"], r["c_count"]) for r in rows] == [
             (2, 0), (1, 2),
         ]
+
+
+class TestEmbeddingCovariance:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from cryoflow_spark.functions.similarity import embedding_covariance
+
+        rng = np.random.RandomState(11)
+        X = rng.randn(60, 5).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+            "vec_id long, embedding array<float>",
+        )
+        rows = embedding_covariance(df, dims=5).collect()
+        assert len(rows) == 15  # 5*6/2 upper triangle
+        Xd = X.astype(np.float64)
+        n = len(Xd)
+        second = (Xd.T @ Xd) / n
+        cov = second - np.outer(Xd.mean(axis=0), Xd.mean(axis=0))
+        for r in rows:
+            i, j = r["i"] - 1, r["j"] - 1
+            assert r["n"] == n
+            # quantization resolution is 1e-9 per component
+            assert abs(r["second_moment"] - second[i, j]) < 1e-8
+            assert abs(r["covariance"] - cov[i, j]) < 1e-8
+
+    def test_diagonal_is_variance_and_dims_inferred(self, spark):
+        from cryoflow_spark.functions.similarity import embedding_covariance
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [3.0, 6.0])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = {
+            (r["i"], r["j"]): r for r in embedding_covariance(df).collect()
+        }
+        assert set(rows) == {(1, 1), (1, 2), (2, 2)}  # dims inferred = 2
+        # component 1: values 1,3 -> var 1.0; component 2: 2,6 -> var 4.0
+        assert abs(rows[(1, 1)]["covariance"] - 1.0) < 1e-8
+        assert abs(rows[(2, 2)]["covariance"] - 4.0) < 1e-8
+        assert abs(rows[(1, 2)]["covariance"] - 2.0) < 1e-8
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.similarity import embedding_covariance
+
+        df = spark.createDataFrame(
+            [(1, [1.0])], "vec_id long, embedding array<float>"
+        )
+        with _pytest.raises(ValueError):
+            embedding_covariance(df, dims=0)
+        with _pytest.raises(ValueError):
+            embedding_covariance(df, scale=0)
