@@ -33,6 +33,14 @@ C4_LINE_DROP_PHRASES: tuple[str, ...] = (
 C4_PAGE_DROP_PHRASES: tuple[str, ...] = ("lorem ipsum", "{")
 
 
+#: Whole-word programming-keyword detector shared by the Spark and
+#: DuckDB sides of the code screen (lookahead-free: Java regex == RE2).
+CODE_KEYWORD_REGEX = (
+    r"\b(def|class|return|import|function|const|var|void|include|"
+    r"printf|public|static|lambda|struct|elif|endif|typedef|println)\b"
+)
+
+
 def _words(text: Column) -> Column:
     return F.array_remove(F.split(text, r"\s+"), "")
 
@@ -215,4 +223,89 @@ def sentence_count(text) -> Column:
             F.filter(F.split(t, "[.!?]+"), lambda s: F.trim(s) != "")
         ).cast("bigint"),
         F.lit(0).cast("bigint"),
+    )
+
+
+def code_detection_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_keyword_hits: int = 3,
+    min_symbol_frac: float = 0.03,
+    min_indent_frac: float = 0.3,
+    min_punct_per_line: float = 1.0,
+    min_lines: int = 3,
+) -> DataFrame:
+    """Annotate each document with source-code-shaped measurements and
+    an ``is_code`` verdict — the code-vs-prose router a mixed web dump
+    needs before text quality rules fire (Gopher's symbol screens
+    MIS-flag healthy code, and code belongs in a differently-filtered
+    stream: ROOTS, Laurençon et al. 2022 §2; The Stack, Kocetkov et
+    al. 2022 route by provenance/extension — this is the
+    content-based fallback when extensions are gone).
+
+    Measurements (each an exact integer ratio, engine-portable):
+
+    - ``symbol_frac`` — non-alphanumeric non-whitespace chars / chars;
+    - ``indent_line_frac`` — non-empty lines starting with a tab or
+      two spaces / non-empty lines (indentation regularity);
+    - ``keyword_hits`` — whole-word programming keyword matches;
+    - ``punct_per_line`` — ``;{}`` statement punctuation per
+      non-empty line;
+    - ``is_code`` — keywords with symbol density, OR indent-regular
+      multi-line, OR statement-punctuation-dense multi-line.
+
+    Empty/NULL documents get NULL ratios and ``is_code = false``.
+    Adds columns; removes none. One narrow JVM map — no UDF, no
+    shuffle; rides whole-stage codegen like the other rule screens.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("bigint")
+    lines = F.split(text, "\n")
+    n_lines = F.size(F.filter(lines, lambda x: F.trim(x) != "")).cast(
+        "bigint"
+    )
+    symbols = F.length(
+        F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    ).cast("bigint")
+    indent_lines = F.size(
+        F.filter(lines, lambda x: x.rlike(r"^(\t|  )"))
+    ).cast("bigint")
+    keyword_hits = F.coalesce(
+        F.regexp_count(text, F.lit(CODE_KEYWORD_REGEX)),
+        F.lit(0),
+    ).cast("bigint")
+    puncts = F.length(F.regexp_replace(text, r"[^;{}]", "")).cast("bigint")
+
+    symbol_frac = F.when(
+        n_chars > 0, symbols.cast("double") / n_chars.cast("double")
+    )
+    indent_frac = F.when(
+        n_lines > 0, indent_lines.cast("double") / n_lines.cast("double")
+    )
+    punct_per_line = F.when(
+        n_lines > 0, puncts.cast("double") / n_lines.cast("double")
+    )
+    is_code = F.coalesce(
+        (
+            (keyword_hits >= F.lit(int(min_keyword_hits)))
+            & (symbol_frac >= F.lit(float(min_symbol_frac)))
+        )
+        | (
+            (indent_frac >= F.lit(float(min_indent_frac)))
+            & (n_lines >= F.lit(int(min_lines)))
+        )
+        | (
+            (punct_per_line >= F.lit(float(min_punct_per_line)))
+            & (n_lines >= F.lit(int(min_lines)))
+        ),
+        F.lit(False),
+    )
+    return (
+        df.withColumn("n_chars_code", n_chars)
+        .withColumn("n_code_lines", n_lines)
+        .withColumn("symbol_frac", F.round(symbol_frac, 6))
+        .withColumn("indent_line_frac", F.round(indent_frac, 6))
+        .withColumn("keyword_hits", keyword_hits)
+        .withColumn("punct_per_line", F.round(punct_per_line, 6))
+        .withColumn("is_code", is_code)
     )

@@ -42,6 +42,12 @@ the TOML plugin surface. Modes (option ``method``):
 - ``script_profile``: annotate with per-script character counts
   (``script_latin`` ... ``script_hangul``) and ``dominant_script`` —
   the writing-system router of a multilingual pipeline.
+- ``code_detect``: the code-vs-prose router (symbol density, indent
+  regularity, keyword hits, statement punctuation + ``is_code``
+  verdict) — run BEFORE ``gopher_rules``, whose symbol caps mis-flag
+  healthy code; ``keep = "code"``/``"prose"`` filters to one stream
+  (flag columns dropped), default annotates; every threshold an
+  option.
 - ``gopher_rules``: the Gopher rule-based gate (word-count/word-length
   bounds, symbol ratios, bullet/ellipsis line fractions, alpha fraction,
   stop-word presence; every threshold an option). Default FILTERS to
@@ -271,6 +277,30 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                     c for c in out.columns if c not in data.columns
                 ]
                 return out.filter("gopher_pass").drop(*drop)
+            return out
+
+        if method == "code_detect":
+            from cryoflow_spark.functions.quality_rules import (
+                code_detection_flags,
+            )
+
+            kwargs = {
+                k: type_(self.options[k])
+                for k, type_ in (
+                    ("min_keyword_hits", int), ("min_symbol_frac", float),
+                    ("min_indent_frac", float),
+                    ("min_punct_per_line", float), ("min_lines", int),
+                )
+                if k in self.options
+            }
+            out = code_detection_flags(data, text_col=column, **kwargs)
+            keep = self.options.get("keep")
+            if keep == "code":
+                flags = [c for c in out.columns if c not in data.columns]
+                return out.filter("is_code").drop(*flags)
+            if keep == "prose":
+                flags = [c for c in out.columns if c not in data.columns]
+                return out.filter("NOT is_code").drop(*flags)
             return out
 
         if method == "c4_clean":

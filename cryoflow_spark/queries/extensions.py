@@ -7510,3 +7510,75 @@ def x145_image_hash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x146_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return S.embedding_covariance(e, "embedding", dims=8)
+
+
+# --- x147: code-vs-prose detection screen (oracle-checked) -------------------
+
+
+def _x147_oracle() -> str:
+    from cryoflow_spark.functions.quality_rules import CODE_KEYWORD_REGEX
+
+    kw = CODE_KEYWORD_REGEX
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text)::BIGINT AS n_chars,
+             len(list_filter(string_split(text, chr(10)),
+                             l -> trim(l) != ''))::BIGINT AS n_lines,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::BIGINT
+               AS symbols,
+             len(list_filter(string_split(text, chr(10)),
+                             l -> regexp_matches(l, '^(\\t|  )')))::BIGINT
+               AS indent_lines,
+             COALESCE(len(regexp_extract_all(text, '{kw}')), 0)::BIGINT
+               AS keyword_hits,
+             length(regexp_replace(text, '[^;{{}}]', '', 'g'))::BIGINT
+               AS puncts
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_chars, n_lines, keyword_hits,
+             CASE WHEN n_chars > 0
+                  THEN symbols::DOUBLE / n_chars::DOUBLE END AS sf,
+             CASE WHEN n_lines > 0
+                  THEN indent_lines::DOUBLE / n_lines::DOUBLE END AS inf,
+             CASE WHEN n_lines > 0
+                  THEN puncts::DOUBLE / n_lines::DOUBLE END AS ppl
+      FROM m
+    )
+    SELECT doc_id,
+           n_chars AS n_chars_code,
+           n_lines AS n_code_lines,
+           ROUND(sf, 6) AS symbol_frac,
+           ROUND(inf, 6) AS indent_line_frac,
+           keyword_hits,
+           ROUND(ppl, 6) AS punct_per_line,
+           COALESCE(
+             (keyword_hits >= 3 AND sf >= 0.03)
+             OR (inf >= 0.3 AND n_lines >= 3)
+             OR (ppl >= 1.0 AND n_lines >= 3),
+             false
+           ) AS is_code
+    FROM r
+    """
+
+
+@register(
+    "x147_code_detection",
+    _x147_oracle(),
+    "Code-vs-prose router (content-based fallback to The Stack's "
+    "extension routing, Kocetkov 2022; ROOTS-style code identification, "
+    "Laurencon 2022): symbol density, indentation regularity, "
+    "whole-word keyword hits, statement punctuation per line + the "
+    "is_code verdict — the screen that runs BEFORE Gopher rules, whose "
+    "symbol caps mis-flag healthy code; one narrow JVM regexp map, no "
+    "UDF, no shuffle",
+)
+def x147_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.quality_rules import code_detection_flags
+
+    d = load(spark, sf_dir, "documents")
+    return code_detection_flags(d).select(
+        "doc_id", "n_chars_code", "n_code_lines", "symbol_frac",
+        "indent_line_frac", "keyword_hits", "punct_per_line", "is_code",
+    )

@@ -6048,3 +6048,65 @@ class TestEmbeddingCovariance:
             embedding_covariance(df, dims=0)
         with _pytest.raises(ValueError):
             embedding_covariance(df, scale=0)
+
+
+class TestCodeDetection:
+    PY_SNIPPET = (
+        "import os\n"
+        "def main():\n"
+        "    return os.path.join('a', 'b');\n"
+        "class Thing:\n"
+        "    pass\n"
+    )
+    PROSE = (
+        "The quick brown fox jumps over the lazy dog. "
+        "It was a bright day and the market was busy with traders."
+    )
+
+    def test_code_vs_prose(self, spark):
+        from cryoflow_spark.functions.quality_rules import (
+            code_detection_flags,
+        )
+
+        df = spark.createDataFrame(
+            [(1, self.PY_SNIPPET), (2, self.PROSE), (3, ""), (4, None)],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in code_detection_flags(df).collect()}
+        assert rows[1]["is_code"] is True
+        assert rows[1]["keyword_hits"] >= 4  # import/def/return/class
+        assert rows[1]["indent_line_frac"] > 0.3
+        assert rows[2]["is_code"] is False
+        assert rows[2]["symbol_frac"] < 0.05
+        # empty/NULL: NULL ratios, never a crash, verdict false
+        assert rows[3]["is_code"] is False
+        assert rows[3]["symbol_frac"] is None
+        assert rows[4]["is_code"] is False
+
+    def test_brace_style_code_detected_without_keywords(self, spark):
+        from cryoflow_spark.functions.quality_rules import (
+            code_detection_flags,
+        )
+
+        c_style = "a = b;\n{\n  x->y;\n}\nz++;\n"
+        df = spark.createDataFrame(
+            [(1, c_style)], "doc_id long, text string"
+        )
+        r = code_detection_flags(df).collect()[0]
+        assert r["punct_per_line"] >= 1.0
+        assert r["is_code"] is True
+
+    def test_keep_filtering_via_plugin_kwargs(self, spark):
+        from cryoflow_spark.functions.quality_rules import (
+            code_detection_flags,
+        )
+
+        df = spark.createDataFrame(
+            [(1, self.PY_SNIPPET), (2, self.PROSE)],
+            "doc_id long, text string",
+        )
+        out = code_detection_flags(df, min_keyword_hits=100,
+                                   min_indent_frac=2.0,
+                                   min_punct_per_line=99.0)
+        # thresholds unreachable -> nothing is code
+        assert [r["is_code"] for r in out.collect()] == [False, False]
