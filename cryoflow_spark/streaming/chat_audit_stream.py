@@ -1,0 +1,133 @@
+"""Streaming chat-transcript format audit — the foreachBatch twin of the
+batch operator x138 (``functions.curation.chat_transcript_audit``).
+
+The schema gate on LIVE instruction/RLHF ingest: malformed transcripts
+are caught per micro-batch, before anything reaches the chat-template
+tokenizer. The mergeable partial is the per-batch per-slice count table
+(docs scanned + the six defect/valid counters) — every column is a SUM,
+closed under merge (re-aggregate by the same keys), so
+
+- each micro-batch writes its audit counts (``valid_rate`` dropped —
+  a ratio is NOT mergeable; it is re-derived at finalize) to
+  ``<output>/partials/batch_id=N`` in OVERWRITE mode — a replayed
+  batch rewrites the same directory instead of double-counting
+  (foreachBatch's idempotent-sink contract);
+- :func:`finalize_chat_audit` re-aggregates all partials —
+  bit-identical to ``chat_transcript_audit`` over every transcript
+  ingested so far (counts are order-insensitive, so batch boundaries
+  cannot change them).
+
+Scale: per batch, the one flag projection + group agg of the batch twin
+(no explode — the turn list never leaves its row); partials are
+|groups| rows per batch; finalize reads only partial STATE tables,
+never raw transcripts. Compact with :func:`compact_chat_audit_partials`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from cryoflow_spark.streaming.report_stream import _start
+
+#: Mergeable count columns of the batch audit (everything but the rate).
+_COUNT_COLS = (
+    "docs",
+    "parse_fail_docs",
+    "bad_start_docs",
+    "non_alternating_docs",
+    "empty_content_docs",
+    "bad_role_docs",
+    "valid_docs",
+)
+
+
+def _chat_audit_partials(
+    batch_df: DataFrame, json_col: str, group_col: Optional[str]
+) -> DataFrame:
+    from cryoflow_spark.functions.curation import chat_transcript_audit
+
+    return chat_transcript_audit(batch_df, json_col, group_col).drop(
+        "valid_rate"
+    )
+
+
+def _write_chat_audit_partials(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    json_col: str,
+    group_col: Optional[str],
+) -> None:
+    """Per-batch idempotent partial write (module-level so the replay
+    property is directly testable)."""
+    _chat_audit_partials(batch_df, json_col, group_col).write.mode(
+        "overwrite"
+    ).parquet(f"{output_path}/partials/batch_id={batch_id}")
+
+
+def chat_audit_stream(
+    stream_df: DataFrame,
+    output_path: str,
+    json_col: str = "transcript",
+    group_col: Optional[str] = None,
+    checkpoint_path: Optional[str] = None,
+    trigger: str = "available_now",
+) -> StreamingQuery:
+    """Maintain the x138 transcript-format audit over a live ingest
+    stream; read the current report with :func:`finalize_chat_audit`."""
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    checkpoint = checkpoint_path or f"{output_path}/_checkpoint"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _write_chat_audit_partials(
+            batch_df, batch_id, output_path, json_col, group_col
+        )
+
+    return _start(stream_df, _process, checkpoint, trigger)
+
+
+def finalize_chat_audit(
+    spark: SparkSession, output_path: str, group_col: Optional[str] = None
+) -> DataFrame:
+    """Merge all written partials into the current audit report —
+    bit-identical to the batch twin on the ingested union."""
+    partials = spark.read.parquet(f"{output_path}/partials/batch_id=*")
+    keys = [group_col] if group_col else []
+    merged = partials.groupBy(*keys).agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in _COUNT_COLS]
+    )
+    return merged.withColumn(
+        "valid_rate",
+        F.when(
+            F.col("docs") > 0,
+            F.round(
+                F.col("valid_docs").cast("double")
+                / F.col("docs").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def compact_chat_audit_partials(
+    spark: SparkSession, output_path: str, group_col: Optional[str] = None
+) -> int:
+    """Compact per-batch partial directories into one count table — the
+    partial family is closed under merge. See
+    :func:`cryoflow_spark.streaming.report_stream.compact_partials` for
+    the crash/replay contract. Returns directories removed."""
+    from cryoflow_spark.streaming.report_stream import compact_partials
+
+    keys = [group_col] if group_col else []
+
+    def _merge(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            *[F.sum(c).cast("bigint").alias(c) for c in _COUNT_COLS]
+        )
+
+    return compact_partials(spark, output_path, merge_fn=_merge)

@@ -885,3 +885,69 @@ def test_traffic_seasonality_stream_validates_inputs(spark):
     batch = spark.createDataFrame([(1,)], "a int")
     with pytest.raises(ValueError):
         traffic_seasonality_stream(batch, "/tmp/nowhere")
+
+
+def test_chat_audit_stream_matches_batch_twin(spark, tmp_path):
+    """x138 streaming twin: the finalized audit over all micro-batches
+    is bit-identical to the batch chat_transcript_audit on the full
+    ingest (counts are order-insensitive), a replayed batch does not
+    double-count, and compaction preserves the result."""
+    from cryoflow_spark.functions.curation import chat_transcript_audit
+    from cryoflow_spark.queries import load
+    from cryoflow_spark.queries.extensions import (
+        _X138_SQL_FULL,
+        _X138_SQL_TRANSCRIPT,
+    )
+    from cryoflow_spark.streaming.chat_audit_stream import (
+        _write_chat_audit_partials,
+        chat_audit_stream,
+        compact_chat_audit_partials,
+        finalize_chat_audit,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    full = docs.select(
+        "doc_id", "lang", F.expr(_X138_SQL_FULL).alias("full_json")
+    ).select("doc_id", "lang", F.expr(_X138_SQL_TRANSCRIPT).alias("j"))
+    src = tmp_path / "transcripts"
+    src.mkdir()
+    full.filter("doc_id % 2 = 0").coalesce(1).write.parquet(str(src / "a"))
+    full.filter("doc_id % 2 = 1").coalesce(1).write.parquet(str(src / "b"))
+    stream = spark.readStream.schema(full.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = tmp_path / "audit"
+    q = chat_audit_stream(stream, str(out), json_col="j", group_col="lang")
+    q.awaitTermination(120)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    want = canon(chat_transcript_audit(full, "j", "lang"))
+    assert canon(finalize_chat_audit(spark, str(out), "lang")) == want
+    # compaction is result-preserving
+    removed = compact_chat_audit_partials(spark, str(out), "lang")
+    assert removed >= 1
+    assert canon(finalize_chat_audit(spark, str(out), "lang")) == want
+    # replay idempotence on the per-batch writer
+    out2 = tmp_path / "audit2"
+    a = spark.read.parquet(str(src / "a"))
+    b = spark.read.parquet(str(src / "b"))
+    for batch_id, batch in ((0, a), (1, b), (0, a)):  # 0 replayed
+        _write_chat_audit_partials(batch, batch_id, str(out2), "j", "lang")
+    assert canon(finalize_chat_audit(spark, str(out2), "lang")) == want
+    # ungrouped finalize also merges (single-row report)
+    out3 = tmp_path / "audit3"
+    for batch_id, batch in ((0, a), (1, b)):
+        _write_chat_audit_partials(batch, batch_id, str(out3), "j", None)
+    got = finalize_chat_audit(spark, str(out3), None).collect()
+    want_all = chat_transcript_audit(full, "j", None).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want_all))
+
+
+def test_chat_audit_stream_validates_inputs(spark):
+    from cryoflow_spark.streaming.chat_audit_stream import chat_audit_stream
+
+    batch = spark.createDataFrame([("x",)], "j string")
+    with pytest.raises(ValueError):
+        chat_audit_stream(batch, "/tmp/nowhere")
