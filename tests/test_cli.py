@@ -178,6 +178,7 @@ class TestExamples:
             "examples/corpus_hygiene.toml",
             "examples/third_party_plugin.toml",
             "examples/event_analytics.toml",
+            "examples/dedup_decision_flow.toml",
         ],
     )
     def test_check(self, runner, example):
@@ -195,6 +196,7 @@ class TestExamples:
             ("examples/corpus_analytics.toml", "/tmp/cryoflow_examples/analytics/balanced_pool/*.parquet"),
             ("examples/corpus_hygiene.toml", "/tmp/cryoflow_examples/hygiene/ccnet_split/*.parquet"),
             ("examples/event_analytics.toml", "/tmp/cryoflow_examples/events/transitions/*.parquet"),
+            ("examples/dedup_decision_flow.toml", "/tmp/cryoflow_examples/dedup_flow/capped_corpus/*.parquet"),
         ],
     )
     def test_run(self, runner, example, out_glob):
