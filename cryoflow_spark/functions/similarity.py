@@ -1753,3 +1753,71 @@ def embedding_covariance(
             (second - mean_i * mean_j).alias("covariance"),
         )
     )
+
+
+def pca_directions(
+    cov_rows: list,
+    dims: int,
+    n_components: int,
+    whiten: bool = False,
+    eps: float = 1e-9,
+) -> list[list[float]]:
+    """Principal directions from :func:`embedding_covariance` output —
+    the driver-side half of distributed PCA: the cluster produces the
+    tiny d×d covariance table (one pass over the corpus), this
+    eigendecomposes it with numpy and returns ``n_components`` rows to
+    feed :func:`project_embeddings_matrix` (a second narrow map pass).
+    With ``whiten=True`` each direction is scaled by ``1/sqrt(λ+eps)``
+    so projected components have unit variance — the whitening used by
+    SemDeDup-style pipelines and Mu & Viswanath 2018's common-direction
+    removal (drop the top component instead of keeping it).
+
+    ``cov_rows`` is the collected covariance long format (``i``, ``j``,
+    ``covariance``; upper triangle). Deterministic given the collected
+    table: eigendecomposition of a fixed symmetric matrix with
+    ``numpy.linalg.eigh``, components ordered by eigenvalue DESC with
+    a deterministic sign convention (largest-|coefficient| entry made
+    positive).
+
+    Scale: the d×d input is bounded by embedding width, never corpus
+    size — this function runs in milliseconds on the driver; both
+    cluster passes (covariance, projection) are shuffle-light.
+    """
+    if n_components < 1 or n_components > dims:
+        raise ValueError("n_components must be in [1, dims]")
+    cov = np.zeros((dims, dims), dtype=np.float64)
+    for r in cov_rows:
+        i, j = int(r["i"]) - 1, int(r["j"]) - 1
+        cov[i, j] = cov[j, i] = float(r["covariance"])
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:n_components]
+    out = []
+    for k in order:
+        v = vecs[:, k].copy()
+        # deterministic sign: the largest-|coefficient| entry positive
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        if whiten:
+            v = v / np.sqrt(max(float(vals[k]), 0.0) + eps)
+        out.append([float(x) for x in v])
+    return out
+
+
+def project_embeddings_matrix(
+    df: DataFrame,
+    directions: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Project an embedding column onto explicit direction rows (e.g.
+    :func:`pca_directions` output) — the same fold-dot narrow map as
+    :func:`project_embeddings`, with a LEARNED matrix instead of seeded
+    JL planes. No shuffle; plan literals ship with the task binary."""
+    if not directions:
+        raise ValueError("directions must be non-empty")
+    comps = [
+        dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in d]))
+        for d in directions
+    ]
+    return df.withColumn(out_col, F.array(*comps))

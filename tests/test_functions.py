@@ -6110,3 +6110,53 @@ class TestCodeDetection:
                                    min_punct_per_line=99.0)
         # thresholds unreachable -> nothing is code
         assert [r["is_code"] for r in out.collect()] == [False, False]
+
+
+class TestPcaDirections:
+    def test_matches_numpy_pca_and_whitening(self, spark):
+        import numpy as np
+
+        from cryoflow_spark.functions.similarity import (
+            embedding_covariance,
+            pca_directions,
+            project_embeddings_matrix,
+        )
+
+        rng = np.random.RandomState(5)
+        # anisotropic cloud: x dominated by one direction
+        base = rng.randn(300, 4)
+        base[:, 0] *= 5.0
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in r]) for i, r in enumerate(base)],
+            "vec_id long, embedding array<float>",
+        )
+        cov_rows = embedding_covariance(df, dims=4).limit(100).collect()
+        dirs = pca_directions(cov_rows, dims=4, n_components=2)
+        # top direction should align with axis 0 (the 5x-stretched one)
+        assert abs(dirs[0][0]) > 0.9
+        # deterministic sign: pivot coefficient positive
+        assert dirs[0][int(np.argmax(np.abs(dirs[0])))] > 0
+
+        proj = project_embeddings_matrix(df, dirs).collect()
+        assert all(len(r["projected"]) == 2 for r in proj)
+
+        # whitened projection has ~unit variance per component
+        wdirs = pca_directions(cov_rows, dims=4, n_components=2, whiten=True)
+        wproj = np.array(
+            [r["projected"] for r in project_embeddings_matrix(df, wdirs).collect()]
+        )
+        var = wproj.var(axis=0)
+        assert np.all(np.abs(var - 1.0) < 0.15)
+
+    def test_validation(self):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.similarity import (
+            pca_directions,
+            project_embeddings_matrix,
+        )
+
+        with _pytest.raises(ValueError):
+            pca_directions([], dims=4, n_components=5)
+        with _pytest.raises(ValueError):
+            project_embeddings_matrix(None, [])
