@@ -1938,3 +1938,103 @@ def bpe_merge_pairs(
         .orderBy(F.desc("pair_count"), "pair")
         .limit(int(top_k))
     )
+
+
+def kneser_ney_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Kneser-Ney continuation-count table — the sufficient statistics
+    an interpolated-KN bigram model is estimated from (Kneser & Ney
+    1995; Chen & Goodman 1999 §2.7): per word, the raw unigram count,
+    ``n_preceders`` = N1+(·w) (distinct left neighbors — the KN
+    unigram numerator: "how many contexts has this word completed",
+    which ranks "Francisco" far below raw frequency suggests),
+    ``n_followers`` = N1+(w·) (the per-context backoff normalizer),
+    and ``kn_unigram_prob`` = N1+(·w) / |distinct bigram types|. The
+    global absolute discount ``D = n1/(n1+2·n2)`` (bigram types seen
+    once/twice) rides along as a column. The corpus-statistics pass
+    behind perplexity-proxy scorers (x35/x96/x108) and the smoothing
+    table an n-gram LM data pipeline materializes per corpus release.
+
+    Output ordered ``count`` DESC with a ``word`` tiebreak, ``top_k``
+    rows; ratios are exact-integer divisions rounded to 6 decimals.
+
+    Scale: everything aggregates on token/bigram-type keys with
+    map-side partials — corpus size enters only the first two keyed
+    aggs; continuation counts run on the |bigram types| table (each
+    (p,c) row is unique, so N1+ counts are plain COUNT(*) group-bys),
+    the two scalar totals broadcast, and top-k is TakeOrdered.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    toks = _ws_tokens_factory(text_col, lowercase)
+    tok_arrays = df.filter(F.col(text_col).isNotNull()).select(
+        toks().alias("__toks")
+    )
+    unigrams = (
+        tok_arrays.select(F.explode("__toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+    )
+    pair_counts = (
+        tok_arrays.select(
+            F.explode(_bigram_pairs(F.col("__toks"))).alias("__bg")
+        )
+        .select(F.col("__bg.p").alias("__p"), F.col("__bg.c").alias("__c"))
+        .groupBy("__p", "__c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    preceders = pair_counts.groupBy("__c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_preceders")
+    )
+    followers = pair_counts.groupBy("__p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_followers")
+    )
+    totals = pair_counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__types"),
+        F.sum((F.col("__n") == 1).cast("int")).cast("bigint").alias("__n1"),
+        F.sum((F.col("__n") == 2).cast("int")).cast("bigint").alias("__n2"),
+    )
+    out = (
+        unigrams.join(
+            preceders, unigrams["word"] == preceders["__c"], "left"
+        )
+        .join(followers, unigrams["word"] == followers["__p"], "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "word",
+            "count",
+            F.coalesce("n_preceders", F.lit(0)).cast("bigint").alias(
+                "n_preceders"
+            ),
+            F.coalesce("n_followers", F.lit(0)).cast("bigint").alias(
+                "n_followers"
+            ),
+            F.when(
+                F.col("__types") > 0,
+                F.round(
+                    F.coalesce("n_preceders", F.lit(0)).cast("double")
+                    / F.col("__types").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("kn_unigram_prob"),
+            F.when(
+                (F.col("__n1") + 2 * F.col("__n2")) > 0,
+                F.round(
+                    F.col("__n1").cast("double")
+                    / (F.col("__n1") + 2 * F.col("__n2")).cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("discount"),
+        )
+        .orderBy(F.desc("count"), "word")
+        .limit(int(top_k))
+    )
+    return out

@@ -40,6 +40,10 @@ Options:
 - ``method = "fertility"`` — per-``group_column`` tokenizer fertility
   / compression report (tokens per word, chars per token, tokens per
   doc) — the multilingual token-budget fairness signal.
+- ``method = "kn_counts"`` — Kneser-Ney continuation-count table
+  (raw count, N1+(·w)/N1+(w·) distinct-neighbor counts, KN unigram
+  probability, global discount) — the n-gram-LM smoothing statistics;
+  options ``top_k``, ``lowercase``.
 - ``method = "bpe_pairs"`` — one BPE merge iteration (Sennrich 2016):
   the ``top_k`` adjacent-symbol pairs by frequency over the
   character-split vocabulary with ``</w>`` markers — the merge-list
@@ -104,6 +108,15 @@ class VocabPlugin(AnalyzedTransformPlugin):
                 text_col=self.options.get("column", "text"),
                 id_col=self.options.get("id_column", "doc_id"),
                 top_k=int(self.options.get("top_k", 500)),
+                lowercase=bool(self.options.get("lowercase", True)),
+            )
+        if self.options.get("method") == "kn_counts":
+            from cryoflow_spark.functions.text import kneser_ney_counts
+
+            return kneser_ney_counts(
+                data,
+                text_col=self.options.get("column", "text"),
+                top_k=int(self.options.get("top_k", 50)),
                 lowercase=bool(self.options.get("lowercase", True)),
             )
         if self.options.get("method") == "bpe_pairs":

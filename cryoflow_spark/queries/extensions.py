@@ -7582,3 +7582,64 @@ def x147_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chars_code", "n_code_lines", "symbol_frac",
         "indent_line_frac", "keyword_hits", "punct_per_line", "is_code",
     )
+
+
+# --- x148: Kneser-Ney continuation counts (oracle-checked) -------------------
+
+
+@register(
+    "x148_kneser_ney_counts",
+    """
+    WITH toks AS (
+      SELECT list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x != ''), t -> lower(t)) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (
+      SELECT tok AS word, COUNT(*)::BIGINT AS cnt
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+    ),
+    pair_counts AS (
+      SELECT u.bg[1] AS p, u.bg[2] AS c, COUNT(*)::BIGINT AS n
+      FROM (
+        SELECT unnest([[t[i], t[i+1]]
+                 for i in generate_series(1, len(t) - 1)]) AS bg
+        FROM toks WHERE len(t) >= 2
+      ) u GROUP BY 1, 2
+    ),
+    pre AS (SELECT c, COUNT(*)::BIGINT AS n_preceders FROM pair_counts GROUP BY c),
+    fol AS (SELECT p, COUNT(*)::BIGINT AS n_followers FROM pair_counts GROUP BY p),
+    tot AS (
+      SELECT COUNT(*)::BIGINT AS types,
+             COALESCE(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0)::BIGINT AS n1,
+             COALESCE(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END), 0)::BIGINT AS n2
+      FROM pair_counts
+    )
+    SELECT word, cnt AS count,
+           COALESCE(n_preceders, 0)::BIGINT AS n_preceders,
+           COALESCE(n_followers, 0)::BIGINT AS n_followers,
+           CASE WHEN types > 0
+                THEN ROUND(COALESCE(n_preceders, 0)::DOUBLE
+                           / types::DOUBLE, 6)
+                ELSE 0.0 END AS kn_unigram_prob,
+           CASE WHEN (n1 + 2 * n2) > 0
+                THEN ROUND(n1::DOUBLE / (n1 + 2 * n2)::DOUBLE, 6)
+                ELSE 0.0 END AS discount
+    FROM uni
+    LEFT JOIN pre ON uni.word = pre.c
+    LEFT JOIN fol ON uni.word = fol.p
+    CROSS JOIN tot
+    ORDER BY count DESC, word
+    LIMIT 30
+    """,
+    "Kneser-Ney continuation-count table (Kneser-Ney 1995, Chen-Goodman "
+    "1999): per word the raw count, N1+(.w) distinct-preceder and "
+    "N1+(w.) distinct-follower counts, the KN unigram probability over "
+    "bigram types, and the global absolute discount n1/(n1+2n2) — the "
+    "sufficient statistics an interpolated-KN bigram model needs; "
+    "keyed aggs with partials, continuation counts on the bigram-TYPE "
+    "table, TakeOrdered head",
+)
+def x148_kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.kneser_ney_counts(d, "text", top_k=30)

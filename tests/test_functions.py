@@ -6160,3 +6160,51 @@ class TestPcaDirections:
             pca_directions([], dims=4, n_components=5)
         with _pytest.raises(ValueError):
             project_embeddings_matrix(None, [])
+
+
+class TestKneserNeyCounts:
+    def test_hand_computed(self, spark):
+        from cryoflow_spark.functions.text import kneser_ney_counts
+
+        df = spark.createDataFrame(
+            [("a b a c",), ("b a",)], "text string"
+        )
+        rows = {r["word"]: r for r in kneser_ney_counts(df).collect()}
+        # bigram types: (a,b):1 (b,a):2 (a,c):1 -> types=3, n1=2, n2=1
+        assert rows["a"]["count"] == 3
+        assert rows["a"]["n_preceders"] == 1  # only 'b' precedes a
+        assert rows["a"]["n_followers"] == 2  # a -> {b, c}
+        assert rows["c"]["n_followers"] == 0  # never followed
+        assert rows["a"]["kn_unigram_prob"] == round(1 / 3, 6)
+        assert all(r["discount"] == 0.5 for r in rows.values())
+
+    def test_francisco_effect(self, spark):
+        from cryoflow_spark.functions.text import kneser_ney_counts
+
+        # 'francisco' is frequent but completes ONE context; 'cat'
+        # rarer by raw count yet completes three.
+        df = spark.createDataFrame(
+            [
+                ("san francisco san francisco san francisco",),
+                ("the cat a cat my cat",),
+            ],
+            "text string",
+        )
+        rows = {r["word"]: r for r in kneser_ney_counts(df).collect()}
+        assert rows["francisco"]["count"] == 3 and rows["cat"]["count"] == 3
+        assert rows["francisco"]["n_preceders"] == 1
+        assert rows["cat"]["n_preceders"] == 3
+        assert (
+            rows["cat"]["kn_unigram_prob"]
+            > rows["francisco"]["kn_unigram_prob"]
+        )
+
+    def test_validation_and_topk(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.text import kneser_ney_counts
+
+        df = spark.createDataFrame([("x y",)], "text string")
+        assert kneser_ney_counts(df, top_k=1).count() == 1
+        with _pytest.raises(ValueError):
+            kneser_ney_counts(df, top_k=0)
