@@ -68,6 +68,9 @@ disturbing the main stream. Options:
   ``label_column`` (support/predicted/tp, F1 as the exact
   2tp/(support+predicted) ratio) — grade any labeler against a gold
   column.
+- ``report = "active_users"`` emits the per-day DAU / trailing-window
+  WAU / stickiness engagement table; options ``ts_column``,
+  ``user_column``, ``window_days``.
 - ``report = "kappa"`` emits the ONE-row Cohen's-kappa
   chance-corrected agreement of ``pred_column`` vs ``label_column``
   (Cohen 1960) — the imbalance-robust companion number to
@@ -256,6 +259,16 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 min_events_for_cadence=int(
                     self.options.get("min_events_for_cadence", 20)
                 ),
+            )
+
+        if self.options.get("report") == "active_users":
+            from cryoflow_spark.functions.events import active_users_report
+
+            return active_users_report(
+                data,
+                ts_col=self.options.get("ts_column", "ts"),
+                user_col=self.options.get("user_column", "user_id"),
+                window_days=int(self.options.get("window_days", 7)),
             )
 
         if self.options.get("report") == "join_explosion":

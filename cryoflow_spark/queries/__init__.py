@@ -171,7 +171,7 @@ _PRIORITY: list[str] = [
     "x143_bpe_merge_pairs", "x144_cohens_kappa",
     "x145_image_hash_pairs", "q62_customer_distribution",
     "x146_embedding_covariance", "x147_code_detection",
-    "x148_kneser_ney_counts",
+    "x148_kneser_ney_counts", "x149_active_users",
     # then the deferred twins in registration-family order, still
     # runnable/benchable — each displaced by a never-driver-checked
     # r7 operator, each with an r5/r6-green sibling on its code path

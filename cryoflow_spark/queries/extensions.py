@@ -7643,3 +7643,40 @@ def x147_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x148_kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return X.kneser_ney_counts(d, "text", top_k=30)
+
+
+# --- x149: rolling active users (oracle-checked) -----------------------------
+
+
+@register(
+    "x149_active_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    obs AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, COUNT(*)::BIGINT AS dau FROM du GROUP BY day),
+    wau AS (
+      SELECT o.day AS anchor, COUNT(DISTINCT du.u)::BIGINT AS wau
+      FROM obs o JOIN du ON du.day BETWEEN o.day - 6 AND o.day
+      GROUP BY o.day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           CASE WHEN wau.wau > 0
+                THEN ROUND(dau.dau::DOUBLE / wau.wau::DOUBLE, 6)
+                ELSE 0.0 END AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.anchor
+    """,
+    "Per-day DAU + trailing-7-day WAU + stickiness ratio (the DAU/MAU "
+    "engagement family): rolling DISTINCT does not decompose into "
+    "per-day partials, so the log collapses to the distinct (day,user) "
+    "table once and each row fans out to <= 7 window anchors (bounded "
+    "explode-join, never a corpus shuffle) before one keyed distinct "
+    "count",
+)
+def x149_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.events import active_users_report
+
+    e = load_events(spark, sf_dir)
+    return active_users_report(e)

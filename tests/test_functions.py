@@ -6208,3 +6208,46 @@ class TestKneserNeyCounts:
         assert kneser_ney_counts(df, top_k=1).count() == 1
         with _pytest.raises(ValueError):
             kneser_ney_counts(df, top_k=0)
+
+
+class TestActiveUsers:
+    def test_hand_computed_windows(self, spark):
+        from datetime import datetime
+
+        from cryoflow_spark.functions.events import active_users_report
+
+        def ev(day, user):
+            return (datetime(2024, 1, day, 12, 0, 0), user)
+
+        # day 1: users a,b ; day 3: b ; day 10: c (window break)
+        df = spark.createDataFrame(
+            [ev(1, "a"), ev(1, "a"), ev(1, "b"), ev(3, "b"), ev(10, "c")],
+            "ts timestamp, user_id string",
+        )
+        rows = {str(r["day"]): r for r in active_users_report(df).collect()}
+        assert set(rows) == {"2024-01-01", "2024-01-03", "2024-01-10"}
+        r1 = rows["2024-01-01"]
+        assert (r1["dau"], r1["wau"]) == (2, 2)
+        r3 = rows["2024-01-03"]
+        # window [dec 28 .. jan 3] covers day1 users a,b + day3 b
+        assert (r3["dau"], r3["wau"]) == (1, 2)
+        assert r3["stickiness"] == 0.5
+        r10 = rows["2024-01-10"]
+        # day 3 is 7 days before day 10 -> outside trailing-7 window
+        assert (r10["dau"], r10["wau"]) == (1, 1)
+
+    def test_window_days_one_means_dau_equals_wau(self, spark):
+        from datetime import datetime
+
+        from cryoflow_spark.functions.events import active_users_report
+
+        df = spark.createDataFrame(
+            [(datetime(2024, 1, 1), "a"), (datetime(2024, 1, 2), "b")],
+            "ts timestamp, user_id string",
+        )
+        rows = active_users_report(df, window_days=1).collect()
+        assert all(r["dau"] == r["wau"] for r in rows)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            active_users_report(df, window_days=0)
