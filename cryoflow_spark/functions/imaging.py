@@ -135,6 +135,22 @@ def _decode_png(data: bytes) -> np.ndarray:
     return px[:, :, :3]  # 6: RGBA → drop alpha
 
 
+_PIL_SENTINEL: list = []
+
+
+def _pil_image():
+    """Resolve (and cache) Pillow's Image module once per process —
+    the per-call import probe costs more than decoding an 8×8 PNG."""
+    if not _PIL_SENTINEL:
+        try:
+            from PIL import Image  # noqa: PLC0415
+
+            _PIL_SENTINEL.append(Image)
+        except ImportError:
+            _PIL_SENTINEL.append(None)
+    return _PIL_SENTINEL[0]
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an (H, W, 3) uint8 RGB array.
 
@@ -149,14 +165,11 @@ def decode_image(payload: bytes) -> np.ndarray:
     if not payload:
         raise ValueError("empty payload")
     pil_error: Exception | None = None
-    try:
-        import io
-
-        from PIL import Image  # noqa: PLC0415
-    except ImportError:
-        Image = None  # type: ignore[assignment]
+    Image = _pil_image()
     if Image is not None:
         try:
+            import io  # noqa: PLC0415
+
             return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
         except Exception as exc:  # UnidentifiedImageError, OSError, …
             pil_error = exc
@@ -180,9 +193,23 @@ def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
     Deterministic and dependency-free; each output cell is the mean of
     its (possibly 1-pixel) source block, matching how the grid features
-    pool pixels.
+    pool pixels. Fast paths: identity when the image is already the
+    target size, one vectorized reshape-mean when the source divides
+    evenly (both produce the exact same blocks as the general loop —
+    ``linspace`` bounds are exact multiples there).
     """
     h, w = img.shape[:2]
+    if (h, w) == (out_h, out_w):
+        return img.copy()
+    if h % out_h == 0 and w % out_w == 0 and h > 0 and w > 0:
+        c = img.shape[2]
+        return (
+            img.astype(np.float64)
+            .reshape(out_h, h // out_h, out_w, w // out_w, c)
+            .mean(axis=(1, 3))
+            .round()
+            .astype(np.uint8)
+        )
     ys = np.linspace(0, h, out_h + 1).round().astype(int)
     xs = np.linspace(0, w, out_w + 1).round().astype(int)
     out = np.empty((out_h, out_w, img.shape[2]), dtype=np.uint8)

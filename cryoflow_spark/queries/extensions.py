@@ -7441,25 +7441,51 @@ def x144_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- x145: perceptual-hash image near-dup pairs (oracle-checked) -------------
 
 
+#: Portable 63-bit mixer for the x145 instrument corpus: three 21-bit
+#: multiplicative chunks (public xxhash/murmur prime constants) spread
+#: each doc's GROUP (doc_id div 4) over all three pigeonhole bands —
+#: no degenerate all-zero band — and the low ``doc_id % 4`` xor plants
+#: hamming<=2 near-dup groups of four. All ops (*, %, xor) stay below
+#: 2^63, legal under ANSI overflow checking in both engines.
+_X145_MIX = (
+    "((({d} div 4) * 2654435761) % 2097152)"
+    " ^ (((({d} div 4) * 2246822519) % 2097152) * 2097152)"
+    " ^ (((({d} div 4) * 3266489917) % 2097152) * 4398046511104)"
+    " ^ ({d} % 4)"
+)
+
+
 @register(
     "x145_image_hash_pairs",
-    """
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           bit_count(xor(a.doc_id, b.doc_id))::BIGINT AS hamming
-    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.doc_id, b.doc_id)) <= 2
+    f"""
+    WITH h AS (
+      SELECT xor(xor((((doc_id // 4) * 2654435761) % 2097152),
+                     ((((doc_id // 4) * 2246822519) % 2097152) * 2097152)),
+                 xor(((((doc_id // 4) * 3266489917) % 2097152)
+                      * 4398046511104),
+                     (doc_id % 4))) AS hv
+      FROM documents
+    )
+    SELECT a.hv AS id_a, b.hv AS id_b,
+           bit_count(xor(a.hv, b.hv))::BIGINT AS hamming
+    FROM h a JOIN h b ON a.hv < b.hv
+    WHERE bit_count(xor(a.hv, b.hv)) <= 2
     """,
     "Near-duplicate image pairs by perceptual average-hash hamming "
     "distance (aHash, Zauner 2010) over a REAL-PNG asset corpus whose "
-    "aHash provably equals the doc id (bitmap_png round-trip) — Spark "
-    "runs the honest encode -> PNG decode -> block-mean resize -> "
-    "luminance threshold -> pigeonhole band join path while the oracle "
-    "mirrors the hash arithmetic on the id column; the SimHash blocking "
-    "scheme applied to images, no all-pairs path",
+    "aHash provably equals its asset id (bitmap_png round-trip) — ids "
+    "are a portable 63-bit mix of doc_id with planted near-dup groups "
+    "of four, spreading all three pigeonhole bands; Spark runs the "
+    "honest encode -> PNG decode -> block-mean resize -> luminance "
+    "threshold -> band-join path while the oracle mirrors the hamming "
+    "arithmetic on the mixed ids; no all-pairs path",
 )
 def x145_image_hash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    assets = M.synthetic_image_assets(d)
+    mixed = d.select(
+        F.expr(_X145_MIX.format(d="doc_id")).alias("doc_id")
+    )
+    assets = M.synthetic_image_assets(mixed)
     return M.image_hash_pairs(assets, hamming_threshold=2)
 
 
