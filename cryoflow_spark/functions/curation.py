@@ -1528,3 +1528,73 @@ def chat_transcript_audit(
         ).otherwise(F.lit(0.0)),
     )
     return out.drop("__g") if not group_col else out
+
+
+#: Non-Latin confusable script ranges for the mixed-script screen —
+#: Cyrillic + Greek, the two scripts whose letterforms are routinely
+#: substituted for Latin in homograph spoofing (Unicode TR39's
+#: mixed-script confusable class). ``\x{..}`` escapes parse identically
+#: in Java regex (Spark) and RE2 (DuckDB).
+MIXED_SCRIPT_CONFUSABLE = "[\\x{0400}-\\x{04FF}\\x{0370}-\\x{03FF}]"
+
+
+def mixed_script_flags(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Annotate each document with WORD-level mixed-script measurements
+    — the homograph-spoofing / SEO-spam screen (Unicode TR39
+    mixed-script confusables; Gabrilovich & Gontmakher 2002, "The
+    Homograph Attack"): a single token mixing Latin letters with
+    Cyrillic/Greek lookalikes (``pаypal`` with a Cyrillic ``а``) is
+    almost never legitimate text, where DOC-level script mixing
+    (quotes, names) is common — which is why ``script_profile``'s
+    per-doc histogram cannot catch this and a word-level rule can.
+
+    Adds: ``mixed_script_words`` (count of whitespace tokens matching
+    both a Latin letter and a confusable-range letter),
+    ``mixed_script_frac`` (exact ratio over words, NULL on empty),
+    ``mixed_example`` (lexicographically smallest offending token —
+    the audit sample), ``has_mixed_script``. NULL text → zero counts,
+    NULL ratios/example, false flag.
+
+    Scale: one narrow JVM map (split + two regexp probes per token
+    inside a ``filter`` lambda) — no UDF, no shuffle, rides
+    whole-stage codegen like the other rule screens.
+    """
+    text = F.col(text_col)
+    words = F.array_remove(F.split(text, r"\s+"), "")
+    mixed = F.filter(
+        words,
+        lambda w: w.rlike("[A-Za-z]")
+        & w.rlike(MIXED_SCRIPT_CONFUSABLE),
+    )
+    n_words = F.size(words).cast("bigint")
+    n_mixed = F.size(mixed).cast("bigint")
+    return (
+        df.withColumn(
+            "mixed_script_words",
+            F.when(text.isNotNull(), n_mixed).otherwise(F.lit(0)).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "mixed_script_frac",
+            F.when(
+                text.isNotNull() & (n_words > 0),
+                F.round(
+                    n_mixed.cast("double") / n_words.cast("double"), 6
+                ),
+            ),
+        )
+        .withColumn(
+            "mixed_example",
+            F.when(text.isNotNull(), F.array_min(mixed)),
+        )
+        .withColumn(
+            "has_mixed_script",
+            F.coalesce(
+                F.when(text.isNotNull(), n_mixed > 0), F.lit(False)
+            ),
+        )
+    )

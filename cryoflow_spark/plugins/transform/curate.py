@@ -42,6 +42,10 @@ the TOML plugin surface. Modes (option ``method``):
 - ``script_profile``: annotate with per-script character counts
   (``script_latin`` ... ``script_hangul``) and ``dominant_script`` —
   the writing-system router of a multilingual pipeline.
+- ``mixed_script``: the word-level mixed-script homograph screen
+  (Latin+Cyrillic/Greek lookalike tokens — spoof/SEO-spam signature);
+  annotates counts/fraction/example by default, ``filter = true``
+  drops flagged docs.
 - ``code_detect``: the code-vs-prose router (symbol density, indent
   regularity, keyword hits, statement punctuation + ``is_code``
   verdict) — run BEFORE ``gopher_rules``, whose symbol caps mis-flag
@@ -277,6 +281,17 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                     c for c in out.columns if c not in data.columns
                 ]
                 return out.filter("gopher_pass").drop(*drop)
+            return out
+
+        if method == "mixed_script":
+            from cryoflow_spark.functions.curation import (
+                mixed_script_flags,
+            )
+
+            out = mixed_script_flags(data, text_col=column)
+            if bool(self.options.get("filter", False)):
+                flags = [c for c in out.columns if c not in data.columns]
+                return out.filter("NOT has_mixed_script").drop(*flags)
             return out
 
         if method == "code_detect":

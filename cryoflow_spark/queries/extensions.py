@@ -7706,3 +7706,48 @@ def x149_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir)
     return active_users_report(e)
+
+
+# --- x150: mixed-script homograph screen (oracle-checked) --------------------
+
+
+@register(
+    "x150_mixed_script",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN text IS NOT NULL THEN
+               list_filter(list_filter(string_split_regex(text, '\\s+'),
+                                       t -> t != ''),
+                 w -> regexp_matches(w, '[A-Za-z]')
+                  AND regexp_matches(w,
+                        '[\\x{0400}-\\x{04FF}\\x{0370}-\\x{03FF}]'))
+             END AS mixed,
+             CASE WHEN text IS NOT NULL THEN
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               t -> t != ''))
+             END AS n_words
+      FROM documents
+    )
+    SELECT doc_id,
+           COALESCE(len(mixed), 0)::BIGINT AS mixed_script_words,
+           CASE WHEN n_words > 0
+                THEN ROUND(len(mixed)::DOUBLE / n_words::DOUBLE, 6)
+           END AS mixed_script_frac,
+           list_min(mixed) AS mixed_example,
+           COALESCE(len(mixed) > 0, false) AS has_mixed_script
+    FROM base
+    """,
+    "Word-level mixed-script homograph screen (Unicode TR39 confusables; "
+    "Gabrilovich-Gontmakher homograph attack): tokens mixing Latin with "
+    "Cyrillic/Greek lookalikes are the spoof/SEO-spam signature that "
+    "doc-level script histograms (x50) cannot catch; counts, exact "
+    "fraction, smallest offending token as the audit sample; one narrow "
+    "JVM regexp map, no UDF, no shuffle",
+)
+def x150_mixed_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return C.mixed_script_flags(d).select(
+        "doc_id", "mixed_script_words", "mixed_script_frac",
+        "mixed_example", "has_mixed_script",
+    )

@@ -6251,3 +6251,39 @@ class TestActiveUsers:
 
         with _pytest.raises(ValueError):
             active_users_report(df, window_days=0)
+
+
+class TestMixedScript:
+    def test_homograph_detected_word_level(self, spark):
+        from cryoflow_spark.functions.curation import mixed_script_flags
+
+        # 'pаypal' has a Cyrillic 'а'; the Russian sentence and the
+        # English one are each single-script (doc-level mixing is fine).
+        spoof = "login to pаypal now"
+        quote = "he said привет and left"
+        df = spark.createDataFrame(
+            [(1, spoof), (2, quote), (3, "plain english"), (4, None)],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in mixed_script_flags(df).collect()}
+        assert rows[1]["has_mixed_script"] is True
+        assert rows[1]["mixed_script_words"] == 1
+        assert rows[1]["mixed_example"] == "pаypal"
+        assert rows[1]["mixed_script_frac"] == 0.25  # 1 of 4 words
+        # doc-level mixing without word-level mixing is NOT flagged
+        assert rows[2]["has_mixed_script"] is False
+        assert rows[3]["has_mixed_script"] is False
+        assert rows[4]["has_mixed_script"] is False
+        assert rows[4]["mixed_script_words"] == 0
+        assert rows[4]["mixed_script_frac"] is None
+
+    def test_greek_confusables_and_example_is_smallest(self, spark):
+        from cryoflow_spark.functions.curation import mixed_script_flags
+
+        df = spark.createDataFrame(
+            [(1, "zοo aβc")],  # Greek omicron + beta
+            "doc_id long, text string",
+        )
+        r = mixed_script_flags(df).collect()[0]
+        assert r["mixed_script_words"] == 2
+        assert r["mixed_example"] == "aβc"  # lexicographic min
