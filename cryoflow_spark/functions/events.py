@@ -953,6 +953,16 @@ def active_users_report(
         .select(day.alias("__day"), F.col(user_col).alias("__u"))
         .distinct()
     )
+    return _active_users_from_day_user(day_user, window_days)
+
+
+def _active_users_from_day_user(
+    day_user: DataFrame, window_days: int
+) -> DataFrame:
+    """DAU/WAU/stickiness from a distinct ``(__day, __u)`` table — the
+    shared core of :func:`active_users_report` and its streaming twin
+    (the day-user set is closed under union+distinct, so merged
+    streaming partials feed the identical computation)."""
     observed = day_user.select("__day").distinct()
     dau = day_user.groupBy("__day").agg(
         F.count(F.lit(1)).cast("bigint").alias("dau")

@@ -1,0 +1,112 @@
+"""Streaming active-users dashboard — the foreachBatch twin of the
+batch operator x149 (``functions.events.active_users_report``).
+
+Rolling DISTINCT does not decompose into additive partials, but the
+distinct ``(day, user)`` SET does: it is closed under union+distinct,
+so the mergeable partial is each micro-batch's distinct day-user table —
+
+- each micro-batch writes its distinct ``(day, user)`` rows to
+  ``<output>/partials/batch_id=N`` in OVERWRITE mode (foreachBatch's
+  idempotent-sink contract: a replayed batch rewrites, never
+  double-counts — and double-counting wouldn't even matter here, the
+  finalize re-distincts);
+- :func:`finalize_active_users` re-distincts the unioned partials and
+  runs the SAME shared core as the batch twin
+  (``_active_users_from_day_user``) — bit-identical to
+  ``active_users_report`` over every event ingested so far.
+
+Scale: per batch, one (day, user)-keyed distinct bounded by
+days-in-batch × active users; finalize reads partial STATE tables,
+never raw events. Compact with :func:`compact_active_users_partials`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from cryoflow_spark.streaming.report_stream import _start
+
+
+def _day_user_partials(
+    batch_df: DataFrame, ts_col: str, user_col: str
+) -> DataFrame:
+    return (
+        batch_df.filter(
+            F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+        )
+        .select(
+            F.to_date(F.col(ts_col).cast("timestamp")).alias("__day"),
+            F.col(user_col).alias("__u"),
+        )
+        .distinct()
+    )
+
+
+def _write_active_users_partials(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    ts_col: str,
+    user_col: str,
+) -> None:
+    """Per-batch idempotent partial write (module-level so the replay
+    property is directly testable)."""
+    _day_user_partials(batch_df, ts_col, user_col).write.mode(
+        "overwrite"
+    ).parquet(f"{output_path}/partials/batch_id={batch_id}")
+
+
+def active_users_stream(
+    stream_df: DataFrame,
+    output_path: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    checkpoint_path: Optional[str] = None,
+    trigger: str = "available_now",
+) -> StreamingQuery:
+    """Maintain the x149 DAU/WAU engagement table over a live event
+    stream; read the current table with :func:`finalize_active_users`."""
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    checkpoint = checkpoint_path or f"{output_path}/_checkpoint"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _write_active_users_partials(
+            batch_df, batch_id, output_path, ts_col, user_col
+        )
+
+    return _start(stream_df, _process, checkpoint, trigger)
+
+
+def finalize_active_users(
+    spark: SparkSession, output_path: str, window_days: int = 7
+) -> DataFrame:
+    """Merge all written partials into the current DAU/WAU table —
+    bit-identical to the batch twin on the ingested union."""
+    from cryoflow_spark.functions.events import (
+        _active_users_from_day_user,
+    )
+
+    day_user = spark.read.parquet(
+        f"{output_path}/partials/batch_id=*"
+    ).distinct()
+    return _active_users_from_day_user(day_user, window_days)
+
+
+def compact_active_users_partials(
+    spark: SparkSession, output_path: str
+) -> int:
+    """Compact per-batch partial directories into one distinct
+    (day, user) table — the partial family is closed under
+    union+distinct. See :func:`...report_stream.compact_partials` for
+    the crash/replay contract. Returns directories removed."""
+    from cryoflow_spark.streaming.report_stream import compact_partials
+
+    def _merge(df: DataFrame) -> DataFrame:
+        return df.distinct()
+
+    return compact_partials(spark, output_path, merge_fn=_merge)

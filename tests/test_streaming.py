@@ -951,3 +951,64 @@ def test_chat_audit_stream_validates_inputs(spark):
     batch = spark.createDataFrame([("x",)], "j string")
     with pytest.raises(ValueError):
         chat_audit_stream(batch, "/tmp/nowhere")
+
+
+def test_active_users_stream_matches_batch_twin(spark, tmp_path):
+    """x149 streaming twin: the finalized DAU/WAU table over all
+    micro-batches is bit-identical to the batch active_users_report on
+    the full log (the distinct day-user set is closed under
+    union+distinct), a replayed batch does not double-count, and
+    compaction preserves the result."""
+    from cryoflow_spark.functions.events import active_users_report
+    from cryoflow_spark.queries import load_events
+    from cryoflow_spark.streaming.active_users_stream import (
+        _write_active_users_partials,
+        active_users_stream,
+        compact_active_users_partials,
+        finalize_active_users,
+    )
+
+    full = load_events(spark, "/root/testdata/sf0.001")
+    src = tmp_path / "events"
+    src.mkdir()
+    mid = full.select(
+        F.percentile(F.unix_micros("ts"), 0.5).alias("m")
+    ).collect()[0]["m"]
+    full.filter(F.unix_micros("ts") <= mid).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    full.filter(F.unix_micros("ts") > mid).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    stream = spark.readStream.schema(full.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = tmp_path / "dau"
+    q = active_users_stream(stream, str(out))
+    q.awaitTermination(120)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    want = canon(active_users_report(full))
+    assert canon(finalize_active_users(spark, str(out))) == want
+    removed = compact_active_users_partials(spark, str(out))
+    assert removed >= 1
+    assert canon(finalize_active_users(spark, str(out))) == want
+    # replay idempotence on the per-batch writer
+    out2 = tmp_path / "dau2"
+    a = spark.read.parquet(str(src / "a"))
+    b = spark.read.parquet(str(src / "b"))
+    for batch_id, batch in ((0, a), (1, b), (0, a)):  # 0 replayed
+        _write_active_users_partials(batch, batch_id, str(out2), "ts", "user_id")
+    assert canon(finalize_active_users(spark, str(out2))) == want
+
+
+def test_active_users_stream_validates_inputs(spark):
+    from cryoflow_spark.streaming.active_users_stream import (
+        active_users_stream,
+    )
+
+    batch = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(ValueError):
+        active_users_stream(batch, "/tmp/nowhere")
