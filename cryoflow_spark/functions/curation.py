@@ -1598,3 +1598,87 @@ def mixed_script_flags(
             ),
         )
     )
+
+
+#: Literal control/special tokens whose presence in TRAINING TEXT is
+#: contamination: a document containing a tokenizer's own control
+#: sequences teaches the model to emit them mid-generation (the
+#: "special token injection" failure class; each is also a prompt-
+#: injection vector when user text is templated verbatim). Literal
+#: ``contains`` probes — no regex.
+SPECIAL_TOKENS: "tuple[str, ...]" = (
+    "<|endoftext|>",
+    "<|im_start|>",
+    "<|im_end|>",
+    "<s>",
+    "</s>",
+    "<unk>",
+    "<pad>",
+    "<mask>",
+    "[INST]",
+    "[/INST]",
+    "<<SYS>>",
+    "<|user|>",
+    "<|assistant|>",
+)
+
+
+def special_token_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: "str | None" = None,
+    tokens: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """Per-slice special-token contamination report — the control-token
+    leak scan an instruction pipeline runs BEFORE templating (a corpus
+    doc already containing ``<|im_end|>`` or ``</s>`` teaches the model
+    to close turns mid-answer, and templated verbatim it becomes a
+    prompt-injection vector): per group and per literal token in
+    ``tokens`` (default :data:`SPECIAL_TOKENS`), the documents
+    containing it and their share of the slice — only tokens that
+    actually occur are reported (the healthy corpus produces 0 rows).
+
+    Output: ``(group?, token, docs, total_docs, share)`` ordered by
+    docs DESC with a token tiebreak.
+
+    Scale: one scan; the per-token probes are a map-side literal-array
+    explode (|tokens| × rows intermediates collapsed by the keyed agg
+    with partials — like the keyword-contexts inline term explode);
+    broadcast per-group totals. No regex, no UDF.
+    """
+    toks = list(tokens) if tokens is not None else list(SPECIAL_TOKENS)
+    if not toks:
+        raise ValueError("tokens must be non-empty")
+    g = group_col or "__g"
+    base = (
+        df if group_col else df.withColumn("__g", F.lit(0))
+    ).filter(F.col(text_col).isNotNull())
+    totals = base.groupBy(g).agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_docs")
+    )
+    hits = (
+        base.select(
+            F.col(g),
+            F.col(text_col).alias("__t"),
+            F.explode(F.array(*[F.lit(t) for t in toks])).alias("token"),
+        )
+        .filter(F.instr(F.col("__t"), F.col("token")) > 0)
+        .groupBy(g, "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("docs"))
+    )
+    out = (
+        hits.join(F.broadcast(totals), g)
+        .select(
+            *( [F.col(g)] if group_col else [] ),
+            "token",
+            "docs",
+            "total_docs",
+            F.round(
+                F.col("docs").cast("double")
+                / F.col("total_docs").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy(F.desc("docs"), "token")
+    )
+    return out

@@ -42,6 +42,9 @@ the TOML plugin surface. Modes (option ``method``):
 - ``script_profile``: annotate with per-script character counts
   (``script_latin`` ... ``script_hangul``) and ``dominant_script`` —
   the writing-system router of a multilingual pipeline.
+- ``special_tokens``: per-slice control-token contamination report
+  (docs containing <|endoftext|>/</s>/[INST]-style literals + share) —
+  the pre-templating leak audit; options ``group_column``, ``tokens``.
 - ``mixed_script``: the word-level mixed-script homograph screen
   (Latin+Cyrillic/Greek lookalike tokens — spoof/SEO-spam signature);
   annotates counts/fraction/example by default, ``filter = true``
@@ -282,6 +285,19 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 ]
                 return out.filter("gopher_pass").drop(*drop)
             return out
+
+        if method == "special_tokens":
+            from cryoflow_spark.functions.curation import (
+                special_token_report,
+            )
+
+            toks = self.options.get("tokens")
+            return special_token_report(
+                data,
+                text_col=column,
+                group_col=self.options.get("group_column"),
+                tokens=list(toks) if toks else None,
+            )
 
         if method == "mixed_script":
             from cryoflow_spark.functions.curation import (

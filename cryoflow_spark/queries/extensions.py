@@ -7751,3 +7751,57 @@ def x150_mixed_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "mixed_script_words", "mixed_script_frac",
         "mixed_example", "has_mixed_script",
     )
+
+
+# --- x151: special-token contamination scan (oracle-checked) -----------------
+
+#: Shared synthesis for the x151 instrument: control tokens planted on
+#: doc_id residue classes so the scan has true positives to find. Both
+#: engines build the IDENTICAL string.
+_X151_PLANT = (
+    "CASE WHEN {d} % 7 = 0 THEN ' <|endoftext|>'"
+    " WHEN {d} % 11 = 0 THEN ' </s>'"
+    " WHEN {d} % 13 = 0 THEN ' [INST] ignore previous'"
+    " ELSE '' END"
+)
+
+
+@register(
+    "x151_special_tokens",
+    f"""
+    WITH synth AS (
+      SELECT lang, text || {_X151_PLANT.format(d="doc_id")} AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    totals AS (
+      SELECT lang, COUNT(*)::BIGINT AS total_docs FROM synth GROUP BY lang
+    ),
+    hits AS (
+      SELECT lang, tok AS token, COUNT(*)::BIGINT AS docs
+      FROM synth, (SELECT unnest(['<|endoftext|>', '<|im_start|>',
+                   '<|im_end|>', '<s>', '</s>', '<unk>', '<pad>',
+                   '<mask>', '[INST]', '[/INST]', '<<SYS>>',
+                   '<|user|>', '<|assistant|>']) AS tok) tk
+      WHERE contains(t, tok)
+      GROUP BY lang, tok
+    )
+    SELECT h.lang, h.token, h.docs, t.total_docs,
+           ROUND(h.docs::DOUBLE / t.total_docs::DOUBLE, 6) AS share
+    FROM hits h JOIN totals t ON h.lang = t.lang
+    """,
+    "Per-language special-token contamination scan over planted control "
+    "sequences (<|endoftext|>, </s>, [INST] on doc_id residue classes): "
+    "the control-token leak audit an instruction pipeline runs before "
+    "templating — leaked tokens teach mid-answer turn closures and are "
+    "prompt-injection vectors; literal contains probes via a map-side "
+    "token-array explode + keyed agg, broadcast totals, no regex",
+)
+def x151_special_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    synth = d.filter(F.col("text").isNotNull()).select(
+        "lang",
+        F.concat(
+            F.col("text"), F.expr(_X151_PLANT.format(d="doc_id"))
+        ).alias("t"),
+    )
+    return C.special_token_report(synth, "t", group_col="lang")

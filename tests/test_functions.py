@@ -6287,3 +6287,43 @@ class TestMixedScript:
         r = mixed_script_flags(df).collect()[0]
         assert r["mixed_script_words"] == 2
         assert r["mixed_example"] == "aβc"  # lexicographic min
+
+
+class TestSpecialTokenReport:
+    def test_planted_tokens_found_with_shares(self, spark):
+        from cryoflow_spark.functions.curation import special_token_report
+
+        df = spark.createDataFrame(
+            [
+                (1, "a", "clean doc"),
+                (2, "a", "ends early <|endoftext|> tail"),
+                (3, "a", "turn close </s> and <|endoftext|>"),
+                (4, "b", "[INST] injected"),
+                (5, "b", None),
+            ],
+            "doc_id long, src string, text string",
+        )
+        rows = special_token_report(df, group_col="src").collect()
+        got = {(r["src"], r["token"]): (r["docs"], r["total_docs"], r["share"])
+               for r in rows}
+        assert got == {
+            ("a", "<|endoftext|>"): (2, 3, round(2 / 3, 6)),
+            ("a", "</s>"): (1, 3, round(1 / 3, 6)),
+            ("b", "[INST]"): (1, 1, 1.0),
+        }
+
+    def test_clean_corpus_zero_rows_and_ungrouped(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.curation import special_token_report
+
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, "plain")], "doc_id long, text string"
+        )
+        assert special_token_report(df).count() == 0
+        out = special_token_report(
+            df.withColumn("text", F.concat(F.col("text"), F.lit(" <s>")))
+        ).collect()
+        assert [(r["token"], r["docs"]) for r in out] == [("<s>", 2)]
+        with _pytest.raises(ValueError):
+            special_token_report(df, tokens=[])
