@@ -1576,3 +1576,88 @@ def dedup_threshold_sensitivity(
             6,
         ).alias("cum_share"),
     )
+
+
+def dedup_pair_inspector(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.8,
+    block_by: str | None = None,
+    top_n: int = 20,
+    preview_chars: int = 60,
+) -> DataFrame:
+    """Human-review sample of what a near-dup dedup at ``threshold``
+    would ACT on — the show-me-before-you-delete companion to the
+    threshold curve (x132) and savings forecast (x125), and the dedup
+    counterpart of the keyword-in-context concordance (x136): the
+    ``top_n`` highest-Jaccard pairs, each with both document lengths,
+    the length ratio (a near-1.0 Jaccard with a skewed ratio flags the
+    containment case a reviewer judges differently), and a
+    ``preview_chars`` prefix of each side.
+
+    Output: ``(id_a, id_b, jaccard, chars_a, chars_b, len_ratio,
+    preview_a, preview_b)`` ordered jaccard DESC with an (id_a, id_b)
+    tiebreak, limited to ``top_n``.
+
+    Scale: pair generation is the blocked :func:`ngram_jaccard_pairs`
+    machinery paid once; the doc join-back runs on the pair table only
+    (two id-equi joins against the id/length/prefix PROJECTION — the
+    text column is truncated map-side before the join, so full
+    documents never shuffle); top-n is TakeOrdered.
+    """
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    if preview_chars < 1:
+        raise ValueError("preview_chars must be >= 1")
+    pairs = ngram_jaccard_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        ngram=ngram,
+        threshold=threshold,
+        block_by=block_by,
+    )
+    meta = df.select(
+        F.col(id_col).alias("__mid"),
+        F.length(text_col).cast("bigint").alias("__chars"),
+        F.substring(F.col(text_col), 1, int(preview_chars)).alias(
+            "__preview"
+        ),
+    )
+    a = meta.select(
+        F.col("__mid").alias("id_a"),
+        F.col("__chars").alias("chars_a"),
+        F.col("__preview").alias("preview_a"),
+    )
+    b = meta.select(
+        F.col("__mid").alias("id_b"),
+        F.col("__chars").alias("chars_b"),
+        F.col("__preview").alias("preview_b"),
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            "chars_a",
+            "chars_b",
+            F.when(
+                F.greatest("chars_a", "chars_b") > 0,
+                F.round(
+                    F.least("chars_a", "chars_b").cast("double")
+                    / F.greatest("chars_a", "chars_b").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("len_ratio"),
+            "preview_a",
+            "preview_b",
+        )
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(int(top_n))
+    )

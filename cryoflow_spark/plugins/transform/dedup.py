@@ -57,6 +57,10 @@ Engine extension for large-scale training-data pipelines (BASELINE.json
 - ``semantic``: SemDeDup over an embedding column (``column`` names the
   vector column) — within-cluster cosine dedup with a trained coarse
   quantizer; options ``threshold``, ``n_centroids``, ``keep``.
+- ``pair_inspector``: replace the stream with the top-N
+  highest-Jaccard near-dup pairs + lengths/ratio/previews — the
+  human-review sample before acting; options as ``ngram_jaccard``
+  plus ``top_n``, ``preview_chars``.
 - ``threshold_curve``: replace the stream with the Jaccard
   threshold-sensitivity curve (per-bin pair counts + descending
   cumulative count/share) from one pair computation — pick the dedup
@@ -267,6 +271,17 @@ class DedupPlugin(SiblingAwareTransformPlugin):
                 pairs,
                 id_col=id_column,
                 keep_order_by=list(keep) if keep else None,
+            )
+        if method == "pair_inspector":
+            return D.dedup_pair_inspector(
+                data,
+                text_col=column,
+                id_col=id_column,
+                ngram=int(self.options.get("ngram", 3)),
+                threshold=float(self.options.get("threshold", 0.8)),
+                block_by=self.options.get("block_by"),
+                top_n=int(self.options.get("top_n", 20)),
+                preview_chars=int(self.options.get("preview_chars", 60)),
             )
         if method == "threshold_curve":
             return D.dedup_threshold_sensitivity(

@@ -7805,3 +7805,43 @@ def x151_special_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     )
     return C.special_token_report(synth, "t", group_col="lang")
+
+
+# --- x152: dedup-pair inspector (oracle-checked) -----------------------------
+
+
+@register(
+    "x152_dedup_pair_inspector",
+    f"""
+    WITH pairs AS ({_JACCARD_SQL.format(thr=0.05)}),
+    meta AS (
+      SELECT doc_id AS mid, length(text)::BIGINT AS chars,
+             substring(text, 1, 60) AS preview
+      FROM documents
+    )
+    SELECT p.id_a, p.id_b, p.jaccard,
+           a.chars AS chars_a, b.chars AS chars_b,
+           CASE WHEN greatest(a.chars, b.chars) > 0
+                THEN ROUND(least(a.chars, b.chars)::DOUBLE
+                           / greatest(a.chars, b.chars)::DOUBLE, 6)
+                ELSE 0.0 END AS len_ratio,
+           a.preview AS preview_a, b.preview AS preview_b
+    FROM pairs p
+    JOIN meta a ON p.id_a = a.mid
+    JOIN meta b ON p.id_b = b.mid
+    ORDER BY p.jaccard DESC, p.id_a, p.id_b
+    LIMIT 15
+    """,
+    "Human-review sample of what a dedup at the chosen threshold would "
+    "act on (the show-me-before-you-delete companion to x132/x125): "
+    "top-N highest-Jaccard pairs with both lengths, the length ratio "
+    "that flags containment cases, and text previews; pair machinery "
+    "paid once, join-back on the truncated projection so full docs "
+    "never shuffle, TakeOrdered head",
+)
+def x152_dedup_pair_inspector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.dedup_pair_inspector(
+        d, text_col="text", id_col="doc_id", ngram=3,
+        threshold=0.05, block_by="lang", top_n=15, preview_chars=60,
+    )

@@ -6327,3 +6327,36 @@ class TestSpecialTokenReport:
         assert [(r["token"], r["docs"]) for r in out] == [("<s>", 2)]
         with _pytest.raises(ValueError):
             special_token_report(df, tokens=[])
+
+
+class TestDedupPairInspector:
+    def test_top_pairs_with_previews(self, spark):
+        from cryoflow_spark.functions.dedup import dedup_pair_inspector
+
+        near_a = "the quick brown fox jumps over the lazy dog today"
+        near_b = "the quick brown fox jumps over the lazy dog tonight"
+        df = spark.createDataFrame(
+            [(1, near_a), (2, near_b), (3, "completely different text here")],
+            "doc_id long, text string",
+        )
+        rows = dedup_pair_inspector(
+            df, threshold=0.3, top_n=5, preview_chars=9
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["id_a"], r["id_b"]) == (1, 2)
+        assert r["preview_a"] == "the quick"
+        assert r["chars_a"] == len(near_a)
+        assert r["len_ratio"] == round(len(near_a) / len(near_b), 6)
+        assert 0.3 <= r["jaccard"] <= 1.0
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.dedup import dedup_pair_inspector
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            dedup_pair_inspector(df, top_n=0)
+        with _pytest.raises(ValueError):
+            dedup_pair_inspector(df, preview_chars=0)
