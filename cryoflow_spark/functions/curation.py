@@ -1682,3 +1682,93 @@ def special_token_report(
         .orderBy(F.desc("docs"), "token")
     )
     return out
+
+
+def chat_turn_stats(
+    df: DataFrame,
+    json_col: str = "transcript",
+    group_col: "str | None" = None,
+) -> DataFrame:
+    """Per-group chat-transcript SHAPE report — the sizing companion to
+    :func:`chat_transcript_audit` (that one gates format defects; this
+    one describes the data that passed): over parseable top-level-array
+    transcripts, per slice
+
+    - ``docs`` — parseable transcripts; ``total_turns``;
+    - ``avg_turns`` — mean turns per transcript (6-decimal exact
+      ratio);
+    - ``max_turns`` — the longest conversation (truncation planning);
+    - ``user_turns`` / ``assistant_turns`` / ``system_turns`` — role
+      mix (a user/assistant imbalance far from 1:1 flags scraping
+      artifacts);
+    - ``avg_user_chars`` / ``avg_assistant_chars`` — mean content
+      length per role (terse-question/long-answer is the expected
+      instruct shape; the inverse flags swapped roles).
+
+    Unparseable or bare-object transcripts are excluded — run the
+    audit first. All ratios are exact integer divisions.
+
+    Scale: ``from_json`` + higher-order aggregates per row (the turn
+    list never leaves its row — no explode), then ONE group-keyed
+    aggregation with map-side partials; |groups| rows out.
+    """
+    g = group_col or "__g"
+    base = df if group_col else df.withColumn("__g", F.lit(0))
+    arr = F.from_json(
+        F.col(json_col), "array<struct<role:string,content:string>>"
+    )
+    parsed = arr.isNotNull() & F.ltrim(F.col(json_col)).startswith("[")
+
+    def role_turns(role):
+        return F.size(F.filter(arr, lambda t: t["role"] == role))
+
+    def role_chars(role):
+        return F.aggregate(
+            F.filter(arr, lambda t: t["role"] == role),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.coalesce(F.length(t["content"]), F.lit(0)),
+        )
+
+    proj = (
+        base.filter(F.col(json_col).isNotNull())
+        .filter(parsed)
+        .select(
+            F.col(g),
+            F.size(arr).cast("bigint").alias("__n"),
+            role_turns("user").cast("bigint").alias("__u"),
+            role_turns("assistant").cast("bigint").alias("__a"),
+            role_turns("system").cast("bigint").alias("__s"),
+            role_chars("user").alias("__uc"),
+            role_chars("assistant").alias("__ac"),
+        )
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        den > 0,
+        F.round(num.cast("double") / den.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    out = proj.groupBy(g).agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum("__n").cast("bigint").alias("total_turns"),
+        F.max("__n").cast("bigint").alias("max_turns"),
+        F.sum("__u").cast("bigint").alias("user_turns"),
+        F.sum("__a").cast("bigint").alias("assistant_turns"),
+        F.sum("__s").cast("bigint").alias("system_turns"),
+        F.sum("__uc").cast("bigint").alias("__user_chars"),
+        F.sum("__ac").cast("bigint").alias("__assistant_chars"),
+    ).select(
+        *( [F.col(g)] if group_col else [] ),
+        "docs",
+        "total_turns",
+        ratio(F.col("total_turns"), F.col("docs")).alias("avg_turns"),
+        "max_turns",
+        "user_turns",
+        "assistant_turns",
+        "system_turns",
+        ratio(F.col("__user_chars"), F.col("user_turns")).alias(
+            "avg_user_chars"
+        ),
+        ratio(F.col("__assistant_chars"), F.col("assistant_turns")).alias(
+            "avg_assistant_chars"
+        ),
+    )
+    return out

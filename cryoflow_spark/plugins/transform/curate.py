@@ -42,6 +42,10 @@ the TOML plugin surface. Modes (option ``method``):
 - ``script_profile``: annotate with per-script character counts
   (``script_latin`` ... ``script_hangul``) and ``dominant_script`` —
   the writing-system router of a multilingual pipeline.
+- ``chat_stats``: per-slice chat-transcript SHAPE report (turn
+  totals/avg/max, per-role mix, per-role mean content length) — the
+  sizing companion to ``chat_audit``; options ``column``,
+  ``group_column``.
 - ``special_tokens``: per-slice control-token contamination report
   (docs containing <|endoftext|>/</s>/[INST]-style literals + share) —
   the pre-templating leak audit; options ``group_column``, ``tokens``.
@@ -285,6 +289,15 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 ]
                 return out.filter("gopher_pass").drop(*drop)
             return out
+
+        if method == "chat_stats":
+            from cryoflow_spark.functions.curation import chat_turn_stats
+
+            return chat_turn_stats(
+                data,
+                json_col=self.options.get("column", "transcript"),
+                group_col=self.options.get("group_column"),
+            )
 
         if method == "special_tokens":
             from cryoflow_spark.functions.curation import (

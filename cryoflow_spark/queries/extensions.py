@@ -7845,3 +7845,108 @@ def x152_dedup_pair_inspector(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, text_col="text", id_col="doc_id", ngram=3,
         threshold=0.05, block_by="lang", top_n=15, preview_chars=60,
     )
+
+
+# --- x153: chat turn statistics (oracle-checked) -----------------------------
+
+_X153_JSPEC = '[{"role":"VARCHAR","content":"VARCHAR"}]'
+
+
+@register(
+    "x153_chat_turn_stats",
+    f"""
+    WITH synth AS (
+      SELECT lang, {_X138_SQL_TRANSCRIPT.strip()} AS j
+      FROM (
+        SELECT doc_id, lang, {_X138_SQL_FULL.strip()} AS full_json
+        FROM documents
+      )
+    ),
+    parsedj AS (
+      SELECT lang, j2 FROM (
+        SELECT lang,
+               CASE WHEN json_valid(jv) AND json_type(jv) = 'ARRAY'
+                    THEN jv END AS j2
+        FROM (
+          SELECT lang, CASE WHEN json_valid(j) THEN j ELSE 'null' END AS jv
+          FROM synth
+        )
+      ) WHERE j2 IS NOT NULL
+    ),
+    lists AS (
+      SELECT lang,
+             list_transform(json_transform(j2, '{_X153_JSPEC}'),
+                            e -> e.role) AS roles,
+             list_transform(json_transform(j2, '{_X153_JSPEC}'),
+                            e -> e.content) AS contents
+      FROM parsedj
+    ),
+    per AS (
+      SELECT lang,
+             len(roles)::BIGINT AS n,
+             len(list_filter(roles, r -> r = 'user'))::BIGINT AS u,
+             len(list_filter(roles, r -> r = 'assistant'))::BIGINT AS a,
+             len(list_filter(roles, r -> r = 'system'))::BIGINT AS s,
+             COALESCE(list_aggregate(
+               [CASE WHEN roles[i] = 'user'
+                     THEN length(COALESCE(contents[i], '')) ELSE 0 END
+                for i in generate_series(1, len(roles))], 'sum'),
+               0)::BIGINT AS uc,
+             COALESCE(list_aggregate(
+               [CASE WHEN roles[i] = 'assistant'
+                     THEN length(COALESCE(contents[i], '')) ELSE 0 END
+                for i in generate_series(1, len(roles))], 'sum'),
+               0)::BIGINT AS ac
+      FROM lists
+    )
+    SELECT lang, COUNT(*)::BIGINT AS docs,
+           SUM(n)::BIGINT AS total_turns,
+           ROUND(SUM(n)::DOUBLE / COUNT(*)::DOUBLE, 6) AS avg_turns,
+           MAX(n)::BIGINT AS max_turns,
+           SUM(u)::BIGINT AS user_turns,
+           SUM(a)::BIGINT AS assistant_turns,
+           SUM(s)::BIGINT AS system_turns,
+           CASE WHEN SUM(u) > 0
+                THEN ROUND(SUM(uc)::DOUBLE / SUM(u)::DOUBLE, 6)
+                ELSE 0.0 END AS avg_user_chars,
+           CASE WHEN SUM(a) > 0
+                THEN ROUND(SUM(ac)::DOUBLE / SUM(a)::DOUBLE, 6)
+                ELSE 0.0 END AS avg_assistant_chars
+    FROM per GROUP BY lang
+    """,
+    "Per-language chat-transcript SHAPE report over the x138 synthetic "
+    "transcripts (the sizing companion to the format audit): turn "
+    "totals/averages/max, per-role turn mix, per-role mean content "
+    "length — role imbalance and inverted length shape flag scraping "
+    "artifacts; from_json + higher-order aggregates, turn lists never "
+    "leave their row, one group agg",
+)
+def x153_chat_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    role1 = F.when(F.col("doc_id") % 11 == 0, F.lit("assistant")).otherwise(
+        F.lit("user")
+    )
+    role2 = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("user"))
+        .when(F.col("doc_id") % 17 == 0, F.lit("robot"))
+        .otherwise(F.lit("assistant"))
+    )
+    content2 = F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("a"), F.col("doc_id").cast("string"))
+    )
+    full = F.concat(
+        F.lit('[{"role":"'), role1,
+        F.lit('","content":"q'), F.col("doc_id").cast("string"),
+        F.lit('"},{"role":"'), role2,
+        F.lit('","content":"'), content2, F.lit('"}]'),
+    )
+    j = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.expr(
+            "substring(full_json, 1, length(full_json) - 1)"
+        ),
+    ).otherwise(F.col("full_json"))
+    synth = d.select(
+        "doc_id", "lang", full.alias("full_json")
+    ).select("lang", j.alias("transcript"))
+    return C.chat_turn_stats(synth, "transcript", group_col="lang")

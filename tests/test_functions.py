@@ -6360,3 +6360,42 @@ class TestDedupPairInspector:
             dedup_pair_inspector(df, top_n=0)
         with _pytest.raises(ValueError):
             dedup_pair_inspector(df, preview_chars=0)
+
+
+class TestChatTurnStats:
+    def test_hand_computed(self, spark):
+        from cryoflow_spark.functions.curation import chat_turn_stats
+
+        t1 = (
+            '[{"role":"user","content":"hi"},'
+            '{"role":"assistant","content":"hello there"},'
+            '{"role":"user","content":"bye"}]'
+        )
+        t2 = '[{"role":"system","content":"be nice"},{"role":"user","content":"q"}]'
+        df = spark.createDataFrame(
+            [(1, t1), (2, t2), (3, "{not an array}"), (4, None)],
+            "doc_id long, transcript string",
+        )
+        r = chat_turn_stats(df).collect()[0]
+        assert r["docs"] == 2  # bare object + NULL excluded
+        assert r["total_turns"] == 5
+        assert r["avg_turns"] == 2.5
+        assert r["max_turns"] == 3
+        assert (r["user_turns"], r["assistant_turns"], r["system_turns"]) == (
+            3, 1, 1,
+        )
+        # user contents: hi(2) bye(3) q(1) -> 6/3 = 2.0
+        assert r["avg_user_chars"] == 2.0
+        assert r["avg_assistant_chars"] == 11.0
+
+    def test_grouped_and_zero_role_safe(self, spark):
+        from cryoflow_spark.functions.curation import chat_turn_stats
+
+        df = spark.createDataFrame(
+            [("a", '[{"role":"user","content":"x"}]')],
+            "src string, transcript string",
+        )
+        r = chat_turn_stats(df, group_col="src").collect()[0]
+        assert r["src"] == "a"
+        assert r["assistant_turns"] == 0
+        assert r["avg_assistant_chars"] == 0.0  # guarded division
