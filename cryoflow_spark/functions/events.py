@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1000,4 +1000,103 @@ def _active_users_from_day_user(
             .otherwise(F.lit(0.0))
             .alias("stickiness"),
         )
+    )
+
+
+def session_entry_report(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-entry-page session report — the landing/bounce view of the
+    session family (x17 builds sessions, x127 models transitions, x135
+    ranks full journeys; this ranks WHERE sessions start and how many
+    die there): per entry event type, the sessions that began with it,
+    single-step ``bounces`` and their rate, mean session length, and
+    the entry's share of all sessions. A high-traffic entry with a high
+    bounce rate is the classic landing-page defect (and in crawl logs,
+    the fetch pattern of a shallow bot).
+
+    Sessions are the x17 inactivity-gap rule (``gap_minutes``,
+    cumulative-sum ids over integer micros — engine-portable windows);
+    the entry event is the (ts, event_id)-first row of each session.
+
+    Output: ``(entry_type, sessions, bounces, bounce_rate, avg_steps,
+    session_share)`` ordered sessions DESC with an entry tiebreak.
+
+    Scale: user-partitioned windows (state bounded by one user's
+    activity — the x17 cost class), ONE (user, session)-keyed pass to
+    per-session rows, a |event types|-keyed report agg, one broadcast
+    total scalar. No corpus-wide window.
+    """
+    if gap_minutes < 1:
+        raise ValueError("gap_minutes must be >= 1")
+    gap_us = int(gap_minutes) * 60_000_000
+    us = _ts_micros(ts_col)
+    base = events.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(user_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.col("event_id"),
+        F.col(type_col).alias("__t"),
+        us.alias("__us"),
+    )
+    w = Window.partitionBy("__u").orderBy("__us", "event_id")
+    new_session = F.when(
+        F.col("__prev").isNull()
+        | ((F.col("__us") - F.col("__prev")) > F.lit(gap_us)),
+        1,
+    ).otherwise(0)
+    sess = (
+        base.withColumn("__prev", F.lag("__us").over(w))
+        .withColumn("__sid", F.sum(new_session).over(w).cast("bigint"))
+    )
+    w_sess = Window.partitionBy("__u", "__sid").orderBy("__us", "event_id")
+    w_all = Window.partitionBy("__u", "__sid")
+    per_session = (
+        sess.withColumn("__rn", F.row_number().over(w_sess))
+        .withColumn("__steps", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__t").alias("entry_type"),
+            F.col("__steps").cast("bigint").alias("__steps"),
+        )
+    )
+    report = per_session.groupBy("entry_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sessions"),
+        F.sum((F.col("__steps") == 1).cast("int"))
+        .cast("bigint")
+        .alias("bounces"),
+        F.sum("__steps").cast("bigint").alias("__total_steps"),
+    )
+    total = report.agg(
+        F.coalesce(F.sum("sessions"), F.lit(0))
+        .cast("bigint")
+        .alias("__all_sessions")
+    )
+    ratio = lambda num, den: F.round(  # noqa: E731
+        num.cast("double") / den.cast("double"), 6
+    )
+    return (
+        report.crossJoin(F.broadcast(total))
+        .select(
+            "entry_type",
+            "sessions",
+            "bounces",
+            ratio(F.col("bounces"), F.col("sessions")).alias("bounce_rate"),
+            ratio(F.col("__total_steps"), F.col("sessions")).alias(
+                "avg_steps"
+            ),
+            F.when(
+                F.col("__all_sessions") > 0,
+                ratio(F.col("sessions"), F.col("__all_sessions")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("session_share"),
+        )
+        .orderBy(F.desc("sessions"), "entry_type")
     )

@@ -68,6 +68,9 @@ disturbing the main stream. Options:
   ``label_column`` (support/predicted/tp, F1 as the exact
   2tp/(support+predicted) ratio) — grade any labeler against a gold
   column.
+- ``report = "entries"`` emits the per-entry-page session report
+  (sessions, bounces + rate, mean length, entry share); options
+  ``ts_column``, ``user_column``, ``type_column``, ``gap_minutes``.
 - ``report = "active_users"`` emits the per-day DAU / trailing-window
   WAU / stickiness engagement table; options ``ts_column``,
   ``user_column``, ``window_days``.
@@ -259,6 +262,17 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 min_events_for_cadence=int(
                     self.options.get("min_events_for_cadence", 20)
                 ),
+            )
+
+        if self.options.get("report") == "entries":
+            from cryoflow_spark.functions.events import session_entry_report
+
+            return session_entry_report(
+                data,
+                ts_col=self.options.get("ts_column", "ts"),
+                user_col=self.options.get("user_column", "user_id"),
+                type_col=self.options.get("type_column", "event_type"),
+                gap_minutes=int(self.options.get("gap_minutes", 30)),
             )
 
         if self.options.get("report") == "active_users":

@@ -7950,3 +7950,66 @@ def x153_chat_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", full.alias("full_json")
     ).select("lang", j.alias("transcript"))
     return C.chat_turn_stats(synth, "transcript", group_col="lang")
+
+
+# --- x154: session entry/bounce report (oracle-checked) ----------------------
+
+
+@register(
+    "x154_session_entries",
+    """
+    WITH sess AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             CAST(SUM(CASE WHEN prev_us IS NULL
+                            OR ts_us - prev_us > 1800000000
+                           THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+               AS BIGINT) AS sid
+      FROM (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               LAG(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_us
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL
+      )
+    ),
+    per_session AS (
+      SELECT entry_type, steps FROM (
+        SELECT event_type AS entry_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts_us, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id, sid) AS steps
+        FROM sess
+      ) WHERE rn = 1
+    ),
+    report AS (
+      SELECT entry_type,
+             COUNT(*)::BIGINT AS sessions,
+             SUM(CASE WHEN steps = 1 THEN 1 ELSE 0 END)::BIGINT AS bounces,
+             SUM(steps)::BIGINT AS total_steps
+      FROM per_session GROUP BY entry_type
+    ),
+    tot AS (SELECT COALESCE(SUM(sessions), 0)::BIGINT AS alls FROM report)
+    SELECT entry_type, sessions, bounces,
+           ROUND(bounces::DOUBLE / sessions::DOUBLE, 6) AS bounce_rate,
+           ROUND(total_steps::DOUBLE / sessions::DOUBLE, 6) AS avg_steps,
+           CASE WHEN alls > 0
+                THEN ROUND(sessions::DOUBLE / alls::DOUBLE, 6)
+                ELSE 0.0 END AS session_share
+    FROM report CROSS JOIN tot
+    """,
+    "Per-entry-page session report (the landing/bounce view closing "
+    "the session family x17/x127/x135): sessions starting at each "
+    "event type, single-step bounces + rate, mean session length, "
+    "entry share — high-traffic high-bounce entries are landing "
+    "defects / shallow-bot fetch patterns; x17 gap sessions via "
+    "portable integer-window cumsum, user-partitioned windows only, "
+    "|types|-keyed report + one broadcast scalar",
+)
+def x154_session_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.events import session_entry_report
+
+    e = load_events(spark, sf_dir)
+    return session_entry_report(e)

@@ -6399,3 +6399,49 @@ class TestChatTurnStats:
         assert r["src"] == "a"
         assert r["assistant_turns"] == 0
         assert r["avg_assistant_chars"] == 0.0  # guarded division
+
+
+class TestSessionEntryReport:
+    def test_hand_computed_sessions_and_bounces(self, spark):
+        from datetime import datetime
+
+        from cryoflow_spark.functions.events import session_entry_report
+
+        def ev(eid, minute, user, etype):
+            return (eid, datetime(2024, 1, 1, 10 + minute // 60, minute % 60), user, etype)
+
+        rows = [
+            # user a: session 1 = home->search (2 steps); +40min gap;
+            # session 2 = home only (bounce)
+            ev(1, 0, "a", "home"),
+            ev(2, 5, "a", "search"),
+            ev(3, 50, "a", "home"),
+            # user b: one session entered at search, 3 steps
+            ev(4, 0, "b", "search"),
+            ev(5, 1, "b", "home"),
+            ev(6, 2, "b", "buy"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id string, event_type string"
+        )
+        out = {r["entry_type"]: r for r in session_entry_report(df).collect()}
+        home = out["home"]
+        assert (home["sessions"], home["bounces"]) == (2, 1)
+        assert home["bounce_rate"] == 0.5
+        assert home["avg_steps"] == 1.5  # (2 + 1) / 2
+        assert home["session_share"] == round(2 / 3, 6)
+        search = out["search"]
+        assert (search["sessions"], search["bounces"]) == (1, 0)
+        assert search["avg_steps"] == 3.0
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.events import session_entry_report
+
+        df = spark.createDataFrame(
+            [], "event_id long, ts timestamp, user_id string, event_type string"
+        )
+        with _pytest.raises(ValueError):
+            session_entry_report(df, gap_minutes=0)
+        assert session_entry_report(df).count() == 0
