@@ -2038,3 +2038,105 @@ def kneser_ney_counts(
         .limit(int(top_k))
     )
     return out
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: "list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009, "The
+    Probabilistic Relevance Framework", §3.3; Lucene's non-negative idf
+    variant) — the standard lexical search the TF-IDF family (x21/x74)
+    stops short of: per document matching any query term,
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``,
+    returning the ``top_k`` (doc, matched_terms, score) rows. The
+    retrieval half of corpus QA (pull the docs a term-level signal
+    points at) and the lexical baseline an embedding ANN (x05/x18)
+    is graded against.
+
+    Determinism: idf is ``round(ln((2N-2df+1)/(2df+1) + 1), 6)`` — a
+    log of exact-integer ratios; each per-term component is rounded to
+    6 decimals; the per-doc sum folds components in CANONICAL TERM
+    ORDER (collect_list → array_sort → left fold — float addition is
+    order-dependent, registry rule) and rounds again. Ranking ties
+    break on ``doc_id``.
+
+    Scale: doc lengths and per-term document frequencies are keyed
+    aggs with map-side partials; only QUERY-term postings (|Q| tiny)
+    ever join — the full corpus contributes length/df counts, never a
+    doc×vocab blowup; df and corpus stats broadcast; top-k is
+    TakeOrdered.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    terms = sorted({t.lower() for t in query_terms})
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    doclen = tokens.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__dl")
+    )
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__dl").cast("bigint").alias("__total"),
+    )
+    q = tokens.filter(F.col("term").isin(terms))
+    dfq = q.groupBy("term").agg(
+        F.countDistinct(id_col).cast("bigint").alias("__df")
+    )
+    tf = q.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__tf")
+    )
+    idf = F.round(
+        F.log(
+            (2 * F.col("__n") - 2 * F.col("__df") + 1).cast("double")
+            / (2 * F.col("__df") + 1).cast("double")
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    denom = F.col("__tf").cast("double") + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b))
+        + F.lit(float(b))
+        * (
+            F.col("__dl").cast("double")
+            * F.col("__n").cast("double")
+            / F.col("__total").cast("double")
+        )
+    )
+    comp = F.round(
+        idf
+        * (F.col("__tf").cast("double") * F.lit(float(k1) + 1.0))
+        / denom,
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.col("term"), comp.alias("__c"))
+    )
+    folded = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("matched_terms"),
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("term", "__c"))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["__c"],
+            ),
+            6,
+        ).alias("score"),
+    )
+    return folded.orderBy(F.desc("score"), id_col).limit(int(top_k))

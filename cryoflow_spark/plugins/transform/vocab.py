@@ -40,6 +40,10 @@ Options:
 - ``method = "fertility"`` — per-``group_column`` tokenizer fertility
   / compression report (tokens per word, chars per token, tokens per
   doc) — the multilingual token-budget fairness signal.
+- ``method = "bm25"`` — BM25 ranked retrieval for the ``terms`` query
+  (Robertson-Zaragoza 2009): the ``top_k`` (doc, matched_terms,
+  score) rows — the lexical search / ANN grading baseline; options
+  ``terms`` (required), ``k1``, ``b``, ``top_k``, ``id_column``.
 - ``method = "kn_counts"`` — Kneser-Ney continuation-count table
   (raw count, N1+(·w)/N1+(w·) distinct-neighbor counts, KN unigram
   probability, global discount) — the n-gram-LM smoothing statistics;
@@ -109,6 +113,18 @@ class VocabPlugin(AnalyzedTransformPlugin):
                 id_col=self.options.get("id_column", "doc_id"),
                 top_k=int(self.options.get("top_k", 500)),
                 lowercase=bool(self.options.get("lowercase", True)),
+            )
+        if self.options.get("method") == "bm25":
+            from cryoflow_spark.functions.text import bm25_search
+
+            return bm25_search(
+                data,
+                query_terms=list(self.require_option("terms")),
+                text_col=self.options.get("column", "text"),
+                id_col=self.options.get("id_column", "doc_id"),
+                k1=float(self.options.get("k1", 1.2)),
+                b=float(self.options.get("b", 0.75)),
+                top_k=int(self.options.get("top_k", 10)),
             )
         if self.options.get("method") == "kn_counts":
             from cryoflow_spark.functions.text import kneser_ney_counts

@@ -8013,3 +8013,69 @@ def x154_session_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir)
     return session_entry_report(e)
+
+
+# --- x155: BM25 ranked retrieval (oracle-checked) ----------------------------
+
+
+@register(
+    "x155_bm25_search",
+    """
+    WITH tokens AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                t -> t != '')) AS term
+      FROM documents
+    ),
+    doclen AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS dl FROM tokens GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT AS total FROM doclen
+    ),
+    q AS (
+      SELECT * FROM tokens WHERE term IN ('hash', 'join', 'shuffle')
+    ),
+    dfq AS (
+      SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS dfc
+      FROM q GROUP BY term
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tfc
+      FROM q GROUP BY doc_id, term
+    ),
+    comp AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(
+               ROUND(LN((2*n - 2*dfc + 1)::DOUBLE
+                        / (2*dfc + 1)::DOUBLE + 1.0), 6)
+               * (tfc::DOUBLE * 2.2)
+               / (tfc::DOUBLE
+                  + 1.2 * (0.25 + 0.75
+                           * (dl::DOUBLE * n::DOUBLE / total::DOUBLE))),
+             6) AS c
+      FROM tf
+      JOIN dfq USING (term)
+      JOIN doclen USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id, COUNT(*)::BIGINT AS matched_terms,
+           ROUND(list_reduce(list_prepend(0.0, list(c ORDER BY term)),
+                             (a, x) -> a + x), 6) AS score
+    FROM comp GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 15
+    """,
+    "BM25 ranked retrieval (Robertson-Zaragoza 2009, Lucene idf "
+    "variant) for a 3-term query: the lexical-search baseline the "
+    "embedding ANN family is graded against and the pull-the-docs half "
+    "of corpus QA; idf from exact-integer ratios, per-term components "
+    "rounded then folded in canonical term order (float addition is "
+    "order-dependent), only query-term postings join — corpus "
+    "contributes length/df counts, never a doc x vocab blowup",
+)
+def x155_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.bm25_search(
+        d, ["hash", "join", "shuffle"], top_k=15
+    )

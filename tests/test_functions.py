@@ -6445,3 +6445,59 @@ class TestSessionEntryReport:
         with _pytest.raises(ValueError):
             session_entry_report(df, gap_minutes=0)
         assert session_entry_report(df).count() == 0
+
+
+class TestBm25Search:
+    def test_ranking_matches_reference_formula(self, spark):
+        import math
+
+        from cryoflow_spark.functions.text import bm25_search
+
+        docs = [
+            (1, "apple banana apple"),
+            (2, "apple cherry cherry cherry"),
+            (3, "banana banana melon"),
+            (4, "melon melon melon melon"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = bm25_search(df, ["apple", "banana"], top_k=4).collect()
+        got = {r["doc_id"]: (r["matched_terms"], r["score"]) for r in out}
+
+        # brute-force reference
+        toks = {i: t.split() for i, t in docs}
+        n = len(docs)
+        total = sum(len(v) for v in toks.values())
+        avgdl = total / n
+
+        def idf(term):
+            dfc = sum(1 for v in toks.values() if term in v)
+            return round(math.log((2 * n - 2 * dfc + 1) / (2 * dfc + 1) + 1), 6)
+
+        def comp(term, i):
+            tf = toks[i].count(term)
+            dl = len(toks[i])
+            return round(
+                idf(term) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                6,
+            )
+
+        for i in (1, 2, 3):
+            comps = sorted(
+                (t, comp(t, i)) for t in ("apple", "banana") if t in toks[i]
+            )
+            want = round(sum(c for _, c in comps), 6)
+            assert got[i][1] == want
+        assert 4 not in got  # no query term
+        # doc 1 matches both terms and should rank first
+        assert out[0]["doc_id"] == 1 and out[0]["matched_terms"] == 2
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.text import bm25_search
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            bm25_search(df, [])
+        with _pytest.raises(ValueError):
+            bm25_search(df, ["x"], top_k=0)
