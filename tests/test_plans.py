@@ -205,6 +205,19 @@ def test_no_cartesian_products(all_plans):
         # 1-row user-count scalar crossJoin(broadcast) into the bounded
         # |items|^2 rule table — same scalar pattern.
         "x142_association_rules",
+        # 1-row Σ rowmarg·colmarg scalar crossJoin(broadcast) into the
+        # 1-row agreement-totals table — both sides scalar.
+        "x144_cohens_kappa",
+        # 1-row (bigram types, n1, n2) discount scalar crossJoin
+        # (broadcast) into the vocab word table — same scalar pattern.
+        "x148_kneser_ney_counts",
+        # 1-row all-sessions scalar crossJoin(broadcast) into the
+        # |event types|-row entry report — same scalar pattern.
+        "x154_session_entries",
+        # 1-row (N, total tokens) corpus-stats scalar crossJoin
+        # (broadcast) into the |matching docs| × |Q| scored table —
+        # same scalar pattern.
+        "x155_bm25_search",
     }
     for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name
