@@ -41,6 +41,12 @@ DEFAULT_CONFS: dict[str, str] = {
     ),
     # Benchmarks and the driver run repeated short actions; keep the UI off.
     "spark.ui.showConsoleProgress": "false",
+    # local[32] runs 32 executor threads INSIDE the driver JVM, whose
+    # default 1g heap starves 32 concurrent task memory managers (observed:
+    # GCLocker retry storms, then task OOM on the heavier shuffle stages).
+    # Only effective at JVM launch — harmless when a session already
+    # exists. A real cluster sets executor memory per its own sizing.
+    "spark.driver.memory": "16g",
 }
 
 

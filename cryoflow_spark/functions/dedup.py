@@ -1222,6 +1222,7 @@ def minhash_audit(
     shingle_size: int = 3,
     threshold: float = 0.8,
     hash_mode: str = "engine",
+    sample_fraction: "float | None" = None,
 ) -> DataFrame:
     """Quality audit of the MinHash-LSH ESTIMATE pipeline against exact
     shingle-set Jaccard ground truth — the dedup analogue of
@@ -1256,6 +1257,18 @@ def minhash_audit(
     """
     if hash_mode not in ("engine", "portable"):
         raise ValueError(f"invalid hash_mode '{hash_mode}'")
+    if sample_fraction is not None and not 0 < sample_fraction <= 1:
+        raise ValueError("sample_fraction must be in (0, 1]")
+    if sample_fraction is not None and sample_fraction < 1:
+        # The audit's price is the exact-truth inverted-index join (its
+        # cost grows with the square of hot-shingle postings), and the
+        # estimate's std-err ~ sqrt(t(1-t)/num_hashes) is
+        # corpus-size-independent — so the production audit runs on a
+        # deterministic md5-bucket slice and generalizes. Sampling DOCS
+        # (not pairs) keeps both sides measuring the same corpus.
+        from cryoflow_spark.functions.sampling import deterministic_sample
+
+        df = deterministic_sample(df, id_col, float(sample_fraction))
     portable = hash_mode == "portable"
     with_sig = _with_minhash_signature(
         df, text_col, num_hashes, shingle_size, portable

@@ -206,6 +206,11 @@ class DedupPlugin(SiblingAwareTransformPlugin):
                 shingle_size=int(self.options.get("shingle_size", 3)),
                 threshold=float(self.options.get("threshold", 0.8)),
                 hash_mode=self.options.get("hash_mode", "engine"),
+                sample_fraction=(
+                    float(self.options["sample_fraction"])
+                    if "sample_fraction" in self.options
+                    else None
+                ),
             )
         if method == "duplicate_spans":
             from cryoflow_spark.functions.curation import duplicate_spans

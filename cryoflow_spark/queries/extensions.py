@@ -540,6 +540,8 @@ def _x15_oracle(num_hashes: int = 32, bands: int = 8) -> str:
                for i in generate_series(1, greatest(length(text) - 3, 1))]) AS s
       FROM documents
       WHERE text IS NOT NULL
+        AND (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 1000000) < 300000
     ),
     hs AS (
       SELECT doc_id,
@@ -1365,6 +1367,8 @@ def _x33_oracle(num_hashes: int = 32, bands: int = 8, split: int = 250) -> str:
                for i in generate_series(1, greatest(length(text) - 3, 1))]) AS s
       FROM documents
       WHERE text IS NOT NULL
+        AND (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 1000000) < 300000
     ),
     hs AS (
       SELECT doc_id,
@@ -4964,6 +4968,8 @@ def _x103_oracle(num_hashes: int = 32, bands: int = 8) -> str:
                for i in generate_series(1, greatest(length(text) - 3, 1))]) AS s
       FROM documents
       WHERE text IS NOT NULL
+        AND (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 1000000) < 300000
     ),
     hs AS (
       SELECT doc_id,
@@ -5037,6 +5043,7 @@ def x103_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_audit(
         d, text_col="text", id_col="doc_id", num_hashes=32, bands=8,
         shingle_size=4, threshold=0.5, hash_mode="portable",
+        sample_fraction=0.3,
     )
 
 
