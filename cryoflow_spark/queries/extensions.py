@@ -540,8 +540,6 @@ def _x15_oracle(num_hashes: int = 32, bands: int = 8) -> str:
                for i in generate_series(1, greatest(length(text) - 3, 1))]) AS s
       FROM documents
       WHERE text IS NOT NULL
-        AND (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-             AS BIGINT) % 1000000) < 300000
     ),
     hs AS (
       SELECT doc_id,
@@ -1367,8 +1365,6 @@ def _x33_oracle(num_hashes: int = 32, bands: int = 8, split: int = 250) -> str:
                for i in generate_series(1, greatest(length(text) - 3, 1))]) AS s
       FROM documents
       WHERE text IS NOT NULL
-        AND (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-             AS BIGINT) % 1000000) < 300000
     ),
     hs AS (
       SELECT doc_id,
