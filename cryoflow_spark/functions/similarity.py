@@ -1821,3 +1821,52 @@ def project_embeddings_matrix(
         for d in directions
     ]
     return df.withColumn(out_col, F.array(*comps))
+
+
+def duplicate_embedding_groups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 9,
+) -> DataFrame:
+    """Exact-duplicate embedding detector — the ingest-bug screen run
+    before any ANN/dedup pass trusts the vector store: byte-identical
+    vectors under different ids are the signature of a re-run ingest
+    job, a join fan-out, or an encoder fed the same batch twice (and
+    they silently bias centroid training and nearest-neighbor
+    evaluation). SemDeDup (x43) finds SEMANTIC near-dups; this finds
+    the exact copies those passes shouldn't have to pay for.
+
+    Each vector is fingerprinted by the md5 of its fixed-point
+    component string (``floor(x·10^scale)`` per component — the
+    registry's engine-portable quantization; resolution 10^-scale is
+    far below float32 input precision, so true duplicates always
+    collide and distinct vectors essentially never do). Output: one
+    row per fingerprint with ≥ 2 vectors — ``(fingerprint, n_vectors,
+    min_id)`` ordered ``n_vectors`` DESC with a fingerprint tiebreak.
+
+    Scale: one narrow map to the 32-char fingerprint, ONE keyed agg
+    with map-side partials (count + min are fully bounded — no id
+    lists, no buffers), and the output is only the colliding groups.
+    """
+    if scale < 1 or scale > 12:
+        raise ValueError("scale must be in [1, 12]")
+    q = f"{10 ** scale}.0"
+    fp = F.md5(
+        F.expr(
+            f"array_join(transform({vec_col}, x ->"
+            f" cast(cast(floor(cast(x as double) * {q}) as bigint)"
+            f" as string)), ',')"
+        )
+    )
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.min("__id").alias("min_id"),
+        )
+        .filter(F.col("n_vectors") >= 2)
+        .orderBy(F.desc("n_vectors"), "fingerprint")
+    )

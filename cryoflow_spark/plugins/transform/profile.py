@@ -36,6 +36,9 @@ disturbing the main stream. Options:
 - ``report = "correlations"`` emits the one-pass pairwise Pearson
   matrix over ``columns`` (exact fixed-point moments, ``scale``
   default 6).
+- ``report = "duplicate_vectors"`` emits the exact-duplicate embedding
+  groups (fingerprint, n_vectors, min_id) — the vector-store
+  ingest-bug screen; options ``column``, ``id_column``, ``scale``.
 - ``report = "covariance"`` emits the upper-triangle second-moment +
   covariance matrix of embedding components (long format: i, j, n,
   second_moment, covariance) — eigendecompose driver-side for
@@ -443,6 +446,18 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 vec_col=self.options.get("column", "embedding"),
                 group_col=self.options.get("group_column"),
                 expected_dim=int(dim) if dim is not None else None,
+            )
+
+        if self.options.get("report") == "duplicate_vectors":
+            from cryoflow_spark.functions.similarity import (
+                duplicate_embedding_groups,
+            )
+
+            return duplicate_embedding_groups(
+                data,
+                vec_col=self.options.get("column", "embedding"),
+                id_col=self.options.get("id_column", "vec_id"),
+                scale=int(self.options.get("scale", 9)),
             )
 
         if self.options.get("report") == "covariance":

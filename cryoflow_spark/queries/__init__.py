@@ -175,6 +175,7 @@ _PRIORITY: list[str] = [
     "x150_mixed_script", "x151_special_tokens",
     "x152_dedup_pair_inspector", "x153_chat_turn_stats",
     "x154_session_entries", "x155_bm25_search",
+    "x156_duplicate_embeddings", "q63_sales_opportunity",
     # then the deferred twins in registration-family order, still
     # runnable/benchable — each displaced by a never-driver-checked
     # r7 operator, each with an r5/r6-green sibling on its code path

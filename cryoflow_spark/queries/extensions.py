@@ -8082,3 +8082,44 @@ def x155_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bm25_search(
         d, ["hash", "join", "shuffle"], top_k=15
     )
+
+
+# --- x156: exact-duplicate embedding groups (oracle-checked) -----------------
+
+
+@register(
+    "x156_duplicate_embeddings",
+    """
+    WITH planted AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding FROM embeddings
+      WHERE vec_id % 25 = 0
+    ),
+    fp AS (
+      SELECT vec_id,
+             md5(array_to_string(list_transform(embedding, x ->
+               CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000000.0)
+                    AS BIGINT) AS VARCHAR)), ',')) AS fingerprint
+      FROM planted WHERE embedding IS NOT NULL
+    )
+    SELECT fingerprint, COUNT(*)::BIGINT AS n_vectors,
+           MIN(vec_id) AS min_id
+    FROM fp GROUP BY fingerprint HAVING COUNT(*) >= 2
+    ORDER BY n_vectors DESC, fingerprint
+    """,
+    "Exact-duplicate embedding detector over a corpus with planted "
+    "copies (every 25th vector re-keyed): byte-identical vectors under "
+    "different ids are re-run-ingest / join-fanout bugs that bias "
+    "centroid training and ANN evaluation — the exact-copy screen "
+    "SemDeDup shouldn't have to pay for; fixed-point md5 fingerprints, "
+    "one keyed agg, fully bounded (count + min, no id buffers)",
+)
+def x156_duplicate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    planted = e.select("vec_id", "embedding").unionAll(
+        e.filter(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    return S.duplicate_embedding_groups(planted)

@@ -1550,3 +1550,60 @@ def q62_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+# --- q63: missed sales opportunity (TPC-H Q22 flavor) ------------------------
+
+
+@register(
+    "q63_sales_opportunity",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*)::DOUBLE AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment, COUNT(*)::BIGINT AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer c CROSS JOIN avg_bal
+    WHERE c.c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+    "Missed sales opportunity (TPC-H Q22 shape: a scalar-subquery "
+    "average gating the fact side + NOT EXISTS anti join, the one "
+    "canonical shape q42's EXISTS did not cover): per market segment "
+    "the above-average-balance customers with NO orders and their "
+    "total balance; the average is an exact DECIMAL sum / count (one "
+    "deterministic double divide) riding a 1-row broadcast, the anti "
+    "join shuffles on custkey once",
+)
+def q63_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("__ab")
+        )
+    )
+    gated = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__ab")
+    )
+    no_orders = gated.join(
+        o.select("o_custkey"),
+        gated["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    )
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("totacctbal"),
+    )

@@ -6501,3 +6501,68 @@ class TestBm25Search:
             bm25_search(df, [])
         with _pytest.raises(ValueError):
             bm25_search(df, ["x"], top_k=0)
+
+
+class TestDuplicateEmbeddings:
+    def test_planted_copies_found(self, spark):
+        from cryoflow_spark.functions.similarity import (
+            duplicate_embedding_groups,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, [0.5, -0.25]),
+                (2, [0.5, -0.25]),   # exact copy of 1
+                (3, [0.5, -0.2500002]),  # differs above float32 resolution
+                (4, [0.1, 0.9]),
+                (5, [0.5, -0.25]),   # third copy
+                (6, None),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        rows = duplicate_embedding_groups(df).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["n_vectors"], r["min_id"]) == (3, 1)
+
+    def test_float32_precision_and_validation(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.similarity import (
+            duplicate_embedding_groups,
+        )
+
+        # the same float32 value always collides with itself
+        df = spark.createDataFrame(
+            [(1, [0.1]), (2, [0.1])], "vec_id long, embedding array<float>"
+        )
+        assert duplicate_embedding_groups(df).count() == 1
+        with _pytest.raises(ValueError):
+            duplicate_embedding_groups(df, scale=0)
+
+
+class TestSalesOpportunity:
+    def test_hand_computed(self, spark, tmp_path):
+        import cryoflow_spark.queries.relational2 as R2
+
+        c = spark.createDataFrame(
+            [
+                (1, "BUILDING", 100.0),   # above avg, has order -> out
+                (2, "BUILDING", 90.0),    # above avg, no order -> in
+                (3, "MACHINERY", 10.0),   # below avg -> out
+                (4, "MACHINERY", 80.0),   # above avg, no order -> in
+                (5, "AUTO", -5.0),        # negative: excluded from avg
+            ],
+            "c_custkey long, c_mktsegment string, c_acctbal double",
+        )
+        o = spark.createDataFrame([(10, 1)], "o_orderkey long, o_custkey long")
+        sf = str(tmp_path)
+        c.write.parquet(f"{sf}/customer.parquet")
+        o.write.parquet(f"{sf}/orders.parquet")
+        # avg over positive balances = (100+90+10+80)/4 = 70
+        rows = {r["c_mktsegment"]: r for r in
+                R2.q63_sales_opportunity(spark, sf).collect()}
+        assert set(rows) == {"BUILDING", "MACHINERY"}
+        assert rows["BUILDING"]["numcust"] == 1
+        assert rows["BUILDING"]["totacctbal"] == 90.0
+        assert rows["MACHINERY"]["totacctbal"] == 80.0

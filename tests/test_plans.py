@@ -218,6 +218,9 @@ def test_no_cartesian_products(all_plans):
         # (broadcast) into the |matching docs| × |Q| scored table —
         # same scalar pattern.
         "x155_bm25_search",
+        # 1-row average-balance scalar crossJoin(broadcast) gating the
+        # customer side (the TPC-H Q22 scalar subquery) — same pattern.
+        "q63_sales_opportunity",
     }
     for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name
