@@ -179,6 +179,7 @@ class TestExamples:
             "examples/third_party_plugin.toml",
             "examples/event_analytics.toml",
             "examples/dedup_decision_flow.toml",
+            "examples/retrieval_qa.toml",
         ],
     )
     def test_check(self, runner, example):
@@ -197,6 +198,7 @@ class TestExamples:
             ("examples/corpus_hygiene.toml", "/tmp/cryoflow_examples/hygiene/ccnet_split/*.parquet"),
             ("examples/event_analytics.toml", "/tmp/cryoflow_examples/events/transitions/*.parquet"),
             ("examples/dedup_decision_flow.toml", "/tmp/cryoflow_examples/dedup_flow/capped_corpus/*.parquet"),
+            ("examples/retrieval_qa.toml", "/tmp/cryoflow_examples/retrieval/bm25_hits/*.parquet"),
         ],
     )
     def test_run(self, runner, example, out_glob):

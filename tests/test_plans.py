@@ -415,3 +415,40 @@ def test_heavy_hitters_confirm_is_broadcast(spark):
     plan = plan_of(df, "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_x146_covariance_partial_agg_collapses_explode(spark, registry):
+    """x146: the d(d+1)/2-per-row pair explode must collapse map-side —
+    partial HashAggregates on both the singles and pairs branches, so
+    the exchange carries |tasks| x 36 partial rows, never corpus x 36."""
+    plan = plan_of(registry["x146_embedding_covariance"].fn(spark, SF), "simple")
+    assert plan.count("HashAggregate") >= 4  # partial+final on two branches
+    assert "partial_" in plan
+    assert "Generate explode" in plan  # the pair explode is plan-visible
+
+
+def test_x145_image_pairs_band_equijoin(spark, registry):
+    """x145: candidate generation must be a hash equi-join on the band
+    chunks (SortMergeJoin/ShuffledHashJoin), never a nested loop —
+    the pigeonhole blocking contract of the image near-dup path."""
+    plan = plan_of(registry["x145_image_hash_pairs"].fn(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan)
+    # the decode is an Arrow-batched python UDF stage, not per-row python
+    assert "ArrowEvalPython" in plan
+
+
+def test_x155_bm25_topk_is_take_ordered(spark, registry):
+    """x155: the head must be TakeOrdered (top-k on the driver), never a
+    global sort of the scored table."""
+    plan = plan_of(registry["x155_bm25_search"].fn(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_x149_active_users_no_corpus_window(spark, registry):
+    """x149: the rolling WAU must come from the bounded explode-join,
+    never a corpus-wide unpartitioned window."""
+    plan = plan_of(registry["x149_active_users"].fn(spark, SF), "simple")
+    assert "Window" not in plan
+    assert "Generate explode" in plan

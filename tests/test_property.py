@@ -611,3 +611,108 @@ def test_zipf_fit_matches_python_ols(spark, freqs):
         assert abs(got["zipf_intercept"] - (sy - slope * sx) / k) < 1e-9
     else:
         assert got["zipf_slope"] is None
+
+
+@st.composite
+def bm25_corpora(draw):
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = draw(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=12),
+            min_size=2,
+            max_size=12,
+        )
+    )
+    terms = draw(
+        st.lists(st.sampled_from(vocab), min_size=1, max_size=3, unique=True)
+    )
+    return docs, terms
+
+
+@given(bm25_corpora())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bm25_matches_python_reference(spark, corpus):
+    """x155's scoring against a from-scratch BM25 on randomized
+    corpora — component rounding, canonical fold order, idf variant,
+    and tie handling all reproduced independently."""
+    import math
+
+    from cryoflow_spark.functions.text import bm25_search
+
+    docs, terms = corpus
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["matched_terms"], r["score"])
+        for r in bm25_search(df, terms, top_k=len(docs)).collect()
+    }
+
+    n = len(docs)
+    total = sum(len(d) for d in docs)
+    avgdl = total / n
+
+    def idf(t):
+        dfc = sum(1 for d in docs if t in d)
+        return round(math.log((2 * n - 2 * dfc + 1) / (2 * dfc + 1) + 1), 6)
+
+    want = {}
+    for i, d in enumerate(docs):
+        comps = []
+        for t in sorted(set(terms)):
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            comps.append(
+                round(
+                    idf(t) * (tf * 2.2)
+                    / (tf + 1.2 * (0.25 + 0.75 * len(d) / avgdl)),
+                    6,
+                )
+            )
+        if comps:
+            acc = 0.0
+            for c in comps:  # canonical term order (sorted above)
+                acc += c
+            want[i] = (len(comps), round(acc, 6))
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.sampled_from("abc")),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cohens_kappa_matches_python_reference(spark, rows):
+    """x144 against the textbook formula on randomized label pairs,
+    including the degenerate chance-perfect table."""
+    from cryoflow_spark.functions.profiling import cohens_kappa
+
+    df = spark.createDataFrame(rows, "gold string, pred string")
+    r = cohens_kappa(df, "gold", "pred").collect()[0]
+    n = len(rows)
+    agree = sum(1 for g, p in rows if g == p)
+    classes = sorted({c for pair in rows for c in pair})
+    s = sum(
+        sum(1 for g, _ in rows if g == c) * sum(1 for _, p in rows if p == c)
+        for c in classes
+    )
+    assert r["n_items"] == n
+    assert r["observed_agreement"] == round(agree / n, 6)
+    assert r["expected_agreement"] == round(s / (n * n), 6)
+    if n * n - s == 0:
+        assert r["kappa"] == 0.0
+    else:
+        assert r["kappa"] == round((n * agree - s) / (n * n - s), 6)
