@@ -716,3 +716,140 @@ def test_cohens_kappa_matches_python_reference(spark, rows):
         assert r["kappa"] == 0.0
     else:
         assert r["kappa"] == round((n * agree - s) / (n * n - s), 6)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["ab", "abc", "ba", "a", "cab", "x9"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_merge_pairs_matches_python_reference(spark, docs):
+    """x143 against a from-scratch BPE pair counter on randomized
+    word soups — end-of-word markers, within-word repeats, and the
+    vocab-weighted counting reproduced independently."""
+    from collections import Counter
+
+    from cryoflow_spark.functions.text import bpe_merge_pairs
+
+    df = spark.createDataFrame(
+        [(" ".join(d),) for d in docs], "text string"
+    )
+    got = {
+        r["pair"]: (r["pair_count"], r["n_words"])
+        for r in bpe_merge_pairs(df, top_k=1000).collect()
+    }
+
+    wc = Counter(w for d in docs for w in d)
+    pair_count: Counter = Counter()
+    pair_words: dict = {}
+    for w, c in wc.items():
+        syms = list(w) + ["</w>"]
+        for a, b in zip(syms, syms[1:]):
+            key = f"{a} {b}"
+            pair_count[key] += c
+            pair_words.setdefault(key, set()).add(w)
+    want = {k: (pair_count[k], len(pair_words[k])) for k in pair_count}
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=10),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_kneser_ney_matches_python_reference(spark, docs):
+    """x148 against from-scratch continuation counts on randomized
+    token streams — N1+(·w), N1+(w·), the KN unigram probability and
+    the n1/n2 discount reproduced independently."""
+    from collections import Counter
+
+    from cryoflow_spark.functions.text import kneser_ney_counts
+
+    df = spark.createDataFrame(
+        [(" ".join(d),) for d in docs], "text string"
+    )
+    rows = kneser_ney_counts(df, top_k=1000).collect()
+
+    uni = Counter(t for d in docs for t in d)
+    bigrams = Counter()
+    for d in docs:
+        for a, b in zip(d, d[1:]):
+            bigrams[(a, b)] += 1
+    pre = Counter(c for (_, c) in bigrams)
+    fol = Counter(p for (p, _) in bigrams)
+    types = len(bigrams)
+    n1 = sum(1 for v in bigrams.values() if v == 1)
+    n2 = sum(1 for v in bigrams.values() if v == 2)
+    for r in rows:
+        w = r["word"]
+        assert r["count"] == uni[w]
+        assert r["n_preceders"] == pre.get(w, 0)
+        assert r["n_followers"] == fol.get(w, 0)
+        if types:
+            assert r["kn_unigram_prob"] == round(pre.get(w, 0) / types, 6)
+        if n1 + 2 * n2:
+            assert r["discount"] == round(n1 / (n1 + 2 * n2), 6)
+        else:
+            assert r["discount"] == 0.0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=20),  # day of month
+            st.sampled_from("abcde"),  # user
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_active_users_matches_python_reference(spark, events):
+    """x149 against a from-scratch DAU/WAU on randomized event logs —
+    the trailing-window distinct, observed-day restriction, and
+    stickiness ratio reproduced independently."""
+    from datetime import date, datetime
+
+    from cryoflow_spark.functions.events import active_users_report
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 3, d, 12, 0), u) for d, u in events],
+        "ts timestamp, user_id string",
+    )
+    got = {
+        str(r["day"]): (r["dau"], r["wau"], r["stickiness"])
+        for r in active_users_report(df, window_days=7).collect()
+    }
+
+    day_user = {(date(2024, 3, d), u) for d, u in events}
+    days = sorted({d for d, _ in day_user})
+    want = {}
+    for anchor in days:
+        dau = len({u for d, u in day_user if d == anchor})
+        wau = len(
+            {u for d, u in day_user if 0 <= (anchor - d).days <= 6}
+        )
+        want[str(anchor)] = (dau, wau, round(dau / wau, 6))
+    assert got == want
