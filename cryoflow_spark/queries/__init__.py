@@ -83,76 +83,34 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: a spread of already-green sentinels as regression canaries; everything
 #: else follows in original registration order (still runnable/benchable).
 #:
-#: Round 7 window (head 50):
-#: 1) x93-x99 — registered late in r6 (the window was full), never
-#:    driver-checked; first in line per the r6 verdict.
-#: 2) x51 + x54 retests — the only two red driver rows in six rounds
-#:    (both representation-portability: x51's array<double> column crashed
-#:    the driver's pandas canonicalizer, x54's DECIMAL(38,0) checksum
-#:    hashed differently than DuckDB's HUGEINT). Both re-registered with
-#:    scalar/VARCHAR projections and locally bit-identical — the window
-#:    must produce the green driver rows.
-#: 3) New r7 operators (x100 PQ ADC, x101 water-fill floors, x102
-#:    IVF-PQ, x103 minhash audit, x104 ingest freshness, x105 training
-#:    order, x106 vocab coverage, x107 IVF cell stats, x108 bigram
-#:    cross-entropy, x109 PMI collocations, x110 FK integrity, x111
-#:    secret scan, x112 CCNet buckets, x113 tokenizer fertility, x114
-#:    profile drift) — never driver-checked.
-#: 4) The stalest r4-cohort sentinels (last driver-green in round 4 —
-#:    three rounds stale). 26 slots remain for the 49-query cohort; the
-#:    23 deferred to r8 are each the member of a twin pair whose
-#:    sibling ran green in r5/r6 on the same code path (x01~x02
-#:    normalized-key exact dedup (same keyed-agg path, r5-green),
-#:    x03~x04 jaccard, x05~x41/x27 brute-force topk, x07~x06
-#:    hyperplane LSH,
-#:    x16~x57 blocked-pair dedup family (simhash pigeonhole blocks ~
-#:    containment inverted index, x57 D6-green),
-#:    x13/x14~x12 multimodal, x22~x64 packing contract, x23~x66
-#:    fixed-IVF, x25~x55 decontamination (the Bloom mode ends in the
-#:    same exact n-gram confirm join, D6-green), x26~x59 repetition,
-#:    x27~x05/x41, x28~x58/x85 source
-#:    rebalance, x29~x32 chunker path (frequent-segment removal chunks
-#:    via the same splitter), x30~x70/x89 md5-order draws, x33~x53
-#:    incremental minhash, x34~x99 per-group caps, x35~x96/x21
-#:    corpus-scorer joins, x36~x32 segment dedup, x37~x52/x84
-#:    profiling, x38~x20/x71 connected-components path (the
-#:    leakage-safe split rides the same CC code, D6-green), x39~x88/
-#:    x91 snapshot diff family, x40~x32 word-gram explode path
-#:    (frequent-segment removal rides the same gram machinery,
-#:    D5/D6-green)).
-#: The rows-only instruments (engine-mode minhash twins and the three
-#: approx profiling twins; no oracles by design) stay OUT of the window.
+#: Round 8 window (head 50) — exactly as pre-committed at the end of r7
+#: and endorsed by the r7 verdict ("Next round" item 1):
+#: 1) The 47 queries registered after the r7 window froze, never
+#:    driver-checked (x115-x156 and q59-q63, in r7 registration order).
+#:    All judge-green (j7, bit-identical full sweep) — the window must
+#:    now produce their driver rows.
+#: 2) Three of the deferred r4-cohort twins (x01, x03, x05) fill the
+#:    remaining slots, trimming the disclosed twin backlog to 20.
+#: The rows-only instruments (engine-mode minhash twins, the approx
+#: profiling twins, and this round's new engine/approx twins; no oracles
+#: by design) stay OUT of the window.
+#:
+#: Positions 51+ pre-commit the ROUND 9 window: the 20 remaining
+#: r4-cohort twins (each displaced since r7 by never-driver-checked
+#: operators; each has an r5/r6-green sibling on the same code path —
+#: x07~x06 hyperplane LSH, x13/x14~x12 multimodal, x16~x57 blocked-pair
+#: dedup, x22~x64 packing contract, x23~x66 fixed-IVF, x25~x55
+#: decontamination, x26~x59 repetition, x27~x05/x41 quantized topk,
+#: x28~x58/x85 source rebalance, x29~x32 chunker path, x30~x70/x89
+#: md5-order draws, x33~x53 incremental minhash, x34~x99 per-group
+#: caps, x35~x96/x21 corpus-scorer joins, x36~x32 segment dedup,
+#: x37~x52/x84 profiling, x38~x20/x71 connected-components path,
+#: x39~x88/x91 snapshot diff, x40~x32 word-gram explode path; backlog
+#: declared in BASELINE.md), followed by this round's new operators as
+#: they register. The r6-red retests (x51/x54) went green in D7 and the
+#: r4 sentinels re-ran green in D7, so none of those need a slot.
 _PRIORITY: list[str] = [
-    # never driver-checked (late-r6 additions)
-    "x93_duplicate_spans", "x94_ensemble_rank_score",
-    "x95_funnel_latency", "x96_cross_entropy_score",
-    "x97_water_fill_epochs", "x98_domain_blocklist",
-    "x99_token_cap_per_source",
-    # retests of the r6 red rows (now scalar/VARCHAR-portable)
-    "x51_jl_projection", "x54_dataset_checksum",
-    # NEW this round — never driver-checked
-    "x100_pq_adc_topk", "x101_water_fill_floors", "x102_ivf_pq_topk",
-    "x103_minhash_audit", "x104_ingest_freshness",
-    "x105_training_order", "x106_vocab_coverage",
-    "x107_ivf_cell_stats", "x108_bigram_cross_entropy",
-    "x109_pmi_collocations", "x110_fk_integrity", "x111_secret_scan",
-    "x112_ccnet_buckets", "x113_tokenizer_fertility",
-    "x114_profile_drift",
-    # r4-cohort sentinels, three rounds stale (26 of 49)
-    "q01_pricing_summary", "q25_asof_join", "q30_string_cleanup",
-    "q32_rank_family", "q33_conditional_aggs", "q34_date_vocabulary",
-    "q35_approx_distinct", "q37_null_handling", "q38_cube_order_stats",
-    "q39_hash_sample", "q40_stratified_sample", "q41_native_pivot",
-    "q42_exists_subquery", "q43_range_interval_window",
-    "q46_sliding_windows", "q47_regex_groups", "q48_bag_set_ops",
-    "q49_null_safe_join", "q50_unpivot_measures", "q51_gap_fill_spine",
-    "q52_bivariate_stats", "q53_fuzzy_part_names", "q55_grouping_sets",
-    "q56_latest_per_key",
-    "x17_sessionize",
-    "x24_pii_scrub",
-    # positions 51+ run FIRST in the r8 window. Head: r7 operators
-    # registered after this round's 50 slots filled — never
-    # driver-checked, so they outrank the deferred twins below.
+    # --- r8 window: 47 never-driver-checked (r7 registration order) ---
     "x115_langid_margin", "x116_decontamination_audit",
     "x117_truncation_qa", "x118_rate_anomaly", "x119_mixture_order",
     "q59_recursive_months", "q60_lateral_topn",
@@ -176,11 +134,11 @@ _PRIORITY: list[str] = [
     "x152_dedup_pair_inspector", "x153_chat_turn_stats",
     "x154_session_entries", "x155_bm25_search",
     "x156_duplicate_embeddings", "q63_sales_opportunity",
-    # then the deferred twins in registration-family order, still
-    # runnable/benchable — each displaced by a never-driver-checked
-    # r7 operator, each with an r5/r6-green sibling on its code path
-    # (see the window comment)
+    # --- r8 window: 3 of the 23 deferred r4-cohort twins ---
     "x01_dedup_exact", "x03_jaccard_pairs", "x05_cosine_topk",
+    # --- positions 51+: pre-committed ROUND 9 window ---
+    # the 20 remaining deferred r4-cohort twins (see window comment +
+    # BASELINE.md backlog note), then new r8 operators as registered
     "x07_lsh_cosine_topk",
     "x13_multimodal_features", "x14_frame_sample", "x16_simhash_pairs",
     "x22_token_shards",
