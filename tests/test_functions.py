@@ -6541,6 +6541,31 @@ class TestDuplicateEmbeddings:
             duplicate_embedding_groups(df, scale=0)
 
 
+class TestCustomersWithoutOrders:
+    def test_hand_computed(self, spark, tmp_path):
+        """Non-vacuous backstop for q12 (empty at sf0.01, where every
+        customer has an order — see tests/test_registry.py
+        VACUOUS_AT_SF001_ALLOWLIST): anti-join keeps exactly the
+        orderless customers."""
+        from cryoflow_spark.queries.relational import (
+            q12_customers_without_orders,
+        )
+
+        c = spark.createDataFrame(
+            [(1, "has order"), (2, "no order"), (3, "also none")],
+            "c_custkey long, c_name string",
+        )
+        o = spark.createDataFrame([(10, 1)], "o_orderkey long, o_custkey long")
+        sf = str(tmp_path)
+        c.write.parquet(f"{sf}/customer.parquet")
+        o.write.parquet(f"{sf}/orders.parquet")
+        rows = q12_customers_without_orders(spark, sf).collect()
+        assert sorted((r["c_custkey"], r["c_name"]) for r in rows) == [
+            (2, "no order"),
+            (3, "also none"),
+        ]
+
+
 class TestSalesOpportunity:
     def test_hand_computed(self, spark, tmp_path):
         import cryoflow_spark.queries.relational2 as R2

@@ -58,6 +58,70 @@ def test_descriptions_and_rows_only_census():
     ], rows_only
 
 
+#: Oracle-bearing queries whose result is legitimately EMPTY at the
+#: driver's correctness scale (sf0.01), each pointing at the hand-built
+#: non-vacuous pytest that proves the operator on data where the result
+#: is non-empty. An empty-at-sf0.01 oracle match proves only that both
+#: engines agree on emptiness — this allowlist keeps that class visible
+#: (r7 verdict "What's wrong" #2) instead of letting a future vacuous
+#: query pass the sweep silently.
+VACUOUS_AT_SF001_ALLOWLIST: dict[str, str] = {
+    # every sf0.01 customer has at least one order
+    "q12_customers_without_orders": (
+        "tests/test_functions.py::TestCustomersWithoutOrders::"
+        "test_hand_computed"
+    ),
+    # TPC-H Q22 shape: no positive-balance orderless customer at sf0.01
+    "q63_sales_opportunity": (
+        "tests/test_functions.py::TestSalesOpportunity::test_hand_computed"
+    ),
+}
+
+
+def test_no_vacuous_oracles_at_sf001():
+    """Every oracle-bearing query must return >= 1 row at the driver's
+    correctness scale, or be allowlisted with a pointer to its
+    non-vacuous pytest. Runs the DuckDB side only: when the driver's
+    hash check is green, Spark and oracle row counts are equal, so the
+    oracle's count IS the query's count — and a DuckDB-only sweep keeps
+    this guard JVM-free."""
+    import duckdb
+
+    from cryoflow_spark.queries import all_queries
+
+    sf_dir = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"parquet_scan('{sf_dir}/{t}.parquet')"
+        )
+    vacuous: list[str] = []
+    stale_allowlist: list[str] = []
+    reg = all_queries()
+    for name, spec in sorted(reg.items()):
+        if spec.oracle is None:
+            continue
+        n = con.execute(f"SELECT COUNT(*) FROM ({spec.oracle})").fetchone()[0]
+        if n == 0 and name not in VACUOUS_AT_SF001_ALLOWLIST:
+            vacuous.append(name)
+        elif n > 0 and name in VACUOUS_AT_SF001_ALLOWLIST:
+            stale_allowlist.append(name)
+    missing = [n for n in VACUOUS_AT_SF001_ALLOWLIST if n not in reg]
+    assert not vacuous, (
+        "oracle-bearing queries empty at sf0.01 (their green sweep rows "
+        "prove only agreement on emptiness) — add a non-vacuous pytest "
+        f"and allowlist it here: {vacuous}"
+    )
+    assert not stale_allowlist, (
+        f"allowlisted queries now return rows at sf0.01: {stale_allowlist}"
+    )
+    assert not missing, f"allowlist names not in registry: {missing}"
+
+
 #: Queries whose registered output may carry a non-scalar column or a
 #: decimal wider than 18 digits, each with the justification the guard
 #: demands. Empty: the driver's pandas canonicalizer handles scalar
