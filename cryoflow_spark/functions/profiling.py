@@ -1333,6 +1333,8 @@ def outlier_report(
     df: DataFrame,
     columns: Sequence[str],
     k: float = 10.0,
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Per-column robust outlier screen — median/MAD instead of
     mean/std (one wild value corrupts a z-score screen's own
@@ -1350,18 +1352,37 @@ def outlier_report(
     Use it before winsorizing (x73) or robust scaling (x82): this is
     the read-only screen that says WHICH columns need them.
 
+    ``exact=True`` uses interpolated ``percentile`` (bit-identical to
+    DuckDB ``quantile_cont`` — the oracle mode); ``exact=False`` swaps
+    both percentile passes to the ``percentile_approx`` t-digest sketch
+    (the 100 TB mode — the x37/x76/x79 family pattern): each
+    aggregation buffer is then O(``accuracy``) and MERGEABLE map-side
+    instead of holding every value of a column, so no executor ever
+    materializes a full column. Counting against an approximate median
+    shifts ``n_outliers`` only by values within the sketch's rank error
+    of the k·MAD fence.
+
     Scale: the column stack is an inline explode; exact medians cost
     a per-column percentile aggregation each of the two passes
     (median, then MAD), and the final count is a third keyed agg —
     three passes over the stacked projection, the honest price of
-    exact medians (swap to approx_percentile off the oracle path at
-    100 TB). The per-column stats tables are broadcast back.
+    exact medians. At 100 TB pass ``exact=False`` (registered bench
+    twin: x141_outliers_approx). The per-column stats tables are
+    broadcast back.
     """
     cols = list(columns)
     if not cols:
         raise ValueError("columns must be non-empty")
     if k <= 0:
         raise ValueError("k must be > 0")
+    if accuracy < 100:
+        raise ValueError("accuracy must be >= 100")
+
+    def _median(col: str):
+        if exact:
+            return F.percentile(col, F.lit(0.5))
+        return F.expr(f"percentile_approx({col}, 0.5D, {int(accuracy)})")
+
     stacked = df.select(
         F.explode(
             F.array(
@@ -1375,15 +1396,11 @@ def outlier_report(
             )
         ).alias("__s")
     ).select("__s.col_name", "__s.v").filter(F.col("v").isNotNull())
-    med = stacked.groupBy("col_name").agg(
-        F.percentile("v", F.lit(0.5)).alias("__med")
-    )
+    med = stacked.groupBy("col_name").agg(_median("v").alias("__med"))
     dev = stacked.join(F.broadcast(med), "col_name").select(
         "col_name", "v", "__med", F.abs(F.col("v") - F.col("__med")).alias("__d")
     )
-    mad = dev.groupBy("col_name").agg(
-        F.percentile("__d", F.lit(0.5)).alias("__mad")
-    )
+    mad = dev.groupBy("col_name").agg(_median("__d").alias("__mad"))
     flagged = dev.join(F.broadcast(mad), "col_name")
     return flagged.groupBy("col_name").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

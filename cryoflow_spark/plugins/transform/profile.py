@@ -82,9 +82,10 @@ disturbing the main stream. Options:
   (Cohen 1960) — the imbalance-robust companion number to
   ``classification``.
 - ``report = "outliers"`` emits the per-column robust outlier screen
-  (exact median + MAD, count beyond ``k`` MADs, default 10) over the
+  (median + MAD, count beyond ``k`` MADs, default 10) over the
   numeric ``columns`` — decides which columns need
-  winsorizing/robust scaling.
+  winsorizing/robust scaling (honors ``exact=false`` for the
+  mergeable t-digest scale path).
 - ``report = "benford"`` emits the Benford's-law leading-digit audit
   of the numeric ``columns`` (observed vs log10(1+1/d) expected
   frequency + signed deviation per digit) — the fabricated/capped
@@ -178,6 +179,7 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 data,
                 columns=list(self.require_option("columns")),
                 k=float(self.options.get("k", 10.0)),
+                exact=bool(self.options.get("exact", True)),
             )
 
         if self.options.get("report") == "benford":

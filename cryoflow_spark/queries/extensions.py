@@ -7276,6 +7276,24 @@ def x141_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outlier_report(li, ["l_extendedprice", "l_quantity"], k=10.0)
 
 
+@register(
+    "x141_outliers_approx",
+    None,  # t-digest estimates are sketch-specific — rows-only by design
+    "Robust outlier screen, 100 TB mode (percentile_approx t-digest for "
+    "both the median and the MAD pass, accuracy 10k): mergeable bounded "
+    "sketch buffers instead of x141's exact per-column value buffers — "
+    "tolerance vs the exact mode pinned by pytest "
+    "(TestApproxTwinTolerance.test_outlier_screen_close_to_exact)",
+)
+def x141_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import outlier_report
+
+    li = load(spark, sf_dir, "lineitem")
+    return outlier_report(
+        li, ["l_extendedprice", "l_quantity"], k=10.0, exact=False
+    )
+
+
 # --- x142: pairwise association rules (oracle-checked) ----------------------
 
 

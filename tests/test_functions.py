@@ -3369,6 +3369,30 @@ class TestApproxTwinTolerance:
         for k, e in exact.items():
             assert abs(approx[k] - e) < 1e-6, (k, e, approx[k])
 
+    def test_outlier_screen_close_to_exact(self, spark):
+        from cryoflow_spark.functions.profiling import outlier_report
+
+        # smooth ramp + 20 planted 100x spikes: median/MAD barely move
+        # under sketching, the spikes sit far beyond the k*MAD fence
+        rows = [(float(i % 1000),) for i in range(10000)]
+        rows += [(100_000.0 + i,) for i in range(20)]
+        df = spark.createDataFrame(rows, "v double")
+        exact = outlier_report(df, ["v"], k=10.0).collect()[0]
+        approx = outlier_report(df, ["v"], k=10.0, exact=False).collect()[0]
+        assert approx["n"] == exact["n"]
+        assert approx["min_val"] == exact["min_val"]
+        assert approx["max_val"] == exact["max_val"]
+        # accuracy=10k on a ~10k-row domain: rank error ~1 value step
+        assert abs(approx["median"] - exact["median"]) <= 5.0
+        assert abs(approx["mad"] - exact["mad"]) <= 5.0
+        # the planted spikes are unambiguous under either median
+        assert exact["n_outliers"] == 20
+        assert approx["n_outliers"] == 20
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            outlier_report(df, ["v"], accuracy=10)
+
     def test_quantile_tdigest_close_to_exact(self, spark):
         from cryoflow_spark.functions.profiling import quantile_summary
 
