@@ -4769,6 +4769,25 @@ def x100_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x100_pq_adc_engine",
+    None,  # engine-mode bench twin (the x15/x33 precedent): the
+    # vectorized numpy encode path can't be replicated as a SQL literal
+    # tree; equality with the fold oracle mode is pinned by pytest
+    # (tests/test_functions.py TestProductQuantization mode-agreement)
+    "PQ ADC top-k, production encode path: one numpy subspace-distance "
+    "matrix per Arrow batch instead of x100's per-codeword fold "
+    "expression trees — same fixed codebooks, same ADC join; the bench "
+    "row that prices what a user actually runs",
+)
+def x100_pq_adc_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return S.pq_adc_topk(
+        e, queries, _X100_BOOKS, k=5, encode_mode="vectorized"
+    )
+
+
 # --- x101: floor-guaranteed water-filling (oracle-checked) ------------------
 
 
@@ -4939,6 +4958,26 @@ def x102_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_pq_topk(
         e, queries, _X23_CENTROIDS, _X100_BOOKS, k=5, nprobe=3,
         assign_mode="fold", encode_mode="fold",
+    )
+
+
+@register(
+    "x102_ivf_pq_engine",
+    None,  # engine-mode bench twin: vectorized numpy assign + encode
+    # paths aren't SQL-replicable; agreement with the fold oracle mode
+    # is pinned by pytest (test_ivf_fold_assign_matches_vectorized +
+    # TestProductQuantization mode-agreement)
+    "IVF-PQ top-k, production path: vectorized Arrow/numpy coarse "
+    "assignment and PQ encode — same fixed centroids/codebooks, same "
+    "sublinear cell-id equi-join and ADC scoring as oracle-mode x102; "
+    "the bench row that prices what a user actually runs",
+)
+def x102_ivf_pq_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return S.ivf_pq_topk(
+        e, queries, _X23_CENTROIDS, _X100_BOOKS, k=5, nprobe=3,
+        assign_mode="vectorized", encode_mode="vectorized",
     )
 
 

@@ -49,6 +49,8 @@ def test_descriptions_and_rows_only_census():
     assert not undescribed, undescribed
     rows_only = sorted(n for n, s in reg.items() if s.oracle is None)
     assert rows_only == [
+        "x100_pq_adc_engine",
+        "x102_ivf_pq_engine",
         "x141_outliers_approx",
         "x15_engine_minhash_dedup",
         "x18_ivf_cosine_topk",
