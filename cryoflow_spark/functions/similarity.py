@@ -1350,6 +1350,108 @@ def ivf_pq_topk(
     )
 
 
+def sq_l2(a, b):
+    """Column: exact squared L2 distance between two array<numeric>
+    columns, cast to double per element and summed in the sequential
+    left-fold order ``(0 + t1) + t2 ...`` — bit-identical to a DuckDB
+    ``list_reduce(list_prepend(0.0, ...))`` replica (the same contract
+    as :func:`dot`)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: "np.ndarray | list[list[float]]",
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    shortlist: int = 30,
+    nprobe: int = 3,
+    query_id_col: str | None = None,
+    assign_mode: str = "vectorized",
+    encode_mode: str = "vectorized",
+    corpus_cell_col: str | None = None,
+    corpus_code_col: str | None = None,
+) -> DataFrame:
+    """IVF-PQ search with exact re-ranking (Jégou et al. 2011 §V.C) —
+    the standard recall-restoring second stage over
+    :func:`ivf_pq_topk`: the compressed index produces a ``shortlist``
+    of top-R candidates per query by asymmetric PQ distance, then ONLY
+    those R rows are joined back to their raw vectors and re-ranked by
+    exact squared L2. PQ quantization error can demote a true neighbor
+    below rank k while it still sits inside the top-R shortlist; the
+    exact pass restores it (within any shortlist S, every true top-k
+    member present in S is among the k exact-nearest of S — at most
+    k-1 vectors anywhere are closer — so shortlist recall is fully
+    converted and rerank recall >= plain ADC-rank recall, pinned by
+    pytest against the :func:`recall_at_k` harness).
+
+    Output: (query_id, neighbor_id, exact_dist, rank) — ascending
+    exact squared L2 with neighbor-id tiebreak. For unit-norm vectors
+    ascending L2 equals descending cosine.
+
+    Scale: stage 1 is :func:`ivf_pq_topk` unchanged (cell-id equi-join,
+    corpus ships (id, cell, codes)); stage 2 touches raw vectors for
+    |queries| x R rows ONLY — one equi-join of the tiny shortlist
+    (broadcast) against the corpus by id, never a second corpus scan of
+    vectors per candidate pair. The re-rank window partitions by query
+    over <= R rows. Deterministic: fixed centroids/codebooks plus the
+    left-fold exact distance make every stage bit-identical across
+    engines (``assign_mode="fold"`` + ``encode_mode="fold"`` is the
+    oracle-checkable spelling).
+    """
+    if shortlist < k:
+        raise ValueError("shortlist must be >= k")
+    qid = query_id_col or id_col
+    short = ivf_pq_topk(
+        corpus,
+        queries,
+        centroids,
+        codebooks,
+        vec_col=vec_col,
+        id_col=id_col,
+        k=shortlist,
+        nprobe=nprobe,
+        query_id_col=query_id_col,
+        assign_mode=assign_mode,
+        encode_mode=encode_mode,
+        corpus_cell_col=corpus_cell_col,
+        corpus_code_col=corpus_code_col,
+    ).select("query_id", "neighbor_id")
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nvec")
+    )
+    qvec = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        nvec.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn(
+            "exact_dist", sq_l2(F.col("__qvec"), F.col("__nvec"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "exact_dist", "rank")
+    )
+
+
 def ivf_cell_stats(
     df: DataFrame,
     centroids: "np.ndarray | list[list[float]]",

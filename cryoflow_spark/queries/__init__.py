@@ -149,6 +149,8 @@ _PRIORITY: list[str] = [
     "x34_domain_cap", "x35_corpus_freq_score", "x36_dedup_segments",
     "x37_profile_columns", "x38_leakage_safe_split",
     "x39_snapshot_diff", "x40_ngram_novelty",
+    # new r8 operators (never driver-checked — r9 window after the twins)
+    "x157_ivf_pq_rerank",
 ]
 
 

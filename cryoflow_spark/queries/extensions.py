@@ -8180,3 +8180,122 @@ def x156_duplicate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return S.duplicate_embedding_groups(planted)
+
+
+# --- x157: IVF-PQ with exact re-ranking (oracle-checked) ---------------------
+
+
+def _x157_oracle(shortlist: int = 20, k: int = 5) -> str:
+    """DuckDB replica of IVF-PQ + exact re-rank: the x102 pipeline kept
+    to a top-R shortlist, candidates rejoined to raw vectors, re-ranked
+    by the same left-fold exact squared L2 the Spark side uses."""
+    m, ksub = len(_X100_BOOKS), len(_X100_BOOKS[0])
+    dsub = len(_X100_BOOKS[0][0])
+
+    def fold_dot(vec: str, lits: list[float]) -> str:
+        vals = ", ".join(f"{x:.17e}" for x in lits)
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"[{vec}[i]::DOUBLE * (list_value({vals}))[i] "
+            f"for i in generate_series(1, 64)]), (acc, x) -> acc + x)"
+        )
+
+    def sub_l2(j: int, codeword: list[float]) -> str:
+        vals = ", ".join(f"{x:.17e}" for x in codeword)
+        off = j * dsub
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"[((embedding[{off} + i]::DOUBLE - (list_value({vals}))[i])"
+            f" * (embedding[{off} + i]::DOUBLE - (list_value({vals}))[i]))"
+            f" for i in generate_series(1, {dsub})]), (acc, x) -> acc + x)"
+        )
+
+    cent_structs = ", ".join(
+        f"{{'s': -({fold_dot('embedding', cvec)}), 'i': {j}}}"
+        for j, cvec in enumerate(_X23_CENTROIDS)
+    )
+    codes = ", ".join(
+        "list_sort(list_value("
+        + ", ".join(
+            f"{{'s': {sub_l2(j, _X100_BOOKS[j][c])}, 'i': {c}}}"
+            for c in range(ksub)
+        )
+        + "))[1].i"
+        for j in range(m)
+    )
+    lut = ", ".join(
+        "list_value("
+        + ", ".join(sub_l2(j, _X100_BOOKS[j][c]) for c in range(ksub))
+        + ")"
+        for j in range(m)
+    )
+    dist = (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"[a.lut[j][b.codes[j] + 1] for j in generate_series(1, {m})]), "
+        f"(acc, x) -> acc + x)"
+    )
+    exact = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "[((q.embedding[i]::DOUBLE - n.embedding[i]::DOUBLE)"
+        " * (q.embedding[i]::DOUBLE - n.embedding[i]::DOUBLE))"
+        " for i in generate_series(1, 64)]), (acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT vec_id, embedding,
+             list_sort(list_value({cent_structs})) AS r
+      FROM embeddings
+    ),
+    corp AS (
+      SELECT vec_id, r[1].i AS cell, list_value({codes}) AS codes
+      FROM ranked
+    ),
+    luts AS (
+      SELECT vec_id,
+             unnest(list_transform(r[1:3], x -> x.i)) AS cell,
+             list_value({lut}) AS lut
+      FROM ranked WHERE vec_id % 100 = 0
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {dist} ASC, b.vec_id
+               ) AS INTEGER) AS rank
+        FROM luts a JOIN corp b ON a.cell = b.cell AND a.vec_id != b.vec_id
+      ) WHERE rank <= {shortlist}
+    )
+    SELECT query_id, neighbor_id, exact_dist, rank FROM (
+      SELECT s.query_id, s.neighbor_id,
+             {exact} AS exact_dist,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY {exact} ASC, s.neighbor_id
+             ) AS INTEGER) AS rank
+      FROM short s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings n ON n.vec_id = s.neighbor_id
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "x157_ivf_pq_rerank",
+    _x157_oracle(),
+    "IVF-PQ search with exact re-ranking (Jegou 2011 SS V.C, the "
+    "standard recall-restoring second stage): the compressed index "
+    "shortlists top-20 candidates per query by ADC, ONLY those rows "
+    "rejoin their raw vectors (broadcast shortlist equi-join — never a "
+    "second vector scan) and re-rank by exact left-fold squared L2 to "
+    "top-5; shortlist recall is fully converted, so rerank recall >= "
+    "plain ADC-rank recall (pinned by pytest vs the x41 harness); "
+    "fixed centroids + codebooks keep every stage bit-identical",
+)
+def x157_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return S.ivf_pq_rerank_topk(
+        e, queries, _X23_CENTROIDS, _X100_BOOKS, k=5, shortlist=20,
+        nprobe=3, assign_mode="fold", encode_mode="fold",
+    )

@@ -2978,6 +2978,70 @@ class TestProductQuantization:
         fixed8 = mean_recall(pq_codebooks(64, m=8, ksub=16))
         assert trained8 > fixed8
 
+    def test_exact_rerank_restores_recall(self, spark):
+        """Jégou 2011 §V.C: re-ranking the IVF-PQ shortlist by exact
+        distance converts ALL shortlist recall — rerank recall >= plain
+        ADC-rank recall always (within any shortlist S every true top-k
+        member in S is among the k exact-nearest of S), and STRICTLY
+        better here because trained-m=8 quantization misranks within
+        the shortlist. Ground truth = exact squared-L2 top-5 (numpy,
+        the metric both stages rank by)."""
+        import numpy as np
+
+        from cryoflow_spark.functions.similarity import (
+            _train_ivf_centroids,
+            ivf_pq_rerank_topk,
+            ivf_pq_topk,
+            recall_at_k,
+            train_pq_codebooks,
+        )
+
+        e = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        q = e.filter(F.col("vec_id") % 100 == 0)
+        books = train_pq_codebooks(e, m=8, ksub=16, train_fraction=1.0)
+        cents = _train_ivf_centroids(e, n_centroids=4, vec_col="embedding")
+        rows = e.select("vec_id", "embedding").limit(2000).collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        exact_rows = []
+        for qi, qv in ((i, v) for i, v in zip(ids, X) if i % 100 == 0):
+            d = ((X - qv) ** 2).sum(axis=1)
+            order = sorted(range(len(ids)), key=lambda j: (d[j], ids[j]))
+            r = 0
+            for j in order:
+                if ids[j] == qi:
+                    continue
+                r += 1
+                exact_rows.append((int(qi), int(ids[j]), r))
+                if r == 5:
+                    break
+        exact = spark.createDataFrame(
+            exact_rows, "query_id long, neighbor_id long, rank int"
+        )
+
+        def mean_recall(approx):
+            rs = recall_at_k(
+                approx.select("query_id", "neighbor_id", "rank"),
+                exact, k=5,
+            ).collect()
+            return sum(r["recall"] for r in rs) / len(rs)
+
+        plain = mean_recall(ivf_pq_topk(
+            e, q, cents, books, k=5, nprobe=4,
+        ))
+        rerank = mean_recall(ivf_pq_rerank_topk(
+            e, q, cents, books, k=5, shortlist=50, nprobe=4,
+        ))
+        assert rerank >= plain
+        assert rerank > plain + 0.2, (plain, rerank)
+        assert rerank >= 0.5, rerank
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="shortlist"):
+            ivf_pq_rerank_topk(e, q, cents, books, k=5, shortlist=3)
+
 
 class TestHistogram:
     def test_explicit_bounds_with_clamping(self, spark):
