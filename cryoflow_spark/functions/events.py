@@ -1009,6 +1009,7 @@ def session_entry_report(
     user_col: str = "user_id",
     type_col: str = "event_type",
     gap_minutes: int = 30,
+    edge: str = "entry",
 ) -> DataFrame:
     """Per-entry-page session report — the landing/bounce view of the
     session family (x17 builds sessions, x127 models transitions, x135
@@ -1023,8 +1024,16 @@ def session_entry_report(
     cumulative-sum ids over integer micros — engine-portable windows);
     the entry event is the (ts, event_id)-first row of each session.
 
-    Output: ``(entry_type, sessions, bounces, bounce_rate, avg_steps,
-    session_share)`` ordered sessions DESC with an entry tiebreak.
+    ``edge="exit"`` flips the report to the (ts, event_id)-LAST row of
+    each session — the drop-off/exit-pages view (see
+    :func:`session_exit_report`): where sessions end instead of where
+    they begin. Same session machinery, same statistics; a single-step
+    session's entry IS its exit, so ``bounces`` is identical in both
+    views and the two reports' sessions columns sum to the same total.
+
+    Output: ``(entry_type | exit_type, sessions, bounces, bounce_rate,
+    avg_steps, session_share)`` ordered sessions DESC with a type
+    tiebreak.
 
     Scale: user-partitioned windows (state bounded by one user's
     activity — the x17 cost class), ONE (user, session)-keyed pass to
@@ -1033,6 +1042,9 @@ def session_entry_report(
     """
     if gap_minutes < 1:
         raise ValueError("gap_minutes must be >= 1")
+    if edge not in ("entry", "exit"):
+        raise ValueError("edge must be 'entry' or 'exit'")
+    out_type = f"{edge}_type"
     gap_us = int(gap_minutes) * 60_000_000
     us = _ts_micros(ts_col)
     base = events.filter(
@@ -1057,16 +1069,20 @@ def session_entry_report(
     )
     w_sess = Window.partitionBy("__u", "__sid").orderBy("__us", "event_id")
     w_all = Window.partitionBy("__u", "__sid")
+    edge_row = (
+        F.col("__rn") == 1 if edge == "entry"
+        else F.col("__rn") == F.col("__steps")
+    )
     per_session = (
         sess.withColumn("__rn", F.row_number().over(w_sess))
         .withColumn("__steps", F.count(F.lit(1)).over(w_all))
-        .filter(F.col("__rn") == 1)
+        .filter(edge_row)
         .select(
-            F.col("__t").alias("entry_type"),
+            F.col("__t").alias(out_type),
             F.col("__steps").cast("bigint").alias("__steps"),
         )
     )
-    report = per_session.groupBy("entry_type").agg(
+    report = per_session.groupBy(out_type).agg(
         F.count(F.lit(1)).cast("bigint").alias("sessions"),
         F.sum((F.col("__steps") == 1).cast("int"))
         .cast("bigint")
@@ -1084,7 +1100,7 @@ def session_entry_report(
     return (
         report.crossJoin(F.broadcast(total))
         .select(
-            "entry_type",
+            out_type,
             "sessions",
             "bounces",
             ratio(F.col("bounces"), F.col("sessions")).alias("bounce_rate"),
@@ -1098,5 +1114,30 @@ def session_entry_report(
             .otherwise(F.lit(0.0))
             .alias("session_share"),
         )
-        .orderBy(F.desc("sessions"), "entry_type")
+        .orderBy(F.desc("sessions"), out_type)
+    )
+
+
+def session_exit_report(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-exit-page session report — the drop-off twin of
+    :func:`session_entry_report`: per event type, the sessions that
+    ENDED with it (the (ts, event_id)-last row of each x17 gap
+    session), single-step bounces, mean length, exit share. The
+    classic "where do users give up" table; in crawl logs, a dominant
+    exit on an error page is a dead-link sweep. Same cost class as the
+    entry view (user-partitioned windows + one keyed report agg).
+    """
+    return session_entry_report(
+        events,
+        ts_col=ts_col,
+        user_col=user_col,
+        type_col=type_col,
+        gap_minutes=gap_minutes,
+        edge="exit",
     )

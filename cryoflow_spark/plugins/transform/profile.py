@@ -74,6 +74,9 @@ disturbing the main stream. Options:
 - ``report = "entries"`` emits the per-entry-page session report
   (sessions, bounces + rate, mean length, entry share); options
   ``ts_column``, ``user_column``, ``type_column``, ``gap_minutes``.
+- ``report = "exits"`` emits the drop-off twin: the per-exit-page
+  session report (where sessions END — give-up/dead-link pages);
+  same options as ``entries``.
 - ``report = "active_users"`` emits the per-day DAU / trailing-window
   WAU / stickiness engagement table; options ``ts_column``,
   ``user_column``, ``window_days``.
@@ -273,6 +276,17 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
             from cryoflow_spark.functions.events import session_entry_report
 
             return session_entry_report(
+                data,
+                ts_col=self.options.get("ts_column", "ts"),
+                user_col=self.options.get("user_column", "user_id"),
+                type_col=self.options.get("type_column", "event_type"),
+                gap_minutes=int(self.options.get("gap_minutes", 30)),
+            )
+
+        if self.options.get("report") == "exits":
+            from cryoflow_spark.functions.events import session_exit_report
+
+            return session_exit_report(
                 data,
                 ts_col=self.options.get("ts_column", "ts"),
                 user_col=self.options.get("user_column", "user_id"),

@@ -150,7 +150,7 @@ _PRIORITY: list[str] = [
     "x37_profile_columns", "x38_leakage_safe_split",
     "x39_snapshot_diff", "x40_ngram_novelty",
     # new r8 operators (never driver-checked — r9 window after the twins)
-    "x157_ivf_pq_rerank",
+    "x157_ivf_pq_rerank", "x158_session_exits",
 ]
 
 

@@ -8299,3 +8299,66 @@ def x157_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, queries, _X23_CENTROIDS, _X100_BOOKS, k=5, shortlist=20,
         nprobe=3, assign_mode="fold", encode_mode="fold",
     )
+
+
+# --- x158: session exit/drop-off report (oracle-checked) ---------------------
+
+
+@register(
+    "x158_session_exits",
+    """
+    WITH sess AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             CAST(SUM(CASE WHEN prev_us IS NULL
+                            OR ts_us - prev_us > 1800000000
+                           THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+               AS BIGINT) AS sid
+      FROM (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               LAG(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_us
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL
+      )
+    ),
+    per_session AS (
+      SELECT exit_type, steps FROM (
+        SELECT event_type AS exit_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts_us, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id, sid) AS steps
+        FROM sess
+      ) WHERE rn = steps
+    ),
+    report AS (
+      SELECT exit_type,
+             COUNT(*)::BIGINT AS sessions,
+             SUM(CASE WHEN steps = 1 THEN 1 ELSE 0 END)::BIGINT AS bounces,
+             SUM(steps)::BIGINT AS total_steps
+      FROM per_session GROUP BY exit_type
+    ),
+    tot AS (SELECT COALESCE(SUM(sessions), 0)::BIGINT AS alls FROM report)
+    SELECT exit_type, sessions, bounces,
+           ROUND(bounces::DOUBLE / sessions::DOUBLE, 6) AS bounce_rate,
+           ROUND(total_steps::DOUBLE / sessions::DOUBLE, 6) AS avg_steps,
+           CASE WHEN alls > 0
+                THEN ROUND(sessions::DOUBLE / alls::DOUBLE, 6)
+                ELSE 0.0 END AS session_share
+    FROM report CROSS JOIN tot
+    """,
+    "Per-exit-page session report (the drop-off twin of x154's "
+    "entry/bounce view): sessions ENDING at each event type — the "
+    "(ts, event_id)-last row of each x17 gap session — single-step "
+    "bounces, mean length, exit share; a dominant exit on an error "
+    "page is the classic give-up/dead-link signal; same user-"
+    "partitioned-window cost class, |types|-keyed report + one "
+    "broadcast scalar",
+)
+def x158_session_exits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.events import session_exit_report
+
+    e = load_events(spark, sf_dir)
+    return session_exit_report(e)

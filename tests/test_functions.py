@@ -6522,6 +6522,43 @@ class TestSessionEntryReport:
         assert (search["sessions"], search["bounces"]) == (1, 0)
         assert search["avg_steps"] == 3.0
 
+    def test_exit_view_hand_computed_and_duality(self, spark):
+        from datetime import datetime
+
+        from cryoflow_spark.functions.events import (
+            session_entry_report,
+            session_exit_report,
+        )
+
+        def ev(eid, minute, user, etype):
+            return (eid, datetime(2024, 1, 1, 10 + minute // 60, minute % 60), user, etype)
+
+        rows = [
+            # user a: session 1 home->search (exits at search); +40min;
+            # session 2 home only (bounce: entry == exit)
+            ev(1, 0, "a", "home"),
+            ev(2, 5, "a", "search"),
+            ev(3, 50, "a", "home"),
+            # user b: search->home->buy (exits at buy)
+            ev(4, 0, "b", "search"),
+            ev(5, 1, "b", "home"),
+            ev(6, 2, "b", "buy"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id string, event_type string"
+        )
+        out = {r["exit_type"]: r for r in session_exit_report(df).collect()}
+        assert set(out) == {"home", "search", "buy"}
+        assert (out["search"]["sessions"], out["search"]["bounces"]) == (1, 0)
+        assert (out["home"]["sessions"], out["home"]["bounces"]) == (1, 1)
+        assert out["buy"]["avg_steps"] == 3.0
+        # duality: both views partition the same session set
+        entries = session_entry_report(df).collect()
+        assert sum(r["sessions"] for r in entries) == \
+            sum(r["sessions"] for r in out.values()) == 3
+        assert sum(r["bounces"] for r in entries) == \
+            sum(r["bounces"] for r in out.values()) == 1
+
     def test_validation(self, spark):
         import pytest as _pytest
 
@@ -6532,6 +6569,8 @@ class TestSessionEntryReport:
         )
         with _pytest.raises(ValueError):
             session_entry_report(df, gap_minutes=0)
+        with _pytest.raises(ValueError):
+            session_entry_report(df, edge="middle")
         assert session_entry_report(df).count() == 0
 
 
