@@ -614,6 +614,190 @@ def event_transition_matrix(
     )
 
 
+def transition_batch_partials(
+    df: DataFrame,
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Mergeable partial of :func:`event_transition_matrix` for ONE
+    contiguous per-user slice of the event log (one micro-batch): the
+    transition monoid element
+
+    - ``kind = 'pair'`` rows — within-slice consecutive (src, dst)
+      counts in (ts, id) order;
+    - ``kind = 'state'`` rows — one row per user: the slice's first and
+      last event (type + (micros, id) position).
+
+    Two adjacent slices merge associatively: pair counts add, plus ONE
+    stitched boundary transition (earlier slice's last event → later
+    slice's first event) per user present in both, and the merged state
+    keeps (first of earliest, last of latest) — so the fold over any
+    batch decomposition equals the batch matrix, PROVIDED each user's
+    events arrive in non-interleaved (ts, id) segments across batches
+    (time-ordered log replay / per-key-ordered ingest; the same
+    precondition any counts+endpoints summary needs —
+    :func:`funnel_user_times` avoids it by keeping full time arrays,
+    the price being state O(events) instead of O(1) per user per
+    batch).
+
+    Scale: one user-partitioned window pass (lead) + a (src, dst)-keyed
+    count with map-side partials + one user-keyed min/max aggregation —
+    the partial table is |pairs seen in batch| + |active users| rows.
+    """
+    us = _ts_micros(ts_col)
+    base = df.filter(
+        F.col(user_col).isNotNull() & F.col(event_col).isNotNull()
+    ).select(
+        F.col(user_col).cast("string").alias("__u"),
+        F.col(event_col).alias("__e"),
+        us.alias("__us"),
+        F.col(id_col).cast("bigint").alias("__id"),
+    )
+    w = Window.partitionBy("__u").orderBy("__us", "__id")
+    pairs = (
+        base.withColumn("__next", F.lead("__e").over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col("__e").alias("src"), F.col("__next").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    state = base.groupBy("__u").agg(
+        F.min(F.struct("__us", "__id", "__e")).alias("__f"),
+        F.max(F.struct("__us", "__id", "__e")).alias("__l"),
+    )
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("bigint")
+    pair_rows = pairs.select(
+        F.lit("pair").alias("kind"),
+        "src", "dst", "n",
+        null_s.alias("user"),
+        null_s.alias("first_event"), null_l.alias("first_us"),
+        null_l.alias("first_id"),
+        null_s.alias("last_event"), null_l.alias("last_us"),
+        null_l.alias("last_id"),
+    )
+    state_rows = state.select(
+        F.lit("state").alias("kind"),
+        null_s.alias("src"), null_s.alias("dst"), null_l.alias("n"),
+        F.col("__u").alias("user"),
+        F.col("__f.__e").alias("first_event"),
+        F.col("__f.__us").alias("first_us"),
+        F.col("__f.__id").alias("first_id"),
+        F.col("__l.__e").alias("last_event"),
+        F.col("__l.__us").alias("last_us"),
+        F.col("__l.__id").alias("last_id"),
+    )
+    return pair_rows.unionByName(state_rows)
+
+
+def transition_partials_merge(partials: DataFrame) -> DataFrame:
+    """Fold a union of :func:`transition_batch_partials` tables into ONE
+    valid partial (closed under merge — compaction-safe): pair counts
+    re-aggregate, per-user segments stitch in (first_us, first_id)
+    order (each adjacent pair of segments contributes one boundary
+    transition), and the merged state is (first of earliest segment,
+    last of latest). One window over |users|×|segments| state rows +
+    two keyed aggs — never touches raw events.
+    """
+    pairs = (
+        partials.filter(F.col("kind") == "pair")
+        .groupBy("src", "dst")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    states = partials.filter(F.col("kind") == "state")
+    w = Window.partitionBy("user").orderBy("first_us", "first_id")
+    stitched = (
+        states.select(
+            "user",
+            "first_event",
+            F.lag("last_event").over(w).alias("__prev_last"),
+        )
+        .filter(F.col("__prev_last").isNotNull())
+        .groupBy(
+            F.col("__prev_last").alias("src"),
+            F.col("first_event").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    merged_pairs = (
+        pairs.unionByName(stitched)
+        .groupBy("src", "dst")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    merged_state = states.groupBy("user").agg(
+        F.min(F.struct("first_us", "first_id", "first_event")).alias("__f"),
+        F.max(F.struct("last_us", "last_id", "last_event")).alias("__l"),
+    )
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("bigint")
+    pair_rows = merged_pairs.select(
+        F.lit("pair").alias("kind"),
+        "src", "dst", "n",
+        null_s.alias("user"),
+        null_s.alias("first_event"), null_l.alias("first_us"),
+        null_l.alias("first_id"),
+        null_s.alias("last_event"), null_l.alias("last_us"),
+        null_l.alias("last_id"),
+    )
+    state_rows = merged_state.select(
+        F.lit("state").alias("kind"),
+        null_s.alias("src"), null_s.alias("dst"), null_l.alias("n"),
+        "user",
+        F.col("__f.first_event").alias("first_event"),
+        F.col("__f.first_us").alias("first_us"),
+        F.col("__f.first_id").alias("first_id"),
+        F.col("__l.last_event").alias("last_event"),
+        F.col("__l.last_us").alias("last_us"),
+        F.col("__l.last_id").alias("last_id"),
+    )
+    return pair_rows.unionByName(state_rows)
+
+
+def transition_report_from_partials(
+    partials: DataFrame,
+    start_marker: str = "__start__",
+    end_marker: str = "__end__",
+) -> DataFrame:
+    """The x127 transition matrix from merged partials — bit-identical
+    to :func:`event_transition_matrix` over the ingested union (under
+    the segment-order precondition): real pairs from the merged counts,
+    entry rows (``start_marker`` → each user's global first event) and
+    drop-off rows (global last event → ``end_marker``) from the merged
+    per-user state, then the same bounded row-stochastic window.
+    """
+    m = transition_partials_merge(partials)
+    pairs = m.filter(F.col("kind") == "pair").select("src", "dst", "n")
+    states = m.filter(F.col("kind") == "state")
+    starts = states.groupBy(
+        F.lit(start_marker).alias("src"),
+        F.col("first_event").alias("dst"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ends = states.groupBy(
+        F.col("last_event").alias("src"),
+        F.lit(end_marker).alias("dst"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    counts = (
+        pairs.unionByName(starts)
+        .unionByName(ends)
+        .groupBy("src", "dst")
+        .agg(F.sum("n").cast("bigint").alias("n_transitions"))
+    )
+    w_src = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_src).cast("double"),
+            6,
+        ).alias("prob"),
+    )
+
+
 def top_session_journeys(
     df: DataFrame,
     user_col: str = "user_id",

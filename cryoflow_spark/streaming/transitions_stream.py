@@ -1,0 +1,136 @@
+"""Streaming Markov transition matrix — the live path-analysis
+dashboard, the foreachBatch twin of the batch operator x127
+(:func:`cryoflow_spark.functions.events.event_transition_matrix`).
+
+Consecutive-pair counting looks stateful (a transition can straddle two
+micro-batches: its ``src`` arrives Monday, its ``dst`` Wednesday), but
+the per-batch summary (within-batch (src, dst) counts + each user's
+first/last event) is a MONOID under ordered concatenation: counts add,
+one boundary transition per user stitches adjacent segments, and the
+merged first/last is (first of earliest, last of latest)
+(:func:`transition_batch_partials` / :func:`transition_partials_merge`).
+So, like the funnel twin:
+
+- each micro-batch writes its partial to
+  ``<output>/partials/batch_id=N`` in OVERWRITE mode — a replayed batch
+  (failure/retry re-delivers the same batch_id) rewrites the same
+  directory instead of double-counting (the idempotent-sink contract of
+  foreachBatch);
+- the current matrix is obtained by folding all partials and adding the
+  ``__start__``/``__end__`` marker rows from the merged per-user state
+  (:func:`finalize_event_transitions`) — equal to
+  ``event_transition_matrix`` over every event ingested so far.
+
+PRECONDITION (documented on the partial builder): each user's events
+must arrive as non-interleaved (ts, event_id) segments across batches —
+true for time-ordered log replay and per-key-ordered ingest (Kafka key
+= user). Out-of-order arrival ACROSS batches would mis-stitch
+boundaries; counts+endpoints cannot detect it. If ingest cannot
+guarantee per-user segment order, keep full per-user event sequences as
+state (the funnel twin's design — state O(events) instead of O(1) per
+user per batch) or re-sort at rest with the batch operator.
+
+Scale: per batch, one user-partitioned window pass plus two keyed
+aggregations over THAT BATCH only; the partial is |within-batch pairs| +
+|active users| rows. Finalize reads only partial tables; compact
+periodically — :func:`transition_partials_merge` output is itself valid
+partial input, closed under merge.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from cryoflow_spark.streaming.report_stream import _start
+
+
+def _write_transition_partials(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    user_col: str,
+    event_col: str,
+    ts_col: str,
+    id_col: str,
+) -> None:
+    """Per-batch idempotent partial write (module-level so the replay
+    property is directly testable)."""
+    from cryoflow_spark.functions.events import transition_batch_partials
+
+    transition_batch_partials(
+        batch_df, user_col=user_col, event_col=event_col, ts_col=ts_col,
+        id_col=id_col,
+    ).write.mode("overwrite").parquet(
+        f"{output_path}/partials/batch_id={batch_id}"
+    )
+
+
+def event_transitions_stream(
+    stream_df: DataFrame,
+    output_path: str,
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    checkpoint_path: Optional[str] = None,
+    trigger: str = "available_now",
+) -> StreamingQuery:
+    """Maintain the x127 transition matrix over a live event stream.
+
+    Read the current matrix at any time with
+    :func:`finalize_event_transitions` — equal to the batch
+    ``event_transition_matrix`` over everything ingested so far (see
+    the module docstring for the per-user segment-order precondition).
+    """
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    checkpoint = checkpoint_path or f"{output_path}/_checkpoint"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _write_transition_partials(
+            batch_df, batch_id, output_path, user_col, event_col,
+            ts_col, id_col,
+        )
+
+    return _start(stream_df, _process, checkpoint, trigger)
+
+
+def finalize_event_transitions(
+    spark: SparkSession,
+    output_path: str,
+    start_marker: str = "__start__",
+    end_marker: str = "__end__",
+) -> DataFrame:
+    """Fold all written partials into the current transition matrix —
+    equal to the batch twin on the ingested union."""
+    from cryoflow_spark.functions.events import (
+        transition_report_from_partials,
+    )
+
+    partials = spark.read.parquet(f"{output_path}/partials/batch_id=*")
+    return transition_report_from_partials(
+        partials, start_marker=start_marker, end_marker=end_marker
+    )
+
+
+def compact_transition_partials(
+    spark: SparkSession,
+    output_path: str,
+) -> int:
+    """Compact the per-batch partial directories into one merged
+    partial (|pairs| + |users| rows total) —
+    :func:`transition_partials_merge` output is closed under merge, so
+    the compacted directory remains valid input for both
+    :func:`finalize_event_transitions` and later compactions. See
+    :func:`cryoflow_spark.streaming.report_stream.compact_partials`
+    for the crash/replay contract. Returns directories removed.
+    """
+    from cryoflow_spark.functions.events import transition_partials_merge
+    from cryoflow_spark.streaming.report_stream import compact_partials
+
+    return compact_partials(
+        spark, output_path, merge_fn=transition_partials_merge
+    )

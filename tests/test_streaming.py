@@ -747,6 +747,118 @@ def test_compact_partials_preserves_finalize_results(spark, tmp_path):
         == want2
 
 
+def test_event_transitions_stream_matches_batch_twin(spark, tmp_path):
+    """x127 streaming twin: the finalized transition matrix over all
+    micro-batches is bit-identical to the batch event_transition_matrix
+    on the full log — transitions STRADDLE batches (time split), the
+    boundary pairs come from the stitched per-user state — and a
+    replayed batch does not double-count."""
+    from cryoflow_spark.functions.events import event_transition_matrix
+    from cryoflow_spark.queries import load_events
+    from cryoflow_spark.streaming.transitions_stream import (
+        _write_transition_partials,
+        event_transitions_stream,
+        finalize_event_transitions,
+    )
+
+    full = load_events(spark, "/root/testdata/sf0.001")
+    src = tmp_path / "events"
+    src.mkdir()
+    # split by TIME, not user: per-user segments stay ordered across
+    # batches (the documented precondition) while transitions straddle
+    mid = full.select(
+        F.percentile(F.unix_micros("ts"), 0.5).alias("m")
+    ).collect()[0]["m"]
+    full.filter(F.unix_micros("ts") <= mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "a"))
+    full.filter(F.unix_micros("ts") > mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b"))
+    stream = spark.readStream.schema(full.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = tmp_path / "transitions"
+    q = event_transitions_stream(stream, str(out))
+    q.awaitTermination(120)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    want = canon(event_transition_matrix(full))
+    assert canon(finalize_event_transitions(spark, str(out))) == want
+    # replay idempotence on the per-batch writer (same id + content 2x)
+    out2 = tmp_path / "transitions2"
+    a = spark.read.parquet(str(src / "a"))
+    b = spark.read.parquet(str(src / "b"))
+    for batch_id, batch in ((0, a), (1, b), (0, a)):  # 0 replayed
+        _write_transition_partials(
+            batch, batch_id, str(out2), "user_id", "event_type", "ts",
+            "event_id",
+        )
+    assert canon(finalize_event_transitions(spark, str(out2))) == want
+
+
+def test_event_transitions_stream_compaction_and_validation(
+    spark, tmp_path
+):
+    """Compaction folds the per-batch partials into one merged partial
+    (closed under merge) with the finalize result unchanged; batch
+    frames are rejected."""
+    import pytest as _pytest
+
+    from cryoflow_spark.functions.events import event_transition_matrix
+    from cryoflow_spark.queries import load_events
+    from cryoflow_spark.streaming.transitions_stream import (
+        _write_transition_partials,
+        compact_transition_partials,
+        event_transitions_stream,
+        finalize_event_transitions,
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    events = load_events(spark, "/root/testdata/sf0.001")
+    out = tmp_path / "transitions"
+    # time-ordered thirds (per-user segments stay ordered)
+    lo = events.select(
+        F.percentile(F.unix_micros("ts"), 0.33).alias("m")
+    ).collect()[0]["m"]
+    hi = events.select(
+        F.percentile(F.unix_micros("ts"), 0.66).alias("m")
+    ).collect()[0]["m"]
+    slices = [
+        events.filter(F.unix_micros("ts") <= lo),
+        events.filter(
+            (F.unix_micros("ts") > lo) & (F.unix_micros("ts") <= hi)
+        ),
+        events.filter(F.unix_micros("ts") > hi),
+    ]
+    for i, sl in enumerate(slices):
+        _write_transition_partials(
+            sl, i, str(out), "user_id", "event_type", "ts", "event_id"
+        )
+    want = canon(event_transition_matrix(events))
+    assert canon(finalize_event_transitions(spark, str(out))) == want
+    rows_before = spark.read.parquet(
+        str(out / "partials" / "batch_id=*")).count()
+    assert compact_transition_partials(spark, str(out)) == 3
+    rows_after = spark.read.parquet(
+        str(out / "partials" / "batch_id=*")).count()
+    assert rows_after <= rows_before
+    assert canon(finalize_event_transitions(spark, str(out))) == want
+    # re-compaction folds the compact dir itself and stays equal
+    assert compact_transition_partials(spark, str(out)) == 1
+    assert canon(finalize_event_transitions(spark, str(out))) == want
+
+    batch = spark.createDataFrame(
+        [(1, "view")], "user_id long, event_type string"
+    )
+    with _pytest.raises(ValueError, match="streaming"):
+        event_transitions_stream(batch, "/tmp/nowhere")
+
+
 def test_burst_monitor_stream_matches_batch_twin(spark, tmp_path):
     """x118 streaming twin: the finalized burst report over all
     micro-batches equals the batch rate_anomaly_report on the full
