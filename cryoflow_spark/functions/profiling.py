@@ -1507,3 +1507,188 @@ def cohens_kappa(
         .otherwise(rate(num, den))
         .alias("kappa"),
     )
+
+
+def auc_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    positive_value=1,
+) -> DataFrame:
+    """ONE-row exact ROC-AUC of ``score_col`` against a binary label —
+    the threshold-free companion to x133's fixed-threshold report and
+    x144's agreement statistic: AUC is the Mann-Whitney probability
+    that a random positive outscores a random negative (Hanley &
+    McNeil 1982), with ties counted half. Grades any continuous
+    quality/confidence score against a gold column BEFORE a threshold
+    is chosen (per-threshold curves are x132's job).
+
+    Exact integer form: per distinct score ``s`` with ``pos_s``
+    positives, ``neg_s`` negatives and ``neg_below`` negatives at
+    strictly lower scores,
+
+        AUC = Σ_s pos_s · (2·neg_below + neg_s) / (2 · n_pos · n_neg)
+
+    — the numerator and denominator are exact BIGINTs, the single final
+    divide is identical IEEE in any engine. NULL scores/labels are
+    excluded; ``auc`` is NULL when either class is empty.
+
+    Output: ``(n, n_pos, n_neg, n_distinct_scores, auc)``.
+
+    Scale: one groupBy to the |distinct scores| spine; the cumulative
+    negative count rides the distributed CDF-spine pattern
+    (:func:`cryoflow_spark.functions.ranks.value_cdf` with a weight
+    column — range-partitioned local windows + a bounded
+    per-partition-offset stitch), so NO single-reducer window ever sees
+    a data-dependent row count; the final fold is a 1-row aggregate.
+    For continuous scores at 100 TB the spine is large but still a
+    keyed table — quantize scores upstream (x62 buckets) if even that
+    is too wide.
+    """
+    from cryoflow_spark.functions.ranks import value_cdf
+
+    scored = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("__s"),
+        F.when(F.col(label_col) == F.lit(positive_value), 1)
+        .otherwise(0)
+        .alias("__pos"),
+    )
+    neg_spine = value_cdf(
+        scored.withColumn("__neg", 1 - F.col("__pos")),
+        "__s",
+        weight_col="__neg",
+    ).select(
+        "__s",
+        F.col("rows_below").alias("__neg_below"),
+        (F.col("rows_at_or_below") - F.col("rows_below")).alias("__neg_s"),
+    )
+    pos = scored.groupBy("__s").agg(
+        F.sum("__pos").cast("bigint").alias("__pos_s")
+    )
+    per_score = pos.join(neg_spine, "__s")
+    return per_score.agg(
+        F.coalesce(F.sum(F.col("__pos_s") + F.col("__neg_s")), F.lit(0))
+        .cast("bigint")
+        .alias("n"),
+        F.coalesce(F.sum("__pos_s"), F.lit(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.coalesce(F.sum("__neg_s"), F.lit(0))
+        .cast("bigint")
+        .alias("n_neg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_scores"),
+        # DECIMAL(38,0) accumulator: at extreme scale the pairwise
+        # numerator ~ 2·n_pos·n_neg exceeds BIGINT long before the
+        # inputs do; exact decimal sums stay order-independent and the
+        # final decimal→double cast matches DuckDB's HUGEINT::DOUBLE
+        F.coalesce(
+            F.sum(
+                F.col("__pos_s").cast("decimal(38,0)")
+                * (F.lit(2) * F.col("__neg_below") + F.col("__neg_s"))
+                .cast("decimal(38,0)")
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("__num2"),
+    ).select(
+        "n",
+        "n_pos",
+        "n_neg",
+        "n_distinct_scores",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("__num2").cast("double")
+            / (F.lit(2.0) * F.col("n_pos").cast("double")
+               * F.col("n_neg").cast("double")),
+        ).alias("auc"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    positive_value=1,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error of a
+    probability score against a binary label (Guo et al. 2017 "On
+    Calibration of Modern Neural Networks" — the standard fixed-grid
+    binned ECE): per probability bin ``[i/n, (i+1)/n)`` (top bin
+    closed), the row count, exact mean predicted probability, the
+    empirical positive rate, and the signed gap; every row repeats the
+    one-number ``ece`` = Σ (n_b/N)·|rate_b − mean_prob_b| so the table
+    is self-contained. A scorer can have perfect AUC and still be
+    mis-calibrated — this is the complement :func:`auc_report` doesn't
+    measure.
+
+    Probabilities outside [0, 1] raise at runtime via the bin check
+    (callers normalize first); NULL prob/label rows are excluded.
+
+    Output: ``(bin, lo, hi, n, mean_prob, pos_rate, gap, ece)``, one
+    row per NON-EMPTY bin.
+
+    Scale: one map-side bin assignment + one ≤ ``n_bins``-keyed
+    aggregation; mean probabilities accumulate as exact
+    DECIMAL(38,10) sums (order-independent — the registry's float-sum
+    rule) and every ratio is a single final divide. The ECE fold runs
+    over the bounded bin table.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    scored = df.filter(
+        F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(prob_col).cast("double").alias("__p"),
+        F.when(F.col(label_col) == F.lit(positive_value), 1)
+        .otherwise(0)
+        .alias("__pos"),
+    )
+    b = F.least(
+        F.floor(F.col("__p") * F.lit(int(n_bins))).cast("int"),
+        F.lit(int(n_bins) - 1),
+    )
+    dec = "decimal(38,10)"
+    bins = (
+        scored.withColumn("__b", b)
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("__p").cast(dec)).cast(dec).alias("__psum"),
+            F.sum("__pos").cast("bigint").alias("__npos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # bounded envelope: the unpartitioned window runs over <= n_bins rows
+    mean_prob = F.col("__psum").cast("double") / F.col("n").cast("double")
+    pos_rate = F.col("__npos").cast("double") / F.col("n").cast("double")
+    enriched = bins.select(
+        F.col("__b").alias("bin"),
+        F.round(F.col("__b").cast("double") / F.lit(float(n_bins)), 6)
+        .alias("lo"),
+        F.round(
+            (F.col("__b") + 1).cast("double") / F.lit(float(n_bins)), 6
+        ).alias("hi"),
+        "n",
+        F.round(mean_prob, 6).alias("mean_prob"),
+        F.round(pos_rate, 6).alias("pos_rate"),
+        F.round(pos_rate - mean_prob, 6).alias("gap"),
+        F.abs(
+            F.col("__npos").cast(dec) - F.col("__psum").cast(dec)
+        ).cast(dec).alias("__absdev"),
+    )
+    return enriched.select(
+        "bin", "lo", "hi", "n", "mean_prob", "pos_rate", "gap",
+        F.round(
+            (F.sum("__absdev").over(w_all).cast("double"))
+            / (F.sum("n").over(w_all).cast("double")),
+            6,
+        ).alias("ece"),
+    ).drop("__absdev")

@@ -44,6 +44,7 @@ def value_cdf(
     value_col: str,
     num_partitions: Optional[int] = None,
     assume_distinct: bool = False,
+    weight_col: Optional[str] = None,
 ) -> DataFrame:
     """Per-distinct-value CDF spine for ``value_col``.
 
@@ -65,17 +66,34 @@ def value_cdf(
     below is then the ONLY full-table movement. With non-unique values
     this flag silently produces row-number-style ranks — callers own the
     uniqueness guarantee.
+
+    ``weight_col``: an integer 0/1 (or count) column — the spine then
+    accumulates WEIGHTED row counts (``rows_below`` = total weight
+    strictly below the value, etc.). Every distinct ``value_col`` still
+    gets a spine row, including zero-weight ones. Powers rank statistics
+    restricted to a row class without a second scan (e.g. the exact AUC
+    operator counts negatives below each score while positives ride the
+    same spine). Incompatible with ``assume_distinct``.
     """
     spark = df.sparkSession
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
 
-    counts = (
-        df.select(value_col).withColumn("_cnt", F.lit(1).cast("long"))
-        if assume_distinct
-        else df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
-    )
+    if weight_col is not None:
+        if assume_distinct:
+            raise ValueError("weight_col requires assume_distinct=False")
+        counts = df.groupBy(value_col).agg(
+            F.coalesce(F.sum(F.col(weight_col).cast("long")), F.lit(0))
+            .cast("long")
+            .alias("_cnt")
+        )
+    else:
+        counts = (
+            df.select(value_col).withColumn("_cnt", F.lit(1).cast("long"))
+            if assume_distinct
+            else df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+        )
     # Contiguous, non-overlapping value ranges per partition; equal values
     # land together (one spine row per value anyway after the groupBy).
     spine = counts.repartitionByRange(

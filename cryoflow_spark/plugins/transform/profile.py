@@ -84,6 +84,12 @@ disturbing the main stream. Options:
   chance-corrected agreement of ``pred_column`` vs ``label_column``
   (Cohen 1960) — the imbalance-robust companion number to
   ``classification``.
+- ``report = "auc"`` emits the ONE-row exact ROC-AUC (Mann-Whitney,
+  ties half) of ``score_column`` against ``label_column`` (value ==
+  ``positive_value``, default 1) — the threshold-free scorer grade.
+- ``report = "calibration"`` emits the reliability diagram + ECE of a
+  [0,1] ``score_column`` vs ``label_column`` over ``n_bins`` (default
+  10) fixed-grid bins — the complement AUC doesn't measure.
 - ``report = "outliers"`` emits the per-column robust outlier screen
   (median + MAD, count beyond ``k`` MADs, default 10) over the
   numeric ``columns`` — decides which columns need
@@ -173,6 +179,29 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 data,
                 label_col=self.require_option("label_column"),
                 pred_col=self.require_option("pred_column"),
+            )
+
+        if self.options.get("report") == "auc":
+            from cryoflow_spark.functions.profiling import auc_report
+
+            return auc_report(
+                data,
+                score_col=self.require_option("score_column"),
+                label_col=self.require_option("label_column"),
+                positive_value=self.options.get("positive_value", 1),
+            )
+
+        if self.options.get("report") == "calibration":
+            from cryoflow_spark.functions.profiling import (
+                calibration_report,
+            )
+
+            return calibration_report(
+                data,
+                prob_col=self.require_option("score_column"),
+                label_col=self.require_option("label_column"),
+                n_bins=int(self.options.get("n_bins", 10)),
+                positive_value=self.options.get("positive_value", 1),
             )
 
         if self.options.get("report") == "outliers":

@@ -151,6 +151,7 @@ _PRIORITY: list[str] = [
     "x39_snapshot_diff", "x40_ngram_novelty",
     # new r8 operators (never driver-checked — r9 window after the twins)
     "x157_ivf_pq_rerank", "x158_session_exits",
+    "x159_auc_report", "x160_calibration_curve",
 ]
 
 

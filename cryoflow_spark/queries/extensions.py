@@ -8362,3 +8362,115 @@ def x158_session_exits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir)
     return session_exit_report(e)
+
+
+# --- x159: exact ROC-AUC (oracle-checked) ------------------------------------
+
+
+@register(
+    "x159_auc_report",
+    """
+    WITH scored AS (
+      SELECT value AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    per AS (
+      SELECT s, SUM(pos)::BIGINT AS pos_s, SUM(1 - pos)::BIGINT AS neg_s
+      FROM scored GROUP BY s
+    ),
+    cum AS (
+      SELECT pos_s, neg_s,
+             CAST(COALESCE(SUM(neg_s) OVER (
+               ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS neg_below
+      FROM per
+    )
+    SELECT SUM(pos_s + neg_s)::BIGINT AS n,
+           SUM(pos_s)::BIGINT AS n_pos,
+           SUM(neg_s)::BIGINT AS n_neg,
+           COUNT(*)::BIGINT AS n_distinct_scores,
+           CASE WHEN SUM(pos_s) > 0 AND SUM(neg_s) > 0 THEN
+             SUM(pos_s * (2 * neg_below + neg_s))::DOUBLE
+             / (2.0 * SUM(pos_s)::DOUBLE * SUM(neg_s)::DOUBLE)
+           END AS auc
+    FROM cum
+    """,
+    "Exact ROC-AUC (Hanley-McNeil 1982 Mann-Whitney form, ties counted "
+    "half) of the event value score against the purchase label — the "
+    "threshold-free scorer grade x133/x144 don't give; exact BIGINT "
+    "numerator over the distributed CDF spine (range-partitioned local "
+    "windows + bounded offset stitch — no single-reducer window over "
+    "data-dependent rows), one final divide",
+)
+def x159_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import auc_report
+
+    e = load_events(spark, sf_dir)
+    scored = e.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("is_purchase"),
+    ).filter(F.col("event_type").isNotNull())
+    return auc_report(scored, "value", "is_purchase")
+
+
+# --- x160: calibration curve + ECE (oracle-checked) --------------------------
+
+
+@register(
+    "x160_calibration_curve",
+    """
+    WITH scored AS (
+      SELECT value - floor(value) AS p,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN 1 ELSE 0 END AS pos
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    bins AS (
+      SELECT LEAST(CAST(floor(p * 10) AS INTEGER), 9) AS bin,
+             COUNT(*)::BIGINT AS n,
+             SUM(CAST(p AS DECIMAL(38,10)))::DECIMAL(38,10) AS psum,
+             SUM(pos)::BIGINT AS npos
+      FROM scored GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(abs(npos::DECIMAL(38,10) - psum))::DECIMAL(38,10)
+               AS absdev,
+             SUM(n)::BIGINT AS nn
+      FROM bins
+    )
+    SELECT bin,
+           ROUND(bin::DOUBLE / 10.0, 6) AS lo,
+           ROUND((bin + 1)::DOUBLE / 10.0, 6) AS hi,
+           n,
+           ROUND(psum::DOUBLE / n::DOUBLE, 6) AS mean_prob,
+           ROUND(npos::DOUBLE / n::DOUBLE, 6) AS pos_rate,
+           ROUND(npos::DOUBLE / n::DOUBLE
+                 - psum::DOUBLE / n::DOUBLE, 6) AS gap,
+           ROUND(absdev::DOUBLE / nn::DOUBLE, 6) AS ece
+    FROM bins CROSS JOIN tot
+    """,
+    "Reliability diagram + expected calibration error (Guo et al. 2017 "
+    "fixed-grid binned ECE) of a [0,1) probability score (fractional "
+    "part of event value — deterministic in both engines) against the "
+    "purchase/signup label: per non-empty decile bin the exact-decimal "
+    "mean predicted probability vs empirical positive rate and signed "
+    "gap, plus the one-number ECE — the complement AUC doesn't "
+    "measure; one map-side bin assignment + one <=10-keyed agg, ECE "
+    "folds over the bounded bin table",
+)
+def x160_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import calibration_report
+
+    e = load_events(spark, sf_dir)
+    scored = e.filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        (F.col("value") - F.floor(F.col("value"))).alias("p"),
+        F.when(
+            F.col("event_type").isin("purchase", "signup"), 1
+        ).otherwise(0).alias("converted"),
+    )
+    return calibration_report(scored, "p", "converted", n_bins=10)

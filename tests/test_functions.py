@@ -1206,6 +1206,27 @@ class TestDistributedRankStats:
         row = with_rank_stats(df, "v").collect()[0]
         assert row["pct_rank"] == 0.0 and row["cume_dist"] == 1.0
 
+    def test_weighted_spine_counts_only_flagged_rows(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.ranks import value_cdf
+
+        # values 1..4; weight flags mark {2: one, 3: two} rows; value 4
+        # has weight 0 everywhere but still gets a spine row
+        rows = [(1, 0), (2, 1), (2, 0), (3, 1), (3, 1), (4, 0)]
+        df = spark.createDataFrame(rows, "v long, w int")
+        spine = {r["v"]: r for r in
+                 value_cdf(df, "v", weight_col="w",
+                           num_partitions=3).collect()}
+        assert set(spine) == {1, 2, 3, 4}
+        assert [spine[v]["rows_below"] for v in (1, 2, 3, 4)] == \
+            [0, 0, 1, 3]
+        assert [spine[v]["rows_at_or_below"] for v in (1, 2, 3, 4)] == \
+            [0, 1, 3, 3]
+        assert spine[1]["n_total"] == 3
+        with _pytest.raises(ValueError, match="assume_distinct"):
+            value_cdf(df, "v", weight_col="w", assume_distinct=True)
+
     def test_null_rows_kept_and_match_builtin(self, spark):
         """NULL values must neither be dropped (null-safe join) nor
         mis-ranked: Spark's Window.orderBy sorts NULLS FIRST, so NULL rows
@@ -5918,6 +5939,116 @@ class TestBpeMergePairs:
         assert bpe_merge_pairs(df, "text", top_k=1).count() == 1
         with _pytest.raises(ValueError):
             bpe_merge_pairs(df, "text", top_k=0)
+
+
+class TestAucReport:
+    def test_hand_computed_with_ties(self, spark):
+        from cryoflow_spark.functions.profiling import auc_report
+
+        # scores: pos {3, 2, 2}, neg {2, 1}; pairs (p,n):
+        # (3,2)>  (3,1)>  (2,2)= (2,1)> (2,2)= (2,1)>  -> (4 + 2*0.5)/6
+        df = spark.createDataFrame(
+            [(3.0, 1), (2.0, 1), (2.0, 1), (2.0, 0), (1.0, 0),
+             (None, 1), (5.0, None)],
+            "s double, y int",
+        )
+        r = auc_report(df, "s", "y").collect()[0]
+        assert (r["n"], r["n_pos"], r["n_neg"]) == (5, 3, 2)
+        assert r["n_distinct_scores"] == 3
+        assert r["auc"] == 5.0 / 6.0
+
+    def test_degenerate_and_perfect(self, spark):
+        from cryoflow_spark.functions.profiling import auc_report
+
+        one_class = spark.createDataFrame(
+            [(1.0, 1), (2.0, 1)], "s double, y int"
+        )
+        assert auc_report(one_class, "s", "y").collect()[0]["auc"] is None
+        perfect = spark.createDataFrame(
+            [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "s double, y int"
+        )
+        assert auc_report(perfect, "s", "y").collect()[0]["auc"] == 1.0
+        inverted = spark.createDataFrame(
+            [(0.1, 1), (0.9, 0)], "s double, y int"
+        )
+        assert auc_report(inverted, "s", "y").collect()[0]["auc"] == 0.0
+
+    def test_randomized_reference(self, spark):
+        """Exact AUC equals the O(n^2) pairwise Mann-Whitney count on
+        random tied data (pure-Python reference, seeded)."""
+        import random
+
+        from cryoflow_spark.functions.profiling import auc_report
+
+        rng = random.Random(77)
+        rows = [
+            (float(rng.randint(0, 8)) / 4.0, rng.randint(0, 1))
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(rows, "s double, y int")
+        got = auc_report(df, "s", "y").collect()[0]["auc"]
+        pos = [s for s, y in rows if y == 1]
+        neg = [s for s, y in rows if y == 0]
+        num = sum(
+            1.0 if p > n else (0.5 if p == n else 0.0)
+            for p in pos for n in neg
+        )
+        want = num / (len(pos) * len(neg))
+        assert abs(got - want) < 1e-12
+
+
+class TestCalibrationReport:
+    def test_hand_computed_bins_and_ece(self, spark):
+        from cryoflow_spark.functions.profiling import calibration_report
+
+        # 2 bins: [0,.5) holds p=.2(y0),.4(y1); [.5,1] holds
+        # p=.6(y1),.8(y1),1.0(y0) (p=1.0 lands in the closed top bin)
+        df = spark.createDataFrame(
+            [(0.2, 0), (0.4, 1), (0.6, 1), (0.8, 1), (1.0, 0)],
+            "p double, y int",
+        )
+        out = {r["bin"]: r for r in
+               calibration_report(df, "p", "y", n_bins=2).collect()}
+        lo, hi = out[0], out[1]
+        assert (lo["n"], hi["n"]) == (2, 3)
+        assert lo["mean_prob"] == 0.3 and lo["pos_rate"] == 0.5
+        assert hi["mean_prob"] == 0.8
+        assert hi["pos_rate"] == round(2 / 3, 6)
+        # ece = (|1-0.6| + |2-2.4|) / 5
+        assert lo["ece"] == hi["ece"] == round(0.8 / 5, 6)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            calibration_report(df, "p", "y", n_bins=0)
+
+    def test_randomized_reference(self, spark):
+        import random
+
+        from cryoflow_spark.functions.profiling import calibration_report
+
+        rng = random.Random(13)
+        rows = [
+            (rng.randint(0, 100) / 100.0, rng.randint(0, 1))
+            for _ in range(400)
+        ]
+        df = spark.createDataFrame(rows, "p double, y int")
+        got = {r["bin"]: r for r in
+               calibration_report(df, "p", "y", n_bins=10).collect()}
+        binned: dict[int, list[tuple[float, int]]] = {}
+        for p, y in rows:
+            binned.setdefault(min(int(p * 10), 9), []).append((p, y))
+        ece = sum(
+            abs(sum(y for _, y in v) - sum(p for p, _ in v))
+            for v in binned.values()
+        ) / len(rows)
+        for b, v in binned.items():
+            r = got[b]
+            assert r["n"] == len(v)
+            assert abs(r["mean_prob"]
+                       - round(sum(p for p, _ in v) / len(v), 6)) <= 1e-6
+            assert abs(r["pos_rate"]
+                       - round(sum(y for _, y in v) / len(v), 6)) <= 1e-6
+            assert abs(r["ece"] - ece) < 1e-6
 
 
 class TestCohensKappa:

@@ -214,6 +214,11 @@ def test_no_cartesian_products(all_plans):
         # 1-row all-sessions scalar crossJoin(broadcast) into the
         # |event types|-row entry report — same scalar pattern.
         "x154_session_entries",
+        # the exit twin rides the identical report shape.
+        "x158_session_exits",
+        # engine-mode twin of x100 — PQ's deliberate compressed linear
+        # scan with the broadcast LUT query side (see x100 above).
+        "x100_pq_adc_engine",
         # 1-row (N, total tokens) corpus-stats scalar crossJoin
         # (broadcast) into the |matching docs| × |Q| scored table —
         # same scalar pattern.
@@ -263,6 +268,13 @@ _BOUNDED_WINDOW_ENVELOPES = {
     # over the <= n_bins-row Jaccard bin table (Spark keeps the
     # duplicated cumulative spec: 2 cum + 1 total = 3 specs).
     "x132_threshold_sensitivity": ("sum(n_pairs", 3),
+    # exact AUC rides the weighted value_cdf spine — the offsets stitch
+    # over the per-range-partition totals table (n_total is pruned by
+    # Catalyst since the report derives its totals downstream: 1 spec).
+    "x159_auc_report": ("_psize", 1),
+    # calibration ECE: abs-dev + row totals over the <= n_bins-row
+    # reliability bin table (2 specs in one Window).
+    "x160_calibration_curve": ("sum(n", 2),
 }
 
 
