@@ -1692,3 +1692,116 @@ def calibration_report(
             6,
         ).alias("ece"),
     ).drop("__absdev")
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    subject_col: str,
+    rating_col: str,
+    n_raters: int,
+) -> DataFrame:
+    """ONE-row multi-rater chance-corrected agreement (Fleiss 1971,
+    "Measuring Nominal Scale Agreement Among Many Raters") — the
+    generalization :func:`cohens_kappa` can't give past two raters:
+    with ``n_ij`` the count of raters assigning subject ``i`` to
+    category ``j``, per-subject agreement is the fraction of agreeing
+    rater pairs, chance agreement is the sum of squared category
+    shares, and
+
+        kappa = (P_bar - P_e) / (1 - P_e)
+              = (R·(S - R) - (r-1)·C) / ((r-1)·(R² - C))
+
+    with ``r`` raters per subject, ``N`` kept subjects, ``R = N·r``
+    total ratings, ``S = Σ n_ij²``, ``C = Σ_j (Σ_i n_ij)²`` — every
+    term an exact integer (DECIMAL(38,0) past the BIGINT ceiling:
+    ``R·S ~ N²r³``), one final divide. The triple-annotation QA
+    statistic for label audits and rater-pool calibration.
+
+    Input is LONG format: one row per (subject, assigned category).
+    Subjects with a rating count ≠ ``n_raters`` (missing/extra
+    annotations) are EXCLUDED and counted in ``n_excluded_subjects`` —
+    Fleiss' statistic assumes a fixed panel size. NULL subjects or
+    ratings are excluded first. ``P_e = 1`` degenerate tables (every
+    rating one category) report ``kappa = 0.0`` (the x144 convention).
+
+    Output: ``(n_subjects, n_raters, n_categories,
+    n_excluded_subjects, p_bar, p_e, kappa)`` — rates rounded to 6.
+
+    Scale: two keyed aggregations (subject×category counts with
+    map-side partials, then subject totals for the panel filter), a
+    |categories|-keyed margin agg, and 1-row folds — no window, no
+    driver collect; the confusion structure never exceeds
+    |subjects| × |categories| rows.
+    """
+    if n_raters < 2:
+        raise ValueError("n_raters must be >= 2")
+    dec = "decimal(38,0)"
+    base = df.filter(
+        F.col(subject_col).isNotNull() & F.col(rating_col).isNotNull()
+    ).select(
+        F.col(subject_col).alias("__i"), F.col(rating_col).alias("__j")
+    )
+    nij = base.groupBy("__i", "__j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    rtot = nij.groupBy("__i").agg(
+        F.sum("__n").cast("bigint").alias("__r")
+    )
+    kept_flag = rtot.select(
+        "__i", (F.col("__r") == F.lit(int(n_raters))).alias("__keep")
+    )
+    flagged = nij.join(kept_flag, "__i")
+    kept = flagged.filter(F.col("__keep"))
+    excluded = kept_flag.filter(~F.col("__keep")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_excluded_subjects")
+    )
+    subj = kept.agg(
+        F.coalesce(
+            F.count_distinct(F.col("__i")), F.lit(0)
+        ).cast("bigint").alias("__N"),
+        F.coalesce(F.sum(F.col("__n") * F.col("__n")), F.lit(0))
+        .cast("bigint")
+        .alias("__S"),
+    )
+    cats = kept.groupBy("__j").agg(
+        F.sum("__n").cast("bigint").alias("__cj")
+    )
+    marg = cats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.coalesce(
+            F.sum(F.col("__cj").cast(dec) * F.col("__cj").cast(dec)),
+            F.lit(0),
+        )
+        .cast(dec)
+        .alias("__C"),
+    )
+    r_lit = F.lit(int(n_raters)).cast(dec)
+    row = (
+        subj.crossJoin(F.broadcast(marg))
+        .crossJoin(F.broadcast(excluded))
+    )
+    R = (F.col("__N").cast(dec) * r_lit).cast(dec)
+    S = F.col("__S").cast(dec)
+    C = F.col("__C").cast(dec)
+    num = (R * (S - R) - (r_lit - F.lit(1).cast(dec)) * C).cast(dec)
+    den = ((r_lit - F.lit(1).cast(dec)) * (R * R - C)).cast(dec)
+    rate = lambda x, y: F.round(  # noqa: E731
+        x.cast("double") / y.cast("double"), 6
+    )
+    return row.select(
+        F.col("__N").alias("n_subjects"),
+        F.lit(int(n_raters)).cast("bigint").alias("n_raters"),
+        "n_categories",
+        "n_excluded_subjects",
+        F.when(F.col("__N") == 0, F.lit(0.0))
+        .otherwise(
+            rate(S - R, R * (r_lit - F.lit(1).cast(dec)))
+        )
+        .alias("p_bar"),
+        F.when(F.col("__N") == 0, F.lit(0.0))
+        .otherwise(rate(C, R * R))
+        .alias("p_e"),
+        F.when(den == F.lit(0).cast(dec), F.lit(0.0))
+        .otherwise(rate(num, den))
+        .alias("kappa"),
+    )

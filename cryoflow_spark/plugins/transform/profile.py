@@ -84,6 +84,10 @@ disturbing the main stream. Options:
   chance-corrected agreement of ``pred_column`` vs ``label_column``
   (Cohen 1960) — the imbalance-robust companion number to
   ``classification``.
+- ``report = "fleiss"`` emits the ONE-row Fleiss'-kappa multi-rater
+  agreement (Fleiss 1971) of long-format (``subject_column``,
+  ``rating_column``) rows with a fixed ``n_raters`` panel — the
+  generalization of ``kappa`` past two raters.
 - ``report = "auc"`` emits the ONE-row exact ROC-AUC (Mann-Whitney,
   ties half) of ``score_column`` against ``label_column`` (value ==
   ``positive_value``, default 1) — the threshold-free scorer grade.
@@ -179,6 +183,16 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 data,
                 label_col=self.require_option("label_column"),
                 pred_col=self.require_option("pred_column"),
+            )
+
+        if self.options.get("report") == "fleiss":
+            from cryoflow_spark.functions.profiling import fleiss_kappa
+
+            return fleiss_kappa(
+                data,
+                subject_col=self.require_option("subject_column"),
+                rating_col=self.require_option("rating_column"),
+                n_raters=int(self.require_option("n_raters")),
             )
 
         if self.options.get("report") == "auc":

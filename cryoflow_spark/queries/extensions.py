@@ -8474,3 +8474,106 @@ def x160_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0).alias("converted"),
     )
     return calibration_report(scored, "p", "converted", n_bins=10)
+
+
+# --- x162: Fleiss' kappa multi-rater agreement (oracle-checked) --------------
+
+
+def _x162_oracle() -> str:
+    """Three-rater Fleiss panel: gold lang, the x09 lang-id heuristic
+    (same SQL replica as x144), and a deterministically perturbed
+    third annotator (every 7th doc says 'en')."""
+    score_exprs = []
+    for code, words in X.LANG_MARKERS.items():
+        hits = " + ".join(
+            f"(CASE WHEN contains(' ' || text || ' ', ' {w} ') THEN 1 ELSE 0 END)"
+            for w in words
+        )
+        score_exprs.append(f"({hits}) AS s_{code}")
+    scores = ", ".join(score_exprs)
+    best = "greatest(" + ", ".join(f"s_{c}" for c in X.LANG_MARKERS) + ")"
+    cases = " ".join(
+        f"WHEN s_{c} > 0 AND s_{c} = {best} THEN '{c}'"
+        for c in sorted(X.LANG_MARKERS)
+    )
+    return f"""
+    WITH pred AS (
+      SELECT doc_id, lang, CASE {cases} ELSE 'und' END AS predicted
+      FROM (SELECT doc_id, lang, text, {scores} FROM documents)
+      WHERE lang IS NOT NULL
+    ),
+    long AS (
+      SELECT doc_id AS i, lang AS j FROM pred
+      UNION ALL SELECT doc_id, predicted FROM pred
+      UNION ALL SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END FROM pred
+    ),
+    nij AS (SELECT i, j, COUNT(*)::BIGINT AS n FROM long GROUP BY 1, 2),
+    rtot AS (SELECT i, SUM(n)::BIGINT AS r FROM nij GROUP BY i),
+    kept AS (
+      SELECT nij.i, nij.j, nij.n FROM nij
+      JOIN rtot ON nij.i = rtot.i WHERE rtot.r = 3
+    ),
+    excl AS (
+      SELECT COUNT(*)::BIGINT AS ne FROM rtot WHERE r != 3
+    ),
+    subj AS (
+      SELECT COUNT(DISTINCT i)::HUGEINT AS nsub,
+             COALESCE(SUM(n * n), 0)::HUGEINT AS s
+      FROM kept
+    ),
+    cats AS (SELECT j, SUM(n)::HUGEINT AS cj FROM kept GROUP BY j),
+    marg AS (
+      SELECT COUNT(*)::BIGINT AS k,
+             COALESCE(SUM(cj * cj), 0)::HUGEINT AS c
+      FROM cats
+    )
+    SELECT subj.nsub::BIGINT AS n_subjects,
+           3::BIGINT AS n_raters,
+           marg.k AS n_categories,
+           excl.ne AS n_excluded_subjects,
+           CASE WHEN subj.nsub = 0 THEN 0.0
+                ELSE ROUND((subj.s - subj.nsub * 3)::DOUBLE
+                           / (subj.nsub * 3 * 2)::DOUBLE, 6)
+           END AS p_bar,
+           CASE WHEN subj.nsub = 0 THEN 0.0
+                ELSE ROUND(marg.c::DOUBLE
+                           / (subj.nsub * 3 * subj.nsub * 3)::DOUBLE, 6)
+           END AS p_e,
+           CASE WHEN 2 * ((subj.nsub * 3) * (subj.nsub * 3) - marg.c) = 0
+                THEN 0.0
+                ELSE ROUND(
+                  ((subj.nsub * 3) * (subj.s - subj.nsub * 3)
+                   - 2 * marg.c)::DOUBLE
+                  / (2 * ((subj.nsub * 3) * (subj.nsub * 3)
+                          - marg.c))::DOUBLE, 6)
+           END AS kappa
+    FROM subj CROSS JOIN marg CROSS JOIN excl
+    """
+
+
+@register(
+    "x162_fleiss_kappa",
+    _x162_oracle(),
+    "Fleiss' kappa (Fleiss 1971) over a three-rater panel — gold lang, "
+    "the x09 lang-id heuristic, a perturbed third annotator: the "
+    "multi-rater chance-corrected agreement Cohen's kappa (x144) can't "
+    "give past two raters; exact-integer per-subject pair agreement "
+    "and squared category shares, kappa as one ratio in DECIMAL(38,0)/"
+    "HUGEINT, subjects with a short panel excluded and counted; two "
+    "keyed aggs + |categories| margins + 1-row folds",
+)
+def x162_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import fleiss_kappa
+
+    d = load(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    rater3 = F.when(F.col("doc_id") % 7 == 0, F.lit("en")).otherwise(
+        F.col("lang")
+    )
+    long = d.select(
+        "doc_id",
+        F.explode(
+            F.array(F.col("lang"), X.lang_id("text"), rater3)
+        ).alias("rating"),
+    )
+    return fleiss_kappa(long, "doc_id", "rating", n_raters=3)

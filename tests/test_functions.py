@@ -6051,6 +6051,82 @@ class TestCalibrationReport:
             assert abs(r["ece"] - ece) < 1e-6
 
 
+class TestFleissKappa:
+    def test_hand_computed_three_raters(self, spark):
+        from cryoflow_spark.functions.profiling import fleiss_kappa
+
+        # A: x,x,y  B: x,x,x  C: y,y,y  (+ D short panel, excluded)
+        # S=23 R=9 c_x=5 c_y=4 C=41 -> p_bar=14/18, p_e=41/81,
+        # kappa = (9*14 - 2*41) / (2*(81-41)) = 44/80 = 0.55
+        rows = [("A", "x"), ("A", "x"), ("A", "y"),
+                ("B", "x"), ("B", "x"), ("B", "x"),
+                ("C", "y"), ("C", "y"), ("C", "y"),
+                ("D", "x"), ("D", "y")]
+        df = spark.createDataFrame(rows, "subj string, cat string")
+        r = fleiss_kappa(df, "subj", "cat", n_raters=3).collect()[0]
+        assert (r["n_subjects"], r["n_raters"]) == (3, 3)
+        assert r["n_categories"] == 2
+        assert r["n_excluded_subjects"] == 1
+        assert r["p_bar"] == round(14 / 18, 6)
+        assert r["p_e"] == round(41 / 81, 6)
+        assert r["kappa"] == 0.55
+
+    def test_perfect_degenerate_and_validation(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.profiling import fleiss_kappa
+
+        unanimous = spark.createDataFrame(
+            [("A", "x")] * 3 + [("B", "y")] * 3, "subj string, cat string"
+        )
+        assert fleiss_kappa(
+            unanimous, "subj", "cat", 3
+        ).collect()[0]["kappa"] == 1.0
+        # single category: p_e = 1 -> convention 0.0
+        const = spark.createDataFrame(
+            [("A", "x")] * 3 + [("B", "x")] * 3, "subj string, cat string"
+        )
+        assert fleiss_kappa(
+            const, "subj", "cat", 3
+        ).collect()[0]["kappa"] == 0.0
+        with _pytest.raises(ValueError):
+            fleiss_kappa(const, "subj", "cat", 1)
+
+    def test_randomized_reference(self, spark):
+        """Matches a pure-Python Fleiss computation on random panels."""
+        import random
+
+        from cryoflow_spark.functions.profiling import fleiss_kappa
+
+        rng = random.Random(5)
+        r, cats = 4, ["a", "b", "c"]
+        rows = [
+            (i, rng.choice(cats)) for i in range(60) for _ in range(r)
+        ]
+        df = spark.createDataFrame(rows, "subj long, cat string")
+        got = fleiss_kappa(df, "subj", "cat", n_raters=r).collect()[0]
+        # reference
+        table: dict[int, dict[str, int]] = {}
+        for i, c in rows:
+            table.setdefault(i, {}).setdefault(c, 0)
+            table[i][c] += 1
+        n = len(table)
+        s = sum(v * v for d in table.values() for v in d.values())
+        cj: dict[str, int] = {}
+        for d in table.values():
+            for c, v in d.items():
+                cj[c] = cj.get(c, 0) + v
+        big_r = n * r
+        c2 = sum(v * v for v in cj.values())
+        p_bar = (s - big_r) / (big_r * (r - 1))
+        p_e = c2 / (big_r * big_r)
+        kappa = (p_bar - p_e) / (1 - p_e)
+        assert got["n_subjects"] == n
+        assert got["p_bar"] == round(p_bar, 6)
+        assert got["p_e"] == round(p_e, 6)
+        assert abs(got["kappa"] - kappa) < 1e-6
+
+
 class TestCohensKappa:
     def test_hand_computed(self, spark):
         from cryoflow_spark.functions.profiling import cohens_kappa
