@@ -90,6 +90,81 @@ def cosine_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 10,
+    query_id_col: str | None = None,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training
+    (in-batch negatives are mostly easy; the informative ones are the
+    nearest vectors with a DIFFERENT label — Karpukhin et al. 2020
+    §4.2's "hard negatives" selected by similarity search): per anchor
+    query, the top-k most-cosine-similar corpus rows whose
+    ``label_col`` differs from the anchor's (NULL labels never match
+    anything and are skipped on both sides).
+
+    Output: (query_id, neighbor_id, cosine, rank) — rank by descending
+    cosine with neighbor-id tiebreak.
+
+    Scale: with ``candidates=None`` this is the x05 brute-force regime
+    (broadcast anchors × corpus — evaluation-grade, exact). The scale
+    path passes ``candidates`` = a (query_id, neighbor_id) shortlist
+    from any ANN stage (:func:`lsh_cosine_topk`,
+    :func:`ivf_pq_rerank_topk` with ``k`` ≥ several × the negatives
+    wanted): then only |anchors| × R rows join back to vectors/labels
+    (two broadcast equi-joins) and the filter+re-rank runs on the
+    shortlist — the corpus is never scanned per pair. Mine with an
+    oversized shortlist: label-matching candidates are dropped BEFORE
+    the top-k, so R must exceed k plus the expected same-label
+    neighbors.
+    """
+    qid = query_id_col or id_col
+    q = queries.filter(F.col(label_col).isNotNull()).select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col(label_col).alias("__qlabel"),
+        norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    c = corpus.filter(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col(label_col).alias("__clabel"),
+        norm(F.col(vec_col)).alias("__cnorm"),
+    )
+    if candidates is None:
+        pairs = F.broadcast(q).crossJoin(c)
+    else:
+        short = candidates.select("query_id", "neighbor_id")
+        pairs = (
+            c.join(F.broadcast(short), "neighbor_id")
+            .join(F.broadcast(q), "query_id")
+        )
+    scored = (
+        pairs.filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("__qlabel") != F.col("__clabel"))
+        )
+        .withColumn(
+            "cosine",
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qnorm") * F.col("__cnorm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def with_quantized_embedding(
     df: DataFrame,
     vec_col: str = "embedding",

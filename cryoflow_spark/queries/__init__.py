@@ -152,7 +152,7 @@ _PRIORITY: list[str] = [
     # new r8 operators (never driver-checked — r9 window after the twins)
     "x157_ivf_pq_rerank", "x158_session_exits",
     "x159_auc_report", "x160_calibration_curve",
-    "x162_fleiss_kappa",
+    "x162_fleiss_kappa", "x163_hard_negatives",
 ]
 
 

@@ -8577,3 +8577,37 @@ def x162_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rating"),
     )
     return fleiss_kappa(long, "doc_id", "rating", n_raters=3)
+
+
+# --- x163: hard-negative mining (oracle-checked) -----------------------------
+
+
+@register(
+    "x163_hard_negatives",
+    f"""
+    SELECT * FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_COSINE_SQL} AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_COSINE_SQL} DESC, b.vec_id
+             ) AS INTEGER) AS rank
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id != b.vec_id AND a.label != b.label
+      WHERE a.vec_id % 100 = 0
+        AND a.label IS NOT NULL AND b.label IS NOT NULL
+    ) WHERE rank <= 5
+    """,
+    "Hard-negative mining for contrastive training (Karpukhin 2020 "
+    "SS4.2: the informative negatives are the nearest vectors with a "
+    "DIFFERENT label): per anchor the top-5 cross-label cosine "
+    "neighbors — brute-force exact here (the x05 evaluation regime); "
+    "the scale path feeds an ANN shortlist via candidates= so only "
+    "|anchors| x R rows rejoin vectors (pytest pins shortlist-mode "
+    "agreement)",
+)
+def x163_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    out = S.hard_negative_topk(e, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))

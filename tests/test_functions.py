@@ -6837,6 +6837,38 @@ class TestBm25Search:
             bm25_search(df, ["x"], top_k=0)
 
 
+class TestHardNegativeTopk:
+    def test_cross_label_only_and_shortlist_agreement(self, spark):
+        from cryoflow_spark.functions.similarity import (
+            cosine_topk,
+            hard_negative_topk,
+        )
+
+        # anchor 0 (label A): nearest is 1 (same label, excluded);
+        # negatives must be the cross-label rows ranked by cosine
+        rows = [
+            (0, [1.0, 0.0], "A"),
+            (1, [0.99, 0.1], "A"),   # same label — never a negative
+            (2, [0.9, 0.2], "B"),
+            (3, [0.5, 0.5], "B"),
+            (4, [0.0, 1.0], "C"),
+            (5, [1.0, 0.01], None),  # NULL label — skipped
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string"
+        )
+        q = df.filter(F.col("vec_id") == 0)
+        got = hard_negative_topk(df, q, k=3).collect()
+        assert [r["neighbor_id"] for r in got] == [2, 3, 4]
+        assert all(r["query_id"] == 0 for r in got)
+        # shortlist mode: an ANN candidate list covering the negatives
+        # reproduces the brute-force result without a corpus cross
+        short = cosine_topk(df, q, k=5).select("query_id", "neighbor_id")
+        via_short = hard_negative_topk(df, q, k=3, candidates=short)
+        assert sorted(tuple(r) for r in via_short.collect()) == \
+            sorted(tuple(r) for r in got)
+
+
 class TestDuplicateEmbeddings:
     def test_planted_copies_found(self, spark):
         from cryoflow_spark.functions.similarity import (

@@ -117,6 +117,9 @@ def test_no_cartesian_products(all_plans):
         "x05_cosine_topk",
         "x27_quantized_topk",  # same brute-force broadcast pattern as x05
         "x41_ann_recall",  # embeds the x05 brute-force exact baseline
+        # hard-negative mining, brute-force evaluation regime (the
+        # scale path passes candidates= and plans equi-joins instead).
+        "x163_hard_negatives",
         "q20_region_nation_matrix",
         "x21_tfidf_top_terms",
         # 1-row corpus-count scalar crossJoin(broadcast(total)) — same
