@@ -614,6 +614,130 @@ def event_transition_matrix(
     )
 
 
+def attribution_report(
+    events: DataFrame,
+    conversion_types: Sequence[str],
+    touch_types: Optional[Sequence[str]] = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    direct_marker: str = "(direct)",
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution over journey
+    windows — the marketing-analytics table behind "which channel gets
+    credit": each conversion closes a JOURNEY (the user's events since
+    their previous conversion, the standard conversion-path model);
+    the journey's earliest touch gets first-touch credit, its latest
+    touch gets last-touch credit, and a journey with no touch at all
+    credits ``direct_marker``. Per touch type:
+
+    - ``first_touch`` / ``last_touch`` — exact journey counts;
+    - ``first_share`` / ``last_share`` — share of all conversions
+      (6-decimal exact-integer ratios).
+
+    ``touch_types=None`` counts every non-conversion event as a touch;
+    otherwise only the listed types. Rows with NULL user/type/ts are
+    excluded; open journeys (touches after the user's last conversion)
+    attribute nothing.
+
+    Scale: ONE user-partitioned window (cumulative conversion count in
+    (ts, id) order — state bounded per user) assigns journey ids; one
+    (user, journey)-keyed aggregation reduces each journey to its
+    first/last touch via struct min/max (orderable in any engine);
+    then two |touch types|-keyed counts and one broadcast total. No
+    corpus-wide window, no self-join over the fact table.
+    """
+    convs = [str(c) for c in conversion_types]
+    if not convs:
+        raise ValueError("conversion_types must be non-empty")
+    touches = None if touch_types is None else [str(t) for t in touch_types]
+    if touches is not None and set(touches) & set(convs):
+        raise ValueError("touch_types and conversion_types must not overlap")
+    us = _ts_micros(ts_col)
+    base = events.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(user_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__t"),
+        us.alias("__us"),
+        F.col(id_col).cast("bigint").alias("__id"),
+    )
+    is_conv = F.col("__t").isin(*convs)
+    is_touch = (
+        ~is_conv if touches is None else F.col("__t").isin(*touches)
+    )
+    w = Window.partitionBy("__u").orderBy("__us", "__id")
+    marked = base.select(
+        "__u", "__t", "__us", "__id",
+        is_conv.cast("int").alias("__c"),
+        is_touch.cast("int").alias("__h"),
+    ).withColumn(
+        # journey id = count of STRICTLY PRIOR conversions
+        "__j", (F.sum("__c").over(w) - F.col("__c")).cast("bigint")
+    )
+    touch_struct = F.when(
+        F.col("__h") == 1, F.struct("__us", "__id", F.col("__t"))
+    )
+    journeys = (
+        marked.groupBy("__u", "__j")
+        .agg(
+            F.max("__c").alias("__closed"),
+            F.min(touch_struct).alias("__first"),
+            F.max(touch_struct).alias("__last"),
+        )
+        .filter(F.col("__closed") == 1)
+        .select(
+            F.coalesce(F.col("__first.__t"), F.lit(direct_marker)).alias(
+                "__ft"
+            ),
+            F.coalesce(F.col("__last.__t"), F.lit(direct_marker)).alias(
+                "__lt"
+            ),
+        )
+    )
+    firsts = journeys.groupBy(F.col("__ft").alias("touch_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("first_touch")
+    )
+    lasts = journeys.groupBy(F.col("__lt").alias("touch_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("last_touch")
+    )
+    total = journeys.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0))
+        .cast("bigint")
+        .alias("__n")
+    )
+    ratio = lambda num, den: F.round(  # noqa: E731
+        num.cast("double") / den.cast("double"), 6
+    )
+    return (
+        firsts.join(lasts, "touch_type", "full_outer")
+        .select(
+            "touch_type",
+            F.coalesce("first_touch", F.lit(0)).cast("bigint").alias(
+                "first_touch"
+            ),
+            F.coalesce("last_touch", F.lit(0)).cast("bigint").alias(
+                "last_touch"
+            ),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "touch_type",
+            "first_touch",
+            "last_touch",
+            F.when(F.col("__n") > 0, ratio(F.col("first_touch"), F.col("__n")))
+            .otherwise(F.lit(0.0))
+            .alias("first_share"),
+            F.when(F.col("__n") > 0, ratio(F.col("last_touch"), F.col("__n")))
+            .otherwise(F.lit(0.0))
+            .alias("last_share"),
+        )
+    )
+
+
 def transition_batch_partials(
     df: DataFrame,
     user_col: str = "user_id",

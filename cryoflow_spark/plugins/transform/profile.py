@@ -74,6 +74,10 @@ disturbing the main stream. Options:
 - ``report = "entries"`` emits the per-entry-page session report
   (sessions, bounces + rate, mean length, entry share); options
   ``ts_column``, ``user_column``, ``type_column``, ``gap_minutes``.
+- ``report = "attribution"`` emits the first/last-touch conversion
+  attribution table over journey windows (``conversion_types``
+  required; optional ``touch_types`` whitelist, default = every
+  non-conversion type; touchless journeys credit ``(direct)``).
 - ``report = "exits"`` emits the drop-off twin: the per-exit-page
   session report (where sessions END — give-up/dead-link pages);
   same options as ``entries``.
@@ -324,6 +328,22 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 user_col=self.options.get("user_column", "user_id"),
                 type_col=self.options.get("type_column", "event_type"),
                 gap_minutes=int(self.options.get("gap_minutes", 30)),
+            )
+
+        if self.options.get("report") == "attribution":
+            from cryoflow_spark.functions.events import attribution_report
+
+            touch = self.options.get("touch_types")
+            return attribution_report(
+                data,
+                conversion_types=list(
+                    self.require_option("conversion_types")
+                ),
+                touch_types=list(touch) if touch is not None else None,
+                ts_col=self.options.get("ts_column", "ts"),
+                user_col=self.options.get("user_column", "user_id"),
+                type_col=self.options.get("type_column", "event_type"),
+                id_col=self.options.get("id_column", "event_id"),
             )
 
         if self.options.get("report") == "exits":

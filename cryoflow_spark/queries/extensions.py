@@ -8611,3 +8611,70 @@ def x163_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") % 100 == 0)
     out = S.hard_negative_topk(e, queries, k=5)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --- x164: first/last-touch conversion attribution (oracle-checked) ----------
+
+
+@register(
+    "x164_attribution_report",
+    """
+    WITH base AS (
+      SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us,
+             event_id AS id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c,
+             CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS h
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    marked AS (
+      SELECT u, t, us, id, c, h,
+             CAST(SUM(c) OVER (PARTITION BY u ORDER BY us, id)
+                  - c AS BIGINT) AS jid
+      FROM base
+    ),
+    grp AS (
+      SELECT u, jid, MAX(c) AS closed,
+             MIN(CASE WHEN h = 1 THEN struct_pack(us := us, id := id, t := t) END) AS f,
+             MAX(CASE WHEN h = 1 THEN struct_pack(us := us, id := id, t := t) END) AS l
+      FROM marked GROUP BY u, jid
+    ),
+    journeys AS (
+      SELECT COALESCE(f.t, '(direct)') AS ft,
+             COALESCE(l.t, '(direct)') AS lt
+      FROM grp WHERE closed = 1
+    ),
+    firsts AS (
+      SELECT ft AS touch_type, COUNT(*)::BIGINT AS first_touch
+      FROM journeys GROUP BY ft
+    ),
+    lasts AS (
+      SELECT lt AS touch_type, COUNT(*)::BIGINT AS last_touch
+      FROM journeys GROUP BY lt
+    ),
+    tot AS (SELECT COUNT(*)::BIGINT AS n FROM journeys)
+    SELECT COALESCE(firsts.touch_type, lasts.touch_type) AS touch_type,
+           COALESCE(first_touch, 0)::BIGINT AS first_touch,
+           COALESCE(last_touch, 0)::BIGINT AS last_touch,
+           CASE WHEN n > 0
+                THEN ROUND(COALESCE(first_touch, 0)::DOUBLE / n::DOUBLE, 6)
+                ELSE 0.0 END AS first_share,
+           CASE WHEN n > 0
+                THEN ROUND(COALESCE(last_touch, 0)::DOUBLE / n::DOUBLE, 6)
+                ELSE 0.0 END AS last_share
+    FROM firsts FULL OUTER JOIN lasts USING (touch_type) CROSS JOIN tot
+    """,
+    "First/last-touch conversion attribution over journey windows "
+    "(each purchase closes the journey of events since the user's "
+    "previous purchase — the standard conversion-path model): per "
+    "touch type the journeys it opened and the journeys it closed, "
+    "with exact shares; touchless journeys credit '(direct)'; one "
+    "user-partitioned cumsum window + one (user,journey)-keyed "
+    "struct-min/max agg + two bounded type counts",
+)
+def x164_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.events import attribution_report
+
+    e = load_events(spark, sf_dir)
+    return attribution_report(e, conversion_types=["purchase"])

@@ -6696,6 +6696,74 @@ class TestChatTurnStats:
         assert r["avg_assistant_chars"] == 0.0  # guarded division
 
 
+class TestAttributionReport:
+    def test_hand_computed_journeys(self, spark):
+        from datetime import datetime
+
+        from cryoflow_spark.functions.events import attribution_report
+
+        def ev(eid, minute, user, etype):
+            return (eid, datetime(2024, 1, 1, 10, 0, minute), user, etype)
+
+        rows = [
+            # user a, journey 0: ad -> email -> BUY (first=ad last=email)
+            ev(1, 1, "a", "ad"),
+            ev(2, 2, "a", "email"),
+            ev(3, 3, "a", "buy"),
+            # user a, journey 1: search -> BUY (first=last=search)
+            ev(4, 4, "a", "search"),
+            ev(5, 5, "a", "buy"),
+            # user a, open journey: ad with no closing buy -> dropped
+            ev(6, 6, "a", "ad"),
+            # user b: BUY with no touches -> (direct)
+            ev(7, 1, "b", "buy"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id string, event_type string",
+        )
+        out = {r["touch_type"]: r for r in
+               attribution_report(df, ["buy"]).collect()}
+        assert set(out) == {"ad", "email", "search", "(direct)"}
+        assert (out["ad"]["first_touch"], out["ad"]["last_touch"]) == (1, 0)
+        assert (out["email"]["first_touch"],
+                out["email"]["last_touch"]) == (0, 1)
+        assert (out["search"]["first_touch"],
+                out["search"]["last_touch"]) == (1, 1)
+        assert (out["(direct)"]["first_touch"],
+                out["(direct)"]["last_touch"]) == (1, 1)
+        assert out["ad"]["first_share"] == round(1 / 3, 6)
+        # every journey has exactly one first and one last credit
+        assert sum(r["first_touch"] for r in out.values()) == 3
+        assert sum(r["last_touch"] for r in out.values()) == 3
+
+    def test_touch_whitelist_and_validation(self, spark):
+        from datetime import datetime
+
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.events import attribution_report
+
+        rows = [
+            (1, datetime(2024, 1, 1, 10, 0, 1), "a", "ad"),
+            (2, datetime(2024, 1, 1, 10, 0, 2), "a", "view"),
+            (3, datetime(2024, 1, 1, 10, 0, 3), "a", "buy"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id string, event_type string",
+        )
+        # only 'ad' counts as a touch: 'view' is ignored, last = ad
+        out = {r["touch_type"]: r for r in attribution_report(
+            df, ["buy"], touch_types=["ad"]).collect()}
+        assert set(out) == {"ad"}
+        assert (out["ad"]["first_touch"], out["ad"]["last_touch"]) == (1, 1)
+        with _pytest.raises(ValueError):
+            attribution_report(df, [])
+        with _pytest.raises(ValueError):
+            attribution_report(df, ["buy"], touch_types=["buy", "ad"])
+
+
 class TestSessionEntryReport:
     def test_hand_computed_sessions_and_bounces(self, spark):
         from datetime import datetime
