@@ -1,0 +1,188 @@
+"""Bounded-graph centrality over edge tables extracted from 100 TB
+fact data.
+
+The scale split: EDGE EXTRACTION is the expensive distributed pass (one
+x127-style user-partitioned window + a keyed count — see
+``events.event_transition_matrix``), while the POWER ITERATION runs on
+the extracted |nodes|/|edges| tables, which for the intended graphs
+(event-type transition graphs, domain link graphs after
+registrable-domain rollup) are bounded by a vocabulary, not by the
+corpus. Iterations are therefore cheap DataFrame ops over tiny tables —
+but still DataFrames, never a driver collect, so a million-node domain
+graph works too (each round is one equi-join + one keyed fold).
+
+Determinism: per-edge contributions are exact per-row IEEE
+(``rank · w / out_w``); per-node sums fold in canonical source order
+(``collect_list → array_sort → aggregate``, mirrored by DuckDB
+``list_reduce(list_prepend(0.0, list(x ORDER BY src)))``) — the
+registry's order-independent float-sum pattern — so fixed iteration
+counts replicate bit-identically across engines.
+
+Public algorithm: Page, Brin, Motwani, Winograd 1999 ("The PageRank
+Citation Ranking"), damping + uniform dangling-mass redistribution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_fold(order_col: str, value_col: str):
+    """Aggregate column: sum of ``value_col`` folded in ascending
+    ``order_col`` order — order-independent under any partitioning."""
+    return F.aggregate(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_col), F.col(value_col)))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x[value_col],
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    damping: float = 0.85,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Weighted PageRank with uniform dangling-mass redistribution
+    (Page et al. 1999) over an edge table, fixed ``n_iter`` power
+    iterations:
+
+        r'(v) = (1-d)/N + d · (Σ_{u→v} r(u)·w(u,v)/W(u) + D/N)
+
+    with ``W(u)`` node ``u``'s total out-weight and ``D`` the summed
+    rank of dangling nodes (no out-edges). Nodes are the union of
+    sources and destinations; self-loops count like any edge;
+    NULL endpoints and non-positive weights are excluded. Ranks sum
+    to 1 every iteration (mass-conserving), start uniform.
+
+    Output: ``(node, rank)`` — ``rank`` exact-deterministic (canonical
+    fold order, see module docstring), rounded to 9 decimals.
+
+    Scale: see the module docstring — run this on an EXTRACTED edge
+    table (event-type transitions, domain links), never raw facts.
+    Each iteration is one src-equi-join + one dst-keyed canonical fold
+    + a 1-row dangling scalar broadcast; incoming-edge fold lists are
+    bounded by in-degree.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = edges.filter(
+        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+    ).select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        w.alias("w"),
+    ).filter(F.col("w") > 0)
+    # collapse parallel edges (ascending-value fold — order-independent)
+    e = e.groupBy("src", "dst").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("w")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("w")
+    )
+    outw = e.groupBy("src").agg(
+        _canonical_fold("dst", "w").alias("outw")
+    )
+    e = e.join(outw, "src")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_scalar = nodes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    ranks = nodes.crossJoin(F.broadcast(n_scalar)).select(
+        "node", (F.lit(1.0) / F.col("__n").cast("double")).alias("rank")
+    )
+    d = float(damping)
+    for _ in range(int(n_iter)):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                "dst",
+                "src",
+                (F.col("rank") * F.col("w") / F.col("outw")).alias("__c"),
+            )
+            .groupBy("dst")
+            .agg(_canonical_fold("src", "__c").alias("__in"))
+        )
+        dangling = (
+            ranks.join(outw.withColumnRenamed("src", "node"), "node",
+                       "left_anti")
+            .agg(
+                F.coalesce(
+                    _canonical_fold("node", "rank"), F.lit(0.0)
+                ).alias("__d")
+            )
+        )
+        ranks = (
+            nodes.join(
+                contrib.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(n_scalar))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - d) / F.col("__n").cast("double")
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.col("__d") / F.col("__n").cast("double")
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def event_type_pagerank(
+    events: DataFrame,
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    damping: float = 0.85,
+    n_iter: int = 5,
+) -> DataFrame:
+    """PageRank centrality of event types in the user-journey graph —
+    which screens/actions actually anchor the product's navigation,
+    weighted by where users flow rather than raw hit counts (a page
+    can be high-traffic but only ever an exit). Edges are the x127
+    real transition counts (no start/end markers — PageRank's damping
+    term models entry/exit instead).
+
+    Scale: the edge extraction is the x127 one-window pass over the
+    fact table; the iteration runs on the |event types|² bounded
+    graph.
+    """
+    from cryoflow_spark.functions.events import event_transition_matrix
+
+    tm = event_transition_matrix(
+        events,
+        user_col=user_col,
+        event_col=event_col,
+        ts_col=ts_col,
+        id_col=id_col,
+    )
+    edges = tm.filter(
+        (F.col("src") != F.lit("__start__"))
+        & (F.col("dst") != F.lit("__end__"))
+    ).select("src", "dst", F.col("n_transitions").alias("w"))
+    return pagerank(
+        edges, weight_col="w", damping=damping, n_iter=n_iter
+    )

@@ -74,6 +74,9 @@ disturbing the main stream. Options:
 - ``report = "entries"`` emits the per-entry-page session report
   (sessions, bounces + rate, mean length, entry share); options
   ``ts_column``, ``user_column``, ``type_column``, ``gap_minutes``.
+- ``report = "pagerank"`` emits the PageRank centrality of event
+  types over the user-journey transition graph (``damping`` default
+  0.85, ``n_iter`` default 5) — navigation anchors by flow, not hits.
 - ``report = "attribution"`` emits the first/last-touch conversion
   attribution table over journey windows (``conversion_types``
   required; optional ``touch_types`` whitelist, default = every
@@ -328,6 +331,19 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 user_col=self.options.get("user_column", "user_id"),
                 type_col=self.options.get("type_column", "event_type"),
                 gap_minutes=int(self.options.get("gap_minutes", 30)),
+            )
+
+        if self.options.get("report") == "pagerank":
+            from cryoflow_spark.functions.graph import event_type_pagerank
+
+            return event_type_pagerank(
+                data,
+                user_col=self.options.get("user_column", "user_id"),
+                event_col=self.options.get("type_column", "event_type"),
+                ts_col=self.options.get("ts_column", "ts"),
+                id_col=self.options.get("id_column", "event_id"),
+                damping=float(self.options.get("damping", 0.85)),
+                n_iter=int(self.options.get("n_iter", 5)),
             )
 
         if self.options.get("report") == "attribution":

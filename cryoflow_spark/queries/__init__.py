@@ -153,7 +153,7 @@ _PRIORITY: list[str] = [
     "x157_ivf_pq_rerank", "x158_session_exits",
     "x159_auc_report", "x160_calibration_curve",
     "x162_fleiss_kappa", "x163_hard_negatives",
-    "x164_attribution_report",
+    "x164_attribution_report", "x161_event_pagerank",
 ]
 
 

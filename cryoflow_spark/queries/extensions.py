@@ -8678,3 +8678,94 @@ def x164_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir)
     return attribution_report(e, conversion_types=["purchase"])
+
+
+# --- x161: event-graph PageRank (oracle-checked) -----------------------------
+
+
+def _x161_oracle(damping: float = 0.85, n_iter: int = 5) -> str:
+    """DuckDB replica of the fixed-iteration PageRank power method over
+    the x127 transition graph: canonical-order list_reduce folds mirror
+    the Spark side's collect_list->array_sort->aggregate sums; damping
+    constants enter as repr'd double literals so both engines compute
+    with the identical IEEE values."""
+    d = float(damping)
+    omd = 1.0 - d  # repr'd below — NOT re-derived in SQL decimal math
+    fold = (
+        "list_reduce(list_prepend(0.0::DOUBLE, list({expr} ORDER BY "
+        "{order})), (acc, x) -> acc + x)"
+    )
+    its = []
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        inc_fold = fold.format(expr="r.rank * e.w / e.outw", order="e.src")
+        dang_fold = fold.format(expr="r.rank", order="r.node")
+        its.append(f"""
+    in{k} AS (
+      SELECT e.dst AS node, {inc_fold} AS inc
+      FROM e JOIN {prev} r ON e.src = r.node GROUP BY e.dst
+    ),
+    d{k} AS (
+      SELECT COALESCE({dang_fold}, 0.0::DOUBLE) AS dm
+      FROM {prev} r ANTI JOIN outw o ON r.node = o.src
+    ),
+    r{k} AS (
+      SELECT n.node,
+             ({omd!r}::DOUBLE / nn.n::DOUBLE)
+             + {d!r}::DOUBLE
+               * (COALESCE(i.inc, 0.0::DOUBLE)
+                  + dk.dm / nn.n::DOUBLE) AS rank
+      FROM nodes n LEFT JOIN in{k} i USING (node)
+      CROSS JOIN d{k} dk CROSS JOIN nn
+    )""")
+        prev = f"r{k}"
+    body = ",".join(its)
+    return f"""
+    WITH seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    edges AS (
+      SELECT src, dst, COUNT(*)::DOUBLE AS w
+      FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    outw AS (
+      SELECT src, {fold.format(expr="w", order="dst")} AS outw
+      FROM edges GROUP BY src
+    ),
+    e AS (SELECT edges.src, edges.dst, edges.w, outw.outw
+          FROM edges JOIN outw USING (src)),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ),
+    nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+    r0 AS (
+      SELECT node, 1.0::DOUBLE / nn.n::DOUBLE AS rank
+      FROM nodes CROSS JOIN nn
+    ),{body}
+    SELECT node, ROUND(rank, 9) AS rank FROM {prev}
+    """
+
+
+@register(
+    "x161_event_pagerank",
+    _x161_oracle(),
+    "PageRank centrality of event types over the user-journey "
+    "transition graph (Page et al. 1999: damping 0.85, uniform "
+    "dangling-mass redistribution, 5 fixed power iterations) — which "
+    "actions anchor navigation by FLOW rather than raw hits; edge "
+    "extraction is the x127 one-window pass over the fact table, the "
+    "iteration runs on the bounded |types|^2 graph; per-node sums fold "
+    "in canonical source order (collect_list->array_sort->aggregate "
+    "== list_reduce ORDER BY), so every iteration replicates "
+    "bit-identically",
+)
+def x161_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.graph import event_type_pagerank
+
+    e = load_events(spark, sf_dir)
+    return event_type_pagerank(e, damping=0.85, n_iter=5)

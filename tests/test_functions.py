@@ -6696,6 +6696,91 @@ class TestChatTurnStats:
         assert r["avg_assistant_chars"] == 0.0  # guarded division
 
 
+class TestPagerank:
+    @staticmethod
+    def _reference(edges, damping=0.85, n_iter=5):
+        """Pure-Python PageRank with the same semantics: uniform init,
+        weighted out-distribution, uniform dangling redistribution."""
+        nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+        outw = {}
+        for s, _, w in edges:
+            outw[s] = outw.get(s, 0.0) + w
+        n = len(nodes)
+        r = {v: 1.0 / n for v in nodes}
+        for _ in range(n_iter):
+            inc = {v: 0.0 for v in nodes}
+            for s, d_, w in sorted(edges):
+                inc[d_] += r[s] * w / outw[s]
+            dang = sum(r[v] for v in nodes if v not in outw)
+            r = {
+                v: (1.0 - damping) / n
+                + damping * (inc[v] + dang / n)
+                for v in nodes
+            }
+        return r
+
+    def test_matches_reference_with_dangling(self, spark):
+        from cryoflow_spark.functions.graph import pagerank
+
+        # c is dangling (no out-edges); b is the hub
+        edges = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0),
+                 ("c_src", "b", 1.0)]
+        df = spark.createDataFrame(edges, "src string, dst string, w double")
+        got = {r["node"]: r["rank"] for r in
+               pagerank(df, weight_col="w").collect()}
+        want = self._reference([tuple(e) for e in edges])
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-9, v
+        # mass conservation: dangling redistribution keeps sum at 1
+        assert abs(sum(got.values()) - 1.0) < 1e-6
+
+    def test_hub_ranks_highest_and_validation(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.graph import pagerank
+
+        # star: everything points at 'hub'
+        edges = [(f"s{i}", "hub", 1.0) for i in range(5)]
+        df = spark.createDataFrame(edges, "src string, dst string, w double")
+        rows = pagerank(df, weight_col="w").collect()
+        top = max(rows, key=lambda r: r["rank"])
+        assert top["node"] == "hub"
+        # unweighted mode + parallel-edge collapse: duplicate edges sum
+        dup = spark.createDataFrame(
+            [("a", "b"), ("a", "b"), ("a", "c")], "src string, dst string"
+        )
+        got = {r["node"]: r["rank"] for r in pagerank(dup).collect()}
+        want = self._reference([("a", "b", 2.0), ("a", "c", 1.0)])
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-9
+        with _pytest.raises(ValueError):
+            pagerank(df, damping=1.5)
+        with _pytest.raises(ValueError):
+            pagerank(df, n_iter=0)
+
+    def test_randomized_reference(self, spark):
+        import random
+
+        from cryoflow_spark.functions.graph import pagerank
+
+        rng = random.Random(21)
+        nodes = [f"n{i}" for i in range(12)]
+        edges = sorted({
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(40)
+        })
+        weighted = [(s, d, float(rng.randint(1, 9))) for s, d in edges]
+        df = spark.createDataFrame(
+            weighted, "src string, dst string, w double"
+        )
+        got = {r["node"]: r["rank"] for r in
+               pagerank(df, weight_col="w", n_iter=6).collect()}
+        want = self._reference(weighted, n_iter=6)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-8, v
+
+
 class TestAttributionReport:
     def test_hand_computed_journeys(self, spark):
         from datetime import datetime

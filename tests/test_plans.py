@@ -205,6 +205,10 @@ def test_no_cartesian_products(all_plans):
         # 1-row control-variant scalar crossJoin(broadcast) into the
         # |variants|-row table — same scalar pattern.
         "x139_ab_lift",
+        # per-iteration 1-row dangling-mass + node-count scalars
+        # crossJoin(broadcast) into the bounded |event types| node
+        # table — the power iteration never touches the fact table.
+        "x161_event_pagerank",
         # 1-row user-count scalar crossJoin(broadcast) into the bounded
         # |items|^2 rule table — same scalar pattern.
         "x142_association_rules",
