@@ -219,3 +219,172 @@ def quantile_buckets(
     return df.join(
         buckets, F.col(value_col).eqNullSafe(F.col(key)), "inner"
     ).drop(key)
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings (Cormack,
+    Clarke & Buettcher 2009: ``score(d) = Σ_systems 1/(k + rank_s(d))``,
+    k=60 — the standard zero-training ensemble that reliably beats its
+    inputs): fuse lexical BM25 with embedding ANN, or exact with
+    quantized rankings, without score calibration — only ranks enter,
+    so incompatible score scales never matter.
+
+    Each input DataFrame needs (``query_col``, ``id_col``,
+    ``rank_col``) rows (1-based ranks, e.g. any of this library's
+    top-k outputs). A document absent from a system contributes
+    nothing for it. Output: ``(query_id, neighbor_id, rrf_score,
+    n_systems, rank)`` — fused rank by descending score with id
+    tiebreak, kept to ``top_n`` per query.
+
+    Determinism: the per-document sum folds in ascending system-index
+    order (collect_list → array_sort → aggregate == DuckDB
+    ``list_reduce(... ORDER BY sys)``), the registry's
+    order-independent float-sum pattern — bit-identical across
+    engines and partitionings.
+
+    Scale: one union of the (already small) top-k ranking tables, one
+    (query, doc)-keyed fold whose lists are bounded by the system
+    count, one per-query window over ≤ N·top_k rows. The expensive
+    part is producing the input rankings; fusion itself is free.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            F.col(query_col).alias("__q"),
+            F.col(id_col).alias("__d"),
+            (
+                F.lit(1.0)
+                / (F.lit(int(k)) + F.col(rank_col)).cast("double")
+            ).alias("__rr"),
+            F.lit(i).alias("__sys"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    fused = tagged.groupBy("__q", "__d").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("__sys", "__rr"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__rr"],
+        ).alias("rrf_score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_systems"),
+    )
+    w = Window.partitionBy("__q").orderBy(
+        F.col("rrf_score").desc(), F.col("__d")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("__d").alias(id_col),
+            F.round("rrf_score", 9).alias("rrf_score"),
+            "n_systems",
+            "rank",
+        )
+    )
+
+
+def ndcg_report(
+    ranking: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query nDCG@k of a retrieval ranking against graded
+    relevance labels (Järvelin & Kekäläinen 2002):
+    ``DCG = Σ_{i<=k} rel_i / log2(i+1)`` over the ranking's order,
+    normalized by the ideal DCG of the query's relevance set sorted by
+    grade. The ranking-quality number recall@k (x41) can't give —
+    recall treats rank 1 and rank k the same; nDCG pays position.
+
+    ``ranking``: (query, id, 1-based rank) rows from any of this
+    library's top-k outputs. ``relevance``: (query, id, grade) rows —
+    absent pairs grade 0; grades need not be binary. Queries with no
+    relevant document report ``ndcg = 0.0``.
+
+    Output: ``(query_id, dcg, idcg, ndcg)`` rounded to 9.
+
+    Determinism: the position discounts ``1/log2(i+1)`` enter BOTH
+    engines as shared Python-repr'd double literals (a libm ``log2``
+    call may differ in the last ulp between engines — the registry's
+    transcendental-constant rule), and per-query sums fold in
+    ascending rank order. Scale: two joins of the small top-k table
+    against the relevance pairs (equi on (query, id)), one per-query
+    window over the relevance set for the ideal ordering, folds
+    bounded by k.
+    """
+    import math
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    disc = F.array(
+        *[F.lit(1.0 / math.log2(i + 1)) for i in range(1, int(k) + 1)]
+    )
+    rel = relevance.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__d"),
+        F.col(rel_col).cast("double").alias("__rel"),
+    ).filter(F.col("__rel").isNotNull())
+    ranked = ranking.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__d"),
+        F.col(rank_col).cast("int").alias("__r"),
+    )
+
+    def fold_gains(order_col: str, gain_col: str):
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(order_col), F.col(gain_col)))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x[gain_col],
+        )
+
+    dcg = (
+        ranked.join(rel, ["__q", "__d"], "left")
+        .withColumn(
+            "__g",
+            F.coalesce(F.col("__rel"), F.lit(0.0))
+            * F.element_at(disc, F.col("__r")),
+        )
+        .groupBy("__q")
+        .agg(fold_gains("__r", "__g").alias("dcg"))
+    )
+    w = Window.partitionBy("__q").orderBy(F.col("__rel").desc(), "__d")
+    ideal = (
+        rel.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .withColumn("__g", F.col("__rel") * F.element_at(disc, F.col("__r")))
+        .groupBy("__q")
+        .agg(fold_gains("__r", "__g").alias("idcg"))
+    )
+    return (
+        dcg.join(ideal, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            F.round("dcg", 9).alias("dcg"),
+            F.round(F.coalesce("idcg", F.lit(0.0)), 9).alias("idcg"),
+            F.round(
+                F.when(
+                    F.coalesce("idcg", F.lit(0.0)) > 0,
+                    F.col("dcg") / F.col("idcg"),
+                ).otherwise(F.lit(0.0)),
+                9,
+            ).alias("ndcg"),
+        )
+    )

@@ -8769,3 +8769,179 @@ def x161_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir)
     return event_type_pagerank(e, damping=0.85, n_iter=5)
+
+
+# --- x165: reciprocal-rank fusion (oracle-checked) ---------------------------
+
+
+def _x165_oracle(k_rank: int = 5, rrf_k: int = 60, top_n: int = 5) -> str:
+    """RRF of the x05 exact-cosine and x27 int8-quantized rankings:
+    two ranking CTEs, a tagged union, the canonical-order reciprocal
+    fold, one fused re-rank."""
+    qcos = (
+        f"({_sql_int_dot('a.q', 'b.q')}::DOUBLE"
+        f" / (sqrt({_sql_int_dot('a.q', 'a.q')}::DOUBLE)"
+        f" * sqrt({_sql_int_dot('b.q', 'b.q')}::DOUBLE)))"
+    )
+    return f"""
+    WITH {_X27_QUANT},
+    exact_r AS (
+      SELECT * FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_COSINE_SQL} DESC, b.vec_id
+               ) AS INTEGER) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < 10
+      ) WHERE rank <= {k_rank}
+    ),
+    quant_r AS (
+      SELECT * FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {qcos} DESC, b.vec_id
+               ) AS INTEGER) AS rank
+        FROM quant a JOIN quant b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < 10
+      ) WHERE rank <= {k_rank}
+    ),
+    tagged AS (
+      SELECT query_id, neighbor_id,
+             1.0::DOUBLE / ({rrf_k} + rank)::DOUBLE AS rr, 0 AS sys
+      FROM exact_r
+      UNION ALL
+      SELECT query_id, neighbor_id,
+             1.0::DOUBLE / ({rrf_k} + rank)::DOUBLE AS rr, 1 AS sys
+      FROM quant_r
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id,
+             list_reduce(list_prepend(0.0::DOUBLE, list(rr ORDER BY sys)),
+                         (acc, x) -> acc + x) AS rrf_score,
+             COUNT(*)::BIGINT AS n_systems
+      FROM tagged GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, ROUND(rrf_score, 9) AS rrf_score,
+           n_systems, rank
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id
+      ) AS INTEGER) AS rank
+      FROM fused
+    ) WHERE rank <= {top_n}
+    """
+
+
+@register(
+    "x165_rrf_fusion",
+    _x165_oracle(),
+    "Reciprocal-rank fusion (Cormack et al. 2009, k=60) of the exact-"
+    "cosine (x05) and int8-quantized (x27) retrieval rankings — the "
+    "zero-training ensemble that fuses incompatible score scales via "
+    "ranks alone; per-document reciprocal sums fold in canonical "
+    "system order; fusion cost is one union + one keyed fold over the "
+    "already-small top-k tables",
+)
+def x165_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.ranks import rrf_fuse
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(e, queries, k=5)
+    quant = S.quantized_cosine_topk(e, queries, k=5, bits=8)
+    out = rrf_fuse([exact, quant], k=60, top_n=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --- x166: nDCG ranking evaluation (oracle-checked) --------------------------
+
+
+def _x166_oracle(k: int = 5) -> str:
+    """nDCG@5 of the exact-cosine ranking against same-label binary
+    relevance: discounts are the shared repr'd literals, sums fold in
+    rank order."""
+    import math
+
+    disc = ", ".join(
+        f"{(1.0 / math.log2(i + 1))!r}::DOUBLE" for i in range(1, k + 1)
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT * FROM (
+        SELECT a.vec_id AS q, b.vec_id AS d, b.label AS nlabel,
+               a.label AS qlabel,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_COSINE_SQL} DESC, b.vec_id
+               ) AS INTEGER) AS r
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE a.vec_id % 100 = 0
+          AND a.label IS NOT NULL AND b.label IS NOT NULL
+      ) WHERE r <= {k}
+    ),
+    rel AS (
+      SELECT a.vec_id AS q, b.vec_id AS d, 1.0::DOUBLE AS rel
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id != b.vec_id
+      WHERE a.vec_id % 100 = 0
+        AND a.label IS NOT NULL AND b.label IS NOT NULL
+    ),
+    dcg AS (
+      SELECT ranked.q,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list(COALESCE(rel.rel, 0.0)
+                    * (list_value({disc}))[ranked.r] ORDER BY ranked.r)),
+               (acc, x) -> acc + x) AS dcg
+      FROM ranked LEFT JOIN rel ON ranked.q = rel.q AND ranked.d = rel.d
+      GROUP BY ranked.q
+    ),
+    ideal AS (
+      SELECT q,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list(rel * (list_value({disc}))[r] ORDER BY r)),
+               (acc, x) -> acc + x) AS idcg
+      FROM (
+        SELECT q, rel, CAST(ROW_NUMBER() OVER (
+          PARTITION BY q ORDER BY rel DESC, d) AS INTEGER) AS r
+        FROM rel
+      ) WHERE r <= {k}
+      GROUP BY q
+    )
+    SELECT dcg.q AS query_id, ROUND(dcg.dcg, 9) AS dcg,
+           ROUND(COALESCE(ideal.idcg, 0.0), 9) AS idcg,
+           ROUND(CASE WHEN COALESCE(ideal.idcg, 0.0) > 0
+                      THEN dcg.dcg / ideal.idcg ELSE 0.0 END, 9) AS ndcg
+    FROM dcg LEFT JOIN ideal ON dcg.q = ideal.q
+    """
+
+
+@register(
+    "x166_ndcg_eval",
+    _x166_oracle(),
+    "nDCG@5 (Jarvelin-Kekalainen 2002) of the exact-cosine ranking "
+    "against same-label relevance — the position-weighted ranking "
+    "grade recall@k (x41) can't give; 1/log2(i+1) discounts enter "
+    "both engines as shared repr'd literals (never a libm call), "
+    "per-query sums fold in rank order; two (query,id) equi-joins of "
+    "the small top-k table + one relevance-set window",
+)
+def x166_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.ranks import ndcg_report
+
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()
+    )
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    ranking = S.cosine_topk(e, queries, k=5)
+    relevance = (
+        queries.alias("a")
+        .join(e.alias("b"), F.expr("a.label = b.label AND a.vec_id != b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.lit(1.0).alias("rel"),
+        )
+    )
+    return ndcg_report(ranking, relevance, k=5)

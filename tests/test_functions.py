@@ -6990,6 +6990,86 @@ class TestBm25Search:
             bm25_search(df, ["x"], top_k=0)
 
 
+class TestRrfFuse:
+    def test_hand_computed_fusion(self, spark):
+        from cryoflow_spark.functions.ranks import rrf_fuse
+
+        # system A ranks: d1, d2; system B ranks: d2, d3.
+        # d2 appears in both -> 1/62 + 1/61 beats d1's 1/61 and d3's 1/62
+        a = spark.createDataFrame(
+            [(1, "d1", 1), (1, "d2", 2)],
+            "query_id long, neighbor_id string, rank int",
+        )
+        b = spark.createDataFrame(
+            [(1, "d2", 1), (1, "d3", 2)],
+            "query_id long, neighbor_id string, rank int",
+        )
+        rows = rrf_fuse([a, b], k=60, top_n=3).collect()
+        got = [(r["neighbor_id"], r["n_systems"], r["rank"]) for r in rows]
+        assert got == [("d2", 2, 1), ("d1", 1, 2), ("d3", 1, 3)]
+        by_id = {r["neighbor_id"]: r["rrf_score"] for r in rows}
+        assert by_id["d2"] == round(1 / 62 + 1 / 61, 9)
+        assert by_id["d1"] == round(1 / 61, 9)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.ranks import rrf_fuse
+
+        df = spark.createDataFrame(
+            [(1, "d", 1)], "query_id long, neighbor_id string, rank int"
+        )
+        with _pytest.raises(ValueError):
+            rrf_fuse([])
+        with _pytest.raises(ValueError):
+            rrf_fuse([df], k=0)
+        with _pytest.raises(ValueError):
+            rrf_fuse([df], top_n=0)
+
+
+class TestNdcgReport:
+    def test_hand_computed_graded(self, spark):
+        import math
+
+        from cryoflow_spark.functions.ranks import ndcg_report
+
+        # ranking: d1(rel 1), d2(rel 3), d3(rel 0); ideal: 3,1 at top
+        ranking = spark.createDataFrame(
+            [(1, "d1", 1), (1, "d2", 2), (1, "d3", 3)],
+            "query_id long, neighbor_id string, rank int",
+        )
+        rel = spark.createDataFrame(
+            [(1, "d1", 1.0), (1, "d2", 3.0)],
+            "query_id long, neighbor_id string, rel double",
+        )
+        r = ndcg_report(ranking, rel, k=3).collect()[0]
+        dcg = 1.0 / math.log2(2) + 3.0 / math.log2(3)
+        idcg = 3.0 / math.log2(2) + 1.0 / math.log2(3)
+        assert r["dcg"] == round(dcg, 9)
+        assert r["idcg"] == round(idcg, 9)
+        assert r["ndcg"] == round(dcg / idcg, 9)
+
+    def test_perfect_and_empty_relevance(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.ranks import ndcg_report
+
+        ranking = spark.createDataFrame(
+            [(1, "a", 1), (1, "b", 2), (2, "a", 1)],
+            "query_id long, neighbor_id string, rank int",
+        )
+        rel = spark.createDataFrame(
+            [(1, "a", 2.0), (1, "b", 1.0)],
+            "query_id long, neighbor_id string, rel double",
+        )
+        out = {r["query_id"]: r for r in
+               ndcg_report(ranking, rel, k=2).collect()}
+        assert out[1]["ndcg"] == 1.0  # ranked exactly in grade order
+        assert out[2]["ndcg"] == 0.0  # query 2 has no relevant docs
+        with _pytest.raises(ValueError):
+            ndcg_report(ranking, rel, k=0)
+
+
 class TestHardNegativeTopk:
     def test_cross_label_only_and_shortlist_agreement(self, spark):
         from cryoflow_spark.functions.similarity import (

@@ -120,6 +120,12 @@ def test_no_cartesian_products(all_plans):
         # hard-negative mining, brute-force evaluation regime (the
         # scale path passes candidates= and plans equi-joins instead).
         "x163_hard_negatives",
+        # fuses the x05 + x27 brute-force rankings — inherits their
+        # deliberate broadcast regime; the fusion itself is keyed.
+        "x165_rrf_fusion",
+        # evaluates the x05 brute-force ranking — inherits its regime;
+        # the nDCG math itself is (query,id) equi-joins + bounded folds.
+        "x166_ndcg_eval",
         "q20_region_nation_matrix",
         "x21_tfidf_top_terms",
         # 1-row corpus-count scalar crossJoin(broadcast(total)) — same
