@@ -74,6 +74,9 @@ disturbing the main stream. Options:
 - ``report = "entries"`` emits the per-entry-page session report
   (sessions, bounces + rate, mean length, entry share); options
   ``ts_column``, ``user_column``, ``type_column``, ``gap_minutes``.
+- ``report = "trend"`` emits the per-group Theil-Sen robust trend
+  line (median of pairwise slopes) of pre-aggregated observations:
+  ``group_column`` / ``x_column`` / ``y_column`` required.
 - ``report = "pagerank"`` emits the PageRank centrality of event
   types over the user-journey transition graph (``damping`` default
   0.85, ``n_iter`` default 5) — navigation anchors by flow, not hits.
@@ -331,6 +334,16 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 user_col=self.options.get("user_column", "user_id"),
                 type_col=self.options.get("type_column", "event_type"),
                 gap_minutes=int(self.options.get("gap_minutes", 30)),
+            )
+
+        if self.options.get("report") == "trend":
+            from cryoflow_spark.functions.profiling import theil_sen_trend
+
+            return theil_sen_trend(
+                data,
+                group_col=self.require_option("group_column"),
+                x_col=self.require_option("x_column"),
+                y_col=self.require_option("y_column"),
             )
 
         if self.options.get("report") == "pagerank":

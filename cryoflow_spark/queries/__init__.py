@@ -154,7 +154,7 @@ _PRIORITY: list[str] = [
     "x159_auc_report", "x160_calibration_curve",
     "x162_fleiss_kappa", "x163_hard_negatives",
     "x164_attribution_report", "x161_event_pagerank",
-    "x165_rrf_fusion", "x166_ndcg_eval",
+    "x165_rrf_fusion", "x166_ndcg_eval", "x167_theil_sen_trend",
 ]
 
 

@@ -8945,3 +8945,65 @@ def x166_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ndcg_report(ranking, relevance, k=5)
+
+
+# --- x167: Theil-Sen robust trend (oracle-checked) ---------------------------
+
+
+@register(
+    "x167_theil_sen_trend",
+    """
+    WITH daily AS (
+      SELECT event_type AS g, datediff('day', DATE '1970-01-01', CAST(ts AS DATE))::DOUBLE AS x,
+             COUNT(*)::DOUBLE AS y
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.g, (b.y - a.y) / (b.x - a.x) AS s
+      FROM daily a JOIN daily b ON a.g = b.g AND a.x < b.x
+    ),
+    slopes AS (
+      SELECT g, COUNT(*)::BIGINT AS n_pairs,
+             quantile_cont(s, 0.5) AS slope
+      FROM pairs GROUP BY g
+    ),
+    counts AS (
+      SELECT g, COUNT(*)::BIGINT AS n_points FROM daily GROUP BY g
+    ),
+    resid AS (
+      SELECT daily.g, quantile_cont(daily.y - slopes.slope * daily.x, 0.5)
+               AS intercept
+      FROM daily JOIN slopes ON daily.g = slopes.g
+      GROUP BY daily.g
+    )
+    SELECT counts.g AS event_type, counts.n_points,
+           COALESCE(slopes.n_pairs, 0)::BIGINT AS n_pairs,
+           slopes.slope, resid.intercept
+    FROM counts LEFT JOIN slopes ON counts.g = slopes.g
+    LEFT JOIN resid ON counts.g = resid.g
+    """,
+    "Theil-Sen robust trend of daily event volume per type (Theil "
+    "1950 / Sen 1968: slope = median of pairwise slopes, 29.3% "
+    "breakdown where OLS lets one outage day own the fit — the "
+    "ingest-monitoring 'is this source actually declining' read); "
+    "the heavy pass is the daily pre-aggregation, the pairwise join "
+    "fans out only (date range)^2 per group; exact medians == "
+    "quantile_cont",
+)
+def x167_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import theil_sen_trend
+
+    e = load_events(spark, sf_dir)
+    daily = (
+        e.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(
+            F.col("event_type"),
+            F.unix_date(F.col("ts").cast("date"))
+            .cast("double")
+            .alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    return theil_sen_trend(daily, "event_type", "day", "n")

@@ -6051,6 +6051,54 @@ class TestCalibrationReport:
             assert abs(r["ece"] - ece) < 1e-6
 
 
+class TestTheilSenTrend:
+    def test_perfect_line_and_outlier_robustness(self, spark):
+        from cryoflow_spark.functions.profiling import theil_sen_trend
+
+        # g1: exact line y = 2x + 1; g2: same line with one wild point
+        rows = [("g1", float(x), 2.0 * x + 1.0) for x in range(6)]
+        rows += [("g2", float(x), 2.0 * x + 1.0) for x in range(6)]
+        rows += [("g2", 6.0, 1000.0)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        out = {r["g"]: r for r in
+               theil_sen_trend(df, "g", "x", "y").collect()}
+        assert out["g1"]["slope"] == 2.0
+        assert out["g1"]["intercept"] == 1.0
+        assert out["g1"]["n_points"] == 6 and out["g1"]["n_pairs"] == 15
+        # the median of pairwise slopes shrugs off the outlier
+        assert abs(out["g2"]["slope"] - 2.0) < 1e-9
+        assert abs(out["g2"]["intercept"] - 1.0) < 1e-9
+
+    def test_single_point_and_randomized_reference(self, spark):
+        import random
+        import statistics
+
+        from cryoflow_spark.functions.profiling import theil_sen_trend
+
+        single = spark.createDataFrame(
+            [("s", 1.0, 5.0)], "g string, x double, y double"
+        )
+        r = theil_sen_trend(single, "g", "x", "y").collect()[0]
+        assert r["n_points"] == 1 and r["n_pairs"] == 0
+        assert r["slope"] is None and r["intercept"] is None
+
+        rng = random.Random(9)
+        pts = [(float(x), rng.uniform(-5, 5)) for x in range(12)]
+        df = spark.createDataFrame(
+            [("r", x, y) for x, y in pts], "g string, x double, y double"
+        )
+        got = theil_sen_trend(df, "g", "x", "y").collect()[0]
+        slopes = sorted(
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1:]
+        )
+        slope = statistics.median(slopes)
+        inter = statistics.median(y - slope * x for x, y in pts)
+        assert abs(got["slope"] - slope) < 1e-9
+        assert abs(got["intercept"] - inter) < 1e-9
+
+
 class TestFleissKappa:
     def test_hand_computed_three_raters(self, spark):
         from cryoflow_spark.functions.profiling import fleiss_kappa
