@@ -180,6 +180,7 @@ class TestExamples:
             "examples/event_analytics.toml",
             "examples/dedup_decision_flow.toml",
             "examples/retrieval_qa.toml",
+            "examples/growth_analytics.toml",
         ],
     )
     def test_check(self, runner, example):
@@ -199,6 +200,7 @@ class TestExamples:
             ("examples/event_analytics.toml", "/tmp/cryoflow_examples/events/transitions/*.parquet"),
             ("examples/dedup_decision_flow.toml", "/tmp/cryoflow_examples/dedup_flow/capped_corpus/*.parquet"),
             ("examples/retrieval_qa.toml", "/tmp/cryoflow_examples/retrieval/bm25_hits/*.parquet"),
+            ("examples/growth_analytics.toml", "/tmp/cryoflow_examples/growth/pagerank/*.parquet"),
         ],
     )
     def test_run(self, runner, example, out_glob):
