@@ -67,7 +67,12 @@ def pagerank(
     table (event-type transitions, domain links), never raw facts.
     Each iteration is one src-equi-join + one dst-keyed canonical fold
     + a 1-row dangling scalar broadcast; incoming-edge fold lists are
-    bounded by in-degree.
+    bounded by in-degree. The edge/node tables and each iteration's
+    rank table are ``localCheckpoint``-ed (the x20 connected-components
+    pattern): ``ranks`` feeds BOTH the contribution join and the
+    dangling scalar, so without lineage truncation every round doubles
+    the recomputation of everything upstream (2^n_iter re-derivations
+    of the edge extraction — measured 37 s → ~2 s at sf0.1).
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
@@ -96,11 +101,13 @@ def pagerank(
     outw = e.groupBy("src").agg(
         _canonical_fold("dst", "w").alias("outw")
     )
-    e = e.join(outw, "src")
+    e = e.join(outw, "src").localCheckpoint()
+    outw = outw.localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     n_scalar = nodes.agg(
         F.count(F.lit(1)).cast("bigint").alias("__n")
@@ -146,6 +153,7 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
+            .localCheckpoint()
         )
     return ranks.select("node", F.round("rank", 9).alias("rank"))
 
