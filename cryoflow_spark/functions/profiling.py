@@ -1880,3 +1880,96 @@ def theil_sen_trend(
             "intercept",
         )
     )
+
+
+def spearman_correlation(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """ONE-row exact Spearman rank correlation of two numeric columns
+    (Spearman 1904): Pearson correlation of the columns' average
+    ranks — the monotone-association number x76's Pearson matrix
+    can't give (Pearson sees only LINEAR association and one heavy
+    tail owns it; rank correlation is invariant to any monotone
+    transform and outlier-resistant). The scorer-agreement QA read:
+    do two quality scores ORDER the corpus the same way, regardless
+    of their scales?
+
+    Exact integer form: with ties sharing their average rank, the
+    doubled rank ``2·rows_below + n_ties + 1`` is an integer, so all
+    five Pearson sums accumulate exactly in DECIMAL(38,0) (the x76
+    fixed-point pattern; same documented magnitude ceiling —
+    ``n·Σx² ~ 4n⁴`` passes 38 digits around n~1e9) and rho is one
+    final divide + sqrt of exact inputs. Rows with a NULL on either
+    side are excluded.
+
+    Output: ``(n, rho)`` — ``rho`` NULL when either column is
+    constant (zero rank variance) or n < 2.
+
+    Scale: each column's average ranks come from the distributed CDF
+    spine (:func:`cryoflow_spark.functions.ranks.value_cdf` — range
+    exchange + bounded offset stitch, never a single-reducer window),
+    attached by one equi-join per column; the Pearson fold is a 1-row
+    aggregate with map-side partials.
+    """
+    from cryoflow_spark.functions.ranks import value_cdf
+
+    dec = "decimal(38,0)"
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(
+        F.col(col_a).cast("double").alias("__a"),
+        F.col(col_b).cast("double").alias("__b"),
+    )
+
+    def avg_rank2(col: str, out: str) -> DataFrame:
+        spine = value_cdf(base, col)
+        return spine.select(
+            F.col(col),
+            (
+                F.lit(2) * F.col("rows_below")
+                + (F.col("rows_at_or_below") - F.col("rows_below"))
+                + F.lit(1)
+            )
+            .cast("bigint")
+            .alias(out),
+        )
+    ranked = base.join(avg_rank2("__a", "__ra"), "__a").join(
+        avg_rank2("__b", "__rb"), "__b"
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.coalesce(F.sum(F.col("__ra").cast(dec)), F.lit(0)).cast(dec)
+        .alias("__sx"),
+        F.coalesce(F.sum(F.col("__rb").cast(dec)), F.lit(0)).cast(dec)
+        .alias("__sy"),
+        F.coalesce(
+            F.sum(F.col("__ra").cast(dec) * F.col("__ra").cast(dec)),
+            F.lit(0),
+        ).cast(dec).alias("__sxx"),
+        F.coalesce(
+            F.sum(F.col("__rb").cast(dec) * F.col("__rb").cast(dec)),
+            F.lit(0),
+        ).cast(dec).alias("__syy"),
+        F.coalesce(
+            F.sum(F.col("__ra").cast(dec) * F.col("__rb").cast(dec)),
+            F.lit(0),
+        ).cast(dec).alias("__sxy"),
+    )
+    num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+    dx = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+    dy = (F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+    return sums.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.when(
+            (F.col("__n") >= 2)
+            & (dx > F.lit(0).cast(dec))
+            & (dy > F.lit(0).cast(dec)),
+            F.round(
+                num.cast("double")
+                / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+                6,
+            ),
+        ).alias("rho"),
+    )

@@ -74,6 +74,9 @@ disturbing the main stream. Options:
 - ``report = "entries"`` emits the per-entry-page session report
   (sessions, bounces + rate, mean length, entry share); options
   ``ts_column``, ``user_column``, ``type_column``, ``gap_minutes``.
+- ``report = "spearman"`` emits the ONE-row exact Spearman rank
+  correlation of ``column_a`` vs ``column_b`` — monotone association,
+  invariant to scale and heavy tails (the Pearson complement).
 - ``report = "trend"`` emits the per-group Theil-Sen robust trend
   line (median of pairwise slopes) of pre-aggregated observations:
   ``group_column`` / ``x_column`` / ``y_column`` required.
@@ -334,6 +337,17 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 user_col=self.options.get("user_column", "user_id"),
                 type_col=self.options.get("type_column", "event_type"),
                 gap_minutes=int(self.options.get("gap_minutes", 30)),
+            )
+
+        if self.options.get("report") == "spearman":
+            from cryoflow_spark.functions.profiling import (
+                spearman_correlation,
+            )
+
+            return spearman_correlation(
+                data,
+                col_a=self.require_option("column_a"),
+                col_b=self.require_option("column_b"),
             )
 
         if self.options.get("report") == "trend":

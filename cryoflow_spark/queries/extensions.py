@@ -9007,3 +9007,54 @@ def x167_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("n"))
     )
     return theil_sen_trend(daily, "event_type", "day", "n")
+
+
+# --- x168: exact Spearman rank correlation (oracle-checked) ------------------
+
+
+@register(
+    "x168_spearman",
+    """
+    WITH base AS (
+      SELECT l_quantity::DOUBLE AS a, l_extendedprice::DOUBLE AS b
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    r AS (
+      SELECT (2 * (RANK() OVER (ORDER BY a) - 1)
+              + COUNT(*) OVER (PARTITION BY a) + 1)::HUGEINT AS ra,
+             (2 * (RANK() OVER (ORDER BY b) - 1)
+              + COUNT(*) OVER (PARTITION BY b) + 1)::HUGEINT AS rb
+      FROM base
+    ),
+    s AS (
+      SELECT COUNT(*)::HUGEINT AS n,
+             COALESCE(SUM(ra), 0)::HUGEINT AS sx,
+             COALESCE(SUM(rb), 0)::HUGEINT AS sy,
+             COALESCE(SUM(ra * ra), 0)::HUGEINT AS sxx,
+             COALESCE(SUM(rb * rb), 0)::HUGEINT AS syy,
+             COALESCE(SUM(ra * rb), 0)::HUGEINT AS sxy
+      FROM r
+    )
+    SELECT n::BIGINT AS n,
+           CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                     AND (n * syy - sy * sy) > 0 THEN
+             ROUND((n * sxy - sx * sy)::DOUBLE
+                   / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                      * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
+           END AS rho
+    FROM s
+    """,
+    "Exact Spearman rank correlation of lineitem quantity vs extended "
+    "price (Spearman 1904: Pearson of tie-averaged ranks — monotone "
+    "association invariant to scale and heavy tails, the "
+    "scorer-agreement complement to x76's Pearson matrix); doubled "
+    "average ranks are exact integers off the distributed CDF spine, "
+    "all five moment sums in DECIMAL(38,0)/HUGEINT, one final "
+    "divide + sqrt",
+)
+def x168_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import spearman_correlation
+
+    li = load(spark, sf_dir, "lineitem")
+    return spearman_correlation(li, "l_quantity", "l_extendedprice")

@@ -6051,6 +6051,65 @@ class TestCalibrationReport:
             assert abs(r["ece"] - ece) < 1e-6
 
 
+class TestSpearmanCorrelation:
+    def test_monotone_invariance_and_sign(self, spark):
+        from cryoflow_spark.functions.profiling import spearman_correlation
+
+        # y = x^3 is nonlinear but perfectly monotone -> rho exactly 1
+        rows = [(float(x), float(x) ** 3) for x in range(-5, 6)]
+        df = spark.createDataFrame(rows, "a double, b double")
+        assert spearman_correlation(df, "a", "b").collect()[0]["rho"] == 1.0
+        rev = spark.createDataFrame(
+            [(x, -y) for x, y in rows], "a double, b double"
+        )
+        assert spearman_correlation(rev, "a", "b").collect()[0]["rho"] == -1.0
+        # constant column -> NULL rho
+        const = spark.createDataFrame(
+            [(1.0, 5.0), (2.0, 5.0)], "a double, b double"
+        )
+        r = spearman_correlation(const, "a", "b").collect()[0]
+        assert r["n"] == 2 and r["rho"] is None
+
+    def test_randomized_reference_with_ties(self, spark):
+        import random
+
+        from cryoflow_spark.functions.profiling import spearman_correlation
+
+        rng = random.Random(31)
+        rows = [
+            (float(rng.randint(0, 9)), float(rng.randint(0, 9)))
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame(rows, "a double, b double")
+        got = spearman_correlation(df, "a", "b").collect()[0]["rho"]
+
+        def avg_ranks(vals):
+            order = sorted(range(len(vals)), key=lambda i: vals[i])
+            ranks = [0.0] * len(vals)
+            i = 0
+            while i < len(order):
+                j = i
+                while j < len(order) and vals[order[j]] == vals[order[i]]:
+                    j += 1
+                r = (i + j + 1) / 2.0  # average of 1-based ranks i+1..j
+                for t in range(i, j):
+                    ranks[order[t]] = r
+                i = j
+            return ranks
+
+        ra = avg_ranks([a for a, _ in rows])
+        rb = avg_ranks([b for _, b in rows])
+        n = len(rows)
+        sx, sy = sum(ra), sum(rb)
+        sxx = sum(x * x for x in ra)
+        syy = sum(y * y for y in rb)
+        sxy = sum(x * y for x, y in zip(ra, rb))
+        want = (n * sxy - sx * sy) / (
+            (n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5
+        )
+        assert abs(got - want) < 1e-6
+
+
 class TestTheilSenTrend:
     def test_perfect_line_and_outlier_robustness(self, spark):
         from cryoflow_spark.functions.profiling import theil_sen_trend

@@ -221,6 +221,10 @@ def test_no_cartesian_products(all_plans):
         # 1-row Σ rowmarg·colmarg scalar crossJoin(broadcast) into the
         # 1-row agreement-totals table — both sides scalar.
         "x144_cohens_kappa",
+        # Fleiss panel: 1-row category-margin and excluded-subject
+        # scalars crossJoin(broadcast) into the 1-row subject totals —
+        # all sides scalar (the x144 pattern with one more margin).
+        "x162_fleiss_kappa",
         # 1-row (bigram types, n1, n2) discount scalar crossJoin
         # (broadcast) into the vocab word table — same scalar pattern.
         "x148_kneser_ney_counts",
@@ -229,6 +233,9 @@ def test_no_cartesian_products(all_plans):
         "x154_session_entries",
         # the exit twin rides the identical report shape.
         "x158_session_exits",
+        # 1-row journey-total scalar crossJoin(broadcast) into the
+        # |touch types|-row attribution table — same scalar pattern.
+        "x164_attribution_report",
         # engine-mode twin of x100 — PQ's deliberate compressed linear
         # scan with the broadcast LUT query side (see x100 above).
         "x100_pq_adc_engine",
@@ -288,6 +295,9 @@ _BOUNDED_WINDOW_ENVELOPES = {
     # calibration ECE: abs-dev + row totals over the <= n_bins-row
     # reliability bin table (2 specs in one Window).
     "x160_calibration_curve": ("sum(n", 2),
+    # Spearman rides TWO value_cdf spines (one per column) — one
+    # offsets-stitch spec each over the per-range-partition totals.
+    "x168_spearman": ("_psize", 2),
 }
 
 
