@@ -9058,3 +9058,26 @@ def x168_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return spearman_correlation(li, "l_quantity", "l_extendedprice")
+
+
+# --- x157 engine twin: vectorized IVF-PQ + re-rank (rows-only) ---------------
+
+
+@register(
+    "x157_rerank_engine",
+    None,  # engine-mode bench twin (the x100/x102 precedent): the
+    # vectorized assign/encode stages aren't SQL-replicable; fold-mode
+    # agreement is pinned by the underlying mode-agreement tests and
+    # the exact re-rank stage is mode-independent
+    "IVF-PQ + exact re-rank, production path: vectorized Arrow/numpy "
+    "coarse assignment and PQ encode feeding the same broadcast "
+    "shortlist rejoin and exact left-fold re-rank as oracle-mode x157 "
+    "— the bench row that prices what a user actually runs",
+)
+def x157_rerank_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return S.ivf_pq_rerank_topk(
+        e, queries, _X23_CENTROIDS, _X100_BOOKS, k=5, shortlist=20,
+        nprobe=3, assign_mode="vectorized", encode_mode="vectorized",
+    )

@@ -52,6 +52,7 @@ def test_descriptions_and_rows_only_census():
         "x100_pq_adc_engine",
         "x102_ivf_pq_engine",
         "x141_outliers_approx",
+        "x157_rerank_engine",
         "x15_engine_minhash_dedup",
         "x18_ivf_cosine_topk",
         "x33_engine_incremental_dedup",
