@@ -1973,3 +1973,123 @@ def spearman_correlation(
             ),
         ).alias("rho"),
     )
+
+
+def concentration_report(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """ONE-row concentration audit of how ``weight_col`` mass (tokens,
+    bytes, events) distributes across ``group_col`` (sources, domains,
+    users) — the inequality view x121's entropy number compresses away:
+
+    - ``gini`` — the Gini coefficient of the group weight distribution
+      (0 = perfectly even, →1 = one group owns everything), computed
+      from the exact integer rank-weighted sum
+      ``G = 2·Σ i·w_(i) / (n·S) − (n+1)/n`` over ascending-sorted
+      weights (Gini 1912, standard discrete form);
+    - ``groups_for_50pct`` / ``_90pct`` / ``_99pct`` — how many TOP
+      groups it takes to cover that share of total mass (the "3 domains
+      are half your corpus" number), from exact integer comparisons
+      ``2·cum ≥ S`` etc. — no float thresholds;
+    - ``top_share`` — the largest group's share (6 decimals);
+    - ``n_groups`` / ``total_weight``.
+
+    NULL groups/weights and non-positive weights are excluded.
+
+    Scale: ONE keyed aggregation collapses the corpus to |groups|
+    rows; the sort + rank-weighted fold runs inside a single
+    1-row aggregate over that bounded array (group domains — sources,
+    registrable domains — are vocabulary-bounded; for million-group
+    user tables, pre-cap or bucket first). Every sum is exact
+    BIGINT/DECIMAL; the three divides happen once at the end.
+    """
+    dec = "decimal(38,0)"
+    counts = (
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(weight_col).isNotNull()
+        )
+        .filter(F.col(weight_col) > 0)
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(F.sum(F.col(weight_col).cast("bigint")).alias("__w"))
+    )
+    packed = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.coalesce(F.sum("__w"), F.lit(0)).cast("bigint").alias(
+            "total_weight"
+        ),
+        # ascending (weight, group) order — deterministic under ties
+        F.array_sort(F.collect_list(F.struct("__w", "__g"))).alias("__arr"),
+    )
+    # rank-weighted sum Σ i·w_(i), ascending 1-based ranks (exact)
+    rank_weighted = F.aggregate(
+        F.zip_with(
+            F.col("__arr"),
+            F.sequence(F.lit(1), F.greatest(F.col("n_groups"), F.lit(1))),
+            lambda s, i: s["__w"].cast(dec) * i.cast(dec),
+        ),
+        F.lit(0).cast(dec),
+        lambda acc, x: acc + x,
+    )
+    # descending cumulative coverage counts via one fold with a struct
+    # accumulator (cum mass from the TOP, position, the three k's)
+    zero = F.struct(
+        F.lit(0).cast("bigint").alias("cum"),
+        F.lit(0).cast("bigint").alias("pos"),
+        F.lit(0).cast("bigint").alias("k50"),
+        F.lit(0).cast("bigint").alias("k90"),
+        F.lit(0).cast("bigint").alias("k99"),
+    )
+
+    def step(acc, x):
+        cum = acc["cum"] + x["__w"]
+        pos = acc["pos"] + F.lit(1)
+        return F.struct(
+            cum.alias("cum"),
+            pos.alias("pos"),
+            F.when(
+                (acc["k50"] == 0)
+                & (cum * F.lit(2) >= F.col("total_weight")),
+                pos,
+            ).otherwise(acc["k50"]).alias("k50"),
+            F.when(
+                (acc["k90"] == 0)
+                & (cum * F.lit(10) >= F.col("total_weight") * F.lit(9)),
+                pos,
+            ).otherwise(acc["k90"]).alias("k90"),
+            F.when(
+                (acc["k99"] == 0)
+                & (cum * F.lit(100) >= F.col("total_weight") * F.lit(99)),
+                pos,
+            ).otherwise(acc["k99"]).alias("k99"),
+        )
+
+    cover = F.aggregate(F.reverse(F.col("__arr")), zero, step)
+    top_w = F.element_at(F.col("__arr"), -1)["__w"]
+    n_dec = F.col("n_groups").cast(dec)
+    s_dec = F.col("total_weight").cast(dec)
+    gini = (
+        F.lit(2.0) * rank_weighted.cast("double")
+        / (n_dec.cast("double") * s_dec.cast("double"))
+        - (F.col("n_groups") + 1).cast("double")
+        / F.col("n_groups").cast("double")
+    )
+    return packed.withColumn("__cover", cover).select(
+        "n_groups",
+        "total_weight",
+        F.when(
+            (F.col("n_groups") > 0) & (F.col("total_weight") > 0),
+            F.round(gini, 6),
+        ).alias("gini"),
+        F.col("__cover.k50").alias("groups_for_50pct"),
+        F.col("__cover.k90").alias("groups_for_90pct"),
+        F.col("__cover.k99").alias("groups_for_99pct"),
+        F.when(
+            F.col("total_weight") > 0,
+            F.round(
+                top_w.cast("double") / F.col("total_weight").cast("double"),
+                6,
+            ),
+        ).alias("top_share"),
+    )

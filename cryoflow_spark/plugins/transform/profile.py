@@ -74,6 +74,9 @@ disturbing the main stream. Options:
 - ``report = "entries"`` emits the per-entry-page session report
   (sessions, bounces + rate, mean length, entry share); options
   ``ts_column``, ``user_column``, ``type_column``, ``gap_minutes``.
+- ``report = "concentration"`` emits the ONE-row Gini/coverage audit
+  of ``weight_column`` mass across ``group_column`` (how many top
+  groups own 50/90/99% — the mixture-design inequality view).
 - ``report = "spearman"`` emits the ONE-row exact Spearman rank
   correlation of ``column_a`` vs ``column_b`` — monotone association,
   invariant to scale and heavy tails (the Pearson complement).
@@ -337,6 +340,17 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 user_col=self.options.get("user_column", "user_id"),
                 type_col=self.options.get("type_column", "event_type"),
                 gap_minutes=int(self.options.get("gap_minutes", 30)),
+            )
+
+        if self.options.get("report") == "concentration":
+            from cryoflow_spark.functions.profiling import (
+                concentration_report,
+            )
+
+            return concentration_report(
+                data,
+                group_col=self.require_option("group_column"),
+                weight_col=self.require_option("weight_column"),
             )
 
         if self.options.get("report") == "spearman":

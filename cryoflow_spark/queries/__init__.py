@@ -155,7 +155,7 @@ _PRIORITY: list[str] = [
     "x162_fleiss_kappa", "x163_hard_negatives",
     "x164_attribution_report", "x161_event_pagerank",
     "x165_rrf_fusion", "x166_ndcg_eval", "x167_theil_sen_trend",
-    "x168_spearman",
+    "x168_spearman", "x169_token_concentration",
 ]
 
 

@@ -9081,3 +9081,74 @@ def x157_rerank_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, queries, _X23_CENTROIDS, _X100_BOOKS, k=5, shortlist=20,
         nprobe=3, assign_mode="vectorized", encode_mode="vectorized",
     )
+
+
+# --- x169: corpus concentration report (oracle-checked) ----------------------
+
+
+@register(
+    "x169_token_concentration",
+    r"""
+    WITH per_doc AS (
+      SELECT source AS g,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             t -> t != ''))::BIGINT AS w
+      FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+    ),
+    counts AS (
+      SELECT g, SUM(w)::BIGINT AS w FROM per_doc WHERE w > 0 GROUP BY g
+    ),
+    packed AS (
+      SELECT COUNT(*)::BIGINT AS n_groups,
+             COALESCE(SUM(w), 0)::BIGINT AS total_weight,
+             list_sort(list(struct_pack(w := w, g := g))) AS arr
+      FROM counts
+    ),
+    folded AS (
+      SELECT n_groups, total_weight, arr,
+             list_reduce(list_prepend(0::HUGEINT,
+               [arr[i].w::HUGEINT * i for i in
+                generate_series(1, greatest(n_groups, 1)::INTEGER)]),
+               (acc, x) -> acc + x) AS rank_weighted,
+             [list_sum(list_reverse(list_transform(arr, s -> s.w))[1:i])::BIGINT
+              for i in generate_series(1, greatest(n_groups, 1)::INTEGER)]
+               AS cums
+      FROM packed
+    )
+    SELECT n_groups, total_weight,
+           CASE WHEN n_groups > 0 AND total_weight > 0 THEN
+             ROUND(2.0 * rank_weighted::DOUBLE
+                   / (n_groups::DOUBLE * total_weight::DOUBLE)
+                   - (n_groups + 1)::DOUBLE / n_groups::DOUBLE, 6)
+           END AS gini,
+           CASE WHEN n_groups = 0 THEN 0 ELSE
+             1 + len(list_filter(cums, c -> c * 2 < total_weight))
+           END::BIGINT AS groups_for_50pct,
+           CASE WHEN n_groups = 0 THEN 0 ELSE
+             1 + len(list_filter(cums, c -> c * 10 < total_weight * 9))
+           END::BIGINT AS groups_for_90pct,
+           CASE WHEN n_groups = 0 THEN 0 ELSE
+             1 + len(list_filter(cums, c -> c * 100 < total_weight * 99))
+           END::BIGINT AS groups_for_99pct,
+           CASE WHEN total_weight > 0 THEN
+             ROUND(arr[-1].w::DOUBLE / total_weight::DOUBLE, 6)
+           END AS top_share
+    FROM folded
+    """,
+    "Corpus concentration audit of token mass across sources (Gini "
+    "1912 discrete form from the exact integer rank-weighted sum, "
+    "plus how many TOP sources cover 50/90/99% of tokens and the top "
+    "source's share — the inequality view x121's entropy compresses "
+    "away: 'three domains are half your corpus' is the mixture-design "
+    "red flag); ONE keyed agg collapses the corpus to |sources| rows, "
+    "sort + folds run in a single 1-row aggregate over that bounded "
+    "array, all sums exact integers",
+)
+def x169_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import concentration_report
+
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.filter(
+        F.col("source").isNotNull() & F.col("text").isNotNull()
+    ).select("source", X.token_count("text").alias("n_tokens"))
+    return concentration_report(per_doc, "source", "n_tokens")

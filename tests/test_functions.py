@@ -6051,6 +6051,66 @@ class TestCalibrationReport:
             assert abs(r["ece"] - ece) < 1e-6
 
 
+class TestConcentrationReport:
+    def test_hand_computed(self, spark):
+        from cryoflow_spark.functions.profiling import concentration_report
+
+        # weights 50/30/10/10: gini = 2*320/(4*100) - 5/4 = 0.35
+        df = spark.createDataFrame(
+            [("a", 50), ("b", 30), ("c", 10), ("d", 10),
+             ("e", None), (None, 7), ("zero", 0)],
+            "g string, w long",
+        )
+        r = concentration_report(df, "g", "w").collect()[0]
+        assert (r["n_groups"], r["total_weight"]) == (4, 100)
+        assert r["gini"] == 0.35
+        assert (r["groups_for_50pct"], r["groups_for_90pct"],
+                r["groups_for_99pct"]) == (1, 3, 4)
+        assert r["top_share"] == 0.5
+
+    def test_uniform_and_degenerate(self, spark):
+        from cryoflow_spark.functions.profiling import concentration_report
+
+        uniform = spark.createDataFrame(
+            [(f"g{i}", 10) for i in range(5)], "g string, w long"
+        )
+        r = concentration_report(uniform, "g", "w").collect()[0]
+        assert r["gini"] == 0.0
+        assert r["groups_for_50pct"] == 3  # ceil(5 * 0.5)
+        one = spark.createDataFrame([("solo", 42)], "g string, w long")
+        r1 = concentration_report(one, "g", "w").collect()[0]
+        assert r1["gini"] == 0.0 and r1["top_share"] == 1.0
+        empty = spark.createDataFrame([], "g string, w long")
+        r0 = concentration_report(empty, "g", "w").collect()[0]
+        assert r0["n_groups"] == 0 and r0["gini"] is None
+
+    def test_randomized_reference(self, spark):
+        import random
+
+        from cryoflow_spark.functions.profiling import concentration_report
+
+        rng = random.Random(44)
+        weights = [rng.randint(1, 1000) for _ in range(30)]
+        df = spark.createDataFrame(
+            [(f"g{i}", w) for i, w in enumerate(weights)],
+            "g string, w long",
+        )
+        got = concentration_report(df, "g", "w").collect()[0]
+        xs = sorted(weights)
+        n, s = len(xs), sum(xs)
+        gini = 2.0 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * s) \
+            - (n + 1) / n
+        assert abs(got["gini"] - gini) < 1e-6
+        desc = sorted(weights, reverse=True)
+        cum, k50 = 0, 0
+        for i, w in enumerate(desc, 1):
+            cum += w
+            if 2 * cum >= s:
+                k50 = i
+                break
+        assert got["groups_for_50pct"] == k50
+
+
 class TestSpearmanCorrelation:
     def test_monotone_invariance_and_sign(self, spark):
         from cryoflow_spark.functions.profiling import spearman_correlation
