@@ -1449,3 +1449,104 @@ def session_exit_report(
         gap_minutes=gap_minutes,
         edge="exit",
     )
+
+
+def growth_accounting(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    period_days: int = 1,
+) -> DataFrame:
+    """Per-period growth accounting of the active-user base (the
+    standard new/retained/resurrected/churned decomposition behind
+    growth dashboards and the Social-Capital "quick ratio"): with a
+    user's active periods in order,
+
+    - ``new_users`` — first-ever activity in this period;
+    - ``retained`` — also active the immediately previous period;
+    - ``resurrected`` — returned after a gap of ≥ 1 period;
+    - ``churned`` — active the previous period but not this one
+      (``active(p-1) − retained(p)``, exact integers);
+    - ``quick_ratio`` — ``(new + resurrected) / churned`` (NULL when
+      nobody churned).
+
+    Periods are ``period_days``-day buckets of the epoch day (exact
+    integer division — partitioning can't shift edges); only periods
+    with activity get a row (a fully-dead period has no anchor row;
+    its churn shows up on the next active period's ``churned`` only
+    if that period is adjacent — the standard observed-period
+    convention). NULL users/timestamps are excluded.
+
+    Output: ``(period_start, active, new_users, retained, resurrected,
+    churned, quick_ratio)``.
+
+    Scale: ONE (user, period) distinct is the only corpus-sized
+    shuffle (the x81 retention cost class); the lag classification
+    runs user-partitioned over each user's period list, the report is
+    a |periods|-keyed agg, and churn derives from a period-shifted
+    self-join of the bounded report table.
+    """
+    if period_days < 1:
+        raise ValueError("period_days must be >= 1")
+    up = (
+        events.filter(
+            F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("__u"),
+            F.expr(
+                f"CAST(unix_date(CAST({ts_col} AS DATE)) div "
+                f"{int(period_days)} AS BIGINT)"
+            ).alias("__p"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("__u").orderBy("__p")
+    classified = up.withColumn("__prev", F.lag("__p").over(w)).select(
+        "__p",
+        F.when(F.col("__prev").isNull(), 1).otherwise(0).alias("__new"),
+        F.when(F.col("__prev") == F.col("__p") - 1, 1)
+        .otherwise(0)
+        .alias("__ret"),
+        F.when(
+            F.col("__prev").isNotNull()
+            & (F.col("__prev") < F.col("__p") - 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("__res"),
+    )
+    report = classified.groupBy("__p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active"),
+        F.sum("__new").cast("bigint").alias("new_users"),
+        F.sum("__ret").cast("bigint").alias("retained"),
+        F.sum("__res").cast("bigint").alias("resurrected"),
+    )
+    prev = report.select(
+        (F.col("__p") + 1).alias("__p"),
+        F.col("active").alias("__prev_active"),
+    )
+    out = report.join(prev, "__p", "left").select(
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            (F.col("__p") * int(period_days)).cast("int"),
+        ).alias("period_start"),
+        "active",
+        "new_users",
+        "retained",
+        "resurrected",
+        (F.coalesce(F.col("__prev_active"), F.lit(0)) - F.col("retained"))
+        .cast("bigint")
+        .alias("churned"),
+    )
+    return out.withColumn(
+        "quick_ratio",
+        F.when(
+            F.col("churned") > 0,
+            F.round(
+                (F.col("new_users") + F.col("resurrected")).cast("double")
+                / F.col("churned").cast("double"),
+                6,
+            ),
+        ),
+    )

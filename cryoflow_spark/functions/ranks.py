@@ -388,3 +388,83 @@ def ndcg_report(
             ).alias("ndcg"),
         )
     )
+
+
+def mrr_report(
+    ranking: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """ONE-row mean reciprocal rank@k (Voorhees 1999, the TREC-8 QA
+    measure): per query the reciprocal of the FIRST relevant result's
+    rank (0 when nothing relevant lands in the top k), averaged over
+    all ranked queries — the "how far down is the first good hit"
+    number that completes the ranking-eval trio (recall@k x41 counts
+    hits, nDCG x166 weights all positions, MRR cares only about the
+    first).
+
+    ``relevance`` rows are (query, id) pairs — binary here; grades
+    belong to nDCG. Output: ``(n_queries, n_hit, hit_rate, mrr)`` —
+    ``mrr`` sums per-query reciprocals (exact IEEE ``1/rank``) in
+    canonical query order, one final divide, 6 decimals.
+
+    Scale: one (query, id) equi-join of the small top-k table against
+    the relevance pairs + a per-query min + a 1-row fold.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ranked = ranking.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__d"),
+        F.col(rank_col).cast("int").alias("__r"),
+    )
+    rel = relevance.select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__d")
+    ).distinct()
+    first_hit = (
+        ranked.join(rel, ["__q", "__d"])
+        .groupBy("__q")
+        .agg(F.min("__r").alias("__first"))
+    )
+    per_query = (
+        ranked.select("__q").distinct()
+        .join(first_hit, "__q", "left")
+        .select(
+            "__q",
+            F.when(
+                F.col("__first").isNotNull(),
+                F.lit(1.0) / F.col("__first").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("__rr"),
+        )
+    )
+    return per_query.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum(F.when(F.col("__rr") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hit"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("__q", "__rr"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__rr"],
+        ).alias("__sum"),
+    ).select(
+        "n_queries",
+        "n_hit",
+        F.when(
+            F.col("n_queries") > 0,
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.col("n_queries").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("hit_rate"),
+        F.when(
+            F.col("n_queries") > 0,
+            F.round(F.col("__sum") / F.col("n_queries").cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("mrr"),
+    )

@@ -96,6 +96,10 @@ disturbing the main stream. Options:
 - ``report = "active_users"`` emits the per-day DAU / trailing-window
   WAU / stickiness engagement table; options ``ts_column``,
   ``user_column``, ``window_days``.
+- ``report = "growth"`` emits the per-period growth-accounting
+  decomposition (new/retained/resurrected/churned + quick ratio) of
+  the active-user base; options ``ts_column``, ``user_column``,
+  ``period_days`` (default 1).
 - ``report = "kappa"`` emits the ONE-row Cohen's-kappa
   chance-corrected agreement of ``pred_column`` vs ``label_column``
   (Cohen 1960) — the imbalance-robust companion number to
@@ -412,6 +416,16 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 user_col=self.options.get("user_column", "user_id"),
                 type_col=self.options.get("type_column", "event_type"),
                 gap_minutes=int(self.options.get("gap_minutes", 30)),
+            )
+
+        if self.options.get("report") == "growth":
+            from cryoflow_spark.functions.events import growth_accounting
+
+            return growth_accounting(
+                data,
+                ts_col=self.options.get("ts_column", "ts"),
+                user_col=self.options.get("user_column", "user_id"),
+                period_days=int(self.options.get("period_days", 1)),
             )
 
         if self.options.get("report") == "active_users":

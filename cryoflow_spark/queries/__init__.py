@@ -156,6 +156,7 @@ _PRIORITY: list[str] = [
     "x164_attribution_report", "x161_event_pagerank",
     "x165_rrf_fusion", "x166_ndcg_eval", "x167_theil_sen_trend",
     "x168_spearman", "x169_token_concentration",
+    "x170_mrr_eval", "x171_growth_accounting",
 ]
 
 

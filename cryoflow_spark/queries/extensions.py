@@ -9152,3 +9152,123 @@ def x169_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").isNotNull() & F.col("text").isNotNull()
     ).select("source", X.token_count("text").alias("n_tokens"))
     return concentration_report(per_doc, "source", "n_tokens")
+
+
+# --- x170: mean reciprocal rank (oracle-checked) -----------------------------
+
+
+@register(
+    "x170_mrr_eval",
+    f"""
+    WITH ranked AS (
+      SELECT * FROM (
+        SELECT a.vec_id AS q, b.vec_id AS d, a.label AS ql,
+               b.label AS nl,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_COSINE_SQL} DESC, b.vec_id
+               ) AS INTEGER) AS r
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE a.vec_id % 100 = 0
+          AND a.label IS NOT NULL AND b.label IS NOT NULL
+      ) WHERE r <= 5
+    ),
+    first_hit AS (
+      SELECT q, MIN(r) AS fr FROM ranked WHERE ql = nl GROUP BY q
+    ),
+    per_query AS (
+      SELECT rq.q,
+             CASE WHEN fh.fr IS NOT NULL
+                  THEN 1.0::DOUBLE / fh.fr::DOUBLE ELSE 0.0 END AS rr
+      FROM (SELECT DISTINCT q FROM ranked) rq
+      LEFT JOIN first_hit fh ON rq.q = fh.q
+    )
+    SELECT COUNT(*)::BIGINT AS n_queries,
+           SUM(CASE WHEN rr > 0 THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+           CASE WHEN COUNT(*) > 0 THEN
+             ROUND(SUM(CASE WHEN rr > 0 THEN 1 ELSE 0 END)::DOUBLE
+                   / COUNT(*)::DOUBLE, 6) ELSE 0.0 END AS hit_rate,
+           CASE WHEN COUNT(*) > 0 THEN
+             ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+                     list(rr ORDER BY q)), (acc, x) -> acc + x)
+                   / COUNT(*)::DOUBLE, 6) ELSE 0.0 END AS mrr
+    FROM per_query
+    """,
+    "Mean reciprocal rank@5 (Voorhees 1999 TREC-8) of the exact-cosine "
+    "ranking against same-label relevance — where's the FIRST good "
+    "hit, completing the ranking-eval trio with recall@k (x41) and "
+    "nDCG (x166); one (query,id) equi-join + per-query min + a 1-row "
+    "canonical-order fold",
+)
+def x170_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.ranks import mrr_report
+
+    e = load(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    ranking = S.cosine_topk(e, queries, k=5)
+    relevance = (
+        queries.alias("a")
+        .join(
+            e.alias("b"),
+            F.expr("a.label = b.label AND a.vec_id != b.vec_id"),
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+        )
+    )
+    return mrr_report(ranking, relevance, k=5)
+
+
+# --- x171: growth accounting (oracle-checked) --------------------------------
+
+
+@register(
+    "x171_growth_accounting",
+    """
+    WITH up AS (
+      SELECT DISTINCT user_id AS u,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT
+               AS p
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    cls AS (
+      SELECT p,
+             CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS is_new,
+             CASE WHEN prev = p - 1 THEN 1 ELSE 0 END AS is_ret,
+             CASE WHEN prev IS NOT NULL AND prev < p - 1
+                  THEN 1 ELSE 0 END AS is_res
+      FROM (
+        SELECT u, p, LAG(p) OVER (PARTITION BY u ORDER BY p) AS prev
+        FROM up
+      )
+    ),
+    rep AS (
+      SELECT p, COUNT(*)::BIGINT AS active,
+             SUM(is_new)::BIGINT AS new_users,
+             SUM(is_ret)::BIGINT AS retained,
+             SUM(is_res)::BIGINT AS resurrected
+      FROM cls GROUP BY p
+    )
+    SELECT DATE '1970-01-01' + INTERVAL (rep.p) DAY AS period_start,
+           rep.active, rep.new_users, rep.retained, rep.resurrected,
+           (COALESCE(prev.active, 0) - rep.retained)::BIGINT AS churned,
+           CASE WHEN COALESCE(prev.active, 0) - rep.retained > 0 THEN
+             ROUND((rep.new_users + rep.resurrected)::DOUBLE
+                   / (COALESCE(prev.active, 0) - rep.retained)::DOUBLE, 6)
+           END AS quick_ratio
+    FROM rep LEFT JOIN rep prev ON prev.p = rep.p - 1
+    """,
+    "Per-day growth accounting of the active-user base (the standard "
+    "new/retained/resurrected/churned decomposition + the quick ratio "
+    "(new+resurrected)/churned): the WHY behind a flat DAU curve — "
+    "healthy replacement vs a leaky bucket; one (user, day) distinct "
+    "is the only corpus-sized shuffle (the x81 class), lag "
+    "classification runs user-partitioned, churn derives from a "
+    "period-shifted self-join of the bounded report",
+)
+def x171_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.events import growth_accounting
+
+    e = load_events(spark, sf_dir)
+    return growth_accounting(e, period_days=1)

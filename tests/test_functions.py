@@ -7157,6 +7157,66 @@ class TestBm25Search:
             bm25_search(df, ["x"], top_k=0)
 
 
+class TestMrrReport:
+    def test_hand_computed(self, spark):
+        from cryoflow_spark.functions.ranks import mrr_report
+
+        # q1: first relevant at rank 2 -> 0.5; q2: no hit -> 0;
+        # q3: hit at rank 1 -> 1.0; mrr = 1.5/3
+        ranking = spark.createDataFrame(
+            [(1, "a", 1), (1, "b", 2), (2, "c", 1), (3, "d", 1)],
+            "query_id long, neighbor_id string, rank int",
+        )
+        rel = spark.createDataFrame(
+            [(1, "b"), (2, "zzz"), (3, "d"), (3, "a")],
+            "query_id long, neighbor_id string",
+        )
+        r = mrr_report(ranking, rel, k=5).collect()[0]
+        assert (r["n_queries"], r["n_hit"]) == (3, 2)
+        assert r["hit_rate"] == round(2 / 3, 6)
+        assert r["mrr"] == 0.5
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            mrr_report(ranking, rel, k=0)
+
+
+class TestGrowthAccounting:
+    def test_hand_computed_decomposition(self, spark):
+        from datetime import datetime
+
+        from cryoflow_spark.functions.events import growth_accounting
+
+        rows = [
+            # user A: days 1, 2, 4 (retained d2, resurrected d4)
+            (1, datetime(2024, 1, 1, 9), "A"),
+            (2, datetime(2024, 1, 2, 9), "A"),
+            (3, datetime(2024, 1, 4, 9), "A"),
+            # user B: day 1 only (churns at d2)
+            (4, datetime(2024, 1, 1, 10), "B"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id string"
+        )
+        out = {str(r["period_start"]): r for r in
+               growth_accounting(df).collect()}
+        d1, d2, d4 = (out["2024-01-01"], out["2024-01-02"],
+                      out["2024-01-04"])
+        assert (d1["active"], d1["new_users"], d1["churned"]) == (2, 2, 0)
+        assert d1["quick_ratio"] is None
+        assert (d2["active"], d2["retained"], d2["churned"]) == (1, 1, 1)
+        assert d2["quick_ratio"] == 0.0
+        assert (d4["active"], d4["resurrected"], d4["churned"]) == (1, 1, 0)
+        # decomposition: active = new + retained + resurrected
+        for r in out.values():
+            assert r["active"] == (r["new_users"] + r["retained"]
+                                   + r["resurrected"])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            growth_accounting(df, period_days=0)
+
+
 class TestRrfFuse:
     def test_hand_computed_fusion(self, spark):
         from cryoflow_spark.functions.ranks import rrf_fuse

@@ -126,6 +126,8 @@ def test_no_cartesian_products(all_plans):
         # evaluates the x05 brute-force ranking — inherits its regime;
         # the nDCG math itself is (query,id) equi-joins + bounded folds.
         "x166_ndcg_eval",
+        # same: MRR over the x05 brute-force ranking.
+        "x170_mrr_eval",
         "q20_region_nation_matrix",
         "x21_tfidf_top_terms",
         # 1-row corpus-count scalar crossJoin(broadcast(total)) — same
