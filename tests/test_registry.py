@@ -26,6 +26,34 @@ def test_every_window_slot_carries_an_oracle():
     assert not weak, f"rows-only queries inside the window: {weak}"
 
 
+#: The 20 deferred r4-cohort twins, pre-committed as the head of the
+#: ROUND 9 driver window (BASELINE.md "Declared driver-verification
+#: backlog"): the disclosed two-window exception to the
+#: driver-verified-within-2-rounds discipline ends when these get their
+#: driver rows. Pinned so registry edits can't silently displace them.
+R9_WINDOW_HEAD = [
+    "x07_lsh_cosine_topk", "x13_multimodal_features", "x14_frame_sample",
+    "x16_simhash_pairs", "x22_token_shards", "x23_ivf_fixed_topk",
+    "x25_decontaminate", "x26_repetition_stats", "x27_quantized_topk",
+    "x28_source_mix", "x29_chunk_documents", "x30_weighted_sample",
+    "x33_incremental_dedup", "x34_domain_cap", "x35_corpus_freq_score",
+    "x36_dedup_segments", "x37_profile_columns", "x38_leakage_safe_split",
+    "x39_snapshot_diff", "x40_ngram_novelty",
+]
+
+
+def test_round9_window_precommitment_holds():
+    """Positions 51-70 of the registry ordering must remain the 20
+    declared backlog twins, followed by this round's new operators —
+    the disclosed r9 schedule the backlog note promises."""
+    from cryoflow_spark.queries import all_queries
+
+    names = list(all_queries())
+    assert names[50:70] == R9_WINDOW_HEAD
+    # the new r8 operators queue directly after the twins
+    assert names[70].startswith("x15")
+
+
 def test_entry_module_parity():
     """__spark_entry__ exposes exactly the registry; oracle_sql() keys
     are a subset of queries() keys (no orphan oracles)."""
