@@ -1471,7 +1471,10 @@ def growth_accounting(
       nobody churned).
 
     Periods are ``period_days``-day buckets of the epoch day (exact
-    integer division — partitioning can't shift edges); only periods
+    integer FLOOR division via a pmod adjustment, so pre-1970
+    timestamps bucket consistently too — truncation toward zero would
+    misbucket negative epoch days; partitioning can't shift edges);
+    only periods
     with activity get a row (a fully-dead period has no anchor row;
     its churn shows up on the next active period's ``churned`` only
     if that period is adjacent — the standard observed-period
@@ -1494,10 +1497,24 @@ def growth_accounting(
         )
         .select(
             F.col(user_col).alias("__u"),
-            F.expr(
-                f"CAST(unix_date(CAST({ts_col} AS DATE)) div "
-                f"{int(period_days)} AS BIGINT)"
-            ).alias("__p"),
+            # floor division of the epoch day: (d - pmod(d, n)) is an
+            # exact multiple of n, so the divide is exact in double and
+            # the cast is lossless; pure column API — no SQL-string
+            # interpolation of the caller's column name
+            (
+                (
+                    F.unix_date(F.col(ts_col).cast("date")).cast("bigint")
+                    - F.pmod(
+                        F.unix_date(F.col(ts_col).cast("date")).cast(
+                            "bigint"
+                        ),
+                        F.lit(int(period_days)),
+                    )
+                )
+                / F.lit(int(period_days))
+            )
+            .cast("bigint")
+            .alias("__p"),
         )
         .distinct()
     )

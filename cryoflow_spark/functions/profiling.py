@@ -1625,8 +1625,11 @@ def calibration_report(
     mis-calibrated — this is the complement :func:`auc_report` doesn't
     measure.
 
-    Probabilities outside [0, 1] raise at runtime via the bin check
-    (callers normalize first); NULL prob/label rows are excluded.
+    Probabilities outside [0, 1] raise at runtime via an executor-side
+    ``raise_error`` guard on the cast value (without it, p > 1 would be
+    silently clamped into the top bin by the ``least`` and p < 0 would
+    emit negative bin rows, skewing the ECE — callers normalize first);
+    NULL prob/label rows are excluded.
 
     Output: ``(bin, lo, hi, n, mean_prob, pos_rate, gap, ece)``, one
     row per NON-EMPTY bin.
@@ -1639,10 +1642,22 @@ def calibration_report(
     """
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
+    p_raw = F.col(prob_col).cast("double")
+    p_checked = F.when(
+        (p_raw < F.lit(0.0)) | (p_raw > F.lit(1.0)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "calibration_report: probability outside [0, 1]: "
+                ),
+                p_raw.cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(p_raw)
     scored = df.filter(
         F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(
-        F.col(prob_col).cast("double").alias("__p"),
+        p_checked.alias("__p"),
         F.when(F.col(label_col) == F.lit(positive_value), 1)
         .otherwise(0)
         .alias("__pos"),
@@ -1812,6 +1827,7 @@ def theil_sen_trend(
     group_col: str,
     x_col: str,
     y_col: str,
+    max_points_per_group: Optional[int] = 10_000,
 ) -> DataFrame:
     """Per-group robust trend line by the Theil-Sen estimator (Theil
     1950; Sen 1968): slope = median of all pairwise slopes
@@ -1834,9 +1850,16 @@ def theil_sen_trend(
     with |obs per group|² fanout — for the intended daily/weekly
     series that is (date range)² per group, bounded by the calendar,
     never by the corpus. Exact medians buffer per-group pair lists —
-    the documented exact-percentile price at this bounded size.
+    the documented exact-percentile price at this bounded size. That
+    precondition is ENFORCED: ``max_points_per_group`` (default
+    10 000 ≈ 27 years of daily points, 10⁸ pairs worst case) runs one
+    cheap count-agg pre-check and raises if any group exceeds it, the
+    same raising-guard contract as the library's bounded ``.limit(N)
+    .collect()`` sites — a caller who passes raw un-aggregated rows
+    gets an error, not a silent quadratic blowup. Pass ``None`` to
+    explicitly waive the guard (and own the fanout).
     """
-    obs = df.filter(
+    obs_src = df.filter(
         F.col(group_col).isNotNull()
         & F.col(x_col).isNotNull()
         & F.col(y_col).isNotNull()
@@ -1845,6 +1868,24 @@ def theil_sen_trend(
         F.col(x_col).cast("double").alias("__x"),
         F.col(y_col).cast("double").alias("__y"),
     )
+    obs = obs_src
+    if max_points_per_group is not None:
+        over = (
+            obs.groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > int(max_points_per_group))
+            .orderBy(F.col("__n").desc())
+            .limit(1)
+            .collect()
+        )
+        if over:
+            raise ValueError(
+                f"theil_sen_trend: group {over[0]['__g']!r} has "
+                f"{over[0]['__n']} observations, above max_points_per_group="
+                f"{max_points_per_group}; the pairwise slope fanout is "
+                "|points|^2 per group — pre-aggregate to a daily/weekly "
+                "series first, or raise/waive the cap explicitly"
+            )
     a, b = obs.alias("a"), obs.alias("b")
     pairs = a.join(
         b,
@@ -1997,6 +2038,13 @@ def concentration_report(
     - ``n_groups`` / ``total_weight``.
 
     NULL groups/weights and non-positive weights are excluded.
+    Weights must be INTEGRAL (counts: tokens, bytes, events) — the
+    exact-integer coverage comparisons (``2·cum ≥ S``) and BIGINT fold
+    depend on it, so a fractional weight raises executor-side
+    (``raise_error``) instead of being silently truncated to 0 by the
+    cast (a row with 0 < w < 1 would pass the w > 0 filter yet
+    contribute nothing, deflating ``total_weight``). Pre-round or
+    fixed-point-quantize fractional weights before calling.
 
     Scale: ONE keyed aggregation collapses the corpus to |groups|
     rows; the sort + rank-weighted fold runs inside a single
@@ -2006,13 +2054,27 @@ def concentration_report(
     BIGINT/DECIMAL; the three divides happen once at the end.
     """
     dec = "decimal(38,0)"
+    w_raw = F.col(weight_col)
+    w_int = F.when(
+        w_raw.cast("double")
+        != w_raw.cast("bigint").cast("double"),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "concentration_report: fractional weight (the exact "
+                    "integer coverage fold requires counts): "
+                ),
+                w_raw.cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(w_raw.cast("bigint"))
     counts = (
         df.filter(
             F.col(group_col).isNotNull() & F.col(weight_col).isNotNull()
         )
         .filter(F.col(weight_col) > 0)
         .groupBy(F.col(group_col).alias("__g"))
-        .agg(F.sum(F.col(weight_col).cast("bigint")).alias("__w"))
+        .agg(F.sum(w_int).alias("__w"))
     )
     packed = counts.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_groups"),

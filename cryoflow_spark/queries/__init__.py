@@ -83,62 +83,29 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: a spread of already-green sentinels as regression canaries; everything
 #: else follows in original registration order (still runnable/benchable).
 #:
-#: Round 8 window (head 50) — exactly as pre-committed at the end of r7
-#: and endorsed by the r7 verdict ("Next round" item 1):
-#: 1) The 47 queries registered after the r7 window froze, never
-#:    driver-checked (x115-x156 and q59-q63, in r7 registration order).
-#:    All judge-green (j7, bit-identical full sweep) — the window must
-#:    now produce their driver rows.
-#: 2) Three of the deferred r4-cohort twins (x01, x03, x05) fill the
-#:    remaining slots, trimming the disclosed twin backlog to 20.
-#: The rows-only instruments (engine-mode minhash twins, the approx
-#: profiling twins, and this round's new engine/approx twins; no oracles
-#: by design) stay OUT of the window.
+#: Round 9 window (head 50) — exactly as pre-committed at the end of r8
+#: (positions 51-85 of the r8 ordering) and prescribed by the r8 verdict
+#: ("Next round" items 1-2):
+#: 1) The 20 remaining r4-cohort twins (driver-stale since r4; each has
+#:    a driver-green sibling on the same code path — backlog declared in
+#:    BASELINE.md). Their driver rows close the disclosed two-window
+#:    exception to the verified-within-2-rounds discipline.
+#: 2) The 15 r8-registered oracle queries (x157-x171), never
+#:    driver-checked, all judge-green (j8 bit-identical sweep).
+#: 3) The 9 rows-only engine/approx twins (verdict item 2): a
+#:    ``no_oracle`` rows>0 driver row is the only driver evidence these
+#:    bench-priced production paths can get (x18 precedent,
+#:    CORRECTNESS_r01). This is the documented exception to the
+#:    oracle-only-window rule, swapped in for 9 already-green sentinels.
+#: 4) Six family-diverse driver-green sentinels as regression canaries
+#:    (relational agg, as-of join, multimodal, CC dedup, mixing,
+#:    minhash audit).
 #:
-#: Positions 51+ pre-commit the ROUND 9 window: the 20 remaining
-#: r4-cohort twins (each displaced since r7 by never-driver-checked
-#: operators; each has an r5/r6-green sibling on the same code path —
-#: x07~x06 hyperplane LSH, x13/x14~x12 multimodal, x16~x57 blocked-pair
-#: dedup, x22~x64 packing contract, x23~x66 fixed-IVF, x25~x55
-#: decontamination, x26~x59 repetition, x27~x05/x41 quantized topk,
-#: x28~x58/x85 source rebalance, x29~x32 chunker path, x30~x70/x89
-#: md5-order draws, x33~x53 incremental minhash, x34~x99 per-group
-#: caps, x35~x96/x21 corpus-scorer joins, x36~x32 segment dedup,
-#: x37~x52/x84 profiling, x38~x20/x71 connected-components path,
-#: x39~x88/x91 snapshot diff, x40~x32 word-gram explode path; backlog
-#: declared in BASELINE.md), followed by this round's new operators as
-#: they register. The r6-red retests (x51/x54) went green in D7 and the
-#: r4 sentinels re-ran green in D7, so none of those need a slot.
+#: Positions 51+ pre-commit the ROUND 10 window: operators registered
+#: this round (r9) queue there as they land, ahead of the re-registered
+#: remainder.
 _PRIORITY: list[str] = [
-    # --- r8 window: 47 never-driver-checked (r7 registration order) ---
-    "x115_langid_margin", "x116_decontamination_audit",
-    "x117_truncation_qa", "x118_rate_anomaly", "x119_mixture_order",
-    "q59_recursive_months", "q60_lateral_topn",
-    "x120_cross_source_dup",
-    "x121_domain_diversity", "x122_pii_exposure",
-    "x123_centroid_similarity", "x124_packing_efficiency",
-    "x125_dedup_savings", "x126_encoding_artifacts", "x127_event_transitions",
-    "x128_scd2_intervals", "x129_ngram_diversity", "x130_benford_audit",
-    "x131_ivf_quant_error", "x132_threshold_sensitivity",
-    "x133_classification_report", "x134_join_explosion",
-    "x135_session_journeys", "x136_keyword_contexts",
-    "x137_traffic_seasonality", "x138_chat_transcript_audit",
-    "x139_ab_lift", "q61_market_share",
-    "x140_cluster_capped_sample", "x141_outlier_report",
-    "x142_association_rules",
-    "x143_bpe_merge_pairs", "x144_cohens_kappa",
-    "x145_image_hash_pairs", "q62_customer_distribution",
-    "x146_embedding_covariance", "x147_code_detection",
-    "x148_kneser_ney_counts", "x149_active_users",
-    "x150_mixed_script", "x151_special_tokens",
-    "x152_dedup_pair_inspector", "x153_chat_turn_stats",
-    "x154_session_entries", "x155_bm25_search",
-    "x156_duplicate_embeddings", "q63_sales_opportunity",
-    # --- r8 window: 3 of the 23 deferred r4-cohort twins ---
-    "x01_dedup_exact", "x03_jaccard_pairs", "x05_cosine_topk",
-    # --- positions 51+: pre-committed ROUND 9 window ---
-    # the 20 remaining deferred r4-cohort twins (see window comment +
-    # BASELINE.md backlog note), then new r8 operators as registered
+    # --- 1) the 20 deferred r4-cohort twins ---
     "x07_lsh_cosine_topk",
     "x13_multimodal_features", "x14_frame_sample", "x16_simhash_pairs",
     "x22_token_shards",
@@ -149,7 +116,7 @@ _PRIORITY: list[str] = [
     "x34_domain_cap", "x35_corpus_freq_score", "x36_dedup_segments",
     "x37_profile_columns", "x38_leakage_safe_split",
     "x39_snapshot_diff", "x40_ngram_novelty",
-    # new r8 operators (never driver-checked — r9 window after the twins)
+    # --- 2) the 15 r8-registered oracle queries ---
     "x157_ivf_pq_rerank", "x158_session_exits",
     "x159_auc_report", "x160_calibration_curve",
     "x162_fleiss_kappa", "x163_hard_negatives",
@@ -157,6 +124,16 @@ _PRIORITY: list[str] = [
     "x165_rrf_fusion", "x166_ndcg_eval", "x167_theil_sen_trend",
     "x168_spearman", "x169_token_concentration",
     "x170_mrr_eval", "x171_growth_accounting",
+    # --- 3) the 9 rows-only engine/approx twins (rows>0 evidence) ---
+    "x15_engine_minhash_dedup", "x33_engine_incremental_dedup",
+    "x37_profile_approx", "x76_correlation_approx",
+    "x79_quantiles_approx", "x100_pq_adc_engine",
+    "x102_ivf_pq_engine", "x141_outliers_approx", "x157_rerank_engine",
+    # --- 4) six driver-green regression sentinels ---
+    "q01_pricing_summary", "q25_asof_join", "x12_multimodal_meta",
+    "x20_dedup_clusters", "x58_temperature_mix", "x103_minhash_audit",
+    # --- positions 51+: pre-committed ROUND 10 window ---
+    # new r9 operators queue here as they register
 ]
 
 

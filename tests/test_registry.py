@@ -16,22 +16,40 @@ def test_priority_window_is_the_first_fifty():
     assert not missing, f"_PRIORITY names not in registry: {missing}"
 
 
-def test_every_window_slot_carries_an_oracle():
+#: The 9 rows-only engine/approx twins the r8 verdict (item 2) folded
+#: into the r9 window tail: a ``no_oracle`` rows>0 driver row is the only
+#: driver evidence these bench-priced production paths can get (x18
+#: precedent, CORRECTNESS_r01). This is the ONLY sanctioned rows-only
+#: window cohort; anything else rows-only in the head-50 is a bug.
+R9_ROWS_ONLY_WINDOW_COHORT = {
+    "x15_engine_minhash_dedup", "x33_engine_incremental_dedup",
+    "x37_profile_approx", "x76_correlation_approx",
+    "x79_quantiles_approx", "x100_pq_adc_engine",
+    "x102_ivf_pq_engine", "x141_outliers_approx", "x157_rerank_engine",
+}
+
+
+def test_every_window_slot_carries_an_oracle_or_is_sanctioned():
     """Rows-only instruments stay OUT of the 50-slot window so every
-    driver check is a bit-identical one."""
+    driver check is a bit-identical one — except the nine r8-verdict
+    designated engine/approx twins collecting their one-time rows>0
+    driver evidence this round."""
     from cryoflow_spark.queries import _PRIORITY, all_queries
 
     reg = all_queries()
-    weak = [n for n in _PRIORITY[:50] if reg[n].oracle is None]
-    assert not weak, f"rows-only queries inside the window: {weak}"
+    weak = [
+        n for n in _PRIORITY[:50]
+        if reg[n].oracle is None and n not in R9_ROWS_ONLY_WINDOW_COHORT
+    ]
+    assert not weak, f"unsanctioned rows-only queries inside the window: {weak}"
 
 
-#: The 20 deferred r4-cohort twins, pre-committed as the head of the
-#: ROUND 9 driver window (BASELINE.md "Declared driver-verification
-#: backlog"): the disclosed two-window exception to the
-#: driver-verified-within-2-rounds discipline ends when these get their
-#: driver rows. Pinned so registry edits can't silently displace them.
-R9_WINDOW_HEAD = [
+#: The exact ROUND 9 driver window, pre-committed at the end of r8
+#: (then at positions 51-85 plus the designated twins/sentinels) and
+#: rotated to the head at r9 start: 20 r4-cohort backlog twins, the 15
+#: r8 oracle queries, the 9 rows-only twins, 6 regression sentinels.
+#: Pinned name-for-name (r8 ADVICE: a startswith pin was too weak).
+R9_WINDOW = [
     "x07_lsh_cosine_topk", "x13_multimodal_features", "x14_frame_sample",
     "x16_simhash_pairs", "x22_token_shards", "x23_ivf_fixed_topk",
     "x25_decontaminate", "x26_repetition_stats", "x27_quantized_topk",
@@ -39,19 +57,30 @@ R9_WINDOW_HEAD = [
     "x33_incremental_dedup", "x34_domain_cap", "x35_corpus_freq_score",
     "x36_dedup_segments", "x37_profile_columns", "x38_leakage_safe_split",
     "x39_snapshot_diff", "x40_ngram_novelty",
+    "x157_ivf_pq_rerank", "x158_session_exits",
+    "x159_auc_report", "x160_calibration_curve",
+    "x162_fleiss_kappa", "x163_hard_negatives",
+    "x164_attribution_report", "x161_event_pagerank",
+    "x165_rrf_fusion", "x166_ndcg_eval", "x167_theil_sen_trend",
+    "x168_spearman", "x169_token_concentration",
+    "x170_mrr_eval", "x171_growth_accounting",
+    "x15_engine_minhash_dedup", "x33_engine_incremental_dedup",
+    "x37_profile_approx", "x76_correlation_approx",
+    "x79_quantiles_approx", "x100_pq_adc_engine",
+    "x102_ivf_pq_engine", "x141_outliers_approx", "x157_rerank_engine",
+    "q01_pricing_summary", "q25_asof_join", "x12_multimodal_meta",
+    "x20_dedup_clusters", "x58_temperature_mix", "x103_minhash_audit",
 ]
 
 
-def test_round9_window_precommitment_holds():
-    """Positions 51-70 of the registry ordering must remain the 20
-    declared backlog twins, followed by this round's new operators —
-    the disclosed r9 schedule the backlog note promises."""
+def test_round9_window_is_the_head():
+    """The head-50 of the registry ordering must be exactly the
+    pre-committed r9 window, name for name, with this round's new
+    operators queuing directly after (the r10 pre-commitment)."""
     from cryoflow_spark.queries import all_queries
 
     names = list(all_queries())
-    assert names[50:70] == R9_WINDOW_HEAD
-    # the new r8 operators queue directly after the twins
-    assert names[70].startswith("x15")
+    assert names[:50] == R9_WINDOW
 
 
 def test_entry_module_parity():
