@@ -134,6 +134,8 @@ _PRIORITY: list[str] = [
     "x20_dedup_clusters", "x58_temperature_mix", "x103_minhash_audit",
     # --- positions 51+: pre-committed ROUND 10 window ---
     # new r9 operators queue here as they register
+    "q64_late_shipment_priority", "q65_top_supplier",
+    "q66_dominant_supplier",
 ]
 
 

@@ -1607,3 +1607,197 @@ def q63_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("totacctbal"),
     )
+
+
+# --- q64: late-shipment priority census (TPC-H Q4 flavor) --------------------
+
+
+@register(
+    "q64_late_shipment_priority",
+    """
+    SELECT o.o_orderpriority, COUNT(*)::BIGINT AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    "Order-priority census of late-shipping orders (TPC-H Q4 shape: "
+    "a date-sliced fact filter + correlated EXISTS whose predicate "
+    "compares columns ACROSS the two tables, decorrelated to a left "
+    "semi join on orderkey carrying the cross-table lateness "
+    "condition; the testdata has no commitdate/receiptdate, so "
+    "lateness = shipped more than 60 days after order date): the "
+    "quarter filter prunes orders at the scan, the semi join "
+    "shuffles each side once on orderkey and keeps at most one match "
+    "per order, and the final agg runs on the 5-value priority "
+    "domain. Exact integer counts only",
+)
+def q64_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    window = o.filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1996-04-01 00:00:00'"))
+    )
+    late = window.join(
+        li.select("l_orderkey", "l_shipdate"),
+        (window["o_orderkey"] == li["l_orderkey"])
+        & (
+            li["l_shipdate"]
+            > window["o_orderdate"] + F.expr("INTERVAL 60 DAY")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("order_count")
+    )
+
+
+# --- q65: top supplier by windowed revenue (TPC-H Q15 flavor) ----------------
+
+
+@register(
+    "q65_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT))::BIGINT AS total_revenue_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND l_suppkey IS NOT NULL
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue_cents =
+          (SELECT MAX(total_revenue_cents) FROM revenue)
+    """,
+    "Top supplier by revenue over a 3-month ship window (TPC-H Q15 "
+    "shape: the revenue view aggregated once, referenced both as the "
+    "join input and inside the scalar MAX subquery — the "
+    "view-equivalent pattern; ties all surface, exactly Q15's "
+    "semantics): revenue quantized per row to integer cents "
+    "(ROUND(x*100), IEEE-identical in both engines) so the sum is "
+    "exact and order-independent and the MAX equality is an integer "
+    "compare. One fact shuffle on suppkey; the MAX rides a 1-row "
+    "broadcast; the supplier join broadcasts the dim",
+)
+def q65_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-04-01 00:00:00'"))
+            # explicit in the SHARED base so the join-side null-safety
+            # pushdown can't differentiate the two revenue subtrees and
+            # kill the runtime ReusedExchange (the r7 Catalyst gotcha)
+            & F.col("l_suppkey").isNotNull()
+        )
+        .select(
+            F.col("l_suppkey").alias("supplier_no"),
+            F.round(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                * F.lit(100.0)
+            )
+            .cast("bigint")
+            .alias("__cents"),
+        )
+        .groupBy("supplier_no")
+        .agg(F.sum("__cents").cast("bigint").alias("total_revenue_cents"))
+    )
+    top = revenue.agg(
+        F.max("total_revenue_cents").alias("__top")
+    )
+    best = revenue.crossJoin(F.broadcast(top)).filter(
+        F.col("total_revenue_cents") == F.col("__top")
+    )
+    return (
+        F.broadcast(s)
+        .join(best, s["s_suppkey"] == best["supplier_no"])
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+    )
+
+
+# --- q66: dominant part suppliers (TPC-H Q20 flavor) -------------------------
+
+
+@register(
+    "q66_dominant_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT))::BIGINT AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+      GROUP BY l_partkey, l_suppkey
+    ),
+    pt AS (
+      SELECT l_partkey, SUM(supp_qty)::BIGINT AS total_qty FROM ps
+      GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT ps.l_suppkey
+      FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+      JOIN part p ON p.p_partkey = ps.l_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND ps.supp_qty * 2 > pt.total_qty
+    )
+    """,
+    "Suppliers dominating the supply of any 'small…' part in 1996 "
+    "(TPC-H Q20 shape: an IN-subquery over suppliers whose body "
+    "nests a part-name filter plus a correlated quantity-threshold "
+    "aggregate — the testdata has no partsupp/availqty, so the "
+    "threshold is 'shipped more than half the part's total', i.e. "
+    "2·supp_qty > total_qty in exact integers): ONE windowed fact "
+    "aggregation to (part, supplier) quantities, the per-part total "
+    "derived by re-aggregating that small table (no second fact "
+    "scan), the part-name filter a broadcast dim join, and the IN a "
+    "left semi join on suppkey. Quantities quantized per row "
+    "(ROUND, integral by construction) so every compare is integer",
+)
+def q66_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part")
+    ps = (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+            # in the SHARED base so join-side null-safety pushdowns
+            # can't differentiate the ps subtrees (ReusedExchange)
+            & F.col("l_partkey").isNotNull()
+            & F.col("l_suppkey").isNotNull()
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_quantity")).cast("bigint").alias("__q"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("__q").cast("bigint").alias("supp_qty"))
+    )
+    pt = ps.groupBy("l_partkey").agg(
+        F.sum("supp_qty").cast("bigint").alias("total_qty")
+    )
+    dominant = (
+        ps.join(pt, "l_partkey")
+        .join(
+            F.broadcast(p.filter(F.col("p_name").like("small%"))),
+            ps["l_partkey"] == p["p_partkey"],
+        )
+        .filter(F.col("supp_qty") * F.lit(2) > F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return s.join(
+        dominant, s["s_suppkey"] == dominant["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")

@@ -7488,3 +7488,131 @@ class TestSalesOpportunity:
         assert rows["BUILDING"]["numcust"] == 1
         assert rows["BUILDING"]["totacctbal"] == 90.0
         assert rows["MACHINERY"]["totacctbal"] == 80.0
+
+
+class TestLateShipmentPriority:
+    def test_hand_computed(self, spark, tmp_path):
+        """TPC-H Q4 shape: only in-window orders with at least one
+        lineitem shipped >60 days after the order date count, once
+        each regardless of how many late lines they have."""
+        import datetime as dt
+
+        import cryoflow_spark.queries.relational2 as R2
+
+        def t(s):
+            return dt.datetime.fromisoformat(s)
+
+        o = spark.createDataFrame(
+            [
+                (1, t("1996-01-10"), "1-URGENT"),    # late line -> counted
+                (2, t("1996-02-01"), "1-URGENT"),    # on-time only -> out
+                (3, t("1996-03-01"), "2-HIGH"),      # 2 late lines -> 1x
+                (4, t("1995-12-31"), "1-URGENT"),    # before window -> out
+                (5, t("1996-04-01"), "2-HIGH"),      # after window -> out
+            ],
+            "o_orderkey long, o_orderdate timestamp, o_orderpriority string",
+        )
+        li = spark.createDataFrame(
+            [
+                (1, t("1996-04-10")),  # +91d late
+                (2, t("1996-02-15")),  # +14d fine
+                (3, t("1996-06-01")),  # late
+                (3, t("1996-07-01")),  # late again (same order)
+                (4, t("1996-06-01")),  # late but order pre-window
+                (5, t("1996-09-01")),  # late but order post-window
+            ],
+            "l_orderkey long, l_shipdate timestamp",
+        )
+        sf = str(tmp_path)
+        o.write.parquet(f"{sf}/orders.parquet")
+        li.write.parquet(f"{sf}/lineitem.parquet")
+        rows = {r["o_orderpriority"]: r["order_count"] for r in
+                R2.q64_late_shipment_priority(spark, sf).collect()}
+        assert rows == {"1-URGENT": 1, "2-HIGH": 1}
+
+
+class TestTopSupplier:
+    def test_hand_computed_with_tie(self, spark, tmp_path):
+        """TPC-H Q15 shape: the max-revenue equality surfaces ALL tied
+        suppliers; revenue is exact integer cents over the window."""
+        import datetime as dt
+
+        import cryoflow_spark.queries.relational2 as R2
+
+        def t(s):
+            return dt.datetime.fromisoformat(s)
+
+        li = spark.createDataFrame(
+            [
+                # s1: 100*(1-0.1) = 90.00 -> 9000 cents
+                (1, 100.0, 0.1, t("1996-02-01")),
+                # s2: 50*(1-0.1)=45 twice -> 9000 cents (tie with s1)
+                (2, 50.0, 0.1, t("1996-02-01")),
+                (2, 50.0, 0.1, t("1996-03-01")),
+                # s3: smaller
+                (3, 10.0, 0.0, t("1996-02-01")),
+                # s1 outside the window: ignored
+                (1, 999.0, 0.0, t("1996-05-01")),
+            ],
+            "l_suppkey long, l_extendedprice double, l_discount double,"
+            " l_shipdate timestamp",
+        )
+        s = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (3, "gamma")],
+            "s_suppkey long, s_name string",
+        )
+        sf = str(tmp_path)
+        li.write.parquet(f"{sf}/lineitem.parquet")
+        s.write.parquet(f"{sf}/supplier.parquet")
+        rows = sorted(
+            (r["s_suppkey"], r["s_name"], r["total_revenue_cents"])
+            for r in R2.q65_top_supplier(spark, sf).collect()
+        )
+        assert rows == [(1, "alpha", 9000), (2, "beta", 9000)]
+
+
+class TestDominantSupplier:
+    def test_hand_computed(self, spark, tmp_path):
+        """TPC-H Q20 shape: a supplier qualifies iff it shipped MORE
+        than half of some 'small…' part's windowed total (strict, in
+        exact integers); other parts and out-of-window lines don't
+        help."""
+        import datetime as dt
+
+        import cryoflow_spark.queries.relational2 as R2
+
+        def t(s):
+            return dt.datetime.fromisoformat(s)
+
+        li = spark.createDataFrame(
+            [
+                # part 1 (small ring): s1 ships 6 of 10 -> dominant
+                (1, 1, 6.0, t("1996-02-01")),
+                (1, 2, 4.0, t("1996-03-01")),
+                # part 2 (small bolt): exact half (5 of 10) -> NOT strict
+                (2, 3, 5.0, t("1996-02-01")),
+                (2, 4, 5.0, t("1996-02-01")),
+                # part 3 (red widget): s5 dominates but name not small%
+                (3, 5, 9.0, t("1996-02-01")),
+                (3, 1, 1.0, t("1996-02-01")),
+                # part 1 out-of-window monster line: ignored
+                (1, 2, 100.0, t("1997-06-01")),
+            ],
+            "l_partkey long, l_suppkey long, l_quantity double,"
+            " l_shipdate timestamp",
+        )
+        p = spark.createDataFrame(
+            [(1, "small ring"), (2, "small bolt"), (3, "red widget")],
+            "p_partkey long, p_name string",
+        )
+        s = spark.createDataFrame(
+            [(i, f"s{i}") for i in range(1, 6)],
+            "s_suppkey long, s_name string",
+        )
+        sf = str(tmp_path)
+        li.write.parquet(f"{sf}/lineitem.parquet")
+        p.write.parquet(f"{sf}/part.parquet")
+        s.write.parquet(f"{sf}/supplier.parquet")
+        rows = [(r["s_suppkey"], r["s_name"]) for r in
+                R2.q66_dominant_supplier(spark, sf).collect()]
+        assert rows == [(1, "s1")]
