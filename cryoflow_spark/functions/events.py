@@ -614,6 +614,130 @@ def event_transition_matrix(
     )
 
 
+def markov_next_event_eval(
+    df: DataFrame,
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    test_fraction: float = 0.25,
+    start_marker: str = "__start__",
+    end_marker: str = "__end__",
+) -> DataFrame:
+    """Next-event prediction baseline from the first-order Markov chain
+    (the evaluation companion to :func:`event_transition_matrix`, the
+    way x159/x166 grade retrieval): train the argmax-next-state
+    predictor on one user cohort, score exact hit counts on a held-out
+    cohort — the accuracy floor any sequence model must beat, and the
+    per-state view shows WHERE user behavior is predictable
+    (checkout → payment) vs entropic (browse → anything).
+
+    Protocol:
+
+    - The split is BY USER via the deterministic md5 bucket
+      (:func:`~cryoflow_spark.functions.sampling.hash_bucket` — the
+      x38 leakage-safe principle: a user's transitions never straddle
+      train/test, and the split is reproducible across runs, engines
+      and partitionings); ``test_fraction`` of users are held out.
+    - Transitions are the x127 pair set including the
+      ``start_marker`` rows (predicting a user's first event) and
+      ``dst = end_marker`` rows (predicting drop-off).
+    - The model is, per ``src``, the most frequent train ``dst``
+      (ties break to the lexicographically smallest ``dst`` —
+      deterministic).
+    - Per test ``src``: ``n_test`` transitions, ``n_hit`` exact
+      matches of the predicted ``dst``, 6-decimal ``accuracy``.
+      A ``src`` never seen in train reports NULL ``predicted_dst``,
+      ``n_train = 0`` and ``n_hit = 0`` (every prediction misses).
+
+    Scale: ONE user-partitioned window pass over the fact table (the
+    x127 shape: lead + first-row flag, ≤2× inline explode) feeds ONE
+    (is_test, src, dst)-keyed aggregation — the only corpus-sized
+    shuffle; train/test split, the argmax window, the train-total
+    window and the eval join all run over that ≤ 2·(|types|+1)² row
+    table. No second fact scan, no driver state.
+    """
+    from pyspark.sql import Window
+
+    from cryoflow_spark.functions.sampling import BUCKETS, hash_bucket
+
+    if not 0.0 < test_fraction < 1.0:
+        raise ValueError("test_fraction must be in (0, 1)")
+    threshold = int(round(test_fraction * BUCKETS))
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    base = df.filter(
+        F.col(user_col).isNotNull() & F.col(event_col).isNotNull()
+    ).select(
+        (hash_bucket(F.col(user_col)) < F.lit(threshold)).alias("__test"),
+        F.col(event_col).alias("__e"),
+        F.lead(F.col(event_col)).over(w).alias("__next"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    pairs = base.select(
+        "__test",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("__e").alias("src"),
+                    F.coalesce(F.col("__next"), F.lit(end_marker)).alias(
+                        "dst"
+                    ),
+                ),
+                F.when(
+                    F.col("__rn") == 1,
+                    F.struct(
+                        F.lit(start_marker).alias("src"),
+                        F.col("__e").alias("dst"),
+                    ),
+                ).otherwise(F.lit(None)),
+            )
+        ).alias("__t"),
+    ).filter(F.col("__t").isNotNull())
+    counts = pairs.groupBy(
+        "__test",
+        F.col("__t.src").alias("src"),
+        F.col("__t.dst").alias("dst"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    # bounded envelope: every window below partitions by src over the
+    # <= (|types|+1)^2 model table, never the fact table
+    w_rank = Window.partitionBy("src").orderBy(
+        F.col("__n").desc(), F.col("dst")
+    )
+    w_src = Window.partitionBy("src")
+    model = (
+        counts.filter(~F.col("__test"))
+        .select(
+            "src",
+            F.col("dst").alias("predicted_dst"),
+            F.row_number().over(w_rank).alias("__rk"),
+            F.sum("__n").over(w_src).cast("bigint").alias("n_train"),
+        )
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    test = counts.filter(F.col("__test"))
+    joined = test.join(model, "src", "left")
+    return joined.groupBy("src", "predicted_dst", "n_train").agg(
+        F.sum("__n").cast("bigint").alias("n_test"),
+        F.sum(
+            F.when(F.col("dst") == F.col("predicted_dst"), F.col("__n"))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_hit"),
+    ).select(
+        "src",
+        "predicted_dst",
+        F.coalesce("n_train", F.lit(0)).cast("bigint").alias("n_train"),
+        "n_test",
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_test").cast("double"),
+            6,
+        ).alias("accuracy"),
+    )
+
+
 def attribution_report(
     events: DataFrame,
     conversion_types: Sequence[str],

@@ -138,6 +138,11 @@ disturbing the main stream. Options:
   with ``>``, session + distinct-user counts) — options
   ``gap_minutes`` / ``max_steps`` / ``top_n`` and the event column
   names.
+- ``report = "markov_eval"`` emits the next-event prediction baseline:
+  the argmax transition model trained on the md5-bucket user majority,
+  exact hit counts/accuracy per source state on the held-out cohort
+  (``test_fraction``, ``user_column``, ``event_column``, ``ts_column``,
+  ``id_column``).
 - ``report = "transitions"`` emits the first-order Markov event
   transition matrix (src/dst/count/row-stochastic prob with
   ``__start__``/``__end__`` markers) over per-user sequences — options
@@ -317,6 +322,22 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 event_col=self.options.get("event_column", "event_type"),
                 ts_col=self.options.get("ts_column", "ts"),
                 id_col=self.options.get("id_column", "event_id"),
+            )
+
+        if self.options.get("report") == "markov_eval":
+            from cryoflow_spark.functions.events import (
+                markov_next_event_eval,
+            )
+
+            return markov_next_event_eval(
+                data,
+                user_col=self.options.get("user_column", "user_id"),
+                event_col=self.options.get("event_column", "event_type"),
+                ts_col=self.options.get("ts_column", "ts"),
+                id_col=self.options.get("id_column", "event_id"),
+                test_fraction=float(
+                    self.options.get("test_fraction", 0.25)
+                ),
             )
 
         if self.options.get("report") == "rate_anomaly":

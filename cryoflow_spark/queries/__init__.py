@@ -135,7 +135,7 @@ _PRIORITY: list[str] = [
     # --- positions 51+: pre-committed ROUND 10 window ---
     # new r9 operators queue here as they register
     "q64_late_shipment_priority", "q65_top_supplier",
-    "q66_dominant_supplier",
+    "q66_dominant_supplier", "x172_markov_next_event",
 ]
 
 

@@ -9272,3 +9272,69 @@ def x171_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir)
     return growth_accounting(e, period_days=1)
+
+
+# --- x172: Markov next-event prediction eval (oracle-checked) ----------------
+
+
+@register(
+    "x172_markov_next_event",
+    """
+    WITH seq AS (
+      SELECT event_type AS e,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn,
+             (CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000000) < 250000 AS is_test
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    pairs AS (
+      SELECT is_test, e AS src, COALESCE(nxt, '__end__') AS dst FROM seq
+      UNION ALL
+      SELECT is_test, '__start__', e FROM seq WHERE rn = 1
+    ),
+    counts AS (
+      SELECT is_test, src, dst, COUNT(*)::BIGINT AS n
+      FROM pairs GROUP BY 1, 2, 3
+    ),
+    model AS (
+      SELECT src, dst AS predicted_dst, n_train FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (
+                 PARTITION BY src ORDER BY n DESC, dst
+               ) AS rk,
+               CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS n_train
+        FROM counts WHERE NOT is_test
+      ) WHERE rk = 1
+    )
+    SELECT t.src, m.predicted_dst,
+           COALESCE(m.n_train, 0)::BIGINT AS n_train,
+           SUM(t.n)::BIGINT AS n_test,
+           SUM(CASE WHEN t.dst = m.predicted_dst THEN t.n
+                    ELSE 0 END)::BIGINT AS n_hit,
+           ROUND(SUM(CASE WHEN t.dst = m.predicted_dst THEN t.n
+                          ELSE 0 END)::DOUBLE / SUM(t.n)::DOUBLE, 6)
+             AS accuracy
+    FROM counts t LEFT JOIN model m ON t.src = m.src
+    WHERE t.is_test
+    GROUP BY t.src, m.predicted_dst, m.n_train
+    """,
+    "Next-event prediction baseline from the x127 Markov chain (the "
+    "event-analytics eval completing the family the way x159/x166 "
+    "graded retrieval): argmax-next-state model trained on 75% of "
+    "users, exact hit counts on the md5-bucket held-out 25% — "
+    "leakage-free by-user split, deterministic tiebreaks; ONE "
+    "user-partitioned window pass + ONE (split,src,dst)-keyed agg is "
+    "all the fact table pays, model/eval run on the bounded "
+    "|types|^2 table",
+)
+def x172_markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.events import markov_next_event_eval
+
+    e = load_events(spark, sf_dir)
+    return markov_next_event_eval(e, test_fraction=0.25)

@@ -201,6 +201,7 @@ class TestExamples:
             ("examples/dedup_decision_flow.toml", "/tmp/cryoflow_examples/dedup_flow/capped_corpus/*.parquet"),
             ("examples/retrieval_qa.toml", "/tmp/cryoflow_examples/retrieval/bm25_hits/*.parquet"),
             ("examples/growth_analytics.toml", "/tmp/cryoflow_examples/growth/pagerank/*.parquet"),
+            ("examples/growth_analytics.toml", "/tmp/cryoflow_examples/growth/markov/*.parquet"),
         ],
     )
     def test_run(self, runner, example, out_glob):

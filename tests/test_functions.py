@@ -5218,6 +5218,152 @@ class TestEventTransitions:
         assert "Generate explode" in plan
 
 
+class TestMarkovNextEventEval:
+    @staticmethod
+    def _is_test(user, fraction=0.25):
+        """Mirror of sampling.hash_bucket: first 8 md5 hex digits of
+        str(user), mod 1e6, below fraction·1e6."""
+        import hashlib
+
+        b = int(hashlib.md5(str(user).encode()).hexdigest()[:8], 16)
+        return (b % 1_000_000) < int(round(fraction * 1_000_000))
+
+    @staticmethod
+    def _reference(rows, fraction=0.25):
+        """Pure-Python replica: by-user split, argmax model with
+        (count DESC, dst ASC) tiebreak, per-src exact hit counts."""
+        from collections import Counter, defaultdict
+
+        seqs = defaultdict(list)
+        for eid, ts, user, et in sorted(rows, key=lambda r: (r[1], r[0])):
+            if user is not None and et is not None:
+                seqs[user].append(et)
+        train, test = Counter(), Counter()
+        for user, seq in seqs.items():
+            side = (
+                test
+                if TestMarkovNextEventEval._is_test(user, fraction)
+                else train
+            )
+            path = ["__start__"] + seq + ["__end__"]
+            # the pair set: start->first, consecutive, last->end
+            for a, b in zip(path, path[1:]):
+                if a == "__start__":
+                    side[("__start__", b)] += 1
+                elif b == "__end__":
+                    side[(a, "__end__")] += 1
+                else:
+                    side[(a, b)] += 1
+        n_train = Counter()
+        for (src, _dst), n in train.items():
+            n_train[src] += n
+        model = {
+            src: min(
+                (dst for (s, dst) in train if s == src),
+                key=lambda d: (-train[(src, d)], d),
+            )
+            for src in n_train
+        }
+        expect = {}
+        for src in {s for s, _ in test}:
+            nt = sum(n for (s, _), n in test.items() if s == src)
+            pred = model.get(src)
+            hit = test.get((src, pred), 0) if pred is not None else 0
+            expect[src] = (
+                pred,
+                n_train.get(src, 0),
+                nt,
+                hit,
+                round(hit / nt, 6),
+            )
+        return expect
+
+    def test_hand_computed_split_and_unseen_src(self, spark):
+        from datetime import datetime, timedelta
+
+        from cryoflow_spark.functions.events import markov_next_event_eval
+
+        # pick concrete users on each side of the deterministic split
+        train_users = [u for u in range(1, 40) if not self._is_test(u)]
+        test_users = [u for u in range(1, 40) if self._is_test(u)]
+        assert len(train_users) >= 2 and len(test_users) >= 2
+        tr1, tr2 = train_users[:2]
+        te1, te2 = test_users[:2]
+        t0 = datetime(2024, 1, 1)
+        rows, eid = [], 0
+        def emit(user, *types):
+            nonlocal eid, rows
+            for i, et in enumerate(types):
+                rows.append((eid, t0 + timedelta(minutes=i), user, et))
+                eid += 1
+        emit(tr1, "a", "b", "c")     # train: a->b, b->c
+        emit(tr2, "a", "b", "b")     # train: a->b, b->b (ties b: c vs b)
+        emit(te1, "a", "b", "c")     # test: a->b hit, b->c vs model
+        emit(te2, "zz", "a", "c")    # test: zz unseen in train
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string",
+        )
+        got = {r["src"]: r for r in
+               markov_next_event_eval(df).collect()}
+        # model: a->b (2); b has a 3-way tie b/c/__end__ at 1 each
+        # (tr2's last event is b, so b->__end__ counts too) -> the
+        # lexicographic tiebreak picks '__end__' ('_' < 'b' < 'c')
+        assert got["a"]["predicted_dst"] == "b"
+        assert got["a"]["n_train"] == 2
+        assert got["a"]["n_test"] == 2       # te1 a->b, te2 a->c
+        assert got["a"]["n_hit"] == 1
+        assert got["a"]["accuracy"] == 0.5
+        assert got["b"]["predicted_dst"] == "__end__"
+        assert got["b"]["n_train"] == 3
+        assert got["b"]["n_hit"] == 0        # te1 b->c, model says end
+        # unseen source: NULL prediction, zero train, all misses
+        assert got["zz"]["predicted_dst"] is None
+        assert got["zz"]["n_train"] == 0
+        assert got["zz"]["n_test"] == 1 and got["zz"]["n_hit"] == 0
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            markov_next_event_eval(df, test_fraction=0.0)
+
+    def test_randomized_reference(self, spark):
+        import random
+        from datetime import datetime, timedelta
+
+        from cryoflow_spark.functions.events import markov_next_event_eval
+
+        rng = random.Random(77)
+        t0 = datetime(2024, 3, 1)
+        rows = []
+        eid = 0
+        for user in range(1, 61):
+            for i in range(rng.randint(1, 8)):
+                rows.append(
+                    (
+                        eid,
+                        t0 + timedelta(minutes=i),
+                        user,
+                        rng.choice("pqrs"),
+                    )
+                )
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string",
+        )
+        got = {
+            r["src"]: (
+                r["predicted_dst"],
+                r["n_train"],
+                r["n_test"],
+                r["n_hit"],
+                r["accuracy"],
+            )
+            for r in markov_next_event_eval(df).collect()
+        }
+        assert got == self._reference(rows)
+
+
 class TestScd2Intervals:
     def test_collapse_and_intervals(self, spark):
         from datetime import datetime
