@@ -158,6 +158,144 @@ def pagerank(
     return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    n_iter: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert, Kumara 2007, "Near linear time algorithm to detect
+    community structures in large-scale networks"), fixed ``n_iter``
+    rounds: every node starts labeled with itself; each round every
+    node adopts the label carrying the max total incident edge weight
+    among its neighbors' current labels, ties broken to the SMALLEST
+    label (the deterministic variant of the paper's random tiebreak —
+    reproducible across runs/engines/partitionings). The graph is
+    treated as undirected (edges symmetrized, weights of antiparallel
+    and parallel edges summed); self-loops are dropped (a self-vote
+    would just echo the node's current label); NULL endpoints and
+    non-positive weights are excluded. Isolated nodes keep their own
+    label. Fixed iteration counts (not convergence polling) keep the
+    output engine-replicable — synchronous LPA can oscillate on
+    bipartite structures, and a fixed-round snapshot is deterministic
+    either way.
+
+    Output: ``(node, label)`` — nodes sharing a label form a
+    community.
+
+    Scale: the module-docstring split — run on an EXTRACTED bounded
+    edge table. Each round is one neighbor-label equi-join + one
+    (node, label)-keyed canonical-fold vote + one deterministic
+    struct-min argmax; per-round state is |nodes| rows. The label
+    table feeds two consumers per round (the vote join and the
+    keep-old fallback), so each round is ``localCheckpoint``-ed —
+    the x161 lineage rule.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    base = (
+        edges.filter(
+            F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+        )
+        .select(
+            F.col(src_col).alias("a"),
+            F.col(dst_col).alias("b"),
+            w.alias("w"),
+        )
+        .filter((F.col("w") > 0) & (F.col("a") != F.col("b")))
+    )
+    sym = base.unionByName(
+        base.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "w"
+        )
+    )
+    # collapse parallel/antiparallel edges (ascending-value fold)
+    e = (
+        sym.groupBy("a", "b")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("w")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("w")
+        )
+        .localCheckpoint()
+    )
+    nodes = e.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(int(n_iter)):
+        votes = (
+            e.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label")
+                ),
+                "b",
+            )
+            .groupBy("a", "label")
+            .agg(_canonical_fold("b", "w").alias("__wt"))
+        )
+        winner = votes.groupBy("a").agg(
+            F.min(
+                F.struct(
+                    (-F.col("__wt")).alias("nw"),
+                    F.col("label").alias("lab"),
+                )
+            )["lab"].alias("__new")
+        )
+        labels = (
+            labels.join(
+                winner.withColumnRenamed("a", "node"), "node", "left"
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("__new"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels
+
+
+def event_type_communities(
+    events: DataFrame,
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_iter: int = 4,
+) -> DataFrame:
+    """Label-propagation communities of event types in the user-journey
+    graph — which screens/actions cluster into navigation neighborhoods
+    (the unsupervised complement to :func:`event_type_pagerank`'s
+    centrality): edges are the x127 real transition counts (no
+    start/end markers), symmetrized — A→B and B→A flow both say "these
+    two belong together".
+
+    Scale: the edge extraction is the x127 one-window pass over the
+    fact table; propagation runs on the |event types|² bounded graph.
+    """
+    from cryoflow_spark.functions.events import event_transition_matrix
+
+    tm = event_transition_matrix(
+        events,
+        user_col=user_col,
+        event_col=event_col,
+        ts_col=ts_col,
+        id_col=id_col,
+    )
+    edges = tm.filter(
+        (F.col("src") != F.lit("__start__"))
+        & (F.col("dst") != F.lit("__end__"))
+    ).select("src", "dst", F.col("n_transitions").alias("w"))
+    return label_propagation(edges, weight_col="w", n_iter=n_iter)
+
+
 def event_type_pagerank(
     events: DataFrame,
     user_col: str = "user_id",

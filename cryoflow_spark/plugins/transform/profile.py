@@ -138,6 +138,9 @@ disturbing the main stream. Options:
   with ``>``, session + distinct-user counts) — options
   ``gap_minutes`` / ``max_steps`` / ``top_n`` and the event column
   names.
+- ``report = "communities"`` emits label-propagation communities of
+  event types over the symmetrized journey graph (``n_iter``,
+  ``user_column``, ``type_column``, ``ts_column``, ``id_column``).
 - ``report = "markov_eval"`` emits the next-event prediction baseline:
   the argmax transition model trained on the md5-bucket user majority,
   exact hit counts/accuracy per source state on the held-out cohort
@@ -410,6 +413,20 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 id_col=self.options.get("id_column", "event_id"),
                 damping=float(self.options.get("damping", 0.85)),
                 n_iter=int(self.options.get("n_iter", 5)),
+            )
+
+        if self.options.get("report") == "communities":
+            from cryoflow_spark.functions.graph import (
+                event_type_communities,
+            )
+
+            return event_type_communities(
+                data,
+                user_col=self.options.get("user_column", "user_id"),
+                event_col=self.options.get("type_column", "event_type"),
+                ts_col=self.options.get("ts_column", "ts"),
+                id_col=self.options.get("id_column", "event_id"),
+                n_iter=int(self.options.get("n_iter", 4)),
             )
 
         if self.options.get("report") == "attribution":

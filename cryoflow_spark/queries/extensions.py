@@ -9338,3 +9338,85 @@ def x172_markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir)
     return markov_next_event_eval(e, test_fraction=0.25)
+
+
+# --- x173: event-graph label-propagation communities (oracle-checked) --------
+
+
+def _x173_oracle(n_iter: int = 4) -> str:
+    """DuckDB replica of fixed-iteration synchronous label propagation
+    over the symmetrized x127 transition graph: canonical-order
+    list_reduce vote folds mirror Spark's collect_list->array_sort->
+    aggregate sums; the deterministic argmax is min(struct(-weight,
+    label)) in both engines (struct_pack — DuckDB can't name-extract
+    from unnamed ROWs)."""
+    fold = (
+        "list_reduce(list_prepend(0.0::DOUBLE, list({expr} ORDER BY "
+        "{order})), (acc, x) -> acc + x)"
+    )
+    its = []
+    prev = "lab0"
+    for k in range(1, n_iter + 1):
+        vote_fold = fold.format(expr="e.w", order="e.b")
+        its.append(f"""
+    v{k} AS (
+      SELECT e.a, l.label, {vote_fold} AS wt
+      FROM e JOIN {prev} l ON e.b = l.node GROUP BY e.a, l.label
+    ),
+    am{k} AS (
+      SELECT a AS node,
+             struct_extract(
+               min(struct_pack(nw := -wt, lab := label)), 'lab'
+             ) AS label
+      FROM v{k} GROUP BY a
+    ),
+    lab{k} AS (
+      SELECT l.node, COALESCE(a.label, l.label) AS label
+      FROM {prev} l LEFT JOIN am{k} a ON l.node = a.node
+    )""")
+        prev = f"lab{k}"
+    body = ",".join(its)
+    return f"""
+    WITH seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    edges AS (
+      SELECT src, dst, COUNT(*)::DOUBLE AS w
+      FROM seq WHERE dst IS NOT NULL AND src <> dst GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT src AS a, dst AS b, w FROM edges
+      UNION ALL SELECT dst, src, w FROM edges
+    ),
+    e AS (
+      SELECT a, b,
+             list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(w))),
+                         (acc, x) -> acc + x) AS w
+      FROM sym GROUP BY a, b
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM e),
+    lab0 AS (SELECT node, node AS label FROM nodes),{body}
+    SELECT node, label FROM {prev}
+    """
+
+
+@register(
+    "x173_event_communities",
+    _x173_oracle(),
+    "Label-propagation communities of event types over the symmetrized "
+    "user-journey transition graph (Raghavan 2007, 4 fixed synchronous "
+    "rounds, smallest-label deterministic tiebreak) — which actions "
+    "cluster into navigation neighborhoods, the unsupervised complement "
+    "to x161's centrality; edge extraction is the x127 one-window pass, "
+    "propagation runs on the bounded |types|^2 graph with "
+    "per-round localCheckpoint (two consumers per round)",
+)
+def x173_event_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.graph import event_type_communities
+
+    e = load_events(spark, sf_dir)
+    return event_type_communities(e, n_iter=4)

@@ -7080,6 +7080,88 @@ class TestChatTurnStats:
         assert r["avg_assistant_chars"] == 0.0  # guarded division
 
 
+class TestLabelPropagation:
+    @staticmethod
+    def _reference(edges, n_iter=4):
+        """Pure-Python synchronous LPA with the same semantics:
+        symmetrize, drop self-loops, sum parallel weights, argmax
+        neighbor-label weight with smallest-label tiebreak, isolated
+        keep-own."""
+        from collections import defaultdict
+
+        w = defaultdict(float)
+        for s, d, x in edges:
+            if s != d and x > 0:
+                w[(s, d)] += x
+                w[(d, s)] += x
+        nodes = sorted({a for a, _ in w})
+        lab = {v: v for v in nodes}
+        for _ in range(n_iter):
+            new = {}
+            for v in nodes:
+                votes = defaultdict(float)
+                for (a, b), x in w.items():
+                    if a == v:
+                        votes[lab[b]] += x
+                if votes:
+                    new[v] = min(votes, key=lambda L: (-votes[L], L))
+                else:
+                    new[v] = lab[v]
+            lab = new
+        return lab
+
+    def test_two_communities_weak_bridge(self, spark):
+        from cryoflow_spark.functions.graph import label_propagation
+
+        # two triangles joined by one weak edge: communities = triangles
+        tri1 = [("a", "b", 5.0), ("b", "c", 5.0), ("c", "a", 5.0)]
+        tri2 = [("x", "y", 5.0), ("y", "z", 5.0), ("z", "x", 5.0)]
+        bridge = [("c", "x", 1.0)]
+        loops = [("a", "a", 99.0)]          # dropped
+        edges = tri1 + tri2 + bridge + loops
+        df = spark.createDataFrame(edges, "src string, dst string, w double")
+        got = {r["node"]: r["label"] for r in
+               label_propagation(df, weight_col="w", n_iter=4).collect()}
+        assert got == self._reference(edges, n_iter=4)
+        # the triangles end up internally uniform and distinct
+        assert got["a"] == got["b"] == got["c"]
+        assert got["x"] == got["y"] == got["z"]
+        assert got["a"] != got["x"]
+
+    def test_tiebreak_and_unweighted(self, spark):
+        from cryoflow_spark.functions.graph import label_propagation
+
+        # path a-b-c, no weights: b's neighbors a/c tie -> smallest (a)
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string"
+        )
+        got = {r["node"]: r["label"] for r in
+               label_propagation(df, n_iter=1).collect()}
+        assert got["b"] == "a"
+        assert got["a"] == "b" and got["c"] == "b"  # single neighbor
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            label_propagation(df, n_iter=0)
+
+    def test_randomized_reference(self, spark):
+        import random
+
+        from cryoflow_spark.functions.graph import label_propagation
+
+        rng = random.Random(55)
+        names = [f"n{i}" for i in range(14)]
+        edges = [
+            (rng.choice(names), rng.choice(names),
+             float(rng.randint(1, 9)))
+            for _ in range(40)
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string, w double")
+        got = {r["node"]: r["label"] for r in
+               label_propagation(df, weight_col="w", n_iter=4).collect()}
+        assert got == self._reference(edges, n_iter=4)
+
+
 class TestPagerank:
     @staticmethod
     def _reference(edges, damping=0.85, n_iter=5):

@@ -1278,6 +1278,31 @@ def test_profile_transitions_plugin(spark):
     }
 
 
+def test_profile_communities_and_markov_eval_plugins(spark):
+    from datetime import datetime
+
+    from cryoflow_spark.plugins.transform import ProfilePlugin
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, "a"),
+         (2, datetime(2024, 1, 1, 0, 1), 1, "b"),
+         (3, datetime(2024, 1, 1), 2, "a"),
+         (4, datetime(2024, 1, 1, 0, 1), 2, "b")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    # a 2-node graph oscillates under synchronous LPA — the fixed-round
+    # snapshot is the deterministic contract: after 1 round each node
+    # wears its only neighbor's initial label
+    comm = _run(ProfilePlugin({"report": "communities", "n_iter": 1}), df)
+    labs = {r["node"]: r["label"] for r in comm.collect()}
+    assert labs == {"a": "b", "b": "a"}
+    ev = _run(ProfilePlugin({"report": "markov_eval",
+                             "test_fraction": 0.5}), df)
+    assert {f.name for f in ev.schema.fields} == {
+        "src", "predicted_dst", "n_train", "n_test", "n_hit", "accuracy"
+    }
+
+
 def test_scd2_plugin(spark):
     from datetime import datetime
 
