@@ -772,35 +772,9 @@ def attribution_report(
     then two |touch types|-keyed counts and one broadcast total. No
     corpus-wide window, no self-join over the fact table.
     """
-    convs = [str(c) for c in conversion_types]
-    if not convs:
-        raise ValueError("conversion_types must be non-empty")
-    touches = None if touch_types is None else [str(t) for t in touch_types]
-    if touches is not None and set(touches) & set(convs):
-        raise ValueError("touch_types and conversion_types must not overlap")
-    us = _ts_micros(ts_col)
-    base = events.filter(
-        F.col(ts_col).isNotNull()
-        & F.col(user_col).isNotNull()
-        & F.col(type_col).isNotNull()
-    ).select(
-        F.col(user_col).alias("__u"),
-        F.col(type_col).alias("__t"),
-        us.alias("__us"),
-        F.col(id_col).cast("bigint").alias("__id"),
-    )
-    is_conv = F.col("__t").isin(*convs)
-    is_touch = (
-        ~is_conv if touches is None else F.col("__t").isin(*touches)
-    )
-    w = Window.partitionBy("__u").orderBy("__us", "__id")
-    marked = base.select(
-        "__u", "__t", "__us", "__id",
-        is_conv.cast("int").alias("__c"),
-        is_touch.cast("int").alias("__h"),
-    ).withColumn(
-        # journey id = count of STRICTLY PRIOR conversions
-        "__j", (F.sum("__c").over(w) - F.col("__c")).cast("bigint")
+    marked = _attribution_flags(
+        events, conversion_types, touch_types, ts_col, user_col,
+        type_col, id_col,
     )
     touch_struct = F.when(
         F.col("__h") == 1, F.struct("__us", "__id", F.col("__t"))
@@ -856,6 +830,347 @@ def attribution_report(
             .otherwise(F.lit(0.0))
             .alias("first_share"),
             F.when(F.col("__n") > 0, ratio(F.col("last_touch"), F.col("__n")))
+            .otherwise(F.lit(0.0))
+            .alias("last_share"),
+        )
+    )
+
+
+def _attribution_flags(
+    df: DataFrame,
+    conversion_types: Sequence[str],
+    touch_types: Optional[Sequence[str]],
+    ts_col: str,
+    user_col: str,
+    type_col: str,
+    id_col: str,
+):
+    """Shared base for batch attribution and its streaming partials:
+    validated conversion/touch sets and the flagged, journey-numbered
+    per-user event projection."""
+    convs = [str(c) for c in conversion_types]
+    if not convs:
+        raise ValueError("conversion_types must be non-empty")
+    touches = None if touch_types is None else [str(t) for t in touch_types]
+    if touches is not None and set(touches) & set(convs):
+        raise ValueError("touch_types and conversion_types must not overlap")
+    us = _ts_micros(ts_col)
+    base = df.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(user_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    ).select(
+        F.col(user_col).cast("string").alias("__u"),
+        F.col(type_col).alias("__t"),
+        us.alias("__us"),
+        F.col(id_col).cast("bigint").alias("__id"),
+    )
+    is_conv = F.col("__t").isin(*convs)
+    is_touch = (
+        ~is_conv if touches is None else F.col("__t").isin(*touches)
+    )
+    w = Window.partitionBy("__u").orderBy("__us", "__id")
+    marked = base.select(
+        "__u", "__t", "__us", "__id",
+        is_conv.cast("int").alias("__c"),
+        is_touch.cast("int").alias("__h"),
+    ).withColumn(
+        "__j", (F.sum("__c").over(w) - F.col("__c")).cast("bigint")
+    )
+    return marked
+
+
+_ATTR_STATE_COLS = (
+    "user", "c", "head_f", "head_l", "tail_f", "tail_l",
+    "first_us", "first_id", "last_us", "last_id",
+)
+
+
+def _attr_rows(credits: DataFrame, states: DataFrame) -> DataFrame:
+    """Union credit + state frames into the single partial schema."""
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("bigint")
+    credit_rows = credits.select(
+        F.lit("credit").alias("kind"),
+        "ft", "lt", "n",
+        null_s.alias("user"), null_l.alias("c"),
+        null_s.alias("head_f"), null_s.alias("head_l"),
+        null_s.alias("tail_f"), null_s.alias("tail_l"),
+        null_l.alias("first_us"), null_l.alias("first_id"),
+        null_l.alias("last_us"), null_l.alias("last_id"),
+    )
+    state_rows = states.select(
+        F.lit("state").alias("kind"),
+        null_s.alias("ft"), null_s.alias("lt"), null_l.alias("n"),
+        *_ATTR_STATE_COLS,
+    )
+    return credit_rows.unionByName(state_rows)
+
+
+def attribution_batch_partials(
+    df: DataFrame,
+    conversion_types: Sequence[str],
+    touch_types: Optional[Sequence[str]] = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Mergeable partial of :func:`attribution_report` for ONE
+    contiguous per-user slice of the event log (one micro-batch): the
+    attribution segment monoid element
+
+    - ``kind = 'credit'`` rows — (first_touch_type, last_touch_type)
+      journey counts for journeys FULLY INSIDE the slice (closed by the
+      user's 2nd..c-th conversion of the slice: their touch runs lie
+      strictly between two in-slice conversions, so no neighboring
+      slice can change them — final). Touch types here may be NULL
+      (touchless journey — resolved to the direct marker at report
+      time, kept NULL in partials so the marker stays a finalize-time
+      choice).
+    - ``kind = 'state'`` rows — one row per user: conversion count
+      ``c``, the HEAD run (first/last touch type before the slice's
+      first conversion — the provisional journey of that conversion,
+      which an earlier slice's tail may still extend), the TAIL run
+      (first/last touch after the last conversion — feeds the journey
+      of the NEXT slice's first conversion), and (micros, id) min/max
+      positions for deterministic segment ordering. With ``c = 0``
+      head = tail = the whole touch run.
+
+    Adjacent slices merge associatively (see
+    :func:`attribution_partials_merge`), PROVIDED each user's events
+    arrive as non-interleaved (ts, id) segments across batches — the
+    transition twin's precondition, same rationale
+    (:func:`transition_batch_partials`).
+
+    Scale: one user-partitioned window pass + one (user, journey)-keyed
+    struct-min/max agg + one user-keyed rollup over THAT BATCH only;
+    the partial is |in-batch credit pairs| + |active users| rows.
+    """
+    marked = _attribution_flags(
+        df, conversion_types, touch_types, ts_col, user_col, type_col,
+        id_col,
+    )
+    touch_struct = F.when(
+        F.col("__h") == 1, F.struct("__us", "__id", F.col("__t"))
+    )
+    journeys = marked.groupBy("__u", "__j").agg(
+        F.max("__c").alias("__closed"),
+        F.min(touch_struct).alias("__first"),
+        F.max(touch_struct).alias("__last"),
+    )
+    per_user = marked.groupBy("__u").agg(
+        F.sum("__c").cast("bigint").alias("c"),
+        F.min(F.struct("__us", "__id")).alias("__fp"),
+        F.max(F.struct("__us", "__id")).alias("__lp"),
+    )
+    credits = (
+        journeys.filter((F.col("__closed") == 1) & (F.col("__j") >= 1))
+        .groupBy(
+            F.col("__first.__t").alias("ft"),
+            F.col("__last.__t").alias("lt"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    head = journeys.filter(F.col("__j") == 0).select(
+        "__u",
+        F.col("__first.__t").alias("head_f"),
+        F.col("__last.__t").alias("head_l"),
+    )
+    tail_src = journeys.join(
+        per_user.select("__u", "c"), "__u"
+    ).filter(F.col("__j") == F.col("c"))
+    tail = tail_src.select(
+        "__u",
+        F.col("__first.__t").alias("tail_f"),
+        F.col("__last.__t").alias("tail_l"),
+    )
+    states = (
+        per_user.join(head, "__u", "left")
+        .join(tail, "__u", "left")
+        .select(
+            F.col("__u").alias("user"),
+            "c",
+            "head_f", "head_l", "tail_f", "tail_l",
+            F.col("__fp.__us").alias("first_us"),
+            F.col("__fp.__id").alias("first_id"),
+            F.col("__lp.__us").alias("last_us"),
+            F.col("__lp.__id").alias("last_id"),
+        )
+    )
+    return _attr_rows(credits, states)
+
+
+#: Typed empty accumulator for the ordered segment fold.
+_ATTR_FOLD_ZERO = (
+    "named_struct("
+    "'started', false, "
+    "'head_f', CAST(NULL AS STRING), 'head_l', CAST(NULL AS STRING), "
+    "'run_f', CAST(NULL AS STRING), 'run_l', CAST(NULL AS STRING), "
+    "'credits', CAST(array() AS ARRAY<STRUCT<ft: STRING, lt: STRING>>))"
+)
+
+
+def attribution_partials_merge(partials: DataFrame) -> DataFrame:
+    """Fold a union of :func:`attribution_batch_partials` tables into
+    ONE valid partial (closed under merge — compaction-safe): credit
+    counts re-aggregate; per user, the ordered segment fold stitches
+    runs across segments — a conversion-bearing segment's FIRST
+    conversion closes the journey made of every touch since the
+    previous conversion-bearing segment's last conversion (the carried
+    run), emitting one final credit per conversion-bearing segment
+    after the user's first; the merged state keeps the global head run
+    (before the first conversion anywhere), the final carried tail run,
+    summed ``c`` and min/max positions.
+
+    The fold is an ordered ``collect_list → array_sort → aggregate``
+    with a struct accumulator ``(started, head, run, credits)`` — the
+    per-user buffer is bounded by the number of SEGMENTS (batches since
+    the last compaction; compaction returns it to one), never by event
+    count.
+    """
+    credits = (
+        partials.filter(F.col("kind") == "credit")
+        .groupBy("ft", "lt")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    states = partials.filter(F.col("kind") == "state")
+    seg_struct = F.struct(
+        "first_us", "first_id", "c",
+        "head_f", "head_l", "tail_f", "tail_l",
+    )
+
+    def fold_step(acc, s):
+        jr_f = F.coalesce(acc["run_f"], s["head_f"])
+        jr_l = F.coalesce(s["head_l"], acc["run_l"])
+        has_conv = s["c"] > 0
+        emit = has_conv & acc["started"]
+        credit = F.struct(jr_f.alias("ft"), jr_l.alias("lt"))
+        first_here = has_conv & ~acc["started"]
+        return F.struct(
+            (acc["started"] | has_conv).alias("started"),
+            F.when(first_here, jr_f).otherwise(acc["head_f"]).alias(
+                "head_f"
+            ),
+            F.when(first_here, jr_l).otherwise(acc["head_l"]).alias(
+                "head_l"
+            ),
+            F.when(has_conv, s["tail_f"]).otherwise(jr_f).alias("run_f"),
+            F.when(has_conv, s["tail_l"]).otherwise(jr_l).alias("run_l"),
+            F.when(
+                emit, F.concat(acc["credits"], F.array(credit))
+            ).otherwise(acc["credits"]).alias("credits"),
+        )
+
+    folded = states.groupBy("user").agg(
+        F.sum("c").cast("bigint").alias("c"),
+        F.min(F.struct("first_us", "first_id")).alias("__fp"),
+        F.max(F.struct("last_us", "last_id")).alias("__lp"),
+        F.aggregate(
+            F.array_sort(F.collect_list(seg_struct)),
+            F.expr(_ATTR_FOLD_ZERO),
+            fold_step,
+        ).alias("__m"),
+    )
+    stitched = (
+        folded.select(F.explode("__m.credits").alias("__cr"))
+        .groupBy(
+            F.col("__cr.ft").alias("ft"), F.col("__cr.lt").alias("lt")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    merged_credits = (
+        credits.unionByName(stitched)
+        .groupBy("ft", "lt")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    merged_states = folded.select(
+        "user",
+        "c",
+        # c = 0 convention: head = tail = the whole carried run
+        F.when(F.col("__m.started"), F.col("__m.head_f"))
+        .otherwise(F.col("__m.run_f"))
+        .alias("head_f"),
+        F.when(F.col("__m.started"), F.col("__m.head_l"))
+        .otherwise(F.col("__m.run_l"))
+        .alias("head_l"),
+        F.col("__m.run_f").alias("tail_f"),
+        F.col("__m.run_l").alias("tail_l"),
+        F.col("__fp.first_us").alias("first_us"),
+        F.col("__fp.first_id").alias("first_id"),
+        F.col("__lp.last_us").alias("last_us"),
+        F.col("__lp.last_id").alias("last_id"),
+    )
+    return _attr_rows(merged_credits, merged_states)
+
+
+def attribution_report_from_partials(
+    partials: DataFrame,
+    direct_marker: str = "(direct)",
+) -> DataFrame:
+    """The x164 attribution report from merged partials — equal to
+    :func:`attribution_report` over the ingested union (under the
+    segment-order precondition): final credits from the merged counts,
+    plus each converting user's HEAD journey (their first conversion's
+    run, resolvable only once all earlier segments are folded in);
+    open tail runs attribute nothing — the batch semantics. NULL
+    first/last touch types resolve to ``direct_marker`` here, so the
+    marker stays a report-time choice.
+    """
+    m = attribution_partials_merge(partials)
+    credits = m.filter(F.col("kind") == "credit").select("ft", "lt", "n")
+    states = m.filter(F.col("kind") == "state")
+    head_credits = (
+        states.filter(F.col("c") > 0)
+        .groupBy(
+            F.col("head_f").alias("ft"), F.col("head_l").alias("lt")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    journeys = (
+        credits.unionByName(head_credits)
+        .select(
+            F.coalesce("ft", F.lit(direct_marker)).alias("__ft"),
+            F.coalesce("lt", F.lit(direct_marker)).alias("__lt"),
+            "n",
+        )
+    )
+    firsts = journeys.groupBy(F.col("__ft").alias("touch_type")).agg(
+        F.sum("n").cast("bigint").alias("first_touch")
+    )
+    lasts = journeys.groupBy(F.col("__lt").alias("touch_type")).agg(
+        F.sum("n").cast("bigint").alias("last_touch")
+    )
+    total = journeys.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("__n")
+    )
+    ratio = lambda num, den: F.round(  # noqa: E731
+        num.cast("double") / den.cast("double"), 6
+    )
+    return (
+        firsts.join(lasts, "touch_type", "full_outer")
+        .select(
+            "touch_type",
+            F.coalesce("first_touch", F.lit(0)).cast("bigint").alias(
+                "first_touch"
+            ),
+            F.coalesce("last_touch", F.lit(0)).cast("bigint").alias(
+                "last_touch"
+            ),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "touch_type",
+            "first_touch",
+            "last_touch",
+            F.when(
+                F.col("__n") > 0, ratio(F.col("first_touch"), F.col("__n"))
+            )
+            .otherwise(F.lit(0.0))
+            .alias("first_share"),
+            F.when(
+                F.col("__n") > 0, ratio(F.col("last_touch"), F.col("__n"))
+            )
             .otherwise(F.lit(0.0))
             .alias("last_share"),
         )

@@ -1,0 +1,154 @@
+"""Streaming conversion attribution — the live first/last-touch credit
+dashboard, the foreachBatch twin of the batch operator x164
+(:func:`cryoflow_spark.functions.events.attribution_report`).
+
+Attribution looks strongly stateful (a journey's touches can arrive
+Monday and its closing conversion Wednesday), but the per-batch summary
+is a MONOID under ordered concatenation — the segment element is
+
+- final credits: journeys closed by the slice's 2nd..c-th conversions
+  (their touch runs lie strictly between two in-slice conversions — no
+  neighboring slice can change them);
+- per-user O(1) state: conversion count, the HEAD run (touches before
+  the slice's first conversion — that conversion's journey is
+  provisional, an earlier slice's carried run may still extend it) and
+  the TAIL run (touches after the last conversion — feeds the next
+  slice's first conversion's journey)
+
+(:func:`attribution_batch_partials` / :func:`attribution_partials_merge`;
+the merge folds per-user segments in position order with a struct
+accumulator, emitting one final credit per conversion-bearing segment
+after the first and carrying the run across conversion-free segments).
+So, like the transition twin:
+
+- each micro-batch writes its partial to ``<output>/partials/batch_id=N``
+  in OVERWRITE mode — a replayed batch (failure/retry re-delivers the
+  same batch_id) rewrites the same directory instead of double-counting
+  (the idempotent-sink contract of foreachBatch);
+- the current report is obtained by folding all partials and resolving
+  each converting user's head journey
+  (:func:`finalize_attribution`) — equal to ``attribution_report``
+  over every event ingested so far (open tail runs attribute nothing,
+  the batch semantics).
+
+PRECONDITION (documented on the partial builder): each user's events
+must arrive as non-interleaved (ts, event_id) segments across batches —
+the transition twin's precondition, same rationale and same fallback
+(keep full per-user sequences as state, or re-sort at rest with the
+batch operator).
+
+Scale: per batch, one user-partitioned window pass + two keyed aggs
+over THAT BATCH only; the partial is |in-batch credit pairs| +
+|active users| rows. The merge fold's per-user buffer is bounded by the
+number of SEGMENTS since the last compaction (compaction returns it to
+one), never by event count. Finalize reads only partial tables;
+:func:`attribution_partials_merge` output is itself valid partial
+input, closed under merge.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from cryoflow_spark.streaming.report_stream import _start
+
+
+def _write_attribution_partials(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    conversion_types: Sequence[str],
+    touch_types: Optional[Sequence[str]],
+    ts_col: str,
+    user_col: str,
+    type_col: str,
+    id_col: str,
+) -> None:
+    """Per-batch idempotent partial write (module-level so the replay
+    property is directly testable)."""
+    from cryoflow_spark.functions.events import attribution_batch_partials
+
+    attribution_batch_partials(
+        batch_df,
+        conversion_types=conversion_types,
+        touch_types=touch_types,
+        ts_col=ts_col,
+        user_col=user_col,
+        type_col=type_col,
+        id_col=id_col,
+    ).write.mode("overwrite").parquet(
+        f"{output_path}/partials/batch_id={batch_id}"
+    )
+
+
+def attribution_stream(
+    stream_df: DataFrame,
+    output_path: str,
+    conversion_types: Sequence[str],
+    touch_types: Optional[Sequence[str]] = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    checkpoint_path: Optional[str] = None,
+    trigger: str = "available_now",
+) -> StreamingQuery:
+    """Maintain the x164 attribution credit state over a live event
+    stream.
+
+    Read the current report at any time with
+    :func:`finalize_attribution` — equal to the batch
+    ``attribution_report`` over everything ingested so far (see the
+    module docstring for the per-user segment-order precondition).
+    """
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    checkpoint = checkpoint_path or f"{output_path}/_checkpoint"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _write_attribution_partials(
+            batch_df, batch_id, output_path, conversion_types,
+            touch_types, ts_col, user_col, type_col, id_col,
+        )
+
+    return _start(stream_df, _process, checkpoint, trigger)
+
+
+def finalize_attribution(
+    spark: SparkSession,
+    output_path: str,
+    direct_marker: str = "(direct)",
+) -> DataFrame:
+    """Fold all written partials into the current attribution report —
+    equal to the batch twin on the ingested union."""
+    from cryoflow_spark.functions.events import (
+        attribution_report_from_partials,
+    )
+
+    partials = spark.read.parquet(f"{output_path}/partials/batch_id=*")
+    return attribution_report_from_partials(
+        partials, direct_marker=direct_marker
+    )
+
+
+def compact_attribution_partials(
+    spark: SparkSession,
+    output_path: str,
+) -> int:
+    """Compact the per-batch partial directories into one merged
+    partial (|credit pairs| + |users| rows total) —
+    :func:`attribution_partials_merge` output is closed under merge, so
+    the compacted directory remains valid input for both
+    :func:`finalize_attribution` and later compactions. See
+    :func:`cryoflow_spark.streaming.report_stream.compact_partials`
+    for the crash/replay contract. Returns directories removed.
+    """
+    from cryoflow_spark.functions.events import attribution_partials_merge
+    from cryoflow_spark.streaming.report_stream import compact_partials
+
+    return compact_partials(
+        spark, output_path, merge_fn=attribution_partials_merge
+    )

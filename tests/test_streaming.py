@@ -859,6 +859,163 @@ def test_event_transitions_stream_compaction_and_validation(
         event_transitions_stream(batch, "/tmp/nowhere")
 
 
+def test_attribution_stream_matches_batch_twin(spark, tmp_path):
+    """x164 streaming twin: the finalized attribution report over all
+    micro-batches equals the batch attribution_report on the full log —
+    journeys STRADDLE batches (time split): a journey's touches can
+    land in one batch and its closing conversion in the next, resolved
+    by the carried per-user run — and a replayed batch does not
+    double-count."""
+    from cryoflow_spark.functions.events import attribution_report
+    from cryoflow_spark.queries import load_events
+    from cryoflow_spark.streaming.attribution_stream import (
+        _write_attribution_partials,
+        attribution_stream,
+        finalize_attribution,
+    )
+
+    full = load_events(spark, "/root/testdata/sf0.001")
+    src = tmp_path / "events"
+    src.mkdir()
+    mid = full.select(
+        F.percentile(F.unix_micros("ts"), 0.5).alias("m")
+    ).collect()[0]["m"]
+    full.filter(F.unix_micros("ts") <= mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "a"))
+    full.filter(F.unix_micros("ts") > mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b"))
+    stream = spark.readStream.schema(full.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = tmp_path / "attribution"
+    q = attribution_stream(stream, str(out), ["purchase"])
+    q.awaitTermination(120)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    want = canon(attribution_report(full, ["purchase"]))
+    assert canon(finalize_attribution(spark, str(out))) == want
+    # replay idempotence on the per-batch writer (same id + content 2x)
+    out2 = tmp_path / "attribution2"
+    a = spark.read.parquet(str(src / "a"))
+    b = spark.read.parquet(str(src / "b"))
+    for batch_id, batch in ((0, a), (1, b), (0, a)):  # 0 replayed
+        _write_attribution_partials(
+            batch, batch_id, str(out2), ["purchase"], None,
+            "ts", "user_id", "event_type", "event_id",
+        )
+    assert canon(finalize_attribution(spark, str(out2))) == want
+
+
+def test_attribution_stream_multi_segment_and_compaction(spark, tmp_path):
+    """The ordered segment fold resolves journeys spanning MANY
+    conversion-free segments (touch in slice 1, nothing in slice 2,
+    conversion in slice 3); compaction folds partials into one merged
+    partial (closed under merge) with the finalize result unchanged;
+    batch frames are rejected; whitelisted touch_types pass through."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from cryoflow_spark.functions.events import attribution_report
+    from cryoflow_spark.queries import load_events
+    from cryoflow_spark.streaming.attribution_stream import (
+        _write_attribution_partials,
+        attribution_stream,
+        compact_attribution_partials,
+        finalize_attribution,
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def t(s):
+        return datetime.fromisoformat(s)
+
+    # hand-built: u1's first journey spans slices 1-3 (touch "ad" in
+    # slice 1, inert "view" in slice 2, conversion in slice 3); u2
+    # converts touchless in slice 2 then has an open tail; u3 never
+    # converts
+    rows = [
+        # slice 1
+        (1, t("2024-01-01T00:00"), 1, "ad"),
+        (2, t("2024-01-01T00:05"), 3, "click"),
+        # slice 2
+        (3, t("2024-01-02T00:00"), 1, "view"),
+        (4, t("2024-01-02T00:05"), 2, "purchase"),
+        # slice 3
+        (5, t("2024-01-03T00:00"), 1, "purchase"),
+        (6, t("2024-01-03T00:05"), 2, "click"),
+        (7, t("2024-01-03T00:06"), 1, "click"),
+        (8, t("2024-01-03T00:07"), 1, "purchase"),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    hand = spark.createDataFrame(rows, schema)
+    out_h = tmp_path / "hand"
+    days = [t("2024-01-01"), t("2024-01-02"), t("2024-01-03")]
+    for i, day in enumerate(days):
+        sl = hand.filter(
+            (F.col("ts") >= F.lit(day))
+            & (F.col("ts") < F.lit(day) + F.expr("INTERVAL 1 DAY"))
+        )
+        _write_attribution_partials(
+            sl, i, str(out_h), ["purchase"], ["ad", "click"],
+            "ts", "user_id", "event_type", "event_id",
+        )
+    want_h = canon(
+        attribution_report(hand, ["purchase"], touch_types=["ad", "click"])
+    )
+    got_h = canon(finalize_attribution(spark, str(out_h)))
+    assert got_h == want_h
+    # the spanning journey really credited "ad" first-touch
+    by_type = {r[0]: r for r in got_h}
+    assert by_type["ad"][1] == 1
+    assert by_type["(direct)"][1] == 1  # u2's touchless journey
+
+    # real-log compaction closure (time-ordered thirds)
+    events = load_events(spark, "/root/testdata/sf0.001")
+    out = tmp_path / "attribution"
+    lo = events.select(
+        F.percentile(F.unix_micros("ts"), 0.33).alias("m")
+    ).collect()[0]["m"]
+    hi = events.select(
+        F.percentile(F.unix_micros("ts"), 0.66).alias("m")
+    ).collect()[0]["m"]
+    slices = [
+        events.filter(F.unix_micros("ts") <= lo),
+        events.filter(
+            (F.unix_micros("ts") > lo) & (F.unix_micros("ts") <= hi)
+        ),
+        events.filter(F.unix_micros("ts") > hi),
+    ]
+    for i, sl in enumerate(slices):
+        _write_attribution_partials(
+            sl, i, str(out), ["purchase"], None,
+            "ts", "user_id", "event_type", "event_id",
+        )
+    want = canon(attribution_report(events, ["purchase"]))
+    assert canon(finalize_attribution(spark, str(out))) == want
+    rows_before = spark.read.parquet(
+        str(out / "partials" / "batch_id=*")).count()
+    assert compact_attribution_partials(spark, str(out)) == 3
+    rows_after = spark.read.parquet(
+        str(out / "partials" / "batch_id=*")).count()
+    assert rows_after <= rows_before
+    assert canon(finalize_attribution(spark, str(out))) == want
+    # re-compaction folds the compact dir itself and stays equal
+    assert compact_attribution_partials(spark, str(out)) == 1
+    assert canon(finalize_attribution(spark, str(out))) == want
+
+    batch = spark.createDataFrame(
+        [(1, "view")], "user_id long, event_type string"
+    )
+    with _pytest.raises(ValueError, match="streaming"):
+        attribution_stream(batch, "/tmp/nowhere", ["purchase"])
+
+
 def test_burst_monitor_stream_matches_batch_twin(spark, tmp_path):
     """x118 streaming twin: the finalized burst report over all
     micro-batches equals the batch rate_anomaly_report on the full
