@@ -158,6 +158,131 @@ def pagerank(
     return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seed_nodes,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    damping: float = 0.85,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Personalized PageRank (Page et al. 1999 §6 "personalized"
+    teleport; the random-walk-with-restart proximity of Jeh-Widom 2003
+    "Scaling Personalized Web Search"): the teleport vector is uniform
+    over ``seed_nodes`` instead of all nodes, so rank measures flow
+    PROXIMITY TO THE SEEDS —
+
+        r'(v) = (1-d)·p(v) + d · (Σ_{u→v} r(u)·w(u,v)/W(u) + D·p(v))
+
+    with ``p(v) = 1/|seeds present|`` for seed nodes, else 0; dangling
+    mass ``D`` restarts at the seeds too; ranks start at ``p`` and sum
+    to 1 every iteration. The journey read: "which screens are CLOSE to
+    signup by user flow" — the acquisition-funnel neighborhood global
+    PageRank averages away. Seeds absent from the graph carry no mass
+    (the distribution normalizes over PRESENT seeds; all-absent
+    raises).
+
+    Same edge semantics, determinism (canonical source-order folds) and
+    per-iteration ``localCheckpoint`` lineage rule as :func:`pagerank`
+    (kept as a separate loop so the uniform operator's oracle-pinned
+    expression tree stays byte-stable).
+
+    Output: ``(node, rank)`` rounded to 9 decimals.
+    """
+    seeds = [s for s in dict.fromkeys(seed_nodes)]
+    if not seeds:
+        raise ValueError("seed_nodes must be non-empty")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = edges.filter(
+        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+    ).select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        w.alias("w"),
+    ).filter(F.col("w") > 0)
+    e = e.groupBy("src", "dst").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("w")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("w")
+    )
+    outw = e.groupBy("src").agg(
+        _canonical_fold("dst", "w").alias("outw")
+    )
+    e = e.join(outw, "src").localCheckpoint()
+    outw = outw.localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    present = (
+        nodes.filter(F.col("node").isin(*seeds))
+        .limit(len(seeds) + 1)
+        .collect()
+    )
+    if not present:
+        raise ValueError(
+            f"none of the seed nodes {seeds!r} appear in the graph"
+        )
+    share = 1.0 / len(present)  # Python IEEE divide == SQL 1.0/n
+    p = F.when(F.col("node").isin(*seeds), F.lit(share)).otherwise(
+        F.lit(0.0)
+    )
+    ranks = nodes.select("node", p.alias("rank"))
+    d = float(damping)
+    for _ in range(int(n_iter)):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                "dst",
+                "src",
+                (F.col("rank") * F.col("w") / F.col("outw")).alias("__c"),
+            )
+            .groupBy("dst")
+            .agg(_canonical_fold("src", "__c").alias("__in"))
+        )
+        dangling = (
+            ranks.join(outw.withColumnRenamed("src", "node"), "node",
+                       "left_anti")
+            .agg(
+                F.coalesce(
+                    _canonical_fold("node", "rank"), F.lit(0.0)
+                ).alias("__d")
+            )
+        )
+        ranks = (
+            nodes.join(
+                contrib.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - d) * p
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.col("__d") * p
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
 def label_propagation(
     edges: DataFrame,
     src_col: str = "src",

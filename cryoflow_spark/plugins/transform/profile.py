@@ -138,6 +138,9 @@ disturbing the main stream. Options:
   with ``>``, session + distinct-user counts) — options
   ``gap_minutes`` / ``max_steps`` / ``top_n`` and the event column
   names.
+- ``report = "proximity"`` emits personalized PageRank of event types
+  seeded at ``seed_types`` over the journey graph (flow proximity to
+  the seeds; ``damping``, ``n_iter``).
 - ``report = "communities"`` emits label-propagation communities of
   event types over the symmetrized journey graph (``n_iter``,
   ``user_column``, ``type_column``, ``ts_column``, ``id_column``).
@@ -411,6 +414,34 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 event_col=self.options.get("type_column", "event_type"),
                 ts_col=self.options.get("ts_column", "ts"),
                 id_col=self.options.get("id_column", "event_id"),
+                damping=float(self.options.get("damping", 0.85)),
+                n_iter=int(self.options.get("n_iter", 5)),
+            )
+
+        if self.options.get("report") == "proximity":
+            from cryoflow_spark.functions.events import (
+                event_transition_matrix,
+            )
+            from cryoflow_spark.functions.graph import personalized_pagerank
+            from pyspark.sql import functions as _F
+
+            tm = event_transition_matrix(
+                data,
+                user_col=self.options.get("user_column", "user_id"),
+                event_col=self.options.get("type_column", "event_type"),
+                ts_col=self.options.get("ts_column", "ts"),
+                id_col=self.options.get("id_column", "event_id"),
+            )
+            edges = tm.filter(
+                (_F.col("src") != _F.lit("__start__"))
+                & (_F.col("dst") != _F.lit("__end__"))
+            ).select(
+                "src", "dst", _F.col("n_transitions").alias("w")
+            )
+            return personalized_pagerank(
+                edges,
+                seed_nodes=list(self.require_option("seed_types")),
+                weight_col="w",
                 damping=float(self.options.get("damping", 0.85)),
                 n_iter=int(self.options.get("n_iter", 5)),
             )

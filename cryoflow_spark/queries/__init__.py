@@ -136,7 +136,7 @@ _PRIORITY: list[str] = [
     # new r9 operators queue here as they register
     "q64_late_shipment_priority", "q65_top_supplier",
     "q66_dominant_supplier", "x172_markov_next_event",
-    "x173_event_communities",
+    "x173_event_communities", "x174_signup_proximity",
 ]
 
 

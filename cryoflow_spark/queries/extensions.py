@@ -9420,3 +9420,108 @@ def x173_event_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir)
     return event_type_communities(e, n_iter=4)
+
+
+# --- x174: personalized PageRank from signup (oracle-checked) ----------------
+
+
+def _x174_oracle(
+    seeds=("signup",), damping: float = 0.85, n_iter: int = 5
+) -> str:
+    """DuckDB replica of fixed-iteration personalized PageRank over the
+    x127 transition graph: the teleport vector is uniform over the
+    PRESENT seed nodes (1.0/n computed as the same IEEE divide Spark
+    bakes as a literal), dangling mass restarts at the seeds; canonical
+    list_reduce folds as in x161."""
+    d = float(damping)
+    omd = 1.0 - d
+    seed_list = ", ".join(f"'{s}'" for s in seeds)
+    p = (
+        f"(CASE WHEN n.node IN ({seed_list}) "
+        f"THEN 1.0::DOUBLE / ns.n::DOUBLE ELSE 0.0::DOUBLE END)"
+    )
+    fold = (
+        "list_reduce(list_prepend(0.0::DOUBLE, list({expr} ORDER BY "
+        "{order})), (acc, x) -> acc + x)"
+    )
+    its = []
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        inc_fold = fold.format(expr="r.rank * e.w / e.outw", order="e.src")
+        dang_fold = fold.format(expr="r.rank", order="r.node")
+        its.append(f"""
+    in{k} AS (
+      SELECT e.dst AS node, {inc_fold} AS inc
+      FROM e JOIN {prev} r ON e.src = r.node GROUP BY e.dst
+    ),
+    d{k} AS (
+      SELECT COALESCE({dang_fold}, 0.0::DOUBLE) AS dm
+      FROM {prev} r ANTI JOIN outw o ON r.node = o.src
+    ),
+    r{k} AS (
+      SELECT n.node,
+             {omd!r}::DOUBLE * {p}
+             + {d!r}::DOUBLE
+               * (COALESCE(i.inc, 0.0::DOUBLE)
+                  + dk.dm * {p}) AS rank
+      FROM nodes n LEFT JOIN in{k} i USING (node)
+      CROSS JOIN d{k} dk CROSS JOIN ns
+    )""")
+        prev = f"r{k}"
+    body = ",".join(its)
+    return f"""
+    WITH seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    edges AS (
+      SELECT src, dst, COUNT(*)::DOUBLE AS w
+      FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    outw AS (
+      SELECT src, {fold.format(expr="w", order="dst")} AS outw
+      FROM edges GROUP BY src
+    ),
+    e AS (SELECT edges.src, edges.dst, edges.w, outw.outw
+          FROM edges JOIN outw USING (src)),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ),
+    ns AS (SELECT COUNT(*)::BIGINT AS n FROM nodes
+           WHERE node IN ({seed_list})),
+    r0 AS (
+      SELECT n.node, {p} AS rank
+      FROM nodes n CROSS JOIN ns
+    ),{body}
+    SELECT node, ROUND(rank, 9) AS rank FROM {prev}
+    """
+
+
+@register(
+    "x174_signup_proximity",
+    _x174_oracle(),
+    "Personalized PageRank of event types seeded at 'signup' (Page "
+    "1999 §6 / Jeh-Widom 2003 random-walk-with-restart, damping "
+    "0.85, 5 fixed iterations, dangling mass restarts at the seeds) — "
+    "flow PROXIMITY to the acquisition event, the neighborhood view "
+    "global x161 averages away; same x127 one-window edge extraction, "
+    "bounded |types|^2 iteration, canonical folds bit-identical",
+)
+def x174_signup_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.events import event_transition_matrix
+    from cryoflow_spark.functions.graph import personalized_pagerank
+
+    e = load_events(spark, sf_dir)
+    tm = event_transition_matrix(e)
+    edges = tm.filter(
+        (F.col("src") != F.lit("__start__"))
+        & (F.col("dst") != F.lit("__end__"))
+    ).select("src", "dst", F.col("n_transitions").alias("w"))
+    return personalized_pagerank(
+        edges, seed_nodes=["signup"], weight_col="w",
+        damping=0.85, n_iter=5,
+    )

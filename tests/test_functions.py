@@ -7162,6 +7162,69 @@ class TestLabelPropagation:
         assert got == self._reference(edges, n_iter=4)
 
 
+class TestPersonalizedPagerank:
+    @staticmethod
+    def _reference(edges, seeds, damping=0.85, n_iter=5):
+        """Pure-Python PPR: teleport + dangling mass restart at the
+        present seeds, start at the teleport vector."""
+        nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+        outw = {}
+        for s, _, w in edges:
+            outw[s] = outw.get(s, 0.0) + w
+        present = [v for v in nodes if v in set(seeds)]
+        p = {v: (1.0 / len(present) if v in set(seeds) else 0.0)
+             for v in nodes}
+        r = dict(p)
+        for _ in range(n_iter):
+            inc = {v: 0.0 for v in nodes}
+            for s, d_, w in sorted(edges):
+                inc[d_] += r[s] * w / outw[s]
+            dang = sum(r[v] for v in nodes if v not in outw)
+            r = {
+                v: (1.0 - damping) * p[v]
+                + damping * (inc[v] + dang * p[v])
+                for v in nodes
+            }
+        return r
+
+    def test_matches_reference_and_seed_locality(self, spark):
+        from cryoflow_spark.functions.graph import personalized_pagerank
+
+        # chain a->b->c->d plus a detached hub x->y: mass restarts at a,
+        # so the detached pair must end at rank 0 and a outranks d
+        edges = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0),
+                 ("x", "y", 5.0)]
+        df = spark.createDataFrame(edges, "src string, dst string, w double")
+        got = {r["node"]: r["rank"] for r in
+               personalized_pagerank(df, ["a"], weight_col="w").collect()}
+        want = self._reference(edges, ["a"])
+        assert set(got) == set(want)
+        # Spark round() is HALF_UP, Python's HALF_EVEN — compare pre-round
+        assert all(abs(got[v] - want[v]) < 1e-9 for v in want)
+        assert got["x"] == 0.0 and got["y"] == 0.0
+        assert got["a"] > got["d"] > 0.0
+        assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserving
+
+    def test_multi_seed_and_validation(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.graph import personalized_pagerank
+
+        edges = [("a", "b", 1.0), ("b", "a", 1.0), ("c", "a", 2.0)]
+        df = spark.createDataFrame(edges, "src string, dst string, w double")
+        # absent seed 'zz' carries no mass: normalizer counts PRESENT
+        got = {r["node"]: r["rank"] for r in
+               personalized_pagerank(
+                   df, ["a", "c", "zz"], weight_col="w").collect()}
+        want = self._reference(edges, ["a", "c"])
+        assert set(got) == set(want)
+        assert all(abs(got[v] - want[v]) < 1e-9 for v in want)
+        with _pytest.raises(ValueError, match="seed"):
+            personalized_pagerank(df, [], weight_col="w")
+        with _pytest.raises(ValueError, match="appear"):
+            personalized_pagerank(df, ["nope"], weight_col="w").collect()
+
+
 class TestPagerank:
     @staticmethod
     def _reference(edges, damping=0.85, n_iter=5):

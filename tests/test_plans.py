@@ -217,6 +217,9 @@ def test_no_cartesian_products(all_plans):
         # crossJoin(broadcast) into the bounded |event types| node
         # table — the power iteration never touches the fact table.
         "x161_event_pagerank",
+        # personalized variant — same per-iteration 1-row dangling
+        # scalar broadcast over the bounded node table.
+        "x174_signup_proximity",
         # 1-row user-count scalar crossJoin(broadcast) into the bounded
         # |items|^2 rule table — same scalar pattern.
         "x142_association_rules",

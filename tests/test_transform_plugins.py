@@ -1301,6 +1301,13 @@ def test_profile_communities_and_markov_eval_plugins(spark):
     assert {f.name for f in ev.schema.fields} == {
         "src", "predicted_dst", "n_train", "n_test", "n_hit", "accuracy"
     }
+    prox = _run(
+        ProfilePlugin({"report": "proximity", "seed_types": ["a"],
+                       "n_iter": 2}),
+        df,
+    )
+    ranks = {r["node"]: r["rank"] for r in prox.collect()}
+    assert set(ranks) == {"a", "b"} and ranks["a"] > 0
 
 
 def test_scd2_plugin(spark):
