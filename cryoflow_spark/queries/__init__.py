@@ -137,6 +137,7 @@ _PRIORITY: list[str] = [
     "q64_late_shipment_priority", "q65_top_supplier",
     "q66_dominant_supplier", "x172_markov_next_event",
     "x173_event_communities", "x174_signup_proximity",
+    "q67_cheapest_supplier", "q68_important_parts", "q69_large_orders",
 ]
 
 

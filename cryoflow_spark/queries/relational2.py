@@ -1801,3 +1801,190 @@ def q66_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(
         dominant, s["s_suppkey"] == dominant["l_suppkey"], "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+# --- q67: cheapest supplier per part (TPC-H Q2 flavor) -----------------------
+
+
+@register(
+    "q67_cheapest_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(ROUND(l_extendedprice / l_quantity * 100)
+                      AS BIGINT))::BIGINT AS unit_cents
+      FROM lineitem
+      WHERE l_quantity > 0
+        AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+           ps.unit_cents AS best_unit_cents
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE p.p_size >= 40
+      AND ps.unit_cents = (SELECT MIN(ps2.unit_cents) FROM ps ps2
+                           WHERE ps2.l_partkey = ps.l_partkey)
+    """,
+    "Cheapest supplier per part (TPC-H Q2 shape: a correlated scalar "
+    "MIN subquery per outer key — 'the supplier matching the minimum "
+    "cost for THAT part' — decorrelated to a per-part aggregate "
+    "joined back on the key, ties all surface; no partsupp in the "
+    "testdata, so cost = best observed unit sale price, quantized "
+    "per row to integer cents (IEEE divide identical in both "
+    "engines) so MIN and the equality are integer compares): ONE "
+    "fact aggregation to (part, supplier), the per-part minimum "
+    "re-aggregates that small table — the shared base carries the "
+    "null-safety filters so the runtime plan reuses the exchange — "
+    "and part/supplier dims broadcast; p_size >= 40 prunes the "
+    "output the way Q2's region filter does",
+)
+def q67_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    ps = (
+        li.filter(
+            (F.col("l_quantity") > 0)
+            & F.col("l_partkey").isNotNull()
+            & F.col("l_suppkey").isNotNull()
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(
+                F.col("l_extendedprice") / F.col("l_quantity")
+                * F.lit(100.0)
+            )
+            .cast("bigint")
+            .alias("__uc"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("__uc").cast("bigint").alias("unit_cents"))
+    )
+    part_min = ps.groupBy("l_partkey").agg(
+        F.min("unit_cents").cast("bigint").alias("__pmin")
+    )
+    best = ps.join(part_min, "l_partkey").filter(
+        F.col("unit_cents") == F.col("__pmin")
+    )
+    return (
+        best.join(
+            F.broadcast(p.filter(F.col("p_size") >= 40)),
+            best["l_partkey"] == p["p_partkey"],
+        )
+        .join(F.broadcast(s), best["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name",
+            F.col("unit_cents").alias("best_unit_cents"),
+        )
+    )
+
+
+# --- q68: important parts by revenue share (TPC-H Q11 flavor) ----------------
+
+
+@register(
+    "q68_important_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT))::BIGINT AS value_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_partkey IS NOT NULL
+      GROUP BY l_partkey
+    )
+    SELECT pv.l_partkey AS p_partkey, pv.value_cents
+    FROM pv
+    WHERE pv.value_cents * 1000 >
+          (SELECT SUM(value_cents)::BIGINT FROM pv)
+    """,
+    "Important parts by revenue share (TPC-H Q11 shape: a keyed "
+    "aggregate filtered by HAVING-against-a-global-scalar — keep "
+    "groups above a fixed fraction of the grand total; the fraction "
+    "enters as the exact integer inequality value*1000 > total, no "
+    "float threshold): ONE windowed fact aggregation to per-part "
+    "cents, the grand total re-aggregates that table (shared base -> "
+    "runtime ReusedExchange), the scalar rides a 1-row broadcast",
+)
+def q68_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pv = (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+            & F.col("l_partkey").isNotNull()
+        )
+        .select(
+            "l_partkey",
+            F.round(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                * F.lit(100.0)
+            )
+            .cast("bigint")
+            .alias("__cents"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("__cents").cast("bigint").alias("value_cents"))
+    )
+    total = pv.agg(F.sum("value_cents").cast("bigint").alias("__tot"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * F.lit(1000) > F.col("__tot"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+    )
+
+
+# --- q69: large-volume orders (TPC-H Q18 flavor) -----------------------------
+
+
+@register(
+    "q69_large_orders",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           (SELECT SUM(CAST(ROUND(l_quantity) AS BIGINT))::BIGINT
+            FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+             AS total_qty
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 150
+    )
+    """,
+    "Large-volume orders (TPC-H Q18 shape: IN over a GROUP "
+    "BY+HAVING subquery — orders whose summed line quantity exceeds "
+    "the threshold — plus the correlated scalar sum re-surfaced in "
+    "the projection; quantities quantized per row so the HAVING is "
+    "an exact integer compare): the lineitem aggregation runs ONCE "
+    "(the IN semi join and the projected sum share the same keyed "
+    "aggregate — join on orderkey with the filter applied, no "
+    "second fact scan), customer dim broadcasts",
+)
+def q69_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    qty = (
+        li.filter(F.col("l_orderkey").isNotNull())
+        .select(
+            "l_orderkey",
+            F.round(F.col("l_quantity")).cast("bigint").alias("__q"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("__q").cast("bigint").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(qty, o["o_orderkey"] == qty["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+    )

@@ -7907,3 +7907,102 @@ class TestDominantSupplier:
         rows = [(r["s_suppkey"], r["s_name"]) for r in
                 R2.q66_dominant_supplier(spark, sf).collect()]
         assert rows == [(1, "s1")]
+
+
+class TestCheapestSupplier:
+    def test_hand_computed_with_tie(self, spark, tmp_path):
+        """TPC-H Q2 shape: per-part correlated MIN — ties all surface,
+        the size filter prunes, unit price is exact integer cents."""
+        import cryoflow_spark.queries.relational2 as R2
+
+        li = spark.createDataFrame(
+            [
+                # part 1: s1 unit 2.00, s2 unit 2.00 (tie), s3 unit 3.00
+                (1, 1, 4.0, 8.0), (1, 2, 2.0, 4.0), (1, 3, 1.0, 3.0),
+                # part 2 (filtered by size): s1 cheapest
+                (2, 1, 1.0, 1.0), (2, 2, 1.0, 9.0),
+            ],
+            "l_partkey long, l_suppkey long, l_quantity double,"
+            " l_extendedprice double",
+        )
+        p = spark.createDataFrame(
+            [(1, "big gear", 50), (2, "small gear", 10)],
+            "p_partkey long, p_name string, p_size int",
+        )
+        s = spark.createDataFrame(
+            [(i, f"s{i}") for i in range(1, 4)],
+            "s_suppkey long, s_name string",
+        )
+        sf = str(tmp_path)
+        li.write.parquet(f"{sf}/lineitem.parquet")
+        p.write.parquet(f"{sf}/part.parquet")
+        s.write.parquet(f"{sf}/supplier.parquet")
+        rows = sorted(
+            (r["p_partkey"], r["s_suppkey"], r["best_unit_cents"])
+            for r in R2.q67_cheapest_supplier(spark, sf).collect()
+        )
+        assert rows == [(1, 1, 200), (1, 2, 200)]
+
+
+class TestImportantParts:
+    def test_hand_computed_threshold(self, spark, tmp_path):
+        """TPC-H Q11 shape: keep parts with value*1000 > grand total —
+        strict integer inequality, window filter applies."""
+        import datetime as dt
+
+        import cryoflow_spark.queries.relational2 as R2
+
+        t = dt.datetime.fromisoformat
+        li = spark.createDataFrame(
+            [
+                (1, 10.0, 0.0, t("1996-02-01")),   # 1000 cents
+                (2, 0.005, 0.0, t("1996-02-01")),  # ~0 cents (rounds to 1)
+                (3, 989.99, 0.0, t("1996-02-01")),  # 98999 cents
+                (1, 500.0, 0.0, t("1997-02-01")),  # out of window
+            ],
+            "l_partkey long, l_extendedprice double, l_discount double,"
+            " l_shipdate timestamp",
+        )
+        sf = str(tmp_path)
+        li.write.parquet(f"{sf}/lineitem.parquet")
+        rows = sorted(
+            (r["p_partkey"], r["value_cents"])
+            for r in R2.q68_important_parts(spark, sf).collect()
+        )
+        # total = 1000 + 1 (half-up) + 98999 = 100000; keep > 100 cents
+        assert rows == [(1, 1000), (3, 98999)]
+
+
+class TestLargeOrders:
+    def test_hand_computed_threshold(self, spark, tmp_path):
+        """TPC-H Q18 shape: orders over 150 summed quantity, with the
+        total re-surfaced in the projection."""
+        import datetime as dt
+
+        import cryoflow_spark.queries.relational2 as R2
+
+        t = dt.datetime.fromisoformat
+        li = spark.createDataFrame(
+            [(10, 100.0), (10, 51.0), (11, 150.0), (12, 151.0)],
+            "l_orderkey long, l_quantity double",
+        )
+        o = spark.createDataFrame(
+            [(10, 1, t("1996-01-01"), 500.0),
+             (11, 1, t("1996-01-02"), 300.0),
+             (12, 2, t("1996-01-03"), 400.0)],
+            "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+            " o_totalprice double",
+        )
+        c = spark.createDataFrame(
+            [(1, "alice"), (2, "bob")], "c_custkey long, c_name string"
+        )
+        sf = str(tmp_path)
+        li.write.parquet(f"{sf}/lineitem.parquet")
+        o.write.parquet(f"{sf}/orders.parquet")
+        c.write.parquet(f"{sf}/customer.parquet")
+        rows = sorted(
+            (r["o_orderkey"], r["c_name"], r["total_qty"])
+            for r in R2.q69_large_orders(spark, sf).collect()
+        )
+        # order 10: 151 > 150 in; order 11: 150 not strict; 12: 151 in
+        assert rows == [(10, "alice", 151), (12, "bob", 151)]

@@ -251,6 +251,10 @@ def test_no_cartesian_products(all_plans):
         # 1-row average-balance scalar crossJoin(broadcast) gating the
         # customer side (the TPC-H Q22 scalar subquery) — same pattern.
         "q63_sales_opportunity",
+        # 1-row grand-total scalar crossJoin(broadcast) gating the
+        # per-part value table (the TPC-H Q11 HAVING-vs-global scalar)
+        # — same pattern.
+        "q68_important_parts",
     }
     for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name
