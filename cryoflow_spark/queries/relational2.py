@@ -1988,3 +1988,141 @@ def q69_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice", "total_qty",
         )
     )
+
+
+# --- q70: two-nation trade volume (TPC-H Q7 flavor) --------------------------
+
+
+@register(
+    "q70_nation_trade",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT))::BIGINT AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+    "Two-nation trade volume (TPC-H Q7 shape: the double-aliased "
+    "nation dim with the OR'd direction pair — supplier-nation to "
+    "customer-nation flows BOTH ways kept as separate groups — over "
+    "a two-year ship window, grouped by the shipping year): the fact "
+    "side shuffles once for the orderkey join, supplier/customer/"
+    "nation dims all broadcast, revenue as exact integer cents",
+)
+def q70_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("__nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("__nk2"), F.col("n_name").alias("cust_nation")
+    )
+    flat = (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
+        )
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("__nk1"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("__nk2"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return flat.select(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            * F.lit(100.0)
+        )
+        .cast("bigint")
+        .alias("__cents"),
+    ).groupBy("supp_nation", "cust_nation", "l_year").agg(
+        F.sum("__cents").cast("bigint").alias("revenue_cents")
+    )
+
+
+# --- q71: top customers by returned revenue (TPC-H Q10 flavor) ---------------
+
+
+@register(
+    "q71_returned_customers",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT))::BIGINT AS lost_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY lost_cents DESC, c_custkey
+    LIMIT 20
+    """,
+    "Top customers by returned-item revenue (TPC-H Q10 shape: the "
+    "returned-flag fact slice joined up the customer star, grouped "
+    "per customer, top-20 by lost revenue — the who-returns-the-most "
+    "account review; deterministic (lost DESC, custkey) tiebreak so "
+    "the top-k set is engine-stable; returnflag + date filters push "
+    "to the scans, customer/nation broadcast, top-k is TakeOrdered "
+    "(no global sort)): revenue as exact integer cents",
+)
+def q71_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    flat = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate")
+                 >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+                & (F.col("o_orderdate")
+                   < F.expr("TIMESTAMP '1996-07-01 00:00:00'"))
+            ),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    agg = flat.select(
+        "c_custkey", "c_name", "n_name",
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            * F.lit(100.0)
+        )
+        .cast("bigint")
+        .alias("__cents"),
+    ).groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum("__cents").cast("bigint").alias("lost_cents")
+    )
+    return agg.orderBy(F.desc("lost_cents"), F.col("c_custkey")).limit(20)

@@ -8006,3 +8006,89 @@ class TestLargeOrders:
         )
         # order 10: 151 > 150 in; order 11: 150 not strict; 12: 151 in
         assert rows == [(10, "alice", 151), (12, "bob", 151)]
+
+
+class TestNationTrade:
+    def test_hand_computed_directions(self, spark, tmp_path):
+        """TPC-H Q7 shape: both direction pairs kept as separate
+        groups, other nation pairs excluded, year grouping."""
+        import datetime as dt
+
+        import cryoflow_spark.queries.relational2 as R2
+
+        t = dt.datetime.fromisoformat
+        li = spark.createDataFrame(
+            [
+                (10, 1, 100.0, 0.0, t("1996-03-01")),  # s(N1)->c(N2)
+                (11, 2, 50.0, 0.0, t("1997-03-01")),   # s(N2)->c(N1)
+                (12, 3, 70.0, 0.0, t("1996-03-01")),   # s(N3): excluded
+                (10, 1, 999.0, 0.0, t("1998-03-01")),  # out of window
+            ],
+            "l_orderkey long, l_suppkey long, l_extendedprice double,"
+            " l_discount double, l_shipdate timestamp",
+        )
+        o = spark.createDataFrame(
+            [(10, 20), (11, 21), (12, 20)],
+            "o_orderkey long, o_custkey long",
+        )
+        c = spark.createDataFrame(
+            [(20, 2), (21, 1)], "c_custkey long, c_nationkey int"
+        )
+        s = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 3)], "s_suppkey long, s_nationkey int"
+        )
+        n = spark.createDataFrame(
+            [(1, "NATION_1"), (2, "NATION_2"), (3, "NATION_3")],
+            "n_nationkey int, n_name string",
+        )
+        sf = str(tmp_path)
+        for name, df in (("lineitem", li), ("orders", o), ("customer", c),
+                         ("supplier", s), ("nation", n)):
+            df.write.parquet(f"{sf}/{name}.parquet")
+        rows = sorted(
+            (r["supp_nation"], r["cust_nation"], r["l_year"],
+             r["revenue_cents"])
+            for r in R2.q70_nation_trade(spark, sf).collect()
+        )
+        assert rows == [
+            ("NATION_1", "NATION_2", 1996, 10000),
+            ("NATION_2", "NATION_1", 1997, 5000),
+        ]
+
+
+class TestReturnedCustomers:
+    def test_hand_computed_topk(self, spark, tmp_path):
+        """TPC-H Q10 shape: only returned lines in the window count;
+        deterministic (lost DESC, custkey) top-k."""
+        import datetime as dt
+
+        import cryoflow_spark.queries.relational2 as R2
+
+        t = dt.datetime.fromisoformat
+        li = spark.createDataFrame(
+            [
+                (10, 100.0, 0.0, "R"), (10, 50.0, 0.0, "N"),
+                (11, 30.0, 0.0, "R"), (12, 100.0, 0.0, "R"),
+            ],
+            "l_orderkey long, l_extendedprice double, l_discount double,"
+            " l_returnflag string",
+        )
+        o = spark.createDataFrame(
+            [(10, 1, t("1996-02-01")), (11, 2, t("1996-02-01")),
+             (12, 3, t("1996-08-01"))],  # 12 out of window
+            "o_orderkey long, o_custkey long, o_orderdate timestamp",
+        )
+        c = spark.createDataFrame(
+            [(1, "alice", 1), (2, "bob", 1), (3, "carol", 1)],
+            "c_custkey long, c_name string, c_nationkey int",
+        )
+        n = spark.createDataFrame(
+            [(1, "NATION_1")], "n_nationkey int, n_name string"
+        )
+        sf = str(tmp_path)
+        for name, df in (("lineitem", li), ("orders", o),
+                         ("customer", c), ("nation", n)):
+            df.write.parquet(f"{sf}/{name}.parquet")
+        rows = [(r["c_custkey"], r["lost_cents"]) for r in
+                R2.q71_returned_customers(spark, sf).collect()]
+        assert rows == [(1, 10000), (2, 3000)]
