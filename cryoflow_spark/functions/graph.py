@@ -227,9 +227,10 @@ def personalized_pagerank(
         .distinct()
         .localCheckpoint()
     )
+    seed_cap = len(seeds) + 1
     present = (
         nodes.filter(F.col("node").isin(*seeds))
-        .limit(len(seeds) + 1)
+        .limit(seed_cap)
         .collect()
     )
     if not present:

@@ -2047,3 +2047,150 @@ def duplicate_embedding_groups(
         .filter(F.col("n_vectors") >= 2)
         .orderBy(F.desc("n_vectors"), "fingerprint")
     )
+
+
+def margin_mining_pairs(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    threshold: float = 1.0,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Margin-based parallel-pair mining between two embedding corpora
+    (Artetxe & Schwenk 2019, "Margin-based Parallel Corpus Mining with
+    Multilingual Sentence Embeddings" — the standard bitext/alignment
+    miner behind CCMatrix-style corpora; also the cross-dump
+    translation/near-duplicate aligner for multilingual training data):
+    raw cosine over-selects hub vectors that are close to EVERYTHING,
+    so each pair is scored by the RATIO margin
+
+        score(a, b) = cos(a, b) /
+                      (avg_a / 2 + avg_b / 2)
+
+    where ``avg_s`` is the side's mean cosine over its top-``k``
+    cross-side neighbors (fewer when the other side is smaller than
+    ``k``) — a pair only scores high if the two are closer to EACH
+    OTHER than to their own neighborhoods. A pair is emitted iff it is
+    the argmax score in BOTH directions (the paper's intersection of
+    forward and backward "max" strategies) and ``score > threshold``
+    (1.0 ≈ "closer than your neighborhood average").
+
+    Output: ``(a_id, b_id, cosine, margin_score)`` (6 decimals);
+    deterministic smallest-id argmax tiebreaks.
+
+    Scale: with ``candidates=None`` this is the x05 brute-force
+    broadcast regime (|A|×|B| fold-dots — evaluation-grade, exact).
+    The scale path passes ``candidates`` = an (a_id, b_id) shortlist
+    from any ANN stage (x163's contract): only shortlist rows rejoin
+    vectors via broadcast equi-joins, and neighborhoods/argmaxes are
+    computed within the shortlist. Per-side top-k sums fold in rank
+    order (canonical — order-independent under any partitioning) and
+    argmaxes are struct-min — engine-replicable end to end.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    a = side_a.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("__avec"),
+        norm(F.col(vec_col)).alias("__anorm"),
+    )
+    b = side_b.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("__bvec"),
+        norm(F.col(vec_col)).alias("__bnorm"),
+    )
+    if candidates is None:
+        pairs = F.broadcast(a).crossJoin(b)
+    else:
+        pairs = (
+            candidates.select("a_id", "b_id")
+            .join(F.broadcast(a), "a_id")
+            .join(F.broadcast(b), "b_id")
+        )
+    scored = pairs.select(
+        "a_id",
+        "b_id",
+        (
+            dot(F.col("__avec"), F.col("__bvec"))
+            / (F.col("__anorm") * F.col("__bnorm"))
+        ).alias("__cos"),
+    )
+    w_a = Window.partitionBy("a_id").orderBy(
+        F.col("__cos").desc(), F.col("b_id")
+    )
+    w_b = Window.partitionBy("b_id").orderBy(
+        F.col("__cos").desc(), F.col("a_id")
+    )
+    ranked = scored.select(
+        "a_id", "b_id", "__cos",
+        F.row_number().over(w_a).alias("__ra"),
+        F.row_number().over(w_b).alias("__rb"),
+    )
+
+    def _rank_fold(rank_col: str):
+        # sum of the top-k cosines folded in rank order (canonical)
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(rank_col), F.col("__cos")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__cos"],
+        )
+
+    avg_a = (
+        ranked.filter(F.col("__ra") <= k)
+        .groupBy("a_id")
+        .agg(
+            (
+                _rank_fold("__ra")
+                / (F.lit(2.0) * F.count(F.lit(1)).cast("double"))
+            ).alias("__avga")
+        )
+    )
+    avg_b = (
+        ranked.filter(F.col("__rb") <= k)
+        .groupBy("b_id")
+        .agg(
+            (
+                _rank_fold("__rb")
+                / (F.lit(2.0) * F.count(F.lit(1)).cast("double"))
+            ).alias("__avgb")
+        )
+    )
+    margins = (
+        ranked.join(F.broadcast(avg_a), "a_id")
+        .join(F.broadcast(avg_b), "b_id")
+        .select(
+            "a_id", "b_id", "__cos",
+            (F.col("__cos") / (F.col("__avga") + F.col("__avgb"))).alias(
+                "__score"
+            ),
+        )
+    )
+    fwd = margins.groupBy("a_id").agg(
+        F.min(
+            F.struct((-F.col("__score")).alias("ns"), F.col("b_id").alias("i"))
+        )["i"].alias("__best_b")
+    )
+    bwd = margins.groupBy("b_id").agg(
+        F.min(
+            F.struct((-F.col("__score")).alias("ns"), F.col("a_id").alias("i"))
+        )["i"].alias("__best_a")
+    )
+    return (
+        margins.join(F.broadcast(fwd), "a_id")
+        .join(F.broadcast(bwd), "b_id")
+        .filter(
+            (F.col("b_id") == F.col("__best_b"))
+            & (F.col("a_id") == F.col("__best_a"))
+            & (F.col("__score") > F.lit(float(threshold)))
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round("__cos", 6).alias("cosine"),
+            F.round("__score", 6).alias("margin_score"),
+        )
+    )

@@ -139,6 +139,7 @@ _PRIORITY: list[str] = [
     "x173_event_communities", "x174_signup_proximity",
     "q67_cheapest_supplier", "q68_important_parts", "q69_large_orders",
     "q70_nation_trade", "q71_returned_customers",
+    "x175_margin_mining",
 ]
 
 

@@ -9525,3 +9525,93 @@ def x174_signup_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, seed_nodes=["signup"], weight_col="w",
         damping=0.85, n_iter=5,
     )
+
+
+# --- x175: margin-based pair mining (oracle-checked) -------------------------
+
+
+def _x175_oracle(k: int = 4, threshold: float = 1.0) -> str:
+    """DuckDB replica of ratio-margin mining between the even/odd
+    vec_id halves: fold-dot cosines, rank-order list_reduce top-k
+    sums, struct-min argmaxes both directions, intersection +
+    threshold."""
+    return f"""
+    WITH a AS (SELECT vec_id AS a_id, embedding FROM embeddings
+               WHERE vec_id % 2 = 0),
+    b AS (SELECT vec_id AS b_id, embedding FROM embeddings
+          WHERE vec_id % 2 = 1),
+    pairs AS (
+      SELECT a.a_id, b.b_id, {_COSINE_SQL} AS cos
+      FROM a CROSS JOIN b
+    ),
+    ranked AS (
+      SELECT a_id, b_id, cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY a_id ORDER BY cos DESC, b_id) AS ra,
+             ROW_NUMBER() OVER (
+               PARTITION BY b_id ORDER BY cos DESC, a_id) AS rb
+      FROM pairs
+    ),
+    avga AS (
+      SELECT a_id,
+             list_reduce(list_prepend(0.0::DOUBLE,
+                                      list(cos ORDER BY ra)),
+                         (acc, x) -> acc + x)
+               / (2.0 * COUNT(*)) AS avga
+      FROM ranked WHERE ra <= {k} GROUP BY a_id
+    ),
+    avgb AS (
+      SELECT b_id,
+             list_reduce(list_prepend(0.0::DOUBLE,
+                                      list(cos ORDER BY rb)),
+                         (acc, x) -> acc + x)
+               / (2.0 * COUNT(*)) AS avgb
+      FROM ranked WHERE rb <= {k} GROUP BY b_id
+    ),
+    margins AS (
+      SELECT r.a_id, r.b_id, r.cos,
+             r.cos / (avga.avga + avgb.avgb) AS score
+      FROM ranked r JOIN avga USING (a_id) JOIN avgb USING (b_id)
+    ),
+    fwd AS (
+      SELECT a_id,
+             struct_extract(min(struct_pack(ns := -score, i := b_id)),
+                            'i') AS best_b
+      FROM margins GROUP BY a_id
+    ),
+    bwd AS (
+      SELECT b_id,
+             struct_extract(min(struct_pack(ns := -score, i := a_id)),
+                            'i') AS best_a
+      FROM margins GROUP BY b_id
+    )
+    SELECT m.a_id, m.b_id, ROUND(m.cos, 6) AS cosine,
+           ROUND(m.score, 6) AS margin_score
+    FROM margins m JOIN fwd USING (a_id) JOIN bwd USING (b_id)
+    WHERE m.b_id = fwd.best_b AND m.a_id = bwd.best_a
+      AND m.score > {threshold!r}::DOUBLE
+    """
+
+
+@register(
+    "x175_margin_mining",
+    _x175_oracle(),
+    "Margin-based parallel-pair mining between the even/odd embedding "
+    "halves (Artetxe-Schwenk 2019 ratio margin, k=4, 'max' strategy "
+    "intersected both directions, threshold 1.0) — the CCMatrix-style "
+    "bitext/alignment miner: raw cosine over-selects hub vectors, the "
+    "margin keeps pairs closer to EACH OTHER than to their own "
+    "neighborhoods; brute-force evaluation regime here (the x05 "
+    "broadcast class), candidates= ANN-shortlist is the scale path; "
+    "rank-order canonical folds + struct-min argmaxes bit-identical",
+)
+def x175_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.similarity import margin_mining_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return margin_mining_pairs(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold=1.0,
+    )

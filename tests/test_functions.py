@@ -7659,6 +7659,129 @@ class TestNdcgReport:
             ndcg_report(ranking, rel, k=0)
 
 
+class TestMarginMining:
+    @staticmethod
+    def _reference(A, B, k=2, threshold=1.0):
+        """Pure-Python ratio-margin miner with the same semantics."""
+        import math
+
+        def cos(x, y):
+            d = sum(a * b for a, b in zip(x, y))
+            return d / (
+                math.sqrt(sum(a * a for a in x))
+                * math.sqrt(sum(b * b for b in y))
+            )
+
+        pairs = {
+            (ai, bi): cos(av, bv)
+            for ai, av in A.items() for bi, bv in B.items()
+        }
+
+        def topavg(side_id, forward):
+            cands = sorted(
+                (
+                    (-c, other, c)
+                    for (ai, bi), c in pairs.items()
+                    if (ai if forward else bi) == side_id
+                    for other in [(bi if forward else ai)]
+                ),
+            )[:k]
+            return sum(c for _, _, c in cands) / (2.0 * len(cands))
+
+        avga = {ai: topavg(ai, True) for ai in A}
+        avgb = {bi: topavg(bi, False) for bi in B}
+        score = {
+            (ai, bi): c / (avga[ai] + avgb[bi])
+            for (ai, bi), c in pairs.items()
+        }
+        fwd = {
+            ai: min((( -score[(ai, bi)], bi) for bi in B))[1] for ai in A
+        }
+        bwd = {
+            bi: min((( -score[(ai, bi)], ai) for ai in A))[1] for bi in B
+        }
+        return {
+            (ai, bi): (pairs[(ai, bi)], score[(ai, bi)])
+            for (ai, bi), s in score.items()
+            if fwd[ai] == bi and bwd[bi] == ai and s > threshold
+        }
+
+    def test_margin_beats_hub_and_matches_reference(self, spark):
+        from cryoflow_spark.functions.similarity import margin_mining_pairs
+
+        # b99 is a HUB: decent cosine to every anchor, so raw cosine
+        # would pair it everywhere; the margin denominator (its own
+        # crowded neighborhood) demotes it and the true twins win.
+        A = {0: [1.0, 0.05, 0.0], 2: [0.0, 1.0, 0.05],
+             4: [0.05, 0.0, 1.0]}
+        B = {1: [0.98, 0.06, 0.0], 3: [0.0, 0.97, 0.06],
+             99: [0.58, 0.58, 0.58]}
+        a = spark.createDataFrame(
+            [(i, v) for i, v in A.items()],
+            "vec_id long, embedding array<float>",
+        )
+        b = spark.createDataFrame(
+            [(i, v) for i, v in B.items()],
+            "vec_id long, embedding array<float>",
+        )
+        got = {
+            (r["a_id"], r["b_id"]): (r["cosine"], r["margin_score"])
+            for r in margin_mining_pairs(a, b, k=2).collect()
+        }
+        # float32 storage: recompute the reference from the cast values
+        A32 = {r["vec_id"]: [float(x) for x in r["embedding"]]
+               for r in a.collect()}
+        B32 = {r["vec_id"]: [float(x) for x in r["embedding"]]
+               for r in b.collect()}
+        want = self._reference(A32, B32, k=2)
+        assert set(got) == set(want)
+        # the true twins beat the hub for anchors that HAVE a twin;
+        # anchor 4 has none, so the hub is legitimately its best
+        assert (0, 1) in got and (2, 3) in got
+        assert (0, 99) not in got and (2, 99) not in got
+        for key, (c, s) in want.items():
+            assert abs(got[key][0] - c) < 1e-6
+            assert abs(got[key][1] - s) < 1e-6
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            margin_mining_pairs(a, b, k=0)
+
+    def test_candidates_shortlist_agreement(self, spark):
+        """The scale path over a full-coverage shortlist agrees with
+        the brute-force regime."""
+        import random
+
+        from cryoflow_spark.functions.similarity import margin_mining_pairs
+
+        rng = random.Random(3)
+        rows_a = [(i, [rng.uniform(-1, 1) for _ in range(6)])
+                  for i in range(0, 20, 2)]
+        rows_b = [(i, [rng.uniform(-1, 1) for _ in range(6)])
+                  for i in range(1, 21, 2)]
+        a = spark.createDataFrame(
+            rows_a, "vec_id long, embedding array<float>"
+        )
+        b = spark.createDataFrame(
+            rows_b, "vec_id long, embedding array<float>"
+        )
+        cand = spark.createDataFrame(
+            [(ai, bi) for ai, _ in rows_a for bi, _ in rows_b],
+            "a_id long, b_id long",
+        )
+        brute = sorted(
+            tuple(r)
+            for r in margin_mining_pairs(a, b, k=3).collect()
+        )
+        short = sorted(
+            tuple(r)
+            for r in margin_mining_pairs(
+                a, b, k=3, candidates=cand
+            ).collect()
+        )
+        assert brute == short and brute
+
+
 class TestHardNegativeTopk:
     def test_cross_label_only_and_shortlist_agreement(self, spark):
         from cryoflow_spark.functions.similarity import (

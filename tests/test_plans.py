@@ -123,6 +123,9 @@ def test_no_cartesian_products(all_plans):
         # fuses the x05 + x27 brute-force rankings — inherits their
         # deliberate broadcast regime; the fusion itself is keyed.
         "x165_rrf_fusion",
+        # margin mining, brute-force evaluation regime (the x05 class;
+        # the scale path passes candidates= and plans equi-joins).
+        "x175_margin_mining",
         # evaluates the x05 brute-force ranking — inherits its regime;
         # the nDCG math itself is (query,id) equi-joins + bounded folds.
         "x166_ndcg_eval",
