@@ -140,6 +140,7 @@ _PRIORITY: list[str] = [
     "q67_cheapest_supplier", "q68_important_parts", "q69_large_orders",
     "q70_nation_trade", "q71_returned_customers",
     "x175_margin_mining",
+    "q72_waiting_suppliers", "q73_small_quantity_revenue",
 ]
 
 

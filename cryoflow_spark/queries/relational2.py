@@ -2126,3 +2126,154 @@ def q71_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__cents").cast("bigint").alias("lost_cents")
     )
     return agg.orderBy(F.desc("lost_cents"), F.col("c_custkey")).limit(20)
+
+
+# --- q72: sole late supplier per order (TPC-H Q21 flavor) --------------------
+
+
+@register(
+    "q72_waiting_suppliers",
+    """
+    WITH ps AS (
+      SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_suppkey IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT s.s_suppkey, s.s_name, COUNT(*)::BIGINT AS numwait
+    FROM ps
+    JOIN supplier s ON s.s_suppkey = ps.sk
+    WHERE ps.late = 1
+      AND EXISTS (SELECT 1 FROM ps p2
+                  WHERE p2.ok = ps.ok AND p2.sk <> ps.sk)
+      AND NOT EXISTS (SELECT 1 FROM ps p3
+                      WHERE p3.ok = ps.ok AND p3.sk <> ps.sk
+                        AND p3.late = 1)
+    GROUP BY 1, 2
+    """,
+    "Suppliers who alone held up multi-supplier orders (TPC-H Q21 "
+    "shape: the double-correlated EXISTS + NOT EXISTS — another "
+    "supplier participated, no OTHER supplier was late; lateness = "
+    "shipped >60 days after order date, the q64 surrogate): the "
+    "oracle keeps the literal EXISTS/NOT-EXISTS spelling; the Spark "
+    "side runs the decorrelated equivalent — ONE fact join+agg to "
+    "per-(order,supplier) late flags, per-order supplier/late counts "
+    "re-aggregate that table (shared base -> ReusedExchange), and "
+    "the predicate pair becomes n_suppliers >= 2 AND n_late = 1 "
+    "(exactly EXISTS-other and NOT-EXISTS-other-late given the row "
+    "itself is late); numwait counts ORDERS a supplier solely "
+    "delayed, supplier dim broadcasts",
+)
+def q72_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    ps = (
+        li.filter(F.col("l_suppkey").isNotNull())
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_suppkey").alias("sk"),
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+                1,
+            )
+            .otherwise(0)
+            .alias("__l"),
+        )
+        .groupBy("ok", "sk")
+        .agg(F.max("__l").alias("late"))
+    )
+    order_stats = ps.groupBy("ok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_supp"),
+        F.sum("late").cast("bigint").alias("__n_late"),
+    )
+    sole = (
+        ps.filter(F.col("late") == 1)
+        .join(order_stats, "ok")
+        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late") == 1))
+    )
+    return (
+        sole.join(F.broadcast(s), sole["sk"] == s["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+
+
+# --- q73: small-quantity-order revenue (TPC-H Q17 flavor) --------------------
+
+
+@register(
+    "q73_small_quantity_revenue",
+    """
+    WITH pq AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT))::BIGINT AS qty_sum,
+             COUNT(*)::BIGINT AS qty_n
+      FROM lineitem WHERE l_partkey IS NOT NULL
+      GROUP BY l_partkey
+    )
+    SELECT COUNT(*)::BIGINT AS n_lines,
+           COALESCE(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)),
+                    0)::BIGINT AS revenue_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND CAST(ROUND(l.l_quantity) AS BIGINT) * 5 * pq.qty_n
+          < pq.qty_sum
+    """,
+    "Small-quantity-order revenue (TPC-H Q17 shape: a correlated "
+    "scalar AVG subquery per part — 'lines below 20% of the part's "
+    "average quantity' — decorrelated to a per-part aggregate joined "
+    "back on the key; the fractional-average compare is made EXACT by "
+    "clearing denominators: q < 0.2·(S/n) becomes the integer "
+    "inequality 5·q·n < S, no float threshold): the per-part "
+    "aggregate and the probe side share the fact scan's base (one "
+    "shuffle each), the brand-filtered part dim broadcasts, ONE "
+    "summary row out",
+)
+def q73_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    base = li.filter(F.col("l_partkey").isNotNull())
+    pq = (
+        base.select(
+            "l_partkey",
+            F.round(F.col("l_quantity")).cast("bigint").alias("__q"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("__q").cast("bigint").alias("qty_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("qty_n"),
+        )
+    )
+    probe = (
+        base.join(
+            F.broadcast(p.filter(F.col("p_brand") == "Brand#1")),
+            base["l_partkey"] == p["p_partkey"],
+        )
+        .join(pq, "l_partkey")
+        .filter(
+            F.round(F.col("l_quantity")).cast("bigint")
+            * F.lit(5)
+            * F.col("qty_n")
+            < F.col("qty_sum")
+        )
+    )
+    return probe.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.coalesce(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.lit(100.0)).cast(
+                    "bigint"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )

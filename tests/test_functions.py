@@ -8215,3 +8215,72 @@ class TestReturnedCustomers:
         rows = [(r["c_custkey"], r["lost_cents"]) for r in
                 R2.q71_returned_customers(spark, sf).collect()]
         assert rows == [(1, 10000), (2, 3000)]
+
+
+class TestWaitingSuppliers:
+    def test_hand_computed(self, spark, tmp_path):
+        """TPC-H Q21 shape: only the SOLE late supplier on a
+        multi-supplier order counts — single-supplier orders and
+        orders with two late suppliers are excluded."""
+        import datetime as dt
+
+        import cryoflow_spark.queries.relational2 as R2
+
+        t = dt.datetime.fromisoformat
+        LATE, OK = t("1996-06-01"), t("1996-01-15")
+        o = spark.createDataFrame(
+            [(10, t("1996-01-01")), (11, t("1996-01-01")),
+             (12, t("1996-01-01")), (13, t("1996-01-01"))],
+            "o_orderkey long, o_orderdate timestamp",
+        )
+        li = spark.createDataFrame(
+            [
+                # order 10: s1 late, s2 on time -> s1 counts
+                (10, 1, LATE), (10, 2, OK),
+                # order 11: s1 late, s2 late -> nobody (two late)
+                (11, 1, LATE), (11, 2, LATE),
+                # order 12: s1 late, sole supplier -> nobody
+                (12, 1, LATE),
+                # order 13: s2 late (two lines, one late), s3 on time
+                (13, 2, LATE), (13, 2, OK), (13, 3, OK),
+            ],
+            "l_orderkey long, l_suppkey long, l_shipdate timestamp",
+        )
+        s = spark.createDataFrame(
+            [(i, f"s{i}") for i in range(1, 4)],
+            "s_suppkey long, s_name string",
+        )
+        sf = str(tmp_path)
+        o.write.parquet(f"{sf}/orders.parquet")
+        li.write.parquet(f"{sf}/lineitem.parquet")
+        s.write.parquet(f"{sf}/supplier.parquet")
+        rows = sorted(
+            (r["s_suppkey"], r["numwait"])
+            for r in R2.q72_waiting_suppliers(spark, sf).collect()
+        )
+        assert rows == [(1, 1), (2, 1)]
+
+
+class TestSmallQuantityRevenue:
+    def test_hand_computed_exact_fifth(self, spark, tmp_path):
+        """TPC-H Q17 shape: strict q < avg/5 in cleared-denominator
+        integers — the exact-boundary line is excluded."""
+        import cryoflow_spark.queries.relational2 as R2
+
+        # part 1: quantities 1, 4, 45 -> avg 50/3; threshold 10/3;
+        # 1 and... 4*5*3=60 > 50 out; 1*5*3=15 < 50 in.
+        li = spark.createDataFrame(
+            [(1, 1.0, 10.0), (1, 4.0, 40.0), (1, 45.0, 450.0),
+             # part 2, boundary: qty 1 vs avg 5 -> 1*5*2=10 == 10 out
+             (2, 1.0, 99.0), (2, 9.0, 99.0)],
+            "l_partkey long, l_quantity double, l_extendedprice double",
+        )
+        p = spark.createDataFrame(
+            [(1, "Brand#1"), (2, "Brand#1")],
+            "p_partkey long, p_brand string",
+        )
+        sf = str(tmp_path)
+        li.write.parquet(f"{sf}/lineitem.parquet")
+        p.write.parquet(f"{sf}/part.parquet")
+        r = R2.q73_small_quantity_revenue(spark, sf).collect()[0]
+        assert (r["n_lines"], r["revenue_cents"]) == (1, 1000)
