@@ -9531,15 +9531,21 @@ def x174_signup_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _x175_oracle(k: int = 4, threshold: float = 1.0) -> str:
-    """DuckDB replica of ratio-margin mining between the even/odd
-    vec_id halves: fold-dot cosines, rank-order list_reduce top-k
-    sums, struct-min argmaxes both directions, intersection +
+    """DuckDB replica of ratio-margin mining between deterministic
+    0.3-md5-bucket slices of the even/odd vec_id halves (the x103
+    audit-slice regime — the pair space is |A|·|B|, so the registered
+    INSTRUMENT mines a bounded slice; the miner itself takes whatever
+    sides the caller passes): fold-dot cosines, rank-order list_reduce
+    top-k sums, struct-min argmaxes both directions, intersection +
     threshold."""
+    from cryoflow_spark.functions.sampling import sql_hash_bucket
+
+    sl = f"{sql_hash_bucket('vec_id')} < 300000"
     return f"""
     WITH a AS (SELECT vec_id AS a_id, embedding FROM embeddings
-               WHERE vec_id % 2 = 0),
+               WHERE vec_id % 2 = 0 AND {sl}),
     b AS (SELECT vec_id AS b_id, embedding FROM embeddings
-          WHERE vec_id % 2 = 1),
+          WHERE vec_id % 2 = 1 AND {sl}),
     pairs AS (
       SELECT a.a_id, b.b_id, {_COSINE_SQL} AS cos
       FROM a CROSS JOIN b
@@ -9601,14 +9607,19 @@ def _x175_oracle(k: int = 4, threshold: float = 1.0) -> str:
     "intersected both directions, threshold 1.0) — the CCMatrix-style "
     "bitext/alignment miner: raw cosine over-selects hub vectors, the "
     "margin keeps pairs closer to EACH OTHER than to their own "
-    "neighborhoods; brute-force evaluation regime here (the x05 "
-    "broadcast class), candidates= ANN-shortlist is the scale path; "
+    "neighborhoods; brute-force evaluation regime over deterministic "
+    "0.3 md5-bucket slices of each side (the x103 audit-slice rule — "
+    "the pair space is |A|x|B|, so the instrument mines a bounded "
+    "slice; production passes candidates= an ANN shortlist); "
     "rank-order canonical folds + struct-min argmaxes bit-identical",
 )
 def x175_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.sampling import deterministic_sample
     from cryoflow_spark.functions.similarity import margin_mining_pairs
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = deterministic_sample(
+        load(spark, sf_dir, "embeddings"), "vec_id", 0.3
+    )
     return margin_mining_pairs(
         emb.filter(F.col("vec_id") % 2 == 0),
         emb.filter(F.col("vec_id") % 2 == 1),
