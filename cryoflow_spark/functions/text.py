@@ -2140,3 +2140,159 @@ def bm25_search(
         ).alias("score"),
     )
     return folded.orderBy(F.desc("score"), id_col).limit(int(top_k))
+
+
+def padding_waste_report(
+    df,
+    text_col: str = "text",
+    bucket_size: int = 64,
+    max_len: int = 512,
+):
+    """Length-bucketed batching efficiency report — the padding-waste
+    accounting that picks a bucketing scheme BEFORE a 100 TB
+    tokenize-and-batch job (fixed-shape batching pads every sequence
+    to its bucket ceiling; without bucketing everything pads to
+    ``max_len``): per length bucket,
+
+    - ``bucket`` / ``seq_len`` — 1-based bucket id and its ceiling
+      ``bucket · bucket_size``;
+    - ``n_docs`` / ``token_sum`` — docs landing in the bucket and
+      their real token mass (whitespace tokens, truncated at
+      ``max_len`` — the truncation loss is x117/x124's department);
+    - ``padded_sum`` = ``n_docs · seq_len``, ``waste_frac`` — the
+      bucket's padding overhead as a 6-decimal exact ratio;
+    - ``bucketed_waste_frac`` / ``naive_waste_frac`` — the corpus-wide
+      overhead under this bucketing vs padding everything to
+      ``max_len`` (every row repeats the two corpus numbers so the
+      table is self-contained) — the difference IS the win of length
+      bucketing.
+
+    Zero-token docs are excluded (nothing to pad). ``max_len`` must be
+    a multiple of ``bucket_size`` so bucket ceilings never overshoot.
+
+    Scale: one narrow JVM map (token count + integer ceil-divide
+    bucket) + one ≤ ``max_len/bucket_size``-keyed aggregation with
+    map-side partials + a 1-row totals broadcast. All integers until
+    the final divides.
+    """
+    if bucket_size < 1:
+        raise ValueError("bucket_size must be >= 1")
+    if max_len < 1 or max_len % bucket_size != 0:
+        raise ValueError("max_len must be a positive multiple of bucket_size")
+    n_raw = token_count(text_col)
+    n = F.least(n_raw.cast("bigint"), F.lit(int(max_len)).cast("bigint"))
+    nb = n + F.lit(int(bucket_size) - 1)
+    bucket = ((nb - F.pmod(nb, F.lit(int(bucket_size)))) / F.lit(
+        int(bucket_size)
+    )).cast("bigint")
+    per_bucket = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(n.alias("__n"), bucket.alias("bucket"))
+        .filter(F.col("__n") >= 1)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("token_sum"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(int(bucket_size)))
+            .cast("bigint")
+            .alias("seq_len"),
+            "n_docs",
+            "token_sum",
+            (F.col("bucket") * F.lit(int(bucket_size)) * F.col("n_docs"))
+            .cast("bigint")
+            .alias("padded_sum"),
+        )
+    )
+    totals = per_bucket.agg(
+        F.sum("token_sum").cast("bigint").alias("__tok"),
+        F.sum("padded_sum").cast("bigint").alias("__pad"),
+        F.sum("n_docs").cast("bigint").alias("__docs"),
+    )
+    ratio = lambda num, den: F.round(  # noqa: E731
+        num.cast("double") / den.cast("double"), 6
+    )
+    return per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket", "seq_len", "n_docs", "token_sum", "padded_sum",
+        ratio(
+            F.col("padded_sum") - F.col("token_sum"), F.col("padded_sum")
+        ).alias("waste_frac"),
+        ratio(F.col("__pad") - F.col("__tok"), F.col("__pad")).alias(
+            "bucketed_waste_frac"
+        ),
+        ratio(
+            F.col("__docs") * F.lit(int(max_len)) - F.col("__tok"),
+            F.col("__docs") * F.lit(int(max_len)),
+        ).alias("naive_waste_frac"),
+    )
+
+
+def good_turing_counts(
+    df,
+    text_col: str = "text",
+    max_r: int = 10,
+    ngram_order: int = 1,
+    lowercase: bool = True,
+):
+    """Good-Turing frequency-of-frequencies table (Good 1953; the
+    simple estimate of Gale & Sampson 1995 §2) over word unigrams or
+    bigrams (``ngram_order`` 1 or 2 — x148's KN bigram domain): for
+    each observed type count ``r ≤ max_r``,
+
+    - ``n_terms`` — distinct types seen exactly ``r`` times
+      (the N_r spectrum — the head of this table drives every
+      smoothing method, and a bent spectrum flags boilerplate or
+      tokenizer damage);
+    - ``r_star`` — the GT-adjusted count ``(r+1)·N_{r+1}/N_r``
+      (6-decimal exact ratio; NULL where ``N_{r+1}`` is empty) — the
+      "how much probability mass do singletons really deserve"
+      number behind KN's absolute discount (x148's D is its
+      two-point collapse).
+
+    Scale: the corpus pays ONE (type)-keyed count; the spectrum is a
+    COUNT(*) group-by over the vocabulary-sized type table, the
+    ``r+1`` lookup a self-join of the ≤ ``max_r+1``-row spectrum. No
+    windows, no corpus-sized shuffle beyond the type count.
+    """
+    if max_r < 1:
+        raise ValueError("max_r must be >= 1")
+    if ngram_order not in (1, 2):
+        raise ValueError("ngram_order must be 1 or 2")
+    toks_col = _ws_tokens_factory(text_col, lowercase)
+    tok_arrays = df.filter(F.col(text_col).isNotNull()).select(
+        toks_col().alias("__toks")
+    )
+    if ngram_order == 1:
+        toks = tok_arrays.select(F.explode("__toks").alias("__t"))
+    else:
+        toks = tok_arrays.select(
+            F.explode(_bigram_pairs(F.col("__toks"))).alias("__bg")
+        ).select(
+            F.concat_ws(" ", F.col("__bg.p"), F.col("__bg.c")).alias("__t")
+        )
+    tc = toks.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__r")
+    )
+    nr = (
+        tc.filter(F.col("__r") <= int(max_r) + 1)
+        .groupBy("__r")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_terms"))
+    )
+    cur = nr.filter(F.col("__r") <= int(max_r)).select(
+        F.col("__r").alias("r"), "n_terms"
+    )
+    nxt = nr.select(
+        (F.col("__r") - 1).alias("r"), F.col("n_terms").alias("__n_next")
+    )
+    return cur.join(nxt, "r", "left").select(
+        "r",
+        "n_terms",
+        F.round(
+            (F.col("r") + 1).cast("double")
+            * F.col("__n_next").cast("double")
+            / F.col("n_terms").cast("double"),
+            6,
+        ).alias("r_star"),
+    )

@@ -13,6 +13,8 @@ TOML surface for the packing operators of
   (:func:`...sampling.deterministic_shuffle`) — adds ``shard`` /
   ``position`` (option ``n_shards``, default 1024); write
   partitioned by ``shard``, read shard-major.
+- ``padding_waste``: replace the stream with the length-bucketed
+  padding-waste report (``bucket_size``, ``max_len``, ``column``).
 - ``efficiency``: replace the stream with the packing-efficiency
   report (fill rate, fragmented-doc rate, worst span, slices per
   sequence) for ``context_len`` — the accounting that picks the
@@ -81,6 +83,15 @@ class PackPlugin(AnalyzedTransformPlugin):
                 data,
                 id_column,
                 n_shards=int(self.options.get("n_shards", 1024)),
+            )
+        if method == "padding_waste":
+            from cryoflow_spark.functions.text import padding_waste_report
+
+            return padding_waste_report(
+                data,
+                text_col=self.options.get("column", "text"),
+                bucket_size=int(self.options.get("bucket_size", 64)),
+                max_len=int(self.options.get("max_len", 512)),
             )
         if method == "efficiency":
             from cryoflow_spark.functions.text import (

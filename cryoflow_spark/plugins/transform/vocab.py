@@ -44,6 +44,9 @@ Options:
   (Robertson-Zaragoza 2009): the ``top_k`` (doc, matched_terms,
   score) rows — the lexical search / ANN grading baseline; options
   ``terms`` (required), ``k1``, ``b``, ``top_k``, ``id_column``.
+- ``method = "good_turing"`` — Good-Turing frequency-of-frequencies
+  spectrum with GT-adjusted counts (``max_r``, ``ngram_order`` 1|2,
+  ``lowercase``).
 - ``method = "kn_counts"`` — Kneser-Ney continuation-count table
   (raw count, N1+(·w)/N1+(w·) distinct-neighbor counts, KN unigram
   probability, global discount) — the n-gram-LM smoothing statistics;
@@ -125,6 +128,16 @@ class VocabPlugin(AnalyzedTransformPlugin):
                 k1=float(self.options.get("k1", 1.2)),
                 b=float(self.options.get("b", 0.75)),
                 top_k=int(self.options.get("top_k", 10)),
+            )
+        if self.options.get("method") == "good_turing":
+            from cryoflow_spark.functions.text import good_turing_counts
+
+            return good_turing_counts(
+                data,
+                text_col=self.options.get("column", "text"),
+                max_r=int(self.options.get("max_r", 10)),
+                ngram_order=int(self.options.get("ngram_order", 1)),
+                lowercase=bool(self.options.get("lowercase", True)),
             )
         if self.options.get("method") == "kn_counts":
             from cryoflow_spark.functions.text import kneser_ney_counts

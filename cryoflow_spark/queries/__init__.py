@@ -141,6 +141,7 @@ _PRIORITY: list[str] = [
     "q70_nation_trade", "q71_returned_customers",
     "x175_margin_mining",
     "q72_waiting_suppliers", "q73_small_quantity_revenue",
+    "x176_padding_waste", "x177_good_turing",
 ]
 
 

@@ -9626,3 +9626,101 @@ def x175_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=4,
         threshold=1.0,
     )
+
+
+# --- x176: padding-waste report (oracle-checked) -----------------------------
+
+
+@register(
+    "x176_padding_waste",
+    """
+    WITH d AS (
+      SELECT LEAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t != ''))::BIGINT, 512) AS n
+      FROM documents WHERE text IS NOT NULL
+    ),
+    pb AS (
+      SELECT (n + 63) // 64 AS bucket,
+             COUNT(*)::BIGINT AS n_docs,
+             SUM(n)::BIGINT AS token_sum
+      FROM d WHERE n >= 1 GROUP BY 1
+    ),
+    pb2 AS (
+      SELECT bucket, (bucket * 64)::BIGINT AS seq_len, n_docs, token_sum,
+             (bucket * 64 * n_docs)::BIGINT AS padded_sum
+      FROM pb
+    ),
+    tot AS (
+      SELECT SUM(token_sum)::BIGINT AS tok, SUM(padded_sum)::BIGINT AS pad,
+             SUM(n_docs)::BIGINT AS docs
+      FROM pb2
+    )
+    SELECT bucket, seq_len, n_docs, token_sum, padded_sum,
+           ROUND((padded_sum - token_sum)::DOUBLE / padded_sum::DOUBLE, 6)
+             AS waste_frac,
+           ROUND((tot.pad - tot.tok)::DOUBLE / tot.pad::DOUBLE, 6)
+             AS bucketed_waste_frac,
+           ROUND((tot.docs * 512 - tot.tok)::DOUBLE
+                 / (tot.docs * 512)::DOUBLE, 6) AS naive_waste_frac
+    FROM pb2 CROSS JOIN tot
+    """,
+    "Length-bucketed batching efficiency (64-token buckets, 512 max): "
+    "per bucket the doc count, real token mass, padded mass and waste "
+    "fraction, plus the corpus-wide bucketed vs pad-everything-to-max "
+    "overhead — the padding accounting that picks a bucketing scheme "
+    "before a 100 TB batch job; one narrow JVM map + one "
+    "<=8-keyed agg + a 1-row totals broadcast, exact integers until "
+    "the final divides",
+)
+def x176_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.text import padding_waste_report
+
+    d = load(spark, sf_dir, "documents")
+    return padding_waste_report(d, bucket_size=64, max_len=512)
+
+
+# --- x177: Good-Turing frequency spectrum (oracle-checked) -------------------
+
+
+@register(
+    "x177_good_turing",
+    """
+    WITH toks AS (
+      SELECT list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x != ''), t -> lower(t)) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+      SELECT u.bg[1] || ' ' || u.bg[2] AS g
+      FROM (
+        SELECT unnest([[t[i], t[i+1]]
+                 for i in generate_series(1, len(t) - 1)]) AS bg
+        FROM toks WHERE len(t) >= 2
+      ) u
+    ),
+    tc AS (SELECT g, COUNT(*)::BIGINT AS r FROM grams GROUP BY 1),
+    nr AS (
+      SELECT r, COUNT(*)::BIGINT AS n_terms FROM tc
+      WHERE r <= 11 GROUP BY r
+    )
+    SELECT cur.r, cur.n_terms,
+           ROUND((cur.r + 1)::DOUBLE * nxt.n_terms::DOUBLE
+                 / cur.n_terms::DOUBLE, 6) AS r_star
+    FROM (SELECT r, n_terms FROM nr WHERE r <= 10) cur
+    LEFT JOIN (SELECT r - 1 AS r, n_terms FROM nr) nxt USING (r)
+    """,
+    "Good-Turing frequency-of-frequencies spectrum over word BIGRAMS "
+    "(Good 1953 / Gale-Sampson 1995 simple GT, r <= 10, x148's KN "
+    "bigram domain — the testdata's unigram vocabulary is dense, the "
+    "bigram spectrum is the sparse regime GT is for): distinct types "
+    "per observed count plus the GT-adjusted count (r+1)N_{r+1}/N_r — "
+    "the singleton-mass number behind every smoothing method and a "
+    "bent-spectrum boilerplate flag; ONE corpus type count, the "
+    "spectrum a COUNT(*) over the vocabulary-sized type table, r+1 "
+    "via a bounded self-join — no windows",
+)
+def x177_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.text import good_turing_counts
+
+    d = load(spark, sf_dir, "documents")
+    return good_turing_counts(d, max_r=10, ngram_order=2)

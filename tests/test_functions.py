@@ -7659,6 +7659,72 @@ class TestNdcgReport:
             ndcg_report(ranking, rel, k=0)
 
 
+class TestPaddingWasteReport:
+    def test_hand_computed_buckets(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.text import padding_waste_report
+
+        docs = spark.createDataFrame(
+            [("a b c",),           # 3 tokens -> bucket 1 (seq 4)
+             ("a b c d e",),       # 5 -> bucket 2 (seq 8)
+             ("1 2 3 4 5 6 7 8 9",),  # 9, truncated to 8 -> bucket 2
+             ("",), (None,)],      # excluded
+            "text string",
+        )
+        out = {r["bucket"]: r for r in
+               padding_waste_report(docs, bucket_size=4,
+                                    max_len=8).collect()}
+        b1, b2 = out[1], out[2]
+        assert (b1["seq_len"], b1["n_docs"], b1["token_sum"],
+                b1["padded_sum"]) == (4, 1, 3, 4)
+        assert (b2["seq_len"], b2["n_docs"], b2["token_sum"],
+                b2["padded_sum"]) == (8, 2, 13, 16)
+        assert b1["waste_frac"] == 0.25
+        assert b2["waste_frac"] == round(3 / 16, 6)
+        # bucketed overall: (20-16)/20; naive: pad 3 docs to 8 -> 24
+        assert b1["bucketed_waste_frac"] == round(4 / 20, 6)
+        assert b1["naive_waste_frac"] == round((24 - 16) / 24, 6)
+        with _pytest.raises(ValueError, match="multiple"):
+            padding_waste_report(docs, bucket_size=3, max_len=8)
+
+
+class TestGoodTuringCounts:
+    def test_hand_computed_spectrum(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.text import good_turing_counts
+
+        docs = spark.createDataFrame(
+            [("a a a b",), ("b c",)], "text string"
+        )
+        out = {r["r"]: r for r in
+               good_turing_counts(docs, max_r=3).collect()}
+        # counts: a=3, b=2, c=1 -> N1=N2=N3=1
+        assert {r: out[r]["n_terms"] for r in out} == {1: 1, 2: 1, 3: 1}
+        assert out[1]["r_star"] == 2.0   # (1+1)*N2/N1
+        assert out[2]["r_star"] == 3.0
+        assert out[3]["r_star"] is None  # N4 empty
+        with _pytest.raises(ValueError):
+            good_turing_counts(docs, max_r=0)
+        with _pytest.raises(ValueError):
+            good_turing_counts(docs, ngram_order=3)
+
+    def test_bigram_mode(self, spark):
+        from cryoflow_spark.functions.text import good_turing_counts
+
+        # bigrams: "a b" x2 (across docs), "b a" x1, "x y" x1
+        docs = spark.createDataFrame(
+            [("a b a",), ("A B",), ("x y",)], "text string"
+        )
+        out = {r["r"]: r for r in
+               good_turing_counts(docs, max_r=5,
+                                  ngram_order=2).collect()}
+        # lowercased: pairs = (a b), (b a), (a b), (x y)
+        assert out[1]["n_terms"] == 2 and out[2]["n_terms"] == 1
+        assert out[1]["r_star"] == 1.0  # 2*N2/N1 = 2*1/2
+
+
 class TestMarginMining:
     @staticmethod
     def _reference(A, B, k=2, threshold=1.0):
