@@ -258,6 +258,9 @@ def test_no_cartesian_products(all_plans):
         # per-part value table (the TPC-H Q11 HAVING-vs-global scalar)
         # — same pattern.
         "q68_important_parts",
+        # 1-row corpus-totals scalar crossJoin(broadcast) into the
+        # <=max_len/bucket_size-row bucket table — same scalar pattern.
+        "x176_padding_waste",
     }
     for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name
