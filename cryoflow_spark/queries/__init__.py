@@ -142,6 +142,9 @@ _PRIORITY: list[str] = [
     "x175_margin_mining",
     "q72_waiting_suppliers", "q73_small_quantity_revenue",
     "x176_padding_waste", "x177_good_turing",
+    "q74_unshipped_orders", "q75_local_supplier_volume",
+    "q76_forecast_revenue", "q77_promo_share",
+    "q78_supplier_diversity", "q79_disjunctive_revenue",
 ]
 
 

@@ -2277,3 +2277,361 @@ def q73_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("revenue_cents"),
     )
+
+
+# --- q74: unshipped high-value orders (TPC-H Q3 flavor) ----------------------
+
+
+@register(
+    "q74_unshipped_orders",
+    """
+    SELECT l.l_orderkey,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT))::BIGINT AS revenue_cents,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-06-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-06-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue_cents DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    "Top unshipped high-value orders (TPC-H Q3 shape: the "
+    "segment-filtered customer dim gating an ordered-before/"
+    "shipped-after date straddle, grouped per order, deterministic "
+    "(revenue DESC, orderkey) top-10 planned as TakeOrdered — no "
+    "global sort): both date filters push to their scans, the "
+    "customer dim broadcasts, revenue as exact integer cents",
+)
+def q74_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cut = F.expr("TIMESTAMP '1996-06-15 00:00:00'")
+    flat = (
+        li.filter(F.col("l_shipdate") > cut)
+        .join(
+            o.filter(F.col("o_orderdate") < cut),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            o["o_custkey"] == c["c_custkey"],
+        )
+    )
+    agg = flat.select(
+        "l_orderkey",
+        "o_orderdate",
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            * F.lit(100.0)
+        )
+        .cast("bigint")
+        .alias("__cents"),
+    ).groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum("__cents").cast("bigint").alias("revenue_cents")
+    )
+    return agg.select(
+        "l_orderkey", "revenue_cents", "o_orderdate"
+    ).orderBy(F.desc("revenue_cents"), F.col("l_orderkey")).limit(10)
+
+
+# --- q75: local-supplier volume (TPC-H Q5 flavor) ----------------------------
+
+
+@register(
+    "q75_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT))::BIGINT AS revenue_cents
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE s.s_nationkey = c.c_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    "Local-supplier volume (TPC-H Q5 shape — its signature is the "
+    "s_nationkey = c_nationkey SAME-NATION residual joining two "
+    "different dimension paths of the star, which no single equi-join "
+    "key expresses: revenue only counts when the supplier and the "
+    "ordering customer share a nation): the fact shuffles once on "
+    "orderkey, customer/supplier/nation broadcast, the same-nation "
+    "condition rides the supplier join as a residual, exact integer "
+    "cents per nation",
+)
+def q75_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    flat = (
+        li.join(
+            o.filter(
+                (F.col("o_orderdate")
+                 >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+                & (F.col("o_orderdate")
+                   < F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+            ),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    return flat.select(
+        "n_name",
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            * F.lit(100.0)
+        )
+        .cast("bigint")
+        .alias("__cents"),
+    ).groupBy("n_name").agg(
+        F.sum("__cents").cast("bigint").alias("revenue_cents")
+    )
+
+
+# --- q76: revenue-change forecast (TPC-H Q6 flavor) --------------------------
+
+
+@register(
+    "q76_forecast_revenue",
+    """
+    SELECT COUNT(*)::BIGINT AS n_lines,
+           COALESCE(SUM(CAST(ROUND(l_extendedprice * l_discount * 100)
+                             AS BIGINT)), 0)::BIGINT AS revenue_delta_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    "Revenue-change forecast (TPC-H Q6 shape — the pure scan-filter-"
+    "aggregate with a discount band and quantity cap, no joins: what "
+    "revenue would be regained by eliminating the band's discounts; "
+    "all three predicates push to the parquet scan, one map-side "
+    "partial aggregate, ONE row out, exact integer cents)",
+)
+def q76_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.coalesce(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * F.col("l_discount")
+                        * F.lit(100.0)
+                    ).cast("bigint")
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("revenue_delta_cents"),
+        )
+    )
+
+
+# --- q77: promo revenue share (TPC-H Q14 flavor) -----------------------------
+
+
+@register(
+    "q77_promo_share",
+    """
+    SELECT SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                    * 100) AS BIGINT)
+                    ELSE 0 END)::BIGINT AS promo_cents,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT))::BIGINT AS total_cents,
+           ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                    * 100) AS BIGINT)
+                    ELSE 0 END)::DOUBLE
+                 / SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                  * 100) AS BIGINT))::DOUBLE, 6)
+             AS promo_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    "Promo revenue share (TPC-H Q14 shape — the conditional-aggregate "
+    "ratio: two sums over the same month slice, one gated by a dim "
+    "attribute CASE, one final percentage divide; exact integer cents "
+    "make the ratio engine-identical): month filter pushes to the "
+    "scan, part dim broadcasts, ONE row out",
+)
+def q77_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        * F.lit(100.0)
+    ).cast("bigint")
+    flat = li.filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-03-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-04-01 00:00:00'"))
+    ).join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        F.when(F.col("p_type") == "PROMO", cents)
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("__promo"),
+        cents.alias("__cents"),
+    )
+    return flat.agg(
+        F.sum("__promo").cast("bigint").alias("promo_cents"),
+        F.sum("__cents").cast("bigint").alias("total_cents"),
+        F.round(
+            F.lit(100.0)
+            * F.sum("__promo").cast("double")
+            / F.sum("__cents").cast("double"),
+            6,
+        ).alias("promo_pct"),
+    )
+
+
+# --- q78: supplier diversity census (TPC-H Q16 flavor) -----------------------
+
+
+@register(
+    "q78_supplier_diversity",
+    """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    )
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey)::BIGINT AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (10, 20, 30, 40, 49)
+      AND ps.l_suppkey NOT IN (
+        SELECT s.s_suppkey FROM supplier s WHERE s.s_acctbal < 0
+      )
+    GROUP BY 1, 2
+    """,
+    "Supplier diversity census (TPC-H Q16 shape: how many distinct "
+    "suppliers can ship each excluded-brand/size bucket, minus the "
+    "NOT-IN-subquery supplier blocklist — negative account balance "
+    "stands in for Q16's customer-complaints comment scan (the "
+    "synthetic ship dates are uncorrelated with order dates, so a "
+    "lateness blocklist would swallow every supplier); the NOT IN "
+    "decorrelates to a left anti join on suppkey, the "
+    "(part,supplier) domain is pre-distincted so the distinct count "
+    "is one keyed agg, the brand/size-filtered part dim broadcasts)",
+)
+def q78_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part")
+    ps = (
+        li.filter(
+            F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    blocked = s.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    pdim = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(10, 20, 30, 40, 49)
+    )
+    return (
+        ps.join(F.broadcast(blocked), "l_suppkey", "left_anti")
+        .join(F.broadcast(pdim), ps["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias(
+                "supplier_cnt"
+            )
+        )
+    )
+
+
+# --- q79: disjunctive discounted revenue (TPC-H Q19 flavor) ------------------
+
+
+@register(
+    "q79_disjunctive_revenue",
+    """
+    SELECT COUNT(*)::BIGINT AS n_lines,
+           COALESCE(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)), 0)::BIGINT
+             AS revenue_cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    "Disjunctive multi-predicate revenue (TPC-H Q19 shape — three "
+    "OR'd (brand, size-range, quantity-range) condition triples "
+    "spanning BOTH join sides, the classic optimizer test for "
+    "disjunction handling: Catalyst keeps the equi-join on partkey "
+    "and evaluates the residual disjunction post-join, with the "
+    "derivable brand/size domain pushed into the broadcast dim "
+    "filter; exact integer cents, ONE row out)",
+)
+def q79_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (q >= 1) & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & (q >= 10) & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & (q >= 20) & (q <= 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.coalesce(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (F.lit(1.0) - F.col("l_discount"))
+                        * F.lit(100.0)
+                    ).cast("bigint")
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )

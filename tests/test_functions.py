@@ -7664,6 +7664,153 @@ class TestNdcgReport:
             ndcg_report(ranking, rel, k=0)
 
 
+class TestUnshippedOrders:
+    def test_hand_computed_straddle_topk(self, spark, tmp_path):
+        """TPC-H Q3 shape: ordered-before/shipped-after straddle, the
+        segment gate, deterministic top-k."""
+        import datetime as dt
+
+        import cryoflow_spark.queries.relational2 as R2
+
+        t = dt.datetime.fromisoformat
+        c = spark.createDataFrame(
+            [(1, "BUILDING"), (2, "AUTO")],
+            "c_custkey long, c_mktsegment string",
+        )
+        o = spark.createDataFrame(
+            [(10, 1, t("1996-06-01")),   # in
+             (11, 1, t("1996-06-20")),   # ordered after cut -> out
+             (12, 2, t("1996-06-01"))],  # wrong segment -> out
+            "o_orderkey long, o_custkey long, o_orderdate timestamp",
+        )
+        li = spark.createDataFrame(
+            [(10, 100.0, 0.0, t("1996-07-01")),   # in
+             (10, 50.0, 0.0, t("1996-06-01")),    # shipped before -> out
+             (11, 999.0, 0.0, t("1996-07-01")),
+             (12, 999.0, 0.0, t("1996-07-01"))],
+            "l_orderkey long, l_extendedprice double, l_discount double,"
+            " l_shipdate timestamp",
+        )
+        sf = str(tmp_path)
+        for name, df in (("customer", c), ("orders", o), ("lineitem", li)):
+            df.write.parquet(f"{sf}/{name}.parquet")
+        rows = [(r["l_orderkey"], r["revenue_cents"]) for r in
+                R2.q74_unshipped_orders(spark, sf).collect()]
+        assert rows == [(10, 10000)]
+
+
+class TestLocalSupplierVolume:
+    def test_same_nation_residual(self, spark, tmp_path):
+        """TPC-H Q5 shape: revenue counts only when supplier and
+        customer share a nation."""
+        import datetime as dt
+
+        import cryoflow_spark.queries.relational2 as R2
+
+        t = dt.datetime.fromisoformat
+        c = spark.createDataFrame(
+            [(1, 7), (2, 8)], "c_custkey long, c_nationkey int"
+        )
+        o = spark.createDataFrame(
+            [(10, 1, t("1996-03-01")), (11, 2, t("1996-03-01"))],
+            "o_orderkey long, o_custkey long, o_orderdate timestamp",
+        )
+        li = spark.createDataFrame(
+            [(10, 1, 100.0, 0.0),   # s1 in nation 7 == c1 -> counts
+             (10, 2, 50.0, 0.0),    # s2 in nation 8 != 7 -> out
+             (11, 2, 30.0, 0.0)],   # s2 nation 8 == c2 -> counts
+            "l_orderkey long, l_suppkey long, l_extendedprice double,"
+            " l_discount double",
+        )
+        s = spark.createDataFrame(
+            [(1, 7), (2, 8)], "s_suppkey long, s_nationkey int"
+        )
+        n = spark.createDataFrame(
+            [(7, "N7"), (8, "N8")], "n_nationkey int, n_name string"
+        )
+        sf = str(tmp_path)
+        for name, df in (("customer", c), ("orders", o), ("lineitem", li),
+                         ("supplier", s), ("nation", n)):
+            df.write.parquet(f"{sf}/{name}.parquet")
+        rows = sorted(
+            (r["n_name"], r["revenue_cents"]) for r in
+            R2.q75_local_supplier_volume(spark, sf).collect()
+        )
+        assert rows == [("N7", 10000), ("N8", 3000)]
+
+
+class TestForecastAndPromoAndDisjunctive:
+    def test_q6_q14_q19_hand_computed(self, spark, tmp_path):
+        import datetime as dt
+
+        import cryoflow_spark.queries.relational2 as R2
+
+        t = dt.datetime.fromisoformat
+        li = spark.createDataFrame(
+            [
+                # q76: in band (disc .06, qty 10, window) -> delta 6.00
+                (1, 1, 100.0, 0.06, 10.0, t("1996-05-01")),
+                # out: quantity 30
+                (2, 1, 100.0, 0.06, 30.0, t("1996-05-01")),
+                # out: discount .2
+                (3, 2, 100.0, 0.10, 10.0, t("1996-05-01")),
+                # q77 month slice (March): promo part 1 and plain part 2
+                (4, 1, 200.0, 0.0, 5.0, t("1996-03-10")),
+                (5, 2, 300.0, 0.0, 5.0, t("1996-03-10")),
+            ],
+            "l_orderkey long, l_partkey long, l_extendedprice double,"
+            " l_discount double, l_quantity double, l_shipdate timestamp",
+        )
+        p = spark.createDataFrame(
+            [(1, "PROMO", "Brand#1", 10), (2, "STANDARD", "Brand#2", 20)],
+            "p_partkey long, p_type string, p_brand string, p_size int",
+        )
+        sf = str(tmp_path)
+        li.write.parquet(f"{sf}/lineitem.parquet")
+        p.write.parquet(f"{sf}/part.parquet")
+        r6 = R2.q76_forecast_revenue(spark, sf).collect()[0]
+        assert (r6["n_lines"], r6["revenue_delta_cents"]) == (1, 600)
+        r14 = R2.q77_promo_share(spark, sf).collect()[0]
+        assert (r14["promo_cents"], r14["total_cents"]) == (20000, 50000)
+        assert r14["promo_pct"] == 40.0
+        # q79: part1 triple matches line 4 (qty 5 in [1,11], size 15>=10)
+        r19 = R2.q79_disjunctive_revenue(spark, sf).collect()[0]
+        # part1/Brand#1/size10: qty 10 (line1, 94.00) + qty 5 (line4,
+        # 200.00) in [1,11]; line2 qty 30 out; part2/Brand#2: line3 qty
+        # 10 in [10,20] (90.00) in; line5 qty 5 out -> 384.00 total
+        assert (r19["n_lines"], r19["revenue_cents"]) == (3, 38400)
+
+
+class TestSupplierDiversity:
+    def test_blocklist_and_distinct_count(self, spark, tmp_path):
+        """TPC-H Q16 shape: NOT-IN blocklist removes a supplier
+        everywhere; the count is DISTINCT suppliers per bucket."""
+        import cryoflow_spark.queries.relational2 as R2
+
+        li = spark.createDataFrame(
+            [(1, 1), (1, 1), (1, 2), (1, 3), (2, 2)],
+            "l_partkey long, l_suppkey long",
+        )
+        p = spark.createDataFrame(
+            [(1, "Brand#2", 10), (2, "Brand#2", 20)],
+            "p_partkey long, p_brand string, p_size int",
+        )
+        s = spark.createDataFrame(
+            [(1, 5.0), (2, -1.0), (3, 9.0)],
+            "s_suppkey long, s_acctbal double",
+        )
+        sf = str(tmp_path)
+        li.write.parquet(f"{sf}/lineitem.parquet")
+        p.write.parquet(f"{sf}/part.parquet")
+        s.write.parquet(f"{sf}/supplier.parquet")
+        rows = sorted(
+            (r["p_brand"], r["p_size"], r["supplier_cnt"]) for r in
+            R2.q78_supplier_diversity(spark, sf).collect()
+        )
+        # s2 blocklisted (negative balance): part1 -> {s1, s3}, part2 -> {}
+        assert rows == [("Brand#2", 10, 2)]
+
+
 class TestPaddingWasteReport:
     def test_hand_computed_buckets(self, spark):
         import pytest as _pytest
