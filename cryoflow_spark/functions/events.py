@@ -1930,7 +1930,18 @@ def growth_accounting(
     """
     if period_days < 1:
         raise ValueError("period_days must be >= 1")
-    up = (
+    up = _growth_user_periods(events, ts_col, user_col, period_days)
+    return _growth_from_user_periods(up, period_days)
+
+
+def _growth_user_periods(
+    events: DataFrame, ts_col: str, user_col: str, period_days: int
+) -> DataFrame:
+    """The distinct (user, period) activity set — growth accounting's
+    sufficient statistic, closed under union+distinct (the x149
+    active-users partial design), shared by the batch operator and the
+    streaming twin."""
+    return (
         events.filter(
             F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
         )
@@ -1957,6 +1968,14 @@ def growth_accounting(
         )
         .distinct()
     )
+
+
+def _growth_from_user_periods(
+    up: DataFrame, period_days: int
+) -> DataFrame:
+    """Classification + report over the distinct (user, period) set —
+    the shared core behind :func:`growth_accounting` and the streaming
+    twin's finalize."""
     w = Window.partitionBy("__u").orderBy("__p")
     classified = up.withColumn("__prev", F.lag("__p").over(w)).select(
         "__p",

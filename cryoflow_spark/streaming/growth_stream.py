@@ -1,0 +1,110 @@
+"""Streaming growth accounting — the foreachBatch twin of the batch
+operator x171 (:func:`cryoflow_spark.functions.events.growth_accounting`).
+
+New/retained/resurrected/churned classification needs each user's FULL
+period history (a user resurrected today depends on activity arbitrarily
+far back), so no additive counter partial works — but the distinct
+``(user, period)`` activity set is growth accounting's sufficient
+statistic and is closed under union+distinct (the x149 active-users
+partial design):
+
+- each micro-batch writes its distinct ``(user, period)`` rows to
+  ``<output>/partials/batch_id=N`` in OVERWRITE mode (foreachBatch's
+  idempotent-sink contract: a replayed batch rewrites, never
+  double-counts — and double-counting wouldn't even matter, the
+  finalize re-distincts);
+- :func:`finalize_growth_accounting` re-distincts the unioned partials
+  and runs the SAME shared core as the batch twin
+  (``_growth_from_user_periods``) — bit-identical to
+  ``growth_accounting`` over every event ingested so far. Unlike the
+  transition/attribution twins this design needs NO per-user
+  segment-order precondition: the set union is order-insensitive.
+
+Scale: per batch, one (user, period)-keyed distinct bounded by active
+users × periods-in-batch; finalize reads partial STATE tables, never
+raw events; per-user windows in the finalize are bounded by the
+period calendar. Compact with :func:`compact_growth_partials`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from cryoflow_spark.streaming.report_stream import _start
+
+
+def _write_growth_partials(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    ts_col: str,
+    user_col: str,
+    period_days: int,
+) -> None:
+    """Per-batch idempotent partial write (module-level so the replay
+    property is directly testable)."""
+    from cryoflow_spark.functions.events import _growth_user_periods
+
+    _growth_user_periods(
+        batch_df, ts_col, user_col, period_days
+    ).write.mode("overwrite").parquet(
+        f"{output_path}/partials/batch_id={batch_id}"
+    )
+
+
+def growth_stream(
+    stream_df: DataFrame,
+    output_path: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    period_days: int = 1,
+    checkpoint_path: Optional[str] = None,
+    trigger: str = "available_now",
+) -> StreamingQuery:
+    """Maintain the x171 growth-accounting state over a live event
+    stream; read the current report with
+    :func:`finalize_growth_accounting`."""
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    if period_days < 1:
+        raise ValueError("period_days must be >= 1")
+    checkpoint = checkpoint_path or f"{output_path}/_checkpoint"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _write_growth_partials(
+            batch_df, batch_id, output_path, ts_col, user_col,
+            period_days,
+        )
+
+    return _start(stream_df, _process, checkpoint, trigger)
+
+
+def finalize_growth_accounting(
+    spark: SparkSession, output_path: str, period_days: int = 1
+) -> DataFrame:
+    """Merge all written partials into the current growth report —
+    bit-identical to the batch twin on the ingested union."""
+    from cryoflow_spark.functions.events import _growth_from_user_periods
+
+    up = spark.read.parquet(
+        f"{output_path}/partials/batch_id=*"
+    ).distinct()
+    return _growth_from_user_periods(up, period_days)
+
+
+def compact_growth_partials(
+    spark: SparkSession, output_path: str
+) -> int:
+    """Compact per-batch partial directories into one distinct
+    (user, period) table — the partial family is closed under
+    union+distinct. See :func:`...report_stream.compact_partials` for
+    the crash/replay contract. Returns directories removed."""
+    from cryoflow_spark.streaming.report_stream import compact_partials
+
+    def _merge(df: DataFrame) -> DataFrame:
+        return df.distinct()
+
+    return compact_partials(spark, output_path, merge_fn=_merge)

@@ -859,6 +859,66 @@ def test_event_transitions_stream_compaction_and_validation(
         event_transitions_stream(batch, "/tmp/nowhere")
 
 
+def test_growth_stream_matches_batch_twin(spark, tmp_path):
+    """x171 streaming twin: the finalized growth report over all
+    micro-batches is bit-identical to the batch growth_accounting on
+    the full log — resurrection/churn classification depends on
+    activity in EARLIER batches, resolved by the merged (user, period)
+    set — with replay idempotence and union-distinct compaction."""
+    from cryoflow_spark.functions.events import growth_accounting
+    from cryoflow_spark.queries import load_events
+    from cryoflow_spark.streaming.growth_stream import (
+        _write_growth_partials,
+        compact_growth_partials,
+        finalize_growth_accounting,
+        growth_stream,
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    full = load_events(spark, "/root/testdata/sf0.001")
+    src = tmp_path / "events"
+    src.mkdir()
+    mid = full.select(
+        F.percentile(F.unix_micros("ts"), 0.5).alias("m")
+    ).collect()[0]["m"]
+    full.filter(F.unix_micros("ts") <= mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "a"))
+    full.filter(F.unix_micros("ts") > mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b"))
+    stream = spark.readStream.schema(full.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = tmp_path / "growth"
+    q = growth_stream(stream, str(out), period_days=1)
+    q.awaitTermination(120)
+    want = canon(growth_accounting(full, period_days=1))
+    assert canon(finalize_growth_accounting(spark, str(out))) == want
+    # replay idempotence + no segment-order requirement: write the
+    # batches AGAIN in reverse order under replayed ids
+    out2 = tmp_path / "growth2"
+    a = spark.read.parquet(str(src / "a"))
+    b = spark.read.parquet(str(src / "b"))
+    for batch_id, batch in ((0, b), (1, a), (0, b), (1, a)):
+        _write_growth_partials(
+            batch, batch_id, str(out2), "ts", "user_id", 1
+        )
+    assert canon(finalize_growth_accounting(spark, str(out2))) == want
+    # compaction closure
+    assert compact_growth_partials(spark, str(out2)) == 2
+    assert canon(finalize_growth_accounting(spark, str(out2))) == want
+    assert compact_growth_partials(spark, str(out2)) == 1
+    assert canon(finalize_growth_accounting(spark, str(out2))) == want
+    import pytest as _pytest
+
+    batch = spark.createDataFrame([(1,)], "user_id long")
+    with _pytest.raises(ValueError, match="streaming"):
+        growth_stream(batch, "/tmp/nowhere")
+
+
 def test_attribution_stream_matches_batch_twin(spark, tmp_path):
     """x164 streaming twin: the finalized attribution report over all
     micro-batches equals the batch attribution_report on the full log —
