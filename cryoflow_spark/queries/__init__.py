@@ -145,6 +145,7 @@ _PRIORITY: list[str] = [
     "q74_unshipped_orders", "q75_local_supplier_volume",
     "q76_forecast_revenue", "q77_promo_share",
     "q78_supplier_diversity", "q79_disjunctive_revenue",
+    "q80_product_profit", "q81_priority_shipping",
 ]
 
 

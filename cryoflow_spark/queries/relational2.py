@@ -2635,3 +2635,109 @@ def q79_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_cents"),
         )
     )
+
+
+# --- q80: product-line profit (TPC-H Q9 flavor) ------------------------------
+
+
+@register(
+    "q80_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+           SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)
+                           - p.p_retailprice * l.l_quantity) * 100)
+                    AS BIGINT))::BIGINT AS profit_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+    "Product-line profit per supplier nation and year (TPC-H Q9 "
+    "shape: the substring part-name filter gating a 5-way star whose "
+    "profit expression SPANS the fact and part tables — the testdata "
+    "has no partsupp.ps_supplycost, so unit cost = p_retailprice, the "
+    "honest stand-in: amount = revenue − retail·quantity, quantized "
+    "per row to exact integer cents (all per-row IEEE identical)): "
+    "one fact shuffle on orderkey, part/supplier/nation broadcast "
+    "with the name filter pushed into the part scan",
+)
+def q80_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part")
+    n = load(spark, sf_dir, "nation")
+    flat = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(p.filter(F.col("p_name").like("%gear%"))),
+            li["l_partkey"] == p["p_partkey"],
+        )
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    return flat.select(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.round(
+            (
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                - F.col("p_retailprice") * F.col("l_quantity")
+            )
+            * F.lit(100.0)
+        )
+        .cast("bigint")
+        .alias("__cents"),
+    ).groupBy("nation", "o_year").agg(
+        F.sum("__cents").cast("bigint").alias("profit_cents")
+    )
+
+
+# --- q81: priority shipping census (TPC-H Q12 flavor) ------------------------
+
+
+@register(
+    "q81_priority_shipping",
+    """
+    SELECT l.l_returnflag AS ship_class,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    "Priority shipping census (TPC-H Q12 shape — the two-level "
+    "CASE-counting join: per line class, how many lines belong to "
+    "URGENT/HIGH orders vs the rest, both counts from ONE pass with "
+    "conditional sums; the testdata has no l_shipmode, so the return "
+    "flag is the grouping surrogate — the shape is the "
+    "conditional-count pair, not the column): year filter pushes to "
+    "the fact scan, one orderkey shuffle, exact integer counts",
+)
+def q81_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        )
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )

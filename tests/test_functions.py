@@ -7811,6 +7811,54 @@ class TestSupplierDiversity:
         assert rows == [("Brand#2", 10, 2)]
 
 
+class TestProductProfitAndPriorityShipping:
+    def test_q9_q12_hand_computed(self, spark, tmp_path):
+        import datetime as dt
+
+        import cryoflow_spark.queries.relational2 as R2
+
+        t = dt.datetime.fromisoformat
+        li = spark.createDataFrame(
+            # part 1 matches '%gear%': profit 100*(1-0) - 30*2 = 40.00
+            [(10, 1, 1, 2.0, 100.0, 0.0, "R", t("1996-02-01")),
+             # part 2 name not matching -> excluded from q80
+             (10, 2, 1, 1.0, 50.0, 0.0, "N", t("1996-02-01")),
+             # out of q81 window
+             (11, 1, 1, 1.0, 70.0, 0.0, "A", t("1999-02-01"))],
+            "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_quantity double, l_extendedprice double,"
+            " l_discount double, l_returnflag string, l_shipdate timestamp",
+        )
+        o = spark.createDataFrame(
+            [(10, t("1996-01-15"), "1-URGENT"),
+             (11, t("1999-01-15"), "5-LOW")],
+            "o_orderkey long, o_orderdate timestamp,"
+            " o_orderpriority string",
+        )
+        s = spark.createDataFrame(
+            [(1, 7)], "s_suppkey long, s_nationkey int"
+        )
+        p = spark.createDataFrame(
+            [(1, "small gear", 30.0), (2, "red bolt", 5.0)],
+            "p_partkey long, p_name string, p_retailprice double",
+        )
+        n = spark.createDataFrame(
+            [(7, "N7")], "n_nationkey int, n_name string"
+        )
+        sf = str(tmp_path)
+        for name, df in (("lineitem", li), ("orders", o), ("supplier", s),
+                         ("part", p), ("nation", n)):
+            df.write.parquet(f"{sf}/{name}.parquet")
+        profit = [(r["nation"], r["o_year"], r["profit_cents"]) for r in
+                  R2.q80_product_profit(spark, sf).collect()]
+        # 1996 line: 40.00; 1999 line: 70 - 30*1 = 40.00
+        assert sorted(profit) == [("N7", 1996, 4000), ("N7", 1999, 4000)]
+        ship = {r["ship_class"]: (r["high_line_count"], r["low_line_count"])
+                for r in R2.q81_priority_shipping(spark, sf).collect()}
+        # window keeps the two 1996 lines, both on URGENT order 10
+        assert ship == {"R": (1, 0), "N": (1, 0)}
+
+
 class TestPaddingWasteReport:
     def test_hand_computed_buckets(self, spark):
         import pytest as _pytest
