@@ -79,61 +79,35 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: The driver's correctness harness checks the FIRST 50 entries of
 #: ``queries()`` in registration order. This explicit priority list rotates
-#: not-yet-driver-verified queries into that window each round while keeping
-#: a spread of already-green sentinels as regression canaries; everything
-#: else follows in original registration order (still runnable/benchable).
+#: the head-50 window each round; everything else follows in original
+#: registration order (still runnable/benchable).
 #:
-#: Round 9 window (head 50) — exactly as pre-committed at the end of r8
-#: (positions 51-85 of the r8 ordering) and prescribed by the r8 verdict
-#: ("Next round" items 1-2):
-#: 1) The 20 remaining r4-cohort twins (driver-stale since r4; each has
-#:    a driver-green sibling on the same code path — backlog declared in
-#:    BASELINE.md). Their driver rows close the disclosed two-window
-#:    exception to the verified-within-2-rounds discipline.
-#: 2) The 15 r8-registered oracle queries (x157-x171), never
-#:    driver-checked, all judge-green (j8 bit-identical sweep).
-#: 3) The 9 rows-only engine/approx twins (verdict item 2): a
-#:    ``no_oracle`` rows>0 driver row is the only driver evidence these
-#:    bench-priced production paths can get (x18 precedent,
-#:    CORRECTNESS_r01). This is the documented exception to the
-#:    oracle-only-window rule, swapped in for 9 already-green sentinels.
-#: 4) Six family-diverse driver-green sentinels as regression canaries
-#:    (relational agg, as-of join, multimodal, CC dedup, mixing,
-#:    minhash audit).
+#: ROTATION POLICY (bounded staleness — codified in round 10, enforced by
+#: tests/test_registry.py::test_rotation_policy_bounded_staleness): with
+#: 267 registered queries and a 50-slot window, "every query re-verified
+#: within 2 rounds" is arithmetically impossible. The steady-state rule is:
 #:
-#: Positions 51+ pre-commit the ROUND 10 window: operators registered
-#: this round (r9) queue there as they land, ahead of the re-registered
-#: remainder.
+#:   window = all never-driver-checked queries first (pre-committed order),
+#:            then strictly oldest-driver-evidence-first, ties broken by
+#:            base registration order,
+#:
+#: which bounds every query's driver-evidence age to ceil(N/50) + 1 rounds
+#: (<= 6 at the current registry size). Evidence age is computed from the
+#: committed CORRECTNESS_r*.json artifacts themselves, so the test fails
+#: the moment a rotation edit would let any query go stale.
+#:
+#: Round 10 window (head 50), derived by that rule from CORRECTNESS_r01-r09:
+#: 1) The 24 r9-registered queries (q64-q81 TPC-H shapes, x172-x177) —
+#:    never driver-checked, pre-committed at r9 positions 51-74, all
+#:    judge-green (j9 sweep + 8/24 judge spot-checks).
+#: 2) The 26 oldest-evidence queries: x18 (rows-only IVF, last row r4) and
+#:    the 25 registration-first members of the r5-evidence cohort.
+#:
+#: Positions 51+ pre-commit the ROUND 11 window: operators registered this
+#: round (r10) queue there as they land (never-checked rank first under the
+#: policy), followed by the next-oldest r5-cohort remainder.
 _PRIORITY: list[str] = [
-    # --- 1) the 20 deferred r4-cohort twins ---
-    "x07_lsh_cosine_topk",
-    "x13_multimodal_features", "x14_frame_sample", "x16_simhash_pairs",
-    "x22_token_shards",
-    "x23_ivf_fixed_topk", "x25_decontaminate", "x26_repetition_stats",
-    "x27_quantized_topk",
-    "x28_source_mix", "x29_chunk_documents", "x30_weighted_sample",
-    "x33_incremental_dedup",
-    "x34_domain_cap", "x35_corpus_freq_score", "x36_dedup_segments",
-    "x37_profile_columns", "x38_leakage_safe_split",
-    "x39_snapshot_diff", "x40_ngram_novelty",
-    # --- 2) the 15 r8-registered oracle queries ---
-    "x157_ivf_pq_rerank", "x158_session_exits",
-    "x159_auc_report", "x160_calibration_curve",
-    "x162_fleiss_kappa", "x163_hard_negatives",
-    "x164_attribution_report", "x161_event_pagerank",
-    "x165_rrf_fusion", "x166_ndcg_eval", "x167_theil_sen_trend",
-    "x168_spearman", "x169_token_concentration",
-    "x170_mrr_eval", "x171_growth_accounting",
-    # --- 3) the 9 rows-only engine/approx twins (rows>0 evidence) ---
-    "x15_engine_minhash_dedup", "x33_engine_incremental_dedup",
-    "x37_profile_approx", "x76_correlation_approx",
-    "x79_quantiles_approx", "x100_pq_adc_engine",
-    "x102_ivf_pq_engine", "x141_outliers_approx", "x157_rerank_engine",
-    # --- 4) six driver-green regression sentinels ---
-    "q01_pricing_summary", "q25_asof_join", "x12_multimodal_meta",
-    "x20_dedup_clusters", "x58_temperature_mix", "x103_minhash_audit",
-    # --- positions 51+: pre-committed ROUND 10 window ---
-    # new r9 operators queue here as they register
+    # --- 1) the 24 r9-new queries (driver evidence gap, r9 verdict #1) ---
     "q64_late_shipment_priority", "q65_top_supplier",
     "q66_dominant_supplier", "x172_markov_next_event",
     "x173_event_communities", "x174_signup_proximity",
@@ -146,6 +120,33 @@ _PRIORITY: list[str] = [
     "q76_forecast_revenue", "q77_promo_share",
     "q78_supplier_diversity", "q79_disjunctive_revenue",
     "q80_product_profit", "q81_priority_shipping",
+    # --- 2) the 26 oldest-evidence queries (r4/r5 cohort, oldest first) ---
+    "x18_ivf_cosine_topk",
+    "x02_dedup_normalized", "x04_jaccard_dedup", "x06_embedding_neardup",
+    "x08_text_stats", "x09_lang_id", "x10_quality_score",
+    "x11_fingerprint", "x15_minhash_dedup", "x19_bpe_token_budget",
+    "x21_tfidf_top_terms", "x31_zorder_key",
+    "x32_remove_frequent_segments", "x41_ann_recall",
+    "x42_domain_normalize_cap",
+    "q02_filter_project", "q03_top_orders", "q04_order_priority",
+    "q05_local_supplier_volume", "q06_forecast_revenue",
+    "q07_price_buckets", "q08_topk_lineitems", "q09_distinct_segments",
+    "q10_union_order_classes", "q11_intersect_customers",
+    "q12_customers_without_orders",
+    # --- positions 51+: pre-committed ROUND 11 window ---
+    # new r10 operators queue here as they register (never-checked first
+    # under the rotation policy) ...
+    # ... then the next-oldest r5-cohort remainder:
+    "q13_top_orders_per_customer", "q14_event_deltas", "q15_string_ops",
+    "q16_orders_by_month", "q17_cast_quantity_histogram",
+    "q18_customer_order_stats", "q19_right_join_nations",
+    "q20_region_nation_matrix", "q21_quantity_stats", "q22_rollup_counts",
+    "q23_event_props_json", "q24_ship_delay", "q26_price_quantiles",
+    "q27_pivot_returnflag", "q28_word_frequencies",
+    "q29_priciest_lineitem_per_flag", "q31_running_totals",
+    "q36_range_join_pairs", "q44_time_bucket_rollup",
+    "q45_collect_sorted_arrays", "q54_array_lambdas",
+    "q57_above_nation_average", "q58_distributed_cdf",
 ]
 
 
