@@ -57,6 +57,20 @@ def main() -> int:
     from cryoflow_spark.queries import all_queries
 
     spark = get_session(app_name="cryoflow-bench")
+    # Silence WindowExec's "No Partition Defined" WARN spam: every
+    # single-reducer window in the registry is a deliberate bounded
+    # envelope (CDF-spine offset stitches etc.), allowlisted and
+    # ENFORCED by tests/test_plans.py::_BOUNDED_WINDOW_ENVELOPES — a
+    # NEW unbounded window fails that test, it doesn't need to scroll
+    # the bench tail. log4j2 Configurator; best-effort across versions.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # noqa: BLE001 — logging cosmetics only
+        pass
     registry = all_queries()
     selected = (
         {k: v for k, v in registry.items() if k in set(args.queries)}

@@ -144,7 +144,14 @@ def run(config: Optional[Path], verbose: bool) -> None:
     help="Path to config file.",
 )
 @click.option("-V", "--verbose", is_flag=True, help="Enable verbose output.")
-def check(config: Optional[Path], verbose: bool) -> None:
+@click.option(
+    "--explain",
+    is_flag=True,
+    help="Also print each labeled stream's Spark physical plan "
+    "(EXPLAIN FORMATTED — scans, pushed filters, joins, exchanges). "
+    "Builds the lazy plans against the real inputs; still runs no job.",
+)
+def check(config: Optional[Path], verbose: bool, explain: bool) -> None:
     """Validate pipeline configuration and schema without processing data."""
     setup_logging(verbose)
     cfg, config_path, pm = _load(config)
@@ -176,6 +183,28 @@ def check(config: Optional[Path], verbose: bool) -> None:
         click.echo(f"\nOutput schema [{label}]:")
         for field in schema.fields:
             click.echo(f"  {field.name}: {field.dataType.simpleString()}")
+
+    if explain:
+        from cryoflow_spark.core.pipeline import plan_labeled_pipeline
+
+        plan_map = plan_labeled_pipeline(inputs, transforms, spark=spark)
+        for label, data_result in sorted(plan_map.items()):
+            if not data_result.is_success:
+                click.echo(
+                    f"\n[ERROR] Could not build plan for stream "
+                    f"[{label}]: {data_result.failure()}",
+                    err=True,
+                )
+                sys.exit(1)
+            df = data_result.unwrap()
+            click.echo(f"\nPhysical plan [{label}]:")
+            # the same JVM call DataFrame.explain() prints — taken as a
+            # string so it flows through click's output capture
+            click.echo(
+                spark._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"
+                )
+            )
 
 
 if __name__ == "__main__":

@@ -241,6 +241,29 @@ def run_pipeline(
     if not inputs:
         return Failure(ValueError("no input plugins configured"))
 
+    data_map = plan_labeled_pipeline(inputs, transforms, spark=spark)
+    return _execute_labeled_output(data_map, outputs)
+
+
+def plan_labeled_pipeline(
+    inputs: list[InputPlugin],
+    transforms: list[TransformPlugin],
+    spark: Optional[SparkSession] = None,
+) -> LabeledDataMap:
+    """Build every labeled stream's final DataFrame WITHOUT executing
+    outputs: inputs → labeled transform chain, returned as the labeled
+    data map. DataFrames are lazy plans — no Spark job runs — so this
+    powers ``cryoflow check --explain`` (print the physical plan per
+    labeled stream; the reference's check command stops at schemas,
+    ref commands/check.py:58-63) and is the shared front half of
+    :func:`run_pipeline`.
+    """
+    if spark is None:
+        from cryoflow_spark.core.session import get_session
+
+        spark = get_session()
+    _attach(spark, inputs, transforms)
+
     data_map: LabeledDataMap = {}
     for plugin in inputs:
         logger.debug("input: %s (label=%s)", plugin.name, plugin.label)
@@ -249,8 +272,7 @@ def run_pipeline(
         except Exception as exc:  # noqa: BLE001
             data_map[plugin.label] = Failure(exc)
 
-    data_map = _execute_labeled_transform_chain(data_map, transforms)
-    return _execute_labeled_output(data_map, outputs)
+    return _execute_labeled_transform_chain(data_map, transforms)
 
 
 def run_dry_run_pipeline(

@@ -1772,3 +1772,53 @@ def chat_turn_stats(
         ),
     )
     return out
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Re-identification audit before releasing dataset metadata:
+    every quasi-identifier combination shared by FEWER than ``k`` rows
+    (Sweeney 2002, "k-anonymity: a model for protecting privacy" —
+    a record is k-anonymous iff its quasi-identifier tuple is
+    indistinguishable among >= k records), optionally with the
+    combination's distinct-sensitive-value count (l-diversity,
+    Machanavajjhala et al. 2007: a small group whose members all share
+    one sensitive value leaks it even at k). The training-data read:
+    "can (language, source, exact length) single out a contributor in
+    the metadata we publish?" — release gates typically generalize or
+    suppress the reported combinations until this report is empty.
+
+    Output: one row per violating combination — the quasi columns,
+    ``group_size`` (bigint, < k), and ``l_distinct`` (bigint, distinct
+    non-null sensitive values; 0 without ``sensitive_col``). NULL
+    quasi values are legitimate combination members (NULL groups like
+    any value in a groupBy — an all-NULL tuple of one row is still a
+    singleton leak).
+
+    Scale: ONE hash aggregation on the quasi tuple (map-side partials;
+    count-distinct adds the standard two-level expand only when
+    ``sensitive_col`` is set) and a ``< k`` filter — the report is
+    |violating combinations| rows, and the common release-gate use is
+    just ``.limit(1).isEmpty()``-style emptiness.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 is vacuously anonymous)")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("group_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col))
+            .cast("bigint")
+            .alias("l_distinct")
+        )
+    out = df.groupBy(*quasi_cols).agg(*aggs)
+    if sensitive_col is None:
+        out = out.withColumn("l_distinct", F.lit(0).cast("bigint"))
+    return out.filter(F.col("group_size") < k).select(
+        *quasi_cols, "group_size", "l_distinct"
+    )

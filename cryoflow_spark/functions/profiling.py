@@ -1870,22 +1870,41 @@ def theil_sen_trend(
     )
     obs = obs_src
     if max_points_per_group is not None:
-        over = (
+        # LAZY in-plan guard (r10 ADVICE: the previous version ran an
+        # eager count-job at CALL time, making plan construction launch
+        # Spark jobs). The per-group counts are computed as a broadcast
+        # side of the self-join input, with assert_true firing while the
+        # broadcast is BUILT — i.e. at evaluation, but still before a
+        # single |points|² pair row is produced.
+        cap = int(max_points_per_group)
+        guard = (
             obs.groupBy("__g")
             .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > int(max_points_per_group))
-            .orderBy(F.col("__n").desc())
-            .limit(1)
-            .collect()
-        )
-        if over:
-            raise ValueError(
-                f"theil_sen_trend: group {over[0]['__g']!r} has "
-                f"{over[0]['__n']} observations, above max_points_per_group="
-                f"{max_points_per_group}; the pairwise slope fanout is "
-                "|points|^2 per group — pre-aggregate to a daily/weekly "
-                "series first, or raise/waive the cap explicitly"
+            .select(
+                "__g",
+                F.assert_true(
+                    F.col("__n") <= F.lit(cap),
+                    F.concat(
+                        F.lit("theil_sen_trend: group '"),
+                        F.col("__g").cast("string"),
+                        F.lit("' has "),
+                        F.col("__n").cast("string"),
+                        F.lit(
+                            " observations, above max_points_per_group="
+                            f"{cap}; the pairwise slope fanout is "
+                            "|points|^2 per group — pre-aggregate to a "
+                            "daily/weekly series first, or raise/waive "
+                            "the cap explicitly"
+                        ),
+                    ),
+                ).alias("__assert"),
             )
+        )
+        obs = (
+            obs.join(F.broadcast(guard), "__g")
+            .filter(F.col("__assert").isNull())
+            .drop("__assert")
+        )
     a, b = obs.alias("a"), obs.alias("b")
     pairs = a.join(
         b,
@@ -2154,4 +2173,161 @@ def concentration_report(
                 6,
             ),
         ).alias("top_share"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    ``value_col`` distributions of two ``group_col`` classes
+    (Kolmogorov 1933; Smirnov 1939):
+
+        D = sup_v |F_a(v) - F_b(v)|
+
+    — the standard distribution-shift gate a PSI/JSD histogram can't
+    give exactly: D is binning-free (every distinct value is a
+    candidate sup point) and has the classical distribution-free
+    critical values ``c(α)·sqrt((n+m)/(n·m))``. The training-data
+    read: "did this source's quality-score distribution move between
+    snapshots enough to re-gate?"
+
+    Output (one row): ``(n_a, n_b, d_num, d)`` where ``d_num`` is the
+    EXACT integer numerator ``max |cumA·n_b - cumB·n_a|`` over the
+    merged distinct-value spine and ``d = d_num/(n_a·n_b)`` — the
+    integer max is order-independent and engine-portable, the one
+    final divide is IEEE-identical everywhere. NULL values and other
+    groups are excluded; ``d`` is NULL when either sample is empty.
+
+    Scale: ONE pass — both class indicators ride the same
+    distinct-value spine
+    (:func:`cryoflow_spark.functions.ranks.multi_value_cdf`: distinct
+    agg, range exchange, bounded offset stitch — no single-reducer
+    window over data-sized input), then a 1-row max-aggregate with
+    map-side partials. Contrast scipy.stats.ks_2samp, which sorts both
+    samples on one machine.
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin(group_a, group_b)
+    ).select(
+        F.col(value_col).alias("__v"),
+        (F.col(group_col) == group_a).cast("long").alias("__wa"),
+        (F.col(group_col) == group_b).cast("long").alias("__wb"),
+    )
+    from cryoflow_spark.functions.ranks import multi_value_cdf
+
+    spine = multi_value_cdf(base, "__v", ["__wa", "__wb"])
+    return spine.agg(
+        F.max("__wa_total").cast("bigint").alias("n_a"),
+        F.max("__wb_total").cast("bigint").alias("n_b"),
+        F.max(
+            F.abs(
+                F.col("__wa_at_or_below") * F.col("__wb_total")
+                - F.col("__wb_at_or_below") * F.col("__wa_total")
+            )
+        )
+        .cast("bigint")
+        .alias("d_num"),
+    ).select(
+        "n_a",
+        "n_b",
+        "d_num",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ),
+        ).alias("d"),
+    )
+
+
+def wasserstein_distance(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between the
+    ``value_col`` distributions of two classes (Monge 1781 / Kantorovich
+    1942; the 1-D closed form e.g. Ramdas, García Trillos & Cuturi 2017):
+
+        W1 = ∫ |F_a(v) - F_b(v)| dv
+           = Σ_i |F_a(v_i) - F_b(v_i)| · (v_{i+1} - v_i)
+
+    over the merged sorted distinct values — the drift number that,
+    unlike KS's sup or PSI's bins, weighs HOW FAR the mass moved (in
+    the value's own units): the re-mixing read is "the new crawl's
+    doc-length distribution shifted by ~340 tokens of mass".
+
+    Output (one row): ``(n_a, n_b, w1)``. Determinism: the CDF
+    difference at each spine value is the exact integer
+    ``|cumA·n_b - cumB·n_a|``; its product with the (double) gap is
+    per-row IEEE arithmetic identical in any engine; the sum of those
+    products folds through an exact ``DECIMAL(38,10)`` accumulator
+    (order-independent), and the single final divide by ``n_a·n_b``
+    happens once on the driver-side result expression. NULLs and other
+    groups are excluded; ``w1`` is NULL when either sample is empty.
+
+    Scale: same ONE-pass profile as :func:`ks_two_sample` (shared
+    spine construction), plus one spine-sized self-equi-join on
+    ``value_idx + 1`` for the adjacent-value gap — shuffle bounded by
+    the distinct-value count, never the corpus.
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin(group_a, group_b)
+    ).select(
+        F.col(value_col).cast("double").alias("__v"),
+        (F.col(group_col) == group_a).cast("long").alias("__wa"),
+        (F.col(group_col) == group_b).cast("long").alias("__wb"),
+    )
+    from cryoflow_spark.functions.ranks import multi_value_cdf
+
+    spine = multi_value_cdf(base, "__v", ["__wa", "__wb"])
+    # The spine feeds TWO consumers (the cum rows and their idx+1
+    # shift); column pruning gives the branches different aggregates,
+    # so Catalyst cannot ReusedExchange them and the whole spine (incl.
+    # the corpus scan) would compute twice. Lazy localCheckpoint
+    # materializes it once at first action — the graph-loop pattern.
+    spine = spine.localCheckpoint(eager=False)
+    nxt = spine.select(
+        (F.col("value_idx") - 1).alias("value_idx"),
+        F.col("__v").alias("__v_next"),
+    )
+    dec = "decimal(38,10)"
+    # left join: the last spine row keeps a NULL gap, so its product
+    # nulls out of the SUM while the row still feeds the n_a/n_b maxes
+    # (a single-distinct-value spine then yields w1 = 0, not NULL)
+    stepped = spine.join(nxt, "value_idx", "left")
+    return stepped.agg(
+        F.max("__wa_total").cast("bigint").alias("n_a"),
+        F.max("__wb_total").cast("bigint").alias("n_b"),
+        F.sum(
+            (
+                F.abs(
+                    F.col("__wa_at_or_below") * F.col("__wb_total")
+                    - F.col("__wb_at_or_below") * F.col("__wa_total")
+                ).cast("double")
+                * (F.col("__v_next") - F.col("__v"))
+            ).cast(dec)
+        ).alias("__acc"),
+    ).select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.coalesce(F.col("__acc"), F.lit(0).cast(dec)).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ),
+        ).alias("w1"),
     )

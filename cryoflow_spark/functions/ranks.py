@@ -36,7 +36,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["value_cdf", "with_rank_stats"]
+__all__ = ["value_cdf", "with_rank_stats", "multi_value_cdf"]
 
 
 def value_cdf(
@@ -134,6 +134,103 @@ def value_cdf(
             (F.col("_offset") + F.col("_local_cum")).alias("rows_at_or_below"),
             F.col("n_total"),
         )
+    )
+
+
+def multi_value_cdf(
+    df: DataFrame,
+    value_col: str,
+    weight_cols: list[str],
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Distinct-value spine with SEVERAL weighted CDFs in one pass.
+
+    Same distributed construction as :func:`value_cdf` (module
+    docstring: distinct-agg → range exchange → per-partition running
+    sums → bounded offset stitch), but every listed integer weight
+    column is accumulated simultaneously, and each spine row also
+    carries its 1-based position so adjacent-value gaps are one
+    equi-join away. Returns one row per distinct ``value_col``::
+
+        <value_col>, value_idx (bigint, 1-based in value order),
+        n_values (bigint, spine size),
+        and per weight w: <w>_at_or_below (bigint), <w>_total (bigint)
+
+    This powers two-sample distribution statistics (Kolmogorov–Smirnov,
+    Wasserstein-1) with ONE spine shuffle instead of one
+    :func:`value_cdf` per class — the class indicator columns ride the
+    same exchange. NULL values form their own (lowest) spine row, as in
+    ``value_cdf``; callers comparing distributions should filter NULLs
+    first.
+    """
+    if not weight_cols:
+        raise ValueError("weight_cols must be non-empty")
+    spark = df.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    counts = df.groupBy(value_col).agg(
+        *[
+            F.coalesce(F.sum(F.col(w).cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"_c_{w}")
+            for w in weight_cols
+        ]
+    )
+    spine = counts.repartitionByRange(
+        n_part, F.col(value_col).asc_nulls_first()
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(value_col).asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_cols = {w: f"_cum_{w}" for w in weight_cols}
+    for w in weight_cols:
+        spine = spine.withColumn(cum_cols[w], F.sum(f"_c_{w}").over(w_local))
+    spine = spine.withColumn("_local_idx", F.count(F.lit(1)).over(w_local))
+
+    # Bounded per-partition totals (n_part rows) — the documented
+    # single-reducer envelope, identical to value_cdf's stitch.
+    sizes = spine.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_prows"),
+        *[F.sum(f"_c_{w}").alias(f"_pt_{w}") for w in weight_cols],
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_prows").over(w_off), F.lit(0)).alias("_rowoff"),
+        F.sum("_prows").over(w_all).alias("n_values"),
+        *[
+            c
+            for w in weight_cols
+            for c in (
+                F.coalesce(F.sum(f"_pt_{w}").over(w_off), F.lit(0)).alias(
+                    f"_off_{w}"
+                ),
+                F.sum(f"_pt_{w}").over(w_all).alias(f"{w}_total"),
+            )
+        ],
+    )
+    return spine.join(F.broadcast(offsets), "_pid").select(
+        F.col(value_col),
+        (F.col("_rowoff") + F.col("_local_idx")).alias("value_idx"),
+        F.col("n_values"),
+        *[
+            c
+            for w in weight_cols
+            for c in (
+                (F.col(f"_off_{w}") + F.col(cum_cols[w])).alias(
+                    f"{w}_at_or_below"
+                ),
+                F.col(f"{w}_total"),
+            )
+        ],
     )
 
 

@@ -2083,9 +2083,9 @@ def margin_mining_pairs(
     Scale: with ``candidates=None`` this is the x05 brute-force
     broadcast regime (|A|×|B| fold-dots — evaluation-grade, exact).
     The scale path passes ``candidates`` = an (a_id, b_id) shortlist
-    from any ANN stage (x163's contract): only shortlist rows rejoin
-    vectors via broadcast equi-joins, and neighborhoods/argmaxes are
-    computed within the shortlist. Per-side top-k sums fold in rank
+    from any ANN stage (x163's contract): the shortlist BROADCASTS into
+    each vector side (the full embedding tables are never broadcast),
+    and neighborhoods/argmaxes are computed within the shortlist. Per-side top-k sums fold in rank
     order (canonical — order-independent under any partitioning) and
     argmaxes are struct-min — engine-replicable end to end.
     """
@@ -2104,11 +2104,16 @@ def margin_mining_pairs(
     if candidates is None:
         pairs = F.broadcast(a).crossJoin(b)
     else:
-        pairs = (
-            candidates.select("a_id", "b_id")
-            .join(F.broadcast(a), "a_id")
-            .join(F.broadcast(b), "b_id")
-        )
+        # Broadcast the SHORTLIST into each side (it is the small input —
+        # an ANN stage's output), never the full vector tables: at corpus
+        # scale both sides are far beyond broadcast limits, and the old
+        # plan (broadcast(a), broadcast(b)) shipped every embedding to
+        # every executor twice. Side a prunes shuffle-free via the
+        # broadcast hash join; the shortlist-sized intermediate then
+        # equi-joins b on b_id (sort-merge at scale, AQE may still pick
+        # broadcast when b is small). Mirrors hard_negatives above.
+        short = candidates.select("a_id", "b_id")
+        pairs = a.join(F.broadcast(short), "a_id").join(b, "b_id")
     scored = pairs.select(
         "a_id",
         "b_id",

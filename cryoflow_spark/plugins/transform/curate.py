@@ -8,6 +8,11 @@ the TOML plugin surface. Modes (option ``method``):
 
 - ``pii_scrub`` (default): redact URL/email/IP/phone spans in ``column``
   (in place, or into ``out_column``).
+- ``k_anonymity``: replace the stream with the k-anonymity /
+  l-diversity release audit — every ``quasi_columns`` combination
+  shared by fewer than ``k`` (default 5) rows, with its distinct
+  ``sensitive_column`` count — the can-metadata-single-out-a-
+  contributor gate before publishing per-document stats.
 - ``pii_exposure``: replace the stream with the per-``group_column``
   (or global) PII exposure audit — per type (url/email/ip/phone, in
   scrub-chain order) docs-hit + span counts, any-PII docs and rate —
@@ -203,6 +208,14 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 min_len=int(self.options.get("min_len", 16)),
                 entropy_bits=float(self.options.get("entropy_bits", 3.5)),
                 emit=str(self.options.get("emit", "summary")),
+            )
+
+        if method == "k_anonymity":
+            return C.k_anonymity_report(
+                data,
+                quasi_cols=list(self.require_option("quasi_columns")),
+                k=int(self.options.get("k", 5)),
+                sensitive_col=self.options.get("sensitive_column"),
             )
 
         if method == "pii_scrub":

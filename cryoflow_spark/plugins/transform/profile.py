@@ -83,6 +83,13 @@ disturbing the main stream. Options:
 - ``report = "trend"`` emits the per-group Theil-Sen robust trend
   line (median of pairwise slopes) of pre-aggregated observations:
   ``group_column`` / ``x_column`` / ``y_column`` required.
+- ``report = "ks"`` emits the ONE-row exact two-sample
+  Kolmogorov–Smirnov statistic of ``column`` between ``group_a`` and
+  ``group_b`` classes of ``group_column`` — the binning-free drift
+  gate with distribution-free critical values.
+- ``report = "wasserstein"`` emits the ONE-row exact 1-D
+  Wasserstein-1 / earth-mover distance of the same two-sample setup —
+  how FAR the mass moved, in the column's own units.
 - ``report = "pagerank"`` emits the PageRank centrality of event
   types over the user-journey transition graph (``damping`` default
   0.85, ``n_iter`` default 5) — navigation anchors by flow, not hits.
@@ -393,6 +400,30 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 data,
                 col_a=self.require_option("column_a"),
                 col_b=self.require_option("column_b"),
+            )
+
+        if self.options.get("report") == "ks":
+            from cryoflow_spark.functions.profiling import ks_two_sample
+
+            return ks_two_sample(
+                data,
+                value_col=self.require_option("column"),
+                group_col=self.require_option("group_column"),
+                group_a=self.require_option("group_a"),
+                group_b=self.require_option("group_b"),
+            )
+
+        if self.options.get("report") == "wasserstein":
+            from cryoflow_spark.functions.profiling import (
+                wasserstein_distance,
+            )
+
+            return wasserstein_distance(
+                data,
+                value_col=self.require_option("column"),
+                group_col=self.require_option("group_column"),
+                group_a=self.require_option("group_a"),
+                group_b=self.require_option("group_b"),
             )
 
         if self.options.get("report") == "trend":

@@ -78,75 +78,312 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: The driver's correctness harness checks the FIRST 50 entries of
-#: ``queries()`` in registration order. This explicit priority list rotates
-#: the head-50 window each round; everything else follows in original
-#: registration order (still runnable/benchable).
+#: ``queries()`` in registration order. ``_PRIORITY`` is the committed
+#: rotation order; its head-50 is the upcoming round's driver window, and
+#: everything else follows (still runnable/benchable).
 #:
-#: ROTATION POLICY (bounded staleness — codified in round 10, enforced by
-#: tests/test_registry.py::test_rotation_policy_bounded_staleness): with
-#: 267 registered queries and a 50-slot window, "every query re-verified
-#: within 2 rounds" is arithmetically impossible. The steady-state rule is:
+#: ROTATION POLICY (bounded staleness — enforced by
+#: tests/test_registry.py::test_rotation_policy_bounded_staleness, derived
+#: by tools/make_window.py): with 267 registered queries and a 50-slot
+#: window, "every query re-verified every round" is arithmetically
+#: impossible. The steady-state rule is:
 #:
-#:   window = all never-driver-checked queries first (pre-committed order),
-#:            then strictly oldest-driver-evidence-first, ties broken by
-#:            base registration order,
+#:   ordering = all never-driver-checked queries first (base registration
+#:              order), then strictly oldest-driver-evidence-first, ties
+#:              broken by base registration order,
 #:
-#: which bounds every query's driver-evidence age to ceil(N/50) + 1 rounds
-#: (<= 6 at the current registry size). Evidence age is computed from the
-#: committed CORRECTNESS_r*.json artifacts themselves, so the test fails
-#: the moment a rotation edit would let any query go stale.
+#: where a query's driver evidence is the latest committed
+#: CORRECTNESS_r*.json that contains it. With <= 50 new registrations per
+#: round this bounds every query's driver-evidence age to
+#: ceil(N/50) + 1 rounds (= 7 at the current registry size of 267). The
+#: enforcement test recomputes this ordering from the committed artifacts
+#: themselves, so it fails the moment a rotation edit (or a forgotten
+#: rotation) would let any query go staler than the policy allows.
 #:
-#: Round 10 window (head 50), derived by that rule from CORRECTNESS_r01-r09:
-#: 1) The 24 r9-registered queries (q64-q81 TPC-H shapes, x172-x177) —
-#:    never driver-checked, pre-committed at r9 positions 51-74, all
-#:    judge-green (j9 sweep + 8/24 judge spot-checks).
-#: 2) The 26 oldest-evidence queries: x18 (rows-only IVF, last row r4) and
-#:    the 25 registration-first members of the r5-evidence cohort.
-#:
-#: Positions 51+ pre-commit the ROUND 11 window: operators registered this
-#: round (r10) queue there as they land (never-checked rank first under the
-#: policy), followed by the next-oldest r5-cohort remainder.
+#: This list IS the policy ordering as of the round-10 artifacts: the
+#: round-11 window is the head 50 (the 23 r5-evidence relational queries +
+#: the 27 registration-first r6-cohort extensions); positions 51+
+#: pre-commit the following rounds. Operators newly registered this round
+#: are never-checked and therefore PREPEND (tools/make_window.py emits the
+#: refreshed list).
 _PRIORITY: list[str] = [
-    # --- 1) the 24 r9-new queries (driver evidence gap, r9 verdict #1) ---
-    "q64_late_shipment_priority", "q65_top_supplier",
-    "q66_dominant_supplier", "x172_markov_next_event",
-    "x173_event_communities", "x174_signup_proximity",
-    "q67_cheapest_supplier", "q68_important_parts", "q69_large_orders",
-    "q70_nation_trade", "q71_returned_customers",
-    "x175_margin_mining",
-    "q72_waiting_suppliers", "q73_small_quantity_revenue",
-    "x176_padding_waste", "x177_good_turing",
-    "q74_unshipped_orders", "q75_local_supplier_volume",
-    "q76_forecast_revenue", "q77_promo_share",
-    "q78_supplier_diversity", "q79_disjunctive_revenue",
-    "q80_product_profit", "q81_priority_shipping",
-    # --- 2) the 26 oldest-evidence queries (r4/r5 cohort, oldest first) ---
+    # --- never driver-checked (r11 registrations prepend, per policy) ---
+    "x178_k_anonymity",
+    "x179_ks_two_sample",
+    "x180_wasserstein",
+    # --- last driver-checked: r5 ---
+    "q13_top_orders_per_customer",
+    "q14_event_deltas",
+    "q15_string_ops",
+    "q16_orders_by_month",
+    "q17_cast_quantity_histogram",
+    "q18_customer_order_stats",
+    "q19_right_join_nations",
+    "q20_region_nation_matrix",
+    "q21_quantity_stats",
+    "q22_rollup_counts",
+    "q23_event_props_json",
+    "q24_ship_delay",
+    "q26_price_quantiles",
+    "q27_pivot_returnflag",
+    "q28_word_frequencies",
+    "q29_priciest_lineitem_per_flag",
+    "q31_running_totals",
+    "q36_range_join_pairs",
+    "q44_time_bucket_rollup",
+    "q45_collect_sorted_arrays",
+    "q54_array_lambdas",
+    "q57_above_nation_average",
+    "q58_distributed_cdf",
+    # --- last driver-checked: r6 ---
+    "x43_semantic_dedup",
+    "x44_html_to_text",
+    "x45_quantile_gate",
+    "x46_vocab_stats",
+    "x47_gopher_rules",
+    "x48_c4_clean",
+    "x49_group_centroids",
+    "x50_script_profile",
+    "x52_corpus_report",
+    "x53_incremental_presig",
+    "x55_bloom_decontaminate",
+    "x56_unicode_normalize",
+    "x57_containment_pairs",
+    "x59_segment_repetition",
+    "x60_crawl_refresh",
+    "x61_heavy_hitters",
+    "x62_quantile_buckets",
+    "x63_filter_funnel",
+    "x64_pack_sequences",
+    "x65_centroid_drift",
+    "x66_ivf_presig_topk",
+    "x67_histogram",
+    "x68_key_skew",
+    "x70_exact_n_sample",
+    "x69_token_budget_mix",
+    "x71_cluster_best_keep",
+    "x72_expectations",
+    "x73_winsorize",
+    "x74_distinctive_terms",
+    "x75_embedding_qa",
+    "x76_correlation_matrix",
+    "x77_categorical_dependence",
+    "x78_duplication_profile",
+    "x79_quantile_summary",
+    "x80_conversion_funnel",
+    "x81_retention_cohorts",
+    "x82_robust_outliers",
+    "x83_stopword_fraction",
+    "x84_mutual_information",
+    "x85_water_fill_budget",
+    "x86_quantile_normalize",
+    "x87_zipf_fit",
+    "x88_distribution_drift",
+    "x89_exact_n_per_group",
+    "x90_js_divergence",
+    "x91_snapshot_containment",
+    "x92_group_js_divergence",
+    # --- last driver-checked: r7 ---
+    "x17_sessionize",
+    "x24_pii_scrub",
+    "x51_jl_projection",
+    "x54_dataset_checksum",
+    "x93_duplicate_spans",
+    "x94_ensemble_rank_score",
+    "x95_funnel_latency",
+    "x96_cross_entropy_score",
+    "x97_water_fill_epochs",
+    "x98_domain_blocklist",
+    "x99_token_cap_per_source",
+    "x100_pq_adc_topk",
+    "x101_water_fill_floors",
+    "x102_ivf_pq_topk",
+    "x104_ingest_freshness",
+    "x105_training_order",
+    "x106_vocab_coverage",
+    "x107_ivf_cell_stats",
+    "x108_bigram_cross_entropy",
+    "x109_pmi_collocations",
+    "x110_fk_integrity",
+    "x111_secret_scan",
+    "x112_ccnet_buckets",
+    "x113_tokenizer_fertility",
+    "x114_profile_drift",
+    "q30_string_cleanup",
+    "q32_rank_family",
+    "q33_conditional_aggs",
+    "q34_date_vocabulary",
+    "q35_approx_distinct",
+    "q37_null_handling",
+    "q38_cube_order_stats",
+    "q39_hash_sample",
+    "q40_stratified_sample",
+    "q41_native_pivot",
+    "q42_exists_subquery",
+    "q43_range_interval_window",
+    "q46_sliding_windows",
+    "q47_regex_groups",
+    "q48_bag_set_ops",
+    "q49_null_safe_join",
+    "q50_unpivot_measures",
+    "q51_gap_fill_spine",
+    "q52_bivariate_stats",
+    "q53_fuzzy_part_names",
+    "q55_grouping_sets",
+    "q56_latest_per_key",
+    # --- last driver-checked: r8 ---
+    "x01_dedup_exact",
+    "x03_jaccard_pairs",
+    "x05_cosine_topk",
+    "x115_langid_margin",
+    "x116_decontamination_audit",
+    "x117_truncation_qa",
+    "x118_rate_anomaly",
+    "x119_mixture_order",
+    "x120_cross_source_dup",
+    "x121_domain_diversity",
+    "x122_pii_exposure",
+    "x123_centroid_similarity",
+    "x124_packing_efficiency",
+    "x125_dedup_savings",
+    "x126_encoding_artifacts",
+    "x127_event_transitions",
+    "x128_scd2_intervals",
+    "x129_ngram_diversity",
+    "x130_benford_audit",
+    "x131_ivf_quant_error",
+    "x132_threshold_sensitivity",
+    "x133_classification_report",
+    "x134_join_explosion",
+    "x135_session_journeys",
+    "x136_keyword_contexts",
+    "x137_traffic_seasonality",
+    "x138_chat_transcript_audit",
+    "x139_ab_lift",
+    "x140_cluster_capped_sample",
+    "x141_outlier_report",
+    "x142_association_rules",
+    "x143_bpe_merge_pairs",
+    "x144_cohens_kappa",
+    "x145_image_hash_pairs",
+    "x146_embedding_covariance",
+    "x147_code_detection",
+    "x148_kneser_ney_counts",
+    "x149_active_users",
+    "x150_mixed_script",
+    "x151_special_tokens",
+    "x152_dedup_pair_inspector",
+    "x153_chat_turn_stats",
+    "x154_session_entries",
+    "x155_bm25_search",
+    "x156_duplicate_embeddings",
+    "q59_recursive_months",
+    "q60_lateral_topn",
+    "q61_market_share",
+    "q62_customer_distribution",
+    "q63_sales_opportunity",
+    # --- last driver-checked: r9 ---
+    "x07_lsh_cosine_topk",
+    "x12_multimodal_meta",
+    "x13_multimodal_features",
+    "x14_frame_sample",
+    "x16_simhash_pairs",
+    "x20_dedup_clusters",
+    "x22_token_shards",
+    "x23_ivf_fixed_topk",
+    "x25_decontaminate",
+    "x26_repetition_stats",
+    "x27_quantized_topk",
+    "x28_source_mix",
+    "x29_chunk_documents",
+    "x30_weighted_sample",
+    "x33_incremental_dedup",
+    "x34_domain_cap",
+    "x35_corpus_freq_score",
+    "x36_dedup_segments",
+    "x37_profile_columns",
+    "x38_leakage_safe_split",
+    "x39_snapshot_diff",
+    "x40_ngram_novelty",
+    "x15_engine_minhash_dedup",
+    "x33_engine_incremental_dedup",
+    "x58_temperature_mix",
+    "x37_profile_approx",
+    "x76_correlation_approx",
+    "x79_quantiles_approx",
+    "x100_pq_adc_engine",
+    "x102_ivf_pq_engine",
+    "x103_minhash_audit",
+    "x141_outliers_approx",
+    "x157_ivf_pq_rerank",
+    "x158_session_exits",
+    "x159_auc_report",
+    "x160_calibration_curve",
+    "x162_fleiss_kappa",
+    "x163_hard_negatives",
+    "x164_attribution_report",
+    "x161_event_pagerank",
+    "x165_rrf_fusion",
+    "x166_ndcg_eval",
+    "x167_theil_sen_trend",
+    "x168_spearman",
+    "x157_rerank_engine",
+    "x169_token_concentration",
+    "x170_mrr_eval",
+    "x171_growth_accounting",
+    "q01_pricing_summary",
+    "q25_asof_join",
+    # --- last driver-checked: r10 ---
+    "x02_dedup_normalized",
+    "x04_jaccard_dedup",
+    "x06_embedding_neardup",
+    "x08_text_stats",
+    "x09_lang_id",
+    "x10_quality_score",
+    "x11_fingerprint",
+    "x15_minhash_dedup",
     "x18_ivf_cosine_topk",
-    "x02_dedup_normalized", "x04_jaccard_dedup", "x06_embedding_neardup",
-    "x08_text_stats", "x09_lang_id", "x10_quality_score",
-    "x11_fingerprint", "x15_minhash_dedup", "x19_bpe_token_budget",
-    "x21_tfidf_top_terms", "x31_zorder_key",
-    "x32_remove_frequent_segments", "x41_ann_recall",
+    "x19_bpe_token_budget",
+    "x21_tfidf_top_terms",
+    "x31_zorder_key",
+    "x32_remove_frequent_segments",
+    "x41_ann_recall",
     "x42_domain_normalize_cap",
-    "q02_filter_project", "q03_top_orders", "q04_order_priority",
-    "q05_local_supplier_volume", "q06_forecast_revenue",
-    "q07_price_buckets", "q08_topk_lineitems", "q09_distinct_segments",
-    "q10_union_order_classes", "q11_intersect_customers",
+    "x172_markov_next_event",
+    "x173_event_communities",
+    "x174_signup_proximity",
+    "x175_margin_mining",
+    "x176_padding_waste",
+    "x177_good_turing",
+    "q02_filter_project",
+    "q03_top_orders",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q07_price_buckets",
+    "q08_topk_lineitems",
+    "q09_distinct_segments",
+    "q10_union_order_classes",
+    "q11_intersect_customers",
     "q12_customers_without_orders",
-    # --- positions 51+: pre-committed ROUND 11 window ---
-    # new r10 operators queue here as they register (never-checked first
-    # under the rotation policy) ...
-    # ... then the next-oldest r5-cohort remainder:
-    "q13_top_orders_per_customer", "q14_event_deltas", "q15_string_ops",
-    "q16_orders_by_month", "q17_cast_quantity_histogram",
-    "q18_customer_order_stats", "q19_right_join_nations",
-    "q20_region_nation_matrix", "q21_quantity_stats", "q22_rollup_counts",
-    "q23_event_props_json", "q24_ship_delay", "q26_price_quantiles",
-    "q27_pivot_returnflag", "q28_word_frequencies",
-    "q29_priciest_lineitem_per_flag", "q31_running_totals",
-    "q36_range_join_pairs", "q44_time_bucket_rollup",
-    "q45_collect_sorted_arrays", "q54_array_lambdas",
-    "q57_above_nation_average", "q58_distributed_cdf",
+    "q64_late_shipment_priority",
+    "q65_top_supplier",
+    "q66_dominant_supplier",
+    "q67_cheapest_supplier",
+    "q68_important_parts",
+    "q69_large_orders",
+    "q70_nation_trade",
+    "q71_returned_customers",
+    "q72_waiting_suppliers",
+    "q73_small_quantity_revenue",
+    "q74_unshipped_orders",
+    "q75_local_supplier_volume",
+    "q76_forecast_revenue",
+    "q77_promo_share",
+    "q78_supplier_diversity",
+    "q79_disjunctive_revenue",
+    "q80_product_profit",
+    "q81_priority_shipping",
 ]
 
 

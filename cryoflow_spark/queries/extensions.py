@@ -9724,3 +9724,135 @@ def x177_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return good_turing_counts(d, max_r=10, ngram_order=2)
+
+
+# --- x178: k-anonymity / l-diversity release audit (oracle-checked) ----------
+
+
+@register(
+    "x178_k_anonymity",
+    """
+    SELECT lang, n_chars, COUNT(*)::BIGINT AS group_size,
+           COUNT(DISTINCT source)::BIGINT AS l_distinct
+    FROM documents
+    GROUP BY 1, 2
+    HAVING COUNT(*) < 3
+    """,
+    "k-anonymity release audit (Sweeney 2002) with l-diversity counts "
+    "(Machanavajjhala 2007): every (lang, exact char length) "
+    "quasi-identifier combination shared by fewer than k=3 documents, "
+    "with how many distinct sources it exposes — the "
+    "can-metadata-single-out-a-contributor gate before publishing "
+    "per-document stats; ONE hash aggregation on the quasi tuple plus "
+    "a < k filter, report sized by violations not corpus",
+)
+def x178_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.curation import k_anonymity_report
+
+    d = load(spark, sf_dir, "documents")
+    return k_anonymity_report(
+        d, quasi_cols=["lang", "n_chars"], k=3, sensitive_col="source"
+    )
+
+
+# --- x179: exact Kolmogorov-Smirnov two-sample drift gate (oracle-checked) ---
+
+
+@register(
+    "x179_ks_two_sample",
+    """
+    WITH base AS (
+      SELECT l_extendedprice AS v,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS wa,
+             CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS wb
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'A')
+    ),
+    sp AS (
+      SELECT v, SUM(wa)::BIGINT AS ca, SUM(wb)::BIGINT AS cb
+      FROM base GROUP BY v
+    ),
+    cum AS (
+      SELECT SUM(ca) OVER (ORDER BY v)::BIGINT AS cca,
+             SUM(cb) OVER (ORDER BY v)::BIGINT AS ccb
+      FROM sp
+    ),
+    tot AS (SELECT SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb FROM sp)
+    SELECT na AS n_a, nb AS n_b,
+           MAX(ABS(cca * nb - ccb * na))::BIGINT AS d_num,
+           CASE WHEN na > 0 AND nb > 0 THEN
+             ROUND(MAX(ABS(cca * nb - ccb * na))::DOUBLE
+                   / (na * nb)::DOUBLE, 6)
+           END AS d
+    FROM cum CROSS JOIN tot
+    GROUP BY na, nb
+    """,
+    "Exact two-sample Kolmogorov-Smirnov statistic (Smirnov 1939) "
+    "between the returned (R) and accepted (A) line-price "
+    "distributions: sup-norm CDF distance with an exact integer "
+    "numerator max|cumA*n_b - cumB*n_a| over the merged distinct-value "
+    "spine — the binning-free drift gate; both class indicators ride "
+    "ONE distributed CDF spine (multi_value_cdf: distinct agg + range "
+    "exchange + bounded offset stitch), then a 1-row max-agg — vs "
+    "scipy's single-machine sort",
+)
+def x179_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import ks_two_sample
+
+    li = load(spark, sf_dir, "lineitem")
+    return ks_two_sample(
+        li, "l_extendedprice", "l_returnflag", group_a="R", group_b="A"
+    )
+
+
+# --- x180: exact 1-D Wasserstein-1 drift distance (oracle-checked) -----------
+
+
+@register(
+    "x180_wasserstein",
+    """
+    WITH base AS (
+      SELECT l_extendedprice AS v,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS wa,
+             CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS wb
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'A')
+    ),
+    sp AS (
+      SELECT v, SUM(wa)::BIGINT AS ca, SUM(wb)::BIGINT AS cb
+      FROM base GROUP BY v
+    ),
+    cum AS (
+      SELECT v, SUM(ca) OVER (ORDER BY v)::BIGINT AS cca,
+             SUM(cb) OVER (ORDER BY v)::BIGINT AS ccb,
+             LEAD(v) OVER (ORDER BY v) AS v_next
+      FROM sp
+    ),
+    tot AS (SELECT SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb FROM sp)
+    SELECT na AS n_a, nb AS n_b,
+           CASE WHEN na > 0 AND nb > 0 THEN
+             ROUND(COALESCE(SUM(CAST(ABS(cca * nb - ccb * na)::DOUBLE
+                                     * (v_next - v)
+                                     AS DECIMAL(38,10))),
+                            0)::DOUBLE
+                   / (na * nb)::DOUBLE, 6)
+           END AS w1
+    FROM cum CROSS JOIN tot
+    GROUP BY na, nb
+    """,
+    "Exact 1-D Wasserstein-1 / earth-mover distance (Kantorovich 1942; "
+    "1-D closed form = integral of |CDF_a - CDF_b|) between the R and "
+    "A line-price distributions: unlike KS's sup or PSI's bins it "
+    "weighs HOW FAR the mass moved, in price units; shares x179's "
+    "one-pass two-weight CDF spine, adds one spine-sized idx+1 "
+    "self-join for adjacent-value gaps, folds the gap-weighted exact "
+    "integer CDF differences through a DECIMAL(38,10) accumulator — "
+    "order-independent and engine-portable",
+)
+def x180_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import wasserstein_distance
+
+    li = load(spark, sf_dir, "lineitem")
+    return wasserstein_distance(
+        li, "l_extendedprice", "l_returnflag", group_a="R", group_b="A"
+    )

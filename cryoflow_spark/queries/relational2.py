@@ -2525,7 +2525,8 @@ def q77_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p.p_brand <> 'Brand#1'
       AND p.p_size IN (10, 20, 30, 40, 49)
       AND ps.l_suppkey NOT IN (
-        SELECT s.s_suppkey FROM supplier s WHERE s.s_acctbal < 0
+        SELECT s.s_suppkey FROM supplier s
+        WHERE s.s_acctbal < 0 AND s.s_suppkey IS NOT NULL
       )
     GROUP BY 1, 2
     """,
@@ -2550,9 +2551,13 @@ def q78_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "l_suppkey")
         .distinct()
     )
-    blocked = s.filter(F.col("s_acctbal") < 0).select(
-        F.col("s_suppkey").alias("l_suppkey")
-    )
+    # NULL guard: SQL NOT IN over a subquery containing a NULL drops
+    # EVERY row, while left_anti keeps non-matching ones — exclude NULL
+    # suppkeys on both sides so the two plans agree structurally, not
+    # just on this (null-free) data.
+    blocked = s.filter(
+        (F.col("s_acctbal") < 0) & F.col("s_suppkey").isNotNull()
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
     pdim = p.filter(
         (F.col("p_brand") != "Brand#1")
         & F.col("p_size").isin(10, 20, 30, 40, 49)
@@ -2733,10 +2738,14 @@ def q81_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy(F.col("l_returnflag").alias("ship_class"))
         .agg(
+            # NULL guard: SQL's CASE WHEN x NOT IN (...) yields NULL→ELSE 0
+            # for a NULL priority, so the low count must be the NEGATED
+            # predicate (NULL→otherwise 0), not the complement branch of
+            # the high one (which would count NULLs as low).
             F.sum(F.when(high, 1).otherwise(0))
             .cast("bigint")
             .alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1))
+            F.sum(F.when(~high, 1).otherwise(0))
             .cast("bigint")
             .alias("low_line_count"),
         )

@@ -33,9 +33,11 @@ So, like the transition twin:
 
 PRECONDITION (documented on the partial builder): each user's events
 must arrive as non-interleaved (ts, event_id) segments across batches —
-the transition twin's precondition, same rationale and same fallback
-(keep full per-user sequences as state, or re-sort at rest with the
-batch operator).
+the transition twin's precondition. Same shipped fallback too:
+``ordered=False`` spools each batch's RAW projected rows idempotently
+and finalize re-sorts at rest with the batch operator — correct under
+arbitrary cross-batch interleaving, partial storage O(events), finalize
+cost equal to the batch operator (SCALE.md).
 
 Scale: per batch, one user-partitioned window pass + two keyed aggs
 over THAT BATCH only; the partial is |in-batch credit pairs| +
@@ -95,24 +97,36 @@ def attribution_stream(
     id_col: str = "event_id",
     checkpoint_path: Optional[str] = None,
     trigger: str = "available_now",
+    ordered: bool = True,
 ) -> StreamingQuery:
     """Maintain the x164 attribution credit state over a live event
     stream.
 
     Read the current report at any time with
-    :func:`finalize_attribution` — equal to the batch
-    ``attribution_report`` over everything ingested so far (see the
-    module docstring for the per-user segment-order precondition).
+    :func:`finalize_attribution` (same ``ordered`` flag) — equal to the
+    batch ``attribution_report`` over everything ingested so far.
+    ``ordered=True`` keeps O(1) per-user state and requires per-user
+    segment-ordered ingest; ``ordered=False`` spools raw rows and
+    re-sorts at finalize, correct under arbitrary cross-batch
+    interleaving (module docstring).
     """
     if not stream_df.isStreaming:
         raise ValueError("stream_df must be a streaming DataFrame")
     checkpoint = checkpoint_path or f"{output_path}/_checkpoint"
 
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        _write_attribution_partials(
-            batch_df, batch_id, output_path, conversion_types,
-            touch_types, ts_col, user_col, type_col, id_col,
-        )
+    if ordered:
+        def _process(batch_df: DataFrame, batch_id: int) -> None:
+            _write_attribution_partials(
+                batch_df, batch_id, output_path, conversion_types,
+                touch_types, ts_col, user_col, type_col, id_col,
+            )
+    else:
+        def _process(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.select(
+                user_col, type_col, ts_col, id_col
+            ).write.mode("overwrite").parquet(
+                f"{output_path}/partials/batch_id={batch_id}"
+            )
 
     return _start(stream_df, _process, checkpoint, trigger)
 
@@ -121,34 +135,70 @@ def finalize_attribution(
     spark: SparkSession,
     output_path: str,
     direct_marker: str = "(direct)",
+    ordered: bool = True,
+    conversion_types: Optional[Sequence[str]] = None,
+    touch_types: Optional[Sequence[str]] = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Fold all written partials into the current attribution report —
-    equal to the batch twin on the ingested union."""
-    from cryoflow_spark.functions.events import (
-        attribution_report_from_partials,
-    )
-
+    equal to the batch twin on the ingested union. Pass the SAME
+    ``ordered`` flag the stream was started with; unordered mode also
+    needs the stream's ``conversion_types``/``touch_types`` and column
+    names (ordered partials already baked them in). A schema mismatch
+    between modes fails loudly — raw columns vs summary columns."""
     partials = spark.read.parquet(f"{output_path}/partials/batch_id=*")
-    return attribution_report_from_partials(
-        partials, direct_marker=direct_marker
+    if ordered:
+        from cryoflow_spark.functions.events import (
+            attribution_report_from_partials,
+        )
+
+        return attribution_report_from_partials(
+            partials, direct_marker=direct_marker
+        )
+    if conversion_types is None:
+        raise ValueError(
+            "finalize_attribution(ordered=False) needs the stream's "
+            "conversion_types to run the batch operator on raw rows"
+        )
+    from cryoflow_spark.functions.events import attribution_report
+
+    return attribution_report(
+        partials,
+        conversion_types=conversion_types,
+        touch_types=touch_types,
+        ts_col=ts_col,
+        user_col=user_col,
+        type_col=type_col,
+        id_col=id_col,
+        direct_marker=direct_marker,
     )
 
 
 def compact_attribution_partials(
     spark: SparkSession,
     output_path: str,
+    ordered: bool = True,
 ) -> int:
     """Compact the per-batch partial directories into one merged
-    partial (|credit pairs| + |users| rows total) —
+    partial (|credit pairs| + |users| rows in ordered mode) —
     :func:`attribution_partials_merge` output is closed under merge, so
     the compacted directory remains valid input for both
-    :func:`finalize_attribution` and later compactions. See
+    :func:`finalize_attribution` and later compactions. In
+    ``ordered=False`` raw-spool mode, rows are closed under plain union
+    — compaction rewrites them as-is, collapsing directory count. See
     :func:`cryoflow_spark.streaming.report_stream.compact_partials`
     for the crash/replay contract. Returns directories removed.
     """
-    from cryoflow_spark.functions.events import attribution_partials_merge
     from cryoflow_spark.streaming.report_stream import compact_partials
 
-    return compact_partials(
-        spark, output_path, merge_fn=attribution_partials_merge
-    )
+    merge_fn = None
+    if ordered:
+        from cryoflow_spark.functions.events import (
+            attribution_partials_merge,
+        )
+
+        merge_fn = attribution_partials_merge
+    return compact_partials(spark, output_path, merge_fn=merge_fn)

@@ -25,10 +25,18 @@ PRECONDITION (documented on the partial builder): each user's events
 must arrive as non-interleaved (ts, event_id) segments across batches —
 true for time-ordered log replay and per-key-ordered ingest (Kafka key
 = user). Out-of-order arrival ACROSS batches would mis-stitch
-boundaries; counts+endpoints cannot detect it. If ingest cannot
-guarantee per-user segment order, keep full per-user event sequences as
-state (the funnel twin's design — state O(events) instead of O(1) per
-user per batch) or re-sort at rest with the batch operator.
+boundaries; counts+endpoints cannot detect it.
+
+``ordered=False`` is the shipped fallback when ingest cannot guarantee
+per-user segment order: each batch idempotently spools its RAW
+projected event rows (user, event, ts, id) instead of the O(1) summary,
+and finalize re-sorts at rest by running the batch operator over the
+spooled union — correct under ARBITRARY cross-batch interleaving, at
+the price of partial storage O(events) instead of O(pairs + users) and
+finalize cost equal to the batch operator (measured in SCALE.md; the
+per-batch write itself is cheaper — a projection, no window pass).
+Compaction still applies (raw rows are trivially closed under union —
+it collapses directory count).
 
 Scale: per batch, one user-partitioned window pass plus two keyed
 aggregations over THAT BATCH only; the partial is |within-batch pairs| +
@@ -77,23 +85,35 @@ def event_transitions_stream(
     id_col: str = "event_id",
     checkpoint_path: Optional[str] = None,
     trigger: str = "available_now",
+    ordered: bool = True,
 ) -> StreamingQuery:
     """Maintain the x127 transition matrix over a live event stream.
 
     Read the current matrix at any time with
-    :func:`finalize_event_transitions` — equal to the batch
-    ``event_transition_matrix`` over everything ingested so far (see
-    the module docstring for the per-user segment-order precondition).
+    :func:`finalize_event_transitions` (same ``ordered`` flag) — equal
+    to the batch ``event_transition_matrix`` over everything ingested
+    so far. ``ordered=True`` keeps O(1) per-user state and requires
+    per-user segment-ordered ingest; ``ordered=False`` spools raw rows
+    and re-sorts at finalize, correct under arbitrary cross-batch
+    interleaving (module docstring).
     """
     if not stream_df.isStreaming:
         raise ValueError("stream_df must be a streaming DataFrame")
     checkpoint = checkpoint_path or f"{output_path}/_checkpoint"
 
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        _write_transition_partials(
-            batch_df, batch_id, output_path, user_col, event_col,
-            ts_col, id_col,
-        )
+    if ordered:
+        def _process(batch_df: DataFrame, batch_id: int) -> None:
+            _write_transition_partials(
+                batch_df, batch_id, output_path, user_col, event_col,
+                ts_col, id_col,
+            )
+    else:
+        def _process(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.select(
+                user_col, event_col, ts_col, id_col
+            ).write.mode("overwrite").parquet(
+                f"{output_path}/partials/batch_id={batch_id}"
+            )
 
     return _start(stream_df, _process, checkpoint, trigger)
 
@@ -103,34 +123,63 @@ def finalize_event_transitions(
     output_path: str,
     start_marker: str = "__start__",
     end_marker: str = "__end__",
+    ordered: bool = True,
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Fold all written partials into the current transition matrix —
-    equal to the batch twin on the ingested union."""
-    from cryoflow_spark.functions.events import (
-        transition_report_from_partials,
-    )
-
+    equal to the batch twin on the ingested union. Pass the SAME
+    ``ordered`` (and column) arguments the stream was started with:
+    ordered mode folds O(pairs + users) summaries; unordered mode runs
+    the batch operator over the spooled raw rows (a schema mismatch —
+    raw columns vs summary columns — fails loudly, so mixing modes on
+    one directory cannot silently miscount)."""
     partials = spark.read.parquet(f"{output_path}/partials/batch_id=*")
-    return transition_report_from_partials(
-        partials, start_marker=start_marker, end_marker=end_marker
+    if ordered:
+        from cryoflow_spark.functions.events import (
+            transition_report_from_partials,
+        )
+
+        return transition_report_from_partials(
+            partials, start_marker=start_marker, end_marker=end_marker
+        )
+    from cryoflow_spark.functions.events import event_transition_matrix
+
+    return event_transition_matrix(
+        partials,
+        user_col=user_col,
+        event_col=event_col,
+        ts_col=ts_col,
+        id_col=id_col,
+        start_marker=start_marker,
+        end_marker=end_marker,
     )
 
 
 def compact_transition_partials(
     spark: SparkSession,
     output_path: str,
+    ordered: bool = True,
 ) -> int:
     """Compact the per-batch partial directories into one merged
-    partial (|pairs| + |users| rows total) —
+    partial (|pairs| + |users| rows in ordered mode) —
     :func:`transition_partials_merge` output is closed under merge, so
     the compacted directory remains valid input for both
-    :func:`finalize_event_transitions` and later compactions. See
+    :func:`finalize_event_transitions` and later compactions. In
+    ``ordered=False`` raw-spool mode, rows are closed under plain union
+    — compaction rewrites them as-is, collapsing directory count. See
     :func:`cryoflow_spark.streaming.report_stream.compact_partials`
     for the crash/replay contract. Returns directories removed.
     """
-    from cryoflow_spark.functions.events import transition_partials_merge
     from cryoflow_spark.streaming.report_stream import compact_partials
 
-    return compact_partials(
-        spark, output_path, merge_fn=transition_partials_merge
-    )
+    merge_fn = None
+    if ordered:
+        from cryoflow_spark.functions.events import (
+            transition_partials_merge,
+        )
+
+        merge_fn = transition_partials_merge
+    return compact_partials(spark, output_path, merge_fn=merge_fn)

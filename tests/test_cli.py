@@ -82,6 +82,20 @@ def test_check_prints_schema(runner, tmp_path, spark):
     assert not (tmp_path / "out").exists()
 
 
+def test_check_explain_prints_physical_plan(runner, tmp_path, spark):
+    """--explain prints a formatted physical plan per labeled stream —
+    the scan and the plan header must appear, and the flag must still
+    run no job (no output written)."""
+    cfg = _write_config(tmp_path)
+    result = runner.invoke(main, ["check", "-c", str(cfg), "--explain"])
+    assert result.exit_code == 0, result.output
+    assert "[SUCCESS] Validation completed successfully" in result.output
+    assert "Physical plan [default]:" in result.output
+    assert "Scan parquet" in result.output
+    assert "Physical Plan" in result.output  # EXPLAIN FORMATTED header
+    assert not (tmp_path / "out").exists()
+
+
 def test_check_catches_bad_column(runner, tmp_path, spark):
     cfg = tmp_path / "config.toml"
     cfg.write_text(

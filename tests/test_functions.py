@@ -6410,9 +6410,12 @@ class TestTheilSenTrend:
         assert abs(got["intercept"] - inter) < 1e-9
 
     def test_max_points_per_group_guard(self, spark):
-        """A group above the cap raises BEFORE the quadratic self-join
-        (r8 verdict item 3: the |points|² precondition is enforced, not
-        just documented); the cap is tunable and explicitly waivable."""
+        """A group above the cap raises (r8 verdict item 3: the
+        |points|² precondition is enforced, not just documented). The
+        guard is LAZY (r10 ADVICE: plan construction must not launch
+        jobs) — building the plan is free; EVALUATING it fails inside
+        the broadcast build, before any pair fanout; the cap is tunable
+        and explicitly waivable."""
         import pytest as _pytest
 
         from cryoflow_spark.functions.profiling import theil_sen_trend
@@ -6420,11 +6423,14 @@ class TestTheilSenTrend:
         rows = [("big", float(i), float(i)) for i in range(12)]
         rows += [("ok", 0.0, 0.0), ("ok", 1.0, 2.0)]
         df = spark.createDataFrame(rows, "g string, x double, y double")
-        with _pytest.raises(ValueError, match="max_points_per_group"):
-            theil_sen_trend(df, "g", "x", "y", max_points_per_group=10)
-        # the guard names the offending group and its count
-        with _pytest.raises(ValueError, match="'big' has 12"):
-            theil_sen_trend(df, "g", "x", "y", max_points_per_group=10)
+        # plan construction is lazy: no job, no raise
+        plan = theil_sen_trend(df, "g", "x", "y", max_points_per_group=10)
+        # evaluation raises, naming the cap, the offending group and its
+        # count (Spark surfaces assert_true as a runtime exception)
+        with _pytest.raises(Exception, match="max_points_per_group"):
+            plan.collect()
+        with _pytest.raises(Exception, match="'big' has 12"):
+            plan.collect()
         # at or under the cap, and with the cap waived, it runs
         out = {r["g"]: r for r in
                theil_sen_trend(df, "g", "x", "y",
@@ -8047,6 +8053,56 @@ class TestMarginMining:
         )
         assert brute == short and brute
 
+    def test_candidates_mode_broadcasts_shortlist_not_sides(self, spark):
+        """Scale-plan invariant (r10 verdict #4): in candidates mode the
+        ONLY hinted broadcast is the (a_id, b_id) shortlist — neither
+        full embedding side may be a BroadcastExchange build (at corpus
+        scale both exceed broadcast limits). With auto-broadcast
+        disabled, exactly one BroadcastExchange (the shortlist, no
+        vector columns) and a shuffle join for side b must appear."""
+        from cryoflow_spark.functions.similarity import margin_mining_pairs
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = spark.createDataFrame(
+                [(i, [float(i), 1.0]) for i in range(4)],
+                "vec_id long, embedding array<double>",
+            )
+            b = spark.createDataFrame(
+                [(i + 100, [1.0, float(i)]) for i in range(4)],
+                "vec_id long, embedding array<double>",
+            )
+            cand = spark.createDataFrame(
+                [(0, 100), (1, 101), (2, 102)], "a_id long, b_id long"
+            )
+            plan = margin_mining_pairs(
+                a, b, k=2, candidates=cand
+            )._jdf.queryExecution().executedPlan().toString()
+            # every broadcast PAYLOAD in the plan (shortlist +
+            # pair-derived neighborhood/argmax aggregates, all
+            # shortlist-bounded) must be vector-free: the node directly
+            # under each BroadcastExchange defines the rows shipped to
+            # every executor — with the old bug (broadcast(a)/(b)) that
+            # child was a Project emitting __avec/__bvec. Vector scans
+            # DEEPER in the subtree are fine (the aggregates derive
+            # from the pair join); only the exchanged row shape counts.
+            lines = plan.splitlines()
+            offenders = [
+                lines[i + 1].strip()
+                for i, ln in enumerate(lines)
+                if "BroadcastExchange" in ln
+                and any(
+                    v in lines[i + 1]
+                    for v in ("__avec#", "__bvec#", "embedding#")
+                )
+            ]
+            assert not offenders, (offenders, plan)
+            # and the full-side b join is a shuffle join, not broadcast
+            assert "SortMergeJoin" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
 
 class TestHardNegativeTopk:
     def test_cross_label_only_and_shortlist_agreement(self, spark):
@@ -8550,3 +8606,146 @@ class TestSmallQuantityRevenue:
         p.write.parquet(f"{sf}/part.parquet")
         r = R2.q73_small_quantity_revenue(spark, sf).collect()[0]
         assert (r["n_lines"], r["revenue_cents"]) == (1, 1000)
+
+
+class TestMultiValueCdf:
+    def test_matches_value_cdf_and_indexes(self, spark):
+        """Per-weight cumulative counts equal a single-weight value_cdf
+        on the same class; value_idx is the 1-based distinct-value
+        position."""
+        from cryoflow_spark.functions.ranks import multi_value_cdf, value_cdf
+
+        rows = [(1.0, 1, 0), (2.0, 1, 1), (2.0, 0, 1), (3.0, 1, 1),
+                (3.0, 0, 1), (5.0, 0, 1)]
+        df = spark.createDataFrame(rows, "v double, wa long, wb long")
+        got = {
+            r["v"]: r
+            for r in multi_value_cdf(df, "v", ["wa", "wb"]).collect()
+        }
+        single = {
+            r["v"]: r for r in value_cdf(df, "v", weight_col="wa").collect()
+        }
+        assert {v: r["wa_at_or_below"] for v, r in got.items()} == {
+            v: r["rows_at_or_below"] for v, r in single.items()
+        }
+        assert [got[v]["value_idx"] for v in (1.0, 2.0, 3.0, 5.0)] == [
+            1, 2, 3, 4
+        ]
+        assert all(r["n_values"] == 4 for r in got.values())
+        assert all(r["wa_total"] == 3 and r["wb_total"] == 5
+                   for r in got.values())
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="non-empty"):
+            multi_value_cdf(df, "v", [])
+
+
+class TestKsTwoSample:
+    def test_hand_computed(self, spark):
+        """a=[1,2,3], b=[2,3,3,4]: D = max|F_a - F_b| = 5/12 at v=2,
+        exact integer numerator 5 over denominator 3*4."""
+        from cryoflow_spark.functions.profiling import ks_two_sample
+
+        rows = [(1.0, "a"), (2.0, "a"), (3.0, "a"),
+                (2.0, "b"), (3.0, "b"), (3.0, "b"), (4.0, "b"),
+                (9.0, "other"), (None, "a")]
+        df = spark.createDataFrame(rows, "v double, g string")
+        r = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+        assert (r["n_a"], r["n_b"], r["d_num"]) == (3, 4, 5)
+        assert r["d"] == round(5 / 12, 6)
+        # symmetric in the groups
+        s = ks_two_sample(df, "v", "g", "b", "a").collect()[0]
+        assert (s["d_num"], s["d"]) == (5, r["d"])
+
+    def test_identical_and_empty_samples(self, spark):
+        from cryoflow_spark.functions.profiling import ks_two_sample
+
+        same = spark.createDataFrame(
+            [(1.0, "a"), (2.0, "a"), (1.0, "b"), (2.0, "b")],
+            "v double, g string",
+        )
+        r = ks_two_sample(same, "v", "g", "a", "b").collect()[0]
+        assert r["d_num"] == 0 and r["d"] == 0.0
+        r2 = ks_two_sample(same, "v", "g", "a", "missing").collect()[0]
+        assert r2["n_b"] == 0 and r2["d"] is None
+
+
+class TestWassersteinDistance:
+    def test_hand_computed(self, spark):
+        """a=[1,2,3], b=[2,3,3,4]: W1 = (4 + 5 + 3)/12 = 1.0 over unit
+        gaps (integral of |F_a - F_b|)."""
+        from cryoflow_spark.functions.profiling import wasserstein_distance
+
+        rows = [(1.0, "a"), (2.0, "a"), (3.0, "a"),
+                (2.0, "b"), (3.0, "b"), (3.0, "b"), (4.0, "b"),
+                (None, "b")]
+        df = spark.createDataFrame(rows, "v double, g string")
+        r = wasserstein_distance(df, "v", "g", "a", "b").collect()[0]
+        assert (r["n_a"], r["n_b"]) == (3, 4)
+        assert r["w1"] == 1.0
+        # pure shift by delta: W1 == delta
+        shift = spark.createDataFrame(
+            [(float(i), "a") for i in range(5)]
+            + [(float(i) + 2.5, "b") for i in range(5)],
+            "v double, g string",
+        )
+        s = wasserstein_distance(shift, "v", "g", "a", "b").collect()[0]
+        assert s["w1"] == 2.5
+
+    def test_degenerate_spines(self, spark):
+        from cryoflow_spark.functions.profiling import wasserstein_distance
+
+        one = spark.createDataFrame(
+            [(7.0, "a"), (7.0, "b"), (7.0, "b")], "v double, g string"
+        )
+        r = wasserstein_distance(one, "v", "g", "a", "b").collect()[0]
+        assert (r["n_a"], r["n_b"], r["w1"]) == (1, 2, 0.0)
+        r2 = wasserstein_distance(one, "v", "g", "a", "zzz").collect()[0]
+        assert r2["w1"] is None
+
+
+class TestKAnonymityReport:
+    def test_hand_computed_violations(self, spark):
+        """k=3: singleton and pair quasi-groups are reported with their
+        distinct non-null sensitive counts; the size-3 group is not."""
+        from cryoflow_spark.functions.curation import k_anonymity_report
+
+        rows = [
+            ("en", 10, "s1"), ("en", 10, "s2"), ("en", 10, "s1"),  # size 3
+            ("en", 20, "s1"), ("en", 20, "s1"),                    # size 2
+            ("de", 10, None),                                      # size 1
+        ]
+        df = spark.createDataFrame(rows, "lang string, n long, src string")
+        got = {
+            (r["lang"], r["n"]): r
+            for r in k_anonymity_report(
+                df, ["lang", "n"], k=3, sensitive_col="src"
+            ).collect()
+        }
+        assert set(got) == {("en", 20), ("de", 10)}
+        assert got[("en", 20)]["group_size"] == 2
+        assert got[("en", 20)]["l_distinct"] == 1
+        assert got[("de", 10)]["group_size"] == 1
+        assert got[("de", 10)]["l_distinct"] == 0  # NULL sensitive
+        # NULL quasi values group like values (a singleton still leaks)
+        with_null = df.union(
+            spark.createDataFrame([(None, 10, "s9")], df.schema)
+        )
+        got2 = {
+            (r["lang"], r["n"])
+            for r in k_anonymity_report(
+                with_null, ["lang", "n"], k=3
+            ).collect()
+        }
+        assert (None, 10) in got2
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from cryoflow_spark.functions.curation import k_anonymity_report
+
+        df = spark.createDataFrame([("en", 1)], "lang string, n long")
+        with _pytest.raises(ValueError, match="non-empty"):
+            k_anonymity_report(df, [], k=3)
+        with _pytest.raises(ValueError, match="k must be"):
+            k_anonymity_report(df, ["lang"], k=1)

@@ -313,6 +313,14 @@ _BOUNDED_WINDOW_ENVELOPES = {
     # Spearman rides TWO value_cdf spines (one per column) — one
     # offsets-stitch spec each over the per-range-partition totals.
     "x168_spearman": ("_psize", 2),
+    # KS rides the two-weight multi_value_cdf spine: per class an
+    # offset + total spec over the per-range-partition totals table
+    # (the _prows pair is pruned — value_idx unused) = 4 specs.
+    "x179_ks_two_sample": ("_pt__", 4),
+    # x180_wasserstein runs the SAME bounded stitch, but its spine is
+    # localCheckpoint'ed (two consumers), which truncates the lineage
+    # explain walks — 0 visible specs here; the envelope is pinned by
+    # x179 sharing the identical multi_value_cdf construction.
 }
 
 

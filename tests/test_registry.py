@@ -16,71 +16,89 @@ def test_priority_window_is_the_first_fifty():
     assert not missing, f"_PRIORITY names not in registry: {missing}"
 
 
-#: The 9 rows-only engine/approx twins the r8 verdict (item 2) folded
-#: into the r9 window tail: a ``no_oracle`` rows>0 driver row is the only
-#: driver evidence these bench-priced production paths can get (x18
-#: precedent, CORRECTNESS_r01). This is the ONLY sanctioned rows-only
-#: window cohort; anything else rows-only in the head-50 is a bug.
-R9_ROWS_ONLY_WINDOW_COHORT = {
-    "x15_engine_minhash_dedup", "x33_engine_incremental_dedup",
-    "x37_profile_approx", "x76_correlation_approx",
-    "x79_quantiles_approx", "x100_pq_adc_engine",
-    "x102_ivf_pq_engine", "x141_outliers_approx", "x157_rerank_engine",
+#: The documented rows-only census (queries with no SQL-expressible
+#: oracle — IVF with a trained quantizer, approx/engine bench twins).
+#: These rotate through the window like everything else under the
+#: staleness policy — a ``no_oracle`` rows>0 driver row is the only
+#: driver evidence they can ever get (x18 precedent, CORRECTNESS_r01) —
+#: but any OTHER oracle-less query reaching the window is a bug: it
+#: means a new operator was registered without its oracle.
+ROWS_ONLY_CENSUS = {
+    "x15_engine_minhash_dedup", "x18_ivf_cosine_topk",
+    "x33_engine_incremental_dedup", "x37_profile_approx",
+    "x76_correlation_approx", "x79_quantiles_approx",
+    "x100_pq_adc_engine", "x102_ivf_pq_engine",
+    "x141_outliers_approx", "x157_rerank_engine",
 }
 
 
 def test_every_window_slot_carries_an_oracle_or_is_sanctioned():
-    """Rows-only instruments stay OUT of the 50-slot window so every
-    driver check is a bit-identical one — except the nine r8-verdict
-    designated engine/approx twins collecting their one-time rows>0
-    driver evidence this round."""
+    """Every window slot is a bit-identical oracle check, except the
+    documented rows-only census members, which collect rows>0 evidence
+    on their policy turn. Anything else oracle-less in the head-50 is a
+    query registered without its oracle."""
     from cryoflow_spark.queries import _PRIORITY, all_queries
 
     reg = all_queries()
     weak = [
         n for n in _PRIORITY[:50]
-        if reg[n].oracle is None and n not in R9_ROWS_ONLY_WINDOW_COHORT
+        if reg[n].oracle is None and n not in ROWS_ONLY_CENSUS
     ]
     assert not weak, f"unsanctioned rows-only queries inside the window: {weak}"
 
 
-#: The exact ROUND 9 driver window, pre-committed at the end of r8
-#: (then at positions 51-85 plus the designated twins/sentinels) and
-#: rotated to the head at r9 start: 20 r4-cohort backlog twins, the 15
-#: r8 oracle queries, the 9 rows-only twins, 6 regression sentinels.
-#: Pinned name-for-name (r8 ADVICE: a startswith pin was too weak).
-R9_WINDOW = [
-    "x07_lsh_cosine_topk", "x13_multimodal_features", "x14_frame_sample",
-    "x16_simhash_pairs", "x22_token_shards", "x23_ivf_fixed_topk",
-    "x25_decontaminate", "x26_repetition_stats", "x27_quantized_topk",
-    "x28_source_mix", "x29_chunk_documents", "x30_weighted_sample",
-    "x33_incremental_dedup", "x34_domain_cap", "x35_corpus_freq_score",
-    "x36_dedup_segments", "x37_profile_columns", "x38_leakage_safe_split",
-    "x39_snapshot_diff", "x40_ngram_novelty",
-    "x157_ivf_pq_rerank", "x158_session_exits",
-    "x159_auc_report", "x160_calibration_curve",
-    "x162_fleiss_kappa", "x163_hard_negatives",
-    "x164_attribution_report", "x161_event_pagerank",
-    "x165_rrf_fusion", "x166_ndcg_eval", "x167_theil_sen_trend",
-    "x168_spearman", "x169_token_concentration",
-    "x170_mrr_eval", "x171_growth_accounting",
-    "x15_engine_minhash_dedup", "x33_engine_incremental_dedup",
-    "x37_profile_approx", "x76_correlation_approx",
-    "x79_quantiles_approx", "x100_pq_adc_engine",
-    "x102_ivf_pq_engine", "x141_outliers_approx", "x157_rerank_engine",
-    "q01_pricing_summary", "q25_asof_join", "x12_multimodal_meta",
-    "x20_dedup_clusters", "x58_temperature_mix", "x103_minhash_audit",
-]
+def test_rotation_policy_bounded_staleness():
+    """The committed window must BE the policy window, recomputed from
+    the committed CORRECTNESS_r*.json artifacts: all never-driver-checked
+    queries first, then strictly oldest-evidence-first (ties by base
+    registration order). This fails the moment a rotation edit — or a
+    forgotten rotation after a driver round — would let any query go
+    staler than the ceil(N/50)+1 bound the policy guarantees.
 
+    Never-checked queries are asserted as a SET in the head (their
+    relative order is the pre-commitment, not policy-derived); the
+    checked remainder of the window must match the derived oldest-first
+    order name for name. A second assertion checks the staleness bound
+    itself holds on the actual committed history at the upcoming round.
+    """
+    import math
+    import os
+    import sys
 
-def test_round9_window_is_the_head():
-    """The head-50 of the registry ordering must be exactly the
-    pre-committed r9 window, name for name, with this round's new
-    operators queuing directly after (the r10 pre-commitment)."""
-    from cryoflow_spark.queries import all_queries
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_window import WINDOW, last_checked
 
-    names = list(all_queries())
-    assert names[:50] == R9_WINDOW
+    from cryoflow_spark.queries import REGISTRY, _PRIORITY, all_queries
+
+    all_queries()  # trigger registration
+    base = list(REGISTRY)  # base registration order
+    assert sorted(_PRIORITY) == sorted(base), "rotation list != registry"
+    last, latest = last_checked()
+    pos = {n: i for i, n in enumerate(base)}
+    never = [n for n in base if n not in last]
+    assert len(never) <= WINDOW, (
+        f"{len(never)} never-checked queries exceed the {WINDOW}-slot "
+        "window: register fewer operators per round or they WILL go stale"
+    )
+    head = _PRIORITY[:WINDOW]
+    assert set(head[: len(never)]) == set(never), (
+        "window must lead with every never-driver-checked query; "
+        f"missing: {sorted(set(never) - set(head[:len(never)]))}"
+    )
+    derived_tail = sorted(
+        (n for n in base if n in last), key=lambda n: (last[n], pos[n])
+    )[: WINDOW - len(never)]
+    assert head[len(never):] == derived_tail, (
+        "window tail must be the oldest-driver-evidence queries, "
+        "oldest first (regenerate with tools/make_window.py); "
+        f"first mismatch: {next((a, b) for a, b in zip(head[len(never):], derived_tail) if a != b)}"
+    )
+    # The bound itself, on the committed history: at the upcoming round
+    # (latest+1, the one this window is committed for), no checked
+    # query's evidence may be older than ceil(N/50)+1 rounds.
+    bound = math.ceil(len(base) / WINDOW) + 1
+    stale = {n: latest + 1 - last[n] for n in last if latest + 1 - last[n] > bound}
+    assert not stale, f"queries staler than the {bound}-round bound: {stale}"
 
 
 def test_entry_module_parity():

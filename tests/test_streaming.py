@@ -1076,6 +1076,141 @@ def test_attribution_stream_multi_segment_and_compaction(spark, tmp_path):
         attribution_stream(batch, "/tmp/nowhere", ["purchase"])
 
 
+def test_transitions_unordered_mode_survives_interleaved_batches(
+    spark, tmp_path
+):
+    """ordered=False (r9/r10 carried item): when per-user events
+    INTERLEAVE arbitrarily across batches (event_id parity split — the
+    documented precondition maximally violated), the raw-spool mode's
+    finalize still equals the batch oracle; the O(1)-state ordered mode
+    demonstrably mis-stitches on the same input (that divergence is WHY
+    the mode exists). Replay idempotence and raw compaction hold."""
+    from cryoflow_spark.functions.events import event_transition_matrix
+    from cryoflow_spark.queries import load_events
+    from cryoflow_spark.streaming.transitions_stream import (
+        _write_transition_partials,
+        compact_transition_partials,
+        event_transitions_stream,
+        finalize_event_transitions,
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    full = load_events(spark, "/root/testdata/sf0.001")
+    src = tmp_path / "events"
+    src.mkdir()
+    # parity split: each user's consecutive events alternate batches
+    full.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "a"))
+    full.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b"))
+    stream = spark.readStream.schema(full.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = tmp_path / "transitions_raw"
+    q = event_transitions_stream(stream, str(out), ordered=False)
+    q.awaitTermination(120)
+    want = canon(event_transition_matrix(full))
+    assert canon(
+        finalize_event_transitions(spark, str(out), ordered=False)
+    ) == want
+    # the ordered mode's boundary stitch is WRONG on this interleaving
+    out_bad = tmp_path / "transitions_ordered"
+    a = spark.read.parquet(str(src / "a"))
+    b = spark.read.parquet(str(src / "b"))
+    for batch_id, batch in ((0, a), (1, b)):
+        _write_transition_partials(
+            batch, batch_id, str(out_bad), "user_id", "event_type",
+            "ts", "event_id",
+        )
+    assert canon(finalize_event_transitions(spark, str(out_bad))) != want
+    # raw-mode replay idempotence: overwrite-by-batch_id, rewritten 2x
+    out2 = tmp_path / "transitions_raw2"
+    for batch_id, batch in ((0, a), (1, b), (0, a)):  # 0 replayed
+        batch.select("user_id", "event_type", "ts", "event_id").write.mode(
+            "overwrite"
+        ).parquet(f"{out2}/partials/batch_id={batch_id}")
+    assert canon(
+        finalize_event_transitions(spark, str(out2), ordered=False)
+    ) == want
+    # raw compaction: plain union closure, finalize unchanged
+    assert compact_transition_partials(
+        spark, str(out2), ordered=False
+    ) == 2
+    assert canon(
+        finalize_event_transitions(spark, str(out2), ordered=False)
+    ) == want
+
+
+def test_attribution_unordered_mode_survives_interleaved_batches(
+    spark, tmp_path
+):
+    """ordered=False attribution twin: parity-interleaved batches (the
+    segment-order precondition violated) still finalize to the batch
+    oracle via the raw spool; replay idempotence and raw compaction
+    hold; unordered finalize demands conversion_types."""
+    import pytest as _pytest
+
+    from cryoflow_spark.functions.events import attribution_report
+    from cryoflow_spark.queries import load_events
+    from cryoflow_spark.streaming.attribution_stream import (
+        attribution_stream,
+        compact_attribution_partials,
+        finalize_attribution,
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    full = load_events(spark, "/root/testdata/sf0.001")
+    src = tmp_path / "events"
+    src.mkdir()
+    full.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "a"))
+    full.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b"))
+    stream = spark.readStream.schema(full.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = tmp_path / "attribution_raw"
+    q = attribution_stream(stream, str(out), ["purchase"], ordered=False)
+    q.awaitTermination(120)
+    want = canon(attribution_report(full, ["purchase"]))
+    assert canon(
+        finalize_attribution(
+            spark, str(out), ordered=False, conversion_types=["purchase"]
+        )
+    ) == want
+    with _pytest.raises(ValueError, match="conversion_types"):
+        finalize_attribution(spark, str(out), ordered=False)
+    # raw replay idempotence + compaction closure
+    out2 = tmp_path / "attribution_raw2"
+    a = spark.read.parquet(str(src / "a"))
+    b = spark.read.parquet(str(src / "b"))
+    for batch_id, batch in ((0, a), (1, b), (0, a)):  # 0 replayed
+        batch.select("user_id", "event_type", "ts", "event_id").write.mode(
+            "overwrite"
+        ).parquet(f"{out2}/partials/batch_id={batch_id}")
+    assert canon(
+        finalize_attribution(
+            spark, str(out2), ordered=False, conversion_types=["purchase"]
+        )
+    ) == want
+    assert compact_attribution_partials(
+        spark, str(out2), ordered=False
+    ) == 2
+    assert canon(
+        finalize_attribution(
+            spark, str(out2), ordered=False, conversion_types=["purchase"]
+        )
+    ) == want
+
+
 def test_burst_monitor_stream_matches_batch_twin(spark, tmp_path):
     """x118 streaming twin: the finalized burst report over all
     micro-batches equals the batch rate_anomaly_report on the full

@@ -1530,3 +1530,40 @@ def test_profile_associations_plugin(spark):
     rows = {(r["antecedent"], r["consequent"]): r for r in out.collect()}
     assert rows[("a", "b")]["confidence"] == 0.5
     assert rows[("b", "a")]["confidence"] == 1.0
+
+
+def test_profile_ks_and_wasserstein_modes(spark):
+    from cryoflow_spark.plugins.transform import ProfilePlugin
+
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "a"),
+         (2.0, "b"), (3.0, "b"), (3.0, "b"), (4.0, "b")],
+        "v double, g string",
+    )
+    opts = {"column": "v", "group_column": "g",
+            "group_a": "a", "group_b": "b"}
+    ks = _run(ProfilePlugin({"report": "ks", **opts}), df).collect()[0]
+    assert (ks["d_num"], ks["d"]) == (5, round(5 / 12, 6))
+    w1 = _run(
+        ProfilePlugin({"report": "wasserstein", **opts}), df
+    ).collect()[0]
+    assert w1["w1"] == 1.0
+
+
+def test_curate_k_anonymity_mode(spark):
+    df = spark.createDataFrame(
+        [("en", 10, "s1"), ("en", 10, "s2"), ("en", 20, "s3")],
+        "lang string, n long, src string",
+    )
+    out = _run(
+        CuratePlugin({
+            "method": "k_anonymity",
+            "quasi_columns": ["lang", "n"],
+            "k": 2,
+            "sensitive_column": "src",
+        }),
+        df,
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["lang"], out[0]["n"], out[0]["group_size"],
+            out[0]["l_distinct"]) == ("en", 20, 1, 1)

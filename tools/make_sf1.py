@@ -1,0 +1,130 @@
+"""Materialize an ~sf1 dataset by key-remapped 10x replication of sf0.1.
+
+The driver ships /root/testdata/sf{0.001,0.01,0.1} only, and /root/testdata
+is read-only for the builder — so the sf1 scale-validation dataset
+(r9/r10 verdict item: "would this plan survive a 10x scale-up?") is
+DERIVED, deterministically, from the committed sf0.1 parquet: each fact
+table is unioned 10 times with every key column shifted by
+``copy * (max_key + 1)`` so referential integrity holds copy-wise
+(orders.o_custkey points at the same copy's customer, lineitem at the same
+copy's order/part/supplier). Dimension tables (region, nation) stay as-is:
+TPC-H keeps them fixed across scale factors, and scaling them would change
+join cardinalities instead of data volume.
+
+Events/documents/embeddings replicate with shifted ids; text/vector
+payloads repeat, which is exactly what dedup/similarity operators should
+see under replication (every duplicate family grows 10x).
+
+Writes to $SPARK_GRAFT_SF1_DIR (default /tmp/sf1), partitioned parquet.
+Usage: python tools/make_sf1.py [--copies 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+
+#: table -> columns that must shift per copy (primary + foreign keys).
+#: Each named key gets its OWN table's stride for PKs and the referenced
+#: table's stride for FKs, so cross-table joins stay copy-consistent.
+KEYED = {
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+}
+#: id-bearing non-TPC-H tables: shift every *_id/bigint-key column by the
+#: table's own stride (self-referential joins stay within a copy).
+SELF_KEYED = {
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation"]
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--copies", type=int, default=10)
+    args = parser.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from cryoflow_spark.core.session import get_session
+
+    spark = get_session(app_name="make-sf1")
+
+    # stride per logical key domain = max key + 1 in the SOURCE table
+    stride: dict[str, int] = {}
+    for table, keys in KEYED.items():
+        df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        for col, domain in keys.items():
+            if domain == table:
+                stride[domain] = int(
+                    df.agg(F.max(F.col(col))).first()[0]
+                ) + 1
+    for table, cols in SELF_KEYED.items():
+        df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        present = [c for c in cols if c in df.columns]
+        if present:
+            stride[table] = int(
+                df.agg(F.max(F.col(present[0]))).first()[0]
+            ) + 1
+
+    os.makedirs(DST, exist_ok=True)
+    for table in DIMS:
+        spark.read.parquet(f"{SRC}/{table}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{DST}/{table}.parquet")
+        print(f"copied dim {table}")
+
+    for table, keys in {**KEYED, **{t: None for t in SELF_KEYED}}.items():
+        src = spark.read.parquet(f"{SRC}/{table}.parquet")
+        shift_cols = (
+            keys
+            if keys is not None
+            else {
+                c: table
+                for c in SELF_KEYED[table]
+                if c in src.columns
+            }
+        )
+        parts = []
+        for c in range(args.copies):
+            df = src
+            for col, domain in shift_cols.items():
+                df = df.withColumn(
+                    col,
+                    (F.col(col) + F.lit(c * stride[domain])).cast(
+                        dict(src.dtypes)[col]
+                    ),
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # spread the union across real partitions so downstream scans see
+        # multi-file parallelism like a real sf1 ingest would
+        out.repartition(32).write.mode("overwrite").parquet(
+            f"{DST}/{table}.parquet"
+        )
+        n = spark.read.parquet(f"{DST}/{table}.parquet").count()
+        print(f"wrote {table}: {n} rows ({args.copies}x)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
