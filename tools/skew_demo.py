@@ -1,0 +1,191 @@
+"""Skew-join demonstration at sf1 (r9/r10 verdict carried item).
+
+Builds a deliberately skewed fact table — ONE hot supplier key owning
+~20% of sf1's 6M lineitems (l_suppkey % 5 == 0 → suppkey 1, the
+"mega-user / null-ish default id" pathology: ~1.2M rows on one reducer
+vs the ~190k average) — then times the same lineitem⋈supplier join +
+aggregation three ways on identical data:
+
+1. ``plain``     — sort-merge join, AQE skew handling OFF: the hot
+                   key's ~1.2M rows hash to ONE reducer; that task is
+                   the wall clock.
+2. ``aqe_skew``  — AQE skew-join ON (thresholds scaled to the local
+                   dataset): the oversized partition is split at
+                   runtime into threshold-sized chunks — verified by
+                   the ``SortMergeJoin(skew=true)`` marker in the
+                   executed plan.
+3. ``salted``    — ``cryoflow_spark.functions.skew.salted_join``: the
+                   pre-planned fix — deterministic salt spreads the hot
+                   key over ``buckets`` reducers, right side replicated
+                   ×buckets (10k-row dim × 16 = 160k replicated rows,
+                   far under the hot key's 1.2M — the regime the cost
+                   model targets; an earlier orders-sized right side
+                   demonstrated the opposite regime, where replication
+                   cost exceeds the skew win and salting LOSES).
+
+Broadcast is disabled throughout (at real scale the dim is often too
+big or too dynamic to broadcast; locally it would hide the skew), and
+the AQE advisory partition size is pinned identically in every mode so
+skew handling is the ONLY variable. Each mode runs ``--repeat`` times;
+the min is reported with per-mode executed-plan markers (skew-split
+flag, AQE shuffle reads, salt columns) so the numbers are attributable.
+Writes one JSON line to ``SKEW_DEMO.json`` in the repo.
+
+Usage: python tools/skew_demo.py [--sf-dir /tmp/sf1] [--buckets 16]
+                                 [--repeat 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def consume(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+    )
+    parser.add_argument("--buckets", type=int, default=16)
+    parser.add_argument("--repeat", type=int, default=3)
+    args = parser.parse_args()
+
+    load_1min = os.getloadavg()[0]
+
+    from pyspark.sql import functions as F
+
+    from cryoflow_spark.core.session import get_session
+    from cryoflow_spark.functions.skew import salted_join
+
+    spark = get_session(app_name="skew-demo")
+    # the skew must survive planning: no broadcast anywhere
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+    )
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m"
+    )
+
+    lineitem = spark.read.parquet(f"{args.sf_dir}/lineitem.parquet")
+    supplier = spark.read.parquet(f"{args.sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    # ~20% of the 6M lineitems collapse onto suppkey 1 (deterministic):
+    # the hot reducer gets ~1.2M rows vs the ~190k average at 32
+    # shuffle partitions — the mega-key pathology. The right side is the
+    # 10k-row supplier dim: small enough that salting's xbuckets
+    # replication (160k rows) is far below the hot key's row count —
+    # the regime salted_join's cost model targets (and with broadcast
+    # force-disabled, the regime where the dim is too dynamic/large to
+    # broadcast at real scale).
+    skewed = lineitem.select("l_suppkey", "l_quantity").withColumn(
+        "l_suppkey",
+        F.when(F.col("l_suppkey") % 5 == 0, F.lit(1).cast("long"))
+        .otherwise(F.col("l_suppkey")),
+    ).withColumn("__rowid", F.monotonically_increasing_id())
+
+    def the_join(mode: str):
+        if mode == "salted":
+            j = salted_join(
+                skewed,
+                supplier.withColumnRenamed("s_suppkey", "l_suppkey"),
+                on="l_suppkey",
+                salt_from="__rowid",
+                buckets=args.buckets,
+            )
+        else:
+            j = skewed.join(
+                supplier, skewed["l_suppkey"] == supplier["s_suppkey"]
+            )
+        return j.groupBy("s_nationkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("q"),
+            F.sum(F.col("s_acctbal").cast("decimal(38,10)")).alias("s"),
+        )
+
+    def run_mode(mode: str):
+        if mode == "aqe_skew":
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            # scale thresholds to the local dataset so the ~150k-row hot
+            # partition actually trips the detector (defaults are 256MB)
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes",
+                "1m",
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m"
+            )
+        else:
+            # plain + salted: runtime skew splitting off, so the salted
+            # numbers are the SALT's, not AQE's; the advisory size stays
+            # the same in every mode so partition coalescing is equal
+            # and skew handling is the ONLY variable.
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m"
+            )
+        best = None
+        df = None
+        for _ in range(max(1, args.repeat)):
+            df = the_join(mode)
+            t0 = time.perf_counter()
+            consume(df)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        # markers must come from the SAME DataFrame's query execution —
+        # the noop write above plans its own — so materialize df once
+        # (5-row result) to finalize its adaptive plan
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        markers = {
+            "sortmergejoin": plan.count("SortMergeJoin"),
+            "smj_skew_flag": plan.count("SortMergeJoin(skew=true)"),
+            "aqe_shuffle_reads": plan.count("AQEShuffleRead"),
+            "salt_cols": plan.count("__salt"),
+        }
+        return round(best, 3), markers
+
+    # warm-up (JIT + parquet footers), untimed
+    consume(the_join("plain"))
+
+    results = {}
+    for mode in ("plain", "aqe_skew", "salted"):
+        secs, markers = run_mode(mode)
+        results[mode] = {"sec": secs, **markers}
+        print(f"# {mode}: {secs}s {markers}", file=sys.stderr)
+
+    line = {
+        "metric": "skew_demo_join_sec",
+        "sf_dir": args.sf_dir,
+        "hot_key_share": 0.2,
+        "buckets": args.buckets,
+        "runs_per_mode": max(1, args.repeat),
+        "agg": "min",
+        "load_1min": round(load_1min, 2),
+        "modes": results,
+    }
+    out = json.dumps(line, separators=(",", ":"))
+    (REPO / "SKEW_DEMO.json").write_text(out + "\n")
+    print(out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
