@@ -2025,3 +2025,120 @@ def _growth_from_user_periods(
             ),
         ),
     )
+
+
+def kaplan_meier_survival(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_type_col: str = "event_type",
+    conversion: str = "purchase",
+) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve (Kaplan & Meier 1958,
+    "Nonparametric estimation from incomplete observations") — the
+    censoring-correct latency analysis the x26 retention table and x37
+    funnel can't give: each user's clock starts at their FIRST event;
+    the "death" is their first ``conversion`` event (duration = whole
+    days between the two); a user never converting is CENSORED at
+    their last observed event — their duration is a lower bound, and
+    simply dropping or churning them systematically biases the curve.
+    The product-limit estimator::
+
+        S(t) = PROD_{t_i <= t} (1 - d_i / n_i)
+
+    over distinct conversion-latency days ``t_i`` (``d_i`` conversions
+    at ``t_i``, ``n_i`` users still at risk — not yet converted, not
+    yet censored; censored users leave the risk set at their own
+    censor time, the estimator's whole point).
+
+    Output: one row per distinct conversion latency, ordered —
+    ``(duration_days, n_at_risk, n_events, survival)`` with survival
+    rounded to 6 (the fraction still unconverted after ``t`` days).
+    Determinism: risk counts are exact integers; the running product
+    multiplies ``(1 - d_i/n_i)`` in ascending duration order (a left
+    fold — float multiply is order-dependent), matching any engine
+    folding the same spine the same way.
+
+    Scale: per-user clocks are ONE keyed min/conditional-min agg; the
+    duration spine is bounded by the corpus time RANGE in days (never
+    by user count), so the product folds in a single in-row array
+    after a spine-sized collect — no single-reducer window over
+    data-sized input, no driver collect, no quadratic step.
+    """
+    per_user = df.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).groupBy(user_col).agg(
+        F.min(_ts_micros(ts_col)).alias("__first"),
+        F.max(_ts_micros(ts_col)).alias("__last"),
+        F.min(
+            F.when(
+                F.col(event_type_col) == conversion, _ts_micros(ts_col)
+            )
+        ).alias("__conv"),
+    )
+    day_us = 86_400_000_000
+    lifetimes = per_user.select(
+        F.floor(
+            (F.coalesce(F.col("__conv"), F.col("__last")) - F.col("__first"))
+            / F.lit(day_us)
+        )
+        .cast("bigint")
+        .alias("__dur"),
+        F.col("__conv").isNotNull().cast("int").alias("__event"),
+    )
+    spine = lifetimes.groupBy("__dur").agg(
+        F.sum("__event").cast("bigint").alias("__d"),
+        F.count(F.lit(1)).cast("bigint").alias("__a"),
+    )
+    packed = spine.agg(
+        F.array_sort(
+            F.collect_list(F.struct("__dur", "__d", "__a"))
+        ).alias("__arr"),
+        F.sum("__a").cast("bigint").alias("__n"),
+    )
+    arr = F.col("__arr")
+    n0 = F.col("__n")
+
+    def _km(x, i0):
+        j = i0 + 1
+        # fold rows 1..j: rem = users with duration > processed rows,
+        # prod = Π (1 - d_i / n_at_risk_i); acc.rem BEFORE step i IS
+        # n_at_risk_i, so the division happens against the live count
+        acc = F.aggregate(
+            F.slice(arr, 1, j.cast("int")),
+            F.struct(
+                n0.cast("double").alias("rem"), F.lit(1.0).alias("prod")
+            ),
+            lambda a, s: F.struct(
+                (a["rem"] - s["__a"].cast("double")).alias("rem"),
+                (
+                    a["prod"]
+                    * (
+                        F.lit(1.0)
+                        - s["__d"].cast("double") / a["rem"]
+                    )
+                ).alias("prod"),
+            ),
+        )
+        return F.struct(
+            x["__dur"].alias("duration_days"),
+            (acc["rem"] + x["__a"].cast("double"))
+            .cast("bigint")
+            .alias("n_at_risk"),
+            x["__d"].alias("n_events"),
+            F.round(acc["prod"], 6).alias("survival"),
+        )
+
+    rows = packed.select(
+        F.explode(
+            F.filter(
+                F.transform(arr, _km), lambda r: r["n_events"] >= 1
+            )
+        ).alias("__r")
+    )
+    return rows.select(
+        F.col("__r.duration_days").alias("duration_days"),
+        F.col("__r.n_at_risk").alias("n_at_risk"),
+        F.col("__r.n_events").alias("n_events"),
+        F.col("__r.survival").alias("survival"),
+    ).orderBy("duration_days")

@@ -2296,3 +2296,672 @@ def good_turing_counts(
             6,
         ).alias("r_star"),
     )
+
+
+def winnowing_candidates(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    max_df: int = 20,
+    min_shared: int = 2,
+) -> "DataFrame":
+    """Winnowing fingerprint near-duplicate candidates (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003 — the MOSS algorithm): hash every
+    token ``k``-gram, slide a window of ``w`` consecutive hashes, and
+    select each window's minimum (ties → RIGHTMOST, the paper's robust
+    rule). The guarantee: any shared token run of length ≥ ``w+k-1``
+    leaves at least one shared fingerprint, while only ~``2/(w+1)`` of
+    grams are kept — a density-controlled alternative to MinHash whose
+    selections are POSITIONS in the text (so matches localize).
+
+    Output: candidate pairs ``(doc_a, doc_b, n_shared)`` — documents
+    sharing ≥ ``min_shared`` distinct selected fingerprints, after
+    dropping fingerprints appearing in more than ``max_df`` documents
+    (boilerplate grams — the same stop-fingerprint cut MOSS applies),
+    ordered by ``(n_shared DESC, doc_a, doc_b)``.
+
+    Selection is position-free to express distributively: position i is
+    a window minimum iff for the largest window end E reachable while
+    ``h[i]`` stays strictly below every hash to its right
+    (rightmost-tie rule), ``h[i]`` is ≤ every hash in the remaining
+    left span ``[E-w+1, i-1]`` — two bounded array scans per position,
+    no sequential state. Documents shorter than one full window
+    (< ``w+k-1`` tokens, so fewer than ``w`` grams) contribute their
+    single minimum hash. Hashes are the engine-portable 60-bit md5
+    (:func:`cryoflow_spark.functions.dedup.portable_hash60`), so the
+    whole pass is oracle-checkable.
+
+    Scale: selection is a PURE per-document map over in-row arrays
+    (whole-stage codegen, zero shuffle); only selected fingerprints
+    (~2/(w+1) of grams) explode into the postings table; the pair join
+    is an equi-join on fingerprint with the ``max_df`` cap bounding
+    per-bucket fanout at max_df² — the LSH-bucket shape, never
+    all-pairs.
+    """
+    if k < 1 or w < 2:
+        raise ValueError("k must be >= 1 and w >= 2")
+    if max_df < 2 or min_shared < 1:
+        raise ValueError("max_df must be >= 2 and min_shared >= 1")
+    from cryoflow_spark.functions.dedup import portable_hash60
+
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    m = F.greatest(F.size(F.col("__t")) - (k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.col("__m")),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, k)),
+    )
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("__t"))
+        .withColumn("__m", m)
+        .filter(F.col("__m") >= 1)
+        .select(
+            F.col(id_col),
+            F.col("__m"),
+            F.transform(grams, portable_hash60).alias("__h"),
+        )
+    )
+
+    h = F.col("__h")
+    mm = F.col("__m")
+
+    def _sel(x, i0):
+        # 1-based position of this hash in the gram sequence
+        i = i0 + 1
+        right_len = F.least(F.lit(w - 1), mm - i)
+        # first offset j>=1 (within w-1) where h[i+j] <= h[i]: beyond it
+        # x can no longer be the strict minimum of the right span
+        firstbad = F.array_min(
+            F.when(
+                right_len >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), right_len),
+                    lambda j: F.when(
+                        F.element_at(h, (i + j).cast("int")) <= x, j
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<int>"))
+        )
+        e_max = i + F.coalesce(firstbad - 1, right_len)
+        left_start = e_max - (w - 1)
+        left_len = i - left_start
+        # CASE branches evaluate lazily, so the slice (whose start must
+        # be >= 1) only runs when e_max >= w makes left_start valid
+        left_min = F.when(
+            (e_max >= w) & (left_len >= 1),
+            F.array_min(
+                F.slice(h, left_start.cast("int"), left_len.cast("int"))
+            ),
+        )
+        return (e_max >= w) & (
+            left_min.isNull() | (x <= left_min)
+        )
+
+    fps = F.when(
+        mm < w,
+        F.array(F.array_min(h)),
+    ).otherwise(
+        F.array_distinct(
+            F.filter(
+                F.transform(h, lambda x, i0: F.when(_sel(x, i0), x)),
+                lambda v: v.isNotNull(),
+            )
+        )
+    )
+    postings = base.select(
+        F.col(id_col), F.explode(fps).alias("fp")
+    ).distinct()
+    dfc = postings.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__df")
+    )
+    # NO broadcast hint: the shared-fingerprint table scales with
+    # duplicate density, not a fixed bound — equi-join and let AQE
+    # promote it to broadcast when it happens to be small.
+    kept = postings.join(
+        dfc.filter((F.col("__df") >= 2) & (F.col("__df") <= max_df)),
+        "fp",
+    )
+    a = kept.select(F.col("fp"), F.col(id_col).alias("doc_a"))
+    b = kept.select(F.col("fp"), F.col(id_col).alias("doc_b"))
+    pairs = a.join(b, "fp").filter(F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy(F.col("n_shared").desc(), "doc_a", "doc_b")
+    )
+
+
+def heaps_law_curve(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_checkpoints: int = 10,
+) -> "DataFrame":
+    """Vocabulary growth curve + Heaps' law fit (Heaps 1978,
+    "Information Retrieval: Computational and Theoretical Aspects";
+    empirical law ``V(N) ≈ K·N^β``, β ≈ 0.4–0.6 for natural text):
+    how many distinct word types the corpus has revealed after each
+    ``1/n_checkpoints`` slice of its token stream — the
+    is-my-corpus-still-adding-vocabulary curve that decides whether
+    more crawl data buys new content or repeats (a flat tail = Zipf
+    saturation; the x22 zipf_fit's integral twin).
+
+    Corpus order is the deterministic ``(id_col, token position)``
+    order. Output: one row per checkpoint ``c = 1..n_checkpoints`` —
+    ``(checkpoint, tokens_seen, vocab_size, heaps_k, heaps_beta)``
+    where ``tokens_seen = floor(N·c/n_checkpoints)``, ``vocab_size``
+    counts types whose FIRST occurrence index ≤ tokens_seen, and
+    (k, β) are the closed-form log-log least squares fit over the
+    non-empty checkpoints (both rounded to 6; identical on every row).
+
+    Determinism: first-occurrence indices and checkpoint assignment
+    are exact integer arithmetic (``c = (fi·C + N − 1) div N``); the
+    fit's float sums fold in canonical checkpoint order.
+
+    Scale: per-doc token offsets come from the distributed prefix-sum
+    spine (:func:`cryoflow_spark.functions.ranks.multi_value_cdf` —
+    distinct agg + range exchange + bounded offset stitch, NO
+    single-reducer window); first occurrences are one keyed min-agg
+    over the exploded tokens; everything after lives on a
+    ``n_checkpoints``-row table folded through in-row arrays.
+    """
+    if n_checkpoints < 2:
+        raise ValueError("n_checkpoints must be >= 2")
+    from cryoflow_spark.functions.ranks import multi_value_cdf
+
+    C = int(n_checkpoints)
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__doc"),
+        F.array_remove(
+            F.split(F.lower(F.col(text_col)), r"\s+"), ""
+        ).alias("__t"),
+    )
+    per_doc = toks.select(
+        "__doc", F.size("__t").cast("long").alias("__n")
+    ).filter(F.col("__n") >= 1)
+    spine = (
+        multi_value_cdf(per_doc, "__doc", ["__n"])
+        .join(per_doc, "__doc")
+        .select(
+            "__doc",
+            (F.col("__n_at_or_below") - F.col("__n")).alias("__offset"),
+            F.col("__n_total").alias("__N"),
+        )
+    )
+    positions = (
+        toks.select(
+            "__doc", F.posexplode("__t").alias("__p0", "__g")
+        )
+        .join(spine, "__doc")
+        .select(
+            "__g",
+            (F.col("__offset") + F.col("__p0") + 1).alias("__gi"),
+            "__N",
+        )
+    )
+    first_occ = positions.groupBy("__g").agg(
+        F.min("__gi").alias("__fi"), F.max("__N").alias("__N")
+    )
+    # smallest checkpoint whose token budget floor(N*c/C) covers fi:
+    # exact integer ceil-div (through DECIMAL so petabyte-scale token
+    # counts never round through a double)
+    new_types = first_occ.groupBy(
+        F.floor(
+            (F.col("__fi") * C + F.col("__N") - 1).cast("decimal(38,0)")
+            / F.col("__N").cast("decimal(38,0)")
+        )
+        .cast("int")
+        .alias("__c")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__new"),
+        F.max("__N").alias("__N"),
+    )
+    packed = new_types.agg(
+        F.array_sort(
+            F.collect_list(F.struct("__c", "__new"))
+        ).alias("__arr"),
+        F.max("__N").alias("__N"),
+    )
+    # dense checkpoint table 1..C with cumulative vocab (exact ints)
+    row = F.struct(
+        F.col("__cp").alias("checkpoint"),
+        F.floor(
+            (F.col("__N") * F.col("__cp")).cast("decimal(38,0)")
+            / F.lit(C).cast("decimal(38,0)")
+        )
+        .cast("bigint")
+        .alias("tokens_seen"),
+        F.aggregate(
+            F.filter(F.col("__arr"), lambda s: s["__c"] <= F.col("__cp")),
+            F.lit(0).cast("bigint"),
+            lambda acc, s: acc + s["__new"],
+        ).alias("vocab_size"),
+    )
+    curve = packed.select(
+        F.col("__N"),
+        F.col("__arr"),
+        F.explode(F.sequence(F.lit(1), F.lit(C))).alias("__cp"),
+    ).select(row.alias("__r"))
+    pts = curve.select(
+        F.col("__r.checkpoint").alias("checkpoint"),
+        F.col("__r.tokens_seen").alias("tokens_seen"),
+        F.col("__r.vocab_size").alias("vocab_size"),
+    )
+    # closed-form log-log fit over the bounded checkpoint table:
+    # canonical checkpoint-order fold of (x=ln tokens, y=ln vocab)
+    fit_src = pts.filter(
+        (F.col("tokens_seen") >= 1) & (F.col("vocab_size") >= 1)
+    ).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "checkpoint",
+                    F.log(F.col("tokens_seen").cast("double")).alias("__x"),
+                    F.log(F.col("vocab_size").cast("double")).alias("__y"),
+                )
+            )
+        ).alias("__p")
+    )
+
+    def _fsum(expr):
+        return F.aggregate(
+            F.col("__p"), F.lit(0.0), lambda acc, s: acc + expr(s)
+        )
+
+    fit = fit_src.select(
+        F.size("__p").cast("double").alias("__np"),
+        _fsum(lambda s: s["__x"]).alias("__sx"),
+        _fsum(lambda s: s["__y"]).alias("__sy"),
+        _fsum(lambda s: s["__x"] * s["__y"]).alias("__sxy"),
+        _fsum(lambda s: s["__x"] * s["__x"]).alias("__sxx"),
+    ).select(
+        F.round(
+            (F.col("__np") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+            / (
+                F.col("__np") * F.col("__sxx")
+                - F.col("__sx") * F.col("__sx")
+            ),
+            6,
+        ).alias("heaps_beta"),
+        F.col("__np"),
+        F.col("__sx"),
+        F.col("__sy"),
+        F.col("__sxy"),
+        F.col("__sxx"),
+    ).select(
+        "heaps_beta",
+        F.round(
+            F.exp(
+                (
+                    F.col("__sy")
+                    - (
+                        (
+                            F.col("__np") * F.col("__sxy")
+                            - F.col("__sx") * F.col("__sy")
+                        )
+                        / (
+                            F.col("__np") * F.col("__sxx")
+                            - F.col("__sx") * F.col("__sx")
+                        )
+                    )
+                    * F.col("__sx")
+                )
+                / F.col("__np")
+            ),
+            6,
+        ).alias("heaps_k"),
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        "checkpoint",
+        "tokens_seen",
+        "vocab_size",
+        "heaps_k",
+        "heaps_beta",
+    )
+
+
+def ql_dirichlet_search(
+    df: "DataFrame",
+    query_terms: "list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mu: float = 2000.0,
+    top_k: int = 10,
+) -> "DataFrame":
+    """Query-likelihood retrieval with Dirichlet-prior smoothing (Zhai
+    & Lafferty 2004, "A Study of Smoothing Methods for Language Models
+    Applied to Information Retrieval", §2.1) — the LANGUAGE-MODEL
+    ranking function next to x155's BM25::
+
+        score(q, d) = Σ_{t∈q} ln( (tf_{t,d} + μ·p(t|C)) / (|d| + μ) )
+
+    with ``p(t|C)`` the corpus unigram MLE. Unlike BM25, UNMATCHED
+    query terms still contribute (the smoothing mass ``μ·p(t|C)``), so
+    long documents are penalized through ``|d|+μ`` rather than a tuned
+    ``b`` — the standard second opinion when BM25 and an embedding ANN
+    disagree. Query terms absent from the whole corpus are dropped
+    (``p(t|C)=0`` has no finite log-likelihood — Zhai & Lafferty's
+    convention).
+
+    Output: ``top_k`` rows ``(id_col, matched_terms, score)`` over
+    documents matching ≥ 1 query term, score rounded to 6, ties broken
+    on ``id_col``. Determinism: per-term components rounded to 6 and
+    folded in canonical term order.
+
+    Scale: doc lengths and corpus term counts are keyed aggs with
+    map-side partials; only query-term postings (|Q| tiny) join; the
+    candidate×|Q| completion is a broadcast of the |Q|-row term table;
+    top-k is TakeOrdered — no global sort, no doc×vocab blowup.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if top_k < 1 or mu <= 0:
+        raise ValueError("top_k must be >= 1 and mu > 0")
+    terms = sorted({t.lower() for t in query_terms})
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    doclen = tokens.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__dl")
+    )
+    total = doclen.agg(F.sum("__dl").cast("bigint").alias("__total"))
+    q = tokens.filter(F.col("term").isin(terms))
+    # corpus collection frequency per query term (drops absent terms)
+    cf = q.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cf")
+    )
+    tf = q.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__tf")
+    )
+    candidates = tf.select(id_col).distinct()
+    full = (
+        candidates.crossJoin(F.broadcast(cf.crossJoin(total)))
+        .join(tf, [id_col, "term"], "left")
+        .join(doclen, id_col)
+        .withColumn("__tf", F.coalesce(F.col("__tf"), F.lit(0)))
+    )
+    comp = F.round(
+        F.log(
+            (
+                F.col("__tf").cast("double")
+                + F.lit(float(mu))
+                * (
+                    F.col("__cf").cast("double")
+                    / F.col("__total").cast("double")
+                )
+            )
+            / (F.col("__dl").cast("double") + F.lit(float(mu)))
+        ),
+        6,
+    )
+    scored = full.select(
+        F.col(id_col),
+        F.col("term"),
+        (F.col("__tf") > 0).cast("long").alias("__m"),
+        comp.alias("__c"),
+    )
+    folded = scored.groupBy(id_col).agg(
+        F.sum("__m").cast("bigint").alias("matched_terms"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "__c"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["__c"],
+            ),
+            6,
+        ).alias("score"),
+    )
+    return folded.orderBy(F.desc("score"), id_col).limit(int(top_k))
+
+
+def rouge_overlap_pairs(
+    df: "DataFrame",
+    pairs: "DataFrame",
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """ROUGE-N overlap scores for candidate document pairs (Lin 2004,
+    "ROUGE: A Package for Automatic Evaluation of Summaries", §2):
+    clipped n-gram co-occurrence — ``overlap = Σ_g min(c_a(g), c_b(g))``
+    over word ``n``-grams, reported as recall (vs side a), precision
+    (vs side b) and F1. The standard second-stage VERIFIER behind a
+    fingerprint candidate generator (x182's winnowing / MinHash LSH):
+    fingerprints say "probably related", ROUGE quantifies how much of
+    one document the other actually covers — near-dup grading,
+    summary-vs-source containment, quote detection.
+
+    ``pairs`` must carry ``(doc_a, doc_b)``. Output: one row per pair —
+    ``(doc_a, doc_b, n_overlap, recall, precision, f1)``, floats
+    rounded to 6 (0.0 when a side has no grams or nothing overlaps).
+    Exact integer counts until the final per-row divides — no float
+    folds, order-independent.
+
+    Scale: per-doc n-gram counts are ONE explode + keyed agg; the
+    gram-level join touches only candidate-pair grams (pairs × their
+    matching grams — bounded by the candidate generator, never
+    corpus²); totals join back on the pair ids.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__doc"), toks.alias("__t"))
+        .withColumn("__m", F.size("__t") - (n - 1))
+        .filter(F.col("__m") >= 1)
+    )
+    grams = base.select(
+        "__doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__m")),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, n)),
+            )
+        ).alias("__g"),
+    )
+    counts = grams.groupBy("__doc", "__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    totals = counts.groupBy("__doc").agg(
+        F.sum("__c").cast("bigint").alias("__tot")
+    )
+    p = pairs.select("doc_a", "doc_b")
+    a = counts.select(
+        F.col("__doc").alias("doc_a"),
+        F.col("__g"),
+        F.col("__c").alias("__ca"),
+    )
+    b = counts.select(
+        F.col("__doc").alias("doc_b"),
+        F.col("__g"),
+        F.col("__c").alias("__cb"),
+    )
+    overlap = (
+        p.join(a, "doc_a")
+        .join(b, ["doc_b", "__g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.least(F.col("__ca"), F.col("__cb")))
+            .cast("bigint")
+            .alias("n_overlap")
+        )
+    )
+    ta = totals.select(
+        F.col("__doc").alias("doc_a"), F.col("__tot").alias("__ta")
+    )
+    tb = totals.select(
+        F.col("__doc").alias("doc_b"), F.col("__tot").alias("__tb")
+    )
+    scored = (
+        p.join(overlap, ["doc_a", "doc_b"], "left")
+        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+    )
+    r = F.col("n_overlap").cast("double") / F.col("__ta").cast("double")
+    pr = F.col("n_overlap").cast("double") / F.col("__tb").cast("double")
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        F.round(r, 6).alias("recall"),
+        F.round(pr, 6).alias("precision"),
+        F.round(
+            F.when(
+                F.col("n_overlap") > 0, 2.0 * r * pr / (r + pr)
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("f1"),
+    )
+
+
+def vocab_richness_report(
+    df: "DataFrame",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-group vocabulary richness: Chao1 unseen-type estimator (Chao
+    1984, "Nonparametric estimation of the number of classes in a
+    population"; bias-corrected form, Colwell & Coddington 1994) and
+    Good-Turing sample coverage (Good 1953: ``C = 1 − F1/N``) from the
+    type frequency spectrum::
+
+        chao1    = V + F1·(F1−1) / (2·(F2+1))
+        coverage = 1 − F1/N
+
+    — the "how much vocabulary has this source NOT shown us yet"
+    numbers that complete x183's Heaps curve and x177's GT spectrum: a
+    source with low coverage and chao1 ≫ V still has unseen content
+    worth crawling; one with coverage ≈ 1 is exhausted.
+
+    Output: one row per non-null ``group_col`` value —
+    ``(group, n_tokens, vocab, f1_types, f2_types, chao1, coverage)``,
+    floats rounded to 6. Exact integer spectrum counts; two final
+    per-row divides.
+
+    Scale: one explode + (group, term) keyed agg (map-side combine),
+    then a group-keyed spectrum agg — report sized by |groups|, never
+    the corpus; no windows, no folds, no collects.
+    """
+    toks = (
+        df.filter(
+            F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("__grp"),
+            F.explode(
+                F.array_remove(
+                    F.split(F.lower(F.col(text_col)), r"\s+"), ""
+                )
+            ).alias("__g"),
+        )
+    )
+    types = toks.groupBy("__grp", "__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    spec = types.groupBy("__grp").agg(
+        F.sum("__c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum((F.col("__c") == 1).cast("long"))
+        .cast("bigint")
+        .alias("f1_types"),
+        F.sum((F.col("__c") == 2).cast("long"))
+        .cast("bigint")
+        .alias("f2_types"),
+    )
+    return spec.select(
+        F.col("__grp").alias(group_col),
+        "n_tokens",
+        "vocab",
+        "f1_types",
+        "f2_types",
+        F.round(
+            F.col("vocab").cast("double")
+            + (
+                F.col("f1_types") * (F.col("f1_types") - 1)
+            ).cast("double")
+            / (2.0 * (F.col("f2_types") + 1).cast("double")),
+            6,
+        ).alias("chao1"),
+        F.round(
+            F.lit(1.0)
+            - F.col("f1_types").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("coverage"),
+    )
+
+
+def term_burstiness(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_cf: int = 10,
+    top_k: int = 20,
+) -> "DataFrame":
+    """Term burstiness report (Church & Gale 1995, "Poisson mixtures";
+    Katz 1996, "Distribution of content words and phrases in text"):
+    content words CLUMP — given one occurrence in a document, more are
+    disproportionately likely — while function words spread evenly. Per
+    term with collection frequency ≥ ``min_cf``::
+
+        burstiness = cf / df              (mean count per containing doc)
+        poisson_df = N·(1 − e^(−cf/N))    (docs a Poisson term would hit)
+        df_ratio   = df / poisson_df      (< 1 ⇔ clumpier than Poisson)
+
+    The top-``k`` by burstiness are the corpus's topical/content terms —
+    the signal behind stopword induction (x83's inverse), keyword
+    surfacing next to x74's distinctive-terms, and Katz-model document
+    frequency correction for retrieval.
+
+    Output: ``(term, cf, df, burstiness, poisson_df, df_ratio)``,
+    floats rounded to 6, ordered ``(burstiness DESC, term)``, top-k via
+    TakeOrdered. Scale: one explode + (doc, term) keyed agg collapsing
+    duplicates map-side, then a term-keyed agg; the 1-row doc count
+    broadcasts; per-term arithmetic is order-independent.
+    """
+    if min_cf < 1 or top_k < 1:
+        raise ValueError("min_cf and top_k must be >= 1")
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__doc"),
+        F.explode(
+            F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+        ).alias("__g"),
+    )
+    per_doc = toks.groupBy("__doc", "__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    ndocs = df.filter(F.col(text_col).isNotNull()).agg(
+        F.countDistinct(F.col(id_col)).cast("bigint").alias("__n")
+    )
+    terms = per_doc.groupBy("__g").agg(
+        F.sum("__c").cast("bigint").alias("cf"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    ).filter(F.col("cf") >= min_cf)
+    pdf = F.col("__n").cast("double") * (
+        F.lit(1.0)
+        - F.exp(-F.col("cf").cast("double") / F.col("__n").cast("double"))
+    )
+    return (
+        terms.crossJoin(F.broadcast(ndocs))
+        .select(
+            F.col("__g").alias("term"),
+            "cf",
+            "df",
+            F.round(
+                F.col("cf").cast("double") / F.col("df").cast("double"), 6
+            ).alias("burstiness"),
+            F.round(pdf, 6).alias("poisson_df"),
+            F.round(F.col("df").cast("double") / pdf, 6).alias("df_ratio"),
+        )
+        .orderBy(F.col("burstiness").desc(), "term")
+        .limit(int(top_k))
+    )

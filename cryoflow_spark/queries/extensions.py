@@ -9856,3 +9856,509 @@ def x180_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wasserstein_distance(
         li, "l_extendedprice", "l_returnflag", group_a="R", group_b="A"
     )
+
+
+# --- x181: DSIR importance weights for data selection (oracle-checked) -------
+
+
+@register(
+    "x181_dsir_importance",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x != '')) AS g
+      FROM documents WHERE text IS NOT NULL
+    ),
+    db AS (
+      SELECT doc_id,
+             (CAST('0x' || substring(md5(g), 1, 8) AS BIGINT)
+              % 2147483647) % 1024 AS b,
+             COUNT(*)::BIGINT AS c, MAX(tgt) AS tgt
+      FROM toks GROUP BY 1, 2
+    ),
+    bt AS (
+      SELECT b, SUM(c)::BIGINT AS cr, SUM(c * tgt)::BIGINT AS ct
+      FROM db GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cr)::BIGINT AS nr, SUM(ct)::BIGINT AS nt FROM bt),
+    comp AS (
+      SELECT db.doc_id, db.b, db.c,
+             ROUND(db.c::DOUBLE
+                   * (LN((bt.ct + 1)::DOUBLE / (tot.nt + 1024)::DOUBLE)
+                      - LN((bt.cr + 1)::DOUBLE / (tot.nr + 1024)::DOUBLE)),
+                   6) AS cm
+      FROM db JOIN bt USING (b) CROSS JOIN tot
+    )
+    SELECT doc_id, SUM(c)::BIGINT AS n_tokens,
+           ROUND(list_reduce(list_prepend(0.0::DOUBLE, list(cm ORDER BY b)),
+                             (a, x) -> a + x), 6) AS log_weight
+    FROM comp GROUP BY doc_id
+    """,
+    "DSIR importance weights (Xie et al. 2023, NeurIPS — data "
+    "selection via importance resampling): per-document log-ratio of "
+    "an add-1-smoothed hashed-unigram model of the TARGET slice (the "
+    "lang='en' documents) vs the raw corpus, 1024 engine-portable md5 "
+    "buckets — resample the crawl proportional to w(x) to tilt 100 TB "
+    "toward a curated domain without training a classifier; two keyed "
+    "aggs, bucket model tables broadcast at <= 1024 rows, per-doc "
+    "components folded in canonical bucket order",
+)
+def x181_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return C.dsir_log_weights(
+        d, F.col("lang") == "en", num_buckets=1024
+    )
+
+
+# --- x182: winnowing fingerprint near-dup candidates (oracle-checked) --------
+
+#: Shared winnowing candidate-pair CTE chain (k=3, w=4, max_df=20):
+#: ends at ``kept`` (doc_id, fp postings after the stop-fingerprint
+#: cut). x182 aggregates it into pairs; x186 re-scores those pairs
+#: with ROUGE-2.
+_WINNOW_CTES = r"""base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x != '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    hs AS (
+      SELECT doc_id, (len(t) - 2)::BIGINT AS m,
+             [CAST('0x' || substring(
+                md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)
+               AS BIGINT)
+              for i in generate_series(1, len(t) - 2)] AS h
+      FROM base WHERE len(t) >= 3
+    ),
+    hs2 AS (
+      SELECT doc_id, m, h,
+             [i + coalesce(
+                list_min([CASE WHEN h[i + j] <= h[i] THEN j END
+                          for j in generate_series(1, least(3, m - i))])
+                - 1,
+                least(3, m - i))
+              for i in generate_series(1, m)] AS e
+      FROM hs
+    ),
+    selected AS (
+      SELECT doc_id,
+             CASE WHEN m < 4 THEN [list_min(h)]
+             ELSE list_distinct(list_filter(
+               [CASE WHEN e[i] >= 4
+                      AND (i - (e[i] - 3) <= 0
+                           OR h[i] <= list_min(h[(e[i] - 3):(i - 1)]))
+                     THEN h[i] END
+                for i in generate_series(1, m)],
+               x -> x IS NOT NULL)) END AS fps
+      FROM hs2
+    ),
+    post AS (
+      SELECT DISTINCT doc_id, fp
+      FROM (SELECT doc_id, unnest(fps) AS fp FROM selected)
+    ),
+    dfc AS (SELECT fp, COUNT(*)::BIGINT AS dfc FROM post GROUP BY 1),
+    kept AS (
+      SELECT p.doc_id, p.fp FROM post p JOIN dfc USING (fp)
+      WHERE dfc BETWEEN 2 AND 20
+    )"""
+
+#: Winnowing pair aggregation on top of ``kept`` (min_shared=2).
+_WINNOW_PAIRS_CTE = """cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*)::BIGINT AS n_shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )"""
+
+
+@register(
+    "x182_winnowing",
+    f"""
+    WITH {_WINNOW_CTES},
+    {_WINNOW_PAIRS_CTE}
+    SELECT doc_a, doc_b, n_shared FROM cand
+    ORDER BY n_shared DESC, doc_a, doc_b
+    """,
+    "Winnowing fingerprint near-dup candidates (Schleimer, Wilkerson "
+    "& Aiken SIGMOD 2003 — the MOSS algorithm): 3-gram 60-bit md5 "
+    "hashes, window w=4 rightmost-minimum selection expressed as two "
+    "bounded in-row array scans (no sequential state), guaranteeing "
+    "any shared run of >= 6 tokens leaves a shared fingerprint while "
+    "keeping ~2/(w+1) of grams; selection is a pure per-doc map (zero "
+    "shuffle), the pair join is LSH-bucket-shaped with a df <= 20 "
+    "stop-fingerprint cap bounding fanout",
+)
+def x182_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.winnowing_candidates(d, k=3, w=4, max_df=20, min_shared=2)
+
+
+# --- x183: Heaps' law vocabulary growth curve (oracle-checked) ---------------
+
+
+@register(
+    "x183_heaps_law",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x != '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    dd AS (SELECT doc_id, t, len(t)::BIGINT AS n FROM d WHERE len(t) >= 1),
+    offs AS (
+      SELECT doc_id, t,
+             SUM(n) OVER (ORDER BY doc_id) - n AS off,
+             SUM(n) OVER () AS N
+      FROM dd
+    ),
+    pos AS (
+      SELECT u.s.g AS g, off + u.s.p AS gi, N
+      FROM (
+        SELECT off, N,
+               unnest([{'p': i, 'g': t[i]}
+                       for i in generate_series(1, len(t))]) AS s
+        FROM offs
+      ) u
+    ),
+    fo AS (SELECT g, MIN(gi) AS fi, MAX(N) AS N FROM pos GROUP BY g),
+    nt AS (
+      SELECT ((fi * 10 + N - 1) // N)::INT AS c,
+             COUNT(*)::BIGINT AS nw, MAX(N) AS N
+      FROM fo GROUP BY 1
+    ),
+    cps AS (
+      SELECT unnest(generate_series(1, 10)) AS checkpoint,
+             (SELECT MAX(N) FROM nt) AS N
+    ),
+    curve AS (
+      SELECT checkpoint, ((N * checkpoint) // 10)::BIGINT AS tokens_seen,
+             COALESCE((SELECT SUM(nw) FROM nt
+                       WHERE nt.c <= cps.checkpoint), 0)::BIGINT
+               AS vocab_size
+      FROM cps
+    ),
+    fitpts AS (
+      SELECT checkpoint, LN(tokens_seen::DOUBLE) AS x,
+             LN(vocab_size::DOUBLE) AS y
+      FROM curve WHERE tokens_seen >= 1 AND vocab_size >= 1
+    ),
+    sums AS (
+      SELECT COUNT(*)::DOUBLE AS np,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list(x ORDER BY checkpoint)), (a, v) -> a + v) AS sx,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list(y ORDER BY checkpoint)), (a, v) -> a + v) AS sy,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list(x * y ORDER BY checkpoint)), (a, v) -> a + v) AS sxy,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list(x * x ORDER BY checkpoint)), (a, v) -> a + v) AS sxx
+      FROM fitpts
+    )
+    SELECT checkpoint, tokens_seen, vocab_size,
+           ROUND(EXP((sy - ((np * sxy - sx * sy)
+                            / (np * sxx - sx * sx)) * sx) / np), 6)
+             AS heaps_k,
+           ROUND((np * sxy - sx * sy) / (np * sxx - sx * sx), 6)
+             AS heaps_beta
+    FROM curve CROSS JOIN sums
+    ORDER BY checkpoint
+    """,
+    "Heaps' law vocabulary growth curve (Heaps 1978; V(N) ~ K*N^beta): "
+    "distinct word types revealed after each decile of the corpus "
+    "token stream in deterministic (doc_id, position) order, plus the "
+    "closed-form log-log least-squares (K, beta) fit — the "
+    "does-more-crawl-buy-new-content gate next to x22's Zipf fit; doc "
+    "offsets ride the distributed prefix-sum spine (range exchange, "
+    "no single-reducer window), first occurrences are one keyed "
+    "min-agg, the fit folds on a 10-row table",
+)
+def x183_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.heaps_law_curve(d, n_checkpoints=10)
+
+
+# --- x184: Kaplan-Meier time-to-conversion survival (oracle-checked) ---------
+
+
+@register(
+    "x184_kaplan_meier",
+    """
+    WITH pu AS (
+      SELECT user_id,
+             MIN(epoch_us(ts))::BIGINT AS f,
+             MAX(epoch_us(ts))::BIGINT AS l,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END)::BIGINT AS c
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1
+    ),
+    life AS (
+      SELECT ((COALESCE(c, l) - f) // 86400000000)::BIGINT AS dur,
+             CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM pu
+    ),
+    spine AS (
+      SELECT dur, SUM(ev)::BIGINT AS d, COUNT(*)::BIGINT AS a
+      FROM life GROUP BY 1
+    ),
+    packed AS (
+      SELECT list(struct_pack(dur := dur, d := d, a := a) ORDER BY dur)
+               AS arr,
+             SUM(a)::BIGINT AS n
+      FROM spine
+    ),
+    -- scalar folds only: a struct-accumulator whose fields reference
+    -- each other (prod using acc.rem) reads the already-updated field
+    -- in DuckDB's list_reduce, so risk is its own integer prefix-sum
+    -- and the survival product folds over precomputed factors in the
+    -- same ascending order as the Spark fold
+    km AS (
+      SELECT u.s.dur AS duration_days,
+             u.s.risk AS n_at_risk,
+             u.s.d AS n_events,
+             ROUND(u.s.prod, 6) AS survival
+      FROM (
+        SELECT unnest([
+          {'dur': arr[j].dur, 'd': arr[j].d,
+           'risk': n - list_reduce(list_prepend(0::BIGINT,
+                     [s.a for s in arr[1:j-1]]), (x, y) -> x + y),
+           'prod': list_reduce(list_prepend(1.0::DOUBLE,
+                     [1.0 - arr[i].d
+                            / (n - list_reduce(list_prepend(0::BIGINT,
+                                 [s.a for s in arr[1:i-1]]),
+                                 (x, y) -> x + y))::DOUBLE
+                      for i in generate_series(1, j)]),
+                     (x, y) -> x * y)}
+          for j in generate_series(1, len(arr))]) AS s
+        FROM packed
+      ) u
+    )
+    SELECT duration_days, n_at_risk, n_events, survival
+    FROM km WHERE n_events >= 1
+    ORDER BY duration_days
+    """,
+    "Kaplan-Meier time-to-conversion survival curve (Kaplan & Meier "
+    "1958): each user's clock runs from their first event to their "
+    "first purchase, users never converting are CENSORED at their "
+    "last event and leave the risk set there — the product-limit "
+    "estimator S(t) whose censoring correction naive retention math "
+    "lacks; per-user clocks are one keyed agg, the duration spine is "
+    "bounded by the corpus time RANGE in days so the ascending-order "
+    "product folds in a single in-row array, risk counts exact "
+    "integers",
+)
+def x184_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.events import kaplan_meier_survival
+
+    ev = load_events(spark, sf_dir)
+    return kaplan_meier_survival(ev, conversion="purchase")
+
+
+# --- x185: query-likelihood retrieval, Dirichlet smoothing (oracle-checked) --
+
+
+@register(
+    "x185_ql_dirichlet",
+    """
+    WITH tokens AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                t -> t != '')) AS term
+      FROM documents
+    ),
+    doclen AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS dl FROM tokens GROUP BY doc_id
+    ),
+    stats AS (SELECT SUM(dl)::BIGINT AS total FROM doclen),
+    q AS (
+      SELECT * FROM tokens WHERE term IN ('scan', 'filter', 'vector')
+    ),
+    cf AS (SELECT term, COUNT(*)::BIGINT AS cf FROM q GROUP BY 1),
+    tf AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+      FROM q GROUP BY doc_id, term
+    ),
+    cand AS (SELECT DISTINCT doc_id FROM tf),
+    full_ AS (
+      SELECT cand.doc_id, cf.term, cf.cf,
+             COALESCE(tf.tf, 0)::BIGINT AS tf, doclen.dl, stats.total
+      FROM cand
+      CROSS JOIN cf
+      LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.term = cf.term
+      JOIN doclen ON doclen.doc_id = cand.doc_id
+      CROSS JOIN stats
+    ),
+    comp AS (
+      SELECT doc_id, term, (tf > 0)::BIGINT AS m,
+             ROUND(LN((tf::DOUBLE
+                       + 2000.0 * (cf::DOUBLE / total::DOUBLE))
+                      / (dl::DOUBLE + 2000.0)), 6) AS c
+      FROM full_
+    )
+    SELECT doc_id, SUM(m)::BIGINT AS matched_terms,
+           ROUND(list_reduce(list_prepend(0.0, list(c ORDER BY term)),
+                             (a, x) -> a + x), 6) AS score
+    FROM comp GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+    "Query-likelihood retrieval with Dirichlet-prior smoothing (Zhai "
+    "& Lafferty 2004 SIGIR): score = sum_t ln((tf + mu*p(t|C)) / "
+    "(dl + mu)) with mu=2000 — the language-model ranking next to "
+    "x155's BM25 where UNMATCHED query terms still contribute "
+    "smoothing mass and length is penalized through dl+mu, the "
+    "second opinion when BM25 and the embedding ANN disagree; only "
+    "query-term postings join, the candidate x |Q| completion "
+    "broadcasts the 3-row term table, top-k is TakeOrdered",
+)
+def x185_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.ql_dirichlet_search(
+        d, ["scan", "filter", "vector"], mu=2000.0, top_k=10
+    )
+
+
+# --- x186: ROUGE-2 overlap over winnowing candidates (oracle-checked) --------
+
+
+@register(
+    "x186_rouge_overlap",
+    f"""
+    WITH {_WINNOW_CTES},
+    {_WINNOW_PAIRS_CTE},
+    bg AS (
+      SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                             for i in generate_series(1, len(t) - 1)]) AS g
+      FROM base WHERE len(t) >= 2
+    ),
+    bc AS (SELECT doc_id, g, COUNT(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+    bt AS (SELECT doc_id, SUM(c)::BIGINT AS tot FROM bc GROUP BY 1),
+    ov AS (
+      SELECT cand.doc_a, cand.doc_b,
+             SUM(LEAST(x.c, y.c))::BIGINT AS n_overlap
+      FROM cand
+      JOIN bc x ON x.doc_id = cand.doc_a
+      JOIN bc y ON y.doc_id = cand.doc_b AND y.g = x.g
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           COALESCE(ov.n_overlap, 0)::BIGINT AS n_overlap,
+           ROUND(COALESCE(ov.n_overlap, 0)::DOUBLE / ta.tot::DOUBLE, 6)
+             AS recall,
+           ROUND(COALESCE(ov.n_overlap, 0)::DOUBLE / tb.tot::DOUBLE, 6)
+             AS precision,
+           ROUND(CASE WHEN COALESCE(ov.n_overlap, 0) > 0 THEN
+             2.0 * (ov.n_overlap::DOUBLE / ta.tot::DOUBLE)
+                 * (ov.n_overlap::DOUBLE / tb.tot::DOUBLE)
+             / (ov.n_overlap::DOUBLE / ta.tot::DOUBLE
+                + ov.n_overlap::DOUBLE / tb.tot::DOUBLE)
+           ELSE 0.0 END, 6) AS f1
+    FROM cand c
+    LEFT JOIN ov ON ov.doc_a = c.doc_a AND ov.doc_b = c.doc_b
+    JOIN bt ta ON ta.doc_id = c.doc_a
+    JOIN bt tb ON tb.doc_id = c.doc_b
+    """,
+    "ROUGE-2 clipped bigram co-occurrence (Lin 2004) re-scoring the "
+    "x182 winnowing candidate pairs: overlap = sum_g min(c_a, c_b) "
+    "with recall/precision/F1 — the fingerprints-say-related, "
+    "ROUGE-says-how-much second-stage verifier behind any candidate "
+    "generator; exact integer counts until the final per-row divides, "
+    "the gram join touches only candidate-pair grams (bounded by the "
+    "generator, never corpus squared)",
+)
+def x186_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = X.winnowing_candidates(d, k=3, w=4, max_df=20, min_shared=2)
+    return X.rouge_overlap_pairs(d, pairs, n=2)
+
+
+# --- x187: vocabulary richness per source (oracle-checked) -------------------
+
+
+@register(
+    "x187_vocab_richness",
+    r"""
+    WITH toks AS (
+      SELECT source AS grp,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x != '')) AS g
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    types AS (
+      SELECT grp, g, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+    ),
+    spec AS (
+      SELECT grp, SUM(c)::BIGINT AS n_tokens, COUNT(*)::BIGINT AS vocab,
+             SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1_types,
+             SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2_types
+      FROM types GROUP BY 1
+    )
+    SELECT grp AS source, n_tokens, vocab, f1_types, f2_types,
+           ROUND(vocab::DOUBLE
+                 + (f1_types * (f1_types - 1))::DOUBLE
+                   / (2.0 * (f2_types + 1)::DOUBLE), 6) AS chao1,
+           ROUND(1.0 - f1_types::DOUBLE / n_tokens::DOUBLE, 6)
+             AS coverage
+    FROM spec
+    """,
+    "Per-source vocabulary richness: Chao1 unseen-type estimator "
+    "(Chao 1984, bias-corrected form) + Good-Turing sample coverage "
+    "C = 1 - F1/N (Good 1953) from each source's type-frequency "
+    "spectrum — the has-this-source-shown-us-everything numbers "
+    "completing x183's Heaps curve and x177's GT spectrum (chao1 >> "
+    "vocab and low coverage = keep crawling; coverage ~ 1 = "
+    "exhausted); one explode + (source, term) keyed agg, report "
+    "sized by |sources|",
+)
+def x187_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.vocab_richness_report(d, group_col="source")
+
+
+# --- x188: term burstiness report (oracle-checked) ---------------------------
+
+
+@register(
+    "x188_term_burstiness",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x != '')) AS g
+      FROM documents WHERE text IS NOT NULL
+    ),
+    per_doc AS (
+      SELECT doc_id, g, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+    ),
+    nd AS (
+      SELECT COUNT(DISTINCT doc_id)::BIGINT AS n FROM documents
+      WHERE text IS NOT NULL
+    ),
+    terms AS (
+      SELECT g, SUM(c)::BIGINT AS cf, COUNT(*)::BIGINT AS df
+      FROM per_doc GROUP BY 1 HAVING SUM(c) >= 10
+    )
+    SELECT g AS term, cf, df,
+           ROUND(cf::DOUBLE / df::DOUBLE, 6) AS burstiness,
+           ROUND(n::DOUBLE * (1.0 - EXP(-(cf::DOUBLE) / n::DOUBLE)), 6)
+             AS poisson_df,
+           ROUND(df::DOUBLE
+                 / (n::DOUBLE * (1.0 - EXP(-(cf::DOUBLE) / n::DOUBLE))),
+                 6) AS df_ratio
+    FROM terms CROSS JOIN nd
+    ORDER BY burstiness DESC, term
+    LIMIT 20
+    """,
+    "Term burstiness report (Church-Gale 1995 Poisson mixtures; Katz "
+    "1996): content words CLUMP — per term with cf >= 10, the mean "
+    "count per containing doc (cf/df), the document frequency a "
+    "Poisson term would have (N(1-e^(-cf/N))) and their ratio (< 1 = "
+    "clumpier than chance) — stopword induction's inverse and the "
+    "topical-term surfacer next to x74; one explode + two keyed aggs, "
+    "1-row doc-count broadcast, top-k TakeOrdered",
+)
+def x188_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.term_burstiness(d, min_cf=10, top_k=20)

@@ -8749,3 +8749,303 @@ class TestKAnonymityReport:
             k_anonymity_report(df, [], k=3)
         with _pytest.raises(ValueError, match="k must be"):
             k_anonymity_report(df, ["lang"], k=1)
+
+
+class TestDsirImportance:
+    def test_target_slice_scores_higher(self, spark):
+        from cryoflow_spark.functions.curation import dsir_log_weights
+
+        rows = [
+            (1, "alpha alpha beta", "en"),
+            (2, "alpha beta beta", "en"),
+            (3, "gamma delta gamma delta", "de"),
+            (4, "alpha beta alpha", "de"),   # target-like raw doc
+            (5, "gamma gamma delta", "de"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = {
+            r["doc_id"]: r
+            for r in dsir_log_weights(
+                df, F.col("lang") == "en", num_buckets=64
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3, 4, 5}
+        assert out[1]["n_tokens"] == 3
+        # docs made of target-model tokens score above docs of
+        # never-in-target tokens — the resampling signal
+        assert out[4]["log_weight"] > out[3]["log_weight"]
+        assert out[1]["log_weight"] > out[5]["log_weight"]
+
+    def test_validation(self, spark):
+        from cryoflow_spark.functions.curation import dsir_log_weights
+
+        df = spark.createDataFrame([(1, "a", "en")], "doc_id long, text string, lang string")
+        with pytest.raises(ValueError, match="num_buckets"):
+            dsir_log_weights(df, F.col("lang") == "en", num_buckets=1)
+
+
+class TestWinnowing:
+    def test_shared_run_guarantees_shared_fingerprint(self, spark):
+        # winnowing guarantee (Schleimer 2003): any shared token run of
+        # length >= w + k - 1 = 6 leaves at least one shared fingerprint
+        rows = [
+            (1, "a b c d e f g h i j k l m n o p"),
+            (2, "z1 z2 k l m n o p z3 z4"),          # shares k..p (6 tokens)
+            (3, "q r s t u v w x y zz q2 r2 s2"),    # disjoint from 1 and 2
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in X.winnowing_candidates(
+                df, k=3, w=4, max_df=20, min_shared=1
+            ).collect()
+        }
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_short_doc_contributes_min_hash(self, spark):
+        # < w grams (but >= k tokens): doc still fingerprints via its
+        # single minimum, so exact short dup pairs are found
+        rows = [(1, "x y z w"), (2, "x y z w"), (3, "p q r s")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in X.winnowing_candidates(
+                df, k=3, w=4, max_df=20, min_shared=1
+            ).collect()
+        }
+        assert (1, 2) in pairs
+
+    def test_density(self, spark):
+        # selected fraction ~ 2/(w+1); assert it is well below 1 and
+        # positions selected are a subset of all gram hashes
+        import random
+
+        rng = random.Random(7)
+        words = [f"w{rng.randrange(2000)}" for _ in range(400)]
+        df = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id long, text string"
+        )
+        # count selections via the postings side: min_shared high so no
+        # pairs; instead count distinct fps of the one doc by lowering
+        # max_df and asserting the function runs; density check uses
+        # the internal selection through a 2-copy trick
+        df2 = spark.createDataFrame(
+            [(1, " ".join(words)), (2, " ".join(words))],
+            "doc_id long, text string",
+        )
+        got = X.winnowing_candidates(
+            df2, k=3, w=4, max_df=5, min_shared=1
+        ).collect()
+        assert len(got) == 1
+        n_shared = got[0]["n_shared"]
+        n_grams = 400 - 2
+        frac = n_shared / n_grams
+        assert 0.2 < frac < 0.75  # theory: 2/(w+1) = 0.4 for random hashes
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="k must be"):
+            X.winnowing_candidates(df, k=0)
+        with pytest.raises(ValueError, match="max_df"):
+            X.winnowing_candidates(df, max_df=1)
+
+
+class TestHeapsLaw:
+    def test_curve_checkpoints_exact(self, spark):
+        # 10 tokens, 4 distinct; first occurrences at positions 1,2,5,9
+        rows = [
+            (1, "a b a b"),        # offsets 0; positions 1-4
+            (2, "c a b c"),        # positions 5-8: c first at 5
+            (3, "d d"),            # positions 9-10: d first at 9
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["checkpoint"]: r
+            for r in X.heaps_law_curve(df, n_checkpoints=5).collect()
+        }
+        assert len(out) == 5
+        # N=10, budgets 2,4,6,8,10
+        assert out[1]["tokens_seen"] == 2 and out[1]["vocab_size"] == 2
+        assert out[2]["tokens_seen"] == 4 and out[2]["vocab_size"] == 2
+        assert out[3]["tokens_seen"] == 6 and out[3]["vocab_size"] == 3
+        assert out[4]["tokens_seen"] == 8 and out[4]["vocab_size"] == 3
+        assert out[5]["tokens_seen"] == 10 and out[5]["vocab_size"] == 4
+        k, beta = out[1]["heaps_k"], out[1]["heaps_beta"]
+        assert k > 0 and 0 <= beta <= 1
+        # fit constants identical on every row
+        assert all(r["heaps_k"] == k and r["heaps_beta"] == beta for r in out.values())
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="n_checkpoints"):
+            X.heaps_law_curve(df, n_checkpoints=1)
+
+
+class TestKaplanMeier:
+    def test_censoring_math(self, spark):
+        from cryoflow_spark.functions.events import kaplan_meier_survival
+
+        day = 86_400_000_000 // 1_000_000  # seconds per day
+        base = 1_700_000_000
+
+        def ts(day_off):
+            import datetime
+
+            return datetime.datetime.utcfromtimestamp(base + day_off * day)
+
+        rows = [
+            # u1 converts on day 1
+            (1, ts(0), "view"), (1, ts(1), "purchase"),
+            # u2 converts on day 3
+            (2, ts(0), "view"), (2, ts(3), "purchase"),
+            # u3 never converts, censored at day 2 (its last event)
+            (3, ts(0), "view"), (3, ts(2), "click"),
+            # u4 converts on day 3
+            (4, ts(0), "view"), (4, ts(3), "purchase"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        out = {
+            r["duration_days"]: r
+            for r in kaplan_meier_survival(df).collect()
+        }
+        # spine: day1 d=1 n=4 -> S=0.75; day2 censored (no row);
+        # day3 d=2, at risk = 4-1(converted)-1(censored)=2 -> S=0.75*(1-2/2)=0
+        assert set(out) == {1, 3}
+        assert out[1]["n_at_risk"] == 4 and out[1]["n_events"] == 1
+        assert out[1]["survival"] == pytest.approx(0.75)
+        assert out[3]["n_at_risk"] == 2 and out[3]["n_events"] == 2
+        assert out[3]["survival"] == 0.0
+
+    def test_all_converted_is_empirical_cdf(self, spark):
+        from cryoflow_spark.functions.events import kaplan_meier_survival
+
+        import datetime
+
+        def ts(s):
+            return datetime.datetime.utcfromtimestamp(1_700_000_000 + s)
+
+        rows = [
+            (1, ts(0), "view"), (1, ts(10), "purchase"),
+            (2, ts(0), "view"), (2, ts(20), "purchase"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        out = kaplan_meier_survival(df).collect()
+        assert len(out) == 1  # both durations are day 0
+        assert out[0]["survival"] == 0.0
+        assert out[0]["n_at_risk"] == 2
+
+
+class TestQlDirichlet:
+    def test_matches_and_smoothing(self, spark):
+        rows = [
+            (1, "scan scan filter and other words here"),
+            (2, "filter filter filter something else entirely now"),
+            (3, "nothing relevant in this document at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = X.ql_dirichlet_search(
+            df, ["scan", "filter"], mu=100.0, top_k=10
+        ).collect()
+        ids = [r["doc_id"] for r in out]
+        # only docs matching >= 1 term are candidates
+        assert set(ids) == {1, 2}
+        by_id = {r["doc_id"]: r for r in out}
+        assert by_id[1]["matched_terms"] == 2
+        assert by_id[2]["matched_terms"] == 1
+        # doc 1 matches both terms and should outrank doc 2
+        assert ids[0] == 1
+
+    def test_corpus_absent_terms_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, "scan filter")], "doc_id long, text string"
+        )
+        out = X.ql_dirichlet_search(
+            df, ["scan", "zzzmissing"], top_k=5
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["matched_terms"] == 1
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="non-empty"):
+            X.ql_dirichlet_search(df, [])
+        with pytest.raises(ValueError, match="mu"):
+            X.ql_dirichlet_search(df, ["a"], mu=0.0)
+
+
+class TestRougeOverlap:
+    def test_clipped_counts_by_hand(self, spark):
+        # doc1 bigrams: (a b),(b a),(a b) -> counts {ab:2, ba:1}, tot 3
+        # doc2 bigrams: (a b),(b c)       -> counts {ab:1, bc:1}, tot 2
+        # overlap = min(2,1) = 1; recall 1/3, precision 1/2, f1 = 0.4
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        out = X.rouge_overlap_pairs(docs, pairs, n=2).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_overlap"] == 1
+        assert r["recall"] == pytest.approx(1 / 3, abs=1e-6)
+        assert r["precision"] == 0.5
+        assert r["f1"] == pytest.approx(0.4)
+
+    def test_zero_overlap_pair(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "x y z")], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        out = X.rouge_overlap_pairs(docs, pairs, n=2).collect()
+        assert out[0]["n_overlap"] == 0 and out[0]["f1"] == 0.0
+
+    def test_validation(self, spark):
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        pairs = spark.createDataFrame([(1, 1)], "doc_a long, doc_b long")
+        with pytest.raises(ValueError, match="n must be"):
+            X.rouge_overlap_pairs(docs, pairs, n=0)
+
+
+class TestVocabRichness:
+    def test_spectrum_by_hand(self, spark):
+        # src A: tokens a a b c -> V=3, N=4, F1={b,c}=2, F2={a}=1
+        # chao1 = 3 + 2*1/(2*2) = 3.5; coverage = 1 - 2/4 = 0.5
+        docs = spark.createDataFrame(
+            [(1, "a a b", "A"), (2, "c", "A"), (3, "z z", "B")],
+            "doc_id long, text string, source string",
+        )
+        out = {r["source"]: r for r in X.vocab_richness_report(docs).collect()}
+        a = out["A"]
+        assert a["n_tokens"] == 4 and a["vocab"] == 3
+        assert a["f1_types"] == 2 and a["f2_types"] == 1
+        assert a["chao1"] == pytest.approx(3.5)
+        assert a["coverage"] == pytest.approx(0.5)
+        b = out["B"]
+        # all mass in one doubleton: F1=0 -> coverage 1, chao1 = V
+        assert b["coverage"] == 1.0 and b["chao1"] == 1.0
+
+
+class TestTermBurstiness:
+    def test_bursty_vs_spread(self, spark):
+        # 'bbb' occurs 12x in ONE doc (bursty); 'sss' once in each of
+        # 12 docs (spread). Same cf, opposite burstiness.
+        rows = [(1, "bbb " * 12)] + [
+            (i, "sss filler") for i in range(2, 14)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["term"]: r for r in X.term_burstiness(df, min_cf=10, top_k=5).collect()}
+        assert out["bbb"]["burstiness"] == 12.0
+        assert out["bbb"]["df"] == 1
+        assert out["sss"]["burstiness"] == 1.0
+        assert out["sss"]["df"] == 12
+        # spread term is Poisson-like (ratio ~>= 1), bursty term far below
+        assert out["bbb"]["df_ratio"] < out["sss"]["df_ratio"]
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="min_cf"):
+            X.term_burstiness(df, min_cf=0)

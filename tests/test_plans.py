@@ -261,6 +261,21 @@ def test_no_cartesian_products(all_plans):
         # 1-row corpus-totals scalar crossJoin(broadcast) into the
         # <=max_len/bucket_size-row bucket table — same scalar pattern.
         "x176_padding_waste",
+        # 1-row (N_target, N_raw) totals scalar crossJoin(broadcast)
+        # into the <=num_buckets-row DSIR bucket-model table — same
+        # scalar pattern.
+        "x181_dsir_importance",
+        # 1-row Heaps (K, beta) fit scalar crossJoin(broadcast) into
+        # the n_checkpoints-row curve — same scalar pattern.
+        "x183_heaps_law",
+        # |Q|-row query-term model (|Q|=3) crossJoin(broadcast) into
+        # the matching-doc candidate set (the x155 completion shape) +
+        # the 1-row corpus-total scalar — both deliberate bounded
+        # broadcasts.
+        "x185_ql_dirichlet",
+        # 1-row doc-count scalar crossJoin(broadcast) into the
+        # min_cf-filtered term table — same scalar pattern.
+        "x188_term_burstiness",
     }
     for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name
@@ -321,6 +336,11 @@ _BOUNDED_WINDOW_ENVELOPES = {
     # localCheckpoint'ed (two consumers), which truncates the lineage
     # explain walks — 0 visible specs here; the envelope is pinned by
     # x179 sharing the identical multi_value_cdf construction.
+    # Heaps' law rides a ONE-weight multi_value_cdf spine for per-doc
+    # token offsets: offset + total specs for the weight AND the _prows
+    # row-position pair (kept alive by the spine->per_doc join) over
+    # the per-range-partition totals table = 4 specs.
+    "x183_heaps_law": ("_pt__", 4),
 }
 
 
