@@ -458,3 +458,192 @@ def event_type_pagerank(
     return pagerank(
         edges, weight_col="w", damping=damping, n_iter=n_iter
     )
+
+
+def triangle_report(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Exact per-node triangle counts + local clustering coefficient
+    via DEGREE-ORIENTED triangle enumeration (Suri & Vassilvitskii
+    WWW 2011, "Counting triangles and the curse of the last reducer";
+    clustering coefficient: Watts & Strogatz 1998): orient every
+    undirected edge from its lower-(degree, id) endpoint to the higher,
+    join a pivot's out-edge pairs against the oriented edge list — each
+    triangle is found EXACTLY once, and every node's oriented
+    out-degree is O(sqrt(m)), which is the whole point: the natural
+    wedge join on raw adjacency dies on the highest-degree hub (the
+    "last reducer"), the oriented join never builds a hub's full
+    neighborhood. The near-dup read: triadic closure in a candidate
+    graph (x182) separates template FAMILIES (dense triangles) from
+    chance collisions (open wedges).
+
+    ``edges`` carries one row per undirected edge (self-loops and
+    duplicates are dropped, direction normalized). Output: one row per
+    node — ``(node, degree, triangles, local_cc)`` with
+    ``local_cc = 2·T(v) / (deg(v)·(deg(v)−1))`` rounded to 6 (0.0 for
+    degree < 2), ordered by node. Exact integer counts, one final
+    per-row divide.
+
+    Scale: degree table is one keyed agg; the orientation is a per-row
+    map after two degree joins; the triangle join is
+    (pivot-out-edges)², bounded by the oriented out-degree — never a
+    hub's square; per-node totals are one union + keyed agg.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("__u"), F.col(dst_col).alias("__v")
+        )
+        .filter(F.col("__u") != F.col("__v"))
+        .select(
+            F.least("__u", "__v").alias("__a"),
+            F.greatest("__u", "__v").alias("__b"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("__a").alias("__n"))
+        .union(e.select(F.col("__b").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__d"))
+    )
+    da = deg.select(
+        F.col("__n").alias("__a"), F.col("__d").alias("__da")
+    )
+    db = deg.select(
+        F.col("__n").alias("__b"), F.col("__d").alias("__db")
+    )
+    # orient low (degree, id) -> high (degree, id)
+    oriented = (
+        e.join(da, "__a")
+        .join(db, "__b")
+        .select(
+            F.when(
+                (F.col("__da") < F.col("__db"))
+                | (
+                    (F.col("__da") == F.col("__db"))
+                    & (F.col("__a") < F.col("__b"))
+                ),
+                F.struct(F.col("__a").alias("s"), F.col("__b").alias("t")),
+            )
+            .otherwise(
+                F.struct(F.col("__b").alias("s"), F.col("__a").alias("t"))
+            )
+            .alias("__o")
+        )
+        .select(F.col("__o.s").alias("__s"), F.col("__o.t").alias("__t"))
+    )
+    w1 = oriented.select(
+        F.col("__s").alias("__p"), F.col("__t").alias("__x")
+    )
+    w2 = oriented.select(
+        F.col("__s").alias("__p"), F.col("__t").alias("__y")
+    )
+    wedges = w1.join(w2, "__p").filter(F.col("__x") < F.col("__y"))
+    closing = oriented.select(
+        F.least("__s", "__t").alias("__x"),
+        F.greatest("__s", "__t").alias("__y"),
+    )
+    tris = wedges.join(closing, ["__x", "__y"]).select(
+        "__p", "__x", "__y"
+    )
+    per_node = (
+        tris.select(F.col("__p").alias("__n"))
+        .union(tris.select(F.col("__x").alias("__n")))
+        .union(tris.select(F.col("__y").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__t"))
+    )
+    out = deg.join(per_node, "__n", "left").select(
+        F.col("__n").alias("node"),
+        F.col("__d").alias("degree"),
+        F.coalesce(F.col("__t"), F.lit(0)).cast("bigint").alias("triangles"),
+        F.round(
+            F.when(
+                F.col("__d") >= 2,
+                2.0
+                * F.coalesce(F.col("__t"), F.lit(0)).cast("double")
+                / (F.col("__d") * (F.col("__d") - 1)).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("local_cc"),
+    )
+    return out.orderBy("node")
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, "Assortative
+    mixing in networks", eq. 4): the Pearson correlation of the degrees
+    at the two ends of every edge — positive = hubs link to hubs
+    (social-network shape), negative = hubs link to leaves
+    (hub-and-spoke / star shape, what a boilerplate template hub looks
+    like in a near-dup candidate graph). Each undirected edge
+    contributes BOTH orientations (the standard symmetrization), so::
+
+        r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)
+
+    over the 2m endpoint-degree pairs (x, y), with Σx = Σy by symmetry.
+
+    Output: one row — ``(n_nodes, n_edges, assortativity)`` rounded to
+    6 (NULL when degenerate: fewer than 2 edges or zero variance).
+    Determinism: all sums are exact integers (degrees are integers);
+    the single divide happens once on the final row.
+
+    Scale: degree table one keyed agg, two broadcast-friendly joins to
+    decorate edge endpoints, then a 1-row integer aggregate with
+    map-side partials.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("__u"), F.col(dst_col).alias("__v")
+        )
+        .filter(F.col("__u") != F.col("__v"))
+        .select(
+            F.least("__u", "__v").alias("__a"),
+            F.greatest("__u", "__v").alias("__b"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("__a").alias("__n"))
+        .union(e.select(F.col("__b").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__d"))
+    )
+    da = deg.select(F.col("__n").alias("__a"), F.col("__d").alias("__da"))
+    db = deg.select(F.col("__n").alias("__b"), F.col("__d").alias("__db"))
+    dec = e.join(da, "__a").join(db, "__b")
+    # both orientations: (da, db) and (db, da)
+    pairs = dec.select(
+        F.col("__da").alias("__x"), F.col("__db").alias("__y")
+    ).union(
+        dec.select(F.col("__db").alias("__x"), F.col("__da").alias("__y"))
+    )
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__m2"),
+        F.sum("__x").cast("bigint").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__y")).cast("bigint").alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("bigint").alias("__sxx"),
+    )
+    counts = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    ).crossJoin(e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
+    num = (
+        F.col("__m2") * F.col("__sxy") - F.col("__sx") * F.col("__sx")
+    ).cast("double")
+    den = (
+        F.col("__m2") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    ).cast("double")
+    return counts.crossJoin(F.broadcast(sums)).select(
+        "n_nodes",
+        "n_edges",
+        F.when(
+            (F.col("n_edges") >= 2) & (den != 0.0),
+            F.round(num / den, 6),
+        ).alias("assortativity"),
+    )

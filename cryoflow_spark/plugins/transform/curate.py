@@ -13,6 +13,12 @@ the TOML plugin surface. Modes (option ``method``):
   shared by fewer than ``k`` (default 5) rows, with its distinct
   ``sensitive_column`` count — the can-metadata-single-out-a-
   contributor gate before publishing per-document stats.
+- ``dsir``: replace the stream with per-document DSIR importance
+  weights (Xie et al. 2023) — hashed-unigram log-ratio of the target
+  slice (rows matching the ``target_predicate`` SQL expression) vs the
+  raw corpus; options ``num_buckets`` (default 1024). Resample the
+  output proportional to ``exp(log_weight)`` to tilt a crawl toward a
+  curated domain.
 - ``pii_exposure``: replace the stream with the per-``group_column``
   (or global) PII exposure audit — per type (url/email/ip/phone, in
   scrub-chain order) docs-hit + span counts, any-PII docs and rate —
@@ -216,6 +222,15 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 quasi_cols=list(self.require_option("quasi_columns")),
                 k=int(self.options.get("k", 5)),
                 sensitive_col=self.options.get("sensitive_column"),
+            )
+
+        if method == "dsir":
+            return C.dsir_log_weights(
+                data,
+                target_expr=F.expr(self.require_option("target_predicate")),
+                id_col=id_column,
+                text_col=column,
+                num_buckets=int(self.options.get("num_buckets", 1024)),
             )
 
         if method == "pii_scrub":

@@ -37,6 +37,13 @@ Engine extension for large-scale training-data pipelines (BASELINE.json
   signature column (``out_column``, default ``minhash_sig``) — store it
   in the lake so steady-state incremental ingest never recomputes the
   corpus side.
+- ``winnowing``: MOSS winnowing fingerprint candidate pairs (token
+  k-gram hashes, window-min selection with the shared-run guarantee);
+  options ``column``, ``k``, ``w``, ``max_df``, ``min_shared``.
+- ``rouge_pairs``: ROUGE-N clipped-overlap re-scoring of a sibling
+  candidate-pair stream (``pairs_label`` carries ``doc_a``/``doc_b``,
+  e.g. a ``winnowing`` stage's output) — recall/precision/F1 per pair;
+  options ``column``, ``ngram`` (default 2).
 - ``duplicate_spans``: emit the cross-doc duplicate token-window
   INVENTORY ``(span_hash, n_docs, n_occurrences, example_ids)`` — the
   exact-substring-dedup diagnostic (options ``span_tokens``, ``stride``,
@@ -185,6 +192,29 @@ class DedupPlugin(SiblingAwareTransformPlugin):
                 hash_mode=self.options.get("hash_mode", "engine"),
                 corpus_sig_col=self.options.get("corpus_sig_column"),
                 new_sig_col=self.options.get("new_sig_column"),
+            )
+        if method == "winnowing":
+            from cryoflow_spark.functions.text import winnowing_candidates
+
+            return winnowing_candidates(
+                data,
+                id_col=id_column,
+                text_col=column,
+                k=int(self.options.get("k", 3)),
+                w=int(self.options.get("w", 4)),
+                max_df=int(self.options.get("max_df", 20)),
+                min_shared=int(self.options.get("min_shared", 2)),
+            )
+        if method == "rouge_pairs":
+            from cryoflow_spark.functions.text import rouge_overlap_pairs
+
+            pairs = self.sibling_frame(self.require_option("pairs_label"))
+            return rouge_overlap_pairs(
+                data,
+                pairs,
+                n=int(self.options.get("ngram", 2)),
+                id_col=id_column,
+                text_col=column,
             )
         if method == "ngram_jaccard_pairs":
             return D.ngram_jaccard_pairs(

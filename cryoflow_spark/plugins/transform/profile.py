@@ -90,6 +90,17 @@ disturbing the main stream. Options:
 - ``report = "wasserstein"`` emits the ONE-row exact 1-D
   Wasserstein-1 / earth-mover distance of the same two-sample setup —
   how FAR the mass moved, in the column's own units.
+- ``report = "survival"`` emits the Kaplan-Meier time-to-conversion
+  curve over an events stream (first event → first ``conversion``
+  event, never-converting users censored at their last event) —
+  ``(duration_days, n_at_risk, n_events, survival)``.
+- ``report = "triangles"`` emits the per-node triangle census + local
+  clustering coefficient of an edge-list stream (``src_column`` /
+  ``dst_column``, default doc_a/doc_b — e.g. a winnowing dedup
+  stage's pairs) via degree-oriented enumeration.
+- ``report = "assortativity"`` emits the ONE-row Newman degree
+  assortativity of the same edge-list shape — hub-and-spoke template
+  graphs score negative.
 - ``report = "pagerank"`` emits the PageRank centrality of event
   types over the user-journey transition graph (``damping`` default
   0.85, ``n_iter`` default 5) — navigation anchors by flow, not hits.
@@ -424,6 +435,39 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 group_col=self.require_option("group_column"),
                 group_a=self.require_option("group_a"),
                 group_b=self.require_option("group_b"),
+            )
+
+        if self.options.get("report") == "survival":
+            from cryoflow_spark.functions.events import (
+                kaplan_meier_survival,
+            )
+
+            return kaplan_meier_survival(
+                data,
+                user_col=self.options.get("user_column", "user_id"),
+                ts_col=self.options.get("ts_column", "ts"),
+                event_type_col=self.options.get(
+                    "type_column", "event_type"
+                ),
+                conversion=self.options.get("conversion", "purchase"),
+            )
+
+        if self.options.get("report") == "triangles":
+            from cryoflow_spark.functions.graph import triangle_report
+
+            return triangle_report(
+                data,
+                src_col=self.options.get("src_column", "doc_a"),
+                dst_col=self.options.get("dst_column", "doc_b"),
+            )
+
+        if self.options.get("report") == "assortativity":
+            from cryoflow_spark.functions.graph import degree_assortativity
+
+            return degree_assortativity(
+                data,
+                src_col=self.options.get("src_column", "doc_a"),
+                dst_col=self.options.get("dst_column", "doc_b"),
             )
 
         if self.options.get("report") == "trend":

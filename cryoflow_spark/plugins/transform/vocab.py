@@ -55,6 +55,15 @@ Options:
   the ``top_k`` adjacent-symbol pairs by frequency over the
   character-split vocabulary with ``</w>`` markers — the merge-list
   head a tokenizer trainer would pick next; options ``top_k``.
+- ``method = "ql"`` — query-likelihood retrieval with Dirichlet
+  smoothing (Zhai-Lafferty 2004): the language-model ranking beside
+  BM25; options ``terms`` (required), ``mu``, ``top_k``.
+- ``method = "heaps"`` — Heaps'-law vocabulary growth curve + (K, β)
+  log-log fit over ``n_checkpoints`` token-stream deciles.
+- ``method = "richness"`` — per-``group_column`` Chao1 + Good-Turing
+  coverage vocabulary-richness report (keep-crawling-or-exhausted).
+- ``method = "burstiness"`` — top-``top_k`` bursty terms (cf/df vs
+  Poisson-expected df, Church-Gale/Katz); option ``min_cf``.
 """
 
 from __future__ import annotations
@@ -128,6 +137,45 @@ class VocabPlugin(AnalyzedTransformPlugin):
                 k1=float(self.options.get("k1", 1.2)),
                 b=float(self.options.get("b", 0.75)),
                 top_k=int(self.options.get("top_k", 10)),
+            )
+        if self.options.get("method") == "ql":
+            from cryoflow_spark.functions.text import ql_dirichlet_search
+
+            return ql_dirichlet_search(
+                data,
+                query_terms=list(self.require_option("terms")),
+                text_col=self.options.get("column", "text"),
+                id_col=self.options.get("id_column", "doc_id"),
+                mu=float(self.options.get("mu", 2000.0)),
+                top_k=int(self.options.get("top_k", 10)),
+            )
+        if self.options.get("method") == "heaps":
+            from cryoflow_spark.functions.text import heaps_law_curve
+
+            return heaps_law_curve(
+                data,
+                id_col=self.options.get("id_column", "doc_id"),
+                text_col=self.options.get("column", "text"),
+                n_checkpoints=int(self.options.get("n_checkpoints", 10)),
+            )
+        if self.options.get("method") == "richness":
+            from cryoflow_spark.functions.text import vocab_richness_report
+
+            return vocab_richness_report(
+                data,
+                group_col=self.options.get("group_column", "source"),
+                id_col=self.options.get("id_column", "doc_id"),
+                text_col=self.options.get("column", "text"),
+            )
+        if self.options.get("method") == "burstiness":
+            from cryoflow_spark.functions.text import term_burstiness
+
+            return term_burstiness(
+                data,
+                id_col=self.options.get("id_column", "doc_id"),
+                text_col=self.options.get("column", "text"),
+                min_cf=int(self.options.get("min_cf", 10)),
+                top_k=int(self.options.get("top_k", 20)),
             )
         if self.options.get("method") == "good_turing":
             from cryoflow_spark.functions.text import good_turing_counts

@@ -10362,3 +10362,116 @@ def x187_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x188_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return X.term_burstiness(d, min_cf=10, top_k=20)
+
+
+# --- x189: triangle census of the near-dup candidate graph (oracle-checked) --
+
+
+@register(
+    "x189_dedup_triangles",
+    f"""
+    WITH {_WINNOW_CTES},
+    {_WINNOW_PAIRS_CTE},
+    e AS (SELECT doc_a AS a, doc_b AS b FROM cand),
+    deg AS (
+      SELECT n, COUNT(*)::BIGINT AS d
+      FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+      GROUP BY 1
+    ),
+    o AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS s,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS t
+      FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b
+    ),
+    w AS (
+      SELECT w1.s AS p, w1.t AS x, w2.t AS y
+      FROM o w1 JOIN o w2 ON w1.s = w2.s AND w1.t < w2.t
+    ),
+    c AS (SELECT LEAST(s, t) AS x, GREATEST(s, t) AS y FROM o),
+    tri AS (SELECT p, x, y FROM w JOIN c USING (x, y)),
+    pn AS (
+      SELECT n, COUNT(*)::BIGINT AS t
+      FROM (SELECT p AS n FROM tri UNION ALL SELECT x FROM tri
+            UNION ALL SELECT y FROM tri)
+      GROUP BY 1
+    )
+    SELECT deg.n AS node, deg.d AS degree,
+           COALESCE(pn.t, 0)::BIGINT AS triangles,
+           ROUND(CASE WHEN deg.d >= 2 THEN
+             2.0 * COALESCE(pn.t, 0)::DOUBLE
+             / (deg.d * (deg.d - 1))::DOUBLE
+           ELSE 0.0 END, 6) AS local_cc
+    FROM deg LEFT JOIN pn ON pn.n = deg.n
+    ORDER BY node
+    """,
+    "Exact triangle census + local clustering coefficient of the x182 "
+    "winnowing candidate graph via degree-oriented enumeration (Suri "
+    "& Vassilvitskii WWW 2011 — orient low-(degree,id) to high, join "
+    "pivot out-edge pairs against the oriented list: each triangle "
+    "found once and NO reducer ever builds a hub's full neighborhood, "
+    "the last-reducer fix; clustering coefficient Watts-Strogatz "
+    "1998): dense triangles = template families, open wedges = chance "
+    "collisions; exact integer counts, one final per-row divide",
+)
+def x189_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.graph import triangle_report
+
+    d = load(spark, sf_dir, "documents")
+    pairs = X.winnowing_candidates(d, k=3, w=4, max_df=20, min_shared=2)
+    return triangle_report(pairs)
+
+
+# --- x190: degree assortativity of the candidate graph (oracle-checked) ------
+
+
+@register(
+    "x190_dedup_assortativity",
+    f"""
+    WITH {_WINNOW_CTES},
+    {_WINNOW_PAIRS_CTE},
+    e AS (SELECT doc_a AS a, doc_b AS b FROM cand),
+    deg AS (
+      SELECT n, COUNT(*)::BIGINT AS d
+      FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+      GROUP BY 1
+    ),
+    dec AS (
+      SELECT da.d AS xda, db.d AS xdb
+      FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b
+    ),
+    pairs AS (
+      SELECT xda AS x, xdb AS y FROM dec
+      UNION ALL SELECT xdb AS x, xda AS y FROM dec
+    ),
+    sums AS (
+      SELECT COUNT(*)::BIGINT AS m2, SUM(x)::BIGINT AS sx,
+             SUM(x * y)::BIGINT AS sxy, SUM(x * x)::BIGINT AS sxx
+      FROM pairs
+    ),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM deg)::BIGINT AS n_nodes,
+             (SELECT COUNT(*) FROM e)::BIGINT AS n_edges
+    )
+    SELECT n_nodes, n_edges,
+           CASE WHEN n_edges >= 2
+                 AND (m2 * sxx - sx * sx) != 0 THEN
+             ROUND((m2 * sxy - sx * sx)::DOUBLE
+                   / (m2 * sxx - sx * sx)::DOUBLE, 6)
+           END AS assortativity
+    FROM counts CROSS JOIN sums
+    """,
+    "Degree assortativity of the x182 winnowing candidate graph "
+    "(Newman 2002 eq. 4: Pearson correlation of endpoint degrees over "
+    "both edge orientations) — negative = hub-and-spoke (one template "
+    "hub paired with many leaves), positive = dense dup families "
+    "linking to each other; all sums exact integers, ONE final "
+    "divide; degree table one keyed agg, 1-row integer aggregate",
+)
+def x190_dedup_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.graph import degree_assortativity
+
+    d = load(spark, sf_dir, "documents")
+    pairs = X.winnowing_candidates(d, k=3, w=4, max_df=20, min_shared=2)
+    return degree_assortativity(pairs)

@@ -9049,3 +9049,77 @@ class TestTermBurstiness:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError, match="min_cf"):
             X.term_burstiness(df, min_cf=0)
+
+
+class TestTriangleReport:
+    def test_known_graph(self, spark):
+        from cryoflow_spark.functions.graph import triangle_report
+
+        # triangle 1-2-3 plus pendant 3-4: T(1)=T(2)=T(3)=1, T(4)=0
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], "doc_a long, doc_b long"
+        )
+        out = {r["node"]: r for r in triangle_report(edges).collect()}
+        assert out[1]["triangles"] == 1 and out[1]["degree"] == 2
+        assert out[3]["triangles"] == 1 and out[3]["degree"] == 3
+        assert out[4]["triangles"] == 0 and out[4]["degree"] == 1
+        # local cc: node 1 = 2*1/(2*1) = 1; node 3 = 2*1/(3*2) = 1/3
+        assert out[1]["local_cc"] == 1.0
+        assert out[3]["local_cc"] == pytest.approx(1 / 3, abs=1e-6)
+        assert out[4]["local_cc"] == 0.0
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        from cryoflow_spark.functions.graph import triangle_report
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 2), (2, 3), (1, 3), (1, 1)],
+            "doc_a long, doc_b long",
+        )
+        out = {r["node"]: r for r in triangle_report(edges).collect()}
+        assert out[1]["degree"] == 2 and out[1]["triangles"] == 1
+
+    def test_complete_k4(self, spark):
+        from cryoflow_spark.functions.graph import triangle_report
+
+        import itertools
+
+        edges = spark.createDataFrame(
+            list(itertools.combinations(range(4), 2)),
+            "doc_a long, doc_b long",
+        )
+        out = triangle_report(edges).collect()
+        # K4: every node in C(3,2)=3 triangles, cc=1
+        assert all(r["triangles"] == 3 and r["local_cc"] == 1.0 for r in out)
+
+
+class TestDegreeAssortativity:
+    def test_star_is_disassortative(self, spark):
+        from cryoflow_spark.functions.graph import degree_assortativity
+
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 6)], "doc_a long, doc_b long"
+        )
+        r = degree_assortativity(edges).collect()[0]
+        assert r["n_nodes"] == 6 and r["n_edges"] == 5
+        assert r["assortativity"] == -1.0
+
+    def test_regular_graph_degenerate(self, spark):
+        from cryoflow_spark.functions.graph import degree_assortativity
+
+        # 4-cycle: all degrees equal -> zero variance -> NULL
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 1)], "doc_a long, doc_b long"
+        )
+        r = degree_assortativity(edges).collect()[0]
+        assert r["assortativity"] is None
+
+    def test_path_by_hand(self, spark):
+        from cryoflow_spark.functions.graph import degree_assortativity
+
+        # path 1-2-3: degrees 1,2,1; pairs (1,2),(2,1),(2,1),(1,2)
+        # -> r = (4*8 - 36) / (4*10 - 36) = -4/4 = -1
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3)], "doc_a long, doc_b long"
+        )
+        r = degree_assortativity(edges).collect()[0]
+        assert r["assortativity"] == -1.0

@@ -276,6 +276,10 @@ def test_no_cartesian_products(all_plans):
         # 1-row doc-count scalar crossJoin(broadcast) into the
         # min_cf-filtered term table — same scalar pattern.
         "x188_term_burstiness",
+        # three 1-row scalars (node count, edge count, integer moment
+        # sums) cross-joined into the single assortativity row — all
+        # sides scalar.
+        "x190_dedup_assortativity",
     }
     for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name

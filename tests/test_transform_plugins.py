@@ -1567,3 +1567,118 @@ def test_curate_k_anonymity_mode(spark):
     assert len(out) == 1
     assert (out[0]["lang"], out[0]["n"], out[0]["group_size"],
             out[0]["l_distinct"]) == ("en", 20, 1, 1)
+
+
+def test_curate_dsir_mode(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha alpha beta", "en"), (2, "gamma delta", "de"),
+         (3, "alpha beta", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = _run(
+        CuratePlugin({
+            "method": "dsir",
+            "target_predicate": "lang = 'en'",
+            "num_buckets": 64,
+        }),
+        df,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    # doc 3 is made of target-model tokens, doc 2 of never-in-target ones
+    assert rows[3]["log_weight"] > rows[2]["log_weight"]
+
+
+def test_dedup_winnowing_and_rouge_pipeline(spark):
+    from cryoflow_spark.plugins.transform import DedupPlugin
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x1 x2 c d e f g h x3"),
+         (3, "p q r s t u v w")],
+        "doc_id long, text string",
+    )
+    pairs = _run(
+        DedupPlugin({
+            "method": "winnowing", "column": "text", "k": 3, "w": 4,
+            "max_df": 20, "min_shared": 1,
+        }),
+        docs,
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got
+
+    rouge = DedupPlugin({
+        "method": "rouge_pairs", "column": "text", "ngram": 2,
+        "pairs_label": "pairs",
+    })
+    rouge.attach_session(spark)
+    from cryoflow_spark.core.result import Success
+
+    rouge._siblings = {"pairs": Success(pairs)}
+    res = rouge.execute(docs)
+    assert is_successful(res)
+    scored = {(r["doc_a"], r["doc_b"]): r for r in res.unwrap().collect()}
+    assert scored[(1, 2)]["n_overlap"] >= 4  # shared run c..h
+    assert 0 < scored[(1, 2)]["f1"] <= 1
+
+
+def test_vocab_richness_and_burstiness_modes(spark):
+    from cryoflow_spark.plugins.transform import VocabPlugin
+
+    df = spark.createDataFrame(
+        [(1, "a a b c", "A"), (2, "z z", "B")],
+        "doc_id long, text string, source string",
+    )
+    rich = _run(VocabPlugin({"method": "richness"}), df)
+    rows = {r["source"]: r for r in rich.collect()}
+    assert rows["A"]["chao1"] == 3.5 and rows["B"]["coverage"] == 1.0
+
+    burst = _run(
+        VocabPlugin({"method": "burstiness", "min_cf": 2, "top_k": 5}), df
+    )
+    assert {r["term"] for r in burst.collect()} == {"a", "z"}
+
+
+def test_vocab_heaps_and_ql_modes(spark):
+    from cryoflow_spark.plugins.transform import VocabPlugin
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c a b c"), (3, "d d")],
+        "doc_id long, text string",
+    )
+    heaps = _run(VocabPlugin({"method": "heaps", "n_checkpoints": 5}), df)
+    rows = {r["checkpoint"]: r for r in heaps.collect()}
+    assert rows[5]["vocab_size"] == 4 and rows[5]["tokens_seen"] == 10
+
+    ql = _run(
+        VocabPlugin({"method": "ql", "terms": ["a", "b"], "mu": 10.0}), df
+    )
+    ids = [r["doc_id"] for r in ql.collect()]
+    assert set(ids) == {1, 2}  # doc 3 matches neither term
+
+
+def test_profile_survival_triangles_assortativity_modes(spark):
+    from cryoflow_spark.plugins.transform import ProfilePlugin
+    import datetime
+
+    def ts(d):
+        return datetime.datetime.utcfromtimestamp(1_700_000_000 + d * 86400)
+
+    ev = spark.createDataFrame(
+        [(1, ts(0), "view"), (1, ts(1), "purchase"),
+         (2, ts(0), "view"), (2, ts(2), "click")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    surv = _run(ProfilePlugin({"report": "survival"}), ev)
+    rows = surv.collect()
+    assert len(rows) == 1 and rows[0]["duration_days"] == 1
+    assert rows[0]["n_at_risk"] == 2  # censored user still at risk at day 1
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    tri = _run(ProfilePlugin({"report": "triangles"}), edges)
+    assert {r["node"]: r["triangles"] for r in tri.collect()}[3] == 1
+
+    ast = _run(ProfilePlugin({"report": "assortativity"}), edges)
+    assert ast.collect()[0]["n_edges"] == 4
