@@ -2065,9 +2065,27 @@ def kaplan_meier_survival(
     after a spine-sized collect — no single-reducer window over
     data-sized input, no driver collect, no quadratic step.
     """
-    per_user = df.filter(
+    per_user = km_user_partials(
+        df, user_col, ts_col, event_type_col, conversion
+    )
+    return _km_from_user_clocks(per_user)
+
+
+def km_user_partials(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_type_col: str = "event_type",
+    conversion: str = "purchase",
+) -> DataFrame:
+    """Per-user survival clocks ``(user, __first, __last, __conv)`` —
+    the Kaplan-Meier estimator's sufficient statistic, and a MERGEABLE
+    MONOID: (min, max, null-skipping min) each re-aggregate over a
+    union of partials to the same values, which is what makes the
+    streaming twin (streaming/survival_stream.py) exactly-once."""
+    return df.filter(
         F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
-    ).groupBy(user_col).agg(
+    ).groupBy(F.col(user_col).alias("__user")).agg(
         F.min(_ts_micros(ts_col)).alias("__first"),
         F.max(_ts_micros(ts_col)).alias("__last"),
         F.min(
@@ -2076,6 +2094,22 @@ def kaplan_meier_survival(
             )
         ).alias("__conv"),
     )
+
+
+def merge_km_user_partials(partials: DataFrame) -> DataFrame:
+    """Re-aggregate unioned per-user clock partials — the monoid merge
+    (min/max/min are associative, commutative, idempotent-safe under
+    the overwrite-replay sink contract)."""
+    return partials.groupBy("__user").agg(
+        F.min("__first").alias("__first"),
+        F.max("__last").alias("__last"),
+        F.min("__conv").alias("__conv"),
+    )
+
+
+def _km_from_user_clocks(per_user: DataFrame) -> DataFrame:
+    """Shared estimator core: per-user clocks -> KM curve (used by the
+    batch operator and the streaming finalize — bit-identical)."""
     day_us = 86_400_000_000
     lifetimes = per_user.select(
         F.floor(

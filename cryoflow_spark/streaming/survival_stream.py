@@ -1,0 +1,120 @@
+"""Streaming Kaplan-Meier survival — the foreachBatch twin of the
+batch operator x184 (``functions.events.kaplan_meier_survival``).
+
+The estimator's sufficient statistic is the per-user clock triple
+``(first event, last event, first conversion)`` — a MERGEABLE MONOID
+(min, max, null-skipping min), so the streaming shape is the standard
+partial-twin contract:
+
+- each micro-batch writes its per-user clock partial
+  (:func:`cryoflow_spark.functions.events.km_user_partials`) to
+  ``<output>/partials/batch_id=N`` in OVERWRITE mode (foreachBatch's
+  idempotent-sink contract: a replayed batch rewrites the same
+  directory, and min/max/min re-aggregation is insensitive to the
+  duplicate rows an at-least-once replay could leave elsewhere);
+- :func:`finalize_survival` merges the unioned partials with the
+  monoid re-aggregation and runs the SAME estimator core as the batch
+  twin (``_km_from_user_clocks``) — bit-identical to
+  ``kaplan_meier_survival`` over every event ingested so far. The
+  censoring boundary is implicit in the merged state: a user's
+  "last observed event" advances as later batches arrive, exactly as
+  it would re-running the batch operator on the grown corpus.
+
+Out-of-order ingest is free here (unlike transitions/attribution):
+min/max/min are order-independent, so NO per-user segment-order
+precondition applies — late events merge correctly from any batch.
+
+Scale: per batch ONE user-keyed agg bounded by users-active-in-batch;
+finalize reads clock STATE tables (|users| rows), never raw events;
+the KM fold itself runs on the calendar-bounded duration spine.
+Compact with :func:`compact_survival_partials` — the partial family is
+closed under the monoid merge.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from cryoflow_spark.streaming.report_stream import _start
+
+
+def _write_survival_partials(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    user_col: str,
+    ts_col: str,
+    event_type_col: str,
+    conversion: str,
+) -> None:
+    """Per-batch idempotent partial write (module-level so the replay
+    property is directly testable)."""
+    from cryoflow_spark.functions.events import km_user_partials
+
+    km_user_partials(
+        batch_df, user_col, ts_col, event_type_col, conversion
+    ).write.mode("overwrite").parquet(
+        f"{output_path}/partials/batch_id={batch_id}"
+    )
+
+
+def survival_stream(
+    stream_df: DataFrame,
+    output_path: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_type_col: str = "event_type",
+    conversion: str = "purchase",
+    checkpoint_path: Optional[str] = None,
+    trigger: str = "available_now",
+) -> StreamingQuery:
+    """Maintain the x184 survival curve's sufficient statistic over a
+    live event stream; read the current curve with
+    :func:`finalize_survival`."""
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    checkpoint = checkpoint_path or f"{output_path}/_checkpoint"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _write_survival_partials(
+            batch_df,
+            batch_id,
+            output_path,
+            user_col,
+            ts_col,
+            event_type_col,
+            conversion,
+        )
+
+    return _start(stream_df, _process, checkpoint, trigger)
+
+
+def finalize_survival(spark: SparkSession, output_path: str) -> DataFrame:
+    """Merge all written clock partials and run the shared estimator
+    core — bit-identical to the batch twin on the ingested union."""
+    from cryoflow_spark.functions.events import (
+        _km_from_user_clocks,
+        merge_km_user_partials,
+    )
+
+    partials = spark.read.parquet(f"{output_path}/partials/batch_id=*")
+    return _km_from_user_clocks(merge_km_user_partials(partials))
+
+
+def compact_survival_partials(
+    spark: SparkSession, output_path: str
+) -> int:
+    """Compact per-batch clock directories into one merged per-user
+    table — the clock family is closed under the monoid merge. See
+    :func:`...report_stream.compact_partials` for the crash/replay
+    contract. Returns directories removed."""
+    from cryoflow_spark.functions.events import merge_km_user_partials
+
+    from cryoflow_spark.streaming.report_stream import compact_partials
+
+    return compact_partials(
+        spark, output_path, merge_fn=merge_km_user_partials
+    )

@@ -1476,3 +1476,59 @@ def test_active_users_stream_validates_inputs(spark):
     batch = spark.createDataFrame([(1,)], "a int")
     with pytest.raises(ValueError):
         active_users_stream(batch, "/tmp/nowhere")
+
+
+def test_survival_stream_matches_batch_twin(spark, tmp_path):
+    """x184 streaming twin: the finalized Kaplan-Meier curve over all
+    micro-batches is bit-identical to the batch kaplan_meier_survival
+    on the full log (the per-user clock triple is a min/max/min
+    monoid), late OUT-OF-ORDER events merge correctly (no segment-order
+    precondition — min/max are order-free), a replayed batch does not
+    change the result, and compaction preserves it."""
+    from cryoflow_spark.functions.events import kaplan_meier_survival
+    from cryoflow_spark.queries import load_events
+    from cryoflow_spark.streaming.survival_stream import (
+        _write_survival_partials,
+        compact_survival_partials,
+        finalize_survival,
+        survival_stream,
+    )
+
+    full = load_events(spark, "/root/testdata/sf0.001")
+    src = tmp_path / "events"
+    src.mkdir()
+    mid = full.select(
+        F.percentile(F.unix_micros("ts"), 0.5).alias("m")
+    ).collect()[0]["m"]
+    # deliberately out-of-order ingest: the LATE half lands first
+    full.filter(F.unix_micros("ts") > mid).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    full.filter(F.unix_micros("ts") <= mid).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    stream = spark.readStream.schema(full.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = tmp_path / "km"
+    q = survival_stream(stream, str(out))
+    q.awaitTermination(120)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    want = canon(kaplan_meier_survival(full))
+    assert canon(finalize_survival(spark, str(out))) == want
+    removed = compact_survival_partials(spark, str(out))
+    assert removed >= 1
+    assert canon(finalize_survival(spark, str(out))) == want
+    # replay idempotence on the per-batch writer
+    out2 = tmp_path / "km2"
+    a = spark.read.parquet(str(src / "a"))
+    b = spark.read.parquet(str(src / "b"))
+    for batch_id, batch in ((0, a), (1, b), (0, a)):  # 0 replayed
+        _write_survival_partials(
+            batch, batch_id, str(out2), "user_id", "ts",
+            "event_type", "purchase",
+        )
+    assert canon(finalize_survival(spark, str(out2))) == want
