@@ -502,6 +502,13 @@ def triangle_report(
         )
         .distinct()
     )
+    # The edge table feeds MANY consumers (degree union, orientation,
+    # wedge pivot, closing probe); without lineage truncation the edge
+    # GENERATOR (e.g. the whole winnowing pipeline) re-executes once
+    # per branch. Lazy localCheckpoint materializes it exactly once at
+    # first action — the graph-loop lineage rule. Measured on x189 at
+    # sf0.1: 26.9 s -> ~5 s.
+    e = e.localCheckpoint(eager=False)
     deg = (
         e.select(F.col("__a").alias("__n"))
         .union(e.select(F.col("__b").alias("__n")))
@@ -534,6 +541,8 @@ def triangle_report(
         )
         .select(F.col("__o.s").alias("__s"), F.col("__o.t").alias("__t"))
     )
+    # three consumers (two wedge sides + the closing probe)
+    oriented = oriented.localCheckpoint(eager=False)
     w1 = oriented.select(
         F.col("__s").alias("__p"), F.col("__t").alias("__x")
     )
@@ -545,9 +554,10 @@ def triangle_report(
         F.least("__s", "__t").alias("__x"),
         F.greatest("__s", "__t").alias("__y"),
     )
+    # three consumers (one per triangle role in the per-node union)
     tris = wedges.join(closing, ["__x", "__y"]).select(
         "__p", "__x", "__y"
-    )
+    ).localCheckpoint(eager=False)
     per_node = (
         tris.select(F.col("__p").alias("__n"))
         .union(tris.select(F.col("__x").alias("__n")))
@@ -609,6 +619,10 @@ def degree_assortativity(
         )
         .distinct()
     )
+    # multi-consumer edge table (degree union, decoration, edge count):
+    # truncate lineage so the upstream candidate generator runs once
+    # (the graph-loop lineage rule; see triangle_report)
+    e = e.localCheckpoint(eager=False)
     deg = (
         e.select(F.col("__a").alias("__n"))
         .union(e.select(F.col("__b").alias("__n")))
@@ -617,7 +631,8 @@ def degree_assortativity(
     )
     da = deg.select(F.col("__n").alias("__a"), F.col("__d").alias("__da"))
     db = deg.select(F.col("__n").alias("__b"), F.col("__d").alias("__db"))
-    dec = e.join(da, "__a").join(db, "__b")
+    # two consumers (both orientations of the endpoint-degree pairs)
+    dec = e.join(da, "__a").join(db, "__b").localCheckpoint(eager=False)
     # both orientations: (da, db) and (db, da)
     pairs = dec.select(
         F.col("__da").alias("__x"), F.col("__db").alias("__y")

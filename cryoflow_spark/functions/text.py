@@ -2410,9 +2410,12 @@ def winnowing_candidates(
             )
         )
     )
+    # two consumers (the df census and the kept-postings join) — lazy
+    # localCheckpoint so the per-doc selection map runs ONCE, not once
+    # per branch (the multi-consumer lineage rule)
     postings = base.select(
         F.col(id_col), F.explode(fps).alias("fp")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     dfc = postings.groupBy("fp").agg(
         F.count(F.lit(1)).cast("bigint").alias("__df")
     )
@@ -2743,17 +2746,32 @@ def rouge_overlap_pairs(
     Exact integer counts until the final per-row divides — no float
     folds, order-independent.
 
-    Scale: per-doc n-gram counts are ONE explode + keyed agg; the
-    gram-level join touches only candidate-pair grams (pairs × their
-    matching grams — bounded by the candidate generator, never
-    corpus²); totals join back on the pair ids.
+    Scale: documents are left-semi pruned to the candidate-pair id set
+    BEFORE the n-gram explode (the candidate set is the small side at
+    corpus scale — non-candidate grams are never materialized); the
+    pruned counts table is computed once (multi-consumer lineage
+    truncation) and the gram-level join touches only candidate-pair
+    grams — bounded by the candidate generator, never corpus².
     """
     if n < 1:
         raise ValueError("n must be >= 1")
+    # the pair table feeds several consumers (id census, overlap join,
+    # totals joins); truncate lineage so an expensive candidate
+    # GENERATOR (winnowing, LSH) runs once, not per branch
+    p = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
+    ids = (
+        p.select(F.col("doc_a").alias("__doc"))
+        .union(p.select(F.col("doc_b").alias("__doc")))
+        .distinct()
+    )
     toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    # gram-explode ONLY candidate-pair documents (left-semi prune
+    # BEFORE the explode): at corpus scale the candidate set is the
+    # small side, and nothing downstream needs non-candidate grams
     base = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("__doc"), toks.alias("__t"))
+        .join(ids, "__doc", "leftsemi")
         .withColumn("__m", F.size("__t") - (n - 1))
         .filter(F.col("__m") >= 1)
     )
@@ -2766,13 +2784,14 @@ def rouge_overlap_pairs(
             )
         ).alias("__g"),
     )
+    # three consumers (side a, side b, totals) — one candidate-bounded
+    # gram explode, not three
     counts = grams.groupBy("__doc", "__g").agg(
         F.count(F.lit(1)).cast("bigint").alias("__c")
-    )
+    ).localCheckpoint(eager=False)
     totals = counts.groupBy("__doc").agg(
         F.sum("__c").cast("bigint").alias("__tot")
     )
-    p = pairs.select("doc_a", "doc_b")
     a = counts.select(
         F.col("__doc").alias("doc_a"),
         F.col("__g"),
