@@ -53,6 +53,25 @@ def main() -> int:
     # better window selected after the fact.
     load_1min = os.getloadavg()[0]
 
+    # Single-thread host-speed probe, recorded alongside load: per-query
+    # times proved to shift UNIFORMLY between rounds when the driver
+    # lands the repo on a different host generation (r11: median 1.44x
+    # vs the r9 clean map across 267 unchanged queries). The probe lets
+    # a future reader divide that shift out before calling anything a
+    # plan regression. Deterministic work, no allocation churn.
+    def _cpu_probe() -> float:
+        import hashlib
+        import time as _t
+
+        t0 = _t.monotonic()
+        h = hashlib.md5()
+        block = b"x" * 64
+        for _ in range(2_000_000):
+            h.update(block)
+        return _t.monotonic() - t0
+
+    cpu_probe_sec = _cpu_probe()
+
     from cryoflow_spark.core.session import get_session
     from cryoflow_spark.queries import all_queries
 
@@ -119,6 +138,7 @@ def main() -> int:
         "runs_per_query": max(1, args.repeat),
         "agg": "min",
         "load_1min": round(load_1min, 2),
+        "cpu_probe_sec": round(cpu_probe_sec, 3),
         "sf": sf,
     }
     # A query-filtered run must never clobber the committed full map (that
