@@ -9123,3 +9123,87 @@ class TestDegreeAssortativity:
         )
         r = degree_assortativity(edges).collect()[0]
         assert r["assortativity"] == -1.0
+
+
+class TestWinnowingAgainstSequentialReference:
+    """The library's position-free selection (largest strict-right-min
+    window end E, then left-span <=-min check) must equal the PAPER's
+    sequential algorithm: every length-w window selects its minimum,
+    ties broken RIGHTMOST, selections unioned. Random corpora, full
+    pipeline (selection + df cap + pair counting) compared exactly."""
+
+    @staticmethod
+    def _hash60(gram: str) -> int:
+        import hashlib
+
+        return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+
+    @classmethod
+    def _reference_pairs(cls, docs, k, w, max_df, min_shared):
+        from collections import defaultdict
+        from itertools import combinations
+
+        fps = {}
+        for doc_id, text in docs:
+            toks = [t for t in text.lower().split() if t]
+            grams = [
+                " ".join(toks[i : i + k])
+                for i in range(len(toks) - k + 1)
+            ]
+            if not grams:
+                continue
+            h = [cls._hash60(g) for g in grams]
+            m = len(h)
+            if m < w:
+                sel = {min(h)}
+            else:
+                sel = set()
+                for s in range(m - w + 1):
+                    window = h[s : s + w]
+                    mn = min(window)
+                    # rightmost of equal minima
+                    idx = max(
+                        j for j, v in enumerate(window) if v == mn
+                    )
+                    sel.add(window[idx])
+            fps[doc_id] = sel
+        df = defaultdict(set)
+        for d, s in fps.items():
+            for v in s:
+                df[v].add(d)
+        kept = {v for v, ds in df.items() if 2 <= len(ds) <= max_df}
+        shared = defaultdict(int)
+        for v in kept:
+            for a, b in combinations(sorted(df[v]), 2):
+                shared[(a, b)] += 1
+        return sorted(
+            (a, b, n) for (a, b), n in shared.items() if n >= min_shared
+        )
+
+    def test_random_corpora_match(self, spark):
+        import random
+
+        for seed, k, w in ((11, 3, 4), (23, 2, 5), (47, 3, 8)):
+            rng = random.Random(seed)
+            vocab = [f"w{i}" for i in range(12)]
+            docs = [
+                (
+                    d,
+                    " ".join(
+                        rng.choice(vocab)
+                        for _ in range(rng.randrange(0, 30))
+                    ),
+                )
+                for d in range(30)
+            ]
+            want = self._reference_pairs(
+                docs, k=k, w=w, max_df=25, min_shared=1
+            )
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+            got = sorted(
+                (r["doc_a"], r["doc_b"], r["n_shared"])
+                for r in X.winnowing_candidates(
+                    df, k=k, w=w, max_df=25, min_shared=1
+                ).collect()
+            )
+            assert got == want, f"seed={seed} k={k} w={w}"
