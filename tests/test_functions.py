@@ -9207,3 +9207,76 @@ class TestWinnowingAgainstSequentialReference:
                 ).collect()
             )
             assert got == want, f"seed={seed} k={k} w={w}"
+
+
+class TestKaplanMeierAgainstReference:
+    """Randomized pure-Python product-limit reference: lifetimes and
+    censoring drawn at random, the estimator recomputed sequentially
+    (n_at_risk bookkeeping per distinct duration, censored users
+    leaving the risk set at their own time), rounded like the
+    operator."""
+
+    @staticmethod
+    def _reference(lifetimes):
+        # lifetimes: list of (duration_days, converted_bool)
+        from collections import defaultdict
+
+        d = defaultdict(int)
+        a = defaultdict(int)
+        for dur, ev in lifetimes:
+            a[dur] += 1
+            if ev:
+                d[dur] += 1
+        n = len(lifetimes)
+        rows = []
+        surv = 1.0
+        rem = float(n)
+        for dur in sorted(a):
+            risk = rem
+            surv = surv * (1.0 - d[dur] / rem)
+            rem -= a[dur]
+            if d[dur] >= 1:
+                rows.append((dur, int(risk), d[dur], round(surv, 6)))
+        return rows
+
+    def test_random_cohorts_match(self, spark):
+        import datetime
+        import random
+
+        from cryoflow_spark.functions.events import kaplan_meier_survival
+
+        base = 1_700_000_000
+
+        def ts(day):
+            return datetime.datetime.utcfromtimestamp(
+                base + int(day * 86400)
+            )
+
+        for seed in (5, 17, 91):
+            rng = random.Random(seed)
+            rows, lifetimes = [], []
+            for u in range(40):
+                start = rng.randrange(0, 3)
+                span = rng.randrange(0, 12)
+                converts = rng.random() < 0.6
+                rows.append((u, ts(start), "view"))
+                rows.append((u, ts(start + span), "click"))
+                if converts:
+                    conv_day = rng.randrange(0, span + 1)
+                    rows.append((u, ts(start + conv_day), "purchase"))
+                    lifetimes.append((conv_day, True))
+                else:
+                    lifetimes.append((span, False))
+            df = spark.createDataFrame(
+                rows, "user_id long, ts timestamp, event_type string"
+            )
+            got = [
+                (
+                    r["duration_days"],
+                    r["n_at_risk"],
+                    r["n_events"],
+                    r["survival"],
+                )
+                for r in kaplan_meier_survival(df).collect()
+            ]
+            assert got == self._reference(lifetimes), f"seed={seed}"
