@@ -2176,3 +2176,106 @@ def _km_from_user_clocks(per_user: DataFrame) -> DataFrame:
         F.col("__r.n_events").alias("n_events"),
         F.col("__r.survival").alias("survival"),
     ).orderBy("duration_days")
+
+
+def cusum_change_detection(
+    df: DataFrame,
+    ts_col: str = "ts",
+    k: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """Tabular CUSUM change-point detection over the daily event-count
+    series (Page 1954, "Continuous inspection schemes"; the standard
+    two-sided tabular form, e.g. Montgomery SQC §9.1)::
+
+        S⁺_i = max(0, S⁺_{i-1} + z_i − k)
+        S⁻_i = max(0, S⁻_{i-1} − z_i − k)
+
+    with ``z_i`` the day's count standardized by the series' own
+    mean/std, slack ``k`` (in σ units) and decision threshold ``h`` —
+    the pipeline-monitoring alarm that catches a sustained small shift
+    a per-day threshold misses (each day individually in-range, the
+    drift accumulating), the sequential complement to x88's
+    one-shot PSI and x179's two-sample KS.
+
+    Output: one row per day, ordered — ``(day, n_events, z, cusum_pos,
+    cusum_neg, alarm)``, floats rounded to 6, ``alarm`` true when
+    either side exceeds ``h``. Determinism: day counts and the
+    mean/std moments are exact integers; z is per-row IEEE; the two
+    recursions fold ascending by day (independent scalar folds —
+    matching any engine folding the same order). Degenerate series
+    (σ = 0 or < 2 days) report z/cusum NULL, alarm false.
+
+    Scale: ONE keyed day agg over the stream (map-side partials);
+    everything after lives on the calendar-bounded day table, folded
+    in a single in-row array — no data-sized window, no collect.
+    """
+    if k < 0 or h <= 0:
+        raise ValueError("k must be >= 0 and h > 0")
+    days = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col).cast("timestamp")).alias("__day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__x"))
+    )
+    packed = days.agg(
+        F.array_sort(F.collect_list(F.struct("__day", "__x"))).alias(
+            "__arr"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("__nd"),
+        F.sum("__x").cast("bigint").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__x")).cast("bigint").alias("__sxx"),
+    )
+    nd = F.col("__nd").cast("double")
+    mu = F.col("__sx").cast("double") / nd
+    var = (
+        F.col("__sxx").cast("double")
+        - F.col("__sx").cast("double") * F.col("__sx").cast("double") / nd
+    ) / (nd - 1.0)
+    sig = F.sqrt(var)
+    arr = F.col("__arr")
+    ok = (F.col("__nd") >= 2) & (var > 0.0)
+
+    def _z(x):
+        return (x["__x"].cast("double") - mu) / sig
+
+    def _fold(j, sign):
+        # sign=+1: S+ accumulates (z - k); sign=-1: S- accumulates (-z - k)
+        return F.aggregate(
+            F.slice(arr, 1, j.cast("int")),
+            F.lit(0.0),
+            # parenthesized (sign·z − k) first so the oracle's
+            # acc + t fold is the identical float-op sequence
+            lambda acc, s: F.greatest(
+                F.lit(0.0),
+                acc + (F.lit(float(sign)) * _z(s) - F.lit(float(k))),
+            ),
+        )
+
+    def _row(x, i0):
+        j = i0 + 1
+        sp = _fold(j, 1)
+        sn = _fold(j, -1)
+        return F.struct(
+            x["__day"].alias("day"),
+            x["__x"].alias("n_events"),
+            F.when(ok, F.round(_z(x), 6)).alias("z"),
+            F.when(ok, F.round(sp, 6)).alias("cusum_pos"),
+            F.when(ok, F.round(sn, 6)).alias("cusum_neg"),
+            F.when(
+                ok, (sp > F.lit(float(h))) | (sn > F.lit(float(h)))
+            )
+            .otherwise(F.lit(False))
+            .alias("alarm"),
+        )
+
+    rows = packed.select(
+        F.explode(F.transform(arr, _row)).alias("__r")
+    )
+    return rows.select(
+        F.col("__r.day").alias("day"),
+        F.col("__r.n_events").alias("n_events"),
+        F.col("__r.z").alias("z"),
+        F.col("__r.cusum_pos").alias("cusum_pos"),
+        F.col("__r.cusum_neg").alias("cusum_neg"),
+        F.col("__r.alarm").alias("alarm"),
+    ).orderBy("day")

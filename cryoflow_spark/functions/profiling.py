@@ -2331,3 +2331,249 @@ def wasserstein_distance(
             ),
         ).alias("w1"),
     )
+
+
+def group_ks_fdr(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Per-group drift screen with FDR control: for EVERY ``group_col``
+    class, the exact two-sample Kolmogorov-Smirnov statistic of its
+    ``value_col`` distribution against the REST of the corpus, the
+    asymptotic KS p-value (Smirnov's ``2·exp(−2·n_eff·D²)`` leading
+    term, Feller 1948), and a Benjamini-Hochberg step-up decision
+    (Benjamini & Hochberg 1995, "Controlling the false discovery
+    rate") at level ``alpha`` — the which-sources-actually-moved screen
+    that running |groups| uncorrected x179 tests can't give: at 20
+    sources and α=0.05 one false alarm per release is EXPECTED, BH
+    bounds the false-discovery fraction instead.
+
+    Output: one row per group — ``(group, n, d, p_value, bh_rank,
+    bh_threshold, significant)``, floats rounded to 6, ordered by
+    ``(p_value, group)``. Determinism: D's numerator is the exact
+    integer ``max|cum_g·n_rest − cum_rest·n_g|`` (complement CDF
+    derived from the global spine, no second pass); the p-value is
+    per-row IEEE on exact inputs; BH's step-up maximum is over a set
+    (order-independent) and ranks tie-break on group name.
+
+    Scale: ONE global distinct-value spine (multi_value_cdf — range
+    exchange, no single-reducer window) carries the all-groups
+    cumulative; per-group cumulatives ride a (group, value) keyed agg
+    with a GROUP-PARTITIONED window (scales with groups × distinct
+    values, each partition independent); the BH step-up folds in a
+    single in-row array on the |groups|-row result. Nothing collects.
+    """
+    if not (0 < alpha < 1):
+        raise ValueError("alpha must be in (0, 1)")
+    from pyspark.sql import Window
+
+    from cryoflow_spark.functions.ranks import multi_value_cdf
+
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(value_col).alias("__v"),
+        F.col(group_col).alias("__g"),
+        F.lit(1).cast("long").alias("__one"),
+    )
+    spine = multi_value_cdf(base, "__v", ["__one"]).select(
+        "__v",
+        F.col("__one_at_or_below").alias("__cum_all"),
+        F.col("__one_total").alias("__n_all"),
+    )
+    per_gv = base.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    per_v = base.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ct")
+    )
+    w_g = Window.partitionBy("__g").orderBy("__v")
+    cum_g = per_gv.withColumn(
+        "__cum_g",
+        F.sum("__c").over(
+            w_g.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    joined = cum_g.join(spine, "__v").join(per_v, "__v")
+    totals = per_gv.groupBy("__g").agg(
+        F.sum("__c").cast("bigint").alias("__n_g")
+    )
+    # Both CDFs are right-continuous steps on the POOLED spine, so
+    # sup|F_g - F_rest| is attained at a pooled point. Between two
+    # consecutive GROUP steps F_g is constant and F_rest monotone, so
+    # the max over that stretch sits at one of its ends: (1) the
+    # right-continuous evaluation AT a group point (cum_g vs
+    # cum_rest = cum_all - cum_g), or (2) the last pooled point BEFORE
+    # the next group step — F_g's left limit (cum_g - c) against
+    # F_rest just before the step (cum_rest minus the r_v = ct - c
+    # rest rows tied at it). Evaluating both candidates at every group
+    # point therefore covers every pooled point without materializing
+    # group rows on rest-only values.
+    scored = joined.join(totals, "__g").select(
+        "__g",
+        "__n_g",
+        F.col("__n_all"),
+        F.greatest(
+            F.abs(
+                F.col("__cum_g") * (F.col("__n_all") - F.col("__n_g"))
+                - (F.col("__cum_all") - F.col("__cum_g"))
+                * F.col("__n_g")
+            ),
+            F.abs(
+                (F.col("__cum_g") - F.col("__c"))
+                * (F.col("__n_all") - F.col("__n_g"))
+                - (
+                    F.col("__cum_all")
+                    - F.col("__ct")
+                    - (F.col("__cum_g") - F.col("__c"))
+                )
+                * F.col("__n_g")
+            ),
+        ).alias("__dn"),
+    )
+    per_group = scored.groupBy("__g", "__n_g", "__n_all").agg(
+        F.max("__dn").cast("bigint").alias("__d_num")
+    )
+    n_g = F.col("__n_g").cast("double")
+    n_r = (F.col("__n_all") - F.col("__n_g")).cast("double")
+    d = F.col("__d_num").cast("double") / (n_g * n_r)
+    n_eff = n_g * n_r / (n_g + n_r)
+    p = F.least(
+        F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * n_eff * d * d)
+    )
+    stats = per_group.select(
+        F.col("__g"),
+        F.col("__n_g").alias("n"),
+        F.round(d, 6).alias("d"),
+        F.round(p, 6).alias("p_value"),
+    )
+    # BH step-up on the bounded |groups|-row table via one in-row array
+    packed = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("p_value", "__g", "n", "d"))
+        ).alias("__arr")
+    )
+    m = F.size("__arr")
+    # largest rank k with p_(k) <= k*alpha/m (0 if none)
+    kmax = F.aggregate(
+        F.transform(
+            F.col("__arr"),
+            lambda s, i: F.when(
+                s["p_value"]
+                <= (i + 1).cast("double")
+                * F.lit(float(alpha))
+                / m.cast("double"),
+                i + 1,
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    rows = packed.select(
+        m.alias("__m"),
+        kmax.alias("__k"),
+        F.posexplode("__arr").alias("__i0", "__r"),
+    )
+    return rows.select(
+        F.col("__r.__g").alias(group_col),
+        F.col("__r.n").alias("n"),
+        F.col("__r.d").alias("d"),
+        F.col("__r.p_value").alias("p_value"),
+        (F.col("__i0") + 1).cast("bigint").alias("bh_rank"),
+        F.round(
+            (F.col("__i0") + 1).cast("double")
+            * F.lit(float(alpha))
+            / F.col("__m").cast("double"),
+            6,
+        ).alias("bh_threshold"),
+        (F.col("__i0") + 1 <= F.col("__k")).alias("significant"),
+    ).orderBy("p_value", group_col)
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact Mann-Whitney U / Wilcoxon rank-sum statistic (Mann &
+    Whitney 1947) between two classes' ``value_col`` distributions,
+    with midrank tie handling and the tie-corrected normal
+    approximation z-score (Lehmann 1975) — the stochastic-dominance
+    companion to x179's KS: KS asks "did the distribution change
+    anywhere", U asks "does one class tend to LARGER values" (the
+    direction a mean hides under outliers and KS doesn't sign).
+
+    Output (one row): ``(n_a, n_b, u_a, z)`` where ``u_a`` counts
+    (a, b) pairs with the a-value larger (ties count half, so ``u_a``
+    may end in .5) and ``z = (u_a − m·n/2) / sqrt(var)`` with
+    ``var = m·n/12 · ((N+1) − Σ(t³−t)/(N·(N−1)))``, rounded to 6;
+    z is NULL when either sample is empty or every value is tied.
+
+    Determinism: the DOUBLED rank sum is an exact integer
+    (``2·R_a = Σ_v c_a(v)·(2·cum_before(v) + t(v) + 1)``), the tie sum
+    ``Σ(t³−t)`` is an exact integer, and the final z is per-row IEEE
+    on exact inputs — no float folds anywhere.
+
+    Scale: ONE two-weight distinct-value spine
+    (:func:`cryoflow_spark.functions.ranks.multi_value_cdf`) joined to
+    the per-value class counts (the same keyed agg the spine is built
+    from — one exchange), then a 1-row aggregate with map-side
+    partials; contrast scipy's single-machine sort.
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin(group_a, group_b)
+    ).select(
+        F.col(value_col).alias("__v"),
+        (F.col(group_col) == group_a).cast("long").alias("__wa"),
+        (F.col(group_col) == group_b).cast("long").alias("__wb"),
+    )
+    from cryoflow_spark.functions.ranks import multi_value_cdf
+
+    spine = multi_value_cdf(base, "__v", ["__wa", "__wb"])
+    counts = base.groupBy("__v").agg(
+        F.sum("__wa").cast("bigint").alias("__ca"),
+        F.sum("__wb").cast("bigint").alias("__cb"),
+    )
+    j = spine.join(counts, "__v")
+    t = F.col("__ca") + F.col("__cb")
+    cum_before = (
+        F.col("__wa_at_or_below") + F.col("__wb_at_or_below") - t
+    )
+    # doubled midrank-sum contribution of this value's a-rows
+    contrib = F.col("__ca") * (2 * cum_before + t + 1)
+    sums = j.agg(
+        F.max("__wa_total").cast("bigint").alias("n_a"),
+        F.max("__wb_total").cast("bigint").alias("n_b"),
+        F.sum(contrib).cast("bigint").alias("__r2a"),
+        F.sum(t * t * t - t).cast("bigint").alias("__ties"),
+    )
+    m = F.col("n_a").cast("double")
+    n = F.col("n_b").cast("double")
+    big_n = m + n
+    # 2*U_a = 2*R_a - m*(m+1); U_a = R_a - m(m+1)/2
+    u2 = F.col("__r2a").cast("double") - m * (m + 1.0)
+    var = (
+        m
+        * n
+        / 12.0
+        * (
+            (big_n + 1.0)
+            - F.col("__ties").cast("double")
+            / (big_n * (big_n - 1.0))
+        )
+    )
+    z = (u2 - m * n) / (2.0 * F.sqrt(var))
+    return sums.select(
+        "n_a",
+        "n_b",
+        (u2 / 2.0).alias("u_a"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0.0),
+            F.round(z, 6),
+        ).alias("z"),
+    )

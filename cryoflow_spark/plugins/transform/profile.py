@@ -90,6 +90,15 @@ disturbing the main stream. Options:
 - ``report = "wasserstein"`` emits the ONE-row exact 1-D
   Wasserstein-1 / earth-mover distance of the same two-sample setup —
   how FAR the mass moved, in the column's own units.
+- ``report = "ks_fdr"`` emits the per-``group_column`` KS drift screen
+  vs the rest of the corpus with Benjamini-Hochberg FDR control at
+  ``alpha`` (default 0.05) — the which-sources-actually-moved gate.
+- ``report = "mann_whitney"`` emits the ONE-row exact Mann-Whitney
+  U / rank-sum test (midrank ties, tie-corrected z) of ``column``
+  between ``group_a`` and ``group_b`` — does one class TEND larger.
+- ``report = "cusum"`` emits the per-day two-sided tabular CUSUM
+  change-point table over an events stream (slack ``k``, threshold
+  ``h``) — the sustained-small-shift alarm.
 - ``report = "survival"`` emits the Kaplan-Meier time-to-conversion
   curve over an events stream (first event → first ``conversion``
   event, never-converting users censored at their last event) —
@@ -435,6 +444,39 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
                 group_col=self.require_option("group_column"),
                 group_a=self.require_option("group_a"),
                 group_b=self.require_option("group_b"),
+            )
+
+        if self.options.get("report") == "ks_fdr":
+            from cryoflow_spark.functions.profiling import group_ks_fdr
+
+            return group_ks_fdr(
+                data,
+                value_col=self.require_option("column"),
+                group_col=self.require_option("group_column"),
+                alpha=float(self.options.get("alpha", 0.05)),
+            )
+
+        if self.options.get("report") == "mann_whitney":
+            from cryoflow_spark.functions.profiling import mann_whitney_u
+
+            return mann_whitney_u(
+                data,
+                value_col=self.require_option("column"),
+                group_col=self.require_option("group_column"),
+                group_a=self.require_option("group_a"),
+                group_b=self.require_option("group_b"),
+            )
+
+        if self.options.get("report") == "cusum":
+            from cryoflow_spark.functions.events import (
+                cusum_change_detection,
+            )
+
+            return cusum_change_detection(
+                data,
+                ts_col=self.options.get("ts_column", "ts"),
+                k=float(self.options.get("k", 0.5)),
+                h=float(self.options.get("h", 4.0)),
             )
 
         if self.options.get("report") == "survival":

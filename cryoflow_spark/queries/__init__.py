@@ -84,7 +84,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:
 #: ROTATION POLICY (bounded staleness — enforced by
 #: tests/test_registry.py::test_rotation_policy_bounded_staleness, derived
-#: by tools/make_window.py): with 280 registered queries and a 50-slot
+#: by tools/make_window.py): with 283 registered queries and a 50-slot
 #: window, "every query re-verified every round" is arithmetically
 #: impossible. The steady-state rule is:
 #:
@@ -95,7 +95,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: where a query's driver evidence is the latest committed
 #: CORRECTNESS_r*.json that contains it. With <= 50 new registrations per
 #: round this bounds every query's driver-evidence age to
-#: ceil(N/50) + 1 rounds (= 7 at the current registry size of 280). The
+#: ceil(N/50) + 1 rounds (= 7 at the current registry size of 283). The
 #: enforcement test recomputes this ordering from the committed artifacts
 #: themselves, so it fails the moment a rotation edit (or a forgotten
 #: rotation) would let any query go staler than the policy allows.
@@ -121,6 +121,9 @@ _PRIORITY: list[str] = [
     "x188_term_burstiness",
     "x189_dedup_triangles",
     "x190_dedup_assortativity",
+    "x191_group_ks_fdr",
+    "x192_mann_whitney",
+    "x193_cusum_alarm",
     # --- last driver-checked: r5 ---
     "q13_top_orders_per_customer",
     "q14_event_deltas",

@@ -10475,3 +10475,231 @@ def x190_dedup_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     pairs = X.winnowing_candidates(d, k=3, w=4, max_df=20, min_shared=2)
     return degree_assortativity(pairs)
+
+
+# --- x191: per-group KS drift screen with BH-FDR control (oracle-checked) ----
+
+
+@register(
+    "x191_group_ks_fdr",
+    """
+    WITH base AS (
+      SELECT n_chars AS v, lang AS g FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    ),
+    per_v AS (SELECT v, COUNT(*)::BIGINT AS ct FROM base GROUP BY v),
+    spine AS (
+      SELECT v, SUM(ct) OVER (ORDER BY v)::BIGINT AS cum_all,
+             SUM(ct) OVER ()::BIGINT AS n_all
+      FROM per_v
+    ),
+    per_gv AS (
+      SELECT g, v, COUNT(*)::BIGINT AS c FROM base GROUP BY 1, 2
+    ),
+    cum_g AS (
+      SELECT g, v, c,
+             SUM(c) OVER (PARTITION BY g ORDER BY v)::BIGINT AS cum_g
+      FROM per_gv
+    ),
+    tot AS (SELECT g, SUM(c)::BIGINT AS n_g FROM per_gv GROUP BY 1),
+    scored AS (
+      SELECT cg.g, t.n_g, s.n_all,
+             GREATEST(
+               ABS(cg.cum_g * (s.n_all - t.n_g)
+                   - (s.cum_all - cg.cum_g) * t.n_g),
+               ABS((cg.cum_g - cg.c) * (s.n_all - t.n_g)
+                   - (s.cum_all - pv.ct - (cg.cum_g - cg.c)) * t.n_g)
+             ) AS dn
+      FROM cum_g cg
+      JOIN spine s ON s.v = cg.v
+      JOIN per_v pv ON pv.v = cg.v
+      JOIN tot t ON t.g = cg.g
+    ),
+    pg AS (
+      SELECT g, n_g, n_all, MAX(dn)::BIGINT AS d_num
+      FROM scored GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT g, n_g AS n,
+             ROUND(d_num::DOUBLE
+                   / (n_g::DOUBLE * (n_all - n_g)::DOUBLE), 6) AS d,
+             ROUND(LEAST(1.0, 2.0 * EXP(
+               -2.0
+               * (n_g::DOUBLE * (n_all - n_g)::DOUBLE
+                  / (n_g::DOUBLE + (n_all - n_g)::DOUBLE))
+               * (d_num::DOUBLE / (n_g::DOUBLE * (n_all - n_g)::DOUBLE))
+               * (d_num::DOUBLE / (n_g::DOUBLE * (n_all - n_g)::DOUBLE))
+             )), 6) AS p_value
+      FROM pg
+    ),
+    ranked AS (
+      SELECT g, n, d, p_value,
+             ROW_NUMBER() OVER (ORDER BY p_value, g)::BIGINT AS bh_rank,
+             COUNT(*) OVER ()::BIGINT AS m
+      FROM stats
+    ),
+    kmax AS (
+      SELECT COALESCE(MAX(CASE WHEN p_value
+                                    <= bh_rank::DOUBLE * 0.05 / m::DOUBLE
+                               THEN bh_rank END), 0) AS k
+      FROM ranked
+    )
+    SELECT g AS lang, n, d, p_value, bh_rank,
+           ROUND(bh_rank::DOUBLE * 0.05 / m::DOUBLE, 6) AS bh_threshold,
+           bh_rank <= k AS significant
+    FROM ranked CROSS JOIN kmax
+    ORDER BY p_value, lang
+    """,
+    "Per-language KS drift screen with Benjamini-Hochberg FDR control "
+    "(Smirnov exact D vs the REST of the corpus, asymptotic p = "
+    "2exp(-2 n_eff D^2), BH-1995 step-up at alpha=0.05) — the "
+    "which-sources-actually-moved gate: |groups| uncorrected x179 "
+    "tests EXPECT a false alarm per release, BH bounds the false-"
+    "discovery fraction; ONE global spine + group-partitioned "
+    "cumulatives (scales per group), sup evaluated at both step "
+    "candidates per group point so rest-only spine points need no "
+    "group rows; the step-up folds on the |groups|-row table",
+)
+def x191_group_ks_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import group_ks_fdr
+
+    d = load(spark, sf_dir, "documents")
+    return group_ks_fdr(d, "n_chars", "lang", alpha=0.05)
+
+
+# --- x192: Mann-Whitney U rank-sum test (oracle-checked) ---------------------
+
+
+@register(
+    "x192_mann_whitney",
+    """
+    WITH base AS (
+      SELECT l_extendedprice AS v,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS wa,
+             CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS wb
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'A')
+    ),
+    sp AS (
+      SELECT v, SUM(wa)::BIGINT AS ca, SUM(wb)::BIGINT AS cb
+      FROM base GROUP BY v
+    ),
+    cum AS (
+      SELECT v, ca, cb,
+             SUM(ca + cb) OVER (ORDER BY v)::BIGINT AS cumt
+      FROM sp
+    ),
+    tot AS (SELECT SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb FROM sp),
+    s AS (
+      SELECT SUM(ca * (2 * (cumt - (ca + cb)) + (ca + cb) + 1))::BIGINT
+               AS r2a,
+             SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))::BIGINT
+               AS ties
+      FROM cum
+    )
+    SELECT na AS n_a, nb AS n_b,
+           (r2a::DOUBLE - na::DOUBLE * (na::DOUBLE + 1.0)) / 2.0 AS u_a,
+           CASE WHEN na > 0 AND nb > 0 AND
+             (na::DOUBLE * nb::DOUBLE / 12.0
+              * ((na::DOUBLE + nb::DOUBLE + 1.0)
+                 - ties::DOUBLE
+                   / ((na::DOUBLE + nb::DOUBLE)
+                      * (na::DOUBLE + nb::DOUBLE - 1.0)))) > 0.0
+           THEN ROUND(
+             ((r2a::DOUBLE - na::DOUBLE * (na::DOUBLE + 1.0))
+              - na::DOUBLE * nb::DOUBLE)
+             / (2.0 * SQRT(na::DOUBLE * nb::DOUBLE / 12.0
+                * ((na::DOUBLE + nb::DOUBLE + 1.0)
+                   - ties::DOUBLE
+                     / ((na::DOUBLE + nb::DOUBLE)
+                        * (na::DOUBLE + nb::DOUBLE - 1.0))))), 6)
+           END AS z
+    FROM tot CROSS JOIN s
+    """,
+    "Exact Mann-Whitney U / Wilcoxon rank-sum (Mann-Whitney 1947, "
+    "midrank ties, Lehmann tie-corrected z) between the R and A "
+    "line-price distributions — the stochastic-dominance companion to "
+    "x179's KS: does one class TEND larger, the direction outlier-"
+    "skewed means hide; doubled rank sums and tie sums are exact "
+    "integers on the shared two-weight CDF spine, one final IEEE "
+    "divide; contrast scipy's single-machine sort",
+)
+def x192_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.profiling import mann_whitney_u
+
+    li = load(spark, sf_dir, "lineitem")
+    return mann_whitney_u(
+        li, "l_extendedprice", "l_returnflag", "R", "A"
+    )
+
+
+# --- x193: CUSUM change-point alarm over daily event rates (oracle-checked) --
+
+
+@register(
+    "x193_cusum_alarm",
+    """
+    WITH days AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    m AS (
+      SELECT COUNT(*)::BIGINT AS nd, SUM(x)::BIGINT AS sx,
+             SUM(x * x)::BIGINT AS sxx,
+             list(struct_pack(day := day, x := x) ORDER BY day) AS arr
+      FROM days
+    ),
+    stats AS (
+      SELECT arr, nd,
+             sx::DOUBLE / nd::DOUBLE AS mu,
+             SQRT((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / nd::DOUBLE)
+                  / (nd::DOUBLE - 1.0)) AS sig,
+             ((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / nd::DOUBLE)
+              / (nd::DOUBLE - 1.0)) AS var
+      FROM m
+    ),
+    rows_ AS (
+      SELECT u.s.day AS day, u.s.x AS n_events,
+             u.s.z AS z_raw, u.s.sp AS sp_raw, u.s.sn AS sn_raw,
+             nd, var
+      FROM (
+        SELECT nd, var, unnest([
+          {'day': arr[j].day, 'x': arr[j].x,
+           'z': (arr[j].x::DOUBLE - mu) / sig,
+           'sp': list_reduce(list_prepend(0.0::DOUBLE,
+                   [1.0 * ((arr[i].x::DOUBLE - mu) / sig) - 0.5
+                    for i in generate_series(1, j)]),
+                   (acc, t) -> GREATEST(0.0, acc + t)),
+           'sn': list_reduce(list_prepend(0.0::DOUBLE,
+                   [-1.0 * ((arr[i].x::DOUBLE - mu) / sig) - 0.5
+                    for i in generate_series(1, j)]),
+                   (acc, t) -> GREATEST(0.0, acc + t))}
+          for j in generate_series(1, len(arr))]) AS s
+        FROM stats
+      ) u
+    )
+    SELECT day, n_events,
+           CASE WHEN nd >= 2 AND var > 0.0 THEN ROUND(z_raw, 6) END AS z,
+           CASE WHEN nd >= 2 AND var > 0.0 THEN ROUND(sp_raw, 6) END
+             AS cusum_pos,
+           CASE WHEN nd >= 2 AND var > 0.0 THEN ROUND(sn_raw, 6) END
+             AS cusum_neg,
+           CASE WHEN nd >= 2 AND var > 0.0
+                THEN sp_raw > 4.0 OR sn_raw > 4.0
+                ELSE FALSE END AS alarm
+    FROM rows_
+    ORDER BY day
+    """,
+    "Two-sided tabular CUSUM change-point alarm over daily event "
+    "counts (Page 1954: S+ = max(0, S+ + z - k), k=0.5 sigma slack, "
+    "h=4 decision threshold) — the sequential monitor that catches a "
+    "sustained small rate shift per-day thresholds and x88's one-shot "
+    "PSI miss; ONE keyed day agg over the stream, exact integer "
+    "moments, the two independent recursions fold ascending in a "
+    "single calendar-bounded in-row array",
+)
+def x193_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.events import cusum_change_detection
+
+    ev = load_events(spark, sf_dir)
+    return cusum_change_detection(ev, k=0.5, h=4.0)

@@ -9280,3 +9280,146 @@ class TestKaplanMeierAgainstReference:
                 for r in kaplan_meier_survival(df).collect()
             ]
             assert got == self._reference(lifetimes), f"seed={seed}"
+
+
+class TestGroupKsFdr:
+    def test_shifted_group_flagged(self, spark):
+        from cryoflow_spark.functions.profiling import group_ks_fdr
+
+        rows = (
+            [(i, 1000 + (i % 7), "shifted") for i in range(300)]
+            + [(i + 1000, i % 50, "base1") for i in range(300)]
+            + [(i + 2000, i % 50, "base2") for i in range(300)]
+        )
+        df = spark.createDataFrame(rows, "id long, v long, g string")
+        out = group_ks_fdr(df, "v", "g", alpha=0.05).collect()
+        by_g = {r["g"]: r for r in out}
+        # total separation: the shifted block shares no values with the
+        # rest (its own D is exactly 1); at n=300 the p rounds to 0 and
+        # BH must flag it. The base groups also diverge from THEIR rest
+        # (which contains the shifted block) — p ties at 0 break on
+        # group name, so only significance and D are asserted.
+        assert by_g["shifted"]["significant"] is True
+        assert by_g["shifted"]["d"] == 1.0
+        assert by_g["shifted"]["p_value"] == 0.0
+        ranks = sorted(r["bh_rank"] for r in out)
+        assert ranks == [1, 2, 3]
+        m = len(out)
+        for r in out:
+            assert r["bh_threshold"] == round(r["bh_rank"] * 0.05 / m, 6)
+        # p-values ascend with rank
+        ps = [r["p_value"] for r in sorted(out, key=lambda r: r["bh_rank"])]
+        assert ps == sorted(ps)
+
+    def test_identical_groups_not_flagged(self, spark):
+        from cryoflow_spark.functions.profiling import group_ks_fdr
+
+        rows = [
+            (i * 3 + j, i % 40, f"g{j}")
+            for i in range(200)
+            for j in range(3)
+        ]
+        df = spark.createDataFrame(rows, "id long, v long, g string")
+        out = group_ks_fdr(df, "v", "g", alpha=0.05).collect()
+        assert all(r["significant"] is False for r in out)
+        assert all(r["p_value"] > 0.9 for r in out)  # identical dists
+
+    def test_validation(self, spark):
+        from cryoflow_spark.functions.profiling import group_ks_fdr
+
+        df = spark.createDataFrame([(1, 1, "a")], "id long, v long, g string")
+        with pytest.raises(ValueError, match="alpha"):
+            group_ks_fdr(df, "v", "g", alpha=1.5)
+
+
+class TestMannWhitney:
+    def test_no_ties_by_hand(self, spark):
+        from cryoflow_spark.functions.profiling import mann_whitney_u
+
+        rows = [(1.0, "a"), (3.0, "a"), (5.0, "a"), (2.0, "b"), (4.0, "b")]
+        df = spark.createDataFrame(rows, "v double, g string")
+        r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+        # ranks of a: 1, 3, 5 -> R_a = 9; U_a = 9 - 3*4/2 = 3
+        assert (r["n_a"], r["n_b"], r["u_a"]) == (3, 2, 3.0)
+
+    def test_ties_midranks_by_hand(self, spark):
+        from cryoflow_spark.functions.profiling import mann_whitney_u
+
+        rows = [(1.0, "a"), (2.0, "a"), (2.0, "b"), (3.0, "b")]
+        df = spark.createDataFrame(rows, "v double, g string")
+        r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+        # ranks: 1; midranks 2.5, 2.5; 4 -> R_a = 3.5; U_a = 0.5
+        # var = (4/12)*((5) - 6/(4*3)) = 1.5; z = (0.5-2)/sqrt(1.5)
+        assert r["u_a"] == 0.5
+        assert r["z"] == pytest.approx(-1.224745, abs=1e-6)
+
+    def test_stochastic_dominance_sign(self, spark):
+        from cryoflow_spark.functions.profiling import mann_whitney_u
+
+        rows = [(float(100 + i), "a") for i in range(50)] + [
+            (float(i), "b") for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "v double, g string")
+        r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+        assert r["u_a"] == 2500.0  # every a beats every b
+        assert r["z"] > 5
+
+
+class TestCusumChangeDetection:
+    def test_sustained_shift_alarms_after_not_before(self, spark):
+        import datetime
+
+        from cryoflow_spark.functions.events import cusum_change_detection
+
+        def ts(day, i):
+            return datetime.datetime.utcfromtimestamp(
+                1_700_000_000 + day * 86400 + i
+            )
+
+        rows = []
+        eid = 0
+        # 14 quiet days of ~100 events, then 14 days of ~115 (a small
+        # sustained shift a per-day threshold would miss)
+        for d in range(28):
+            n = 100 + (d % 3) + (15 if d >= 14 else 0)
+            for i in range(n):
+                rows.append((eid, ts(d, i)))
+                eid += 1
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        out = sorted(cusum_change_detection(df, k=0.5, h=4.0).collect(),
+                     key=lambda r: r["day"])
+        assert len(out) == 28
+        # standardization is against the WHOLE series' mean, so the
+        # low-then-high shape drives the NEGATIVE side during the quiet
+        # half and the POSITIVE side during the shift — each side must
+        # alarm only in its own regime
+        pos_idx = [i for i, r in enumerate(out) if r["cusum_pos"] > 4.0]
+        neg_idx = [i for i, r in enumerate(out) if r["cusum_neg"] > 4.0]
+        assert pos_idx and min(pos_idx) >= 14
+        # the negative accumulation drains within a day of the shift
+        assert neg_idx and max(neg_idx) <= 15
+        assert any(r["alarm"] for r in out)
+        # cusum is nonnegative everywhere
+        assert all(r["cusum_pos"] >= 0 and r["cusum_neg"] >= 0 for r in out)
+
+    def test_constant_series_degenerate(self, spark):
+        import datetime
+
+        from cryoflow_spark.functions.events import cusum_change_detection
+
+        rows = [
+            (d * 10 + i,
+             datetime.datetime.utcfromtimestamp(1_700_000_000 + d * 86400 + i))
+            for d in range(5)
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        out = cusum_change_detection(df).collect()
+        assert all(r["z"] is None and r["alarm"] is False for r in out)
+
+    def test_validation(self, spark):
+        from cryoflow_spark.functions.events import cusum_change_detection
+
+        df = spark.createDataFrame([(1,)], "event_id long")
+        with pytest.raises(ValueError, match="k must be"):
+            cusum_change_detection(df.withColumn("ts", F.lit(None)), k=-1)

@@ -345,6 +345,15 @@ _BOUNDED_WINDOW_ENVELOPES = {
     # row-position pair (kept alive by the spine->per_doc join) over
     # the per-range-partition totals table = 4 specs.
     "x183_heaps_law": ("_pt__", 4),
+    # per-group KS FDR screen rides a ONE-weight global spine for the
+    # all-groups cumulative (the per-GROUP cumulatives are group-
+    # partitioned windows, not in this census); value_idx/n_values are
+    # pruned here, so only the weight's offset + total specs remain
+    # over the per-range-partition totals table.
+    "x191_group_ks_fdr": ("_pt__", 2),
+    # Mann-Whitney rides the identical two-weight spine as x179 (both
+    # class offsets + totals over the per-range-partition table).
+    "x192_mann_whitney": ("_pt__", 4),
 }
 
 

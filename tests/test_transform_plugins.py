@@ -1682,3 +1682,39 @@ def test_profile_survival_triangles_assortativity_modes(spark):
 
     ast = _run(ProfilePlugin({"report": "assortativity"}), edges)
     assert ast.collect()[0]["n_edges"] == 4
+
+
+def test_profile_ks_fdr_mann_whitney_cusum_modes(spark):
+    from cryoflow_spark.plugins.transform import ProfilePlugin
+    import datetime
+
+    df = spark.createDataFrame(
+        [(i, i % 40, "a") for i in range(100)]
+        + [(i + 500, 1000 + i % 5, "b") for i in range(100)],
+        "id long, v long, g string",
+    )
+    fdr = _run(
+        ProfilePlugin({
+            "report": "ks_fdr", "column": "v", "group_column": "g",
+        }),
+        df,
+    )
+    assert {r["g"] for r in fdr.collect()} == {"a", "b"}
+
+    mw = _run(
+        ProfilePlugin({
+            "report": "mann_whitney", "column": "v",
+            "group_column": "g", "group_a": "b", "group_b": "a",
+        }),
+        df,
+    ).collect()[0]
+    assert mw["u_a"] == 10000.0  # total dominance of the b class
+
+    ev = spark.createDataFrame(
+        [(d * 10 + i,
+          datetime.datetime.utcfromtimestamp(1_700_000_000 + d * 86400 + i))
+         for d in range(6) for i in range(10 + d)],
+        "event_id long, ts timestamp",
+    )
+    cu = _run(ProfilePlugin({"report": "cusum", "h": 1.0}), ev)
+    assert len(cu.collect()) == 6
