@@ -101,11 +101,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: rotation) would let any query go staler than the policy allows.
 #:
 #: This list IS the policy ordering as of the round-10 artifacts: the
-#: round-11 window is the head 50 (the 23 r5-evidence relational queries +
-#: the 27 registration-first r6-cohort extensions); positions 51+
-#: pre-commit the following rounds. Operators newly registered this round
-#: are never-checked and therefore PREPEND (tools/make_window.py emits the
-#: refreshed list).
+#: round-11 window is the head 50 — the 16 never-checked r11
+#: registrations (x178–x193) first, then the oldest-evidence cohort
+#: (the 23 r5-evidence relational queries + the first 11 r6-cohort
+#: extensions); positions 51+ pre-commit the following rounds.
+#: Operators newly registered in a round are never-checked and
+#: therefore PREPEND (tools/make_window.py emits the refreshed list).
 _PRIORITY: list[str] = [
     # --- never driver-checked (r11 registrations prepend, per policy) ---
     "x178_k_anonymity",
