@@ -2459,6 +2459,9 @@ def heaps_law_curve(
     counts types whose FIRST occurrence index ≤ tokens_seen, and
     (k, β) are the closed-form log-log least squares fit over the
     non-empty checkpoints (both rounded to 6; identical on every row).
+    Degenerate fits — fewer than 2 usable checkpoints, or all usable
+    checkpoints sharing one ``tokens_seen`` value — yield NULL (k, β)
+    in both engines rather than engine-dependent inf/nan.
 
     Determinism: first-occurrence indices and checkpoint assignment
     are exact integer arithmetic (``c = (fi·C + N − 1) div N``); the
@@ -2574,6 +2577,11 @@ def heaps_law_curve(
             F.col("__p"), F.lit(0.0), lambda acc, s: acc + expr(s)
         )
 
+    # Degenerate fits (fewer than 2 usable points, or all points sharing
+    # one tokens_seen value so the x-variance denominator is 0) yield
+    # NULL (k, beta) rather than engine-dependent inf/nan: Spark's
+    # Divide returns NULL on 0-denominator while DuckDB follows IEEE,
+    # so without the guard the two engines diverge on tiny corpora.
     fit = fit_src.select(
         F.size("__p").cast("double").alias("__np"),
         _fsum(lambda s: s["__x"]).alias("__sx"),
@@ -2581,41 +2589,50 @@ def heaps_law_curve(
         _fsum(lambda s: s["__x"] * s["__y"]).alias("__sxy"),
         _fsum(lambda s: s["__x"] * s["__x"]).alias("__sxx"),
     ).select(
-        F.round(
-            (F.col("__np") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
-            / (
-                F.col("__np") * F.col("__sxx")
-                - F.col("__sx") * F.col("__sx")
-            ),
-            6,
-        ).alias("heaps_beta"),
         F.col("__np"),
         F.col("__sx"),
         F.col("__sy"),
         F.col("__sxy"),
-        F.col("__sxx"),
+        (
+            F.col("__np") * F.col("__sxx")
+            - F.col("__sx") * F.col("__sx")
+        ).alias("__den"),
     ).select(
-        "heaps_beta",
-        F.round(
-            F.exp(
+        F.when(
+            (F.col("__np") >= 2) & (F.col("__den") != 0),
+            F.round(
                 (
-                    F.col("__sy")
-                    - (
-                        (
-                            F.col("__np") * F.col("__sxy")
-                            - F.col("__sx") * F.col("__sy")
-                        )
-                        / (
-                            F.col("__np") * F.col("__sxx")
-                            - F.col("__sx") * F.col("__sx")
-                        )
-                    )
-                    * F.col("__sx")
+                    F.col("__np") * F.col("__sxy")
+                    - F.col("__sx") * F.col("__sy")
                 )
-                / F.col("__np")
+                / F.col("__den"),
+                6,
             ),
-            6,
-        ).alias("heaps_k"),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("heaps_beta"),
+        F.when(
+            (F.col("__np") >= 2) & (F.col("__den") != 0),
+            F.round(
+                F.exp(
+                    (
+                        F.col("__sy")
+                        - (
+                            (
+                                F.col("__np") * F.col("__sxy")
+                                - F.col("__sx") * F.col("__sy")
+                            )
+                            / F.col("__den")
+                        )
+                        * F.col("__sx")
+                    )
+                    / F.col("__np")
+                ),
+                6,
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("heaps_k"),
     )
     return pts.crossJoin(F.broadcast(fit)).select(
         "checkpoint",
@@ -2818,14 +2835,26 @@ def rouge_overlap_pairs(
     tb = totals.select(
         F.col("__doc").alias("doc_b"), F.col("__tot").alias("__tb")
     )
+    # totals joins are LEFT so a pair whose side has no grams at all
+    # (doc shorter than n tokens, null text, id absent from df) still
+    # emits a row with 0.0 scores — the docstring's contract — instead
+    # of silently vanishing from the verifier's output
     scored = (
         p.join(overlap, ["doc_a", "doc_b"], "left")
         .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
-        .join(ta, "doc_a")
-        .join(tb, "doc_b")
+        .join(ta, "doc_a", "left")
+        .join(tb, "doc_b", "left")
+        .withColumn("__ta", F.coalesce(F.col("__ta"), F.lit(0)))
+        .withColumn("__tb", F.coalesce(F.col("__tb"), F.lit(0)))
     )
-    r = F.col("n_overlap").cast("double") / F.col("__ta").cast("double")
-    pr = F.col("n_overlap").cast("double") / F.col("__tb").cast("double")
+    r = F.when(
+        F.col("__ta") > 0,
+        F.col("n_overlap").cast("double") / F.col("__ta").cast("double"),
+    ).otherwise(F.lit(0.0))
+    pr = F.when(
+        F.col("__tb") > 0,
+        F.col("n_overlap").cast("double") / F.col("__tb").cast("double"),
+    ).otherwise(F.lit(0.0))
     return scored.select(
         "doc_a",
         "doc_b",

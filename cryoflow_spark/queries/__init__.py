@@ -100,304 +100,300 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: themselves, so it fails the moment a rotation edit (or a forgotten
 #: rotation) would let any query go staler than the policy allows.
 #:
-#: This list IS the policy ordering as of the round-10 artifacts: the
-#: round-11 window is the head 50 — the 16 never-checked r11
-#: registrations (x178–x193) first, then the oldest-evidence cohort
-#: (the 23 r5-evidence relational queries + the first 11 r6-cohort
-#: extensions); positions 51+ pre-commit the following rounds.
+#: This list IS the policy ordering as of the round-11 artifacts: the
+#: round-12 window is the head 50 — no never-checked queries remain
+#: (the r11 registrations x178–x193 were all driver-checked in r11),
+#: so the head is the oldest-evidence r6 cohort (x56–x92) followed by
+#: the r7-evidence queries; positions 51+ pre-commit the following
+#: rounds.
 #: Operators newly registered in a round are never-checked and
 #: therefore PREPEND (tools/make_window.py emits the refreshed list).
 _PRIORITY: list[str] = [
-    # --- never driver-checked (r11 registrations prepend, per policy) ---
-    "x178_k_anonymity",
-    "x179_ks_two_sample",
-    "x180_wasserstein",
-    "x181_dsir_importance",
-    "x182_winnowing",
-    "x183_heaps_law",
-    "x184_kaplan_meier",
-    "x185_ql_dirichlet",
-    "x186_rouge_overlap",
-    "x187_vocab_richness",
-    "x188_term_burstiness",
-    "x189_dedup_triangles",
-    "x190_dedup_assortativity",
-    "x191_group_ks_fdr",
-    "x192_mann_whitney",
-    "x193_cusum_alarm",
-    # --- last driver-checked: r5 ---
-    "q13_top_orders_per_customer",
-    "q14_event_deltas",
-    "q15_string_ops",
-    "q16_orders_by_month",
-    "q17_cast_quantity_histogram",
-    "q18_customer_order_stats",
-    "q19_right_join_nations",
-    "q20_region_nation_matrix",
-    "q21_quantity_stats",
-    "q22_rollup_counts",
-    "q23_event_props_json",
-    "q24_ship_delay",
-    "q26_price_quantiles",
-    "q27_pivot_returnflag",
-    "q28_word_frequencies",
-    "q29_priciest_lineitem_per_flag",
-    "q31_running_totals",
-    "q36_range_join_pairs",
-    "q44_time_bucket_rollup",
-    "q45_collect_sorted_arrays",
-    "q54_array_lambdas",
-    "q57_above_nation_average",
-    "q58_distributed_cdf",
-    # --- last driver-checked: r6 ---
-    "x43_semantic_dedup",
-    "x44_html_to_text",
-    "x45_quantile_gate",
-    "x46_vocab_stats",
-    "x47_gopher_rules",
-    "x48_c4_clean",
-    "x49_group_centroids",
-    "x50_script_profile",
-    "x52_corpus_report",
-    "x53_incremental_presig",
-    "x55_bloom_decontaminate",
-    "x56_unicode_normalize",
-    "x57_containment_pairs",
-    "x59_segment_repetition",
-    "x60_crawl_refresh",
-    "x61_heavy_hitters",
-    "x62_quantile_buckets",
-    "x63_filter_funnel",
-    "x64_pack_sequences",
-    "x65_centroid_drift",
-    "x66_ivf_presig_topk",
-    "x67_histogram",
-    "x68_key_skew",
-    "x70_exact_n_sample",
-    "x69_token_budget_mix",
-    "x71_cluster_best_keep",
-    "x72_expectations",
-    "x73_winsorize",
-    "x74_distinctive_terms",
-    "x75_embedding_qa",
-    "x76_correlation_matrix",
-    "x77_categorical_dependence",
-    "x78_duplication_profile",
-    "x79_quantile_summary",
-    "x80_conversion_funnel",
-    "x81_retention_cohorts",
-    "x82_robust_outliers",
-    "x83_stopword_fraction",
-    "x84_mutual_information",
-    "x85_water_fill_budget",
-    "x86_quantile_normalize",
-    "x87_zipf_fit",
-    "x88_distribution_drift",
-    "x89_exact_n_per_group",
-    "x90_js_divergence",
-    "x91_snapshot_containment",
-    "x92_group_js_divergence",
-    # --- last driver-checked: r7 ---
-    "x17_sessionize",
-    "x24_pii_scrub",
-    "x51_jl_projection",
-    "x54_dataset_checksum",
-    "x93_duplicate_spans",
-    "x94_ensemble_rank_score",
-    "x95_funnel_latency",
-    "x96_cross_entropy_score",
-    "x97_water_fill_epochs",
-    "x98_domain_blocklist",
-    "x99_token_cap_per_source",
-    "x100_pq_adc_topk",
-    "x101_water_fill_floors",
-    "x102_ivf_pq_topk",
-    "x104_ingest_freshness",
-    "x105_training_order",
-    "x106_vocab_coverage",
-    "x107_ivf_cell_stats",
-    "x108_bigram_cross_entropy",
-    "x109_pmi_collocations",
-    "x110_fk_integrity",
-    "x111_secret_scan",
-    "x112_ccnet_buckets",
-    "x113_tokenizer_fertility",
-    "x114_profile_drift",
-    "q30_string_cleanup",
-    "q32_rank_family",
-    "q33_conditional_aggs",
-    "q34_date_vocabulary",
-    "q35_approx_distinct",
-    "q37_null_handling",
-    "q38_cube_order_stats",
-    "q39_hash_sample",
-    "q40_stratified_sample",
-    "q41_native_pivot",
-    "q42_exists_subquery",
-    "q43_range_interval_window",
-    "q46_sliding_windows",
-    "q47_regex_groups",
-    "q48_bag_set_ops",
-    "q49_null_safe_join",
-    "q50_unpivot_measures",
-    "q51_gap_fill_spine",
-    "q52_bivariate_stats",
-    "q53_fuzzy_part_names",
-    "q55_grouping_sets",
-    "q56_latest_per_key",
-    # --- last driver-checked: r8 ---
-    "x01_dedup_exact",
-    "x03_jaccard_pairs",
-    "x05_cosine_topk",
-    "x115_langid_margin",
-    "x116_decontamination_audit",
-    "x117_truncation_qa",
-    "x118_rate_anomaly",
-    "x119_mixture_order",
-    "x120_cross_source_dup",
-    "x121_domain_diversity",
-    "x122_pii_exposure",
-    "x123_centroid_similarity",
-    "x124_packing_efficiency",
-    "x125_dedup_savings",
-    "x126_encoding_artifacts",
-    "x127_event_transitions",
-    "x128_scd2_intervals",
-    "x129_ngram_diversity",
-    "x130_benford_audit",
-    "x131_ivf_quant_error",
-    "x132_threshold_sensitivity",
-    "x133_classification_report",
-    "x134_join_explosion",
-    "x135_session_journeys",
-    "x136_keyword_contexts",
-    "x137_traffic_seasonality",
-    "x138_chat_transcript_audit",
-    "x139_ab_lift",
-    "x140_cluster_capped_sample",
-    "x141_outlier_report",
-    "x142_association_rules",
-    "x143_bpe_merge_pairs",
-    "x144_cohens_kappa",
-    "x145_image_hash_pairs",
-    "x146_embedding_covariance",
-    "x147_code_detection",
-    "x148_kneser_ney_counts",
-    "x149_active_users",
-    "x150_mixed_script",
-    "x151_special_tokens",
-    "x152_dedup_pair_inspector",
-    "x153_chat_turn_stats",
-    "x154_session_entries",
-    "x155_bm25_search",
-    "x156_duplicate_embeddings",
-    "q59_recursive_months",
-    "q60_lateral_topn",
-    "q61_market_share",
-    "q62_customer_distribution",
-    "q63_sales_opportunity",
-    # --- last driver-checked: r9 ---
-    "x07_lsh_cosine_topk",
-    "x12_multimodal_meta",
-    "x13_multimodal_features",
-    "x14_frame_sample",
-    "x16_simhash_pairs",
-    "x20_dedup_clusters",
-    "x22_token_shards",
-    "x23_ivf_fixed_topk",
-    "x25_decontaminate",
-    "x26_repetition_stats",
-    "x27_quantized_topk",
-    "x28_source_mix",
-    "x29_chunk_documents",
-    "x30_weighted_sample",
-    "x33_incremental_dedup",
-    "x34_domain_cap",
-    "x35_corpus_freq_score",
-    "x36_dedup_segments",
-    "x37_profile_columns",
-    "x38_leakage_safe_split",
-    "x39_snapshot_diff",
-    "x40_ngram_novelty",
-    "x15_engine_minhash_dedup",
-    "x33_engine_incremental_dedup",
-    "x58_temperature_mix",
-    "x37_profile_approx",
-    "x76_correlation_approx",
-    "x79_quantiles_approx",
-    "x100_pq_adc_engine",
-    "x102_ivf_pq_engine",
-    "x103_minhash_audit",
-    "x141_outliers_approx",
-    "x157_ivf_pq_rerank",
-    "x158_session_exits",
-    "x159_auc_report",
-    "x160_calibration_curve",
-    "x162_fleiss_kappa",
-    "x163_hard_negatives",
-    "x164_attribution_report",
-    "x161_event_pagerank",
-    "x165_rrf_fusion",
-    "x166_ndcg_eval",
-    "x167_theil_sen_trend",
-    "x168_spearman",
-    "x157_rerank_engine",
-    "x169_token_concentration",
-    "x170_mrr_eval",
-    "x171_growth_accounting",
-    "q01_pricing_summary",
-    "q25_asof_join",
-    # --- last driver-checked: r10 ---
-    "x02_dedup_normalized",
-    "x04_jaccard_dedup",
-    "x06_embedding_neardup",
-    "x08_text_stats",
-    "x09_lang_id",
-    "x10_quality_score",
-    "x11_fingerprint",
-    "x15_minhash_dedup",
-    "x18_ivf_cosine_topk",
-    "x19_bpe_token_budget",
-    "x21_tfidf_top_terms",
-    "x31_zorder_key",
-    "x32_remove_frequent_segments",
-    "x41_ann_recall",
-    "x42_domain_normalize_cap",
-    "x172_markov_next_event",
-    "x173_event_communities",
-    "x174_signup_proximity",
-    "x175_margin_mining",
-    "x176_padding_waste",
-    "x177_good_turing",
-    "q02_filter_project",
-    "q03_top_orders",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q07_price_buckets",
-    "q08_topk_lineitems",
-    "q09_distinct_segments",
-    "q10_union_order_classes",
-    "q11_intersect_customers",
-    "q12_customers_without_orders",
-    "q64_late_shipment_priority",
-    "q65_top_supplier",
-    "q66_dominant_supplier",
-    "q67_cheapest_supplier",
-    "q68_important_parts",
-    "q69_large_orders",
-    "q70_nation_trade",
-    "q71_returned_customers",
-    "q72_waiting_suppliers",
-    "q73_small_quantity_revenue",
-    "q74_unshipped_orders",
-    "q75_local_supplier_volume",
-    "q76_forecast_revenue",
-    "q77_promo_share",
-    "q78_supplier_diversity",
-    "q79_disjunctive_revenue",
-    "q80_product_profit",
-    "q81_priority_shipping",
+    # --- r12 window head: oldest-evidence cohort (no never-checked queries this round; regenerate with tools/make_window.py) ---
+    "x56_unicode_normalize",  # last checked: r6
+    "x57_containment_pairs",  # last checked: r6
+    "x59_segment_repetition",  # last checked: r6
+    "x60_crawl_refresh",  # last checked: r6
+    "x61_heavy_hitters",  # last checked: r6
+    "x62_quantile_buckets",  # last checked: r6
+    "x63_filter_funnel",  # last checked: r6
+    "x64_pack_sequences",  # last checked: r6
+    "x65_centroid_drift",  # last checked: r6
+    "x66_ivf_presig_topk",  # last checked: r6
+    "x67_histogram",  # last checked: r6
+    "x68_key_skew",  # last checked: r6
+    "x70_exact_n_sample",  # last checked: r6
+    "x69_token_budget_mix",  # last checked: r6
+    "x71_cluster_best_keep",  # last checked: r6
+    "x72_expectations",  # last checked: r6
+    "x73_winsorize",  # last checked: r6
+    "x74_distinctive_terms",  # last checked: r6
+    "x75_embedding_qa",  # last checked: r6
+    "x76_correlation_matrix",  # last checked: r6
+    "x77_categorical_dependence",  # last checked: r6
+    "x78_duplication_profile",  # last checked: r6
+    "x79_quantile_summary",  # last checked: r6
+    "x80_conversion_funnel",  # last checked: r6
+    "x81_retention_cohorts",  # last checked: r6
+    "x82_robust_outliers",  # last checked: r6
+    "x83_stopword_fraction",  # last checked: r6
+    "x84_mutual_information",  # last checked: r6
+    "x85_water_fill_budget",  # last checked: r6
+    "x86_quantile_normalize",  # last checked: r6
+    "x87_zipf_fit",  # last checked: r6
+    "x88_distribution_drift",  # last checked: r6
+    "x89_exact_n_per_group",  # last checked: r6
+    "x90_js_divergence",  # last checked: r6
+    "x91_snapshot_containment",  # last checked: r6
+    "x92_group_js_divergence",  # last checked: r6
+    "x17_sessionize",  # last checked: r7
+    "x24_pii_scrub",  # last checked: r7
+    "x51_jl_projection",  # last checked: r7
+    "x54_dataset_checksum",  # last checked: r7
+    "x93_duplicate_spans",  # last checked: r7
+    "x94_ensemble_rank_score",  # last checked: r7
+    "x95_funnel_latency",  # last checked: r7
+    "x96_cross_entropy_score",  # last checked: r7
+    "x97_water_fill_epochs",  # last checked: r7
+    "x98_domain_blocklist",  # last checked: r7
+    "x99_token_cap_per_source",  # last checked: r7
+    "x100_pq_adc_topk",  # last checked: r7
+    "x101_water_fill_floors",  # last checked: r7
+    "x102_ivf_pq_topk",  # last checked: r7
+    # --- positions 51+: pre-committed following rounds ---
+    "x104_ingest_freshness",  # last checked: r7
+    "x105_training_order",  # last checked: r7
+    "x106_vocab_coverage",  # last checked: r7
+    "x107_ivf_cell_stats",  # last checked: r7
+    "x108_bigram_cross_entropy",  # last checked: r7
+    "x109_pmi_collocations",  # last checked: r7
+    "x110_fk_integrity",  # last checked: r7
+    "x111_secret_scan",  # last checked: r7
+    "x112_ccnet_buckets",  # last checked: r7
+    "x113_tokenizer_fertility",  # last checked: r7
+    "x114_profile_drift",  # last checked: r7
+    "q30_string_cleanup",  # last checked: r7
+    "q32_rank_family",  # last checked: r7
+    "q33_conditional_aggs",  # last checked: r7
+    "q34_date_vocabulary",  # last checked: r7
+    "q35_approx_distinct",  # last checked: r7
+    "q37_null_handling",  # last checked: r7
+    "q38_cube_order_stats",  # last checked: r7
+    "q39_hash_sample",  # last checked: r7
+    "q40_stratified_sample",  # last checked: r7
+    "q41_native_pivot",  # last checked: r7
+    "q42_exists_subquery",  # last checked: r7
+    "q43_range_interval_window",  # last checked: r7
+    "q46_sliding_windows",  # last checked: r7
+    "q47_regex_groups",  # last checked: r7
+    "q48_bag_set_ops",  # last checked: r7
+    "q49_null_safe_join",  # last checked: r7
+    "q50_unpivot_measures",  # last checked: r7
+    "q51_gap_fill_spine",  # last checked: r7
+    "q52_bivariate_stats",  # last checked: r7
+    "q53_fuzzy_part_names",  # last checked: r7
+    "q55_grouping_sets",  # last checked: r7
+    "q56_latest_per_key",  # last checked: r7
+    "x01_dedup_exact",  # last checked: r8
+    "x03_jaccard_pairs",  # last checked: r8
+    "x05_cosine_topk",  # last checked: r8
+    "x115_langid_margin",  # last checked: r8
+    "x116_decontamination_audit",  # last checked: r8
+    "x117_truncation_qa",  # last checked: r8
+    "x118_rate_anomaly",  # last checked: r8
+    "x119_mixture_order",  # last checked: r8
+    "x120_cross_source_dup",  # last checked: r8
+    "x121_domain_diversity",  # last checked: r8
+    "x122_pii_exposure",  # last checked: r8
+    "x123_centroid_similarity",  # last checked: r8
+    "x124_packing_efficiency",  # last checked: r8
+    "x125_dedup_savings",  # last checked: r8
+    "x126_encoding_artifacts",  # last checked: r8
+    "x127_event_transitions",  # last checked: r8
+    "x128_scd2_intervals",  # last checked: r8
+    "x129_ngram_diversity",  # last checked: r8
+    "x130_benford_audit",  # last checked: r8
+    "x131_ivf_quant_error",  # last checked: r8
+    "x132_threshold_sensitivity",  # last checked: r8
+    "x133_classification_report",  # last checked: r8
+    "x134_join_explosion",  # last checked: r8
+    "x135_session_journeys",  # last checked: r8
+    "x136_keyword_contexts",  # last checked: r8
+    "x137_traffic_seasonality",  # last checked: r8
+    "x138_chat_transcript_audit",  # last checked: r8
+    "x139_ab_lift",  # last checked: r8
+    "x140_cluster_capped_sample",  # last checked: r8
+    "x141_outlier_report",  # last checked: r8
+    "x142_association_rules",  # last checked: r8
+    "x143_bpe_merge_pairs",  # last checked: r8
+    "x144_cohens_kappa",  # last checked: r8
+    "x145_image_hash_pairs",  # last checked: r8
+    "x146_embedding_covariance",  # last checked: r8
+    "x147_code_detection",  # last checked: r8
+    "x148_kneser_ney_counts",  # last checked: r8
+    "x149_active_users",  # last checked: r8
+    "x150_mixed_script",  # last checked: r8
+    "x151_special_tokens",  # last checked: r8
+    "x152_dedup_pair_inspector",  # last checked: r8
+    "x153_chat_turn_stats",  # last checked: r8
+    "x154_session_entries",  # last checked: r8
+    "x155_bm25_search",  # last checked: r8
+    "x156_duplicate_embeddings",  # last checked: r8
+    "q59_recursive_months",  # last checked: r8
+    "q60_lateral_topn",  # last checked: r8
+    "q61_market_share",  # last checked: r8
+    "q62_customer_distribution",  # last checked: r8
+    "q63_sales_opportunity",  # last checked: r8
+    "x07_lsh_cosine_topk",  # last checked: r9
+    "x12_multimodal_meta",  # last checked: r9
+    "x13_multimodal_features",  # last checked: r9
+    "x14_frame_sample",  # last checked: r9
+    "x16_simhash_pairs",  # last checked: r9
+    "x20_dedup_clusters",  # last checked: r9
+    "x22_token_shards",  # last checked: r9
+    "x23_ivf_fixed_topk",  # last checked: r9
+    "x25_decontaminate",  # last checked: r9
+    "x26_repetition_stats",  # last checked: r9
+    "x27_quantized_topk",  # last checked: r9
+    "x28_source_mix",  # last checked: r9
+    "x29_chunk_documents",  # last checked: r9
+    "x30_weighted_sample",  # last checked: r9
+    "x33_incremental_dedup",  # last checked: r9
+    "x34_domain_cap",  # last checked: r9
+    "x35_corpus_freq_score",  # last checked: r9
+    "x36_dedup_segments",  # last checked: r9
+    "x37_profile_columns",  # last checked: r9
+    "x38_leakage_safe_split",  # last checked: r9
+    "x39_snapshot_diff",  # last checked: r9
+    "x40_ngram_novelty",  # last checked: r9
+    "x15_engine_minhash_dedup",  # last checked: r9
+    "x33_engine_incremental_dedup",  # last checked: r9
+    "x58_temperature_mix",  # last checked: r9
+    "x37_profile_approx",  # last checked: r9
+    "x76_correlation_approx",  # last checked: r9
+    "x79_quantiles_approx",  # last checked: r9
+    "x100_pq_adc_engine",  # last checked: r9
+    "x102_ivf_pq_engine",  # last checked: r9
+    "x103_minhash_audit",  # last checked: r9
+    "x141_outliers_approx",  # last checked: r9
+    "x157_ivf_pq_rerank",  # last checked: r9
+    "x158_session_exits",  # last checked: r9
+    "x159_auc_report",  # last checked: r9
+    "x160_calibration_curve",  # last checked: r9
+    "x162_fleiss_kappa",  # last checked: r9
+    "x163_hard_negatives",  # last checked: r9
+    "x164_attribution_report",  # last checked: r9
+    "x161_event_pagerank",  # last checked: r9
+    "x165_rrf_fusion",  # last checked: r9
+    "x166_ndcg_eval",  # last checked: r9
+    "x167_theil_sen_trend",  # last checked: r9
+    "x168_spearman",  # last checked: r9
+    "x157_rerank_engine",  # last checked: r9
+    "x169_token_concentration",  # last checked: r9
+    "x170_mrr_eval",  # last checked: r9
+    "x171_growth_accounting",  # last checked: r9
+    "q01_pricing_summary",  # last checked: r9
+    "q25_asof_join",  # last checked: r9
+    "x02_dedup_normalized",  # last checked: r10
+    "x04_jaccard_dedup",  # last checked: r10
+    "x06_embedding_neardup",  # last checked: r10
+    "x08_text_stats",  # last checked: r10
+    "x09_lang_id",  # last checked: r10
+    "x10_quality_score",  # last checked: r10
+    "x11_fingerprint",  # last checked: r10
+    "x15_minhash_dedup",  # last checked: r10
+    "x18_ivf_cosine_topk",  # last checked: r10
+    "x19_bpe_token_budget",  # last checked: r10
+    "x21_tfidf_top_terms",  # last checked: r10
+    "x31_zorder_key",  # last checked: r10
+    "x32_remove_frequent_segments",  # last checked: r10
+    "x41_ann_recall",  # last checked: r10
+    "x42_domain_normalize_cap",  # last checked: r10
+    "x172_markov_next_event",  # last checked: r10
+    "x173_event_communities",  # last checked: r10
+    "x174_signup_proximity",  # last checked: r10
+    "x175_margin_mining",  # last checked: r10
+    "x176_padding_waste",  # last checked: r10
+    "x177_good_turing",  # last checked: r10
+    "q02_filter_project",  # last checked: r10
+    "q03_top_orders",  # last checked: r10
+    "q04_order_priority",  # last checked: r10
+    "q05_local_supplier_volume",  # last checked: r10
+    "q06_forecast_revenue",  # last checked: r10
+    "q07_price_buckets",  # last checked: r10
+    "q08_topk_lineitems",  # last checked: r10
+    "q09_distinct_segments",  # last checked: r10
+    "q10_union_order_classes",  # last checked: r10
+    "q11_intersect_customers",  # last checked: r10
+    "q12_customers_without_orders",  # last checked: r10
+    "q64_late_shipment_priority",  # last checked: r10
+    "q65_top_supplier",  # last checked: r10
+    "q66_dominant_supplier",  # last checked: r10
+    "q67_cheapest_supplier",  # last checked: r10
+    "q68_important_parts",  # last checked: r10
+    "q69_large_orders",  # last checked: r10
+    "q70_nation_trade",  # last checked: r10
+    "q71_returned_customers",  # last checked: r10
+    "q72_waiting_suppliers",  # last checked: r10
+    "q73_small_quantity_revenue",  # last checked: r10
+    "q74_unshipped_orders",  # last checked: r10
+    "q75_local_supplier_volume",  # last checked: r10
+    "q76_forecast_revenue",  # last checked: r10
+    "q77_promo_share",  # last checked: r10
+    "q78_supplier_diversity",  # last checked: r10
+    "q79_disjunctive_revenue",  # last checked: r10
+    "q80_product_profit",  # last checked: r10
+    "q81_priority_shipping",  # last checked: r10
+    "x43_semantic_dedup",  # last checked: r11
+    "x44_html_to_text",  # last checked: r11
+    "x45_quantile_gate",  # last checked: r11
+    "x46_vocab_stats",  # last checked: r11
+    "x47_gopher_rules",  # last checked: r11
+    "x48_c4_clean",  # last checked: r11
+    "x49_group_centroids",  # last checked: r11
+    "x50_script_profile",  # last checked: r11
+    "x52_corpus_report",  # last checked: r11
+    "x53_incremental_presig",  # last checked: r11
+    "x55_bloom_decontaminate",  # last checked: r11
+    "x178_k_anonymity",  # last checked: r11
+    "x179_ks_two_sample",  # last checked: r11
+    "x180_wasserstein",  # last checked: r11
+    "x181_dsir_importance",  # last checked: r11
+    "x182_winnowing",  # last checked: r11
+    "x183_heaps_law",  # last checked: r11
+    "x184_kaplan_meier",  # last checked: r11
+    "x185_ql_dirichlet",  # last checked: r11
+    "x186_rouge_overlap",  # last checked: r11
+    "x187_vocab_richness",  # last checked: r11
+    "x188_term_burstiness",  # last checked: r11
+    "x189_dedup_triangles",  # last checked: r11
+    "x190_dedup_assortativity",  # last checked: r11
+    "x191_group_ks_fdr",  # last checked: r11
+    "x192_mann_whitney",  # last checked: r11
+    "x193_cusum_alarm",  # last checked: r11
+    "q13_top_orders_per_customer",  # last checked: r11
+    "q14_event_deltas",  # last checked: r11
+    "q15_string_ops",  # last checked: r11
+    "q16_orders_by_month",  # last checked: r11
+    "q17_cast_quantity_histogram",  # last checked: r11
+    "q18_customer_order_stats",  # last checked: r11
+    "q19_right_join_nations",  # last checked: r11
+    "q20_region_nation_matrix",  # last checked: r11
+    "q21_quantity_stats",  # last checked: r11
+    "q22_rollup_counts",  # last checked: r11
+    "q23_event_props_json",  # last checked: r11
+    "q24_ship_delay",  # last checked: r11
+    "q26_price_quantiles",  # last checked: r11
+    "q27_pivot_returnflag",  # last checked: r11
+    "q28_word_frequencies",  # last checked: r11
+    "q29_priciest_lineitem_per_flag",  # last checked: r11
+    "q31_running_totals",  # last checked: r11
+    "q36_range_join_pairs",  # last checked: r11
+    "q44_time_bucket_rollup",  # last checked: r11
+    "q45_collect_sorted_arrays",  # last checked: r11
+    "q54_array_lambdas",  # last checked: r11
+    "q57_above_nation_average",  # last checked: r11
+    "q58_distributed_cdf",  # last checked: r11
 ]
 
 

@@ -10057,11 +10057,13 @@ def x182_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM fitpts
     )
     SELECT checkpoint, tokens_seen, vocab_size,
-           ROUND(EXP((sy - ((np * sxy - sx * sy)
-                            / (np * sxx - sx * sx)) * sx) / np), 6)
-             AS heaps_k,
-           ROUND((np * sxy - sx * sy) / (np * sxx - sx * sx), 6)
-             AS heaps_beta
+           CASE WHEN np >= 2 AND (np * sxx - sx * sx) != 0 THEN
+             ROUND(EXP((sy - ((np * sxy - sx * sy)
+                              / (np * sxx - sx * sx)) * sx) / np), 6)
+           END AS heaps_k,
+           CASE WHEN np >= 2 AND (np * sxx - sx * sx) != 0 THEN
+             ROUND((np * sxy - sx * sy) / (np * sxx - sx * sx), 6)
+           END AS heaps_beta
     FROM curve CROSS JOIN sums
     ORDER BY checkpoint
     """,
@@ -10245,10 +10247,12 @@ def x185_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.doc_a, c.doc_b,
            COALESCE(ov.n_overlap, 0)::BIGINT AS n_overlap,
-           ROUND(COALESCE(ov.n_overlap, 0)::DOUBLE / ta.tot::DOUBLE, 6)
-             AS recall,
-           ROUND(COALESCE(ov.n_overlap, 0)::DOUBLE / tb.tot::DOUBLE, 6)
-             AS precision,
+           ROUND(CASE WHEN COALESCE(ta.tot, 0) > 0 THEN
+             COALESCE(ov.n_overlap, 0)::DOUBLE / ta.tot::DOUBLE
+           ELSE 0.0 END, 6) AS recall,
+           ROUND(CASE WHEN COALESCE(tb.tot, 0) > 0 THEN
+             COALESCE(ov.n_overlap, 0)::DOUBLE / tb.tot::DOUBLE
+           ELSE 0.0 END, 6) AS precision,
            ROUND(CASE WHEN COALESCE(ov.n_overlap, 0) > 0 THEN
              2.0 * (ov.n_overlap::DOUBLE / ta.tot::DOUBLE)
                  * (ov.n_overlap::DOUBLE / tb.tot::DOUBLE)
@@ -10257,8 +10261,8 @@ def x185_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
            ELSE 0.0 END, 6) AS f1
     FROM cand c
     LEFT JOIN ov ON ov.doc_a = c.doc_a AND ov.doc_b = c.doc_b
-    JOIN bt ta ON ta.doc_id = c.doc_a
-    JOIN bt tb ON tb.doc_id = c.doc_b
+    LEFT JOIN bt ta ON ta.doc_id = c.doc_a
+    LEFT JOIN bt tb ON tb.doc_id = c.doc_b
     """,
     "ROUGE-2 clipped bigram co-occurrence (Lin 2004) re-scoring the "
     "x182 winnowing candidate pairs: overlap = sum_g min(c_a, c_b) "

@@ -8876,6 +8876,20 @@ class TestHeapsLaw:
         # fit constants identical on every row
         assert all(r["heaps_k"] == k and r["heaps_beta"] == beta for r in out.values())
 
+    def test_degenerate_fit_is_null_not_nan(self, spark):
+        # ONE token total: every checkpoint has tokens_seen in {0, 1},
+        # so at most one usable fit point — the x-variance denominator
+        # is 0 and (k, beta) must be NULL in both engines (Spark's
+        # Divide yields NULL on /0, DuckDB follows IEEE inf/nan; the
+        # explicit guard is what keeps them bit-identical)
+        df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+        rows = X.heaps_law_curve(df, n_checkpoints=5).collect()
+        assert len(rows) == 5
+        assert all(r["heaps_k"] is None for r in rows)
+        assert all(r["heaps_beta"] is None for r in rows)
+        # the curve itself is still exact
+        assert {r["tokens_seen"] for r in rows} == {0, 1}
+
     def test_validation(self, spark):
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError, match="n_checkpoints"):
@@ -9002,6 +9016,30 @@ class TestRougeOverlap:
         pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
         out = X.rouge_overlap_pairs(docs, pairs, n=2).collect()
         assert out[0]["n_overlap"] == 0 and out[0]["f1"] == 0.0
+
+    def test_gramless_side_emits_zero_row(self, spark):
+        # doc 2 has ONE token (no bigrams), doc 3 is absent from df, doc
+        # 4 has null text: every candidate pair must still emit a row
+        # with 0.0 scores — a verifier that silently drops pairs is a
+        # near-dup detector that silently passes near-dups
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a"), (4, None)],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+        )
+        out = {
+            (r["doc_a"], r["doc_b"]): r
+            for r in X.rouge_overlap_pairs(docs, pairs, n=2).collect()
+        }
+        assert set(out) == {(1, 2), (1, 3), (1, 4)}
+        for key in out:
+            r = out[key]
+            assert r["n_overlap"] == 0
+            assert r["recall"] == 0.0
+            assert r["precision"] == 0.0
+            assert r["f1"] == 0.0
 
     def test_validation(self, spark):
         docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")

@@ -90,6 +90,18 @@ def main() -> int:
     from cryoflow_spark.queries import all_queries
 
     spark = get_session(app_name="correctness-check")
+    # Same WindowExec WARN suppression as bench.py: every single-reducer
+    # window in the registry is an allowlisted bounded envelope enforced
+    # by tests/test_plans.py; the per-query spam hides real failures in
+    # the sweep log. log4j2 Configurator; best-effort across versions.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # noqa: BLE001 — logging cosmetics only
+        pass
     con = duck_connection(sf_dir)
     registry = all_queries()
 
