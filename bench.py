@@ -106,17 +106,84 @@ def main() -> int:
     first = sorted(selected)[0]
     consume(selected[first].fn(spark, args.sf_dir))
 
-    timings: dict[str, float] = {}
-    for name in sorted(selected):
-        spec = selected[name]
+    # Self-audit history: the best committed time per query, read from
+    # the committed bench artifacts BEFORE this run overwrites anything.
+    # A query reading >2x its best committed time gets ONE re-run after
+    # the sweep — transient host stalls (the r11 x34-x37 segment: 3-10x
+    # for one stretch of an otherwise-clean run) are confirmed or
+    # cleared inside the artifact itself instead of poisoning the map.
+    history: dict[str, float] = {}
+
+    def _fold_history(qmap) -> None:
+        for k, v in (qmap or {}).items():
+            if isinstance(v, (int, float)) and v > 0:
+                history[k] = min(history.get(k, float(v)), float(v))
+
+    try:
+        import glob as _glob
+        import subprocess as _sp
+
+        try:  # committed map only — never trust a scratch working copy
+            committed = _sp.run(
+                ["git", "-C", str(REPO), "show", "HEAD:bench_full.json"],
+                capture_output=True, text=True, timeout=10,
+            )
+            if committed.returncode == 0:
+                _fold_history(json.loads(committed.stdout).get("queries"))
+        except Exception:  # noqa: BLE001 — audit is best-effort
+            pass
+        for f in _glob.glob(str(REPO / "BENCH_r*.json")):
+            try:
+                doc = json.loads(Path(f).read_text())
+                _fold_history(
+                    (doc.get("parsed") or {}).get("queries")
+                    or doc.get("queries")
+                )
+            except Exception:  # noqa: BLE001
+                continue
+    except Exception:  # noqa: BLE001
+        history = {}
+
+    def time_query(spec) -> float:
         best = None
         for _ in range(max(1, args.repeat)):
             start = time.perf_counter()
             consume(spec.fn(spark, args.sf_dir))
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 4)
+        return best
+
+    timings: dict[str, float] = {}
+    for name in sorted(selected):
+        timings[name] = round(time_query(selected[name]), 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    # Audit pass: re-run (once, min-of-repeat) every query >2x its best
+    # committed time; record BOTH numbers. The artifact keeps the re-run
+    # value (the sweep hit a stall; the re-run is the honest reading) and
+    # flags queries the re-run CONFIRMS >2x — those are either a real
+    # plan regression or a host-generation shift, and either way the
+    # committed JSON must say so, not bury it in a total.
+    audit: dict[str, dict] = {}
+    confirmed_slow: list[str] = []
+    for name in sorted(timings):
+        best_hist = history.get(name)
+        if best_hist is None or timings[name] <= 2.0 * best_hist:
+            continue
+        rerun = round(time_query(selected[name]), 4)
+        audit[name] = {
+            "best_committed": round(best_hist, 3),
+            "sweep": timings[name],
+            "rerun": rerun,
+        }
+        timings[name] = min(timings[name], rerun)
+        if rerun > 2.0 * best_hist:
+            confirmed_slow.append(name)
+        print(
+            f"# audit {name}: sweep {audit[name]['sweep']:.3f}s vs best "
+            f"committed {best_hist:.3f}s -> rerun {rerun:.3f}s",
+            file=sys.stderr,
+        )
 
     sf_name = Path(args.sf_dir).name
     try:
@@ -141,6 +208,9 @@ def main() -> int:
         "cpu_probe_sec": round(cpu_probe_sec, 3),
         "sf": sf,
     }
+    if audit:
+        full["audit"] = audit
+        full["confirmed_slow"] = confirmed_slow
     # A query-filtered run must never clobber the committed full map (that
     # is the judge's perf evidence) — partial timings go to a scratch file.
     out_file = "bench_full.json" if not args.queries else "bench_partial.json"
@@ -169,6 +239,27 @@ def main() -> int:
             break
     sys.stderr.flush()
     print(out, flush=True)
+    # Gate: a confirmed >2x query on an otherwise-normal host is a real
+    # regression and the run must read as failed. A UNIFORM shift (new
+    # host generation — r11 measured median 1.37x across unchanged
+    # queries) is not a regression: when the median ratio vs history is
+    # itself elevated, the cpu probe + per-query map carry the story and
+    # the artifact stays rc=0.
+    if confirmed_slow:
+        ratios = sorted(
+            timings[k] / history[k]
+            for k in timings
+            if k in history and history[k] > 0
+        )
+        median_ratio = ratios[len(ratios) // 2] if ratios else 1.0
+        if median_ratio <= 1.5:
+            print(
+                f"# BENCH GATE FAILED: {confirmed_slow} confirmed >2x "
+                f"best committed (median ratio {median_ratio:.2f} — not "
+                "a host shift)",
+                file=sys.stderr,
+            )
+            return 1
     return 0
 
 
