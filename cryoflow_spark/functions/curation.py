@@ -973,6 +973,150 @@ def duplicate_spans(
     )
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Character-level exact-substring dedup REMOVER (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): excise from every document the characters covered by
+    any length-``k`` substring whose exact text occurs elsewhere in the
+    corpus, keeping only the FIRST occurrence (lowest ``(id, position)``)
+    of each duplicated ``k``-gram. :func:`duplicate_spans` (x93) only
+    INVENTORIES token-window duplicates; this pass actually removes the
+    duplicated characters, the operation the paper's suffix-array
+    ExactSubstr performs. The distributed approximation replaces the
+    suffix array with stride-1 ``k``-gram fingerprints: a character
+    position is removed iff some ``k``-gram covering it starts at a
+    non-canonical occurrence — overlapping duplicated ``k``-grams from
+    a long shared passage merge into one excised span, reproducing the
+    paper's maximal-match excision for any shared substring of length
+    >= k (shared substrings shorter than ``k`` are below the dedup
+    threshold and kept, as in the paper).
+
+    Output: one row per input document —
+    ``(id, clean_text, n_chars_removed, n_spans_removed)``. Null text
+    passes through as null with zero counts; documents shorter than
+    ``k`` characters are never touched.
+
+    Determinism: canonical occurrence = ``row_number() = 1`` ordering by
+    ``(id, position)`` within each fingerprint; span merge and excision
+    are an exact integer fold over each document's sorted removal
+    starts — no floats anywhere.
+
+    Scale: the fingerprint explode is O(corpus characters) rows of
+    (id, pos, hash) — linear, map-side, no all-pairs anywhere; the only
+    shuffles are the fingerprint-keyed window (high-cardinality key —
+    skew bounded by the most-repeated single k-gram) and one per-doc
+    regroup of removal starts (collect_list bounded by doc length).
+    ``hash_mode="md5"`` is the portable oracle mode (DuckDB-identical);
+    ``hash_mode="xxhash64"`` rides 8-byte JVM hashes for production
+    (half the shuffle width; a 2^-64 collision removes a span it
+    shouldn't — the standard fingerprint-dedup tradeoff).
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if hash_mode not in ("md5", "xxhash64"):
+        raise ValueError("hash_mode must be 'md5' or 'xxhash64'")
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__txt")
+    )
+    hasher = F.md5 if hash_mode == "md5" else F.xxhash64
+    grams = (
+        base.filter(F.col("__txt").isNotNull() & (F.length("__txt") >= k))
+        .select(
+            "__id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.length("__txt") - F.lit(k - 1)
+                    ),
+                    lambda i: F.struct(
+                        i.cast("int").alias("p"),
+                        hasher(
+                            F.col("__txt").substr(i, F.lit(k))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("__s"),
+        )
+        .select("__id", F.col("__s.p").alias("__pos"), F.col("__s.h").alias("__h"))
+    )
+    w = Window.partitionBy("__h").orderBy("__id", "__pos")
+    removals = (
+        grams.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") >= 2)
+        .select("__id", "__pos")
+    )
+    starts = removals.groupBy("__id").agg(
+        F.array_sort(F.collect_list("__pos")).alias("__starts")
+    )
+    # Single in-row fold over the sorted removal starts: acc carries the
+    # retained text so far, the covered end, and the merged-span count.
+    # A start s with coverage [s, s+k-1]: if s begins past the covered
+    # end the gap (end+1 .. s-1) is retained; a new ISLAND begins only
+    # when there is an actual uncovered gap (s > end+1, or nothing was
+    # covered yet) — adjacent/overlapping windows merge into one span.
+    acc0 = F.struct(
+        F.lit("").alias("t"),
+        F.lit(0).alias("e"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    fold = F.aggregate(
+        F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+        acc0,
+        lambda a, s: F.struct(
+            F.when(
+                s > a["e"],
+                F.concat(
+                    a["t"],
+                    F.col("__txt").substr(
+                        a["e"] + F.lit(1), s - a["e"] - F.lit(1)
+                    ),
+                ),
+            )
+            .otherwise(a["t"])
+            .alias("t"),
+            F.greatest(a["e"], s + F.lit(k - 1)).alias("e"),
+            (
+                a["n"]
+                + F.when(
+                    (a["e"] == 0) | (s > a["e"] + 1), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n"),
+        ),
+        lambda a: F.struct(
+            F.concat(
+                a["t"],
+                F.col("__txt").substr(
+                    a["e"] + F.lit(1), F.length("__txt") - a["e"]
+                ),
+            ).alias("t"),
+            a["e"].alias("e"),
+            a["n"].alias("n"),
+        ),
+    )
+    return (
+        base.join(starts, "__id", "left")
+        .withColumn("__f", fold)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__f.t").alias("clean_text"),
+            F.coalesce(
+                F.length("__txt") - F.length("__f.t"), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_chars_removed"),
+            F.col("__f.n").cast("bigint").alias("n_spans_removed"),
+        )
+    )
+
+
 def ensemble_rank_score(
     df: DataFrame,
     score_cols: "list[str]",

@@ -2212,11 +2212,41 @@ def cusum_change_detection(
     """
     if k < 0 or h <= 0:
         raise ValueError("k must be >= 0 and h > 0")
-    days = (
-        df.filter(F.col(ts_col).isNotNull())
-        .groupBy(F.to_date(F.col(ts_col).cast("timestamp")).alias("__day"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__x"))
+    days = cusum_day_partials(df, ts_col).select(
+        F.col("day").alias("__day"), F.col("n_events").alias("__x")
     )
+    return _cusum_from_day_counts(days, k, h)
+
+
+def cusum_day_partials(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """The CUSUM sufficient statistic for one slice of the stream: the
+    per-day event counts ``(day, n_events)`` — a mergeable monoid
+    (counts add by day), so per-batch partials re-aggregate to exactly
+    the batch operator's day table. Shared by
+    :func:`cusum_change_detection` and the streaming twin
+    (``streaming.monitor_stream``)."""
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col).cast("timestamp")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+
+
+def merge_cusum_day_partials(partials: DataFrame) -> DataFrame:
+    """Monoid merge: day counts from any batch partition of the stream
+    sum to the whole-corpus day counts (duplicate-day rows from
+    separate batches collapse by addition)."""
+    return partials.groupBy("day").agg(
+        F.sum("n_events").cast("bigint").alias("n_events")
+    )
+
+
+def _cusum_from_day_counts(
+    days: DataFrame, k: float, h: float
+) -> DataFrame:
+    """Estimator core shared by the batch operator and the streaming
+    finalize: runs Page's two-sided tabular recursion on a
+    ``(__day, __x)`` day-count table (calendar-bounded)."""
     packed = days.agg(
         F.array_sort(F.collect_list(F.struct("__day", "__x"))).alias(
             "__arr"

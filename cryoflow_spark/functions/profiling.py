@@ -2367,27 +2367,68 @@ def group_ks_fdr(
     """
     if not (0 < alpha < 1):
         raise ValueError("alpha must be in (0, 1)")
+    per_gv = ks_group_value_partials(df, value_col, group_col).select(
+        F.col("group").alias("__g"),
+        F.col("value").alias("__v"),
+        F.col("n").alias("__c"),
+    )
+    return _group_ks_fdr_from_counts(per_gv, group_col, alpha)
+
+
+def ks_group_value_partials(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """The drift screen's sufficient statistic for one slice of the
+    stream: per-(group, value) counts ``(group, value, n)`` — a
+    mergeable monoid (counts add by key), so per-batch partials
+    re-aggregate to exactly the batch operator's count table. Shared by
+    :func:`group_ks_fdr` and the streaming twin
+    (``streaming.monitor_stream``)."""
+    return (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .groupBy(
+            F.col(group_col).alias("group"),
+            F.col(value_col).alias("value"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def merge_ks_group_value_partials(partials: DataFrame) -> DataFrame:
+    """Monoid merge: (group, value) counts from any batch partition of
+    the stream sum to the whole-corpus counts."""
+    return partials.groupBy("group", "value").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+
+
+def _group_ks_fdr_from_counts(
+    per_gv: DataFrame, group_col: str, alpha: float
+) -> DataFrame:
+    """Estimator core shared by the batch operator and the streaming
+    finalize: exact per-group-vs-rest KS + BH step-up from a
+    ``(__g, __v, __c)`` count table. The pooled spine's cumulative is
+    rebuilt by summing the per-value counts through the same
+    range-partitioned CDF construction the batch path uses, so results
+    are bit-identical to running :func:`group_ks_fdr` on the raw rows
+    behind the counts."""
     from pyspark.sql import Window
 
     from cryoflow_spark.functions.ranks import multi_value_cdf
 
-    base = df.filter(
-        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
-    ).select(
-        F.col(value_col).alias("__v"),
-        F.col(group_col).alias("__g"),
-        F.lit(1).cast("long").alias("__one"),
+    per_v = per_gv.groupBy("__v").agg(
+        F.sum("__c").cast("bigint").alias("__ct")
     )
-    spine = multi_value_cdf(base, "__v", ["__one"]).select(
+    spine = multi_value_cdf(
+        per_v.select("__v", F.col("__ct").alias("__one")),
+        "__v",
+        ["__one"],
+    ).select(
         "__v",
         F.col("__one_at_or_below").alias("__cum_all"),
         F.col("__one_total").alias("__n_all"),
-    )
-    per_gv = base.groupBy("__g", "__v").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__c")
-    )
-    per_v = base.groupBy("__v").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__ct")
     )
     w_g = Window.partitionBy("__g").orderBy("__v")
     cum_g = per_gv.withColumn(

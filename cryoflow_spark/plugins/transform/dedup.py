@@ -48,6 +48,13 @@ Engine extension for large-scale training-data pipelines (BASELINE.json
   INVENTORY ``(span_hash, n_docs, n_occurrences, example_ids)`` — the
   exact-substring-dedup diagnostic (options ``span_tokens``, ``stride``,
   ``min_docs``, ``max_examples``).
+- ``exact_substring``: character-level exact-substring dedup REMOVER
+  (Lee et al. 2022 ExactSubstr) — excise every duplicated >=``k``-char
+  passage corpus-wide, keeping each duplicated k-gram's first
+  occurrence; emits ``(id, clean_text, n_chars_removed,
+  n_spans_removed)``. Options ``k`` (default 20), ``hash_mode``
+  (``xxhash64`` default for production; ``md5`` for the portable
+  oracle path).
 - ``cross_source``: replace the stream with the pairwise source-level
   exact-duplication matrix (shared distinct texts + overlap
   coefficient per unordered source pair) — the provenance table that
@@ -241,6 +248,18 @@ class DedupPlugin(SiblingAwareTransformPlugin):
                     if "sample_fraction" in self.options
                     else None
                 ),
+            )
+        if method == "exact_substring":
+            from cryoflow_spark.functions.curation import (
+                exact_substring_dedup,
+            )
+
+            return exact_substring_dedup(
+                data,
+                text_col=column,
+                id_col=id_column,
+                k=int(self.options.get("k", 20)),
+                hash_mode=str(self.options.get("hash_mode", "xxhash64")),
             )
         if method == "duplicate_spans":
             from cryoflow_spark.functions.curation import duplicate_spans

@@ -84,7 +84,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:
 #: ROTATION POLICY (bounded staleness — enforced by
 #: tests/test_registry.py::test_rotation_policy_bounded_staleness, derived
-#: by tools/make_window.py): with 283 registered queries and a 50-slot
+#: by tools/make_window.py): with 285 registered queries and a 50-slot
 #: window, "every query re-verified every round" is arithmetically
 #: impossible. The steady-state rule is:
 #:
@@ -95,21 +95,24 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: where a query's driver evidence is the latest committed
 #: CORRECTNESS_r*.json that contains it. With <= 50 new registrations per
 #: round this bounds every query's driver-evidence age to
-#: ceil(N/50) + 1 rounds (= 7 at the current registry size of 283). The
+#: ceil(N/50) + 1 rounds (= 7 at the current registry size of 285). The
 #: enforcement test recomputes this ordering from the committed artifacts
 #: themselves, so it fails the moment a rotation edit (or a forgotten
 #: rotation) would let any query go staler than the policy allows.
 #:
 #: This list IS the policy ordering as of the round-11 artifacts: the
-#: round-12 window is the head 50 — no never-checked queries remain
-#: (the r11 registrations x178–x193 were all driver-checked in r11),
-#: so the head is the oldest-evidence r6 cohort (x56–x92) followed by
-#: the r7-evidence queries; positions 51+ pre-commit the following
-#: rounds.
+#: round-12 window is the head 50 — the never-checked r12
+#: registrations lead (per policy), then the oldest-evidence r6
+#: cohort (x56–x92) and the first r7-evidence queries; positions 51+
+#: pre-commit the following rounds.
 #: Operators newly registered in a round are never-checked and
 #: therefore PREPEND (tools/make_window.py emits the refreshed list).
 _PRIORITY: list[str] = [
-    # --- r12 window head: oldest-evidence cohort (no never-checked queries this round; regenerate with tools/make_window.py) ---
+    # --- never driver-checked (r12 registrations prepend, per policy) ---
+    "x194_exact_substring_dedup",  # last checked: never
+    "x194_exact_substring_engine",  # last checked: never (rows-only twin)
+    # --- r12 window: oldest-evidence cohort follows (regenerate with
+    # tools/make_window.py) ---
     "x56_unicode_normalize",  # last checked: r6
     "x57_containment_pairs",  # last checked: r6
     "x59_segment_repetition",  # last checked: r6
@@ -159,8 +162,8 @@ _PRIORITY: list[str] = [
     "x99_token_cap_per_source",  # last checked: r7
     "x100_pq_adc_topk",  # last checked: r7
     "x101_water_fill_floors",  # last checked: r7
-    "x102_ivf_pq_topk",  # last checked: r7
     # --- positions 51+: pre-committed following rounds ---
+    "x102_ivf_pq_topk",  # last checked: r7
     "x104_ingest_freshness",  # last checked: r7
     "x105_training_order",  # last checked: r7
     "x106_vocab_coverage",  # last checked: r7

@@ -10707,3 +10707,93 @@ def x193_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir)
     return cusum_change_detection(ev, k=0.5, h=4.0)
+
+
+# --- x194: exact-substring duplicate-span REMOVER (oracle-checked) -----------
+
+
+@register(
+    "x194_exact_substring_dedup",
+    r"""
+    WITH d AS (SELECT doc_id, text FROM documents),
+    g AS (
+      SELECT doc_id, t.i::INT AS pos,
+             md5(substring(text, t.i::INT, 20)) AS h
+      FROM d
+      CROSS JOIN LATERAL unnest(generate_series(1, len(text) - 19)) t(i)
+      WHERE text IS NOT NULL
+    ),
+    rem AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM g
+      ) WHERE rn >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT rem.doc_id, p.c::INT AS c
+      FROM rem
+      CROSS JOIN LATERAL unnest(generate_series(rem.pos, rem.pos + 19)) p(c)
+    ),
+    cl AS (
+      SELECT d.doc_id,
+             coalesce(string_agg(
+               CASE WHEN cov.c IS NULL
+                    THEN substring(d.text, t.i::INT, 1) END,
+               '' ORDER BY t.i), '') AS clean0
+      FROM d
+      CROSS JOIN LATERAL unnest(generate_series(1, len(d.text))) t(i)
+      LEFT JOIN cov ON cov.doc_id = d.doc_id AND cov.c = t.i
+      WHERE d.text IS NOT NULL
+      GROUP BY d.doc_id
+    ),
+    isl AS (
+      SELECT a.doc_id, count(*)::BIGINT AS n_spans
+      FROM cov a
+      LEFT JOIN cov b ON b.doc_id = a.doc_id AND b.c = a.c - 1
+      WHERE b.c IS NULL
+      GROUP BY a.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(cl.clean0, '') END AS clean_text,
+           CASE WHEN d.text IS NULL THEN 0
+                ELSE len(d.text) - len(coalesce(cl.clean0, '')) END::BIGINT
+             AS n_chars_removed,
+           coalesce(isl.n_spans, 0)::BIGINT AS n_spans_removed
+    FROM d
+    LEFT JOIN cl ON cl.doc_id = d.doc_id
+    LEFT JOIN isl ON isl.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    "Exact-substring duplicate-span REMOVER (Lee et al. 2022 "
+    "ExactSubstr, k=20 chars): excise the characters covered by any "
+    "20-char substring occurring elsewhere in the corpus, keeping each "
+    "duplicated k-gram's first (doc_id, pos) occurrence — the "
+    "character-level dedup pass x93's span inventory only detects; "
+    "stride-1 md5 fingerprints replace the suffix array (linear "
+    "explode, fingerprint-keyed window, per-doc integer span-merge "
+    "fold — no all-pairs), overlapping duplicated grams merge into one "
+    "excised span",
+)
+def x194_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return C.exact_substring_dedup(d, k=20, hash_mode="md5")
+
+
+@register(
+    "x194_exact_substring_engine",
+    None,  # engine-mode bench twin: xxhash64 fingerprints (8-byte longs
+    # on the shuffle, half the md5 hex width) aren't DuckDB-replicable;
+    # agreement with the md5 oracle mode is pinned by pytest
+    # (TestExactSubstringDedup.test_xxhash64_engine_mode_matches_md5)
+    "Exact-substring dedup REMOVER, production path: identical span "
+    "semantics to oracle-mode x194 with xxhash64 fingerprints riding "
+    "the shuffle as 8-byte longs instead of 32-char md5 hex — the "
+    "bench row that prices what a user actually runs",
+)
+def x194_exact_substring_engine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return C.exact_substring_dedup(d, k=20, hash_mode="xxhash64")

@@ -1,0 +1,201 @@
+"""Streaming statistical monitoring — the foreachBatch twins of the
+batch operators x193 (CUSUM change-point alarm,
+``functions.events.cusum_change_detection``) and x191 (per-group KS
+drift screen with BH-FDR control,
+``functions.profiling.group_ks_fdr``).
+
+These are precisely the operators a user wants ON A STREAM — a
+sequential change-point monitor and a which-source-moved screen — and
+both have mergeable-monoid sufficient statistics, so the streaming
+shape is the standard partial-twin contract (see
+``survival_stream``/``report_stream``):
+
+- **CUSUM**: the statistic is the per-day event-count series; a batch's
+  partial is its ``(day, n_events)`` counts
+  (:func:`...events.cusum_day_partials`), and counts ADD by day, so
+  any batch partition of the stream — including out-of-order and
+  replayed ingest — re-aggregates to the batch operator's exact day
+  table. Page's recursion itself is NOT incremental across days
+  (mean/std are the whole series' own moments), but it runs on the
+  calendar-bounded merged day table at finalize, never on raw events.
+- **KS drift screen**: the statistic is the per-(group, value) count
+  table (:func:`...profiling.ks_group_value_partials`) — again a
+  counts-add monoid; finalize rebuilds the pooled CDF spine from the
+  merged counts through the SAME range-partitioned construction and
+  runs the shared estimator core — bit-identical to the batch twin on
+  the ingested union.
+
+Each micro-batch writes its partial to
+``<output>/partials/batch_id=N`` in OVERWRITE mode (foreachBatch's
+idempotent-sink contract: a replayed batch rewrites the same
+directory). Compact with the matching ``compact_*`` helper — both
+partial families are closed under their merge.
+
+Scale: per batch ONE keyed agg bounded by the batch's distinct days /
+(group, value) pairs; finalize reads count STATE tables (calendar- /
+value-domain-sized), never raw events.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from cryoflow_spark.streaming.report_stream import _start, compact_partials
+
+
+# --- CUSUM (x193 twin) -------------------------------------------------------
+
+
+def _write_cusum_partials(
+    batch_df: DataFrame, batch_id: int, output_path: str, ts_col: str
+) -> None:
+    """Per-batch idempotent partial write (module-level so the replay
+    property is directly testable)."""
+    from cryoflow_spark.functions.events import cusum_day_partials
+
+    cusum_day_partials(batch_df, ts_col).write.mode("overwrite").parquet(
+        f"{output_path}/partials/batch_id={batch_id}"
+    )
+
+
+def cusum_stream(
+    stream_df: DataFrame,
+    output_path: str,
+    ts_col: str = "ts",
+    checkpoint_path: Optional[str] = None,
+    trigger: str = "available_now",
+) -> StreamingQuery:
+    """Maintain the x193 CUSUM alarm's sufficient statistic (per-day
+    event counts) over a live event stream; read the current alarm
+    table with :func:`finalize_cusum`."""
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    checkpoint = checkpoint_path or f"{output_path}/_checkpoint"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _write_cusum_partials(batch_df, batch_id, output_path, ts_col)
+
+    return _start(stream_df, _process, checkpoint, trigger)
+
+
+def finalize_cusum(
+    spark: SparkSession,
+    output_path: str,
+    k: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """Merge all written day-count partials and run the shared
+    recursion core — bit-identical to the batch twin on the ingested
+    union. ``k``/``h`` are finalize-time knobs: the state is the raw
+    day counts, so thresholds can be re-tuned without re-ingesting."""
+    from pyspark.sql import functions as F
+
+    from cryoflow_spark.functions.events import (
+        _cusum_from_day_counts,
+        merge_cusum_day_partials,
+    )
+
+    if k < 0 or h <= 0:
+        raise ValueError("k must be >= 0 and h > 0")
+    partials = spark.read.parquet(f"{output_path}/partials/batch_id=*")
+    days = merge_cusum_day_partials(partials).select(
+        F.col("day").alias("__day"), F.col("n_events").alias("__x")
+    )
+    return _cusum_from_day_counts(days, k, h)
+
+
+def compact_cusum_partials(spark: SparkSession, output_path: str) -> int:
+    """Compact per-batch day-count directories into one merged table —
+    the day-count family is closed under the monoid merge. See
+    :func:`...report_stream.compact_partials` for the crash/replay
+    contract. Returns directories removed."""
+    from cryoflow_spark.functions.events import merge_cusum_day_partials
+
+    return compact_partials(
+        spark, output_path, merge_fn=merge_cusum_day_partials
+    )
+
+
+# --- KS drift screen with BH-FDR (x191 twin) ---------------------------------
+
+
+def _write_drift_partials(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    value_col: str,
+    group_col: str,
+) -> None:
+    """Per-batch idempotent partial write (module-level so the replay
+    property is directly testable)."""
+    from cryoflow_spark.functions.profiling import ks_group_value_partials
+
+    ks_group_value_partials(batch_df, value_col, group_col).write.mode(
+        "overwrite"
+    ).parquet(f"{output_path}/partials/batch_id={batch_id}")
+
+
+def drift_screen_stream(
+    stream_df: DataFrame,
+    output_path: str,
+    value_col: str,
+    group_col: str,
+    checkpoint_path: Optional[str] = None,
+    trigger: str = "available_now",
+) -> StreamingQuery:
+    """Maintain the x191 drift screen's sufficient statistic
+    (per-(group, value) counts) over a live stream; read the current
+    screen with :func:`finalize_drift_screen`."""
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    checkpoint = checkpoint_path or f"{output_path}/_checkpoint"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _write_drift_partials(
+            batch_df, batch_id, output_path, value_col, group_col
+        )
+
+    return _start(stream_df, _process, checkpoint, trigger)
+
+
+def finalize_drift_screen(
+    spark: SparkSession,
+    output_path: str,
+    group_col: str = "group",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Merge all written count partials and run the shared KS+BH core —
+    bit-identical to the batch twin on the ingested union. ``alpha`` is
+    a finalize-time knob (the state is threshold-free counts)."""
+    from pyspark.sql import functions as F
+
+    from cryoflow_spark.functions.profiling import (
+        _group_ks_fdr_from_counts,
+        merge_ks_group_value_partials,
+    )
+
+    if not (0 < alpha < 1):
+        raise ValueError("alpha must be in (0, 1)")
+    partials = spark.read.parquet(f"{output_path}/partials/batch_id=*")
+    per_gv = merge_ks_group_value_partials(partials).select(
+        F.col("group").alias("__g"),
+        F.col("value").alias("__v"),
+        F.col("n").alias("__c"),
+    )
+    return _group_ks_fdr_from_counts(per_gv, group_col, alpha)
+
+
+def compact_drift_partials(spark: SparkSession, output_path: str) -> int:
+    """Compact per-batch count directories into one merged table — the
+    (group, value) count family is closed under the monoid merge.
+    Returns directories removed."""
+    from cryoflow_spark.functions.profiling import (
+        merge_ks_group_value_partials,
+    )
+
+    return compact_partials(
+        spark, output_path, merge_fn=merge_ks_group_value_partials
+    )

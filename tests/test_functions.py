@@ -9461,3 +9461,114 @@ class TestCusumChangeDetection:
         df = spark.createDataFrame([(1,)], "event_id long")
         with pytest.raises(ValueError, match="k must be"):
             cusum_change_detection(df.withColumn("ts", F.lit(None)), k=-1)
+
+
+class TestExactSubstringDedup:
+    """Overlap/merge edge cases for the x194 character-level remover."""
+
+    def _run(self, spark, rows, k=5, **kw):
+        from cryoflow_spark.functions.curation import exact_substring_dedup
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: r
+            for r in exact_substring_dedup(df, k=k, **kw).collect()
+        }
+
+    def test_second_copy_excised_first_kept(self, spark):
+        # "HELLOWORLD" (10 chars) duplicated verbatim: doc 1 (canonical,
+        # lowest id) keeps everything; doc 2 loses all 10 chars as ONE
+        # merged span (6 overlapping 5-grams -> one island).
+        out = self._run(
+            spark, [(1, "HELLOWORLD"), (2, "HELLOWORLD")], k=5
+        )
+        assert out[1]["clean_text"] == "HELLOWORLD"
+        assert out[1]["n_chars_removed"] == 0
+        assert out[1]["n_spans_removed"] == 0
+        assert out[2]["clean_text"] == ""
+        assert out[2]["n_chars_removed"] == 10
+        assert out[2]["n_spans_removed"] == 1
+
+    def test_interior_span_with_retained_flanks(self, spark):
+        # doc 2 embeds doc 1's text in the middle: the shared passage is
+        # excised, the unique prefix/suffix survive and re-join.
+        out = self._run(
+            spark, [(1, "HELLOWORLD"), (2, "xyHELLOWORLDqr")], k=5
+        )
+        assert out[2]["clean_text"] == "xyqr"
+        assert out[2]["n_chars_removed"] == 10
+        assert out[2]["n_spans_removed"] == 1
+
+    def test_two_disjoint_spans_counted_separately(self, spark):
+        # Two shared 5-char passages separated by unique text: two
+        # islands, both excised, the unique middle retained.
+        out = self._run(
+            spark,
+            [(1, "AAAAA12345"), (2, "AAAAAzzzzz12345")],
+            k=5,
+        )
+        assert out[2]["clean_text"] == "zzzzz"
+        assert out[2]["n_chars_removed"] == 10
+        assert out[2]["n_spans_removed"] == 2
+
+    def test_adjacent_coverage_merges_to_one_span(self, spark):
+        # Shared passages touching end-to-start (no uncovered gap) must
+        # merge into ONE counted span even when the duplicated k-grams
+        # come from different sources: doc 2 = AAAAA+BBBBB contiguous,
+        # duplicated separately by docs 0 and 1.
+        out = self._run(
+            spark,
+            [(0, "AAAAAq"), (1, "qBBBBB"), (2, "AAAAABBBBB")],
+            k=5,
+        )
+        assert out[2]["clean_text"] == ""
+        assert out[2]["n_chars_removed"] == 10
+        assert out[2]["n_spans_removed"] == 1
+
+    def test_within_doc_repeat_keeps_first(self, spark):
+        # A repeat INSIDE one document: the first occurrence (lowest
+        # pos) is canonical, the second is excised.
+        out = self._run(spark, [(7, "ABCDE--ABCDE")], k=5)
+        assert out[7]["clean_text"] == "ABCDE--"
+        assert out[7]["n_chars_removed"] == 5
+        assert out[7]["n_spans_removed"] == 1
+
+    def test_short_null_and_subthreshold_docs_pass_through(self, spark):
+        # len < k, null text, and a shared substring SHORTER than k all
+        # pass through untouched (below the dedup threshold, as in Lee
+        # et al.: only matches >= k chars count).
+        out = self._run(
+            spark, [(1, "abc"), (2, None), (3, "xxxZZZZ"), (4, "yyyZZZZ")],
+            k=5,
+        )
+        assert out[1]["clean_text"] == "abc"
+        assert out[2]["clean_text"] is None
+        assert out[2]["n_chars_removed"] == 0
+        assert out[3]["clean_text"] == "xxxZZZZ"
+        assert out[4]["clean_text"] == "yyyZZZZ"
+        assert all(out[i]["n_spans_removed"] == 0 for i in out)
+
+    def test_xxhash64_engine_mode_matches_md5(self, spark):
+        from cryoflow_spark.functions.curation import exact_substring_dedup
+
+        rows = [
+            (i, f"unique{i} common shared passage here tail{i}")
+            for i in range(6)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(
+            exact_substring_dedup(df, k=10, hash_mode="md5").collect()
+        )
+        b = sorted(
+            exact_substring_dedup(df, k=10, hash_mode="xxhash64").collect()
+        )
+        assert a == b
+
+    def test_validation(self, spark):
+        from cryoflow_spark.functions.curation import exact_substring_dedup
+
+        df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="k must be"):
+            exact_substring_dedup(df, k=1)
+        with pytest.raises(ValueError, match="hash_mode"):
+            exact_substring_dedup(df, hash_mode="sha1")

@@ -29,6 +29,7 @@ ROWS_ONLY_CENSUS = {
     "x76_correlation_approx", "x79_quantiles_approx",
     "x100_pq_adc_engine", "x102_ivf_pq_engine",
     "x141_outliers_approx", "x157_rerank_engine",
+    "x194_exact_substring_engine",
 }
 
 
@@ -116,7 +117,8 @@ def test_entry_module_parity():
 
 def test_descriptions_and_rows_only_census():
     """Every registered query carries a description; the rows-only set
-    is exactly the six documented instruments."""
+    is exactly the documented instrument census (engine/approx twins +
+    trained-IVF)."""
     from cryoflow_spark.queries import all_queries
 
     reg = all_queries()
@@ -130,6 +132,7 @@ def test_descriptions_and_rows_only_census():
         "x157_rerank_engine",
         "x15_engine_minhash_dedup",
         "x18_ivf_cosine_topk",
+        "x194_exact_substring_engine",
         "x33_engine_incremental_dedup",
         "x37_profile_approx",
         "x76_correlation_approx",

@@ -1532,3 +1532,141 @@ def test_survival_stream_matches_batch_twin(spark, tmp_path):
             "event_type", "purchase",
         )
     assert canon(finalize_survival(spark, str(out2))) == want
+
+
+def test_cusum_stream_matches_batch_twin(spark, tmp_path):
+    """x193 streaming twin: the finalized CUSUM alarm table over all
+    micro-batches is bit-identical to the batch cusum_change_detection
+    on the full log (day counts are a sum monoid), OUT-OF-ORDER ingest
+    merges correctly (counts add regardless of arrival order), a
+    replayed batch does not change the result, compaction preserves
+    it, and the thresholds are retunable at finalize without
+    re-ingesting."""
+    from cryoflow_spark.functions.events import cusum_change_detection
+    from cryoflow_spark.queries import load_events
+    from cryoflow_spark.streaming.monitor_stream import (
+        _write_cusum_partials,
+        compact_cusum_partials,
+        cusum_stream,
+        finalize_cusum,
+    )
+
+    full = load_events(spark, "/root/testdata/sf0.001")
+    src = tmp_path / "events"
+    src.mkdir()
+    mid = full.select(
+        F.percentile(F.unix_micros("ts"), 0.5).alias("m")
+    ).collect()[0]["m"]
+    # deliberately out-of-order ingest: the LATE half lands first
+    full.filter(F.unix_micros("ts") > mid).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    full.filter(F.unix_micros("ts") <= mid).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    stream = spark.readStream.schema(full.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = tmp_path / "cusum"
+    q = cusum_stream(stream, str(out))
+    q.awaitTermination(120)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    want = canon(cusum_change_detection(full, k=0.5, h=4.0))
+    assert canon(finalize_cusum(spark, str(out))) == want
+    # finalize-time threshold retune: state is raw day counts
+    tuned = canon(finalize_cusum(spark, str(out), k=0.25, h=2.0))
+    assert tuned == canon(cusum_change_detection(full, k=0.25, h=2.0))
+    removed = compact_cusum_partials(spark, str(out))
+    assert removed >= 1
+    assert canon(finalize_cusum(spark, str(out))) == want
+    # replay idempotence on the per-batch writer
+    out2 = tmp_path / "cusum2"
+    a = spark.read.parquet(str(src / "a"))
+    b = spark.read.parquet(str(src / "b"))
+    for batch_id, batch in ((0, a), (1, b), (0, a)):  # 0 replayed
+        _write_cusum_partials(batch, batch_id, str(out2), "ts")
+    assert canon(finalize_cusum(spark, str(out2))) == want
+
+
+def test_drift_screen_stream_matches_batch_twin(spark, tmp_path):
+    """x191 streaming twin: the finalized per-group KS + BH-FDR screen
+    over all micro-batches is bit-identical to the batch group_ks_fdr
+    on the full corpus ((group, value) counts are a sum monoid), with
+    replay idempotence, compaction preservation, and alpha retunable
+    at finalize."""
+    from cryoflow_spark.functions.profiling import group_ks_fdr
+    from cryoflow_spark.streaming.monitor_stream import (
+        _write_drift_partials,
+        compact_drift_partials,
+        drift_screen_stream,
+        finalize_drift_screen,
+    )
+
+    full = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = tmp_path / "docs"
+    src.mkdir()
+    # split mid-corpus so most (group, value) keys straddle batches
+    full.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    full.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    stream = spark.readStream.schema(full.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = tmp_path / "drift"
+    q = drift_screen_stream(stream, str(out), "n_chars", "source")
+    q.awaitTermination(120)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    want = canon(group_ks_fdr(full, "n_chars", "source", alpha=0.05))
+    assert canon(
+        finalize_drift_screen(spark, str(out), group_col="source")
+    ) == want
+    tuned = canon(
+        finalize_drift_screen(
+            spark, str(out), group_col="source", alpha=0.2
+        )
+    )
+    assert tuned == canon(
+        group_ks_fdr(full, "n_chars", "source", alpha=0.2)
+    )
+    removed = compact_drift_partials(spark, str(out))
+    assert removed >= 1
+    assert canon(
+        finalize_drift_screen(spark, str(out), group_col="source")
+    ) == want
+    # replay idempotence on the per-batch writer
+    out2 = tmp_path / "drift2"
+    a = spark.read.parquet(str(src / "a"))
+    b = spark.read.parquet(str(src / "b"))
+    for batch_id, batch in ((0, a), (1, b), (0, a)):  # 0 replayed
+        _write_drift_partials(batch, batch_id, str(out2), "n_chars", "source")
+    assert canon(
+        finalize_drift_screen(spark, str(out2), group_col="source")
+    ) == want
+
+
+def test_monitor_streams_validate_inputs(spark):
+    from cryoflow_spark.streaming.monitor_stream import (
+        cusum_stream,
+        drift_screen_stream,
+        finalize_cusum,
+        finalize_drift_screen,
+    )
+
+    batch = spark.range(3)
+    with pytest.raises(ValueError, match="streaming"):
+        cusum_stream(batch, "/tmp/x")
+    with pytest.raises(ValueError, match="streaming"):
+        drift_screen_stream(batch, "/tmp/x", "v", "g")
+    with pytest.raises(ValueError, match="k must be"):
+        finalize_cusum(spark, "/tmp/x", k=-1)
+    with pytest.raises(ValueError, match="alpha"):
+        finalize_drift_screen(spark, "/tmp/x", alpha=1.5)

@@ -1718,3 +1718,21 @@ def test_profile_ks_fdr_mann_whitney_cusum_modes(spark):
     )
     cu = _run(ProfilePlugin({"report": "cusum", "h": 1.0}), ev)
     assert len(cu.collect()) == 6
+
+
+def test_dedup_exact_substring_mode(spark):
+    from cryoflow_spark.plugins.transform import DedupPlugin
+
+    docs = spark.createDataFrame(
+        [(1, "HELLOWORLD"), (2, "xyHELLOWORLDqr"), (3, "unique tail")],
+        "doc_id long, text string",
+    )
+    out = _run(
+        DedupPlugin({"method": "exact_substring", "column": "text", "k": 5}),
+        docs,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["clean_text"] == "HELLOWORLD"  # canonical copy kept
+    assert rows[2]["clean_text"] == "xyqr"  # shared passage excised
+    assert rows[2]["n_spans_removed"] == 1
+    assert rows[3]["clean_text"] == "unique tail"

@@ -1,0 +1,94 @@
+"""Scale-ratio bench for a named query family: sf0.1 vs sf1, min-of-N.
+
+Appends a ``<section>`` object to BENCH_sf1.json::
+
+    {"note": ..., "load_1min_at_start": ..., "queries":
+     {name: {"sf0.1_sec": s, "sf1_sec": s, "ratio": r}, ...}}
+
+Usage::
+
+    python tools/bench_family.py SECTION "NOTE" query [query ...]
+
+The sf1 dataset must exist (``python tools/make_sf1.py``; default
+/tmp/sf1, override with $SPARK_GRAFT_SF1_DIR). Ratios near 1-3x for 10x
+data indicate fixed-overhead or sub-linear plans; anything super-linear
+needs a plan explanation before the artifact is committed (the r11
+dedup-family precedent: super-linear PAIR COUNTS under replication are a
+data property — explain, don't hide).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+
+
+def main() -> int:
+    if len(sys.argv) < 4:
+        print(__doc__, file=sys.stderr)
+        return 2
+    section, note, names = sys.argv[1], sys.argv[2], sys.argv[3:]
+    load = os.getloadavg()[0]
+
+    from cryoflow_spark.core.session import get_session
+    from cryoflow_spark.queries import all_queries
+
+    spark = get_session(app_name="bench-family")
+    registry = all_queries()
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+
+    def consume(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm-up (JIT, parquet footers) on both datasets, untimed
+    spark.read.parquet(f"{SF01}/region.parquet").count()
+    spark.read.parquet(f"{SF1}/region.parquet").count()
+    consume(registry[names[0]].fn(spark, SF01))
+
+    out: dict[str, dict] = {}
+    for name in names:
+        row: dict[str, float] = {}
+        for label, sf_dir in (("sf0.1_sec", SF01), ("sf1_sec", SF1)):
+            best = None
+            for _ in range(max(1, REPEAT)):
+                t0 = time.perf_counter()
+                consume(registry[name].fn(spark, sf_dir))
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            row[label] = round(best, 3)
+        row["ratio"] = round(row["sf1_sec"] / row["sf0.1_sec"], 2)
+        out[name] = row
+        print(
+            f"# {name}: sf0.1 {row['sf0.1_sec']:.3f}s  sf1 "
+            f"{row['sf1_sec']:.3f}s  ratio {row['ratio']:.2f}",
+            file=sys.stderr,
+        )
+
+    path = REPO / "BENCH_sf1.json"
+    doc = json.loads(path.read_text())
+    doc[section] = {
+        "note": note,
+        "load_1min_at_start": round(load, 2),
+        "runs_per_query": max(1, REPEAT),
+        "queries": out,
+    }
+    path.write_text(json.dumps(doc, indent=1) + "\n")
+    print(json.dumps({"section": section, "queries": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
