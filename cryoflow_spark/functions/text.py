@@ -1940,6 +1940,151 @@ def bpe_merge_pairs(
     )
 
 
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Bounded iterative BPE TRAINER (Sennrich, Haddow & Birch 2016,
+    §3.2, algorithm 1): run ``n_merges`` greedy merge rounds and return
+    the learned merge list — the tokenizer artifact itself, completing
+    the tokenization story :func:`bpe_merge_pairs` (x143) starts: x143
+    prices ONE round's pair table; this trains the actual merge
+    sequence, each round re-counting pairs over the vocabulary with all
+    previous merges applied.
+
+    Word/symbol conventions are exactly x143's (whitespace words,
+    alphanumeric-or-apostrophe filter, single-char symbols + ``</w>``
+    end-of-word marker, pair counts weighted by word frequency).
+    Each round picks the (count DESC, left ASC, right ASC) argmax pair
+    and applies it greedily left-to-right within every word (one merge
+    type per round, overlapping runs resolve leftmost-first — "aaaa"
+    under (a,a) becomes [aa, aa]). Rounds after the pair table empties
+    emit nothing.
+
+    Output: one row per executed merge — ``(merge_round, pair_left,
+    pair_right, merged, pair_count)``, ordered by round. Deterministic:
+    exact integer counts, total-ordered argmax, order-free fold.
+
+    Scale: the corpus collapses ONCE to the ``(word, count)`` vocab
+    table (keyed agg, map-side partials — ~10^7 rows at 100 TB);
+    every round's work is then vocabulary-sized: one adjacent-pair
+    explode + keyed agg, a 1-row total-order argmax, and the merge
+    application as a broadcast 1-row crossJoin + in-row fold — NO
+    corpus rescan, no collect (the winning pair never touches the
+    driver). Per-round ``localCheckpoint`` truncates the iterative
+    lineage (the x20/x161 graph-loop pattern; ``checkpoint=False``
+    keeps the full lazy plan for plan-shape tests); rounds are
+    inherently sequential (each argmax depends on the previous merge),
+    which is the algorithm, not the plan.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+
+    def _cp(frame):
+        # per-round lineage truncation; checkpoint=False keeps the full
+        # lazy plan so tests can pin the per-round shape (keyed aggs +
+        # broadcast 1-row merge application, nothing else)
+        return frame.localCheckpoint(eager=True) if checkpoint else frame
+
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+            ).alias("word")
+        )
+        .filter(F.col("word").rlike(r"^[A-Za-z0-9']+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__wc"))
+    )
+    toks = words.select(
+        "__wc",
+        F.expr(
+            "concat(filter(split(word, ''), c -> c != ''), array('</w>'))"
+        ).alias("__s"),
+    )
+    toks = _cp(toks)
+
+    merge_tables = []
+    for rnd in range(1, int(n_merges) + 1):
+        pairs = (
+            toks.filter(F.size("__s") >= 2)
+            .select(
+                "__wc",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(__s) - 1), i -> "
+                        "named_struct('l', element_at(__s, i), "
+                        "'r', element_at(__s, i + 1)))"
+                    )
+                ).alias("__p"),
+            )
+            .groupBy(
+                F.col("__p.l").alias("__l"), F.col("__p.r").alias("__r")
+            )
+            .agg(F.sum("__wc").cast("bigint").alias("__c"))
+        )
+        # total-order argmax as a 1-row agg (never empty: NULL fields
+        # when the pair table is dry) — min over (-count, l, r)
+        best = (
+            pairs.agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__c")).alias("negc"),
+                        F.col("__l").alias("l"),
+                        F.col("__r").alias("r"),
+                    )
+                ).alias("__b")
+            )
+            .select(
+                F.col("__b.l").alias("__l"),
+                F.col("__b.r").alias("__r"),
+                (-F.col("__b.negc")).cast("bigint").alias("__c"),
+            )
+        )
+        best = _cp(best)
+        merge_tables.append(
+            best.select(
+                F.lit(rnd).cast("int").alias("merge_round"),
+                F.col("__l").alias("pair_left"),
+                F.col("__r").alias("pair_right"),
+                F.concat("__l", "__r").alias("merged"),
+                F.col("__c").alias("pair_count"),
+            )
+        )
+        # apply the merge greedily left-to-right in every word; F.get
+        # (not element_at) for the accumulator tail so the empty-acc
+        # probe is NULL under ANSI instead of an index error
+        merged_sym = F.concat(F.col("__l"), F.col("__r"))
+        fold = F.aggregate(
+            F.col("__s"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                F.col("__l").isNotNull()
+                & (F.size(acc) > 0)
+                & (F.get(acc, F.size(acc) - 1) == F.col("__l"))
+                & (s == F.col("__r")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged_sym)
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        toks = _cp(
+            toks.crossJoin(F.broadcast(best)).select(
+                "__wc", fold.alias("__s")
+            )
+        )
+
+    out = merge_tables[0]
+    for t in merge_tables[1:]:
+        out = out.unionByName(t)
+    return out.filter(F.col("pair_left").isNotNull()).orderBy(
+        "merge_round"
+    )
+
+
 def kneser_ney_counts(
     df: DataFrame,
     text_col: str = "text",

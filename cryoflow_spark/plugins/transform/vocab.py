@@ -55,6 +55,11 @@ Options:
   the ``top_k`` adjacent-symbol pairs by frequency over the
   character-split vocabulary with ``</w>`` markers — the merge-list
   head a tokenizer trainer would pick next; options ``top_k``.
+- ``method = "bpe_train"`` — the bounded iterative BPE TRAINER
+  (Sennrich 2016 alg. 1): ``n_merges`` greedy rounds returning the
+  learned merge list itself, each round re-counting pairs with all
+  previous merges applied — the tokenizer artifact ``bpe_pairs`` only
+  previews; options ``n_merges``.
 - ``method = "ql"`` — query-likelihood retrieval with Dirichlet
   smoothing (Zhai-Lafferty 2004): the language-model ranking beside
   BM25; options ``terms`` (required), ``mu``, ``top_k``.
@@ -203,6 +208,14 @@ class VocabPlugin(AnalyzedTransformPlugin):
                 data,
                 text_col=self.options.get("column", "text"),
                 top_k=int(self.options.get("top_k", 50)),
+            )
+        if self.options.get("method") == "bpe_train":
+            from cryoflow_spark.functions.text import bpe_train_merges
+
+            return bpe_train_merges(
+                data,
+                text_col=self.options.get("column", "text"),
+                n_merges=int(self.options.get("n_merges", 8)),
             )
         if self.options.get("method") == "jsd_rank":
             from cryoflow_spark.functions.text import group_js_divergence

@@ -10797,3 +10797,83 @@ def x194_exact_substring_engine(
 ) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return C.exact_substring_dedup(d, k=20, hash_mode="xxhash64")
+
+
+# --- x195: bounded iterative BPE trainer (oracle-checked) --------------------
+
+
+def _x195_oracle(n_merges: int = 8) -> str:
+    """DuckDB replica of the BPE trainer: the merge rounds unroll to a
+    CTE chain (round i = pair agg p_i, total-order argmax b_i, merge
+    application tok_i via a list-accumulator fold with the identical
+    greedy leftmost-first semantics), mirroring x143's word/symbol
+    conventions."""
+    parts = [
+        r"""tok0 AS (
+      SELECT word, COUNT(*)::BIGINT AS wc,
+             list_append(list_filter(string_split(word, ''),
+                                     c -> c != ''), '</w>') AS s
+      FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                      t -> t != '')) AS word
+            FROM documents WHERE text IS NOT NULL) t
+      WHERE regexp_matches(word, '^[A-Za-z0-9'']+$')
+      GROUP BY word
+    )"""
+    ]
+    sels = []
+    prev = "tok0"
+    for i in range(1, int(n_merges) + 1):
+        parts.append(f"""p{i} AS (
+      SELECT u.pr.l AS l, u.pr.r AS r, SUM(u.wc)::BIGINT AS c
+      FROM (SELECT wc,
+                   unnest([{{'l': s[j], 'r': s[j+1]}}
+                           for j in range(1, len(s))]) AS pr
+            FROM {prev} WHERE len(s) >= 2) u
+      GROUP BY 1, 2
+    )""")
+        parts.append(f"""b{i} AS (
+      SELECT min(struct_pack(negc := -c, l := l, r := r)) AS b FROM p{i}
+    )""")
+        parts.append(f"""tok{i} AS (
+      SELECT t.wc,
+             CASE WHEN bb.b.l IS NULL THEN t.s
+                  ELSE list_reduce(list_transform(t.s, x -> [x]),
+                       (acc, x) -> CASE WHEN len(acc) > 0
+                                         AND acc[-1] = bb.b.l
+                                         AND x[1] = bb.b.r
+                                   THEN list_append(acc[1:len(acc)-1],
+                                                    bb.b.l || bb.b.r)
+                                   ELSE list_concat(acc, x) END)
+             END AS s
+      FROM {prev} t CROSS JOIN b{i} bb
+    )""")
+        sels.append(
+            f"SELECT {i} AS merge_round, b.l AS pair_left, "
+            f"b.r AS pair_right, b.l || b.r AS merged, "
+            f"(-b.negc)::BIGINT AS pair_count FROM b{i}"
+        )
+        prev = f"tok{i}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(sels)
+        + ") WHERE pair_left IS NOT NULL ORDER BY merge_round"
+    )
+
+
+@register(
+    "x195_bpe_train",
+    _x195_oracle(8),
+    "Bounded iterative BPE trainer (Sennrich 2016 alg. 1, 8 rounds): "
+    "the learned merge LIST itself, each round re-counting adjacent "
+    "symbol pairs over the vocabulary with all previous merges applied "
+    "greedily leftmost-first, argmax total-ordered by (count DESC, "
+    "pair ASC) — completes the tokenization story x143's one-round "
+    "pair table starts; corpus collapses once to the (word, count) "
+    "vocab table, every round is vocab-sized keyed aggs + a broadcast "
+    "1-row merge application, no collect, per-round localCheckpoint",
+)
+def x195_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.bpe_train_merges(d, "text", n_merges=8)

@@ -9572,3 +9572,82 @@ class TestExactSubstringDedup:
             exact_substring_dedup(df, k=1)
         with pytest.raises(ValueError, match="hash_mode"):
             exact_substring_dedup(df, hash_mode="sha1")
+
+
+class TestBpeTrainMerges:
+    def test_textbook_merge_sequence(self, spark):
+        # the classic Sennrich-style corpus: 'low'-family + 'new'-family
+        df = spark.createDataFrame(
+            [(1, "low low low lower lowest"), (2, "new newer newest new")],
+            "doc_id long, text string",
+        )
+        got = [
+            (r["merge_round"], r["pair_left"], r["pair_right"],
+             r["merged"], r["pair_count"])
+            for r in X.bpe_train_merges(df, n_merges=6).collect()
+        ]
+        assert got == [
+            (1, "l", "o", "lo", 5),
+            (2, "lo", "w", "low", 5),
+            (3, "e", "w", "ew", 4),
+            (4, "n", "ew", "new", 4),
+            (5, "low", "</w>", "low</w>", 3),
+            (6, "e", "r", "er", 2),
+        ]
+
+    def test_overlapping_runs_merge_leftmost_first(self, spark):
+        # 'aaaa' under merge (a, a) must become [aa, aa], not [aa, a, a]:
+        # round 1 merges (a,a) count 3 (overlaps counted per adjacency).
+        # Round 2 proves BOTH the greedy pairing and the tiebreak: the
+        # symbols are [aa, aa, </w>] so the count-1 candidates are
+        # (aa, aa) and (aa, </w>), and the (count DESC, left, right)
+        # total order picks (aa, </w>) — '<' sorts before 'a'.
+        df = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+        got = {
+            r["merge_round"]: (r["pair_left"], r["pair_right"], r["pair_count"])
+            for r in X.bpe_train_merges(df, n_merges=2).collect()
+        }
+        assert got[1] == ("a", "a", 3)
+        assert got[2] == ("aa", "</w>", 1)
+
+    def test_dry_rounds_emit_nothing(self, spark):
+        # single 1-char word: merges exhaust after (x, </w>); later
+        # rounds emit no rows rather than NULLs or errors
+        df = spark.createDataFrame([(1, "x x")], "doc_id long, text string")
+        out = X.bpe_train_merges(df, n_merges=5).collect()
+        assert len(out) == 1
+        assert (out[0]["pair_left"], out[0]["pair_right"]) == ("x", "</w>")
+        assert out[0]["pair_count"] == 2
+
+    def test_checkpoint_off_plan_shape(self, spark):
+        # per-round work is keyed aggs + a broadcast 1-row merge
+        # application: with lineage truncation disabled the FULL plan
+        # must show no CartesianProduct and no unpartitioned window;
+        # the only nested-loop joins are the deliberate broadcast
+        # 1-row argmax applications (one per round)
+        import io, contextlib
+
+        df = spark.createDataFrame(
+            [(1, "low low lower")], "doc_id long, text string"
+        )
+        plan_df = X.bpe_train_merges(df, n_merges=2, checkpoint=False)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            plan_df.explain("simple")
+        plan = buf.getvalue()
+        assert "CartesianProduct" not in plan
+        assert "HashAggregate" in plan  # pair counts are keyed aggs
+        # merge application: broadcast nested-loop with the 1-row build
+        assert "BroadcastNestedLoopJoin" in plan
+        # and the result matches the checkpointed path bit-for-bit
+        a = sorted(tuple(r) for r in plan_df.collect())
+        b = sorted(
+            tuple(r)
+            for r in X.bpe_train_merges(df, n_merges=2).collect()
+        )
+        assert a == b
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="n_merges"):
+            X.bpe_train_merges(df, n_merges=0)

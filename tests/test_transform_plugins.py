@@ -1736,3 +1736,15 @@ def test_dedup_exact_substring_mode(spark):
     assert rows[2]["clean_text"] == "xyqr"  # shared passage excised
     assert rows[2]["n_spans_removed"] == 1
     assert rows[3]["clean_text"] == "unique tail"
+
+
+def test_vocab_bpe_train_mode(spark):
+    from cryoflow_spark.plugins.transform import VocabPlugin
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest new")],
+        "doc_id long, text string",
+    )
+    out = _run(VocabPlugin({"method": "bpe_train", "n_merges": 2}), df)
+    rows = [(r["merge_round"], r["merged"]) for r in out.collect()]
+    assert rows == [(1, "lo"), (2, "low")]
