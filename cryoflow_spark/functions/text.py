@@ -1940,6 +1940,28 @@ def bpe_merge_pairs(
     )
 
 
+def _bpe_apply_merge(sym_arr, left, right):
+    """Greedy leftmost-first application of ONE merge (left, right) to a
+    symbol array — the fold both the trainer (x195) and the encoder
+    (x196) ride. ``F.get`` (not element_at) probes the accumulator tail
+    so the empty-acc case is NULL under ANSI instead of an index error;
+    a NULL pair (dry training round) is the identity."""
+    merged_sym = F.concat(left, right)
+    return F.aggregate(
+        sym_arr,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            left.isNotNull()
+            & (F.size(acc) > 0)
+            & (F.get(acc, F.size(acc) - 1) == left)
+            & (s == right),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged_sym)
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
 def bpe_train_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -2054,22 +2076,9 @@ def bpe_train_merges(
                 F.col("__c").alias("pair_count"),
             )
         )
-        # apply the merge greedily left-to-right in every word; F.get
-        # (not element_at) for the accumulator tail so the empty-acc
-        # probe is NULL under ANSI instead of an index error
-        merged_sym = F.concat(F.col("__l"), F.col("__r"))
-        fold = F.aggregate(
-            F.col("__s"),
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                F.col("__l").isNotNull()
-                & (F.size(acc) > 0)
-                & (F.get(acc, F.size(acc) - 1) == F.col("__l"))
-                & (s == F.col("__r")),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged_sym)
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
+        # apply the merge greedily left-to-right in every word
+        fold = _bpe_apply_merge(
+            F.col("__s"), F.col("__l"), F.col("__r")
         )
         toks = _cp(
             toks.crossJoin(F.broadcast(best)).select(
@@ -2083,6 +2092,115 @@ def bpe_train_merges(
     return out.filter(F.col("pair_left").isNotNull()).orderBy(
         "merge_round"
     )
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Per-document BPE tokenization statistics under a tokenizer
+    TRAINED ON THIS CORPUS — the encode side of the x195 trainer,
+    closing the loop: train ``n_merges`` merges
+    (:func:`bpe_train_merges`), apply them in training order to every
+    vocabulary word (standard BPE encoding, Sennrich 2016 §3.2), and
+    report what the corpus costs in subword tokens::
+
+        (id, n_words, n_bpe_tokens, fertility)
+
+    where ``n_words`` counts whitespace tokens, each alphanumeric word
+    contributes its encoded symbol count (a trailing UNMERGED ``</w>``
+    marker attaches to the preceding token, so "xy" encoding to
+    [x, y, </w>] costs 2 tokens while a fully-merged [xy</w>] costs 1),
+    non-alphanumeric words pass through as 1 token each (they are
+    outside the word-internal merge scheme, as in x143), and
+    ``fertility = n_bpe_tokens / n_words`` (rounded 6) — the
+    corpus-specific twin of x119's fixed-tokenizer fertility. Documents
+    with no whitespace tokens (null/empty text) emit no row.
+
+    Scale: training is x195 (one corpus collapse + vocab-sized rounds);
+    encoding touches each DISTINCT word once (the merge list rides ONE
+    broadcast row, the application is a nested in-row fold — outer over
+    the ≤ n_merges merges, inner the shared greedy fold); the per-doc
+    report is one explode + an equi-join on word + one keyed agg. No
+    collect; the merge table never touches the driver.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    merges = bpe_train_merges(df, text_col, n_merges)
+    packed = merges.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("merge_round", "pair_left", "pair_right")
+            )
+        ).alias("__m")
+    )
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+            ).alias("word")
+        )
+        .filter(F.col("word").rlike(r"^[A-Za-z0-9']+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("__drop"))
+        .select(
+            "word",
+            F.expr(
+                "concat(filter(split(word, ''), c -> c != ''),"
+                " array('</w>'))"
+            ).alias("__s"),
+        )
+    )
+    encoded = words.crossJoin(F.broadcast(packed)).select(
+        "word",
+        F.aggregate(
+            F.col("__m"),
+            F.col("__s"),
+            lambda acc, m: _bpe_apply_merge(
+                acc, m["pair_left"], m["pair_right"]
+            ),
+        ).alias("__e"),
+    )
+    counts = encoded.select(
+        "word",
+        (
+            F.size("__e")
+            - F.when(
+                F.get(F.col("__e"), F.size("__e") - 1) == "</w>", 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("__n"),
+    )
+    doc_words = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(
+            F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+        ).alias("word"),
+    )
+    out = (
+        doc_words.join(counts, "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.coalesce(F.col("__n"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_bpe_tokens"),
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        "n_words",
+        "n_bpe_tokens",
+        F.round(
+            F.col("n_bpe_tokens").cast("double")
+            / F.col("n_words").cast("double"),
+            6,
+        ).alias("fertility"),
+    ).orderBy(id_col)
 
 
 def kneser_ney_counts(

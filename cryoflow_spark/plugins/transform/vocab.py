@@ -60,6 +60,9 @@ Options:
   learned merge list itself, each round re-counting pairs with all
   previous merges applied — the tokenizer artifact ``bpe_pairs`` only
   previews; options ``n_merges``.
+- ``method = "bpe_encode"`` — per-document tokenization cost under a
+  BPE tokenizer trained on this corpus (train ``n_merges`` rounds,
+  encode, report n_words / n_bpe_tokens / fertility per doc).
 - ``method = "ql"`` — query-likelihood retrieval with Dirichlet
   smoothing (Zhai-Lafferty 2004): the language-model ranking beside
   BM25; options ``terms`` (required), ``mu``, ``top_k``.
@@ -215,6 +218,15 @@ class VocabPlugin(AnalyzedTransformPlugin):
             return bpe_train_merges(
                 data,
                 text_col=self.options.get("column", "text"),
+                n_merges=int(self.options.get("n_merges", 8)),
+            )
+        if self.options.get("method") == "bpe_encode":
+            from cryoflow_spark.functions.text import bpe_encode_stats
+
+            return bpe_encode_stats(
+                data,
+                text_col=self.options.get("column", "text"),
+                id_col=self.options.get("id_column", "doc_id"),
                 n_merges=int(self.options.get("n_merges", 8)),
             )
         if self.options.get("method") == "jsd_rank":

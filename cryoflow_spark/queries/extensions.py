@@ -10877,3 +10877,135 @@ def _x195_oracle(n_merges: int = 8) -> str:
 def x195_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return X.bpe_train_merges(d, "text", n_merges=8)
+
+
+# --- x196: BPE encoding fertility under the x195-trained merges --------------
+
+
+def _x196_oracle(n_merges: int = 8) -> str:
+    """DuckDB replica of train-then-encode: the x195 CTE chain with the
+    vocabulary word carried through each round, so the final tok_N IS
+    the encoded vocabulary; per-doc stats join doc words against it.
+    A trailing unmerged '</w>' attaches to the preceding token;
+    non-alphanumeric words cost 1 token each."""
+    parts = [
+        r"""tok0 AS (
+      SELECT word, COUNT(*)::BIGINT AS wc,
+             list_append(list_filter(string_split(word, ''),
+                                     c -> c != ''), '</w>') AS s
+      FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                      t -> t != '')) AS word
+            FROM documents WHERE text IS NOT NULL) t
+      WHERE regexp_matches(word, '^[A-Za-z0-9'']+$')
+      GROUP BY word
+    )"""
+    ]
+    prev = "tok0"
+    for i in range(1, int(n_merges) + 1):
+        parts.append(f"""p{i} AS (
+      SELECT u.pr.l AS l, u.pr.r AS r, SUM(u.wc)::BIGINT AS c
+      FROM (SELECT wc,
+                   unnest([{{'l': s[j], 'r': s[j+1]}}
+                           for j in range(1, len(s))]) AS pr
+            FROM {prev} WHERE len(s) >= 2) u
+      GROUP BY 1, 2
+    )""")
+        parts.append(f"""b{i} AS (
+      SELECT min(struct_pack(negc := -c, l := l, r := r)) AS b FROM p{i}
+    )""")
+        parts.append(f"""tok{i} AS (
+      SELECT t.word, t.wc,
+             CASE WHEN bb.b.l IS NULL THEN t.s
+                  ELSE list_reduce(list_transform(t.s, x -> [x]),
+                       (acc, x) -> CASE WHEN len(acc) > 0
+                                         AND acc[-1] = bb.b.l
+                                         AND x[1] = bb.b.r
+                                   THEN list_append(acc[1:len(acc)-1],
+                                                    bb.b.l || bb.b.r)
+                                   ELSE list_concat(acc, x) END)
+             END AS s
+      FROM {prev} t CROSS JOIN b{i} bb
+    )""")
+        prev = f"tok{i}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+    enc AS (
+      SELECT word,
+             (len(s) - CASE WHEN s[-1] = '</w>' THEN 1 ELSE 0 END)::BIGINT
+               AS n_bpe
+      FROM {prev}
+    ),
+    dw AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t != '')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ),
+    agg AS (
+      SELECT dw.doc_id,
+             COUNT(*)::BIGINT AS n_words,
+             SUM(COALESCE(e.n_bpe, 1))::BIGINT AS n_bpe_tokens
+      FROM dw LEFT JOIN enc e ON e.word = dw.word
+      GROUP BY dw.doc_id
+    )
+    SELECT doc_id, n_words, n_bpe_tokens,
+           ROUND(n_bpe_tokens::DOUBLE / n_words::DOUBLE, 6) AS fertility
+    FROM agg
+    ORDER BY doc_id"""
+    )
+
+
+@register(
+    "x196_bpe_encode",
+    _x196_oracle(8),
+    "Per-document BPE tokenization cost under the x195-trained merges "
+    "(train 8 rounds, encode every vocabulary word by applying the "
+    "merges in training order, report n_words / n_bpe_tokens / "
+    "fertility per doc) — the corpus-specific twin of x119's "
+    "fixed-tokenizer fertility, closing the train-then-encode loop; "
+    "encoding touches each DISTINCT word once with the merge list on "
+    "one broadcast row, the per-doc report is one explode + word "
+    "equi-join + keyed agg",
+)
+def x196_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.bpe_encode_stats(d, "text", "doc_id", n_merges=8)
+
+
+# --- x197: RAG chunking with overlap (oracle-checked) ------------------------
+
+
+@register(
+    "x197_chunk_documents",
+    """
+    WITH d AS (
+      SELECT doc_id, text, len(text)::BIGINT AS n
+      FROM documents WHERE text IS NOT NULL AND len(text) >= 1
+    ),
+    c AS (
+      SELECT doc_id, text, n,
+             CASE WHEN n <= 200 THEN 1
+                  ELSE CEIL((n - 200)::DOUBLE / 150.0)::INT + 1 END AS nc
+      FROM d
+    )
+    SELECT doc_id,
+           i.i::INT AS chunk_idx,
+           ((i.i - 1) * 150 + 1)::BIGINT AS chunk_start,
+           substring(text, ((i.i - 1) * 150 + 1)::INT, 200) AS chunk_text,
+           len(substring(text, ((i.i - 1) * 150 + 1)::INT, 200))::BIGINT
+             AS n_chars
+    FROM c CROSS JOIN LATERAL unnest(generate_series(1, nc)) i(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+    "Fixed-window RAG chunking with overlap (200-char windows, 50-char "
+    "overlap -> stride 150): one row per chunk with stable (doc_id, "
+    "chunk_idx) identity, the final chunk always reaching the "
+    "document's last character — the retrieval-pipeline splitter "
+    "feeding the embedding/ANN family; pure map-side window explode, "
+    "zero shuffle",
+)
+def x197_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return C.chunk_documents(d, chunk_chars=200, overlap_chars=50)

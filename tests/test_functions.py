@@ -9651,3 +9651,113 @@ class TestBpeTrainMerges:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError, match="n_merges"):
             X.bpe_train_merges(df, n_merges=0)
+
+
+class TestBpeEncodeStats:
+    def test_hand_computed_fertility(self, spark):
+        # 2 merges learned: (l,o) then (lo,w). Encodings: low->1 token
+        # (fully merged [low</w>]), lower->3 ([low,e,r]+</w> attaches),
+        # lowest->4, new->3, newer->5, newest->6.
+        df = spark.createDataFrame(
+            [(1, "low low low lower lowest"), (2, "new newer newest new")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in X.bpe_encode_stats(df, n_merges=2).collect()
+        }
+        assert rows[1]["n_words"] == 5
+        assert rows[1]["n_bpe_tokens"] == 1 + 1 + 1 + 3 + 4
+        assert rows[1]["fertility"] == 2.0
+        assert rows[2]["n_words"] == 4
+        assert rows[2]["n_bpe_tokens"] == 3 + 5 + 6 + 3
+        assert rows[2]["fertility"] == 4.25
+
+    def test_non_alnum_words_cost_one_token(self, spark):
+        # "??" is outside the word-internal merge scheme -> 1 token;
+        # "x" fully merges to [x</w>] -> 1 token
+        df = spark.createDataFrame(
+            [(1, "?? x x")], "doc_id long, text string"
+        )
+        rows = X.bpe_encode_stats(df, n_merges=1).collect()
+        assert len(rows) == 1
+        assert rows[0]["n_words"] == 3
+        assert rows[0]["n_bpe_tokens"] == 3
+        assert rows[0]["fertility"] == 1.0
+
+    def test_empty_and_null_docs_emit_no_row(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x x"), (2, ""), (3, None), (4, "   ")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"] for r in X.bpe_encode_stats(df).collect()}
+        assert got == {1}
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="n_merges"):
+            X.bpe_encode_stats(df, n_merges=0)
+
+
+class TestChunkDocuments:
+    def test_window_math_by_hand(self, spark):
+        from cryoflow_spark.functions.curation import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "abcdefghij"), (2, "abc"), (3, None), (4, "")],
+            "doc_id long, text string",
+        )
+        rows = [
+            tuple(r)
+            for r in chunk_documents(
+                df, chunk_chars=4, overlap_chars=1
+            ).collect()
+        ]
+        # len 10, stride 3 -> ceil(6/3)+1 = 3 chunks; last reaches char 10
+        assert sorted(rows) == [
+            (1, 1, 1, "abcd", 4),
+            (1, 2, 4, "defg", 4),
+            (1, 3, 7, "ghij", 4),
+            (2, 1, 1, "abc", 3),
+        ]
+
+    def test_exact_boundary_no_phantom_chunk(self, spark):
+        from cryoflow_spark.functions.curation import chunk_documents
+
+        # len == chunk_chars -> exactly one chunk; len = chunk + stride
+        # -> exactly two, the second a full window ending at the last char
+        df = spark.createDataFrame(
+            [(1, "abcd"), (2, "abcdefg")], "doc_id long, text string"
+        )
+        rows = {
+            (r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+            for r in chunk_documents(
+                df, chunk_chars=4, overlap_chars=1
+            ).collect()
+        }
+        assert set(rows) == {(1, 1), (2, 1), (2, 2)}
+        assert rows[(2, 2)] == "defg"
+
+    def test_overlap_consecutive_chunks_share_chars(self, spark):
+        from cryoflow_spark.functions.curation import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "0123456789")], "doc_id long, text string"
+        )
+        rows = sorted(
+            (r["chunk_idx"], r["chunk_text"])
+            for r in chunk_documents(
+                df, chunk_chars=6, overlap_chars=2
+            ).collect()
+        )
+        assert rows == [(1, "012345"), (2, "456789")]
+        assert rows[0][1][-2:] == rows[1][1][:2]
+
+    def test_validation(self, spark):
+        from cryoflow_spark.functions.curation import chunk_documents
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="chunk_chars"):
+            chunk_documents(df, chunk_chars=0)
+        with pytest.raises(ValueError, match="overlap_chars"):
+            chunk_documents(df, chunk_chars=4, overlap_chars=4)

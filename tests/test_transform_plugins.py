@@ -1748,3 +1748,27 @@ def test_vocab_bpe_train_mode(spark):
     out = _run(VocabPlugin({"method": "bpe_train", "n_merges": 2}), df)
     rows = [(r["merge_round"], r["merged"]) for r in out.collect()]
     assert rows == [(1, "lo"), (2, "low")]
+
+
+def test_vocab_bpe_encode_mode(spark):
+    from cryoflow_spark.plugins.transform import VocabPlugin
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower lowest")], "doc_id long, text string"
+    )
+    out = _run(VocabPlugin({"method": "bpe_encode", "n_merges": 2}), df)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["n_words"] == 5
+
+
+def test_curate_chunk_mode(spark):
+    from cryoflow_spark.plugins.transform import CuratePlugin
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij")], "doc_id long, text string"
+    )
+    out = _run(
+        CuratePlugin({"method": "chunk", "chunk_chars": 4, "overlap_chars": 1}),
+        df,
+    )
+    assert out.count() == 3
