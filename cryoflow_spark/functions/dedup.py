@@ -1674,3 +1674,76 @@ def dedup_pair_inspector(
         .orderBy(F.desc("jaccard"), "id_a", "id_b")
         .limit(int(top_n))
     )
+
+
+def edit_distance_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 20,
+) -> DataFrame:
+    """Exact character-level Levenshtein VERIFIER for candidate
+    document pairs — the edit-distance complement of the token-set
+    verifiers (``ngram_jaccard``'s set overlap, x186's ROUGE): a
+    fingerprint generator says "probably related", edit distance says
+    how many single-character operations actually separate the texts —
+    the near-identical-revision detector token-set measures blur (a
+    hundred one-character typo edits keep Jaccard high but read as
+    distance 100 here).
+
+    ``pairs`` must carry ``(doc_a, doc_b)`` (any candidate generator:
+    winnowing, MinHash-LSH, jaccard blocking). Output: one row per
+    VERIFIED pair — ``(doc_a, doc_b, distance, similarity)`` with
+    ``distance = levenshtein(text_a, text_b) <= max_distance`` and
+    ``similarity = 1 - distance / max(len_a, len_b)`` rounded to 6.
+    Pairs exceeding ``max_distance``, and pairs whose side is missing
+    from ``df`` or null-text, are NOT emitted (this is a filter to
+    confirmed near-revisions, unlike :func:`...text.rouge_overlap_pairs`
+    which scores every candidate).
+
+    Scale: cost is per CANDIDATE pair, never corpus² — the generator
+    bounds the verification set. Spark computes the distance with the
+    banded ``levenshtein(l, r, threshold)`` kernel: O(max_distance ×
+    len) per pair instead of O(len²), the standard Ukkonen cutoff — at
+    a 100 TB corpus with million-char outliers the threshold argument
+    is the difference between a verifier and a stall.
+    """
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    t = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__doc"),
+        F.col(text_col).alias("__txt"),
+        F.length(text_col).alias("__n"),
+    )
+    a = t.select(
+        F.col("__doc").alias("doc_a"),
+        F.col("__txt").alias("__ta"),
+        F.col("__n").alias("__na"),
+    )
+    b = t.select(
+        F.col("__doc").alias("doc_b"),
+        F.col("__txt").alias("__tb"),
+        F.col("__n").alias("__nb"),
+    )
+    # banded kernel returns -1 above the threshold — the filter keeps
+    # only confirmed distances (identical values to the full DP there)
+    dist = F.levenshtein("__ta", "__tb", int(max_distance))
+    scored = (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("__d", dist)
+        .filter((F.col("__d") >= 0) & (F.col("__d") <= max_distance))
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        F.col("__d").cast("bigint").alias("distance"),
+        F.round(
+            F.lit(1.0)
+            - F.col("__d").cast("double")
+            / F.greatest("__na", "__nb").cast("double"),
+            6,
+        ).alias("similarity"),
+    )

@@ -44,6 +44,11 @@ Engine extension for large-scale training-data pipelines (BASELINE.json
   candidate-pair stream (``pairs_label`` carries ``doc_a``/``doc_b``,
   e.g. a ``winnowing`` stage's output) — recall/precision/F1 per pair;
   options ``column``, ``ngram`` (default 2).
+- ``edit_distance``: exact Levenshtein verification of a sibling
+  candidate-pair stream — keeps pairs within ``max_distance``
+  single-character edits with ``similarity = 1 - d/max_len`` (the
+  near-identical-revision detector token-set verifiers blur); Spark
+  rides the banded threshold kernel, O(d·len) per pair.
 - ``duplicate_spans``: emit the cross-doc duplicate token-window
   INVENTORY ``(span_hash, n_docs, n_occurrences, example_ids)`` — the
   exact-substring-dedup diagnostic (options ``span_tokens``, ``stride``,
@@ -222,6 +227,15 @@ class DedupPlugin(SiblingAwareTransformPlugin):
                 n=int(self.options.get("ngram", 2)),
                 id_col=id_column,
                 text_col=column,
+            )
+        if method == "edit_distance":
+            pairs = self.sibling_frame(self.require_option("pairs_label"))
+            return D.edit_distance_verify(
+                data,
+                pairs,
+                text_col=column,
+                id_col=id_column,
+                max_distance=int(self.options.get("max_distance", 20)),
             )
         if method == "ngram_jaccard_pairs":
             return D.ngram_jaccard_pairs(

@@ -11009,3 +11009,43 @@ def x196_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x197_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return C.chunk_documents(d, chunk_chars=200, overlap_chars=50)
+
+
+# --- x198: edit-distance verification of candidate pairs (oracle-checked) ----
+
+
+@register(
+    "x198_edit_distance",
+    f"""
+    WITH {_WINNOW_CTES},
+    {_WINNOW_PAIRS_CTE},
+    t AS (
+      SELECT doc_id, text, len(text)::BIGINT AS n
+      FROM documents WHERE text IS NOT NULL
+    ),
+    v AS (
+      SELECT c.doc_a, c.doc_b,
+             levenshtein(ta.text, tb.text)::BIGINT AS distance,
+             GREATEST(ta.n, tb.n) AS mx
+      FROM cand c
+      JOIN t ta ON ta.doc_id = c.doc_a
+      JOIN t tb ON tb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, distance,
+           ROUND(1.0 - distance::DOUBLE / mx::DOUBLE, 6) AS similarity
+    FROM v WHERE distance <= 60
+    ORDER BY doc_a, doc_b
+    """,
+    "Exact Levenshtein verification of the x182 winnowing candidate "
+    "pairs (distance <= 60 kept, similarity = 1 - d/max_len): the "
+    "near-identical-REVISION detector that token-set verifiers blur — "
+    "Spark rides the banded levenshtein(l, r, threshold) kernel "
+    "(O(d*len) per pair, Ukkonen cutoff) so verification cost is per "
+    "candidate pair, never corpus squared",
+)
+def x198_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = X.winnowing_candidates(d, k=3, w=4, max_df=20, min_shared=2)
+    return D.edit_distance_verify(d, pairs, max_distance=60).orderBy(
+        "doc_a", "doc_b"
+    )

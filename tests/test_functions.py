@@ -9761,3 +9761,54 @@ class TestChunkDocuments:
             chunk_documents(df, chunk_chars=0)
         with pytest.raises(ValueError, match="overlap_chars"):
             chunk_documents(df, chunk_chars=4, overlap_chars=4)
+
+
+class TestEditDistanceVerify:
+    def test_hand_computed_distances(self, spark):
+        from cryoflow_spark.functions.dedup import edit_distance_verify
+
+        docs = spark.createDataFrame(
+            [(1, "kitten sat"), (2, "sitten sat"), (3, "zzz"), (4, None)],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+        )
+        out = {
+            (r["doc_a"], r["doc_b"]): r
+            for r in edit_distance_verify(
+                docs, pairs, max_distance=3
+            ).collect()
+        }
+        # kitten->sitten = 1 substitution; len 10 -> similarity 0.9
+        assert set(out) == {(1, 2)}
+        assert out[(1, 2)]["distance"] == 1
+        assert out[(1, 2)]["similarity"] == 0.9
+
+    def test_threshold_filters_and_identical_pair(self, spark):
+        from cryoflow_spark.functions.dedup import edit_distance_verify
+
+        docs = spark.createDataFrame(
+            [(1, "abcd"), (2, "abcd"), (3, "wxyz")],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3)], "doc_a long, doc_b long"
+        )
+        out = {
+            (r["doc_a"], r["doc_b"]): r
+            for r in edit_distance_verify(
+                docs, pairs, max_distance=2
+            ).collect()
+        }
+        assert set(out) == {(1, 2)}
+        assert out[(1, 2)]["distance"] == 0
+        assert out[(1, 2)]["similarity"] == 1.0
+
+    def test_validation(self, spark):
+        from cryoflow_spark.functions.dedup import edit_distance_verify
+
+        docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        pairs = spark.createDataFrame([(1, 1)], "doc_a long, doc_b long")
+        with pytest.raises(ValueError, match="max_distance"):
+            edit_distance_verify(docs, pairs, max_distance=-1)

@@ -1772,3 +1772,24 @@ def test_curate_chunk_mode(spark):
         df,
     )
     assert out.count() == 3
+
+
+def test_dedup_edit_distance_mode(spark):
+    from cryoflow_spark.core.result import Success
+    from cryoflow_spark.plugins.transform import DedupPlugin
+
+    docs = spark.createDataFrame(
+        [(1, "kitten sat"), (2, "sitten sat"), (3, "zzzzzzzz")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    plug = DedupPlugin({
+        "method": "edit_distance", "column": "text",
+        "max_distance": 3, "pairs_label": "pairs",
+    })
+    plug.attach_session(spark)
+    plug._siblings = {"pairs": Success(pairs)}
+    res = plug.execute(docs)
+    assert is_successful(res)
+    rows = {(r["doc_a"], r["doc_b"]): r for r in res.unwrap().collect()}
+    assert set(rows) == {(1, 2)} and rows[(1, 2)]["distance"] == 1
