@@ -2067,61 +2067,3 @@ def dsir_log_weights(
             6,
         ).alias("log_weight"),
     )
-
-
-def chunk_documents(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    chunk_chars: int = 200,
-    overlap_chars: int = 50,
-) -> DataFrame:
-    """Fixed-window document chunking with overlap — the
-    retrieval-pipeline splitter that turns documents into embedding /
-    indexing units: windows of ``chunk_chars`` characters advancing by
-    ``chunk_chars - overlap_chars`` (so consecutive chunks share
-    ``overlap_chars`` characters and no boundary sentence is lost to
-    both sides).
-
-    Chunk count per document: 1 when ``len <= chunk_chars``, else
-    ``ceil((len - chunk_chars) / stride) + 1`` — the final chunk may be
-    shorter than ``chunk_chars`` but always reaches the document's last
-    character; every non-empty document emits at least one chunk;
-    null/empty text emits none. Output: one row per chunk —
-    ``(id, chunk_idx (1-based), chunk_start (1-based), chunk_text,
-    n_chars)``, deterministic.
-
-    Scale: a pure per-row window explode (O(total output chars), no
-    shuffle at all — chunking is map-side); downstream embedding /
-    indexing stages inherit the input partitioning. Chunk identity is
-    the (id, chunk_idx) pair, stable across runs.
-    """
-    if chunk_chars < 1:
-        raise ValueError("chunk_chars must be >= 1")
-    if not 0 <= overlap_chars < chunk_chars:
-        raise ValueError("overlap_chars must be in [0, chunk_chars)")
-    stride = chunk_chars - overlap_chars
-    base = df.filter(
-        F.col(text_col).isNotNull() & (F.length(text_col) >= 1)
-    ).select(F.col(id_col), F.col(text_col).alias("__txt"))
-    n_chunks = F.when(F.length("__txt") <= chunk_chars, F.lit(1)).otherwise(
-        F.ceil(
-            (F.length("__txt") - F.lit(chunk_chars)).cast("double")
-            / F.lit(float(stride))
-        ).cast("int")
-        + 1
-    )
-    rows = base.select(
-        F.col(id_col),
-        "__txt",
-        F.explode(F.sequence(F.lit(1), n_chunks)).alias("chunk_idx"),
-    )
-    start = (F.col("chunk_idx") - 1) * stride + 1
-    chunk = F.col("__txt").substr(start, F.lit(chunk_chars))
-    return rows.select(
-        F.col(id_col),
-        F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        start.cast("bigint").alias("chunk_start"),
-        chunk.alias("chunk_text"),
-        F.length(chunk).cast("bigint").alias("n_chars"),
-    )

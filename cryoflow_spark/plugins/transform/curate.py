@@ -8,11 +8,6 @@ the TOML plugin surface. Modes (option ``method``):
 
 - ``pii_scrub`` (default): redact URL/email/IP/phone spans in ``column``
   (in place, or into ``out_column``).
-- ``chunk``: replace the stream with fixed-window RAG chunks —
-  ``chunk_chars`` windows advancing by ``chunk_chars - overlap_chars``,
-  one row per chunk with stable ``(id, chunk_idx)`` identity, the last
-  chunk always reaching the document's final character; options
-  ``chunk_chars`` (200), ``overlap_chars`` (50), ``id_column``.
 - ``k_anonymity``: replace the stream with the k-anonymity /
   l-diversity release audit — every ``quasi_columns`` combination
   shared by fewer than ``k`` (default 5) rows, with its distinct
@@ -241,15 +236,6 @@ class CuratePlugin(SiblingAwareTransformPlugin):
         if method == "pii_scrub":
             out = self.options.get("out_column", column)
             return data.withColumn(out, C.scrub_pii(column))
-
-        if method == "chunk":
-            return C.chunk_documents(
-                data,
-                text_col=column,
-                id_col=self.options.get("id_column", "doc_id"),
-                chunk_chars=int(self.options.get("chunk_chars", 200)),
-                overlap_chars=int(self.options.get("overlap_chars", 50)),
-            )
 
         if method == "html_to_text":
             from cryoflow_spark.functions.html import html_to_text

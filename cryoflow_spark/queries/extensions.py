@@ -10974,43 +10974,6 @@ def x196_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_encode_stats(d, "text", "doc_id", n_merges=8)
 
 
-# --- x197: RAG chunking with overlap (oracle-checked) ------------------------
-
-
-@register(
-    "x197_chunk_documents",
-    """
-    WITH d AS (
-      SELECT doc_id, text, len(text)::BIGINT AS n
-      FROM documents WHERE text IS NOT NULL AND len(text) >= 1
-    ),
-    c AS (
-      SELECT doc_id, text, n,
-             CASE WHEN n <= 200 THEN 1
-                  ELSE CEIL((n - 200)::DOUBLE / 150.0)::INT + 1 END AS nc
-      FROM d
-    )
-    SELECT doc_id,
-           i.i::INT AS chunk_idx,
-           ((i.i - 1) * 150 + 1)::BIGINT AS chunk_start,
-           substring(text, ((i.i - 1) * 150 + 1)::INT, 200) AS chunk_text,
-           len(substring(text, ((i.i - 1) * 150 + 1)::INT, 200))::BIGINT
-             AS n_chars
-    FROM c CROSS JOIN LATERAL unnest(generate_series(1, nc)) i(i)
-    ORDER BY doc_id, chunk_idx
-    """,
-    "Fixed-window RAG chunking with overlap (200-char windows, 50-char "
-    "overlap -> stride 150): one row per chunk with stable (doc_id, "
-    "chunk_idx) identity, the final chunk always reaching the "
-    "document's last character — the retrieval-pipeline splitter "
-    "feeding the embedding/ANN family; pure map-side window explode, "
-    "zero shuffle",
-)
-def x197_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    return C.chunk_documents(d, chunk_chars=200, overlap_chars=50)
-
-
 # --- x198: edit-distance verification of candidate pairs (oracle-checked) ----
 
 

@@ -9700,43 +9700,44 @@ class TestBpeEncodeStats:
 
 
 class TestChunkDocuments:
+    """Edge cases for the x29 RAG chunker (beyond the coverage test):
+    exact boundaries, overlap sharing, sub-chunk docs."""
+
     def test_window_math_by_hand(self, spark):
         from cryoflow_spark.functions.curation import chunk_documents
 
         df = spark.createDataFrame(
-            [(1, "abcdefghij"), (2, "abc"), (3, None), (4, "")],
+            [(1, "abcdefghij"), (2, "abc"), (3, None)],
             "doc_id long, text string",
         )
         rows = [
-            tuple(r)
-            for r in chunk_documents(
-                df, chunk_chars=4, overlap_chars=1
-            ).collect()
+            (r["doc_id"], r["chunk_idx"], r["chunk_start"], r["chunk_text"])
+            for r in chunk_documents(df, chunk_size=4, overlap=1).collect()
         ]
         # len 10, stride 3 -> ceil(6/3)+1 = 3 chunks; last reaches char 10
         assert sorted(rows) == [
-            (1, 1, 1, "abcd", 4),
-            (1, 2, 4, "defg", 4),
-            (1, 3, 7, "ghij", 4),
-            (2, 1, 1, "abc", 3),
+            (1, 0, 1, "abcd"),
+            (1, 1, 4, "defg"),
+            (1, 2, 7, "ghij"),
+            (2, 0, 1, "abc"),
         ]
 
     def test_exact_boundary_no_phantom_chunk(self, spark):
         from cryoflow_spark.functions.curation import chunk_documents
 
-        # len == chunk_chars -> exactly one chunk; len = chunk + stride
-        # -> exactly two, the second a full window ending at the last char
+        # len == chunk_size -> exactly one chunk; len = chunk + stride
+        # -> exactly two, the second ending at the last char
         df = spark.createDataFrame(
             [(1, "abcd"), (2, "abcdefg")], "doc_id long, text string"
         )
         rows = {
             (r["doc_id"], r["chunk_idx"]): r["chunk_text"]
             for r in chunk_documents(
-                df, chunk_chars=4, overlap_chars=1
+                df, chunk_size=4, overlap=1
             ).collect()
         }
-        assert set(rows) == {(1, 1), (2, 1), (2, 2)}
-        assert rows[(2, 2)] == "defg"
+        assert set(rows) == {(1, 0), (2, 0), (2, 1)}
+        assert rows[(2, 1)] == "defg"
 
     def test_overlap_consecutive_chunks_share_chars(self, spark):
         from cryoflow_spark.functions.curation import chunk_documents
@@ -9747,20 +9748,19 @@ class TestChunkDocuments:
         rows = sorted(
             (r["chunk_idx"], r["chunk_text"])
             for r in chunk_documents(
-                df, chunk_chars=6, overlap_chars=2
+                df, chunk_size=6, overlap=2
             ).collect()
         )
-        assert rows == [(1, "012345"), (2, "456789")]
+        assert rows == [(0, "012345"), (1, "456789")]
         assert rows[0][1][-2:] == rows[1][1][:2]
 
     def test_validation(self, spark):
         from cryoflow_spark.functions.curation import chunk_documents
 
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
-        with pytest.raises(ValueError, match="chunk_chars"):
-            chunk_documents(df, chunk_chars=0)
-        with pytest.raises(ValueError, match="overlap_chars"):
-            chunk_documents(df, chunk_chars=4, overlap_chars=4)
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, chunk_size=4, overlap=4)
+
 
 
 class TestEditDistanceVerify:

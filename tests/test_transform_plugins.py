@@ -1768,7 +1768,7 @@ def test_curate_chunk_mode(spark):
         [(1, "abcdefghij")], "doc_id long, text string"
     )
     out = _run(
-        CuratePlugin({"method": "chunk", "chunk_chars": 4, "overlap_chars": 1}),
+        CuratePlugin({"method": "chunk", "chunk_size": 4, "overlap": 1}),
         df,
     )
     assert out.count() == 3
