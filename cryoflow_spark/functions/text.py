@@ -1378,6 +1378,22 @@ def bigram_cross_entropy_score(
     )
 
 
+def _window_pairs(tok_arr, window: int):
+    """Forward-only (w1 precedes w2, gap <= window) struct-pair array
+    over a token column NAMED ``__toks`` — ``window=1`` reproduces
+    :func:`_bigram_pairs` exactly. Short docs guarded explicitly
+    (Spark's ``sequence(1, 0)`` counts DOWN)."""
+    pairs = F.expr(
+        "flatten(transform(sequence(1, size(__toks) - 1),"
+        " i -> transform("
+        f"sequence(i + 1, least(i + {int(window)}, size(__toks))),"
+        " j -> struct(__toks[i-1] AS p, __toks[j-1] AS c))))"
+    )
+    return F.when(F.size(tok_arr) >= 2, pairs).otherwise(
+        F.expr("array()").cast("array<struct<p:string,c:string>>")
+    )
+
+
 def pmi_collocations(
     df: DataFrame,
     text_col: str = "text",
@@ -1385,6 +1401,7 @@ def pmi_collocations(
     top_n: int = 50,
     lowercase: bool = True,
     ln_scale: int = 6,
+    window: int = 1,
 ) -> DataFrame:
     """Top-N collocations (adjacent word pairs) by pointwise mutual
     information (Church & Hanks 1990, "Word Association Norms, Mutual
@@ -1394,7 +1411,12 @@ def pmi_collocations(
     ``ln( (c2 · T · T) / (B · c1(w1) · c1(w2)) )`` with c2 the pair
     count over B transitions and c1 the unigram counts over T tokens.
     A ``min_count`` floor drops the low-frequency pairs whose PMI is
-    pure noise (PMI's known bias toward hapax pairs).
+    pure noise (PMI's known bias toward hapax pairs). ``window`` widens
+    the pair definition from adjacent (``window=1``, the default and
+    the classic collocation table) to forward skip-grams within
+    ``window`` positions — the word2vec-style co-occurrence regime
+    where ``B`` becomes the total in-window pair count and topical
+    association (not just phrasehood) surfaces.
 
     Output: ``(w1, w2, pair_count, pmi)``, ordered pmi DESC with a
     (w1, w2) tiebreak, limited to ``top_n``.
@@ -1414,6 +1436,8 @@ def pmi_collocations(
         raise ValueError("top_n must be >= 1")
     if not 0 < ln_scale <= 9:
         raise ValueError("ln_scale must be in (0, 9]")
+    if window < 1:
+        raise ValueError("window must be >= 1")
     toks = _ws_tokens_factory(text_col, lowercase)
 
     tok_arrays = df.filter(F.col(text_col).isNotNull()).select(
@@ -1426,20 +1450,29 @@ def pmi_collocations(
     )
     pairs = (
         tok_arrays.select(
-            F.explode(_bigram_pairs(F.col("__toks"))).alias("__bg")
+            F.explode(
+                _window_pairs(F.col("__toks"), window)
+            ).alias("__bg")
         )
         .select(F.col("__bg.p").alias("w1"), F.col("__bg.c").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
         .filter(F.col("pair_count") >= F.lit(int(min_count)))
     )
+    m_expr = (
+        f"least({int(window)}, greatest(size(__toks) - 1, 0))"
+    )
     totals = unigrams.agg(
         F.sum("__c1").cast("bigint").alias("__tot_tokens")
     ).crossJoin(
         F.broadcast(
             tok_arrays.select(
-                F.greatest(
-                    F.size("__toks") - F.lit(1), F.lit(0)
+                # per-doc in-window pair count: sum_{k=1..m}(n - k)
+                # = m*n - m*(m+1)/2 with m = min(window, n-1) — exact
+                # integer arithmetic (DIV), no per-doc array rebuild
+                F.expr(
+                    f"{m_expr} * size(__toks)"
+                    f" - ({m_expr} * ({m_expr} + 1)) DIV 2"
                 ).alias("__nb")
             ).agg(F.sum("__nb").cast("bigint").alias("__tot_bigrams"))
         )

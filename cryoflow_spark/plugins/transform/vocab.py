@@ -33,10 +33,12 @@ Options:
   against the top-``top_n`` vocab of the sibling stream named by
   ``ref_label`` (occurrence-level OOV rate + type-level coverage) —
   the tokenizer/corpus-fit report.
-- ``method = "pmi"`` — top-``top_n`` adjacent-pair collocations by
-  pointwise mutual information with a ``min_count`` noise floor
-  (Church & Hanks 1990) — multiword-expression / boilerplate-phrase
-  discovery.
+- ``method = "pmi"`` — top-``top_n`` collocations by pointwise mutual
+  information with a ``min_count`` noise floor (Church & Hanks 1990);
+  ``window`` (default 1 = adjacent) widens to forward skip-grams
+  within ``window`` positions (the word2vec-style co-occurrence
+  regime) — multiword-expression / boilerplate-phrase / topical-
+  association discovery.
 - ``method = "fertility"`` — per-``group_column`` tokenizer fertility
   / compression report (tokens per word, chars per token, tokens per
   doc) — the multilingual token-budget fairness signal.
@@ -267,6 +269,7 @@ class VocabPlugin(AnalyzedTransformPlugin):
                 min_count=int(self.options.get("min_count", 5)),
                 top_n=int(self.options.get("top_n", 50)),
                 lowercase=bool(self.options.get("lowercase", True)),
+                window=int(self.options.get("window", 1)),
             )
         if self.options.get("method") == "heavy_hitters":
             return heavy_hitters(

@@ -11012,3 +11012,59 @@ def x198_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.edit_distance_verify(d, pairs, max_distance=60).orderBy(
         "doc_a", "doc_b"
     )
+
+
+# --- x199: windowed skip-gram PMI co-occurrence (oracle-checked) --------------
+
+
+@register(
+    "x199_windowed_pmi",
+    r"""
+    WITH toks AS (
+      SELECT list_transform(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x != ''), t -> lower(t)) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (
+      SELECT tok AS w, COUNT(*)::BIGINT AS c1
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+    ),
+    pairs AS (
+      SELECT u.pr.p AS w1, u.pr.c AS w2, COUNT(*)::BIGINT AS pair_count
+      FROM (
+        SELECT unnest(flatten([[{'p': t[i], 'c': t[j]}
+                 for j in generate_series(i + 1, least(i + 4, len(t)))]
+                for i in generate_series(1, len(t) - 1)])) AS pr
+        FROM toks WHERE len(t) >= 2
+      ) u GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    tot AS (
+      SELECT (SELECT SUM(c1)::BIGINT FROM uni) AS tt,
+             (SELECT SUM(m * n - (m * (m + 1)) // 2)::BIGINT
+              FROM (SELECT len(t) AS n,
+                           LEAST(4, GREATEST(len(t) - 1, 0)) AS m
+                    FROM toks)) AS tb
+    )
+    SELECT w1, w2, pair_count,
+           ROUND(LN((pair_count::DOUBLE * tt::DOUBLE * tt::DOUBLE)
+                 / (tb::DOUBLE * u1.c1::DOUBLE * u2.c1::DOUBLE)), 6) AS pmi
+    FROM pairs
+    JOIN uni u1 ON pairs.w1 = u1.w
+    JOIN uni u2 ON pairs.w2 = u2.w
+    CROSS JOIN tot
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+    "Top-50 forward skip-gram co-occurrences within a 4-token window "
+    "by pointwise mutual information — x109's adjacent collocation "
+    "table widened to the word2vec-style co-occurrence regime where "
+    "TOPICAL association (not just phrasehood) surfaces; B becomes the "
+    "exact in-window pair total (per-doc closed form m*n - m(m+1)/2, "
+    "integer DIV), pairs/unigrams stay two keyed aggs, min_count "
+    "filtered before the joins, TakeOrdered top-N — never a global "
+    "sort",
+)
+def x199_windowed_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.text import pmi_collocations
+
+    d = load(spark, sf_dir, "documents")
+    return pmi_collocations(d, min_count=5, top_n=50, window=4)

@@ -9812,3 +9812,47 @@ class TestEditDistanceVerify:
         pairs = spark.createDataFrame([(1, 1)], "doc_a long, doc_b long")
         with pytest.raises(ValueError, match="max_distance"):
             edit_distance_verify(docs, pairs, max_distance=-1)
+
+
+class TestWindowedPmi:
+    def test_window_pairs_by_hand(self, spark):
+        # corpus "a b c d" x6 (clear min_count): window=2 forward pairs
+        # per doc = (a,b),(a,c),(b,c),(b,d),(c,d); B = 5 per doc.
+        # PMI(a,c) = ln(c2*T*T / (B*c1a*c1c)) = ln(6*24*24/(30*6*6))
+        import math
+
+        df = spark.createDataFrame(
+            [(i, "a b c d") for i in range(6)], "doc_id long, text string"
+        )
+        out = {
+            (r["w1"], r["w2"]): r
+            for r in X.pmi_collocations(
+                df, min_count=5, top_n=50, window=2
+            ).collect()
+        }
+        assert set(out) == {
+            ("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")
+        }
+        want = round(math.log((6 * 24 * 24) / (30 * 6 * 6)), 6)
+        assert out[("a", "c")]["pair_count"] == 6
+        assert out[("a", "c")]["pmi"] == want
+
+    def test_window_one_matches_adjacent_default(self, spark):
+        df = spark.createDataFrame(
+            [(i, "x y z x y") for i in range(6)],
+            "doc_id long, text string",
+        )
+        a = sorted(
+            tuple(r)
+            for r in X.pmi_collocations(df, min_count=2, window=1).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in X.pmi_collocations(df, min_count=2).collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="window"):
+            X.pmi_collocations(df, window=0)
