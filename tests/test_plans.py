@@ -142,6 +142,12 @@ def test_no_cartesian_products(all_plans):
         # array rides one broadcast row; probes filter map-side and the
         # exact confirm join pins the result (functions/curation.py).
         "x55_bloom_decontaminate",
+        # 1-row packed merge-list crossJoin(broadcast) into the vocab
+        # table (the x195-trained merges ride ONE broadcast row into
+        # the nested encode fold) — same 1-row-build scalar pattern;
+        # never CartesianProduct. The trainer's own per-round 1-row
+        # joins are behind eager localCheckpoints and invisible here.
+        "x196_bpe_encode",
         # 1-row global-centroid crossJoin(broadcast) into the |groups|
         # table — same deliberate scalar-broadcast pattern as x21/x35.
         "x65_centroid_drift",
@@ -187,6 +193,10 @@ def test_no_cartesian_products(all_plans):
         # 1-row (total tokens, total bigrams) scalar crossJoin(broadcast)
         # into the min_count-filtered pair table — same scalar pattern.
         "x109_pmi_collocations",
+        # the same operator at window=4 — identical 1-row totals
+        # scalar crossJoin(broadcast); the skip-gram explode changes
+        # pair volume, not the join strategy.
+        "x199_windowed_pmi",
         # composes x96's scorer — the same 1-row reference-totals
         # scalar crossJoin(broadcast) into the exploded token stream.
         "x112_ccnet_buckets",
