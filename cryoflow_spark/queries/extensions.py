@@ -11068,3 +11068,107 @@ def x199_windowed_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return pmi_collocations(d, min_count=5, top_n=50, window=4)
+
+
+# --- x200: Matryoshka dimension-truncation RECALL (oracle-checked) -----------
+
+
+def _x200_oracle(dims=(8, 16, 32), k: int = 5) -> str:
+    """DuckDB replica: exact brute-force top-k at each truncated prefix
+    length vs the full-dim exact baseline, recall per (dim, query).
+    Slice CTEs feed the same sequential-fold cosine as x05."""
+    parts = [
+        f"""exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_COSINE_SQL} DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < 10
+      ) WHERE rank <= {k}
+    ),
+    ne AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM exact GROUP BY query_id
+    )"""
+    ]
+    unions = []
+    for d in dims:
+        cos = (
+            f"{_sql_dot('a.emb', 'b.emb')}"
+            f" / (sqrt({_sql_dot('a.emb', 'a.emb')})"
+            f" * sqrt({_sql_dot('b.emb', 'b.emb')}))"
+        )
+        parts.append(f"""sl{d} AS (
+      SELECT vec_id, embedding[1:{d}] AS emb FROM embeddings
+    )""")
+        parts.append(f"""ap{d} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {cos} DESC, b.vec_id) AS rank
+        FROM sl{d} a JOIN sl{d} b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < 10
+      ) WHERE rank <= {k}
+    )""")
+        parts.append(f"""nh{d} AS (
+      SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM exact e SEMI JOIN ap{d} a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id
+    )""")
+        unions.append(
+            f"""SELECT {d} AS trunc_dim, ne.query_id, ne.n_exact,
+           COALESCE(nh{d}.n_hit, 0) AS n_hit,
+           CAST(COALESCE(nh{d}.n_hit, 0) AS DOUBLE)
+             / CAST(ne.n_exact AS DOUBLE) AS recall
+    FROM ne LEFT JOIN nh{d} ON ne.query_id = nh{d}.query_id"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(unions)
+        + ") ORDER BY trunc_dim, query_id"
+    )
+
+
+@register(
+    "x200_truncation_recall",
+    _x200_oracle(),
+    "Matryoshka dimension-truncation RECALL (Kusupati et al. 2022 + "
+    "the x41 recall methodology along the dim axis): exact top-5 "
+    "search over 8/16/32-dim prefixes of the 64-dim embeddings vs the "
+    "full-dim exact baseline, recall per (dim, query) — the "
+    "decision-grade companion to x117's energy-survival QA: energy "
+    "says how much VECTOR survives, this says how much SEARCH QUALITY "
+    "survives (the can-my-ANN-index-run-4x-cheaper gate); composes "
+    "the x05 brute-force evaluation regime (probe queries broadcast) "
+    "with integer hit counts + one exact divide",
+)
+def x200_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(e, q, vec_col="embedding", id_col="vec_id", k=5)
+    out = None
+    for d in (8, 16, 32):
+        te = e.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        tq = q.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        approx = S.cosine_topk(
+            te, tq, vec_col="embedding", id_col="vec_id", k=5
+        )
+        r = S.recall_at_k(approx, exact, k=5).select(
+            F.lit(d).cast("int").alias("trunc_dim"),
+            "query_id",
+            "n_exact",
+            "n_hit",
+            "recall",
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("trunc_dim", "query_id")

@@ -117,6 +117,10 @@ def test_no_cartesian_products(all_plans):
         "x05_cosine_topk",
         "x27_quantized_topk",  # same brute-force broadcast pattern as x05
         "x41_ann_recall",  # embeds the x05 brute-force exact baseline
+        # truncation recall: four x05-class brute-force rankings (full
+        # + three prefix dims) — inherits the deliberate broadcast
+        # evaluation regime; the recall math is keyed joins + counts.
+        "x200_truncation_recall",
         # hard-negative mining, brute-force evaluation regime (the
         # scale path passes candidates= and plans equi-joins instead).
         "x163_hard_negatives",
