@@ -2573,12 +2573,32 @@ def mann_whitney_u(
         (F.col(group_col) == group_a).cast("long").alias("__wa"),
         (F.col(group_col) == group_b).cast("long").alias("__wb"),
     )
-    from cryoflow_spark.functions.ranks import multi_value_cdf
-
-    spine = multi_value_cdf(base, "__v", ["__wa", "__wb"])
     counts = base.groupBy("__v").agg(
         F.sum("__wa").cast("bigint").alias("__ca"),
         F.sum("__wb").cast("bigint").alias("__cb"),
+    )
+    return _mann_whitney_from_value_counts(counts)
+
+
+def _mann_whitney_from_value_counts(counts: DataFrame) -> DataFrame:
+    """Estimator core shared by the batch operator and the streaming
+    finalize: the exact midrank U / tie-corrected z from a
+    ``(__v, __ca, __cb)`` per-value class-count table — the same
+    sufficient statistic the drift-screen stream already maintains
+    (counts are a SUM monoid), so one streamed state serves both
+    monitors. The two-weight CDF spine is rebuilt by summing the
+    per-value counts through the same range-partitioned construction
+    the batch path uses — bit-identical results."""
+    from cryoflow_spark.functions.ranks import multi_value_cdf
+
+    spine = multi_value_cdf(
+        counts.select(
+            "__v",
+            F.col("__ca").alias("__wa"),
+            F.col("__cb").alias("__wb"),
+        ),
+        "__v",
+        ["__wa", "__wb"],
     )
     j = spine.join(counts, "__v")
     t = F.col("__ca") + F.col("__cb")

@@ -23,7 +23,10 @@ shape is the standard partial-twin contract (see
   counts-add monoid; finalize rebuilds the pooled CDF spine from the
   merged counts through the SAME range-partitioned construction and
   runs the shared estimator core — bit-identical to the batch twin on
-  the ingested union.
+  the ingested union. The same state is the exact sufficient statistic
+  for x192's Mann-Whitney U, so :func:`finalize_mann_whitney` runs the
+  rank-sum monitor from the SAME stream with the group pair chosen at
+  finalize time.
 
 Each micro-batch writes its partial to
 ``<output>/partials/batch_id=N`` in OVERWRITE mode (foreachBatch's
@@ -186,6 +189,46 @@ def finalize_drift_screen(
         F.col("n").alias("__c"),
     )
     return _group_ks_fdr_from_counts(per_gv, group_col, alpha)
+
+
+def finalize_mann_whitney(
+    spark: SparkSession,
+    output_path: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Run the x192 Mann-Whitney U / tie-corrected z between two groups
+    from the SAME streamed state the drift screen maintains — the
+    (group, value) count table is the exact sufficient statistic for
+    both monitors, so one stream serves two analyses. Bit-identical to
+    the batch ``mann_whitney_u`` on the ingested union; the group pair
+    is a finalize-time choice."""
+    from pyspark.sql import functions as F
+
+    from cryoflow_spark.functions.profiling import (
+        _mann_whitney_from_value_counts,
+        merge_ks_group_value_partials,
+    )
+
+    partials = spark.read.parquet(f"{output_path}/partials/batch_id=*")
+    merged = merge_ks_group_value_partials(partials)
+    counts = (
+        merged.filter(F.col("group").isin(group_a, group_b))
+        .groupBy(F.col("value").alias("__v"))
+        .agg(
+            F.sum(
+                F.when(F.col("group") == group_a, F.col("n")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("__ca"),
+            F.sum(
+                F.when(F.col("group") == group_b, F.col("n")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("__cb"),
+        )
+    )
+    return _mann_whitney_from_value_counts(counts)
 
 
 def compact_drift_partials(spark: SparkSession, output_path: str) -> int:

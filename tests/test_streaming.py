@@ -1670,3 +1670,41 @@ def test_monitor_streams_validate_inputs(spark):
         finalize_cusum(spark, "/tmp/x", k=-1)
     with pytest.raises(ValueError, match="alpha"):
         finalize_drift_screen(spark, "/tmp/x", alpha=1.5)
+
+
+def test_drift_state_serves_mann_whitney(spark, tmp_path):
+    """One streamed (group, value) count state, two monitors: the x192
+    Mann-Whitney finalize over the drift-screen stream's partials is
+    bit-identical to the batch mann_whitney_u on the full corpus, with
+    the group pair chosen at finalize time."""
+    from cryoflow_spark.functions.profiling import mann_whitney_u
+    from cryoflow_spark.streaming.monitor_stream import (
+        drift_screen_stream,
+        finalize_mann_whitney,
+    )
+
+    full = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = tmp_path / "docs"
+    src.mkdir()
+    full.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    full.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    stream = spark.readStream.schema(full.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = tmp_path / "drift"
+    q = drift_screen_stream(stream, str(out), "n_chars", "source")
+    q.awaitTermination(120)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    ga, gb = [
+        r["source"]
+        for r in full.select("source").distinct().orderBy("source").limit(2).collect()
+    ]
+    want = canon(mann_whitney_u(full, "n_chars", "source", ga, gb))
+    assert canon(finalize_mann_whitney(spark, str(out), ga, gb)) == want
