@@ -1378,6 +1378,143 @@ def bigram_cross_entropy_score(
     )
 
 
+def kn_bigram_perplexity_score(
+    df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    ln_scale: int = 6,
+) -> DataFrame:
+    """Per-document bigram PERPLEXITY under an interpolated Kneser-Ney
+    model estimated on a reference corpus (Kneser & Ney 1995; Chen &
+    Goodman 1999 §2.7) — the proper-smoothing upgrade of
+    :func:`bigram_cross_entropy_score`'s Laplace conditional and the
+    final piece of the CCNet-style scorer family (x35/x96/x108/x112):
+    KN's continuation counts stop high-frequency-but-context-bound
+    words ("Francisco") from inflating backoff mass, so boilerplate
+    and template text score farther from fluent prose than under
+    Laplace.
+
+    Model, with all counts from the reference side: bigram counts
+    ``c2(p,c)``; context totals ``c1(p) = Σ_c c2``; distinct-neighbor
+    counts ``N1+(p·)`` (followers) and ``N1+(·c)`` (preceders);
+    ``T`` = |bigram types|; absolute discount ``D = n1/(n1+2·n2)``
+    (Ney-Essen-Kneser estimate from bigram types seen once/twice).
+    The continuation distribution gets one Laplace floor so OOV
+    tokens keep nonzero mass — exactly one reserved unk bucket:
+    ``P_cont(c) = (N1+(·c)+1) / (T+V+1)`` with ``V`` the reference
+    unigram type count (sums to 1 over vocab ∪ {unk}). Then
+
+    - seen context: ``P(c|p) = max(c2-D,0)/c1 + (D·N1+(p·)/c1)·P_cont(c)``
+    - unseen context (incl. OOV prev): ``P(c|p) = P_cont(c)``
+
+    Output ``(id, n_bigrams, kn_cross_entropy, kn_perplexity)`` over a
+    document's token transitions (nats; perplexity = exp(H) rounded to
+    6); documents with fewer than two tokens emit no row.
+
+    Portability: the x96 fixed-point contract — each transition
+    contributes ``round(ln P, ln_scale)`` quantized to BIGINT, per-doc
+    sums are exact integers, one divide chain at the end; every input
+    to the double expression is an exact integer ratio so Spark and
+    DuckDB reproduce it bit-identically.
+
+    Scale: the reference model is three bigram-type-keyed aggs + a
+    1-row scalar (T, n1, n2, V, D) that broadcasts; the corpus side is
+    one bigram explode, one (p,c) equi-join, two p/c-keyed equi-joins
+    (AQE broadcasts the small model tables), one per-doc integer sum.
+    No collect, no all-pairs; model tables are vocab-sized, not
+    corpus-sized.
+    """
+    if not 0 < ln_scale <= 9:
+        raise ValueError("ln_scale must be in (0, 9]")
+    q = 10**ln_scale
+    toks = _ws_tokens_factory(text_col, lowercase)
+    bigrams = _bigram_pairs
+
+    ref_tok = ref_df.filter(F.col(text_col).isNotNull()).select(
+        toks().alias("__toks")
+    )
+    c2 = (
+        ref_tok.select(F.explode(bigrams(F.col("__toks"))).alias("__bg"))
+        .select(F.col("__bg.p").alias("__p"), F.col("__bg.c").alias("__c"))
+        .groupBy("__p", "__c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c2"))
+    )
+    ctx = c2.groupBy("__p").agg(
+        F.sum("__c2").cast("bigint").alias("__c1"),
+        F.count(F.lit(1)).cast("bigint").alias("__fol"),
+    )
+    prec = c2.groupBy("__c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__prec")
+    )
+    scalars = c2.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__types"),
+        F.sum((F.col("__c2") == 1).cast("int")).cast("bigint").alias("__n1"),
+        F.sum((F.col("__c2") == 2).cast("int")).cast("bigint").alias("__n2"),
+    ).crossJoin(
+        F.broadcast(
+            ref_tok.select(F.explode("__toks").alias("__t")).agg(
+                F.count_distinct(F.col("__t")).cast("bigint").alias("__v")
+            )
+        )
+    )
+    doc_bg = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks().alias("__toks"))
+        .select(
+            F.col(id_col), F.explode(bigrams(F.col("__toks"))).alias("__bg")
+        )
+        .select(
+            F.col(id_col),
+            F.col("__bg.p").alias("__p"),
+            F.col("__bg.c").alias("__c"),
+        )
+    )
+    disc = F.when(
+        (F.col("__n1") + 2 * F.col("__n2")) > 0,
+        F.col("__n1").cast("double")
+        / (F.col("__n1") + 2 * F.col("__n2")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    pcont = (F.coalesce(F.col("__prec"), F.lit(0)) + F.lit(1)).cast(
+        "double"
+    ) / (F.col("__types") + F.col("__v") + F.lit(1)).cast("double")
+    p_seen = (
+        F.greatest(
+            F.coalesce(F.col("__c2"), F.lit(0)).cast("double") - disc,
+            F.lit(0.0),
+        )
+        / F.col("__c1").cast("double")
+    ) + (
+        (disc * F.col("__fol").cast("double") / F.col("__c1").cast("double"))
+        * pcont
+    )
+    p = F.when(F.col("__c1").isNotNull(), p_seen).otherwise(pcont)
+    contrib = F.round(F.round(F.log(p), ln_scale) * F.lit(float(q))).cast(
+        "bigint"
+    )
+    scored = (
+        doc_bg.join(c2, ["__p", "__c"], "left")
+        .join(ctx, "__p", "left")
+        .join(prec, "__c", "left")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(contrib).cast("bigint").alias("__lsum"),
+        )
+    )
+    ce = (
+        F.lit(0.0) - F.col("__lsum").cast("double") / F.lit(float(q))
+    ) / F.col("n_bigrams").cast("double")
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        ce.alias("kn_cross_entropy"),
+        F.round(F.exp(ce), 6).alias("kn_perplexity"),
+    )
+
+
 def _window_pairs(tok_arr, window: int):
     """Forward-only (w1 precedes w2, gap <= window) struct-pair array
     over a token column NAMED ``__toks`` — ``window=1`` reproduces

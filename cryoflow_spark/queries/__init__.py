@@ -84,7 +84,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:
 #: ROTATION POLICY (bounded staleness — enforced by
 #: tests/test_registry.py::test_rotation_policy_bounded_staleness, derived
-#: by tools/make_window.py): with 290 registered queries and a 50-slot
+#: by tools/make_window.py): with 291 registered queries and a 50-slot
 #: window, "every query re-verified every round" is arithmetically
 #: impossible. The steady-state rule is:
 #:
@@ -95,79 +95,29 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: where a query's driver evidence is the latest committed
 #: CORRECTNESS_r*.json that contains it. With <= 50 new registrations per
 #: round this bounds every query's driver-evidence age to
-#: ceil(N/50) + 1 rounds (= 7 at the current registry size of 290). The
+#: ceil(N/50) + 1 rounds (= 7 at the current registry size of 291). The
 #: enforcement test recomputes this ordering from the committed artifacts
 #: themselves, so it fails the moment a rotation edit (or a forgotten
 #: rotation) would let any query go staler than the policy allows.
 #:
-#: This list IS the policy ordering as of the round-11 artifacts: the
-#: round-12 window is the head 50 — the never-checked r12
-#: registrations lead (per policy), then the oldest-evidence r6
-#: cohort (x56–x92) and the first r7-evidence queries; positions 51+
-#: pre-commit the following rounds.
+#: This list IS the policy ordering as of the round-12 artifacts: the
+#: round-13 window is the head 50 — the oldest-evidence r7 cohort
+#: (x96–x114, the q30+ relational block, …) leads; positions 51+
+#: pre-commit the following rounds. New r13 registrations are
+#: never-checked and PREPEND when they land.
 #: Operators newly registered in a round are never-checked and
 #: therefore PREPEND (tools/make_window.py emits the refreshed list).
 _PRIORITY: list[str] = [
-    # --- never driver-checked (r12 registrations prepend, per policy) ---
-    "x194_exact_substring_dedup",  # last checked: never
-    "x194_exact_substring_engine",  # last checked: never (rows-only twin)
-    "x195_bpe_train",  # last checked: never
-    "x196_bpe_encode",  # last checked: never
-    "x198_edit_distance",  # last checked: never
-    "x199_windowed_pmi",  # last checked: never
-    "x200_truncation_recall",  # last checked: never
-    # --- r12 window: oldest-evidence cohort follows (regenerate with
+    # --- never driver-checked (r13 registrations prepend, per policy) ---
+    "x201_kn_perplexity",  # last checked: never
+    # --- round-13 window: oldest-evidence cohort (regenerate with
     # tools/make_window.py) ---
-    "x56_unicode_normalize",  # last checked: r6
-    "x57_containment_pairs",  # last checked: r6
-    "x59_segment_repetition",  # last checked: r6
-    "x60_crawl_refresh",  # last checked: r6
-    "x61_heavy_hitters",  # last checked: r6
-    "x62_quantile_buckets",  # last checked: r6
-    "x63_filter_funnel",  # last checked: r6
-    "x64_pack_sequences",  # last checked: r6
-    "x65_centroid_drift",  # last checked: r6
-    "x66_ivf_presig_topk",  # last checked: r6
-    "x67_histogram",  # last checked: r6
-    "x68_key_skew",  # last checked: r6
-    "x70_exact_n_sample",  # last checked: r6
-    "x69_token_budget_mix",  # last checked: r6
-    "x71_cluster_best_keep",  # last checked: r6
-    "x72_expectations",  # last checked: r6
-    "x73_winsorize",  # last checked: r6
-    "x74_distinctive_terms",  # last checked: r6
-    "x75_embedding_qa",  # last checked: r6
-    "x76_correlation_matrix",  # last checked: r6
-    "x77_categorical_dependence",  # last checked: r6
-    "x78_duplication_profile",  # last checked: r6
-    "x79_quantile_summary",  # last checked: r6
-    "x80_conversion_funnel",  # last checked: r6
-    "x81_retention_cohorts",  # last checked: r6
-    "x82_robust_outliers",  # last checked: r6
-    "x83_stopword_fraction",  # last checked: r6
-    "x84_mutual_information",  # last checked: r6
-    "x85_water_fill_budget",  # last checked: r6
-    "x86_quantile_normalize",  # last checked: r6
-    "x87_zipf_fit",  # last checked: r6
-    "x88_distribution_drift",  # last checked: r6
-    "x89_exact_n_per_group",  # last checked: r6
-    "x90_js_divergence",  # last checked: r6
-    "x91_snapshot_containment",  # last checked: r6
-    "x92_group_js_divergence",  # last checked: r6
-    "x17_sessionize",  # last checked: r7
-    "x24_pii_scrub",  # last checked: r7
-    "x51_jl_projection",  # last checked: r7
-    "x54_dataset_checksum",  # last checked: r7
-    "x93_duplicate_spans",  # last checked: r7
-    "x94_ensemble_rank_score",  # last checked: r7
-    "x95_funnel_latency",  # last checked: r7
     "x96_cross_entropy_score",  # last checked: r7
     "x97_water_fill_epochs",  # last checked: r7
     "x98_domain_blocklist",  # last checked: r7
     "x99_token_cap_per_source",  # last checked: r7
     "x100_pq_adc_topk",  # last checked: r7
     "x101_water_fill_floors",  # last checked: r7
-    # --- positions 51+: pre-committed following rounds ---
     "x102_ivf_pq_topk",  # last checked: r7
     "x104_ingest_freshness",  # last checked: r7
     "x105_training_order",  # last checked: r7
@@ -212,6 +162,7 @@ _PRIORITY: list[str] = [
     "x119_mixture_order",  # last checked: r8
     "x120_cross_source_dup",  # last checked: r8
     "x121_domain_diversity",  # last checked: r8
+    # --- positions 51+: pre-committed following rounds ---
     "x122_pii_exposure",  # last checked: r8
     "x123_centroid_similarity",  # last checked: r8
     "x124_packing_efficiency",  # last checked: r8
@@ -402,6 +353,56 @@ _PRIORITY: list[str] = [
     "q54_array_lambdas",  # last checked: r11
     "q57_above_nation_average",  # last checked: r11
     "q58_distributed_cdf",  # last checked: r11
+    "x17_sessionize",  # last checked: r12
+    "x24_pii_scrub",  # last checked: r12
+    "x51_jl_projection",  # last checked: r12
+    "x54_dataset_checksum",  # last checked: r12
+    "x56_unicode_normalize",  # last checked: r12
+    "x57_containment_pairs",  # last checked: r12
+    "x59_segment_repetition",  # last checked: r12
+    "x60_crawl_refresh",  # last checked: r12
+    "x61_heavy_hitters",  # last checked: r12
+    "x62_quantile_buckets",  # last checked: r12
+    "x63_filter_funnel",  # last checked: r12
+    "x64_pack_sequences",  # last checked: r12
+    "x65_centroid_drift",  # last checked: r12
+    "x66_ivf_presig_topk",  # last checked: r12
+    "x67_histogram",  # last checked: r12
+    "x68_key_skew",  # last checked: r12
+    "x70_exact_n_sample",  # last checked: r12
+    "x69_token_budget_mix",  # last checked: r12
+    "x71_cluster_best_keep",  # last checked: r12
+    "x72_expectations",  # last checked: r12
+    "x73_winsorize",  # last checked: r12
+    "x74_distinctive_terms",  # last checked: r12
+    "x75_embedding_qa",  # last checked: r12
+    "x76_correlation_matrix",  # last checked: r12
+    "x77_categorical_dependence",  # last checked: r12
+    "x78_duplication_profile",  # last checked: r12
+    "x79_quantile_summary",  # last checked: r12
+    "x80_conversion_funnel",  # last checked: r12
+    "x81_retention_cohorts",  # last checked: r12
+    "x82_robust_outliers",  # last checked: r12
+    "x83_stopword_fraction",  # last checked: r12
+    "x84_mutual_information",  # last checked: r12
+    "x85_water_fill_budget",  # last checked: r12
+    "x86_quantile_normalize",  # last checked: r12
+    "x87_zipf_fit",  # last checked: r12
+    "x88_distribution_drift",  # last checked: r12
+    "x89_exact_n_per_group",  # last checked: r12
+    "x90_js_divergence",  # last checked: r12
+    "x91_snapshot_containment",  # last checked: r12
+    "x92_group_js_divergence",  # last checked: r12
+    "x93_duplicate_spans",  # last checked: r12
+    "x94_ensemble_rank_score",  # last checked: r12
+    "x95_funnel_latency",  # last checked: r12
+    "x194_exact_substring_dedup",  # last checked: r12
+    "x194_exact_substring_engine",  # last checked: r12
+    "x195_bpe_train",  # last checked: r12
+    "x196_bpe_encode",  # last checked: r12
+    "x198_edit_distance",  # last checked: r12
+    "x199_windowed_pmi",  # last checked: r12
+    "x200_truncation_recall",  # last checked: r12
 ]
 
 

@@ -11172,3 +11172,113 @@ def x200_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = r if out is None else out.unionByName(r)
     return out.orderBy("trunc_dim", "query_id")
+
+
+# --- x201: interpolated-KN per-doc bigram perplexity (oracle-checked) -------
+
+
+_X201_D = (
+    "CASE WHEN (s.n1 + 2 * s.n2) > 0 "
+    "THEN s.n1::DOUBLE / (s.n1 + 2 * s.n2)::DOUBLE ELSE 0.0 END"
+)
+_X201_PCONT = (
+    "(COALESCE(ref_prec.prec, 0) + 1)::DOUBLE "
+    "/ (s.types + s.v + 1)::DOUBLE"
+)
+
+
+def _x201_oracle() -> str:
+    """Interpolated-KN bigram perplexity in DuckDB, mirroring
+    functions/text.py::kn_bigram_perplexity_score expression-for-
+    expression (same integer-ratio doubles, same fold contract)."""
+    return f"""
+    WITH ref_toks AS (
+      SELECT list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x != ''), t -> lower(t)) AS t
+      FROM documents WHERE doc_id < 250 AND text IS NOT NULL
+    ),
+    ref_bg AS (
+      SELECT u.bg[1] AS p, u.bg[2] AS c, COUNT(*)::BIGINT AS c2
+      FROM (
+        SELECT unnest([[t[i], t[i+1]]
+                 for i in generate_series(1, len(t) - 1)]) AS bg
+        FROM ref_toks WHERE len(t) >= 2
+      ) u GROUP BY 1, 2
+    ),
+    ref_ctx AS (
+      SELECT p, SUM(c2)::BIGINT AS c1, COUNT(*)::BIGINT AS fol
+      FROM ref_bg GROUP BY p
+    ),
+    ref_prec AS (
+      SELECT c, COUNT(*)::BIGINT AS prec FROM ref_bg GROUP BY c
+    ),
+    scalars AS (
+      SELECT (SELECT COUNT(*)::BIGINT FROM ref_bg) AS types,
+             (SELECT COALESCE(SUM(CASE WHEN c2 = 1 THEN 1 ELSE 0 END), 0)
+                ::BIGINT FROM ref_bg) AS n1,
+             (SELECT COALESCE(SUM(CASE WHEN c2 = 2 THEN 1 ELSE 0 END), 0)
+                ::BIGINT FROM ref_bg) AS n2,
+             (SELECT COUNT(DISTINCT tok)::BIGINT FROM
+                (SELECT unnest(t) AS tok FROM ref_toks)) AS v
+    ),
+    doc_bg AS (
+      SELECT doc_id, u.bg[1] AS p, u.bg[2] AS c
+      FROM (
+        SELECT doc_id,
+               unnest([[t[i], t[i+1]]
+                 for i in generate_series(1, len(t) - 1)]) AS bg
+        FROM (
+          SELECT doc_id,
+                 list_transform(list_filter(
+                   string_split_regex(text, '\\s+'), x -> x != ''),
+                   t -> lower(t)) AS t
+          FROM documents WHERE doc_id >= 250 AND text IS NOT NULL
+        ) WHERE len(t) >= 2
+      ) u
+    ),
+    contrib AS (
+      SELECT d.doc_id,
+        CAST(ROUND(ROUND(LN(
+          CASE WHEN ref_ctx.c1 IS NOT NULL THEN
+            GREATEST(COALESCE(ref_bg.c2, 0)::DOUBLE - ({_X201_D}), 0.0)
+              / ref_ctx.c1::DOUBLE
+            + (({_X201_D}) * ref_ctx.fol::DOUBLE / ref_ctx.c1::DOUBLE)
+              * ({_X201_PCONT})
+          ELSE {_X201_PCONT}
+          END
+        ), 6) * 1000000.0) AS BIGINT) AS x
+      FROM doc_bg d
+      LEFT JOIN ref_bg ON d.p = ref_bg.p AND d.c = ref_bg.c
+      LEFT JOIN ref_ctx ON d.p = ref_ctx.p
+      LEFT JOIN ref_prec ON d.c = ref_prec.c
+      CROSS JOIN scalars s
+    )
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_bigrams,
+           (0.0 - SUM(x)::DOUBLE / 1000000.0) / COUNT(*)::DOUBLE
+             AS kn_cross_entropy,
+           ROUND(EXP((0.0 - SUM(x)::DOUBLE / 1000000.0)
+                 / COUNT(*)::DOUBLE), 6) AS kn_perplexity
+    FROM contrib GROUP BY doc_id
+    """
+
+
+@register(
+    "x201_kn_perplexity",
+    _x201_oracle(),
+    "Per-doc bigram PERPLEXITY under an interpolated Kneser-Ney model "
+    "(Kneser & Ney 1995; Chen & Goodman 1999 §2.7) trained on the "
+    "reference half — the proper-smoothing upgrade of x108's Laplace "
+    "conditional and the closing piece of the CCNet scorer family "
+    "(x35/x96/x108/x112): continuation counts N1+(.w) keep context-"
+    "bound words from inflating backoff mass; D = n1/(n1+2n2); one "
+    "Laplace unk bucket keeps OOV mass nonzero; x96 fixed-point "
+    "round(ln,6) fold contract, exact integer per-doc sums",
+)
+def x201_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.text import kn_bigram_perplexity_score
+
+    d = load(spark, sf_dir, "documents")
+    return kn_bigram_perplexity_score(
+        d.filter(F.col("doc_id") >= 250), d.filter(F.col("doc_id") < 250)
+    )

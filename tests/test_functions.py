@@ -9856,3 +9856,142 @@ class TestWindowedPmi:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError, match="window"):
             X.pmi_collocations(df, window=0)
+
+
+class TestKnBigramPerplexity:
+    """x201: interpolated Kneser-Ney per-doc bigram perplexity."""
+
+    @staticmethod
+    def _kn_ref(ref_texts, doc_texts):
+        """Pure-Python interpolated-KN reference (Chen & Goodman 1999
+        §2.7) with the same fixed-point round(ln,6) fold contract."""
+        import math
+        from collections import Counter
+
+        def toks(s):
+            return [t for t in s.lower().split() if t]
+
+        c2 = Counter()
+        uni = set()
+        for s in ref_texts:
+            t = toks(s)
+            uni.update(t)
+            for a, b in zip(t, t[1:]):
+                c2[(a, b)] += 1
+        c1, fol, prec = Counter(), Counter(), Counter()
+        for (a, b), n in c2.items():
+            c1[a] += n
+            fol[a] += 1
+            prec[b] += 1
+        T = len(c2)
+        n1 = sum(1 for v in c2.values() if v == 1)
+        n2 = sum(1 for v in c2.values() if v == 2)
+        V = len(uni)
+        D = n1 / (n1 + 2 * n2) if (n1 + 2 * n2) > 0 else 0.0
+        out = {}
+        for doc_id, s in doc_texts:
+            t = toks(s)
+            if len(t) < 2:
+                continue
+            lsum, n = 0, 0
+            for a, b in zip(t, t[1:]):
+                pc = (prec.get(b, 0) + 1) / (T + V + 1)
+                if a in c1:
+                    p = (
+                        max(c2.get((a, b), 0) - D, 0.0) / c1[a]
+                        + (D * fol[a] / c1[a]) * pc
+                    )
+                else:
+                    p = pc
+                lsum += round(round(math.log(p), 6) * 1e6)
+                n += 1
+            ce = (0.0 - lsum / 1e6) / n
+            out[doc_id] = (n, ce, round(math.exp(ce), 6))
+        return out
+
+    def test_matches_pure_python_reference(self, spark):
+        from cryoflow_spark.functions.text import kn_bigram_perplexity_score
+
+        ref_texts = [
+            "the cat sat on the mat and the dog sat on the rug",
+            "a cat and a dog ran to the mat",
+            "the dog and the cat sat together on the old rug",
+            "san francisco is on the bay and the bay is cold",
+        ]
+        doc_texts = [
+            (1, "the cat sat on the rug"),
+            (2, "rug the on sat cat the"),
+            (3, "completely unseen tokens here"),
+            (4, "francisco francisco francisco"),
+            (5, "one"),
+        ]
+        ref = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(ref_texts)],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(doc_texts, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                r["n_bigrams"],
+                r["kn_cross_entropy"],
+                r["kn_perplexity"],
+            )
+            for r in kn_bigram_perplexity_score(corpus, ref).collect()
+        }
+        want = self._kn_ref(ref_texts, doc_texts)
+        assert set(got) == set(want)  # doc 5 (<2 tokens) emits no row
+        for d in want:
+            assert got[d][0] == want[d][0]
+            assert abs(got[d][1] - want[d][1]) < 2e-6, (d, got[d], want[d])
+            assert abs(got[d][2] - want[d][2]) < 2e-5, (d, got[d], want[d])
+
+    def test_kn_vs_laplace_francisco_property(self, spark):
+        """The motivating KN property: a word frequent ONLY in one
+        context ('francisco' after 'san') gets low continuation mass,
+        so out-of-context uses score WORSE under KN than a raw-
+        frequency-proportional model would suggest — here checked as:
+        out-of-context 'francisco' is more surprising than an equally
+        frequent word with diverse left contexts ('mat')."""
+        from cryoflow_spark.functions.text import kn_bigram_perplexity_score
+
+        ref = spark.createDataFrame(
+            [
+                (0, "san francisco san francisco san francisco san "
+                    "francisco san francisco"),
+                (1, "the mat a mat one mat this mat that mat"),
+            ],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [(10, "qq francisco"), (11, "qq mat")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r["kn_cross_entropy"]
+            for r in kn_bigram_perplexity_score(corpus, ref).collect()
+        }
+        # both transitions back off to P_cont (context 'qq' unseen);
+        # 'francisco' has 1 distinct left context, 'mat' has 5.
+        assert rows[10] > rows[11]
+
+    def test_unseen_context_and_validation(self, spark):
+        import math
+
+        import pytest
+
+        from cryoflow_spark.functions.text import kn_bigram_perplexity_score
+
+        ref = spark.createDataFrame(
+            [(0, "a b a b")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(2, "zz qq")], "doc_id long, text string"
+        )
+        row = kn_bigram_perplexity_score(corpus, ref).collect()[0]
+        # T=2 bigram types (a b / b a), V=2; unseen ctx + unseen word
+        # -> P_cont = (0+1)/(2+2+1) = 1/5
+        want_ce = -round(math.log(1 / 5), 6)
+        assert abs(row["kn_cross_entropy"] - want_ce) < 1e-9
+        assert abs(row["kn_perplexity"] - round(math.exp(want_ce), 6)) < 1e-9
+        with pytest.raises(ValueError, match="ln_scale"):
+            kn_bigram_perplexity_score(corpus, ref, ln_scale=0)
