@@ -11282,3 +11282,64 @@ def x201_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_bigram_perplexity_score(
         d.filter(F.col("doc_id") >= 250), d.filter(F.col("doc_id") < 250)
     )
+
+
+# --- x202: k-core decomposition of the candidate graph (oracle-checked) -----
+
+
+_X202_ROUNDS = 16
+
+
+def _x202_oracle(n_rounds: int = _X202_ROUNDS) -> str:
+    """Coreness via the neighborhood h-index fixed point (Lü et al.
+    PNAS 2016) unrolled to a fixed round count in DuckDB, mirroring
+    functions/graph.py::k_core_decomposition(n_rounds=...) — exact
+    integers only, so the rounds replicate bit-identically."""
+    its = []
+    prev = "h0"
+    for t in range(1, n_rounds + 1):
+        its.append(f"""
+    h{t} AS (
+      SELECT node, MAX(LEAST(v, rn))::BIGINT AS h
+      FROM (
+        SELECT s.a AS node, r.h AS v,
+               ROW_NUMBER() OVER (PARTITION BY s.a ORDER BY r.h DESC)
+                 AS rn
+        FROM sym s JOIN {prev} r ON s.b = r.node
+      ) GROUP BY node
+    )""")
+        prev = f"h{t}"
+    body = ",".join(its)
+    return f"""
+    WITH {_WINNOW_CTES},
+    {_WINNOW_PAIRS_CTE},
+    und AS (SELECT doc_a AS a, doc_b AS b FROM cand),
+    sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+    h0 AS (
+      SELECT a AS node, COUNT(*)::BIGINT AS h FROM sym GROUP BY a
+    ),{body}
+    SELECT h0.node AS node, h0.h AS degree, {prev}.h AS coreness
+    FROM h0 JOIN {prev} USING (node)
+    ORDER BY node
+    """
+
+
+@register(
+    "x202_kcore",
+    _x202_oracle(),
+    "k-core decomposition (coreness) of the x182 winnowing candidate "
+    "graph via the neighborhood h-index fixed point (Lü et al. PNAS "
+    "2016; equals Batagelj-Zaversnik peeling at convergence, proven "
+    "by the randomized pure-Python peel test): every member of a "
+    "k-core has >= k candidate-duplicate partners INSIDE the core, so "
+    "high-coreness components are the template/bot families x189's "
+    "triangles only hint at; 16 fixed rounds (converged on every "
+    "testdata SF), exact integers, per-round node-keyed window rank + "
+    "max — no sequential min-degree queue, no all-pairs",
+)
+def x202_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.graph import k_core_decomposition
+
+    d = load(spark, sf_dir, "documents")
+    pairs = X.winnowing_candidates(d, k=3, w=4, max_df=20, min_shared=2)
+    return k_core_decomposition(pairs, n_rounds=_X202_ROUNDS)

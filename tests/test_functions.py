@@ -9995,3 +9995,91 @@ class TestKnBigramPerplexity:
         assert abs(row["kn_perplexity"] - round(math.exp(want_ce), 6)) < 1e-9
         with pytest.raises(ValueError, match="ln_scale"):
             kn_bigram_perplexity_score(corpus, ref, ln_scale=0)
+
+
+class TestKCoreDecomposition:
+    """x202: coreness via the neighborhood h-index fixed point."""
+
+    @staticmethod
+    def _peel(edges):
+        """Pure-Python Batagelj-Zaversnik min-degree peel."""
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        deg = {v: len(ns) for v, ns in adj.items()}
+        core, alive, k = {}, set(adj), 0
+        while alive:
+            v = min(alive, key=lambda x: (deg[x], x))
+            k = max(k, deg[v])
+            core[v] = k
+            for u in adj[v]:
+                if u in alive:
+                    deg[u] -= 1
+            alive.remove(v)
+        return core
+
+    def test_hand_graph(self, spark):
+        from cryoflow_spark.functions.graph import k_core_decomposition
+
+        # 4-clique (coreness 3) — path — triangle (coreness 2); the
+        # bridge node 4 keeps degree 2 inside the surviving 2-core.
+        edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+                 (3, 4), (4, 5), (5, 6), (5, 7), (6, 7)]
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r["node"]: (r["degree"], r["coreness"])
+               for r in k_core_decomposition(df).collect()}
+        want = self._peel(edges)
+        assert {n: c for n, (_, c) in got.items()} == want
+        assert got[3] == (4, 3) and got[4] == (2, 2)
+
+    def test_randomized_vs_peel_and_fixed_rounds(self, spark):
+        import random
+
+        from cryoflow_spark.functions.graph import k_core_decomposition
+
+        rng = random.Random(202)
+        edges = set()
+        # planted 6-clique + sparse noise + a long chain tail
+        for i in range(6):
+            for j in range(i + 1, 6):
+                edges.add((i, j))
+        while len(edges) < 80:
+            a, b = rng.randrange(40), rng.randrange(40)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        for i in range(40, 50):
+            edges.add((i, i + 1))
+        edges = sorted(edges)
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        conv = {r["node"]: r["coreness"]
+                for r in k_core_decomposition(df).collect()}
+        assert conv == self._peel(edges)
+        fixed = {r["node"]: r["coreness"]
+                 for r in k_core_decomposition(df, n_rounds=16).collect()}
+        assert fixed == conv  # 16 unrolled rounds reach the fixed point
+
+    def test_dedup_reversed_and_self_edges(self, spark):
+        from cryoflow_spark.functions.graph import k_core_decomposition
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 1), (2, 3), (3, 1)],
+            "doc_a long, doc_b long",
+        )
+        got = {r["node"]: (r["degree"], r["coreness"])
+               for r in k_core_decomposition(df).collect()}
+        assert got == {1: (2, 2), 2: (2, 2), 3: (2, 2)}
+
+    def test_validation(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.graph import k_core_decomposition
+
+        df = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        with pytest.raises(ValueError, match="n_rounds"):
+            k_core_decomposition(df, n_rounds=-1)
+        with pytest.raises(ValueError, match="max_rounds"):
+            k_core_decomposition(df, max_rounds=0)
