@@ -265,3 +265,21 @@ def test_doc_registry_counts_pinned():
         f"SCALE.md states registry size(s) {stated} but len(queries()) == {n}; "
         "update the prose (grep 'registry holds' and 'N=')"
     )
+
+
+def test_catalog_regenerable():
+    """CATALOG.md must be byte-identical to a fresh generation from the
+    registry — the operator inventory stays correct by construction
+    (regenerate with ``python tools/gen_catalog.py``)."""
+    import os
+    import sys
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from gen_catalog import generate
+
+    with open(os.path.join(repo, "CATALOG.md")) as fh:
+        committed = fh.read()
+    assert committed == generate(), (
+        "CATALOG.md is stale — run python tools/gen_catalog.py"
+    )
