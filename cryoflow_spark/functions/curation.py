@@ -973,6 +973,233 @@ def duplicate_spans(
     )
 
 
+def _stride1_grams(base: DataFrame, k: int, hasher) -> DataFrame:
+    """Stride-1 ``k``-gram fingerprints of ``(__id, __txt)`` rows:
+    ``(__id, __pos, __h)`` — one row per character position that starts
+    a ``k``-gram; O(corpus characters), map-side, no shuffle."""
+    return (
+        base.filter(F.col("__txt").isNotNull() & (F.length("__txt") >= k))
+        .select(
+            "__id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.length("__txt") - F.lit(k - 1)
+                    ),
+                    lambda i: F.struct(
+                        i.cast("int").alias("p"),
+                        hasher(
+                            F.col("__txt").substr(i, F.lit(k))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("__s"),
+        )
+        .select(
+            "__id", F.col("__s.p").alias("__pos"), F.col("__s.h").alias("__h")
+        )
+    )
+
+
+def _excise_from_starts(
+    base: DataFrame, starts: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Excise the ``[s, s+k-1]`` windows named by each document's sorted
+    removal ``__starts`` from ``(__id, __txt)`` rows — the shared core
+    of the batch remover and the streaming twin's per-batch excision.
+
+    Single in-row fold over the sorted removal starts: acc carries the
+    retained text so far, the covered end, and the merged-span count.
+    A start s with coverage [s, s+k-1]: if s begins past the covered
+    end the gap (end+1 .. s-1) is retained; a new ISLAND begins only
+    when there is an actual uncovered gap (s > end+1, or nothing was
+    covered yet) — adjacent/overlapping windows merge into one span.
+    """
+    acc0 = F.struct(
+        F.lit("").alias("t"),
+        F.lit(0).alias("e"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    fold = F.aggregate(
+        F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+        acc0,
+        lambda a, s: F.struct(
+            F.when(
+                s > a["e"],
+                F.concat(
+                    a["t"],
+                    F.col("__txt").substr(
+                        a["e"] + F.lit(1), s - a["e"] - F.lit(1)
+                    ),
+                ),
+            )
+            .otherwise(a["t"])
+            .alias("t"),
+            F.greatest(a["e"], s + F.lit(k - 1)).alias("e"),
+            (
+                a["n"]
+                + F.when(
+                    (a["e"] == 0) | (s > a["e"] + 1), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n"),
+        ),
+        lambda a: F.struct(
+            F.concat(
+                a["t"],
+                F.col("__txt").substr(
+                    a["e"] + F.lit(1), F.length("__txt") - a["e"]
+                ),
+            ).alias("t"),
+            a["e"].alias("e"),
+            a["n"].alias("n"),
+        ),
+    )
+    return (
+        base.join(starts, "__id", "left")
+        .withColumn("__f", fold)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__f.t").alias("clean_text"),
+            F.coalesce(
+                F.length("__txt") - F.length("__f.t"), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_chars_removed"),
+            F.col("__f.n").cast("bigint").alias("n_spans_removed"),
+        )
+    )
+
+
+def exact_substring_fingerprint_partials(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Per-fingerprint canonical-occurrence partial of ``df`` — the
+    x194 streaming twin's sufficient state: for every stride-1
+    ``k``-gram fingerprint, the MINIMUM ``(id, position)`` occurrence
+    within this frame. ``(fp, c_id, c_pos)``; the family is closed
+    under :func:`merge_exact_substring_partials` (a min-monoid), so
+    per-batch partials merge into the corpus fingerprint store without
+    ever rescanning ingested text — the x53 signature-persistence
+    shape at character level.
+
+    Scale: one gram explode (O(chars), map-side) + ONE fingerprint-
+    keyed min agg with map-side partials — cheaper than the batch
+    remover's sort window; state size is |distinct k-grams|, the same
+    table the batch pass shuffles.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if hash_mode not in ("md5", "xxhash64"):
+        raise ValueError("hash_mode must be 'md5' or 'xxhash64'")
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__txt")
+    )
+    hasher = F.md5 if hash_mode == "md5" else F.xxhash64
+    return (
+        _stride1_grams(base, k, hasher)
+        .groupBy("__h")
+        .agg(F.min(F.struct("__id", "__pos")).alias("__m"))
+        .select(
+            F.col("__h").alias("fp"),
+            F.col("__m.__id").alias("c_id"),
+            F.col("__m.__pos").alias("c_pos"),
+        )
+    )
+
+
+def merge_exact_substring_partials(df: DataFrame) -> DataFrame:
+    """Min-merge ``(fp, c_id, c_pos)`` partial tables (closed family:
+    the output is itself a valid partial)."""
+    return (
+        df.groupBy("fp")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("c_id").alias("__id"),
+                    F.col("c_pos").alias("__pos"),
+                )
+            ).alias("__m")
+        )
+        .select(
+            "fp",
+            F.col("__m.__id").alias("c_id"),
+            F.col("__m.__pos").alias("c_pos"),
+        )
+    )
+
+
+def exact_substring_excise_against(
+    df: DataFrame,
+    store_df: "DataFrame | None" = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Excise ``df`` against an external fingerprint store (the x194
+    streaming twin's per-batch step): a ``k``-gram occurrence is
+    removed iff it is NOT the minimum ``(id, position)`` occurrence in
+    ``store ∪ df`` for its fingerprint. With ``store_df=None`` this is
+    exactly :func:`exact_substring_dedup` (the min test equals the
+    ``row_number() >= 2`` window — ``(id, pos)`` is unique per
+    occurrence), proven by the shared-core pytest; with a store of
+    earlier-ingested batches' partials it reproduces the batch remover
+    on the ingested union PROVIDED doc ids are nondecreasing across
+    batches (the same arrival-order precondition as the transitions/
+    attribution streams): a document's excision depends only on
+    strictly smaller ``(id, pos)`` occurrences, which then all live in
+    the store or this frame. Entries with LARGER ids in the store (a
+    replayed batch seeing successors' fingerprints) can never flip a
+    min test, so replays are harmless.
+
+    Output schema identical to :func:`exact_substring_dedup`.
+
+    Scale: gram explode + one fingerprint-keyed min agg over
+    (batch grams ∪ store) + one equi-join back to the batch grams —
+    the store never rescans text, and the join's build side is the
+    min table (|distinct fingerprints| rows, AQE-broadcast for small
+    batches).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if hash_mode not in ("md5", "xxhash64"):
+        raise ValueError("hash_mode must be 'md5' or 'xxhash64'")
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__txt")
+    )
+    hasher = F.md5 if hash_mode == "md5" else F.xxhash64
+    grams = _stride1_grams(base, k, hasher)
+    mins = grams.groupBy("__h").agg(
+        F.min(F.struct("__id", "__pos")).alias("__m")
+    )
+    if store_df is not None:
+        store_mins = store_df.select(
+            F.col("fp").alias("__h"),
+            F.struct(
+                F.col("c_id").alias("__id"),
+                F.col("c_pos").cast("int").alias("__pos"),
+            ).alias("__m"),
+        )
+        mins = (
+            mins.unionByName(store_mins)
+            .groupBy("__h")
+            .agg(F.min("__m").alias("__m"))
+        )
+    removals = (
+        grams.join(mins, "__h")
+        .filter(F.struct("__id", "__pos") > F.col("__m"))
+        .select("__id", "__pos")
+    )
+    starts = removals.groupBy("__id").agg(
+        F.array_sort(F.collect_list("__pos")).alias("__starts")
+    )
+    return _excise_from_starts(base, starts, k, id_col)
+
+
 def exact_substring_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -1027,26 +1254,7 @@ def exact_substring_dedup(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__txt")
     )
     hasher = F.md5 if hash_mode == "md5" else F.xxhash64
-    grams = (
-        base.filter(F.col("__txt").isNotNull() & (F.length("__txt") >= k))
-        .select(
-            "__id",
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.length("__txt") - F.lit(k - 1)
-                    ),
-                    lambda i: F.struct(
-                        i.cast("int").alias("p"),
-                        hasher(
-                            F.col("__txt").substr(i, F.lit(k))
-                        ).alias("h"),
-                    ),
-                )
-            ).alias("__s"),
-        )
-        .select("__id", F.col("__s.p").alias("__pos"), F.col("__s.h").alias("__h"))
-    )
+    grams = _stride1_grams(base, k, hasher)
     w = Window.partitionBy("__h").orderBy("__id", "__pos")
     removals = (
         grams.withColumn("__rn", F.row_number().over(w))
@@ -1056,65 +1264,7 @@ def exact_substring_dedup(
     starts = removals.groupBy("__id").agg(
         F.array_sort(F.collect_list("__pos")).alias("__starts")
     )
-    # Single in-row fold over the sorted removal starts: acc carries the
-    # retained text so far, the covered end, and the merged-span count.
-    # A start s with coverage [s, s+k-1]: if s begins past the covered
-    # end the gap (end+1 .. s-1) is retained; a new ISLAND begins only
-    # when there is an actual uncovered gap (s > end+1, or nothing was
-    # covered yet) — adjacent/overlapping windows merge into one span.
-    acc0 = F.struct(
-        F.lit("").alias("t"),
-        F.lit(0).alias("e"),
-        F.lit(0).cast("long").alias("n"),
-    )
-    fold = F.aggregate(
-        F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
-        acc0,
-        lambda a, s: F.struct(
-            F.when(
-                s > a["e"],
-                F.concat(
-                    a["t"],
-                    F.col("__txt").substr(
-                        a["e"] + F.lit(1), s - a["e"] - F.lit(1)
-                    ),
-                ),
-            )
-            .otherwise(a["t"])
-            .alias("t"),
-            F.greatest(a["e"], s + F.lit(k - 1)).alias("e"),
-            (
-                a["n"]
-                + F.when(
-                    (a["e"] == 0) | (s > a["e"] + 1), F.lit(1)
-                ).otherwise(F.lit(0))
-            ).alias("n"),
-        ),
-        lambda a: F.struct(
-            F.concat(
-                a["t"],
-                F.col("__txt").substr(
-                    a["e"] + F.lit(1), F.length("__txt") - a["e"]
-                ),
-            ).alias("t"),
-            a["e"].alias("e"),
-            a["n"].alias("n"),
-        ),
-    )
-    return (
-        base.join(starts, "__id", "left")
-        .withColumn("__f", fold)
-        .select(
-            F.col("__id").alias(id_col),
-            F.col("__f.t").alias("clean_text"),
-            F.coalesce(
-                F.length("__txt") - F.length("__f.t"), F.lit(0)
-            )
-            .cast("bigint")
-            .alias("n_chars_removed"),
-            F.col("__f.n").cast("bigint").alias("n_spans_removed"),
-        )
-    )
+    return _excise_from_starts(base, starts, k, id_col)
 
 
 def ensemble_rank_score(

@@ -1,0 +1,141 @@
+"""Streaming exact-substring dedup — the foreachBatch twin of the
+batch remover x194 (``functions.curation.exact_substring_dedup``,
+Lee et al. 2022 ExactSubstr).
+
+The remover's sufficient state is the per-fingerprint canonical (first)
+occurrence — for every stride-1 ``k``-gram fingerprint, the minimum
+``(doc_id, position)`` — a MIN-MONOID (the x53 signature-persistence
+shape at character level), so the streaming shape is the standard
+partial-twin contract:
+
+- each micro-batch writes its fingerprint min-partial
+  (:func:`...curation.exact_substring_fingerprint_partials`) to
+  ``<output>/partials/batch_id=N`` in OVERWRITE mode (foreachBatch's
+  idempotent-sink contract), then excises ITS OWN documents against the
+  merged fingerprint store
+  (:func:`...curation.exact_substring_excise_against`) and writes the
+  cleaned rows to ``<output>/clean/batch_id=N`` — new batches excise
+  against the store without ever rescanning ingested text;
+- :func:`finalize_exact_substring` is just the union of the cleaned
+  batches — pytest-equal to running the batch remover on the ingested
+  union.
+
+ORDER PRECONDITION (same class as the transitions/attribution
+streams): doc ids must be NONDECREASING across batches — a document's
+excision depends only on strictly smaller ``(id, pos)`` occurrences,
+which then all live in the store or its own batch. Replays are safe
+without any ordering caveat: a replayed batch may see SUCCESSORS'
+fingerprints in the store, but larger ``(id, pos)`` entries can never
+flip a min test, so the rewritten output is identical (the replay
+test pins this).
+
+Scale: per batch ONE gram explode (O(batch chars), map-side) + one
+fingerprint-keyed min agg + one equi-join against the store's min
+table; the store is |distinct corpus k-grams| rows — the SAME table
+the batch remover shuffles, kept instead of recomputed. Compact with
+:func:`compact_exact_substring_partials` (min-monoid closure).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from cryoflow_spark.streaming.report_stream import _start
+
+
+def _write_exact_substring_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    text_col: str,
+    id_col: str,
+    k: int,
+    hash_mode: str,
+) -> None:
+    """Per-batch idempotent partial + clean write (module-level so the
+    replay property is directly testable)."""
+    from cryoflow_spark.functions.curation import (
+        exact_substring_excise_against,
+        exact_substring_fingerprint_partials,
+        merge_exact_substring_partials,
+    )
+
+    spark = batch_df.sparkSession
+    exact_substring_fingerprint_partials(
+        batch_df, text_col=text_col, id_col=id_col, k=k, hash_mode=hash_mode
+    ).write.mode("overwrite").parquet(
+        f"{output_path}/partials/batch_id={batch_id}"
+    )
+    # The glob includes the partial just written — harmless: this
+    # batch's own grams already participate in the min.
+    store = merge_exact_substring_partials(
+        spark.read.parquet(f"{output_path}/partials/batch_id=*").drop(
+            "batch_id"
+        )
+    )
+    exact_substring_excise_against(
+        batch_df,
+        store,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        hash_mode=hash_mode,
+    ).write.mode("overwrite").parquet(
+        f"{output_path}/clean/batch_id={batch_id}"
+    )
+
+
+def exact_substring_stream(
+    stream_df: DataFrame,
+    output_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    hash_mode: str = "md5",
+    checkpoint_path: Optional[str] = None,
+    trigger: str = "available_now",
+) -> StreamingQuery:
+    """Maintain the x194 remover's fingerprint store over a live
+    document stream and excise each arriving batch against it; read
+    the cleaned corpus with :func:`finalize_exact_substring`."""
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    checkpoint = checkpoint_path or f"{output_path}/_checkpoint"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _write_exact_substring_batch(
+            batch_df, batch_id, output_path, text_col, id_col, k, hash_mode
+        )
+
+    return _start(stream_df, _process, checkpoint, trigger)
+
+
+def finalize_exact_substring(
+    spark: SparkSession, output_path: str
+) -> DataFrame:
+    """The cleaned corpus so far: the union of the per-batch excised
+    outputs — equal to the batch remover on the ingested union under
+    the nondecreasing-id precondition."""
+    return spark.read.parquet(f"{output_path}/clean/batch_id=*").drop(
+        "batch_id"
+    )
+
+
+def compact_exact_substring_partials(
+    spark: SparkSession, output_path: str
+) -> int:
+    """Compact per-batch fingerprint directories into one min-merged
+    store table (the family is closed under the min-monoid merge). See
+    :func:`...report_stream.compact_partials` for the crash/replay
+    contract. Returns directories removed."""
+    from cryoflow_spark.functions.curation import (
+        merge_exact_substring_partials,
+    )
+    from cryoflow_spark.streaming.report_stream import compact_partials
+
+    return compact_partials(
+        spark, output_path, merge_fn=merge_exact_substring_partials
+    )

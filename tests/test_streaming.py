@@ -1708,3 +1708,94 @@ def test_drift_state_serves_mann_whitney(spark, tmp_path):
     ]
     want = canon(mann_whitney_u(full, "n_chars", "source", ga, gb))
     assert canon(finalize_mann_whitney(spark, str(out), ga, gb)) == want
+
+
+def test_exact_substring_stream_matches_batch_twin(spark, tmp_path):
+    """x194 streaming twin: per-batch excision against the persisted
+    fingerprint store equals the batch remover on the ingested union
+    (nondecreasing-id ingest — the documented precondition), a
+    replayed batch rewrites identical output even after successors
+    landed, and the compacted store is itself valid partial input for
+    the NEXT batch (min-monoid closure)."""
+    from cryoflow_spark.functions.curation import exact_substring_dedup
+    from cryoflow_spark.queries import load
+    from cryoflow_spark.streaming.excise_stream import (
+        _write_exact_substring_batch,
+        compact_exact_substring_partials,
+        exact_substring_stream,
+        finalize_exact_substring,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    lo = docs.filter(F.col("doc_id") < 250)
+    hi = docs.filter(
+        (F.col("doc_id") >= 250) & (F.col("doc_id") < 400)
+    )
+    tail = docs.filter(F.col("doc_id") >= 400)
+    src = tmp_path / "docs"
+    src.mkdir()
+    # nondecreasing ids across batches: low-id file first
+    lo.coalesce(1).write.parquet(str(src / "a"))
+    hi.coalesce(1).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "excise"
+    q = exact_substring_stream(stream, str(out), k=20)
+    q.awaitTermination(180)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    ingested = lo.unionByName(hi)
+    want = canon(exact_substring_dedup(ingested, k=20))
+    assert canon(finalize_exact_substring(spark, str(out))) == want
+
+    # replay idempotence: rewrite batch 0 AFTER batch 1's partials
+    # exist — successors' (larger-id) fingerprints cannot flip a min
+    _write_exact_substring_batch(
+        lo, 0, str(out), "text", "doc_id", 20, "md5"
+    )
+    assert canon(finalize_exact_substring(spark, str(out))) == want
+
+    # compaction closure: merged store serves the NEXT batch exactly
+    removed = compact_exact_substring_partials(spark, str(out))
+    assert removed >= 1
+    next_id = 2
+    _write_exact_substring_batch(
+        tail, next_id, str(out), "text", "doc_id", 20, "md5"
+    )
+    want_all = canon(exact_substring_dedup(docs, k=20))
+    assert canon(finalize_exact_substring(spark, str(out))) == want_all
+
+
+def test_exact_substring_excise_against_none_equals_batch(spark):
+    """The shared-core identity: excise_against with no store IS the
+    batch remover (min test == the rn>=2 window)."""
+    from cryoflow_spark.functions.curation import (
+        exact_substring_dedup,
+        exact_substring_excise_against,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "xx the quick brown fox jumps over the lazy dog yy"),
+            (3, None),
+            (4, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        tuple(r) for r in exact_substring_dedup(docs, k=20).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in exact_substring_excise_against(docs, None, k=20).collect()
+    )
+    assert a == b
