@@ -557,3 +557,86 @@ def test_x149_active_users_no_corpus_window(spark, registry):
     plan = plan_of(registry["x149_active_users"].fn(spark, SF), "simple")
     assert "Window" not in plan
     assert "Generate explode" in plan
+
+
+class TestBucketedAnnIndex:
+    """r12 verdict item 6: persist the ANN index columns
+    (with_ivf_cell / with_pq_codes) as a table BUCKETED BY the cell id
+    so the steady-state IVF-PQ probe join reads matching bucket files
+    directly — zero Exchange on the corpus side; only the tiny query
+    side shuffles into the bucket partitioning."""
+
+    def test_bucketed_cell_probe_has_no_corpus_exchange(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        from cryoflow_spark.functions.similarity import (
+            fixed_random_centroids,
+            ivf_pq_topk,
+            pq_codebooks,
+            with_ivf_cell,
+            with_pq_codes,
+        )
+        from cryoflow_spark.plugins.output.table_writer import (
+            TableWriterPlugin,
+        )
+
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        cents = fixed_random_centroids(dim=64, n_centroids=8, seed=42)
+        books = pq_codebooks(dim=64, m=8, ksub=16, seed=11)
+        idx = with_pq_codes(
+            with_ivf_cell(e, cents, cell_col="ivf_cell"),
+            books,
+            code_col="pq_codes",
+        )
+        res = TableWriterPlugin(
+            {
+                "table": "t_ann_index",
+                "location": str(tmp_path / "t_ann_index"),
+                "bucket_by": {"columns": ["ivf_cell"], "num_buckets": 8},
+                "sort_by": ["ivf_cell"],
+            }
+        ).execute(idx)
+        assert res.is_success, res
+        # plain (unbucketed) twin for the exchange-count baseline
+        idx.write.mode("overwrite").parquet(str(tmp_path / "plain"))
+
+        q = e.filter(F.col("vec_id") < 5)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            def topk(corpus):
+                return ivf_pq_topk(
+                    corpus,
+                    q,
+                    cents,
+                    books,
+                    k=5,
+                    nprobe=2,
+                    corpus_cell_col="ivf_cell",
+                    corpus_code_col="pq_codes",
+                )
+
+            bucketed = topk(spark.table("t_ann_index"))
+            plain = topk(
+                spark.read.parquet(str(tmp_path / "plain"))
+            )
+            bplan = plan_of(bucketed)
+            pplan = plan_of(plain)
+            assert "Bucketed: true" in bplan, bplan
+            # formatted explain names each node twice (tree + detail
+            # header); count the "(N) Exchange" detail headers once per
+            # physical exchange.
+            n_b = len(re.findall(r"\(\d+\) Exchange", bplan))
+            n_p = len(re.findall(r"\(\d+\) Exchange", pplan))
+            assert n_b == n_p - 1, (
+                f"bucketed probe should drop exactly the corpus-side "
+                f"shuffle: bucketed={n_b} plain={n_p}\n{bplan}"
+            )
+            # same answers either way
+            assert sorted(map(tuple, bucketed.collect())) == sorted(
+                map(tuple, plain.collect())
+            )
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.sql("DROP TABLE IF EXISTS t_ann_index")
