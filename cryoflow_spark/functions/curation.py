@@ -307,6 +307,149 @@ def chunk_documents(
     )
 
 
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    divisor: int = 64,
+    min_len: int = 0,
+) -> DataFrame:
+    """Content-defined chunking + corpus chunk-dup census (the LBFS
+    scheme — Muthitacharoen, Chen & Mazières SOSP 2001 "A low-bandwidth
+    network file system" §3.1; the fixed-window ancestor of FastCDC):
+    cut a chunk boundary after every position whose ``k``-char window
+    hash satisfies ``h % divisor == 0``, so boundaries are decided by
+    CONTENT, not offset — inserting or deleting a prefix shifts every
+    fixed-size chunk (x29) but leaves all content-defined boundaries
+    after the edit untouched, which is exactly the shift-robustness a
+    chunk-level dedup/delta-sync pass needs. Expected chunk length ≈
+    ``divisor`` chars.
+
+    Output: one row per chunk —
+    ``(id, chunk_idx, chunk_start, chunk_len, chunk_hash,
+    n_occurrences)`` with ``chunk_hash`` the md5 of the chunk text and
+    ``n_occurrences`` its corpus-wide count (the dedup census: any
+    chunk with ``n_occurrences > 1`` is storable/shippable once).
+    Null-text docs emit no rows; docs shorter than ``k`` are one whole
+    chunk. Ordered ``(id, chunk_idx)``.
+
+    ``min_len`` optionally suppresses boundaries closer than
+    ``min_len`` to the previously ACCEPTED boundary (FastCDC's
+    min-size rule) via an in-row greedy fold; the default 0 is the
+    pure LBFS scheme (and the oracle-mirrored spelling — the fold is
+    skipped entirely so the plan stays a flat array pipeline).
+
+    Determinism: window hashes are the engine-portable 60-bit md5
+    (:func:`...dedup.portable_hash60`, positive in signed 64-bit so
+    ``%`` agrees across engines); everything else is exact integer
+    arithmetic on in-row arrays.
+
+    Scale: boundary selection and chunk assembly are PER-ROW array
+    expressions (zero shuffle, O(doc chars) work in whole-stage
+    codegen); the only shuffles are the chunk-hash census agg and its
+    join back — both keyed on the 32-hex chunk hash, the same cost
+    class as x01's exact dedup. No all-pairs anywhere.
+    """
+    from cryoflow_spark.functions.dedup import portable_hash60
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if divisor < 1:
+        raise ValueError("divisor must be >= 1")
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__txt")
+    )
+    L = F.length("__txt")
+    cut_ends = F.when(
+        L >= k,
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(1), L - F.lit(k - 1)),
+                lambda i: portable_hash60(
+                    F.col("__txt").substr(i, F.lit(k))
+                )
+                % F.lit(divisor)
+                == 0,
+            ),
+            lambda i: i + F.lit(k - 1),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    if min_len > 0:
+        # nested when: element_at(acc, -1) is only evaluated when the
+        # accumulator is non-empty (ANSI mode errors on empty arrays,
+        # and boolean AND does not short-circuit in codegen)
+        cut_ends = F.aggregate(
+            cut_ends,
+            F.array().cast("array<int>"),
+            lambda acc, e: F.when(
+                F.size(acc) == 0, F.concat(acc, F.array(e))
+            ).otherwise(
+                F.when(
+                    e - F.element_at(acc, -1) < F.lit(min_len), acc
+                ).otherwise(F.concat(acc, F.array(e)))
+            ),
+        )
+    ends = F.when(
+        F.size(cut_ends) == 0, F.array(L.cast("int"))
+    ).otherwise(
+        F.when(F.element_at(cut_ends, -1) == L, cut_ends).otherwise(
+            F.concat(cut_ends, F.array(L.cast("int")))
+        )
+    )
+    chunks = (
+        base.filter(L >= 1)
+        .withColumn("__ends", ends)
+        .select(
+            "__id",
+            F.explode(
+                F.transform(
+                    F.col("__ends"),
+                    lambda e, i: F.struct(
+                        (i + F.lit(1)).alias("ci"),
+                        F.when(i == 0, F.lit(1))
+                        .otherwise(
+                            F.element_at(F.col("__ends"), i) + F.lit(1)
+                        )
+                        .alias("s"),
+                        e.alias("e"),
+                    ),
+                )
+            ).alias("__c"),
+            F.col("__txt"),
+        )
+        .select(
+            F.col("__id"),
+            F.col("__c.ci").alias("chunk_idx"),
+            F.col("__c.s").alias("chunk_start"),
+            (F.col("__c.e") - F.col("__c.s") + F.lit(1)).alias(
+                "chunk_len"
+            ),
+            F.md5(
+                F.col("__txt").substr(
+                    F.col("__c.s"),
+                    F.col("__c.e") - F.col("__c.s") + F.lit(1),
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+    census = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    return (
+        chunks.join(census, "chunk_hash")
+        .select(
+            F.col("__id").alias(id_col),
+            "chunk_idx",
+            "chunk_start",
+            "chunk_len",
+            "chunk_hash",
+            "n_occurrences",
+        )
+        .orderBy(id_col, "chunk_idx")
+    )
+
+
 def remove_frequent_segments(
     df: DataFrame,
     text_col: str = "text",

@@ -126,6 +126,9 @@ the TOML plugin surface. Modes (option ``method``):
   ``exact=false`` for the t-digest sketch at scale).
 - ``chunk``: 1→N sliding-window chunks with char offsets (RAG
   preprocessing) — options ``chunk_size``, ``overlap``.
+- ``cdc_chunks``: content-defined chunking + chunk-dup census (LBFS
+  boundaries, shift-robust dedup regime) — options ``k``, ``divisor``,
+  ``min_len``.
 - ``normalize_unicode``: Unicode-normalize ``column`` (in place, or
   into ``out_column``) — option ``form`` NFC (default) / NFD / NFKC /
   NFKD; pure-ASCII rows take a JVM fast path.
@@ -481,6 +484,16 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 id_col=id_column,
                 chunk_size=int(self.options.get("chunk_size", 500)),
                 overlap=int(self.options.get("overlap", 100)),
+            )
+
+        if method == "cdc_chunks":
+            return C.cdc_chunks(
+                data,
+                text_col=column,
+                id_col=id_column,
+                k=int(self.options.get("k", 16)),
+                divisor=int(self.options.get("divisor", 64)),
+                min_len=int(self.options.get("min_len", 0)),
             )
 
         if method == "lang_margin":

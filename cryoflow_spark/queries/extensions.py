@@ -11343,3 +11343,81 @@ def x202_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     pairs = X.winnowing_candidates(d, k=3, w=4, max_df=20, min_shared=2)
     return k_core_decomposition(pairs, n_rounds=_X202_ROUNDS)
+
+
+# --- x203: content-defined chunking + chunk-dup census (oracle-checked) -----
+
+
+_X203_K = 16
+_X203_D = 64
+
+
+def _x203_oracle() -> str:
+    """LBFS content-defined chunking in DuckDB, mirroring
+    functions/curation.py::cdc_chunks (min_len=0) — portable 60-bit
+    md5 window hashes, pure integer list pipeline."""
+    k, d = _X203_K, _X203_D
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text AS t FROM documents
+      WHERE text IS NOT NULL AND len(text) >= 1
+    ),
+    cuts AS (
+      SELECT doc_id, t,
+        CASE WHEN len(t) >= {k} THEN
+          [CAST(i + {k - 1} AS INT)
+           for i in generate_series(1, len(t) - {k - 1})
+           if CAST('0x' || substring(md5(substr(t, i, {k})), 1, 15)
+                   AS BIGINT) % {d} = 0]
+        ELSE [] END AS ce
+      FROM base
+    ),
+    alle AS (
+      SELECT doc_id, t,
+        CASE WHEN len(ce) = 0 THEN [CAST(len(t) AS INT)]
+             WHEN ce[len(ce)] = len(t) THEN ce
+             ELSE list_append(ce, CAST(len(t) AS INT)) END AS ends
+      FROM cuts
+    ),
+    ch AS (
+      SELECT doc_id,
+             CAST(u.c[1] AS INT) AS chunk_idx,
+             CAST(u.c[2] AS INT) AS chunk_start,
+             CAST(u.c[3] - u.c[2] + 1 AS INT) AS chunk_len,
+             md5(substr(t, u.c[2], u.c[3] - u.c[2] + 1)) AS chunk_hash
+      FROM (
+        SELECT doc_id, t,
+          unnest([[i,
+                   CASE WHEN i = 1 THEN 1 ELSE ends[i - 1] + 1 END,
+                   ends[i]]
+                  for i in generate_series(1, len(ends))]) AS c
+        FROM alle
+      ) u
+    ),
+    census AS (
+      SELECT chunk_hash, COUNT(*)::BIGINT AS n_occurrences
+      FROM ch GROUP BY 1
+    )
+    SELECT ch.doc_id, ch.chunk_idx, ch.chunk_start, ch.chunk_len,
+           ch.chunk_hash, census.n_occurrences
+    FROM ch JOIN census USING (chunk_hash)
+    ORDER BY doc_id, chunk_idx
+    """
+
+
+@register(
+    "x203_cdc_chunks",
+    _x203_oracle(),
+    "Content-defined chunking + corpus chunk-dup census (LBFS, "
+    "Muthitacharoen et al. SOSP 2001 §3.1 — the fixed-window ancestor "
+    "of FastCDC): boundaries wherever the 16-char window's portable "
+    "60-bit md5 hash % 64 == 0, so an inserted/deleted prefix shifts "
+    "every fixed-size chunk (x29) but leaves all later content-defined "
+    "boundaries untouched — the shift-robust chunk-level dedup/delta "
+    "regime; boundary selection and chunk assembly are per-row array "
+    "expressions in whole-stage codegen (zero shuffle), the census is "
+    "one chunk-hash-keyed agg + join back (the x01 cost class)",
+)
+def x203_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return C.cdc_chunks(d, k=_X203_K, divisor=_X203_D)

@@ -10083,3 +10083,118 @@ class TestKCoreDecomposition:
             k_core_decomposition(df, n_rounds=-1)
         with pytest.raises(ValueError, match="max_rounds"):
             k_core_decomposition(df, max_rounds=0)
+
+
+class TestCdcChunks:
+    """x203: content-defined chunking + chunk-dup census."""
+
+    @staticmethod
+    def _ref(texts, k, divisor, min_len=0):
+        """Pure-Python LBFS chunker with the portable 60-bit md5
+        window hash."""
+        import hashlib
+
+        out = {}
+        for doc_id, t in texts:
+            if t is None or len(t) == 0:
+                continue
+            cuts = []
+            if len(t) >= k:
+                for i in range(1, len(t) - k + 2):  # 1-based
+                    h = int(
+                        hashlib.md5(
+                            t[i - 1 : i - 1 + k].encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    if h % divisor == 0:
+                        e = i + k - 1
+                        if min_len > 0 and cuts and e - cuts[-1] < min_len:
+                            continue
+                        cuts.append(e)
+            if not cuts or cuts[-1] != len(t):
+                cuts.append(len(t))
+            rows = []
+            s = 1
+            for ci, e in enumerate(cuts, 1):
+                txt = t[s - 1 : e]
+                rows.append(
+                    (ci, s, e - s + 1,
+                     hashlib.md5(txt.encode()).hexdigest())
+                )
+                s = e + 1
+            out[doc_id] = rows
+        return out
+
+    def test_matches_pure_python_reference(self, spark):
+        from cryoflow_spark.functions.curation import cdc_chunks
+
+        doc = (
+            "the quick brown fox jumps over the lazy dog and keeps "
+            "jumping over lazy dogs forever " * 4
+        )
+        texts = [(1, doc), (2, "xyz " + doc), (3, "short"), (4, None)]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {}
+        for r in cdc_chunks(df, k=8, divisor=16).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["chunk_start"], r["chunk_len"],
+                 r["chunk_hash"])
+            )
+        want = self._ref(texts, k=8, divisor=16)
+        assert {d: sorted(v) for d, v in got.items()} == {
+            d: sorted(v) for d, v in want.items()
+        }
+
+    def test_shift_robustness_and_census(self, spark):
+        """The motivating property: a prefix insertion shifts every
+        fixed-size chunk but preserves all later content-defined
+        boundaries — and the census counts shared chunks across docs."""
+        import random
+
+        from cryoflow_spark.functions.curation import cdc_chunks
+
+        rng = random.Random(203)
+        # non-repetitive text so every chunk is unique within a doc
+        doc = " ".join(
+            "".join(rng.choice("abcdefghij") for _ in range(rng.randrange(3, 9)))
+            for _ in range(80)
+        )
+        df = spark.createDataFrame(
+            [(1, doc), (2, "PREFIX-INSERTED " + doc)],
+            "doc_id long, text string",
+        )
+        rows = cdc_chunks(df, k=8, divisor=16).collect()
+        h1 = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+        h2 = {r["chunk_hash"] for r in rows if r["doc_id"] == 2}
+        shared = h1 & h2
+        assert len(shared) >= len(h1) - 2  # only the head differs
+        assert len(shared) >= 3
+        for r in rows:
+            assert r["n_occurrences"] == (
+                2 if r["chunk_hash"] in shared else 1
+            )
+
+    def test_min_len_and_validation(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.curation import cdc_chunks
+
+        doc = (
+            "the quick brown fox jumps over the lazy dog and keeps "
+            "jumping over lazy dogs forever " * 4
+        )
+        texts = [(1, doc)]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = sorted(
+            (r["chunk_idx"], r["chunk_start"], r["chunk_len"],
+             r["chunk_hash"])
+            for r in cdc_chunks(df, k=8, divisor=16, min_len=10).collect()
+        )
+        want = sorted(self._ref(texts, k=8, divisor=16, min_len=10)[1])
+        assert got == want
+        assert all(l >= 10 for (_, _, l, _) in got[:-1])
+        with pytest.raises(ValueError, match="k must"):
+            cdc_chunks(df, k=1)
+        with pytest.raises(ValueError, match="divisor"):
+            cdc_chunks(df, divisor=0)
