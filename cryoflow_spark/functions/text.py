@@ -3446,3 +3446,85 @@ def term_burstiness(
         .orderBy(F.col("burstiness").desc(), "term")
         .limit(int(top_k))
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Flesch Reading Ease and Flesch-Kincaid grade level
+    (Flesch 1948 "A new readability yardstick"; Kincaid et al. 1975) —
+    the classic surface-statistics readability pair, a standard
+    pretraining quality signal orthogonal to the stopword/length
+    heuristics (x10) and perplexity scorers (x96/x108/x201): formulaic
+    or machine-generated text shows up as implausibly uniform grade
+    levels, OCR junk as implausibly high syllable density.
+
+    Counts, all exact integers: ``n_sentences`` = segments containing
+    a letter after splitting on ``[.!?]+`` (floor 1 so headline-style
+    docs don't divide by zero); ``n_words`` = whitespace tokens;
+    ``n_syllables`` = per word, the number of ``[aeiouy]+`` vowel
+    groups in lowercase, floored at 1 per word (the standard
+    dictionary-free heuristic — no silent-e adjustment, stated so the
+    number is reproducible). Then
+
+    - ``flesch = 206.835 − 1.015·(W/S) − 84.6·(Y/W)``
+    - ``fk_grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59``
+
+    both rounded to 6. Docs with zero words emit no row; null text
+    emits no row.
+
+    Scale: one pure per-row regexp/array pipeline in whole-stage
+    codegen — zero shuffles, zero joins; per-row double arithmetic on
+    exact-integer ratios replicates bit-identically in DuckDB.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    syll = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+            F.lit(1),
+        ),
+    )
+    sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), "[.!?]+", -1),
+                lambda s: s.rlike("[A-Za-z]"),
+            )
+        ),
+        F.lit(1),
+    )
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            sentences.cast("bigint").alias("n_sentences"),
+            F.size(words).cast("bigint").alias("n_words"),
+            syll.alias("n_syllables"),
+        )
+        .filter(F.col("n_words") > 0)
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast(
+        "double"
+    )
+    ypw = F.col("n_syllables").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    return base.select(
+        id_col,
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * ypw, 6
+        ).alias("flesch"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * ypw - F.lit(15.59), 6
+        ).alias("fk_grade"),
+    )

@@ -129,6 +129,9 @@ the TOML plugin surface. Modes (option ``method``):
 - ``cdc_chunks``: content-defined chunking + chunk-dup census (LBFS
   boundaries, shift-robust dedup regime) — options ``k``, ``divisor``,
   ``min_len``.
+- ``readability``: per-doc Flesch Reading Ease + Flesch-Kincaid grade
+  (surface readability signal; replaces the stream with the score
+  table).
 - ``normalize_unicode``: Unicode-normalize ``column`` (in place, or
   into ``out_column``) — option ``form`` NFC (default) / NFD / NFKC /
   NFKD; pure-ASCII rows take a JVM fast path.
@@ -494,6 +497,13 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 k=int(self.options.get("k", 16)),
                 divisor=int(self.options.get("divisor", 64)),
                 min_len=int(self.options.get("min_len", 0)),
+            )
+
+        if method == "readability":
+            from cryoflow_spark.functions.text import readability_scores
+
+            return readability_scores(
+                data, text_col=column, id_col=id_column
             )
 
         if method == "lang_margin":

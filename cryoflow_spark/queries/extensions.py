@@ -11421,3 +11421,51 @@ def _x203_oracle() -> str:
 def x203_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return C.cdc_chunks(d, k=_X203_K, divisor=_X203_D)
+
+
+# --- x204: Flesch/Flesch-Kincaid readability (oracle-checked) ---------------
+
+
+@register(
+    "x204_readability",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x != '') AS w,
+             len(list_filter(string_split_regex(text, '[.!?]+'),
+                             s -> regexp_matches(s, '[A-Za-z]')))
+               AS raw_sent
+      FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (
+      SELECT doc_id,
+             GREATEST(raw_sent, 1)::BIGINT AS n_sentences,
+             len(w)::BIGINT AS n_words,
+             list_sum(list_transform(w, x ->
+               GREATEST(len(regexp_extract_all(x, '[aeiouy]+')), 1)
+             ))::BIGINT AS n_syllables
+      FROM base WHERE len(w) > 0
+    )
+    SELECT doc_id, n_sentences, n_words, n_syllables,
+           ROUND(206.835
+                 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                 - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 6)
+             AS flesch,
+           ROUND(0.39 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                 + 11.8 * (n_syllables::DOUBLE / n_words::DOUBLE)
+                 - 15.59, 6) AS fk_grade
+    FROM counts
+    """,
+    "Per-doc Flesch Reading Ease + Flesch-Kincaid grade (Flesch 1948; "
+    "Kincaid et al. 1975): sentences = letter-bearing [.!?]+ segments "
+    "(floor 1), syllables = per-word [aeiouy]+ vowel groups floored at "
+    "1 (dictionary-free heuristic, stated for reproducibility) — the "
+    "surface readability signal orthogonal to stopword heuristics "
+    "(x10) and perplexity scorers (x96/x108/x201); one per-row "
+    "regexp/array pipeline in whole-stage codegen, zero shuffles, "
+    "exact-integer ratios rounded once",
+)
+def x204_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.readability_scores(d)

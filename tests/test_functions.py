@@ -10198,3 +10198,85 @@ class TestCdcChunks:
             cdc_chunks(df, k=1)
         with pytest.raises(ValueError, match="divisor"):
             cdc_chunks(df, divisor=0)
+
+
+class TestReadabilityScores:
+    """x204: Flesch Reading Ease + Flesch-Kincaid grade."""
+
+    @staticmethod
+    def _ref(texts):
+        import re
+
+        out = {}
+        for doc_id, t in texts:
+            if t is None:
+                continue
+            words = [w for w in re.split(r"\s+", t.lower()) if w != ""]
+            if not words:
+                continue
+            sent = max(
+                sum(
+                    1
+                    for s in re.split(r"[.!?]+", t)
+                    if re.search(r"[A-Za-z]", s)
+                ),
+                1,
+            )
+            syl = sum(
+                max(len(re.findall(r"[aeiouy]+", w)), 1) for w in words
+            )
+            wps = len(words) / sent
+            ypw = syl / len(words)
+            out[doc_id] = (
+                sent,
+                len(words),
+                syl,
+                round(206.835 - 1.015 * wps - 84.6 * ypw, 6),
+                round(0.39 * wps + 11.8 * ypw - 15.59, 6),
+            )
+        return out
+
+    def test_matches_pure_python_reference(self, spark):
+        from cryoflow_spark.functions.text import readability_scores
+
+        texts = [
+            (1, "The cat sat on the mat. The dog barked! Was it loud?"),
+            (2, "Incomprehensibility characterizes bureaucratic "
+                "documentation. Multisyllabic verbiage proliferates."),
+            (3, "no punctuation here at all just words"),
+            (4, "... !!! ???"),   # no letters -> no words? has none
+            (5, None),
+            (6, "mm hmm pfft"),  # vowel-free words floor at 1 syllable
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                r["n_sentences"], r["n_words"], r["n_syllables"],
+                r["flesch"], r["fk_grade"],
+            )
+            for r in readability_scores(df).collect()
+        }
+        want = self._ref(texts)
+        assert set(got) == set(want)
+        for d in want:
+            assert got[d][:3] == want[d][:3], (d, got[d], want[d])
+            assert abs(got[d][3] - want[d][3]) < 1e-9
+            assert abs(got[d][4] - want[d][4]) < 1e-9
+
+    def test_simple_beats_complex(self, spark):
+        """Directional sanity: short common words score EASIER (higher
+        flesch, lower grade) than long Latinate prose."""
+        from cryoflow_spark.functions.text import readability_scores
+
+        df = spark.createDataFrame(
+            [
+                (1, "The cat sat. The dog ran. It was fun."),
+                (2, "Institutional accountability necessitates "
+                    "comprehensive organizational transformation "
+                    "initiatives."),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in readability_scores(df).collect()}
+        assert rows[1]["flesch"] > rows[2]["flesch"]
+        assert rows[1]["fk_grade"] < rows[2]["fk_grade"]
