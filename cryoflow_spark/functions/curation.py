@@ -2360,3 +2360,74 @@ def dsir_log_weights(
             6,
         ).alias("log_weight"),
     )
+
+
+def luhn_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Luhn-checksum audit of payment-card-shaped digit
+    runs (Luhn 1960, US patent 2,950,048 — the ISO/IEC 7812 check
+    digit): candidates are 13-19 digit runs allowing single space/dash
+    separators (``[0-9](?:[ -]?[0-9]){12,18}``, leftmost greedy in
+    both Java regex and RE2 — no lookbehind, so the pattern ports);
+    each candidate's digits are folded right-to-left with every second
+    digit doubled and 9-subtracted, valid iff the sum % 10 == 0. The
+    PRECISION layer the regex-only PII family (x24/x111/x122) lacks:
+    a random 16-digit run passes a digit-shape regex ~100% of the time
+    but Luhn only ~10% — validation cuts the false-positive review
+    queue 10×, the standard practice of every production secret/PII
+    scanner (Presidio, detect-secrets).
+
+    Output: ``(id, n_candidates, n_luhn_valid, n_luhn_invalid)`` for
+    every doc with at least one candidate.
+
+    Scale: pure per-row regexp + in-row integer folds in whole-stage
+    codegen — zero shuffles, zero joins, exact integers throughout.
+    """
+    cands = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[0-9](?:[ -]?[0-9]){12,18}"), F.lit(0)
+    )
+
+    def luhn_valid(c):
+        clean = F.regexp_replace(c, "[^0-9]", "")
+        n = F.length(clean)
+        digit_from_right = lambda i: F.substring(  # noqa: E731
+            clean, (n - i + F.lit(1)).cast("int"), 1
+        ).cast("int")
+        s = F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(i % 2 == 1, digit_from_right(i)).otherwise(
+                F.when(
+                    digit_from_right(i) * 2 > 9,
+                    digit_from_right(i) * 2 - 9,
+                ).otherwise(digit_from_right(i) * 2)
+            ),
+        )
+        return F.when(s % 10 == 0, F.lit(1)).otherwise(F.lit(0))
+
+    valids = F.transform(cands, luhn_valid)
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.size(cands).cast("bigint").alias("n_candidates"),
+            F.aggregate(
+                valids, F.lit(0), lambda a, v: a + v
+            )
+            .cast("bigint")
+            .alias("n_luhn_valid"),
+        )
+        .filter(F.col("n_candidates") > 0)
+        .select(
+            id_col,
+            "n_candidates",
+            "n_luhn_valid",
+            (F.col("n_candidates") - F.col("n_luhn_valid")).alias(
+                "n_luhn_invalid"
+            ),
+        )
+    )

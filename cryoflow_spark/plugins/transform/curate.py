@@ -132,6 +132,8 @@ the TOML plugin surface. Modes (option ``method``):
 - ``readability``: per-doc Flesch Reading Ease + Flesch-Kincaid grade
   (surface readability signal; replaces the stream with the score
   table).
+- ``luhn_audit``: Luhn mod-10 validation of 13-19-digit card-shaped
+  runs — the checksum precision layer over regex PII shape-matching.
 - ``normalize_unicode``: Unicode-normalize ``column`` (in place, or
   into ``out_column``) — option ``form`` NFC (default) / NFD / NFKC /
   NFKD; pure-ASCII rows take a JVM fast path.
@@ -498,6 +500,11 @@ class CuratePlugin(SiblingAwareTransformPlugin):
                 divisor=int(self.options.get("divisor", 64)),
                 min_len=int(self.options.get("min_len", 0)),
             )
+
+        if method == "luhn_audit":
+            from cryoflow_spark.functions.curation import luhn_audit
+
+            return luhn_audit(data, text_col=column, id_col=id_column)
 
         if method == "readability":
             from cryoflow_spark.functions.text import readability_scores

@@ -11469,3 +11469,89 @@ def x203_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x204_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return X.readability_scores(d)
+
+
+# --- x205: Luhn-checksum card-candidate audit (oracle-checked) --------------
+
+
+@register(
+    "x205_luhn_audit",
+    r"""
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' pay 4' ||
+             lpad(CAST((doc_id * 37) % 100000000000000 AS VARCHAR),
+                  14, '0') ||
+             '0 ref 5' ||
+             lpad(CAST((doc_id * 91 + 11) % 100000000000000 AS VARCHAR),
+                  14, '0') || '3' AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cand AS (
+      SELECT doc_id,
+             regexp_extract_all(t, '[0-9](?:[ -]?[0-9]){12,18}') AS cs
+      FROM injected
+    ),
+    scored AS (
+      SELECT doc_id,
+             len(cs)::BIGINT AS n_candidates,
+             list_sum(list_transform(cs, c -> (
+               list_sum(list_transform(
+                 generate_series(1, len(regexp_replace(c, '[^0-9]', '', 'g'))),
+                 i -> CASE WHEN i % 2 = 1
+                   THEN CAST(substr(regexp_replace(c, '[^0-9]', '', 'g'),
+                        len(regexp_replace(c, '[^0-9]', '', 'g')) - i + 1,
+                        1) AS INT)
+                   ELSE CASE WHEN CAST(substr(
+                          regexp_replace(c, '[^0-9]', '', 'g'),
+                          len(regexp_replace(c, '[^0-9]', '', 'g')) - i + 1,
+                          1) AS INT) * 2 > 9
+                     THEN CAST(substr(regexp_replace(c, '[^0-9]', '', 'g'),
+                          len(regexp_replace(c, '[^0-9]', '', 'g')) - i + 1,
+                          1) AS INT) * 2 - 9
+                     ELSE CAST(substr(regexp_replace(c, '[^0-9]', '', 'g'),
+                          len(regexp_replace(c, '[^0-9]', '', 'g')) - i + 1,
+                          1) AS INT) * 2
+                   END
+                 END)) % 10 = 0
+             )::INT))::BIGINT AS n_luhn_valid
+      FROM cand
+    )
+    SELECT doc_id, n_candidates, n_luhn_valid,
+           (n_candidates - n_luhn_valid)::BIGINT AS n_luhn_invalid
+    FROM scored WHERE n_candidates > 0
+    """,
+    "Luhn mod-10 checksum audit (Luhn 1960 / ISO-IEC 7812) of 16-digit "
+    "card-shaped runs over the x24-style deterministically injected "
+    "corpus (two doc_id-derived candidates per doc, ~10% Luhn-valid by "
+    "arithmetic accident) — the VALIDATION precision layer the regex "
+    "PII family (x24/x111/x122) lacks: shape-matching flags every "
+    "16-digit run, the checksum cuts the false-positive queue 10x; "
+    "pure per-row regexp + in-row integer folds, zero shuffles",
+)
+def x205_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    injected = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" pay 4"),
+            F.lpad(
+                ((F.col("doc_id") * 37) % F.lit(100000000000000)).cast(
+                    "string"
+                ),
+                14,
+                "0",
+            ),
+            F.lit("0 ref 5"),
+            F.lpad(
+                (
+                    (F.col("doc_id") * 91 + 11) % F.lit(100000000000000)
+                ).cast("string"),
+                14,
+                "0",
+            ),
+            F.lit("3"),
+        ).alias("text"),
+    )
+    return C.luhn_audit(injected)

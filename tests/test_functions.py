@@ -10280,3 +10280,61 @@ class TestReadabilityScores:
         rows = {r["doc_id"]: r for r in readability_scores(df).collect()}
         assert rows[1]["flesch"] > rows[2]["flesch"]
         assert rows[1]["fk_grade"] < rows[2]["fk_grade"]
+
+
+class TestLuhnAudit:
+    """x205: Luhn mod-10 validation of card-shaped digit runs."""
+
+    @staticmethod
+    def _luhn_ok(digits: str) -> bool:
+        s = 0
+        for i, ch in enumerate(reversed(digits)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            s += d
+        return s % 10 == 0
+
+    def test_known_numbers_and_separators(self, spark):
+        from cryoflow_spark.functions.curation import luhn_audit
+
+        # 4539 1488 0343 6467 is the canonical Luhn-valid test number;
+        # flipping the last digit breaks the checksum.
+        texts = [
+            (1, "pay with 4539148803436467 thanks"),
+            (2, "pay with 4539148803436468 thanks"),       # invalid
+            (3, "card 4539-1488-0343-6467 and 4111 1111 1111 1111"),
+            (4, "short digits 123456 only"),                # no candidate
+            (5, "id 79927398713 ok"),                       # 11 digits: below min
+            (6, None),
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_candidates"], r["n_luhn_valid"],
+                             r["n_luhn_invalid"])
+               for r in luhn_audit(df).collect()}
+        assert self._luhn_ok("4539148803436467")
+        assert not self._luhn_ok("4539148803436468")
+        assert self._luhn_ok("4111111111111111")
+        assert got == {1: (1, 1, 0), 2: (1, 0, 1), 3: (2, 2, 0)}
+
+    def test_randomized_vs_reference(self, spark):
+        import random
+        import re
+
+        from cryoflow_spark.functions.curation import luhn_audit
+
+        rng = random.Random(205)
+        texts = []
+        for i in range(40):
+            n = "".join(rng.choice("0123456789") for _ in range(16))
+            texts.append((i, f"txn {n} end"))
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {r["doc_id"]: r["n_luhn_valid"]
+               for r in luhn_audit(df).collect()}
+        for i, t in texts:
+            digits = re.search(r"[0-9]{16}", t).group()
+            assert got[i] == (1 if self._luhn_ok(digits) else 0), (i, digits)
+        # ~10% of random numbers pass — sanity that both outcomes occur
+        assert 0 < sum(got.values()) < 40
