@@ -1747,3 +1747,109 @@ def edit_distance_verify(
             6,
         ).alias("similarity"),
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 5,
+    key_len: int = 24,
+) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (Hernández & Stolfo SIGMOD
+    1995, the merge/purge method): sort the corpus by a normalized
+    blocking key (lowercased alphanumeric prefix of ``key_len`` chars)
+    and emit every pair within ``window`` positions of each other —
+    the classic record-linkage blocking family the hash-based blockers
+    (LSH bands x15, SimHash pigeonhole x16, winnowing x182) don't
+    cover: near-duplicates whose keys are lexicographically adjacent
+    but hash apart (typo'd prefixes, zero-padded ids, OCR'd leading
+    characters) land in the same neighborhood by SORT ORDER, not by
+    hash equality.
+
+    Output: one row per candidate pair —
+    ``(doc_a, doc_b, rank_distance, prefix_overlap)`` where ``doc_a``
+    is the lower-ranked doc, ``rank_distance`` in ``[1, window)``, and
+    ``prefix_overlap`` the common-prefix length of the two blocking
+    keys (the cheap verify signal; feed pairs to x198's banded
+    edit-distance verifier for character-level confirmation). Ordered
+    ``(doc_a, doc_b)``.
+
+    Scale: the global sort rank comes from the q58 range-partitioned
+    CDF spine (:func:`...ranks.value_cdf` over the unique
+    ``(key, id)`` struct — ``assume_distinct`` skips the groupBy, so
+    the range exchange is the only full-table movement and NO
+    single-reducer window exists anywhere); neighborhoods are
+    ``window``-row blocks joined block-to-block and block-to-next
+    (two equi-joins, never an OR-join/BNLJ); the DuckDB oracle uses
+    the classic single ``ROW_NUMBER() OVER (ORDER BY ...)`` spelling,
+    proving the distributed formulation bit-identical.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    if key_len < 1:
+        raise ValueError("key_len must be >= 1")
+    from cryoflow_spark.functions.ranks import value_cdf
+
+    keyed = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.substring(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""),
+            1,
+            key_len,
+        ).alias("__k"),
+    )
+    ranked = (
+        value_cdf(
+            keyed.select(
+                F.struct(F.col("__k"), F.col("__id")).alias("__sv")
+            ),
+            "__sv",
+            assume_distinct=True,
+        )
+        .select(
+            F.col("__sv.__id").alias("__id"),
+            F.col("__sv.__k").alias("__k"),
+            (F.col("rows_below") + F.lit(1)).alias("__rn"),
+        )
+        .withColumn(
+            "__blk", ((F.col("__rn") - 1) / F.lit(window)).cast("bigint")
+        )
+    )
+    a = ranked.select(
+        F.col("__id").alias("__ida"),
+        F.col("__k").alias("__ka"),
+        F.col("__rn").alias("__rna"),
+        F.col("__blk").alias("__blka"),
+    )
+    b = ranked.select(
+        F.col("__id").alias("__idb"),
+        F.col("__k").alias("__kb"),
+        F.col("__rn").alias("__rnb"),
+        F.col("__blk").alias("__blkb"),
+    )
+    same = a.join(b, F.col("__blka") == F.col("__blkb"))
+    adj = a.join(b, F.col("__blka") + 1 == F.col("__blkb"))
+    pairs = same.unionByName(adj).filter(
+        (F.col("__rnb") > F.col("__rna"))
+        & (F.col("__rnb") - F.col("__rna") < F.lit(window))
+    )
+    minlen = F.least(F.length("__ka"), F.length("__kb"))
+    overlap = F.when(
+        minlen >= 1,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), minlen),
+                lambda i: F.col("__ka").substr(F.lit(1), i)
+                == F.col("__kb").substr(F.lit(1), i),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return pairs.select(
+        F.col("__ida").alias("doc_a"),
+        F.col("__idb").alias("doc_b"),
+        (F.col("__rnb") - F.col("__rna")).cast("bigint").alias(
+            "rank_distance"
+        ),
+        overlap.cast("bigint").alias("prefix_overlap"),
+    ).orderBy("doc_a", "doc_b")

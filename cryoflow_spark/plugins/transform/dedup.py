@@ -37,6 +37,9 @@ Engine extension for large-scale training-data pipelines (BASELINE.json
   signature column (``out_column``, default ``minhash_sig``) — store it
   in the lake so steady-state incremental ingest never recomputes the
   corpus side.
+- ``sorted_neighborhood``: Hernandez-Stolfo merge/purge blocking —
+  pairs within ``window`` sort positions of the normalized key prefix;
+  options ``window``, ``key_len``.
 - ``winnowing``: MOSS winnowing fingerprint candidate pairs (token
   k-gram hashes, window-min selection with the shared-run guarantee);
   options ``column``, ``k``, ``w``, ``max_df``, ``min_shared``.
@@ -216,6 +219,18 @@ class DedupPlugin(SiblingAwareTransformPlugin):
                 w=int(self.options.get("w", 4)),
                 max_df=int(self.options.get("max_df", 20)),
                 min_shared=int(self.options.get("min_shared", 2)),
+            )
+        if method == "sorted_neighborhood":
+            from cryoflow_spark.functions.dedup import (
+                sorted_neighborhood_pairs,
+            )
+
+            return sorted_neighborhood_pairs(
+                data,
+                text_col=column,
+                id_col=id_column,
+                window=int(self.options.get("window", 5)),
+                key_len=int(self.options.get("key_len", 24)),
             )
         if method == "rouge_pairs":
             from cryoflow_spark.functions.text import rouge_overlap_pairs

@@ -11555,3 +11555,46 @@ def x205_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return C.luhn_audit(injected)
+
+
+# --- x206: sorted-neighborhood blocking (oracle-checked) --------------------
+
+
+@register(
+    "x206_sorted_neighborhood",
+    r"""
+    WITH keyed AS (
+      SELECT doc_id,
+             substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                    1, 24) AS k
+      FROM documents WHERE text IS NOT NULL
+    ),
+    r AS (
+      SELECT doc_id, k,
+             ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           (b.rn - a.rn)::BIGINT AS rank_distance,
+           CASE WHEN least(len(a.k), len(b.k)) >= 1 THEN
+             len(list_filter(
+               generate_series(1, least(len(a.k), len(b.k))),
+               i -> substr(a.k, 1, i) = substr(b.k, 1, i)))
+           ELSE 0 END::BIGINT AS prefix_overlap
+    FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 5
+    ORDER BY doc_a, doc_b
+    """,
+    "Sorted-neighborhood dedup blocking (Hernandez & Stolfo SIGMOD "
+    "1995 merge/purge): sort by a normalized 24-char alphanumeric key "
+    "prefix, emit all pairs within 5 sort positions — the classic "
+    "record-linkage blocking family hash blockers (x15/x16/x182) miss: "
+    "lexicographically adjacent near-dups that hash apart; global rank "
+    "from the q58 range-partitioned CDF spine (NO single-reducer "
+    "window anywhere — the oracle's classic ROW_NUMBER spelling proves "
+    "the distributed formulation bit-identical); neighborhoods are "
+    "window-row blocks joined block-to-block and block-to-next, two "
+    "equi-joins",
+)
+def x206_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.sorted_neighborhood_pairs(d, window=5, key_len=24)

@@ -10338,3 +10338,75 @@ class TestLuhnAudit:
             assert got[i] == (1 if self._luhn_ok(digits) else 0), (i, digits)
         # ~10% of random numbers pass — sanity that both outcomes occur
         assert 0 < sum(got.values()) < 40
+
+
+class TestSortedNeighborhood:
+    """x206: Hernandez-Stolfo merge/purge blocking."""
+
+    @staticmethod
+    def _ref(texts, window, key_len):
+        import re
+
+        keyed = sorted(
+            (re.sub(r"[^a-z0-9]", "", t.lower())[:key_len], i)
+            for i, t in texts
+            if t is not None
+        )
+        out = set()
+        for p in range(len(keyed)):
+            for q in range(p + 1, min(p + window, len(keyed))):
+                ka, ia = keyed[p]
+                kb, ib = keyed[q]
+                ov = 0
+                for j in range(1, min(len(ka), len(kb)) + 1):
+                    if ka[:j] == kb[:j]:
+                        ov += 1
+                out.add((ia, ib, q - p, ov))
+        return out
+
+    def test_matches_pure_python_reference(self, spark):
+        from cryoflow_spark.functions.dedup import (
+            sorted_neighborhood_pairs,
+        )
+
+        texts = [
+            (1, "Invoice 00042 ACME Corp"),
+            (2, "invoice 00042 acme corp!"),   # same key as doc 1
+            (3, "Invoice 00043 acme corp"),    # adjacent key
+            (4, "zebra completely different"),
+            (5, "Invoice-00042-ACME corp."),   # same key again
+            (6, None),
+            (7, "aardvark first in order"),
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            (r["doc_a"], r["doc_b"], r["rank_distance"],
+             r["prefix_overlap"])
+            for r in sorted_neighborhood_pairs(
+                df, window=3, key_len=24
+            ).collect()
+        }
+        assert got == self._ref(texts, window=3, key_len=24)
+        # identical-key docs must pair (the motivating case)
+        paired = {(a, b) for a, b, _, _ in got}
+        assert (1, 2) in paired or (2, 1) in paired
+
+    def test_window_bound_and_validation(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.dedup import (
+            sorted_neighborhood_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"doc number {i:04d}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        rows = sorted_neighborhood_pairs(df, window=4).collect()
+        assert rows and all(1 <= r["rank_distance"] <= 3 for r in rows)
+        # every adjacent-rank pair present: 19 rank-1 pairs
+        assert sum(1 for r in rows if r["rank_distance"] == 1) == 19
+        with pytest.raises(ValueError, match="window"):
+            sorted_neighborhood_pairs(df, window=1)
+        with pytest.raises(ValueError, match="key_len"):
+            sorted_neighborhood_pairs(df, key_len=0)
