@@ -775,3 +775,155 @@ def k_core_decomposition(
         .select("node", "degree", F.col("__h").alias("coreness"))
         .orderBy("node")
     )
+
+
+def k_truss_edges(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    n_rounds: "int | None" = None,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """The ``k``-truss of an undirected graph (Cohen 2008, "Trusses:
+    cohesive subgraphs for social network analysis"): the maximal
+    subgraph in which EVERY edge participates in at least ``k-2``
+    triangles — the edge-level sharpening of the node-level k-core
+    (every k-truss is inside the (k-1)-core but prunes much harder:
+    a star hub survives any core cut yet carries zero triangles). On
+    the dedup candidate graph this separates genuine template FAMILIES
+    (mutually-supporting triangles) from chains of chance collisions
+    that k-core keeps.
+
+    Iterative support peeling: compute each surviving edge's triangle
+    support with the degree-oriented enumeration (the x189
+    last-reducer-safe join), drop edges with support < ``k-2``, repeat
+    until stable. ``n_rounds`` pins an exact round count (the
+    registered query's oracle mode — both engines run the same
+    unrolled rounds, bit-identical by construction); ``None`` (library
+    default) iterates to convergence with a bounded 1-row count probe
+    per round and ``localCheckpoint`` lineage truncation (the x20
+    rule).
+
+    Output: the surviving edge list ``(a, b, support)`` with
+    ``a < b`` and ``support`` the triangle count INSIDE the truss,
+    ordered ``(a, b)``. Self-loops/duplicate/reversed input edges are
+    dropped.
+
+    Scale: each round = one degree agg + orientation joins + the
+    oriented wedge join (every pivot's out-degree O(sqrt m) — never a
+    hub's full neighborhood) + one edge-keyed support agg + an
+    anti-join removal; rounds are bounded by the peel depth (small for
+    candidate graphs; the k=3 truss usually stabilizes in a few).
+    """
+    if k < 3:
+        raise ValueError("k must be >= 3")
+    if n_rounds is not None and n_rounds < 0:
+        raise ValueError("n_rounds must be >= 0")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    cur = (
+        edges.select(
+            F.col(src_col).alias("__u"), F.col(dst_col).alias("__v")
+        )
+        .filter(F.col("__u") != F.col("__v"))
+        .select(
+            F.least("__u", "__v").alias("__a"),
+            F.greatest("__u", "__v").alias("__b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def edge_support(e: DataFrame) -> DataFrame:
+        """(a, b, support) for every edge of e (support may be 0)."""
+        deg = (
+            e.select(F.col("__a").alias("__n"))
+            .unionByName(e.select(F.col("__b").alias("__n")))
+            .groupBy("__n")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__d"))
+        )
+        da = deg.select(
+            F.col("__n").alias("__a"), F.col("__d").alias("__da")
+        )
+        db = deg.select(
+            F.col("__n").alias("__b"), F.col("__d").alias("__db")
+        )
+        dec = e.join(da, "__a").join(db, "__b")
+        lower_first = (F.col("__da") < F.col("__db")) | (
+            (F.col("__da") == F.col("__db")) & (F.col("__a") < F.col("__b"))
+        )
+        oriented = dec.select(
+            F.when(lower_first, F.col("__a")).otherwise(F.col("__b")).alias(
+                "__s"
+            ),
+            F.when(lower_first, F.col("__b")).otherwise(F.col("__a")).alias(
+                "__t"
+            ),
+        ).localCheckpoint(eager=False)
+        w1 = oriented.select(
+            F.col("__s").alias("__p"), F.col("__t").alias("__x")
+        )
+        w2 = oriented.select(
+            F.col("__s").alias("__p"), F.col("__t").alias("__y")
+        )
+        wedges = w1.join(w2, "__p").filter(F.col("__x") < F.col("__y"))
+        closing = oriented.select(
+            F.least("__s", "__t").alias("__x"),
+            F.greatest("__s", "__t").alias("__y"),
+        )
+        tri = wedges.join(closing, ["__x", "__y"])
+        # each triangle (p, x, y) supports its three edges (canonical a<b)
+        e1 = tri.select(
+            F.least("__p", "__x").alias("__a"),
+            F.greatest("__p", "__x").alias("__b"),
+        )
+        e2 = tri.select(
+            F.least("__p", "__y").alias("__a"),
+            F.greatest("__p", "__y").alias("__b"),
+        )
+        e3 = tri.select(
+            F.col("__x").alias("__a"), F.col("__y").alias("__b")
+        )
+        sup = (
+            e1.unionByName(e2)
+            .unionByName(e3)
+            .groupBy("__a", "__b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__sup"))
+        )
+        return e.join(sup, ["__a", "__b"], "left").select(
+            "__a",
+            "__b",
+            F.coalesce("__sup", F.lit(0).cast("bigint")).alias("__sup"),
+        )
+
+    # One round: sup_t = support(e_{t-1}); e_t = edges with sup_t >=
+    # k-2 (carrying sup_t). The oracle unrolls the SAME recurrence, so
+    # fixed-round results replicate bit-identically; at convergence
+    # e_{t-1} == e_t, so the carried support IS the within-truss count.
+    thresh = k - 2
+    out = None
+    if n_rounds is not None:
+        for _ in range(max(n_rounds, 1)):
+            out = (
+                edge_support(cur)
+                .filter(F.col("__sup") >= thresh)
+                .localCheckpoint(eager=False)
+            )
+            cur = out.select("__a", "__b")
+    else:
+        for _ in range(max_rounds):
+            before = cur.count()
+            out = (
+                edge_support(cur)
+                .filter(F.col("__sup") >= thresh)
+                .localCheckpoint(eager=False)
+            )
+            cur = out.select("__a", "__b")
+            if cur.count() == before:
+                break
+    return out.select(
+        F.col("__a").alias("a"),
+        F.col("__b").alias("b"),
+        F.col("__sup").alias("support"),
+    ).orderBy("a", "b")

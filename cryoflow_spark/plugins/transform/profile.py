@@ -110,6 +110,11 @@ disturbing the main stream. Options:
 - ``report = "assortativity"`` emits the ONE-row Newman degree
   assortativity of the same edge-list shape — hub-and-spoke template
   graphs score negative.
+- ``report = "kcore"`` emits per-node coreness of the same edge-list
+  shape (h-index fixed point; dense dup-family isolation).
+- ``report = "ktruss"`` emits the k-truss edge list + per-edge
+  triangle support (option ``k``, default 3) — the edge-level
+  sharpening of kcore that drops star hubs.
 - ``report = "pagerank"`` emits the PageRank centrality of event
   types over the user-journey transition graph (``damping`` default
   0.85, ``n_iter`` default 5) — navigation anchors by flow, not hits.
@@ -508,6 +513,25 @@ class ProfilePlugin(SiblingAwareTransformPlugin):
 
             return degree_assortativity(
                 data,
+                src_col=self.options.get("src_column", "doc_a"),
+                dst_col=self.options.get("dst_column", "doc_b"),
+            )
+
+        if self.options.get("report") == "kcore":
+            from cryoflow_spark.functions.graph import k_core_decomposition
+
+            return k_core_decomposition(
+                data,
+                src_col=self.options.get("src_column", "doc_a"),
+                dst_col=self.options.get("dst_column", "doc_b"),
+            )
+
+        if self.options.get("report") == "ktruss":
+            from cryoflow_spark.functions.graph import k_truss_edges
+
+            return k_truss_edges(
+                data,
+                k=int(self.options.get("k", 3)),
                 src_col=self.options.get("src_column", "doc_a"),
                 dst_col=self.options.get("dst_column", "doc_b"),
             )

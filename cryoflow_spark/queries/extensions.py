@@ -11598,3 +11598,82 @@ def x205_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x206_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return D.sorted_neighborhood_pairs(d, window=5, key_len=24)
+
+
+# --- x207: k-truss of the candidate graph (oracle-checked) ------------------
+
+
+_X207_ROUNDS = 4
+_X207_K = 3
+
+
+def _x207_oracle(n_rounds: int = _X207_ROUNDS, k: int = _X207_K) -> str:
+    """k-truss support peeling in DuckDB, mirroring
+    functions/graph.py::k_truss_edges(n_rounds=...) round for round
+    (degree-oriented triangle enumeration per round — the x189 core —
+    then drop edges with support < k-2). Exact integers only."""
+    thresh = k - 2
+    its = []
+    prev = "e0"
+    for t in range(1, n_rounds + 1):
+        its.append(f"""
+    deg{t} AS MATERIALIZED (
+      SELECT n, COUNT(*)::BIGINT AS d
+      FROM (SELECT a AS n FROM {prev} UNION ALL SELECT b FROM {prev})
+      GROUP BY 1
+    ),
+    o{t} AS MATERIALIZED (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS s,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS t2
+      FROM {prev} e JOIN deg{t} da ON da.n = e.a
+      JOIN deg{t} db ON db.n = e.b
+    ),
+    w{t} AS (
+      SELECT w1.s AS p, w1.t2 AS x, w2.t2 AS y
+      FROM o{t} w1 JOIN o{t} w2 ON w1.s = w2.s AND w1.t2 < w2.t2
+    ),
+    c{t} AS (SELECT LEAST(s, t2) AS x, GREATEST(s, t2) AS y FROM o{t}),
+    tri{t} AS MATERIALIZED (SELECT p, x, y FROM w{t} JOIN c{t} USING (x, y)),
+    sup{t} AS (
+      SELECT a, b, COUNT(*)::BIGINT AS sup FROM (
+        SELECT LEAST(p, x) AS a, GREATEST(p, x) AS b FROM tri{t}
+        UNION ALL SELECT LEAST(p, y), GREATEST(p, y) FROM tri{t}
+        UNION ALL SELECT x, y FROM tri{t}
+      ) GROUP BY 1, 2
+    ),
+    e{t} AS MATERIALIZED (
+      SELECT e.a, e.b, COALESCE(sup{t}.sup, 0)::BIGINT AS sup
+      FROM {prev} e LEFT JOIN sup{t}
+        ON e.a = sup{t}.a AND e.b = sup{t}.b
+      WHERE COALESCE(sup{t}.sup, 0) >= {thresh}
+    )""")
+        prev = f"e{t}"
+    body = ",".join(its)
+    return f"""
+    WITH {_WINNOW_CTES},
+    {_WINNOW_PAIRS_CTE},
+    e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand),{body}
+    SELECT a, b, sup AS support FROM {prev} ORDER BY a, b
+    """
+
+
+@register(
+    "x207_ktruss",
+    _x207_oracle(),
+    "k-truss (k=3) of the x182 winnowing candidate graph (Cohen 2008 "
+    "'Trusses: cohesive subgraphs'): iterative support peeling — drop "
+    "every edge in fewer than k-2 triangles, recompute, repeat — the "
+    "edge-level sharpening of x202's k-core (a star hub survives any "
+    "core cut yet carries zero triangles; the truss keeps only "
+    "mutually-supporting template families); per-round support via the "
+    "x189 degree-oriented enumeration (no last-reducer hub blowup); 4 "
+    "fixed rounds (converged on testdata, verified), exact integers",
+)
+def x207_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cryoflow_spark.functions.graph import k_truss_edges
+
+    d = load(spark, sf_dir, "documents")
+    pairs = X.winnowing_candidates(d, k=3, w=4, max_df=20, min_shared=2)
+    return k_truss_edges(pairs, k=_X207_K, n_rounds=_X207_ROUNDS)

@@ -10410,3 +10410,90 @@ class TestSortedNeighborhood:
             sorted_neighborhood_pairs(df, window=1)
         with pytest.raises(ValueError, match="key_len"):
             sorted_neighborhood_pairs(df, key_len=0)
+
+
+class TestKTruss:
+    """x207: k-truss support peeling."""
+
+    @staticmethod
+    def _peel(edges, k):
+        """Pure-Python iterative support peel."""
+        es = {
+            (min(a, b), max(a, b))
+            for a, b in edges
+            if a != b
+        }
+        while True:
+            sup = {e: 0 for e in es}
+            adj = {}
+            for a, b in es:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            for a, b in es:
+                sup[(a, b)] = len(adj[a] & adj[b])
+            keep = {e for e in es if sup[e] >= k - 2}
+            if keep == es:
+                return {e: sup[e] for e in es}
+            es = keep
+
+    def test_hand_graph_and_core_contrast(self, spark):
+        from cryoflow_spark.functions.graph import (
+            k_core_decomposition,
+            k_truss_edges,
+        )
+
+        # 4-clique + a star hub (node 9 connected to 4 leaves): the
+        # hub survives the 2-core but carries zero triangles — the
+        # truss drops it, the motivating contrast with k-core.
+        edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+                 (9, 10), (9, 11), (9, 12), (9, 13),
+                 (10, 11), (11, 12)]
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {(r["a"], r["b"]): r["support"]
+               for r in k_truss_edges(df, k=3).collect()}
+        assert got == self._peel(edges, 3)
+        # the 4-clique survives (each edge in 2 triangles); star spokes
+        # without a closing triangle are gone
+        assert (0, 1) in got and got[(0, 1)] == 2
+        assert (9, 13) not in got
+        # contrast: k-core keeps the whole star at coreness >= 1
+        cores = {r["node"]: r["coreness"]
+                 for r in k_core_decomposition(df).collect()}
+        assert cores[13] >= 1
+
+    def test_randomized_vs_peel_and_fixed_rounds(self, spark):
+        import random
+
+        from cryoflow_spark.functions.graph import k_truss_edges
+
+        rng = random.Random(207)
+        edges = set()
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.add((i, j))
+        while len(edges) < 60:
+            a, b = rng.randrange(30), rng.randrange(30)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        edges = sorted(edges)
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        conv = {(r["a"], r["b"]): r["support"]
+                for r in k_truss_edges(df, k=3).collect()}
+        assert conv == self._peel(edges, 3)
+        k4 = {(r["a"], r["b"]): r["support"]
+              for r in k_truss_edges(df, k=4).collect()}
+        assert k4 == self._peel(edges, 4)
+        fixed = {(r["a"], r["b"]): r["support"]
+                 for r in k_truss_edges(df, k=3, n_rounds=8).collect()}
+        assert fixed == conv
+
+    def test_validation(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.graph import k_truss_edges
+
+        df = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        with pytest.raises(ValueError, match="k must"):
+            k_truss_edges(df, k=2)
+        with pytest.raises(ValueError, match="n_rounds"):
+            k_truss_edges(df, n_rounds=-1)
