@@ -3528,3 +3528,81 @@ def readability_scores(
             F.lit(0.39) * wps + F.lit(11.8) * ypw - F.lit(15.59), 6
         ).alias("fk_grade"),
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 2,
+    damping: float = 0.85,
+    n_iter: int = 5,
+    top_n: int = 30,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau
+    EMNLP 2004, §3.1 — "TextRank: Bringing Order into Text"): build
+    the word co-occurrence graph (an undirected edge per ordered token
+    pair within ``window`` positions, weighted by occurrence count,
+    with a ``min_count`` noise floor) and rank words by weighted
+    PageRank — keywords are words that many other well-connected words
+    co-occur with, the graph-centrality upgrade of raw frequency
+    (x21's TF-IDF) and of pairwise association (x109/x199's PMI):
+    frequency can be gamed by repetition and PMI favors rare pairs,
+    centrality requires broad, mutually-reinforcing context.
+
+    Output: the ``top_n`` ``(word, rank)`` rows, rank descending with
+    a word tiebreak; ranks from :func:`...graph.pagerank` (uniform
+    start, dangling redistribution — vacuous on this symmetric graph —
+    exact canonical-fold arithmetic, rounded to 9).
+
+    Scale: the corpus collapses to the |vocab pairs|-bounded edge
+    table in one explode + keyed count (the x199 shape); every
+    PageRank iteration then runs on the vocabulary-sized graph — 10×
+    the corpus costs one bigger count agg, the iterations cost the
+    same. Top-n is TakeOrdered.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    from cryoflow_spark.functions.graph import pagerank
+
+    toks = _ws_tokens_factory(text_col, lowercase)
+    pairs = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(toks().alias("__toks"))
+        .select(
+            F.explode(
+                _window_pairs(F.col("__toks"), int(window))
+            ).alias("__pr")
+        )
+        .select(
+            F.col("__pr.p").alias("__w1"), F.col("__pr.c").alias("__w2")
+        )
+        .groupBy("__w1", "__w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("__w2").alias("__w1"),
+            F.col("__w1").alias("__w2"),
+            "__cnt",
+        )
+    )
+    ranked = pagerank(
+        sym,
+        src_col="__w1",
+        dst_col="__w2",
+        weight_col="__cnt",
+        damping=damping,
+        n_iter=n_iter,
+    )
+    return (
+        ranked.select(F.col("node").alias("word"), "rank")
+        .orderBy(F.desc("rank"), "word")
+        .limit(int(top_n))
+    )

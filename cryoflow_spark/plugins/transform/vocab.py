@@ -39,6 +39,10 @@ Options:
   within ``window`` positions (the word2vec-style co-occurrence
   regime) — multiword-expression / boilerplate-phrase / topical-
   association discovery.
+- ``method = "textrank"`` — top-``top_n`` keywords by weighted
+  PageRank over the window co-occurrence graph (Mihalcea & Tarau
+  2004) — graph-centrality keyword extraction; options ``window``,
+  ``min_count``, ``damping``, ``n_iter``, ``top_n``.
 - ``method = "fertility"`` — per-``group_column`` tokenizer fertility
   / compression report (tokens per word, chars per token, tokens per
   doc) — the multilingual token-budget fairness signal.
@@ -270,6 +274,19 @@ class VocabPlugin(AnalyzedTransformPlugin):
                 top_n=int(self.options.get("top_n", 50)),
                 lowercase=bool(self.options.get("lowercase", True)),
                 window=int(self.options.get("window", 1)),
+            )
+        if self.options.get("method") == "textrank":
+            from cryoflow_spark.functions.text import textrank_keywords
+
+            return textrank_keywords(
+                data,
+                text_col=self.options.get("column", "text"),
+                window=int(self.options.get("window", 2)),
+                min_count=int(self.options.get("min_count", 2)),
+                damping=float(self.options.get("damping", 0.85)),
+                n_iter=int(self.options.get("n_iter", 5)),
+                top_n=int(self.options.get("top_n", 30)),
+                lowercase=bool(self.options.get("lowercase", True)),
             )
         if self.options.get("method") == "heavy_hitters":
             return heavy_hitters(

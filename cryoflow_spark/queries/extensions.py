@@ -11677,3 +11677,109 @@ def x207_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     pairs = X.winnowing_candidates(d, k=3, w=4, max_df=20, min_shared=2)
     return k_truss_edges(pairs, k=_X207_K, n_rounds=_X207_ROUNDS)
+
+
+# --- x208: TextRank keywords (oracle-checked) --------------------------------
+
+
+def _x208_oracle(damping: float = 0.85, n_iter: int = 5) -> str:
+    """DuckDB replica of TextRank: the x199 window-pair graph (window
+    2, min_count 2, symmetrized) under the x161 fixed-iteration
+    PageRank unroll — canonical-order list_reduce folds mirror Spark's
+    collect_list->array_sort->aggregate sums; damping constants enter
+    as repr'd double literals."""
+    d = float(damping)
+    omd = 1.0 - d
+    fold = (
+        "list_reduce(list_prepend(0.0::DOUBLE, list({expr} ORDER BY "
+        "{order})), (acc, x) -> acc + x)"
+    )
+    its = []
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        inc_fold = fold.format(expr="r.rank * e.w / e.outw", order="e.src")
+        dang_fold = fold.format(expr="r.rank", order="r.node")
+        its.append(f"""
+    in{k} AS (
+      SELECT e.dst AS node, {inc_fold} AS inc
+      FROM e JOIN {prev} r ON e.src = r.node GROUP BY e.dst
+    ),
+    d{k} AS (
+      SELECT COALESCE({dang_fold}, 0.0::DOUBLE) AS dm
+      FROM {prev} r ANTI JOIN outw o ON r.node = o.src
+    ),
+    r{k} AS (
+      SELECT n.node,
+             ({omd!r}::DOUBLE / nn.n::DOUBLE)
+             + {d!r}::DOUBLE
+               * (COALESCE(i.inc, 0.0::DOUBLE)
+                  + dk.dm / nn.n::DOUBLE) AS rank
+      FROM nodes n LEFT JOIN in{k} i USING (node)
+      CROSS JOIN d{k} dk CROSS JOIN nn
+    )""")
+        prev = f"r{k}"
+    body = ",".join(its)
+    return rf"""
+    WITH toks AS (
+      SELECT list_transform(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x != ''), t -> lower(t)) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    fwd AS MATERIALIZED (
+      SELECT u.pr.p AS w1, u.pr.c AS w2, COUNT(*)::BIGINT AS cnt
+      FROM (
+        SELECT unnest(flatten([[{{'p': t[i], 'c': t[j]}}
+                 for j in generate_series(i + 1, least(i + 2, len(t)))]
+                for i in generate_series(1, len(t) - 1)])) AS pr
+        FROM toks WHERE len(t) >= 2
+      ) u GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sym AS (
+      SELECT w1, w2, cnt FROM fwd
+      UNION ALL SELECT w2, w1, cnt FROM fwd
+    ),
+    edges AS MATERIALIZED (
+      SELECT w1 AS src, w2 AS dst,
+             {fold.format(expr="cnt::DOUBLE", order="cnt")} AS w
+      FROM sym GROUP BY w1, w2
+    ),
+    outw AS MATERIALIZED (
+      SELECT src, {fold.format(expr="w", order="dst")} AS outw
+      FROM edges GROUP BY src
+    ),
+    e AS MATERIALIZED (
+      SELECT edges.src, edges.dst, edges.w, outw.outw
+      FROM edges JOIN outw USING (src)
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ),
+    nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+    r0 AS (
+      SELECT node, 1.0::DOUBLE / nn.n::DOUBLE AS rank
+      FROM nodes CROSS JOIN nn
+    ),{body}
+    SELECT node AS word, ROUND(rank, 9) AS rank FROM {prev}
+    ORDER BY rank DESC, word LIMIT 30
+    """
+
+
+@register(
+    "x208_textrank",
+    _x208_oracle(),
+    "Corpus-level TextRank keywords (Mihalcea & Tarau EMNLP 2004): "
+    "weighted PageRank over the window-2 word co-occurrence graph "
+    "(count weights, min_count=2 floor, symmetrized) — the graph-"
+    "centrality upgrade of TF-IDF frequency (x21) and PMI association "
+    "(x109/x199): centrality needs broad mutually-reinforcing context, "
+    "not repetition or rare-pair luck; corpus collapses once to the "
+    "vocab-pair edge table, every iteration runs on the vocabulary-"
+    "sized graph (x161's canonical-fold PageRank core, 5 iterations), "
+    "top-30 TakeOrdered",
+)
+def x208_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.textrank_keywords(
+        d, window=2, min_count=2, damping=0.85, n_iter=5, top_n=30
+    )

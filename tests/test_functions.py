@@ -10497,3 +10497,101 @@ class TestKTruss:
             k_truss_edges(df, k=2)
         with pytest.raises(ValueError, match="n_rounds"):
             k_truss_edges(df, n_rounds=-1)
+
+
+class TestTextrankKeywords:
+    """x208: TextRank keywords over the co-occurrence graph."""
+
+    @staticmethod
+    def _ref(texts, window, min_count, damping, n_iter, top_n):
+        from collections import Counter
+
+        pairs = Counter()
+        for t in texts:
+            if t is None:
+                continue
+            toks = [w for w in t.lower().split() if w]
+            for i in range(len(toks) - 1):
+                for j in range(i + 1, min(i + window, len(toks) - 1) + 1):
+                    pairs[(toks[i], toks[j])] += 1
+        fwd = {p: c for p, c in pairs.items() if c >= min_count}
+        edges = Counter()
+        for (a, b), c in fwd.items():
+            edges[(a, b)] += c
+            edges[(b, a)] += c
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        if not nodes:
+            return []
+        outw = Counter()
+        for (a, b), c in edges.items():
+            outw[a] += c
+        n = len(nodes)
+        r = {v: 1.0 / n for v in nodes}
+        for _ in range(n_iter):
+            inc = {v: 0.0 for v in nodes}
+            for (a, b), c in sorted(edges.items()):
+                inc[b] += r[a] * c / outw[a]
+            r = {
+                v: (1 - damping) / n + damping * inc[v] for v in nodes
+            }
+        ranked = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [(w, round(v, 9)) for w, v in ranked[:top_n]]
+
+    def test_matches_pure_python_reference(self, spark):
+        from cryoflow_spark.functions.text import textrank_keywords
+
+        texts = [
+            "spark runs fast and spark scales well",
+            "spark scales and spark runs distributed",
+            "fast distributed systems scale well",
+            "the quick brown fox",
+            None,
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        got = [
+            (r["word"], r["rank"])
+            for r in textrank_keywords(
+                df, window=2, min_count=2, n_iter=5, top_n=10
+            ).collect()
+        ]
+        want = self._ref(texts, 2, 2, 0.85, 5, 10)
+        assert [w for w, _ in got] == [w for w, _ in want]
+        for (gw, gr), (ww, wr) in zip(got, want):
+            assert abs(gr - wr) < 1e-8, (gw, gr, wr)
+        # the hub word is the top keyword
+        assert got[0][0] == "spark"
+
+    def test_centrality_beats_repetition(self, spark):
+        """The motivating property vs raw frequency: a word repeated
+        inside ONE doc with no diverse context ranks below a word
+        co-occurring broadly."""
+        from cryoflow_spark.functions.text import textrank_keywords
+
+        df = spark.createDataFrame(
+            [
+                (1, "stuffing stuffing stuffing stuffing stuffing"),
+                (2, "model training data quality model data"),
+                (3, "training quality model data training quality"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = textrank_keywords(df, window=2, min_count=2, top_n=10)
+        ranks = {r["word"]: r["rank"] for r in rows.collect()}
+        assert ranks["model"] > ranks.get("stuffing", 0.0)
+
+    def test_validation(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.text import textrank_keywords
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        for kw, msg in (
+            ({"window": 0}, "window"),
+            ({"min_count": 0}, "min_count"),
+            ({"top_n": 0}, "top_n"),
+        ):
+            with pytest.raises(ValueError, match=msg):
+                textrank_keywords(df, **kw)
