@@ -3606,3 +3606,181 @@ def textrank_keywords(
         .orderBy(F.desc("rank"), "word")
         .limit(int(top_n))
     )
+
+
+def llr_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Adjacent-bigram collocations ranked by Dunning's log-likelihood
+    ratio (Dunning 1993, "Accurate methods for the statistics of
+    surprise and coincidence") — the significance-corrected companion
+    to PMI (x109): PMI divides by expected count and so EXPLODES for
+    rare pairs (two hapaxes that co-occur once get the maximum score),
+    while LLR is a G²-test statistic over the 2×2 contingency table
+    ``[[k11, k12], [k21, k22]]`` (pair count, w1-without-w2,
+    w2-without-w1, neither) that grows with EVIDENCE — the measure
+    Dunning introduced precisely because PMI misranks sparse text.
+
+    ``llr = 2 · Σ_ij k_ij · ln(k_ij · N / (R_i · C_j))`` over the
+    nonzero cells (row/column marginals R/C, total bigram tokens N),
+    rounded to 6. Output: top-``top_n``
+    ``(w1, w2, pair_count, llr)`` rows, LLR descending with a
+    ``(w1, w2)`` tiebreak; a ``min_count`` floor bounds the ranked
+    table.
+
+    Determinism: all counts exact integers; the four cell terms are
+    summed in the FIXED written order (k11+k12+k21+k22 — not data
+    order), each a per-row ``k·ln(integer ratio)`` — identical IEEE in
+    both engines, one final round.
+
+    Scale: two keyed aggs (bigram counts + marginals from the bigram
+    table itself), one 1-row N broadcast, per-row math, TakeOrdered —
+    the x109 cost class exactly.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    toks = _ws_tokens_factory(text_col, lowercase)
+    bg = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(toks().alias("__toks"))
+        .select(F.explode(_bigram_pairs(F.col("__toks"))).alias("__bg"))
+        .select(F.col("__bg.p").alias("__w1"), F.col("__bg.c").alias("__w2"))
+        .groupBy("__w1", "__w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__k11"))
+    )
+    r1 = bg.groupBy("__w1").agg(F.sum("__k11").cast("bigint").alias("__r1"))
+    c1 = bg.groupBy("__w2").agg(F.sum("__k11").cast("bigint").alias("__c1"))
+    n = bg.agg(F.sum("__k11").cast("bigint").alias("__n"))
+    t = (
+        bg.filter(F.col("__k11") >= min_count)
+        .join(r1, "__w1")
+        .join(c1, "__w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "__w1",
+            "__w2",
+            "__k11",
+            (F.col("__r1") - F.col("__k11")).alias("__k12"),
+            (F.col("__c1") - F.col("__k11")).alias("__k21"),
+            (
+                F.col("__n") - F.col("__r1") - F.col("__c1")
+                + F.col("__k11")
+            ).alias("__k22"),
+            F.col("__r1"),
+            F.col("__c1"),
+            F.col("__n"),
+        )
+    )
+
+    def term(k, row, col):
+        return F.when(
+            k > 0,
+            k.cast("double")
+            * F.log(
+                (k * F.col("__n")).cast("double")
+                / (row * col).cast("double")
+            ),
+        ).otherwise(F.lit(0.0))
+
+    llr = F.round(
+        F.lit(2.0)
+        * (
+            term(F.col("__k11"), F.col("__r1"), F.col("__c1"))
+            + term(
+                F.col("__k12"),
+                F.col("__r1"),
+                F.col("__n") - F.col("__c1"),
+            )
+            + term(
+                F.col("__k21"),
+                F.col("__n") - F.col("__r1"),
+                F.col("__c1"),
+            )
+            + term(
+                F.col("__k22"),
+                F.col("__n") - F.col("__r1"),
+                F.col("__n") - F.col("__c1"),
+            )
+        ),
+        6,
+    )
+    return t.select(
+        F.col("__w1").alias("w1"),
+        F.col("__w2").alias("w2"),
+        F.col("__k11").alias("pair_count"),
+        llr.alias("llr"),
+    ).orderBy(F.desc("llr"), "w1", "w2").limit(int(top_n))
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: "list[str] | str",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Exact phrase search — the positional-index retrieval primitive
+    (Manning, Raghavan & Schütze, IIR §2.4.2 "Positional indexes"):
+    count, per document, the occurrences of the exact consecutive
+    token sequence ``phrase`` and report the first match position —
+    the capability BM25's bag-of-words scoring (x155) cannot express
+    (it scores "new york" and "york new" identically). Output:
+    ``(id, n_occurrences, first_pos)`` (1-based token position) for
+    documents containing the phrase, ordered ``n_occurrences`` DESC
+    with an id tiebreak.
+
+    Spark-first spelling: the occurrence test is a PER-ROW array scan
+    (``filter(sequence(1, n-m+1), i -> toks[i]=w1 AND ...)`` with the
+    phrase tokens as plan literals) — zero shuffles, zero joins, whole
+    document parallelism; a final TakeOrdered. At 100 TB a dedicated
+    positional inverted index amortizes REPEATED phrase queries —
+    build it from this same tokenization with ``posexplode`` and the
+    x155 postings shape; the one-shot scan here is the index-free
+    baseline the index is graded against.
+    """
+    terms = (
+        [t for t in phrase.split() if t]
+        if isinstance(phrase, str)
+        else list(phrase)
+    )
+    if not terms:
+        raise ValueError("phrase must be non-empty")
+    if lowercase:
+        terms = [t.lower() for t in terms]
+    m = len(terms)
+    toks = _ws_tokens_factory(text_col, lowercase)
+
+    def match_at(i):
+        cond = F.element_at(F.col("__toks"), i) == F.lit(terms[0])
+        for j in range(1, m):
+            cond = cond & (
+                F.element_at(F.col("__toks"), i + F.lit(j))
+                == F.lit(terms[j])
+            )
+        return cond
+
+    hits = F.when(
+        F.size("__toks") >= m,
+        F.filter(
+            F.sequence(F.lit(1), F.size("__toks") - F.lit(m - 1)),
+            match_at,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks().alias("__toks"))
+        .select(F.col(id_col), hits.alias("__hits"))
+        .filter(F.size("__hits") > 0)
+        .select(
+            id_col,
+            F.size("__hits").cast("bigint").alias("n_occurrences"),
+            F.element_at("__hits", 1).cast("bigint").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_occurrences"), id_col)
+    )

@@ -39,6 +39,13 @@ Options:
   within ``window`` positions (the word2vec-style co-occurrence
   regime) — multiword-expression / boilerplate-phrase / topical-
   association discovery.
+- ``method = "llr"`` — top-``top_n`` adjacent collocations by
+  Dunning's log-likelihood ratio (significance-corrected PMI
+  companion; evidence-weighted, hapax-robust); options ``min_count``,
+  ``top_n``.
+- ``method = "phrase"`` — exact phrase search (``phrase`` required, a
+  string or token list): per-doc occurrence count + first position of
+  the consecutive token sequence.
 - ``method = "textrank"`` — top-``top_n`` keywords by weighted
   PageRank over the window co-occurrence graph (Mihalcea & Tarau
   2004) — graph-centrality keyword extraction; options ``window``,
@@ -274,6 +281,26 @@ class VocabPlugin(AnalyzedTransformPlugin):
                 top_n=int(self.options.get("top_n", 50)),
                 lowercase=bool(self.options.get("lowercase", True)),
                 window=int(self.options.get("window", 1)),
+            )
+        if self.options.get("method") == "llr":
+            from cryoflow_spark.functions.text import llr_collocations
+
+            return llr_collocations(
+                data,
+                text_col=self.options.get("column", "text"),
+                min_count=int(self.options.get("min_count", 5)),
+                top_n=int(self.options.get("top_n", 50)),
+                lowercase=bool(self.options.get("lowercase", True)),
+            )
+        if self.options.get("method") == "phrase":
+            from cryoflow_spark.functions.text import phrase_search
+
+            return phrase_search(
+                data,
+                self.require_option("phrase"),
+                text_col=self.options.get("column", "text"),
+                id_col=self.options.get("id_column", "doc_id"),
+                lowercase=bool(self.options.get("lowercase", True)),
             )
         if self.options.get("method") == "textrank":
             from cryoflow_spark.functions.text import textrank_keywords

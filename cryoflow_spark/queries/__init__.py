@@ -84,7 +84,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:
 #: ROTATION POLICY (bounded staleness — enforced by
 #: tests/test_registry.py::test_rotation_policy_bounded_staleness, derived
-#: by tools/make_window.py): with 298 registered queries and a 50-slot
+#: by tools/make_window.py): with 300 registered queries and a 50-slot
 #: window, "every query re-verified every round" is arithmetically
 #: impossible. The steady-state rule is:
 #:
@@ -95,7 +95,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: where a query's driver evidence is the latest committed
 #: CORRECTNESS_r*.json that contains it. With <= 50 new registrations per
 #: round this bounds every query's driver-evidence age to
-#: ceil(N/50) + 1 rounds (= 7 at the current registry size of 298). The
+#: ceil(N/50) + 1 rounds (= 7 at the current registry size of 300). The
 #: enforcement test recomputes this ordering from the committed artifacts
 #: themselves, so it fails the moment a rotation edit (or a forgotten
 #: rotation) would let any query go staler than the policy allows.
@@ -117,6 +117,8 @@ _PRIORITY: list[str] = [
     "x206_sorted_neighborhood",  # last checked: never
     "x207_ktruss",  # last checked: never
     "x208_textrank",  # last checked: never
+    "x209_llr_collocations",  # last checked: never
+    "x210_phrase_search",  # last checked: never
     # --- round-13 window: oldest-evidence cohort (regenerate with
     # tools/make_window.py) ---
     "x96_cross_entropy_score",  # last checked: r7

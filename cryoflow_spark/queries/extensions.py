@@ -11783,3 +11783,101 @@ def x208_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.textrank_keywords(
         d, window=2, min_count=2, damping=0.85, n_iter=5, top_n=30
     )
+
+
+# --- x209: Dunning LLR collocations (oracle-checked) -------------------------
+
+
+_X209_TERM = (
+    "CASE WHEN {k} > 0 THEN {k}::DOUBLE * LN(({k} * n)::DOUBLE "
+    "/ ({r} * {c})::DOUBLE) ELSE 0.0 END"
+)
+
+
+def _x209_oracle() -> str:
+    t11 = _X209_TERM.format(k="k11", r="r1", c="c1")
+    t12 = _X209_TERM.format(k="(r1 - k11)", r="r1", c="(n - c1)")
+    t21 = _X209_TERM.format(k="(c1 - k11)", r="(n - r1)", c="c1")
+    t22 = _X209_TERM.format(
+        k="(n - r1 - c1 + k11)", r="(n - r1)", c="(n - c1)"
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT list_transform(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x != ''), t -> lower(t)) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bg AS MATERIALIZED (
+      SELECT u.bg[1] AS w1, u.bg[2] AS w2, COUNT(*)::BIGINT AS k11
+      FROM (
+        SELECT unnest([[t[i], t[i+1]]
+                 for i in generate_series(1, len(t) - 1)]) AS bg
+        FROM toks WHERE len(t) >= 2
+      ) u GROUP BY 1, 2
+    ),
+    r AS (SELECT w1, SUM(k11)::BIGINT AS r1 FROM bg GROUP BY w1),
+    c AS (SELECT w2, SUM(k11)::BIGINT AS c1 FROM bg GROUP BY w2),
+    tot AS (SELECT SUM(k11)::BIGINT AS n FROM bg)
+    SELECT w1, w2, k11 AS pair_count,
+           ROUND(2.0 * (({t11}) + ({t12}) + ({t21}) + ({t22})), 6) AS llr
+    FROM bg JOIN r USING (w1) JOIN c USING (w2) CROSS JOIN tot
+    WHERE k11 >= 5
+    ORDER BY llr DESC, w1, w2 LIMIT 50
+    """
+
+
+@register(
+    "x209_llr_collocations",
+    _x209_oracle(),
+    "Adjacent-bigram collocations by Dunning's log-likelihood ratio "
+    "(Dunning 1993 G^2 over the 2x2 contingency table) — the "
+    "significance-corrected companion to x109's PMI, which explodes "
+    "for rare pairs (two co-occurring hapaxes max it out) while LLR "
+    "grows with EVIDENCE; cells summed in fixed written order, each a "
+    "per-row k*ln(integer ratio), one final round; two keyed aggs + "
+    "marginals from the bigram table itself + a 1-row N broadcast, "
+    "TakeOrdered top-50 — the x109 cost class exactly",
+)
+def x209_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.llr_collocations(d, min_count=5, top_n=50)
+
+
+# --- x210: exact phrase search (oracle-checked) ------------------------------
+
+
+@register(
+    "x210_phrase_search",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x != ''), t -> lower(t)) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    hits AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 2 THEN
+               [i for i in generate_series(1, len(t) - 1)
+                  if t[i] = 'fast' AND t[i+1] = 'table']
+             ELSE [] END AS h
+      FROM toks
+    )
+    SELECT doc_id,
+           len(h)::BIGINT AS n_occurrences,
+           h[1]::BIGINT AS first_pos
+    FROM hits WHERE len(h) > 0
+    ORDER BY n_occurrences DESC, doc_id
+    """,
+    "Exact phrase search ('fast table') — the positional-index "
+    "retrieval primitive (Manning-Raghavan-Schutze IIR 2.4.2) BM25's "
+    "bag-of-words (x155) cannot express: per doc, occurrences of the "
+    "exact consecutive token sequence + first match position; the "
+    "occurrence test is a per-row array scan with the phrase tokens "
+    "as plan literals — zero shuffles, zero joins, TakeOrdered; the "
+    "index-free baseline a posexplode positional postings index is "
+    "graded against at repeated-query scale",
+)
+def x210_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.phrase_search(d, ["fast", "table"])

@@ -10595,3 +10595,112 @@ class TestTextrankKeywords:
         ):
             with pytest.raises(ValueError, match=msg):
                 textrank_keywords(df, **kw)
+
+
+class TestLlrCollocations:
+    """x209: Dunning 1993 log-likelihood-ratio collocations."""
+
+    @staticmethod
+    def _llr(k11, r1, c1, n):
+        import math
+
+        def term(k, r, c):
+            return k * math.log(k * n / (r * c)) if k > 0 else 0.0
+
+        return round(
+            2.0
+            * (
+                term(k11, r1, c1)
+                + term(r1 - k11, r1, n - c1)
+                + term(c1 - k11, n - r1, c1)
+                + term(n - r1 - c1 + k11, n - r1, n - c1)
+            ),
+            6,
+        )
+
+    def test_matches_pure_python_and_beats_pmi_on_hapax(self, spark):
+        from collections import Counter
+
+        from cryoflow_spark.functions.text import llr_collocations
+
+        texts = (["the new york times reports daily"] * 10
+                 + ["new york city never sleeps"] * 10
+                 + ["quux baz"]  # a co-occurring hapax pair
+                 + ["the daily reports"] * 5)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        got = [
+            (r["w1"], r["w2"], r["pair_count"], r["llr"])
+            for r in llr_collocations(df, min_count=1, top_n=100).collect()
+        ]
+        bg = Counter()
+        for t in texts:
+            ws = t.split()
+            for a, b in zip(ws, ws[1:]):
+                bg[(a, b)] += 1
+        r1, c1 = Counter(), Counter()
+        for (a, b), k in bg.items():
+            r1[a] += k
+            c1[b] += k
+        n = sum(bg.values())
+        want = {
+            (a, b): self._llr(k, r1[a], c1[b], n)
+            for (a, b), k in bg.items()
+        }
+        for w1, w2, k, llr in got:
+            assert abs(llr - want[(w1, w2)]) < 1e-6, (w1, w2)
+        ranks = {(w1, w2): i for i, (w1, w2, _, _) in enumerate(got)}
+        # LLR ranks the evidence-rich "new york" far above the hapax
+        # pair "quux baz" (PMI would max the hapax out)
+        assert ranks[("new", "york")] < ranks[("quux", "baz")]
+
+    def test_validation(self, spark):
+        import pytest
+
+        from cryoflow_spark.functions.text import llr_collocations
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="min_count"):
+            llr_collocations(df, min_count=0)
+        with pytest.raises(ValueError, match="top_n"):
+            llr_collocations(df, top_n=0)
+
+
+class TestPhraseSearch:
+    """x210: exact phrase search."""
+
+    def test_order_sensitivity_and_positions(self, spark):
+        from cryoflow_spark.functions.text import phrase_search
+
+        df = spark.createDataFrame(
+            [
+                (1, "visit new york and then new york again"),
+                (2, "york new is not the phrase"),
+                (3, "NEW YORK in caps"),
+                (4, "new"),
+                (5, None),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+               for r in phrase_search(df, "new york").collect()}
+        assert got == {1: (2, 2), 3: (1, 1)}  # order matters; case folded
+        # single-token phrase degenerates to term count
+        one = {r["doc_id"]: r["n_occurrences"]
+               for r in phrase_search(df, ["new"]).collect()}
+        assert one[1] == 2 and one[2] == 1 and one[4] == 1
+        import pytest
+
+        with pytest.raises(ValueError, match="phrase"):
+            phrase_search(df, [])
+
+    def test_overlapping_matches_counted(self, spark):
+        from cryoflow_spark.functions.text import phrase_search
+
+        df = spark.createDataFrame(
+            [(1, "a a a a")], "doc_id long, text string"
+        )
+        row = phrase_search(df, "a a").collect()[0]
+        assert (row["n_occurrences"], row["first_pos"]) == (3, 1)
