@@ -260,6 +260,11 @@ def test_doc_registry_counts_pinned():
         scale = fh.read()
     stated = [int(m) for m in re.findall(r"registry holds (\d+)", scale)]
     stated += [int(m) for m in re.findall(r"rounds — \d+ at N=(\d+)", scale)]
+    with open(os.path.join(repo, "README.md")) as fh:
+        stated += [
+            int(m)
+            for m in re.findall(r"(\d+) registered queries", fh.read())
+        ]
     assert stated, "SCALE.md no longer states the registry size; update the pin"
     assert all(s == n for s in stated), (
         f"SCALE.md states registry size(s) {stated} but len(queries()) == {n}; "
