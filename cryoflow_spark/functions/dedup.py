@@ -1815,6 +1815,10 @@ def sorted_neighborhood_pairs(
         .withColumn(
             "__blk", ((F.col("__rn") - 1) / F.lit(window)).cast("bigint")
         )
+        # the ranked table feeds BOTH sides of the neighborhood join —
+        # materialize it once (the x189 lazy-checkpoint rule) instead of
+        # recomputing the rank spine per side
+        .localCheckpoint(eager=False)
     )
     a = ranked.select(
         F.col("__id").alias("__ida"),

@@ -197,6 +197,13 @@ def test_no_cartesian_products(all_plans):
         # 1-row (total tokens, total bigrams) scalar crossJoin(broadcast)
         # into the min_count-filtered pair table — same scalar pattern.
         "x109_pmi_collocations",
+        # 1-row KN model scalars (T, n1, n2, V) crossJoin(broadcast)
+        # into the exploded bigram stream — x108's pattern with the
+        # continuation-count scalars riding along.
+        "x201_kn_perplexity",
+        # 1-row bigram-total scalar crossJoin(broadcast) into the
+        # min_count-filtered contingency table — the x109 pattern.
+        "x209_llr_collocations",
         # the same operator at window=4 — identical 1-row totals
         # scalar crossJoin(broadcast); the skip-gram explode changes
         # pair volume, not the join strategy.
@@ -237,6 +244,11 @@ def test_no_cartesian_products(all_plans):
         # personalized variant — same per-iteration 1-row dangling
         # scalar broadcast over the bounded node table.
         "x174_signup_proximity",
+        # TextRank rides the same pagerank core — per-iteration 1-row
+        # dangling/node-count scalars over the vocabulary-sized word
+        # graph; the corpus collapses to the pair table before any
+        # iteration.
+        "x208_textrank",
         # 1-row user-count scalar crossJoin(broadcast) into the bounded
         # |items|^2 rule table — same scalar pattern.
         "x142_association_rules",
@@ -317,6 +329,9 @@ _BOUNDED_WINDOW_ENVELOPES = {
     # quantile_buckets rides the same value_cdf spine as q58 — its
     # stitch windows run over the per-range-partition totals table.
     "x62_quantile_buckets": ("_psize", 2),
+    # (x206 sorted-neighborhood also rides the value_cdf spine, but its
+    # ranked table is lazily checkpointed — computed once for both join
+    # sides — so no Window survives into its visible plan.)
     "x28_source_mix": ("min(_w0", 1),
     # water-filling allocator: exact prefix/total sums over the
     # |sources|-row counts table (saturation-order sort) — 3 specs in
