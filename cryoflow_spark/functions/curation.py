@@ -390,37 +390,50 @@ def cdc_chunks(
                 ).otherwise(F.concat(acc, F.array(e)))
             ),
         )
-    ends = F.when(
-        F.size(cut_ends) == 0, F.array(L.cast("int"))
-    ).otherwise(
-        F.when(F.element_at(cut_ends, -1) == L, cut_ends).otherwise(
-            F.concat(cut_ends, F.array(L.cast("int")))
-        )
+    # Every stage below references its predecessor exactly ONCE, so the
+    # per-character hash scan evaluates once per row — CollapseProject
+    # re-inlines duplicated column references, and an `ends` expression
+    # used both as the explode argument and inside an element_at lambda
+    # was measured re-running the O(chars) md5 scan ~8x per row.
+    # cut_ends is sorted ascending with every element <= L, so
+    # appending L and array_distinct (first-occurrence order) is
+    # exactly "append L unless already last".
+    ends = F.array_distinct(
+        F.concat(cut_ends, F.array(L.cast("int")))
+    )
+    # fold ends -> array of (start, end) spans; acc carries the
+    # previous end so no second reference to `ends` is needed.
+    acc0 = F.struct(
+        F.lit(0).cast("int").alias("prev"),
+        F.array().cast("array<struct<s:int,e:int>>").alias("arr"),
+    )
+    spans = F.aggregate(
+        ends,
+        acc0,
+        lambda a, e: F.struct(
+            e.cast("int").alias("prev"),
+            F.concat(
+                a["arr"],
+                F.array(
+                    F.struct(
+                        (a["prev"] + F.lit(1)).cast("int").alias("s"),
+                        e.cast("int").alias("e"),
+                    )
+                ),
+            ).alias("arr"),
+        ),
+        lambda a: a["arr"],
     )
     chunks = (
         base.filter(L >= 1)
-        .withColumn("__ends", ends)
         .select(
             "__id",
-            F.explode(
-                F.transform(
-                    F.col("__ends"),
-                    lambda e, i: F.struct(
-                        (i + F.lit(1)).alias("ci"),
-                        F.when(i == 0, F.lit(1))
-                        .otherwise(
-                            F.element_at(F.col("__ends"), i) + F.lit(1)
-                        )
-                        .alias("s"),
-                        e.alias("e"),
-                    ),
-                )
-            ).alias("__c"),
-            F.col("__txt"),
+            "__txt",
+            F.posexplode(spans).alias("__ci0", "__c"),
         )
         .select(
             F.col("__id"),
-            F.col("__c.ci").alias("chunk_idx"),
+            (F.col("__ci0") + F.lit(1)).cast("int").alias("chunk_idx"),
             F.col("__c.s").alias("chunk_start"),
             (F.col("__c.e") - F.col("__c.s") + F.lit(1)).alias(
                 "chunk_len"
@@ -432,6 +445,10 @@ def cdc_chunks(
                 )
             ).alias("chunk_hash"),
         )
+        # chunk table feeds BOTH the census agg and the join-back —
+        # materialize once (x189 lazy-checkpoint rule) instead of
+        # re-running the hash scan per consumer
+        .localCheckpoint(eager=False)
     )
     census = chunks.groupBy("chunk_hash").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
