@@ -307,7 +307,7 @@ def chunk_documents(
     )
 
 
-def cdc_chunks(
+def _cdc_inventory(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -315,42 +315,10 @@ def cdc_chunks(
     divisor: int = 64,
     min_len: int = 0,
 ) -> DataFrame:
-    """Content-defined chunking + corpus chunk-dup census (the LBFS
-    scheme — Muthitacharoen, Chen & Mazières SOSP 2001 "A low-bandwidth
-    network file system" §3.1; the fixed-window ancestor of FastCDC):
-    cut a chunk boundary after every position whose ``k``-char window
-    hash satisfies ``h % divisor == 0``, so boundaries are decided by
-    CONTENT, not offset — inserting or deleting a prefix shifts every
-    fixed-size chunk (x29) but leaves all content-defined boundaries
-    after the edit untouched, which is exactly the shift-robustness a
-    chunk-level dedup/delta-sync pass needs. Expected chunk length ≈
-    ``divisor`` chars.
-
-    Output: one row per chunk —
-    ``(id, chunk_idx, chunk_start, chunk_len, chunk_hash,
-    n_occurrences)`` with ``chunk_hash`` the md5 of the chunk text and
-    ``n_occurrences`` its corpus-wide count (the dedup census: any
-    chunk with ``n_occurrences > 1`` is storable/shippable once).
-    Null-text docs emit no rows; docs shorter than ``k`` are one whole
-    chunk. Ordered ``(id, chunk_idx)``.
-
-    ``min_len`` optionally suppresses boundaries closer than
-    ``min_len`` to the previously ACCEPTED boundary (FastCDC's
-    min-size rule) via an in-row greedy fold; the default 0 is the
-    pure LBFS scheme (and the oracle-mirrored spelling — the fold is
-    skipped entirely so the plan stays a flat array pipeline).
-
-    Determinism: window hashes are the engine-portable 60-bit md5
-    (:func:`...dedup.portable_hash60`, positive in signed 64-bit so
-    ``%`` agrees across engines); everything else is exact integer
-    arithmetic on in-row arrays.
-
-    Scale: boundary selection and chunk assembly are PER-ROW array
-    expressions (zero shuffle, O(doc chars) work in whole-stage
-    codegen); the only shuffles are the chunk-hash census agg and its
-    join back — both keyed on the 32-hex chunk hash, the same cost
-    class as x01's exact dedup. No all-pairs anywhere.
-    """
+    """Per-doc CDC chunk inventory (no corpus census) — the shared
+    core of :func:`cdc_chunks` and the streaming twin's stateless
+    per-batch partial (:func:`cdc_chunk_partials`). See
+    :func:`cdc_chunks` for algorithm, determinism, and scale notes."""
     from cryoflow_spark.functions.dedup import portable_hash60
 
     if k < 2:
@@ -432,7 +400,7 @@ def cdc_chunks(
             F.posexplode(spans).alias("__ci0", "__c"),
         )
         .select(
-            F.col("__id"),
+            F.col("__id").alias(id_col),
             (F.col("__ci0") + F.lit(1)).cast("int").alias("chunk_idx"),
             F.col("__c.s").alias("chunk_start"),
             (F.col("__c.e") - F.col("__c.s") + F.lit(1)).alias(
@@ -450,13 +418,68 @@ def cdc_chunks(
         # re-running the hash scan per consumer
         .localCheckpoint(eager=False)
     )
+    return chunks
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    divisor: int = 64,
+    min_len: int = 0,
+) -> DataFrame:
+    """Content-defined chunking + corpus chunk-dup census (the LBFS
+    scheme — Muthitacharoen, Chen & Mazières SOSP 2001 "A low-bandwidth
+    network file system" §3.1; the fixed-window ancestor of FastCDC):
+    cut a chunk boundary after every position whose ``k``-char window
+    hash satisfies ``h % divisor == 0``, so boundaries are decided by
+    CONTENT, not offset — inserting or deleting a prefix shifts every
+    fixed-size chunk (x29) but leaves all content-defined boundaries
+    after the edit untouched, which is exactly the shift-robustness a
+    chunk-level dedup/delta-sync pass needs. Expected chunk length ≈
+    ``divisor`` chars.
+
+    Output: one row per chunk —
+    ``(id, chunk_idx, chunk_start, chunk_len, chunk_hash,
+    n_occurrences)`` with ``chunk_hash`` the md5 of the chunk text and
+    ``n_occurrences`` its corpus-wide count (the dedup census: any
+    chunk with ``n_occurrences > 1`` is storable/shippable once).
+    Null-text docs emit no rows; docs shorter than ``k`` are one whole
+    chunk. Ordered ``(id, chunk_idx)``.
+
+    ``min_len`` optionally suppresses boundaries closer than
+    ``min_len`` to the previously ACCEPTED boundary (FastCDC's
+    min-size rule) via an in-row greedy fold; the default 0 is the
+    pure LBFS scheme (and the oracle-mirrored spelling — the fold is
+    skipped entirely so the plan stays a flat array pipeline).
+
+    Determinism: window hashes are the engine-portable 60-bit md5
+    (:func:`...dedup.portable_hash60`, positive in signed 64-bit so
+    ``%`` agrees across engines); everything else is exact integer
+    arithmetic on in-row arrays.
+
+    Scale: boundary selection and chunk assembly are PER-ROW array
+    expressions (zero shuffle, O(doc chars) work in whole-stage
+    codegen); the only shuffles are the chunk-hash census agg and its
+    join back — both keyed on the 32-hex chunk hash, the same cost
+    class as x01's exact dedup. No all-pairs anywhere.
+    """
+    chunks = _cdc_inventory(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        divisor=divisor,
+        min_len=min_len,
+    )
     census = chunks.groupBy("chunk_hash").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
     )
     return (
         chunks.join(census, "chunk_hash")
         .select(
-            F.col("__id").alias(id_col),
+            id_col,
             "chunk_idx",
             "chunk_start",
             "chunk_len",
@@ -2448,3 +2471,45 @@ def luhn_audit(
             ),
         )
     )
+
+
+def cdc_chunk_partials(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    divisor: int = 64,
+    min_len: int = 0,
+) -> DataFrame:
+    """Per-batch state partial of the x203 CDC census: each document's
+    chunk inventory (id, chunk_idx, chunk_start, chunk_len,
+    chunk_hash) WITHOUT the corpus-wide ``n_occurrences`` — chunking
+    is a stateless per-row map, so the inventory itself needs no
+    cross-batch state; the census count per chunk hash is a SUM
+    monoid recovered at finalize from these same rows."""
+    return _cdc_inventory(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        divisor=divisor,
+        min_len=min_len,
+    )
+
+
+def cdc_census_from_partials(partials: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Rebuild the full x203 output (inventory + corpus-wide
+    ``n_occurrences``) from unioned per-batch inventories — the SUM
+    monoid finalize: counts add across batches regardless of arrival
+    order."""
+    census = partials.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    return partials.join(census, "chunk_hash").select(
+        id_col,
+        "chunk_idx",
+        "chunk_start",
+        "chunk_len",
+        "chunk_hash",
+        "n_occurrences",
+    ).orderBy(id_col, "chunk_idx")

@@ -1,0 +1,113 @@
+"""Streaming CDC chunk census — the foreachBatch twin of the batch
+operator x203 (``functions.curation.cdc_chunks``, LBFS content-defined
+chunking + corpus chunk-dup census).
+
+The operator splits cleanly along the state boundary: CHUNKING is a
+stateless per-row map (a document's boundaries depend only on its own
+text), so each micro-batch writes its chunk INVENTORY as the partial;
+the corpus-wide ``n_occurrences`` census is a SUM monoid over chunk
+hashes, recovered at finalize by one keyed count + join over the
+unioned inventories — counts add across batches in any arrival order,
+so out-of-order ingest needs NO precondition (unlike the x194 excise
+twin, whose first-occurrence state is order-sensitive).
+
+- each micro-batch writes its inventory
+  (:func:`...curation.cdc_chunk_partials`) to
+  ``<output>/partials/batch_id=N`` in OVERWRITE mode (foreachBatch's
+  idempotent-sink contract);
+- :func:`finalize_cdc_census` rebuilds the full x203 output
+  (:func:`...curation.cdc_census_from_partials`) — bit-identical to
+  the batch operator on the ingested union;
+- inventories are per-doc rows, so compaction is a plain rewrite
+  (:func:`compact_cdc_partials`, no merge_fn — the family is trivially
+  closed: rows are the state).
+
+Scale: per batch ONE per-row map pipeline (O(batch chars), zero
+shuffles — the census shuffle moves entirely to finalize); finalize is
+one chunk-hash-keyed count + join over inventory rows, never raw text.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from cryoflow_spark.streaming.report_stream import _start
+
+
+def _write_cdc_partials(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    text_col: str,
+    id_col: str,
+    k: int,
+    divisor: int,
+    min_len: int,
+) -> None:
+    """Per-batch idempotent inventory write (module-level so the
+    replay property is directly testable)."""
+    from cryoflow_spark.functions.curation import cdc_chunk_partials
+
+    cdc_chunk_partials(
+        batch_df,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        divisor=divisor,
+        min_len=min_len,
+    ).write.mode("overwrite").parquet(
+        f"{output_path}/partials/batch_id={batch_id}"
+    )
+
+
+def cdc_census_stream(
+    stream_df: DataFrame,
+    output_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    divisor: int = 64,
+    min_len: int = 0,
+    checkpoint_path: Optional[str] = None,
+    trigger: str = "available_now",
+) -> StreamingQuery:
+    """Maintain the x203 chunk inventory over a live document stream;
+    read the census-annotated corpus view with
+    :func:`finalize_cdc_census`."""
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    checkpoint = checkpoint_path or f"{output_path}/_checkpoint"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _write_cdc_partials(
+            batch_df, batch_id, output_path, text_col, id_col, k,
+            divisor, min_len,
+        )
+
+    return _start(stream_df, _process, checkpoint, trigger)
+
+
+def finalize_cdc_census(
+    spark: SparkSession, output_path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Merge all written inventories and rebuild the corpus census —
+    bit-identical to the batch twin on the ingested union."""
+    from cryoflow_spark.functions.curation import cdc_census_from_partials
+
+    partials = spark.read.parquet(
+        f"{output_path}/partials/batch_id=*"
+    ).drop("batch_id")
+    return cdc_census_from_partials(partials, id_col=id_col)
+
+
+def compact_cdc_partials(spark: SparkSession, output_path: str) -> int:
+    """Compact per-batch inventory directories into one (rows ARE the
+    state — no merge_fn needed). See
+    :func:`...report_stream.compact_partials` for the crash/replay
+    contract. Returns directories removed."""
+    from cryoflow_spark.streaming.report_stream import compact_partials
+
+    return compact_partials(spark, output_path)

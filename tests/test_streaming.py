@@ -1799,3 +1799,56 @@ def test_exact_substring_excise_against_none_equals_batch(spark):
         for r in exact_substring_excise_against(docs, None, k=20).collect()
     )
     assert a == b
+
+
+def test_cdc_census_stream_matches_batch_twin(spark, tmp_path):
+    """x203 streaming twin: chunking is a stateless per-row map and the
+    census a SUM monoid, so the finalized inventory+census over all
+    micro-batches is bit-identical to the batch cdc_chunks on the
+    ingested union — including OUT-OF-ORDER ingest (counts add in any
+    arrival order, no precondition), replay idempotence, and
+    compaction."""
+    from cryoflow_spark.functions.curation import cdc_chunks
+    from cryoflow_spark.queries import load
+    from cryoflow_spark.streaming.cdc_stream import (
+        _write_cdc_partials,
+        cdc_census_stream,
+        compact_cdc_partials,
+        finalize_cdc_census,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    hi = docs.filter(F.col("doc_id") >= 250)
+    lo = docs.filter(F.col("doc_id") < 250)
+    src = tmp_path / "docs"
+    src.mkdir()
+    # deliberately out-of-order: high ids land first (allowed here,
+    # unlike the excise twin)
+    hi.coalesce(1).write.parquet(str(src / "a"))
+    lo.coalesce(1).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "cdc"
+    q = cdc_census_stream(stream, str(out), k=16, divisor=64)
+    q.awaitTermination(180)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    want = canon(cdc_chunks(docs, k=16, divisor=64))
+    assert canon(finalize_cdc_census(spark, str(out))) == want
+
+    # replay idempotence
+    _write_cdc_partials(hi, 0, str(out), "text", "doc_id", 16, 64, 0)
+    assert canon(finalize_cdc_census(spark, str(out))) == want
+
+    # compaction (rows are the state — plain rewrite)
+    removed = compact_cdc_partials(spark, str(out))
+    assert removed >= 1
+    assert canon(finalize_cdc_census(spark, str(out))) == want
