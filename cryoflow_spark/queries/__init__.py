@@ -108,59 +108,8 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Operators newly registered in a round are never-checked and
 #: therefore PREPEND (tools/make_window.py emits the refreshed list).
 _PRIORITY: list[str] = [
-    # --- never driver-checked (r13 registrations prepend, per policy) ---
-    "x201_kn_perplexity",  # last checked: never
-    "x202_kcore",  # last checked: never
-    "x203_cdc_chunks",  # last checked: never
-    "x204_readability",  # last checked: never
-    "x205_luhn_audit",  # last checked: never
-    "x206_sorted_neighborhood",  # last checked: never
-    "x207_ktruss",  # last checked: never
-    "x208_textrank",  # last checked: never
-    "x209_llr_collocations",  # last checked: never
-    "x210_phrase_search",  # last checked: never
-    # --- round-13 window: oldest-evidence cohort (regenerate with
-    # tools/make_window.py) ---
-    "x96_cross_entropy_score",  # last checked: r7
-    "x97_water_fill_epochs",  # last checked: r7
-    "x98_domain_blocklist",  # last checked: r7
-    "x99_token_cap_per_source",  # last checked: r7
-    "x100_pq_adc_topk",  # last checked: r7
-    "x101_water_fill_floors",  # last checked: r7
-    "x102_ivf_pq_topk",  # last checked: r7
-    "x104_ingest_freshness",  # last checked: r7
-    "x105_training_order",  # last checked: r7
-    "x106_vocab_coverage",  # last checked: r7
-    "x107_ivf_cell_stats",  # last checked: r7
-    "x108_bigram_cross_entropy",  # last checked: r7
-    "x109_pmi_collocations",  # last checked: r7
-    "x110_fk_integrity",  # last checked: r7
-    "x111_secret_scan",  # last checked: r7
-    "x112_ccnet_buckets",  # last checked: r7
-    "x113_tokenizer_fertility",  # last checked: r7
-    "x114_profile_drift",  # last checked: r7
-    "q30_string_cleanup",  # last checked: r7
-    "q32_rank_family",  # last checked: r7
-    "q33_conditional_aggs",  # last checked: r7
-    "q34_date_vocabulary",  # last checked: r7
-    "q35_approx_distinct",  # last checked: r7
-    "q37_null_handling",  # last checked: r7
-    "q38_cube_order_stats",  # last checked: r7
-    "q39_hash_sample",  # last checked: r7
-    "q40_stratified_sample",  # last checked: r7
-    "q41_native_pivot",  # last checked: r7
-    "q42_exists_subquery",  # last checked: r7
-    "q43_range_interval_window",  # last checked: r7
-    "q46_sliding_windows",  # last checked: r7
-    "q47_regex_groups",  # last checked: r7
-    "q48_bag_set_ops",  # last checked: r7
-    "q49_null_safe_join",  # last checked: r7
-    "q50_unpivot_measures",  # last checked: r7
-    "q51_gap_fill_spine",  # last checked: r7
-    "q52_bivariate_stats",  # last checked: r7
-    "q53_fuzzy_part_names",  # last checked: r7
-    "q55_grouping_sets",  # last checked: r7
-    "q56_latest_per_key",  # last checked: r7
+    # --- round-14 window head: oldest-evidence cohort (regenerate
+    # with tools/make_window.py after each driver round) ---
     "x01_dedup_exact",  # last checked: r8
     "x03_jaccard_pairs",  # last checked: r8
     "x05_cosine_topk",  # last checked: r8
@@ -171,7 +120,6 @@ _PRIORITY: list[str] = [
     "x119_mixture_order",  # last checked: r8
     "x120_cross_source_dup",  # last checked: r8
     "x121_domain_diversity",  # last checked: r8
-    # --- positions 51+: pre-committed following rounds ---
     "x122_pii_exposure",  # last checked: r8
     "x123_centroid_similarity",  # last checked: r8
     "x124_packing_efficiency",  # last checked: r8
@@ -212,6 +160,7 @@ _PRIORITY: list[str] = [
     "q61_market_share",  # last checked: r8
     "q62_customer_distribution",  # last checked: r8
     "q63_sales_opportunity",  # last checked: r8
+    # --- positions 51+: pre-committed following rounds ---
     "x07_lsh_cosine_topk",  # last checked: r9
     "x12_multimodal_meta",  # last checked: r9
     "x13_multimodal_features",  # last checked: r9
@@ -412,6 +361,56 @@ _PRIORITY: list[str] = [
     "x198_edit_distance",  # last checked: r12
     "x199_windowed_pmi",  # last checked: r12
     "x200_truncation_recall",  # last checked: r12
+    "x96_cross_entropy_score",  # last checked: r13
+    "x97_water_fill_epochs",  # last checked: r13
+    "x98_domain_blocklist",  # last checked: r13
+    "x99_token_cap_per_source",  # last checked: r13
+    "x100_pq_adc_topk",  # last checked: r13
+    "x101_water_fill_floors",  # last checked: r13
+    "x102_ivf_pq_topk",  # last checked: r13
+    "x104_ingest_freshness",  # last checked: r13
+    "x105_training_order",  # last checked: r13
+    "x106_vocab_coverage",  # last checked: r13
+    "x107_ivf_cell_stats",  # last checked: r13
+    "x108_bigram_cross_entropy",  # last checked: r13
+    "x109_pmi_collocations",  # last checked: r13
+    "x110_fk_integrity",  # last checked: r13
+    "x111_secret_scan",  # last checked: r13
+    "x112_ccnet_buckets",  # last checked: r13
+    "x113_tokenizer_fertility",  # last checked: r13
+    "x114_profile_drift",  # last checked: r13
+    "x201_kn_perplexity",  # last checked: r13
+    "x202_kcore",  # last checked: r13
+    "x203_cdc_chunks",  # last checked: r13
+    "x204_readability",  # last checked: r13
+    "x205_luhn_audit",  # last checked: r13
+    "x206_sorted_neighborhood",  # last checked: r13
+    "x207_ktruss",  # last checked: r13
+    "x208_textrank",  # last checked: r13
+    "x209_llr_collocations",  # last checked: r13
+    "x210_phrase_search",  # last checked: r13
+    "q30_string_cleanup",  # last checked: r13
+    "q32_rank_family",  # last checked: r13
+    "q33_conditional_aggs",  # last checked: r13
+    "q34_date_vocabulary",  # last checked: r13
+    "q35_approx_distinct",  # last checked: r13
+    "q37_null_handling",  # last checked: r13
+    "q38_cube_order_stats",  # last checked: r13
+    "q39_hash_sample",  # last checked: r13
+    "q40_stratified_sample",  # last checked: r13
+    "q41_native_pivot",  # last checked: r13
+    "q42_exists_subquery",  # last checked: r13
+    "q43_range_interval_window",  # last checked: r13
+    "q46_sliding_windows",  # last checked: r13
+    "q47_regex_groups",  # last checked: r13
+    "q48_bag_set_ops",  # last checked: r13
+    "q49_null_safe_join",  # last checked: r13
+    "q50_unpivot_measures",  # last checked: r13
+    "q51_gap_fill_spine",  # last checked: r13
+    "q52_bivariate_stats",  # last checked: r13
+    "q53_fuzzy_part_names",  # last checked: r13
+    "q55_grouping_sets",  # last checked: r13
+    "q56_latest_per_key",  # last checked: r13
 ]
 
 

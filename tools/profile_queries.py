@@ -1,0 +1,97 @@
+"""Per-query cost breakdown: driver planning vs execution.
+
+For each named query (or the N slowest from bench_full.json), measures
+
+- ``build_sec``  — Python builder + analysis (``fn(spark, sf_dir)``)
+- ``plan_sec``   — optimize + physical planning (``explain`` to a sink)
+- ``run1_sec``   — first noop execution (includes codegen compile)
+- ``run_min_sec``— min of the remaining ``--repeat`` noop runs (steady)
+
+A query whose ``plan_sec + (run1 - run_min)`` dominates is driver-bound
+(huge expression trees / codegen), not data-bound — the guide §7.3 class.
+
+Usage: ``python tools/profile_queries.py [--top N] [query ...]``
+Writes /tmp/profile_queries.json and prints a sorted table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--top", type=int, default=0)
+    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    from cryoflow_spark.core.session import get_session
+    from cryoflow_spark.queries import all_queries
+
+    spark = get_session(app_name="cryoflow-profile")
+    reg = all_queries()
+    names = list(args.queries)
+    if args.top:
+        full = json.loads((REPO / "bench_full.json").read_text())
+        ranked = sorted(full["queries"].items(), key=lambda kv: -kv[1])
+        names += [k for k, _ in ranked[: args.top] if k not in names]
+    if not names:
+        names = sorted(reg)
+
+    # session warm-up
+    spark.read.parquet(f"{args.sf_dir}/region.parquet").count()
+
+    out: dict[str, dict] = {}
+    for name in names:
+        spec = reg[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, args.sf_dir)
+        df.schema  # force analysis
+        t1 = time.perf_counter()
+        with contextlib.redirect_stdout(io.StringIO()):
+            df.explain("formatted")  # optimize + physical plan
+        t2 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        t3 = time.perf_counter()
+        best = None
+        for _ in range(args.repeat):
+            df2 = spec.fn(spark, args.sf_dir)
+            s = time.perf_counter()
+            df2.write.format("noop").mode("overwrite").save()
+            e = time.perf_counter() - s
+            best = e if best is None else min(best, e)
+        out[name] = {
+            "build_sec": round(t1 - t0, 3),
+            "plan_sec": round(t2 - t1, 3),
+            "run1_sec": round(t3 - t2, 3),
+            "run_min_sec": round(best, 3),
+        }
+        print(f"# {name}: build {t1-t0:.2f} plan {t2-t1:.2f} "
+              f"run1 {t3-t2:.2f} run_min {best:.2f}", file=sys.stderr)
+
+    Path("/tmp/profile_queries.json").write_text(json.dumps(out, indent=1))
+    rows = sorted(out.items(),
+                  key=lambda kv: -(kv[1]["build_sec"] + kv[1]["plan_sec"]
+                                   + kv[1]["run1_sec"]))
+    print(f"{'query':35s} {'build':>7s} {'plan':>7s} {'run1':>7s} {'steady':>7s}")
+    for n, r in rows:
+        print(f"{n:35s} {r['build_sec']:7.2f} {r['plan_sec']:7.2f} "
+              f"{r['run1_sec']:7.2f} {r['run_min_sec']:7.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
