@@ -35,6 +35,45 @@ def dot(a, b):
     )
 
 
+def _lit_vec(values):
+    """``array<double>`` literal column from a Python vector.
+
+    One plan node (PySpark materializes a list/ndarray literal as a
+    single ``Literal``) instead of a ``CreateArray`` of ``dim``
+    ``Literal`` children — same values, same type, ~dim× fewer
+    expression nodes. The unrolled fallback keeps very old PySpark
+    working. Plan-size discipline (guide §7.2/§7.3): the fold-mode ANN
+    queries embed whole codebooks as plan literals, and the unrolled
+    spelling made multi-MiB task binaries out of kilobytes of constants.
+    """
+    vals = [float(x) for x in values]
+    try:
+        return F.lit(vals)
+    except Exception:  # pragma: no cover - PySpark without list lit()
+        return F.array(*[F.lit(v) for v in vals])
+
+
+def _lit_mat(rows):
+    """``array<array<double>>`` literal column (list of row literals)."""
+    return F.array(*[_lit_vec(r) for r in rows])
+
+
+def _argmin_struct(vec_col: str, cents_list: "list[list[float]]"):
+    """Column: ``sort_array`` input for nearest-centroid-by-dot
+    assignment — one ``struct(-dot, index)`` per centroid, built by a
+    ``transform`` over the centroid-matrix literal instead of an
+    unrolled per-centroid expression list. Bit-identical scores (the
+    same :func:`dot` fold over the same double literals in the same
+    order) and the same ``(s, i)`` tie rule."""
+    return F.transform(
+        _lit_mat(cents_list),
+        lambda cvec, j: F.struct(
+            (-dot(F.col(vec_col), cvec)).alias("s"),
+            j.alias("i"),
+        ),
+    )
+
+
 def norm(a):
     return F.sqrt(dot(a, a))
 
@@ -290,22 +329,25 @@ def hyperplane_signature(
     ``v·h_j`` forms the bucket id.
     """
     planes = hyperplanes(dim, bits, seed)
-    bit_cols = []
-    for j, plane in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(x) for x in plane]),
-                lambda x, h: x * h,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit_cols.append(F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    sig = bit_cols[0]
-    for c in bit_cols[1:]:
-        sig = sig + c
-    return sig.cast("int")
+    # One transform over the plane-matrix literal instead of ``bits``
+    # unrolled dot folds; the bit contributions are exact ints, so the
+    # sum is bit-identical in any order/spelling.
+    powers = F.array(*[F.lit(1 << j) for j in range(bits)])
+    bit_vals = F.transform(
+        _lit_mat(planes),
+        lambda plane, j: F.when(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), plane, lambda x, h: x * h),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.element_at(powers, j + F.lit(1)),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        bit_vals, F.lit(0), lambda acc, c: acc + c
+    ).cast("int")
 
 
 def lsh_cosine_topk(
@@ -567,16 +609,14 @@ def ivf_cosine_topk(
         # literals + struct sort — bit-identical to an equivalent
         # ``list_reduce`` fold in any engine (the oracle-checkable path;
         # argmax is norm-invariant so no normalization is needed).
-        structs = [
-            F.struct(
-                (-dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec])))
-                .alias("s"),
-                F.lit(j).alias("i"),
-            )
-            for j, cvec in enumerate(np.asarray(centroids).tolist())
-        ]
         nearest_cells = F.transform(
-            F.slice(F.sort_array(F.array(*structs)), 1, nprobe),
+            F.slice(
+                F.sort_array(
+                    _argmin_struct(vec_col, np.asarray(centroids).tolist())
+                ),
+                1,
+                nprobe,
+            ),
             lambda s: s["i"],
         )
     else:
@@ -748,15 +788,9 @@ def semantic_dedup(
 
         assigned = _assign_udf(F.col(vec_col))
     elif assign_mode == "fold":
-        structs = [
-            F.struct(
-                (-dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec])))
-                .alias("s"),
-                F.lit(j).alias("i"),
-            )
-            for j, cvec in enumerate(cents.tolist())
-        ]
-        best = F.element_at(F.sort_array(F.array(*structs)), 1)
+        best = F.element_at(
+            F.sort_array(_argmin_struct(vec_col, cents.tolist())), 1
+        )
         assigned = F.struct(
             best["i"].alias("cell"), (-best["s"]).alias("cdot")
         )
@@ -921,11 +955,13 @@ def project_embeddings(
     """
     planes = jl_planes(in_dim, out_dim, seed)
     if mode == "fold":
-        comps = [
-            dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
-            for plane in planes
-        ]
-        return df.withColumn(out_col, F.array(*comps))
+        return df.withColumn(
+            out_col,
+            F.transform(
+                _lit_mat(planes),
+                lambda plane: dot(F.col(vec_col), plane),
+            ),
+        )
     if mode == "vectorized":
         from pyspark.sql.pandas.functions import pandas_udf
 
@@ -1031,17 +1067,9 @@ def with_ivf_cell(
 
         cell = _cell_udf(F.col(vec_col))
     elif assign_mode == "fold":
-        structs = [
-            F.struct(
-                (-dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec])))
-                .alias("s"),
-                F.lit(j).alias("i"),
-            )
-            for j, cvec in enumerate(cents.tolist())
-        ]
         cell = F.when(
             F.col(vec_col).isNotNull(),
-            F.sort_array(F.array(*structs))[0]["i"],
+            F.sort_array(_argmin_struct(vec_col, cents.tolist()))[0]["i"],
         )
     else:
         raise ValueError(f"invalid assign_mode '{assign_mode}'")
@@ -1132,17 +1160,41 @@ def train_pq_codebooks(
     return books
 
 
-def _pq_subdist(vec_col: str, offset: int, codeword: list[float]):
-    """Column: exact squared L2 distance between a dsub-component slice
-    of ``vec_col`` (0-based ``offset``) and a literal codeword, summed
-    left-to-right (0 + t1) + t2 ... — the IEEE order a
-    ``list_reduce(list_prepend(0.0, ...))`` SQL replica uses."""
-    expr = None
-    for i, c in enumerate(codeword):
-        d = F.col(vec_col)[offset + i] - F.lit(float(c))
-        sq = d * d
-        expr = sq if expr is None else expr + sq
-    return expr
+def _pq_subdist(vec_col: str, offset, codeword, dsub: int):
+    """Column: exact squared L2 distance between a ``dsub``-component
+    slice of ``vec_col`` (0-based ``offset``, int or int Column) and a
+    codeword (float list or ``array<double>`` Column), summed
+    ``(0.0 + t1) + t2 ...`` — the IEEE order a
+    ``list_reduce(list_prepend(0.0, ...))`` SQL replica uses.
+
+    Spelled as one ``aggregate`` fold over a ``zip_with`` of the vector
+    slice and the codeword array instead of the old unrolled
+    ``t1 + t2 ...`` expression list: bit-identical (every term is a
+    square, so >= +0.0 and ``0.0 + t1 == t1`` exactly) at ~dsub× fewer
+    plan nodes per codeword (guide §7.3 plan-size discipline — the
+    unrolled fold-mode PQ trees serialized into multi-MiB task
+    binaries)."""
+    from pyspark.sql import Column
+
+    cw = (
+        codeword
+        if isinstance(codeword, Column)
+        else _lit_vec(codeword)
+    )
+    start = (
+        offset + F.lit(1)
+        if isinstance(offset, Column)
+        else F.lit(int(offset) + 1)
+    )
+    return F.aggregate(
+        F.zip_with(
+            F.slice(F.col(vec_col), start, dsub),
+            cw,
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
 
 
 def with_pq_codes(
@@ -1188,18 +1240,23 @@ def with_pq_codes(
 
         codes = _codes_udf(F.col(vec_col))
     elif encode_mode == "fold":
-        per_sub = []
-        for j in range(m):
-            structs = [
-                F.struct(
-                    _pq_subdist(vec_col, j * dsub, codebooks[j][c]).alias("s"),
-                    F.lit(c).alias("i"),
-                )
-                for c in range(ksub)
-            ]
-            per_sub.append(F.sort_array(F.array(*structs))[0]["i"])
+        books_lit = F.array(*[_lit_mat(b) for b in codebooks])
         codes = F.when(
-            F.col(vec_col).isNotNull(), F.array(*per_sub)
+            F.col(vec_col).isNotNull(),
+            F.transform(
+                books_lit,
+                lambda book, j: F.sort_array(
+                    F.transform(
+                        book,
+                        lambda cw, c: F.struct(
+                            _pq_subdist(
+                                vec_col, j * F.lit(dsub), cw, dsub
+                            ).alias("s"),
+                            c.alias("i"),
+                        ),
+                    )
+                )[0]["i"],
+            ),
         )
     else:
         raise ValueError(f"invalid encode_mode '{encode_mode}'")
@@ -1255,13 +1312,13 @@ def pq_adc_topk(
         F.col(id_col).alias("__nid"), F.col(code_col).alias("__codes")
     ).filter(F.col("__codes").isNotNull())
 
-    lut = F.array(*[
-        F.array(*[
-            _pq_subdist(vec_col, j * dsub, codebooks[j][c])
-            for c in range(ksub)
-        ])
-        for j in range(m)
-    ])
+    lut = F.transform(
+        F.array(*[_lit_mat(b) for b in codebooks]),
+        lambda book, j: F.transform(
+            book,
+            lambda cw: _pq_subdist(vec_col, j * F.lit(dsub), cw, dsub),
+        ),
+    )
     qlut = queries.select(
         F.col(qid).alias("__qid"), lut.alias("__lut")
     )
@@ -1358,16 +1415,12 @@ def ivf_pq_topk(
 
     # query side: nprobe nearest cells + the ADC lookup table.
     if assign_mode == "fold":
-        structs = [
-            F.struct(
-                (-dot(F.col(vec_col),
-                      F.array(*[F.lit(float(x)) for x in cvec]))).alias("s"),
-                F.lit(j).alias("i"),
-            )
-            for j, cvec in enumerate(cents.tolist())
-        ]
         probe_cells = F.transform(
-            F.slice(F.sort_array(F.array(*structs)), 1, nprobe),
+            F.slice(
+                F.sort_array(_argmin_struct(vec_col, cents.tolist())),
+                1,
+                nprobe,
+            ),
             lambda s: s["i"],
         )
     elif assign_mode == "vectorized":
@@ -1387,13 +1440,13 @@ def ivf_pq_topk(
         probe_cells = _probe_udf(F.col(vec_col))
     else:
         raise ValueError(f"invalid assign_mode '{assign_mode}'")
-    lut = F.array(*[
-        F.array(*[
-            _pq_subdist(vec_col, j * dsub, codebooks[j][c_])
-            for c_ in range(ksub)
-        ])
-        for j in range(m)
-    ])
+    lut = F.transform(
+        F.array(*[_lit_mat(b) for b in codebooks]),
+        lambda book, j: F.transform(
+            book,
+            lambda cw: _pq_subdist(vec_col, j * F.lit(dsub), cw, dsub),
+        ),
+    )
     q = queries.select(
         F.col(qid).alias("__qid"),
         lut.alias("__lut"),
@@ -1799,19 +1852,20 @@ def ivf_quantization_error(
             assign_mode=assign_mode,
         )
         cell_col = "__cell"
-    sq_exprs = []
-    for cvec in cents.tolist():
-        carr = F.array(*[F.lit(float(x)) for x in cvec])
-        diff2 = F.zip_with(
-            F.col(vec_col), carr, lambda x, c: (x - c) * (x - c)
-        )
-        sq_exprs.append(
-            F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
-        )
     # precomputed cell columns may arrive as BIGINT from the lake;
     # element_at requires an INT index
     chosen = F.element_at(
-        F.array(*sq_exprs), (F.col(cell_col) + 1).cast("int")
+        F.transform(
+            _lit_mat(cents.tolist()),
+            lambda cvec: F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), cvec, lambda x, c: (x - c) * (x - c)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+        (F.col(cell_col) + 1).cast("int"),
     )
     proj = base.select(F.col(cell_col).alias("cell"), chosen.alias("__sq"))
     return proj.groupBy("cell").agg(
@@ -1993,11 +2047,13 @@ def project_embeddings_matrix(
     JL planes. No shuffle; plan literals ship with the task binary."""
     if not directions:
         raise ValueError("directions must be non-empty")
-    comps = [
-        dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in d]))
-        for d in directions
-    ]
-    return df.withColumn(out_col, F.array(*comps))
+    return df.withColumn(
+        out_col,
+        F.transform(
+            _lit_mat(directions),
+            lambda d: dot(F.col(vec_col), d),
+        ),
+    )
 
 
 def duplicate_embedding_groups(

@@ -3772,15 +3772,41 @@ def phrase_search(
             match_at,
         ),
     ).otherwise(F.array().cast("array<int>"))
+    # Single-pass plan hygiene (the x203 rule): the old spelling put a
+    # ``filter(size(__hits) > 0)`` ABOVE the projection computing
+    # ``__hits``, and PushDownPredicate substitutes aliases into pushed
+    # filters regardless of cost — the whole tokenize+scan pipeline got
+    # re-inlined into the filter, where interpreted HOF lambdas
+    # re-evaluate the token array PER POSITION: O(tokens²) per row,
+    # measured 12.3s warm at sf0.1 for ~1.5 MB of text. Instead:
+    # (1) fold occurrences+first position in ONE aggregate that
+    # references ``__hits`` exactly once, and (2) emit matches by
+    # exploding a 0/1-element array so NO Filter node exists for the
+    # optimizer to push — multi-reference expensive aliases then stay
+    # un-inlined (CollapseProject's cost guard) and the tokenization
+    # runs once per row. 0.35s warm after; bit-identical output.
+    stats = F.aggregate(
+        hits,
+        F.struct(
+            F.lit(0).cast("bigint").alias("n"),
+            F.lit(None).cast("int").alias("first"),
+        ),
+        lambda a, i: F.struct(
+            (a["n"] + F.lit(1)).alias("n"),
+            F.coalesce(a["first"], i).alias("first"),
+        ),
+        lambda a: a,
+    )
+    matched = F.filter(F.array(stats), lambda s: s["n"] > 0)
     return (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), toks().alias("__toks"))
-        .select(F.col(id_col), hits.alias("__hits"))
-        .filter(F.size("__hits") > 0)
+        .select(F.col(id_col), matched.alias("__m"))
+        .select(F.col(id_col), F.explode("__m").alias("__s"))
         .select(
             id_col,
-            F.size("__hits").cast("bigint").alias("n_occurrences"),
-            F.element_at("__hits", 1).cast("bigint").alias("first_pos"),
+            F.col("__s.n").alias("n_occurrences"),
+            F.col("__s.first").cast("bigint").alias("first_pos"),
         )
         .orderBy(F.desc("n_occurrences"), id_col)
     )
