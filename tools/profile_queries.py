@@ -35,6 +35,11 @@ def main() -> int:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--top", type=int, default=0)
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--plans-dir", default=None,
+                    help="save each query's explain('formatted') here")
+    ap.add_argument("--suffix", default="",
+                    help="plan filename suffix, e.g. _before/_after")
+    ap.add_argument("--out", default="/tmp/profile_queries.json")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -61,9 +66,14 @@ def main() -> int:
         df = spec.fn(spark, args.sf_dir)
         df.schema  # force analysis
         t1 = time.perf_counter()
-        with contextlib.redirect_stdout(io.StringIO()):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
             df.explain("formatted")  # optimize + physical plan
         t2 = time.perf_counter()
+        if args.plans_dir:
+            pdir = Path(args.plans_dir)
+            pdir.mkdir(parents=True, exist_ok=True)
+            (pdir / f"{name}{args.suffix}.txt").write_text(buf.getvalue())
         df.write.format("noop").mode("overwrite").save()
         t3 = time.perf_counter()
         best = None
@@ -82,7 +92,7 @@ def main() -> int:
         print(f"# {name}: build {t1-t0:.2f} plan {t2-t1:.2f} "
               f"run1 {t3-t2:.2f} run_min {best:.2f}", file=sys.stderr)
 
-    Path("/tmp/profile_queries.json").write_text(json.dumps(out, indent=1))
+    Path(args.out).write_text(json.dumps(out, indent=1))
     rows = sorted(out.items(),
                   key=lambda kv: -(kv[1]["build_sec"] + kv[1]["plan_sec"]
                                    + kv[1]["run1_sec"]))
