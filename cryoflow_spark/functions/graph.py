@@ -912,16 +912,22 @@ def k_truss_edges(
             )
             cur = out.select("__a", "__b")
     else:
+        # ONE bounded action per round: the previous round's count is
+        # carried forward instead of recounting the checkpointed frame
+        # (the count would otherwise run twice per round — same value,
+        # double the job launches).
+        before = cur.count()
         for _ in range(max_rounds):
-            before = cur.count()
             out = (
                 edge_support(cur)
                 .filter(F.col("__sup") >= thresh)
                 .localCheckpoint(eager=False)
             )
             cur = out.select("__a", "__b")
-            if cur.count() == before:
+            after = cur.count()
+            if after == before:
                 break
+            before = after
     return out.select(
         F.col("__a").alias("a"),
         F.col("__b").alias("b"),
