@@ -49,8 +49,58 @@ def register(name: str, oracle: Optional[str], description: str = ""):
     return deco
 
 
+#: Fan a scan out to every core only while the WHOLE table is at most this
+#: many bytes per core on disk — small enough that the round-robin exchange
+#: is far below scan granularity (one default scan split is 128 MiB), so the
+#: spread can only be a win. Past the cap the scan itself provides
+#: parallelism (many files / row groups) and a blanket repartition would be
+#: a full shuffle of the corpus — exactly the scale-killer to avoid.
+_FAN_OUT_CAP_BYTES_PER_CORE = 4 << 20
+
+
+def _local_input_bytes(path: str) -> int:
+    import os
+
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+    return os.path.getsize(path)
+
+
+def _fan_out_small_scan(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+    """Scale-adaptive scan fan-out (optimization guide §2/§6).
+
+    A table that fits in one parquet file produces ONE scan partition, so
+    every downstream per-row map (minhash signatures, winnowing selection,
+    CDC chunking, …) runs on one core no matter how many the session has.
+    When the table is tiny relative to the session's parallelism (see
+    ``_FAN_OUT_CAP_BYTES_PER_CORE``), round-robin repartition to
+    ``defaultParallelism`` so the expensive maps use the whole machine; the
+    exchange moves at most ``cores * cap`` bytes, which is noise. Above the
+    cap this is a NO-OP: at real scale the scan has file/row-group
+    parallelism already and the repartition would shuffle the corpus.
+
+    Row placement never affects registered-query results (the determinism
+    rules at the top of this module make every query order-insensitive),
+    and ``spark.sql.execution.sortBeforeRepartition`` (default on) keeps
+    the assignment stable under task retries.
+    """
+    try:
+        size = _local_input_bytes(path)
+    except OSError:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    if size == 0 or size > cores * _FAN_OUT_CAP_BYTES_PER_CORE:
+        return df
+    return df.repartition(cores)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    path = f"{sf_dir}/{table}.parquet"
+    return _fan_out_small_scan(spark.read.parquet(path), spark, path)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,13 +118,14 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    df = spark.read.parquet(path)
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    return _fan_out_small_scan(df, spark, path)
 
 
 #: The driver's correctness harness checks the FIRST 50 entries of
