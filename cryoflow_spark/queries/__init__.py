@@ -98,12 +98,28 @@ def _fan_out_small_scan(df: DataFrame, spark: SparkSession, path: str) -> DataFr
     return df.repartition(cores)
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, table: str, spread: bool = False
+) -> DataFrame:
+    """Read a test table; ``spread=True`` asks for the small-scan fan-out.
+
+    The spread is OPT-IN per call site: it pays one exchange (plus the
+    round-robin pre-sort) to put an expensive downstream per-row map on
+    every core, which a full-map A/B showed is a multi-second win for the
+    compute-bound pipelines (minhash/winnowing/CDC/ANN/profiling) but a
+    flat ~0.3-1s LOSS for the many cheap relational queries whose
+    single-partition scan was already fine (158 queries regressed under a
+    blanket spread, 38 of them past the bench's 2x fresh-process gate).
+    Query authors opt in exactly where the map is the bottleneck.
+    """
     path = f"{sf_dir}/{table}.parquet"
-    return _fan_out_small_scan(spark.read.parquet(path), spark, path)
+    df = spark.read.parquet(path)
+    return _fan_out_small_scan(df, spark, path) if spread else df
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_events(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
     """Load the events table, normalizing ``ts`` to session-local TIMESTAMP.
 
     The driver's ``events.parquet`` has shipped ``ts`` as either parquet
@@ -125,7 +141,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return _fan_out_small_scan(df, spark, path)
+    return _fan_out_small_scan(df, spark, path) if spread else df
 
 
 #: The driver's correctness harness checks the FIRST 50 entries of

@@ -184,7 +184,7 @@ def x05_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Embedding-cosine near-dup pairs within label blocks (exact, deterministic)",
 )
 def x06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select(
+    e = load(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id",
         "label",
         "embedding",
@@ -388,7 +388,7 @@ def x10_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Rabin-Karp rolling-hash fingerprint of normalized text (portable fold)",
 )
 def x11_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return d.select("doc_id", X.fingerprint("text").alias("fp"))
 
 
@@ -589,7 +589,7 @@ def _x15_oracle(num_hashes: int = 32, bands: int = 8) -> str:
     "the chosen operating point either way.",
 )
 def x15_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return D.minhash_dedup(
         d, text_col="text", id_col="doc_id", num_hashes=32, bands=8,
         shingle_size=4, threshold=0.5, hash_mode="portable",
@@ -776,7 +776,7 @@ _CLUSTERS_SQL = f"""
     "the per-pair survivor rule's chain blind spot",
 )
 def x20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     pairs = D.ngram_jaccard_pairs(
         d, text_col="text", id_col="doc_id", ngram=3, threshold=0.05,
         block_by="lang",
@@ -826,7 +826,7 @@ def x20_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipelines",
 )
 def x21_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return X.tfidf_top_terms(
         d, text_col="text", id_col="doc_id", k=3, min_len=3,
         doc_filter=F.col("doc_id") % 25 == 0,
@@ -942,7 +942,7 @@ def _x23_oracle() -> str:
     "oracle-checked bit-identical (complements x18's trained quantizer)",
 )
 def x23_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     queries = e.filter(F.col("vec_id") % 100 == 0)
     return S.ivf_cosine_topk(
         e,
@@ -974,7 +974,7 @@ _X24_PII_EXPR = (
     "deterministic PII injected per doc so the scrub provably fires)",
 )
 def x24_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     pii_text = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -1020,7 +1020,7 @@ def x24_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the (broadcast) benchmark set — the GPT-3-style eval-overlap rule",
 )
 def x25_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     bench = d.filter(F.col("doc_id") % 50 == 0)
     corpus = d.filter(F.col("doc_id") % 50 != 0)
     return C.contaminated_ids(corpus, bench, ngram=8)
@@ -1072,7 +1072,7 @@ def x25_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "most-frequent-token fraction (one explode + two-level agg)",
 )
 def x26_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return C.repetition_stats(d)
 
 
@@ -1127,7 +1127,7 @@ def _x27_oracle() -> str:
     "memory-bandwidth path for a 100 TB embedding store",
 )
 def x27_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     queries = e.filter(F.col("vec_id") < 10)
     return S.quantized_cosine_topk(
         e, queries, vec_col="embedding", id_col="vec_id", k=5, bits=8
@@ -1408,7 +1408,7 @@ def _x33_oracle(num_hashes: int = 32, bands: int = 8, split: int = 250) -> str:
     "estimate verify; portable md5 mode so the oracle is bit-identical",
 )
 def x33_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     new_batch = d.filter(F.col("doc_id") >= 250)
     corpus = d.filter(F.col("doc_id") < 250)
     out = D.minhash_dedup_incremental(
@@ -1574,7 +1574,7 @@ def _x37_oracle() -> str:
 def x37_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cryoflow_spark.functions.profiling import profile_columns
 
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", spread=True)
     return profile_columns(
         li,
         columns=[
@@ -1740,7 +1740,7 @@ def x39_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "divide, no transcendentals",
 )
 def x40_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return C.ngram_novelty(d, text_col="text", id_col="doc_id", ngram=3)
 
 
@@ -1762,7 +1762,7 @@ def x40_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exists only for cross-engine oracle checks)",
 )
 def x15_engine_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return D.minhash_dedup(
         d, text_col="text", id_col="doc_id", num_hashes=32, bands=8,
         shingle_size=4, threshold=0.5, hash_mode="engine",
@@ -1779,7 +1779,7 @@ def x15_engine_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x33_engine_incremental_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     new_batch = d.filter(F.col("doc_id") >= 250)
     corpus = d.filter(F.col("doc_id") < 250)
     out = D.minhash_dedup_incremental(
@@ -1847,7 +1847,7 @@ def _x41_oracle() -> str:
     "shows up in the recorded correctness artifact, not just in pytest",
 )
 def x41_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     queries = e.filter(F.col("vec_id") < 10)
     exact = S.cosine_topk(e, queries, vec_col="embedding", id_col="vec_id", k=5)
     approx = S.lsh_cosine_topk(
@@ -2012,7 +2012,7 @@ def _x43_oracle() -> str:
     "+ JVM fold dots so every stage is oracle-checked bit-identical",
 )
 def x43_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     kept = S.semantic_dedup(
         e,
         threshold=_X43_THRESHOLD,
@@ -2059,7 +2059,7 @@ from cryoflow_spark.functions.html import sql_html_to_text as _sql_html_to_text 
 def x44_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cryoflow_spark.functions.html import html_to_text
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return d.select(
         "doc_id", html_to_text(F.expr(_X44_HTML_EXPR)).alias("plain_text")
     )
@@ -2189,7 +2189,7 @@ def _x47_oracle() -> str:
 def x47_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cryoflow_spark.functions.quality_rules import gopher_quality_flags
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     # Library defaults are the paper's; the registered query relaxes the
     # word-count floor and stop-word minimum to the synthetic corpus's
     # range (10-99 words of stopword-poor soup) so the verdict column
@@ -2312,7 +2312,7 @@ _X50_TEXT_EXPR = (
     "pipeline, one narrow map, no UDF",
 )
 def x50_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     synth = d.select("doc_id", F.expr(_X50_TEXT_EXPR).alias("text"))
     return X.script_profile(synth).drop("text")
 
@@ -2352,7 +2352,7 @@ def _x51_oracle() -> str:
     "portability",
 )
 def x51_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     proj = S.project_embeddings(e)
     return proj.select(
         "vec_id", F.posexplode("projected").alias("pos", "component")
@@ -2421,7 +2421,7 @@ def x52_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recompute-everything path, pinned by sharing its oracle",
 )
 def x53_incremental_presig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     corpus = D.with_minhash_signature(
         d.filter(F.col("doc_id") < 250),
         num_hashes=32, shingle_size=4, hash_mode="portable",
@@ -2510,7 +2510,7 @@ def x54_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "output, so the exact-join oracle pins the result bit-identical",
 )
 def x55_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     bench = d.filter(F.col("doc_id") % 40 == 0)
     corpus = d.filter(F.col("doc_id") % 40 != 0)
     return C.bloom_contaminated_ids(corpus, bench, ngram=6)
@@ -3024,7 +3024,7 @@ def x65_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assign-everything path, pinned by sharing its oracle",
 )
 def x66_ivf_presig_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     indexed = S.with_ivf_cell(
         e, _X23_CENTROIDS, cell_col="ivf_cell", assign_mode="fold"
     )
@@ -3437,7 +3437,7 @@ def _x76_oracle() -> str:
 def x76_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cryoflow_spark.functions.profiling import correlation_matrix
 
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", spread=True)
     return correlation_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
@@ -3562,7 +3562,7 @@ def x78_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x79_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cryoflow_spark.functions.profiling import quantile_summary
 
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", spread=True)
     return quantile_summary(
         li, ["l_quantity", "l_extendedprice", "l_discount"]
     )
@@ -4762,7 +4762,7 @@ def _x100_oracle() -> str:
     "floor pinned in pytest, the x23/x18 split)",
 )
 def x100_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     queries = e.filter(F.col("vec_id") % 100 == 0)
     return S.pq_adc_topk(
         e, queries, _X100_BOOKS, k=5, encode_mode="fold"
@@ -4781,7 +4781,7 @@ def x100_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "row that prices what a user actually runs",
 )
 def x100_pq_adc_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     queries = e.filter(F.col("vec_id") % 100 == 0)
     return S.pq_adc_topk(
         e, queries, _X100_BOOKS, k=5, encode_mode="vectorized"
@@ -4953,7 +4953,7 @@ def _x102_oracle() -> str:
     "centroids + codebooks pin every stage bit-identical",
 )
 def x102_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     queries = e.filter(F.col("vec_id") % 100 == 0)
     return S.ivf_pq_topk(
         e, queries, _X23_CENTROIDS, _X100_BOOKS, k=5, nprobe=3,
@@ -4973,7 +4973,7 @@ def x102_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the bench row that prices what a user actually runs",
 )
 def x102_ivf_pq_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     queries = e.filter(F.col("vec_id") % 100 == 0)
     return S.ivf_pq_topk(
         e, queries, _X23_CENTROIDS, _X100_BOOKS, k=5, nprobe=3,
@@ -6159,7 +6159,7 @@ def _x121_oracle() -> str:
 def x121_domain_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cryoflow_spark.functions.urls import domain_diversity_report
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     urls = d.select("doc_id", "lang", F.expr(_x42_url_sql()).alias("url"))
     return domain_diversity_report(urls, group_col="lang")
 
@@ -6213,7 +6213,7 @@ def _x122_oracle() -> str:
 def x122_pii_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cryoflow_spark.functions.curation import pii_exposure_report
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     pii_text = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -6568,7 +6568,7 @@ def x128_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg (no countDistinct Expand)",
 )
 def x129_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return X.ngram_diversity_report(d, group_col="lang", max_n=3)
 
 
@@ -6629,7 +6629,7 @@ def _x130_oracle() -> str:
 def x130_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cryoflow_spark.functions.profiling import benford_audit
 
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", spread=True)
     return benford_audit(
         li, ["l_extendedprice", "l_quantity", "l_discount"]
     )
@@ -6727,7 +6727,7 @@ def x131_ivf_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sums run over the <=20-row bin table (bounded envelope)",
 )
 def x132_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return D.dedup_threshold_sensitivity(
         d, text_col="text", id_col="doc_id", ngram=3,
         block_by="lang", floor=0.05, n_bins=20,
@@ -7311,7 +7311,7 @@ def x140_cluster_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x141_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cryoflow_spark.functions.profiling import outlier_report
 
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", spread=True)
     return outlier_report(li, ["l_extendedprice", "l_quantity"], k=10.0)
 
 
@@ -7327,7 +7327,7 @@ def x141_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x141_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cryoflow_spark.functions.profiling import outlier_report
 
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", spread=True)
     return outlier_report(
         li, ["l_extendedprice", "l_quantity"], k=10.0, exact=False
     )
@@ -7541,7 +7541,7 @@ _X145_MIX = (
     "arithmetic on the mixed ids; no all-pairs path",
 )
 def x145_image_hash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     mixed = d.select(
         F.expr(_X145_MIX.format(d="doc_id")).alias("doc_id")
     )
@@ -7663,7 +7663,7 @@ def _x147_oracle() -> str:
 def x147_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cryoflow_spark.functions.quality_rules import code_detection_flags
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return code_detection_flags(d).select(
         "doc_id", "n_chars_code", "n_code_lines", "symbol_frac",
         "indent_line_frac", "keyword_hits", "punct_per_line", "is_code",
@@ -7806,7 +7806,7 @@ def x149_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "JVM regexp map, no UDF, no shuffle",
 )
 def x150_mixed_script(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return C.mixed_script_flags(d).select(
         "doc_id", "mixed_script_words", "mixed_script_frac",
         "mixed_example", "has_mixed_script",
@@ -8293,7 +8293,7 @@ def _x157_oracle(shortlist: int = 20, k: int = 5) -> str:
     "fixed centroids + codebooks keep every stage bit-identical",
 )
 def x157_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     queries = e.filter(F.col("vec_id") % 100 == 0)
     return S.ivf_pq_rerank_topk(
         e, queries, _X23_CENTROIDS, _X100_BOOKS, k=5, shortlist=20,
@@ -8847,7 +8847,7 @@ def _x165_oracle(k_rank: int = 5, rrf_k: int = 60, top_n: int = 5) -> str:
 def x165_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cryoflow_spark.functions.ranks import rrf_fuse
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     queries = e.filter(F.col("vec_id") < 10)
     exact = S.cosine_topk(e, queries, k=5)
     quant = S.quantized_cosine_topk(e, queries, k=5, bits=8)
@@ -9075,7 +9075,7 @@ def x168_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— the bench row that prices what a user actually runs",
 )
 def x157_rerank_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     queries = e.filter(F.col("vec_id") % 100 == 0)
     return S.ivf_pq_rerank_topk(
         e, queries, _X23_CENTROIDS, _X100_BOOKS, k=5, shortlist=20,
@@ -9618,7 +9618,7 @@ def x175_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cryoflow_spark.functions.similarity import margin_mining_pairs
 
     emb = deterministic_sample(
-        load(spark, sf_dir, "embeddings"), "vec_id", 0.3
+        load(spark, sf_dir, "embeddings", spread=True), "vec_id", 0.3
     )
     return margin_mining_pairs(
         emb.filter(F.col("vec_id") % 2 == 0),
@@ -9990,7 +9990,7 @@ _WINNOW_PAIRS_CTE = """cand AS (
     "stop-fingerprint cap bounding fanout",
 )
 def x182_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return X.winnowing_candidates(d, k=3, w=4, max_df=20, min_shared=2)
 
 
@@ -10273,7 +10273,7 @@ def x185_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     "generator, never corpus squared)",
 )
 def x186_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     pairs = X.winnowing_candidates(d, k=3, w=4, max_df=20, min_shared=2)
     return X.rouge_overlap_pairs(d, pairs, n=2)
 
@@ -10422,7 +10422,7 @@ def x188_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x189_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cryoflow_spark.functions.graph import triangle_report
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     pairs = X.winnowing_candidates(d, k=3, w=4, max_df=20, min_shared=2)
     return triangle_report(pairs)
 
@@ -10476,7 +10476,7 @@ def x189_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x190_dedup_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cryoflow_spark.functions.graph import degree_assortativity
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     pairs = X.winnowing_candidates(d, k=3, w=4, max_df=20, min_shared=2)
     return degree_assortativity(pairs)
 
@@ -10777,7 +10777,7 @@ def x193_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "excised span",
 )
 def x194_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return C.exact_substring_dedup(d, k=20, hash_mode="md5")
 
 
@@ -10795,7 +10795,7 @@ def x194_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x194_exact_substring_engine(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return C.exact_substring_dedup(d, k=20, hash_mode="xxhash64")
 
 
@@ -11007,7 +11007,7 @@ def x196_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "candidate pair, never corpus squared",
 )
 def x198_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     pairs = X.winnowing_candidates(d, k=3, w=4, max_df=20, min_shared=2)
     return D.edit_distance_verify(d, pairs, max_distance=60).orderBy(
         "doc_a", "doc_b"
@@ -11066,7 +11066,7 @@ def x198_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x199_windowed_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cryoflow_spark.functions.text import pmi_collocations
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return pmi_collocations(d, min_count=5, top_n=50, window=4)
 
 
@@ -11340,7 +11340,7 @@ def _x202_oracle(n_rounds: int = _X202_ROUNDS) -> str:
 def x202_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cryoflow_spark.functions.graph import k_core_decomposition
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     pairs = X.winnowing_candidates(d, k=3, w=4, max_df=20, min_shared=2)
     return k_core_decomposition(pairs, n_rounds=_X202_ROUNDS)
 
@@ -11419,7 +11419,7 @@ def _x203_oracle() -> str:
     "one chunk-hash-keyed agg + join back (the x01 cost class)",
 )
 def x203_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return C.cdc_chunks(d, k=_X203_K, divisor=_X203_D)
 
 
@@ -11530,7 +11530,7 @@ def x204_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pure per-row regexp + in-row integer folds, zero shuffles",
 )
 def x205_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     injected = d.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.concat(
@@ -11674,7 +11674,7 @@ def _x207_oracle(n_rounds: int = _X207_ROUNDS, k: int = _X207_K) -> str:
 def x207_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cryoflow_spark.functions.graph import k_truss_edges
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     pairs = X.winnowing_candidates(d, k=3, w=4, max_df=20, min_shared=2)
     return k_truss_edges(pairs, k=_X207_K, n_rounds=_X207_ROUNDS)
 
@@ -11779,7 +11779,7 @@ def _x208_oracle(damping: float = 0.85, n_iter: int = 5) -> str:
     "top-30 TakeOrdered",
 )
 def x208_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return X.textrank_keywords(
         d, window=2, min_count=2, damping=0.85, n_iter=5, top_n=30
     )
@@ -11879,5 +11879,5 @@ def x209_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graded against at repeated-query scale",
 )
 def x210_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return X.phrase_search(d, ["fast", "table"])

@@ -73,7 +73,7 @@ def SQL_DAVG(sql_expr: str, alias: str, scale: int = 2) -> str:
     "Pricing summary report: scan→filter→hash-agg (map-side partial) over 2 keys",
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load(spark, sf_dir, "lineitem")
+    l = load(spark, sf_dir, "lineitem", spread=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
