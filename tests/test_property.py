@@ -698,7 +698,20 @@ def test_bm25_matches_python_reference(spark, corpus):
 def test_cohens_kappa_matches_python_reference(spark, rows):
     """x144 against the textbook formula on randomized label pairs,
     including the degenerate chance-perfect table."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     from cryoflow_spark.functions.profiling import cohens_kappa
+
+    def round6(x: float) -> float:
+        # Spark's F.round(double, 6) is HALF_UP over the shortest decimal
+        # repr (java BigDecimal.valueOf), same as DuckDB's ROUND — NOT
+        # Python's banker's rounding, which differs on exact .5 ties
+        # (e.g. 122/256 = 0.4765625 -> 0.476563 HALF_UP, 0.476562 half-even).
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("1e-6"), rounding=ROUND_HALF_UP
+            )
+        )
 
     df = spark.createDataFrame(rows, "gold string, pred string")
     r = cohens_kappa(df, "gold", "pred").collect()[0]
@@ -710,12 +723,12 @@ def test_cohens_kappa_matches_python_reference(spark, rows):
         for c in classes
     )
     assert r["n_items"] == n
-    assert r["observed_agreement"] == round(agree / n, 6)
-    assert r["expected_agreement"] == round(s / (n * n), 6)
+    assert r["observed_agreement"] == round6(agree / n)
+    assert r["expected_agreement"] == round6(s / (n * n))
     if n * n - s == 0:
         assert r["kappa"] == 0.0
     else:
-        assert r["kappa"] == round((n * agree - s) / (n * n - s), 6)
+        assert r["kappa"] == round6((n * agree - s) / (n * n - s))
 
 
 @given(
