@@ -151,7 +151,14 @@ def minhash_signature_vectorized(hashes_col, num_hashes: int = 64, seed: int = 4
             out.append(sig.min(axis=0).tolist())
         return pd.Series(out)
 
-    return _sig(hashes_col)
+    # The function is pure, but callers FILTER on its output (sig-null
+    # rows leave the pipeline), and catalyst pushes such a filter below
+    # the projection by duplicating the UDF — two ArrowEvalPython nodes,
+    # the lower one additionally pushed below the small-scan fan-out
+    # exchange so the whole shingle→md5→signature pass ran ONCE MORE on
+    # a single core (optimization guide §4.4). Non-deterministic forbids
+    # the duplication: one evaluation, above the spread.
+    return _sig.asNondeterministic()(hashes_col)
 
 
 def _band_explode(
@@ -541,7 +548,11 @@ def simhash_column(text_col: str, n_bits: int = 64, hash_mode: str = "engine"):
         portable_hash60 if hash_mode == "portable" else (lambda t: F.xxhash64(t))
     )
     token_hashes = F.transform(token_set(text_col), token_hash)
-    return _simhash(token_hashes)
+    # Pure, but marked non-deterministic so filters inferred from the
+    # downstream chunk-join keys are not pushed below the projection by
+    # DUPLICATING the UDF (guide §4.4 — the minhash _sig fix; the plan
+    # showed 4 _simhash evaluations for x16's one logical pass).
+    return _simhash.asNondeterministic()(token_hashes)
 
 
 def simhash_dedup(
@@ -1291,10 +1302,30 @@ def minhash_audit(
         .distinct()
     )
 
-    sized = with_sig.select(
-        F.col(id_col),
-        F.col("__shingles"),
-        F.size("__shingles").alias("__n"),
+    # The truth side needs only the shingle SETS — not the signature.
+    # `_with_minhash_signature` keeps exactly the rows with a non-empty
+    # shingle set (null text dropped, __sig null iff no shingles), so
+    # rebuilding that frame without the signature UDF keeps the same
+    # rows while sparing the truth branch the md5 base hashes and the
+    # Python boundary entirely (guide §4.1: pass only what it needs).
+    #
+    # (Strategy note, measured at sf0.1: PPJoin prefix filtering — the
+    # ngram_jaccard_pairs(method="prefix") shape, df-ascending order —
+    # was tried and is a LOSS here: at threshold 0.5 on same-domain
+    # char shingles the prefix is half of every set, candidate pairs
+    # ≈ 800k vs ~300 true, and shipping shingle arrays to verify them
+    # costs 2.5× the count-join it replaced. The inverted-index
+    # count-join below is the better exact plan at low thresholds; its
+    # postings² cost is why the operator is sample-bounded at scale.)
+    sized = (
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn("__shingles", shingle_set(text_col, shingle_size))
+        .filter(F.size("__shingles") >= 1)
+        .select(
+            F.col(id_col),
+            F.col("__shingles"),
+            F.size("__shingles").alias("__n"),
+        )
     )
     inv = sized.select(
         F.col(id_col), "__n", F.explode("__shingles").alias("__g")
@@ -1329,13 +1360,22 @@ def minhash_audit(
         .select("id_a", "id_b")
     )
 
-    n_pred = pred.agg(F.count(F.lit(1)).cast("bigint").alias("n_predicted"))
-    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
-    n_hit = pred.join(truth, ["id_a", "id_b"]).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_hit")
-    )
-    stats = n_pred.crossJoin(F.broadcast(n_true)).crossJoin(
-        F.broadcast(n_hit)
+    # ONE pass over each pair table: the three counts (predicted, true,
+    # hit) fold out of a single full-outer join + 1-row aggregate.
+    # Counting them separately consumed `pred` and `truth` twice each,
+    # re-executing the full signature + band-join pipeline and the
+    # inverted-index join (8 ArrowEvalPython nodes in the old plan).
+    pj = pred.withColumn("__p", F.lit(1))
+    tj = truth.withColumn("__t", F.lit(1))
+    stats = (
+        pj.join(tj, ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.count("__p").cast("bigint").alias("n_predicted"),
+            F.count("__t").cast("bigint").alias("n_true"),
+            F.count(F.when(F.col("__p").isNotNull() & F.col("__t").isNotNull(), 1))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
     )
     p = F.when(
         F.col("n_predicted") > 0,

@@ -227,7 +227,12 @@ def with_image_hash(
 
         return payloads.map(one)
 
-    return df.withColumn(hash_col, _ahash(F.col(payload_col)))
+    # Pure, but consumers filter on the hash (drop undecodable rows) and
+    # catalyst pushes that filter below the projection by DUPLICATING
+    # the decode UDF — the most expensive node in the pipeline ran twice
+    # per image (guide §4.4; x145 showed 4 _ahash plan nodes). Marking
+    # it non-deterministic forbids the duplication.
+    return df.withColumn(hash_col, _ahash.asNondeterministic()(F.col(payload_col)))
 
 
 def image_hash_pairs(
