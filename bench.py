@@ -76,6 +76,16 @@ def main() -> int:
     from cryoflow_spark.queries import all_queries
 
     spark = get_session(app_name="cryoflow-bench")
+    # Core count this run executes at — recorded in the artifact and used
+    # to KEY the self-audit history (r14 lesson: the driver's 8-core run
+    # overwrote the committed 32-core map; several 8-core readings are
+    # LOWER than any 32-core one on driver-bound queries, so an unkeyed
+    # min would tighten the 32-core floor with numbers from a different
+    # machine shape and generate false rc 1s).
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", ""))
+    except ValueError:
+        cpus = spark.sparkContext.defaultParallelism
     # Silence WindowExec's "No Partition Defined" WARN spam: every
     # single-reducer window in the registry is a deliberate bounded
     # envelope (CDF-spine offset stitches etc.), allowlisted and
@@ -114,7 +124,12 @@ def main() -> int:
     # cleared inside the artifact itself instead of poisoning the map.
     history: dict[str, float] = {}
 
-    def _fold_history(qmap) -> None:
+    def _fold_history(qmap, art_cpus) -> None:
+        # History is keyed by core count: an artifact measured at a
+        # different $SPARK_GRAFT_CPUS (or with unknown provenance — no
+        # recorded cpus) must not set this run's floor.
+        if art_cpus != cpus:
+            return
         for k, v in (qmap or {}).items():
             if isinstance(v, (int, float)) and v > 0:
                 history[k] = min(history.get(k, float(v)), float(v))
@@ -129,7 +144,8 @@ def main() -> int:
                 capture_output=True, text=True, timeout=10,
             )
             if committed.returncode == 0:
-                _fold_history(json.loads(committed.stdout).get("queries"))
+                doc = json.loads(committed.stdout)
+                _fold_history(doc.get("queries"), doc.get("cpus"))
         except Exception:  # noqa: BLE001 — audit is best-effort
             pass
         for f in _glob.glob(str(REPO / "BENCH_r*.json")):
@@ -137,16 +153,17 @@ def main() -> int:
                 doc = json.loads(Path(f).read_text())
                 _fold_history(
                     (doc.get("parsed") or {}).get("queries")
-                    or doc.get("queries")
+                    or doc.get("queries"),
+                    doc.get("cpus"),
                 )
             except Exception:  # noqa: BLE001
                 continue
     except Exception:  # noqa: BLE001
         history = {}
 
-    def time_query(spec) -> float:
+    def time_query(spec, runs: int | None = None) -> float:
         best = None
-        for _ in range(max(1, args.repeat)):
+        for _ in range(max(1, runs if runs is not None else args.repeat)):
             start = time.perf_counter()
             consume(spec.fn(spark, args.sf_dir))
             elapsed = time.perf_counter() - start
@@ -206,6 +223,42 @@ def main() -> int:
         except Exception:  # noqa: BLE001 — fall back to in-JVM rerun
             return None
 
+    # Stall guard (the r14 x190 case): a query whose committed floor is
+    # ITSELF a stale-slow reading passes the 2x-best-committed gate while
+    # stalled, so the stall never gets re-run and the stale floor never
+    # refreshes. Every full-map query reading >2x the sweep's median gets
+    # one extra in-JVM run; the artifact keeps the min, so a transient
+    # stall is corrected inside the run and the committed floor converges
+    # to the query's real cost. (In-JVM, single run: this probes for
+    # stalls on historically-slow queries, it does not confirm a
+    # regression — the fresh-subprocess path below does that.)
+    sweep_vals = sorted(timings.values())
+    sweep_median = sweep_vals[len(sweep_vals) // 2] if sweep_vals else 0.0
+    if use_fresh and len(timings) >= 20:
+        for name in sorted(timings):
+            best_hist = history.get(name)
+            if timings[name] <= 2.0 * sweep_median:
+                continue
+            if best_hist is not None and timings[name] > 2.0 * best_hist:
+                continue  # the regression audit below handles it
+            probe = round(time_query(selected[name], runs=1), 4)
+            if probe < timings[name]:
+                audit[name] = {
+                    "best_committed": (
+                        round(best_hist, 3) if best_hist is not None else None
+                    ),
+                    "sweep": timings[name],
+                    "rerun": probe,
+                    "rerun_mode": "stall_probe",
+                    "audit_load_1min": round(os.getloadavg()[0], 2),
+                }
+                print(
+                    f"# stall probe {name}: sweep {timings[name]:.3f}s "
+                    f"-> probe {probe:.3f}s",
+                    file=sys.stderr,
+                )
+                timings[name] = probe
+
     for name in sorted(timings):
         best_hist = history.get(name)
         if best_hist is None or timings[name] <= 2.0 * best_hist:
@@ -255,6 +308,7 @@ def main() -> int:
         "agg": "min",
         "load_1min": round(load_1min, 2),
         "cpu_probe_sec": round(cpu_probe_sec, 3),
+        "cpus": cpus,
         "sf": sf,
     }
     if audit:

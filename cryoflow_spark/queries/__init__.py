@@ -167,67 +167,16 @@ def load_events(
 #: themselves, so it fails the moment a rotation edit (or a forgotten
 #: rotation) would let any query go staler than the policy allows.
 #:
-#: This list IS the policy ordering as of the round-12 artifacts: the
-#: round-13 window is the head 50 — the oldest-evidence r7 cohort
-#: (x96–x114, the q30+ relational block, …) leads; positions 51+
-#: pre-commit the following rounds. New r13 registrations are
+#: This list IS the policy ordering as of the round-14 artifacts: the
+#: round-15 window is the head 50 — the oldest-evidence r9 cohort
+#: (x07, x12–x14, x20, the approx twins, …) leads; positions 51+
+#: pre-commit the following rounds. New r15 registrations would be
 #: never-checked and PREPEND when they land.
 #: Operators newly registered in a round are never-checked and
 #: therefore PREPEND (tools/make_window.py emits the refreshed list).
 _PRIORITY: list[str] = [
-    # --- round-14 window head: oldest-evidence cohort (regenerate
+    # --- round-15 window head: oldest-evidence cohort (regenerate
     # with tools/make_window.py after each driver round) ---
-    "x01_dedup_exact",  # last checked: r8
-    "x03_jaccard_pairs",  # last checked: r8
-    "x05_cosine_topk",  # last checked: r8
-    "x115_langid_margin",  # last checked: r8
-    "x116_decontamination_audit",  # last checked: r8
-    "x117_truncation_qa",  # last checked: r8
-    "x118_rate_anomaly",  # last checked: r8
-    "x119_mixture_order",  # last checked: r8
-    "x120_cross_source_dup",  # last checked: r8
-    "x121_domain_diversity",  # last checked: r8
-    "x122_pii_exposure",  # last checked: r8
-    "x123_centroid_similarity",  # last checked: r8
-    "x124_packing_efficiency",  # last checked: r8
-    "x125_dedup_savings",  # last checked: r8
-    "x126_encoding_artifacts",  # last checked: r8
-    "x127_event_transitions",  # last checked: r8
-    "x128_scd2_intervals",  # last checked: r8
-    "x129_ngram_diversity",  # last checked: r8
-    "x130_benford_audit",  # last checked: r8
-    "x131_ivf_quant_error",  # last checked: r8
-    "x132_threshold_sensitivity",  # last checked: r8
-    "x133_classification_report",  # last checked: r8
-    "x134_join_explosion",  # last checked: r8
-    "x135_session_journeys",  # last checked: r8
-    "x136_keyword_contexts",  # last checked: r8
-    "x137_traffic_seasonality",  # last checked: r8
-    "x138_chat_transcript_audit",  # last checked: r8
-    "x139_ab_lift",  # last checked: r8
-    "x140_cluster_capped_sample",  # last checked: r8
-    "x141_outlier_report",  # last checked: r8
-    "x142_association_rules",  # last checked: r8
-    "x143_bpe_merge_pairs",  # last checked: r8
-    "x144_cohens_kappa",  # last checked: r8
-    "x145_image_hash_pairs",  # last checked: r8
-    "x146_embedding_covariance",  # last checked: r8
-    "x147_code_detection",  # last checked: r8
-    "x148_kneser_ney_counts",  # last checked: r8
-    "x149_active_users",  # last checked: r8
-    "x150_mixed_script",  # last checked: r8
-    "x151_special_tokens",  # last checked: r8
-    "x152_dedup_pair_inspector",  # last checked: r8
-    "x153_chat_turn_stats",  # last checked: r8
-    "x154_session_entries",  # last checked: r8
-    "x155_bm25_search",  # last checked: r8
-    "x156_duplicate_embeddings",  # last checked: r8
-    "q59_recursive_months",  # last checked: r8
-    "q60_lateral_topn",  # last checked: r8
-    "q61_market_share",  # last checked: r8
-    "q62_customer_distribution",  # last checked: r8
-    "q63_sales_opportunity",  # last checked: r8
-    # --- positions 51+: pre-committed following rounds ---
     "x07_lsh_cosine_topk",  # last checked: r9
     "x12_multimodal_meta",  # last checked: r9
     "x13_multimodal_features",  # last checked: r9
@@ -278,6 +227,7 @@ _PRIORITY: list[str] = [
     "x171_growth_accounting",  # last checked: r9
     "q01_pricing_summary",  # last checked: r9
     "q25_asof_join",  # last checked: r9
+    # --- positions 51+: pre-committed following rounds ---
     "x02_dedup_normalized",  # last checked: r10
     "x04_jaccard_dedup",  # last checked: r10
     "x06_embedding_neardup",  # last checked: r10
@@ -478,6 +428,56 @@ _PRIORITY: list[str] = [
     "q53_fuzzy_part_names",  # last checked: r13
     "q55_grouping_sets",  # last checked: r13
     "q56_latest_per_key",  # last checked: r13
+    "x01_dedup_exact",  # last checked: r14
+    "x03_jaccard_pairs",  # last checked: r14
+    "x05_cosine_topk",  # last checked: r14
+    "x115_langid_margin",  # last checked: r14
+    "x116_decontamination_audit",  # last checked: r14
+    "x117_truncation_qa",  # last checked: r14
+    "x118_rate_anomaly",  # last checked: r14
+    "x119_mixture_order",  # last checked: r14
+    "x120_cross_source_dup",  # last checked: r14
+    "x121_domain_diversity",  # last checked: r14
+    "x122_pii_exposure",  # last checked: r14
+    "x123_centroid_similarity",  # last checked: r14
+    "x124_packing_efficiency",  # last checked: r14
+    "x125_dedup_savings",  # last checked: r14
+    "x126_encoding_artifacts",  # last checked: r14
+    "x127_event_transitions",  # last checked: r14
+    "x128_scd2_intervals",  # last checked: r14
+    "x129_ngram_diversity",  # last checked: r14
+    "x130_benford_audit",  # last checked: r14
+    "x131_ivf_quant_error",  # last checked: r14
+    "x132_threshold_sensitivity",  # last checked: r14
+    "x133_classification_report",  # last checked: r14
+    "x134_join_explosion",  # last checked: r14
+    "x135_session_journeys",  # last checked: r14
+    "x136_keyword_contexts",  # last checked: r14
+    "x137_traffic_seasonality",  # last checked: r14
+    "x138_chat_transcript_audit",  # last checked: r14
+    "x139_ab_lift",  # last checked: r14
+    "x140_cluster_capped_sample",  # last checked: r14
+    "x141_outlier_report",  # last checked: r14
+    "x142_association_rules",  # last checked: r14
+    "x143_bpe_merge_pairs",  # last checked: r14
+    "x144_cohens_kappa",  # last checked: r14
+    "x145_image_hash_pairs",  # last checked: r14
+    "x146_embedding_covariance",  # last checked: r14
+    "x147_code_detection",  # last checked: r14
+    "x148_kneser_ney_counts",  # last checked: r14
+    "x149_active_users",  # last checked: r14
+    "x150_mixed_script",  # last checked: r14
+    "x151_special_tokens",  # last checked: r14
+    "x152_dedup_pair_inspector",  # last checked: r14
+    "x153_chat_turn_stats",  # last checked: r14
+    "x154_session_entries",  # last checked: r14
+    "x155_bm25_search",  # last checked: r14
+    "x156_duplicate_embeddings",  # last checked: r14
+    "q59_recursive_months",  # last checked: r14
+    "q60_lateral_topn",  # last checked: r14
+    "q61_market_share",  # last checked: r14
+    "q62_customer_distribution",  # last checked: r14
+    "q63_sales_opportunity",  # last checked: r14
 ]
 
 
