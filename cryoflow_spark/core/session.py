@@ -14,6 +14,7 @@ settings every entry point (CLI, tests, bench, driver) should share:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from typing import Optional
 
 from pyspark.sql import SparkSession
@@ -48,6 +49,64 @@ DEFAULT_CONFS: dict[str, str] = {
     # exists. A real cluster sets executor memory per its own sizing.
     "spark.driver.memory": "16g",
 }
+
+
+@contextmanager
+def bounded_iteration(spark: SparkSession, n_rows: int,
+                      rows_per_partition: int = 65536,
+                      pause_aqe: bool = False):
+    """Conf window for the ROUND LOOP of an iterative graph/dedup
+    operator (pagerank, label propagation, k-core, k-truss, connected
+    components): size the loop's shuffle width to its per-round state
+    instead of the corpus-scale session default (guide §2: derive
+    partitioning from input size, never a constant).
+
+    The loop state is the extracted, already-checkpointed edge/node
+    table — bounded by a vocabulary, not the corpus — yet every round's
+    exchanges inherit the session's ``spark.sql.shuffle.partitions``
+    (sized for corpus-scale scans). At any scale that is pure per-round
+    scheduling overhead: tasks that carry a few rows each, plus one AQE
+    re-plan per stage to discover (again) that the data is tiny.
+
+    ``parts = clamp(ceil(n_rows / rows_per_partition), 1, session)`` —
+    on a real cluster a million-edge graph keeps the session width and
+    AQE; a 60-node event-type graph iterates on a couple of partitions.
+    ``pause_aqe=True`` additionally disables AQE inside the window when
+    the whole loop state needs at most a handful of partitions (nothing
+    to coalesce, skew handling cannot trigger below its 256 MB
+    threshold): lazy-checkpoint builds then launch NO jobs, so a loop
+    whose rounds have exactly one driver action (pagerank's dangling
+    fold, label propagation's none) executes one job per action instead
+    of an AQE stage-materialization burst per round. It is OPT-IN
+    because loops whose rounds re-join their own output several times
+    (k-core, k-truss, the two-phase components star rounds) measure
+    FASTER under AQE — its runtime broadcast/coalesce decisions beat
+    the static tiny-partition plans there (interleaved A/B at sf0.1:
+    x207 3.7 s parts-only vs 5.3 s with AQE paused; x208 1.9 s paused
+    vs 2.2 s parts-only).
+
+    Row placement never affects operator results (canonical-fold
+    determinism rules, see queries/__init__.py), so the window is
+    semantics-free. Confs are restored on exit even on error; the
+    returned (lazy) tail of the operator executes under the caller's
+    session confs as before.
+    """
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = max(1, min(session_parts, -(-int(n_rows) // rows_per_partition)))
+    if parts >= session_parts:
+        yield
+        return
+    tiny = pause_aqe and parts <= 8
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    if tiny:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
+        if tiny:
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
 
 def tune_for_text_ops(spark: SparkSession) -> None:

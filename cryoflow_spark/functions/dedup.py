@@ -1110,52 +1110,66 @@ def connected_components_two_phase(
         .localCheckpoint(eager=False)
     )
     converged = False
-    for i in range(max_iter):
-        # LARGE-STAR over symmetric neighborhoods: for each center u,
-        # m = min(N(u) ∪ {u}); larger neighbors v > u re-attach to m.
-        sym = edges.unionByName(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        # least(min(v), u) on the GROUP KEY — a first() accumulator for
-        # a value the key already holds is a needless agg buffer.
-        mins = sym.groupBy("u").agg(F.min("v").alias("__mv")).select(
-            "u", F.least(F.col("__mv"), F.col("u")).alias("m")
-        )
-        # No distinct here: min-aggregation tolerates duplicates and the
-        # small-star output is distinct-ed below — the extra exchange +
-        # aggregate per round bought nothing.
-        large = (
-            sym.join(mins, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .where(F.col("u") != F.col("v"))
-        )
-        # SMALL-STAR over downward edges (large-star output already points
-        # big→small): u and all its smaller neighbors attach to their min.
-        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        with_min = large.join(mins2, "u")
-        small = (
-            with_min.select(F.col("v").alias("n"), F.col("m"))
-            .unionByName(with_min.select(F.col("u").alias("n"), F.col("m")))
-            .where(F.col("n") != F.col("m"))
-            .select(F.col("n").alias("u"), F.col("m").alias("v"))
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-        prev = edges
-        edges = small
-        # Fixpoint test (symmetric difference — both sides are distinct
-        # sets, so empty diff ⟺ set equality ⟺ the round is a no-op).
-        # Run it only every second round: the diff is a full extra job,
-        # while one redundant star round on an already-converged (tiny,
-        # star-shaped) edge set is nearly free.
-        if i % 2 == 1 or i == max_iter - 1:
-            diff = (
-                small.subtract(prev).unionAll(prev.subtract(small)).count()
+    # The star rounds iterate over the candidate-pair edge set — bounded
+    # by the near-dup cluster structure, far below corpus scale — so the
+    # loop's shuffle width derives from the edge count (AQE paused when
+    # tiny: lazy builds then launch no jobs and each convergence probe
+    # materializes the two rounds since the last one as a single job).
+    from cryoflow_spark.core.session import bounded_iteration
+
+    with bounded_iteration(pairs.sparkSession, edges.count()):
+        for i in range(max_iter):
+            # LARGE-STAR over symmetric neighborhoods: for each center u,
+            # m = min(N(u) ∪ {u}); larger neighbors v > u re-attach to m.
+            sym = edges.unionByName(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
-            if diff == 0:
-                converged = True
-                break
+            # least(min(v), u) on the GROUP KEY — a first() accumulator
+            # for a value the key already holds is a needless agg buffer.
+            mins = sym.groupBy("u").agg(F.min("v").alias("__mv")).select(
+                "u", F.least(F.col("__mv"), F.col("u")).alias("m")
+            )
+            # No distinct here: min-aggregation tolerates duplicates and
+            # the small-star output is distinct-ed below — the extra
+            # exchange + aggregate per round bought nothing.
+            large = (
+                sym.join(mins, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
+            )
+            # SMALL-STAR over downward edges (large-star output already
+            # points big→small): u and all its smaller neighbors attach
+            # to their min.
+            mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+            with_min = large.join(mins2, "u")
+            small = (
+                with_min.select(F.col("v").alias("n"), F.col("m"))
+                .unionByName(
+                    with_min.select(F.col("u").alias("n"), F.col("m"))
+                )
+                .where(F.col("n") != F.col("m"))
+                .select(F.col("n").alias("u"), F.col("m").alias("v"))
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            prev = edges
+            edges = small
+            # Fixpoint test (symmetric difference — both sides are
+            # distinct sets, so empty diff ⟺ set equality ⟺ the round is
+            # a no-op). Run it only every second round: the diff is a
+            # full extra job, while one redundant star round on an
+            # already-converged (tiny, star-shaped) edge set is nearly
+            # free.
+            if i % 2 == 1 or i == max_iter - 1:
+                diff = (
+                    small.subtract(prev)
+                    .unionAll(prev.subtract(small))
+                    .count()
+                )
+                if diff == 0:
+                    converged = True
+                    break
     if not converged:
         import warnings
 

@@ -65,14 +65,20 @@ def pagerank(
 
     Scale: see the module docstring — run this on an EXTRACTED edge
     table (event-type transitions, domain links), never raw facts.
-    Each iteration is one src-equi-join + one dst-keyed canonical fold
-    + a 1-row dangling scalar broadcast; incoming-edge fold lists are
-    bounded by in-degree. The edge/node tables and each iteration's
-    rank table are ``localCheckpoint``-ed (the x20 connected-components
-    pattern): ``ranks`` feeds BOTH the contribution join and the
-    dangling scalar, so without lineage truncation every round doubles
-    the recomputation of everything upstream (2^n_iter re-derivations
-    of the edge extraction — measured 37 s → ~2 s at sf0.1).
+    Each iteration is one src-equi-join + one dst-keyed canonical fold;
+    incoming-edge fold lists are bounded by in-degree. The edge/node
+    tables and each iteration's rank table are ``localCheckpoint``-ed
+    (the x20 connected-components pattern): ``ranks`` feeds BOTH the
+    contribution join and the dangling scalar, so without lineage
+    truncation every round doubles the recomputation of everything
+    upstream (2^n_iter re-derivations of the edge extraction —
+    measured 37 s → ~2 s at sf0.1). The dangling mass is a bounded
+    1-row scalar, collected per round (the one driver action, which
+    also materializes the previous round's lazy checkpoint — a lazy
+    checkpoint under a per-round BROADCAST is a measured regression,
+    because the broadcast executes before the checkpoint materializes
+    and re-derives the round pipeline); the loop runs inside a
+    ``bounded_iteration`` window sized to the edge count.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
@@ -102,59 +108,94 @@ def pagerank(
         _canonical_fold("dst", "w").alias("outw")
     )
     e = e.join(outw, "src").localCheckpoint()
-    outw = outw.localCheckpoint()
+    # Dangling membership is FIXED across rounds (a node with no
+    # out-edges never gains one): flag it once at setup so each round's
+    # dangling scalar is a filter+fold over the rank table itself — no
+    # join and no broadcast inside the loop.
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(
+            e.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("__dang", F.lit(False)),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("__dang", F.lit(True)).alias("__dang"))
         .localCheckpoint()
     )
-    n_scalar = nodes.agg(
-        F.count(F.lit(1)).cast("bigint").alias("__n")
-    )
-    ranks = nodes.crossJoin(F.broadcast(n_scalar)).select(
-        "node", (F.lit(1.0) / F.col("__n").cast("double")).alias("rank")
-    )
-    d = float(damping)
-    for _ in range(int(n_iter)):
-        contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(
-                "dst",
-                "src",
-                (F.col("rank") * F.col("w") / F.col("outw")).alias("__c"),
-            )
-            .groupBy("dst")
-            .agg(_canonical_fold("src", "__c").alias("__in"))
-        )
-        dangling = (
-            ranks.join(outw.withColumnRenamed("src", "node"), "node",
-                       "left_anti")
+    # N and each round's dangling mass are bounded 1-row scalars:
+    # COLLECTED and embedded as literals (the Python float ops below are
+    # the same IEEE double ops the previous in-plan expressions
+    # performed — ranks stay bit-identical), so each round needs exactly
+    # ONE driver action, the dangling fold, which doubles as the
+    # materializer of the previous round's lazy checkpoint. The
+    # broadcast formulation paid three jobs per round (eager-checkpoint
+    # count + dangling and 1/N broadcast exchanges); on a
+    # vocabulary-bounded graph those job launches were the entire cost
+    # (~0.5 s/round at sf0.1 on a 60-node event graph).
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.round(F.lit(0.0), 9).alias("rank"))
+
+    def dangling_mass(cur: DataFrame) -> float:
+        return float(
+            cur.filter(F.col("__dang"))
             .agg(
                 F.coalesce(
                     _canonical_fold("node", "rank"), F.lit(0.0)
                 ).alias("__d")
             )
+            .collect()[0][0]
         )
-        ranks = (
-            nodes.join(
-                contrib.withColumnRenamed("dst", "node"), "node", "left"
+
+    ranks = nodes.select(
+        "node", "__dang", F.lit(1.0 / float(n_nodes)).alias("rank")
+    )
+    d = float(damping)
+    base = (1.0 - d) / float(n_nodes)
+    # The round loop iterates over the extracted, checkpointed tables —
+    # bounded by the graph's vocabulary, not the corpus — so its shuffle
+    # width derives from the edge count, not the corpus-scale session
+    # default; on a tiny graph AQE is paused so lazy-checkpoint builds
+    # launch no jobs (core.session.bounded_iteration).
+    from cryoflow_spark.core.session import bounded_iteration
+
+    with bounded_iteration(edges.sparkSession, e.count(), pause_aqe=True):
+        for _ in range(int(n_iter)):
+            dang = dangling_mass(ranks)
+            contrib = (
+                e.join(
+                    ranks.select(F.col("node").alias("src"), "rank"), "src"
+                )
+                .select(
+                    "dst",
+                    "src",
+                    (F.col("rank") * F.col("w") / F.col("outw")).alias("__c"),
+                )
+                .groupBy("dst")
+                .agg(_canonical_fold("src", "__c").alias("__in"))
             )
-            .crossJoin(F.broadcast(dangling))
-            .crossJoin(F.broadcast(n_scalar))
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - d) / F.col("__n").cast("double")
-                    + F.lit(d)
-                    * (
-                        F.coalesce(F.col("__in"), F.lit(0.0))
-                        + F.col("__d") / F.col("__n").cast("double")
-                    )
-                ).alias("rank"),
+            ranks = (
+                nodes.join(
+                    contrib.withColumnRenamed("dst", "node"), "node", "left"
+                )
+                .select(
+                    "node",
+                    "__dang",
+                    (
+                        F.lit(base)
+                        + F.lit(d)
+                        * (
+                            F.coalesce(F.col("__in"), F.lit(0.0))
+                            + F.lit(dang / float(n_nodes))
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint()
-        )
     return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
@@ -220,11 +261,21 @@ def personalized_pagerank(
         _canonical_fold("dst", "w").alias("outw")
     )
     e = e.join(outw, "src").localCheckpoint()
-    outw = outw.localCheckpoint()
+    # Dangling flag fixed at setup + per-round dangling scalar collected
+    # as the round's ONE driver action — the same shape (and the same
+    # bit-identity argument) as :func:`pagerank`.
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(
+            e.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("__dang", F.lit(False)),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("__dang", F.lit(True)).alias("__dang"))
         .localCheckpoint()
     )
     seed_cap = len(seeds) + 1
@@ -241,46 +292,55 @@ def personalized_pagerank(
     p = F.when(F.col("node").isin(*seeds), F.lit(share)).otherwise(
         F.lit(0.0)
     )
-    ranks = nodes.select("node", p.alias("rank"))
-    d = float(damping)
-    for _ in range(int(n_iter)):
-        contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(
-                "dst",
-                "src",
-                (F.col("rank") * F.col("w") / F.col("outw")).alias("__c"),
-            )
-            .groupBy("dst")
-            .agg(_canonical_fold("src", "__c").alias("__in"))
-        )
-        dangling = (
-            ranks.join(outw.withColumnRenamed("src", "node"), "node",
-                       "left_anti")
+
+    def dangling_mass(cur: DataFrame) -> float:
+        return float(
+            cur.filter(F.col("__dang"))
             .agg(
                 F.coalesce(
                     _canonical_fold("node", "rank"), F.lit(0.0)
                 ).alias("__d")
             )
+            .collect()[0][0]
         )
-        ranks = (
-            nodes.join(
-                contrib.withColumnRenamed("dst", "node"), "node", "left"
+
+    ranks = nodes.select("node", "__dang", p.alias("rank"))
+    d = float(damping)
+    from cryoflow_spark.core.session import bounded_iteration
+
+    with bounded_iteration(edges.sparkSession, e.count(), pause_aqe=True):
+        for _ in range(int(n_iter)):
+            dang = dangling_mass(ranks)
+            contrib = (
+                e.join(
+                    ranks.select(F.col("node").alias("src"), "rank"), "src"
+                )
+                .select(
+                    "dst",
+                    "src",
+                    (F.col("rank") * F.col("w") / F.col("outw")).alias("__c"),
+                )
+                .groupBy("dst")
+                .agg(_canonical_fold("src", "__c").alias("__in"))
             )
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - d) * p
-                    + F.lit(d)
-                    * (
-                        F.coalesce(F.col("__in"), F.lit(0.0))
-                        + F.col("__d") * p
-                    )
-                ).alias("rank"),
+            ranks = (
+                nodes.join(
+                    contrib.withColumnRenamed("dst", "node"), "node", "left"
+                )
+                .select(
+                    "node",
+                    "__dang",
+                    (
+                        F.lit(1.0 - d) * p
+                        + F.lit(d)
+                        * (
+                            F.coalesce(F.col("__in"), F.lit(0.0))
+                            + F.lit(dang) * p
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint()
-        )
     return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
@@ -356,35 +416,46 @@ def label_propagation(
     )
     nodes = e.select(F.col("a").alias("node")).distinct().localCheckpoint()
     labels = nodes.select("node", F.col("node").alias("label"))
-    for _ in range(int(n_iter)):
-        votes = (
-            e.join(
-                labels.select(
-                    F.col("node").alias("b"), F.col("label")
-                ),
-                "b",
-            )
-            .groupBy("a", "label")
-            .agg(_canonical_fold("b", "w").alias("__wt"))
-        )
-        winner = votes.groupBy("a").agg(
-            F.min(
-                F.struct(
-                    (-F.col("__wt")).alias("nw"),
-                    F.col("label").alias("lab"),
+    # Lazy per-round checkpoints: the logical plan truncates at build
+    # either way (bounded plans for catalyst), and both per-round
+    # consumers (the vote join and the keep-old fallback) reference the
+    # SAME checkpoint RDD, so it is computed once whenever the first
+    # downstream action runs — on a vocabulary-sized graph inside the
+    # bounded_iteration window (AQE paused) that means the whole
+    # fixed-round loop executes as one job at the caller's action
+    # instead of one eager count job per round.
+    from cryoflow_spark.core.session import bounded_iteration
+
+    with bounded_iteration(edges.sparkSession, e.count(), pause_aqe=True):
+        for _ in range(int(n_iter)):
+            votes = (
+                e.join(
+                    labels.select(
+                        F.col("node").alias("b"), F.col("label")
+                    ),
+                    "b",
                 )
-            )["lab"].alias("__new")
-        )
-        labels = (
-            labels.join(
-                winner.withColumnRenamed("a", "node"), "node", "left"
+                .groupBy("a", "label")
+                .agg(_canonical_fold("b", "w").alias("__wt"))
             )
-            .select(
-                "node",
-                F.coalesce(F.col("__new"), F.col("label")).alias("label"),
+            winner = votes.groupBy("a").agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__wt")).alias("nw"),
+                        F.col("label").alias("lab"),
+                    )
+                )["lab"].alias("__new")
             )
-            .localCheckpoint()
-        )
+            labels = (
+                labels.join(
+                    winner.withColumnRenamed("a", "node"), "node", "left"
+                )
+                .select(
+                    "node",
+                    F.coalesce(F.col("__new"), F.col("label")).alias("label"),
+                )
+                .localCheckpoint(eager=False)
+            )
     return labels
 
 
@@ -765,24 +836,31 @@ def k_core_decomposition(
 
     # Lineage-truncation cadence for fixed-round mode: deep enough that
     # catalyst never sees an unbounded plan, sparse enough that the
-    # driver does not pay a plan+materialize cycle per round.
+    # driver does not pay a plan+materialize cycle per round. The loop
+    # runs inside a bounded_iteration window (shuffle width derived from
+    # the symmetric edge count; AQE paused when the state is tiny, so
+    # lazy-checkpoint builds launch no jobs and fixed-round mode
+    # executes as one job at the caller's action).
+    from cryoflow_spark.core.session import bounded_iteration
+
     ckpt_every = 8
-    if n_rounds is not None:
-        for i in range(n_rounds):
-            h = one_round(h)
-            if (i + 1) % ckpt_every == 0 or i == n_rounds - 1:
-                h = h.localCheckpoint(eager=False)
-    else:
-        for _ in range(max_rounds):
-            nxt = one_round(h).localCheckpoint(eager=False)
-            changed = (
-                h.join(nxt.withColumnRenamed("__h", "__h2"), "node")
-                .filter(F.col("__h") != F.col("__h2"))
-                .count()
-            )
-            h = nxt
-            if changed == 0:
-                break
+    with bounded_iteration(edges.sparkSession, sym.count()):
+        if n_rounds is not None:
+            for i in range(n_rounds):
+                h = one_round(h)
+                if (i + 1) % ckpt_every == 0 or i == n_rounds - 1:
+                    h = h.localCheckpoint(eager=False)
+        else:
+            for _ in range(max_rounds):
+                nxt = one_round(h).localCheckpoint(eager=False)
+                changed = (
+                    h.join(nxt.withColumnRenamed("__h", "__h2"), "node")
+                    .filter(F.col("__h") != F.col("__h2"))
+                    .count()
+                )
+                h = nxt
+                if changed == 0:
+                    break
     return (
         deg.join(h, "node")
         .select("node", "degree", F.col("__h").alias("coreness"))
@@ -916,31 +994,35 @@ def k_truss_edges(
     # e_{t-1} == e_t, so the carried support IS the within-truss count.
     thresh = k - 2
     out = None
+    from cryoflow_spark.core.session import bounded_iteration
+
     if n_rounds is not None:
-        for _ in range(max(n_rounds, 1)):
-            out = (
-                edge_support(cur)
-                .filter(F.col("__sup") >= thresh)
-                .localCheckpoint(eager=False)
-            )
-            cur = out.select("__a", "__b")
+        with bounded_iteration(edges.sparkSession, cur.count()):
+            for _ in range(max(n_rounds, 1)):
+                out = (
+                    edge_support(cur)
+                    .filter(F.col("__sup") >= thresh)
+                    .localCheckpoint(eager=False)
+                )
+                cur = out.select("__a", "__b")
     else:
         # ONE bounded action per round: the previous round's count is
         # carried forward instead of recounting the checkpointed frame
         # (the count would otherwise run twice per round — same value,
         # double the job launches).
         before = cur.count()
-        for _ in range(max_rounds):
-            out = (
-                edge_support(cur)
-                .filter(F.col("__sup") >= thresh)
-                .localCheckpoint(eager=False)
-            )
-            cur = out.select("__a", "__b")
-            after = cur.count()
-            if after == before:
-                break
-            before = after
+        with bounded_iteration(edges.sparkSession, before):
+            for _ in range(max_rounds):
+                out = (
+                    edge_support(cur)
+                    .filter(F.col("__sup") >= thresh)
+                    .localCheckpoint(eager=False)
+                )
+                cur = out.select("__a", "__b")
+                after = cur.count()
+                if after == before:
+                    break
+                before = after
     return out.select(
         F.col("__a").alias("a"),
         F.col("__b").alias("b"),
