@@ -1085,7 +1085,15 @@ def connected_components_two_phase(
     Output labels are identical to :func:`connected_components` (the
     component id is the component's minimum node id).
     """
-    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # Checkpoint the RAW pair projection once: both derived tables below
+    # (nodes and the deduped edge set) would otherwise each re-execute
+    # the caller's pair GENERATOR — typically an n-gram Jaccard or
+    # winnowing candidate pipeline that costs far more than the star
+    # rounds themselves (measured on the x125 pipeline at sf0.1: the
+    # generator ran 2-3x inside this function, ~2 s of its ~3.8 s).
+    raw = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).localCheckpoint(eager=False)
     # Node set from the RAW pairs: a self-loop contributes a singleton
     # component (same semantics as plain label propagation and the
     # recursive-CTE formulation), even though it carries no connectivity.
